@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+/** Fixture-table catalog + shared oracle-determinism helpers.
+  *
+  * This is the engine's "source registry" — the Spark-native analog of the
+  * reference's `SOURCES` map of 10 REST endpoints
+  * (/root/reference/app.py:40-52). In the zero-egress test environment every
+  * source is a parquet replay table under the scale-factor directory the
+  * driver passes in; on a real cluster these would be the same reads against
+  * object-store parquet/Delta paths, so all queries are written against
+  * `spark.read.parquet` scans that Catalyst can prune and push filters into.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively. Read it as a raw ns long and floor-divide to µs (integer DIV —
+    * a double division would lose precision past 2^53, and epoch-ns is
+    * ~1.7e18). DuckDB's reader truncates ns→µs the same way, so both engines
+    * see identical instants.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** Exact, order-independent sum of a double column.
+    *
+    * Plain `sum(double)` is summation-order-dependent, so a 32-partition
+    * Spark plan and a single-threaded DuckDB oracle can differ in the last
+    * ulp — and at 1000 executors the result would not even be stable run to
+    * run. Casting to decimal first makes the aggregation exact and
+    * associative (safe under any partitioning / AQE re-plan), then the final
+    * cast back to double is correctly rounded in both engines.
+    * Oracle SQL equivalent: `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`.
+    */
+  def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Order-independent mean: exact decimal sum divided by count, both sides
+    * evaluated identically in IEEE double. Oracle equivalent:
+    * `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x)`.
+    */
+  def exactAvg(c: Column): Column = exactSum(c) / count(c)
+
+  /** UTC wall-clock string at second precision — sidesteps the parquet
+    * ns-vs-µs timestamp mismatch called out in FIXTURES.md.
+    * Oracle equivalent: `strftime(ts, '%Y-%m-%d %H:%M:%S')`.
+    */
+  def tsSeconds(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+}
