@@ -22,6 +22,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracle),
+      (Normalize.queries, Normalize.oracle),
+      (Analytics.queries, Analytics.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

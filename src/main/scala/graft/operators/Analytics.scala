@@ -1,0 +1,328 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.ArgMaxLong.argMaxLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / join / window / set-op extensions (SURVEY.md §2e E1-E7,
+  * E10-E12) — the north-star batch-analytics surface the reference's
+  * bar-chart + insight shape implies at scale
+  * (/root/reference/app.py:279-293).
+  *
+  * Scale notes baked into each query:
+  *  - group-bys use Catalyst hash aggregation with map-side partial
+  *    aggregation — only |groups| rows reach the shuffle;
+  *  - dimension sides of star joins are `broadcast()` so the 100 TB fact
+  *    table never shuffles for a join;
+  *  - aggregated doubles go through exact decimal sums (Tables.exactSum) so
+  *    results are identical under any partitioning/AQE re-plan;
+  *  - the one windowed query partitions by user_id — state per key, the
+  *    same layout a 1000-executor cluster would use.
+  */
+object Analytics {
+
+  /** q_groupby_agg — per-(flag,status) count/sum/avg, the bar-chart
+    * aggregation shape (app.py:281-287) at TPC-H Q1's layout.
+    */
+  def qGroupbyAgg(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_price"),
+        exactAvg(col("l_discount")).as("avg_disc"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q_distinct — exact distinct count per group (E2). Spark plans this as a
+    * two-phase expand+aggregate; partial-distinct happens before the
+    * shuffle.
+    */
+  def qDistinct(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_part"))
+      .orderBy(col("l_returnflag"))
+
+  /** q_approx_distinct — HLL++ distinct (E2 approximate). The 100 TB path:
+    * constant memory per group vs. countDistinct's per-key state. Sketches
+    * differ from DuckDB's, so no SQL oracle — self-checked in tests against
+    * the exact count (rsd bound).
+    */
+  def qApproxDistinct(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_approx"))
+      .orderBy(col("l_returnflag"))
+
+  /** q_join_inner — star join orders⋈customer⋈nation → revenue per nation
+    * (E3). Both dims are broadcast: the fact table is joined without any
+    * shuffle, which is the only plan that survives 100 TB of orders.
+    */
+  def qJoinInner(spark: SparkSession, d: String): DataFrame = {
+    val o = orders(spark, d).select(col("o_custkey"), col("o_totalprice"))
+    val c = customer(spark, d).select(col("c_custkey"), col("c_nationkey"))
+    val n = nation(spark, d).select(col("n_nationkey"), col("n_name"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q_join_left — left outer join keeping customers with zero orders (E3),
+    * aggregated per customer. Broadcast the dim side (customer) is wrong
+    * here — the aggregation is on the left key, so Spark's shuffled hash /
+    * AQE choice is kept; at scale this is a co-partitioned join on
+    * custkey.
+    */
+  def qJoinLeft(spark: SparkSession, d: String): DataFrame = {
+    val c = customer(spark, d).select(col("c_custkey"), col("c_name"))
+    val o = orders(spark, d).select(col("o_custkey"), col("o_totalprice"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_custkey")).as("n_orders"),
+        coalesce(exactSum(col("o_totalprice")), lit(0.0)).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q_join_semi — EXISTS: customers holding at least one high-value order
+    * (E3). left_semi never materializes right columns — minimal shuffle
+    * payload.
+    */
+  def qJoinSemi(spark: SparkSession, d: String): DataFrame = {
+    val c = customer(spark, d)
+    val big = orders(spark, d).filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q_join_anti — NOT EXISTS: customers with no high-value order (E3). */
+  def qJoinAnti(spark: SparkSession, d: String): DataFrame = {
+    val c = customer(spark, d)
+    val big = orders(spark, d).filter(col("o_totalprice") > 450000).select(col("o_custkey"))
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q_window_rank — row_number / rank / lag partitioned by user (E4): the
+    * per-key ordered-state shape sessionization needs. State is bounded per
+    * user_id partition, so the plan scales horizontally with keys.
+    */
+  def qWindowRank(spark: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, d)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        row_number().over(byTs).as("rn"),
+        lag(col("value"), 1).over(byTs).as("lag_v"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q_union / q_intersect / q_except — set ops (E5), distinct semantics
+    * matching SQL UNION/INTERSECT/EXCEPT.
+    */
+  def qUnion(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d)
+    e.filter(col("event_type") === "purchase").select(col("event_id"))
+      .union(e.filter(col("value") > 400).select(col("event_id")))
+      .distinct()
+      .orderBy(col("event_id"))
+  }
+
+  def qIntersect(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d)
+    e.filter(col("event_type") === "click").select(col("event_id"))
+      .intersect(e.filter(col("value") > 200).select(col("event_id")))
+      .orderBy(col("event_id"))
+  }
+
+  def qExcept(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d)
+    e.filter(col("event_type") === "click").select(col("event_id"))
+      .except(e.filter(col("value") > 200).select(col("event_id")))
+      .orderBy(col("event_id"))
+  }
+
+  /** q_rollup / q_cube — grouping-sets aggregation (E6). Subtotal rows'
+    * NULL keys are coalesced to 'ALL' so the presentation order is total
+    * without relying on engine-specific NULL ordering.
+    */
+  private def groupingSets(df: DataFrame, cube: Boolean): DataFrame = {
+    val g = if (cube) df.cube(col("l_returnflag"), col("l_linestatus"))
+            else df.rollup(col("l_returnflag"), col("l_linestatus"))
+    g.agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        exactSum(col("l_quantity")).as("sum_qty"))
+      .select(
+        col("g_flag"), col("g_status"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("g_flag"), col("g_status"), col("flag"), col("status"))
+  }
+
+  def qRollup(spark: SparkSession, d: String): DataFrame =
+    groupingSets(lineitem(spark, d), cube = false)
+
+  def qCube(spark: SparkSession, d: String): DataFrame =
+    groupingSets(lineitem(spark, d), cube = true)
+
+  /** q_dedup — exact deduplication (E7) with a deterministic keeper
+    * (min event_id per key), expressed as an aggregation so it partial-
+    * aggregates map-side; `dropDuplicates` would keep an arbitrary row and
+    * break the oracle compare.
+    */
+  def qDedup(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** q_multimodal_join — text + vector side-by-side (E11): documents joined
+    * to their embeddings. The vector side is broadcast (embeddings is the
+    * smaller modality table in the fixtures); at 100 TB both sides would be
+    * bucketed on the id.
+    */
+  def qMultimodalJoin(spark: SparkSession, d: String): DataFrame = {
+    val doc = documents(spark, d)
+    val emb = embeddings(spark, d)
+    doc.join(broadcast(emb), doc("doc_id") === emb("vec_id"))
+      .select(
+        col("doc_id"), col("lang"), col("label"),
+        size(col("embedding")).cast("int").as("dim"),
+        element_at(col("embedding"), 1).as("f0"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_custom_agg — the typed [[graft.functions.ArgMaxLong]] Aggregator
+    * (E12) finding each event type's highest-value event.
+    */
+  def qCustomAgg(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        argMaxLong(col("event_id"), col("value")).as("best_id"),
+        max(col("value")).as("best_value"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_groupby_agg"     -> qGroupbyAgg _,
+    "q_distinct"        -> qDistinct _,
+    "q_approx_distinct" -> qApproxDistinct _,
+    "q_join_inner"      -> qJoinInner _,
+    "q_join_left"       -> qJoinLeft _,
+    "q_join_semi"       -> qJoinSemi _,
+    "q_join_anti"       -> qJoinAnti _,
+    "q_window_rank"     -> qWindowRank _,
+    "q_union"           -> qUnion _,
+    "q_intersect"       -> qIntersect _,
+    "q_except"          -> qExcept _,
+    "q_rollup"          -> qRollup _,
+    "q_cube"            -> qCube _,
+    "q_dedup"           -> qDedup _,
+    "q_multimodal_join" -> qMultimodalJoin _,
+    "q_custom_agg"      -> qCustomAgg _,
+  )
+
+  private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q_groupby_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |       ${decSum.format("l_quantity")} AS sum_qty,
+         |       ${decSum.format("l_extendedprice")} AS sum_price,
+         |       ${decSum.format("l_discount")} / COUNT(l_discount) AS avg_disc
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_join_inner" ->
+      s"""SELECT n_name, COUNT(*) AS n_orders,
+         |       ${decSum.format("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_left" ->
+      s"""SELECT c_custkey, c_name, COUNT(o_custkey) AS n_orders,
+         |       COALESCE(${decSum.format("o_totalprice")}, 0) AS spend
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT event_id, user_id,
+        |       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |       LAG(value, 1) OVER w AS lag_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_union" ->
+      """SELECT event_id FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT event_id FROM events WHERE value > 400
+        |ORDER BY event_id""".stripMargin,
+    "q_intersect" ->
+      """SELECT event_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT event_id FROM events WHERE value > 200
+        |ORDER BY event_id""".stripMargin,
+    "q_except" ->
+      """SELECT event_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT event_id FROM events WHERE value > 200
+        |ORDER BY event_id""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+         |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+         |       COALESCE(l_returnflag, 'ALL') AS flag,
+         |       COALESCE(l_linestatus, 'ALL') AS status,
+         |       COUNT(*) AS n, ${decSum.format("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "q_cube" ->
+      s"""SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+         |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+         |       COALESCE(l_returnflag, 'ALL') AS flag,
+         |       COALESCE(l_linestatus, 'ALL') AS status,
+         |       COUNT(*) AS n, ${decSum.format("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "q_dedup" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_event_id
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, label, CAST(len(embedding) AS INTEGER) AS dim,
+        |       embedding[1] AS f0, n_chars
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_custom_agg" ->
+      """SELECT event_type, event_id AS best_id, value AS best_value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |                           ORDER BY value DESC, event_id ASC) = 1
+        |ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSON / normalization operators — the reference's Transform stage
+  * (`normalize_to_df`, /root/reference/app.py:84-189) re-expressed as
+  * declarative Spark plans over the fixture tables.
+  *
+  * Reference provenance: nested array-of-structs flatten (openaq,
+  * app.py:90-103; usgs app.py:121-129; nws app.py:154-165), struct
+  * projection (open_meteo app.py:106-112, spacex app.py:132-139, iss
+  * app.py:176-182), map→rows pivot (coingecko app.py:115-118, fx
+  * app.py:168-173), string concat of key pairs (app.py:172), epoch-ms →
+  * formatted UTC string with 0/None guard (app.py:126-127), JSON decode with
+  * fallback (app.py:76-79).
+  *
+  * Scale notes: all operators are per-row expressions or generators
+  * (explode) — embarrassingly parallel, no shuffle except the final
+  * presentation sort. JSON parsing uses Spark's codegen'd JsonToStructs /
+  * GetJsonObject, not UDFs.
+  */
+object Normalize {
+
+  /** q_json_get — single-path JSON field extraction from `events.props`,
+    * the analog of picking one field out of a fetched payload (app.py:94).
+    */
+  def qJsonGet(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  /** q_from_json — schema-full JSON decode (app.py:76-79's `r.json()`), the
+    * scale path when many fields are needed: one parse, typed struct out.
+    */
+  def qFromJson(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(
+        col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("p"))
+      .select(col("event_id"), col("p.k").as("k_int"))
+      .orderBy(col("event_id"))
+
+  /** q_explode_nested — array-of-values flatten with position, the 2-level
+    * loop of openaq's results[].measurements[] (app.py:91-95). posexplode is
+    * a Generate node: no shuffle, output partitioning inherits the scan.
+    */
+  def qExplodeNested(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .orderBy(col("vec_id"), col("pos"))
+
+  /** q_map_explode — map→rows pivot, coingecko's `{asset:{usd:v}}` → one row
+    * per key (app.py:115-118).
+    */
+  def qMapExplode(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(
+        col("event_id"),
+        explode(map(
+          lit("type"), col("event_type"),
+          lit("user"), col("user_id").cast("string"))).as(Seq("key", "value")))
+      .orderBy(col("event_id"), col("key"))
+
+  /** q_struct_proj — build a struct then project its fields, open_meteo's
+    * `current.{temperature_2m,...}` access (app.py:106-112).
+    */
+  def qStructProj(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(
+        col("event_id"),
+        struct(col("event_type").as("t"), col("value").as("v")).as("cur"))
+      .select(col("event_id"), col("cur.t").as("t"), col("cur.v").as("v"))
+      .orderBy(col("event_id"))
+
+  /** q_concat_pair — key-pair string building, fx_rates' `f"{base}/{k}"`
+    * (app.py:172).
+    */
+  def qConcatPair(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(
+        col("doc_id"),
+        concat(col("lang"), lit("/"), col("source")).as("pair"))
+      .orderBy(col("doc_id"))
+
+  /** q_epoch_fmt — epoch-millis → "yyyy-MM-dd HH:mm:ss" UTC with the
+    * reference's zero/None guard (usgs, app.py:126-127). A synthetic zero is
+    * injected on every 97th event to exercise the guard path.
+    */
+  def qEpochFmt(spark: SparkSession, d: String): DataFrame = {
+    val e = when(col("event_id") % 97 === 0, lit(0L)).otherwise(unix_millis(col("ts")))
+    events(spark, d)
+      .select(col("event_id"), e.as("epoch_ms"))
+      .select(
+        col("event_id"),
+        col("epoch_ms"),
+        when(col("epoch_ms") === 0, lit(null).cast("string"))
+          .otherwise(date_format(timestamp_millis(col("epoch_ms")), "yyyy-MM-dd HH:mm:ss"))
+          .as("fmt"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_get"       -> qJsonGet _,
+    "q_from_json"      -> qFromJson _,
+    "q_explode_nested" -> qExplodeNested _,
+    "q_map_explode"    -> qMapExplode _,
+    "q_struct_proj"    -> qStructProj _,
+    "q_concat_pair"    -> qConcatPair _,
+    "q_epoch_fmt"      -> qEpochFmt _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_json_get" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_explode_nested" ->
+      """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+        |       unnest(embedding) AS val
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    "q_map_explode" ->
+      """SELECT event_id, key, value FROM (
+        |  SELECT event_id, 'type' AS key, event_type AS value FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'user' AS key, CAST(user_id AS VARCHAR) AS value FROM events
+        |) ORDER BY event_id, key""".stripMargin,
+    "q_struct_proj" ->
+      """SELECT event_id, event_type AS t, value AS v
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_concat_pair" ->
+      """SELECT doc_id, lang || '/' || source AS pair
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_epoch_fmt" ->
+      """SELECT event_id, epoch_ms,
+        |       CASE WHEN epoch_ms = 0 THEN NULL
+        |            ELSE strftime(make_timestamp(epoch_ms * 1000), '%Y-%m-%d %H:%M:%S')
+        |       END AS fmt
+        |FROM (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 97 = 0 THEN 0 ELSE epoch_ms(ts) END AS epoch_ms
+        |  FROM events
+        |) ORDER BY event_id""".stripMargin,
+  )
+}
