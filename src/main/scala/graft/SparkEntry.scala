@@ -24,6 +24,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracle),
       (Normalize.queries, Normalize.oracle),
       (Analytics.queries, Analytics.oracle),
+      (Windows.queries, Windows.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time window operators (SURVEY.md §2d T4) — the stateful-streaming
+  * semantics the reference's 60 s stateless tick lacks
+  * (/root/reference/app.py:37), expressed over event time so the same
+  * aggregations run identically as a batch plan (verified against DuckDB
+  * here) and as a Structured Streaming plan with a watermark
+  * (graft.streaming.StreamOps wires these shapes to readStream; the
+  * streaming tests exercise them with MemoryStream).
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregations on
+  * (window, key) — partial-aggregated map-side, so the shuffle carries one
+  * row per (window × key), not per event. Session windows keep per-user
+  * state; partitioning by user_id spreads state across executors, and in
+  * streaming mode the RocksDB state store holds it off-heap.
+  */
+object Windows {
+
+  /** q_window_tumble — 1-hour tumbling counts/sums per event type. */
+  def qWindowTumble(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_v"))
+      .select(
+        tsSeconds(col("w.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_v"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** q_window_slide — 1-hour windows sliding every 30 minutes: each event
+    * lands in exactly 2 windows (size/slide).
+    */
+  def qWindowSlide(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_v"))
+      .select(tsSeconds(col("w.start")).as("w_start"), col("n"), col("sum_v"))
+      .orderBy(col("w_start"))
+
+  /** q_session — session windows with a 30-minute inactivity gap per user.
+    * Spark merges per-event windows [t, t+gap); a new session starts when
+    * ts >= previous ts + gap, and the session end is last_ts + gap — the
+    * oracle mirrors exactly that with a gaps-and-islands rewrite.
+    */
+  def qSession(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_v"))
+      .select(
+        col("user_id"),
+        tsSeconds(col("sw.start")).as("s_start"),
+        tsSeconds(col("sw.end")).as("s_end"),
+        col("n"), col("sum_v"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_tumble" -> qWindowTumble _,
+    "q_window_slide"  -> qWindowSlide _,
+    "q_session"       -> qSession _,
+  )
+
+  private val decSumV = "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q_window_tumble" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+         |       event_type, COUNT(*) AS n, $decSumV AS sum_v
+         |FROM events GROUP BY date_trunc('hour', ts), event_type
+         |ORDER BY w_start, event_type""".stripMargin,
+    "q_window_slide" ->
+      s"""SELECT strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
+         |       COUNT(*) AS n, $decSumV AS sum_v
+         |FROM (
+         |  SELECT unnest([f, f - 1800]) AS s, value
+         |  FROM (SELECT (epoch_ms(ts) // 1800000) * 1800 AS f, value FROM events)
+         |)
+         |GROUP BY s ORDER BY w_start""".stripMargin,
+    "q_session" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), sess AS (
+         |  SELECT user_id, ts, value,
+         |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                        ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked
+         |)
+         |SELECT user_id,
+         |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+         |       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+         |       COUNT(*) AS n, $decSumV AS sum_v
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, s_start""".stripMargin,
+  )
+}
