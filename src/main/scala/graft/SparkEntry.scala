@@ -25,6 +25,9 @@ object SparkEntry {
       (Normalize.queries, Normalize.oracle),
       (Analytics.queries, Analytics.oracle),
       (Windows.queries, Windows.oracle),
+      (Similarity.queries, Similarity.oracle),
+      (TextOps.queries, TextOps.oracle),
+      (Multimodal.queries, Multimodal.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

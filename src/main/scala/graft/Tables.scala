@@ -31,6 +31,13 @@ object Tables {
     * a double division would lose precision past 2^53, and epoch-ns is
     * ~1.7e18). DuckDB's reader truncates ns→µs the same way, so both engines
     * see identical instants.
+    *
+    * The `nanosAsLong` conf is DELIBERATELY session-wide: every entry point
+    * (Verify, Bench, the test sessions) also sets it at session build, and
+    * the re-set here is an idempotent safety net for callers — e.g. the
+    * driver's smoke harness — that construct their own session without it.
+    * It only changes how TIMESTAMP(NANOS) columns decode, and `events` is
+    * the sole fixture table with one.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

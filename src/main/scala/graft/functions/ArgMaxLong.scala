@@ -17,19 +17,28 @@ case class ArgMaxBuf(id: Long, v: Double, set: Boolean)
   * Being an `Aggregator`, Spark runs it with map-side partial aggregation:
   * each partition reduces to one 17-byte buffer before the shuffle, so at
   * 100 TB only |groups| buffers move, never rows. Deterministic under any
-  * merge order because (max v, min id) is associative and commutative.
+  * merge order: comparisons go through `java.lang.Double.compare`, which is
+  * a total order (NaN sorts greatest, matching Spark's `max()` and DuckDB),
+  * and null inputs are skipped like SQL aggregates skip NULLs — so the
+  * result never depends on partition/merge order even with NaN or null
+  * values present.
   */
-class ArgMaxLong extends Aggregator[(Long, Double), ArgMaxBuf, Long] {
+class ArgMaxLong extends Aggregator[(Long, Option[Double]), ArgMaxBuf, Long] {
   override def zero: ArgMaxBuf = ArgMaxBuf(0L, Double.NegativeInfinity, set = false)
 
   private def better(a: ArgMaxBuf, b: ArgMaxBuf): ArgMaxBuf =
     if (!a.set) b
     else if (!b.set) a
-    else if (a.v > b.v || (a.v == b.v && a.id <= b.id)) a
-    else b
+    else {
+      val c = java.lang.Double.compare(a.v, b.v)
+      if (c > 0 || (c == 0 && a.id <= b.id)) a else b
+    }
 
-  override def reduce(b: ArgMaxBuf, in: (Long, Double)): ArgMaxBuf =
-    better(b, ArgMaxBuf(in._1, in._2, set = true))
+  override def reduce(b: ArgMaxBuf, in: (Long, Option[Double])): ArgMaxBuf =
+    in._2 match {
+      case Some(v) => better(b, ArgMaxBuf(in._1, v, set = true))
+      case None    => b // SQL semantics: NULL values never win the argmax
+    }
 
   override def merge(a: ArgMaxBuf, b: ArgMaxBuf): ArgMaxBuf = better(a, b)
 
@@ -40,7 +49,7 @@ class ArgMaxLong extends Aggregator[(Long, Double), ArgMaxBuf, Long] {
 }
 
 object ArgMaxLong {
-  private val fn = udaf(new ArgMaxLong, Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+  private val fn = udaf(new ArgMaxLong, Encoders.product[(Long, Option[Double])])
 
   /** `arg_max_long(id, v)` as a Column for use in `groupBy(...).agg(...)`. */
   def argMaxLong(id: Column, v: Column): Column = fn(id, v)

@@ -58,14 +58,17 @@ object Analytics {
       .orderBy(col("l_returnflag"))
 
   /** q_join_inner — star join orders⋈customer⋈nation → revenue per nation
-    * (E3). Both dims are broadcast: the fact table is joined without any
-    * shuffle, which is the only plan that survives 100 TB of orders.
+    * (E3). Only the true dimension (nation, fixed 25 rows) is broadcast;
+    * customer grows with the scale factor, so orders⋈customer is left to
+    * Spark's shuffle/AQE choice — at 100 TB that join runs co-partitioned on
+    * custkey (bucketed in a real deployment) instead of OOM-ing executors
+    * with a fact-proportional broadcast.
     */
   def qJoinInner(spark: SparkSession, d: String): DataFrame = {
     val o = orders(spark, d).select(col("o_custkey"), col("o_totalprice"))
     val c = customer(spark, d).select(col("c_custkey"), col("c_nationkey"))
     val n = nation(spark, d).select(col("n_nationkey"), col("n_name"))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -190,14 +193,15 @@ object Analytics {
       .orderBy(col("user_id"), col("event_type"))
 
   /** q_multimodal_join — text + vector side-by-side (E11): documents joined
-    * to their embeddings. The vector side is broadcast (embeddings is the
-    * smaller modality table in the fixtures); at 100 TB both sides would be
-    * bucketed on the id.
+    * to their embeddings. Both sides are fact-proportional (1:1 row
+    * cardinality), so neither is broadcast — the equi-join is left to
+    * shuffle/AQE, and at 100 TB both tables would be bucketed on the id so
+    * the join is co-located with no shuffle at all.
     */
   def qMultimodalJoin(spark: SparkSession, d: String): DataFrame = {
     val doc = documents(spark, d)
     val emb = embeddings(spark, d)
-    doc.join(broadcast(emb), doc("doc_id") === emb("vec_id"))
+    doc.join(emb, doc("doc_id") === emb("vec_id"))
       .select(
         col("doc_id"), col("lang"), col("label"),
         size(col("embedding")).cast("int").as("dim"),

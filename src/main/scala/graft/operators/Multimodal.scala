@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extracted features for one media blob — the output schema of the decode
+  * stage. At 100 TB this row is what the shuffle carries instead of the
+  * blob itself.
+  */
+case class MediaFeature(doc_id: Long, n_bytes: Int, head_sum: Long, checksum: Long)
+
+/** Multimodal-column plumbing (SURVEY.md §2e E11 extension): treat media as
+  * opaque `binary` columns with typed metadata, and run the decode /
+  * feature-extract stage as imperative per-partition code — the shape a
+  * real image/audio decode (JPEG → pixels, PCM → spectrogram) takes on
+  * Spark, where the decoder is a native library driven row-by-row inside
+  * `mapPartitions`.
+  *
+  * The container has no media codecs, so the DECODE BODY IS A STUB: a
+  * deterministic byte-level "feature extractor" (length, head-window sum,
+  * rolling checksum) stands in for the real decoder. Everything around it —
+  * binary column construction, the typed `Dataset` boundary, the
+  * per-partition batch loop, the fixed output schema — is the real
+  * production plumbing and is oracle-verified end to end.
+  *
+  * Scale notes: blobs never shuffle — the feature extraction is a
+  * per-partition map directly over the scan, and only the small fixed-width
+  * feature rows flow downstream. Partition sizing is the parquet reader's
+  * (`spark.sql.files.maxPartitionBytes`), so a 100 TB blob table fans out
+  * across executors without driver involvement.
+  */
+object Multimodal {
+
+  /** q_multimodal_features — binary media column → per-document features
+    * via a typed mapPartitions decode stage.
+    */
+  def qMultimodalFeatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val blobs = documents(spark, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    blobs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // --- STUB DECODE ---------------------------------------------
+        // A real pipeline decodes `bytes` with an image/audio library
+        // here (absent in this container). The fake features below are
+        // deterministic functions of the raw bytes so the oracle can
+        // verify the plumbing exactly.
+        val head = bytes.take(16).map(b => (b & 0xff).toLong).sum
+        var h = 0L
+        var i = 0
+        while (i < bytes.length) {
+          h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L
+          i += 1
+        }
+        MediaFeature(id, bytes.length, head, h)
+        // -------------------------------------------------------------
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> qMultimodalFeatures _,
+  )
+
+  /** The fixture text is pure ASCII, so UTF-8 bytes == ascii codes and the
+    * byte-level features are expressible over characters in SQL.
+    */
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |       CAST(len(text) AS INTEGER) AS n_bytes,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(substr(text, 1, 16), ''),
+        |                        c -> CAST(ascii(c) AS BIGINT))),
+        |         (acc, c) -> acc + c) AS head_sum,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

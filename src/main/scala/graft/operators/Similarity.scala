@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (SURVEY.md §2e E8) — the
+  * vector-space generalization of the reference's "top-1 insight" pattern
+  * (/root/reference/app.py:211,217): instead of argmax over one numeric
+  * column, argmax over cosine similarity to a query vector.
+  *
+  * Numerical contract: cosine is computed entirely in IEEE double with
+  * strict left-to-right accumulation (`aggregate` over `zip_with` products).
+  * The DuckDB oracle mirrors the exact same operation order
+  * (`list_reduce` over `list_transform(list_zip(...))`), so scores are
+  * BIT-IDENTICAL across engines and the top-k selection + order is fully
+  * deterministic — no epsilon, no rounding.
+  *
+  * Scale design (100 TB):
+  *  - the query vector is a 1-row broadcast — every executor scores its own
+  *    partitions, no shuffle of the embedding table at all;
+  *  - top-k plans as TakeOrderedAndProject: an O(k) heap per partition and
+  *    O(k·partitions) on the driver, never a global sort;
+  *  - all-pairs scoring is avoided by sign-bit LSH bucketing
+  *    ([[qCosineTopkLsh]], [[qCosineNeardup]]): candidates come from a
+  *    bucket equi-join (shuffle on bucket id), so work is Σ bucket² instead
+  *    of n². More planes → smaller buckets; skewed buckets are AQE's
+  *    skew-join case. This is the standard random-hyperplane LSH family
+  *    with axis-aligned planes, chosen because both engines can compute the
+  *    bucket exactly (sign of a stored coordinate) — a production deployment
+  *    would draw seeded Gaussian planes the same way [[TextOps]] draws
+  *    seeded MinHash permutations.
+  *  - everything is built-in codegen'd expressions — no UDFs anywhere, so
+  *    the scoring stays inside whole-stage codegen.
+  */
+object Similarity {
+
+  /** Dot product of two float-vector columns in double, left-to-right. */
+  private def dotLtr(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Exact cosine similarity between two `ArrayType(FloatType)` columns. */
+  def cosine(a: Column, b: Column): Column =
+    dotLtr(a, b) / (sqrt(dotLtr(a, a)) * sqrt(dotLtr(b, b)))
+
+  /** 16-way sign-bit LSH bucket: the sign of 4 fixed coordinates
+    * (1-based dims 1, 9, 17, 25). Vectors with high cosine agree on most
+    * signs, so near-duplicates land in the same bucket w.h.p.
+    */
+  private def bucket(v: Column): Column =
+    (element_at(v, 1) >= 0).cast("int") * 8 +
+    (element_at(v, 9) >= 0).cast("int") * 4 +
+    (element_at(v, 17) >= 0).cast("int") * 2 +
+    (element_at(v, 25) >= 0).cast("int")
+
+  private def queryVec(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+
+  /** q_cosine_topk — brute-force cosine top-20 against the query vector
+    * (vec_id 0). The baseline every ANN variant is checked against.
+    */
+  def qCosineTopk(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .crossJoin(broadcast(queryVec(spark, d)))
+      .select(col("vec_id"), col("label"),
+              cosine(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+
+  /** q_cosine_topk_lsh — the scale path: score only the query's LSH bucket
+    * (~1/16 of the table here; 1/2^planes in general), then top-10 within
+    * it. Recall vs. [[qCosineTopk]] is property-tested in SimilaritySpec.
+    */
+  def qCosineTopkLsh(spark: SparkSession, d: String): DataFrame = {
+    val q = embeddings(spark, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), bucket(col("embedding")).as("qb"))
+    embeddings(spark, d)
+      .withColumn("bkt", bucket(col("embedding")))
+      .join(broadcast(q), col("bkt") === col("qb"))
+      .select(col("vec_id"), col("label"),
+              cosine(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** q_cosine_neardup — embedding-space near-duplicate pairs: bucket-join
+    * (never all-pairs) then exact cosine ≥ 0.3. The shape of
+    * embedding-based dedup in an LLM data pipeline: candidates from LSH,
+    * exact verification on candidates only.
+    */
+  def qCosineNeardup(spark: SparkSession, d: String): DataFrame = {
+    def side(p: String) = embeddings(spark, d).select(
+      col("vec_id").as(s"${p}_id"),
+      col("embedding").as(s"${p}_e"),
+      bucket(col("embedding")).as(s"${p}_b"))
+    side("a").join(side("b"),
+        col("a_b") === col("b_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              cosine(col("a_e"), col("b_e")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_topk"     -> qCosineTopk _,
+    "q_cosine_topk_lsh" -> qCosineTopkLsh _,
+    "q_cosine_neardup"  -> qCosineNeardup _,
+  )
+
+  // ---- DuckDB oracle: the same left-to-right double arithmetic ----------
+
+  /** `list_reduce` starting from an explicit 0.0 accumulator replicates
+    * Spark's `aggregate(zero=0.0)` fold order exactly.
+    */
+  private def dotSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"list_transform(list_zip($x, $y), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), " +
+    s"(acc, v) -> acc + v)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private def bucketSql(v: String): String =
+    s"CAST($v[1] >= 0 AS INT) * 8 + CAST($v[9] >= 0 AS INT) * 4 + " +
+    s"CAST($v[17] >= 0 AS INT) * 2 + CAST($v[25] >= 0 AS INT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosSql("embedding", "qe")} AS cos
+         |FROM embeddings, q
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q_cosine_topk_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qe, ${bucketSql("embedding")} AS qb
+         |           FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosSql("embedding", "qe")} AS cos
+         |FROM embeddings, q
+         |WHERE ${bucketSql("embedding")} = qb
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_cosine_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt
+         |           FROM embeddings)
+         |SELECT a.vec_id AS a_id, bb.vec_id AS b_id,
+         |       ${cosSql("a.embedding", "bb.embedding")} AS cos
+         |FROM b a JOIN b bb ON a.bkt = bb.bkt AND a.vec_id < bb.vec_id
+         |WHERE ${cosSql("a.embedding", "bb.embedding")} >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+  )
+}

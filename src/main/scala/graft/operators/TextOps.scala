@@ -1,0 +1,329 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + near-duplicate operators over `documents` (SURVEY.md §2e
+  * E9 plus the LLM-data-pipeline extensions): token counting, language-ID
+  * heuristic, quality scoring, document fingerprinting, MinHash/LSH and
+  * SimHash near-dup detection, and exact n-gram Jaccard.
+  *
+  * Reference provenance: the reference's only text handling is rendering
+  * strings (/root/reference/app.py:206,212,218) — these operators are the
+  * mandated scale extensions, built on the tokenize→hash→aggregate shape.
+  *
+  * Determinism contract: every hash here is derived from `md5` (identical
+  * in Spark and DuckDB) parsed as a hex bigint, then mixed with fixed
+  * linear-congruential constants in exact int64 arithmetic — so MinHash
+  * signatures, SimHash fingerprints, and LSH bucket keys are BIT-IDENTICAL
+  * across engines and fully hash-matchable by the oracle. No seeded RNG, no
+  * engine-specific hash functions.
+  *
+  * Scale design (100 TB):
+  *  - all tokenize/shingle steps are Generate (explode) nodes — per-row,
+  *    no shuffle, embarrassingly parallel;
+  *  - MinHash signatures are 16 `min()` aggregations — partial-aggregated
+  *    map-side, so the shuffle carries one 16-value row per document;
+  *  - near-dup candidates come from equi-joins on band keys / shared
+  *    shingles (inverted index), never an all-pairs cross join: work is
+  *    Σ bucket², and hot buckets are AQE skew-join territory;
+  *  - exact Jaccard runs only on candidate pairs — the standard
+  *    candidates-then-verify dedup pipeline.
+  */
+object TextOps {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime for LCG mixing
+  /** 16 fixed MinHash permutations h_k(x) = (a_k·x + b_k) mod P. */
+  private val hashParams: Seq[(Long, Long)] =
+    (0 until 16).map(k => (2L * k + 1, (1000003L * k + 12345L) % P))
+  private val BANDS = 4 // 4 bands × 4 rows over the 16-value signature
+
+  /** documents → (doc_id, toks): whitespace tokenization. */
+  private def tokenized(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+              split(col("text"), " ").as("toks"))
+
+  /** documents → (doc_id, s): distinct word-trigram shingles. Trigrams
+    * (not unigrams) because the fixture vocabulary is tiny — unigram sets
+    * would make every document a near-duplicate of every other.
+    */
+  private def shingled(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d).select(
+      col("doc_id"),
+      explode(expr(
+        "array_distinct(filter(" +
+          "transform(toks, (x, i) -> IF(i + 2 < size(toks), " +
+          "concat_ws(' ', x, toks[i+1], toks[i+2]), NULL)), " +
+          "s -> s IS NOT NULL))")).as("s"))
+
+  /** Deterministic 60-bit hash of a string: first 15 hex chars of md5. */
+  private def md5Long(c: org.apache.spark.sql.Column, hexChars: Int) =
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+
+  /** q_token_count — per-(lang, token) counts (E9): the
+    * split→explode→groupBy word-count shape over `documents.text`.
+    */
+  def qTokenCount(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d)
+      .select(col("lang"), explode(col("toks")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("token"))
+
+  /** q_lang_id — stopword-frequency language heuristic: score each language
+    * by how many of its marker stopwords appear (with multiplicity), pick
+    * the argmax with a fixed tie-break order. Purely count-based so both
+    * engines agree exactly.
+    */
+  def qLangId(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d)
+      .select(col("doc_id"), col("toks"),
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").as("s_en"),
+        expr("size(filter(toks, t -> t IN ('el', 'la', 'un')))").as("s_es"),
+        expr("size(filter(toks, t -> t IN ('der', 'die', 'das')))").as("s_de"))
+      .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"),
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de").as("pred_lang"),
+        (greatest(col("s_en"), col("s_es"), col("s_de")).cast("double") /
+          size(col("toks"))).as("conf"))
+      .orderBy(col("doc_id"))
+
+  /** q_quality_score — document quality metrics for pipeline filtering:
+    * token count, distinct-token count, stopword ratio, average token
+    * length, and the resulting keep/drop flag.
+    */
+  def qQualityScore(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").as("stop_cnt"),
+        length(regexp_replace(col("text"), " ", "")).as("char_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        (col("stop_cnt").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("char_sum").cast("double") / col("n_tokens")).as("avg_tok_len"),
+        (col("n_tokens") >= 10 &&
+          col("stop_cnt").cast("double") / col("n_tokens") <= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** q_fingerprint — rolling polynomial hash of the full text
+    * (h = h·31 + byte mod 1e9+7), the classic content fingerprint for
+    * exact-dup detection; computed as a codegen'd `aggregate` fold, no UDF.
+    */
+  def qFingerprint(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"),
+        expr("aggregate(filter(split(text, ''), c -> c != ''), 0L, " +
+             "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash signature frame: (doc_id, mh0..mh15). */
+  private def signatures(spark: SparkSession, d: String): DataFrame = {
+    val hashed = shingled(spark, d)
+      .select(col("doc_id"), (md5Long(col("s"), 15) % P).as("h"))
+    val mins = hashParams.zipWithIndex.map { case ((a, b), k) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$k")
+    }
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** q_minhash_sig — the per-document MinHash signature itself (16 values):
+    * a constant-size sketch of the shingle set whose per-coordinate
+    * collision probability equals the Jaccard similarity.
+    */
+  def qMinhashSig(spark: SparkSession, d: String): DataFrame =
+    signatures(spark, d).orderBy(col("doc_id"))
+
+  /** q_minhash_lsh — LSH candidate pairs: signatures are cut into 4 bands
+    * of 4 values; documents sharing any full band become a candidate pair.
+    * The join is on band keys — an inverted index, never all-pairs.
+    */
+  def qMinhashLsh(spark: SparkSession, d: String): DataFrame = {
+    val sig = signatures(spark, d)
+    val bandCols = (0 until BANDS).map { j =>
+      struct(lit(j).as("band_idx"),
+        concat_ws("|", (0 until 4).map(i => col(s"mh${4 * j + i}")): _*).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.bkey").as("bkey"))
+    val left = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("bkey"))
+    val right = bands.select(col("doc_id").as("doc_b"),
+      col("band_idx").as("bi2"), col("bkey").as("bk2"))
+    left.join(right,
+        col("band_idx") === col("bi2") && col("bkey") === col("bk2") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q_simhash — 32-bit SimHash fingerprint over distinct tokens: each
+    * token votes ±1 per bit position of its hash; the fingerprint keeps the
+    * sign of each bit's tally. Near-dup docs differ in few bits (small
+    * Hamming distance).
+    */
+  def qSimhash(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
+      .select(col("doc_id"), md5Long(col("t"), 8).as("h32"))
+      .select(col("doc_id"), col("h32"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .select(col("doc_id"), col("j"),
+        when(expr("(h32 DIV CAST(pow(2, j) AS BIGINT)) % 2") === 1, 1)
+          .otherwise(-1).as("w"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("w")).as("tally"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("tally") >= 0, expr("CAST(pow(2, j) AS BIGINT)"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** q_ngram_jaccard — exact trigram-shingle Jaccard: candidate pairs from
+    * an inverted-index join on shared shingles (so disjoint docs are never
+    * compared), top-20 most similar pairs.
+    */
+  def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val sh = shingled(spark, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("s2")),
+        col("s") === col("s2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jacc"))
+      .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count"   -> qTokenCount _,
+    "q_lang_id"       -> qLangId _,
+    "q_quality_score" -> qQualityScore _,
+    "q_fingerprint"   -> qFingerprint _,
+    "q_minhash_sig"   -> qMinhashSig _,
+    "q_minhash_lsh"   -> qMinhashLsh _,
+    "q_simhash"       -> qSimhash _,
+    "q_ngram_jaccard" -> qNgramJaccard _,
+  )
+
+  // ---- DuckDB oracle: identical tokenization, hashing, and arithmetic ----
+
+  private val shingleSql =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+      |         list_zip(toks, toks[2:], toks[3:])[:len(toks)-2],
+      |         z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  private val minhashAggs: String = hashParams.zipWithIndex.map {
+    case ((a, b), k) => s"MIN(($a * h + $b) % $P) AS mh$k"
+  }.mkString(",\n       ")
+
+  private val sigSql =
+    s"""WITH shingled AS (
+       |  $shingleSql
+       |), hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS h
+       |  FROM shingled
+       |)
+       |SELECT doc_id, $minhashAggs
+       |FROM hashed GROUP BY doc_id""".stripMargin
+
+  private val bandsSql: String = (0 until BANDS).map { j =>
+    val key = (0 until 4).map(i => s"mh${4 * j + i}").mkString(", ")
+    s"SELECT doc_id, $j AS band_idx, concat_ws('|', $key) AS bkey FROM sig"
+  }.mkString("\n  UNION ALL\n  ")
+
+  val oracle: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT lang, token, COUNT(*) AS n FROM (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY lang, token ORDER BY lang, token""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id, s_en, s_es, s_de,
+        |       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |            WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
+        |       CAST(greatest(s_en, s_es, s_de) AS DOUBLE) / len(toks) AS conf
+        |FROM (
+        |  SELECT doc_id, toks,
+        |         CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS INTEGER) AS s_en,
+        |         CAST(len(list_filter(toks, t -> t IN ('el', 'la', 'un'))) AS INTEGER) AS s_es,
+        |         CAST(len(list_filter(toks, t -> t IN ('der', 'die', 'das'))) AS INTEGER) AS s_de
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, n_tokens, n_uniq,
+        |       CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+        |       CAST(char_sum AS DOUBLE) / n_tokens AS avg_tok_len,
+        |       n_tokens >= 10 AND CAST(stop_cnt AS DOUBLE) / n_tokens <= 0.5 AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS INTEGER) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+        |         CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS INTEGER) AS stop_cnt,
+        |         CAST(len(replace(text, ' ', '')) AS INTEGER) AS char_sum
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_minhash_sig" -> (sigSql + "\nORDER BY doc_id"),
+    "q_minhash_lsh" ->
+      s"""WITH sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h32 FROM tok
+        |), bits AS (
+        |  SELECT doc_id, j,
+        |         CASE WHEN (h32 // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+        |              THEN 1 ELSE -1 END AS w
+        |  FROM h, (SELECT unnest(generate_series(0, 31)) AS j)
+        |), tallies AS (
+        |  SELECT doc_id, j, SUM(w) AS tally FROM bits GROUP BY doc_id, j
+        |)
+        |SELECT doc_id,
+        |       SUM(CASE WHEN tally >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |FROM tallies GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  $shingleSql
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |)
+         |SELECT doc_a, doc_b, inter,
+         |       na + nb - inter AS uni,
+         |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jacc
+         |FROM inter
+         |JOIN (SELECT doc_id, n_sh AS na FROM sizes) sa ON doc_a = sa.doc_id
+         |JOIN (SELECT doc_id, n_sh AS nb FROM sizes) sb ON doc_b = sb.doc_id
+         |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+  )
+}

@@ -45,22 +45,33 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
-    names = sorted(set(oracles) |
+    # Union of declared queries (manifest), oracle keys, and whatever output
+    # dirs exist — a declared query that threw (no output dir, no oracle)
+    # must FAIL here, not vanish from the report.
+    declared = set()
+    mpath = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            declared = set(json.load(f))
+    names = sorted(declared | set(oracles) |
                    {n for n in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, n))})
     n_pass = n_fail = 0
     for name in names:
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
-            print(f"FAIL {name}: oracle declared but no spark output dir")
+            print(f"FAIL {name}: query declared but no spark output dir")
             n_fail += 1
             continue
         files = sorted(glob.glob(f"{d}/*.parquet"))
-        tbl = pq.read_table(files[0]) if files else None
-        if tbl is None:
+        if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        # Read ALL part files — correctness must not depend on Verify
+        # coalescing to a single partition.
+        import pyarrow as pa
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
         s_names = tbl.column_names
         s_rows = [tuple(c[i].as_py() for c in tbl.columns) for i in range(tbl.num_rows)]
         if name not in oracles:
