@@ -28,6 +28,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracle),
       (TextOps.queries, TextOps.oracle),
       (Multimodal.queries, Multimodal.oracle),
+      (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * semantics the reference's 60 s stateless tick lacks
   * (/root/reference/app.py:37), expressed over event time so the same
   * aggregations run identically as a batch plan (verified against DuckDB
-  * here) and as a Structured Streaming plan with a watermark
-  * (graft.streaming.StreamOps wires these shapes to readStream; the
-  * streaming tests exercise them with MemoryStream).
+  * here) and as a Structured Streaming plan with a watermark:
+  * [[graft.streaming.StreamOps]] wires the same shapes to a streaming
+  * source (file replay for q_stream_tick, MemoryStream in StreamingSpec,
+  * which also asserts streaming results equal these batch queries').
   *
   * Scale notes: tumbling/sliding windows are plain hash aggregations on
   * (window, key) — partial-aggregated map-side, so the shuffle carries one
