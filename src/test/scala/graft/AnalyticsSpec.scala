@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.ArgMaxLong.argMaxLong
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** Tests for the aggregation/join surface: the q_approx_distinct rsd bound
+  * (its only verification — HLL sketches have no SQL oracle), ArgMaxLong's
+  * NaN/null determinism under arbitrary partitioning, and dedup
+  * idempotence.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("q_approx_distinct is within 3·rsd of the exact distinct count per group") {
+    val exact = Analytics.qDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Analytics.qApproxDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    val rsd = 0.02 // the relativeSD passed in Analytics.qApproxDistinct
+    exact.foreach { case (flag, nd) =>
+      val err = math.abs(approx(flag) - nd).toDouble
+      assert(err <= 3 * rsd * nd + 1,
+        s"group $flag: approx=${approx(flag)} exact=$nd exceeds 3·rsd bound")
+    }
+  }
+
+  test("ArgMaxLong: NaN counts as greatest (like max), null never wins, any partitioning") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g1", 1L, 2.0), ("g1", 2L, Double.NaN), ("g1", 3L, 5.0),
+      ("g2", 4L, 7.0), ("g2", 5L, 7.0), // tie → smallest id
+      ("g3", 6L, 1.0)
+    ).toDF("g", "id", "v")
+      .union(Seq(("g3", 7L)).toDF("g", "id").withColumn("v", lit(null.asInstanceOf[java.lang.Double])))
+    for (parts <- Seq(1, 3, 7)) {
+      val got = rows.repartition(parts)
+        .groupBy($"g").agg(argMaxLong($"id", $"v").as("best"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("g1" -> 2L, "g2" -> 4L, "g3" -> 6L),
+        s"parts=$parts: NaN must win g1, tie → min id in g2, null must not win g3")
+    }
+  }
+
+  test("q_dedup is idempotent and emits unique keys") {
+    val first = Analytics.qDedup(spark, sfDir)
+    val rows = first.collect()
+    val keys = rows.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "dedup output must be key-unique")
+    // Re-applying the same keep-min-id rule to its own output is identity.
+    val again = first.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("first_event_id")).as("first_event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+      .collect()
+    assert(again.toSeq == rows.toSeq)
+  }
+
+  test("q_join_semi ∪ q_join_anti partitions customer exactly") {
+    // Different thresholds in the two queries, so recompute anti at the
+    // semi threshold for the partition property.
+    val c = Tables.customer(spark, sfDir)
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+    val semi = c.join(big, c("c_custkey") === big("o_custkey"), "left_semi").count()
+    val anti = c.join(big, c("c_custkey") === big("o_custkey"), "left_anti").count()
+    assert(semi + anti == c.count())
+  }
+}

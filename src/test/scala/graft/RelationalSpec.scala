@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Normalize, Relational}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the core relational surface (SURVEY.md §2c) — semantics
+  * the oracle compare can't isolate: the zero-epoch guard, top-k/sort
+  * agreement, and argmax consistency between the two top-1 forms.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("q_epoch_fmt: zero-epoch rows format to NULL, others to UTC seconds (app.py:126-127 guard)") {
+    val rows = Normalize.qEpochFmt(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val epochMs = r.getLong(1)
+      val fmt = if (r.isNullAt(2)) null else r.getString(2)
+      if (id % 97 == 0) {
+        assert(epochMs == 0L, s"event $id should carry the injected zero epoch")
+        assert(fmt == null, s"event $id: zero epoch must format to NULL")
+      } else {
+        assert(fmt != null && fmt.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""),
+          s"event $id: expected yyyy-MM-dd HH:mm:ss, got $fmt")
+      }
+    }
+  }
+
+  test("q_topk is exactly the first k rows of q_sort_desc") {
+    val topk = Relational.qTopk(spark, sfDir).collect().toSeq
+    val prefix = Relational.qSortDesc(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .limit(30).collect().toSeq
+    assert(topk == prefix)
+  }
+
+  test("q_top1 agrees with a driver-side argmax over the raw table") {
+    val top = Relational.qTop1(spark, sfDir).collect().head
+    val expected = Tables.events(spark, sfDir)
+      .na.drop(Seq("value"))
+      .collect()
+      .maxBy(r => (r.getTimestamp(1).getTime, r.getLong(0)))
+    assert(top.getString(1) == expected.getString(3))
+    assert(top.getDouble(2) == expected.getDouble(4))
+  }
+
+  test("q_max_by winners match a per-group hand computation") {
+    val got = Relational.qMaxBy(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = Tables.events(spark, sfDir).collect()
+      .groupBy(_.getString(3))
+      .map { case (t, rows) =>
+        val best = rows.minBy(r => (-r.getDouble(4), r.getLong(0)))
+        t -> (best.getLong(0), best.getDouble(4))
+      }
+    assert(got == want)
+  }
+
+  test("q_limit is deterministic across partitionings") {
+    val a = Relational.qLimit(spark, sfDir).collect().toSeq
+    val b = Relational.qLimit(spark, sfDir).collect().toSeq
+    assert(a == b && a.size == 30)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Self-checks for the cosine/ANN surface (its scores have no SQL oracle
+  * beyond the engineered bit-stable one): identity, symmetry, agreement
+  * with an independent hand-rolled implementation, and top-k/LSH
+  * consistency with brute force.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  /** Independent reference implementation: same LTR double contract. */
+  private def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private lazy val vecs: Map[Long, Seq[Float]] =
+    Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+  test("cosine(v, v) = 1 within 1e-12") {
+    import spark.implicits._
+    val df = vecs.take(10).toSeq.toDF("id", "v")
+    df.select(Similarity.cosine($"v", $"v").as("c")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    }
+  }
+
+  test("cosine is exactly symmetric (bitwise, IEEE commutativity)") {
+    import spark.implicits._
+    val pairs = vecs.toSeq.sortBy(_._1).take(6)
+    val df = (for ((ia, va) <- pairs; (ib, vb) <- pairs) yield (ia, ib, va, vb))
+      .toDF("ia", "ib", "va", "vb")
+    df.select($"ia", $"ib",
+        Similarity.cosine($"va", $"vb").as("ab"),
+        Similarity.cosine($"vb", $"va").as("ba"))
+      .collect().foreach { r =>
+        assert(r.getDouble(2) == r.getDouble(3), s"asymmetric at ${r.getLong(0)},${r.getLong(1)}")
+      }
+  }
+
+  test("q_cosine_topk equals a driver-side brute-force top-20 (bitwise scores)") {
+    val q = vecs(0L)
+    val expected = vecs.toSeq
+      .map { case (id, v) => (id, cosRef(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(20)
+    val got = Similarity.qCosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == expected, "Spark top-20 must match hand-rolled LTR double top-20 exactly")
+  }
+
+  test("q_cosine_topk_lsh returns only the query's bucket, scored identically to brute force") {
+    def bucket(v: Seq[Float]): Int =
+      (if (v(0) >= 0) 8 else 0) + (if (v(8) >= 0) 4 else 0) +
+      (if (v(16) >= 0) 2 else 0) + (if (v(24) >= 0) 1 else 0)
+    val q = vecs(0L)
+    val qb = bucket(q)
+    val brute = vecs.toSeq.map { case (id, v) => (id, cosRef(v, q), bucket(v)) }
+    val expected = brute.filter(_._3 == qb)
+      .map { case (id, c, _) => (id, c) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10)
+    val got = Similarity.qCosineTopkLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_cosine_neardup: every pair is same-bucket, above threshold, and a<b") {
+    def bucket(v: Seq[Float]): Int =
+      (if (v(0) >= 0) 8 else 0) + (if (v(8) >= 0) 4 else 0) +
+      (if (v(16) >= 0) 2 else 0) + (if (v(24) >= 0) 1 else 0)
+    val rows = Similarity.qCosineNeardup(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b)
+      assert(c >= 0.3)
+      assert(bucket(vecs(a)) == bucket(vecs(b)))
+      assert(c == cosRef(vecs(a), vecs(b)), s"pair ($a,$b) score differs from reference impl")
+    }
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import java.sql.Timestamp
+
+/** A streamed event row for MemoryStream tests. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured Streaming semantics (SURVEY.md §2d): the same window shapes
+  * produce identical results streaming vs batch, the watermark drops late
+  * rows in append mode, and dropDuplicatesWithinWatermark suppresses
+  * duplicates — all over MemoryStream so batch boundaries are controlled.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def t(h: Int, m: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+  private def run[A](q: StreamingQuery)(body: => A): A =
+    try body finally q.stop()
+
+  test("streaming tumbling counts (complete mode) equal the batch plan on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Seq(
+      Ev(1, t(10, 5), 1, "click", 1.0), Ev(2, t(10, 40), 2, "view", 2.0),
+      Ev(3, t(11, 10), 1, "click", 3.0), Ev(4, t(11, 50), 3, "click", 4.0),
+      Ev(5, t(12, 30), 2, "view", 5.0))
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumble_eq")
+      .outputMode("complete").start()
+    run(query) {
+      mem.addData(events.take(2)); query.processAllAvailable()
+      mem.addData(events.drop(2)); query.processAllAvailable()
+      val streamed = spark.table("tumble_eq")
+        .select(col("w.start").as("s"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = events.toDF()
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("s"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    }
+  }
+
+  test("append mode + watermark: a row later than the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    run(query) {
+      // Window [10:00, 11:00): two on-time rows.
+      mem.addData(Ev(1, t(10, 5), 1, "click", 1.0), Ev(2, t(10, 20), 1, "click", 1.0))
+      query.processAllAvailable()
+      // Advance event time far past the window; watermark = 13:00 - 10 min.
+      mem.addData(Ev(3, t(13, 0), 2, "view", 1.0))
+      query.processAllAvailable()
+      val closed = spark.table("late_drop")
+        .filter(col("event_type") === "click").collect()
+      assert(closed.length == 1 && closed.head.getAs[Long]("n") == 2,
+        "the 10:00 window must close with exactly the 2 on-time rows")
+      // A straggler inside the long-closed window: must be discarded.
+      mem.addData(Ev(4, t(10, 30), 1, "click", 1.0))
+      query.processAllAvailable()
+      val after = spark.table("late_drop")
+        .filter(col("event_type") === "click").collect()
+      assert(after.length == 1 && after.head.getAs[Long]("n") == 2,
+        "late row must not reopen or change the closed window")
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses key duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    run(query) {
+      mem.addData(
+        Ev(1, t(10, 0), 1, "click", 1.0),
+        Ev(2, t(10, 1), 1, "click", 2.0), // dup key (1, click) within watermark
+        Ev(3, t(10, 2), 2, "view", 3.0))
+      query.processAllAvailable()
+      val keys = spark.table("dedup_wm")
+        .select(col("user_id"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(keys.length == 2 && keys.toSet == Set((1L, "click"), (2L, "view")))
+    }
+  }
+
+  test("session windows merge rows within the gap and split across it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    run(query) {
+      mem.addData(
+        Ev(1, t(10, 0), 1, "click", 1.0),
+        Ev(2, t(10, 10), 1, "click", 1.0),  // same session (gap 30 min)
+        Ev(3, t(11, 30), 1, "click", 1.0),  // new session
+        Ev(4, t(10, 0), 2, "view", 1.0))
+      query.processAllAvailable()
+      val byUser = spark.table("sessions").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .view.mapValues(_.map(_.getAs[Long]("n")).sorted.toSeq).toMap
+      assert(byUser == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L)))
+    }
+  }
+
+  test("q_stream_tick (file replay) equals the equivalent batch aggregation") {
+    val streamed = StreamOps.qStreamTick(spark, sfDir).collect().toSeq
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(Tables.tsSeconds(col("w.start")).as("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+      .collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("q_deadletter routes exactly the poison rows") {
+    val dlq = StreamOps.qDeadletter(spark, sfDir).collect()
+    val expected = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect()
+      .filter(r => r.isNullAt(1) || r.getLong(1) % 13 == 0)
+      .map(_.getLong(0)).sorted.toSeq
+    assert(dlq.map(_.getLong(0)).toSeq == expected && expected.nonEmpty)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.TextOps
+import java.security.MessageDigest
+
+/** Self-checks for the text/dedup surface: hand-rolled recomputation of the
+  * md5-derived hashes (independent of both Spark and DuckDB), plus
+  * structural invariants of the LSH/Jaccard outputs.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private val P = 2147483647L
+
+  private lazy val docs: Map[Long, String] =
+    Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def shingles(text: String): Set[String] =
+    text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+
+  test("q_fingerprint matches a hand-rolled rolling hash") {
+    val got = graft.operators.TextOps.qFingerprint(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, text) =>
+      var h = 0L
+      text.foreach { c => h = (h * 31 + c.toLong) % 1000000007L }
+      assert(got(id) == h, s"doc $id fingerprint mismatch")
+    }
+  }
+
+  test("q_minhash_sig matches a hand-rolled MinHash over trigram shingles") {
+    val sigs = TextOps.qMinhashSig(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i)).toSeq).toMap
+    val params = (0 until 16).map(k => (2L * k + 1, (1000003L * k + 12345L) % P))
+    docs.take(25).foreach { case (id, text) =>
+      val hs = shingles(text).map { s =>
+        java.lang.Long.parseLong(md5Hex(s).take(15), 16) % P
+      }
+      if (hs.nonEmpty) {
+        val expected = params.map { case (a, b) => hs.map(h => (a * h + b) % P).min }
+        assert(sigs(id) == expected, s"doc $id signature mismatch")
+      } else assert(!sigs.contains(id), s"doc $id has no shingles but a signature")
+    }
+  }
+
+  test("q_minhash_lsh candidates share at least one full signature band") {
+    val sigs = TextOps.qMinhashSig(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i)).toVector).toMap
+    val pairs = TextOps.qMinhashLsh(spark, sfDir).collect()
+    assert(pairs.forall { r =>
+      val (a, b, shared) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val bandsEqual = (0 until 4).count { j =>
+        (0 until 4).forall(i => sigs(a)(4 * j + i) == sigs(b)(4 * j + i))
+      }
+      a < b && shared >= 1 && bandsEqual == shared
+    })
+  }
+
+  test("q_simhash matches a hand-rolled 32-bit SimHash") {
+    val got = TextOps.qSimhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.take(25).foreach { case (id, text) =>
+      val tokens = text.split(" ").distinct
+      val tallies = Array.fill(32)(0)
+      tokens.foreach { t =>
+        val h32 = java.lang.Long.parseLong(md5Hex(t).take(8), 16)
+        for (j <- 0 until 32)
+          tallies(j) += (if (((h32 >> j) & 1L) == 1L) 1 else -1)
+      }
+      val fp = (0 until 32).map(j => if (tallies(j) >= 0) 1L << j else 0L).sum
+      assert(got(id) == fp, s"doc $id simhash mismatch")
+    }
+  }
+
+  test("q_ngram_jaccard scores are exact set Jaccard, in (0, 1], descending") {
+    val rows = TextOps.qNgramJaccard(spark, sfDir).collect()
+    assert(rows.length == 20)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val (a, b, jacc) = (r.getLong(0), r.getLong(1), r.getDouble(4))
+      val (sa, sb) = (shingles(docs(a)), shingles(docs(b)))
+      val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(jacc == expected, s"pair ($a,$b) jaccard mismatch")
+      assert(jacc > 0 && jacc <= 1.0 && jacc <= prev)
+      prev = jacc
+    }
+  }
+
+  test("q_token_count totals equal the corpus token count") {
+    val total = TextOps.qTokenCount(spark, sfDir).collect().map(_.getLong(2)).sum
+    val expected = docs.values.map(_.split(" ").length.toLong).sum
+    assert(total == expected)
+  }
+
+  test("q_lang_id prediction is the score argmax with the fixed tie-break") {
+    TextOps.qLangId(spark, sfDir).collect().foreach { r =>
+      val (en, es, de, pred) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))
+      val expected =
+        if (en >= es && en >= de) "en" else if (es >= de) "es" else "de"
+      assert(pred == expected)
+    }
+  }
+
+  test("q_quality_score ratios are consistent with the token counts") {
+    TextOps.qQualityScore(spark, sfDir).collect().foreach { r =>
+      val (id, nTok, nUniq) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val (stopRatio, avgLen, keep) = (r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      val toks = docs(id).split(" ")
+      assert(nTok == toks.length)
+      assert(nUniq == toks.distinct.length)
+      val stops = toks.count(t => t == "the" || t == "a")
+      assert(stopRatio == stops.toDouble / toks.length)
+      assert(avgLen == toks.map(_.length).sum.toDouble / toks.length)
+      assert(keep == (nTok >= 10 && stops.toDouble / toks.length <= 0.5))
+    }
+  }
+}
