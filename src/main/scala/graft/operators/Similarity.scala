@@ -35,12 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-vector columns in double, left-to-right. */
+  /** Dot product of two float-vector columns in double, left-to-right —
+    * the codegen'd [[graft.functions.VecDot]] expression. Semantically
+    * identical to `aggregate(zip_with(..), 0.0, +)` (same bits), but stays
+    * inside whole-stage codegen instead of the interpreted higher-order
+    * evaluator, and never materializes the products array.
+    */
   private def dotLtr(x: Column, y: Column): Column =
-    aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.VecDot(
+        org.apache.spark.sql.GraftSqlBridge.expression(x),
+        org.apache.spark.sql.GraftSqlBridge.expression(y)))
 
   /** Euclidean norm of a float-vector column, in double. Hoisted out of the
     * pair-scoring expression so joins compute one dot product per pair, not

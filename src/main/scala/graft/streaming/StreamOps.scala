@@ -44,19 +44,24 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Stage the events fixture as a replay directory of 4 parquet files
-    * (deterministic assignment by `event_id % 4`) — each file is one
-    * "tick" of arriving data, so `maxFilesPerTrigger=1` yields 4 real
-    * micro-batches, the analog of 4 consecutive reference refreshes.
+  /** Stage the events fixture as a replay directory of 2 parquet files
+    * (deterministic assignment by `event_id % 2`) — each file is one
+    * "tick" of arriving data, so `maxFilesPerTrigger=1` yields 2 real
+    * micro-batches, the analog of consecutive reference refreshes. (Each
+    * micro-batch pays a fixed offset/commit-log latency, so the tick count
+    * trades demo granularity against wall-clock; 2 proves multi-batch.)
     */
-  def stageReplayDir(spark: SparkSession, d: String): String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dir = Files.createTempDirectory("graft_replay_").toString
-    spark.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
-      .repartition(4, pmod(col("event_id"), lit(4)))
-      .write.mode("overwrite").parquet(dir)
-    dir
-  }
+  private val replayCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def stageReplayDir(spark: SparkSession, d: String): String =
+    replayCache.getOrElseUpdate(d, {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = Files.createTempDirectory("graft_replay_").toString
+      spark.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
+        .repartition(2, pmod(col("event_id"), lit(2)))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
 
   /** Streaming replay of the events table: file source over the staged
     * replay directory — the zero-egress analog of a live feed. One file per
