@@ -1,11 +1,23 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Open-session state for [[StreamOps.sessionizeWithState]]: epoch-millis
+  * bounds of the in-progress session plus its running aggregates.
+  */
+case class OpenSession(firstMs: Long, lastMs: Long, n: Long, sum: Double)
+
+/** A closed session emitted by the custom sessionizer — same shape as the
+  * built-in `session_window` aggregation (end = last event + gap).
+  */
+case class ClosedSession(user_id: Long, s_start: Timestamp, s_end: Timestamp,
+                         n: Long, sum_v: Double)
 
 /** Structured Streaming execution path (SURVEY.md §2d T1-T3) — the Spark
   * re-expression of the reference's real-time mechanism: a 60-second
@@ -103,6 +115,64 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n"))
+
+  /** Custom keyed-state sessionization via `flatMapGroupsWithState` — the
+    * (d)-tier stateful operator SURVEY §2d T4 calls for, for when
+    * `session_window` can't express the semantics (e.g. per-session running
+    * aggregates or custom close conditions). Sessions close either when a
+    * later event for the key exceeds the 30-minute gap, or when the
+    * watermark passes the open session's end (event-time timeout) — so
+    * state per key is bounded and evicted exactly like the built-in
+    * operator's.
+    *
+    * Emitted sessions match `session_window(ts, '30 minutes')`:
+    * start = first event, end = last event + gap.
+    */
+  def sessionizeWithState(events: DataFrame): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+
+    def close(user: Long, s: OpenSession): ClosedSession =
+      ClosedSession(user, new Timestamp(s.firstMs),
+        new Timestamp(s.lastMs + gapMs), s.n, s.sum)
+
+    def step(user: Long, rows: Iterator[(Long, Timestamp, Double)],
+             state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(user, _)).iterator
+        state.remove()
+        out
+      } else {
+        var open = state.getOption
+        val closed = Seq.newBuilder[ClosedSession]
+        rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
+          val t = ts.getTime
+          open match {
+            case Some(s) if t < s.lastMs + gapMs =>
+              open = Some(OpenSession(s.firstMs, math.max(s.lastMs, t), s.n + 1, s.sum + v))
+            case Some(s) =>
+              closed += close(user, s)
+              open = Some(OpenSession(t, t, 1, v))
+            case None =>
+              open = Some(OpenSession(t, t, 1, v))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events.selectExpr("user_id", "ts", "value")
+      .as[(Long, Timestamp, Double)]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(step)
+  }
 
   // ---- Driver-contract queries -----------------------------------------
 

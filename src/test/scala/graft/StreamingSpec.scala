@@ -119,6 +119,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState sessionizer: gap-close within batch, timeout-close via watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.sessionizeWithState(mem.toDF())
+      .writeStream.format("memory").queryName("fmgws")
+      .outputMode("append").start()
+    run(query) {
+      // user 1: two events 10 min apart (one session), then one 80 min
+      // later — the first session must close by GAP as soon as the later
+      // event arrives in the same key and batch.
+      mem.addData(
+        Ev(1, t(10, 0), 1, "click", 2.0),
+        Ev(2, t(10, 10), 1, "click", 3.0),
+        Ev(3, t(11, 30), 1, "click", 5.0))
+      query.processAllAvailable()
+      val afterGap = spark.table("fmgws").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+                   r.getLong(3), r.getDouble(4))).toSet
+      assert(afterGap == Set((1L, "2026-01-01 10:00:00.0", "2026-01-01 10:40:00.0", 2L, 5.0)),
+        s"gap-close mismatch: $afterGap")
+      // Advance the watermark far past 11:30+gap: the open session for
+      // user 1 must close by EVENT-TIME TIMEOUT without new user-1 data.
+      mem.addData(Ev(4, t(14, 0), 2, "view", 1.0))
+      query.processAllAvailable()
+      mem.addData(Ev(5, t(14, 30), 2, "view", 1.0)) // push watermark again so the timeout fires
+      query.processAllAvailable()
+      val afterTimeout = spark.table("fmgws").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+                   r.getLong(3), r.getDouble(4))).toSet
+      assert(afterTimeout.contains((1L, "2026-01-01 11:30:00.0", "2026-01-01 12:00:00.0", 1L, 5.0)),
+        s"timeout-close missing: $afterTimeout")
+      // And it must agree with the built-in session_window on the same rows.
+      val viaBuiltin = Seq(
+        Ev(1, t(10, 0), 1, "click", 2.0), Ev(2, t(10, 10), 1, "click", 3.0),
+        Ev(3, t(11, 30), 1, "click", 5.0)).toDF()
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+        .select(col("user_id"), col("sw.start"), col("sw.end"), col("n"), col("sum_v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+                   r.getLong(3), r.getDouble(4))).toSet
+      val user1 = afterTimeout.filter(_._1 == 1L)
+      assert(user1 == viaBuiltin,
+        s"custom sessionizer differs from session_window: $user1 vs $viaBuiltin")
+    }
+  }
+
   test("q_stream_tick (file replay) equals the equivalent batch aggregation") {
     val streamed = StreamOps.qStreamTick(spark, sfDir).collect().toSeq
     val batch = Tables.events(spark, sfDir)
