@@ -210,6 +210,28 @@ object Analytics {
       .orderBy(col("doc_id"))
   }
 
+  /** q_salted_agg — skew-mitigated two-stage aggregation: rows are salted
+    * into 8 sub-keys, partially aggregated per (key, salt), then combined
+    * per key. The fixture keys aren't skewed, but the REWRITE is the point:
+    * a hot key that would pin one reducer at 100 TB is split across 8
+    * parallel partials, and because the partial sums stay decimal until the
+    * final combine, the result is bit-identical to the direct aggregation —
+    * which is exactly what the oracle checks (its SQL is the UNSALTED
+    * query).
+    */
+  def qSaltedAgg(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    events(spark, d)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+           sum(col("value").cast(DecimalType(38, 6))).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+           sum(col("ps")).cast("double").as("sum_v"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_custom_agg — the typed [[graft.functions.ArgMaxLong]] Aggregator
     * (E12) finding each event type's highest-value event.
     */
@@ -238,6 +260,7 @@ object Analytics {
     "q_dedup"           -> qDedup _,
     "q_multimodal_join" -> qMultimodalJoin _,
     "q_custom_agg"      -> qCustomAgg _,
+    "q_salted_agg"      -> qSaltedAgg _,
   )
 
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
@@ -322,6 +345,10 @@ object Analytics {
         |       embedding[1] AS f0, n_chars
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+    "q_salted_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |       ${decSum.format("value")} AS sum_v
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_custom_agg" ->
       """SELECT event_type, event_id AS best_id, value AS best_value
         |FROM events
