@@ -104,6 +104,27 @@ object Normalize {
       .orderBy(col("event_id"))
   }
 
+  /** q_json_fallback — the reference's JSON-decode-with-fallback (S4,
+    * app.py:76-79): a payload that fails to parse doesn't kill the batch,
+    * it degrades to a flagged row. Corruption is injected on every 89th
+    * event (a broken brace prefix); PERMISSIVE `from_json` yields null
+    * fields for those, and the corrupt flag routes them — the batch analog
+    * of the Agent-2 dead-letter path.
+    */
+  def qJsonFallback(spark: SparkSession, d: String): DataFrame = {
+    val payload = when(col("event_id") % 89 === 0,
+        concat(lit("{broken"), col("props")))
+      .otherwise(col("props"))
+    events(spark, d)
+      .select(col("event_id"), payload.as("payload"))
+      .select(
+        col("event_id"),
+        from_json(col("payload"),
+          StructType(Seq(StructField("k", LongType)))).getField("k").as("k"),
+        (col("event_id") % 89 === 0).as("is_corrupt"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_get"       -> qJsonGet _,
     "q_from_json"      -> qFromJson _,
@@ -112,6 +133,7 @@ object Normalize {
     "q_struct_proj"    -> qStructProj _,
     "q_concat_pair"    -> qConcatPair _,
     "q_epoch_fmt"      -> qEpochFmt _,
+    "q_json_fallback"  -> qJsonFallback _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -137,6 +159,13 @@ object Normalize {
     "q_concat_pair" ->
       """SELECT doc_id, lang || '/' || source AS pair
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_json_fallback" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 89 = 0 THEN NULL
+        |            ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |       END AS k,
+        |       event_id % 89 = 0 AS is_corrupt
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_epoch_fmt" ->
       """SELECT event_id, epoch_ms,
         |       CASE WHEN epoch_ms = 0 THEN NULL

@@ -127,10 +127,44 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q_ann_ivf — IVF-style ANN, the other standard scale path besides LSH:
+    * vectors are assigned to their nearest of 8 centroids (an inverted
+    * file), and the query searches only its own cell (nprobe=1). Centroids
+    * here are "training-free" (the first 8 stored vectors) so the index is
+    * fully deterministic and oracle-checkable; a production deployment
+    * would plug in offline-trained k-means centroids — the plan shape
+    * (broadcast centroids → per-row argmax assignment → cell equi-join →
+    * top-k) is identical. Cell assignment is a per-key row_number over 8
+    * candidate rows — bounded work per vector, no global state.
+    */
+  def qAnnIvf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, d)
+    val cents = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val byCos = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
+              cosine(col("embedding"), col("ce")).as("ccos"))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") === 1)
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"),
+              col("cid").as("qcid"))
+    assigned.join(broadcast(q), col("cid") === col("qcid"))
+      .select(col("vec_id"), col("label"), col("cid"),
+              cosinePre(col("embedding"), col("qe"),
+                        norm(col("embedding")), col("qn")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"     -> qCosineTopk _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
     "q_cosine_neardup"  -> qCosineNeardup _,
+    "q_ann_ivf"         -> qAnnIvf _,
   )
 
   // ---- DuckDB oracle: the same left-to-right double arithmetic ----------
@@ -171,5 +205,22 @@ object Similarity {
          |FROM b a JOIN b bb ON a.bkt = bb.bkt AND a.vec_id < bb.vec_id
          |WHERE ${cosSql("a.embedding", "bb.embedding")} >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), assigned AS (
+         |  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |         ${cosSql("e.embedding", "c.ce")} AS ccos
+         |  FROM embeddings e, centroids c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY ccos DESC, c.cid) = 1
+         |), q AS (
+         |  SELECT embedding AS qe, cid AS qcid FROM assigned WHERE vec_id = 0
+         |)
+         |SELECT a.vec_id, a.label, a.cid, ${cosSql("a.embedding", "qe")} AS cos
+         |FROM assigned a, q
+         |WHERE a.cid = qcid
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
   )
 }
