@@ -213,12 +213,17 @@ object StreamOps {
     val query = parsed.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Exactly-once: each micro-batch overwrites ITS OWN partition of
+        // the DLQ (keyed by batchId), so a retried batch replaces rather
+        // than duplicates its output — the idempotent-sink contract
+        // foreachBatch requires for end-to-end exactly-once.
+        val target = s"$dlqDir/batch=$batchId"
         try {
           // Agent-1 path: rows violating the insight contract → DLQ;
           // healthy rows would continue to the serving sink here.
           batch.filter(col("k").isNull || col("k") % 13 === 0)
             .select(col("event_id"), col("user_id"), col("k"))
-            .write.mode("append").parquet(dlqDir)
+            .write.mode("overwrite").parquet(target)
         } catch {
           case e: Throwable =>
             // Agent-2 path: the whole batch failed — emit a structured
@@ -227,12 +232,14 @@ object StreamOps {
             import spark.implicits._
             Seq((-batchId - 1, -1L, Option.empty[Long]))
               .toDF("event_id", "user_id", "k")
-              .write.mode("append").parquet(dlqDir)
+              .write.mode("overwrite").parquet(target)
         }
       }
       .start()
     query.awaitTermination()
-    spark.read.parquet(dlqDir).orderBy(col("event_id"))
+    spark.read.parquet(s"$dlqDir/batch=*")
+      .select(col("event_id"), col("user_id"), col("k"))
+      .orderBy(col("event_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
