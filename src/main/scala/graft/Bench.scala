@@ -16,17 +16,21 @@ object Bench {
     // — otherwise whichever query runs first absorbs ~5 s of one-off cost
     // and the per-query numbers aren't comparable across rounds.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // noop-write materialization: every output column is fully evaluated
+    // (count() would let Catalyst prune projected expressions, silently
+    // under-measuring expression cost). Two passes, best-of-2 per query:
+    // single-shot numbers on a shared box carry ±2x scheduler noise.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop-write materialization: every output column is fully evaluated
-      // (count() would let Catalyst prune projected expressions, silently
-      // under-measuring expression cost).
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
+    val results = ordered.map { case (n, f) => n -> math.min(pass1(n), timeOnce(n, f)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

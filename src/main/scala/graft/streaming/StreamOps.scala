@@ -242,12 +242,40 @@ object StreamOps {
       .orderBy(col("event_id"))
   }
 
+  /** q_stream_dedup — `dropDuplicatesWithinWatermark` over the replay
+    * stream: watermarked, bounded-state exact dedup (streaming E7). Which
+    * PHYSICAL row survives per key depends on arrival order across
+    * micro-batches, so the query projects exactly the key columns — the
+    * deterministic part and the part the oracle can check (`SELECT
+    * DISTINCT`). The non-key payload of the survivor is arrival-order
+    * semantics by design, same as the reference keeping whichever snapshot
+    * arrived in the current tick.
+    */
+  def qStreamDedup(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = s"stream_dedup_${System.nanoTime()}"
+    val query = dedupWithinWatermark(eventsStream(spark, stageReplayDir(spark, d)))
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_tick" -> qStreamTick _,
-    "q_deadletter"  -> qDeadletter _,
+    "q_stream_tick"  -> qStreamTick _,
+    "q_stream_dedup" -> qStreamDedup _,
+    "q_deadletter"   -> qDeadletter _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_stream_tick" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, COUNT(*) AS n
