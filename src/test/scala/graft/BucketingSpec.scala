@@ -41,4 +41,22 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS embs_b")
     }
   }
+
+  test("partitioned layout: an event_type predicate prunes partitions at the scan") {
+    val base = Files.createTempDirectory("graft_part_").toString + "/events"
+    Tables.events(spark, sfDir)
+      .write.partitionBy("event_type").parquet(base)
+    val q = spark.read.parquet(base)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"predicate must become a partition filter, not a row filter:\n$scan")
+    // Row-level predicates on data columns still push to parquet.
+    val q2 = spark.read.parquet(base).filter(col("value") > 100)
+    assert(q2.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,100"),
+      "data-column predicate must reach the parquet reader")
+    assert(q.count() == Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count())
+  }
 }
