@@ -185,6 +185,14 @@ object TextOps {
   /** q_ngram_jaccard — exact trigram-shingle Jaccard: candidate pairs from
     * an inverted-index join on shared shingles (so disjoint docs are never
     * compared), top-20 most similar pairs.
+    *
+    * Skew note for 100 TB: a shingle appearing in m documents contributes
+    * m² candidate rows, so ultra-frequent "stop shingles" are the skew
+    * hazard of this join. AQE's skew-join splitting absorbs moderate skew;
+    * at production scale the standard extra step is capping shingle
+    * document-frequency (dropping shingles above a df threshold loses
+    * almost no Jaccard signal — they're near-universal). Not applied here
+    * because the oracle verifies the exact unfiltered semantics.
     */
   def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
     val sh = shingled(spark, d)
