@@ -72,6 +72,21 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("token"))
 
+  /** q_token_bpe — BPE-ish regex tokenization (the pre-tokenizer shape of
+    * GPT-style BPE: letter runs, digit runs, single punctuation): the
+    * pattern-based path an LLM token-counting pipeline takes, vs.
+    * [[qTokenCount]]'s whitespace path. The pattern uses only plain
+    * character classes so Java regex (Spark) and RE2 (DuckDB) agree
+    * exactly.
+    */
+  def qTokenBpe(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(explode(expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("piece"))
+
   /** q_lang_id — stopword-frequency language heuristic: score each language
     * by how many of its marker stopwords appear (with multiplicity), pick
     * the argmax with a fixed tie-break order. Purely count-based so both
@@ -216,6 +231,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count"   -> qTokenCount _,
+    "q_token_bpe"     -> qTokenBpe _,
     "q_lang_id"       -> qLangId _,
     "q_quality_score" -> qQualityScore _,
     "q_fingerprint"   -> qFingerprint _,
@@ -257,6 +273,11 @@ object TextOps {
       """SELECT lang, token, COUNT(*) AS n FROM (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY lang, token ORDER BY lang, token""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT piece, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS piece
+        |  FROM documents)
+        |GROUP BY piece ORDER BY piece""".stripMargin,
     "q_lang_id" ->
       """SELECT doc_id, s_en, s_es, s_de,
         |       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
