@@ -39,10 +39,18 @@ object Tables {
     * It only changes how TIMESTAMP(NANOS) columns decode, and `events` is
     * the sole fixture table with one.
     */
+  /** Raw parquet nanos column → TimestampType. THE canonical conversion —
+    * the oracle's bit-equality depends on its exact form (integer DIV, not
+    * double division, which loses precision past 2^53), so every reader
+    * (batch here, streaming in StreamOps) must share this one definition.
+    */
+  def nsToTs(colName: String): Column =
+    timestamp_micros(expr(s"$colName DIV 1000"))
+
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", nsToTs("ts"))
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -243,9 +243,13 @@ object TextOps {
 
   // ---- DuckDB oracle: identical tokenization, hashing, and arithmetic ----
 
+  /** `greatest(..., 0)` guards the slice: a negative bound on a <3-token
+    * doc would wrap around (DuckDB negative indices count from the end) and
+    * produce a NULL shingle the Spark side never generates.
+    */
   private val shingleSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(
-      |         list_zip(toks, toks[2:], toks[3:])[:len(toks)-2],
+      |         list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
       |         z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS s
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 

@@ -119,7 +119,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("flatMapGroupsWithState sessionizer: gap-close within batch, timeout-close via watermark") {
+  test("flatMapGroupsWithState sessionizer: watermark-driven close, agrees with session_window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -128,42 +128,63 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     run(query) {
       // user 1: two events 10 min apart (one session), then one 80 min
-      // later — the first session must close by GAP as soon as the later
-      // event arrives in the same key and batch.
-      mem.addData(
+      // later (a second session). Sessions may only emit once the
+      // watermark passes their end — never eagerly, because a late-but-
+      // valid row could still extend them.
+      val u1 = Seq(
         Ev(1, t(10, 0), 1, "click", 2.0),
         Ev(2, t(10, 10), 1, "click", 3.0),
         Ev(3, t(11, 30), 1, "click", 5.0))
+      mem.addData(u1)
       query.processAllAvailable()
-      val afterGap = spark.table("fmgws").collect()
-        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
-                   r.getLong(3), r.getDouble(4))).toSet
-      assert(afterGap == Set((1L, "2026-01-01 10:00:00.0", "2026-01-01 10:40:00.0", 2L, 5.0)),
-        s"gap-close mismatch: $afterGap")
-      // Advance the watermark far past 11:30+gap: the open session for
-      // user 1 must close by EVENT-TIME TIMEOUT without new user-1 data.
+      // Advance the watermark past both sessions' ends (11:30 + 30 min);
+      // both must close (data-batch flush or event-time timeout).
       mem.addData(Ev(4, t(14, 0), 2, "view", 1.0))
       query.processAllAvailable()
-      mem.addData(Ev(5, t(14, 30), 2, "view", 1.0)) // push watermark again so the timeout fires
+      mem.addData(Ev(5, t(14, 30), 2, "view", 1.0))
       query.processAllAvailable()
-      val afterTimeout = spark.table("fmgws").collect()
+      val emitted = spark.table("fmgws").collect()
         .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
                    r.getLong(3), r.getDouble(4))).toSet
-      assert(afterTimeout.contains((1L, "2026-01-01 11:30:00.0", "2026-01-01 12:00:00.0", 1L, 5.0)),
-        s"timeout-close missing: $afterTimeout")
-      // And it must agree with the built-in session_window on the same rows.
-      val viaBuiltin = Seq(
-        Ev(1, t(10, 0), 1, "click", 2.0), Ev(2, t(10, 10), 1, "click", 3.0),
-        Ev(3, t(11, 30), 1, "click", 5.0)).toDF()
+      val viaBuiltin = u1.toDF()
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
         .select(col("user_id"), col("sw.start"), col("sw.end"), col("n"), col("sum_v"))
         .collect()
         .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
                    r.getLong(3), r.getDouble(4))).toSet
-      val user1 = afterTimeout.filter(_._1 == 1L)
-      assert(user1 == viaBuiltin,
-        s"custom sessionizer differs from session_window: $user1 vs $viaBuiltin")
+      assert(emitted.filter(_._1 == 1L) == viaBuiltin,
+        s"custom sessionizer differs from session_window: $emitted vs $viaBuiltin")
+    }
+  }
+
+  test("flatMapGroupsWithState sessionizer: out-of-order row extends a session backward; late row drops") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.sessionizeWithState(mem.toDF())
+      .writeStream.format("memory").queryName("fmgws_ooo")
+      .outputMode("append").start()
+    run(query) {
+      mem.addData(Ev(1, t(10, 0), 3, "click", 1.0))
+      query.processAllAvailable() // watermark → 09:50
+      // 09:55 arrives out of order but above the watermark: merges and
+      // extends the open session backward. 08:00 is below the watermark:
+      // dropped (Spark filters late rows before the state operator — rows
+      // exactly AT the watermark are dropped too).
+      mem.addData(Ev(2, t(9, 55), 3, "click", 1.0), Ev(3, t(8, 0), 3, "click", 1.0))
+      query.processAllAvailable()
+      // Advance watermark past the session end to force the close.
+      mem.addData(Ev(4, t(12, 0), 4, "view", 1.0))
+      query.processAllAvailable()
+      mem.addData(Ev(5, t(12, 30), 4, "view", 1.0))
+      query.processAllAvailable()
+      val u3 = spark.table("fmgws_ooo").collect()
+        .filter(_.getLong(0) == 3L)
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+        .toSet
+      assert(u3 == Set(("2026-01-01 09:55:00.0", "2026-01-01 10:30:00.0", 2L)),
+        s"expected one backward-extended session without the late row: $u3")
     }
   }
 

@@ -10,6 +10,7 @@ Usage: python3 tools/local_verify.py <sfDir> <outDir>
 """
 import json, sys, glob, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -70,7 +71,6 @@ def main():
             continue
         # Read ALL part files — correctness must not depend on Verify
         # coalescing to a single partition.
-        import pyarrow as pa
         tbl = pa.concat_tables([pq.read_table(f) for f in files])
         s_names = tbl.column_names
         s_rows = [tuple(c[i].as_py() for c in tbl.columns) for i in range(tbl.num_rows)]
