@@ -29,6 +29,7 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
+      (graft.sources.FileSources.queries, graft.sources.FileSources.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+/** Alternative source formats (SURVEY.md §2a S1/S4) — the reference's
+  * sources are JSON documents fetched over HTTP (/root/reference/app.py:
+  * 40-52, 74-79); in the zero-egress environment each format is staged
+  * once from the events fixture and replayed through Spark's file sources:
+  *
+  *  - JSON lines: the faithful wire format (`spark.read.json` with an
+  *    explicit schema — schema-on-read, no inference pass over 100 TB);
+  *  - CSV with header: the interchange format a reference user most often
+  *    starts from;
+  *  - raw text + `from_json`: EXACTLY the reference's decode flow
+  *    (`r.json()` applied to a fetched body, app.py:76-79) — bytes in,
+  *    typed struct out, still one codegen'd parse per row.
+  *
+  * Timestamps are serialized as epoch-micros longs so every format
+  * round-trips bit-exactly (string timestamp formats differ per format and
+  * would re-introduce the ns/µs ambiguity Tables.events solves).
+  *
+  * Scale notes: staging is a one-time conversion (cached per fixture dir);
+  * the reads themselves are ordinary distributed file scans — explicit
+  * schemas (never inference), column pruning, and for CSV/JSON the same
+  * PERMISSIVE degraded-row semantics q_json_fallback demonstrates.
+  */
+object FileSources {
+
+  private val stageCache = TrieMap.empty[String, String]
+
+  private def serialized(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("user_id"), col("event_type"), col("value"))
+
+  private def stage(spark: SparkSession, d: String, fmt: String): String =
+    stageCache.getOrElseUpdate(s"$fmt:$d", {
+      val dir = Files.createTempDirectory(s"graft_src_${fmt}_").toString
+      val w = serialized(spark, d).coalesce(1).write.mode("overwrite")
+      fmt match {
+        case "json" => w.json(dir)
+        case "csv"  => w.option("header", "true").csv(dir)
+      }
+      dir
+    })
+
+  private val readSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def project(df: DataFrame): DataFrame =
+    df.select(col("event_id"),
+        Tables.tsSeconds(timestamp_micros(col("ts_us"))).as("ts_s"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** q_json_source — JSON-lines replay with explicit schema. */
+  def qJsonSource(spark: SparkSession, d: String): DataFrame =
+    project(spark.read.schema(readSchema).json(stage(spark, d, "json")))
+
+  /** q_csv_source — CSV replay with header + explicit schema. */
+  def qCsvSource(spark: SparkSession, d: String): DataFrame =
+    project(spark.read.schema(readSchema)
+      .option("header", "true").csv(stage(spark, d, "csv")))
+
+  /** q_text_source — the reference's decode flow: raw text lines in,
+    * `from_json` struct out (app.py:76-79).
+    */
+  def qTextSource(spark: SparkSession, d: String): DataFrame = {
+    val lines = spark.read.text(stage(spark, d, "json"))
+    project(lines
+      .select(from_json(col("value"), readSchema).as("r"))
+      .select(col("r.*")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_source" -> qJsonSource _,
+    "q_csv_source"  -> qCsvSource _,
+    "q_text_source" -> qTextSource _,
+  )
+
+  private val baseSql =
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |       user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_json_source" -> baseSql,
+    "q_csv_source"  -> baseSql,
+    "q_text_source" -> baseSql,
+  )
+}
