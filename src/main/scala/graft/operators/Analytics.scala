@@ -232,6 +232,59 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_pivot — wide-format pivot: one row per user, one count column per
+    * event type. Pivot values are EXPLICIT (the 5 known types) — at 100 TB
+    * an implicit pivot would first run a distinct-values job and risk a
+    * column-count explosion; fixed values keep it a single pass.
+    */
+  def qPivot(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** q_collect_list — per-key array aggregation. `collect_list` alone is
+    * arrival-order-nondeterministic, so the result is wrapped in
+    * `sort_array` — the only form that is stable under any partitioning
+    * (and therefore oracle-checkable).
+    */
+  def qCollectList(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("event_id"))).as("ids"))
+      .orderBy(col("user_id"))
+
+  /** q_histogram — fixed-width binning feeding the bar-chart shape
+    * (app.py:279-293 at scale): integer bucket per row, then a hash
+    * aggregation — one shuffle of |buckets| rows.
+    */
+  def qHistogram(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(expr("CAST(FLOOR(value / 50) AS INT)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** q_median — per-group lower median by ELEMENT SELECTION (the value at
+    * rank ⌈n/2⌉), not interpolation: interpolated quantiles differ across
+    * engines in the last ulp, a selected element cannot. Rank + count are
+    * windowed in one pass; ties broken by event_id for a total order.
+    */
+  def qMedian(spark: SparkSession, d: String): DataFrame = {
+    val byValue = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val all = Window.partitionBy(col("event_type"))
+    events(spark, d)
+      .select(col("event_type"), col("value"),
+        row_number().over(byValue).as("rn"),
+        count(lit(1)).over(all).as("cnt"))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      .select(col("event_type"), col("value").as("median_v"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_custom_agg — the typed [[graft.functions.ArgMaxLong]] Aggregator
     * (E12) finding each event type's highest-value event.
     */
@@ -261,6 +314,10 @@ object Analytics {
     "q_multimodal_join" -> qMultimodalJoin _,
     "q_custom_agg"      -> qCustomAgg _,
     "q_salted_agg"      -> qSaltedAgg _,
+    "q_pivot"           -> qPivot _,
+    "q_collect_list"    -> qCollectList _,
+    "q_histogram"       -> qHistogram _,
+    "q_median"          -> qMedian _,
   )
 
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
@@ -349,6 +406,26 @@ object Analytics {
       s"""SELECT event_type, COUNT(*) AS n,
          |       ${decSum.format("value")} AS sum_v
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       COUNT(*) FILTER (event_type = 'click') AS click,
+        |       COUNT(*) FILTER (event_type = 'error') AS error,
+        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_collect_list" ->
+      """SELECT user_id, list(event_id ORDER BY event_id) AS ids
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(value / 50) AS INTEGER) AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_median" ->
+      """SELECT event_type, value AS median_v FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |                           ORDER BY value, event_id)
+        |        = (COUNT(*) OVER (PARTITION BY event_type) + 1) // 2
+        |ORDER BY event_type""".stripMargin,
     "q_custom_agg" ->
       """SELECT event_type, event_id AS best_id, value AS best_value
         |FROM events
