@@ -285,6 +285,25 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_running_sum — cumulative per-user sum over event time (the window
+    * FRAME surface: ROWS UNBOUNDED PRECEDING). The accumulation is decimal
+    * so every prefix is exact — a double running sum would drift from the
+    * oracle in the last ulp at some prefix length. State per key is the
+    * frame's single accumulator; the total order (ts, event_id) makes
+    * every prefix deterministic.
+    */
+  def qRunningSum(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, d)
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(38, 6))).over(w)
+          .cast("double").as("run"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** q_custom_agg — the typed [[graft.functions.ArgMaxLong]] Aggregator
     * (E12) finding each event type's highest-value event.
     */
@@ -318,6 +337,7 @@ object Analytics {
     "q_collect_list"    -> qCollectList _,
     "q_histogram"       -> qHistogram _,
     "q_median"          -> qMedian _,
+    "q_running_sum"     -> qRunningSum _,
   )
 
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
@@ -426,6 +446,12 @@ object Analytics {
         |                           ORDER BY value, event_id)
         |        = (COUNT(*) OVER (PARTITION BY event_type) + 1) // 2
         |ORDER BY event_type""".stripMargin,
+    "q_running_sum" ->
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_custom_agg" ->
       """SELECT event_type, event_id AS best_id, value AS best_value
         |FROM events

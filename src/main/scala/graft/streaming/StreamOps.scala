@@ -312,13 +312,45 @@ object StreamOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q_stream_enrich — stream-static enrichment join, the canonical
+    * streaming dimension-lookup pattern: the replay stream joins a
+    * BROADCAST static dimension (customer) so the stream side never
+    * shuffles for the join — each executor holds the dimension and
+    * enriches its partitions in place — then aggregates per segment.
+    * At 100 TB the dimension broadcast refreshes per micro-batch while the
+    * unbounded stream side stays partition-local.
+    */
+  def qStreamEnrich(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_enrich")
+    val dim = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val query = eventsStream(spark, stageReplayDir(spark, d))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_v"))
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName).orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_tick"  -> qStreamTick _,
-    "q_stream_dedup" -> qStreamDedup _,
-    "q_deadletter"   -> qDeadletter _,
+    "q_stream_tick"   -> qStreamTick _,
+    "q_stream_dedup"  -> qStreamDedup _,
+    "q_stream_enrich" -> qStreamEnrich _,
+    "q_deadletter"    -> qDeadletter _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
