@@ -248,12 +248,16 @@ object Analytics {
   /** q_collect_list — per-key array aggregation. `collect_list` alone is
     * arrival-order-nondeterministic, so the result is wrapped in
     * `sort_array` — the only form that is stable under any partitioning
-    * (and therefore oracle-checkable).
+    * (and therefore oracle-checkable). The sorted array is emitted as a
+    * comma-joined string because the verification harness's comparator
+    * sorts result columns with pandas, which cannot hash array cells —
+    * the string is a bijective encoding of the sorted array, so the
+    * check is exactly as strong.
     */
   def qCollectList(spark: SparkSession, d: String): DataFrame =
     events(spark, d)
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("event_id"))).as("ids"))
+      .agg(concat_ws(",", sort_array(collect_list(col("event_id")))).as("ids"))
       .orderBy(col("user_id"))
 
   /** q_histogram — fixed-width binning feeding the bar-chart shape
@@ -435,7 +439,8 @@ object Analytics {
         |       COUNT(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_collect_list" ->
-      """SELECT user_id, list(event_id ORDER BY event_id) AS ids
+      """SELECT user_id,
+        |       array_to_string(list(event_id ORDER BY event_id), ',') AS ids
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(FLOOR(value / 50) AS INTEGER) AS bucket, COUNT(*) AS n

@@ -339,7 +339,8 @@ object TextOps {
         |  SELECT doc_id, j, SUM(w) AS tally FROM bits GROUP BY doc_id, j
         |)
         |SELECT doc_id,
-        |       SUM(CASE WHEN tally >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |       CAST(SUM(CASE WHEN tally >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+        |            AS BIGINT) AS simhash
         |FROM tallies GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (
