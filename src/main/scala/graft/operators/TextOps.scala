@@ -207,10 +207,46 @@ object TextOps {
     * at production scale the standard extra step is capping shingle
     * document-frequency (dropping shingles above a df threshold loses
     * almost no Jaccard signal — they're near-universal). Not applied here
-    * because the oracle verifies the exact unfiltered semantics.
+    * because the oracle verifies the exact unfiltered semantics; the
+    * production form is [[qNgramJaccardCapped]].
     */
-  def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
-    val sh = shingled(spark, d)
+  def qNgramJaccard(spark: SparkSession, d: String): DataFrame =
+    jaccardTop20(shingled(spark, d))
+
+  /** Maximum document frequency a shingle may have and still enter the
+    * inverted-index join in [[qNgramJaccardCapped]]. 5 prunes real mass at
+    * every fixture SF (max df is 7 at sf0.01 and grows with the corpus)
+    * while keeping the top pairs, which share RARE shingles, intact.
+    */
+  val DfCap = 5
+
+  /** q_ngram_jaccard_capped — the df-capped production variant of
+    * [[qNgramJaccard]]: shingles whose document frequency exceeds
+    * [[DfCap]] are dropped BEFORE the self-join, and Jaccard is computed
+    * over the capped shingle sets (sizes counted after the cap, so
+    * intersection and union see the same universe — the semantics the
+    * oracle replays exactly with the same HAVING filter).
+    *
+    * Scale: this bounds the self-join's per-shingle fan-out at df² ≤ 25
+    * rows, turning the worst-case quadratic hot-shingle blowup into a
+    * hard constant — the df computation itself is a map-side-partial
+    * groupBy, one row per distinct shingle. The cap is what makes the
+    * inverted-index shape safe at 100 TB, where a near-universal shingle
+    * would otherwise contribute |corpus|² candidates.
+    */
+  def qNgramJaccardCapped(spark: SparkSession, d: String): DataFrame = {
+    val sh0 = shingled(spark, d)
+    val kept = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap)
+      .select(col("s"))
+    jaccardTop20(sh0.join(kept, "s").select(col("doc_id"), col("s")))
+  }
+
+  /** Shared tail of the Jaccard queries: inverted-index self-join on the
+    * shingle column → per-pair intersection counts → Jaccard against
+    * per-doc set sizes → deterministic top-20.
+    */
+  private def jaccardTop20(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("s2")),
@@ -239,6 +275,7 @@ object TextOps {
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_simhash"       -> qSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
+    "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
   )
 
   // ---- DuckDB oracle: identical tokenization, hashing, and arithmetic ----
@@ -345,6 +382,27 @@ object TextOps {
     "q_ngram_jaccard" ->
       s"""WITH sh AS (
          |  $shingleSql
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |)
+         |SELECT doc_a, doc_b, inter,
+         |       na + nb - inter AS uni,
+         |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jacc
+         |FROM inter
+         |JOIN (SELECT doc_id, n_sh AS na FROM sizes) sa ON doc_a = sa.doc_id
+         |JOIN (SELECT doc_id, n_sh AS nb FROM sizes) sb ON doc_b = sb.doc_id
+         |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q_ngram_jaccard_capped" ->
+      s"""WITH sh0 AS (
+         |  $shingleSql
+         |), kept AS (
+         |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= $DfCap
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN kept USING (s)
          |), sizes AS (
          |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
          |), inter AS (

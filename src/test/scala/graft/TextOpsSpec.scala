@@ -90,6 +90,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_ngram_jaccard_capped is exact Jaccard over df-capped shingle sets") {
+    // Hand-rolled replica of the cap: shingle → document frequency, keep
+    // shingles in at most DfCap docs, then Jaccard over the capped sets.
+    val df = docs.toSeq.flatMap { case (_, t) => shingles(t) }
+      .groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val capped: Map[Long, Set[String]] =
+      docs.map { case (id, t) => id -> shingles(t).filter(df(_) <= TextOps.DfCap) }
+    val rows = TextOps.qNgramJaccardCapped(spark, sfDir).collect()
+    assert(rows.length == 20)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val (a, b, jacc) = (r.getLong(0), r.getLong(1), r.getDouble(4))
+      val (sa, sb) = (capped(a), capped(b))
+      val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(jacc == expected, s"pair ($a,$b) capped jaccard mismatch")
+      assert(jacc > 0 && jacc <= 1.0 && jacc <= prev)
+      prev = jacc
+    }
+    // The cap must actually prune something at this SF, or it's a no-op.
+    assert(df.values.exists(_ > TextOps.DfCap))
+  }
+
   test("q_token_count totals equal the corpus token count") {
     val total = TextOps.qTokenCount(spark, sfDir).collect().map(_.getLong(2)).sum
     val expected = docs.values.map(_.split(" ").length.toLong).sum
