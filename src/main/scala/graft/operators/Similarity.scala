@@ -63,13 +63,49 @@ object Similarity {
 
   /** 16-way sign-bit LSH bucket: the sign of 4 fixed coordinates
     * (1-based dims 1, 9, 17, 25). Vectors with high cosine agree on most
-    * signs, so near-duplicates land in the same bucket w.h.p.
+    * signs, so near-duplicates land in the same bucket w.h.p. Used by the
+    * single-probe [[qCosineTopkLsh]]; the near-dup join uses the banded
+    * multi-plane scheme below.
     */
   private def bucket(v: Column): Column =
     (element_at(v, 1) >= 0).cast("int") * 8 +
     (element_at(v, 9) >= 0).cast("int") * 4 +
     (element_at(v, 17) >= 0).cast("int") * 2 +
     (element_at(v, 25) >= 0).cast("int")
+
+  // ---- Banded sign-LSH geometry (parameterized, MinHash-style) ----------
+  //
+  // NdPlanes sign planes (plane j = sign of 1-based coordinate 4j+1, i.e.
+  // every 4th of the 64 dims), split into NdBands bands of NdRows planes.
+  // Two vectors are candidates iff some band's NdRows signs all agree —
+  // exactly the MinHash banding trade: each extra row per band halves the
+  // expected per-band candidate mass (2^-NdRows of all pairs), each extra
+  // band adds one more chance to match (recall) at one more band's
+  // candidate cost. At 100 TB you tune (NdBands, NdRows) to the corpus'
+  // sign-agreement curve; the fixture's cos≥0.3 pairs agree per-plane with
+  // p≈0.61, where 4×4 measures ~0.46 recall vs ~0.14 for one 4-plane band
+  // (the recall property in SimilaritySpec pins the 0.4 floor).
+
+  /** Total sign planes in the banded near-dup scheme. */
+  val NdPlanes = 16
+  /** Planes per band (bucket-key width: 2^NdRows buckets per band). */
+  val NdRows = 4
+  /** Bands — candidate iff ALL planes of SOME band agree. */
+  val NdBands: Int = NdPlanes / NdRows
+
+  /** Sign bit of plane `j` (0-based): 1-based coordinate `4j+1`. */
+  private def planeBit(v: Column, j: Int): Column =
+    (element_at(v, 4 * j + 1) >= 0).cast("int")
+
+  /** Integer bucket key of band `b`: its NdRows sign bits, MSB-first. */
+  private def bandKey(v: Column, b: Int): Column =
+    (0 until NdRows).map { i =>
+      planeBit(v, b * NdRows + i) * (1 << (NdRows - 1 - i))
+    }.reduce(_ + _)
+
+  /** All band keys of a vector, index-aligned for `posexplode`. */
+  private def bandKeys(v: Column): Column =
+    array((0 until NdBands).map(bandKey(v, _)): _*)
 
   private def queryVec(spark: SparkSession, d: String): DataFrame =
     embeddings(spark, d).filter(col("vec_id") === 0)
@@ -105,22 +141,41 @@ object Similarity {
       .limit(10)
   }
 
-  /** q_cosine_neardup — embedding-space near-duplicate pairs: bucket-join
-    * (never all-pairs) then exact cosine ≥ 0.3. The shape of
-    * embedding-based dedup in an LLM data pipeline: candidates from LSH,
-    * exact verification on candidates only. Norms are computed once per
-    * vector BEFORE the join (n rows), not per candidate pair (n·bucket
-    * rows) — at 100 TB that's the difference between reading each vector
-    * once and re-normalizing it once per candidate.
+  /** q_cosine_neardup — embedding-space near-duplicate pairs via banded
+    * sign-LSH ([[NdBands]] bands × [[NdRows]] planes, [[NdPlanes]] planes
+    * total): candidates are id pairs agreeing on ALL planes of at least one
+    * band, deduplicated, then verified with exact cosine ≥ 0.3. The shape
+    * of embedding-based dedup in an LLM data pipeline: candidates from
+    * LSH, exact verification on candidates only.
+    *
+    * Plan: each vector emits one (band, key) row per band (a Generate, no
+    * shuffle), candidates come from the (band, key) equi-join — per-band
+    * work is Σ bucket² over 2^NdRows buckets, never all-pairs — and the
+    * multi-band duplicates collapse in an id-only DISTINCT before any
+    * scoring, so each surviving pair fetches its two embeddings exactly
+    * once (by equi-join on id) and is scored exactly once. Norms are
+    * computed once per vector, not per candidate pair — at 100 TB that's
+    * the difference between reading each vector once and re-normalizing
+    * it once per candidate.
     */
   def qCosineNeardup(spark: SparkSession, d: String): DataFrame = {
-    def side(p: String) = embeddings(spark, d).select(
+    val e = embeddings(spark, d)
+    val bands = e.select(col("vec_id"),
+      posexplode(bandKeys(col("embedding"))).as(Seq("band", "bkey")))
+    val cand = bands.select(col("vec_id").as("a_id"), col("band"), col("bkey"))
+      .join(bands.select(col("vec_id").as("b_id"),
+          col("band").as("band2"), col("bkey").as("bkey2")),
+        col("band") === col("band2") && col("bkey") === col("bkey2") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    def side(p: String) = e.select(
       col("vec_id").as(s"${p}_id"),
       col("embedding").as(s"${p}_e"),
-      norm(col("embedding")).as(s"${p}_n"),
-      bucket(col("embedding")).as(s"${p}_b"))
-    side("a").join(side("b"),
-        col("a_b") === col("b_b") && col("a_id") < col("b_id"))
+      norm(col("embedding")).as(s"${p}_n"))
+    cand
+      .join(side("a"), "a_id")
+      .join(side("b"), "b_id")
       .select(col("a_id"), col("b_id"),
               cosinePre(col("a_e"), col("b_e"), col("a_n"), col("b_n")).as("cos"))
       .filter(col("cos") >= 0.3)
@@ -184,6 +239,18 @@ object Similarity {
     s"CAST($v[1] >= 0 AS INT) * 8 + CAST($v[9] >= 0 AS INT) * 4 + " +
     s"CAST($v[17] >= 0 AS INT) * 2 + CAST($v[25] >= 0 AS INT)"
 
+  /** Banded (band, key) rows, one SELECT per band — DuckDB lists are
+    * 1-based like Spark's `element_at`, so plane j is `embedding[4j+1]`
+    * in both engines.
+    */
+  private val ndBandsSql: String = (0 until NdBands).map { b =>
+    val key = (0 until NdRows).map { i =>
+      val coord = 4 * (b * NdRows + i) + 1
+      s"CAST(embedding[$coord] >= 0 AS INT) * ${1 << (NdRows - 1 - i)}"
+    }.mkString(" + ")
+    s"SELECT vec_id, $b AS band, $key AS bkey FROM embeddings"
+  }.mkString("\n  UNION ALL\n  ")
+
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -198,13 +265,19 @@ object Similarity {
          |WHERE ${bucketSql("embedding")} = qb
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q_cosine_neardup" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt
-         |           FROM embeddings)
-         |SELECT a.vec_id AS a_id, bb.vec_id AS b_id,
-         |       ${cosSql("a.embedding", "bb.embedding")} AS cos
-         |FROM b a JOIN b bb ON a.bkt = bb.bkt AND a.vec_id < bb.vec_id
-         |WHERE ${cosSql("a.embedding", "bb.embedding")} >= 0.3
-         |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH bands AS (
+         |  $ndBandsSql
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |)
+         |SELECT a_id, b_id, cos FROM (
+         |  SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON a_id = ea.vec_id
+         |  JOIN embeddings eb ON b_id = eb.vec_id)
+         |WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH centroids AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings

@@ -74,17 +74,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("q_cosine_neardup: every pair is same-bucket, above threshold, and a<b") {
-    def bucket(v: Seq[Float]): Int =
-      (if (v(0) >= 0) 8 else 0) + (if (v(8) >= 0) 4 else 0) +
-      (if (v(16) >= 0) 2 else 0) + (if (v(24) >= 0) 1 else 0)
+  /** Hand-rolled banded membership: some band's NdRows plane signs all
+    * agree. Plane j = sign of 0-based coordinate 4j.
+    */
+  private def bandMatch(a: Seq[Float], b: Seq[Float]): Boolean =
+    (0 until Similarity.NdBands).exists { band =>
+      (0 until Similarity.NdRows).forall { i =>
+        val c = 4 * (band * Similarity.NdRows + i)
+        (a(c) >= 0) == (b(c) >= 0)
+      }
+    }
+
+  test("q_cosine_neardup: every pair shares a band, is above threshold, a<b, exact score") {
     val rows = Similarity.qCosineNeardup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == rows.length, "pairs must be distinct (multi-band dupes collapsed)")
     rows.foreach { r =>
       val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
       assert(a < b)
       assert(c >= 0.3)
-      assert(bucket(vecs(a)) == bucket(vecs(b)))
+      assert(bandMatch(vecs(a), vecs(b)), s"pair ($a,$b) shares no band")
       assert(c == cosRef(vecs(a), vecs(b)), s"pair ($a,$b) score differs from reference impl")
     }
+  }
+
+  test("q_cosine_neardup banded recall over all true cos>=0.3 pairs is >= 0.4") {
+    val ids = vecs.keys.toSeq.sorted
+    val truth = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if cosRef(vecs(ids(i)), vecs(ids(j))) >= 0.3
+    } yield (ids(i), ids(j))
+    val got = Similarity.qCosineNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Completeness: the query returns EXACTLY the banded subset of truth...
+    assert(got.subsetOf(truth.toSet))
+    assert(truth.filter { case (a, b) => bandMatch(vecs(a), vecs(b)) }.toSet == got)
+    // ...and banding (4 bands × 4 planes here) must clear a 0.4 recall
+    // floor on the fixture — ~3× the single 4-plane band's ~0.14.
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.4, f"banded recall $recall%.3f below floor")
   }
 }
