@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   * 100 TB the interpreter overhead and per-pair array allocation dominate
   * the actual 64 multiply-adds.
   *
-  * Preconditions: both inputs are `array<float>` without null elements
-  * (the embeddings contract); mismatched lengths score over the common
-  * prefix.
+  * Contract (enforced, not assumed): both inputs are `array<float>` of
+  * EQUAL length with no null elements — a malformed embedding row raises
+  * immediately instead of contributing a plausible-looking score computed
+  * over a silent common-prefix / undefined-null read. A NULL array (vs a
+  * null element) is still null-safe: the result is NULL, standard SQL
+  * semantics via `BinaryExpression`'s null handling.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,10 +49,13 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw VecDot.lengthMismatch(n, y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) throw VecDot.nullElement(i)
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -61,10 +67,17 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val cls = VecDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw $cls.lengthMismatch($n, $y.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |    throw $cls.nullElement($i);
+         |  }
          |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
          |}
          |${ev.value} = $acc;
@@ -74,4 +87,17 @@ case class VecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** Error constructors shared by the interpreted and generated paths (the
+  * generated code calls them through the module instance, keeping the
+  * bytecode emitted per-query minimal).
+  */
+object VecDot {
+  def lengthMismatch(n: Int, m: Int): RuntimeException =
+    new IllegalArgumentException(
+      s"vec_dot: input vectors have different lengths ($n vs $m)")
+  def nullElement(i: Int): RuntimeException =
+    new IllegalArgumentException(
+      s"vec_dot: null element at index $i — embeddings must be dense")
 }

@@ -67,25 +67,50 @@ object StreamOps {
 
   /** Stage the events fixture as a replay directory of 2 parquet files
     * split at the MEDIAN timestamp — tick 1 is the older half, tick 2 the
-    * newer half, written sequentially so file mtimes replay them in time
-    * order. With `maxFilesPerTrigger=1` this yields 2 real micro-batches
-    * with genuinely consecutive data, the analog of consecutive reference
-    * refreshes. (A pmod/repartition split was WRONG here: `repartition(2,
-    * expr)` hash-partitions the expression value, and murmur3 of both 0 and
-    * 1 land in the same partition of 2 — one empty file, one full file, no
-    * real multi-batch behavior.)
+    * newer half. With `maxFilesPerTrigger=1` this yields 2 real
+    * micro-batches with genuinely consecutive data, the analog of
+    * consecutive reference refreshes. (A pmod/repartition split was WRONG
+    * here: `repartition(2, expr)` hash-partitions the expression value,
+    * and murmur3 of both 0 and 1 land in the same partition of 2 — one
+    * empty file, one full file, no real multi-batch behavior.)
+    *
+    * Replay order is made DETERMINISTIC, not mtime-luck: each half is
+    * written to a scratch dir, then moved into the replay dir under a
+    * `tick1-`/`tick2-` name prefix with an explicit, strictly increasing
+    * mtime. `FileStreamSource` orders candidate files by (mtime, path), so
+    * both keys agree — two back-to-back writes alone can land in the same
+    * filesystem timestamp granule, where the random part-file UUID would
+    * decide batch order.
+    *
+    * Assumes `ts` is non-null (the fixture guarantees it): a null ts
+    * satisfies neither `<= cut` nor `> cut` and would be silently dropped
+    * from the replay.
     */
   def stageReplayDir(spark: SparkSession, d: String): String =
     replayCache.getOrElseUpdate(d, {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val dir = Files.createTempDirectory("graft_replay_").toString
+      val dir = Files.createTempDirectory("graft_replay_")
       val raw = spark.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
       val n = raw.count()
       val cut = raw.orderBy(col("ts")).limit(math.max((n / 2).toInt, 1))
         .agg(max(col("ts"))).head().getLong(0)
-      raw.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(dir)
-      raw.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(dir)
-      dir
+      def stageHalf(half: DataFrame, tick: Int): Unit = {
+        val scratch = Files.createTempDirectory(s"graft_replay_half$tick")
+        half.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val parts = scratch.toFile.listFiles
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = dir.resolve(s"tick$tick-$i-${f.getName}")
+          Files.move(f.toPath, dest)
+          // Fixed epoch + 1 min per tick: mtime order == name order.
+          dest.toFile.setLastModified(1600000000000L + tick * 60000L)
+        }
+        scratch.toFile.listFiles.foreach(_.delete())
+        Files.deleteIfExists(scratch)
+      }
+      stageHalf(raw.filter(col("ts") <= cut), 1)
+      stageHalf(raw.filter(col("ts") > cut), 2)
+      dir.toString
     })
 
   /** Streaming replay of the events table: file source over the staged
@@ -287,6 +312,36 @@ object StreamOps {
       .orderBy(col("event_id"))
   }
 
+  /** q_stream_tick_append — the scale-safe form of [[qStreamTick]]: APPEND
+    * output mode, so each window is emitted exactly once, when the
+    * watermark passes its end, and its state is evicted. Complete mode
+    * (the T2-faithful demo above) recomputes and rewrites EVERY window on
+    * every tick and never evicts — O(all windows so far) work per tick and
+    * unbounded state at 100 TB; append mode does O(newly closed windows)
+    * per tick with state bounded by the watermark horizon. The cost of the
+    * contract: windows still inside the final watermark (here the last
+    * hour of the fixture, watermark = max event time − 10 min) are NOT
+    * emitted — exactly what the oracle replays with its `w_end <= max(ts)
+    * − 10 minutes` filter. A live pipeline upserts each emitted window
+    * into the serving store (idempotent by window key) instead of
+    * replacing the whole view.
+    */
+  def qStreamTickAppend(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_tick_append")
+    val query = tumblingCounts(eventsStream(spark, stageReplayDir(spark, d)))
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(Tables.tsSeconds(col("w.start")).as("w_start"),
+              col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** q_stream_dedup — `dropDuplicatesWithinWatermark` over the replay
     * stream: watermarked exact dedup (streaming E7). The horizon is sized
     * to cover the whole fixture window (as a backfill/replay job sizes it
@@ -339,10 +394,11 @@ object StreamOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_tick"   -> qStreamTick _,
-    "q_stream_dedup"  -> qStreamDedup _,
-    "q_stream_enrich" -> qStreamEnrich _,
-    "q_deadletter"    -> qDeadletter _,
+    "q_stream_tick"        -> qStreamTick _,
+    "q_stream_tick_append" -> qStreamTickAppend _,
+    "q_stream_dedup"       -> qStreamDedup _,
+    "q_stream_enrich"      -> qStreamEnrich _,
+    "q_deadletter"         -> qDeadletter _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -359,6 +415,14 @@ object StreamOps {
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_tick_append" ->
+      """WITH wm AS (
+        |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
+        |)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, COUNT(*) AS n
+        |FROM (SELECT date_trunc('hour', ts) AS h, event_type FROM events), wm
+        |WHERE h + INTERVAL 1 HOUR <= wm.w
+        |GROUP BY h, event_type ORDER BY w_start, event_type""".stripMargin,
     "q_deadletter" ->
       """SELECT event_id, user_id, k FROM (
         |  SELECT event_id, user_id,

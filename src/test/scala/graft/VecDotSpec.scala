@@ -39,13 +39,26 @@ class VecDotSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
-  test("VecDot is null-safe and prefix-scores mismatched lengths") {
+  test("VecDot is NULL on a NULL array but raises on malformed vectors") {
     GraftExtensions.register(spark)
     val r = spark.sql(
-      "SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS n, " +
-      "       vec_dot(array(CAST(2.0 AS FLOAT), CAST(9.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS p")
+      "SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS n")
       .collect().head
     assert(r.isNullAt(0))
-    assert(r.getDouble(1) == 6.0)
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val mismatch = intercept[Throwable] {
+      spark.sql(
+        "SELECT vec_dot(array(CAST(2.0 AS FLOAT), CAST(9.0 AS FLOAT)), " +
+        "               array(CAST(3.0 AS FLOAT))) AS p").collect()
+    }
+    assert(messages(mismatch).exists(_.contains("different lengths")))
+    val nullElem = intercept[Throwable] {
+      spark.sql(
+        "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS p").collect()
+    }
+    assert(messages(nullElem).exists(_.contains("null element")))
   }
 }
