@@ -127,6 +127,21 @@ object StreamOps {
       .withColumn("ts", Tables.nsToTs("ts"))
   }
 
+  /** Streaming replay through the custom DSv2 source
+    * ([[graft.sources.ReplaySourceProvider]], format `graft-replay`) —
+    * same rows and tick structure as [[eventsStream]], but offsets are the
+    * source's own file-index contract instead of FileStreamSource's
+    * seen-files log. The production interface for the reference's HTTP
+    * poll (app.py:40-52), proven without egress.
+    */
+  def eventsStreamDsv2(spark: SparkSession, replay: String): DataFrame = {
+    spark.readStream
+      .format("graft-replay")
+      .option("maxFilesPerTrigger", "1")
+      .load(replay)
+      .withColumn("ts", Tables.nsToTs("ts"))
+  }
+
   // ---- Stream shapes: one plan, batch or streaming ----------------------
 
   /** Tumbling 1-hour counts per event type with a 10-minute watermark —
@@ -312,6 +327,29 @@ object StreamOps {
       .orderBy(col("event_id"))
   }
 
+  /** q_stream_tick_dsv2 — [[qStreamTick]] running on the custom DSv2
+    * replay source instead of the built-in file source: same watermarked
+    * tumbling aggregation, same complete-mode snapshot, same oracle —
+    * what changes is the source interface underneath (file-index offsets,
+    * admission control, AvailableNow freeze), which is exactly the part a
+    * production migration off the reference's HTTP poll would replace.
+    */
+  def qStreamTickDsv2(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_tick_dsv2")
+    val query = tumblingCounts(eventsStreamDsv2(spark, stageReplayDir(spark, d)))
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(Tables.tsSeconds(col("w.start")).as("w_start"),
+              col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** q_stream_tick_append — the scale-safe form of [[qStreamTick]]: APPEND
     * output mode, so each window is emitted exactly once, when the
     * watermark passes its end, and its state is evicted. Complete mode
@@ -396,6 +434,7 @@ object StreamOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tick"        -> qStreamTick _,
     "q_stream_tick_append" -> qStreamTickAppend _,
+    "q_stream_tick_dsv2"   -> qStreamTickDsv2 _,
     "q_stream_dedup"       -> qStreamDedup _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_deadletter"         -> qDeadletter _,
@@ -411,6 +450,11 @@ object StreamOps {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
     "q_stream_tick" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, COUNT(*) AS n
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_tick_dsv2" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY date_trunc('hour', ts), event_type

@@ -266,6 +266,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("DSv2 replay source: per-file micro-batches, results equal the file-source replay") {
+    // The custom MicroBatchStream must replay the same rows as the
+    // built-in file source over the same staged dir — and actually honor
+    // maxFilesPerTrigger=1 (two staged files -> two data micro-batches).
+    val replay = StreamOps.stageReplayDir(spark, sfDir)
+    val query = StreamOps.tumblingCounts(StreamOps.eventsStreamDsv2(spark, replay))
+      .writeStream.format("memory").queryName("dsv2_tick")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run(query) {
+      query.awaitTermination()
+      val dataBatches = query.recentProgress.filter(_.numInputRows > 0)
+      assert(dataBatches.length == 2,
+        s"expected 2 one-file micro-batches, saw ${dataBatches.length}")
+      val streamed = spark.table("dsv2_tick")
+        .select(col("w.start").as("s"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("s"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    }
+  }
+
   test("q_deadletter routes exactly the poison rows") {
     val dlq = StreamOps.qDeadletter(spark, sfDir).collect()
     val expected = Tables.events(spark, sfDir)
