@@ -405,6 +405,55 @@ object StreamOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** The click→view follow join shape shared by [[qStreamJoin]] and the
+    * MemoryStream specs: a self-join of the events stream, each side
+    * filtered to one event type and watermarked, pairing each click with
+    * the same user's views in the following 30 minutes. Works identically
+    * over a batch DataFrame, which is how the oracle verifies it.
+    */
+  def clickViewPairs(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+              col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("v_ts") >= col("c_ts") &&
+          col("v_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
+  /** q_stream_join — watermarked STREAM-STREAM inner join: the click
+    * stream joined to the view stream of the same user within a 30-minute
+    * follow window. Both sides carry watermarks, so Spark can bound each
+    * side's join state from the time-range condition (a click is evictable
+    * once the view-side watermark passes click ts + 30 min) — the
+    * mechanism that makes stream-stream joins run with BOUNDED state at
+    * 100 TB instead of buffering both streams forever. Inner-join output
+    * is batch-exact for a drained replay: every qualifying pair is emitted
+    * exactly once regardless of how rows split across micro-batches, which
+    * is precisely what the batch-SQL oracle checks.
+    */
+  def qStreamJoin(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_join")
+    val query = clickViewPairs(eventsStream(spark, stageReplayDir(spark, d)))
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .orderBy(col("user_id"), col("click_id"), col("view_id"))
+  }
+
   /** q_stream_enrich — stream-static enrichment join, the canonical
     * streaming dimension-lookup pattern: the replay stream joins a
     * BROADCAST static dimension (customer) so the stream side never
@@ -437,6 +486,7 @@ object StreamOps {
     "q_stream_tick_dsv2"   -> qStreamTickDsv2 _,
     "q_stream_dedup"       -> qStreamDedup _,
     "q_stream_enrich"      -> qStreamEnrich _,
+    "q_stream_join"        -> qStreamJoin _,
     "q_deadletter"         -> qDeadletter _,
   )
 
@@ -467,6 +517,13 @@ object StreamOps {
         |FROM (SELECT date_trunc('hour', ts) AS h, event_type FROM events), wm
         |WHERE h + INTERVAL 1 HOUR <= wm.w
         |GROUP BY h, event_type ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin,
     "q_deadletter" ->
       """SELECT event_id, user_id, k FROM (
         |  SELECT event_id, user_id,

@@ -293,6 +293,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join pairs a click with a later-batch view; outside-window view excluded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.clickViewPairs(mem.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    run(query) {
+      // Batch 1: the click only. Its join state must survive into batch 2.
+      mem.addData(Ev(1, t(10, 0), 1, "click", 1.0))
+      query.processAllAvailable()
+      // Batch 2: one view inside the 30-min follow window (match), one
+      // outside it (no match), one matching view for another user's
+      // never-sent click (no match).
+      mem.addData(
+        Ev(2, t(10, 20), 1, "view", 1.0),
+        Ev(3, t(11, 0), 1, "view", 1.0),
+        Ev(4, t(10, 10), 2, "view", 1.0))
+      query.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 1L, 2L)),
+        s"expected exactly the cross-batch in-window pair, got $got")
+    }
+  }
+
   test("q_deadletter routes exactly the poison rows") {
     val dlq = StreamOps.qDeadletter(spark, sfDir).collect()
     val expected = Tables.events(spark, sfDir)
