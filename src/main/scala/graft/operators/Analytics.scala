@@ -308,6 +308,46 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q_asof_join — temporal AS-OF join, an operator Spark has no built-in
+    * for: each event is matched to the most recent order of the same
+    * customer at or before the event's timestamp (ties on order time
+    * broken by highest order key; customers with no prior order get
+    * NULL).
+    *
+    * Implementation is the single-shuffle union trick, NOT a range join:
+    * order rows and event rows are unioned into one stream tagged by
+    * side, shuffled ONCE on the customer key, and a running
+    * `last(order_key, ignoreNulls)` over (ts, side, order_key) row order
+    * carries each customer's latest order forward onto every subsequent
+    * event row. At 100 TB this is one shuffle of |orders|+|events| rows
+    * and a linear per-partition pass — the naive inequality join is a
+    * per-customer cross product that explodes on active customers, and
+    * Spark would plan it as BroadcastNestedLoop if not equi-keyed. Orders
+    * sort before events at the same timestamp, so an order placed exactly
+    * at the event's ts qualifies (the `<=` contract).
+    */
+  def qAsofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d)
+      .select(col("user_id"), col("ts"), lit(1).as("is_event"),
+              col("event_id"), lit(null).cast("long").as("o_orderkey"))
+    // o_orderdate is TIMESTAMP_NTZ in the parquet; cast to TimestampType
+    // (session TZ is UTC, so wall time == instant) to union with events.ts.
+    val ord = orders(spark, d)
+      .select(col("o_custkey").as("user_id"),
+              col("o_orderdate").cast("timestamp").as("ts"),
+              lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+              col("o_orderkey"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_event"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("asof_order_key",
+        last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_order_key"))
+      .orderBy(col("event_id"))
+  }
+
   /** q_custom_agg — the typed [[graft.functions.ArgMaxLong]] Aggregator
     * (E12) finding each event type's highest-value event.
     */
@@ -336,6 +376,7 @@ object Analytics {
     "q_dedup"           -> qDedup _,
     "q_multimodal_join" -> qMultimodalJoin _,
     "q_custom_agg"      -> qCustomAgg _,
+    "q_asof_join"       -> qAsofJoin _,
     "q_salted_agg"      -> qSaltedAgg _,
     "q_pivot"           -> qPivot _,
     "q_collect_list"    -> qCollectList _,
@@ -463,5 +504,18 @@ object Analytics {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
         |                           ORDER BY value DESC, event_id ASC) = 1
         |ORDER BY event_type""".stripMargin,
+    // The oracle states the AS-OF contract declaratively (latest qualifying
+    // order date, then highest key at that date) — deliberately NOT the
+    // union-window rewrite, so the two engines reach the same answer by
+    // different plans.
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |       (SELECT MAX(o.o_orderkey) FROM orders o
+        |        WHERE o.o_custkey = e.user_id
+        |          AND o.o_orderdate =
+        |              (SELECT MAX(o2.o_orderdate) FROM orders o2
+        |               WHERE o2.o_custkey = e.user_id
+        |                 AND o2.o_orderdate <= e.ts)) AS asof_order_key
+        |FROM events e ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -25,6 +25,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_asof_join matches a hand-rolled most-recent-order lookup") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val byCust = orders.groupBy(_._1)
+    val got = Analytics.qAsofJoin(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    var nonNull = 0
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .zip(got.sortBy(_.getLong(0)).map(r =>
+        (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .foreach { case ((eid, uid, ts), (gid, asof)) =>
+        assert(eid == gid)
+        val expected = byCust.get(uid).flatMap { os =>
+          val qual = os.filter(_._2 <= ts)
+          if (qual.isEmpty) None
+          else {
+            val bestTs = qual.map(_._2).max
+            Some(qual.filter(_._2 == bestTs).map(_._3).max)
+          }
+        }
+        assert(asof == expected, s"event $eid user $uid: got $asof want $expected")
+        if (expected.nonEmpty) nonNull += 1
+      }
+    assert(nonNull > 0, "fixture must exercise the matched path")
+  }
+
   test("ArgMaxLong: NaN counts as greatest (like max), null never wins, any partitioning") {
     import spark.implicits._
     val rows = Seq(
