@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.VecDot
+import graft.functions.{LnLibm, VecDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -32,9 +32,20 @@ object GraftExtensions {
       VecDot(children.head, children(1))
     })
 
+  private[graft] val lnLibmDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ln_libm"),
+    new ExpressionInfo(classOf[LnLibm].getName, "ln_libm"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "ln_libm(x) takes exactly 1 argument")
+      LnLibm(children.head)
+    })
+
+  private val descriptors = Seq(vecDotDescriptor, lnLibmDescriptor)
+
   /** Register the custom functions into an existing session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = vecDotDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -265,6 +265,40 @@ object TextOps {
       .limit(20)
   }
 
+  /** q_tfidf — per-(document, term) TF-IDF weights, the standard
+    * relevance/quality signal of a text pipeline: tf = term count in the
+    * doc, df = number of docs containing the term, weight = tf · ln(N/df).
+    *
+    * Plan: tokenize/explode (per-row), tf via hash agg on (doc, term), df
+    * via a second hash agg on term over the tf table (one row per distinct
+    * (doc, term) — NOT re-reading the corpus), then an equi-join of tf
+    * with the df table on term and a 1-row broadcast of N. Both agg steps
+    * are map-side partial; the df table is |vocabulary| rows, orders of
+    * magnitude smaller than the corpus at 100 TB (and the join key is the
+    * term, so AQE broadcasts it when it fits). The log goes through the
+    * codegen'd [[graft.functions.LnLibm]] (`Math.log`) rather than
+    * Spark's built-in `log` (`StrictMath.log`/fdlibm, 1-2 ulp off
+    * DuckDB's libm `ln`), so the weights hash-match the oracle exactly.
+    */
+  def qTfidf(spark: SparkSession, d: String): DataFrame = {
+    val toks = tokenized(spark, d)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(spark, d).agg(count(lit(1)).as("n_docs"))
+    def lnLibm(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftSqlBridge.column(graft.functions.LnLibm(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          lnLibm(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count"   -> qTokenCount _,
     "q_token_bpe"     -> qTokenBpe _,
@@ -276,6 +310,7 @@ object TextOps {
     "q_simhash"       -> qSimhash _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
+    "q_tfidf"         -> qTfidf _,
   )
 
   // ---- DuckDB oracle: identical tokenization, hashing, and arithmetic ----
@@ -396,6 +431,21 @@ object TextOps {
          |JOIN (SELECT doc_id, n_sh AS na FROM sizes) sa ON doc_a = sa.doc_id
          |JOIN (SELECT doc_id, n_sh AS nb FROM sizes) sb ON doc_b = sb.doc_id
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents
+        |)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |       CAST(tf.tf AS DOUBLE) *
+        |         ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+        |FROM tf JOIN df USING (term), n
+        |ORDER BY tf.doc_id, tf.term""".stripMargin,
     "q_ngram_jaccard_capped" ->
       s"""WITH sh0 AS (
          |  $shingleSql

@@ -112,6 +112,24 @@ class TextOpsSpec extends SparkSpec {
     assert(df.values.exists(_ > TextOps.DfCap))
   }
 
+  test("q_tfidf matches hand-rolled tf·ln(N/df) bitwise") {
+    val n = docs.size.toDouble
+    val tf: Map[(Long, String), Long] = docs.toSeq.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (w, xs) => (id, w) -> xs.length.toLong }
+    }.toMap
+    val df: Map[String, Long] = tf.keys.toSeq.groupBy(_._2)
+      .map { case (w, ks) => w -> ks.size.toLong }
+    val got = TextOps.qTfidf(spark, sfDir).collect()
+    assert(got.length == tf.size)
+    got.foreach { r =>
+      val (id, w) = (r.getLong(0), r.getString(1))
+      assert(r.getLong(2) == tf((id, w)))
+      assert(r.getLong(3) == df(w))
+      val expected = tf((id, w)).toDouble * math.log(n / df(w).toDouble)
+      assert(r.getDouble(4) == expected, s"($id,$w) tfidf differs")
+    }
+  }
+
   test("q_token_count totals equal the corpus token count") {
     val total = TextOps.qTokenCount(spark, sfDir).collect().map(_.getLong(2)).sum
     val expected = docs.values.map(_.split(" ").length.toLong).sum
