@@ -308,6 +308,33 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q_quantiles — exact per-group p25/p50/p75 by the same element-
+    * selection contract as [[qMedian]] (the value at rank ⌈q·n⌉; selected
+    * elements are engine-exact where interpolation is not). One windowed
+    * pass ranks every row, a pivot-style conditional aggregation pulls the
+    * three ranks out — the whole query is ONE shuffle on the group key.
+    * At 100 TB exact quantiles per group require the per-group sort this
+    * window does; the sketch alternative (approx_percentile / KLL) is the
+    * cheaper-but-inexact path, which `q_approx_distinct` already
+    * represents for cardinality.
+    */
+  def qQuantiles(spark: SparkSession, d: String): DataFrame = {
+    val byValue = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val all = Window.partitionBy(col("event_type"))
+    val ranked = events(spark, d)
+      .select(col("event_type"), col("value"),
+        row_number().over(byValue).as("rn"),
+        count(lit(1)).over(all).as("cnt"))
+    ranked
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === expr("(cnt + 3) DIV 4"), col("value"))).as("p25"),
+        max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(3 * cnt + 3) DIV 4"), col("value"))).as("p75"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_asof_join — temporal AS-OF join, an operator Spark has no built-in
     * for: each event is matched to the most recent order of the same
     * customer at or before the event's timestamp (ties on order time
@@ -377,6 +404,7 @@ object Analytics {
     "q_multimodal_join" -> qMultimodalJoin _,
     "q_custom_agg"      -> qCustomAgg _,
     "q_asof_join"       -> qAsofJoin _,
+    "q_quantiles"       -> qQuantiles _,
     "q_salted_agg"      -> qSaltedAgg _,
     "q_pivot"           -> qPivot _,
     "q_collect_list"    -> qCollectList _,
@@ -504,6 +532,18 @@ object Analytics {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
         |                           ORDER BY value DESC, event_id ASC) = 1
         |ORDER BY event_type""".stripMargin,
+    "q_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |SELECT event_type,
+        |       MAX(CASE WHEN rn = (cnt + 3) // 4 THEN value END) AS p25,
+        |       MAX(CASE WHEN rn = (cnt + 1) // 2 THEN value END) AS p50,
+        |       MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN value END) AS p75
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The oracle states the AS-OF contract declaratively (latest qualifying
     // order date, then highest key at that date) — deliberately NOT the
     // union-window rewrite, so the two engines reach the same answer by

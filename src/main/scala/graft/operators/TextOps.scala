@@ -181,7 +181,10 @@ object TextOps {
     * sign of each bit's tally. Near-dup docs differ in few bits (small
     * Hamming distance).
     */
-  def qSimhash(spark: SparkSession, d: String): DataFrame =
+  /** (doc_id, simhash) — the shared fingerprint pipeline of [[qSimhash]]
+    * and [[qSimhashPairs]].
+    */
+  private def simhashed(spark: SparkSession, d: String): DataFrame =
     tokenized(spark, d)
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
       .select(col("doc_id"), md5Long(col("t"), 8).as("h32"))
@@ -195,7 +198,46 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("tally") >= 0, expr("CAST(pow(2, j) AS BIGINT)"))
         .otherwise(0L)).as("simhash"))
-      .orderBy(col("doc_id"))
+
+  def qSimhash(spark: SparkSession, d: String): DataFrame =
+    simhashed(spark, d).orderBy(col("doc_id"))
+
+  /** Maximum Hamming distance for a [[qSimhashPairs]] near-dup pair. */
+  val HammingMax = 3
+
+  /** q_simhash_pairs — SimHash near-duplicate PAIRS via Hamming-distance
+    * blocking (the Manku-Jain-Sarma web-dedup scheme): split the 32-bit
+    * fingerprint into [[HammingMax]]+1 = 4 byte blocks; by pigeonhole, any
+    * pair within Hamming distance 3 agrees EXACTLY on at least one block,
+    * so candidates come from a per-(block, value) equi-join — never
+    * all-pairs — and are verified with an exact
+    * `bit_count(a XOR b) <= 3`.
+    *
+    * On diverse corpora each block key fans out to a tiny bucket (work
+    * Σ bucket² per block, like every LSH join here); this fixture's tiny
+    * vocabulary makes fingerprints cluster, so the reduction is only ~2×
+    * at sf0.01 — the guarantee that matters is structural: candidate
+    * recall is 100% BY CONSTRUCTION (pigeonhole), unlike the
+    * probabilistic MinHash/sign-LSH recall.
+    */
+  def qSimhashPairs(spark: SparkSession, d: String): DataFrame = {
+    val sh = simhashed(spark, d)
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 to HammingMax).map { b =>
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))
+      }: _*)).as(Seq("blk", "bkey")))
+    blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+        col("blk"), col("bkey"))
+      .join(blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+          col("blk").as("blk2"), col("bkey").as("bkey2")),
+        col("blk") === col("blk2") && col("bkey") === col("bkey2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** q_ngram_jaccard — exact trigram-shingle Jaccard: candidate pairs from
     * an inverted-index join on shared shingles (so disjoint docs are never
@@ -308,6 +350,7 @@ object TextOps {
     "q_minhash_sig"   -> qMinhashSig _,
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_simhash"       -> qSimhash _,
+    "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
     "q_tfidf"         -> qTfidf _,
@@ -324,6 +367,27 @@ object TextOps {
       |         list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
       |         z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS s
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  /** Shared simhash CTE chain ending in `sh(doc_id, simhash)`. */
+  private val simhashCte: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h32 FROM tok
+      |), bits AS (
+      |  SELECT doc_id, j,
+      |         CASE WHEN (h32 // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+      |              THEN 1 ELSE -1 END AS w
+      |  FROM h, (SELECT unnest(generate_series(0, 31)) AS j)
+      |), tallies AS (
+      |  SELECT doc_id, j, SUM(w) AS tally FROM bits GROUP BY doc_id, j
+      |), sh AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN tally >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+      |              AS BIGINT) AS simhash
+      |  FROM tallies GROUP BY doc_id
+      |)""".stripMargin
 
   private val minhashAggs: String = hashParams.zipWithIndex.map {
     case ((a, b), k) => s"MIN(($a * h + $b) % $P) AS mh$k"
@@ -397,23 +461,26 @@ object TextOps {
          |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
-        |  FROM documents
-        |), h AS (
-        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h32 FROM tok
-        |), bits AS (
-        |  SELECT doc_id, j,
-        |         CASE WHEN (h32 // CAST(pow(2, j) AS BIGINT)) % 2 = 1
-        |              THEN 1 ELSE -1 END AS w
-        |  FROM h, (SELECT unnest(generate_series(0, 31)) AS j)
-        |), tallies AS (
-        |  SELECT doc_id, j, SUM(w) AS tally FROM bits GROUP BY doc_id, j
-        |)
-        |SELECT doc_id,
-        |       CAST(SUM(CASE WHEN tally >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
-        |            AS BIGINT) AS simhash
-        |FROM tallies GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+               s"SELECT doc_id, simhash, $b AS blk, " +
+               s"(simhash // ${1L << (8 * b)}) % 256 AS bkey FROM sh"
+             }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+         |FROM cand
+         |JOIN sh sa ON doc_a = sa.doc_id
+         |JOIN sh sb ON doc_b = sb.doc_id
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (
          |  $shingleSql

@@ -55,6 +55,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(nonNull > 0, "fixture must exercise the matched path")
   }
 
+  test("q_quantiles selects the exact rank-⌈qn⌉ elements per group") {
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = Analytics.qQuantiles(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val vs = byType(r.getString(0)).sortBy(t => (t._2, t._3)).map(_._2)
+      val n = vs.length
+      assert(r.getDouble(1) == vs((n + 3) / 4 - 1), "p25")
+      assert(r.getDouble(2) == vs((n + 1) / 2 - 1), "p50")
+      assert(r.getDouble(3) == vs((3 * n + 3) / 4 - 1), "p75")
+    }
+  }
+
   test("ArgMaxLong: NaN counts as greatest (like max), null never wins, any partitioning") {
     import spark.implicits._
     val rows = Seq(

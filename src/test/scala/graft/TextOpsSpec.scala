@@ -76,6 +76,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_simhash_pairs finds EXACTLY the hamming<=3 pairs (pigeonhole completeness)") {
+    def simhash(text: String): Long = {
+      val tallies = Array.fill(32)(0)
+      text.split(" ").distinct.foreach { t =>
+        val h32 = java.lang.Long.parseLong(md5Hex(t).take(8), 16)
+        for (j <- 0 until 32)
+          tallies(j) += (if (((h32 >> j) & 1L) == 1L) 1 else -1)
+      }
+      (0 until 32).map(j => if (tallies(j) >= 0) 1L << j else 0L).sum
+    }
+    val sh = docs.map { case (id, t) => id -> simhash(t) }
+    val ids = sh.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(sh(ids(i)) ^ sh(ids(j)))
+      if h <= TextOps.HammingMax
+    } yield (ids(i), ids(j), h)).toSet
+    val got = TextOps.qSimhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"blocking must be lossless: ${expected.size} true pairs, got ${got.size}")
+    assert(got.nonEmpty)
+  }
+
   test("q_ngram_jaccard scores are exact set Jaccard, in (0, 1], descending") {
     val rows = TextOps.qNgramJaccard(spark, sfDir).collect()
     assert(rows.length == 20)
