@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Analytics, Relational, Similarity, TextOps}
+
+/** Physical-plan shape assertions: the scaladocs' scale claims pinned as
+  * tests, so a refactor that silently degrades a plan (extra shuffle, lost
+  * pushdown, lost top-k heap, a surprise nested-loop join) fails CI
+  * instead of surviving until a 100 TB run finds it.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q_asof_join shuffles ONCE on the customer key (plus the final presentation sort)") {
+    val p = plan(Analytics.qAsofJoin(spark, sfDir))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"as-of join must be the single-shuffle union plan, saw $hashExchanges hash exchanges:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of join must never degrade to a nested-loop/cartesian plan")
+  }
+
+  test("q_tfidf prunes the documents scan to (doc_id, text)") {
+    val p = plan(TextOps.qTfidf(spark, sfDir))
+    // Three scans of documents (tf, df, N); none may read `lang` — column
+    // pruning must reach the parquet ReadSchema.
+    assert(!p.contains("lang"),
+      s"tfidf reads a column it never uses — pruning lost:\n$p")
+  }
+
+  test("q_topk and q_cosine_topk plan as TakeOrderedAndProject, not a global sort") {
+    for ((name, df) <- Seq(
+        "q_topk" -> Relational.qTopk(spark, sfDir),
+        "q_cosine_topk" -> Similarity.qCosineTopk(spark, sfDir))) {
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name must use the per-partition top-k heap:\n$p")
+    }
+  }
+
+  test("q_filter_eq pushes its predicate into the parquet scan") {
+    val p = plan(Relational.qFilterEq(spark, sfDir))
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"filter must reach the scan:\n$p")
+  }
+
+  test("no LSH/inverted-index join degrades to nested-loop or cartesian") {
+    for ((name, df) <- Seq(
+        "q_cosine_neardup" -> Similarity.qCosineNeardup(spark, sfDir),
+        "q_simhash_pairs" -> TextOps.qSimhashPairs(spark, sfDir),
+        "q_ngram_jaccard_capped" -> TextOps.qNgramJaccardCapped(spark, sfDir),
+        "q_minhash_lsh" -> TextOps.qMinhashLsh(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name candidate generation must stay an equi-join:\n$p")
+    }
+  }
+}
