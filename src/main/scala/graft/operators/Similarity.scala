@@ -215,8 +215,35 @@ object Similarity {
       .limit(10)
   }
 
+  /** q_centroid — per-label embedding centroid (the "trained centroids" a
+    * production IVF index is built from — [[qAnnIvf]]'s training-free
+    * centroids are the deterministic stand-in), emitted as one
+    * (label, pos, c) row per coordinate so the result is comparator-flat.
+    *
+    * Determinism: a double mean over shuffled partitions is
+    * order-nondeterministic in the last ulp, so each (label, pos) group
+    * folds its values in vec_id order (`sort_array` + `aggregate`) — the
+    * same LTR-double contract as every float op here. The gather is
+    * bounded by the label's vector count and embarrassingly parallel
+    * across (label, pos) groups; a production pipeline that doesn't need
+    * ulp determinism would use a plain tree-reduced `avg` (one shuffle,
+    * map-side partials) — that trade is the documented knob, not an
+    * accident.
+    */
+  def qCentroid(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+      .select(col("label"), col("pos"),
+        expr("aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x.v AS DOUBLE))" +
+             " / size(vs)").as("c"))
+      .orderBy(col("label"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"     -> qCosineTopk _,
+    "q_centroid"        -> qCentroid _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
     "q_cosine_neardup"  -> qCosineNeardup _,
     "q_ann_ivf"         -> qAnnIvf _,
@@ -252,6 +279,18 @@ object Similarity {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_centroid" ->
+      """SELECT label, pos,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+        |                   (acc, x) -> acc + x) / len(vs) AS c
+        |FROM (
+        |  SELECT label, pos, list(CAST(v AS DOUBLE) ORDER BY vec_id) AS vs
+        |  FROM (
+        |    SELECT label, vec_id, unnest(embedding) AS v,
+        |           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
+        |    FROM embeddings)
+        |  GROUP BY label, pos)
+        |ORDER BY label, pos""".stripMargin,
     "q_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${cosSql("embedding", "qe")} AS cos

@@ -486,6 +486,57 @@ object StreamOps {
       .orderBy(col("user_id"), col("click_id"), col("view_id"))
   }
 
+  /** The outer variant of [[clickViewPairs]]: LEFT OUTER, so a click with
+    * no in-window view emits (click, NULL view) — but only once the
+    * watermark proves no matching view can still arrive (it passes
+    * click ts + 30 min), i.e. when the click's join state is evicted.
+    */
+  def clickViewPairsOuter(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+              col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("v_ts") >= col("c_ts") &&
+          col("v_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
+  /** q_stream_join_outer — [[qStreamJoin]] as a LEFT OUTER stream-stream
+    * join, the semantically hardest streaming operator here: matched
+    * pairs emit like the inner join, and a click with no view in its
+    * window emits a NULL row only when its state is EVICTED — the
+    * watermark must pass click ts + 30 min before "no match" is provable,
+    * because a qualifying view could arrive late until then. Clicks
+    * whose window is still inside the final watermark therefore emit
+    * nothing at all, which the oracle replays with the same cutoff (the
+    * global watermark is the MIN of both sides' — each side's is its own
+    * max event time − 10 min).
+    */
+  def qStreamJoinOuter(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_join_outer")
+    val query = startWithStatePartitions(spark) {
+      clickViewPairsOuter(eventsStream(spark, stageReplayDir(spark, d)))
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName)
+      .orderBy(col("user_id"), col("click_id"), col("view_id"))
+  }
+
   /** q_stream_enrich — stream-static enrichment join, the canonical
     * streaming dimension-lookup pattern: the replay stream joins a
     * BROADCAST static dimension (customer) so the stream side never
@@ -521,6 +572,7 @@ object StreamOps {
     "q_stream_dedup"       -> qStreamDedup _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_stream_join"        -> qStreamJoin _,
+    "q_stream_join_outer"  -> qStreamJoinOuter _,
     "q_deadletter"         -> qDeadletter _,
   )
 
@@ -557,6 +609,21 @@ object StreamOps {
         |  ON c.user_id = v.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin,
+    "q_stream_join_outer" ->
+      """WITH wm AS (
+        |  SELECT LEAST(
+        |    (SELECT date_trunc('ms', MAX(ts)) FROM events WHERE event_type = 'click'),
+        |    (SELECT date_trunc('ms', MAX(ts)) FROM events WHERE event_type = 'view'))
+        |    - INTERVAL 10 MINUTE AS w
+        |)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+        |, wm
+        |WHERE v.event_id IS NOT NULL OR c.ts + INTERVAL 30 MINUTE < wm.w
         |ORDER BY c.user_id, click_id, view_id""".stripMargin,
     "q_deadletter" ->
       """SELECT event_id, user_id, k FROM (

@@ -74,6 +74,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_centroid equals a hand-rolled vec_id-ordered mean per (label, pos)") {
+    val labels = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1)))
+    val got = Similarity.qCentroid(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val byLabel = labels.groupBy(_._2)
+    assert(got.nonEmpty)
+    byLabel.foreach { case (label, vs) =>
+      val sorted = vs.sortBy(_._1)
+      val dim = sorted.head._3.length
+      for (pos <- 0 until dim) {
+        var acc = 0.0
+        sorted.foreach { case (_, _, v) => acc += v(pos).toDouble }
+        assert(got((label, pos)) == acc / sorted.length,
+          s"centroid ($label, $pos) differs")
+      }
+    }
+  }
+
   /** Hand-rolled banded membership: some band's NdRows plane signs all
     * agree. Plane j = sign of 0-based coordinate 4j.
     */

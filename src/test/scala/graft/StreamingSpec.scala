@@ -319,6 +319,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("outer stream-stream join emits the NULL row only after state eviction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.clickViewPairsOuter(mem.toDF())
+      .writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").start()
+    run(query) {
+      // A click with no view. Nothing may emit yet: a matching view could
+      // still arrive until the watermark passes 10:00 + 30 min.
+      mem.addData(Ev(1, t(10, 0), 1, "click", 1.0))
+      query.processAllAvailable()
+      // Keep both sides' watermarks low (view side would otherwise hold
+      // the global watermark at its initial value forever).
+      mem.addData(Ev(2, t(10, 1), 9, "view", 1.0))
+      query.processAllAvailable()
+      assert(spark.table("ss_outer").isEmpty,
+        "no-match click must not emit before its window is provably closed")
+      // Push BOTH watermarks past 10:30: the click's state evicts and the
+      // (click, NULL) row appears.
+      mem.addData(Ev(3, t(11, 0), 9, "click", 1.0), Ev(4, t(11, 0), 9, "view", 1.0))
+      query.processAllAvailable()
+      mem.addData(Ev(5, t(11, 30), 9, "click", 1.0), Ev(6, t(11, 30), 9, "view", 1.0))
+      query.processAllAvailable()
+      val u1 = spark.table("ss_outer").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      assert(u1.toSeq == Seq((1L, -1L)),
+        s"expected exactly the evicted click's NULL row, got ${u1.toSeq}")
+    }
+  }
+
   test("q_deadletter routes exactly the poison rows") {
     val dlq = StreamOps.qDeadletter(spark, sfDir).collect()
     val expected = Tables.events(spark, sfDir)
