@@ -19,6 +19,26 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  private val selfJoinCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cache an intermediate that a query SELF-JOINS, so the expensive
+    * subtree (e.g. the simhash fingerprint pipeline, the shingle
+    * inverted index) is computed once per invocation instead of once per
+    * join side — Spark evaluates each side of a self-join independently
+    * unless the common subtree is materialized. Keyed per (query, fixture
+    * dir); a new invocation unpersists the previous one's cache, so each
+    * call still computes its subtree COLD (benchmarks stay honest) while
+    * the two/three join sides within the call share it. This is the
+    * in-query analog of a production pipeline materializing its
+    * fingerprint table before the pair join.
+    */
+  def cacheForSelfJoin(key: String, df: DataFrame): DataFrame = {
+    selfJoinCache.put(key, df.cache())
+      .foreach(_.unpersist(blocking = false))
+    df
+  }
+
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame  = table(spark, d, "customer")
