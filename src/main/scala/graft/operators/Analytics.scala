@@ -375,6 +375,66 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** q_range_join — interval/range join: same-user event pairs within ±1
+    * hour of each other. The naive inequality join is not equi-keyed, so
+    * Spark would plan a nested loop (quadratic per user at 100 TB);
+    * instead the time axis is BUCKETIZED to the range width: a pair
+    * within 1 hour spans at most adjacent hour buckets, so one side
+    * explodes to its 3 candidate buckets (bounded 3× blowup), the join is
+    * a plain (user, bucket) equi-join, and the exact interval predicate
+    * filters the candidates. The DuckDB oracle states the naive
+    * inequality form (its IEJoin handles it) — two engines, two plans,
+    * identical rows. PlanSpec asserts the Spark side stays an equi-join.
+    */
+  def qRangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val e = events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(ts AS LONG) DIV 3600").as("bkt"))
+    val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jb"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"), col("bkt").as("b_bkt"))
+    a.join(b,
+        col("a_user") === col("b_user") && col("jb") === col("b_bkt") &&
+          col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** q_profile — per-column table profiling (row counts, null counts,
+    * distinct counts, min/max, exact sums for the four lineitem measure
+    * columns): the data-quality summary every ingestion pipeline runs.
+    * All 4 columns' statistics are computed in ONE scan (a single
+    * aggregate with 4×5 expressions — multiple countDistincts plan as one
+    * Expand, still one pass over the data), then pivoted to one row per
+    * column with `inline`. At 100 TB one pass vs four is the difference
+    * that matters; sums are decimal-exact, so partition order can't move
+    * the result.
+    */
+  def qProfile(spark: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"),
+          exactSum(col(c)).as(s"sum_$c"))
+    }
+    lineitem(spark, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), inline(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nonnull"),
+          col(s"ndv_$c").as("ndv"), col(s"min_$c").as("min_v"),
+          col(s"max_$c").as("max_v"), col(s"sum_$c").as("sum_v"))
+      }: _*)))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"), col("ndv"),
+        col("min_v"), col("max_v"), col("sum_v"))
+      .orderBy(col("col_name"))
+  }
+
   /** q_custom_agg — the typed [[graft.functions.ArgMaxLong]] Aggregator
     * (E12) finding each event type's highest-value event.
     */
@@ -405,6 +465,8 @@ object Analytics {
     "q_custom_agg"      -> qCustomAgg _,
     "q_asof_join"       -> qAsofJoin _,
     "q_quantiles"       -> qQuantiles _,
+    "q_range_join"      -> qRangeJoin _,
+    "q_profile"         -> qProfile _,
     "q_salted_agg"      -> qSaltedAgg _,
     "q_pivot"           -> qPivot _,
     "q_collect_list"    -> qCollectList _,
@@ -532,6 +594,24 @@ object Analytics {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
         |                           ORDER BY value DESC, event_id ASC) = 1
         |ORDER BY event_type""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = "COUNT(*) AS n_rows, " + cols.map { c =>
+        s"COUNT($c) AS nn_$c, COUNT(DISTINCT $c) AS ndv_$c, " +
+        s"MIN($c) AS min_$c, MAX($c) AS max_$c, ${decSum.format(c)} AS sum_$c"
+      }.mkString(", ")
+      val rows = cols.map { c =>
+        s"SELECT '$c' AS col_name, n_rows, nn_$c AS n_nonnull, ndv_$c AS ndv, " +
+        s"min_$c AS min_v, max_$c AS max_v, sum_$c AS sum_v FROM s"
+      }.mkString("\nUNION ALL\n")
+      s"WITH s AS (SELECT $aggs FROM lineitem)\n$rows\nORDER BY col_name"
+    },
     "q_quantiles" ->
       """WITH ranked AS (
         |  SELECT event_type, value,

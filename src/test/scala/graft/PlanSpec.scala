@@ -50,7 +50,8 @@ class PlanSpec extends SparkSpec {
         "q_cosine_neardup" -> Similarity.qCosineNeardup(spark, sfDir),
         "q_simhash_pairs" -> TextOps.qSimhashPairs(spark, sfDir),
         "q_ngram_jaccard_capped" -> TextOps.qNgramJaccardCapped(spark, sfDir),
-        "q_minhash_lsh" -> TextOps.qMinhashLsh(spark, sfDir))) {
+        "q_minhash_lsh" -> TextOps.qMinhashLsh(spark, sfDir),
+        "q_range_join" -> Analytics.qRangeJoin(spark, sfDir))) {
       val p = plan(df)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name candidate generation must stay an equi-join:\n$p")
