@@ -18,8 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session exists before the extension class could be configured).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -43,9 +45,16 @@ object GraftExtensions {
 
   private val descriptors = Seq(vecDotDescriptor, lnLibmDescriptor)
 
-  /** Register the custom functions into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register the custom functions and planner strategy into an existing
+    * session (the extensions-conf path above covers sessions built with
+    * `spark.sql.extensions=graft.GraftExtensions`).
+    */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+  }
 }

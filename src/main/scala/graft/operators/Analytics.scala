@@ -375,6 +375,24 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** q_topk_group — per-group top-k through the CUSTOM OPERATOR tier
+    * ([[graft.plans.TopKPerGroupPlan]] + strategy + exec): the top 3
+    * events per event type by (value desc, event_id). The window-function
+    * form sorts every partition in full; the custom exec keeps an
+    * O(k) heap per group after one hash shuffle — see the scaladoc on
+    * [[graft.plans.TopKPerGroup]]. The oracle is the window form, so the
+    * two strategies must produce identical rows.
+    */
+  def qTopkGroup(spark: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val e = events(spark, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+    graft.plans.TopKPerGroup(e,
+        Seq(e("event_type")),
+        Seq((e("value"), true), (e("event_id"), false)), 3)
+      .orderBy(col("event_type"), col("value").desc, col("event_id"))
+  }
+
   /** q_range_join — interval/range join: same-user event pairs within ±1
     * hour of each other. The naive inequality join is not equi-keyed, so
     * Spark would plan a nested loop (quadratic per user at 100 TB);
@@ -467,6 +485,7 @@ object Analytics {
     "q_quantiles"       -> qQuantiles _,
     "q_range_join"      -> qRangeJoin _,
     "q_profile"         -> qProfile _,
+    "q_topk_group"      -> qTopkGroup _,
     "q_salted_agg"      -> qSaltedAgg _,
     "q_pivot"           -> qPivot _,
     "q_collect_list"    -> qCollectList _,
@@ -594,6 +613,11 @@ object Analytics {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
         |                           ORDER BY value DESC, event_id ASC) = 1
         |ORDER BY event_type""".stripMargin,
+    "q_topk_group" ->
+      """SELECT event_type, event_id, value FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |                           ORDER BY value DESC, event_id) <= 3
+        |ORDER BY event_type, value DESC, event_id""".stripMargin,
     "q_range_join" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id
         |FROM events a JOIN events b
