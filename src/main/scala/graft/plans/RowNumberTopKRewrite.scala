@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule — the §4 `Rule[LogicalPlan]` tier: rewrites the
+  * ubiquitous per-group top-k idiom
+  *
+  * {{{
+  *   df.withColumn("rn", row_number().over(partitionBy(g).orderBy(o)))
+  *     .filter($"rn" <= k).drop("rn")
+  * }}}
+  *
+  * into [[TopKPerGroupPlan]], so users who write the window form get the
+  * O(k)-heap physical operator instead of WindowExec's full partition
+  * sort — the optimization is a plan REWRITE, exactly what Catalyst's
+  * rule tier is for.
+  *
+  * The match is deliberately narrow (all conditions required):
+  *  - a Project over a Filter over a Window (the collapsed shape after
+  *    the main optimizer batches);
+  *  - the Window computes EXACTLY ONE expression: `row_number()` with
+  *    the default (UnboundedPreceding, CurrentRow) row frame;
+  *  - the filter is `rn <= k` or `rn < k` on that row_number, with a
+  *    literal k;
+  *  - the projection only passes through child attributes and does NOT
+  *    reference rn (a kept rank column changes the result shape — e.g.
+  *    q_window_rank — and must not be rewritten).
+  * Attribute ids are preserved: the custom node's output IS the window
+  * child's output, of which the projection selects a subset.
+  */
+object RowNumberTopKRewrite extends Rule[LogicalPlan] {
+
+  private def isDefaultRowNumberFrame(spec: WindowSpecDefinition): Boolean =
+    spec.frameSpecification match {
+      case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList, Filter(cond, w: Window))
+        if w.windowExpressions.length == 1 =>
+      (w.windowExpressions.head, cond) match {
+        case (alias @ Alias(WindowExpression(_: RowNumber, spec: WindowSpecDefinition), _),
+              cmp @ (_: LessThanOrEqual | _: LessThan))
+            if isDefaultRowNumberFrame(spec) =>
+          val rn = alias.toAttribute
+          val kOpt = cmp match {
+            case LessThanOrEqual(a: Attribute, IntegerLiteral(k))
+                if a.semanticEquals(rn) => Some(k)
+            case LessThan(a: Attribute, IntegerLiteral(k))
+                if a.semanticEquals(rn) => Some(k - 1)
+            case _ => None
+          }
+          val passThrough = projList.forall {
+            case a: Attribute => !a.semanticEquals(rn)
+            case _ => false
+          }
+          // Spark's own InferWindowGroupLimit has usually already inserted
+          // a WindowGroupLimit (rank-limit pushdown) below the Window by
+          // the time user rules run. It would be correct but redundant
+          // under the heap operator — and it drags two partition-wide
+          // Sorts into the physical plan (WindowGroupLimitExec needs
+          // sorted input; the heap does not) — so unwrap it.
+          val source = w.child match {
+            case wgl: WindowGroupLimit => wgl.child
+            case other => other
+          }
+          kOpt match {
+            case Some(k) if passThrough && k >= 0 =>
+              Project(projList,
+                TopKPerGroupPlan(w.partitionSpec, w.orderSpec, k, source))
+            case _ => p
+          }
+        case _ => p
+      }
+  }
+}

@@ -16,12 +16,15 @@ import scala.collection.mutable
   * [[TopKPerGroup.apply]].
   *
   * Why a custom operator instead of the `row_number() <= k` window form:
-  * WindowExec must SORT every partition's full data on (group, order) —
-  * O(n log n) over ALL rows, spilling at scale — when top-k only needs a
-  * bounded k-element heap per group: O(n log k) time and O(groups · k)
-  * memory, no spill, no full sort. Same reason global top-k plans as
-  * TakeOrderedAndProject instead of Sort+Limit; Spark just has no per-group
-  * form of it — this is it.
+  * the window plan must SORT every partition on (group, order) —
+  * O(n log n) over all rows, spilling at scale. Spark 3.5+'s
+  * InferWindowGroupLimit improves it (WindowGroupLimit prunes beyond-rank
+  * rows before and after the shuffle) but still sorts each partition to
+  * find the rank boundary; top-k only needs a bounded k-element heap per
+  * group: O(n log k) time, O(groups · k) memory, no sort, no spill. Same
+  * reason global top-k plans as TakeOrderedAndProject instead of
+  * Sort+Limit; Spark has no per-group form of it — this is it (and
+  * [[RowNumberTopKRewrite]] routes the window idiom here automatically).
   *
   * Scale: the exec declares `ClusteredDistribution(groupExprs)`, so
   * EnsureRequirements inserts exactly one hash shuffle on the group key
