@@ -463,6 +463,38 @@ object Analytics {
       .orderBy(col("col_name"))
   }
 
+  /** q_sample_hash — DETERMINISTIC sampling, the way a training-data
+    * pipeline actually samples: keep rows whose key-hash lands in the
+    * sample bucket (md5(event_id) mod 20 == 0 → 5%), then aggregate the
+    * sample. `df.sample()` draws from a per-partition RNG stream, so its
+    * result changes with partitioning/AQE and can't be verified or
+    * reproduced; hash-mod sampling is partition-invariant, stable across
+    * engines, and trivially stratifiable (mod per stratum). Per-row
+    * expression + hash agg — nothing to shuffle but the sample.
+    */
+  def qSampleHash(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .filter(expr(
+        "conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) % 20 = 0"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_v"))
+      .orderBy(col("event_type"))
+
+  /** q_unpivot — wide→long melt (the inverse of [[qPivot]]): the four
+    * lineitem measures become (measure, val) rows keyed by the line id.
+    * Spark's `unpivot` plans as a single Expand — one scan, 4× row
+    * generation, no shuffle before the presentation sort.
+    */
+  def qUnpivot(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
   /** q_custom_agg — the typed [[graft.functions.ArgMaxLong]] Aggregator
     * (E12) finding each event type's highest-value event.
     */
@@ -496,6 +528,8 @@ object Analytics {
     "q_range_join"      -> qRangeJoin _,
     "q_profile"         -> qProfile _,
     "q_topk_group"      -> qTopkGroup _,
+    "q_sample_hash"     -> qSampleHash _,
+    "q_unpivot"         -> qUnpivot _,
     "q_salted_agg"      -> qSaltedAgg _,
     "q_pivot"           -> qPivot _,
     "q_collect_list"    -> qCollectList _,
@@ -623,6 +657,22 @@ object Analytics {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
         |                           ORDER BY value DESC, event_id ASC) = 1
         |ORDER BY event_type""".stripMargin,
+    "q_sample_hash" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |       ${decSum.format("value")} AS sum_v
+         |FROM events
+         |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 20 = 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_topk_group" ->
       """SELECT event_type, event_id, value FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type

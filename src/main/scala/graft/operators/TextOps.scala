@@ -344,6 +344,21 @@ object TextOps {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** q_redact — text cleaning / PII-scrub shape: digit runs collapse to a
+    * redaction marker and the redaction count is reported per doc. Pure
+    * per-row `regexp_replace` — embarrassingly parallel, stays in
+    * whole-stage codegen. The pattern uses only syntax with identical
+    * semantics in Java regex and DuckDB's RE2 (no lookarounds, no class
+    * shorthands that differ).
+    */
+  def qRedact(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("redacted"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("n_redactions"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count"   -> qTokenCount _,
     "q_token_bpe"     -> qTokenBpe _,
@@ -357,6 +372,7 @@ object TextOps {
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
     "q_tfidf"         -> qTfidf _,
+    "q_redact"        -> qRedact _,
   )
 
   // ---- DuckDB oracle: identical tokenization, hashing, and arithmetic ----
@@ -501,6 +517,11 @@ object TextOps {
          |JOIN (SELECT doc_id, n_sh AS na FROM sizes) sa ON doc_a = sa.doc_id
          |JOIN (SELECT doc_id, n_sh AS nb FROM sizes) sb ON doc_b = sb.doc_id
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        |       regexp_replace(text, '[0-9]+', '#', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

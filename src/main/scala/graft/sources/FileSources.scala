@@ -45,6 +45,7 @@ object FileSources {
       fmt match {
         case "json" => w.json(dir)
         case "csv"  => w.option("header", "true").csv(dir)
+        case "orc"  => w.orc(dir)
       }
       dir
     })
@@ -81,10 +82,19 @@ object FileSources {
       .select(col("r.*")))
   }
 
+  /** q_orc_source — ORC replay: Spark's second first-class columnar
+    * format (predicate pushdown, column pruning, vectorized read — same
+    * scan optimizations as parquet). The oracle still runs on the parquet
+    * original, so the check proves the ORC round-trip is lossless.
+    */
+  def qOrcSource(spark: SparkSession, d: String): DataFrame =
+    project(spark.read.schema(readSchema).orc(stage(spark, d, "orc")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_source" -> qJsonSource _,
     "q_csv_source"  -> qCsvSource _,
     "q_text_source" -> qTextSource _,
+    "q_orc_source"  -> qOrcSource _,
   )
 
   private val baseSql =
@@ -96,5 +106,6 @@ object FileSources {
     "q_json_source" -> baseSql,
     "q_csv_source"  -> baseSql,
     "q_text_source" -> baseSql,
+    "q_orc_source"  -> baseSql,
   )
 }
