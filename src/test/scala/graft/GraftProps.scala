@@ -54,6 +54,25 @@ object GraftProps extends Properties("graft") {
       topk == full.take(k)
     }
 
+  property("TopKPerGroup equals the window form on random frames, any partitioning") =
+    forAllNoShrink(kvRows, Gen.choose(1, 5), Gen.oneOf(1, 3, 7)) { (rows, k, parts) =>
+      import spark.implicits._
+      GraftExtensions.register(spark)
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+        .toDF("g", "id", "v").repartition(parts)
+      val custom = graft.plans.TopKPerGroup(df, Seq(df("g")),
+          Seq((df("v"), true), (df("id"), false)), k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      // rn kept in the projection so RowNumberTopKRewrite does NOT fire —
+      // this baseline must stay a genuine WindowExec plan.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      custom == windowed
+    }
+
   property("groupBy aggregation is invariant under repartitioning") =
     forAllNoShrink(kvRows, Gen.oneOf(1, 3, 7)) { (rows, parts) =>
       import spark.implicits._
