@@ -335,6 +335,26 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_approx_quantiles — the SKETCH path beside [[qQuantiles]] (as
+    * [[qApproxDistinct]] is beside [[qDistinct]]): Greenwald-Khanna
+    * approximate percentiles with accuracy 10000 (error ≤ 1/accuracy of
+    * rank). Mergeable sketch, map-side partial — one row per group
+    * crosses the shuffle regardless of group size, where exact element
+    * selection must move every row. No SQL oracle (sketch internals are
+    * engine-specific); AnalyticsSpec bounds it against the exact
+    * quantiles instead.
+    */
+  def qApproxQuantiles(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+      .select(col("event_type"),
+        col("qs").getItem(0).as("p25"),
+        col("qs").getItem(1).as("p50"),
+        col("qs").getItem(2).as("p75"))
+      .orderBy(col("event_type"))
+
   /** q_asof_join — temporal AS-OF join, an operator Spark has no built-in
     * for: each event is matched to the most recent order of the same
     * customer at or before the event's timestamp (ties on order time
@@ -525,6 +545,7 @@ object Analytics {
     "q_custom_agg"      -> qCustomAgg _,
     "q_asof_join"       -> qAsofJoin _,
     "q_quantiles"       -> qQuantiles _,
+    "q_approx_quantiles" -> qApproxQuantiles _,
     "q_range_join"      -> qRangeJoin _,
     "q_profile"         -> qProfile _,
     "q_topk_group"      -> qTopkGroup _,

@@ -71,6 +71,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_quantiles lands within the GK rank-error bound of the exact quantiles") {
+    // accuracy=10000 → rank error ≤ n/10000; translate to a VALUE bound by
+    // checking the approx answer lies between the exact values at
+    // rank ± ceil(n/10000) ± 1.
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val got = Analytics.qApproxQuantiles(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val vs = byType(r.getString(0))
+      val n = vs.length
+      val eps = n / 10000 + 1
+      for ((q, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+        val v = r.getDouble(i + 1)
+        val rank = math.ceil(q * n).toInt
+        val lo = vs(math.max(rank - eps - 1, 0))
+        val hi = vs(math.min(rank + eps - 1, n - 1))
+        assert(v >= lo && v <= hi,
+          s"${r.getString(0)} q=$q approx=$v outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("ArgMaxLong: NaN counts as greatest (like max), null never wins, any partitioning") {
     import spark.implicits._
     val rows = Seq(
