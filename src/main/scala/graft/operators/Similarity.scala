@@ -221,25 +221,42 @@ object Similarity {
     * (label, pos, c) row per coordinate so the result is comparator-flat.
     *
     * Determinism: a double mean over shuffled partitions is
-    * order-nondeterministic in the last ulp, so each (label, pos) group
-    * folds its values in vec_id order (`sort_array` + `aggregate`) — the
-    * same LTR-double contract as every float op here. The gather is
-    * bounded by the label's vector count and embarrassingly parallel
-    * across (label, pos) groups; a production pipeline that doesn't need
-    * ulp determinism would use a plain tree-reduced `avg` (one shuffle,
-    * map-side partials) — that trade is the documented knob, not an
-    * accident.
+    * order-nondeterministic in the last ulp, so the summation order is
+    * pinned by CONTRACT: values fold left-to-right within fixed
+    * [[CentroidChunk]]-sized vec_id chunks, then the chunk partials fold
+    * left-to-right in chunk order — a fully specified addition sequence
+    * (NOT the same bits as one flat fold; fp addition is non-associative,
+    * so the oracle and spec replicate this exact two-level order). The
+    * two-level shape is what makes an exact-order mean scale: state per
+    * (label, pos, chunk) group is ≤ CentroidChunk elements and per
+    * (label, pos) group ≤ the chunk count — never the label's full
+    * vector count, which at 100 TB would OOM a flat collect_list. A
+    * pipeline that doesn't need ulp determinism uses a plain tree-reduced
+    * `avg` (one shuffle, map-side partials) — that trade is the
+    * documented knob, not an accident.
     */
-  def qCentroid(spark: SparkSession, d: String): DataFrame =
-    embeddings(spark, d)
+  val CentroidChunk = 128
+
+  def qCentroid(spark: SparkSession, d: String): DataFrame = {
+    val chunked = embeddings(spark, d)
       .select(col("label"), col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
+      .groupBy(col("label"), col("pos"),
+        expr(s"vec_id DIV $CentroidChunk").as("chunk"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+      .select(col("label"), col("pos"), col("chunk"),
+        expr("aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x.v AS DOUBLE))")
+          .as("psum"),
+        size(col("vs")).as("pn"))
+    chunked
+      .groupBy(col("label"), col("pos"))
+      .agg(sort_array(collect_list(struct(col("chunk"), col("psum")))).as("ps"),
+        sum(col("pn")).as("n"))
       .select(col("label"), col("pos"),
-        expr("aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x.v AS DOUBLE))" +
-             " / size(vs)").as("c"))
+        (expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.psum)") /
+          col("n")).as("c"))
       .orderBy(col("label"), col("pos"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"     -> qCosineTopk _,
@@ -280,17 +297,23 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q_centroid" ->
-      """SELECT label, pos,
-        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
-        |                   (acc, x) -> acc + x) / len(vs) AS c
-        |FROM (
-        |  SELECT label, pos, list(CAST(v AS DOUBLE) ORDER BY vec_id) AS vs
-        |  FROM (
-        |    SELECT label, vec_id, unnest(embedding) AS v,
-        |           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
-        |    FROM embeddings)
-        |  GROUP BY label, pos)
-        |ORDER BY label, pos""".stripMargin,
+      s"""WITH bypos AS (
+         |  SELECT label, vec_id, vec_id // $CentroidChunk AS chunk,
+         |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         |         unnest(embedding) AS v
+         |  FROM embeddings
+         |), chunks AS (
+         |  SELECT label, pos, chunk,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(CAST(v AS DOUBLE) ORDER BY vec_id)),
+         |           (acc, x) -> acc + x) AS psum,
+         |         COUNT(*) AS pn
+         |  FROM bypos GROUP BY label, pos, chunk
+         |)
+         |SELECT label, pos,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(psum ORDER BY chunk)), (acc, x) -> acc + x) / SUM(pn) AS c
+         |FROM chunks GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${cosSql("embedding", "qe")} AS cos

@@ -74,7 +74,7 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("q_centroid equals a hand-rolled vec_id-ordered mean per (label, pos)") {
+  test("q_centroid equals the hand-rolled chunked vec_id-ordered mean per (label, pos)") {
     val labels = Tables.embeddings(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1)))
     val got = Similarity.qCentroid(spark, sfDir).collect()
@@ -85,9 +85,18 @@ class SimilaritySpec extends SparkSpec {
       val sorted = vs.sortBy(_._1)
       val dim = sorted.head._3.length
       for (pos <- 0 until dim) {
-        var acc = 0.0
-        sorted.foreach { case (_, _, v) => acc += v(pos).toDouble }
-        assert(got((label, pos)) == acc / sorted.length,
+        // The contract: LTR fold within CentroidChunk-sized vec_id chunks,
+        // then LTR fold of the partials in chunk order.
+        val psums = sorted.groupBy(_._1 / Similarity.CentroidChunk).toSeq
+          .sortBy(_._1)
+          .map { case (_, chunk) =>
+            var acc = 0.0
+            chunk.sortBy(_._1).foreach { case (_, _, v) => acc += v(pos).toDouble }
+            acc
+          }
+        var total = 0.0
+        psums.foreach(total += _)
+        assert(got((label, pos)) == total / sorted.length,
           s"centroid ($label, $pos) differs")
       }
     }
