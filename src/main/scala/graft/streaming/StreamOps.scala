@@ -65,6 +65,26 @@ object StreamOps {
 
   private val replayCache = TrieMap.empty[String, String]
 
+  /** Scratch dir for replay staging and streaming checkpoints: tmpfs
+    * (/dev/shm) when available, system temp otherwise. Micro-batch
+    * checkpointing fsyncs offset/commit/state files per store per batch —
+    * on a disk-backed /tmp that IO dominates replay-sized batches, and a
+    * REPLAY checkpoint is ephemeral by definition (a production stream
+    * would point it at durable storage instead — this knob is about what
+    * durability the checkpoint actually needs, not about skipping it).
+    */
+  private[graft] def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p = if (java.nio.file.Files.isDirectory(shm) &&
+                java.nio.file.Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+    p.toString
+  }
+
+  /** Fresh tmpfs checkpoint location for one streaming query run. */
+  private def ckpt(): String = scratchDir("graft_ckpt_")
+
   /** Stage the events fixture as a replay directory of 2 parquet files
     * split at the MEDIAN timestamp — tick 1 is the older half, tick 2 the
     * newer half. With `maxFilesPerTrigger=1` this yields 2 real
@@ -89,7 +109,7 @@ object StreamOps {
   def stageReplayDir(spark: SparkSession, d: String): String =
     replayCache.getOrElseUpdate(d, {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val dir = Files.createTempDirectory("graft_replay_")
+      val dir = java.nio.file.Paths.get(scratchDir("graft_replay_"))
       val raw = spark.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
       val n = raw.count()
       val cut = raw.orderBy(col("ts")).limit(math.max((n / 2).toInt, 1))
@@ -285,6 +305,7 @@ object StreamOps {
     val query = startWithStatePartitions(spark) {
       tumblingCounts(eventsStream(spark, stageReplayDir(spark, d)))
         .writeStream
+        .option("checkpointLocation", ckpt())
         .format("memory")
         .queryName(sinkName)
         .outputMode("complete")
@@ -312,10 +333,11 @@ object StreamOps {
     // One DLQ per fixture dir; per-batch overwrite keeps re-runs idempotent
     // without accumulating temp directories across invocations.
     val dlqDir = dlqCache.getOrElseUpdate(d,
-      Files.createTempDirectory("graft_dlq_").toString)
+      scratchDir("graft_dlq_"))
     val parsed = eventsStream(spark, stageReplayDir(spark, d))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
     val query = parsed.writeStream
+      .option("checkpointLocation", ckpt())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Exactly-once: each micro-batch overwrites ITS OWN partition of
@@ -359,6 +381,7 @@ object StreamOps {
     val query = startWithStatePartitions(spark) {
       tumblingCounts(eventsStreamDsv2(spark, stageReplayDir(spark, d)))
         .writeStream
+        .option("checkpointLocation", ckpt())
         .format("memory")
         .queryName(sinkName)
         .outputMode("complete")
@@ -391,6 +414,7 @@ object StreamOps {
     val query = startWithStatePartitions(spark) {
       tumblingCounts(eventsStream(spark, stageReplayDir(spark, d)))
         .writeStream
+        .option("checkpointLocation", ckpt())
         .format("memory")
         .queryName(sinkName)
         .outputMode("append")
@@ -420,6 +444,7 @@ object StreamOps {
           eventsStream(spark, stageReplayDir(spark, d)), horizon = "3650 days")
         .select(col("user_id"), col("event_type"))
         .writeStream
+        .option("checkpointLocation", ckpt())
         .format("memory")
         .queryName(sinkName)
         .outputMode("append")
@@ -472,9 +497,10 @@ object StreamOps {
     // (key→count + key+index→row, each side): the query this sizing
     // matters most for — 3.8× faster at 8 partitions than at 32 on the
     // fixture.
-    val query = startWithStatePartitions(spark) {
+    val query = startWithStatePartitions(spark, 4) {
       clickViewPairs(eventsStream(spark, stageReplayDir(spark, d)))
         .writeStream
+        .option("checkpointLocation", ckpt())
         .format("memory")
         .queryName(sinkName)
         .outputMode("append")
@@ -523,9 +549,10 @@ object StreamOps {
     */
   def qStreamJoinOuter(spark: SparkSession, d: String): DataFrame = {
     val sinkName = freshSink(spark, "stream_join_outer")
-    val query = startWithStatePartitions(spark) {
+    val query = startWithStatePartitions(spark, 4) {
       clickViewPairsOuter(eventsStream(spark, stageReplayDir(spark, d)))
         .writeStream
+        .option("checkpointLocation", ckpt())
         .format("memory")
         .queryName(sinkName)
         .outputMode("append")
@@ -555,6 +582,7 @@ object StreamOps {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_v"))
         .writeStream
+        .option("checkpointLocation", ckpt())
         .format("memory")
         .queryName(sinkName)
         .outputMode("complete")
