@@ -34,8 +34,12 @@ object Tables {
     * fingerprint table before the pair join.
     */
   def cacheForSelfJoin(key: String, df: DataFrame): DataFrame = {
+    // Unpersist the previous entry BEFORE caching the new one: Spark's
+    // CacheManager keys by canonical plan, so old and new usually SHARE a
+    // cache entry — unpersisting after would evict the entry just
+    // registered and leave every call after the first uncached.
+    selfJoinCache.remove(key).foreach(_.unpersist(blocking = false))
     selfJoinCache.put(key, df.cache())
-      .foreach(_.unpersist(blocking = false))
     df
   }
 

@@ -39,8 +39,11 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // partitionSpec must be NON-EMPTY: a global top-k (no partitionBy)
+    // would build ClusteredDistribution(Nil), which Spark rejects at
+    // planning — and it is better served by TakeOrderedAndProject anyway.
     case p @ Project(projList, Filter(cond, w: Window))
-        if w.windowExpressions.length == 1 =>
+        if w.windowExpressions.length == 1 && w.partitionSpec.nonEmpty =>
       (w.windowExpressions.head, cond) match {
         case (alias @ Alias(WindowExpression(_: RowNumber, spec: WindowSpecDefinition), _),
               cmp @ (_: LessThanOrEqual | _: LessThan))

@@ -73,8 +73,14 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
       // O(groups · k) state — never a partition-wide sort.
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
+        // Probe with the projection's REUSED buffer; copy the key only on
+        // first insertion — one allocation per group, not per row.
+        val key = keyProj(row)
+        val heap = heaps.getOrElse(key, {
+          val h = mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), h)
+          h
+        })
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (limit > 0 && ord.compare(row, heap.head) < 0) {
           heap.dequeue()

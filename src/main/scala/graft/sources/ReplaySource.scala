@@ -95,10 +95,14 @@ class ReplayMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
     * already-committed index ranges stable because staged names are
     * strictly increasing.
     */
-  private def files(): Array[String] =
-    new java.io.File(path).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  private def files(): Array[String] = {
+    val listed = new java.io.File(path).listFiles()
+    if (listed == null)
+      throw new IllegalStateException(
+        s"graft-replay: replay directory missing or unreadable: $path")
+    listed.filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getAbsolutePath).sorted
+  }
 
   /** Listing frozen by `prepareForTriggerAvailableNow`, so AvailableNow
     * drains exactly the files present at query start even if the

@@ -283,8 +283,9 @@ object StreamOps {
     * on small batches — measured 3.8× slower on the fixture join. The
     * partition count is baked into the checkpoint at first start, so it
     * could not track cluster size anyway; production sizes it to expected
-    * state, we use 8 here. The conf is restored immediately after
-    * `start()` — it is read once at query planning.
+    * state. Default 8 here; the store-heavy stream-stream joins pass 4.
+    * The conf is restored immediately after `start()` — it is read once
+    * at query planning.
     */
   private def startWithStatePartitions[A](spark: SparkSession, n: Int = 8)
                                          (start: => A): A = {
@@ -462,7 +463,14 @@ object StreamOps {
     * the same user's views in the following 30 minutes. Works identically
     * over a batch DataFrame, which is how the oracle verifies it.
     */
-  def clickViewPairs(events: DataFrame): DataFrame = {
+  def clickViewPairs(events: DataFrame): DataFrame =
+    clickViewJoin(events, "inner")
+
+  /** One definition of the click→view shape for BOTH join types, so the
+    * window/watermark constants cannot drift between the inner and outer
+    * queries (whose oracles and specs assume identical geometry).
+    */
+  private def clickViewJoin(events: DataFrame, joinType: String): DataFrame = {
     val clicks = events
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -476,7 +484,8 @@ object StreamOps {
     clicks.join(views,
         col("c_user") === col("v_user") &&
           col("v_ts") >= col("c_ts") &&
-          col("v_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+          col("v_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
   }
 
@@ -495,8 +504,8 @@ object StreamOps {
     val sinkName = freshSink(spark, "stream_join")
     // A stream-stream join keeps FOUR state stores per shuffle partition
     // (key→count + key+index→row, each side): the query this sizing
-    // matters most for — 3.8× faster at 8 partitions than at 32 on the
-    // fixture.
+    // matters most for — 32 partitions measured 3.8× slower than 8 on
+    // the fixture, and the 4 used here shaves the store overhead further.
     val query = startWithStatePartitions(spark, 4) {
       clickViewPairs(eventsStream(spark, stageReplayDir(spark, d)))
         .writeStream
@@ -517,24 +526,8 @@ object StreamOps {
     * watermark proves no matching view can still arrive (it passes
     * click ts + 30 min), i.e. when the click's join state is evicted.
     */
-  def clickViewPairsOuter(events: DataFrame): DataFrame = {
-    val clicks = events
-      .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-              col("ts").as("c_ts"))
-      .withWatermark("c_ts", "10 minutes")
-    val views = events
-      .filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-              col("ts").as("v_ts"))
-      .withWatermark("v_ts", "10 minutes")
-    clicks.join(views,
-        col("c_user") === col("v_user") &&
-          col("v_ts") >= col("c_ts") &&
-          col("v_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
-        "left_outer")
-      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
-  }
+  def clickViewPairsOuter(events: DataFrame): DataFrame =
+    clickViewJoin(events, "left_outer")
 
   /** q_stream_join_outer — [[qStreamJoin]] as a LEFT OUTER stream-stream
     * join, the semantically hardest streaming operator here: matched
