@@ -115,6 +115,21 @@ object Analytics {
       .orderBy(col("c_custkey"))
   }
 
+  /** q_join_full — FULL OUTER join completing the join family: customers
+    * with no qualifying order keep a NULL order side, qualifying orders
+    * with no customer (none in the fixture, but the shape allows it) keep
+    * a NULL customer side. Same shuffle equi-join plan as the inner form —
+    * outer-ness only changes row emission, not distribution.
+    */
+  def qJoinFull(spark: SparkSession, d: String): DataFrame = {
+    val c = customer(spark, d).select(col("c_custkey"), col("c_name"))
+    val big = orders(spark, d).filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(big, c("c_custkey") === big("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
+      .orderBy(col("c_custkey"), col("o_orderkey"))
+  }
+
   /** q_window_rank — row_number / rank / lag partitioned by user (E4): the
     * per-key ordered-state shape sessionization needs. State is bounded per
     * user_id partition, so the plan scales horizontally with keys.
@@ -180,6 +195,20 @@ object Analytics {
 
   def qCube(spark: SparkSession, d: String): DataFrame =
     groupingSets(lineitem(spark, d), cube = true)
+
+  /** q_grouping_sets — EXPLICIT grouping-set combinations (the general
+    * form rollup/cube are shorthands of): per-(flag, status), per-flag,
+    * and grand total — but NOT per-status, which neither rollup nor cube
+    * can express alone. One Expand + hash agg, like E6.
+    */
+  def qGroupingSets(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("n"))
 
   /** q_dedup — exact deduplication (E7) with a deterministic keeper
     * (min event_id per key), expressed as an aggregation so it partial-
@@ -534,6 +563,8 @@ object Analytics {
     "q_join_left"       -> qJoinLeft _,
     "q_join_semi"       -> qJoinSemi _,
     "q_join_anti"       -> qJoinAnti _,
+    "q_join_full"       -> qJoinFull _,
+    "q_grouping_sets"   -> qGroupingSets _,
     "q_window_rank"     -> qWindowRank _,
     "q_union"           -> qUnion _,
     "q_intersect"       -> qIntersect _,
@@ -594,6 +625,20 @@ object Analytics {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """SELECT c_custkey, c_name, o_orderkey
+        |FROM customer
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |                 WHERE o_totalprice > 450000) o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |       ${decSum.format("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |                        (l_returnflag), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
     "q_window_rank" ->
       """SELECT event_id, user_id,
         |       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
