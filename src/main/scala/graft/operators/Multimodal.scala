@@ -60,8 +60,43 @@ object Multimodal {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  /** Frame size (bytes) and sampling stride for [[qFrameSample]]. */
+  val FrameBytes = 16
+  val FrameStride = 4
+
+  /** q_frame_sample — the frame-sampling shape of video/audio ingestion:
+    * the blob is treated as consecutive [[FrameBytes]]-byte frames, every
+    * [[FrameStride]]-th frame is decoded (STUB: byte sum stands in for
+    * the pixel decode), and one feature row per SAMPLED frame flows
+    * downstream — the blob itself never shuffles, and the output volume
+    * is cut by the stride before anything leaves the scan stage, which
+    * at 100 TB is the difference between shipping every frame and
+    * shipping 1/stride of them.
+    */
+  def qFrameSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val blobs = documents(spark, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    blobs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        (0 until bytes.length / FrameBytes).iterator
+          .filter(_ % FrameStride == 0)
+          .map { f =>
+            // --- STUB FRAME DECODE (see qMultimodalFeatures) ---------
+            var s = 0L
+            var i = f * FrameBytes
+            while (i < (f + 1) * FrameBytes) { s += bytes(i) & 0xff; i += 1 }
+            (id, f, s)
+          }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_sum")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> qMultimodalFeatures _,
+    "q_frame_sample"        -> qFrameSample _,
   )
 
   /** The fixture text is pure ASCII, so UTF-8 bytes == ascii codes and the
@@ -79,5 +114,18 @@ object Multimodal {
         |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      s"""SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(
+         |           string_split(substr(text, f * $FrameBytes + 1, $FrameBytes), ''),
+         |           c -> CAST(ascii(c) AS BIGINT))),
+         |         (acc, c) -> acc + c) AS frame_sum
+         |FROM (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0, len(text) // $FrameBytes - 1)) AS f
+         |  FROM documents)
+         |WHERE f % $FrameStride = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
