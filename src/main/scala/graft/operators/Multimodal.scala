@@ -94,9 +94,41 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Downsampling factor for [[qResize]]: keep every k-th byte. */
+  val ResizeFactor = 2
+
+  /** q_resize — the resize/downsample shape: each blob is reduced to
+    * every [[ResizeFactor]]-th byte (nearest-neighbor; a real resize
+    * interpolates pixels — STUB like the other decodes) and only the
+    * RESIZED blob's size and checksum leave the scan stage. Resize-on-
+    * ingest is the standard way a media pipeline cuts 100 TB to the
+    * resolution training actually uses before anything shuffles or
+    * persists.
+    */
+  def qResize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val blobs = documents(spark, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    blobs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val out = Array.range(0, bytes.length, ResizeFactor).map(bytes)
+        var h = 0L
+        var i = 0
+        while (i < out.length) {
+          h = (h * 31 + (out(i) & 0xff)) % 1000000007L
+          i += 1
+        }
+        (id, out.length, h)
+      }
+    }.toDF("doc_id", "n_bytes_out", "checksum_out")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> qMultimodalFeatures _,
     "q_frame_sample"        -> qFrameSample _,
+    "q_resize"              -> qResize _,
   )
 
   /** The fixture text is pure ASCII, so UTF-8 bytes == ascii codes and the
@@ -127,5 +159,19 @@ object Multimodal {
          |  FROM documents)
          |WHERE f % $FrameStride = 0
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // DuckDB list lambdas expose a 1-BASED index i; Spark keeps 0-based
+    // positions 0, 2, 4… which are i = 1, 3, 5… here.
+    "q_resize" ->
+      s"""SELECT doc_id,
+         |       CAST(len(kept) AS INTEGER) AS n_bytes_out,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(kept, c -> CAST(ascii(c) AS BIGINT))),
+         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum_out
+         |FROM (
+         |  SELECT doc_id,
+         |         list_filter(string_split(text, ''),
+         |                     (c, i) -> (i - 1) % $ResizeFactor = 0) AS kept
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
   )
 }
