@@ -29,7 +29,11 @@ object Bench {
         None
       }
     }
+    // Dev-loop filter (comma-separated names): bench one operator without
+    // the full suite. Unset = the driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
     // Untimed warmup on the BENCHED dataset: session boot, codegen, parquet
     // reader, shuffle paths — otherwise whichever query runs first absorbs
     // ~5 s of one-off cost and numbers aren't comparable across rounds.

@@ -19,25 +19,31 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  private val selfJoinCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val selfJoinCache = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
 
   /** Cache an intermediate that a query SELF-JOINS, so the expensive
     * subtree (e.g. the simhash fingerprint pipeline, the shingle
     * inverted index) is computed once per invocation instead of once per
     * join side — Spark evaluates each side of a self-join independently
-    * unless the common subtree is materialized. Keyed per (query, fixture
-    * dir); a new invocation unpersists the previous one's cache, so each
+    * unless the common subtree is materialized. Keyed by the CANONICAL
+    * plan — the same key Spark's CacheManager dedups by — so two query
+    * names sharing a subtree (e.g. the capped and uncapped Jaccard both
+    * shingling `documents`) map to ONE entry here exactly as they share
+    * one entry there: a string key per query would let one name's
+    * unpersist evict the entry the other name's DataFrame references, and
+    * would let a later query silently read the earlier one's warm cache.
+    * A new invocation unpersists the previous entry for its plan, so each
     * call still computes its subtree COLD (benchmarks stay honest) while
     * the two/three join sides within the call share it. This is the
     * in-query analog of a production pipeline materializing its
     * fingerprint table before the pair join.
     */
-  def cacheForSelfJoin(key: String, df: DataFrame): DataFrame = {
-    // Unpersist the previous entry BEFORE caching the new one: Spark's
-    // CacheManager keys by canonical plan, so old and new usually SHARE a
-    // cache entry — unpersisting after would evict the entry just
-    // registered and leave every call after the first uncached.
+  def cacheForSelfJoin(df: DataFrame): DataFrame = {
+    val key = df.queryExecution.analyzed.canonicalized
+    // Unpersist the previous entry BEFORE caching the new one: old and new
+    // share the CacheManager entry — unpersisting after would evict the
+    // entry just registered and leave every call after the first uncached.
     selfJoinCache.remove(key).foreach(_.unpersist(blocking = false))
     selfJoinCache.put(key, df.cache())
     df

@@ -524,7 +524,12 @@ object Analytics {
   def qSampleHash(spark: SparkSession, d: String): DataFrame =
     events(spark, d)
       .filter(expr(
-        "conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) % 20 = 0"))
+        // conv() returns STRING; the cast makes the mod run in exact int64
+        // by declaration instead of relying on implicit string→numeric
+        // coercion (whose target type is ANSI-mode-dependent — a DOUBLE
+        // coercion would round values above 2^53 and silently shift the
+        // sample set).
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 20 = 0"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_v"))
       .orderBy(col("event_type"))

@@ -157,7 +157,7 @@ object TextOps {
     * The join is on band keys — an inverted index, never all-pairs.
     */
   def qMinhashLsh(spark: SparkSession, d: String): DataFrame = {
-    val sig = graft.Tables.cacheForSelfJoin(s"minhash_lsh|$d", signatures(spark, d))
+    val sig = graft.Tables.cacheForSelfJoin(signatures(spark, d))
     val bandCols = (0 until BANDS).map { j =>
       struct(lit(j).as("band_idx"),
         concat_ws("|", (0 until 4).map(i => col(s"mh${4 * j + i}")): _*).as("bkey"))
@@ -221,7 +221,7 @@ object TextOps {
     * probabilistic MinHash/sign-LSH recall.
     */
   def qSimhashPairs(spark: SparkSession, d: String): DataFrame = {
-    val sh = graft.Tables.cacheForSelfJoin(s"simhash_pairs|$d", simhashed(spark, d))
+    val sh = graft.Tables.cacheForSelfJoin(simhashed(spark, d))
     val blocks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 to HammingMax).map { b =>
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))
@@ -253,8 +253,7 @@ object TextOps {
     * production form is [[qNgramJaccardCapped]].
     */
   def qNgramJaccard(spark: SparkSession, d: String): DataFrame =
-    jaccardTop20(graft.Tables.cacheForSelfJoin(s"ngram_jaccard|$d",
-      shingled(spark, d)))
+    jaccardTop20(graft.Tables.cacheForSelfJoin(shingled(spark, d)))
 
   /** Maximum document frequency a shingle may have and still enter the
     * inverted-index join in [[qNgramJaccardCapped]]. 5 prunes real mass at
@@ -278,12 +277,11 @@ object TextOps {
     * would otherwise contribute |corpus|² candidates.
     */
   def qNgramJaccardCapped(spark: SparkSession, d: String): DataFrame = {
-    val sh0 = graft.Tables.cacheForSelfJoin(s"ngram_jaccard_capped|$d",
-      shingled(spark, d))
+    val sh0 = graft.Tables.cacheForSelfJoin(shingled(spark, d))
     val kept = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap)
       .select(col("s"))
-    jaccardTop20(graft.Tables.cacheForSelfJoin(s"ngram_jaccard_capped2|$d",
+    jaccardTop20(graft.Tables.cacheForSelfJoin(
       sh0.join(kept, "s").select(col("doc_id"), col("s"))))
   }
 

@@ -65,15 +65,30 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
           // the time user rules run. It would be correct but redundant
           // under the heap operator — and it drags two partition-wide
           // Sorts into the physical plan (WindowGroupLimitExec needs
-          // sorted input; the heap does not) — so unwrap it.
-          val source = w.child match {
-            case wgl: WindowGroupLimit => wgl.child
+          // sorted input; the heap does not) — so unwrap it. Only a WGL
+          // that provably corresponds to THIS row_number filter may be
+          // stripped: same partition/order specs, RowNumber rank function,
+          // and a limit that keeps at least the k rows we need. Anything
+          // else (a stricter limit or different ordering from a future
+          // Spark version or another rule) stays as the child — dropping
+          // it would change results.
+          def matchesWindow(wgl: WindowGroupLimit, k: Int): Boolean =
+            wgl.rankLikeFunction.isInstanceOf[RowNumber] &&
+              wgl.partitionSpec.length == w.partitionSpec.length &&
+              wgl.partitionSpec.zip(w.partitionSpec)
+                .forall { case (a, b) => a.semanticEquals(b) } &&
+              wgl.orderSpec.length == w.orderSpec.length &&
+              wgl.orderSpec.zip(w.orderSpec)
+                .forall { case (a, b) => a.semanticEquals(b) } &&
+              wgl.limit >= k
+          def source(k: Int): LogicalPlan = w.child match {
+            case wgl: WindowGroupLimit if matchesWindow(wgl, k) => wgl.child
             case other => other
           }
           kOpt match {
             case Some(k) if passThrough && k >= 0 =>
               Project(projList,
-                TopKPerGroupPlan(w.partitionSpec, w.orderSpec, k, source))
+                TopKPerGroupPlan(w.partitionSpec, w.orderSpec, k, source(k)))
             case _ => p
           }
         case _ => p

@@ -50,8 +50,16 @@ class ReplaySourceProvider extends TableProvider with DataSourceRegister {
     StreamOps.eventsRawSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
+                        properties: java.util.Map[String, String]): Table = {
+    // Fixed-schema source: a user-specified schema that differs from the
+    // replay contract must fail loudly (DSv2 convention), not be silently
+    // replaced by eventsRawSchema.
+    if (schema != null && schema != StreamOps.eventsRawSchema)
+      throw new UnsupportedOperationException(
+        s"graft-replay has a fixed schema ${StreamOps.eventsRawSchema.simpleString}; " +
+          s"user-specified schema ${schema.simpleString} is not supported")
     new ReplayTable(properties.get("path"))
+  }
 }
 
 /** The replay directory as a DSv2 table: micro-batch read capability only
