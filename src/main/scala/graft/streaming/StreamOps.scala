@@ -120,7 +120,10 @@ object StreamOps {
         val parts = scratch.toFile.listFiles
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
         parts.zipWithIndex.foreach { case (f, i) =>
-          val dest = dir.resolve(s"tick$tick-$i-${f.getName}")
+          // Zero-padded part index: the DSv2 source and FileStreamSource
+          // order files lexicographically, and tick1-10 < tick1-2 would
+          // diverge from numeric order if a half ever produced 10+ parts.
+          val dest = dir.resolve(f"tick$tick%d-$i%05d-${f.getName}%s")
           Files.move(f.toPath, dest)
           // Fixed epoch + 1 min per tick: mtime order == name order.
           dest.toFile.setLastModified(1600000000000L + tick * 60000L)
@@ -187,13 +190,16 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
   /** Session windows (30-minute gap) per user — the stateful T4 shape;
-    * identical semantics to the batch `Windows.qSession`.
+    * identical semantics to the batch `Windows.qSession`. The sum uses
+    * [[Tables.exactSum]] (decimal partials) so the result is independent
+    * of how rows split across micro-batches and state merges — the same
+    * associativity argument that makes it partition-invariant in batch.
     */
   def sessionCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_v"))
 
   /** Custom keyed-state sessionization via `flatMapGroupsWithState` — the
     * (d)-tier stateful operator SURVEY §2d T4 calls for, for when
@@ -276,22 +282,43 @@ object StreamOps {
   }
 
   /** Start a streaming query with shuffle partitions sized to STATE
-    * volume instead of core count. Every stateful operator commits one
-    * checkpoint delta per state store per shuffle partition per
-    * micro-batch (a stream-stream join keeps FOUR stores per partition),
-    * so CPU-sized partitioning turns into pure fixed checkpoint overhead
-    * on small batches — measured 3.8× slower on the fixture join. The
-    * partition count is baked into the checkpoint at first start, so it
-    * could not track cluster size anyway; production sizes it to expected
-    * state. Default 8 here; the store-heavy stream-stream joins pass 4.
-    * The conf is restored immediately after `start()` — it is read once
-    * at query planning.
+    * volume instead of core count, on the PRODUCTION state store
+    * (RocksDB). Every stateful operator commits one checkpoint delta per
+    * state store per shuffle partition per micro-batch (a stream-stream
+    * join keeps FOUR stores per partition), so CPU-sized partitioning
+    * turns into pure fixed checkpoint overhead on small batches —
+    * measured 3.8× slower on the fixture join. The partition count is
+    * baked into the checkpoint at first start, so it could not track
+    * cluster size anyway; production sizes it to expected state. Default
+    * 8 here; the store-heavy stream-stream joins pass 4.
+    *
+    * The RocksDB provider is what a 100 TB deployment runs — state lives
+    * off-heap/on-disk per executor instead of as JVM-heap hash maps, so
+    * state volume is bounded by local disk, not executor heap. Setting it
+    * here (not just in a spec) means the correctness gate and the bench
+    * measure the production configuration. Both confs are restored
+    * immediately after `start()` — they are read once at query planning.
     */
   private def startWithStatePartitions[A](spark: SparkSession, n: Int = 8)
                                          (start: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    // Changelog checkpointing is the production RocksDB configuration:
+    // each commit uploads the batch's CHANGELOG instead of snapshotting
+    // SST files, turning per-batch checkpoint cost from O(state) into
+    // O(delta) — the difference between RocksDB being a scaling win and a
+    // per-batch tax, both at 100 TB and on these replay-sized batches.
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val saved = Seq("spark.sql.shuffle.partitions", providerKey, changelogKey)
+      .map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try start finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    try start finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** q_stream_tick — a REAL streaming execution: file-source replay →
@@ -426,6 +453,92 @@ object StreamOps {
     spark.table(sinkName)
       .select(Tables.tsSeconds(col("w.start")).as("w_start"),
               col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** q_stream_session — STREAMING sessionization as a first-class
+    * correctness-gated query: the same `session_window` aggregation the
+    * batch `Windows.qSession` runs, executed as a real streaming query
+    * over the 2-tick replay (append mode, `Trigger.AvailableNow`).
+    * Session state merges across micro-batches — a session spanning the
+    * replay's tick boundary is extended by tick 2's rows, not split —
+    * and a session is emitted exactly once, when the watermark passes its
+    * end (last event + 30 min gap), at which point its state is evicted.
+    * The oracle replays that contract: the batch gaps-and-islands rewrite
+    * filtered to sessions with `s_end <= max(ts) − 10 min` (the final
+    * watermark) — sessions still open against the watermark are withheld
+    * by design, exactly like q_stream_tick_append's last-hour windows.
+    * This is the hardest stateful operator in the engine running under
+    * the production contract: bounded per-user state, RocksDB store,
+    * watermark-driven emission.
+    */
+  def qStreamSession(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_session")
+    val query = startWithStatePartitions(spark) {
+      sessionCounts(eventsStream(spark, stageReplayDir(spark, d)))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(col("user_id"),
+              Tables.tsSeconds(col("sw.start")).as("s_start"),
+              Tables.tsSeconds(col("sw.end")).as("s_end"),
+              col("n"), col("sum_v"))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
+  /** q_stream_tick_update — the third output-mode point the append-mode
+    * scaladoc describes: UPDATE mode feeding an idempotent upsert sink.
+    * Each micro-batch emits only the windows whose aggregate CHANGED, and
+    * `foreachBatch` appends them to an UPSERT LOG: each batch overwrites
+    * exactly its own `batch=N` directory, so a retried batch replaces
+    * rather than duplicates its output (the exactly-once contract), and
+    * the serving read compacts the log to the latest value per key
+    * (`max_by` over batch id) — the parquet-only equivalent of the Delta/
+    * Iceberg MERGE a production serving store would run. (A first cut
+    * used dynamic partition overwrite with the window AS the partition
+    * key — semantically identical but it creates one directory per
+    * window: thousands of tiny partitions and a 20 s metadata storm at
+    * sf0.1; a log keyed by batch writes O(changed rows) in O(1)
+    * directories.) This is the serving-store pattern: complete mode
+    * rewrites O(all windows) per tick, append mode withholds open windows
+    * until the watermark closes them; update mode ships each window's
+    * latest value as it changes — O(changed windows) per tick AND no
+    * emission latency. After the drain, latest-per-key over the log is
+    * every window's final value: exactly the full-snapshot oracle (same
+    * as q_stream_tick's).
+    */
+  def qStreamTickUpdate(spark: SparkSession, d: String): DataFrame = {
+    val serveDir = scratchDir("graft_serve_")
+    val query = startWithStatePartitions(spark) {
+      tumblingCounts(eventsStream(spark, stageReplayDir(spark, d)))
+        .select(unix_timestamp(col("w.start")).as("w_epoch"),
+                col("event_type"), col("n"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.coalesce(1).write.mode("overwrite")
+            .parquet(s"$serveDir/batch=$batchId")
+        }
+        .start()
+    }
+    query.awaitTermination()
+    // Compact the upsert log: the latest batch's value wins per key.
+    spark.read.option("basePath", serveDir).parquet(s"$serveDir/batch=*")
+      .groupBy(col("w_epoch"), col("event_type"))
+      .agg(max_by(col("n"), col("batch")).as("n"))
+      .select(
+        Tables.tsSeconds(timestamp_seconds(col("w_epoch").cast("long")))
+          .as("w_start"),
+        col("event_type"), col("n"))
       .orderBy(col("w_start"), col("event_type"))
   }
 
@@ -589,7 +702,9 @@ object StreamOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tick"        -> qStreamTick _,
     "q_stream_tick_append" -> qStreamTickAppend _,
+    "q_stream_tick_update" -> qStreamTickUpdate _,
     "q_stream_tick_dsv2"   -> qStreamTickDsv2 _,
+    "q_stream_session"     -> qStreamSession _,
     "q_stream_dedup"       -> qStreamDedup _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_stream_join"        -> qStreamJoin _,
@@ -616,6 +731,35 @@ object StreamOps {
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_tick_update" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, COUNT(*) AS n
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_session" ->
+      """WITH wm AS (
+        |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
+        |), marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM sess, wm
+        |GROUP BY user_id, sid, wm.w
+        |HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
+        |ORDER BY user_id, s_start""".stripMargin,
     "q_stream_tick_append" ->
       """WITH wm AS (
         |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
