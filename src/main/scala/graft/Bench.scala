@@ -31,7 +31,15 @@ object Bench {
     }
     // Dev-loop filter (comma-separated names): bench one operator without
     // the full suite. Unset = the driver's full run.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map { s =>
+      val names = s.split(",").toSet
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      // Same loud-failure contract as Verify's filter: a typo must not
+      // silently produce an empty (and apparently instant) bench run.
+      require(unknown.isEmpty,
+        s"unknown query names in SPARK_GRAFT_ONLY: ${unknown.toSeq.sorted.mkString(",")}")
+      names
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
     // Untimed warmup on the BENCHED dataset: session boot, codegen, parquet
@@ -54,7 +62,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures the tail of stdout and has truncated the head of
+    // this (long) line in past rounds; persist the full artifact to a file
+    // so the per-query map always survives intact.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(out, line + "\n")
+      System.err.println(s"[bench] full artifact written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -11,7 +11,15 @@ object Verify {
     // manifest still lists only what ran, so local_verify compares just
     // the subset.
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) {
+        val names = args(2).split(",").toSet
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        // A typo'd name would otherwise yield an empty run, an empty
+        // manifest, and a trivially green gate — fail loudly instead.
+        require(unknown.isEmpty,
+          s"unknown query names in filter: ${unknown.toSeq.sorted.mkString(",")}")
+        Some(names)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,9 +57,10 @@ object Verify {
       .filterKeys(k => only.forall(_(k))).toMap
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Manifest of EVERY declared query, so the gate can fail loudly on a
-    // query that threw before producing output — without this, a no-oracle
-    // query that errors would simply vanish from the report.
+    // Manifest of every SELECTED query (the full registry when no filter
+    // is active), so the gate can fail loudly on a query that threw before
+    // producing output — without this, a no-oracle query that errors would
+    // simply vanish from the report.
     val manifest = selected.keys.toSeq.sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)

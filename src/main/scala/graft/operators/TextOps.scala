@@ -176,28 +176,46 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q_simhash — 32-bit SimHash fingerprint over distinct tokens: each
-    * token votes ±1 per bit position of its hash; the fingerprint keeps the
-    * sign of each bit's tally. Near-dup docs differ in few bits (small
-    * Hamming distance).
+  /** q_simhash — [[SimhashBits]]-bit SimHash fingerprint over distinct
+    * tokens: each token votes ±1 per bit position of its hash; the
+    * fingerprint keeps the sign of each bit's tally. Near-dup docs differ
+    * in few bits (small Hamming distance).
+    *
+    * 60 bits (15 hex chars of md5 — the widest md5 prefix that stays a
+    * positive int64 in both Spark and DuckDB) rather than the toy 32: on a
+    * low-entropy corpus a narrow fingerprint clusters, and the blocking
+    * join in [[qSimhashPairs]] degrades to few giant buckets. 60 bits is
+    * the Manku-Jain-Sarma regime (their f = 64) and gives the 4 blocking
+    * blocks 15 bits ≈ 32k key values each, ~128× the selectivity of the
+    * old 8-bit blocks.
     */
+  val SimhashBits = 60
+
   /** (doc_id, simhash) — the shared fingerprint pipeline of [[qSimhash]]
     * and [[qSimhashPairs]].
+    *
+    * Plan note: the textbook formulation explodes one row per (token, bit)
+    * — a ×[[SimhashBits]] row blowup before the aggregate. Here the 60 bit
+    * tallies are 60 sum() columns of ONE hash aggregate over the token
+    * rows (map-side partial, one 60-value row per doc crosses the
+    * shuffle), and the sign/pack step is a single projection. Same
+    * fingerprint, 60× fewer aggregate input rows.
     */
-  private def simhashed(spark: SparkSession, d: String): DataFrame =
+  private def simhashed(spark: SparkSession, d: String): DataFrame = {
+    val tallies = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"t$j")
+    }
+    val pack = (0 until SimhashBits).map { j =>
+      when(col(s"t$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     tokenized(spark, d)
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
-      .select(col("doc_id"), md5Long(col("t"), 8).as("h32"))
-      .select(col("doc_id"), col("h32"),
-        explode(sequence(lit(0), lit(31))).as("j"))
-      .select(col("doc_id"), col("j"),
-        when(expr("(h32 DIV CAST(pow(2, j) AS BIGINT)) % 2") === 1, 1)
-          .otherwise(-1).as("w"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("w")).as("tally"))
+      .select(col("doc_id"), md5Long(col("t"), 15).as("h"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("tally") >= 0, expr("CAST(pow(2, j) AS BIGINT)"))
-        .otherwise(0L)).as("simhash"))
+      .agg(tallies.head, tallies.tail: _*)
+      .select(col("doc_id"), pack.as("simhash"))
+  }
 
   def qSimhash(spark: SparkSession, d: String): DataFrame =
     simhashed(spark, d).orderBy(col("doc_id"))
@@ -205,26 +223,33 @@ object TextOps {
   /** Maximum Hamming distance for a [[qSimhashPairs]] near-dup pair. */
   val HammingMax = 3
 
+  /** Bits per blocking block in [[qSimhashPairs]]:
+    * [[SimhashBits]] / ([[HammingMax]] + 1).
+    */
+  val BlockBits: Int = SimhashBits / (HammingMax + 1)
+
   /** q_simhash_pairs — SimHash near-duplicate PAIRS via Hamming-distance
-    * blocking (the Manku-Jain-Sarma web-dedup scheme): split the 32-bit
-    * fingerprint into [[HammingMax]]+1 = 4 byte blocks; by pigeonhole, any
-    * pair within Hamming distance 3 agrees EXACTLY on at least one block,
-    * so candidates come from a per-(block, value) equi-join — never
-    * all-pairs — and are verified with an exact
-    * `bit_count(a XOR b) <= 3`.
+    * blocking (the Manku-Jain-Sarma web-dedup scheme): split the
+    * [[SimhashBits]]-bit fingerprint into [[HammingMax]]+1 = 4 blocks of
+    * [[BlockBits]] = 15 bits; by pigeonhole, any pair within Hamming
+    * distance 3 agrees EXACTLY on at least one block, so candidates come
+    * from a per-(block, value) equi-join — never all-pairs — and are
+    * verified with an exact `bit_count(a XOR b) <= 3`.
     *
-    * On diverse corpora each block key fans out to a tiny bucket (work
-    * Σ bucket² per block, like every LSH join here); this fixture's tiny
-    * vocabulary makes fingerprints cluster, so the reduction is only ~2×
-    * at sf0.01 — the guarantee that matters is structural: candidate
-    * recall is 100% BY CONSTRUCTION (pigeonhole), unlike the
+    * Each block key fans out to a bucket (work Σ bucket² per block, like
+    * every LSH join here); the 15-bit keys (~32k values) keep buckets
+    * small even on this fixture's low-entropy vocabulary, where the old
+    * 8-bit keys collapsed into few giant buckets and made this the
+    * suite's slowest query. The guarantee that matters is structural:
+    * candidate recall is 100% BY CONSTRUCTION (pigeonhole), unlike the
     * probabilistic MinHash/sign-LSH recall.
     */
   def qSimhashPairs(spark: SparkSession, d: String): DataFrame = {
     val sh = graft.Tables.cacheForSelfJoin(simhashed(spark, d))
     val blocks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 to HammingMax).map { b =>
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))
+        shiftright(col("simhash"), BlockBits * b)
+          .bitwiseAND(lit((1L << BlockBits) - 1))
       }: _*)).as(Seq("blk", "bkey")))
     blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
         col("blk"), col("bkey"))
@@ -387,16 +412,16 @@ object TextOps {
 
   /** Shared simhash CTE chain ending in `sh(doc_id, simhash)`. */
   private val simhashCte: String =
-    """tok AS (
+    s"""tok AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
       |  FROM documents
       |), h AS (
-      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h32 FROM tok
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
       |), bits AS (
       |  SELECT doc_id, j,
-      |         CASE WHEN (h32 // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+      |         CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
       |              THEN 1 ELSE -1 END AS w
-      |  FROM h, (SELECT unnest(generate_series(0, 31)) AS j)
+      |  FROM h, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j)
       |), tallies AS (
       |  SELECT doc_id, j, SUM(w) AS tally FROM bits GROUP BY doc_id, j
       |), sh AS (
@@ -484,7 +509,7 @@ object TextOps {
       s"""WITH $simhashCte, blocks AS (
          |  ${(0 to HammingMax).map { b =>
                s"SELECT doc_id, simhash, $b AS blk, " +
-               s"(simhash // ${1L << (8 * b)}) % 256 AS bkey FROM sh"
+               s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
              }.mkString("\n  UNION ALL\n  ")}
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

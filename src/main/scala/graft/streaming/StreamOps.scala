@@ -531,10 +531,13 @@ object StreamOps {
         .start()
     }
     query.awaitTermination()
-    // Compact the upsert log: the latest batch's value wins per key.
+    // Compact the upsert log: the latest batch's value wins per key. The
+    // explicit cast makes latest-batch-wins independent of partition-column
+    // type INFERENCE: if `batch` were ever inferred as string, batch=9
+    // would sort above batch=10 once a replay exceeds 10 micro-batches.
     spark.read.option("basePath", serveDir).parquet(s"$serveDir/batch=*")
       .groupBy(col("w_epoch"), col("event_type"))
-      .agg(max_by(col("n"), col("batch")).as("n"))
+      .agg(max_by(col("n"), col("batch").cast("long")).as("n"))
       .select(
         Tables.tsSeconds(timestamp_seconds(col("w_epoch").cast("long")))
           .as("w_start"),

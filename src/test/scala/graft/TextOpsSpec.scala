@@ -60,32 +60,27 @@ class TextOpsSpec extends SparkSpec {
     })
   }
 
-  test("q_simhash matches a hand-rolled 32-bit SimHash") {
+  private def referenceSimhash(text: String): Long = {
+    val bits = TextOps.SimhashBits
+    val tallies = Array.fill(bits)(0)
+    text.split(" ").distinct.foreach { t =>
+      val h = java.lang.Long.parseLong(md5Hex(t).take(15), 16)
+      for (j <- 0 until bits)
+        tallies(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+    }
+    (0 until bits).map(j => if (tallies(j) >= 0) 1L << j else 0L).sum
+  }
+
+  test("q_simhash matches a hand-rolled 60-bit SimHash") {
     val got = TextOps.qSimhash(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     docs.take(25).foreach { case (id, text) =>
-      val tokens = text.split(" ").distinct
-      val tallies = Array.fill(32)(0)
-      tokens.foreach { t =>
-        val h32 = java.lang.Long.parseLong(md5Hex(t).take(8), 16)
-        for (j <- 0 until 32)
-          tallies(j) += (if (((h32 >> j) & 1L) == 1L) 1 else -1)
-      }
-      val fp = (0 until 32).map(j => if (tallies(j) >= 0) 1L << j else 0L).sum
-      assert(got(id) == fp, s"doc $id simhash mismatch")
+      assert(got(id) == referenceSimhash(text), s"doc $id simhash mismatch")
     }
   }
 
   test("q_simhash_pairs finds EXACTLY the hamming<=3 pairs (pigeonhole completeness)") {
-    def simhash(text: String): Long = {
-      val tallies = Array.fill(32)(0)
-      text.split(" ").distinct.foreach { t =>
-        val h32 = java.lang.Long.parseLong(md5Hex(t).take(8), 16)
-        for (j <- 0 until 32)
-          tallies(j) += (if (((h32 >> j) & 1L) == 1L) 1 else -1)
-      }
-      (0 until 32).map(j => if (tallies(j) >= 0) 1L << j else 0L).sum
-    }
+    def simhash(text: String): Long = referenceSimhash(text)
     val sh = docs.map { case (id, t) => id -> simhash(t) }
     val ids = sh.keys.toSeq.sorted
     val expected = (for {
