@@ -30,6 +30,7 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
       (graft.sources.FileSources.queries, graft.sources.FileSources.oracle),
+      (graft.sources.WritePath.queries, graft.sources.WritePath.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

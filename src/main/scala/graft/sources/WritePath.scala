@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The Load stage of the pipeline (SURVEY.md §2a S6) — the reference
+  * persists each processed frame for its dashboard (/root/reference/
+  * app.py:274); at scale the equivalent is a partitioned + bucketed
+  * columnar table, laid out so that downstream reads prune and co-locate
+  * instead of shuffling:
+  *
+  *  - PARTITION BY event date — time-range queries prune whole
+  *    directories at the driver (partition filters, no file I/O at all
+  *    for out-of-range dates);
+  *  - BUCKET BY user_id — per-user joins and aggregations read data
+  *    already hash-distributed on the key, so they plan with NO shuffle
+  *    Exchange (asserted in PlanSpec/BucketingSpec). At 100 TB this is
+  *    the difference between a per-query multi-TB shuffle and none.
+  *
+  * The registered query writes the events fixture through that layout,
+  * reads it BACK, and returns a per-user aggregate; the oracle computes
+  * the same aggregate on the ORIGINAL table, so a green CORRECTNESS row
+  * proves the write→read round trip is lossless across every column
+  * class: keys (sum of event_id), doubles (exact decimal sum of value),
+  * strings (min/max event_type), and the derived partition date
+  * (distinct-date count per user).
+  */
+object WritePath {
+
+  /** Bucket count for the demo layout. At sf0.1 this gives ~10^4 rows per
+    * bucket; a real deployment sizes it to (table size / target file
+    * size) and keeps it fixed so every writer and reader agrees.
+    */
+  val Buckets = 8
+
+  private[graft] val TableName = "graft_events_bucketed"
+
+  /** Write the date-partitioned, user_id-bucketed events table into a
+    * fresh scratch dir and return the catalog table name. Split from the
+    * query so plan tests can target the read-back table directly.
+    */
+  private[graft] def writeBucketed(spark: SparkSession, d: String): String = {
+    // A fresh external location per invocation: benchmarks measure a cold
+    // write, and a retried run never reads a half-written previous layout.
+    val dir = Files.createTempDirectory("graft_write_").toString
+    spark.sql(s"DROP TABLE IF EXISTS $TableName")
+    Tables.events(spark, d)
+      .withColumn("event_date", to_date(col("ts")))
+      .write
+      .partitionBy("event_date")
+      .bucketBy(Buckets, "user_id")
+      .sortBy("user_id")
+      .option("path", s"$dir/$TableName")
+      .saveAsTable(TableName)
+    TableName
+  }
+
+  /** q_write_bucketed — write events partitioned by date + bucketed by
+    * user, read back, aggregate per user. The aggregation itself is part
+    * of the proof: grouping on the bucket column plans WITHOUT a shuffle
+    * Exchange (the scan already delivers hash-distributed rows).
+    */
+  def qWriteBucketed(spark: SparkSession, d: String): DataFrame =
+    readBackAgg(spark.table(writeBucketed(spark, d)))
+
+  private[graft] def readBackAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_date")).as("n_days"),
+        sum(col("event_id")).as("sum_eid"),
+        Tables.exactSum(col("value")).as("sum_v"),
+        min(col("event_type")).as("min_type"),
+        max(col("event_type")).as("max_type"))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_write_bucketed" -> qWriteBucketed _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_write_bucketed" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+        |       MIN(event_type) AS min_type,
+        |       MAX(event_type) AS max_type
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -42,6 +42,44 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("q_write_bucketed layout: group-by on the bucket column plans with no hash Exchange; date predicate prunes partitions") {
+    val tbl = graft.sources.WritePath.writeBucketed(spark, sfDir)
+    try {
+      // The registered query's own aggregate: bucketing on user_id must
+      // satisfy the aggregation's clustering requirement, so the ONLY
+      // exchange in the plan is the rangepartitioning for the final sort.
+      val agg = graft.sources.WritePath.readBackAgg(spark.table(tbl))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"bucketed group-by must not shuffle:\n$aggPlan")
+      assert(aggPlan.contains("Bucketed: true"),
+        s"scan must report the bucketed layout:\n$aggPlan")
+
+      // Self-join on the bucket column: no shuffle on either side (the
+      // property BucketingSpec previously proved only on fixture tables,
+      // now on the table the PRODUCT path writes).
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val t = spark.table(tbl)
+        val joined = t.select(col("user_id"), col("event_id"))
+          .join(t.select(col("user_id").as("uid2"), col("value")),
+            col("user_id") === col("uid2"))
+        val jp = joined.queryExecution.executedPlan.toString
+        assert(jp.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$jp")
+        assert(!jp.contains("Exchange hashpartitioning"),
+          s"bucketed self-join must not shuffle either side:\n$jp")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+      // Partition pruning: a date predicate becomes a partition filter.
+      val pruned = spark.table(tbl)
+        .filter(col("event_date") === "2024-01-02")
+      val pp = pruned.queryExecution.executedPlan.toString
+      assert(pp.contains("PartitionFilters: [isnotnull(event_date"),
+        s"date predicate must prune partitions, not filter rows:\n$pp")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("partitioned layout: an event_type predicate prunes partitions at the scan") {
     val base = Files.createTempDirectory("graft_part_").toString + "/events"
     Tables.events(spark, sfDir)
