@@ -157,11 +157,17 @@ object StreamOps {
     * seen-files log. The production interface for the reference's HTTP
     * poll (app.py:40-52), proven without egress.
     */
-  def eventsStreamDsv2(spark: SparkSession, replay: String): DataFrame = {
-    spark.readStream
+  def eventsStreamDsv2(spark: SparkSession, replay: String,
+                       columns: Option[String] = None): DataFrame = {
+    val reader = spark.readStream
       .format("graft-replay")
       .option("maxFilesPerTrigger", "1")
-      .load(replay)
+    // Explicit projection (e.g. "ts,event_type"): narrows the source table
+    // schema so the reader decodes only those parquet columns — see the
+    // column-pruning note on ReplaySourceProvider for why streaming needs
+    // the option while batch DSv2 would get pruneColumns pushed for free.
+    columns.foreach(reader.option("columns", _))
+    reader.load(replay)
       .withColumn("ts", Tables.nsToTs("ts"))
   }
 
@@ -407,7 +413,8 @@ object StreamOps {
   def qStreamTickDsv2(spark: SparkSession, d: String): DataFrame = {
     val sinkName = freshSink(spark, "stream_tick_dsv2")
     val query = startWithStatePartitions(spark) {
-      tumblingCounts(eventsStreamDsv2(spark, stageReplayDir(spark, d)))
+      tumblingCounts(eventsStreamDsv2(spark, stageReplayDir(spark, d),
+          columns = Some("ts,event_type")))
         .writeStream
         .option("checkpointLocation", ckpt())
         .format("memory")

@@ -293,6 +293,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 replay source: pruneColumns and the columns option both narrow the read schema") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val replay = StreamOps.stageReplayDir(spark, sfDir)
+    val full = StreamOps.eventsRawSchema
+
+    // 1. The DSv2 pushdown contract: pruneColumns narrows readSchema, in
+    //    TABLE-schema order regardless of the requested order.
+    val provider = new graft.sources.ReplaySourceProvider
+    val table = provider.getTable(null, Array.empty,
+        java.util.Map.of("path", replay))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val builder = table.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+    builder.pruneColumns(StructType(Seq(full("event_type"), full("ts"))))
+    val scan = builder.asInstanceOf[org.apache.spark.sql.connector.read.ScanBuilder].build()
+    assert(scan.readSchema().fieldNames.toSeq == Seq("ts", "event_type"),
+      s"pruned scan must read only (ts, event_type): ${scan.readSchema().simpleString}")
+
+    // 2. The streaming path (q_stream_tick_dsv2's form): the columns
+    //    option narrows the TABLE schema itself, and the projected replay
+    //    still aggregates to the same result as the full-schema batch.
+    val pruned = StreamOps.eventsStreamDsv2(spark, replay, columns = Some("ts,event_type"))
+    assert(pruned.schema.fieldNames.toSeq == Seq("ts", "event_type"),
+      s"columns option must narrow the stream schema: ${pruned.schema.simpleString}")
+    val query = StreamOps.tumblingCounts(pruned)
+      .writeStream.format("memory").queryName("dsv2_pruned")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run(query) {
+      query.awaitTermination()
+      val streamed = spark.table("dsv2_pruned")
+        .select(col("w.start").as("s"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("s"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    }
+
+    // 3. A typo'd projection fails loudly, never widens to a full read.
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.ReplaySource.projectedSchema("ts,event_typo")
+    }
+    assert(err.getMessage.contains("event_typo"))
+  }
+
   test("stream-stream join pairs a click with a later-batch view; outside-window view excluded") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
