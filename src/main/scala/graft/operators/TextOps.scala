@@ -273,12 +273,39 @@ object TextOps {
     * hazard of this join. AQE's skew-join splitting absorbs moderate skew;
     * at production scale the standard extra step is capping shingle
     * document-frequency (dropping shingles above a df threshold loses
-    * almost no Jaccard signal — they're near-universal). Not applied here
-    * because the oracle verifies the exact unfiltered semantics; the
-    * production form is [[qNgramJaccardCapped]].
+    * almost no Jaccard signal — they're near-universal). The cap is not
+    * applied here because the oracle verifies the exact unfiltered
+    * semantics — but the exact form is NOT allowed to run unbounded: a
+    * [[MaxSafeDf]] tripwire kills the query before a hot shingle can fan
+    * out. The production form is [[qNgramJaccardCapped]].
     */
-  def qNgramJaccard(spark: SparkSession, d: String): DataFrame =
-    jaccardTop20(graft.Tables.cacheForSelfJoin(shingled(spark, d)))
+  /** Hard tripwire for the EXACT (uncapped) Jaccard: the largest document
+    * frequency any shingle may have before [[qNgramJaccard]] REFUSES to
+    * run. A shingle with df = m contributes m² candidate rows to the
+    * self-join; at 100 TB a near-universal shingle means |corpus|² — the
+    * query must die loudly, not melt the cluster. Fixture maxima are
+    * 7–25, so the gate never fires at test scale; the production answer
+    * past the bound is [[qNgramJaccardCapped]].
+    */
+  val MaxSafeDf = 1000
+
+  def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val sh0 = graft.Tables.cacheForSelfJoin(shingled(spark, d))
+    // The guard is part of the PLAN, not a driver-side collect: the df
+    // table (one row per distinct shingle, map-side-partial aggregated)
+    // re-emits each shingle through a raise_error branch, so an executor
+    // throws on the first hot shingle BEFORE the self-join fans out its
+    // df² candidate rows. When the bound holds the branch is the
+    // identity and the oracle semantics are exactly the unfiltered ones.
+    val checked = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .select(when(col("df") > MaxSafeDf,
+          raise_error(format_string(
+            s"q_ngram_jaccard: shingle df %s exceeds the safe bound $MaxSafeDf; " +
+              "use q_ngram_jaccard_capped at this scale", col("df"))))
+        .otherwise(col("s")).as("s"))
+    jaccardTop20(graft.Tables.cacheForSelfJoin(
+      sh0.join(checked, "s").select(col("doc_id"), col("s"))))
+  }
 
   /** Maximum document frequency a shingle may have and still enter the
     * inverted-index join in [[qNgramJaccardCapped]]. 5 prunes real mass at

@@ -95,6 +95,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_ngram_jaccard tripwire: a hot shingle past MaxSafeDf kills the query loudly") {
+    import org.apache.spark.sql.functions._
+    // A corpus where one trigram appears in MaxSafeDf+1 documents: the
+    // guard must throw before the self-join fans out (MaxSafeDf+1)^2
+    // candidate rows. Written as a real parquet dir because the query
+    // surface reads the documents table from a fixture path.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotshingle_").toString
+    spark.range(0, TextOps.MaxSafeDf + 1)
+      .select(col("id").as("doc_id"),
+        concat(lit("hot shingle here tail"), col("id")).as("text"),
+        lit("en").as("lang"), lit("t").as("source"),
+        lit(0L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val err = intercept[Exception] {
+      TextOps.qNgramJaccard(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m => m.contains("exceeds the safe bound")),
+      s"expected the MaxSafeDf raise_error, got: $err")
+  }
+
   test("q_ngram_jaccard scores are exact set Jaccard, in (0, 1], descending") {
     val rows = TextOps.qNgramJaccard(spark, sfDir).collect()
     assert(rows.length == 20)
