@@ -97,15 +97,43 @@ object Similarity {
   private def planeBit(v: Column, j: Int): Column =
     (element_at(v, 4 * j + 1) >= 0).cast("int")
 
-  /** Integer bucket key of band `b`: its NdRows sign bits, MSB-first. */
-  private def bandKey(v: Column, b: Int): Column =
-    (0 until NdRows).map { i =>
-      planeBit(v, b * NdRows + i) * (1 << (NdRows - 1 - i))
-    }.reduce(_ + _)
+  /** All band keys of a vector for an explicit (bands, rows) split of the
+    * [[NdPlanes]] planes, index-aligned for `posexplode`. Contiguous
+    * split, so configurations NEST: a (b, r) band agreeing implies both
+    * its (2b, r/2) half-bands agree — candidates(2,8) ⊆ candidates(4,4)
+    * ⊆ candidates(8,2), which is the monotone recall/candidate-mass
+    * trade the SimilaritySpec property sweep pins.
+    */
+  private[graft] def bandKeysFor(v: Column, bands: Int, rows: Int): Column = {
+    require(bands * rows == NdPlanes,
+      s"bands ($bands) × rows ($rows) must cover the $NdPlanes planes")
+    array((0 until bands).map { b =>
+      (0 until rows).map { i =>
+        planeBit(v, b * rows + i) * (1 << (rows - 1 - i))
+      }.reduce(_ + _)
+    }: _*)
+  }
 
-  /** All band keys of a vector, index-aligned for `posexplode`. */
-  private def bandKeys(v: Column): Column =
-    array((0 until NdBands).map(bandKey(v, _)): _*)
+  /** All band keys of a vector under the default geometry. */
+  private def bandKeys(v: Column): Column = bandKeysFor(v, NdBands, NdRows)
+
+  /** Distinct candidate id pairs (a_id < b_id) of the (bands, rows)
+    * geometry — the LSH stage of [[qCosineNeardup]], exposed
+    * parameterized for the property sweep.
+    */
+  private[graft] def bandCandidates(spark: SparkSession, d: String,
+                                    bands: Int, rows: Int): DataFrame = {
+    val e = embeddings(spark, d)
+    val bandRows = e.select(col("vec_id"),
+      posexplode(bandKeysFor(col("embedding"), bands, rows)).as(Seq("band", "bkey")))
+    bandRows.select(col("vec_id").as("a_id"), col("band"), col("bkey"))
+      .join(bandRows.select(col("vec_id").as("b_id"),
+          col("band").as("band2"), col("bkey").as("bkey2")),
+        col("band") === col("band2") && col("bkey") === col("bkey2") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
 
   private def queryVec(spark: SparkSession, d: String): DataFrame =
     embeddings(spark, d).filter(col("vec_id") === 0)
@@ -160,15 +188,7 @@ object Similarity {
     */
   def qCosineNeardup(spark: SparkSession, d: String): DataFrame = {
     val e = embeddings(spark, d)
-    val bands = e.select(col("vec_id"),
-      posexplode(bandKeys(col("embedding"))).as(Seq("band", "bkey")))
-    val cand = bands.select(col("vec_id").as("a_id"), col("band"), col("bkey"))
-      .join(bands.select(col("vec_id").as("b_id"),
-          col("band").as("band2"), col("bkey").as("bkey2")),
-        col("band") === col("band2") && col("bkey") === col("bkey2") &&
-          col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
+    val cand = bandCandidates(spark, d, NdBands, NdRows)
     def side(p: String) = e.select(
       col("vec_id").as(s"${p}_id"),
       col("embedding").as(s"${p}_e"),

@@ -127,6 +127,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("banded LSH property sweep: (2,8)->(4,4)->(8,2) trades candidate mass for recall monotonically") {
+    val ids = vecs.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if cosRef(vecs(ids(i)), vecs(ids(j))) >= 0.3
+    } yield (ids(i), ids(j))).toSet
+    assert(truth.nonEmpty)
+
+    val configs = Seq((2, 8), (4, 4), (8, 2))
+    val swept = configs.map { case (bands, rows) =>
+      val cand = Similarity.bandCandidates(spark, sfDir, bands, rows)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = cand.intersect(truth).size.toDouble / truth.size
+      ((bands, rows), cand, recall)
+    }
+
+    // Contiguous band splits nest: every coarser config's candidate set is
+    // contained in the next finer one's — the structural form of the trade.
+    swept.sliding(2).foreach { case Seq((c1, cand1, _), (c2, cand2, _)) =>
+      assert(cand1.subsetOf(cand2),
+        s"candidates$c1 must be a subset of candidates$c2")
+    }
+    // The trade itself: more bands of fewer rows => more candidate mass
+    // AND more recall, strictly across the extremes on this fixture.
+    val Seq((_, cand28, rec28), (_, cand44, rec44), (_, cand82, rec82)) = swept
+    assert(cand28.size <= cand44.size && cand44.size <= cand82.size)
+    assert(rec28 <= rec44 && rec44 <= rec82)
+    assert(cand28.size < cand82.size && rec28 < rec82,
+      f"sweep must be strict across extremes: mass ${cand28.size}->${cand82.size}, " +
+        f"recall $rec28%.3f->$rec82%.3f")
+    // Pin the documented operating points: the default 4x4 clears the 0.4
+    // recall floor, and 8x2's recall clears 0.9 on the fixture's
+    // p~0.61 sign-agreement curve (1-(1-p^2)^8).
+    assert(rec44 >= 0.4, f"4x4 recall $rec44%.3f below floor")
+    assert(rec82 >= 0.9, f"8x2 recall $rec82%.3f below floor")
+  }
+
   test("q_cosine_neardup banded recall over all true cos>=0.3 pairs is >= 0.4") {
     val ids = vecs.keys.toSeq.sorted
     val truth = for {
