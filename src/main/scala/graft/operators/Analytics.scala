@@ -560,7 +560,116 @@ object Analytics {
         max(col("value")).as("best_value"))
       .orderBy(col("event_type"))
 
+  /** q_ntile — per-language length quartiles over `documents` (the
+    * stratification step before length-balanced sampling in a training
+    * pipeline): ntile(4) within each language ordered by (n_chars,
+    * doc_id) — the doc_id tie-break makes bucket assignment total-order
+    * deterministic, so both engines agree exactly.
+    *
+    * Scale: the window partitions by `lang`, so each language's rows sort
+    * independently — never a single global window partition (a global
+    * NTILE funnels the whole table through one task; the production
+    * global form cuts on approx-quantile boundaries instead).
+    */
+  def qNtile(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    documents(spark, d)
+      .select(col("lang"), col("n_chars"), ntile(4).over(w).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Rows kept per stratum by [[qSampleBalanced]]. */
+  val BalancedPerStratum = 200
+
+  /** q_sample_balanced — deterministic class-balanced subsampling: keep
+    * the first [[BalancedPerStratum]] rows per event_type in md5-hash
+    * order (a reproducible shuffle), the way a training pipeline
+    * downsamples majority classes. Hash order (not ts or id order) makes
+    * the kept set a uniform draw that is identical across engines,
+    * partitionings, and reruns; the event_id tie-break closes the
+    * (improbable) hash-collision hole.
+    *
+    * Scale: one window per stratum key — per-key parallel — and
+    * row_number's sort is bounded per key by Spark's WindowGroupLimit
+    * pushdown (rank-limit filter pushed below the sort at the shuffle
+    * map side).
+    */
+  def qSampleBalanced(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    events(spark, d)
+      .select(col("event_type"), col("value"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= BalancedPerStratum)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_v"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sequence length cap in [[qEventSeq]]. */
+  val SeqLen = 10
+
+  /** q_event_seq — training-sequence construction: each user's first
+    * [[SeqLen]] event types in (ts, event_id) order, joined into one
+    * string — the per-entity ordered-history shape every
+    * sequence-model / session-embedding dataset is built from.
+    *
+    * Scale: collect_list + sort_array keeps per-user state bounded by the
+    * user's event count (and the emitted column by [[SeqLen]]); the
+    * aggregation is a single hash agg keyed by user — map-side partial,
+    * one row per user across the shuffle. A pipeline with unbounded
+    * per-user history would pre-truncate with a windowed row_number
+    * (the [[qSampleBalanced]] shape) before collecting.
+    */
+  def qEventSeq(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          slice(transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), 1, SeqLen),
+          "|").as("seq"))
+      .orderBy(col("user_id"))
+
+  /** q_corr — per-event-type Pearson correlation of value vs hour-of-day,
+    * the feature-correlation profiling step of dataset curation — computed
+    * BIT-STABLY: Spark's builtin `corr` accumulates co-moments in double
+    * (partitioning-dependent last-ulp), so instead the five sums are
+    * exact decimal aggregations ([[graft.Tables.exactSum]], order-
+    * invariant) and the textbook formula
+    * (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²))
+    * is then evaluated in IEEE double in the same literal order in both
+    * engines. Map-side-partial agg; one 6-value row per group shuffles.
+    */
+  def qCorr(spark: SparkSession, d: String): DataFrame = {
+    val x = col("value")
+    val y = hour(col("ts")).cast("double")
+    val stats = events(spark, d)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        exactSum(col("x")).as("sx"), exactSum(col("y")).as("sy"),
+        exactSum(col("x") * col("x")).as("sxx"),
+        exactSum(col("y") * col("y")).as("syy"),
+        exactSum(col("x") * col("y")).as("sxy"))
+    stats.select(col("event_type"), col("n").cast("long").as("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_vh"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ntile"           -> qNtile _,
+    "q_sample_balanced" -> qSampleBalanced _,
+    "q_event_seq"       -> qEventSeq _,
+    "q_corr"            -> qCorr _,
     "q_groupby_agg"     -> qGroupbyAgg _,
     "q_distinct"        -> qDistinct _,
     "q_approx_distinct" -> qApproxDistinct _,
@@ -598,6 +707,44 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_ntile" ->
+      """SELECT lang, bucket, COUNT(*) AS n,
+        |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |         ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents)
+        |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "q_sample_balanced" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${decSum.format("value")} AS sum_v
+         |FROM (
+         |  SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+         |  FROM events)
+         |WHERE rn <= $BalancedPerStratum
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_event_seq" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |       array_to_string(
+         |         (list(event_type ORDER BY ts, event_id))[1:$SeqLen], '|') AS seq
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_corr" ->
+      """SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       (n * sxy - sx * sy) /
+        |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_vh
+        |FROM (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM (SELECT event_type, value AS x,
+        |               CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS y
+        |        FROM events)
+        |  GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin,
     "q_groupby_agg" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |       ${decSum.format("l_quantity")} AS sum_qty,

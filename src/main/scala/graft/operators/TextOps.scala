@@ -156,7 +156,10 @@ object TextOps {
     * of 4 values; documents sharing any full band become a candidate pair.
     * The join is on band keys — an inverted index, never all-pairs.
     */
-  def qMinhashLsh(spark: SparkSession, d: String): DataFrame = {
+  /** (doc_a, doc_b, shared_bands), unsorted — the LSH candidate stage
+    * shared by [[qMinhashLsh]] and [[qEditDistance]].
+    */
+  private def minhashPairs(spark: SparkSession, d: String): DataFrame = {
     val sig = graft.Tables.cacheForSelfJoin(signatures(spark, d))
     val bandCols = (0 until BANDS).map { j =>
       struct(lit(j).as("band_idx"),
@@ -173,6 +176,32 @@ object TextOps {
           col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  def qMinhashLsh(spark: SparkSession, d: String): DataFrame =
+    minhashPairs(spark, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** q_edit_distance — fuzzy-dedup verification: exact Levenshtein edit
+    * distance on the MinHash-LSH candidate pairs. The candidates-then-
+    * verify pipeline with a CHARACTER-level verifier: LSH (set overlap)
+    * proposes, edit distance (order-sensitive) disposes — the standard
+    * second stage when near-dup policy cares about edits, not just shared
+    * shingles.
+    *
+    * Scale: Levenshtein is O(|a|·|b|) per pair — viable ONLY because it
+    * runs on the LSH candidate set (Σ bucket² pairs), never all pairs;
+    * the two text fetches are equi-joins on doc id, so each text crosses
+    * the shuffle once per candidate membership, not once per comparison.
+    * Both engines implement classic unit-cost edit distance, so the
+    * values hash-match exactly.
+    */
+  def qEditDistance(spark: SparkSession, d: String): DataFrame = {
+    val txt = documents(spark, d).select(col("doc_id"), col("text"))
+    minhashPairs(spark, d)
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_bands"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -417,6 +446,7 @@ object TextOps {
     "q_fingerprint"   -> qFingerprint _,
     "q_minhash_sig"   -> qMinhashSig _,
     "q_minhash_lsh"   -> qMinhashLsh _,
+    "q_edit_distance" -> qEditDistance _,
     "q_simhash"       -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -529,6 +559,23 @@ object TextOps {
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q_edit_distance" ->
+      s"""WITH sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |)
+         |SELECT doc_a, doc_b, shared_bands,
+         |       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+         |FROM pairs
+         |JOIN documents da ON doc_a = da.doc_id
+         |JOIN documents db ON doc_b = db.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,

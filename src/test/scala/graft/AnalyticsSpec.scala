@@ -126,6 +126,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("q_ntile buckets are balanced within 1 and ordered by length per language") {
+    val rows = Analytics.qNtile(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, bs) =>
+      assert(bs.map(_.getInt(1)).sorted.toSeq == (1 to 4), s"$lang must have 4 buckets")
+      val ns = bs.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$lang bucket sizes $ns differ by more than 1")
+      // Quartile ranges must not overlap: bucket k's max <= bucket k+1's min.
+      val ordered = bs.sortBy(_.getInt(1))
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(4) <= b.getLong(3), s"$lang quartile ranges overlap")
+      }
+    }
+  }
+
+  test("q_sample_balanced caps every stratum at BalancedPerStratum and is rerun-stable") {
+    val r1 = Analytics.qSampleBalanced(spark, sfDir).collect()
+    assert(r1.nonEmpty)
+    r1.foreach(r => assert(r.getLong(1) <= Analytics.BalancedPerStratum))
+    val r2 = Analytics.qSampleBalanced(spark, sfDir).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+      "hash-ordered sampling must be deterministic across runs")
+  }
+
+  test("q_event_seq emits at most SeqLen steps, consistent with each user's count") {
+    Analytics.qEventSeq(spark, sfDir).collect().foreach { r =>
+      val (n, seq) = (r.getLong(1), r.getString(2))
+      val steps = seq.split("\\|").length
+      assert(steps == math.min(n, Analytics.SeqLen.toLong),
+        s"user ${r.getLong(0)}: $steps steps for $n events")
+    }
+  }
+
+  test("q_corr values are valid Pearson coefficients and match a driver-side recompute") {
+    val got = Analytics.qCorr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    got.values.foreach(v => assert(v >= -1.0 && v <= 1.0 && !v.isNaN))
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        hour(col("ts")).cast("double").as("h"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (et, xs) =>
+      val n = xs.length.toDouble
+      // exactSum casts each term to DECIMAL(38,6) (HALF_UP) before summing.
+      def s(f: ((String, Double, Double)) => Double) = xs.map(f)
+        .map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val (sx, sy) = (s(_._2), s(_._3))
+      val (sxx, syy, sxy) = (s(t => t._2 * t._2), s(t => t._3 * t._3), s(t => t._2 * t._3))
+      val ref = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(math.abs(got(et) - ref) < 1e-9, s"$et: ${got(et)} vs $ref")
+    }
+  }
+
   test("q_join_semi ∪ q_join_anti partitions customer exactly") {
     // Different thresholds in the two queries, so recompute anti at the
     // semi threshold for the partition property.

@@ -95,6 +95,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_edit_distance covers exactly the LSH candidate pairs with true edit distances") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val got = TextOps.qEditDistance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val lshPairs = TextOps.qMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet == lshPairs, "verifier must score exactly the candidate set")
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), d) =>
+      assert(d == lev(docs(a), docs(b)), s"pair ($a,$b) distance differs from DP reference")
+    }
+  }
+
   test("q_ngram_jaccard tripwire: a hot shingle past MaxSafeDf kills the query loudly") {
     import org.apache.spark.sql.functions._
     // A corpus where one trigram appears in MaxSafeDf+1 documents: the
