@@ -48,6 +48,14 @@ object WritePath {
     spark.sql(s"DROP TABLE IF EXISTS $TableName")
     Tables.events(spark, d)
       .withColumn("event_date", to_date(col("ts")))
+      // Co-locate each (date, bucket) group into one writer task BEFORE
+      // the write: bucketBy makes every task emit one file per (date,
+      // bucket) pair it holds, so with T input tasks the layout degrades
+      // to T × dates × buckets small files at scale. pmod(hash(user_id),
+      // Buckets) is exactly Spark's bucket-id expression (murmur3 pmod),
+      // so this shuffle pins the file count to dates × buckets — the
+      // small-files control a production Load stage always applies.
+      .repartition(col("event_date"), expr(s"pmod(hash(user_id), $Buckets)"))
       .write
       .partitionBy("event_date")
       .bucketBy(Buckets, "user_id")
