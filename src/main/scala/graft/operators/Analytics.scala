@@ -665,7 +665,41 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_event_gap — lag/lead analytics: each event's seconds-since-previous
+    * and seconds-to-next within its user's (ts, event_id)-ordered history
+    * — the inter-arrival feature behind sessionization-gap tuning and
+    * bot/burst detection. Both offsets come from ONE window (one shuffle
+    * on user_id, one per-key sort serving lag and lead); second-precision
+    * epoch arithmetic keeps the values engine-exact integers.
+    */
+  def qEventGap(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .select(col("user_id"), col("event_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_prev_s"),
+        (unix_timestamp(lead(col("ts"), 1).over(w)) - unix_timestamp(col("ts")))
+          .as("gap_next_s"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q_doc_dedup — exact DOCUMENT dedup by content fingerprint: group by
+    * the md5 of the text, keep the smallest doc_id (the canonical copy) —
+    * [[qDedup]]'s keep-min-id contract applied to the documents table,
+    * the first stage of every corpus dedup pipeline (exact dups are free
+    * to kill before any near-dup machinery runs). Hash agg on the
+    * fingerprint: map-side partial, one row per distinct content.
+    */
+  def qDocDedup(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_gap"       -> qEventGap _,
+    "q_doc_dedup"       -> qDocDedup _,
     "q_ntile"           -> qNtile _,
     "q_sample_balanced" -> qSampleBalanced _,
     "q_event_seq"       -> qEventSeq _,
@@ -707,6 +741,16 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_event_gap" ->
+      """SELECT user_id, event_id,
+        |       (epoch_ms(ts) // 1000) - (epoch_ms(lag(ts, 1) OVER w) // 1000) AS gap_prev_s,
+        |       (epoch_ms(lead(ts, 1) OVER w) // 1000) - (epoch_ms(ts) // 1000) AS gap_next_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_doc_dedup" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_ntile" ->
       """SELECT lang, bucket, COUNT(*) AS n,
         |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars

@@ -45,6 +45,21 @@ class PlanSpec extends SparkSpec {
       s"filter must reach the scan:\n$p")
   }
 
+  test("q_sample_balanced pushes its rank limit below the sort (WindowGroupLimit)") {
+    val p = plan(Analytics.qSampleBalanced(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rn <= k must push as a group limit so per-key sorts stay bounded:\n$p")
+  }
+
+  test("q_event_gap computes lag and lead from ONE shuffle and ONE per-key sort") {
+    val p = plan(Analytics.qEventGap(spark, sfDir))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"both offsets must share the user_id window, saw $hashExchanges hash exchanges:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).length == 1,
+      s"lag and lead must evaluate in one Window operator:\n$p")
+  }
+
   test("no LSH/inverted-index join degrades to nested-loop or cartesian") {
     for ((name, df) <- Seq(
         "q_cosine_neardup" -> Similarity.qCosineNeardup(spark, sfDir),
