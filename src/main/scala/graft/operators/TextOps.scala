@@ -181,6 +181,35 @@ object TextOps {
   def qMinhashLsh(spark: SparkSession, d: String): DataFrame =
     minhashPairs(spark, d).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Train fraction of the [[qSplitLeakage]] hash split: doc_id-hash
+    * mod 10 < 8 → 80/20.
+    */
+  val TrainBuckets = 8
+
+  /** q_split_leakage — train/test DECONTAMINATION: near-duplicate pairs
+    * that CROSS a deterministic 80/20 hash split of the corpus. A test
+    * document with a near-dup in train leaks the benchmark into training
+    * — this query is the check every eval pipeline runs before shipping
+    * a split. Composes the engine's own primitives: the split is
+    * [[graft.operators.Analytics.qSampleHash]]'s hash-mod contract on
+    * doc_id (reproducible, partition-invariant), candidates are the
+    * MinHash-LSH pairs — so the leak scan costs one extra broadcast-join
+    * over the (already bounded) candidate set, never a train×test
+    * cross product.
+    */
+  def qSplitLeakage(spark: SparkSession, d: String): DataFrame = {
+    val split = documents(spark, d).select(col("doc_id"),
+      (md5Long(col("doc_id").cast("string"), 15) % 10 < TrainBuckets)
+        .as("is_train"))
+    minhashPairs(spark, d)
+      .join(split.select(col("doc_id").as("doc_a"), col("is_train").as("train_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("is_train").as("train_b")), "doc_b")
+      .filter(col("train_a") =!= col("train_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared_bands"),
+        col("train_a"), col("train_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q_edit_distance — fuzzy-dedup verification: exact Levenshtein edit
     * distance on the MinHash-LSH candidate pairs. The candidates-then-
     * verify pipeline with a CHARACTER-level verifier: LSH (set overlap)
@@ -447,6 +476,7 @@ object TextOps {
     "q_minhash_sig"   -> qMinhashSig _,
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_edit_distance" -> qEditDistance _,
+    "q_split_leakage" -> qSplitLeakage _,
     "q_simhash"       -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -575,6 +605,28 @@ object TextOps {
          |FROM pairs
          |JOIN documents da ON doc_a = da.doc_id
          |JOIN documents db ON doc_b = db.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |), split AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < $TrainBuckets
+         |           AS is_train
+         |  FROM documents
+         |)
+         |SELECT doc_a, doc_b, shared_bands, sa.is_train AS train_a, sb.is_train AS train_b
+         |FROM pairs
+         |JOIN split sa ON doc_a = sa.doc_id
+         |JOIN split sb ON doc_b = sb.doc_id
+         |WHERE sa.is_train <> sb.is_train
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" ->
       s"""WITH $simhashCte

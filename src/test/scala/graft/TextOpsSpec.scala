@@ -120,6 +120,20 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_split_leakage flags exactly the cross-split LSH pairs") {
+    def isTrain(id: Long): Boolean =
+      java.lang.Long.parseLong(md5Hex(id.toString).take(15), 16) % 10 <
+        TextOps.TrainBuckets
+    val lsh = TextOps.qMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = lsh.filter { case (a, b) => isTrain(a) != isTrain(b) }
+    val got = TextOps.qSplitLeakage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < lsh.size,
+      "fixture must have both leaked and within-split candidate pairs")
+  }
+
   test("q_ngram_jaccard tripwire: a hot shingle past MaxSafeDf kills the query loudly") {
     import org.apache.spark.sql.functions._
     // A corpus where one trigram appears in MaxSafeDf+1 documents: the
