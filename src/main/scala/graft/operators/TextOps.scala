@@ -467,7 +467,42 @@ object TextOps {
           .as("n_redactions"))
       .orderBy(col("doc_id"))
 
+  /** Docs kept per language by [[qCurate]]'s final selection. */
+  val CuratePerLang = 50
+
+  /** q_curate — the CAPSTONE composition: the full corpus-curation
+    * pipeline as ONE declarative query — quality gate
+    * ([[qQualityScore]]'s keep rule) → exact dedup (md5 fingerprint,
+    * keep-min-id, [[graft.operators.Analytics.qDocDedup]]'s contract) →
+    * per-language top-[[CuratePerLang]] by token count. What a user of
+    * the engine actually ships: the stages compose as plain DataFrame
+    * plans, so Catalyst sees one tree — the filter prunes before the
+    * dedup agg, the dedup shrinks the ranking window's input, and the
+    * rank limit bounds the final sort (WindowGroupLimit / top-k
+    * rewrite).
+    */
+  def qCurate(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenized(spark, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("toks")).as("n_tokens"),
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").as("stop_cnt"))
+    val kept = toks.filter(col("n_tokens") >= 10 &&
+      col("stop_cnt").cast("double") / col("n_tokens") <= 0.5)
+    val canon = kept.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    kept.join(canon, "doc_id")
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= CuratePerLang)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate"        -> qCurate _,
     "q_token_count"   -> qTokenCount _,
     "q_token_bpe"     -> qTokenBpe _,
     "q_lang_id"       -> qLangId _,
@@ -538,6 +573,25 @@ object TextOps {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_curate" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text,
+         |         CAST(len(toks) AS INTEGER) AS n_tokens,
+         |         CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS INTEGER) AS stop_cnt
+         |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)
+         |), keep AS (
+         |  SELECT * FROM q
+         |  WHERE n_tokens >= 10 AND CAST(stop_cnt AS DOUBLE) / n_tokens <= 0.5
+         |), canon AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)
+         |), ranked AS (
+         |  SELECT k.lang, k.doc_id, k.n_tokens,
+         |         row_number() OVER (PARTITION BY k.lang
+         |           ORDER BY k.n_tokens DESC, k.doc_id) AS rnk
+         |  FROM keep k JOIN canon c ON k.doc_id = c.doc_id
+         |)
+         |SELECT lang, doc_id, n_tokens, rnk FROM ranked
+         |WHERE rnk <= $CuratePerLang ORDER BY lang, rnk""".stripMargin,
     "q_token_count" ->
       """SELECT lang, token, COUNT(*) AS n FROM (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)

@@ -120,6 +120,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_curate: contiguous per-lang ranks, quality rule holds, no duplicate texts, canonical ids") {
+    val rows = TextOps.qCurate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length),
+        s"$lang ranks must be contiguous from 1")
+      assert(rs.length <= TextOps.CuratePerLang)
+      // Rank order follows (n_tokens desc, doc_id).
+      val ordered = rs.sortBy(_._4)
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+          s"$lang rank order violated at ${a._2} -> ${b._2}")
+      }
+    }
+    val texts = rows.map { case (_, id, _, _) => docs(id) }
+    assert(texts.distinct.length == texts.length, "curated set must be text-unique")
+    rows.foreach { case (_, id, n, _) =>
+      val toks = docs(id).split(" ")
+      assert(toks.length == n && n >= 10 &&
+        toks.count(t => t == "the" || t == "a").toDouble / n <= 0.5,
+        s"doc $id violates the quality gate")
+      // Canonical copy: no smaller doc_id with identical text exists.
+      assert(!docs.exists { case (other, t) => other < id && t == docs(id) },
+        s"doc $id is not the canonical (min-id) copy of its text")
+    }
+  }
+
   test("q_split_leakage flags exactly the cross-split LSH pairs") {
     def isTrain(id: Long): Boolean =
       java.lang.Long.parseLong(md5Hex(id.toString).take(15), 16) % 10 <
