@@ -481,6 +481,48 @@ object StreamOps {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** q_stream_distinct — windowed DISTINCT-user counts per event type:
+    * TWO chained stateful operators (Spark 3.4+ watermark propagation) —
+    * `dropDuplicatesWithinWatermark` on (user, type, hour) collapses each
+    * user to one row per window, then the tumbling aggregation counts the
+    * survivors: exact streaming cardinality, the dashboard metric
+    * (distinct visitors per hour) complete-mode snapshots can't deliver
+    * scalably.
+    *
+    * The dedup horizon (70 min) is NOT arbitrary: it must cover window
+    * length + downstream watermark (60 + 10), so a key's dedup state can
+    * never be evicted while its hour is still open for late rows — with
+    * a shorter horizon a cross-batch duplicate would re-emit and inflate
+    * the count. State stays bounded: |active users| × ~2 windows per
+    * key, on RocksDB. Append mode: each window emits once, when the
+    * watermark (max event time − 70 min here, since the watermark column
+    * carries the dedup's delay) passes its end — the oracle replays
+    * exactly that cutoff.
+    */
+  def qStreamDistinct(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_distinct")
+    val query = startWithStatePartitions(spark) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .withColumn("h", date_trunc("hour", col("ts")))
+        .withWatermark("ts", "70 minutes")
+        .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "h"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(Tables.tsSeconds(col("w.start")).as("w_start"),
+              col("event_type"), col("n_users"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** q_stream_session — STREAMING sessionization as a first-class
     * correctness-gated query: the same `session_window` aggregation the
     * batch `Windows.qSession` runs, executed as a real streaming query
@@ -734,6 +776,7 @@ object StreamOps {
     "q_stream_tick_dsv2"   -> qStreamTickDsv2 _,
     "q_stream_session"     -> qStreamSession _,
     "q_stream_dedup"       -> qStreamDedup _,
+    "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_stream_join"        -> qStreamJoin _,
     "q_stream_join_outer"  -> qStreamJoinOuter _,
@@ -749,6 +792,15 @@ object StreamOps {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_distinct" ->
+      """WITH wm AS (
+        |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 70 MINUTE AS w FROM events
+        |)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM (SELECT date_trunc('hour', ts) AS h, event_type, user_id FROM events), wm
+        |WHERE h + INTERVAL 1 HOUR <= wm.w
+        |GROUP BY h, event_type ORDER BY w_start, event_type""".stripMargin,
     "q_stream_tick" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, COUNT(*) AS n
