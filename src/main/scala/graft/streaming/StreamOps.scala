@@ -499,15 +499,22 @@ object StreamOps {
     * carries the dedup's delay) passes its end — the oracle replays
     * exactly that cutoff.
     */
+  /** The dedup→count chain of [[qStreamDistinct]], composable over any
+    * event stream (MemoryStream in specs, the replay source in the
+    * registered query).
+    */
+  def distinctUsersPerWindow(events: DataFrame): DataFrame =
+    events
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "70 minutes")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "h"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+
   def qStreamDistinct(spark: SparkSession, d: String): DataFrame = {
     val sinkName = freshSink(spark, "stream_distinct")
     val query = startWithStatePartitions(spark) {
-      eventsStream(spark, stageReplayDir(spark, d))
-        .withColumn("h", date_trunc("hour", col("ts")))
-        .withWatermark("ts", "70 minutes")
-        .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "h"))
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_users"))
+      distinctUsersPerWindow(eventsStream(spark, stageReplayDir(spark, d)))
         .writeStream
         .option("checkpointLocation", ckpt())
         .format("memory")

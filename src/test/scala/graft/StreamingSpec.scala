@@ -293,6 +293,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q_stream_distinct shape: cross-batch same-hour duplicates count once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.distinctUsersPerWindow(mem.toDF())
+      .writeStream.format("memory").queryName("stream_distinct_dup")
+      .outputMode("append").start()
+    run(query) {
+      // Batch 1: user 1 twice in hour 10 (in-batch dup), user 2 once.
+      mem.addData(
+        Ev(1, t(10, 5), 1, "click", 1.0),
+        Ev(2, t(10, 10), 1, "click", 1.0),
+        Ev(3, t(10, 20), 2, "click", 1.0))
+      query.processAllAvailable()
+      // Batch 2: user 1 AGAIN in hour 10 (cross-batch dup at the tail of
+      // the hour — the case the 70-min dedup horizon must still suppress:
+      // with a 10-min horizon user 1's 10:05 state would already be
+      // evicted here). Then advance event time far enough to close the
+      // hour-10 window (watermark = max ts − 70 min > 11:00).
+      mem.addData(Ev(4, t(10, 58), 1, "click", 1.0))
+      query.processAllAvailable()
+      mem.addData(Ev(5, t(12, 30), 3, "view", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("stream_distinct_dup")
+        .select(col("w.start").as("s"), col("event_type"), col("n_users"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(rows.toSet == Set(("2026-01-01 10:00:00.0", "click", 2L)),
+        s"hour-10 clicks must count users {1, 2} exactly once each: ${rows.toSeq}")
+    }
+  }
+
   test("DSv2 replay source: pruneColumns and the columns option both narrow the read schema") {
     import org.apache.spark.sql.types.StructType
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
