@@ -337,6 +337,30 @@ object TextOps {
     * [[MaxSafeDf]] tripwire kills the query before a hot shingle can fan
     * out. The production form is [[qNgramJaccardCapped]].
     */
+  /** Terms kept per language by [[qTopkTerms]]. */
+  val TermsPerLang = 5
+
+  /** q_topk_terms — the [[graft.plans.TopKPerGroup]] custom physical
+    * operator applied to the text domain: each language's
+    * [[TermsPerLang]] most frequent tokens (count desc, token asc
+    * tie-break). Vocabulary-sized input (one row per (lang, token) after
+    * the map-side-partial count), then the O(k)-heap exec — no
+    * per-language full sort, no WindowExec. The oracle is the
+    * row_number window form, so the custom operator's semantics are
+    * hash-checked against the declarative equivalent on every run.
+    */
+  def qTopkTerms(spark: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val counts = tokenized(spark, d)
+      .select(col("lang"), explode(col("toks")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.TopKPerGroup(counts,
+        Seq(counts("lang")),
+        Seq((counts("n"), true), (counts("token"), false)), TermsPerLang)
+      .orderBy(col("lang"), col("n").desc, col("token"))
+  }
+
   /** Hard tripwire for the EXACT (uncapped) Jaccard: the largest document
     * frequency any shingle may have before [[qNgramJaccard]] REFUSES to
     * run. A shingle with df = m contributes m² candidate rows to the
@@ -504,6 +528,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate"        -> qCurate _,
     "q_token_count"   -> qTokenCount _,
+    "q_topk_terms"    -> qTopkTerms _,
     "q_token_bpe"     -> qTokenBpe _,
     "q_lang_id"       -> qLangId _,
     "q_quality_score" -> qQualityScore _,
@@ -596,6 +621,16 @@ object TextOps {
       """SELECT lang, token, COUNT(*) AS n FROM (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY lang, token ORDER BY lang, token""".stripMargin,
+    "q_topk_terms" ->
+      s"""SELECT lang, token, n FROM (
+         |  SELECT lang, token, n,
+         |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+         |  FROM (
+         |    SELECT lang, token, COUNT(*) AS n FROM (
+         |      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+         |    GROUP BY lang, token))
+         |WHERE rn <= $TermsPerLang
+         |ORDER BY lang, n DESC, token""".stripMargin,
     "q_token_bpe" ->
       """SELECT piece, COUNT(*) AS n FROM (
         |  SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS piece
