@@ -697,7 +697,57 @@ object Analytics {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** q_scd2 — slowly-changing-dimension (type 2) interval building from
+    * the event log: each user's runs of consecutive identical event types
+    * collapse to one row with [valid_from, valid_to) — valid_to = the
+    * next run's start, NULL while current. The CDC shape every
+    * dimension-table pipeline derives from a change stream.
+    *
+    * Plan: one shuffle on user_id serves both windows (the change-flag
+    * lag on the full set and the lead over the surviving run heads —
+    * Catalyst reuses the partitioning; the second window re-sorts only).
+    * Per-user state is one row either side of the cursor — no
+    * gaps-and-islands grouping pass needed because run HEADS alone
+    * define the intervals.
+    */
+  def qScd2(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val heads = events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    heads
+      .select(col("user_id"), col("event_type"),
+        tsSeconds(col("ts")).as("valid_from"),
+        tsSeconds(lead(col("ts"), 1).over(w2)).as("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+  }
+
+  /** q_funnel — conversion-funnel analysis: per event type, how many
+    * users ever reached it, and how many converted through the canonical
+    * view → click → purchase ORDER (first-touch timestamps must be
+    * non-decreasing). One conditional-aggregation pass — five `min(case
+    * …)` columns per user (map-side partial), then a count — no joins,
+    * no self-unions; the 100 TB plan is the same two hash aggs.
+    */
+  def qFunnel(spark: SparkSession, d: String): DataFrame = {
+    def firstTouch(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    val perUser = events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(firstTouch("view"), firstTouch("click"), firstTouch("purchase"))
+    perUser.agg(
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_view") <= col("t_click"), true)).as("n_view_click"),
+        count(when(col("t_view") <= col("t_click") &&
+                   col("t_click") <= col("t_purchase"), true))
+          .as("n_view_click_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2"            -> qScd2 _,
+    "q_funnel"          -> qFunnel _,
     "q_event_gap"       -> qEventGap _,
     "q_doc_dedup"       -> qDocDedup _,
     "q_ntile"           -> qNtile _,
@@ -741,6 +791,29 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_scd2" ->
+      """SELECT user_id, event_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(lead(ts, 1) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |WHERE prev_type IS NULL OR prev_type <> event_type
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "q_funnel" ->
+      """SELECT COUNT(t_view) AS n_view,
+        |       COUNT(CASE WHEN t_view <= t_click THEN TRUE END) AS n_view_click,
+        |       COUNT(CASE WHEN t_view <= t_click AND t_click <= t_purchase
+        |             THEN TRUE END) AS n_view_click_purchase
+        |FROM (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)""".stripMargin,
     "q_event_gap" ->
       """SELECT user_id, event_id,
         |       (epoch_ms(ts) // 1000) - (epoch_ms(lag(ts, 1) OVER w) // 1000) AS gap_prev_s,

@@ -180,6 +180,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2 intervals: chained, type-alternating, exactly one open interval per user") {
+    val byUser = Analytics.qScd2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), Option(r.getString(3))))
+      .groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (uid, rs) =>
+      val ordered = rs.sortBy(_._3)
+      // Each interval closes where the next opens; only the last is open.
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $uid: interval not chained at ${a._3}")
+          assert(a._2 != b._2, s"user $uid: consecutive intervals share a type")
+        case _ => ()
+      }
+      assert(ordered.init.forall(_._4.isDefined) && ordered.last._4.isEmpty,
+        s"user $uid must have exactly one open (current) interval")
+    }
+  }
+
+  test("q_funnel stages are monotonically non-increasing and non-trivial") {
+    val r = Analytics.qFunnel(spark, sfDir).collect().head
+    val (v, vc, vcp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= vc && vc >= vcp, s"funnel must narrow: $v >= $vc >= $vcp")
+    assert(v > 0 && vcp < v, "fixture must exercise both conversion and drop-off")
+  }
+
   test("q_join_semi ∪ q_join_anti partitions customer exactly") {
     // Different thresholds in the two queries, so recompute anti at the
     // semi threshold for the partition property.
