@@ -658,10 +658,17 @@ object Analytics {
         exactSum(col("x") * col("x")).as("sxx"),
         exactSum(col("y") * col("y")).as("syy"),
         exactSum(col("x") * col("y")).as("sxy"))
+    // Zero-variance guard, written IDENTICALLY in the oracle: a constant
+    // column makes the radicand 0 (or a tiny negative after the decimal
+    // rounding of the sums) — Spark would yield NaN/Infinity where DuckDB
+    // ERRORS on sqrt(negative) and NULLs float division by zero. Both
+    // engines agree on NULL through the same CASE.
+    val radX = col("n") * col("sxx") - col("sx") * col("sx")
+    val radY = col("n") * col("syy") - col("sy") * col("sy")
     stats.select(col("event_type"), col("n").cast("long").as("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_vh"))
+        when(radX > 0 && radY > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(radX) * sqrt(radY))).as("corr_vh"))
       .orderBy(col("event_type"))
   }
 
@@ -717,17 +724,22 @@ object Analytics {
         lag(col("event_type"), 1).over(w).as("prev_type"))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
     val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // Microsecond-precision bounds: second truncation would let two heads
+    // in the same second tie the sort key (the sf0.1 fixture has such a
+    // pair) and make row order — and the spec's chain check — ambiguous.
+    def tsMicros(c: org.apache.spark.sql.Column) =
+      date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     heads
       .select(col("user_id"), col("event_type"),
-        tsSeconds(col("ts")).as("valid_from"),
-        tsSeconds(lead(col("ts"), 1).over(w2)).as("valid_to"))
+        tsMicros(col("ts")).as("valid_from"),
+        tsMicros(lead(col("ts"), 1).over(w2)).as("valid_to"))
       .orderBy(col("user_id"), col("valid_from"), col("event_type"))
   }
 
   /** q_funnel — conversion-funnel analysis: per event type, how many
     * users ever reached it, and how many converted through the canonical
     * view → click → purchase ORDER (first-touch timestamps must be
-    * non-decreasing). One conditional-aggregation pass — five `min(case
+    * non-decreasing). One conditional-aggregation pass — three `min(case
     * …)` columns per user (map-side partial), then a count — no joins,
     * no self-unions; the 100 TB plan is the same two hash aggs.
     */
@@ -793,9 +805,9 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q_scd2" ->
       """SELECT user_id, event_type,
-        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
         |       strftime(lead(ts, 1) OVER (PARTITION BY user_id
-        |         ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to
+        |         ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S.%f') AS valid_to
         |FROM (
         |  SELECT user_id, event_id, ts, event_type,
         |         lag(event_type, 1) OVER (PARTITION BY user_id

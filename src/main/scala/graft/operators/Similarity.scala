@@ -114,9 +114,6 @@ object Similarity {
     }: _*)
   }
 
-  /** All band keys of a vector under the default geometry. */
-  private def bandKeys(v: Column): Column = bandKeysFor(v, NdBands, NdRows)
-
   /** Distinct candidate id pairs (a_id < b_id) of the (bands, rows)
     * geometry — the LSH stage of [[qCosineNeardup]], exposed
     * parameterized for the property sweep.

@@ -511,8 +511,9 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("text"),
         size(col("toks")).as("n_tokens"),
         expr("size(filter(toks, t -> t IN ('the', 'a')))").as("stop_cnt"))
-    val kept = toks.filter(col("n_tokens") >= 10 &&
-      col("stop_cnt").cast("double") / col("n_tokens") <= 0.5)
+    val kept = graft.Tables.cacheForSelfJoin(
+      toks.filter(col("n_tokens") >= 10 &&
+        col("stop_cnt").cast("double") / col("n_tokens") <= 0.5))
     val canon = kept.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))

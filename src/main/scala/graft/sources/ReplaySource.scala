@@ -69,7 +69,10 @@ class ReplaySourceProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
-    val expected = ReplaySource.projectedSchema(properties.get("columns"))
+    // Options arrive case-preserved here; look the key up the way Spark
+    // options semantics demand (case-insensitively), matching inferSchema.
+    val expected = ReplaySource.projectedSchema(
+      new CaseInsensitiveStringMap(properties).get("columns"))
     // Fixed-schema source: a user-specified schema that differs from the
     // replay contract (narrowed by `columns` if present) must fail loudly
     // (DSv2 convention), not be silently replaced.
@@ -228,8 +231,17 @@ case class ReplayReaderFactory(schema: StructType) extends PartitionReaderFactor
     * `optional`); logical annotations are not compared by parquet's
     * projection check, so `binary` suffices for strings.
     */
+  /** Columns physically read: a column-less required schema (Spark pushes
+    * StructType(Nil) for count(*)-style scans) still needs ONE parquet
+    * column to drive row iteration — parquet rejects an empty group — so
+    * fall back to the narrowest fixed column and emit empty rows.
+    */
+  private def physicalFields =
+    if (schema.fields.isEmpty) StreamOps.eventsRawSchema.fields.take(1)
+    else schema.fields
+
   private def parquetProjection: String =
-    schema.fields.map { f =>
+    physicalFields.map { f =>
       val t = f.dataType match {
         case LongType   => "int64"
         case DoubleType => "double"

@@ -37,6 +37,17 @@ object WritePath {
 
   private[graft] val TableName = "graft_events_bucketed"
 
+  /** Scratch dir of the previous invocation — deleted when the next one
+    * starts (the current one must outlive the returned lazy DataFrame,
+    * so it cannot be deleted at return). Bounds disk use at one copy.
+    */
+  private val lastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def deleteRecursively(path: java.io.File): Unit = {
+    Option(path.listFiles()).foreach(_.foreach(deleteRecursively))
+    path.delete(): Unit
+  }
+
   /** Write the date-partitioned, user_id-bucketed events table into a
     * fresh scratch dir and return the catalog table name. Split from the
     * query so plan tests can target the read-back table directly.
@@ -45,6 +56,7 @@ object WritePath {
     // A fresh external location per invocation: benchmarks measure a cold
     // write, and a retried run never reads a half-written previous layout.
     val dir = Files.createTempDirectory("graft_write_").toString
+    Option(lastDir.getAndSet(dir)).foreach(d => deleteRecursively(new java.io.File(d)))
     spark.sql(s"DROP TABLE IF EXISTS $TableName")
     Tables.events(spark, d)
       .withColumn("event_date", to_date(col("ts")))

@@ -367,7 +367,30 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch && streamed.nonEmpty)
     }
 
-    // 3. A typo'd projection fails loudly, never widens to a full read.
+    // 3. A column-less required schema (count(*)-style push) must still
+    //    read: one physical column drives row iteration, rows are empty.
+    val builder0 = table.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+    builder0.pruneColumns(StructType(Nil))
+    val scan0 = builder0.asInstanceOf[org.apache.spark.sql.connector.read.ScanBuilder].build()
+    assert(scan0.readSchema().isEmpty)
+    val stream0 = scan0.toMicroBatchStream(
+      java.nio.file.Files.createTempDirectory("graft_ckpt_prune_").toString)
+    val parts = stream0.planInputPartitions(
+      graft.sources.FileIndexOffset(0), stream0.asInstanceOf[
+        org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow] match {
+          case _ => graft.sources.FileIndexOffset(1)
+        })
+    val reader0 = stream0.createReaderFactory().createReader(parts.head)
+    var nRows = 0
+    while (reader0.next()) {
+      assert(reader0.get().numFields == 0, "pruned-to-empty rows must have no fields")
+      nRows += 1
+    }
+    reader0.close()
+    assert(nRows > 0, "empty-projection scan must still iterate the file's rows")
+
+    // 4. A typo'd projection fails loudly, never widens to a full read.
     val err = intercept[IllegalArgumentException] {
       graft.sources.ReplaySource.projectedSchema("ts,event_typo")
     }
