@@ -860,8 +860,10 @@ object Analytics {
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_corr" ->
       """SELECT event_type, CAST(n AS BIGINT) AS n,
-        |       (n * sxy - sx * sy) /
-        |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_vh
+        |       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |            THEN (n * sxy - sx * sy) /
+        |              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |       END AS corr_vh
         |FROM (
         |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
         |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,

@@ -322,21 +322,6 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q_ngram_jaccard — exact trigram-shingle Jaccard: candidate pairs from
-    * an inverted-index join on shared shingles (so disjoint docs are never
-    * compared), top-20 most similar pairs.
-    *
-    * Skew note for 100 TB: a shingle appearing in m documents contributes
-    * m² candidate rows, so ultra-frequent "stop shingles" are the skew
-    * hazard of this join. AQE's skew-join splitting absorbs moderate skew;
-    * at production scale the standard extra step is capping shingle
-    * document-frequency (dropping shingles above a df threshold loses
-    * almost no Jaccard signal — they're near-universal). The cap is not
-    * applied here because the oracle verifies the exact unfiltered
-    * semantics — but the exact form is NOT allowed to run unbounded: a
-    * [[MaxSafeDf]] tripwire kills the query before a hot shingle can fan
-    * out. The production form is [[qNgramJaccardCapped]].
-    */
   /** Terms kept per language by [[qTopkTerms]]. */
   val TermsPerLang = 5
 
@@ -371,22 +356,49 @@ object TextOps {
     */
   val MaxSafeDf = 1000
 
+  /** q_ngram_jaccard — exact trigram-shingle Jaccard: candidate pairs from
+    * an inverted-index join on shared shingles (so disjoint docs are never
+    * compared), top-20 most similar pairs.
+    *
+    * Skew note for 100 TB: a shingle appearing in m documents contributes
+    * m² candidate rows, so ultra-frequent "stop shingles" are the skew
+    * hazard of this join. AQE's skew-join splitting absorbs moderate skew;
+    * at production scale the standard extra step is capping shingle
+    * document-frequency (dropping shingles above a df threshold loses
+    * almost no Jaccard signal — they're near-universal). The cap is not
+    * applied here because the oracle verifies the exact unfiltered
+    * semantics — but the exact form is NOT allowed to run unbounded: a
+    * [[MaxSafeDf]] tripwire kills the query before a hot shingle can fan
+    * out. The production form is [[qNgramJaccardCapped]].
+    */
   def qNgramJaccard(spark: SparkSession, d: String): DataFrame = {
     val sh0 = graft.Tables.cacheForSelfJoin(shingled(spark, d))
-    // The guard is part of the PLAN, not a driver-side collect: the df
-    // table (one row per distinct shingle, map-side-partial aggregated)
-    // re-emits each shingle through a raise_error branch, so an executor
-    // throws on the first hot shingle BEFORE the self-join fans out its
-    // df² candidate rows. When the bound holds the branch is the
-    // identity and the oracle semantics are exactly the unfiltered ones.
-    val checked = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .select(when(col("df") > MaxSafeDf,
-          raise_error(format_string(
-            s"q_ngram_jaccard: shingle df %s exceeds the safe bound $MaxSafeDf; " +
-              "use q_ngram_jaccard_capped at this scale", col("df"))))
-        .otherwise(col("s")).as("s"))
-    jaccardTop20(graft.Tables.cacheForSelfJoin(
-      sh0.join(checked, "s").select(col("doc_id"), col("s"))))
+    // The guard is part of the PLAN, not a driver-side collect — and it is
+    // a ONE-ROW BROADCAST, not a join over the shingle set: the df table
+    // (map-side-partial agg, one row per distinct shingle) reduces to a
+    // global max, and that single row is cross-joined into the shingle
+    // stream, whose `s` column is projected THROUGH the raise_error branch
+    // (the guard must gate a surviving column — a standalone check column
+    // would be removed by column pruning and never evaluate). The check
+    // sits below the self-join, so an executor throws on a hot shingle
+    // BEFORE the join fans out its df² candidate rows — while the shingle
+    // set itself flows straight from cache into the self-join with NO
+    // extra shuffle (the previous form re-joined the full set against a
+    // re-emitted df table, one redundant full-set shuffle — measured
+    // +0.6 s at sf0.1). When the bound holds the branch is the identity
+    // and the semantics are exactly the unfiltered ones.
+    val guard = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df")).as("max_df"))
+    // Cached again AFTER the guard: jaccardTop20 consumes its input three
+    // times (sizes + both self-join sides); without this the crossJoin +
+    // guard projection would re-evaluate per consumer.
+    jaccardTop20(graft.Tables.cacheForSelfJoin(sh0.crossJoin(broadcast(guard))
+      .select(col("doc_id"),
+        when(col("max_df") > MaxSafeDf,
+            raise_error(format_string(
+              s"q_ngram_jaccard: shingle df %s exceeds the safe bound $MaxSafeDf; " +
+                "use q_ngram_jaccard_capped at this scale", col("max_df"))))
+          .otherwise(col("s")).as("s"))))
   }
 
   /** Maximum document frequency a shingle may have and still enter the

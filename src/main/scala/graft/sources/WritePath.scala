@@ -35,13 +35,15 @@ object WritePath {
     */
   val Buckets = 8
 
-  private[graft] val TableName = "graft_events_bucketed"
-
-  /** Scratch dir of the previous invocation — deleted when the next one
-    * starts (the current one must outlive the returned lazy DataFrame,
-    * so it cannot be deleted at return). Bounds disk use at one copy.
+  /** (Scratch dir, table name) of the previous invocation — dropped when
+    * the next one starts (the current pair must outlive the returned lazy
+    * DataFrame, so it cannot be cleaned at return). Bounds disk use at one
+    * copy and catalog growth at one table. The table NAME is unique per
+    * invocation, so a still-referenced DataFrame from a prior call and a
+    * concurrently running session can never read each other's (possibly
+    * deleted) layout — the previous fixed-name design clobbered on reuse.
     */
-  private val lastDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val last = new java.util.concurrent.atomic.AtomicReference[(String, String)]()
 
   private def deleteRecursively(path: java.io.File): Unit = {
     Option(path.listFiles()).foreach(_.foreach(deleteRecursively))
@@ -53,11 +55,15 @@ object WritePath {
     * query so plan tests can target the read-back table directly.
     */
   private[graft] def writeBucketed(spark: SparkSession, d: String): String = {
-    // A fresh external location per invocation: benchmarks measure a cold
-    // write, and a retried run never reads a half-written previous layout.
+    // A fresh external location + table name per invocation: benchmarks
+    // measure a cold write, and a retried run never reads a half-written
+    // previous layout.
     val dir = Files.createTempDirectory("graft_write_").toString
-    Option(lastDir.getAndSet(dir)).foreach(d => deleteRecursively(new java.io.File(d)))
-    spark.sql(s"DROP TABLE IF EXISTS $TableName")
+    val tableName = s"graft_events_bucketed_${System.nanoTime()}"
+    Option(last.getAndSet((dir, tableName))).foreach { case (d0, t0) =>
+      spark.sql(s"DROP TABLE IF EXISTS $t0")
+      deleteRecursively(new java.io.File(d0))
+    }
     Tables.events(spark, d)
       .withColumn("event_date", to_date(col("ts")))
       // Co-locate each (date, bucket) group into one writer task BEFORE
@@ -72,9 +78,9 @@ object WritePath {
       .partitionBy("event_date")
       .bucketBy(Buckets, "user_id")
       .sortBy("user_id")
-      .option("path", s"$dir/$TableName")
-      .saveAsTable(TableName)
-    TableName
+      .option("path", s"$dir/$tableName")
+      .saveAsTable(tableName)
+    tableName
   }
 
   /** q_write_bucketed — write events partitioned by date + bucketed by

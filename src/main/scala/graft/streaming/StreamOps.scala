@@ -599,7 +599,16 @@ object StreamOps {
         .outputMode("update")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.coalesce(1).write.mode("overwrite")
+          // File-count bound: at most one file per upstream task (the 8
+          // state partitions — empty partitions emit nothing, so a small
+          // tick writes 1-2 files), and a huge batch — e.g. the FIRST
+          // batch of a backfill replay, which can carry most of the data —
+          // splits at 1M records per file while keeping all tasks writing
+          // in parallel. The earlier `coalesce(1)` serialized every
+          // batch's write through one task: fine for small ticks, a
+          // single-writer bottleneck exactly when the batch is big.
+          batch.write.mode("overwrite")
+            .option("maxRecordsPerFile", 1000000L)
             .parquet(s"$serveDir/batch=$batchId")
         }
         .start()
