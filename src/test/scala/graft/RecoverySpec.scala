@@ -1,0 +1,181 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming crash-recovery: the exactly-once-resume contract that the
+  * checkpoints, the RocksDB store, and the changelog uploads exist to
+  * serve — a query stopped mid-replay and restarted from the SAME
+  * checkpoint must (a) not reprocess committed offsets, (b) recover its
+  * window state (a window straddling the stop boundary keeps its
+  * pre-stop counts), and (c) drive an idempotent upsert sink to the same
+  * final result even when a micro-batch is RETRIED across the
+  * write-committed-but-offset-uncommitted crash window. The reference
+  * analog is the autorefresh loop surviving a failed tick
+  * (/root/reference/app.py:255-258); at 100 TB this contract is why a
+  * 1000-executor stream can be killed and resumed without replaying the
+  * backlog or double-counting it.
+  */
+class RecoverySpec extends SparkSpec {
+
+  /** A sibling session pinned to the production state-store config
+    * (RocksDB + changelog checkpointing), so the provider conf cannot
+    * leak into concurrently running suites.
+    */
+  private def rocksSession(): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    s
+  }
+
+  test("restart from checkpoint: RocksDB state recovers, committed offsets are not reprocessed") {
+    val rocks = rocksSession()
+    val raw = rocks.read.schema(StreamOps.eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet")
+
+    // Cut the replay INSIDE a window so at least one hour provably spans
+    // the stop boundary — its final count then requires tick1's state to
+    // survive the restart. (The median-ts cut the product replay uses can
+    // land between hours on the sparse sf0.001 fixture, which would make
+    // the state-merge half of this test vacuous.) The cut is the midpoint
+    // of the first hour holding two distinct timestamps; everything at or
+    // before it is tick 1, everything after is tick 2 — a pure time split,
+    // so the restarted run's rows are all newer than the recovered
+    // watermark and none are dropped as late.
+    val nsPerHour = 3600L * 1000 * 1000 * 1000
+    val spanned = raw.groupBy(expr(s"ts DIV $nsPerHour").as("h"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .filter(col("lo") < col("hi"))
+      .orderBy(col("h")).limit(1).collect()
+    assert(spanned.nonEmpty, "fixture must have an hour with 2+ distinct timestamps")
+    val cut = (spanned.head.getAs[Long]("lo") + spanned.head.getAs[Long]("hi")) / 2
+    val tick1 = raw.filter(col("ts") <= cut)
+    val tick2 = raw.filter(col("ts") > cut)
+
+    // Incremental arrival into a private replay dir, mtimes strictly
+    // increasing so FileStreamSource's (mtime, path) order matches names.
+    val replay = Files.createTempDirectory("graft_restart_replay_")
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt_").toString
+    def arrive(half: org.apache.spark.sql.DataFrame, tick: Int): Unit = {
+      val scratch = Files.createTempDirectory(s"graft_rec_half$tick")
+      half.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      scratch.toFile.listFiles.filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          val dst = replay.resolve(f"tick$tick%d-$i%05d.parquet")
+          Files.move(f.toPath, dst)
+          dst.toFile.setLastModified(1600000000000L + tick * 60000L): Unit
+        }
+    }
+    def drain(sink: String): Long = {
+      val q = StreamOps.tumblingCounts(StreamOps.eventsStream(rocks, replay.toString))
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("memory").queryName(sink).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    // Run 1: tick 1 only, drained to a clean stop (batch committed).
+    arrive(tick1, 1)
+    val n1 = drain("restart_run1")
+    assert(n1 == tick1.count(),
+      s"run 1 must ingest exactly tick1's rows, read $n1")
+
+    // Run 2: tick 2 arrives, SAME checkpoint. Exactly-once resume means
+    // the restarted query reads ONLY the new file — tick1's offsets are
+    // committed and must not be reprocessed.
+    arrive(tick2, 2)
+    val n2 = drain("restart_run2")
+    assert(n2 == tick2.count(),
+      s"restart must ingest ONLY tick2's rows (no reprocess, no skip), read $n2")
+
+    // Final snapshot == the uninterrupted batch aggregation over ALL rows.
+    // If RocksDB state had not been recovered, every straddling window
+    // would carry only its tick2 count and this set compare would fail.
+    val got = rocks.table("restart_run2")
+      .select(col("w.start").as("s"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = Tables.events(rocks, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("s"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty,
+      "post-restart snapshot must equal the uninterrupted batch plan")
+  }
+
+  test("retried micro-batch: upsert log stays duplicate-free across the retry boundary") {
+    val rocks = rocksSession()
+    val replay = StreamOps.stageReplayDir(rocks, sfDir)
+    val serveDir = Files.createTempDirectory("graft_retry_serve_").toString
+    val ckpt = Files.createTempDirectory("graft_retry_ckpt_").toString
+
+    // q_stream_tick_update's shape: update mode, foreachBatch upsert log,
+    // each batch owning exactly its batch=N directory.
+    def drain(): Unit = {
+      val q = StreamOps.tumblingCounts(StreamOps.eventsStream(rocks, replay))
+        .select(unix_timestamp(col("w.start")).as("w_epoch"),
+                col("event_type"), col("n"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$serveDir/batch=$batchId")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def compacted(): Map[(Long, String), Long] =
+      rocks.read.option("basePath", serveDir).parquet(s"$serveDir/batch=*")
+        .groupBy(col("w_epoch"), col("event_type"))
+        .agg(max_by(col("n"), col("batch").cast("long")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    drain()
+    val before = compacted()
+
+    // Crash injection at the exactly-once boundary: the last micro-batch's
+    // sink write is on disk but its COMMIT record is lost — precisely the
+    // window where a restarted query must re-run the batch. Deleting
+    // commits/<last> (offsets/<last> stays) is how that crash manifests in
+    // the checkpoint.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    assert(commits.length >= 2, "replay must have committed at least 2 batches")
+    val retriedId = commits.last.getName.toLong
+    assert(commits.last.delete())
+    // The local filesystem keeps a sibling checksum file; a real crash
+    // loses both, and leaving it behind makes the re-commit rename fail.
+    new java.io.File(commits.last.getParentFile, s".$retriedId.crc").delete(): Unit
+
+    // Restart: Spark re-executes batch `retriedId` with the SAME offset
+    // range and the state version it had before that batch; foreachBatch
+    // OVERWRITES batch=<retriedId>, so the log holds no duplicate rows.
+    drain()
+    val after = compacted()
+    assert(after == before,
+      "retried batch must overwrite its own log partition, not change the result")
+
+    // And the compacted serving view equals the full batch snapshot.
+    val want = Tables.events(rocks, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("w_epoch"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(after == want && after.nonEmpty,
+      "post-retry compaction must equal the uninterrupted batch plan")
+
+    // The retried directory was rewritten in place — exactly one batch dir
+    // per executed data batch, none duplicated under a new id.
+    val batchDirs = new java.io.File(serveDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(batchDirs.contains(s"batch=$retriedId"),
+      s"retried batch must land back in its own directory: $batchDirs")
+  }
+}
