@@ -717,22 +717,82 @@ object Analytics {
     * gaps-and-islands grouping pass needed because run HEADS alone
     * define the intervals.
     */
-  def qScd2(spark: SparkSession, d: String): DataFrame = {
+  /** Run heads of an event set: the first row of each per-user run of
+    * consecutive identical event types, in (ts, event_id) order. Shared by
+    * [[qScd2]] (full rebuild) and [[qScd2Apply]] (incremental MERGE) — in
+    * the merge it also performs the boundary dedup, because a change run
+    * continuing the dimension's current type is just a non-head row once
+    * the two head sets are unioned.
+    */
+  private def scd2Heads(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val heads = events(spark, d)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+    ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
         lag(col("event_type"), 1).over(w).as("prev_type"))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+  }
+
+  /** [valid_from, valid_to) intervals from run heads: valid_to = the next
+    * head's start, NULL while current. Microsecond-precision bounds:
+    * second truncation would let two heads in the same second tie the
+    * sort key (the sf0.1 fixture has such a pair) and make row order —
+    * and the spec's chain check — ambiguous.
+    */
+  private def scd2Intervals(heads: DataFrame): DataFrame = {
     val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // Microsecond-precision bounds: second truncation would let two heads
-    // in the same second tie the sort key (the sf0.1 fixture has such a
-    // pair) and make row order — and the spec's chain check — ambiguous.
     def tsMicros(c: org.apache.spark.sql.Column) =
       date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     heads
       .select(col("user_id"), col("event_type"),
         tsMicros(col("ts")).as("valid_from"),
         tsMicros(lead(col("ts"), 1).over(w2)).as("valid_to"))
+  }
+
+  def qScd2(spark: SparkSession, d: String): DataFrame =
+    scd2Intervals(scd2Heads(events(spark, d)))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+
+  /** q_scd2_apply — batch CDC MERGE: apply a change set (the final day of
+    * the event log) to the SCD2 dimension built from everything before
+    * it — close the affected open intervals, insert the new ones — the
+    * Load stage every warehouse pipeline runs against a mutable dimension
+    * table (the reference's persisted Load frame, app.py:274, as a MERGE
+    * target instead of a render).
+    *
+    * MERGE shape, not a rebuild: the inputs are the DIMENSION TABLE
+    * (one row per interval — orders of magnitude smaller than the event
+    * history at 100 TB) and the CHANGE SET; raw history is never
+    * re-read. Untouched users' intervals pass through by anti-join;
+    * touched users (semi-join against the distinct change users — a
+    * small broadcastable set) have their interval heads unioned with the
+    * change-set run heads and re-deduped at the single possible
+    * boundary (dimension's current type == first change type) by the
+    * same lag-filter that built the heads, then valid_to is re-derived.
+    * Work is O(|dim| + |changes|), windows run only over touched users'
+    * heads. The oracle is the FULL-HISTORY rebuild SQL (q_scd2's, over
+    * the unioned input), so the correctness gate proves
+    * merge(dim, changes) == rebuild(history + changes) exactly.
+    *
+    * The change-set cutoff (start of the day containing the newest
+    * event) is computed as a 1-row broadcast inside the plan — no
+    * driver-side collect; a production run would pass the load date as a
+    * literal and let it prune partitions at the scan.
+    */
+  def qScd2Apply(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d)
+    val cutoff = ev.agg(date_trunc("DAY", max(col("ts"))).as("day0"))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+    val historic = tagged.filter(col("ts") < col("day0")).drop("day0")
+    val changes = tagged.filter(col("ts") >= col("day0")).drop("day0")
+
+    val dimHeads = scd2Heads(historic)
+    val changeHeads = scd2Heads(changes)
+    val touched = changes.select(col("user_id")).distinct()
+
+    val untouched = scd2Intervals(dimHeads.join(touched, Seq("user_id"), "left_anti"))
+    val merged = scd2Intervals(scd2Heads(
+      dimHeads.join(touched, Seq("user_id"), "left_semi").unionByName(changeHeads)))
+    untouched.unionByName(merged)
       .orderBy(col("user_id"), col("valid_from"), col("event_type"))
   }
 
@@ -759,6 +819,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"            -> qScd2 _,
+    "q_scd2_apply"      -> qScd2Apply _,
     "q_funnel"          -> qFunnel _,
     "q_event_gap"       -> qEventGap _,
     "q_doc_dedup"       -> qDocDedup _,
@@ -804,6 +865,22 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q_scd2" ->
+      """SELECT user_id, event_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |       strftime(lead(ts, 1) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |WHERE prev_type IS NULL OR prev_type <> event_type
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+    // Deliberately the SAME rebuild SQL as q_scd2: the merge path must
+    // reproduce the full-history rebuild bit-for-bit, which is exactly
+    // the MERGE contract (close affected intervals, insert new ones,
+    // leave the rest untouched).
+    "q_scd2_apply" ->
       """SELECT user_id, event_type,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
         |       strftime(lead(ts, 1) OVER (PARTITION BY user_id

@@ -199,6 +199,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2_apply: MERGE of the change day equals the full rebuild; chains stay well-formed") {
+    // The merge must reproduce the full-history rebuild row-for-row —
+    // closed intervals closed at the right bound, continuations swallowed,
+    // new users inserted, untouched users byte-identical.
+    val merged = Analytics.qScd2Apply(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), Option(r.getString(3))))
+    val rebuilt = Analytics.qScd2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), Option(r.getString(3))))
+    assert(merged.toSeq == rebuilt.toSeq && merged.nonEmpty,
+      "merge(dim, changes) must equal rebuild(history + changes)")
+    // Chain invariants independently (not just equality with q_scd2):
+    // per user ascending valid_from, each close = next open, alternating
+    // types, exactly one open interval.
+    merged.groupBy(_._1).foreach { case (uid, rs) =>
+      val ordered = rs.sortBy(_._3)
+      assert(ordered.map(_._3).toSeq == ordered.map(_._3).sorted.toSeq)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $uid: merged interval not chained at ${a._3}")
+          assert(a._2 != b._2, s"user $uid: merged run not collapsed at ${b._3}")
+        case _ => ()
+      }
+      assert(ordered.init.forall(_._4.isDefined) && ordered.last._4.isEmpty,
+        s"user $uid must keep exactly one open interval after the merge")
+    }
+  }
+
   test("q_funnel stages are monotonically non-increasing and non-trivial") {
     val r = Analytics.qFunnel(spark, sfDir).collect().head
     val (v, vc, vcp) = (r.getLong(0), r.getLong(1), r.getLong(2))
