@@ -80,7 +80,60 @@ class ReplaySourceProvider extends TableProvider with DataSourceRegister {
       throw new UnsupportedOperationException(
         s"graft-replay has a fixed schema ${expected.simpleString}; " +
           s"user-specified schema ${schema.simpleString} is not supported")
-    new ReplayTable(properties.get("path"), expected)
+    new ReplayTable(properties.get("path"), expected,
+      RequestOptions.from(new CaseInsensitiveStringMap(properties)))
+  }
+}
+
+/** Per-source request options — the engine's seam for the configuration a
+  * production deployment injects per source (the reference attaches an
+  * API key and request headers per endpoint, /root/reference/app.py:71-72;
+  * a Spark deployment attaches auth/schema/rate config per registered
+  * source the same way): every reader option prefixed `req.` is collected
+  * into this map, validated at table resolution (NOT at first batch — a
+  * typo'd registry entry must fail when the source is wired, not at
+  * 2 a.m. when the stream restarts), and surfaced in the scan description
+  * with secret-looking values redacted.
+  *
+  * One key is interpreted by the engine itself: `req.rate-limit` (files
+  * admitted per micro-batch — the replay analog of a per-source request
+  * budget) composes with `maxFilesPerTrigger` as the MINIMUM of the two,
+  * so the per-source registry bound and the per-query tuning bound are
+  * both honored. Everything else is carried opaquely for the deployment's
+  * fetch layer.
+  */
+private[graft] case class RequestOptions(opts: Map[String, String]) {
+  def rateLimit: Option[Int] = opts.get("rate-limit").map(_.toInt)
+
+  /** Human-readable form for plan/`describe()` surfaces; values of keys
+    * that look credential-bearing are redacted (they still flow to the
+    * fetch layer — only the DISPLAY is scrubbed).
+    */
+  def describe: String =
+    opts.toSeq.sortBy(_._1).map { case (k, v) =>
+      val secret = RequestOptions.SecretMarkers.exists(k.toLowerCase.contains)
+      s"$k=${if (secret) "***" else v}"
+    }.mkString(", ")
+}
+
+private[graft] object RequestOptions {
+  val Prefix = "req."
+  private val SecretMarkers = Seq("auth", "token", "secret", "password", "key")
+
+  def from(options: CaseInsensitiveStringMap): RequestOptions = {
+    import scala.jdk.CollectionConverters._
+    val opts = options.asScala.collect {
+      case (k, v) if k.startsWith(Prefix) => k.stripPrefix(Prefix) -> v
+    }.toMap
+    opts.foreach { case (k, v) =>
+      require(k.nonEmpty && v != null && v.trim.nonEmpty,
+        s"graft-replay: request option '$Prefix$k' must have a non-empty value")
+    }
+    opts.get("rate-limit").foreach { v =>
+      require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
+        s"graft-replay: req.rate-limit must be a positive integer, got '$v'")
+    }
+    RequestOptions(opts)
   }
 }
 
@@ -113,7 +166,9 @@ private[graft] object ReplaySource {
   * (batch reads of the same directory go through the plain parquet
   * source).
   */
-class ReplayTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+class ReplayTable(path: String, tableSchema: StructType,
+                  reqOptions: RequestOptions = RequestOptions(Map.empty))
+    extends Table with SupportsRead {
   require(path != null, "graft-replay requires a path (the staged replay directory)")
 
   override def name(): String = s"graft-replay:$path"
@@ -124,17 +179,29 @@ class ReplayTable(path: String, tableSchema: StructType) extends Table with Supp
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = tableSchema
+      // Reader options also carry req.* (Spark hands the same option map
+      // to the table and the scan builder); re-resolving here keeps the
+      // seam working for callers that construct the table directly.
+      private val req =
+        if (reqOptions.opts.nonEmpty) reqOptions else RequestOptions.from(options)
 
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = ReplaySource.prune(tableSchema, requiredSchema)
 
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
-        override def description(): String =
-          s"graft-replay scan of $path [${required.fieldNames.mkString(",")}]"
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ReplayMicroBatchStream(path,
-            Option(options.get("maxFilesPerTrigger")).map(_.toInt), required)
+        override def description(): String = {
+          val reqPart = if (req.opts.isEmpty) "" else s" req{${req.describe}}"
+          s"graft-replay scan of $path [${required.fieldNames.mkString(",")}]$reqPart"
+        }
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          // Per-source rate limit composes with per-query tuning: the
+          // effective admission bound is the stricter of the two.
+          val perQuery = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+          val limit = (perQuery.toSeq ++ req.rateLimit.toSeq)
+            .reduceOption(math.min)
+          new ReplayMicroBatchStream(path, limit, required)
+        }
       }
     }
 }
@@ -190,6 +257,15 @@ class ReplayMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int],
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FileIndexOffset].idx
     val avail = availableCount
+    // Committed offsets index an immutable prefix of the listing; the
+    // listing shrinking below an already-committed offset means a staged
+    // file was deleted or renamed. That is data LOSS, not "no new data" —
+    // fail with the position, never silently resume from a shifted list.
+    if (avail < from)
+      throw new IllegalStateException(
+        s"graft-replay: committed offset $from but only $avail staged files " +
+          s"remain under $path — a staged file was deleted or renamed; " +
+          "replay files are immutable once committed")
     limit match {
       case mf: ReadMaxFiles => FileIndexOffset(math.min(from + mf.maxFiles(), avail))
       case _                => FileIndexOffset(avail)
@@ -204,7 +280,16 @@ class ReplayMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[FileIndexOffset].idx,
                   end.asInstanceOf[FileIndexOffset].idx)
-    files().slice(s, e).map(ReplayFilePartition(_): InputPartition)
+    val listed = files()
+    // A replanned (possibly retried) range must resolve to exactly the
+    // files it named when the offsets were written; a shorter listing
+    // would make slice() silently DROP the tail of the batch.
+    if (listed.length < e)
+      throw new IllegalStateException(
+        s"graft-replay: offset range [$s, $e) needs $e staged files but only " +
+          s"${listed.length} remain under $path — a staged file was deleted " +
+          "or renamed; replay files are immutable once committed")
+    listed.slice(s, e).map(ReplayFilePartition(_): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
