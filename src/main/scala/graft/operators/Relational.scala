@@ -74,6 +74,20 @@ object Relational {
     * (app.py:211,217). Tie-broken on the unique event_id so the order is
     * total. (Desc puts NULLs last in both Spark and DuckDB; `value` is
     * non-null in the fixture anyway.)
+    *
+    * Scale stance: this is a PRESENTATION-SCALE operator — a full-table
+    * total order is a deliberate expense (range-partitioned sample +
+    * global sort + total-order write), the one query shape whose cost is
+    * O(table) no matter how well everything else prunes. At 100 TB you
+    * run it on a view-sized slice or reach for the top-k forms
+    * ([[qTopk]]/[[qTop1]], O(k) heaps, no global sort) — it is kept
+    * exact here because the reference's dashboard sorts its whole
+    * (capped) frame. Elsewhere in the registry a trailing orderBy is
+    * either output-sized (aggregate/top-k results) or exists purely to
+    * make the oracle's row compare deterministic on full-table surfaces
+    * (scan/normalize/per-row window features) — those sorts are harness
+    * determinism, droppable at production scale; HERE the total order IS
+    * the operator's semantics.
     */
   def qSortDesc(spark: SparkSession, d: String): DataFrame =
     events(spark, d)
