@@ -54,6 +54,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] replay staging failed: ${e.getMessage}")
     }
+    // Same contract for the file-format sources: staging the json/csv/orc
+    // copies of the fixture is one-time setup, not query work — unstaged,
+    // whichever of q_{json,csv,orc,text}_source ran first absorbed the
+    // conversion write and its number drifted round-to-round.
+    try graft.sources.FileSources.stageAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] file-format staging failed: ${e.getMessage}")
+    }
     val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     val results = ordered.flatMap { case (n, f) =>
       val best = (pass1(n).toSeq ++ timeOnce(n, f).toSeq)

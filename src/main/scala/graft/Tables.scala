@@ -35,7 +35,11 @@ object Tables {
     * would let a later query silently read the earlier one's warm cache.
     * A new invocation unpersists the previous entry for its plan, so each
     * call still computes its subtree COLD (benchmarks stay honest) while
-    * the two/three join sides within the call share it. This is the
+    * the two/three join sides within the call share it. Bench implication
+    * of that contract: q_ngram_jaccard_capped re-shingles instead of
+    * riding the warm cache the uncapped query left behind — its number
+    * rose when this unpersist landed (r5→r6) because it now pays its own
+    * shingle cost, which is the honest per-query figure. This is the
     * in-query analog of a production pipeline materializing its
     * fingerprint table before the pair join.
     */

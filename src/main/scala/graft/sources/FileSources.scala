@@ -50,6 +50,14 @@ object FileSources {
       dir
     })
 
+  /** Stage every serialized format up front — called from Bench's untimed
+    * warmup so the one-time fixture conversion (a `coalesce(1)` write per
+    * format) is never charged to whichever source query happens to run
+    * first. Idempotent via [[stageCache]]; Verify still stages lazily.
+    */
+  private[graft] def stageAll(spark: SparkSession, d: String): Unit =
+    Seq("json", "csv", "orc").foreach(stage(spark, d, _))
+
   private val readSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts_us", LongType),

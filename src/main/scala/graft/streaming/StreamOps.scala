@@ -1,18 +1,28 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import java.nio.file.Files
 import java.sql.Timestamp
 import scala.collection.concurrent.TrieMap
 
-/** Open-session interval for [[StreamOps.sessionizeWithState]]: epoch-millis
-  * bounds of an in-progress session plus its running aggregates.
+/** Open-session interval for the custom sessionizers
+  * ([[StreamOps.sessionizeWithState]], [[SessionProcessor]]): epoch-MICRO-
+  * second bounds of an in-progress session plus its running aggregates.
+  * Micros, not millis: the built-in `session_window` operator merges and
+  * evicts at Spark's native microsecond timestamp precision, and the
+  * fixture's event times carry real microsecond components — millisecond
+  * state would flip a gap or emission decision whenever two instants fall
+  * in the same ms granule. The running sum is an exact decimal (per-row
+  * cast mirroring `Tables.exactSum`'s DECIMAL(38,6)), so the emitted
+  * double is independent of merge order across micro-batches — the same
+  * associativity argument that makes the built-in aggregation
+  * partition-invariant.
   */
-case class OpenSession(firstMs: Long, lastMs: Long, n: Long, sum: Double)
+case class OpenSession(firstUs: Long, lastUs: Long, n: Long, sum: BigDecimal)
 
 /** Keyed state: the set of open (not-yet-watermark-closed) sessions,
   * ordered by start. More than one can be open at once when rows arrive
@@ -25,6 +35,81 @@ case class SessionsState(sessions: Seq[OpenSession])
   */
 case class ClosedSession(user_id: Long, s_start: Timestamp, s_end: Timestamp,
                          n: Long, sum_v: Double)
+
+/** The [[StreamOps.sessionizeWithState]] state machine ported to Spark 4's
+  * arbitrary-state API (`transformWithState`): the open-session set lives
+  * in a typed [[ListState]] (one RocksDB column family, merged per row by
+  * the shared [[StreamOps.mergeRow]]), and watermark-driven emission uses
+  * an explicit event-time timer instead of `GroupStateTimeout` — the timer
+  * registry is multiplexed by the runtime, so the processor tracks its one
+  * outstanding timer in a [[ValueState]] and re-arms it as the earliest
+  * open session end moves. Semantics are identical to the
+  * flatMapGroupsWithState form and the built-in `session_window`:
+  *  - rows below the watermark drop; a row merges every open session it
+  *    overlaps (backward extension and bridging included);
+  *  - a session emits exactly once, when the watermark passes its end —
+  *    during a data batch for this key, or via [[handleExpiredTimer]]
+  *    when the key receives no more data;
+  *  - state is evicted with emission, so per-key state is bounded by the
+  *    watermark horizon exactly like the built-in operator's.
+  */
+class SessionProcessor
+    extends StatefulProcessor[Long, (Long, Timestamp, Double), ClosedSession] {
+  import StreamOps._
+
+  @transient private var sessions: ListState[OpenSession] = _
+  @transient private var timerAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sessions = getHandle.getListState("sessions",
+      Encoders.product[OpenSession], TTLConfig.NONE)
+    timerAt = getHandle.getValueState("timerAt",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  /** Close what the watermark allows, persist the rest, keep exactly one
+    * timer armed at the earliest remaining session end.
+    */
+  private def sweep(user: Long, merged: List[OpenSession],
+                    wmUs: Long): Iterator[ClosedSession] = {
+    val (closable, open) = merged.partition(s => s.lastUs + SessionGapUs <= wmUs)
+    if (open.isEmpty) {
+      sessions.clear()
+      if (timerAt.exists()) { getHandle.deleteTimer(timerAt.get()); timerAt.clear() }
+    } else {
+      sessions.put(open.toArray)
+      // Same ms-floor argument as the flatMapGroupsWithState timeout: an
+      // early-by-<1ms timer re-checks the µs predicate and re-arms.
+      val want = math.max((open.map(_.lastUs).min + SessionGapUs) / 1000,
+        wmUs / 1000 + 1)
+      if (!timerAt.exists() || timerAt.get() != want) {
+        if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+        getHandle.registerTimer(want)
+        timerAt.update(want)
+      }
+    }
+    closable.sortBy(_.firstUs).map(closeSession(user, _)).iterator
+  }
+
+  override def handleInputRows(user: Long,
+                               rows: Iterator[(Long, Timestamp, Double)],
+                               timerValues: TimerValues): Iterator[ClosedSession] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
+    var cur = sessions.get().toList
+    rows.foreach { case (_, ts, v) =>
+      val t = tsUs(ts)
+      if (t >= wmUs) cur = mergeRow(cur, t, v) // late rows drop
+    }
+    sweep(user, cur, wmUs)
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    timerAt.clear() // the fired timer is consumed; sweep re-arms if needed
+    sweep(user, sessions.get().toList,
+      timerValues.getCurrentWatermarkInMs() * 1000)
+  }
+}
 
 /** Structured Streaming execution path (SURVEY.md §2d T1-T3) — the Spark
   * re-expression of the reference's real-time mechanism: a 60-second
@@ -49,7 +134,7 @@ case class ClosedSession(user_id: Long, s_start: Timestamp, s_end: Timestamp,
   *    idempotent per-batch `foreachBatch` writes — no driver-side
   *    collection, the DLQ is just another partitioned sink.
   */
-object StreamOps {
+object StreamOps extends Serializable {
 
   /** `events.parquet` read schema for the streaming file source — `ts` as
     * raw nanos (LongType), matching `spark.sql.legacy.parquet.nanosAsLong`;
@@ -228,40 +313,30 @@ object StreamOps {
   def sessionizeWithState(events: DataFrame): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = 30L * 60 * 1000
-
-    def close(user: Long, s: OpenSession): ClosedSession =
-      ClosedSession(user, new Timestamp(s.firstMs),
-        new Timestamp(s.lastMs + gapMs), s.n, s.sum)
-
-    def mergeRow(sessions: List[OpenSession], t: Long, v: Double): List[OpenSession] = {
-      val (overlap, rest) = sessions.partition(s =>
-        t < s.lastMs + gapMs && s.firstMs < t + gapMs)
-      val merged = overlap.foldLeft(OpenSession(t, t, 1, v)) { (a, s) =>
-        OpenSession(math.min(a.firstMs, s.firstMs), math.max(a.lastMs, s.lastMs),
-          a.n + s.n, a.sum + s.sum)
-      }
-      (merged :: rest).sortBy(_.firstMs)
-    }
 
     def step(user: Long, rows: Iterator[(Long, Timestamp, Double)],
              state: GroupState[SessionsState]): Iterator[ClosedSession] = {
-      val wm = state.getCurrentWatermarkMs()
+      val wmUs = state.getCurrentWatermarkMs() * 1000
       var sessions = state.getOption.map(_.sessions.toList).getOrElse(Nil)
       if (!state.hasTimedOut) {
         rows.foreach { case (_, ts, v) =>
-          val t = ts.getTime
-          if (t >= wm) sessions = mergeRow(sessions, t, v) // late rows drop
+          val t = tsUs(ts)
+          if (t >= wmUs) sessions = mergeRow(sessions, t, v) // late rows drop
         }
       }
-      val (closable, open) = sessions.partition(s => s.lastMs + gapMs <= wm)
+      val (closable, open) = sessions.partition(s => s.lastUs + SessionGapUs <= wmUs)
       if (open.isEmpty) {
         if (state.exists) state.remove()
       } else {
         state.update(SessionsState(open))
-        state.setTimeoutTimestamp(math.max(open.map(_.lastMs).min + gapMs, wm + 1))
+        // Timeout is a millisecond API; flooring the µs session end can
+        // only fire the timer ≤1 ms EARLY, where the closable predicate
+        // re-checks in µs and simply re-arms — never late, never wrong.
+        state.setTimeoutTimestamp(math.max(
+          (open.map(_.lastUs).min + SessionGapUs) / 1000,
+          state.getCurrentWatermarkMs() + 1))
       }
-      closable.sortBy(_.firstMs).map(close(user, _)).iterator
+      closable.sortBy(_.firstUs).map(closeSession(user, _)).iterator
     }
 
     events.selectExpr("user_id", "ts", "value")
@@ -270,6 +345,74 @@ object StreamOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionsState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(step)
+  }
+
+  // ---- Shared sessionizer mechanics (flatMapGroupsWithState + TWS) -----
+
+  /** 30-minute session gap in microseconds — one constant for both custom
+    * sessionizers, matching `session_window(ts, '30 minutes')`.
+    */
+  private[streaming] val SessionGapUs = 30L * 60 * 1000 * 1000
+
+  /** Event time at Spark's native µs precision (Timestamp carries nanos;
+    * `getTime` alone would floor to ms and diverge from `session_window`).
+    */
+  private[streaming] def tsUs(ts: Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000
+  }
+
+  private[streaming] def usTs(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000))
+
+  /** Per-row exact decimal of a double value — Spark's
+    * `Cast(double AS DECIMAL(38,6))` (shortest decimal string, then
+    * HALF_UP to scale 6), so the running session sum accumulates exactly
+    * the values `Tables.exactSum` aggregates and the final double matches
+    * the oracle bit-for-bit regardless of merge order.
+    */
+  private[streaming] def rowDec(v: Double): BigDecimal =
+    BigDecimal(java.lang.Double.toString(v))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+
+  private[streaming] def closeSession(user: Long, s: OpenSession): ClosedSession =
+    ClosedSession(user, usTs(s.firstUs), usTs(s.lastUs + SessionGapUs),
+      s.n, s.sum.doubleValue)
+
+  /** Merge one event into the open-session set: the row joins (and fuses)
+    * every session it overlaps — so an out-of-order row can extend a
+    * session BACKWARD or bridge two open sessions — or starts a new one.
+    */
+  private[streaming] def mergeRow(sessions: List[OpenSession], t: Long,
+                                  v: Double): List[OpenSession] = {
+    val (overlap, rest) = sessions.partition(s =>
+      t < s.lastUs + SessionGapUs && s.firstUs < t + SessionGapUs)
+    val merged = overlap.foldLeft(OpenSession(t, t, 1, rowDec(v))) { (a, s) =>
+      OpenSession(math.min(a.firstUs, s.firstUs), math.max(a.lastUs, s.lastUs),
+        a.n + s.n, a.sum + s.sum)
+    }
+    (merged :: rest).sortBy(_.firstUs)
+  }
+
+  /** The same sessionization on Spark 4's arbitrary-state API
+    * (`transformWithState`) — typed state variables + explicit event-time
+    * timers instead of `flatMapGroupsWithState`'s single state object and
+    * timeout. This is the API a production deployment starting today is
+    * steered to (state-v2: per-variable column families in RocksDB, TTL,
+    * timer multiplexing); running the identical semantics on both proves
+    * the engine tracks the platform. Requires the RocksDB state store
+    * provider, which [[startWithStatePartitions]] sets.
+    */
+  def sessionizeTws(events: DataFrame): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts", "value")
+      .as[(Long, Timestamp, Double)]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   // ---- Driver-contract queries -----------------------------------------
@@ -567,6 +710,64 @@ object StreamOps {
       .orderBy(col("user_id"), col("s_start"))
   }
 
+  /** Shared sink-read tail of the three sessionization queries: the
+    * emitted sessions formatted exactly as the oracle's strftime columns.
+    */
+  private def sessionResult(spark: SparkSession, sinkName: String): DataFrame =
+    spark.table(sinkName)
+      .select(col("user_id"),
+              Tables.tsSeconds(col("s_start")).as("s_start"),
+              Tables.tsSeconds(col("s_end")).as("s_end"),
+              col("n"), col("sum_v"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  /** q_stream_session_custom — the hand-written `flatMapGroupsWithState`
+    * sessionizer ([[sessionizeWithState]]) run over the SAME replay with
+    * the SAME oracle as [[qStreamSession]]: a green row proves the custom
+    * state machine (µs interval merging, backward extension, session
+    * bridging, event-time-timeout emission, exact-decimal sums)
+    * hash-matches both DuckDB and the built-in `session_window` operator
+    * on real data — the strongest check a hand-rolled stateful operator
+    * can get.
+    */
+  def qStreamSessionCustom(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_session_custom")
+    val query = startWithStatePartitions(spark) {
+      sessionizeWithState(eventsStream(spark, stageReplayDir(spark, d)))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    sessionResult(spark, sinkName)
+  }
+
+  /** q_stream_session_tws — the same semantics on Spark 4's
+    * `transformWithState` ([[sessionizeTws]] / [[SessionProcessor]]),
+    * gated by the same oracle: typed ListState + explicit event-time
+    * timers on the RocksDB provider (which the API requires and
+    * [[startWithStatePartitions]] supplies).
+    */
+  def qStreamSessionTws(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_session_tws")
+    val query = startWithStatePartitions(spark) {
+      sessionizeTws(eventsStream(spark, stageReplayDir(spark, d)))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    sessionResult(spark, sinkName)
+  }
+
   /** q_stream_tick_update — the third output-mode point the append-mode
     * scaladoc describes: UPDATE mode feeding an idempotent upsert sink.
     * Each micro-batch emits only the windows whose aggregate CHANGED, and
@@ -791,6 +992,8 @@ object StreamOps {
     "q_stream_tick_update" -> qStreamTickUpdate _,
     "q_stream_tick_dsv2"   -> qStreamTickDsv2 _,
     "q_stream_session"     -> qStreamSession _,
+    "q_stream_session_custom" -> qStreamSessionCustom _,
+    "q_stream_session_tws" -> qStreamSessionTws _,
     "q_stream_dedup"       -> qStreamDedup _,
     "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
@@ -798,6 +1001,35 @@ object StreamOps {
     "q_stream_join_outer"  -> qStreamJoinOuter _,
     "q_deadletter"         -> qDeadletter _,
   )
+
+  /** The sessionization contract, replayed in SQL: gaps-and-islands
+    * sessions with the final-watermark emission cutoff (s_end ≤ max(ts) −
+    * 10 min) — shared verbatim by q_stream_session{,_custom,_tws}.
+    */
+  private val sessionOracle: String =
+      """WITH wm AS (
+        |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
+        |), marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM sess, wm
+        |GROUP BY user_id, sid, wm.w
+        |HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
+        |ORDER BY user_id, s_start""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_stream_enrich" ->
@@ -832,30 +1064,12 @@ object StreamOps {
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w_start, event_type""".stripMargin,
-    "q_stream_session" ->
-      """WITH wm AS (
-        |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
-        |), marked AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |              THEN 1 ELSE 0 END AS brk
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), sess AS (
-        |  SELECT user_id, ts, value,
-        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                        ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM marked
-        |)
-        |SELECT user_id,
-        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
-        |       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
-        |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
-        |FROM sess, wm
-        |GROUP BY user_id, sid, wm.w
-        |HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
-        |ORDER BY user_id, s_start""".stripMargin,
+    "q_stream_session" -> sessionOracle,
+    // The custom sessionizers make the SAME claim as the built-in
+    // operator, so they are gated by the IDENTICAL oracle — any semantic
+    // drift between the three implementations breaks exactly one row.
+    "q_stream_session_custom" -> sessionOracle,
+    "q_stream_session_tws" -> sessionOracle,
     "q_stream_tick_append" ->
       """WITH wm AS (
         |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
@@ -894,4 +1108,5 @@ object StreamOps {
         |WHERE k IS NULL OR k % 13 = 0
         |ORDER BY event_id""".stripMargin,
   )
+
 }

@@ -223,6 +223,93 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionizer: agrees with session_window; closes via the timer path") {
+    // The arbitrary-state port (SessionProcessor). TWS only runs on the
+    // RocksDB provider, so a sibling session pins it without leaking conf.
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rocks.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = rocks.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.sessionizeTws(mem.toDF())
+      .writeStream.format("memory").queryName("tws")
+      .outputMode("append").start()
+    run(query) {
+      val u1 = Seq(
+        Ev(1, t(10, 0), 1, "click", 2.0),
+        Ev(2, t(10, 10), 1, "click", 3.0),
+        Ev(3, t(11, 30), 1, "click", 5.0))
+      mem.addData(u1)
+      query.processAllAvailable()
+      // Watermark advances on OTHER keys only, so handleInputRows is never
+      // again invoked for user 1 — its two sessions can only emit through
+      // handleExpiredTimer (the event-time timer registered at the earliest
+      // open session end). This pins the timer path structurally, not just
+      // the output.
+      mem.addData(Ev(4, t(14, 0), 2, "view", 1.0))
+      query.processAllAvailable()
+      mem.addData(Ev(5, t(14, 30), 2, "view", 1.0))
+      query.processAllAvailable()
+      val emitted = rocks.table("tws").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+                   r.getLong(3), r.getDouble(4))).toSet
+      val viaBuiltin = u1.toDF()
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+        .select(col("user_id"), col("sw.start"), col("sw.end"), col("n"), col("sum_v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+                   r.getLong(3), r.getDouble(4))).toSet
+      assert(emitted == viaBuiltin,
+        s"transformWithState sessionizer differs from session_window: $emitted vs $viaBuiltin")
+    }
+  }
+
+  test("transformWithState sessionizer: backward extension, late drop, and no state resurrection") {
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rocks.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = rocks.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.sessionizeTws(mem.toDF())
+      .writeStream.format("memory").queryName("tws_ooo")
+      .outputMode("append").start()
+    run(query) {
+      mem.addData(Ev(1, t(10, 0), 3, "click", 1.0))
+      query.processAllAvailable() // watermark → 09:50
+      // 09:55 is out of order but above the watermark: extends the open
+      // session BACKWARD. 08:00 is below: dropped before it can merge.
+      mem.addData(Ev(2, t(9, 55), 3, "click", 1.0), Ev(3, t(8, 0), 3, "click", 1.0))
+      query.processAllAvailable()
+      mem.addData(Ev(4, t(12, 0), 4, "view", 1.0))
+      query.processAllAvailable()
+      mem.addData(Ev(5, t(12, 30), 4, "view", 1.0))
+      query.processAllAvailable()
+      val u3 = rocks.table("tws_ooo").collect()
+        .filter(_.getLong(0) == 3L)
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+        .toSet
+      assert(u3 == Set(("2026-01-01 09:55:00.0", "2026-01-01 10:30:00.0", 2L)),
+        s"expected one backward-extended session without the late row: $u3")
+      // State must be GONE after emission: a fresh row for user 3 starts a
+      // new 1-row session rather than resurrecting the closed one.
+      mem.addData(Ev(6, t(13, 0), 3, "click", 1.0))
+      query.processAllAvailable()
+      mem.addData(Ev(7, t(15, 0), 4, "view", 1.0))
+      query.processAllAvailable()
+      mem.addData(Ev(8, t(15, 30), 4, "view", 1.0))
+      query.processAllAvailable()
+      val u3b = rocks.table("tws_ooo").collect()
+        .filter(_.getLong(0) == 3L)
+        .map(r => (r.getTimestamp(1).toString, r.getLong(3))).toSet
+      assert(u3b == Set(("2026-01-01 09:55:00.0", 2L), ("2026-01-01 13:00:00.0", 1L)),
+        s"closed session must not resurrect: $u3b")
+    }
+  }
+
   test("ProcessingTime trigger drives the steady-state tick loop across batches") {
     // The reference's actual cadence is a 60 s refresh loop — this is that
     // loop with the interval compressed to 1 s: two arrivals processed in
