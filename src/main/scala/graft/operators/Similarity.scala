@@ -209,28 +209,59 @@ object Similarity {
     * top-k) is identical. Cell assignment is a per-key row_number over 8
     * candidate rows — bounded work per vector, no global state.
     */
-  def qAnnIvf(spark: SparkSession, d: String): DataFrame = {
+  /** Per-vector centroid ranking shared by the IVF variants: every vector
+    * crossed with the 8 broadcast centroids, ranked by cosine (ties by
+    * cid). `rn = 1` is the inverted-file assignment; the query's `rn ≤
+    * nprobe` rows are the cells it probes.
+    */
+  private def ivfRanked(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, d)
     val cents = e.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val byCos = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
               cosine(col("embedding"), col("ce")).as("ccos"))
       .withColumn("rn", row_number().over(byCos))
-      .filter(col("rn") === 1)
-    val q = assigned.filter(col("vec_id") === 0)
+  }
+
+  /** Probe the query's `nprobe` nearest cells and return the top-10 by
+    * exact cosine — the shared tail of [[qAnnIvf]] (nprobe=1) and
+    * [[qAnnIvf2]] (nprobe=2). Cells are disjoint (each vector lives in
+    * exactly one), so multi-probe is a plain equi-join against the
+    * broadcast probe list — no dedup needed, candidate volume is the sum
+    * of the probed cells' sizes.
+    */
+  private def ivfProbe(spark: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val ranked = ivfRanked(spark, d)
+    val assigned = ranked.filter(col("rn") === 1)
+    val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= nprobe)
       .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"),
               col("cid").as("qcid"))
-    assigned.join(broadcast(q), col("cid") === col("qcid"))
+    assigned.join(broadcast(qCells), col("cid") === col("qcid"))
       .select(col("vec_id"), col("label"), col("cid"),
               cosinePre(col("embedding"), col("qe"),
                         norm(col("embedding")), col("qn")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
+
+  def qAnnIvf(spark: SparkSession, d: String): DataFrame =
+    ivfProbe(spark, d, nprobe = 1)
+
+  /** q_ann_ivf2 — [[qAnnIvf]] with nprobe=2: the query searches the UNION
+    * of its 2 nearest cells. This is the standard IVF recall knob — a
+    * vector whose true neighbors straddle a cell boundary (the query sits
+    * near the edge of its Voronoi cell) is exactly the case one more
+    * probe recovers. Cost scales linearly in probed-cell volume; recall
+    * is monotone in nprobe (a superset of cells can only add candidates),
+    * which the SimilaritySpec property pins against the brute-force
+    * baseline.
+    */
+  def qAnnIvf2(spark: SparkSession, d: String): DataFrame =
+    ivfProbe(spark, d, nprobe = 2)
 
   /** q_centroid — per-label embedding centroid (the "trained centroids" a
     * production IVF index is built from — [[qAnnIvf]]'s training-free
@@ -281,6 +312,7 @@ object Similarity {
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
     "q_cosine_neardup"  -> qCosineNeardup _,
     "q_ann_ivf"         -> qAnnIvf _,
+    "q_ann_ivf2"        -> qAnnIvf2 _,
   )
 
   // ---- DuckDB oracle: the same left-to-right double arithmetic ----------
@@ -373,6 +405,27 @@ object Similarity {
          |SELECT a.vec_id, a.label, a.cid, ${cosSql("a.embedding", "qe")} AS cos
          |FROM assigned a, q
          |WHERE a.cid = qcid
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf2" ->
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), ranked AS (
+         |  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |         ${cosSql("e.embedding", "c.ce")} AS ccos,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ccos DESC, c.cid) AS rn
+         |  FROM embeddings e, centroids c
+         |), assigned AS (
+         |  SELECT vec_id, label, embedding, cid FROM ranked WHERE rn = 1
+         |), q AS (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+         |), qcells AS (
+         |  SELECT cid AS qcid FROM ranked WHERE vec_id = 0 AND rn <= 2
+         |)
+         |SELECT a.vec_id, a.label, a.cid, ${cosSql("a.embedding", "qe")} AS cos
+         |FROM assigned a, q
+         |WHERE a.cid IN (SELECT qcid FROM qcells)
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
   )
 }

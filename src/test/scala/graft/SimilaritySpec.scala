@@ -113,6 +113,30 @@ class SimilaritySpec extends SparkSpec {
       }
     }
 
+  test("IVF nprobe=2 dominates nprobe=1: pointwise scores and brute-force recall") {
+    // 2-probe searches a SUPERSET of 1-probe's candidates (its cell plus
+    // the second-nearest), so its top-10 must dominate position by
+    // position and its recall against the exact top-10 can only improve.
+    val q = vecs(0L)
+    val truth = vecs.toSeq
+      .map { case (id, v) => (id, cosRef(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10).map(_._1).toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val p1 = run(Similarity.qAnnIvf(spark, sfDir))
+    val p2 = run(Similarity.qAnnIvf2(spark, sfDir))
+    val rec1 = p1.map(_._1).toSet.intersect(truth).size / 10.0
+    val rec2 = p2.map(_._1).toSet.intersect(truth).size / 10.0
+    assert(rec2 >= rec1, f"2-probe recall $rec2%.2f < 1-probe $rec1%.2f")
+    p1.map(_._2).zip(p2.map(_._2)).zipWithIndex.foreach { case ((c1, c2), i) =>
+      assert(c2 >= c1, f"rank $i: 2-probe score $c2%.6f below 1-probe $c1%.6f")
+    }
+    // The knob must actually buy something on this fixture, not just
+    // not-hurt: nprobe=2 reaches at least 60% of the exact top-10.
+    assert(rec2 >= 0.6, f"2-probe recall $rec2%.2f below floor")
+  }
+
   test("q_cosine_neardup: every pair shares a band, is above threshold, a<b, exact score") {
     val rows = Similarity.qCosineNeardup(spark, sfDir).collect()
     assert(rows.nonEmpty)
