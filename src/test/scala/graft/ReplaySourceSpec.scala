@@ -67,6 +67,58 @@ class ReplaySourceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("maxFilesPerTrigger alone drives admission through the 2-arg latestOffset path") {
+    val replay = StreamOps.stageReplayDir(spark, sfDir)
+    // No req.rate-limit: the per-QUERY option must reach getDefaultReadLimit
+    // and bound each micro-batch to one file on its own (2 staged files ->
+    // 2 data batches) — the execution path SupportsAdmissionControl routes
+    // through latestOffset(start, limit), never the deprecated no-arg form.
+    val stream = spark.readStream
+      .format("graft-replay")
+      .option("maxFilesPerTrigger", "1")
+      .load(replay)
+      .withColumn("ts", Tables.nsToTs("ts"))
+    val query = StreamOps.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("mfpt_only")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      query.awaitTermination()
+      val dataBatches = query.recentProgress.filter(_.numInputRows > 0)
+      assert(dataBatches.length == 2,
+        s"maxFilesPerTrigger=1 must admit one file per tick, saw ${dataBatches.length} batches")
+      val streamed = spark.table("mfpt_only")
+        .select(col("w.start").as("s"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("s"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("admission control unit contract: 2-arg latestOffset clamps, no-arg throws") {
+    val replay = StreamOps.stageReplayDir(spark, sfDir)
+    val stream = new graft.sources.ReplayMicroBatchStream(replay, Some(1),
+      StreamOps.eventsRawSchema)
+    // Default read limit is the per-query cap...
+    val limit = stream.getDefaultReadLimit
+    assert(limit.isInstanceOf[org.apache.spark.sql.connector.read.streaming.ReadMaxFiles],
+      s"expected ReadMaxFiles, got $limit")
+    // ...and the 2-arg path advances exactly one file per call until the
+    // 2-file staged listing is drained, then holds position.
+    val o1 = stream.latestOffset(FileIndexOffset(0), limit)
+    val o2 = stream.latestOffset(o1, limit)
+    val o3 = stream.latestOffset(o2, limit)
+    assert(Seq(o1, o2, o3).map(_.asInstanceOf[FileIndexOffset].idx) == Seq(1, 2, 2))
+    // The deprecated no-arg entry point is a landmine by design: reaching
+    // it would mean the engine bypassed admission control.
+    intercept[UnsupportedOperationException](stream.latestOffset())
+  }
+
   test("invalid request options fail at source resolution, not at the first batch") {
     def opts(kv: (String, String)*): CaseInsensitiveStringMap =
       new CaseInsensitiveStringMap(
