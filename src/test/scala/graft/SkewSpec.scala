@@ -44,4 +44,53 @@ class SkewSpec extends SparkSpec {
     val right2 = plain.range(0, 100).select(col("id").as("k"), (col("id") * 10).as("w"))
     assert(left2.join(right2, "k").count() == n)
   }
+
+  test("AQE splits a hot band bucket in the real LSH candidate join (bandCandidates)") {
+    // The claim at Similarity.scala's banded-LSH design notes, demonstrated
+    // on the ACTUAL operator: a near-universal sign pattern (think: all
+    // embeddings of boilerplate documents pointing the same way) funnels
+    // hundreds of vectors into ONE (band, bkey) bucket, making that
+    // partition of the candidate self-join the skew case. With thresholds
+    // scaled to fixture bytes, AQE must split it — and the candidate set
+    // must equal the non-AQE plan's.
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_emb_").toString
+    val rnd = new scala.util.Random(42)
+    // 400 hot vectors: every coordinate positive → all 16 plane bits 1 →
+    // the SAME bkey in every band. 400 cold vectors: seeded random signs,
+    // spread across the 16 buckets per band.
+    val rows: Seq[(Long, Array[Float], Int)] =
+      (0 until 400).map { i =>
+        (i.toLong, Array.fill(64)(1.0f + (i % 7) * 0.01f), 0)
+      } ++ (400 until 800).map { i =>
+        (i.toLong, Array.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f), 1)
+      }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val skewed = spark.newSession()
+    skewed.conf.set("spark.sql.adaptive.enabled", "true")
+    skewed.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    skewed.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    skewed.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    skewed.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    skewed.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    skewed.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    skewed.conf.set("spark.sql.shuffle.partitions", "4")
+    val cand = Similarity.bandCandidates(skewed, dir, Similarity.NdBands, Similarity.NdRows)
+    val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val finalPlan = cand.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), "plan must have executed")
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not split the hot band bucket:\n$finalPlan")
+    // Every hot pair is a candidate (they agree on all planes of every
+    // band), and the split plan loses/duplicates nothing vs no-AQE.
+    assert(got.size >= 400 * 399 / 2, s"hot bucket pairs missing: ${got.size}")
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.adaptive.enabled", "false")
+    plain.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val expected = Similarity.bandCandidates(plain, dir, Similarity.NdBands, Similarity.NdRows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, "AQE and non-AQE candidate sets must be identical")
+  }
 }
