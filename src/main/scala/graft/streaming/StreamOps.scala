@@ -768,6 +768,42 @@ object StreamOps extends Serializable {
     sessionResult(spark, sinkName)
   }
 
+  /** q_stream_sink_parquet — the "stream to data lake" path: the same
+    * watermarked append-mode windows as [[qStreamTickAppend]], but written
+    * by Spark's transactional FILE SINK (format "parquet", partitioned by
+    * event_type) instead of a memory table. The sink commits a
+    * `_spark_metadata` manifest entry per micro-batch; readers list files
+    * THROUGH the manifest, so a half-written or orphaned file from a
+    * failed task attempt is invisible — this is the exactly-once contract
+    * object-store pipelines rely on (SinkSpec drops an orphan parquet
+    * into the directory and proves the read-back ignores it). Partitioning
+    * by event_type at the sink is the layout decision of WritePath applied
+    * to the streaming path: downstream per-type readers prune whole
+    * directories. The read-back re-selects columns because a partition
+    * column always reads back LAST; the oracle is q_stream_tick_append's
+    * (append mode withholds windows the final watermark hasn't closed).
+    */
+  def qStreamSinkParquet(spark: SparkSession, d: String): DataFrame = {
+    val sinkDir = scratchDir("graft_fsink_")
+    val query = startWithStatePartitions(spark) {
+      tumblingCounts(eventsStream(spark, stageReplayDir(spark, d)))
+        .select(Tables.tsSeconds(col("w.start")).as("w_start"),
+                col("event_type"), col("n"))
+        .writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt())
+        .partitionBy("event_type")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.read.parquet(sinkDir)
+      .select(col("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** q_stream_tick_update — the third output-mode point the append-mode
     * scaladoc describes: UPDATE mode feeding an idempotent upsert sink.
     * Each micro-batch emits only the windows whose aggregate CHANGED, and
@@ -989,6 +1025,7 @@ object StreamOps extends Serializable {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tick"        -> qStreamTick _,
     "q_stream_tick_append" -> qStreamTickAppend _,
+    "q_stream_sink_parquet" -> qStreamSinkParquet _,
     "q_stream_tick_update" -> qStreamTickUpdate _,
     "q_stream_tick_dsv2"   -> qStreamTickDsv2 _,
     "q_stream_session"     -> qStreamSession _,
@@ -1031,6 +1068,20 @@ object StreamOps extends Serializable {
         |HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
         |ORDER BY user_id, s_start""".stripMargin
 
+  /** The append-mode tumbling-window contract in SQL (final-watermark
+    * cutoff on closed hours) — shared by q_stream_tick_append and the
+    * file-sink variant q_stream_sink_parquet, whose claim is that the
+    * transactional parquet sink round-trips exactly those rows.
+    */
+  private val tickAppendOracle: String =
+      """WITH wm AS (
+        |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
+        |)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, COUNT(*) AS n
+        |FROM (SELECT date_trunc('hour', ts) AS h, event_type FROM events), wm
+        |WHERE h + INTERVAL 1 HOUR <= wm.w
+        |GROUP BY h, event_type ORDER BY w_start, event_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_stream_enrich" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS n,
@@ -1070,14 +1121,8 @@ object StreamOps extends Serializable {
     // drift between the three implementations breaks exactly one row.
     "q_stream_session_custom" -> sessionOracle,
     "q_stream_session_tws" -> sessionOracle,
-    "q_stream_tick_append" ->
-      """WITH wm AS (
-        |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
-        |)
-        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, COUNT(*) AS n
-        |FROM (SELECT date_trunc('hour', ts) AS h, event_type FROM events), wm
-        |WHERE h + INTERVAL 1 HOUR <= wm.w
-        |GROUP BY h, event_type ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_tick_append" -> tickAppendOracle,
+    "q_stream_sink_parquet" -> tickAppendOracle,
     "q_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
         |FROM events c JOIN events v

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.StreamOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent
 import java.sql.Timestamp
@@ -68,6 +69,37 @@ class ObservabilitySpec extends SparkSpec {
       val finalRows = progresses.last.stateOperators.head.numRowsTotal
       assert(finalRows == 1,
         s"only the open 13:00 window may remain in state, got $finalRows")
+    } finally query.stop()
+  }
+
+  test("Dataset.observe surfaces custom per-batch metrics in query progress") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The reference's per-tick caption ("N rows at HH:MM", app.py:256) done
+    // the Spark way: observe() attaches aggregate metrics to the streaming
+    // plan itself; every micro-batch reports them in observedMetrics with
+    // no second pass over the data — the hook a pipeline uses for row-count
+    // reconciliation and data-quality alerts at 100 TB, where a separate
+    // counting query would double the read.
+    val mem = MemoryStream[Ev]
+    val observed = mem.toDF()
+      .observe("tick_stats",
+        count(lit(1)).as("rows"),
+        sum(col("value")).as("sum_v"))
+    val query = StreamOps.tumblingCounts(observed)
+      .writeStream.format("memory").queryName("obs_observe")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Ev(1, t(10, 5), 1, "click", 2.0), Ev(2, t(10, 20), 1, "click", 3.0))
+      query.processAllAvailable()
+      mem.addData(Ev(3, t(11, 0), 2, "view", 5.0))
+      query.processAllAvailable()
+      val stats = query.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("tick_stats")))
+        .map(r => (r.getAs[Long]("rows"), r.getAs[Double]("sum_v")))
+      assert(stats.nonEmpty, "observe() metrics must appear in progress")
+      assert(stats.map(_._1).sum == 3 && stats.map(_._2).sum == 10.0,
+        s"per-batch observed metrics must reconcile with the input: $stats")
     } finally query.stop()
   }
 

@@ -67,6 +67,41 @@ class PlanSpec extends SparkSpec {
       s"lag and lead must evaluate in one Window operator:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB scan-pruning mechanism BEYOND static pushdown: when a
+    // selective dimension filters a shuffle join, Spark injects a bloom
+    // filter built from the dim keys into the FACT side's scan, so fact
+    // rows with no join partner die at the scan instead of shuffling.
+    // Local fixture sizes are below the production thresholds, so the
+    // thresholds are scaled down — the assertion is the mechanism (filter
+    // creation + might_contain application + identical results), which is
+    // size-independent.
+    val bf = spark.newSession()
+    bf.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    bf.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    bf.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    bf.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bf.conf.set("spark.sql.shuffle.partitions", "4")
+    import org.apache.spark.sql.functions.col
+    def joined(s: org.apache.spark.sql.SparkSession) = {
+      val li = Tables.lineitem(s, sfDir).select(col("l_orderkey"), col("l_quantity"))
+      val sel = Tables.orders(s, sfDir)
+        .filter(col("o_totalprice") > 500000.0) // highly selective dim
+        .select(col("o_orderkey"), col("o_totalprice"))
+      li.join(sel, col("l_orderkey") === col("o_orderkey"))
+    }
+    val df = joined(bf)
+    val rows = df.collect().length
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain") || p.contains("bloom_filter"),
+      s"runtime bloom filter was not injected into the fact scan:\n$p")
+    // Pruning must be semantically invisible: same rows with it disabled.
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    plain.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    assert(joined(plain).count() == rows)
+  }
+
   test("no LSH/inverted-index join degrades to nested-loop or cartesian") {
     for ((name, df) <- Seq(
         "q_cosine_neardup" -> Similarity.qCosineNeardup(spark, sfDir),
