@@ -234,6 +234,79 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Iteration cap for [[qDedupGroups]]'s label propagation — a safety
+    * bound, not a tuning knob: min-label propagation converges in
+    * O(component diameter) rounds and the convergence check exits the
+    * loop the first round nothing changes. A cap this high only triggers
+    * on a pathological path-graph component; it then fails LOUDLY rather
+    * than emitting half-propagated labels.
+    */
+  val MaxCcIters = 50
+
+  /** q_dedup_groups — near-dup CLUSTERING, the step between candidate
+    * pairs and an actual dedup decision: connected components over the
+    * MinHash-LSH candidate graph, each document labeled with its
+    * component's minimum doc_id (the canonical copy — singletons label
+    * themselves). This is what "keep one copy per near-dup group" means
+    * when A~B and B~C but A≁C: pairwise keep-min would keep A and drop
+    * both B (vs A) and C (vs B) only if the pair list happens to contain
+    * them — components make the policy transitive and deterministic.
+    *
+    * Algorithm: min-label propagation to fixpoint — labels start at
+    * doc_id; each round every node takes the min of its own label and its
+    * neighbors'; stop when a round changes nothing. Each round is two
+    * distributed hash joins + an aggregation; the driver only evaluates
+    * the CONVERGENCE BIT (an `isEmpty` on the changed-row set), never the
+    * data — the loop-with-convergence-check is how iterative graph
+    * algorithms run on Spark (GraphX/GraphFrames do the same under the
+    * hood). Rounds needed = component diameter (2 on the fixture's
+    * star-shaped dup groups). At 100 TB: same loop with per-round
+    * `localCheckpoint` to truncate lineage, and the large-star/small-star
+    * alternation (Kiveris et al.) to collapse long paths in O(log n)
+    * rounds — the fixture's bounded-diameter dup groups don't need it.
+    *
+    * The DuckDB oracle computes the same components independently with a
+    * RECURSIVE CTE (min over the full reachability set), so the gate
+    * checks the fixpoint itself, not the iteration schedule.
+    */
+  def qDedupGroups(spark: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(spark, d).select(col("doc_a"), col("doc_b"))
+    // Undirected: propagate along both directions of every candidate edge.
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache() // consumed once per round
+    var labels = documents(spark, d)
+      .select(col("doc_id"), col("doc_id").as("canon_id"))
+    var prev: Option[DataFrame] = None
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      if (iter > MaxCcIters)
+        throw new IllegalStateException(
+          s"q_dedup_groups: no fixpoint after $MaxCcIters rounds — " +
+            "component diameter exceeds the safety cap")
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("canon_id")), "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("canon_id")).as("nmin"))
+      val next = labels.alias("l")
+        .join(neighborMin.alias("n"), col("l.doc_id") === col("n.doc_a"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.canon_id"), coalesce(col("n.nmin"), col("l.canon_id")))
+            .as("canon_id"))
+        .cache()
+      converged = next.alias("a")
+        .join(labels.alias("b"), col("a.doc_id") === col("b.doc_id"))
+        .filter(col("a.canon_id") =!= col("b.canon_id"))
+        .isEmpty
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(next)
+      labels = next
+    }
+    edges.unpersist(blocking = false)
+    labels.orderBy(col("doc_id"))
+  }
+
   /** q_simhash — [[SimhashBits]]-bit SimHash fingerprint over distinct
     * tokens: each token votes ±1 per bit position of its hash; the
     * fingerprint keeps the sign of each bit's tally. Near-dup docs differ
@@ -549,6 +622,7 @@ object TextOps {
     "q_minhash_sig"   -> qMinhashSig _,
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_edit_distance" -> qEditDistance _,
+    "q_dedup_groups"  -> qDedupGroups _,
     "q_split_leakage" -> qSplitLeakage _,
     "q_simhash"       -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
@@ -708,6 +782,26 @@ object TextOps {
          |JOIN documents da ON doc_a = da.doc_id
          |JOIN documents db ON doc_b = db.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.doc_b FROM reach JOIN edges e ON reach.r = e.doc_a
+         |)
+         |SELECT id AS doc_id, MIN(r) AS canon_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_split_leakage" ->
       s"""WITH sig AS (
          |$sigSql

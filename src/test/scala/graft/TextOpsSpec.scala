@@ -120,6 +120,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_groups labels are a valid connected-components fixpoint") {
+    import org.apache.spark.sql.functions.col
+    val labels = TextOps.qDedupGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = TextOps.qMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // Every doc is labeled, labels point downward, and a canonical doc
+    // is its own canonical (labels are idempotent).
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(labels.keySet == docs)
+    labels.foreach { case (id, c) =>
+      assert(c <= id, s"canon must be the component min: $id -> $c")
+      assert(labels(c) == c, s"canon of canon must be itself: $id -> $c -> ${labels(c)}")
+    }
+    // Both endpoints of every candidate edge share a component...
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across components")
+    }
+    // ...and docs touching no edge are singletons labeling themselves.
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    (docs -- touched).foreach(id =>
+      assert(labels(id) == id, s"isolated doc $id must be its own canon"))
+    // The fixture actually exercises merging: at least one multi-doc group.
+    assert(labels.exists { case (id, c) => id != c },
+      "fixture must contain at least one near-dup group")
+  }
+
   test("q_curate: contiguous per-lang ranks, quality rule holds, no duplicate texts, canonical ids") {
     val rows = TextOps.qCurate(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
