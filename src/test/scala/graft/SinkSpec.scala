@@ -46,9 +46,12 @@ class SinkSpec extends SparkSpec {
 
     // Simulate a failed attempt's leftover: a VALID parquet data file in the
     // sink directory that no manifest entry references.
+    // The sink writes one file per task and most are EMPTY — copy the
+    // largest so the orphan demonstrably carries rows.
     val part = Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .find(p => p.getFileName.toString.startsWith("part-") &&
-                 p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+                   p.getFileName.toString.endsWith(".parquet"))
+      .maxByOption(Files.size(_))
       .getOrElse(fail(s"no part file written under $dir"))
     Files.copy(part, Paths.get(dir, "part-99999-orphan.snappy.parquet"),
       StandardCopyOption.COPY_ATTRIBUTES)
