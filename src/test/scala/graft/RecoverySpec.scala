@@ -111,6 +111,77 @@ class RecoverySpec extends SparkSpec {
       "post-restart snapshot must equal the uninterrupted batch plan")
   }
 
+  test("transformWithState restart: ListState and timers recover, sessions emit exactly once") {
+    // The arbitrary-state port's recovery contract: a TWS query stopped
+    // mid-replay and restarted from the same checkpoint must recover its
+    // typed ListState (an open session straddling the stop keeps its
+    // tick1 rows) and its timer registry, and every session still emits
+    // exactly once. The cut is the midpoint of one user's consecutive
+    // event pair less than 30 min apart, so a session PROVABLY spans the
+    // stop boundary — state recovery is load-bearing, not vacuous.
+    val rocks = rocksSession()
+    val raw = rocks.read.schema(StreamOps.eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val pair = raw.select(col("ts"), lead(col("ts"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull && col("nxt") > col("ts") &&
+              col("nxt") - col("ts") < gapNs)
+      .orderBy(col("ts")).limit(1).collect()
+    assert(pair.nonEmpty, "fixture must contain an intra-session event pair")
+    val cut = (pair.head.getLong(0) + pair.head.getLong(1)) / 2
+
+    val replay = Files.createTempDirectory("graft_tws_replay_")
+    val ckpt = Files.createTempDirectory("graft_tws_ckpt_").toString
+    def arrive(half: org.apache.spark.sql.DataFrame, tick: Int): Unit = {
+      val scratch = Files.createTempDirectory(s"graft_tws_half$tick")
+      half.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      scratch.toFile.listFiles.filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          val dst = replay.resolve(f"tick$tick%d-$i%05d.parquet")
+          Files.move(f.toPath, dst)
+          dst.toFile.setLastModified(1600000000000L + tick * 60000L): Unit
+        }
+    }
+    // Append-mode MEMORY sinks refuse checkpoint recovery, so the restart
+    // rides the transactional parquet sink — which also proves the
+    // manifest continues cleanly across a restart.
+    def drain(outDir: String, checkpoint: String): Seq[(Long, String, String, Long, Double)] = {
+      val q = StreamOps.sessionizeTws(StreamOps.eventsStream(rocks, replay.toString))
+        .writeStream.option("checkpointLocation", checkpoint)
+        .format("parquet").option("path", outDir).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      rocks.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+                   r.getLong(3), r.getDouble(4))).toSeq
+    }
+    val out = Files.createTempDirectory("graft_tws_out_").toString
+
+    arrive(raw.filter(col("ts") <= cut), 1)
+    val run1 = drain(out, ckpt)
+    arrive(raw.filter(col("ts") > cut), 2)
+    val all = drain(out, ckpt)
+
+    // Exactly-once across the restart: the sink holds no duplicate
+    // session rows (a re-emitted session would double its tuple).
+    assert(all.size == all.toSet.size,
+      s"sessions re-emitted after restart: ${all.diff(all.distinct)}")
+    // The recovered state did real work: a session STARTED before the cut
+    // emits after the restart (its tick1 rows lived in recovered ListState).
+    val run2New = all.toSet -- run1.toSet
+    val cutMs = cut / 1000000
+    assert(run2New.exists(s => java.sql.Timestamp.valueOf(s._2).getTime <= cutMs),
+      "no tick1-started session emitted post-restart — state recovery untested")
+    // Interrupted == uninterrupted: a fresh-checkpoint drain of the SAME
+    // two-file replay yields exactly the same session set.
+    val whole = drain(Files.createTempDirectory("graft_tws_out2_").toString,
+      Files.createTempDirectory("graft_tws_ckpt2_").toString)
+    assert(all.toSet == whole.toSet && whole.nonEmpty,
+      "restarted TWS output must equal the uninterrupted run")
+  }
+
   test("retried micro-batch: upsert log stays duplicate-free across the retry boundary") {
     val rocks = rocksSession()
     val replay = StreamOps.stageReplayDir(rocks, sfDir)
