@@ -352,7 +352,7 @@ object StreamOps extends Serializable {
   /** 30-minute session gap in microseconds — one constant for both custom
     * sessionizers, matching `session_window(ts, '30 minutes')`.
     */
-  private[streaming] val SessionGapUs = 30L * 60 * 1000 * 1000
+  private[graft] val SessionGapUs = 30L * 60 * 1000 * 1000
 
   /** Event time at Spark's native µs precision (Timestamp carries nanos;
     * `getTime` alone would floor to ms and diverge from `session_window`).
@@ -384,7 +384,7 @@ object StreamOps extends Serializable {
     * every session it overlaps — so an out-of-order row can extend a
     * session BACKWARD or bridge two open sessions — or starts a new one.
     */
-  private[streaming] def mergeRow(sessions: List[OpenSession], t: Long,
+  private[graft] def mergeRow(sessions: List[OpenSession], t: Long,
                                   v: Double): List[OpenSession] = {
     val (overlap, rest) = sessions.partition(s =>
       t < s.lastUs + SessionGapUs && s.firstUs < t + SessionGapUs)

@@ -34,6 +34,32 @@ object GraftProps extends Properties("graft") {
   private val kvRows: Gen[List[(Int, Int)]] =
     Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 1000)))
 
+  // Event times spread over ~3 h so random inputs produce a mix of merges,
+  // bridges, and separate sessions against the 30-min gap.
+  private val sessEvents: Gen[List[(Long, Double)]] =
+    Gen.listOfN(14, Gen.zip(
+      Gen.choose(0L, 3L * 3600 * 1000000),
+      Gen.choose(0, 100000).map(_ / 1000.0)))
+
+  property("sessionizer mergeRow fixpoint is arrival-order invariant") =
+    forAllNoShrink(sessEvents, Gen.long) { (evs, seed) =>
+      // The invariant every custom-sessionizer claim rests on: folding
+      // events in ANY arrival order yields the SAME open-session set —
+      // intervals because components of the gap-proximity relation don't
+      // depend on insertion order, aggregates because counts/min/max and
+      // the exact-decimal sums are associative+commutative. This is a pure
+      // in-memory law (no Spark job), so it gets full ScalaCheck breadth.
+      def fold(es: List[(Long, Double)]) =
+        es.foldLeft(List.empty[graft.streaming.OpenSession]) { (s, e) =>
+          graft.streaming.StreamOps.mergeRow(s, e._1, e._2)
+        }
+      // Pure law → cheap cases: 50 permutations per generated list (the
+      // suite-wide case count is sized for Spark-job properties).
+      val base = fold(evs)
+      val rnd = new scala.util.Random(seed)
+      (0 until 50).forall(_ => fold(rnd.shuffle(evs)) == base)
+    }
+
   property("dedup (keep-min) is idempotent") =
     forAllNoShrink(kvRows) { rows =>
       import spark.implicits._
