@@ -289,19 +289,21 @@ object TextOps {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("canon_id")), "doc_b")
         .groupBy(col("doc_a")).agg(min(col("canon_id")).as("nmin"))
+      // The propagation join already sees old AND new label side by side,
+      // so the changed flag rides along — no separate comparison join per
+      // round, the convergence probe is a filter over this cache.
       val next = labels.alias("l")
         .join(neighborMin.alias("n"), col("l.doc_id") === col("n.doc_a"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.canon_id"), coalesce(col("n.nmin"), col("l.canon_id")))
-            .as("canon_id"))
+            .as("canon_id"),
+          (coalesce(col("n.nmin"), col("l.canon_id")) < col("l.canon_id"))
+            .as("chg"))
         .cache()
-      converged = next.alias("a")
-        .join(labels.alias("b"), col("a.doc_id") === col("b.doc_id"))
-        .filter(col("a.canon_id") =!= col("b.canon_id"))
-        .isEmpty
+      converged = next.filter(col("chg")).isEmpty
       prev.foreach(_.unpersist(blocking = false))
       prev = Some(next)
-      labels = next
+      labels = next.select(col("doc_id"), col("canon_id"))
     }
     edges.unpersist(blocking = false)
     labels.orderBy(col("doc_id"))
