@@ -300,6 +300,51 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
+  /** q_gapfill — time-series DENSIFICATION: per-type hourly counts with
+    * the missing hours between each type's first and last hour filled
+    * with explicit zeros. Every dashboard chart needs this (the
+    * reference's line chart silently skips empty ticks, app.py:287 —
+    * a gap reads as interpolation instead of absence); downstream
+    * rolling-average/anomaly jobs need the zero rows to exist. Plan: the
+    * grid is `sequence()` + explode from each type's (min, max) hour — a
+    * |types| × |hours| Generate off a tiny aggregate, never a cross
+    * join — left-joined back to the hourly counts. At 100 TB the grid
+    * side stays proportional to types × hours (thousands of rows), so
+    * the join broadcasts the GRID, not the data.
+    */
+  def qGapfill(spark: SparkSession, d: String): DataFrame = {
+    val counts = events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), tsSeconds(col("h")).as("h_s"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("h_s"))
+  }
+
+  /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
+    * frequent value with ties broken by the smallest value, expressed as
+    * one `min_by` over a (−count, value) struct — lexicographic struct
+    * ordering makes (highest count, then smallest value) a single
+    * aggregate, no window, no second shuffle. The built-in `mode()` is
+    * unusable under an oracle gate (its tie-break is
+    * arrival-order-nondeterministic in BOTH engines); this form is the
+    * deterministic mode a reproducible pipeline needs.
+    */
+  def qMode(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_type"),
+        struct((-col("n")).as("negn"), col("event_type").as("t"))).as("mode_type"),
+        max(col("n")).as("top_n"))
+      .orderBy(col("user_id"))
+
   /** q_median — per-group lower median by ELEMENT SELECTION (the value at
     * rank ⌈n/2⌉), not interpolation: interpolated quantiles differ across
     * engines in the last ulp, a selected element cannot. Rank + count are
@@ -857,6 +902,8 @@ object Analytics {
     "q_pivot"           -> qPivot _,
     "q_collect_list"    -> qCollectList _,
     "q_histogram"       -> qHistogram _,
+    "q_gapfill"         -> qGapfill _,
+    "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
   )
@@ -1065,6 +1112,27 @@ object Analytics {
     "q_histogram" ->
       """SELECT CAST(FLOOR(value / 50) AS INTEGER) AS bucket, COUNT(*) AS n
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_gapfill" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, h
+        |), s AS (
+        |  SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM c GROUP BY event_type
+        |), g AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM s
+        |)
+        |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS h_s,
+        |       COALESCE(n, 0) AS n
+        |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+        |ORDER BY g.event_type, h_s""".stripMargin,
+    "q_mode" ->
+      """SELECT user_id, event_type AS mode_type, n AS top_n FROM (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY n DESC, event_type) = 1
+        |ORDER BY user_id""".stripMargin,
     "q_median" ->
       """SELECT event_type, value AS median_v FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
