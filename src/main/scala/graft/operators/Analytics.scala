@@ -308,9 +308,11 @@ object Analytics {
     * rolling-average/anomaly jobs need the zero rows to exist. Plan: the
     * grid is `sequence()` + explode from each type's (min, max) hour — a
     * |types| × |hours| Generate off a tiny aggregate, never a cross
-    * join — left-joined back to the hourly counts. At 100 TB the grid
-    * side stays proportional to types × hours (thousands of rows), so
-    * the join broadcasts the GRID, not the data.
+    * join — left-joined back to the hourly counts. Both join sides are
+    * AGGREGATE-sized (∝ types × hours, never ∝ raw rows), so the plan is
+    * a BroadcastHashJoin with the counts side built (`BuildRight` — the
+    * grid is the preserved side of the left outer) — at 100 TB the raw
+    * data is reduced before anything joins.
     */
   def qGapfill(spark: SparkSession, d: String): DataFrame = {
     val counts = events(spark, d)
