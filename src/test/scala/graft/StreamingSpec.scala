@@ -223,6 +223,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("union of two watermarked sources: the global watermark is the LAGGING source's") {
+    // Multi-source semantics every union-of-feeds pipeline depends on:
+    // with the default multipleWatermarkPolicy=min, a window may only
+    // close once EVERY source's watermark passes it — a lagging feed
+    // holds the line for all, so a slow source delays emission but never
+    // causes data loss. (The max policy trades that for latency.)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fast = MemoryStream[Ev]
+    val slow = MemoryStream[Ev]
+    // Each source carries ITS OWN withWatermark node before the union —
+    // one watermark on the unioned stream would track the single global
+    // max event time and a lagging source couldn't hold anything back.
+    val unioned = fast.toDF().withWatermark("ts", "10 minutes")
+      .unionByName(slow.toDF().withWatermark("ts", "10 minutes"))
+    val query = unioned
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("union_wm")
+      .outputMode("append").start()
+    run(query) {
+      // Both sources contribute to the 10:00 window.
+      fast.addData(Ev(1, t(10, 5), 1, "click", 1.0))
+      slow.addData(Ev(2, t(10, 10), 2, "click", 1.0))
+      query.processAllAvailable()
+      // The fast source races ahead to 14:00 (its watermark 13:50); the
+      // slow source is still at 10:10 (watermark 10:00). Global = MIN →
+      // the 10:00 window must NOT emit yet.
+      fast.addData(Ev(3, t(14, 0), 1, "view", 1.0))
+      query.processAllAvailable()
+      assert(spark.table("union_wm").filter(col("event_type") === "click").isEmpty,
+        "a window must not close while the lagging source could still feed it")
+      // A late row from the slow source inside the window is still VALID
+      // (the min policy kept the window open for exactly this row)...
+      slow.addData(Ev(4, t(10, 20), 3, "click", 1.0))
+      query.processAllAvailable()
+      // ...and once the slow source catches up past the window, it closes
+      // with ALL three click rows counted.
+      slow.addData(Ev(5, t(14, 30), 3, "view", 1.0))
+      query.processAllAvailable()
+      val clicks = spark.table("union_wm")
+        .filter(col("event_type") === "click").collect()
+      assert(clicks.length == 1 && clicks.head.getAs[Long]("n") == 3,
+        s"window must close with all sources' rows: ${clicks.toSeq}")
+    }
+  }
+
   test("transformWithState sessionizer: agrees with session_window; closes via the timer path") {
     // The arbitrary-state port (SessionProcessor). TWS only runs on the
     // RocksDB provider, so a sibling session pins it without leaking conf.
