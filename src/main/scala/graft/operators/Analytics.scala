@@ -314,7 +314,10 @@ object Analytics {
     * grid is the preserved side of the left outer) — at 100 TB the raw
     * data is reduced before anything joins.
     */
-  def qGapfill(spark: SparkSession, d: String): DataFrame = {
+  /** The dense (gap-free) hourly series behind [[qGapfill]] and
+    * [[qRollingAvg]]: (event_type, h, n) with explicit zero hours.
+    */
+  private def hourlyDense(spark: SparkSession, d: String): DataFrame = {
     val counts = events(spark, d)
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -323,8 +326,30 @@ object Analytics {
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
     grid.join(counts, Seq("event_type", "h"), "left")
-      .select(col("event_type"), tsSeconds(col("h")).as("h_s"),
-        coalesce(col("n"), lit(0L)).as("n"))
+      .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  def qGapfill(spark: SparkSession, d: String): DataFrame =
+    hourlyDense(spark, d)
+      .select(col("event_type"), tsSeconds(col("h")).as("h_s"), col("n"))
+      .orderBy(col("event_type"), col("h_s"))
+
+  /** q_rolling_avg — bounded sliding frame over the DENSE series: 7-hour
+    * trailing average of hourly event counts per type (`ROWS BETWEEN 6
+    * PRECEDING AND CURRENT ROW`). Composes [[qGapfill]]: on the raw
+    * (sparse) series the same frame silently averages over 7 PRESENT
+    * rows, not 7 hours — densification is what makes a row-frame a
+    * time-frame. The average is an exact integer sum divided once in
+    * double, so both engines compute identical bits; one shuffle on
+    * event_type serves the grid, the join, and the frame.
+    */
+  def qRollingAvg(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-6, 0)
+    hourlyDense(spark, d)
+      .select(col("event_type"), tsSeconds(col("h")).as("h_s"), col("n"),
+        (sum(col("n")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg7h"))
       .orderBy(col("event_type"), col("h_s"))
   }
 
@@ -905,6 +930,7 @@ object Analytics {
     "q_collect_list"    -> qCollectList _,
     "q_histogram"       -> qHistogram _,
     "q_gapfill"         -> qGapfill _,
+    "q_rolling_avg"     -> qRollingAvg _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -1128,6 +1154,25 @@ object Analytics {
         |       COALESCE(n, 0) AS n
         |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
         |ORDER BY g.event_type, h_s""".stripMargin,
+    "q_rolling_avg" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, h
+        |), s AS (
+        |  SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM c GROUP BY event_type
+        |), g AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM s
+        |), dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(n, 0) AS n
+        |  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+        |)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h_s, n,
+        |       CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg7h
+        |FROM dense
+        |WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, h_s""".stripMargin,
     "q_mode" ->
       """SELECT user_id, event_type AS mode_type, n AS top_n FROM (
         |  SELECT user_id, event_type, COUNT(*) AS n
