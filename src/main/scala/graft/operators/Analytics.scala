@@ -353,6 +353,63 @@ object Analytics {
       .orderBy(col("event_type"), col("h_s"))
   }
 
+  /** q_anomaly — σ-threshold outlier detection over the DENSE hourly
+    * series: hours whose count deviates from their type's mean by more
+    * than 3 population standard deviations. Composes [[hourlyDense]] —
+    * on the sparse series the zero hours (often exactly the anomaly)
+    * would be invisible AND would bias the mean upward. Determinism at
+    * the oracle gate: the |z| > 3 test is evaluated in EXACT integer
+    * arithmetic — (n·cnt − sx)² > 9·(cnt·sxx − sx²) with integer sums —
+    * so which rows are flagged is engine-independent, and only the
+    * surviving rows compute the double z via the same literal
+    * expression in both engines (one int→double cast each side, one
+    * sqrt, one division — all correctly rounded, hence bit-equal).
+    * Plan: the stats window (whole-partition frame, no ORDER BY) reuses
+    * the event_type partitioning the dense series already produced — no
+    * extra shuffle; window state per group is one (sx, sxx, cnt)
+    * triple over an aggregate-sized input. Overflow: cnt·sxx fits int64
+    * through ~10⁵ hours × 10⁶ events/hour per type; past that promote
+    * the moment sums to DECIMAL — noted, nowhere near fixture scale.
+    */
+  def qAnomaly(spark: SparkSession, d: String): DataFrame = {
+    val w   = Window.partitionBy(col("event_type"))
+    val num = col("n") * col("cnt") - col("sx")
+    val rad = col("cnt") * col("sxx") - col("sx") * col("sx")
+    hourlyDense(spark, d)
+      .select(col("event_type"), col("h"), col("n"),
+        sum(col("n")).over(w).as("sx"),
+        sum(col("n") * col("n")).over(w).as("sxx"),
+        count(lit(1)).over(w).as("cnt"))
+      .filter(num * num > lit(9L) * rad)
+      .select(col("event_type"), tsSeconds(col("h")).as("h_s"), col("n"),
+        (num.cast("double") / sqrt(rad.cast("double"))).as("z"))
+      .orderBy(col("event_type"), col("h_s"))
+  }
+
+  /** q_retention — cohort retention matrix: users cohorted by first
+    * active day, count of cohort members active at each later day
+    * offset. The textbook formulation joins the raw events back to a
+    * per-user first-day aggregate — TWO full shuffles of the raw table.
+    * Here the single per-user pass folds both facts at once — first day
+    * and the distinct active-day set (`collect_set`, bounded by the
+    * CALENDAR, not the event count, and partially aggregated map-side) —
+    * so the raw events shuffle ONCE on user_id and everything downstream
+    * is aggregate-sized: explode the day set, integer day offset, and a
+    * second aggregate over ∝ users × active-days rows. Day offsets via
+    * `datediff` on midnight-truncated days — exact integers both
+    * engines.
+    */
+  def qRetention(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"), collect_set(col("day")).as("days"))
+      .select(col("cohort"), explode(col("days")).as("day"))
+      .groupBy(tsSeconds(col("cohort")).as("cohort_s"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_s"), col("day_offset"))
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -931,6 +988,8 @@ object Analytics {
     "q_histogram"       -> qHistogram _,
     "q_gapfill"         -> qGapfill _,
     "q_rolling_avg"     -> qRollingAvg _,
+    "q_anomaly"         -> qAnomaly _,
+    "q_retention"       -> qRetention _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -1173,6 +1232,42 @@ object Analytics {
         |WINDOW w AS (PARTITION BY event_type ORDER BY h
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, h_s""".stripMargin,
+    "q_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, h
+        |), s AS (
+        |  SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM c GROUP BY event_type
+        |), g AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM s
+        |), dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(n, 0) AS n
+        |  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+        |), stats AS (
+        |  SELECT event_type, h, n,
+        |         SUM(n) OVER w AS sx, SUM(n*n) OVER w AS sxx,
+        |         COUNT(*) OVER w AS cnt
+        |  FROM dense WINDOW w AS (PARTITION BY event_type)
+        |)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h_s, n,
+        |       CAST(n*cnt - sx AS DOUBLE)
+        |         / SQRT(CAST(cnt*sxx - sx*sx AS DOUBLE)) AS z
+        |FROM stats
+        |WHERE (n*cnt - sx)*(n*cnt - sx) > 9*(cnt*sxx - sx*sx)
+        |ORDER BY event_type, h_s""".stripMargin,
+    "q_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |), c AS (
+        |  SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id
+        |)
+        |SELECT strftime(c.cohort, '%Y-%m-%d %H:%M:%S') AS cohort_s,
+        |       CAST(date_diff('day', c.cohort, ud.day) AS BIGINT) AS day_offset,
+        |       COUNT(*) AS n_users
+        |FROM ud JOIN c ON ud.user_id = c.user_id
+        |GROUP BY cohort_s, day_offset
+        |ORDER BY cohort_s, day_offset""".stripMargin,
     "q_mode" ->
       """SELECT user_id, event_type AS mode_type, n AS top_n FROM (
         |  SELECT user_id, event_type, COUNT(*) AS n

@@ -233,6 +233,62 @@ class AnalyticsSpec extends SparkSpec {
     assert(v > 0 && vcp < v, "fixture must exercise both conversion and drop-off")
   }
 
+  test("q_anomaly flags exactly the dense hours violating the exact-integer 3σ test") {
+    // Recompute the dense series and the integer predicate driver-side —
+    // an oracle-independent replica of the flagging rule.
+    val hourMs = 3600000L
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getTimestamp(1).getTime, hourMs)))
+      .groupBy(_._1)
+    // .iterator: flatMap on the Map would rebuild a Map keyed by type and
+    // silently collapse all flagged hours to one per type.
+    val want = byType.iterator.flatMap { case (t, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val (lo, hi) = (counts.keys.min, counts.keys.max)
+      val dense = (lo to hi).map(h => h -> counts.getOrElse(h, 0L))
+      val cnt = dense.size.toLong
+      val sx  = dense.map(_._2).sum
+      val sxx = dense.map(d => d._2 * d._2).sum
+      dense.collect {
+        case (h, n) if {
+          val num = n * cnt - sx
+          num * num > 9L * (cnt * sxx - sx * sx)
+        } => (t, h)
+      }
+    }.toSet
+    val got = Analytics.qAnomaly(spark, sfDir).collect().map { r =>
+      val inst = java.time.LocalDateTime
+        .parse(r.getString(1).replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+      (r.getString(0), inst.toEpochMilli / hourMs)
+    }.toSet
+    assert(got == want, s"flag sets differ: extra=${got.diff(want)} missing=${want.diff(got)}")
+    assert(got.nonEmpty, "fixture must exercise the flagged path")
+  }
+
+  test("q_retention conserves user-days and counts full cohorts at offset 0") {
+    val rows = Analytics.qRetention(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._2 >= 0), "day offsets must be non-negative")
+    val userDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    // Every (user, active-day) pair lands in exactly one matrix cell.
+    assert(rows.map(_._3).sum == userDays.length)
+    // Everyone is active on their own cohort day, so the offset-0 cell
+    // of each cohort is the cohort's full size.
+    val cohortSize = userDays.groupBy(_._1).values
+      .map(_.map(_._2).min).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    rows.filter(_._2 == 0L).foreach { case (c, _, n) =>
+      assert(n == cohortSize(fmt.parse(c).getTime),
+        s"cohort $c offset-0 count $n != cohort size")
+    }
+  }
+
   test("q_join_semi ∪ q_join_anti partitions customer exactly") {
     // Different thresholds in the two queries, so recompute anti at the
     // semi threshold for the partition property.
