@@ -1,0 +1,82 @@
+package graft
+
+import graft.sources.WritePath
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Proves the q_write_sorted layout claim with runtime SCAN METRICS, not
+  * plan text: after `repartitionByRange` + `sortWithinPartitions` on
+  * user_id, each parquet file covers a narrow disjoint key range, so a
+  * pushed range predicate skips whole row groups and the scan EMITS only
+  * a fraction of the table. The control is the same data written
+  * round-robin (every file spans the full key range — row-group min/max
+  * stats are useless), where the identical pushed filter skips nothing.
+  * This is the measurable difference clustering buys at 100 TB: scan I/O
+  * ∝ selectivity for the clustered layout, ∝ table size for the
+  * unclustered one.
+  */
+class LayoutSpec extends SparkSpec {
+
+  /** Rows the (single) parquet scan actually emitted, post row-group
+    * pruning — the executed plan's leaf metric, unwrapped through AQE.
+    */
+  private def scanOutputRows(df: DataFrame): Long = {
+    df.collect()
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other                    => other
+    }
+    val scans = unwrap(df.queryExecution.executedPlan).collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected one parquet scan, found ${scans.size}")
+    scans.head.metrics("numOutputRows").value
+  }
+
+  test("sort-clustered layout prunes row groups; round-robin layout cannot") {
+    val total = Tables.events(spark, sfDir).count()
+    val pred  = col("user_id").between(10, 19)
+
+    val sortedDir = WritePath.writeSorted(spark, sfDir)
+    val fromSorted = scanOutputRows(spark.read.parquet(sortedDir).filter(pred))
+
+    // Control: same rows, round-robin into the same file count.
+    val rrDir = java.nio.file.Files.createTempDirectory("graft_rr_").toString
+    try {
+      Tables.events(spark, sfDir).repartition(WritePath.RangeFiles)
+        .write.mode("overwrite").parquet(rrDir)
+      val fromRR = scanOutputRows(spark.read.parquet(rrDir).filter(pred))
+
+      val matching = Tables.events(spark, sfDir).filter(pred).count()
+      // Round-robin: the 10-user range lands in every file, min/max stats
+      // span the whole key domain, nothing is skipped.
+      assert(fromRR == total,
+        s"round-robin scan should emit the full table ($total), got $fromRR")
+      // Clustered: only the row groups whose range overlaps [10, 19]
+      // survive — at least the matching rows, at most the matching rows
+      // plus boundary row-group slack, and always far below the control.
+      assert(fromSorted >= matching && fromSorted <= (matching * 2).max(total / 4),
+        s"clustered scan emitted $fromSorted of $total rows " +
+          s"($matching match) — range pruning did not engage")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(rrDir))
+    }
+  }
+
+  test("q_write_sorted round trip: clustered read-back equals the direct aggregate") {
+    val got = graft.sources.WritePath.qWriteSorted(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = Tables.events(spark, sfDir)
+      .filter(col("user_id").between(10, 19))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+}
