@@ -529,6 +529,14 @@ object TextOps {
       .limit(20)
   }
 
+  /** DuckDB-libm-exact natural log (codegen'd `Math.log`) — Spark's
+    * built-in `log` is `StrictMath.log`/fdlibm, 1-2 ulp off DuckDB's
+    * libm `ln`, which breaks hash gates on any query that logs.
+    */
+  private def lnLibm(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.LnLibm(
+      org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
   /** q_tfidf — per-(document, term) TF-IDF weights, the standard
     * relevance/quality signal of a text pipeline: tf = term count in the
     * doc, df = number of docs containing the term, weight = tf · ln(N/df).
@@ -551,9 +559,6 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = documents(spark, d).agg(count(lit(1)).as("n_docs"))
-    def lnLibm(c: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftSqlBridge.column(graft.functions.LnLibm(
-        org.apache.spark.sql.GraftSqlBridge.expression(c)))
     tf.join(docFreq, "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -561,6 +566,60 @@ object TextOps {
           lnLibm(col("n_docs").cast("double") / col("df").cast("double")))
           .as("tfidf"))
       .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** Minimum bigram count to enter the PMI ranking — sparse pairs have
+    * wildly high PMI by chance (one co-occurrence of two rare words maxes
+    * the score); every collocation pipeline thresholds.
+    */
+  val MinPairCount = 5
+
+  /** q_pmi_bigrams — collocation / phrase mining: top-20 adjacent word
+    * pairs by pointwise mutual information, pmi = ln(p(xy) / (p(x)p(y)))
+    * with pair probability over the bigram total N and word probabilities
+    * over the token total N1. The standard phrase-detection signal a
+    * tokenizer-building pipeline runs over a corpus before vocabulary
+    * construction.
+    *
+    * Plan: bigrams come from a per-row `transform` over the token array
+    * (adjacent zip — no self-join, no window; position is array index,
+    * free inside the row) then explode → hash agg on (w1, w2); unigram
+    * counts are a second map-side-partial agg; both totals are 1-row
+    * broadcasts and the two unigram joins are vocabulary-sized (AQE
+    * broadcasts them when they fit). Top-20 is TakeOrderedAndProject —
+    * k rows cross the wire, never a global sort. At 100 TB nothing here
+    * shuffles more than |vocabulary| + |distinct bigrams| rows.
+    *
+    * Determinism: counts are exact integers; the PMI argument is
+    * assembled in ONE literal parenthesization mirrored in the oracle —
+    * ((c·n1)·n1)/((N·cx)·cy), every factor cast to double first — and
+    * logged through [[lnLibm]], so the doubles hash-match bit-for-bit.
+    */
+  def qPmiBigrams(spark: SparkSession, d: String): DataFrame = {
+    val toks = tokenized(spark, d)
+    val uni = toks.select(explode(col("toks")).as("w"))
+    val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(count(lit(1)).as("n1"))
+    val bcnt = toks
+      .select(explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), " +
+          "(t, i) -> struct(t AS w1, toks[i + 1] AS w2))")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+    val n = bcnt.agg(sum(col("c_xy")).as("n"))
+    bcnt
+      .join(ucnt.select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(ucnt.select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n))
+      .filter(col("c_xy") >= MinPairCount)
+      .select(col("w1"), col("w2"), col("c_xy"),
+        lnLibm(
+          ((col("c_xy").cast("double") * col("n1").cast("double")) *
+            col("n1").cast("double")) /
+          ((col("n").cast("double") * col("cx").cast("double")) *
+            col("cy").cast("double"))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
   }
 
   /** q_redact — text cleaning / PII-scrub shape: digit runs collapse to a
@@ -631,6 +690,7 @@ object TextOps {
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
     "q_tfidf"         -> qTfidf _,
+    "q_pmi_bigrams"   -> qPmiBigrams _,
     "q_redact"        -> qRedact _,
   )
 
@@ -884,6 +944,28 @@ object TextOps {
         |         ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
         |FROM tf JOIN df USING (term), n
         |ORDER BY tf.doc_id, tf.term""".stripMargin,
+    "q_pmi_bigrams" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |), uni AS (
+         |  SELECT unnest(l) AS w FROM tok
+         |), ucnt AS (
+         |  SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+         |), n1 AS (SELECT COUNT(*) AS n1 FROM uni),
+         |bg AS (
+         |  SELECT unnest(list_zip(l, l[2:])) AS p FROM tok
+         |), bcnt AS (
+         |  SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c_xy
+         |  FROM bg WHERE p[2] IS NOT NULL GROUP BY 1, 2
+         |), n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM bcnt)
+         |SELECT w1, w2, c_xy,
+         |       ln(((CAST(c_xy AS DOUBLE) * CAST(n1.n1 AS DOUBLE))
+         |             * CAST(n1.n1 AS DOUBLE))
+         |          / ((CAST(n.n AS DOUBLE) * CAST(a.c AS DOUBLE))
+         |             * CAST(b.c AS DOUBLE))) AS pmi
+         |FROM bcnt JOIN ucnt a ON w1 = a.w JOIN ucnt b ON w2 = b.w, n1, n
+         |WHERE c_xy >= $MinPairCount
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_ngram_jaccard_capped" ->
       s"""WITH sh0 AS (
          |  $shingleSql
