@@ -447,6 +447,45 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_percentile_cont — INTERPOLATED per-group quantiles (p50/p90), made
+    * oracle-gateable: builtin `percentile_cont`/`quantile_cont` differ
+    * across engines in the last ulp because each writes the lerp in its
+    * own order, so [[qQuantiles]] deliberately selects elements instead.
+    * This query shows interpolation IS bit-stable when the arithmetic is
+    * explicit: rank the group once (same single-shuffle window pass as
+    * E29b), pull out the two bracketing elements v_lo = value@⌊pos⌋ and
+    * v_hi = value@min(⌊pos⌋+1, n) by conditional aggregation, and
+    * evaluate pos = 1.0 + q·(n−1), frac = pos − ⌊pos⌋, and
+    * v_lo + ((v_hi − v_lo)·frac) in ONE literal parenthesization
+    * mirrored in the oracle — every step correctly rounded in IEEE
+    * double, hence identical bits. (`least(lo+1, n)` keeps the hi rank
+    * in range when frac = 0 at the group maximum.)
+    */
+  def qPercentileCont(spark: SparkSession, d: String): DataFrame = {
+    val byValue = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val all = Window.partitionBy(col("event_type"))
+    val ranked = events(spark, d)
+      .select(col("event_type"), col("value"),
+        row_number().over(byValue).as("rn"),
+        count(lit(1)).over(all).as("cnt"))
+    def pos(q: Double) = lit(1.0) + (lit(q) * (col("cnt") - 1).cast("double"))
+    def lo(q: Double)  = floor(pos(q))                 // LongType in Spark
+    def hi(q: Double)  = least(lo(q) + 1, col("cnt"))
+    def pick(q: Double, tag: String) = Seq(
+      max(when(col("rn") === lo(q), col("value"))).as(s"v_lo$tag"),
+      max(when(col("rn") === hi(q), col("value"))).as(s"v_hi$tag"),
+      max(pos(q) - lo(q).cast("double")).as(s"frac$tag"))
+    def lerp(tag: String) =
+      col(s"v_lo$tag") + ((col(s"v_hi$tag") - col(s"v_lo$tag")) * col(s"frac$tag"))
+    val m = pick(0.5, "50") ++ pick(0.9, "90")
+    ranked.groupBy(col("event_type"))
+      .agg(m.head, m.tail: _*)
+      .select(col("event_type"),
+        lerp("50").as("p50_c"), lerp("90").as("p90_c"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_running_sum — cumulative per-user sum over event time (the window
     * FRAME surface: ROWS UNBOUNDED PRECEDING). The accumulation is decimal
     * so every prefix is exact — a double running sum would drift from the
@@ -976,6 +1015,7 @@ object Analytics {
     "q_custom_agg"      -> qCustomAgg _,
     "q_asof_join"       -> qAsofJoin _,
     "q_quantiles"       -> qQuantiles _,
+    "q_percentile_cont" -> qPercentileCont _,
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_range_join"      -> qRangeJoin _,
     "q_profile"         -> qProfile _,
@@ -1344,6 +1384,33 @@ object Analytics {
         |       MAX(CASE WHEN rn = (cnt + 1) // 2 THEN value END) AS p50,
         |       MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN value END) AS p75
         |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_percentile_cont" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = CAST(FLOOR(1.0 + 0.5 * CAST(cnt - 1 AS DOUBLE))
+        |                            AS BIGINT) THEN value END) AS v_lo50,
+        |    MAX(CASE WHEN rn = LEAST(CAST(FLOOR(1.0 + 0.5 * CAST(cnt - 1 AS DOUBLE))
+        |                                  AS BIGINT) + 1, cnt) THEN value END) AS v_hi50,
+        |    MAX((1.0 + 0.5 * CAST(cnt - 1 AS DOUBLE))
+        |        - FLOOR(1.0 + 0.5 * CAST(cnt - 1 AS DOUBLE))) AS frac50,
+        |    MAX(CASE WHEN rn = CAST(FLOOR(1.0 + 0.9 * CAST(cnt - 1 AS DOUBLE))
+        |                            AS BIGINT) THEN value END) AS v_lo90,
+        |    MAX(CASE WHEN rn = LEAST(CAST(FLOOR(1.0 + 0.9 * CAST(cnt - 1 AS DOUBLE))
+        |                                  AS BIGINT) + 1, cnt) THEN value END) AS v_hi90,
+        |    MAX((1.0 + 0.9 * CAST(cnt - 1 AS DOUBLE))
+        |        - FLOOR(1.0 + 0.9 * CAST(cnt - 1 AS DOUBLE))) AS frac90
+        |  FROM ranked GROUP BY event_type
+        |)
+        |SELECT event_type,
+        |       v_lo50 + ((v_hi50 - v_lo50) * frac50) AS p50_c,
+        |       v_lo90 + ((v_hi90 - v_lo90) * frac90) AS p90_c
+        |FROM m ORDER BY event_type""".stripMargin,
     // The oracle states the AS-OF contract declaratively (latest qualifying
     // order date, then highest key at that date) — deliberately NOT the
     // union-window rewrite, so the two engines reach the same answer by
