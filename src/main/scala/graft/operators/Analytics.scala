@@ -261,6 +261,47 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Salt fan-out for the skew-mitigated join — the small side is
+    * replicated this many times, so it is also the factor the hot key's
+    * rows are spread across.
+    */
+  val JoinSalt = 8
+
+  /** q_salted_join — MANUAL skew-join salting: the big (potentially
+    * hot-keyed) side gets a deterministic salt ∈ [0, [[JoinSalt]]), the
+    * dimension side is replicated once per salt value via a per-row
+    * `sequence` explode, and the join key becomes (key, salt) — a hot
+    * key's rows now land on [[JoinSalt]] partitions instead of one.
+    * Complements the two other skew surfaces: E22 salts an AGGREGATE,
+    * SkewSpec shows AQE splitting a skewed join at runtime; manual
+    * salting is the technique for where AQE can't reach — bucketed/
+    * pre-partitioned inputs it won't re-split, stateful streaming joins
+    * planned once, or engines without runtime re-planning. The join is
+    * pinned to a SHUFFLE strategy (`shuffle_hash` hint): broadcasting
+    * the dim would bypass the shuffle that salting exists to spread —
+    * the demo targets the dim-too-big-to-broadcast regime. Replication
+    * cost is |dim| × [[JoinSalt]] rows — per SHUFFLE PARTICIPANT, far
+    * cheaper than per-executor broadcast when the dim is large. The
+    * result re-aggregates to per-segment totals (decimal-exact), and
+    * the oracle computes the UNSALTED join — the green row proves the
+    * rewrite is semantics-preserving.
+    */
+  def qSaltedJoin(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = events(spark, d)
+      .select(col("user_id"), col("value"),
+        pmod(col("event_id"), lit(JoinSalt)).as("salt"))
+    val dim = customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(sequence(lit(0L), lit(JoinSalt - 1L))).as("salt"))
+    big.join(dim.hint("shuffle_hash"),
+        big("user_id") === dim("c_custkey") && big("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_v"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** q_pivot — wide-format pivot: one row per user, one count column per
     * event type. Pivot values are EXPLICIT (the 5 known types) — at 100 TB
     * an implicit pivot would first run a distinct-values job and risk a
@@ -1023,6 +1064,7 @@ object Analytics {
     "q_sample_hash"     -> qSampleHash _,
     "q_unpivot"         -> qUnpivot _,
     "q_salted_agg"      -> qSaltedAgg _,
+    "q_salted_join"     -> qSaltedJoin _,
     "q_pivot"           -> qPivot _,
     "q_collect_list"    -> qCollectList _,
     "q_histogram"       -> qHistogram _,
@@ -1224,6 +1266,12 @@ object Analytics {
       s"""SELECT event_type, COUNT(*) AS n,
          |       ${decSum.format("value")} AS sum_v
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The UNSALTED join — proves the salted rewrite preserves semantics.
+    "q_salted_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |       ${decSum.format("value")} AS sum_v
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |       COUNT(*) FILTER (event_type = 'click') AS click,
