@@ -488,6 +488,40 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_winsorize — IQR outlier clipping (Tukey fences), the standard
+    * numeric-cleaning transform before training-data aggregation: per
+    * group, values outside [p25 − 1.5·IQR, p75 + 1.5·IQR] are clamped to
+    * the fence. ONE shuffle: the rank window, the quantile extraction
+    * (`max(when(rn = k))` as a second window over the SAME partitioning —
+    * no new Exchange), and the per-row clamp all ride the event_type
+    * partition. Quantiles are selected elements (E29's contract) and the
+    * fences are assembled in one literal parenthesization
+    * (p25 − (1.5·(p75 − p25))), so clamped values hash-match the oracle
+    * bit-for-bit.
+    */
+  def qWinsorize(spark: SparkSession, d: String): DataFrame = {
+    val byValue = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val all = Window.partitionBy(col("event_type"))
+    val iqr = col("p75") - col("p25")
+    val lo  = col("p25") - (lit(1.5) * iqr)
+    val hi  = col("p75") + (lit(1.5) * iqr)
+    events(spark, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(byValue).as("rn"),
+        count(lit(1)).over(all).as("cnt"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        max(when(col("rn") === expr("(cnt + 3) DIV 4"), col("value")))
+          .over(all).as("p25"),
+        max(when(col("rn") === expr("(3 * cnt + 3) DIV 4"), col("value")))
+          .over(all).as("p75"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("value") < lo, lo)
+          .when(col("value") > hi, hi)
+          .otherwise(col("value")).as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
   /** q_percentile_cont — INTERPOLATED per-group quantiles (p50/p90), made
     * oracle-gateable: builtin `percentile_cont`/`quantile_cont` differ
     * across engines in the last ulp because each writes the lerp in its
@@ -1057,6 +1091,7 @@ object Analytics {
     "q_asof_join"       -> qAsofJoin _,
     "q_quantiles"       -> qQuantiles _,
     "q_percentile_cont" -> qPercentileCont _,
+    "q_winsorize"       -> qWinsorize _,
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_range_join"      -> qRangeJoin _,
     "q_profile"         -> qProfile _,
@@ -1459,6 +1494,28 @@ object Analytics {
         |       v_lo50 + ((v_hi50 - v_lo50) * frac50) AS p50_c,
         |       v_lo90 + ((v_hi90 - v_lo90) * frac90) AS p90_c
         |FROM m ORDER BY event_type""".stripMargin,
+    "q_winsorize" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events
+        |), q AS (
+        |  SELECT event_type, event_id, value,
+        |         MAX(CASE WHEN rn = (cnt + 3) // 4 THEN value END)
+        |           OVER (PARTITION BY event_type) AS p25,
+        |         MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN value END)
+        |           OVER (PARTITION BY event_type) AS p75
+        |  FROM ranked
+        |)
+        |SELECT event_id, event_type, value,
+        |       CASE WHEN value < p25 - (1.5 * (p75 - p25))
+        |              THEN p25 - (1.5 * (p75 - p25))
+        |            WHEN value > p75 + (1.5 * (p75 - p25))
+        |              THEN p75 + (1.5 * (p75 - p25))
+        |            ELSE value END AS clipped
+        |FROM q ORDER BY event_id""".stripMargin,
     // The oracle states the AS-OF contract declaratively (latest qualifying
     // order date, then highest key at that date) — deliberately NOT the
     // union-window rewrite, so the two engines reach the same answer by

@@ -306,6 +306,25 @@ object Similarity {
       .orderBy(col("label"), col("pos"))
   }
 
+  /** q_vec_minmax — per-dimension min/max over the embedding corpus: the
+    * calibration pass every vector-quantization scheme (int8 scalar
+    * quantization, PQ codebook training) runs before compressing an ANN
+    * index. `posexplode` multiplies rows ×dim, but the aggregation is
+    * map-side partial, so each input partition contributes at most one
+    * (min, max, n) triple PER DIMENSION to the shuffle — dims × parts
+    * rows in flight, never rows × dims. Min/max of floats are exact
+    * element selections (no arithmetic), so the gate is trivial;
+    * count-per-dimension doubles as a ragged-vector tripwire (every
+    * dimension must appear exactly |corpus| times).
+    */
+  def qVecMinmax(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"     -> qCosineTopk _,
     "q_centroid"        -> qCentroid _,
@@ -313,6 +332,7 @@ object Similarity {
     "q_cosine_neardup"  -> qCosineNeardup _,
     "q_ann_ivf"         -> qAnnIvf _,
     "q_ann_ivf2"        -> qAnnIvf2 _,
+    "q_vec_minmax"      -> qVecMinmax _,
   )
 
   // ---- DuckDB oracle: the same left-to-right double arithmetic ----------
@@ -345,6 +365,12 @@ object Similarity {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_vec_minmax" ->
+      """SELECT pos, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n FROM (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM embeddings
+        |) GROUP BY pos ORDER BY pos""".stripMargin,
     "q_centroid" ->
       s"""WITH bypos AS (
          |  SELECT label, vec_id, vec_id // $CentroidChunk AS chunk,
