@@ -325,6 +325,35 @@ object Similarity {
         count(lit(1)).as("n"))
       .orderBy(col("pos"))
 
+  /** q_label_entropy — class-balance diagnostic: Shannon entropy (nats)
+    * of the label distribution, the one-number skew summary a training
+    * pipeline checks before sampling (H = ln k ⇔ perfectly balanced;
+    * H → 0 ⇔ collapsed). Two aggregate-sized steps: per-label counts
+    * (map-side partial), then ONE output row. Determinism: each label's
+    * term −p·ln p uses the 1-row-broadcast total and [[graft.operators
+    * .TextOps]]'s libm-exact ln (via the shared codegen expression), and
+    * the terms are summed by an ORDERED fold (sort by label, left fold
+    * from an explicit 0.0) — a plain `sum(double)` would be
+    * partitioning-dependent in the last ulp; the oracle replays the
+    * identical fold with `list_reduce(list(... ORDER BY label))`.
+    */
+  def qLabelEntropy(spark: SparkSession, d: String): DataFrame = {
+    def lnLibm(c: Column) =
+      org.apache.spark.sql.GraftSqlBridge.column(graft.functions.LnLibm(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+    val counts = embeddings(spark, d)
+      .groupBy(col("label")).agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts.crossJoin(broadcast(n))
+      .select(col("label"), (-(p * lnLibm(p))).as("term"))
+      .agg(count(lit(1)).as("n_labels"),
+        sort_array(collect_list(struct(col("label"), col("term")))).as("lt"))
+      .select(col("n_labels"),
+        expr("aggregate(lt, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
+          .as("entropy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"     -> qCosineTopk _,
     "q_centroid"        -> qCentroid _,
@@ -333,6 +362,7 @@ object Similarity {
     "q_ann_ivf"         -> qAnnIvf _,
     "q_ann_ivf2"        -> qAnnIvf2 _,
     "q_vec_minmax"      -> qVecMinmax _,
+    "q_label_entropy"   -> qLabelEntropy _,
   )
 
   // ---- DuckDB oracle: the same left-to-right double arithmetic ----------
@@ -371,6 +401,20 @@ object Similarity {
         |         unnest(embedding) AS v
         |  FROM embeddings
         |) GROUP BY pos ORDER BY pos""".stripMargin,
+    "q_label_entropy" ->
+      """WITH c AS (
+        |  SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label
+        |), n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+        |t AS (
+        |  SELECT label,
+        |         -((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |           * ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))) AS term
+        |  FROM c, n
+        |)
+        |SELECT COUNT(*) AS n_labels,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list(term ORDER BY label)), (acc, x) -> acc + x) AS entropy
+        |FROM t""".stripMargin,
     "q_centroid" ->
       s"""WITH bypos AS (
          |  SELECT label, vec_id, vec_id // $CentroidChunk AS chunk,

@@ -159,9 +159,61 @@ object WritePath {
         Tables.exactSum(col("value")).as("sum_v"))
       .orderBy(col("user_id"))
 
+  /** Fragment count for the staged small-files layout, and the file count
+    * compaction targets. Real compaction sizes the target as
+    * ceil(input bytes / target file size); the ratio (16:1) is what the
+    * demo pins.
+    */
+  val Fragments = 64
+  val CompactTo = 4
+
+  /** Fragmented staging layout, cached per fixture dir — the compaction
+    * INPUT is setup, not measured query work (same contract as
+    * FileSources.stage).
+    */
+  private val fragmented = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lastCompacted = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private[graft] def stageFragmented(spark: SparkSession, d: String): String =
+    fragmented.computeIfAbsent(d, { _ =>
+      val dir = Files.createTempDirectory("graft_frag_").toString
+      Tables.events(spark, d).repartition(Fragments)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** q_compact — small-files compaction, the standing operational chore of
+    * any streaming/incremental ingest at scale: a micro-batch writer that
+    * emits one file per trigger per partition turns a 100 TB table into
+    * millions of KB-sized files, and scan planning (footer reads, task
+    * scheduling) comes to dominate I/O. The compactor reads the
+    * fragmented layout and merges [[Fragments]] files down to
+    * [[CompactTo]] with `coalesce` — a NARROW dependency that
+    * concatenates co-located partitions with NO shuffle Exchange
+    * (LayoutSpec pins both the plan and the output file count;
+    * `repartition` would pay a full shuffle of the table to achieve the
+    * same file count). The registered query reads the COMPACTED layout
+    * back and aggregates per event type; the oracle aggregates the
+    * original, so the green row proves compaction is byte-lossless.
+    */
+  def qCompact(spark: SparkSession, d: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_compact_").toString
+    Option(lastCompacted.getAndSet(out)).foreach(d0 => deleteRecursively(new java.io.File(d0)))
+    spark.read.parquet(stageFragmented(spark, d))
+      .coalesce(CompactTo)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_eid"),
+        Tables.exactSum(col("value")).as("sum_v"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_bucketed" -> qWriteBucketed _,
     "q_write_sorted"   -> qWriteSorted _,
+    "q_compact"        -> qCompact _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -179,5 +231,10 @@ object WritePath {
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
         |FROM events WHERE user_id BETWEEN 10 AND 19
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_compact" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -68,6 +68,26 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("q_compact merges 64 files to 4 with a shuffle-free narrow plan") {
+    def partFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).get
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val frag = WritePath.stageFragmented(spark, sfDir)
+    assert(partFiles(frag) == WritePath.Fragments)
+    // The merge-down itself must be a narrow Coalesce, not a shuffle.
+    val merged = spark.read.parquet(frag).coalesce(WritePath.CompactTo)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("Coalesce") && !plan.contains("Exchange"),
+      s"compaction must not shuffle:\n$plan")
+    // Running the registered query materializes the compacted layout.
+    val got = WritePath.qCompact(spark, sfDir).collect()
+    assert(got.map(_.getLong(1)).sum == Tables.events(spark, sfDir).count())
+    val compactedDirs = new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_compact_")).sortBy(-_.lastModified)
+    assert(partFiles(compactedDirs.head.toString) == WritePath.CompactTo)
+  }
+
   test("q_write_sorted round trip: clustered read-back equals the direct aggregate") {
     val got = graft.sources.WritePath.qWriteSorted(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
