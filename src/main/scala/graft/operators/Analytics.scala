@@ -261,6 +261,32 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_features — per-user FEATURE MATRIX assembly, the feature-store
+    * shape every training pipeline ships: one row per entity, every
+    * engineered feature computed in a SINGLE hash-aggregate pass over the
+    * raw events (conditional aggregation, no joins, no per-feature
+    * subqueries — the n-subquery formulation reads the table n times and
+    * shuffles n times; this reads and shuffles ONCE, map-side partial).
+    * Features: activity counts (total + per-type), temporal span
+    * (first/last seen as epoch seconds, distinct active days), and value
+    * stats (decimal-exact sum, exact mean). At 100 TB the single-pass
+    * property is the whole game — and the output is entity-sized, not
+    * event-sized.
+    */
+  def qFeatures(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", true)).as("n_purchase"),
+        count(when(col("event_type") === "error", true)).as("n_error"),
+        unix_timestamp(min(col("ts"))).as("first_s"),
+        unix_timestamp(max(col("ts"))).as("last_s"),
+        countDistinct(date_trunc("day", col("ts"))).as("n_days"),
+        exactSum(col("value")).as("sum_v"),
+        exactAvg(col("value")).as("mean_v"))
+      .orderBy(col("user_id"))
+
   /** Salt fan-out for the skew-mitigated join — the small side is
     * replicated this many times, so it is also the factor the hot key's
     * rows are spread across.
@@ -1100,6 +1126,7 @@ object Analytics {
     "q_unpivot"         -> qUnpivot _,
     "q_salted_agg"      -> qSaltedAgg _,
     "q_salted_join"     -> qSaltedJoin _,
+    "q_features"        -> qFeatures _,
     "q_pivot"           -> qPivot _,
     "q_collect_list"    -> qCollectList _,
     "q_histogram"       -> qHistogram _,
@@ -1301,6 +1328,16 @@ object Analytics {
       s"""SELECT event_type, COUNT(*) AS n,
          |       ${decSum.format("value")} AS sum_v
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_features" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       COUNT(CASE WHEN event_type = 'purchase' THEN TRUE END) AS n_purchase,
+        |       COUNT(CASE WHEN event_type = 'error' THEN TRUE END) AS n_error,
+        |       epoch_ms(MIN(ts)) // 1000 AS first_s,
+        |       epoch_ms(MAX(ts)) // 1000 AS last_s,
+        |       CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS mean_v
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The UNSALTED join — proves the salted rewrite preserves semantics.
     "q_salted_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,
