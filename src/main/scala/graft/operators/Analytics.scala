@@ -145,6 +145,26 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** q_percent_rank — relative-standing window functions: each event's
+    * percent_rank ((rank−1)/(N−1)) and cume_dist (rows ≤ current / N) of
+    * `value` within its event_type. The normalized-score shape feature
+    * pipelines use for rank-based scaling (a distribution-free
+    * alternative to z-scores). Ordering is by `value` alone, so SQL TIE
+    * semantics (equal values share a rank) are exercised, not bypassed
+    * with a unique tie-break — both functions are deterministic under
+    * ties by definition. One shuffle on event_type; each output is a
+    * single exact int-ratio division, bit-identical across engines. Same
+    * bounded-per-partition state story as [[qWindowRank]].
+    */
+  def qPercentRank(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    events(spark, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("event_id"))
+  }
+
   /** q_union / q_intersect / q_except — set ops (E5), distinct semantics
     * matching SQL UNION/INTERSECT/EXCEPT.
     */
@@ -1106,6 +1126,7 @@ object Analytics {
     "q_join_full"       -> qJoinFull _,
     "q_grouping_sets"   -> qGroupingSets _,
     "q_window_rank"     -> qWindowRank _,
+    "q_percent_rank"    -> qPercentRank _,
     "q_union"           -> qUnion _,
     "q_intersect"       -> qIntersect _,
     "q_except"          -> qExcept _,
@@ -1283,6 +1304,13 @@ object Analytics {
         |       LAG(value, 1) OVER w AS lag_v
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_percent_rank" ->
+      """SELECT event_id, event_type, value,
+        |       PERCENT_RANK() OVER w AS pr,
+        |       CUME_DIST() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value)
         |ORDER BY event_id""".stripMargin,
     "q_union" ->
       """SELECT event_id FROM events WHERE event_type = 'purchase'

@@ -672,8 +672,123 @@ object TextOps {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** q_unigram_lm — unigram language-model scoring: each document's
+    * average per-token log-probability under the corpus's own unigram
+    * distribution, avg_logp = (1/|doc|) Σ_t tf(t)·ln(c(t)/T). This is the
+    * perplexity-style quality filter of pretraining pipelines (CCNet-
+    * shape: score text against an LM, drop the tails) reduced to its
+    * distributable core — the "model" here is the corpus unigram table,
+    * so the whole scorer is two hash aggregations and one equi-join.
+    *
+    * Plan: tokenize/explode → tf per (doc, term) (map-side partial) →
+    * corpus counts c(term) by re-aggregating the TF TABLE (one row per
+    * distinct (doc, term) — the corpus is never re-read), T as a 1-row
+    * broadcast, then tf ⋈ c on term. At 100 TB the count table is
+    * |vocabulary| rows — AQE broadcasts it — and each doc's score term
+    * list is bounded by its distinct-term count. Determinism: ln is the
+    * libm-exact [[lnLibm]], and the per-doc double sum is an ORDERED fold
+    * over the term-sorted list ([[qCurate]]'s sibling queries' contract:
+    * plain sum(double) is partitioning-dependent in the last ulp); the
+    * oracle replays the identical fold with `list_reduce(list(... ORDER
+    * BY term))`.
+    */
+  def qUnigramLm(spark: SparkSession, d: String): DataFrame = {
+    val tf = tokenized(spark, d)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val corpus = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val total = corpus.agg(sum(col("c")).as("t"))
+    tf.join(corpus, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf").cast("double") *
+          lnLibm(col("c").cast("double") / col("t").cast("double")))
+          .as("term_lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sort_array(collect_list(struct(col("term"), col("term_lp"))))
+          .as("lps"))
+      .select(col("doc_id"), col("n_toks"),
+        (expr("aggregate(lps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term_lp)") /
+          col("n_toks")).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token budget per packed training bin (a context-window's worth). */
+  val PackBudget = 2048
+  /** Packing shards per language — see [[qPack]]'s scale note. */
+  val PackShards = 8
+
+  /** q_pack — sequence packing: assign each document to a fixed-token-
+    * budget training bin (concat-and-chunk, the GPT-style packing that
+    * wastes no pad tokens): within a (lang, shard) stream ordered by
+    * doc_id, a doc's bin is `floor(start_offset / budget)` where
+    * start_offset is the running token count before it.
+    *
+    * Scale design: a single global running sum would serialize each
+    * language through one reducer — but packing does NOT need a global
+    * order: bin boundaries are arbitrary, so production packs
+    * independently within each worker shard. That contract is explicit
+    * here: docs are sharded by `doc_id % PackShards` and the cumulative
+    * sum runs per (lang, shard) — `PackShards` scales with the cluster,
+    * each shard's window is one partition of ONE shuffle, and bins never
+    * cross shards. All-integer arithmetic; the oracle replays the same
+    * window frame.
+    */
+  def qPack(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokenized(spark, d)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_toks"),
+        (sum(col("n_toks")).over(w) - col("n_toks")).as("start_off"))
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_toks"),
+        expr(s"start_off DIV $PackBudget").as("bin"),
+        (col("start_off") % PackBudget).as("bin_off"))
+      .orderBy(col("lang"), col("shard"), col("doc_id"))
+  }
+
+  /** Per-source sampling weight (percent kept) for [[qMixture]]: a
+    * three-tier curriculum — sources 0-4 kept whole ("curated" tier),
+    * 5-12 at half, the long tail at a quarter.
+    */
+  private def mixturePct(srcNum: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(srcNum <= 4, 100L).when(srcNum <= 12, 50L).otherwise(25L)
+
+  /** q_mixture — training-data mixture construction: downsample each
+    * source to its target weight DETERMINISTICALLY, by hashing the
+    * stable doc_id instead of drawing randoms — so the mixture is
+    * reproducible run-to-run, stable under retries and re-partitioning,
+    * and any doc's membership can be audited offline (the properties a
+    * training-data pipeline needs and `rand()` sampling does not have).
+    * Keep doc ⇔ md5(doc_id) mod 100 < weight_pct(source). The hash is
+    * the house md5-hex-to-int64 scheme ([[md5Long]]), bit-identical in
+    * DuckDB, so the oracle hash-matches the exact selected set. Pure
+    * per-row filter work — no shuffle at all before the presentation
+    * sort; at 100 TB this is a scan that prunes to the mixture in one
+    * pass.
+    */
+  def qMixture(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        substring(col("source"), 4, 10).cast("long").as("src_num"),
+        (md5Long(col("doc_id").cast("string"), 15) % 100L).as("h"))
+      .select(col("doc_id"), col("source"),
+        mixturePct(col("src_num")).as("w_pct"), col("h"))
+      .filter(col("h") < col("w_pct"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate"        -> qCurate _,
+    "q_unigram_lm"    -> qUnigramLm _,
+    "q_pack"          -> qPack _,
+    "q_mixture"       -> qMixture _,
     "q_token_count"   -> qTokenCount _,
     "q_topk_terms"    -> qTopkTerms _,
     "q_token_bpe"     -> qTokenBpe _,
@@ -747,6 +862,55 @@ object TextOps {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        |), c AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+        |n AS (SELECT SUM(c) AS t FROM c),
+        |lp AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         CAST(tf.tf AS DOUBLE)
+        |           * ln(CAST(c.c AS DOUBLE) / CAST(n.t AS DOUBLE)) AS term_lp
+        |  FROM tf JOIN c USING (term), n
+        |)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list(term_lp ORDER BY term)), (acc, x) -> acc + x)
+        |         / CAST(SUM(tf) AS BIGINT) AS avg_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pack" ->
+      s"""SELECT lang, shard, doc_id, n_toks,
+         |       CAST(start_off // $PackBudget AS BIGINT) AS bin,
+         |       CAST(start_off % $PackBudget AS BIGINT) AS bin_off
+         |FROM (
+         |  SELECT lang, doc_id % $PackShards AS shard, doc_id, n_toks,
+         |         SUM(n_toks) OVER (
+         |           PARTITION BY lang, doc_id % $PackShards ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - n_toks AS start_off
+         |  FROM (SELECT lang, doc_id,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |        FROM documents))
+         |ORDER BY lang, shard, doc_id""".stripMargin,
+    "q_mixture" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CAST(substr(source, 4) AS BIGINT) AS src_num,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 100 AS h
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, source,
+        |         CAST(CASE WHEN src_num <= 4 THEN 100
+        |                   WHEN src_num <= 12 THEN 50
+        |                   ELSE 25 END AS BIGINT) AS w_pct,
+        |         h
+        |  FROM b
+        |)
+        |SELECT doc_id, source, w_pct, h FROM w
+        |WHERE h < w_pct ORDER BY doc_id""".stripMargin,
     "q_curate" ->
       s"""WITH q AS (
          |  SELECT doc_id, lang, text,

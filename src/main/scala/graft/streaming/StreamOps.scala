@@ -673,6 +673,75 @@ object StreamOps extends Serializable {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Latest event per user with a total tie-break order — the reduce
+    * step of [[qStreamCdcApply]]'s per-batch merge, applied identically
+    * to the incoming micro-batch and to snapshot ∪ batch.
+    */
+  private def latestPerUser(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.ts").as("ts"),
+        col("r.event_id").as("event_id"),
+        col("r.event_type").as("event_type"), col("r.value").as("value"))
+
+  /** q_stream_cdc_apply — streaming CDC dimension maintenance (streaming
+    * SCD1): each micro-batch of the change stream is folded into a
+    * mutable "current state per user" snapshot via `foreachBatch` —
+    * read snapshot version N−1, merge the batch's latest row per key
+    * (event-time wins, event_id breaks ties), write snapshot version N.
+    * This is [[graft.operators.Analytics.qScd2Apply]]'s MERGE contract
+    * run continuously: the warehouse-table maintenance loop every CDC
+    * pipeline (Debezium→lake) ships, expressed as parquet versions in
+    * place of a Delta/Iceberg MERGE.
+    *
+    * Exactly-once: each batch writes only its own `v=N` directory, and
+    * the merge is IDEMPOTENT by construction — latest-per-key is a
+    * semilattice fold (max_by over a total order), so re-merging an
+    * already-applied batch after a retry reproduces the same snapshot
+    * bit-for-bit, whether the retry reads v=N−1 or an already-written
+    * v=N. The version pointer lives in driver memory here (a production
+    * table keeps it in the transaction log); per-batch work is
+    * O(|snapshot| + |batch|) with the batch side reduced map-side first,
+    * and the snapshot is dimension-sized — orders of magnitude smaller
+    * than the event history at 100 TB. The oracle is the latest-event-
+    * per-user window over the WHOLE history, so the gate proves
+    * fold(batches) == query(full log) exactly.
+    */
+  def qStreamCdcApply(spark: SparkSession, d: String): DataFrame = {
+    val snapRoot = scratchDir("graft_cdc_")
+    val lastV = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val query = startWithStatePartitions(spark) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val keyed = latestPerUser(batch)
+          val prev = lastV.get
+          val merged =
+            if (prev < 0) keyed
+            else latestPerUser(
+              batch.sparkSession.read.parquet(s"$snapRoot/v=$prev")
+                .unionByName(keyed))
+          merged.write.mode("overwrite")
+            .option("maxRecordsPerFile", 1000000L)
+            .parquet(s"$snapRoot/v=$batchId")
+          lastV.set(batchId)
+        }
+        .start()
+    }
+    query.awaitTermination()
+    spark.read.parquet(s"$snapRoot/v=${lastV.get}")
+      .select(col("user_id"), Tables.tsSeconds(col("ts")).as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   /** q_stream_session — STREAMING sessionization as a first-class
     * correctness-gated query: the same `session_window` aggregation the
     * batch `Windows.qSession` runs, executed as a real streaming query
@@ -1027,6 +1096,7 @@ object StreamOps extends Serializable {
     "q_stream_tick_append" -> qStreamTickAppend _,
     "q_stream_sink_parquet" -> qStreamSinkParquet _,
     "q_stream_tick_update" -> qStreamTickUpdate _,
+    "q_stream_cdc_apply" -> qStreamCdcApply _,
     "q_stream_tick_dsv2"   -> qStreamTickDsv2 _,
     "q_stream_session"     -> qStreamSession _,
     "q_stream_session_custom" -> qStreamSessionCustom _,
@@ -1115,6 +1185,12 @@ object StreamOps extends Serializable {
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_cdc_apply" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       event_id, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_stream_session" -> sessionOracle,
     // The custom sessionizers make the SAME claim as the built-in
     // operator, so they are gated by the IDENTICAL oracle — any semantic
