@@ -677,7 +677,7 @@ object StreamOps extends Serializable {
     * step of [[qStreamCdcApply]]'s per-batch merge, applied identically
     * to the incoming micro-batch and to snapshot ∪ batch.
     */
-  private def latestPerUser(df: DataFrame): DataFrame =
+  private[graft] def latestPerUser(df: DataFrame): DataFrame =
     df.groupBy(col("user_id"))
       .agg(max_by(
         struct(col("ts"), col("event_id"), col("event_type"), col("value")),

@@ -599,4 +599,33 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq
     assert(dlq.map(_.getLong(0)).toSeq == expected && expected.nonEmpty)
   }
+
+  test("CDC merge fold: idempotent under batch retries and invariant to batch boundaries") {
+    import spark.implicits._
+    // Includes a same-timestamp tie (events 4 and 5) so the event_id
+    // tie-break is exercised, and a late-arriving OLDER row (event 6 in
+    // batch b2 with an earlier ts) that must NOT overwrite the snapshot.
+    val b1 = Seq(
+      Ev(1, t(10, 0), 1, "view", 1.0), Ev(2, t(10, 5), 2, "view", 2.0),
+      Ev(3, t(10, 9), 1, "click", 3.0)).toDF()
+    val b2 = Seq(
+      Ev(4, t(10, 30), 2, "click", 4.0), Ev(5, t(10, 30), 2, "purchase", 5.0),
+      Ev(6, t(9, 55), 1, "view", 0.5)).toDF()
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[(Long, Timestamp, Long, String, Double)] =
+      StreamOps.latestPerUser(df).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4)))
+        .sortBy(_._1).toSeq
+    val folded = snap(StreamOps.latestPerUser(b1).unionByName(b2))
+    // Batch-boundary invariance: folding per batch == one query over the log.
+    assert(folded == snap(b1.unionByName(b2)))
+    // Retry idempotency both ways the runtime can replay a batch: against
+    // the pre-merge snapshot and against the already-merged one.
+    assert(snap(StreamOps.latestPerUser(
+      StreamOps.latestPerUser(b1).unionByName(b2)).unionByName(b2)) == folded)
+    // The tie broke to the higher event_id and the late older row lost.
+    assert(folded == Seq(
+      (1L, t(10, 9), 3L, "click", 3.0),
+      (2L, t(10, 30), 5L, "purchase", 5.0)))
+  }
 }

@@ -281,6 +281,66 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_pack: bins chunk each (lang, shard) stream exactly at the token budget") {
+    val rows = TextOps.qPack(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == docs.size)
+    rows.foreach { case (_, shard, id, nToks, _, binOff) =>
+      assert(shard == id % TextOps.PackShards)
+      assert(nToks == docs(id).split(" ").length.toLong)
+      assert(binOff >= 0 && binOff < TextOps.PackBudget)
+    }
+    // Replay the running sum per (lang, shard) in doc_id order and assert
+    // every bin/offset is exactly the concat-and-chunk position — and that
+    // bins never interleave across shards (each stream starts at bin 0).
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, stream) =>
+      var run = 0L
+      stream.sortBy(_._3).foreach { case (_, _, _, nToks, bin, binOff) =>
+        assert(bin == run / TextOps.PackBudget)
+        assert(binOff == run % TextOps.PackBudget)
+        run += nToks
+      }
+    }
+  }
+
+  test("q_mixture: deterministic, tier-exact, and every curated-tier doc kept") {
+    val sel = TextOps.qMixture(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // Reproducibility: hash-based sampling must be bit-stable run to run.
+    val again = TextOps.qMixture(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(sel.toSeq == again.toSeq)
+    val bySource = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    sel.foreach { case (id, src, wPct, h) =>
+      assert(bySource(id) == src)
+      val n = src.drop(3).toLong
+      assert(wPct == (if (n <= 4) 100L else if (n <= 12) 50L else 25L))
+      // Membership is exactly the declared hash rule, recomputed with
+      // java.security.MessageDigest — independent of Spark AND DuckDB.
+      val h15 = java.lang.Long.parseLong(md5Hex(id.toString).take(15), 16)
+      assert(h == h15 % 100 && h < wPct)
+    }
+    // The 100%-weight tier must survive in full.
+    val curated = bySource.filter(_._2.drop(3).toLong <= 4)
+    assert(sel.count(s => s._3 == 100L) == curated.size)
+  }
+
+  test("q_unigram_lm: scores are negative averages bounded by the rarest token") {
+    val total = docs.values.map(_.split(" ").length).sum.toDouble
+    val rows = TextOps.qUnigramLm(spark, sfDir).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, nToks, avgLp) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(nToks == docs(id).split(" ").length.toLong)
+      // Each per-token term is ln(c/T) with 1 <= c < T: strictly negative,
+      // and never below ln(1/T) (a token occurs at least once).
+      assert(avgLp < 0.0)
+      assert(avgLp >= math.log(1.0 / total))
+    }
+  }
+
   test("q_quality_score ratios are consistent with the token counts") {
     TextOps.qQualityScore(spark, sfDir).collect().foreach { r =>
       val (id, nTok, nUniq) = (r.getLong(0), r.getInt(1), r.getInt(2))
