@@ -36,6 +36,76 @@ object Analytics {
         exactAvg(col("l_discount")).as("avg_disc"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** q_pricing — the FULL TPC-H Q1 pricing summary (the canonical
+    * analytics-engine benchmark query, vs [[qGroupbyAgg]]'s chart-shaped
+    * subset): shipdate cutoff, eight aggregates including the
+    * `price·(1−disc)` and `price·(1−disc)·(1+tax)` product measures.
+    * ONE map-side-partial hash aggregate over the scan — at 100 TB the
+    * shuffle carries a handful of (flag, status) partial rows per input
+    * partition and the timestamp cutoff is PUSHED to the parquet reader
+    * (PushedFilters), so pre-cutoff row groups never decompress.
+    *
+    * Determinism: products are evaluated left-to-right in IEEE double per
+    * row ((price·(1−disc))·(1+tax) — one parenthesization both engines),
+    * then summed order-independently via [[graft.Tables.exactSum]]'s
+    * decimal cast. Averages divide the exact decimal sum by the count.
+    */
+  def qPricing(spark: SparkSession, d: String): DataFrame = {
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = discPrice * (lit(1.0) + col("l_tax"))
+    lineitem(spark, d)
+      // l_shipdate is TIMESTAMP_NTZ in the parquet (like o_orderdate); the
+      // cutoff literal must be NTZ too or analysis inserts a tz cast above
+      // the scan and the predicate stops pushing down.
+      .filter(col("l_shipdate") <=
+        lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(discPrice).as("sum_disc_price"),
+        exactSum(charge).as("sum_charge"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_extendedprice")).as("avg_price"),
+        exactAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q_revenue_topn — TPC-H Q3's shape: segment-filtered customers ⋈
+    * orders ⋈ lineitem → top-10 orders by discounted revenue. The join
+    * topology IS the scale story: the filtered customer keys are a
+    * dimension-sized BROADCAST (the fact-table lineitem side never
+    * shuffles for either join at 100 TB — AQE picks broadcast-hash from
+    * the post-filter size; at true 100 TB orders⋈lineitem becomes a
+    * co-partitioned shuffle join on orderkey, the bucketing
+    * [[graft.sources.WritePath]] demonstrates), and the top-10 plans as
+    * TakeOrderedAndProject — O(k) per partition, never a global sort.
+    * Revenue is an exact decimal sum; (revenue DESC, orderkey) gives a
+    * total order so the LIMIT is deterministic.
+    */
+  def qRevenueTopn(spark: SparkSession, d: String): DataFrame = {
+    val cust = customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    lineitem(spark, d)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(exactSum(col("rev")).as("revenue"))
+      .select(col("o_orderkey"),
+        tsSeconds(col("o_orderdate").cast("timestamp"))
+          .as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** q_distinct — exact distinct count per group (E2). Spark plans this as a
     * two-phase expand+aggregate; partial-distinct happens before the
     * shuffle.
@@ -1117,6 +1187,8 @@ object Analytics {
     "q_event_seq"       -> qEventSeq _,
     "q_corr"            -> qCorr _,
     "q_groupby_agg"     -> qGroupbyAgg _,
+    "q_pricing"         -> qPricing _,
+    "q_revenue_topn"    -> qRevenueTopn _,
     "q_distinct"        -> qDistinct _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_join_inner"      -> qJoinInner _,
@@ -1259,6 +1331,35 @@ object Analytics {
          |       ${decSum.format("l_discount")} / COUNT(l_discount) AS avg_disc
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${decSum.format("l_quantity")} AS sum_qty,
+         |       ${decSum.format("l_extendedprice")} AS sum_base_price,
+         |       ${decSum.format("l_extendedprice * (1.0 - l_discount)")}
+         |         AS sum_disc_price,
+         |       ${decSum.format(
+                   "(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)")}
+         |         AS sum_charge,
+         |       ${decSum.format("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+         |       ${decSum.format("l_extendedprice")} / COUNT(l_extendedprice)
+         |         AS avg_price,
+         |       ${decSum.format("l_discount")} / COUNT(l_discount) AS avg_disc,
+         |       COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_revenue_topn" ->
+      s"""SELECT o_orderkey,
+         |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         |       o_orderpriority,
+         |       ${decSum.format("l_extendedprice * (1.0 - l_discount)")}
+         |         AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

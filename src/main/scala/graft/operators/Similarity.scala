@@ -263,6 +263,61 @@ object Similarity {
   def qAnnIvf2(spark: SparkSession, d: String): DataFrame =
     ivfProbe(spark, d, nprobe = 2)
 
+  /** PQ geometry: [[PqM]] subspaces of `64 / PqM` dims, [[PqK]] codewords
+    * per subspace (the subvectors of stored vectors 1..PqK — training-free
+    * and deterministic, same convention as [[ivfRanked]]'s centroids).
+    */
+  val PqM = 8
+  val PqK = 4
+  private val PqDim = 64 / PqM
+
+  /** q_pq_encode — product quantization, the compression half of the
+    * IVF+PQ stack every billion-vector ANN index runs: each vector's 64
+    * dims are split into [[PqM]] subvectors, and each subvector is
+    * replaced by the id of its nearest codeword in that subspace's
+    * codebook — 64 floats become [[PqM]] small codes (here 2 bits each).
+    *
+    * Plan: the codebook (PqM × PqK subvectors) comes from PqK rows and is
+    * BROADCAST; each vector explodes to PqM subvector rows (bounded ×M,
+    * like [[graft.operators.Normalize]]'s explodes), equi-joins the
+    * codebook on subspace id (M×K candidate rows per vector — per-row
+    * bounded work, no shuffle of the corpus beyond the explode), and
+    * takes rn=1 per (vector, subspace). At 100 TB this is a map-side
+    * pipeline over a broadcast table — the same shape as IVF assignment.
+    *
+    * Determinism: squared L2 distance is evaluated via the dot-product
+    * expansion `(x·x − 2·(x·c)) + c·c` with every dot the codegen'd
+    * left-to-right [[dotLtr]] — the oracle evaluates the IDENTICAL
+    * parenthesization over `list_reduce` dots, so distances (kept in the
+    * output as proof) are bit-exact and the argmin needs no epsilon.
+    * Ties break to the lower codeword id.
+    */
+  def qPqEncode(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = (0 until PqM).map(lit(_))
+    def subbed(df: DataFrame) = df
+      .select(col("vec_id"), explode(array(subs: _*)).as("s"),
+        col("embedding"))
+      .select(col("vec_id"), col("s"),
+        slice(col("embedding"), col("s") * PqDim + 1, lit(PqDim)).as("sv"))
+    val e = embeddings(spark, d)
+    val codebook = subbed(e.filter(col("vec_id").between(1, PqK)))
+      .select(col("vec_id").as("k"), col("s"), col("sv").as("cv"))
+    val byDist = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("k"))
+    subbed(e)
+      .join(broadcast(codebook), "s")
+      .select(col("vec_id"), col("s"), col("k"),
+        ((dotLtr(col("sv"), col("sv")) -
+          lit(2.0) * dotLtr(col("sv"), col("cv"))) +
+          dotLtr(col("cv"), col("cv"))).as("dist"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s").as("sub"), col("k").as("code"),
+        col("dist"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
   /** q_centroid — per-label embedding centroid (the "trained centroids" a
     * production IVF index is built from — [[qAnnIvf]]'s training-free
     * centroids are the deterministic stand-in), emitted as one
@@ -361,6 +416,7 @@ object Similarity {
     "q_cosine_neardup"  -> qCosineNeardup _,
     "q_ann_ivf"         -> qAnnIvf _,
     "q_ann_ivf2"        -> qAnnIvf2 _,
+    "q_pq_encode"       -> qPqEncode _,
     "q_vec_minmax"      -> qVecMinmax _,
     "q_label_entropy"   -> qLabelEntropy _,
   )
@@ -476,6 +532,26 @@ object Similarity {
          |FROM assigned a, q
          |WHERE a.cid = qcid
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_pq_encode" ->
+      s"""WITH subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
+         |sub AS (
+         |  SELECT vec_id, s,
+         |         embedding[$PqDim * s + 1 : $PqDim * s + $PqDim] AS sv
+         |  FROM embeddings, subs
+         |), cb AS (
+         |  SELECT vec_id AS k, s, sv AS cv FROM sub
+         |  WHERE vec_id BETWEEN 1 AND $PqK
+         |), ranked AS (
+         |  SELECT v.vec_id, v.s, c.k,
+         |         (${dotSql("v.sv", "v.sv")}
+         |           - 2.0 * ${dotSql("v.sv", "c.cv")})
+         |           + ${dotSql("c.cv", "c.cv")} AS dist,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+         |                            ORDER BY dist, c.k) AS rn
+         |  FROM sub v JOIN cb c ON v.s = c.s
+         |)
+         |SELECT vec_id, CAST(s AS INTEGER) AS sub, k AS code, dist
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
     "q_ann_ivf2" ->
       s"""WITH centroids AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings

@@ -299,4 +299,36 @@ class AnalyticsSpec extends SparkSpec {
     val anti = c.join(big, c("c_custkey") === big("o_custkey"), "left_anti").count()
     assert(semi + anti == c.count())
   }
+
+  test("q_pricing: group counts cover the cutoff rows; measure inequalities hold") {
+    val rows = Analytics.qPricing(spark, sfDir).collect()
+    val cutoffRows = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+      .count()
+    assert(rows.map(_.getLong(9)).sum == cutoffRows && cutoffRows > 0)
+    rows.foreach { r =>
+      val (sumBase, sumDisc, sumCharge) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // discount ∈ [0,1] and tax ≥ 0 ⇒ disc_price ≤ base, charge ≥ disc_price
+      assert(sumDisc <= sumBase && sumCharge >= sumDisc)
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0) // avg_disc
+    }
+  }
+
+  test("q_revenue_topn: descending revenue, keyed tie-break, within the segment") {
+    val rows = Analytics.qRevenueTopn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { case Array((k1, _, r1), (k2, _, r2)) =>
+      assert(r1 > r2 || (r1 == r2 && k1 < k2))
+    }
+    val buildingOrders = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir)
+          .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    rows.foreach { case (k, _, rev) =>
+      assert(buildingOrders.contains(k) && rev > 0.0)
+    }
+  }
 }

@@ -204,4 +204,31 @@ class SimilaritySpec extends SparkSpec {
     val recall = got.size.toDouble / truth.size
     assert(recall >= 0.4, f"banded recall $recall%.3f below floor")
   }
+
+  test("q_pq_encode: codes are true subspace argmins; codebook vectors self-encode at distance 0") {
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sqDist(a: Array[Float], b: Array[Float]): Double = {
+      // Same dot-expansion evaluation order as the query and oracle.
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      (dot(a, a) - 2.0 * dot(a, b)) + dot(b, b)
+    }
+    def subv(v: Array[Float], s: Int) = v.slice(8 * s, 8 * s + 8)
+    val rows = Similarity.qPqEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == vecs.size * Similarity.PqM)
+    rows.foreach { case (id, sub, code, dist) =>
+      assert(code >= 1 && code <= Similarity.PqK)
+      val dists = (1 to Similarity.PqK)
+        .map(k => k.toLong -> sqDist(subv(vecs(id), sub), subv(vecs(k.toLong), sub)))
+      // Argmin with the lower-id tie-break, recomputed independently.
+      val best = dists.minBy { case (k, dd) => (dd, k) }
+      assert(best._1 == code && best._2 == dist)
+      if (id >= 1 && id <= Similarity.PqK) {
+        assert(code == id && dist == 0.0,
+          s"codebook vector $id must self-encode in subspace $sub")
+      }
+    }
+  }
 }
