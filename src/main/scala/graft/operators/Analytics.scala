@@ -235,6 +235,78 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** q_zscore — per-event-type standardization z = (x − μ)/σ, the
+    * feature-scaling pass of every training pipeline, BIT-STABLY: the
+    * per-group moments are exact decimal sums ([[qCorr]]'s contract), μ
+    * and the population σ = √(n·Sxx − Sx²)/n are then evaluated in one
+    * literal IEEE order in both engines, and each row's z is a single
+    * subtract-divide against the 5-row BROADCAST stats table — the scan
+    * never shuffles; at 100 TB this is one partial-agg pass plus one
+    * map-side join. Zero-variance groups yield NULL through the same
+    * CASE guard in both engines (never NaN/Infinity).
+    */
+  def qZscore(spark: SparkSession, d: String): DataFrame = {
+    val stats = events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        exactSum(col("value")).as("sx"),
+        exactSum(col("value") * col("value")).as("sxx"))
+    val rad = col("n") * col("sxx") - col("sx") * col("sx")
+    events(spark, d)
+      .join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(rad > 0,
+          (col("value") - col("sx") / col("n")) / (sqrt(rad) / col("n")))
+          .as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Shards for [[qSkyline]]'s local-skyline phase. */
+  val SkylineShards = 8
+
+  /** q_skyline — Pareto frontier over per-user (activity, spend): users
+    * not dominated in BOTH event count and exact value sum — the
+    * multi-objective "best customers" cut a single ORDER BY cannot
+    * express.
+    *
+    * The plan is the distributed two-phase skyline: dedup to distinct
+    * (n, sum) points, compute a LOCAL skyline per shard with one
+    * sort-based window pass (a point survives iff its sum exceeds the
+    * running max over strictly-preceding points in (n DESC, sum DESC)
+    * order — O(n log n), correct because any dominator sorts earlier),
+    * then one tiny global pass over the union of local survivors (a
+    * global skyline point is a fortiori a local one), and join the
+    * winning points back to users. Per-shard windows parallelize the
+    * heavy pass; the global window sees only Σ local-skyline sizes —
+    * bounded, not corpus-sized. The ORACLE is the O(n²) NOT EXISTS
+    * dominance scan, so the gate proves the sort-based rewrite equals
+    * the textbook definition exactly.
+    */
+  def qSkyline(spark: SparkSession, d: String): DataFrame = {
+    val perUser = events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_v"))
+    def survivors(points: DataFrame,
+                  part: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val w = Window.partitionBy(part: _*)
+        .orderBy(col("n").desc, col("sum_v").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      points.select(col("n"), col("sum_v"),
+          max(col("sum_v")).over(w).as("mprev"))
+        .filter(col("mprev").isNull || col("sum_v") > col("mprev"))
+        .drop("mprev")
+    }
+    val localSky = survivors(
+      perUser.select(col("n"), col("sum_v"),
+          (col("user_id") % SkylineShards).as("shard"))
+        .dropDuplicates("shard", "n", "sum_v"),
+      Seq(col("shard")))
+    val globalSky = survivors(localSky.dropDuplicates("n", "sum_v"), Seq.empty)
+    perUser.join(globalSky, Seq("n", "sum_v"))
+      .select(col("user_id"), col("n"), col("sum_v"))
+      .orderBy(col("n").desc, col("sum_v").desc, col("user_id"))
+  }
+
   /** q_union / q_intersect / q_except — set ops (E5), distinct semantics
     * matching SQL UNION/INTERSECT/EXCEPT.
     */
@@ -1199,6 +1271,8 @@ object Analytics {
     "q_grouping_sets"   -> qGroupingSets _,
     "q_window_rank"     -> qWindowRank _,
     "q_percent_rank"    -> qPercentRank _,
+    "q_zscore"          -> qZscore _,
+    "q_skyline"         -> qSkyline _,
     "q_union"           -> qUnion _,
     "q_intersect"       -> qIntersect _,
     "q_except"          -> qExcept _,
@@ -1413,6 +1487,31 @@ object Analytics {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value)
         |ORDER BY event_id""".stripMargin,
+    "q_zscore" ->
+      """SELECT e.event_id, e.event_type, e.value,
+        |       CASE WHEN (n * sxx - sx * sx) > 0
+        |            THEN (e.value - sx / n)
+        |                   / (sqrt(n * sxx - sx * sx) / n)
+        |       END AS z
+        |FROM events e JOIN (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+        |           AS sxx
+        |  FROM events GROUP BY event_type) s
+        |  ON e.event_type = s.event_type
+        |ORDER BY e.event_id""".stripMargin,
+    "q_skyline" ->
+      s"""WITH pu AS (
+         |  SELECT user_id, COUNT(*) AS n, ${decSum.format("value")} AS sum_v
+         |  FROM events GROUP BY user_id
+         |)
+         |SELECT user_id, n, sum_v FROM pu u
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM pu w
+         |  WHERE w.n >= u.n AND w.sum_v >= u.sum_v
+         |    AND (w.n > u.n OR w.sum_v > u.sum_v))
+         |ORDER BY n DESC, sum_v DESC, user_id""".stripMargin,
     "q_union" ->
       """SELECT event_id FROM events WHERE event_type = 'purchase'
         |UNION

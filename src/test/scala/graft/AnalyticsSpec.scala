@@ -315,6 +315,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_zscore: per-group mean ~0, population variance ~1, NULL only on zero variance") {
+    val rows = Analytics.qZscore(spark, sfDir).collect()
+      .map(r => (r.getString(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      val zs = grp.flatMap(_._2)
+      if (zs.nonEmpty) {
+        assert(zs.length == grp.length) // guard fires per whole group
+        val mean = zs.sum / zs.length
+        val varP = zs.map(z => z * z).sum / zs.length - mean * mean
+        assert(math.abs(mean) < 1e-9, s"standardized mean $mean")
+        assert(math.abs(varP - 1.0) < 1e-9, s"standardized variance $varP")
+      }
+    }
+  }
+
+  test("q_skyline equals the quadratic dominance scan; frontier is a strict chain") {
+    val pu = Tables.events(spark, sfDir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = pu.filter { case (_, n, s) =>
+      !pu.exists { case (_, wn, ws) =>
+        wn >= n && ws >= s && (wn > n || ws > s) }
+    }.map(_._1).toSet
+    val rows = Analytics.qSkyline(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == brute && brute.nonEmpty)
+    // Frontier staircase: across DISTINCT points in output order (n desc),
+    // count strictly decreases while sum strictly increases.
+    val pts = rows.map(r => (r._2, r._3)).distinct
+    pts.sliding(2).foreach {
+      case Array((n1, s1), (n2, s2)) => assert(n1 > n2 && s1 < s2)
+      case _ =>
+    }
+  }
+
   test("q_revenue_topn: descending revenue, keyed tie-break, within the segment") {
     val rows = Analytics.qRevenueTopn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
