@@ -28,6 +28,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracle),
       (TextOps.queries, TextOps.oracle),
       (Multimodal.queries, Multimodal.oracle),
+      (Ranking.queries, Ranking.oracle),
+      (Mining.queries, Mining.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
       (graft.sources.FileSources.queries, graft.sources.FileSources.oracle),
       (graft.sources.WritePath.queries, graft.sources.WritePath.oracle),

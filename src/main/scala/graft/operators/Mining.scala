@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining / statistical-dependence operators (SURVEY.md §2e
+  * extensions): association rules over per-user behavior, chi-squared
+  * token–label feature selection, series autocorrelation, and mutual
+  * information — the dataset-diagnostics a training-data pipeline runs to
+  * understand WHAT is in 100 TB before sampling from it. The reference's
+  * analytic surface stops at counts and a latest-row insight
+  * (/root/reference/app.py:200-293); these are the dependence-structure
+  * analogs.
+  *
+  * Shared determinism contract: every statistic is assembled from EXACT
+  * BIGINT contingency/series counts; doubles appear only in the final
+  * projection with ONE literal parenthesization mirrored in the oracle,
+  * logs go through the libm-exact [[graft.functions.LnLibm]], and
+  * cross-term sums of doubles use ordered folds.
+  */
+object Mining {
+
+  private def lnLibm(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.LnLibm(
+      org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** q_assoc — association rules a → b over per-user event-type
+    * itemsets: for every ordered pair of distinct event types, support
+    * (P(a∧b)), confidence (P(b|a)) and lift (confidence / P(b)) — the
+    * market-basket diagnostic for behavioral event logs.
+    *
+    * Plan: the itemset table is `distinct(user_id, event_type)` —
+    * a map-side-partial dedup that shrinks the log to ≤ |users|·|types|
+    * rows BEFORE any join. The pair join is a self-equi-join on user_id
+    * whose per-user fan-out is bounded by |types|² (a constant — event
+    * vocabularies don't grow with data volume), so at 100 TB the join
+    * output is |users|·|types|² rows, linear in users. Per-item counts
+    * are broadcast (|types| rows).
+    *
+    * Determinism: all counts are BIGINT; the three ratios are single
+    * double expressions — support = n_ab/n_users,
+    * confidence = n_ab/n_a, lift = (n_ab·n_users)/(n_a·n_b).
+    */
+  def qAssoc(spark: SparkSession, d: String): DataFrame = {
+    val items = events(spark, d)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = events(spark, d)
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val itemCnt = items.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.select(col("user_id"), col("event_type").as("a"))
+      .join(items.select(col("user_id"), col("event_type").as("b")), "user_id")
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(itemCnt.select(col("event_type").as("a"), col("cnt").as("n_a"))), "a")
+      .join(broadcast(itemCnt.select(col("event_type").as("b"), col("cnt").as("n_b"))), "b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("n_users").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_ab").cast("double") * col("n_users").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** q_chisq — χ² token–language association over `documents`: for every
+    * observed (token, lang) pair, the chi-squared statistic of the 2×2
+    * presence contingency table — the classic supervised
+    * feature-selection score, and the "which tokens mark which language"
+    * diagnostic of a multilingual corpus. Top-20 by χ².
+    *
+    * Plan: presence rows are `array_distinct` inside the row (token set
+    * per doc — no cross-row dedup shuffle), then ONE hash agg to
+    * (token, lang) counts; lang sizes (|langs| rows) and token document
+    * frequencies (|vocab| rows) join back broadcast / vocab-sized. At
+    * 100 TB every shuffled relation is vocabulary-sized, not
+    * corpus-sized.
+    *
+    * Determinism: the 2×2 cells (n11, n10, n01, n00) are exact BIGINTs
+    * derived once; χ² = (N·(n11·n00 − n10·n01)²) / (r1·r0·c1·c0) is
+    * computed in doubles in one pinned parenthesization (every factor
+    * exact-integer-valued and ≪ 2^53 at fixture scale). Tokens present
+    * in every document (a degenerate table: c0 = 0) are excluded by the
+    * df < N guard, mirrored in the oracle.
+    */
+  def qChisq(spark: SparkSession, d: String): DataFrame = {
+    val pres = documents(spark, d)
+      .select(col("lang"), col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val cell = pres.groupBy(col("token"), col("lang")).agg(count(lit(1)).as("n11"))
+    val langN = documents(spark, d).groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val dfTok = cell.groupBy(col("token")).agg(sum(col("n11")).as("df"))
+    val nDocs = documents(spark, d).agg(count(lit(1)).as("n_docs"))
+    val n11 = col("n11")
+    val n10 = col("n_lang") - col("n11")
+    val n01 = col("df") - col("n11")
+    val n00 = col("n_docs") - col("n_lang") - n01
+    val det = n11 * n00 - n10 * n01
+    val chi2 = (col("n_docs").cast("double") *
+        (det.cast("double") * det.cast("double"))) /
+      (((col("n_lang").cast("double") *
+        (col("n_docs") - col("n_lang")).cast("double")) *
+        col("df").cast("double")) *
+        (col("n_docs") - col("df")).cast("double"))
+    cell.join(broadcast(langN), "lang")
+      .join(dfTok, "token")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") < col("n_docs"))
+      .select(col("lang"), col("token"),
+        n11.as("n11"), n10.as("n10"), n01.as("n01"), n00.as("n00"),
+        chi2.as("chi2"))
+      .orderBy(col("chi2").desc, col("lang"), col("token"))
+      .limit(20)
+  }
+
+  /** q_autocorr — lag-1 autocorrelation of the hourly event-count
+    * series: Pearson r between x(h) and x(h+1h) — the "is this metric
+    * trending or noise" one-number diagnostic of a time series, computed
+    * over the full log.
+    *
+    * Plan: the log collapses to an hourly count histogram FIRST (one
+    * map-side-partial agg — the only pass over the data); the lag pairing
+    * is then an equi-join of the histogram with itself on h = h + 1 hour
+    * (hash join over |hours| rows — NO unpartitioned window, no global
+    * sort; consecutive-hour gaps simply drop out of the join, the
+    * standard treatment for a sparse series). At 100 TB the pair table is
+    * |hours| rows regardless of volume.
+    *
+    * Determinism: counts and all five moment sums (Σx, Σy, Σxy, Σx²,
+    * Σy²) are exact BIGINTs (integer sums are associative —
+    * partitioning-independent); r's numerator/radicands are exact BIGINT
+    * expressions, with doubles only in the final divide/sqrt, guarded
+    * against zero-variance degenerate series exactly as in the oracle.
+    */
+  def qAutocorr(spark: SparkSession, d: String): DataFrame = {
+    val hourly = events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = hourly.select(col("h"), col("x"))
+      .join(hourly.select((col("h") - expr("INTERVAL 1 HOUR")).as("h"), col("x").as("y")), "h")
+    val m = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num  = m("n") * m("sxy") - m("sx") * m("sy")
+    val radX = m("n") * m("sxx") - m("sx") * m("sx")
+    val radY = m("n") * m("syy") - m("sy") * m("sy")
+    m.select(col("n"),
+      when(radX > 0L && radY > 0L,
+        num.cast("double") /
+          (sqrt(radX.cast("double")) * sqrt(radY.cast("double"))))
+        .as("autocorr"))
+  }
+
+  /** q_mutual_info — mutual information (nats) between event_type and
+    * hour-of-day: MI = Σ_cells p(t,h)·ln(p(t,h)/(p(t)·p(h))) — the
+    * dependence strength between a label and a covariate, the
+    * feature-screening companion to [[qChisq]] on the events side.
+    *
+    * Plan: one hash agg to the |types|×24 joint contingency table, two
+    * marginal re-aggregations OVER THAT TABLE (never re-reading the
+    * log), marginals broadcast back. The cell table is constant-sized at
+    * any data volume.
+    *
+    * Determinism: all counts BIGINT; each cell's term uses one pinned
+    * parenthesization ((c_th·N)/(c_t·c_h) fully in exact-valued doubles)
+    * through [[lnLibm]], and the cell terms are summed by an ordered fold
+    * keyed on (event_type, hr) — the [[Similarity.qLabelEntropy]]
+    * contract applied to a two-way table.
+    */
+  def qMutualInfo(spark: SparkSession, d: String): DataFrame = {
+    val joint = events(spark, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c_th"))
+    val margT = joint.groupBy(col("event_type")).agg(sum(col("c_th")).as("c_t"))
+    val margH = joint.groupBy(col("hr")).agg(sum(col("c_th")).as("c_h"))
+    val n = joint.agg(sum(col("c_th")).as("n"))
+    val p = col("c_th").cast("double") / col("n").cast("double")
+    val ratio = (col("c_th").cast("double") * col("n").cast("double")) /
+      (col("c_t").cast("double") * col("c_h").cast("double"))
+    joint.join(broadcast(margT), "event_type")
+      .join(broadcast(margH), "hr")
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("hr"), (p * lnLibm(ratio)).as("term"))
+      .agg(count(lit(1)).as("n_cells"),
+        sort_array(collect_list(struct(col("event_type"), col("hr"), col("term"))))
+          .as("cells"))
+      .select(col("n_cells"),
+        expr("aggregate(cells, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
+          .as("mi"))
+  }
+
+  /** q_ewma — exponentially-weighted moving average (α = 0.2) of the
+    * hourly event-count series per event_type: the standard smoothed
+    * "current level" statistic behind monitoring baselines and anomaly
+    * thresholds, inherently SEQUENTIAL (s_t = α·x_t + (1−α)·s_{t−1}) and
+    * therefore the interesting distributed case.
+    *
+    * Plan: the log collapses to the per-(type, hour) count histogram
+    * first (the only pass over the data); the sequential recurrence then
+    * runs per type as an hour-ordered fold over the collected series —
+    * state per group is the bounded (types × hours) histogram, never raw
+    * events, and groups fold in parallel. At 100 TB the calendar is what
+    * bounds the fold (~10⁴ hours/year), not data volume.
+    *
+    * Determinism: counts exact; the fold is seeded s_0 = x_0 via a −1.0
+    * sentinel (counts are ≥ 0) and every step is one pinned α·x + (1−α)·s
+    * expression — both engines replay the identical left fold.
+    */
+  def qEwma(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sort_array(collect_list(struct(col("h"), col("x")))).as("hx"))
+      .select(col("event_type"), col("n_hours"),
+        expr("aggregate(hx, CAST(-1.0 AS DOUBLE), (acc, e) -> " +
+          "IF(acc < CAST(0.0 AS DOUBLE), CAST(e.x AS DOUBLE), " +
+          "CAST(0.2 AS DOUBLE) * CAST(e.x AS DOUBLE) + " +
+          "CAST(0.8 AS DOUBLE) * acc))").as("ewma"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc"       -> qAssoc _,
+    "q_chisq"       -> qChisq _,
+    "q_autocorr"    -> qAutocorr _,
+    "q_mutual_info" -> qMutualInfo _,
+    "q_ewma"        -> qEwma _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_assoc" ->
+      """WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+        |u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+        |ic AS (SELECT event_type, COUNT(*) AS cnt FROM items GROUP BY event_type),
+        |p AS (
+        |  SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_ab
+        |  FROM items x JOIN items y ON x.user_id = y.user_id
+        |  WHERE x.event_type <> y.event_type
+        |  GROUP BY x.event_type, y.event_type
+        |)
+        |SELECT a, b, n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
+        |       CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE) AS support,
+        |       CAST(n_ab AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS confidence,
+        |       (CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE))
+        |         / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)) AS lift
+        |FROM p JOIN ic ia ON p.a = ia.event_type
+        |       JOIN ic ib ON p.b = ib.event_type
+        |       CROSS JOIN u
+        |ORDER BY a, b""".stripMargin,
+    "q_chisq" ->
+      """WITH pres AS (
+        |  SELECT lang, doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents
+        |), cell AS (
+        |  SELECT token, lang, COUNT(*) AS n11 FROM pres GROUP BY token, lang
+        |), langn AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+        |dft AS (SELECT token, CAST(SUM(n11) AS BIGINT) AS df FROM cell GROUP BY token),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT lang, token, n11,
+        |       n_lang - n11 AS n10,
+        |       df - n11 AS n01,
+        |       n_docs - n_lang - (df - n11) AS n00,
+        |       (CAST(n_docs AS DOUBLE)
+        |          * (CAST(n11 * (n_docs - n_lang - (df - n11))
+        |                  - (n_lang - n11) * (df - n11) AS DOUBLE)
+        |             * CAST(n11 * (n_docs - n_lang - (df - n11))
+        |                  - (n_lang - n11) * (df - n11) AS DOUBLE)))
+        |       / (((CAST(n_lang AS DOUBLE) * CAST(n_docs - n_lang AS DOUBLE))
+        |            * CAST(df AS DOUBLE)) * CAST(n_docs - df AS DOUBLE)) AS chi2
+        |FROM cell JOIN langn USING (lang) JOIN dft USING (token) CROSS JOIN nd
+        |WHERE df < n_docs
+        |ORDER BY chi2 DESC, lang, token LIMIT 20""".stripMargin,
+    "q_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY date_trunc('hour', ts)
+        |), pairs AS (
+        |  SELECT a.x AS x, b.x AS y
+        |  FROM hourly a JOIN hourly b ON a.h = b.h - INTERVAL 1 HOUR
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs
+        |)
+        |SELECT n,
+        |       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |       END AS autocorr
+        |FROM m""".stripMargin,
+    "q_ewma" ->
+      """WITH hx AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |)
+        |SELECT event_type, COUNT(*) AS n_hours,
+        |       list_reduce(list_prepend(CAST(-1.0 AS DOUBLE),
+        |         list(CAST(x AS DOUBLE) ORDER BY h)),
+        |         (acc, x) -> CASE WHEN acc < CAST(0.0 AS DOUBLE) THEN x
+        |                          ELSE CAST(0.2 AS DOUBLE) * x
+        |                               + CAST(0.8 AS DOUBLE) * acc END) AS ewma
+        |FROM hx GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mutual_info" ->
+      """WITH joint AS (
+        |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        |         COUNT(*) AS c_th
+        |  FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+        |), mt AS (SELECT event_type, CAST(SUM(c_th) AS BIGINT) AS c_t
+        |          FROM joint GROUP BY event_type),
+        |mh AS (SELECT hr, CAST(SUM(c_th) AS BIGINT) AS c_h FROM joint GROUP BY hr),
+        |nn AS (SELECT CAST(SUM(c_th) AS BIGINT) AS n FROM joint),
+        |t AS (
+        |  SELECT event_type, hr,
+        |         (CAST(c_th AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln((CAST(c_th AS DOUBLE) * CAST(n AS DOUBLE))
+        |                / (CAST(c_t AS DOUBLE) * CAST(c_h AS DOUBLE))) AS term
+        |  FROM joint JOIN mt USING (event_type) JOIN mh USING (hr) CROSS JOIN nn
+        |)
+        |SELECT COUNT(*) AS n_cells,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list(term ORDER BY event_type, hr)), (acc, x) -> acc + x) AS mi
+        |FROM t""".stripMargin,
+  )
+}

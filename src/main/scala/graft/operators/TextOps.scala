@@ -49,14 +49,25 @@ object TextOps {
     * (not unigrams) because the fixture vocabulary is tiny — unigram sets
     * would make every document a near-duplicate of every other.
     */
+  private val ShingleArrayExpr =
+    "array_distinct(filter(" +
+      "transform(toks, (x, i) -> IF(i + 2 < size(toks), " +
+      "concat_ws(' ', x, toks[i+1], toks[i+2]), NULL)), " +
+      "s -> s IS NOT NULL))"
+
   private def shingled(spark: SparkSession, d: String): DataFrame =
     tokenized(spark, d).select(
       col("doc_id"),
-      explode(expr(
-        "array_distinct(filter(" +
-          "transform(toks, (x, i) -> IF(i + 2 < size(toks), " +
-          "concat_ws(' ', x, toks[i+1], toks[i+2]), NULL)), " +
-          "s -> s IS NOT NULL))")).as("s"))
+      explode(expr(ShingleArrayExpr)).as("s"))
+
+  /** [[shingled]] with the language label carried through — per-DOC
+    * distinct shingles (a lang's union keeps cross-doc duplicates, which
+    * min-aggregation is insensitive to).
+    */
+  private def shingledByLang(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d).select(
+      col("lang"),
+      explode(expr(ShingleArrayExpr)).as("s"))
 
   /** Deterministic 60-bit hash of a string: first 15 hex chars of md5. */
   private def md5Long(c: org.apache.spark.sql.Column, hexChars: Int) =
@@ -208,6 +219,80 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("shared_bands"),
         col("train_a"), col("train_b"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q_minhash_merge — sketch MERGEABILITY, the property that makes
+    * MinHash a distributed sketch: the signature of a UNION of sets is
+    * the element-wise min of the signatures, so per-partition sketches
+    * combine associatively without revisiting the data. Here: one merged
+    * 16-value signature per language (the union of that language's
+    * shingle sets), then pairwise language-similarity estimates
+    * ĵ(a, b) = |{k : sigₐ[k] = sig_b[k]}| / 16 — a corpus-overlap
+    * diagnostic that costs |langs| rows of state, not a pairwise doc
+    * scan.
+    *
+    * Scale: the merge is ONE map-side-partial min-aggregate over the
+    * shingle stream (min is associative — this is exactly the
+    * per-executor partial-sketch → merged-sketch path at 1000
+    * executors); the pair comparison is a |langs|² constant-sized join.
+    * Determinism: every value is an exact integer (md5-LCG hashes, min,
+    * equality counts); the only double is the final /16.
+    */
+  def qMinhashMerge(spark: SparkSession, d: String): DataFrame = {
+    val hashed = shingledByLang(spark, d)
+      .select(col("lang"), (md5Long(col("s"), 15) % P).as("h"))
+    val mins = hashParams.zipWithIndex.map { case ((a, b), k) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$k")
+    }
+    val sig = hashed.groupBy(col("lang")).agg(mins.head, mins.tail: _*)
+    val a = sig.select(col("lang").as("lang_a") +:
+      (0 until 16).map(k => col(s"mh$k").as(s"a$k")): _*)
+    val b = sig.select(col("lang").as("lang_b") +:
+      (0 until 16).map(k => col(s"mh$k").as(s"b$k")): _*)
+    val agree = (0 until 16)
+      .map(k => when(col(s"a$k") === col(s"b$k"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    // |langs| rows per side: the inequality join is a broadcast
+    // nested-loop over a constant-sized relation, not a data-sized one.
+    a.join(b, col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"), agree.as("n_agree"),
+        (agree.cast("double") / lit(16.0)).as("est_jaccard"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  /** q_decontaminate — exact n-gram train/test decontamination (the
+    * GPT-3-style published procedure, at trigram granularity to fit the
+    * fixture vocabulary): for every TEST document under the
+    * deterministic 80/20 hash split, the fraction of its shingles that
+    * occur anywhere in TRAIN. The exact-overlap complement to
+    * [[qSplitLeakage]]'s sketch-based near-dup check — this is the pair
+    * every decontamination pipeline runs: exact n-gram hits for recall
+    * on verbatim leakage, MinHash for fuzzed leakage.
+    *
+    * Scale: the train side collapses to a DISTINCT shingle set (vocab-
+    * sized, map-side partial) and the test side LEFT-JOINS it on the
+    * shingle — a semi-join shape with NO per-shingle fan-out (contrast
+    * the df² candidate joins): one output row per test shingle
+    * regardless of how many train docs share it. At 100 TB this is the
+    * only decontamination form that doesn't need a df cap.
+    *
+    * Determinism: pure integer counts; one final division.
+    */
+  def qDecontaminate(spark: SparkSession, d: String): DataFrame = {
+    val split = documents(spark, d).select(col("doc_id"),
+      (md5Long(col("doc_id").cast("string"), 15) % 10 < TrainBuckets)
+        .as("is_train"))
+    val sh = shingled(spark, d).join(split, "doc_id")
+    val trainSet = sh.filter(col("is_train")).select(col("s")).distinct()
+    sh.filter(!col("is_train"))
+      .join(trainSet.withColumn("hit", lit(1L)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+          .as("frac"))
+      .orderBy(col("frac").desc, col("doc_id"))
   }
 
   /** q_edit_distance — fuzzy-dedup verification: exact Levenshtein edit
@@ -804,6 +889,8 @@ object TextOps {
     "q_edit_distance" -> qEditDistance _,
     "q_dedup_groups"  -> qDedupGroups _,
     "q_split_leakage" -> qSplitLeakage _,
+    "q_minhash_merge" -> qMinhashMerge _,
+    "q_decontaminate" -> qDecontaminate _,
     "q_simhash"       -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -985,6 +1072,48 @@ object TextOps {
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_minhash_sig" -> (sigSql + "\nORDER BY doc_id"),
+    "q_minhash_merge" -> {
+      val agreeSql = (0 until 16)
+        .map(k => s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT lang, unnest(list_distinct(list_transform(
+         |         list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+         |         z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS s
+         |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+         |), hashed AS (
+         |  SELECT lang, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS h FROM sh
+         |), sig AS (
+         |  SELECT lang, $minhashAggs
+         |  FROM hashed GROUP BY lang
+         |)
+         |SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |       CAST($agreeSql AS BIGINT) AS n_agree,
+         |       CAST($agreeSql AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM sig a JOIN sig b ON a.lang < b.lang
+         |ORDER BY lang_a, lang_b""".stripMargin
+    },
+    "q_decontaminate" ->
+      s"""WITH sh AS (
+         |$shingleSql
+         |), split AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < $TrainBuckets
+         |           AS is_train
+         |  FROM documents
+         |), shs AS (
+         |  SELECT sh.doc_id, s, is_train
+         |  FROM sh JOIN split ON sh.doc_id = split.doc_id
+         |), train AS (SELECT DISTINCT s FROM shs WHERE is_train),
+         |t AS (
+         |  SELECT doc_id, CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM shs LEFT JOIN train ON shs.s = train.s WHERE NOT is_train
+         |)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |       CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+         |       CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac
+         |FROM t GROUP BY doc_id
+         |ORDER BY frac DESC, doc_id""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH sig AS (
          |$sigSql

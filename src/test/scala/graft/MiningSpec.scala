@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.Mining
+import org.apache.spark.sql.functions._
+
+/** Tests for the pattern-mining/statistics surface — each statistic is
+  * re-derived brute-force from collected fixture rows (independent of both
+  * the Spark plan and the oracle SQL).
+  */
+class MiningSpec extends SparkSpec {
+
+  test("q_assoc matches brute-force rule mining and lift is symmetric") {
+    val items = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val users = items.map(_._1)
+    val byType = items.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val got = Mining.qAssoc(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val gotMap = got.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val nab = (byType(a) intersect byType(b)).size.toLong
+      assert(r.getLong(2) == nab, s"$a->$b n_ab")
+      assert(r.getLong(3) == byType(a).size.toLong)
+      assert(r.getLong(4) == byType(b).size.toLong)
+      assert(r.getDouble(5) == nab.toDouble / users.size.toDouble, "support")
+      assert(r.getDouble(6) == nab.toDouble / byType(a).size.toDouble, "confidence")
+      // lift(a→b) == lift(b→a): the statistic is symmetric even though
+      // confidence is directional.
+      assert(r.getDouble(7) == gotMap((b, a)).getDouble(7), s"lift symmetry $a/$b")
+    }
+  }
+
+  test("q_autocorr matches the brute-force lagged Pearson r") {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val byH = hourly.toMap
+    val pairs = hourly.flatMap { case (h, x) =>
+      byH.get(h + 3600000L).map(y => (x, y)) }
+    val n = pairs.length.toLong
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val expected = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    val got = Mining.qAutocorr(spark, sfDir).collect().head
+    assert(got.getLong(0) == n)
+    assert(got.getDouble(1) == expected)
+    assert(math.abs(got.getDouble(1)) <= 1.0)
+  }
+
+  test("q_chisq matches a brute-force 2x2 chi-squared for every returned pair") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSet))
+    val nDocs = docs.length.toLong
+    val got = Mining.qChisq(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lang, token) = (r.getString(0), r.getString(1))
+      val n11 = docs.count(d => d._2 == lang && d._3(token)).toLong
+      val nLang = docs.count(_._2 == lang).toLong
+      val df = docs.count(_._3(token)).toLong
+      val (n10, n01) = (nLang - n11, df - n11)
+      val n00 = nDocs - nLang - n01
+      assert(Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        Seq(n11, n10, n01, n00), s"cells for ($lang,$token)")
+      val det = (n11 * n00 - n10 * n01).toDouble
+      val expected = (nDocs.toDouble * (det * det)) /
+        (((nLang.toDouble * (nDocs - nLang).toDouble) * df.toDouble) *
+          (nDocs - df).toDouble)
+      assert(r.getDouble(6) == expected, s"chi2 for ($lang,$token)")
+      assert(expected >= 0.0)
+    }
+  }
+
+  test("q_ewma matches the brute-force sequential recurrence per type") {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val got = Mining.qEwma(spark, sfDir).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val series = hourly.filter(_._1 == r.getString(0)).sortBy(_._2).map(_._3)
+      assert(r.getLong(1) == series.length.toLong)
+      val expected = series.tail.foldLeft(series.head.toDouble)(
+        (s, x) => 0.2 * x.toDouble + 0.8 * s)
+      assert(r.getDouble(2) == expected, s"${r.getString(0)}")
+    }
+  }
+
+  test("q_mutual_info is non-negative and matches the brute-force ordered fold") {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = cells.values.sum
+    val ct = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ch = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val expected = cells.toSeq.sortBy(_._1)
+      .map { case ((t, h), c) =>
+        (c.toDouble / n.toDouble) *
+          math.log((c.toDouble * n.toDouble) / (ct(t).toDouble * ch(h).toDouble))
+      }.foldLeft(0.0)(_ + _)
+    val got = Mining.qMutualInfo(spark, sfDir).collect().head
+    assert(got.getLong(0) == cells.size.toLong)
+    assert(got.getDouble(1) == expected)
+    // MI of a genuine joint distribution is >= 0 up to fold rounding.
+    assert(got.getDouble(1) > -1e-12)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Ranking
+import org.apache.spark.sql.functions._
+
+/** Tests for the ranking/retrieval-metric surface. Beyond the driver's
+  * DuckDB hash gate, each statistic is re-derived here by an independent
+  * brute-force computation on collected fixture rows (tiny at sf0.001), so
+  * a bug that happened to be mirrored in the oracle SQL would still be
+  * caught.
+  */
+class RankingSpec extends SparkSpec {
+
+  test("q_auc equals the brute-force tie-aware pair count") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("value"), col("event_type")).collect()
+      .map(r => (r.getDouble(0), r.getString(1) == "purchase"))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    var u2 = 0L
+    for (p <- pos; n <- neg)
+      u2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val expected = u2.toDouble / (2.0 * (pos.length.toDouble * neg.length.toDouble))
+    val got = Ranking.qAuc(spark, sfDir).collect().head
+    assert(got.getLong(0) == pos.length && got.getLong(1) == neg.length)
+    assert(got.getLong(2) == u2, s"u2: got ${got.getLong(2)} want $u2")
+    assert(got.getDouble(3) == expected)
+  }
+
+  test("q_bm25 matches a from-scratch BM25 on the top document") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = Ranking.Bm25Terms
+      .map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def score(toks: Seq[String]): Double = {
+      val dl = toks.length.toDouble
+      Ranking.Bm25Terms.sorted.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      }.foldLeft(0.0)(_ + _)
+    }
+    val got = Ranking.qBm25(spark, sfDir).collect()
+    assert(got.length > 1)
+    // Engine order must be exactly score-desc over the hand scores.
+    val handTop = docs.map { case (id, t) => (id, score(t)) }
+      .filter(_._2 > 0.0).sortBy { case (id, s) => (-s, id) }.take(got.length)
+    got.zip(handTop).foreach { case (r, (id, s)) =>
+      assert(r.getLong(0) == id, s"rank order: got doc ${r.getLong(0)} want $id")
+      assert(math.abs(r.getDouble(2) - s) < 1e-12,
+        s"doc $id: got ${r.getDouble(2)} want $s")
+    }
+  }
+
+  test("q_ndcg is in [0,1] with idcg >= dcg, and covers every event_type") {
+    val got = Ranking.qNdcg(spark, sfDir).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(idcg >= dcg, s"${r.getString(0)}: idcg $idcg < dcg $dcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"${r.getString(0)}: ndcg $ndcg")
+    }
+  }
+
+  test("q_rank_fusion: rrf bounded by list membership, ranks are 1-based and dense") {
+    val got = Ranking.qRankFusion(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val ra = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rb = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(ra.nonEmpty || rb.nonEmpty)
+      val expected = ra.map(x => 1.0 / (Ranking.RrfK + x)).getOrElse(0.0) +
+        rb.map(x => 1.0 / (Ranking.RrfK + x)).getOrElse(0.0)
+      assert(r.getDouble(3) == expected)
+      (ra.toSeq ++ rb.toSeq).foreach(x =>
+        assert(x >= 1 && x <= Ranking.RrfDepth))
+    }
+    // Descending fused order.
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) >= b.getDouble(3))
+      case _           => ()
+    }
+  }
+}

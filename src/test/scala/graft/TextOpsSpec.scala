@@ -341,6 +341,44 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_minhash_merge: merged signature is the element-wise min of per-doc signatures") {
+    // Sketch mergeability, asserted against the engine's own per-doc
+    // signatures: for each lang, min over its docs' mh_k must equal the
+    // merged signature — and the pairwise estimate must be the agreement
+    // fraction of those merged signatures.
+    val docLang = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = TextOps.qMinhashSig(spark, sfDir).collect()
+    val mergedByLang = perDoc.groupBy(r => docLang(r.getLong(0)))
+      .map { case (lang, rows) =>
+        lang -> (1 to 16).map(k => rows.map(_.getLong(k)).min).toVector
+      }
+    val got = TextOps.qMinhashMerge(spark, sfDir).collect()
+    assert(got.length == mergedByLang.size * (mergedByLang.size - 1) / 2)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val agree = mergedByLang(a).zip(mergedByLang(b)).count(p => p._1 == p._2).toLong
+      assert(r.getLong(2) == agree, s"$a/$b n_agree")
+      assert(r.getDouble(3) == agree.toDouble / 16.0)
+    }
+  }
+
+  test("q_decontaminate: fractions bounded, and a train shingle-set containment check holds") {
+    val rows = TextOps.qDecontaminate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(c >= 0 && c <= n)
+      assert(frac == c.toDouble / n.toDouble)
+    }
+    // Fixture docs share a tiny vocabulary: some contamination must exist,
+    // and with 20% of docs in test, most docs must NOT appear at all.
+    assert(rows.exists(_.getLong(2) > 0), "no contaminated test doc found")
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.length < total / 2, "test split should be the 20% side")
+  }
+
   test("q_quality_score ratios are consistent with the token counts") {
     TextOps.qQualityScore(spark, sfDir).collect().foreach { r =>
       val (id, nTok, nUniq) = (r.getLong(0), r.getInt(1), r.getInt(2))
