@@ -224,12 +224,73 @@ object Mining {
           "CAST(0.8 AS DOUBLE) * acc))").as("ewma"))
       .orderBy(col("event_type"))
 
+  /** q_gini — Gini coefficient of `value` per event_type via the sorted
+    * formula G = (2·Σᵢ rᵢ·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ): the standard
+    * concentration/inequality summary (is the metric dominated by a few
+    * heavy rows?) a pipeline checks before weighting or sampling by a
+    * value column.
+    *
+    * Plan: ONE per-group `row_number` window (partitioned by event_type
+    * — parallel across groups, the sort amortized by the grouping
+    * shuffle) feeding one hash aggregate. The O(n²) pairwise |xᵢ−xⱼ|
+    * definition never materializes.
+    *
+    * Determinism: ranks are total-ordered integers ((value, event_id));
+    * both sums go through [[graft.Tables.exactSum]]'s decimal cast — the
+    * established order-independent-sum contract — so the assembled G is
+    * bit-identical under any partitioning; final expression is one
+    * pinned parenthesization.
+    */
+  def qGini(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    events(spark, d).select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.exactSum(col("value")).as("s_x"),
+        graft.Tables.exactSum(col("rk").cast("double") * col("value")).as("s_rx"))
+      .select(col("event_type"), col("n"),
+        ((lit(2.0) * col("s_rx") - (col("n") + lit(1L)).cast("double") * col("s_x")) /
+          (col("n").cast("double") * col("s_x"))).as("gini"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_rolling_count — per-event trailing-hour activity: for every event,
+    * how many events its user produced in the preceding hour (inclusive)
+    * — the RANGE-frame window (frame bounded by the ORDER-BY VALUE, not
+    * by row offsets), which rows-frame operators like q_rolling_avg
+    * can't express over irregular event times. The standard rate/burst
+    * feature of a behavioral pipeline.
+    *
+    * Plan: one window partitioned by user_id — one hash shuffle + one
+    * per-partition sort; the range frame is maintained by two pointers
+    * over each sorted partition (O(n) per user). Parallel across users
+    * at any scale.
+    *
+    * Determinism: the frame key is exact integer MICROSECONDS
+    * (`unix_micros` ↔ `epoch_us` — both total, both exact; a seconds
+    * cast would truncate and merge frame boundaries), and the aggregate
+    * is a count.
+    */
+  def qRollingCount(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    events(spark, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("cnt_1h", count(lit(1)).over(w))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_assoc"       -> qAssoc _,
-    "q_chisq"       -> qChisq _,
-    "q_autocorr"    -> qAutocorr _,
-    "q_mutual_info" -> qMutualInfo _,
-    "q_ewma"        -> qEwma _,
+    "q_assoc"         -> qAssoc _,
+    "q_chisq"         -> qChisq _,
+    "q_autocorr"      -> qAutocorr _,
+    "q_mutual_info"   -> qMutualInfo _,
+    "q_ewma"          -> qEwma _,
+    "q_gini"          -> qGini _,
+    "q_rolling_count" -> qRollingCount _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,6 +358,27 @@ object Mining {
         |                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS autocorr
         |FROM m""".stripMargin,
+    "q_gini" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY value, event_id) AS BIGINT) AS rk
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s_x,
+        |         CAST(SUM(CAST(CAST(rk AS DOUBLE) * value AS DECIMAL(38,6))) AS DOUBLE) AS s_rx
+        |  FROM r GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |       (2.0 * s_rx - CAST(n + 1 AS DOUBLE) * s_x)
+        |         / (CAST(n AS DOUBLE) * s_x) AS gini
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q_rolling_count" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS cnt_1h
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_ewma" ->
       """WITH hx AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,

@@ -95,6 +95,41 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q_gini matches the brute-force sorted formula with decimal-exact sums") {
+    import scala.math.BigDecimal.RoundingMode
+    def dec(x: Double): BigDecimal = BigDecimal(x).setScale(6, RoundingMode.HALF_UP)
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val got = Mining.qGini(spark, sfDir).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val xs = rows.filter(_._1 == r.getString(0)).sortBy(t => (t._2, t._3)).map(_._2)
+      val n = xs.length.toLong
+      val sX = xs.map(dec).sum.toDouble
+      val sRx = xs.zipWithIndex.map { case (x, i) => dec((i + 1).toDouble * x) }.sum.toDouble
+      val expected = (2.0 * sRx - (n + 1).toDouble * sX) / (n.toDouble * sX)
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == expected, s"${r.getString(0)}")
+      assert(expected >= 0.0 && expected < 1.0)
+    }
+  }
+
+  test("q_rolling_count matches a brute-force trailing-hour scan per user") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._2)
+    val got = Mining.qRollingCount(spark, sfDir).collect()
+    assert(got.length == ev.length)
+    got.foreach { r =>
+      val (id, uid, us, cnt) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val expected = byUser(uid).count(e => e._3 >= us - 3600000000L && e._3 <= us).toLong
+      assert(cnt == expected, s"event $id")
+    }
+    assert(got.exists(_.getLong(3) > 1), "fixture must exercise overlapping frames")
+  }
+
   test("q_mutual_info is non-negative and matches the brute-force ordered fold") {
     val cells = Tables.events(spark, sfDir)
       .select(col("event_type"), hour(col("ts")).cast("long").as("hr")).collect()
