@@ -102,6 +102,57 @@ class PlanSpec extends SparkSpec {
     assert(joined(plain).count() == rows)
   }
 
+  test("q_rank_fusion windows run over TakeOrdered'd candidate lists, never the corpus") {
+    val p = plan(graft.operators.Ranking.qRankFusion(spark, sfDir))
+    // Three heaps: one per candidate list (below each row_number window)
+    // plus the final fused top-20 — so every unpartitioned window input
+    // is O(RrfDepth) rows by construction.
+    val heaps = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(heaps == 3, s"expected 3 top-k heaps, saw $heaps:\n$p")
+  }
+
+  test("q_ndcg's rank filter prunes per-group sorts via WindowGroupLimit") {
+    val p = plan(graft.operators.Ranking.qNdcg(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"pos <= k must push a group limit below the per-type sort:\n$p")
+  }
+
+  test("q_bm25 tops out through a heap, not a global sort") {
+    val p = plan(graft.operators.Ranking.qBm25(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-20 must be TakeOrderedAndProject:\n$p")
+  }
+
+  test("q_gini and q_rolling_count reuse ONE hash shuffle for window + downstream") {
+    for ((name, df) <- Seq(
+        "q_gini" -> graft.operators.Mining.qGini(spark, sfDir),
+        "q_rolling_count" -> graft.operators.Mining.qRollingCount(spark, sfDir))) {
+      val p = plan(df)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges == 1,
+        s"$name: window partitioning must serve the whole plan, saw $hashExchanges:\n$p")
+    }
+  }
+
+  test("q_auc's prefix-sum window runs over the score histogram, not the log") {
+    val p = plan(graft.operators.Ranking.qAuc(spark, sfDir))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"q_auc must aggregate to the histogram in one shuffle, saw $hashExchanges:\n$p")
+    // The unpartitioned window must sit ABOVE the histogram aggregate
+    // (single-partition exchange fed by the agg), never above the raw scan.
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the aggregated histogram:\n$p")
+  }
+
+  test("q_decontaminate's train-set join stays an equi-join with no fan-out") {
+    val p = plan(graft.operators.TextOps.qDecontaminate(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decontamination must be the semi-join shape:\n$p")
+  }
+
   test("no LSH/inverted-index join degrades to nested-loop or cartesian") {
     for ((name, df) <- Seq(
         "q_cosine_neardup" -> Similarity.qCosineNeardup(spark, sfDir),
