@@ -295,6 +295,54 @@ object TextOps {
       .orderBy(col("frac").desc, col("doc_id"))
   }
 
+  /** Count-min sketch shape: [[CmsRows]] independent hash rows ×
+    * [[CmsWidth]] buckets — 256 BIGINT cells total, the whole sketch.
+    */
+  val CmsRows  = 4
+  val CmsWidth = 64
+
+  /** q_cms_topk — count-min sketch frequency estimation: build the
+    * [[CmsRows]]×[[CmsWidth]] CMS over the token stream (cell(r, c) =
+    * Σ counts of tokens hashing to column c under row r's hash), then
+    * estimate the true top-10 tokens' frequencies as
+    * est(t) = min_r cell(r, h_r(t)). The third sketch family in the
+    * engine (HLL for distinct counts, MinHash for set overlap, CMS for
+    * point frequencies) — the streaming-friendly answer to "how often
+    * does token X occur in 100 TB" in O(256) space.
+    *
+    * Plan: token counts are ONE map-side-partial hash agg (vocab-sized);
+    * the sketch is a second agg over the VOCAB table (never re-reading
+    * the corpus), constant 256 rows out; estimates join the top-10
+    * tokens against the broadcast sketch. The CMS build is associative —
+    * per-executor partial sketches merge by cell-wise addition, which is
+    * exactly what the two-level hash aggregation does.
+    *
+    * Determinism: hashes are the md5-LCG family with the MinHash
+    * constants; every cell and estimate is an exact BIGINT; the CMS
+    * overestimate guarantee (est ≥ true count) is asserted in
+    * TextOpsSpec.
+    */
+  def qCmsTopk(spark: SparkSession, d: String): DataFrame = {
+    val cnt = tokenized(spark, d)
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val base = md5Long(col("token"), 15) % P
+    def rowHash(r: Int): org.apache.spark.sql.Column = {
+      val (a, b) = hashParams(r)
+      ((lit(a) * base + lit(b)) % P) % CmsWidth
+    }
+    val hashed = cnt.select(col("token"), col("c"),
+      posexplode(array((0 until CmsRows).map(rowHash): _*)).as(Seq("r", "cc")))
+    val cells = hashed.groupBy(col("r"), col("cc")).agg(sum(col("c")).as("cell"))
+    val top = cnt.orderBy(col("c").desc, col("token")).limit(10)
+    top.select(col("token"), col("c"),
+        posexplode(array((0 until CmsRows).map(rowHash): _*)).as(Seq("r", "cc")))
+      .join(broadcast(cells), Seq("r", "cc"))
+      .groupBy(col("token"))
+      .agg(max(col("c")).as("cnt"), min(col("cell")).as("est"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** q_edit_distance — fuzzy-dedup verification: exact Levenshtein edit
     * distance on the MinHash-LSH candidate pairs. The candidates-then-
     * verify pipeline with a CHARACTER-level verifier: LSH (set overlap)
@@ -891,6 +939,7 @@ object TextOps {
     "q_split_leakage" -> qSplitLeakage _,
     "q_minhash_merge" -> qMinhashMerge _,
     "q_decontaminate" -> qDecontaminate _,
+    "q_cms_topk"      -> qCmsTopk _,
     "q_simhash"       -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_ngram_jaccard" -> qNgramJaccard _,
@@ -1092,6 +1141,30 @@ object TextOps {
          |       CAST($agreeSql AS DOUBLE) / 16.0 AS est_jaccard
          |FROM sig a JOIN sig b ON a.lang < b.lang
          |ORDER BY lang_a, lang_b""".stripMargin
+    },
+    "q_cms_topk" -> {
+      val rowsSql = (0 until CmsRows).map { r =>
+        val (a, b) = hashParams(r)
+        s"SELECT token, c, $r AS r, (($a * base + $b) % $P) % $CmsWidth AS cc FROM based"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |), cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+         |based AS (
+         |  SELECT token, c,
+         |         ('0x' || substr(md5(token), 1, 15))::BIGINT % $P AS base
+         |  FROM cnt
+         |), rws AS (
+         |  $rowsSql
+         |), cells AS (
+         |  SELECT r, cc, CAST(SUM(c) AS BIGINT) AS cell FROM rws GROUP BY r, cc
+         |), top AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 10)
+         |SELECT t.token AS token, t.c AS cnt, MIN(cell) AS est
+         |FROM top t
+         |JOIN rws r2 ON t.token = r2.token
+         |JOIN cells ce ON r2.r = ce.r AND r2.cc = ce.cc
+         |GROUP BY t.token, t.c
+         |ORDER BY cnt DESC, t.token""".stripMargin
     },
     "q_decontaminate" ->
       s"""WITH sh AS (

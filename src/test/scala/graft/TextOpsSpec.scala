@@ -379,6 +379,29 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.length < total / 2, "test split should be the 20% side")
   }
 
+  test("q_cms_topk: every estimate matches the brute-force sketch and over-counts") {
+    val params = (0 until 4).map(k => (2L * k + 1, (1000003L * k + 12345L) % P))
+    val counts = docs.values.flatMap(_.split(" ", -1))
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    def rowHash(r: Int, t: String): Long = {
+      val base = java.lang.Long.parseLong(md5Hex(t).take(15), 16) % P
+      val (a, b) = params(r)
+      ((a * base + b) % P) % TextOps.CmsWidth
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    for ((t, c) <- counts; r <- 0 until TextOps.CmsRows)
+      cells((r, rowHash(r, t))) += c
+    val got = TextOps.qCmsTopk(spark, sfDir).collect()
+    assert(got.length == 10)
+    val expectedTop = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    got.zip(expectedTop).foreach { case (row, (t, c)) =>
+      assert(row.getString(0) == t && row.getLong(1) == c, s"top-10 mismatch at $t")
+      val est = (0 until TextOps.CmsRows).map(r => cells((r, rowHash(r, t)))).min
+      assert(row.getLong(2) == est, s"$t estimate")
+      assert(est >= c, s"$t: CMS must never under-count")
+    }
+  }
+
   test("q_quality_score ratios are consistent with the token counts") {
     TextOps.qQualityScore(spark, sfDir).collect().foreach { r =>
       val (id, nTok, nUniq) = (r.getLong(0), r.getInt(1), r.getInt(2))
