@@ -144,6 +144,46 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** q_top_supplier — TPC-H Q15's shape: max-of-aggregate. Quarterly
+    * revenue per supplier, then the supplier(s) achieving the maximum —
+    * the "which key won" pattern (hottest shard, best-performing source)
+    * that tempts a driver-side `collect().maxBy`. The distributed form:
+    * the per-supplier aggregate is computed ONCE (cached across its two
+    * uses — Spark would otherwise re-run the whole subtree for each side
+    * of the self-join), the global max is a 1-ROW aggregate of that
+    * (supplier-count-sized, tiny) table broadcast back as the join
+    * filter, and the winner joins the supplier dimension broadcast-side.
+    * Nothing wider than the revenue table's own group-by ever shuffles,
+    * and no row reaches the driver.
+    *
+    * Determinism: revenue stays DECIMAL(38,6) (exact, order-invariant)
+    * through the max-equality comparison — comparing doubles computed by
+    * two engines for exact equality would be a latent last-ulp mismatch —
+    * and is cast to double only in the output projection. Ties at the max
+    * all survive, ordered by s_suppkey.
+    */
+  def qTopSupplier(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rev = cacheForSelfJoin(
+      lineitem(spark, d)
+        .filter(col("l_shipdate") >=
+            lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+          col("l_shipdate") <
+            lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(38, 6))).as("total_rev")))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev
+      .join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(broadcast(supplier(spark, d)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** q_distinct — exact distinct count per group (E2). Spark plans this as a
     * two-phase expand+aggregate; partial-distinct happens before the
     * shuffle.
@@ -1300,6 +1340,7 @@ object Analytics {
     "q_pricing"         -> qPricing _,
     "q_revenue_topn"    -> qRevenueTopn _,
     "q_regional_revenue" -> qRegionalRevenue _,
+    "q_top_supplier"    -> qTopSupplier _,
     "q_distinct"        -> qDistinct _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_join_inner"      -> qJoinInner _,
@@ -1477,6 +1518,19 @@ object Analytics {
          |  AND r_name = 'ASIA'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                  AS DECIMAL(38,6))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_revenue_topn" ->
       s"""SELECT o_orderkey,
          |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,

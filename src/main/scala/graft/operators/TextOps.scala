@@ -921,6 +921,36 @@ object TextOps {
       .filter(col("h") < col("w_pct"))
       .orderBy(col("doc_id"))
 
+  /** q_bpe_pairs — BPE vocabulary induction, step one: the adjacent
+    * character-pair frequency table whose argmax is the first merge of
+    * byte-pair-encoding tokenizer training (the op a team training its
+    * own tokenizer on a 100 TB corpus runs before anything else). The
+    * scale trick is the standard one: pairs are counted over the DISTINCT
+    * token vocabulary weighted by token frequency, not over the raw
+    * corpus — the first aggregate collapses 100 TB of text to a
+    * vocabulary-sized table (at most a few million rows for any natural
+    * corpus), and the pair explode (Generate, per-row, no shuffle) runs
+    * on that, so the expensive stage's output is bounded by |vocab| ×
+    * avg_token_len regardless of corpus size. Top-20 by (count desc,
+    * pair asc) — a total order, so the LIMIT is deterministic; counts
+    * are exact BIGINTs. (Full BPE training iterates merge→re-pair; each
+    * iteration is this same plan over a rewritten vocabulary.)
+    */
+  def qBpePairs(spark: SparkSession, d: String): DataFrame = {
+    val vocab = tokenized(spark, d)
+      .select(explode(col("toks")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    vocab
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"
+      )).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate"        -> qCurate _,
     "q_unigram_lm"    -> qUnigramLm _,
@@ -929,6 +959,7 @@ object TextOps {
     "q_token_count"   -> qTokenCount _,
     "q_topk_terms"    -> qTopkTerms _,
     "q_token_bpe"     -> qTokenBpe _,
+    "q_bpe_pairs"     -> qBpePairs _,
     "q_lang_id"       -> qLangId _,
     "q_quality_score" -> qQualityScore _,
     "q_fingerprint"   -> qFingerprint _,
@@ -1089,6 +1120,19 @@ object TextOps {
         |  SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS piece
         |  FROM documents)
         |GROUP BY piece ORDER BY piece""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH vocab AS (
+        |  SELECT token, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) >= 2
+        |  GROUP BY token
+        |), pairs AS (
+        |  SELECT unnest([substring(token, i, 2) for i in range(1, length(token))]) AS pair, n
+        |  FROM vocab
+        |)
+        |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_lang_id" ->
       """SELECT doc_id, s_en, s_es, s_de,
         |       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'

@@ -210,9 +210,62 @@ object WritePath {
       .orderBy(col("event_type"))
   }
 
+  /** Scratch dir of the previous partitioned-layout invocation — own slot,
+    * same lifetime contract as [[lastSorted]].
+    */
+  private val lastPartitioned = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Write events into a Hive-style date-partitioned directory tree
+    * (`event_date=2024-01-08/...`). Split from the query so the layout
+    * spec can assert partition pruning against it directly.
+    */
+  private[graft] def writePartitioned(spark: SparkSession, d: String): String = {
+    val dir = Files.createTempDirectory("graft_datepart_").toString
+    Option(lastPartitioned.getAndSet(dir)).foreach(d0 => deleteRecursively(new java.io.File(d0)))
+    Tables.events(spark, d)
+      .withColumn("event_date", to_date(col("ts")))
+      // One writer task per date: without this shuffle every input task
+      // emits one file into every date directory it holds rows for, and
+      // the layout degrades to tasks × dates small files at scale.
+      .repartition(col("event_date"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** q_write_partitioned — the FIRST production layout lever, before
+    * bucketing (joins) and range-clustering (scans): Hive-style
+    * date-partition directories, pruned at PLANNING time. A filter on the
+    * partition column never touches data at all — out-of-range dates are
+    * eliminated from the file listing before a single parquet footer is
+    * opened, so a one-week query on a 100 TB × 3-year event table plans
+    * ~0.6% of the files and reads nothing else (row-group pruning, by
+    * contrast, still lists and opens every file). LayoutSpec proves it
+    * with scan metrics: the filtered read-back's scan touches only the
+    * in-range partitions' files and emits exactly the in-range rows. The
+    * registered query reads the partitioned layout back through a 7-day
+    * partition filter and aggregates per date; the oracle runs the same
+    * week filter on the ORIGINAL table, so the green row proves the
+    * partitioned round trip is lossless inside the range and leaks
+    * nothing outside it.
+    */
+  def qWritePartitioned(spark: SparkSession, d: String): DataFrame =
+    spark.read.parquet(writePartitioned(spark, d))
+      .filter(col("event_date").between(
+        lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+      .groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_eid"),
+        Tables.exactSum(col("value")).as("sum_v"))
+      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("n_events"), col("n_users"), col("sum_eid"), col("sum_v"))
+      .orderBy(col("event_date"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_bucketed" -> qWriteBucketed _,
     "q_write_sorted"   -> qWriteSorted _,
+    "q_write_partitioned" -> qWritePartitioned _,
     "q_compact"        -> qCompact _,
   )
 
@@ -231,6 +284,15 @@ object WritePath {
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
         |FROM events WHERE user_id BETWEEN 10 AND 19
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_write_partitioned" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        |       COUNT(*) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_compact" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(event_id) AS BIGINT) AS sum_eid,

@@ -387,4 +387,24 @@ class AnalyticsSpec extends SparkSpec {
     // unconstrained join would produce.
     assert(got.map(_.getLong(2)).sum > 0)
   }
+
+  test("q_top_supplier returns exactly the argmax suppliers of quarterly revenue") {
+    val got = Analytics.qTopSupplier(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // Independent recompute of the revenue table (exactSum = the same
+    // decimal-sum-then-cast the query outputs).
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey"))
+      .agg(Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mx = rev.values.max
+    val winners = rev.collect { case (k, v) if v == mx => k }.toSet
+    assert(got.map(_.getLong(0)).toSet == winners)
+    got.foreach(r => assert(r.getDouble(2) == mx))
+    // Ordered by supplier key.
+    assert(got.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq.sorted)
+  }
 }

@@ -68,6 +68,51 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  /** The executed plan's single parquet scan, unwrapped through AQE. */
+  private def scanExec(df: DataFrame): FileSourceScanExec = {
+    df.collect()
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other                    => other
+    }
+    val scans = unwrap(df.queryExecution.executedPlan).collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected one parquet scan, found ${scans.size}")
+    scans.head
+  }
+
+  test("date-partitioned layout prunes whole partitions at planning time") {
+    val dir = WritePath.writePartitioned(spark, sfDir)
+    val lo = "2024-01-08"; val hi = "2024-01-14"
+    val matching = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")).between(
+        lit(lo).cast("date"), lit(hi).cast("date"))).count()
+
+    val scan = scanExec(spark.read.parquet(dir)
+      .filter(col("event_date").between(lit(lo).cast("date"), lit(hi).cast("date"))))
+    // The date predicate must reach the scan as a PARTITION filter (resolved
+    // against the directory listing), not a data filter.
+    assert(scan.partitionFilters.nonEmpty,
+      "date predicate did not become a partition filter")
+    // Pruning is exact: no out-of-range file is ever opened, so the scan
+    // emits precisely the matching rows — no row-group slack.
+    assert(scan.metrics("numOutputRows").value == matching)
+    // And the file listing itself was pruned to the in-range directories.
+    val dateDirs = Option(new java.io.File(dir).listFiles()).get
+      .filter(_.getName.startsWith("event_date="))
+    val inRange = dateDirs.filter { f =>
+      val d0 = f.getName.stripPrefix("event_date=")
+      d0 >= lo && d0 <= hi
+    }
+    val inRangeFiles = inRange.flatMap(f => Option(f.listFiles()).get)
+      .count(_.getName.endsWith(".parquet"))
+    assert(dateDirs.length > inRange.length, "fixture must have out-of-range dates")
+    assert(scan.metrics("numFiles").value == inRangeFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"expected only the $inRangeFiles in-range ones of ${dateDirs.length} partitions")
+  }
+
   test("q_compact merges 64 files to 4 with a shuffle-free narrow plan") {
     def partFiles(dir: String): Int =
       Option(new java.io.File(dir).listFiles()).get

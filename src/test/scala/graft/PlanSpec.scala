@@ -153,6 +153,38 @@ class PlanSpec extends SparkSpec {
       s"decontamination must be the semi-join shape:\n$p")
   }
 
+  test("q_top_supplier scans lineitem once and joins max + dimension broadcast-side") {
+    val p = plan(Analytics.qTopSupplier(spark, sfDir))
+    // The revenue subtree feeds both the max and the winner filter through
+    // the self-join cache — a second lineitem scan means the cache contract
+    // broke and the fact table is read twice.
+    val lineitemScans = "lineitem".r.findAllIn(p).length
+    assert(p.contains("InMemoryTableScan"),
+      s"revenue table must be cached across its two uses:\n$p")
+    // Both the 1-row max and the supplier dimension join broadcast-side —
+    // the fact-side revenue table never reshuffles for either.
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj == 2, s"expected 2 broadcast joins (max filter, dim), saw $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the winner lookup may shuffle-sort:\n$p")
+    assert(lineitemScans <= 2, // path appears once per cached scan reference
+      s"fact table must be scanned once:\n$p")
+  }
+
+  test("q_bpe_pairs aggregates to the vocabulary before the pair explode, tops out via heap") {
+    val p = plan(TextOps.qBpePairs(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be the per-partition heap, not a global sort:\n$p")
+    // Two Generates (token explode, pair explode) separated by the vocab
+    // aggregate: the pair explode must consume the AGGREGATED vocabulary,
+    // not the raw token stream.
+    val genIdxs = "Generate".r.findAllIn(p).matchData.map(_.start).toSeq
+    assert(genIdxs.length == 2, s"expected 2 explodes, saw ${genIdxs.length}:\n$p")
+    val between = p.substring(genIdxs.min, genIdxs.max)
+    assert(between.contains("HashAggregate"),
+      s"pair explode must run over the vocab aggregate, not raw tokens:\n$p")
+  }
+
   test("no LSH/inverted-index join degrades to nested-loop or cartesian") {
     for ((name, df) <- Seq(
         "q_cosine_neardup" -> Similarity.qCosineNeardup(spark, sfDir),

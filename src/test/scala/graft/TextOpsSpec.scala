@@ -415,4 +415,27 @@ class TextOpsSpec extends SparkSpec {
       assert(keep == (nTok >= 10 && stops.toDouble / toks.length <= 0.5))
     }
   }
+
+  test("q_bpe_pairs: vocab-weighted counts equal direct corpus-level pair counts") {
+    import org.apache.spark.sql.functions._
+    val got = TextOps.qBpePairs(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 20 && got.forall(_._1.length == 2))
+    // Direct recount over every corpus token OCCURRENCE (no vocabulary
+    // rollup) — the weighted-vocab optimization must be invisible in the
+    // counts.
+    val direct = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"
+      )).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (p, c) =>
+      assert(direct(p) == c, s"pair '$p': vocab-weighted $c != direct ${direct(p)}")
+    }
+    // Descending by count (pair asc within ties).
+    assert(got.map(_._2).sliding(2).forall(s => s.length < 2 || s.head >= s.last))
+  }
 }
