@@ -184,6 +184,71 @@ object Analytics {
       .orderBy(col("s_suppkey"))
   }
 
+  /** q_promo_share — TPC-H Q14's shape: CONDITIONAL aggregation over a
+    * fact ⋈ dimension join, collapsing to one global ratio row (promo
+    * revenue as a % of the month's total). The shape matters at scale
+    * because the naive alternative — two separate filtered scans joined
+    * back — reads the fact table twice; the conditional `sum(when(...))`
+    * computes both the numerator and denominator in ONE pass, partial-
+    * aggregated map-side so the shuffle carries one 2-value row per input
+    * partition. `part` is key-projected to (p_partkey, p_type) and left
+    * UN-hinted — AQE broadcasts it at fixture scale, and at 100 TB (where
+    * part is billions of rows) the planner is free to shuffle both sides
+    * on the part key instead. The shipdate month cutoff pushes into the
+    * parquet scan.
+    *
+    * Determinism: both sums are exact decimals; the final ratio is ONE
+    * pinned parenthesization ((promo·100)/total) evaluated in IEEE double
+    * identically in both engines. No-promo months yield NULL (sum over an
+    * empty set) rather than 0 — mirrored by the oracle's CASE-less sum.
+    */
+  def qPromoShare(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(38, 6))
+    lineitem(spark, d)
+      .filter(col("l_shipdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") <
+          lit("1996-02-01 00:00:00").cast("timestamp_ntz"))
+      .join(part(spark, d).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev)).cast("double") * lit(100.0) /
+          sum(rev).cast("double")).as("promo_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q_markov — first-order event-transition matrix: counts and
+    * conditional probabilities P(next event type | current) from each
+    * user's (ts, event_id)-ordered history — the sequence-mining step
+    * behind next-action prediction, funnel synthesis, and bot detection
+    * (a bot's transition row is near-deterministic; a human's is not).
+    *
+    * Scale shape: ONE shuffle that matters — the per-user window
+    * producing `lag(event_type)` (hash-partitioned on user_id, per-key
+    * sort shared with everything else keyed the same way). Everything
+    * after runs on the TRANSITION table, which is |types|² rows (25
+    * here) at ANY corpus size — the second aggregate and the per-prev
+    * normalizing window are asymptotically free, the classic
+    * big-log-to-small-model collapse. Probabilities divide exact BIGINT
+    * counts in one pinned double division, so rows hash-match.
+    */
+  def qMarkov(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .select(lag(col("event_type"), 1).over(w).as("prev"),
+        col("event_type").as("cur"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy(col("prev"))
+    trans.select(col("prev"), col("cur"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(byPrev).cast("double"))
+          .as("p"))
+      .orderBy(col("prev"), col("cur"))
+  }
+
   /** q_distinct — exact distinct count per group (E2). Spark plans this as a
     * two-phase expand+aggregate; partial-distinct happens before the
     * shuffle.
@@ -1341,6 +1406,8 @@ object Analytics {
     "q_revenue_topn"    -> qRevenueTopn _,
     "q_regional_revenue" -> qRegionalRevenue _,
     "q_top_supplier"    -> qTopSupplier _,
+    "q_promo_share"     -> qPromoShare _,
+    "q_markov"          -> qMarkov _,
     "q_distinct"        -> qDistinct _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_join_inner"      -> qJoinInner _,
@@ -1531,6 +1598,32 @@ object Analytics {
         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_promo_share" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |                THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |                          AS DECIMAL(38,6)) END) AS DOUBLE)
+        |       * 100.0 /
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                     AS DECIMAL(38,6))) AS DOUBLE) AS promo_share,
+        |       COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
+    "q_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), trans AS (
+        |  SELECT prev, event_type AS cur, COUNT(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+        |)
+        |SELECT prev, cur, n,
+        |       CAST(n AS DOUBLE) /
+        |       CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
+        |FROM trans ORDER BY prev, cur""".stripMargin,
     "q_revenue_topn" ->
       s"""SELECT o_orderkey,
          |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,

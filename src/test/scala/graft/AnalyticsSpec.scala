@@ -407,4 +407,40 @@ class AnalyticsSpec extends SparkSpec {
     // Ordered by supplier key.
     assert(got.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq.sorted)
   }
+
+  test("q_promo_share: one row, share in [0,100], consistent with separate recomputes") {
+    val got = Analytics.qPromoShare(spark, sfDir).collect()
+    assert(got.length == 1)
+    val (share, n) = (got.head.getDouble(0), got.head.getLong(1))
+    assert(n > 0 && share >= 0.0 && share <= 100.0)
+    // Recompute numerator and denominator independently.
+    val joined = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >=
+          lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-02-01 00:00:00").cast("timestamp_ntz"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+    val all = joined.agg(
+      Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).head.getDouble(0)
+    val promo = joined.filter(col("p_type") === "PROMO").agg(
+      Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).head.getDouble(0)
+    assert(math.abs(share - promo * 100.0 / all) < 1e-9)
+    assert(n == joined.count())
+  }
+
+  test("q_markov: rows per prev sum to 1, counts conserve the lagged-event total") {
+    val got = Analytics.qMarkov(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, n, p) => assert(n > 0 && p > 0.0 && p <= 1.0) }
+    // Conditional distributions: probabilities per prev sum to 1.
+    got.groupBy(_._1).foreach { case (prev, rows) =>
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"P(.|$prev) sums to $s")
+    }
+    // Every non-first event of every user contributes exactly one transition.
+    val nUsersWithEvents = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(got.map(_._3).sum == nEvents - nUsersWithEvents)
+  }
 }

@@ -185,6 +185,30 @@ class PlanSpec extends SparkSpec {
       s"pair explode must run over the vocab aggregate, not raw tokens:\n$p")
   }
 
+  test("q_promo_share computes numerator and denominator in ONE fact-table pass") {
+    val p = plan(Analytics.qPromoShare(spark, sfDir))
+    // The conditional-aggregation claim: one lineitem scan serves both
+    // sums — the two-filtered-scans alternative would read the fact twice.
+    val factScans = "lineitem".r.findAllIn(p).length
+    assert(factScans == 1, s"expected 1 lineitem scan, saw $factScans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"part join must not shuffle-sort at fixture scale:\n$p")
+  }
+
+  test("q_markov's only data-sized shuffle is the per-user lag window") {
+    val p = plan(Analytics.qMarkov(spark, sfDir))
+    // Everything above the partial (prev,cur) aggregate runs on a
+    // |types|^2-row table and may shuffle freely; the LOG-sized subtree —
+    // everything below the last (deepest, partial) HashAggregate in the
+    // printed tree — must contain exactly one hash exchange: the user_id
+    // window shuffle. A second one means the log is being re-shuffled.
+    val scanSide = p.substring(p.lastIndexOf("HashAggregate"))
+    val scanSideExchanges = "Exchange hashpartitioning".r
+      .findAllIn(scanSide).length
+    assert(scanSideExchanges == 1,
+      s"log-sized data must shuffle once (user_id window), saw $scanSideExchanges:\n$p")
+  }
+
   test("no LSH/inverted-index join degrades to nested-loop or cartesian") {
     for ((name, df) <- Seq(
         "q_cosine_neardup" -> Similarity.qCosineNeardup(spark, sfDir),
