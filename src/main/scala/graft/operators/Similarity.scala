@@ -361,6 +361,53 @@ object Similarity {
       .orderBy(col("label"), col("pos"))
   }
 
+  /** q_kmeans_step — ONE full Lloyd iteration of k-means over the
+    * embedding corpus: assign every vector to its nearest of the 8
+    * deterministic seed centroids ([[ivfRanked]]'s inverted file — by
+    * cosine, i.e. the spherical k-means assignment), then recompute each
+    * cell's centroid as the member mean. This is the training loop that
+    * produces the "offline-trained centroids" [[qAnnIvf]]'s scaladoc
+    * defers to — k-means at corpus scale IS a sequence of these steps,
+    * and each step is exactly this plan re-run with the previous step's
+    * output broadcast as the new seed table (a driver loop with one
+    * action per round, the [[graft.operators.TextOps]] connected-
+    * components contract).
+    *
+    * Scale shape, both halves: assignment is a per-row bounded argmax
+    * over the k-row BROADCAST seed table (k candidate rows per vector,
+    * no corpus shuffle); the update is [[qCentroid]]'s two-level
+    * chunked fold keyed by cell — state per group bounded by
+    * [[CentroidChunk]], never a cell's full membership, and the
+    * summation order is pinned so the new centroids are BIT-exact under
+    * any partitioning (the property that makes a multi-round training
+    * run reproducible at 1000 executors). `n_members` rides along as
+    * the per-cell mass — the emptiness/imbalance diagnostic a real
+    * k-means driver checks each round.
+    */
+  def qKmeansStep(spark: SparkSession, d: String): DataFrame = {
+    val assigned = ivfRanked(spark, d).filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val chunked = assigned
+      .select(col("cid"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"),
+        expr(s"vec_id DIV $CentroidChunk").as("chunk"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+      .select(col("cid"), col("pos"), col("chunk"),
+        expr("aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x.v AS DOUBLE))")
+          .as("psum"),
+        size(col("vs")).as("pn"))
+    chunked
+      .groupBy(col("cid"), col("pos"))
+      .agg(sort_array(collect_list(struct(col("chunk"), col("psum")))).as("ps"),
+        sum(col("pn")).as("n"))
+      .select(col("cid"), col("pos"),
+        (expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.psum)") /
+          col("n")).as("c"),
+        col("n").as("n_members"))
+      .orderBy(col("cid"), col("pos"))
+  }
+
   /** q_vec_minmax — per-dimension min/max over the embedding corpus: the
     * calibration pass every vector-quantization scheme (int8 scalar
     * quantization, PQ codebook training) runs before compressing an ANN
@@ -417,6 +464,7 @@ object Similarity {
     "q_ann_ivf"         -> qAnnIvf _,
     "q_ann_ivf2"        -> qAnnIvf2 _,
     "q_pq_encode"       -> qPqEncode _,
+    "q_kmeans_step"     -> qKmeansStep _,
     "q_vec_minmax"      -> qVecMinmax _,
     "q_label_entropy"   -> qLabelEntropy _,
   )
@@ -489,6 +537,34 @@ object Similarity {
          |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |         list(psum ORDER BY chunk)), (acc, x) -> acc + x) / SUM(pn) AS c
          |FROM chunks GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q_kmeans_step" ->
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), assigned AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         ${cosSql("e.embedding", "c.ce")} AS ccos
+         |  FROM embeddings e, centroids c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                             ORDER BY ccos DESC, c.cid) = 1
+         |), bypos AS (
+         |  SELECT cid, vec_id, vec_id // $CentroidChunk AS chunk,
+         |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         |         unnest(embedding) AS v
+         |  FROM assigned
+         |), chunks AS (
+         |  SELECT cid, pos, chunk,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(CAST(v AS DOUBLE) ORDER BY vec_id)),
+         |           (acc, x) -> acc + x) AS psum,
+         |         COUNT(*) AS pn
+         |  FROM bypos GROUP BY cid, pos, chunk
+         |)
+         |SELECT cid, pos,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(psum ORDER BY chunk)), (acc, x) -> acc + x) / SUM(pn) AS c,
+         |       CAST(SUM(pn) AS BIGINT) AS n_members
+         |FROM chunks GROUP BY cid, pos ORDER BY cid, pos""".stripMargin,
     "q_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${cosSql("embedding", "qe")} AS cos

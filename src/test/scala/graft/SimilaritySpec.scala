@@ -231,4 +231,46 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q_kmeans_step: assignments are cosine argmax to the seeds; new centroids are member means") {
+    val all = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val seeds = all.filter { case (id, _) => id >= 1 && id <= 8 }
+    // Hand-rolled spherical assignment: max cosine, ties to the lower cid.
+    val assign = all.map { case (id, e) =>
+      id -> seeds.map { case (cid, ce) => (cid, cos(e, ce)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+    }.toMap
+    val got = Similarity.qKmeansStep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // Total mass: every corpus vector lands in exactly one cell.
+    val dim = all.head._2.length
+    assert(got.keys.map(_._1).toSet == assign.values.toSet)
+    assert(got.collect { case ((_, 0), (_, n)) => n }.sum == all.length)
+    // Per-cell means replay the chunked vec_id-ordered fold.
+    assign.groupBy(_._2).foreach { case (cid, members) =>
+      val vs = all.filter(v => members.contains(v._1)).sortBy(_._1)
+      for (pos <- 0 until dim) {
+        val psums = vs.groupBy(_._1 / Similarity.CentroidChunk).toSeq.sortBy(_._1)
+          .map { case (_, chunk) =>
+            var acc = 0.0
+            chunk.sortBy(_._1).foreach { case (_, e) => acc += e(pos).toDouble }
+            acc
+          }
+        var total = 0.0
+        psums.foreach(total += _)
+        val (c, n) = got((cid, pos))
+        assert(n == vs.length, s"cell $cid pos $pos mass")
+        assert(c == total / vs.length, s"cell $cid pos $pos centroid differs")
+      }
+    }
+  }
 }
