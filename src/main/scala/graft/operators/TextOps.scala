@@ -510,7 +510,12 @@ object TextOps {
     * candidate recall is 100% BY CONSTRUCTION (pigeonhole), unlike the
     * probabilistic MinHash/sign-LSH recall.
     */
-  def qSimhashPairs(spark: SparkSession, d: String): DataFrame = {
+  /** Unordered simhash near-dup pair set (doc_a < doc_b, hamming ≤
+    * [[HammingMax]]) — the shared edge set of [[qSimhashPairs]] (which
+    * adds the presentation sort) and [[qTriangles]] (which self-joins it
+    * three ways).
+    */
+  private def simhashPairSet(spark: SparkSession, d: String): DataFrame = {
     val sh = graft.Tables.cacheForSelfJoin(simhashed(spark, d))
     val blocks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 to HammingMax).map { b =>
@@ -527,7 +532,65 @@ object TextOps {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= HammingMax)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def qSimhashPairs(spark: SparkSession, d: String): DataFrame =
+    simhashPairSet(spark, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** q_triangles — per-document triangle counts over the near-duplicate
+    * candidate graph ([[simhashPairSet]] as the edge set): the graph
+    * statistic that separates a dup CLUSTER (clique-ish, high triangle
+    * mass — one canonical survivor suffices) from a dup CHAIN (A~B~C
+    * with A≁C, no triangles — collapsing it to one doc over-merges).
+    * Connected components ([[qDedupGroups]]) can't see the difference;
+    * triangle density can, which is why dedup-quality audits run both.
+    *
+    * The implementation is the DEGREE-ORIENTED wedge algorithm, the
+    * standard distributed form: orient every edge from its (degree, id)-
+    * smaller endpoint to its larger one, build wedges by self-joining
+    * oriented edges on the CENTER (two out-edges of one node), close
+    * each wedge against a third oriented edge. Orientation is what makes
+    * it scale — out-degree is O(√m) even for hub nodes, so wedge volume
+    * is Σ out-deg² ≈ m^1.5 instead of the naive Σ deg² which a single
+    * celebrity node turns quadratic. Every join is an equi-join (wedge
+    * center; closure on the (y1, y2) pair); per-doc counts explode each
+    * triangle's 3 corners and hash-aggregate. All-integer, so the gate
+    * is exact; the oracle counts the same triangles with the simple
+    * a<b<c triple join — orientation changes the work, not the answer.
+    */
+  def qTriangles(spark: SparkSession, d: String): DataFrame = {
+    val edges = graft.Tables.cacheForSelfJoin(
+      simhashPairSet(spark, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // Orient each edge toward the (deg, id)-larger endpoint, keeping the
+    // head's degree so wedge pairs can use the same total order.
+    val oriented = graft.Tables.cacheForSelfJoin(
+      edges
+        .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("x"), col("v").as("y"), col("dv").as("dy")))
+          .otherwise(
+            struct(col("v").as("x"), col("u").as("y"), col("du").as("dy")))
+          .as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"), col("e.dy").as("dy")))
+    val wedges = oriented.select(col("x"), col("y").as("y1"), col("dy").as("dy1"))
+      .join(oriented.select(col("x").as("x2"), col("y").as("y2"),
+          col("dy").as("dy2")),
+        col("x") === col("x2") &&
+          (col("dy1") < col("dy2") ||
+            (col("dy1") === col("dy2") && col("y1") < col("y2"))))
+    val triangles = wedges
+      .join(oriented.select(col("x").as("cx"), col("y").as("cy")),
+        col("y1") === col("cx") && col("y2") === col("cy"))
+      .select(col("x"), col("y1"), col("y2"))
+    triangles
+      .select(explode(array(col("x"), col("y1"), col("y2"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("doc_id"))
   }
 
   /** Terms kept per language by [[qTopkTerms]]. */
@@ -973,6 +1036,7 @@ object TextOps {
     "q_cms_topk"      -> qCmsTopk _,
     "q_simhash"       -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
+    "q_triangles"     -> qTriangles _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
     "q_tfidf"         -> qTfidf _,
@@ -1321,6 +1385,31 @@ object TextOps {
          |JOIN sh sb ON doc_b = sb.doc_id
          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HammingMax
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_triangles" ->
+      s"""WITH $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+               s"SELECT doc_id, simhash, $b AS blk, " +
+               s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+             }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HammingMax
+         |), tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM edges e1
+         |  JOIN edges e2 ON e1.v = e2.u
+         |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+         |)
+         |SELECT doc_id, COUNT(*) AS n_tri
+         |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (
          |  $shingleSql

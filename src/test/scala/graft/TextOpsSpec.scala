@@ -438,4 +438,24 @@ class TextOpsSpec extends SparkSpec {
     // Descending by count (pair asc within ties).
     assert(got.map(_._2).sliding(2).forall(s => s.length < 2 || s.head >= s.last))
   }
+
+  test("q_triangles equals a brute-force triangle enumeration of the simhash pair graph") {
+    val edges = TextOps.qSimhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    // Brute force: for each edge (a, b) with a<b, common neighbors c>b.
+    val perDoc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).filter(_ > b).foreach { c =>
+        perDoc(a) += 1; perDoc(b) += 1; perDoc(c) += 1
+      }
+    }
+    val got = TextOps.qTriangles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "fixture graph must contain triangles")
+    assert(got == perDoc.toMap)
+    // Corner-count conservation: total participation is 3 per triangle.
+    assert(got.values.sum % 3 == 0)
+  }
 }
