@@ -249,6 +249,105 @@ object Analytics {
       .orderBy(col("prev"), col("cur"))
   }
 
+  /** q_constraint_check — declarative data-quality validation (the
+    * dbt-test / expectations pattern): one row per constraint with its
+    * violation count, over four constraint CLASSES a warehouse actually
+    * enforces — key uniqueness (orders.o_orderkey), referential
+    * integrity (every lineitem points at an existing order), a domain
+    * range (l_discount ∈ [0, 1]), and non-null (c_custkey). The report
+    * shape (not a boolean, not an exception) is deliberate: at 100 TB a
+    * validation run feeds a dashboard/circuit-breaker, and the count of
+    * violations is the signal.
+    *
+    * Scale shape per class: uniqueness is a two-level aggregate (per-key
+    * counts map-side partial, then one violation row per DUPLICATED key
+    * — never a distinct-collect); referential integrity is a LEFT ANTI
+    * join (orderkey-shuffle of the two fact tables — the honest
+    * unavoidable cost; at rest both sides would be bucketed by orderkey
+    * and the Exchange vanishes, see WritePath); range and non-null are
+    * pure map-side conditional counts. The four single-row results union
+    * into the report — each leg is its own tiny plan, so a failed SLA on
+    * one constraint points at one subtree.
+    */
+  def qConstraintCheck(spark: SparkSession, d: String): DataFrame = {
+    val uniq = orders(spark, d)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0))
+          .cast("long").as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("unique_o_orderkey").as("constraint"),
+        col("n_violations"), col("n_checked"))
+    val fk = lineitem(spark, d).select(col("l_orderkey"))
+      .join(orders(spark, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(lineitem(spark, d).agg(count(lit(1)).as("n_checked")))
+      .select(lit("fk_lineitem_orders").as("constraint"),
+        col("n_violations"), col("n_checked"))
+    val range = lineitem(spark, d)
+      .agg(coalesce(sum(when(col("l_discount") < 0.0 ||
+            col("l_discount") > 1.0, 1L)), lit(0L)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("range_l_discount_0_1").as("constraint"),
+        col("n_violations"), col("n_checked"))
+    val nn = customer(spark, d)
+      .agg((count(lit(1)) - count(col("c_custkey"))).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("notnull_c_custkey").as("constraint"),
+        col("n_violations"), col("n_checked"))
+    uniq.unionByName(fk).unionByName(range).unionByName(nn)
+      .orderBy(col("constraint"))
+  }
+
+  /** q_incremental_agg — incremental aggregate maintenance, the pattern
+    * every scheduled ETL at scale runs instead of full recomputes: the
+    * standing aggregate state (here: everything before the last day) is
+    * MERGED with the new delta's partial aggregate, without touching the
+    * historical rows' detail again. The query computes state and delta as
+    * two independent per-type partial aggregates (sum/count/min/max —
+    * each a map-side-partial hash agg over a date-pruned scan) and merges
+    * them with the algebra that makes partial aggregation work at all:
+    * sums add, counts add, min/max fold. The oracle computes the SAME
+    * aggregate over the full table in one pass, so the green hash row IS
+    * the proof that merge(agg(state), agg(delta)) = agg(state ∪ delta) —
+    * exactly (decimal sums make + associative; min/max are selections).
+    * At 100 TB the state side is itself a stored table and this plan
+    * reads only the delta partition — the cost drops from O(history) to
+    * O(day).
+    */
+  def qIncrementalAgg(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cutoff = lit("2024-01-30 00:00:00").cast("timestamp")
+    // Partial sums stay DECIMAL through the merge: adding two
+    // double-rounded partials would differ from the rounding of the
+    // exact total in the last ulp — the merge must use the exact
+    // representation and round ONCE at the end, which is precisely how
+    // Spark's own partial aggregation stays correct.
+    def partials(df: DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+    val state = partials(events(spark, d).filter(col("ts") < cutoff))
+      .withColumnsRenamed(Map("n" -> "n_s", "sum_v" -> "sum_s",
+        "min_v" -> "min_s", "max_v" -> "max_s"))
+    val delta = partials(events(spark, d).filter(col("ts") >= cutoff))
+      .withColumnsRenamed(Map("n" -> "n_d", "sum_v" -> "sum_d",
+        "min_v" -> "min_d", "max_v" -> "max_d"))
+    val decZero = lit(0).cast(DecimalType(38, 6))
+    // FULL outer: a type seen only in history or only today must survive
+    // the merge — the classic incremental-pipeline edge case.
+    state.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+        (coalesce(col("sum_s"), decZero) + coalesce(col("sum_d"), decZero))
+          .cast("double").as("sum_v"),
+        least(col("min_s"), col("min_d")).as("min_v"),
+        greatest(col("max_s"), col("max_d")).as("max_v"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_distinct — exact distinct count per group (E2). Spark plans this as a
     * two-phase expand+aggregate; partial-distinct happens before the
     * shuffle.
@@ -1408,6 +1507,8 @@ object Analytics {
     "q_top_supplier"    -> qTopSupplier _,
     "q_promo_share"     -> qPromoShare _,
     "q_markov"          -> qMarkov _,
+    "q_constraint_check" -> qConstraintCheck _,
+    "q_incremental_agg" -> qIncrementalAgg _,
     "q_distinct"        -> qDistinct _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_join_inner"      -> qJoinInner _,
@@ -1624,6 +1725,41 @@ object Analytics {
         |       CAST(n AS DOUBLE) /
         |       CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
         |FROM trans ORDER BY prev, cur""".stripMargin,
+    "q_constraint_check" ->
+      """WITH uniq AS (
+        |  SELECT 'unique_o_orderkey' AS "constraint",
+        |         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0)
+        |              AS BIGINT) AS n_violations,
+        |         COUNT(*) AS n_checked
+        |  FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders
+        |        GROUP BY o_orderkey)
+        |), fk AS (
+        |  SELECT 'fk_lineitem_orders' AS "constraint",
+        |         (SELECT COUNT(*) FROM lineitem
+        |          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |           AS n_violations,
+        |         (SELECT COUNT(*) FROM lineitem) AS n_checked
+        |), rng AS (
+        |  SELECT 'range_l_discount_0_1' AS "constraint",
+        |         CAST(COALESCE(SUM(CASE WHEN l_discount < 0.0
+        |                OR l_discount > 1.0 THEN 1 END), 0)
+        |              AS BIGINT) AS n_violations,
+        |         COUNT(*) AS n_checked
+        |  FROM lineitem
+        |), nn AS (
+        |  SELECT 'notnull_c_custkey' AS "constraint",
+        |         COUNT(*) - COUNT(c_custkey) AS n_violations,
+        |         COUNT(*) AS n_checked
+        |  FROM customer
+        |)
+        |SELECT * FROM uniq UNION ALL SELECT * FROM fk
+        |UNION ALL SELECT * FROM rng UNION ALL SELECT * FROM nn
+        |ORDER BY "constraint"""".stripMargin,
+    "q_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+        |       MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_revenue_topn" ->
       s"""SELECT o_orderkey,
          |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,

@@ -443,4 +443,46 @@ class AnalyticsSpec extends SparkSpec {
     val nEvents = Tables.events(spark, sfDir).count()
     assert(got.map(_._3).sum == nEvents - nUsersWithEvents)
   }
+
+  test("q_constraint_check: four constraints, clean fixture passes, counts cover the tables") {
+    val got = Analytics.qConstraintCheck(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set("unique_o_orderkey", "fk_lineitem_orders",
+      "range_l_discount_0_1", "notnull_c_custkey"))
+    // The TPC-H-ish fixture is referentially clean — every check passes
+    // with a full denominator.
+    got.values.foreach { case (v, _) => assert(v == 0L) }
+    assert(got("fk_lineitem_orders")._2 == Tables.lineitem(spark, sfDir).count())
+    assert(got("range_l_discount_0_1")._2 == Tables.lineitem(spark, sfDir).count())
+    assert(got("notnull_c_custkey")._2 == Tables.customer(spark, sfDir).count())
+    assert(got("unique_o_orderkey")._2 ==
+      Tables.orders(spark, sfDir).select(col("o_orderkey")).distinct().count())
+    // And the checks actually FIRE: a corrupted frame reports violations.
+    val dirty = Tables.orders(spark, sfDir).limit(5)
+      .unionByName(Tables.orders(spark, sfDir).limit(5))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0)).cast("long"))
+      .head.getLong(0)
+    assert(dirty == 5L, s"duplicated keys must be counted, got $dirty")
+  }
+
+  test("q_incremental_agg: merge of state+delta partials equals the one-pass aggregate") {
+    val got = Analytics.qIncrementalAgg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val full = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("s"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == full.keySet && got.nonEmpty)
+    // Bit-equal, not approximately equal: the merge stays decimal-exact.
+    got.foreach { case (k, v) => assert(v == full(k), s"type $k: $v != ${full(k)}") }
+    // The split is non-trivial: the delta side actually has rows.
+    val deltaRows = Tables.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-30 00:00:00").cast("timestamp")).count()
+    assert(deltaRows > 0 && deltaRows < Tables.events(spark, sfDir).count())
+  }
 }
