@@ -27,6 +27,13 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
+      } finally {
+        // Drain self-join caches between queries: entries only need to
+        // live within their own query, and letting a dozen queries'
+        // subtrees accumulate inflates LATE-suite numbers via storage-
+        // pool eviction pressure (observed: q_triangles 3.3 s solo vs
+        // 5.7 s at suite position 150+). Strictly colder, never warmer.
+        graft.Tables.clearSelfJoinCache()
       }
     }
     // Dev-loop filter (comma-separated names): bench one operator without

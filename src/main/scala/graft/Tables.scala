@@ -53,6 +53,20 @@ object Tables {
     df
   }
 
+  /** Drop every live self-join cache entry. The per-invocation contract
+    * only needs an entry alive while its own query executes; the entries
+    * otherwise linger until the SAME plan is re-invoked, so over a long
+    * suite (Bench, Verify) a dozen queries' cached subtrees accumulate
+    * and crowd the storage pool — late-suite heavy queries (the triangle
+    * join) then pay eviction thrash that a production job, running alone,
+    * would not. The harnesses call this BETWEEN queries: strictly colder
+    * (never warmer), so per-query numbers stay honest.
+    */
+  def clearSelfJoinCache(): Unit =
+    selfJoinCache.keySet.foreach { k =>
+      selfJoinCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame  = table(spark, d, "customer")

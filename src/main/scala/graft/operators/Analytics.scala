@@ -1345,6 +1345,35 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_first_last — the remaining window ACCESSORS (first_value,
+    * last_value, nth_value) in one per-user summary: each user's entry
+    * event, latest event, and second event (the onboarding-analysis
+    * triple — what did they do first, what are they doing now, what
+    * followed acquisition). One row per user via a single window whose
+    * frame is pinned to the WHOLE partition (unbounded both ways):
+    * last_value over the default frame (unbounded→current) is the
+    * classic silent bug — it returns the CURRENT row — so the explicit
+    * frame is the semantic, not a flourish. All three accessors share
+    * the one user_id shuffle + sort; `distinct` after projecting the
+    * (constant-per-user) triple collapses to one row per user without a
+    * second aggregate pass over the detail.
+    *
+    * Determinism: the frame orders by the (ts, event_id) total order,
+    * and the accessor outputs are exact strings/ints.
+    */
+  def qFirstLast(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(spark, d)
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
   /** q_event_gap — lag/lead analytics: each event's seconds-since-previous
     * and seconds-to-next within its user's (ts, event_id)-ordered history
     * — the inter-arrival feature behind sessionization-gap tuning and
@@ -1509,6 +1538,7 @@ object Analytics {
     "q_markov"          -> qMarkov _,
     "q_constraint_check" -> qConstraintCheck _,
     "q_incremental_agg" -> qIncrementalAgg _,
+    "q_first_last"      -> qFirstLast _,
     "q_distinct"        -> qDistinct _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_join_inner"      -> qJoinInner _,
@@ -1760,6 +1790,16 @@ object Analytics {
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
         |       MIN(value) AS min_v, MAX(value) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_first_last" ->
+      """SELECT DISTINCT user_id,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type) OVER w AS last_type,
+        |       nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
     "q_revenue_topn" ->
       s"""SELECT o_orderkey,
          |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,

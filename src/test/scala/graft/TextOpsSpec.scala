@@ -441,6 +441,7 @@ class TextOpsSpec extends SparkSpec {
 
   test("q_triangles equals a brute-force triangle enumeration of the simhash pair graph") {
     val edges = TextOps.qSimhashPairs(spark, sfDir).collect()
+      .filter(_.getInt(2) <= TextOps.TriangleHamming)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
