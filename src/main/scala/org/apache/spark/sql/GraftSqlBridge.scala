@@ -21,16 +21,4 @@ object GraftSqlBridge {
                 plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
-  /** Unload every loaded state-store provider (and its RocksDB native
-    * state) from this JVM. A STOPPED streaming query's providers stay
-    * loaded until the 60 s maintenance tick gets around to them, and with
-    * changelog checkpointing the maintenance work is the DEFERRED
-    * snapshot — so a benchmark suite that runs 13 streaming queries then
-    * heavy batch queries has that O(state) work landing inside later
-    * queries' timings. The next streaming query transparently reloads
-    * providers and restarts maintenance — this is the executor-shutdown
-    * path, safe between queries. `private[sql]` in Spark 4, hence bridged.
-    */
-  def unloadStateStores(): Unit =
-    execution.streaming.state.StateStore.stop()
 }
