@@ -283,6 +283,101 @@ object Mining {
       .orderBy(col("event_id"))
   }
 
+  /** q_ks_test — two-sample Kolmogorov–Smirnov statistic between the
+    * train and test halves of the deterministic 80/20 doc_id-hash split
+    * (the SAME split [[TextOps.qSplitLeakage]] audits, via the shared
+    * md5 hash), over the document-length distribution:
+    * D = sup_x |F_train(x) − F_test(x)|. This is the distributional
+    * soundness check a pipeline runs on a fresh split — and, pointed at
+    * two corpus snapshots instead of two split halves, the canonical
+    * data-drift alarm.
+    *
+    * Plan: the corpus reduces to ONE value-domain-sized relation
+    * (per-length split counts — map-side-partial hash agg; document
+    * lengths have a bounded domain, so this is ≤ |domain| rows at ANY
+    * corpus size). The two empirical CDFs are one unpartitioned
+    * cumulative window over that bounded relation — legal at 100 TB
+    * precisely because the window input is domain-sized, not
+    * corpus-sized (the q_gapfill dense-spine stance); totals ride in as
+    * a 1-row broadcast.
+    *
+    * Determinism: the supremum is taken over exact integers — D's
+    * numerator max|F_a·n_b − F_b·n_a| cross-multiplies the two CDFs so
+    * no rational division ever happens; products are ≤ n_a·n_b, within
+    * BIGINT for any corpus under ~9·10⁹ docs per side. The only double
+    * is the final num/(n_a·n_b) projection.
+    */
+  def qKsTest(spark: SparkSession, d: String): DataFrame = {
+    val isTrain = (TextOps.md5Long(col("doc_id").cast("string"), 15) % 10 <
+      TextOps.TrainBuckets).as("is_train")
+    val split = documents(spark, d).select(col("n_chars"), isTrain)
+    val perValue = split.groupBy(col("n_chars")).agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("ca"),
+      sum(when(col("is_train"), 0L).otherwise(1L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = split.agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("is_train"), 0L).otherwise(1L)).as("n_test"))
+    perValue
+      .select(col("n_chars"),
+        sum(col("ca")).over(w).as("fa"), sum(col("cb")).over(w).as("fb"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n_train"), col("n_test"))
+      .agg(max(abs(col("fa") * col("n_test") - col("fb") * col("n_train")))
+        .as("ks_num"))
+      .select(col("n_train"), col("n_test"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_train") * col("n_test")).cast("double")).as("ks_stat"))
+  }
+
+  /** q_psi — population stability index of each language's document-
+    * length distribution against the whole corpus:
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over 10 fixed-width length
+    * bins — the standard drift score feature stores alarm on (rule of
+    * thumb: > 0.2 ≈ significant shift). With the corpus-wide histogram
+    * as the "expected" side, the output ranks languages by how atypical
+    * their length profile is.
+    *
+    * Plan: the corpus collapses to (lang, bin) counts — ONE
+    * map-side-partial hash aggregate with |langs|·10 rows of state at
+    * any scale; the global histogram and totals join back broadcast. The
+    * fixed 10-bin spine is generated per lang (sequence + explode) and
+    * left-joined so EMPTY bins still contribute, with Laplace +1
+    * smoothing ((c+1)/(n+10)) so no ln(0) and no silent bin drop.
+    *
+    * Determinism: counts exact BIGINT; p and q are each ONE double
+    * division; the per-bin term is one pinned parenthesization through
+    * the libm-exact ln; the 10 terms sum by an ORDERED fold (bin asc),
+    * replayed verbatim by the oracle's list_reduce.
+    */
+  def qPsi(spark: SparkSession, d: String): DataFrame = {
+    val binned = documents(spark, d)
+      .select(col("lang"), expr("least(n_chars div 64, 9)").as("bin"))
+    val langBin = binned.groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("c"))
+    val globBin = binned.groupBy(col("bin")).agg(count(lit(1)).as("g"))
+    val langN = binned.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val total = binned.agg(count(lit(1)).as("nn"))
+    val spine = langN.select(col("lang"), col("n"),
+      explode(sequence(lit(0L), lit(9L))).as("bin"))
+    val p = (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n") + lit(10L)).cast("double")
+    val q = (coalesce(col("g"), lit(0L)) + lit(1L)).cast("double") /
+      (col("nn") + lit(10L)).cast("double")
+    spine
+      .join(langBin, Seq("lang", "bin"), "left")
+      .join(broadcast(globBin), Seq("bin"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("n"), col("bin"),
+        ((p - q) * lnLibm(p / q)).as("term"))
+      .groupBy(col("lang"), col("n"))
+      .agg(sort_array(collect_list(struct(col("bin"), col("term")))).as("bt"))
+      .select(col("lang"), col("n"),
+        expr("aggregate(bt, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
+          .as("psi"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc"         -> qAssoc _,
     "q_chisq"         -> qChisq _,
@@ -291,6 +386,8 @@ object Mining {
     "q_ewma"          -> qEwma _,
     "q_gini"          -> qGini _,
     "q_rolling_count" -> qRollingCount _,
+    "q_ks_test"       -> qKsTest _,
+    "q_psi"           -> qPsi _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -392,6 +489,56 @@ object Mining {
         |                          ELSE CAST(0.2 AS DOUBLE) * x
         |                               + CAST(0.8 AS DOUBLE) * acc END) AS ewma
         |FROM hx GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ks_test" ->
+      s"""WITH split AS (
+         |  SELECT n_chars,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |           % 10 < ${graft.operators.TextOps.TrainBuckets} AS is_train
+         |  FROM documents
+         |), pv AS (
+         |  SELECT n_chars,
+         |         SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS ca,
+         |         SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS cb
+         |  FROM split GROUP BY n_chars
+         |), cum AS (
+         |  SELECT n_chars,
+         |         SUM(ca) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS fa,
+         |         SUM(cb) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS fb
+         |  FROM pv
+         |), tot AS (
+         |  SELECT SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS n_train,
+         |         SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS n_test
+         |  FROM split
+         |)
+         |SELECT n_train, n_test,
+         |       MAX(ABS(fa * n_test - fb * n_train)) AS ks_num,
+         |       CAST(MAX(ABS(fa * n_test - fb * n_train)) AS DOUBLE)
+         |         / CAST(n_train * n_test AS DOUBLE) AS ks_stat
+         |FROM cum CROSS JOIN tot
+         |GROUP BY n_train, n_test""".stripMargin,
+    "q_psi" ->
+      """WITH binned AS (
+        |  SELECT lang, least(n_chars // 64, 9) AS bin FROM documents
+        |), lb AS (SELECT lang, bin, COUNT(*) AS c FROM binned GROUP BY lang, bin),
+        |gb AS (SELECT bin, COUNT(*) AS g FROM binned GROUP BY bin),
+        |langn AS (SELECT lang, COUNT(*) AS n FROM binned GROUP BY lang),
+        |tot AS (SELECT COUNT(*) AS nn FROM binned),
+        |t AS (
+        |  SELECT s.lang, s.n, s.bin,
+        |         (CAST(COALESCE(lb.c, 0) + 1 AS DOUBLE) / CAST(s.n + 10 AS DOUBLE)
+        |          - CAST(COALESCE(gb.g, 0) + 1 AS DOUBLE) / CAST(nn + 10 AS DOUBLE))
+        |         * ln((CAST(COALESCE(lb.c, 0) + 1 AS DOUBLE) / CAST(s.n + 10 AS DOUBLE))
+        |              / (CAST(COALESCE(gb.g, 0) + 1 AS DOUBLE) / CAST(nn + 10 AS DOUBLE)))
+        |           AS term
+        |  FROM (SELECT lang, n, unnest(range(0, 10)) AS bin FROM langn) s
+        |  LEFT JOIN lb ON s.lang = lb.lang AND s.bin = lb.bin
+        |  LEFT JOIN gb ON s.bin = gb.bin
+        |  CROSS JOIN tot
+        |)
+        |SELECT lang, n,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list(term ORDER BY bin)), (acc, x) -> acc + x) AS psi
+        |FROM t GROUP BY lang, n ORDER BY lang""".stripMargin,
     "q_mutual_info" ->
       """WITH joint AS (
         |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,

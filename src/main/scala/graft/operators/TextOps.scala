@@ -69,8 +69,11 @@ object TextOps {
       col("lang"),
       explode(expr(ShingleArrayExpr)).as("s"))
 
-  /** Deterministic 60-bit hash of a string: first 15 hex chars of md5. */
-  private def md5Long(c: org.apache.spark.sql.Column, hexChars: Int) =
+  /** Deterministic 60-bit hash of a string: first 15 hex chars of md5.
+    * `private[operators]` so split-based statistics (q_ks_test) reuse the
+    * exact split hash rather than re-deriving it.
+    */
+  private[operators] def md5Long(c: org.apache.spark.sql.Column, hexChars: Int) =
     conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
 
   /** q_token_count — per-(lang, token) counts (E9): the
@@ -626,6 +629,67 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-point scale for [[qPagerank]]: ranks are BIGINT multiples of
+    * 10⁻¹². The knob to SHRINK as |V| grows — the width budget is
+    * |V|·PrScale ≲ 2⁶³ (total mass bounds any single rank), so at 10⁹
+    * nodes use 10⁶.
+    */
+  val PrScale = 1000000000000L
+
+  /** PageRank power-iteration steps run by [[qPagerank]] — fixed and
+    * unrolled in the oracle, so both engines compute the identical
+    * 3-step diffusion rather than iterating to a float tolerance.
+    */
+  val PrIters = 3
+
+  /** q_pagerank — [[PrIters]] damped power-iteration steps over the
+    * high-confidence near-duplicate graph ([[simhashPairSet]] at
+    * [[TriangleHamming]], the same edge set [[qTriangles]] audits):
+    * ranks the documents most central to their near-dup neighborhoods —
+    * the "canonical representative" score of a dup-cluster audit, and
+    * the standard importance diffusion over any similarity graph.
+    *
+    * Fixed-point determinism: ranks are BIGINT micro-units ([[PrScale]]);
+    * each step is r' = (15·PrScale) div 100 + (85·Σ_in(r div deg)) div
+    * 100 — truncating integer division in BOTH engines, every
+    * intermediate an exact BIGINT, so partitioning cannot move a ulp
+    * (the float formulation would need ordered folds per node per
+    * iteration; integers need nothing). The symmetric graph has no
+    * dangling nodes by construction (every endpoint of an edge has
+    * degree ≥ 1), so no teleport-mass correction term is needed.
+    *
+    * Plan: the directed edge list (each undirected edge both ways) is
+    * materialized ONCE with the source's out-degree pre-joined, and
+    * cached — each iteration is then one node-sized rank relation
+    * joined onto it + one hash aggregate: the textbook rank shuffle,
+    * 2m rows in flight, never adjacency². [[PrIters]] fixed iterations =
+    * that many bounded shuffles; AQE splits hub-skewed partitions. The
+    * final top-20 is a TakeOrderedAndProject, never a global sort.
+    */
+  def qPagerank(spark: SparkSession, d: String): DataFrame = {
+    val edges = simhashPairSet(spark, d)
+      .filter(col("hamming") <= TriangleHamming)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dirDeg = graft.Tables.cacheForSelfJoin(dir.join(deg, "src"))
+    var r = deg.select(col("src").as("n"), lit(PrScale).as("pr"))
+    for (_ <- 1 to PrIters) {
+      r = dirDeg
+        .join(r.withColumnRenamed("n", "src"), "src")
+        .select(col("dst"), expr("pr div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("csum"))
+        .select(col("dst").as("n"),
+          (lit(15L * PrScale / 100L) + expr("(85 * csum) div 100")).as("pr"))
+    }
+    r.orderBy(col("pr").desc, col("n"))
+      .limit(20)
+      .select(col("n").as("doc_id"), col("pr"),
+        (col("pr").cast("double") / lit(PrScale.toDouble)).as("score"))
+  }
+
   /** Terms kept per language by [[qTopkTerms]]. */
   val TermsPerLang = 5
 
@@ -1070,6 +1134,7 @@ object TextOps {
     "q_simhash"       -> qSimhash _,
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_triangles"     -> qTriangles _,
+    "q_pagerank"      -> qPagerank _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
     "q_tfidf"         -> qTfidf _,
@@ -1443,6 +1508,38 @@ object TextOps {
          |SELECT doc_id, COUNT(*) AS n_tri
          |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pagerank" ->
+      s"""WITH $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+               s"SELECT doc_id, simhash, $b AS blk, " +
+               s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+             }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), ed AS (
+         |  SELECT doc_a AS u, doc_b AS v
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
+         |), dir AS (
+         |  SELECT u AS src, v AS dst FROM ed
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM ed
+         |), deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+         |r0 AS (SELECT src AS n, CAST($PrScale AS BIGINT) AS pr FROM deg),
+         |${(1 to PrIters).map { k =>
+             s"r$k AS (\n" +
+             s"  SELECT dir.dst AS n,\n" +
+             s"         ${15L * PrScale / 100L} + ((85 * SUM(r${k - 1}.pr // deg.deg)) // 100) AS pr\n" +
+             s"  FROM dir JOIN deg ON dir.src = deg.src JOIN r${k - 1} ON dir.src = r${k - 1}.n\n" +
+             s"  GROUP BY dir.dst\n)"
+           }.mkString(",\n")}
+         |SELECT n AS doc_id, CAST(pr AS BIGINT) AS pr,
+         |       CAST(pr AS DOUBLE) / CAST($PrScale AS DOUBLE) AS score
+         |FROM r$PrIters ORDER BY pr DESC, n LIMIT 20""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (
          |  $shingleSql

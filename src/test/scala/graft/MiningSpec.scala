@@ -149,4 +149,57 @@ class MiningSpec extends SparkSpec {
     // MI of a genuine joint distribution is >= 0 up to fold rounding.
     assert(got.getDouble(1) > -1e-12)
   }
+
+  test("q_ks_test matches a brute-force CDF comparison over the md5 split") {
+    import java.security.MessageDigest
+    def isTrain(id: Long): Boolean = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10 <
+        graft.operators.TextOps.TrainBuckets
+    }
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (tr, te) = rows.partition(r => isTrain(r._1))
+    val (na, nb) = (tr.length.toLong, te.length.toLong)
+    assert(na > 0 && nb > 0, "fixture split must populate both halves")
+    val ksNum = rows.map(_._2).distinct.map { x =>
+      val fa = tr.count(_._2 <= x).toLong
+      val fb = te.count(_._2 <= x).toLong
+      math.abs(fa * nb - fb * na)
+    }.max
+    val got = Mining.qKsTest(spark, sfDir).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == na && got.head.getLong(1) == nb)
+    assert(got.head.getLong(2) == ksNum)
+    assert(got.head.getDouble(3) == ksNum.toDouble / (na * nb).toDouble)
+    assert(got.head.getDouble(3) >= 0.0 && got.head.getDouble(3) <= 1.0)
+  }
+
+  test("q_psi matches the brute-force smoothed-bin fold per language") {
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def bin(n: Long): Long = math.min(n / 64, 9L)
+    val nn = rows.length.toLong
+    val gb = rows.groupBy(r => bin(r._2)).view.mapValues(_.length.toLong).toMap
+    val got = Mining.qPsi(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet == rows.map(_._1).toSet)
+    got.foreach { r =>
+      val mine = rows.filter(_._1 == r.getString(0))
+      val n = mine.length.toLong
+      assert(r.getLong(1) == n)
+      val lb = mine.groupBy(m => bin(m._2)).view.mapValues(_.length.toLong).toMap
+      val expected = (0L to 9L).foldLeft(0.0) { (acc, b) =>
+        val p = (lb.getOrElse(b, 0L) + 1L).toDouble / (n + 10L).toDouble
+        val q = (gb.getOrElse(b, 0L) + 1L).toDouble / (nn + 10L).toDouble
+        acc + (p - q) * math.log(p / q)
+      }
+      assert(r.getDouble(2) == expected, r.getString(0))
+      // Each (p-q)·ln(p/q) term is >= 0 ((p-q) and ln(p/q) share sign),
+      // so PSI is nonnegative exactly, smoothing included.
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
 }

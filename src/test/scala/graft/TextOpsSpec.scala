@@ -459,4 +459,30 @@ class TextOpsSpec extends SparkSpec {
     // Corner-count conservation: total participation is 3 per triangle.
     assert(got.values.sum % 3 == 0)
   }
+
+  test("q_pagerank equals a brute-force integer power iteration on the near-dup graph") {
+    val edges = TextOps.qSimhashPairs(spark, sfDir).collect()
+      .filter(_.getInt(2) <= TextOps.TriangleHamming)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture graph must have hamming<=2 edges")
+    val dir = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = dir.groupBy(_._1).map { case (k, vs) => k -> vs.length.toLong }
+    var r = deg.keys.map(_ -> TextOps.PrScale).toMap
+    for (_ <- 1 to TextOps.PrIters) {
+      val csum = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      dir.foreach { case (s, t) => csum(t) += r(s) / deg(s) }
+      r = csum.map { case (n, c) =>
+        n -> (15L * TextOps.PrScale / 100L + 85L * c / 100L) }.toMap
+    }
+    val expected = r.toSeq.sortBy { case (n, pr) => (-pr, n) }.take(20)
+    val got = TextOps.qPagerank(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    assert(got.map(rw => (rw.getLong(0), rw.getLong(1))).toSeq == expected)
+    // The double score is exactly rank/scale, and damping keeps every
+    // rank at or above the bare teleport mass.
+    got.foreach { rw =>
+      assert(rw.getDouble(2) == rw.getLong(1).toDouble / TextOps.PrScale.toDouble)
+      assert(rw.getLong(1) >= 15L * TextOps.PrScale / 100L)
+    }
+  }
 }
