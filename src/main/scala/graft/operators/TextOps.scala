@@ -667,9 +667,13 @@ object TextOps {
     * final top-20 is a TakeOrderedAndProject, never a global sort.
     */
   def qPagerank(spark: SparkSession, d: String): DataFrame = {
-    val edges = simhashPairSet(spark, d)
-      .filter(col("hamming") <= TriangleHamming)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // Cached: the union below reads the edge list twice (once per
+    // direction), and uncached each read would recompute the whole
+    // simhash → blocks → candidate-join subtree.
+    val edges = graft.Tables.cacheForSelfJoin(
+      simhashPairSet(spark, d)
+        .filter(col("hamming") <= TriangleHamming)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .union(edges.select(col("v").as("src"), col("u").as("dst")))
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
