@@ -1498,6 +1498,49 @@ object Analytics {
       .orderBy(col("user_id"), col("valid_from"), col("event_type"))
   }
 
+  /** q_snapshot_diff — CDC changelog EXTRACTION: diff two per-user
+    * weekly activity snapshots (count + exact value total over
+    * [T−7d, T), at T = Jan 15 and T = Jan 29) into the insert / update /
+    * delete changelog that transforms the first into the second — the
+    * standard move when an upstream table publishes NO changelog: diff
+    * consecutive snapshots into one. The inverse of [[qScd2Apply]],
+    * which CONSUMES a change set.
+    *
+    * Plan: each snapshot is a date-pruned aggregate (the window
+    * predicate pushes to the parquet scan, so at 100 TB each side reads
+    * one week, not the table); the diff is ONE full-outer join on the
+    * key — the honest key shuffle, which at-rest bucketing
+    * (q_write_bucketed's layout) makes co-partitioned and shuffle-free.
+    * Classification is pure projection over null-ness; unchanged rows
+    * are dropped so changelog volume is O(churn), not O(keys).
+    *
+    * Determinism: counts are BIGINT; totals go through exactSum (the
+    * identical decimal cast in the oracle), so the changed-vs-unchanged
+    * comparison compares bit-identical doubles in both engines.
+    */
+  def qSnapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    def snap(from: String, to: String) =
+      events(spark, d)
+        .filter(col("ts") >= lit(from).cast("timestamp") &&
+                col("ts") < lit(to).cast("timestamp"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.Tables.exactSum(col("value")).as("total"))
+    val a = snap("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+      .select(col("user_id"), col("cnt").as("old_cnt"), col("total").as("old_total"))
+    val b = snap("2024-01-22 00:00:00", "2024-01-29 00:00:00")
+      .select(col("user_id"), col("cnt").as("new_cnt"), col("total").as("new_total"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("old_cnt").isNull, lit("I"))
+          .when(col("new_cnt").isNull, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("old_cnt"), col("old_total"), col("new_cnt"), col("new_total"))
+      .filter(col("op") =!= "U" ||
+        col("old_cnt") =!= col("new_cnt") || col("old_total") =!= col("new_total"))
+      .orderBy(col("user_id"))
+  }
+
   /** q_funnel — conversion-funnel analysis: per event type, how many
     * users ever reached it, and how many converted through the canonical
     * view → click → purchase ORDER (first-touch timestamps must be
@@ -1522,6 +1565,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"            -> qScd2 _,
     "q_scd2_apply"      -> qScd2Apply _,
+    "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_funnel"          -> qFunnel _,
     "q_event_gap"       -> qEventGap _,
     "q_doc_dedup"       -> qDocDedup _,
@@ -1615,6 +1659,31 @@ object Analytics {
         |  FROM events)
         |WHERE prev_type IS NULL OR prev_type <> event_type
         |ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "q_snapshot_diff" ->
+      s"""WITH a AS (
+         |  SELECT user_id, COUNT(*) AS old_cnt,
+         |         ${decSum.format("value")} AS old_total
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+         |    AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+         |  GROUP BY user_id
+         |), b AS (
+         |  SELECT user_id, COUNT(*) AS new_cnt,
+         |         ${decSum.format("value")} AS new_total
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+         |    AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+         |  GROUP BY user_id
+         |)
+         |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+         |       CASE WHEN a.user_id IS NULL THEN 'I'
+         |            WHEN b.user_id IS NULL THEN 'D'
+         |            ELSE 'U' END AS op,
+         |       old_cnt, old_total, new_cnt, new_total
+         |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+         |WHERE a.user_id IS NULL OR b.user_id IS NULL
+         |   OR old_cnt <> new_cnt OR old_total <> new_total
+         |ORDER BY user_id""".stripMargin,
     "q_funnel" ->
       """SELECT COUNT(t_view) AS n_view,
         |       COUNT(CASE WHEN t_view <= t_click THEN TRUE END) AS n_view_click,

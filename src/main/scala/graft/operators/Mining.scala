@@ -378,6 +378,83 @@ object Mining {
       .orderBy(col("lang"))
   }
 
+  /** Bootstrap replicates drawn by [[qBootstrapCi]] — fixed and small
+    * enough that the CI bounds are plain order statistics (2nd / 39th of
+    * 40 ≈ the 2.5 % / 97.5 % quantiles) with no interpolation to match.
+    */
+  val BootReplicates = 40
+
+  /** Integer inverse-CDF thresholds for a Poisson(1) draw from a uniform
+    * integer in [0, 10⁶): u < 367879 → 0, < 735759 → 1, < 919699 → 2,
+    * < 981012 → 3, < 996340 → 4, else 5 (the ≥5 tail is ~0.37 %, folded
+    * into weight 5 — a documented truncation both engines share).
+    */
+  val PoissonCdf: Seq[(Int, Int)] =
+    Seq(367879 -> 0, 735759 -> 1, 919699 -> 2, 981012 -> 3, 996340 -> 4)
+
+  /** LCG modulus for [[qBootstrapCi]]'s replicate draws (2³¹ − 1, the
+    * same Mersenne prime the MinHash permutations mix with).
+    */
+  val BootP = 2147483647L
+
+  /** Per-replicate LCG constants: the MinHash-permutation recipe
+    * ((2r+1)·h + c_r mod [[BootP]]) extended to 40 replicates.
+    */
+  private val bootParams: Seq[(Long, Long)] =
+    (0 until BootReplicates).map(r => (2L * r + 1, (1000003L * r + 12345L) % BootP))
+
+  /** q_bootstrap_ci — Poisson-bootstrap confidence interval for the mean
+    * of `value` per event_type: the DISTRIBUTED bootstrap. Classical
+    * resampling (n draws with replacement) needs global coordination;
+    * the Poisson approximation gives every row an independent Poisson(1)
+    * weight per replicate, which is embarrassingly parallel and is how
+    * resampling is actually run at 100 TB. R = 40 replicate means per
+    * group, CI = their 2nd/39th order statistics.
+    *
+    * Determinism: each row is md5-hashed ONCE (row-identity-keyed
+    * randomness — the q_sample_hash contract); replicate r's draw is the
+    * MinHash-style LCG mix (aᵣ·h + bᵣ) mod [[BootP]], reduced mod 10⁶
+    * and pushed through the integer inverse-CDF [[PoissonCdf]] — exact
+    * integer arithmetic end-to-end. Replicate means divide an exactSum
+    * decimal by an exact BIGINT weight total; CI bounds are exact
+    * element selections from the sorted 40-array — no interpolation, no
+    * float quantile algorithm to match.
+    *
+    * Plan: ONE hash aggregate with 2R columns (the q_simhash
+    * 60-bit-tally shape) — NO row explosion: every input partition
+    * contributes one (type, 80-column) partial, so shuffle volume is
+    * |types| rows regardless of R or corpus size, and the whole weight
+    * computation stays inside whole-stage codegen over the scan. The
+    * 40-element array reshape happens on |types| rows — free.
+    */
+  def qBootstrapCi(spark: SparkSession, d: String): DataFrame = {
+    def weightOf(u: Column): Column = PoissonCdf.reverse
+      .foldLeft(lit(5L)) { case (acc, (thr, k)) =>
+        when(u < thr, lit(k.toLong)).otherwise(acc) }
+    val aggs = bootParams.zipWithIndex.flatMap { case ((a, b), r) =>
+      val w = weightOf(((lit(a) * col("h") + lit(b)) % BootP) % 1000000L)
+      Seq(graft.Tables.exactSum(w.cast("double") * col("value")).as(s"ws$r"),
+        sum(w).as(s"wn$r"))
+    }
+    val wide = events(spark, d)
+      .select(col("event_type"), col("value"),
+        (TextOps.md5Long(col("event_id").cast("string"), 15) % BootP).as("h"))
+      .groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+    val ms = (0 until BootReplicates).map(r =>
+      when(col(s"wn$r") > 0L, col(s"ws$r") / col(s"wn$r").cast("double")))
+    val point = events(spark, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Tables.exactAvg(col("value")).as("mean"))
+    wide
+      .select(col("event_type"), sort_array(array(ms: _*)).as("msArr"))
+      .select(col("event_type"),
+        element_at(col("msArr"), 2).as("ci_lo"),
+        element_at(col("msArr"), BootReplicates - 1).as("ci_hi"))
+      .join(broadcast(point), "event_type")
+      .select(col("event_type"), col("n"), col("mean"), col("ci_lo"), col("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc"         -> qAssoc _,
     "q_chisq"         -> qChisq _,
@@ -388,6 +465,7 @@ object Mining {
     "q_rolling_count" -> qRollingCount _,
     "q_ks_test"       -> qKsTest _,
     "q_psi"           -> qPsi _,
+    "q_bootstrap_ci"  -> qBootstrapCi _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -539,6 +617,41 @@ object Mining {
         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |         list(term ORDER BY bin)), (acc, x) -> acc + x) AS psi
         |FROM t GROUP BY lang, n ORDER BY lang""".stripMargin,
+    "q_bootstrap_ci" -> {
+      def wSql(r: Int): String = {
+        val (a, b) = bootParams(r)
+        val u = s"((($a * h) + $b) % $BootP) % 1000000"
+        s"CASE ${PoissonCdf.map { case (thr, k) => s"WHEN $u < $thr THEN $k" }
+          .mkString(" ")} ELSE 5 END"
+      }
+      s"""WITH hv AS (
+         |  SELECT event_type, value,
+         |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+         |           % $BootP AS h
+         |  FROM events
+         |), wide AS (
+         |  SELECT event_type,
+         |         ${(0 until BootReplicates).map { r =>
+                     s"CAST(SUM(CAST(CAST(${wSql(r)} AS DOUBLE) * value AS DECIMAL(38,6))) AS DOUBLE) AS ws$r, " +
+                     s"SUM(${wSql(r)}) AS wn$r"
+                   }.mkString(",\n         ")}
+         |  FROM hv GROUP BY event_type
+         |), ci AS (
+         |  SELECT event_type,
+         |         list_sort([${(0 until BootReplicates).map { r =>
+                     s"CASE WHEN wn$r > 0 THEN ws$r / CAST(wn$r AS DOUBLE) END"
+                   }.mkString(", ")}]) AS ms
+         |  FROM wide
+         |), pt AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS mean
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT event_type, n, mean,
+         |       ms[2] AS ci_lo, ms[${BootReplicates - 1}] AS ci_hi
+         |FROM ci JOIN pt USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
     "q_mutual_info" ->
       """WITH joint AS (
         |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,

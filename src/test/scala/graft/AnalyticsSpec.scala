@@ -504,4 +504,45 @@ class AnalyticsSpec extends SparkSpec {
       assert(Option(r.getString(3)) == seq.drop(1).headOption)
     }
   }
+
+  test("q_snapshot_diff: changelog equals a brute-force diff of the two window snapshots") {
+    import scala.math.BigDecimal.RoundingMode
+    def dec(x: Double): BigDecimal = BigDecimal(x).setScale(6, RoundingMode.HALF_UP)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getDefault)
+    def snap(from: String, to: String): Map[Long, (Long, Double)] = {
+      val (lo, hi) = (fmt.parse(from).getTime, fmt.parse(to).getTime)
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("value")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+        .filter(r => r._2 >= lo && r._2 < hi)
+        .groupBy(_._1)
+        .map { case (u, rs) =>
+          u -> (rs.length.toLong, rs.map(r => dec(r._3)).sum.toDouble) }
+    }
+    val a = snap("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+    val b = snap("2024-01-22 00:00:00", "2024-01-29 00:00:00")
+    val expected = (a.keySet ++ b.keySet).flatMap { u =>
+      (a.get(u), b.get(u)) match {
+        case (None, Some((c, t)))    => Some(u -> ("I", None, None, Some(c), Some(t)))
+        case (Some((c, t)), None)    => Some(u -> ("D", Some(c), Some(t), None, None))
+        case (Some(o), Some(n)) if o != n =>
+          Some(u -> ("U", Some(o._1), Some(o._2), Some(n._1), Some(n._2)))
+        case _ => None
+      }
+    }.toMap
+    val got = Analytics.qSnapshotDiff(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val u = r.getLong(0)
+      def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      assert(expected(u) == ((r.getString(1), optL(2), optD(3), optL(4), optD(5))),
+        s"user $u")
+    }
+    // The fixture must exercise the U path at least (stable user bases
+    // make I/D rare; U is the load-bearing branch).
+    assert(got.exists(_.getString(1) == "U"))
+  }
 }

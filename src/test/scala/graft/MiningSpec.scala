@@ -202,4 +202,43 @@ class MiningSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.0)
     }
   }
+
+  test("q_bootstrap_ci matches brute-force Poisson-weighted replicate means") {
+    import java.security.MessageDigest
+    import scala.math.BigDecimal.RoundingMode
+    def dec(x: Double): BigDecimal = BigDecimal(x).setScale(6, RoundingMode.HALF_UP)
+    def h(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % Mining.BootP
+    }
+    // Re-derive the LCG constants from their defining formula rather than
+    // reading them off the implementation.
+    def u(hv: Long, r: Int): Long =
+      (((2L * r + 1) * hv + (1000003L * r + 12345L) % Mining.BootP) %
+        Mining.BootP) % 1000000L
+    def weight(uu: Long): Long =
+      Mining.PoissonCdf.collectFirst { case (thr, k) if uu < thr => k.toLong }
+        .getOrElse(5L)
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = Mining.qBootstrapCi(spark, sfDir).collect()
+    assert(got.length == rows.map(_._1).distinct.length)
+    got.foreach { r =>
+      val mine = rows.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) == mine.length.toLong)
+      assert(r.getDouble(2) ==
+        mine.map(m => dec(m._3)).sum.toDouble / mine.length.toDouble, "point mean")
+      val means = (0 until Mining.BootReplicates).map { rep =>
+        val ws = mine.map(m => (weight(u(h(m._2), rep)), m._3))
+        val wn = ws.map(_._1).sum
+        ws.map { case (w, x) => dec(w.toDouble * x) }.sum.toDouble / wn.toDouble
+      }.sorted
+      assert(r.getDouble(3) == means(1), "ci_lo = 2nd order statistic")
+      assert(r.getDouble(4) == means(Mining.BootReplicates - 2),
+        "ci_hi = 39th order statistic")
+      assert(r.getDouble(3) <= r.getDouble(4))
+    }
+  }
 }
