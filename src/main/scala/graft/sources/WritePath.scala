@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -159,6 +159,89 @@ object WritePath {
         Tables.exactSum(col("value")).as("sum_v"))
       .orderBy(col("user_id"))
 
+  /** Bits per NORMALIZED dimension in [[writeZorder]]'s interleave. */
+  val ZBits = 8
+
+  /** 2^[[ZBits]] — the normalized domain side length. */
+  val ZSide = 1 << ZBits
+
+  /** Size of the hour-of-month index domain ((day−1)·24 + hour ∈ [0, 720)). */
+  val UhDomain = 720
+
+  /** Output files of the z-ordered layout. */
+  val ZFiles = 16
+
+  private val lastZorder = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Morton (Z-order) bit interleave of two non-negative [[ZBits]]-wide
+    * dimensions: bit i of `a` lands at position 2i+1, bit i of `b` at 2i
+    * — one constant expression tree of shifts/ands/ors, fully codegen'd.
+    * The identity `((a >> i) & 1) << (2i+1) == (a & (1 << i)) << (i+1)`
+    * keeps it to two ops per bit.
+    */
+  private def zInterleave(a: Column, b: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(a.bitwiseAND(lit(1L << i)), i + 1))
+        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i))
+    }
+
+  /** Z-ORDERED layout: the multi-column generalization q_write_sorted's
+    * scaladoc promises. Linear range-clustering on user_id gives perfect
+    * pruning on user_id and NONE on time; interleaving the bits of
+    * (user_id, hour-of-month) into a Morton z-value and range-clustering
+    * on THAT pins the leading bits of BOTH dimensions within every file,
+    * so each file's parquet min/max stats are narrow in both columns and
+    * a pushed predicate on EITHER dimension skips files — the layout
+    * trade every lakehouse table format ships (at the cost of each
+    * single dimension pruning ~√(selectivity) instead of exactly).
+    *
+    * Two details production z-order implementations share, both
+    * load-bearing: (1) dimensions are NORMALIZED to equal bit-width
+    * before interleaving — raw interleave of a 4-bit user domain against
+    * a 10-bit hour domain degenerates to hour-major ordering, so each
+    * dimension is min/max-scaled to [[ZBits]] bits (the min/max ride in
+    * as a 1-row broadcast, no driver collect; rank-based normalization
+    * would resist skew even harder at the cost of a quantile pass);
+    * (2) cluster keys are persisted as REAL columns (`uh`) — stats
+    * pruning reads column min/max, not expressions.
+    */
+  private[graft] def writeZorder(spark: SparkSession, d: String): String = {
+    val dir = Files.createTempDirectory("graft_zorder_").toString
+    Option(lastZorder.getAndSet(dir)).foreach(d0 => deleteRecursively(new java.io.File(d0)))
+    val stats = Tables.events(spark, d).agg(
+      min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"))
+    Tables.events(spark, d)
+      .crossJoin(broadcast(stats))
+      .withColumn("uh",
+        ((dayofmonth(col("ts")) - 1) * 24 + hour(col("ts"))).cast("long"))
+      .withColumn("ub",
+        expr(s"((user_id - u_min) * $ZSide) div (u_max - u_min + 1)"))
+      .withColumn("uhb", expr(s"(uh * $ZSide) div $UhDomain"))
+      .withColumn("z", zInterleave(col("ub"), col("uhb")))
+      .drop("u_min", "u_max", "ub", "uhb")
+      .repartitionByRange(ZFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** q_zorder — reads the z-ordered layout back through a TIME-dimension
+    * predicate (days 11–12, the dimension the 1-D user-sorted layout
+    * cannot prune at all — LayoutSpec proves that contrast with scan
+    * metrics) and aggregates per event type; the oracle runs the same
+    * predicate on the ORIGINAL table, so the green row proves the
+    * z-clustered round trip is lossless under the pruned scan.
+    */
+  def qZorder(spark: SparkSession, d: String): DataFrame =
+    spark.read.parquet(writeZorder(spark, d))
+      .filter(col("uh").between(240, 287))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_eid"),
+        Tables.exactSum(col("value")).as("sum_v"))
+      .orderBy(col("event_type"))
+
   /** Fragment count for the staged small-files layout, and the file count
     * compaction targets. Real compaction sizes the target as
     * ceil(input bytes / target file size); the ratio (16:1) is what the
@@ -265,6 +348,7 @@ object WritePath {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_bucketed" -> qWriteBucketed _,
     "q_write_sorted"   -> qWriteSorted _,
+    "q_zorder"         -> qZorder _,
     "q_write_partitioned" -> qWritePartitioned _,
     "q_compact"        -> qCompact _,
   )
@@ -284,6 +368,14 @@ object WritePath {
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
         |FROM events WHERE user_id BETWEEN 10 AND 19
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_zorder" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE (EXTRACT(day FROM ts) - 1) * 24 + EXTRACT(hour FROM ts)
+        |        BETWEEN 240 AND 287
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_write_partitioned" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
         |       COUNT(*) AS n_events,

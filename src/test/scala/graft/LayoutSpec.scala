@@ -82,6 +82,48 @@ class LayoutSpec extends SparkSpec {
     scans.head
   }
 
+  test("z-ordered layout prunes on BOTH dimensions; 1-D clustering prunes only its own") {
+    val uhPred   = col("uh").between(240, 287)
+    val userPred = col("user_id").between(10, 19)
+    val withUh = Tables.events(spark, sfDir).withColumn("uh",
+      ((dayofmonth(col("ts")) - 1) * 24 + hour(col("ts"))).cast("long"))
+    val total = withUh.count()
+
+    val zDir = WritePath.writeZorder(spark, sfDir)
+    val fromZuh   = scanOutputRows(spark.read.parquet(zDir).filter(uhPred))
+    val fromZuser = scanOutputRows(spark.read.parquet(zDir).filter(userPred))
+
+    // Control: same data (uh persisted), clustered on user_id ONLY.
+    val ctlDir = java.nio.file.Files.createTempDirectory("graft_zctl_").toString
+    try {
+      withUh.repartitionByRange(WritePath.ZFiles, col("user_id"))
+        .sortWithinPartitions(col("user_id"))
+        .write.mode("overwrite").parquet(ctlDir)
+      val ctlUh = scanOutputRows(spark.read.parquet(ctlDir).filter(uhPred))
+
+      val matchUh = withUh.filter(uhPred).count()
+      // User-clustered files each span essentially the whole month, so a
+      // time predicate prunes (almost) nothing — tiny-fixture slack only.
+      assert(ctlUh >= (total * 8) / 10,
+        s"1-D user clustering should not prune on time: $ctlUh of $total")
+      // The z-layout pins leading bits of BOTH dimensions per file: the
+      // time predicate's 48-hour window survives in a minority of files,
+      // and the user predicate prunes too — on the SAME single layout.
+      assert(fromZuh >= matchUh && fromZuh <= (total * 7) / 10,
+        s"z-layout time pruning: emitted $fromZuh of $total (want <= 70%)")
+      assert(fromZuh < ctlUh,
+        s"z-layout must beat 1-D clustering on time: $fromZuh vs $ctlUh")
+      val matchUser = withUh.filter(userPred).count()
+      assert(fromZuser >= matchUser && fromZuser <= (total * 7) / 10,
+        s"z-layout user pruning: emitted $fromZuser of $total (want <= 70%)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(ctlDir))
+    }
+  }
+
   test("date-partitioned layout prunes whole partitions at planning time") {
     val dir = WritePath.writePartitioned(spark, sfDir)
     val lo = "2024-01-08"; val hi = "2024-01-14"
