@@ -369,6 +369,41 @@ object Analytics {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** q_hll_merge — HLL sketch MERGEABILITY, the property that makes
+    * approximate distinct-counting a DISTRIBUTED sketch (the HLL analog
+    * of q_minhash_merge): per-shard sketches union into exactly the
+    * sketch of the union, so 1000 executors each sketch their slice and
+    * a constant-size merge finishes the job — also the incremental-view
+    * path (yesterday's sketch + today's delta sketch, no rescan).
+    * Per event_type: the DIRECT DataSketches HLL estimate of distinct
+    * users, the estimate from merging per-DAY sub-sketches, and the
+    * exact count. AnalyticsSpec asserts merged == direct EXACTLY (union
+    * of HLL registers is an order-independent max) and both within the
+    * sketch's error bound of exact; the driver gate is rows-only
+    * (DataSketches registers have no DuckDB twin — same contract as
+    * q_approx_distinct).
+    *
+    * Plan: both sketch paths are map-side-partial aggregates (state =
+    * one 2^12-register sketch per group per partition); the day-sharded
+    * path shuffles |types|·days sketches, the merge |types|. Nothing is
+    * ever corpus-sized.
+    */
+  def qHllMerge(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d).select(col("event_type"), col("user_id"),
+      dayofmonth(col("ts")).as("shard"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        countDistinct(col("user_id")).as("n_exact"))
+    val merged = ev.groupBy(col("event_type"), col("shard"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        col("est_direct"), col("est_merged"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_join_inner — star join orders⋈customer⋈nation → revenue per nation
     * (E3). Only the true dimension (nation, fixed 25 rows) is broadcast;
     * customer grows with the scale factor, so orders⋈customer is left to
@@ -1585,6 +1620,7 @@ object Analytics {
     "q_first_last"      -> qFirstLast _,
     "q_distinct"        -> qDistinct _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_hll_merge"       -> qHllMerge _,
     "q_join_inner"      -> qJoinInner _,
     "q_join_left"       -> qJoinLeft _,
     "q_join_semi"       -> qJoinSemi _,

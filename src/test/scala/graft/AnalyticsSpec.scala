@@ -25,6 +25,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_hll_merge: per-day sketch union estimates EXACTLY like the direct sketch") {
+    val got = Analytics.qHllMerge(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (t, exact) = (r.getString(0), r.getLong(1))
+      val (direct, merged) = (r.getLong(2), r.getLong(3))
+      // Mergeability is not approximate: an HLL union is a per-register
+      // max, order-independent, so the merged registers ARE the direct
+      // registers and the estimates must be identical longs.
+      assert(merged == direct, s"$t: merged=$merged direct=$direct")
+      // lgConfigK=12 default → rsd ≈ 1.04/sqrt(4096) ≈ 1.6%; allow 3σ.
+      assert(math.abs(direct - exact).toDouble <= 3 * 0.0163 * exact + 1,
+        s"$t: estimate $direct vs exact $exact exceeds the sketch bound")
+    }
+  }
+
   test("q_asof_join matches a hand-rolled most-recent-order lookup") {
     val orders = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderdate").cast("timestamp"), col("o_orderkey"))

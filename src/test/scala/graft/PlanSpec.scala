@@ -221,4 +221,44 @@ class PlanSpec extends SparkSpec {
         s"$name candidate generation must stay an equi-join:\n$p")
     }
   }
+
+  test("q_bootstrap_ci is one wide aggregate: no row explosion, pruned scan") {
+    val p = plan(graft.operators.Mining.qBootstrapCi(spark, sfDir))
+    // The 40 replicates live in aggregate COLUMNS — a Generate (explode)
+    // node would mean the plan multiplies rows by R before aggregating.
+    assert(!p.contains("Generate"),
+      s"bootstrap must not explode rows per replicate:\n$p")
+    assert(!p.contains("props") && !p.contains("\"ts\""),
+      s"bootstrap reads columns it never uses:\n$p")
+  }
+
+  test("q_ks_test and q_psi never read documents.text") {
+    for ((name, df) <- Seq(
+        "q_ks_test" -> graft.operators.Mining.qKsTest(spark, sfDir),
+        "q_psi" -> graft.operators.Mining.qPsi(spark, sfDir))) {
+      val p = plan(df)
+      // Both statistics need only (doc_id | lang, n_chars); dragging the
+      // text payload through the shuffle would dominate the cost at scale.
+      assert(!p.contains("text"),
+        s"$name reads documents.text — column pruning lost:\n$p")
+    }
+  }
+
+  test("q_pagerank stays equi-join shaped and tops out through a heap") {
+    val p = plan(TextOps.qPagerank(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pagerank's rank joins must stay equi-joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pagerank's top-20 must be a heap, not a global sort:\n$p")
+  }
+
+  test("q_snapshot_diff and q_zorder push their predicates into the parquet scan") {
+    for ((name, df) <- Seq(
+        "q_snapshot_diff" -> Analytics.qSnapshotDiff(spark, sfDir),
+        "q_zorder" -> graft.sources.WritePath.qZorder(spark, sfDir))) {
+      val p = plan(df)
+      assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+        s"$name predicate must reach the scan:\n$p")
+    }
+  }
 }
