@@ -455,6 +455,37 @@ object Mining {
       .orderBy(col("event_type"))
   }
 
+  /** q_weighted_sample — deterministic weighted sampling WITHOUT
+    * replacement (Efraimidis–Spirakis A-ES): top-3 events per type with
+    * inclusion probability proportional to weight. The one-pass
+    * distributed form of weighted sampling — each row computes its own
+    * priority key ln(u)/w locally (u identity-keyed from md5, w =
+    * value + 1, the documented floor that keeps zero-value rows
+    * sampleable), and the sample is a bounded per-group top-k: no
+    * global sort, no sequential draw loop, reproducible under any
+    * partitioning.
+    *
+    * Plan: one hash shuffle on event_type; the rn ≤ 3 filter is a
+    * WindowGroupLimit (per-partition bounded heap, the q_sample_balanced
+    * contract). Determinism: u is exact-integer-derived, the key is ONE
+    * pinned parenthesization through the libm-exact ln, ties broken by
+    * event_id.
+    */
+  def qWeightedSample(spark: SparkSession, d: String): DataFrame = {
+    val key = lnLibm(
+      (TextOps.md5Long(col("event_id").cast("string"), 15) % 1000000L)
+        .cast("double").plus(lit(0.5)) / lit(1000000.0)) /
+      (col("value") + lit(1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("key").desc, col("event_id"))
+    events(spark, d)
+      .select(col("event_type"), col("event_id"), col("value"), key.as("key"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("rn"), col("event_id"), col("value"), col("key"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc"         -> qAssoc _,
     "q_chisq"         -> qChisq _,
@@ -466,6 +497,7 @@ object Mining {
     "q_ks_test"       -> qKsTest _,
     "q_psi"           -> qPsi _,
     "q_bootstrap_ci"  -> qBootstrapCi _,
+    "q_weighted_sample" -> qWeightedSample _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -652,6 +684,22 @@ object Mining {
          |FROM ci JOIN pt USING (event_type)
          |ORDER BY event_type""".stripMargin
     },
+    "q_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT event_type, event_id, value,
+        |         ln(((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |              % 1000000) + 0.5) / 1000000.0)
+        |           / (value + 1.0) AS key
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, event_id, value, key,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY key DESC, event_id) AS rn
+        |  FROM k
+        |)
+        |SELECT event_type, rn, event_id, value, key
+        |FROM r WHERE rn <= 3
+        |ORDER BY event_type, rn""".stripMargin,
     "q_mutual_info" ->
       """WITH joint AS (
         |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,

@@ -694,6 +694,27 @@ object TextOps {
         (col("pr").cast("double") / lit(PrScale.toDouble)).as("score"))
   }
 
+  /** q_degree_dist — degree distribution of the high-confidence near-dup
+    * graph: how many documents have k near-duplicates, for every k. The
+    * FIRST graph diagnostic a dedup audit runs — Σ deg² predicts the
+    * candidate-join cost of everything downstream (CC, triangles,
+    * PageRank), and a heavy tail says "hub shingle / boilerplate
+    * cluster" before any expensive pass is launched (the same reason
+    * q_ngram_jaccard's df tripwire exists, read graph-side).
+    *
+    * Plan: two nested hash aggregates (node degrees — map-side partial
+    * over the edge explode; then the histogram over the node-sized
+    * relation). Output is ≤ max-degree rows; nothing downstream of the
+    * edge set is ever corpus-sized.
+    */
+  def qDegreeDist(spark: SparkSession, d: String): DataFrame =
+    simhashPairSet(spark, d)
+      .filter(col("hamming") <= TriangleHamming)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("deg"))
+
   /** Terms kept per language by [[qTopkTerms]]. */
   val TermsPerLang = 5
 
@@ -1139,6 +1160,7 @@ object TextOps {
     "q_simhash_pairs" -> qSimhashPairs _,
     "q_triangles"     -> qTriangles _,
     "q_pagerank"      -> qPagerank _,
+    "q_degree_dist"   -> qDegreeDist _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
     "q_tfidf"         -> qTfidf _,
@@ -1544,6 +1566,28 @@ object TextOps {
          |SELECT n AS doc_id, CAST(pr AS BIGINT) AS pr,
          |       CAST(pr AS DOUBLE) / CAST($PrScale AS DOUBLE) AS score
          |FROM r$PrIters ORDER BY pr DESC, n LIMIT 20""".stripMargin,
+    "q_degree_dist" ->
+      s"""WITH $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+               s"SELECT doc_id, simhash, $b AS blk, " +
+               s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+             }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), ed AS (
+         |  SELECT doc_a AS u, doc_b AS v
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
+         |), deg AS (
+         |  SELECT n, COUNT(*) AS deg
+         |  FROM (SELECT unnest([u, v]) AS n FROM ed)
+         |  GROUP BY n
+         |)
+         |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (
          |  $shingleSql

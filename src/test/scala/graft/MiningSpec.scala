@@ -241,4 +241,30 @@ class MiningSpec extends SparkSpec {
       assert(r.getDouble(3) <= r.getDouble(4))
     }
   }
+
+  test("q_weighted_sample matches the brute-force Efraimidis-Spirakis top-3 per type") {
+    import java.security.MessageDigest
+    def key(id: Long, v: Double): Double = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+      math.log((u.toDouble + 0.5) / 1000000.0) / (v + 1.0)
+    }
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = Mining.qWeightedSample(spark, sfDir).collect()
+    val byType = rows.groupBy(_._1)
+    assert(got.length == 3 * byType.size)
+    got.foreach { r =>
+      val (t, rn) = (r.getString(0), r.getInt(1))
+      val expected = byType(t)
+        .map(e => (e._2, e._3, key(e._2, e._3)))
+        .sortBy(e => (-e._3, e._1))(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+        .apply(rn - 1)
+      assert(r.getLong(2) == expected._1, s"$t rn=$rn id")
+      assert(r.getDouble(3) == expected._2, s"$t rn=$rn value")
+      assert(r.getDouble(4) == expected._3, s"$t rn=$rn key")
+    }
+  }
 }

@@ -485,4 +485,19 @@ class TextOpsSpec extends SparkSpec {
       assert(rw.getLong(1) >= 15L * TextOps.PrScale / 100L)
     }
   }
+
+  test("q_degree_dist is the brute-force degree histogram; node and edge mass reconcile") {
+    val edges = TextOps.qSimhashPairs(spark, sfDir).collect()
+      .filter(_.getInt(2) <= TextOps.TriangleHamming)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (_, vs) => vs.length.toLong }
+    val expected = deg.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = TextOps.qDegreeDist(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // Handshake lemma: sum of deg * n_nodes is twice the edge count.
+    assert(got.map { case (d, n) => d * n }.sum == 2L * edges.length)
+  }
 }
