@@ -1576,6 +1576,46 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** q_cogroup — the TYPED per-key merge API (`KeyValueGroupedDataset
+    * .cogroup`): both inputs co-shuffle ONCE on the key and an arbitrary
+    * Scala function sees each key's two iterators side by side — the
+    * escape hatch for per-key merge logic joins + aggregates can't
+    * express (custom reconciliation, ordered two-stream merges, per-key
+    * state machines). Here the merge logic is deliberately
+    * oracle-expressible — per-user event count/total against order
+    * count/total — so the hash gate proves the typed path computes
+    * exactly what the declarative full-outer-join path would.
+    *
+    * Scale: one hash co-partitioning per side (the same shuffle a join
+    * would pay), then streaming per-key iterators — state is one
+    * accumulator pair per side, never a materialized group. Determinism:
+    * counts are Long; totals accumulate setScale(6) BigDecimals
+    * iterator-side (exact, order-independent addition — the exactSum
+    * contract moved into typed code) and convert to double once.
+    */
+  def qCogroup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, d).select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    val or = orders(spark, d).select(col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+    def fold(it: Iterator[(Long, Double)]): (Long, Option[Double]) = {
+      var n = 0L
+      var s = BigDecimal(0)
+      it.foreach { case (_, v) =>
+        n += 1
+        s += BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      }
+      (n, if (n == 0) None else Some(s.toDouble))
+    }
+    ev.groupByKey(_._1).cogroup(or.groupByKey(_._1)) { (k, evs, ors) =>
+      val (ne, sv) = fold(evs)
+      val (no, so) = fold(ors)
+      Iterator((k, ne, sv, no, so))
+    }.toDF("user_id", "n_events", "sum_v", "n_orders", "sum_o")
+      .orderBy(col("user_id"))
+  }
+
   /** q_funnel — conversion-funnel analysis: per event type, how many
     * users ever reached it, and how many converted through the canonical
     * view → click → purchase ORDER (first-touch timestamps must be
@@ -1601,6 +1641,7 @@ object Analytics {
     "q_scd2"            -> qScd2 _,
     "q_scd2_apply"      -> qScd2Apply _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
+    "q_cogroup"         -> qCogroup _,
     "q_funnel"          -> qFunnel _,
     "q_event_gap"       -> qEventGap _,
     "q_doc_dedup"       -> qDocDedup _,
@@ -1719,6 +1760,21 @@ object Analytics {
          |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
          |WHERE a.user_id IS NULL OR b.user_id IS NULL
          |   OR old_cnt <> new_cnt OR old_total <> new_total
+         |ORDER BY user_id""".stripMargin,
+    "q_cogroup" ->
+      s"""WITH e AS (
+         |  SELECT user_id, COUNT(*) AS n_events,
+         |         ${decSum.format("value")} AS sum_v
+         |  FROM events GROUP BY user_id
+         |), o AS (
+         |  SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+         |         ${decSum.format("o_totalprice")} AS sum_o
+         |  FROM orders GROUP BY o_custkey
+         |)
+         |SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+         |       COALESCE(n_events, 0) AS n_events, sum_v,
+         |       COALESCE(n_orders, 0) AS n_orders, sum_o
+         |FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
          |ORDER BY user_id""".stripMargin,
     "q_funnel" ->
       """SELECT COUNT(t_view) AS n_view,

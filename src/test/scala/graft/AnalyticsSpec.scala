@@ -561,4 +561,31 @@ class AnalyticsSpec extends SparkSpec {
     // make I/D rare; U is the load-bearing branch).
     assert(got.exists(_.getString(1) == "U"))
   }
+
+  test("q_cogroup: typed merge equals brute-force per-key aggregation of both inputs") {
+    import scala.math.BigDecimal.RoundingMode
+    def dec(x: Double): BigDecimal = BigDecimal(x).setScale(6, RoundingMode.HALF_UP)
+    def agg(rows: Array[(Long, Double)]): Map[Long, (Long, Double)] =
+      rows.groupBy(_._1).map { case (k, vs) =>
+        k -> (vs.length.toLong, vs.map(v => dec(v._2)).sum.toDouble) }
+    val ev = agg(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))))
+    val or = agg(Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))))
+    val got = Analytics.qCogroup(spark, sfDir).collect()
+    assert(got.length == (ev.keySet ++ or.keySet).size)
+    got.foreach { r =>
+      val k = r.getLong(0)
+      val (ne, sv) = ev.getOrElse(k, (0L, Double.NaN))
+      val (no, so) = or.getOrElse(k, (0L, Double.NaN))
+      assert(r.getLong(1) == ne && r.getLong(3) == no, s"counts for $k")
+      assert((if (r.isNullAt(2)) Double.NaN else r.getDouble(2)).equals(sv), s"sum_v $k")
+      assert((if (r.isNullAt(4)) Double.NaN else r.getDouble(4)).equals(so), s"sum_o $k")
+    }
+    // The fixture must exercise a one-sided key (order customer with no
+    // events), or the cogroup's empty-iterator branch goes untested.
+    assert(got.exists(r => r.getLong(1) == 0L || r.getLong(3) == 0L))
+  }
 }
