@@ -426,6 +426,17 @@ object Mining {
     * |types| rows regardless of R or corpus size, and the whole weight
     * computation stays inside whole-stage codegen over the scan. The
     * 40-element array reshape happens on |types| rows — free.
+    *
+    * The weighted sums use the FIXED-POINT form of the exactSum
+    * contract: each w·x rounds once to integer micro-units
+    * (round(w·x·10⁶) — identical in both engines for positive values)
+    * and accumulates as a plain BIGINT — the same order-independence
+    * and cross-engine bit-exactness as the decimal cast, at
+    * integer-add speed. This is the one hot spot in the suite where
+    * the decimal path's constant factor actually dominates (40 decimal
+    * conversions per row measured ~2× the whole query); width budget
+    * |Σ| ≤ n·max(w·x)·10⁶ — revisit the scale (or revert to decimal)
+    * beyond ~10⁹ rows per group.
     */
   def qBootstrapCi(spark: SparkSession, d: String): DataFrame = {
     def weightOf(u: Column): Column = PoissonCdf.reverse
@@ -433,7 +444,8 @@ object Mining {
         when(u < thr, lit(k.toLong)).otherwise(acc) }
     val aggs = bootParams.zipWithIndex.flatMap { case ((a, b), r) =>
       val w = weightOf(((lit(a) * col("h") + lit(b)) % BootP) % 1000000L)
-      Seq(graft.Tables.exactSum(w.cast("double") * col("value")).as(s"ws$r"),
+      Seq(sum(round(w.cast("double") * col("value") * lit(1000000.0))
+          .cast("long")).as(s"ws$r"),
         sum(w).as(s"wn$r"))
     }
     val wide = events(spark, d)
@@ -442,7 +454,9 @@ object Mining {
       .groupBy(col("event_type"))
       .agg(aggs.head, aggs.tail: _*)
     val ms = (0 until BootReplicates).map(r =>
-      when(col(s"wn$r") > 0L, col(s"ws$r") / col(s"wn$r").cast("double")))
+      when(col(s"wn$r") > 0L,
+        (col(s"ws$r").cast("double") / lit(1000000.0)) /
+          col(s"wn$r").cast("double")))
     val point = events(spark, d).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), graft.Tables.exactAvg(col("value")).as("mean"))
     wide
@@ -664,14 +678,14 @@ object Mining {
          |), wide AS (
          |  SELECT event_type,
          |         ${(0 until BootReplicates).map { r =>
-                     s"CAST(SUM(CAST(CAST(${wSql(r)} AS DOUBLE) * value AS DECIMAL(38,6))) AS DOUBLE) AS ws$r, " +
+                     s"CAST(SUM(CAST(round(CAST(${wSql(r)} AS DOUBLE) * value * 1000000.0) AS BIGINT)) AS BIGINT) AS ws$r, " +
                      s"SUM(${wSql(r)}) AS wn$r"
                    }.mkString(",\n         ")}
          |  FROM hv GROUP BY event_type
          |), ci AS (
          |  SELECT event_type,
          |         list_sort([${(0 until BootReplicates).map { r =>
-                     s"CASE WHEN wn$r > 0 THEN ws$r / CAST(wn$r AS DOUBLE) END"
+                     s"CASE WHEN wn$r > 0 THEN (CAST(ws$r AS DOUBLE) / 1000000.0) / CAST(wn$r AS DOUBLE) END"
                    }.mkString(", ")}]) AS ms
          |  FROM wide
          |), pt AS (

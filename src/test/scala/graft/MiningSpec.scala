@@ -233,7 +233,9 @@ class MiningSpec extends SparkSpec {
       val means = (0 until Mining.BootReplicates).map { rep =>
         val ws = mine.map(m => (weight(u(h(m._2), rep)), m._3))
         val wn = ws.map(_._1).sum
-        ws.map { case (w, x) => dec(w.toDouble * x) }.sum.toDouble / wn.toDouble
+        // Fixed-point micro-unit accumulation, exactly as the query does.
+        val fix = ws.map { case (w, x) => math.round(w.toDouble * x * 1000000.0) }.sum
+        (fix.toDouble / 1000000.0) / wn.toDouble
       }.sorted
       assert(r.getDouble(3) == means(1), "ci_lo = 2nd order statistic")
       assert(r.getDouble(4) == means(Mining.BootReplicates - 2),
