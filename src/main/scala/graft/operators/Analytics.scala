@@ -1461,7 +1461,7 @@ object Analytics {
     * continuing the dimension's current type is just a non-head row once
     * the two head sets are unioned.
     */
-  private def scd2Heads(ev: DataFrame): DataFrame = {
+  private[graft] def scd2Heads(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
         lag(col("event_type"), 1).over(w).as("prev_type"))

@@ -1124,6 +1124,58 @@ object StreamOps extends Serializable {
     spark.table(sinkName).orderBy(col("segment"))
   }
 
+  /** q_stream_enrich_scd2 — streaming TEMPORAL (as-of) enrichment: each
+    * streamed event joins the SCD2 dimension row that was valid AT THE
+    * EVENT'S OWN TIME (user's type-interval built from the historic days,
+    * [[graft.operators.Analytics.scd2Heads]] + a raw-timestamp lead),
+    * not the current snapshot — the dimension-correctness pattern
+    * [[qStreamEnrich]]'s plain broadcast join cannot express: late or
+    * replayed events must enrich against the attribute they had THEN, or
+    * reprocessing yields different aggregates than the live run did.
+    *
+    * Plan: the interval dim stays a BROADCAST batch side (intervals are
+    * |users|·|runs|, dimension-sized); the join is the user_id equi-join
+    * with the [vf, vt) range as a residual condition — stateless, so the
+    * stream needs no watermark for it. At 100 TB the dim is the stored
+    * SCD2 table and nothing here changes.
+    *
+    * Determinism: interval bounds are raw microsecond timestamps (the
+    * same total order the q_scd2 gate already proved both engines agree
+    * on); aggregates are counts + exactSum.
+    */
+  def qStreamEnrichScd2(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_enrich_scd2")
+    val ev = Tables.events(spark, d)
+    val cutoff = ev.agg(date_trunc("DAY", max(col("ts"))).as("day0"))
+    val historic = ev.crossJoin(broadcast(cutoff))
+      .filter(col("ts") < col("day0")).drop("day0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = graft.operators.Analytics.scd2Heads(historic)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        lead(col("ts"), 1).over(w).as("vt"))
+      .select(col("user_id").as("d_user"), col("event_type").as("type_asof"),
+        col("ts").as("vf"), col("vt"))
+    val query = startWithStatePartitions(spark) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .join(broadcast(dim),
+          col("user_id") === col("d_user") &&
+            col("ts") >= col("vf") &&
+            (col("vt").isNull || col("ts") < col("vt")))
+        .groupBy(col("type_asof"))
+        .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_v"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName).orderBy(col("type_asof"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tick"        -> qStreamTick _,
     "q_stream_topk"        -> qStreamTopk _,
@@ -1138,6 +1190,7 @@ object StreamOps extends Serializable {
     "q_stream_dedup"       -> qStreamDedup _,
     "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
+    "q_stream_enrich_scd2" -> qStreamEnrichScd2 _,
     "q_stream_join"        -> qStreamJoin _,
     "q_stream_join_outer"  -> qStreamJoinOuter _,
     "q_deadletter"         -> qDeadletter _,
@@ -1192,6 +1245,31 @@ object StreamOps extends Serializable {
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+    "q_stream_enrich_scd2" ->
+      """WITH cut AS (SELECT date_trunc('day', MAX(ts)) AS day0 FROM events),
+        |hist AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events, cut
+        |  WHERE ts < day0
+        |), heads AS (
+        |  SELECT user_id, event_id, ts, event_type
+        |  FROM (
+        |    SELECT user_id, event_id, ts, event_type,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS prev
+        |    FROM hist)
+        |  WHERE prev IS NULL OR prev <> event_type
+        |), iv AS (
+        |  SELECT user_id, event_type AS type_asof, ts AS vf,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS vt
+        |  FROM heads
+        |)
+        |SELECT type_asof, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM events e JOIN iv
+        |  ON e.user_id = iv.user_id AND e.ts >= iv.vf
+        |     AND (iv.vt IS NULL OR e.ts < iv.vt)
+        |GROUP BY type_asof ORDER BY type_asof""".stripMargin,
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
