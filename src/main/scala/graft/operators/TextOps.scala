@@ -715,6 +715,80 @@ object TextOps {
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("deg"))
 
+  /** Word-trigram list WITH duplicates — [[ShingleArrayExpr]] minus the
+    * distinct, for statistics where multiplicity is the signal.
+    */
+  private val RawTrigramsExpr =
+    "filter(transform(toks, (x, i) -> IF(i + 2 < size(toks), " +
+    "concat_ws(' ', x, toks[i+1], toks[i+2]), NULL)), s -> s IS NOT NULL)"
+
+  /** q_repetition — duplicated-n-gram ratio + top-n-gram share per
+    * document: the degenerate-text signal (boilerplate, stutter loops,
+    * template spam) that quality heuristics of the Gopher-rules family
+    * gate on, and which [[qQualityScore]]'s length/stopword features
+    * can't see. rep_ratio = 1 − |distinct trigrams|/|trigrams|;
+    * top_share = max trigram multiplicity / |trigrams|.
+    *
+    * Plan: pure PER-ROW array expressions over the token array — no
+    * shuffle at all. The max multiplicity is an in-row SORT + run-length
+    * fold (O(n log n) per document — the naive per-distinct-value
+    * filter scan is O(n²) and measured 3.6 s vs <1 s at sf0.1; the
+    * oracle keeps the quadratic form since only VALUES must match).
+    * All counts exact integers; the two ratios are pinned double
+    * divisions.
+    */
+  def qRepetition(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d)
+      .select(col("doc_id"), expr(RawTrigramsExpr).as("tg"))
+      .select(col("doc_id"),
+        size(col("tg")).cast("long").as("n_tg"),
+        size(array_distinct(col("tg"))).cast("long").as("n_uniq"),
+        expr("aggregate(array_sort(tg), " +
+          "struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run, " +
+          "CAST(0 AS BIGINT) AS best), " +
+          "(acc, x) -> struct(x AS prev, " +
+          "IF(x = acc.prev, acc.run + 1L, 1L) AS run, " +
+          "greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L)) AS best), " +
+          "acc -> acc.best)").as("mx"))
+      .select(col("doc_id"), col("n_tg"), col("n_uniq"), col("mx"),
+        when(col("n_tg") > 0L,
+          lit(1.0) - col("n_uniq").cast("double") / col("n_tg").cast("double"))
+          .as("rep_ratio"),
+        when(col("n_tg") > 0L,
+          col("mx").cast("double") / col("n_tg").cast("double"))
+          .as("top_share"))
+      .orderBy(col("doc_id"))
+
+  /** Tokens per chunk and stride of [[qChunk]]'s sliding window. */
+  val ChunkW = 32
+  val ChunkStride = 16
+
+  /** q_chunk — stride-windowed token chunking: split every document into
+    * [[ChunkW]]-token windows advancing by [[ChunkStride]] (50% overlap)
+    * — the pre-processing step of every embedding/RAG pipeline, where
+    * the unit of indexing is the chunk, not the document. Trailing
+    * windows may be short (starts run to the last token) — the simple
+    * rule both engines state identically.
+    *
+    * Plan: per-row sequence + posexplode + slice — the explode is the
+    * honest ×(n/stride) output growth of chunking itself; nothing
+    * shuffles (chunk rows flow straight to the sink), and at 100 TB the
+    * chunker is the same map-only stage.
+    */
+  def qChunk(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(expr(s"sequence(0, greatest(n - 1, 0), $ChunkStride)"))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        least(lit(ChunkW), col("n") - col("start")).cast("long").as("n_tok"),
+        array_join(slice(col("toks"), col("start") + 1, lit(ChunkW)), " ")
+          .as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Terms kept per language by [[qTopkTerms]]. */
   val TermsPerLang = 5
 
@@ -1161,6 +1235,8 @@ object TextOps {
     "q_triangles"     -> qTriangles _,
     "q_pagerank"      -> qPagerank _,
     "q_degree_dist"   -> qDegreeDist _,
+    "q_repetition"    -> qRepetition _,
+    "q_chunk"         -> qChunk _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
     "q_tfidf"         -> qTfidf _,
@@ -1566,6 +1642,45 @@ object TextOps {
          |SELECT n AS doc_id, CAST(pr AS BIGINT) AS pr,
          |       CAST(pr AS DOUBLE) / CAST($PrScale AS DOUBLE) AS score
          |FROM r$PrIters ORDER BY pr DESC, n LIMIT 20""".stripMargin,
+    "q_repetition" ->
+      """WITH tg AS (
+        |  SELECT doc_id,
+        |         list_transform(
+        |           list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+        |           z -> z[1] || ' ' || z[2] || ' ' || z[3]) AS tg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |), s AS (
+        |  SELECT doc_id,
+        |         CAST(len(tg) AS BIGINT) AS n_tg,
+        |         CAST(len(list_distinct(tg)) AS BIGINT) AS n_uniq,
+        |         CAST(list_max(list_transform(list_distinct(tg),
+        |           s -> len(list_filter(tg, x -> x = s)))) AS BIGINT) AS mx
+        |  FROM tg
+        |)
+        |SELECT doc_id, n_tg, n_uniq, mx,
+        |       CASE WHEN n_tg > 0
+        |            THEN 1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_tg AS DOUBLE) END
+        |         AS rep_ratio,
+        |       CASE WHEN n_tg > 0
+        |            THEN CAST(mx AS DOUBLE) / CAST(n_tg AS DOUBLE) END
+        |         AS top_share
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, toks, n,
+         |         unnest(range(0, greatest(n, 1), $ChunkStride)) AS start
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |       start // $ChunkStride AS chunk_idx,
+         |       start,
+         |       least($ChunkW, n - start) AS n_tok,
+         |       array_to_string(toks[start + 1 : start + $ChunkW], ' ') AS chunk
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_degree_dist" ->
       s"""WITH $simhashCte, blocks AS (
          |  ${(0 to HammingMax).map { b =>

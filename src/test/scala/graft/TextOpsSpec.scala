@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.TextOps
 import java.security.MessageDigest
+import org.apache.spark.sql.functions.col
 
 /** Self-checks for the text/dedup surface: hand-rolled recomputation of the
   * md5-derived hashes (independent of both Spark and DuckDB), plus
@@ -499,5 +500,49 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
     // Handshake lemma: sum of deg * n_nodes is twice the edge count.
     assert(got.map { case (d, n) => d * n }.sum == 2L * edges.length)
+  }
+
+  test("q_repetition matches brute-force trigram multiset statistics") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val got = TextOps.qRepetition(spark, sfDir).collect()
+    assert(got.length == docs.length)
+    val byId = docs.toMap
+    got.foreach { r =>
+      val toks = byId(r.getLong(0))
+      val tg = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val (nTg, nUniq) = (tg.length.toLong, tg.distinct.length.toLong)
+      val mx = if (tg.isEmpty) 0L
+        else tg.groupBy(identity).values.map(_.length).max.toLong
+      assert(r.getLong(1) == nTg && r.getLong(2) == nUniq, s"doc ${r.getLong(0)}")
+      assert(r.getLong(3) == mx)
+      if (nTg > 0) {
+        assert(r.getDouble(4) == 1.0 - nUniq.toDouble / nTg.toDouble)
+        assert(r.getDouble(5) == mx.toDouble / nTg.toDouble)
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+      }
+    }
+  }
+
+  test("q_chunk windows tile every document with the stated stride rule") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val byId = docs.toMap
+    val got = TextOps.qChunk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == byId.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val toks = byId(id)
+      val starts = 0 until toks.length by TextOps.ChunkStride
+      assert(chunks.length == starts.length, s"doc $id chunk count")
+      chunks.sortBy(_._2).zip(starts).foreach { case ((_, idx, start, nTok, text), s) =>
+        assert(start == s.toLong && idx == (s / TextOps.ChunkStride).toLong)
+        assert(nTok == math.min(TextOps.ChunkW, toks.length - s).toLong)
+        assert(text == toks.slice(s, s + TextOps.ChunkW).mkString(" "), s"doc $id start $s")
+      }
+    }
   }
 }
