@@ -32,6 +32,30 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** q_sql — the SQL TEXT surface: the same engine driven entirely
+    * through `spark.sql(...)` over a registered view, no DataFrame
+    * combinators at all — proving a user can bring plain ANSI SQL
+    * (CTE + aggregate + two window frames here) and get the identical
+    * Catalyst plan and gate-exact results. The statement is
+    * deliberately ANSI-portable: the oracle runs a nearly verbatim
+    * copy, which is the point — SQL written for this engine runs
+    * unchanged elsewhere and vice versa.
+    */
+  def qSql(spark: SparkSession, d: String): DataFrame = {
+    events(spark, d).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM graft_events GROUP BY event_type, CAST(ts AS DATE)
+        |)
+        |SELECT event_type, day, n,
+        |       SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |                    ROWS UNBOUNDED PRECEDING) AS cum_n,
+        |       RANK() OVER (PARTITION BY event_type ORDER BY n DESC, day)
+        |         AS busy_rank
+        |FROM daily ORDER BY event_type, day""".stripMargin)
+  }
+
   /** q_limit — deterministic client-side limit, the `raw[:30]` slice of
     * github_events (app.py:144). Ordered first so the 30 rows are stable.
     */
@@ -156,6 +180,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan"        -> qScan _,
+    "q_sql"         -> qSql _,
     "q_limit"       -> qLimit _,
     "q_filter_eq"   -> qFilterEq _,
     "q_cast_double" -> qCastDouble _,
@@ -173,6 +198,17 @@ object Relational {
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_sql" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |)
+        |SELECT event_type, day, n,
+        |       SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |                    ROWS UNBOUNDED PRECEDING) AS cum_n,
+        |       RANK() OVER (PARTITION BY event_type ORDER BY n DESC, day)
+        |         AS busy_rank
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     "q_limit" ->
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id LIMIT 30""".stripMargin,
