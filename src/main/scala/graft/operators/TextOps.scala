@@ -759,6 +759,43 @@ object TextOps {
           .as("top_share"))
       .orderBy(col("doc_id"))
 
+  /** Docs per checkpoint bucket in [[qVocabGrowth]]'s curve. */
+  val VocabBucket = 50
+
+  /** q_vocab_growth — the Heaps'-law vocabulary saturation curve:
+    * cumulative distinct-token count after every [[VocabBucket]]
+    * documents (in doc_id order). The corpus diagnostic that answers
+    * "is more data still adding new vocabulary, or has the source
+    * saturated?" — the curve a data-acquisition loop checks before
+    * paying for the next crawl.
+    *
+    * Plan: tokens dedup IN-ROW, first occurrences are one vocab-sized
+    * min-aggregate, per-bucket news one more; the cumulative window runs
+    * over the CHECKPOINT spine (|docs|/bucket rows) — never over docs,
+    * the same domain-sized-window stance as q_ks_test (an unpartitioned
+    * window over raw doc_ids would be corpus-sized at 100 TB; the
+    * bucket size is the resolution knob). Buckets introducing zero new
+    * tokens stay on the spine via the left join.
+    */
+  def qVocabGrowth(spark: SparkSession, d: String): DataFrame = {
+    val first = documents(spark, d)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(split(text, ' '))")).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val news = first
+      .groupBy(expr(s"first_doc div $VocabBucket").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val spine = documents(spark, d)
+      .select(expr(s"doc_id div $VocabBucket").as("bucket")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(news, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .select(col("bucket"), col("n_new"),
+        sum(col("n_new")).over(w).as("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
+
   /** Tokens per chunk and stride of [[qChunk]]'s sliding window. */
   val ChunkW = 32
   val ChunkStride = 16
@@ -1237,6 +1274,7 @@ object TextOps {
     "q_degree_dist"   -> qDegreeDist _,
     "q_repetition"    -> qRepetition _,
     "q_chunk"         -> qChunk _,
+    "q_vocab_growth"  -> qVocabGrowth _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
     "q_tfidf"         -> qTfidf _,
@@ -1665,6 +1703,23 @@ object TextOps {
         |            THEN CAST(mx AS DOUBLE) / CAST(n_tg AS DOUBLE) END
         |         AS top_share
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_vocab_growth" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+         |  FROM documents
+         |), fst AS (
+         |  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+         |), news AS (
+         |  SELECT first_doc // $VocabBucket AS bucket, COUNT(*) AS n_new
+         |  FROM fst GROUP BY 1
+         |), spine AS (
+         |  SELECT DISTINCT doc_id // $VocabBucket AS bucket FROM documents
+         |)
+         |SELECT bucket, COALESCE(n_new, 0) AS n_new,
+         |       SUM(COALESCE(n_new, 0)) OVER (ORDER BY bucket
+         |         ROWS UNBOUNDED PRECEDING) AS cum_vocab
+         |FROM spine LEFT JOIN news USING (bucket)
+         |ORDER BY bucket""".stripMargin,
     "q_chunk" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -525,6 +525,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_vocab_growth: curve matches brute force and ends at the corpus vocabulary") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSet))
+    val firstDoc = docs.flatMap { case (id, toks) => toks.map(_ -> id) }
+      .groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2).min }
+    val news = firstDoc.values.groupBy(_ / TextOps.VocabBucket)
+      .map { case (b, vs) => b -> vs.size.toLong }
+    val buckets = docs.map(_._1 / TextOps.VocabBucket).distinct.sorted
+    val got = TextOps.qVocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == buckets.toSeq)
+    var cum = 0L
+    got.foreach { case (b, nNew, cumV) =>
+      assert(nNew == news.getOrElse(b, 0L), s"bucket $b")
+      cum += nNew
+      assert(cumV == cum, s"bucket $b cumulative")
+    }
+    // The curve must end at the full corpus vocabulary size.
+    assert(cum == docs.flatMap(_._2).toSet.size.toLong)
+    // Monotone by construction; growth should decelerate on a natural
+    // corpus (later buckets add fewer new tokens than the first).
+    assert(got.head._2 >= got.last._2)
+  }
+
   test("q_chunk windows tile every document with the stated stride rule") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
