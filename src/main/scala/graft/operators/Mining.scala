@@ -500,6 +500,46 @@ object Mining {
       .orderBy(col("event_type"), col("rn"))
   }
 
+  /** q_welch — Welch's two-sample t-test on `value` between purchase and
+    * view events: the unequal-variance mean-difference test (the safe
+    * default over Student's t — no pooled-variance assumption), with the
+    * Welch–Satterthwaite effective degrees of freedom. The inferential
+    * companion to [[qBootstrapCi]]: the parametric answer to "did the
+    * mean move", where bootstrap is the nonparametric one.
+    *
+    * Plan: two map-side-partial aggregates (count, exactSum, exact
+    * sum-of-squares per side — ONE pass each, no window), then pure
+    * 1-row arithmetic. Determinism: moments go through the exactSum
+    * decimal contract; every downstream double (means, variances,
+    * standard errors, t, df) is a pinned column-by-column chain mirrored
+    * stepwise in the oracle — sqrt is libm in both engines, and powers
+    * are written as explicit products (pow() may not be).
+    */
+  def qWelch(spark: SparkSession, d: String): DataFrame = {
+    def side(t: String, sfx: String) =
+      events(spark, d).filter(col("event_type") === t)
+        .agg(count(lit(1)).as(s"n$sfx"),
+          graft.Tables.exactSum(col("value")).as(s"sx$sfx"),
+          graft.Tables.exactSum(col("value") * col("value")).as(s"sxx$sfx"))
+    side("purchase", "1").crossJoin(side("view", "2"))
+      .select(col("n1"), col("n2"),
+        expr("sx1 / CAST(n1 AS DOUBLE)").as("mean_1"),
+        expr("sx2 / CAST(n2 AS DOUBLE)").as("mean_2"),
+        expr("(sxx1 - (sx1 * sx1) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)")
+          .as("v1"),
+        expr("(sxx2 - (sx2 * sx2) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)")
+          .as("v2"))
+      .select(col("n1"), col("n2"), col("mean_1"), col("mean_2"),
+        col("v1"), col("v2"),
+        expr("v1 / CAST(n1 AS DOUBLE)").as("se1"),
+        expr("v2 / CAST(n2 AS DOUBLE)").as("se2"))
+      .select(col("n1"), col("n2"), col("mean_1"), col("mean_2"),
+        expr("(mean_1 - mean_2) / sqrt(se1 + se2)").as("t_stat"),
+        expr("((se1 + se2) * (se1 + se2)) / " +
+          "((se1 * se1) / (CAST(n1 AS DOUBLE) - 1.0) + " +
+          "(se2 * se2) / (CAST(n2 AS DOUBLE) - 1.0))").as("df_welch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc"         -> qAssoc _,
     "q_chisq"         -> qChisq _,
@@ -512,6 +552,7 @@ object Mining {
     "q_psi"           -> qPsi _,
     "q_bootstrap_ci"  -> qBootstrapCi _,
     "q_weighted_sample" -> qWeightedSample _,
+    "q_welch"         -> qWelch _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -698,6 +739,38 @@ object Mining {
          |FROM ci JOIN pt USING (event_type)
          |ORDER BY event_type""".stripMargin
     },
+    "q_welch" ->
+      """WITH s1 AS (
+        |  SELECT COUNT(*) AS n1,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx1,
+        |         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx1
+        |  FROM events WHERE event_type = 'purchase'
+        |), s2 AS (
+        |  SELECT COUNT(*) AS n2,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+        |         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx2
+        |  FROM events WHERE event_type = 'view'
+        |), m AS (
+        |  SELECT n1, n2,
+        |         sx1 / CAST(n1 AS DOUBLE) AS mean_1,
+        |         sx2 / CAST(n2 AS DOUBLE) AS mean_2,
+        |         (sxx1 - (sx1 * sx1) / CAST(n1 AS DOUBLE))
+        |           / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |         (sxx2 - (sx2 * sx2) / CAST(n2 AS DOUBLE))
+        |           / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |  FROM s1 CROSS JOIN s2
+        |), se AS (
+        |  SELECT n1, n2, mean_1, mean_2,
+        |         v1 / CAST(n1 AS DOUBLE) AS se1,
+        |         v2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM m
+        |)
+        |SELECT n1, n2, mean_1, mean_2,
+        |       (mean_1 - mean_2) / sqrt(se1 + se2) AS t_stat,
+        |       ((se1 + se2) * (se1 + se2))
+        |         / ((se1 * se1) / (CAST(n1 AS DOUBLE) - 1.0)
+        |            + (se2 * se2) / (CAST(n2 AS DOUBLE) - 1.0)) AS df_welch
+        |FROM se""".stripMargin,
     "q_weighted_sample" ->
       """WITH k AS (
         |  SELECT event_type, event_id, value,

@@ -244,6 +244,35 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q_welch matches the brute-force Welch t and Satterthwaite df") {
+    import scala.math.BigDecimal.RoundingMode
+    def dec(x: Double): BigDecimal = BigDecimal(x).setScale(6, RoundingMode.HALF_UP)
+    def stats(t: String): (Long, Double, Double) = {
+      val xs = Tables.events(spark, sfDir)
+        .filter(col("event_type") === t).select(col("value")).collect()
+        .map(_.getDouble(0))
+      (xs.length.toLong, xs.map(dec).sum.toDouble, xs.map(x => dec(x * x)).sum.toDouble)
+    }
+    val (n1, sx1, sxx1) = stats("purchase")
+    val (n2, sx2, sxx2) = stats("view")
+    val (n1d, n2d) = (n1.toDouble, n2.toDouble)
+    val (m1, m2) = (sx1 / n1d, sx2 / n2d)
+    val v1 = (sxx1 - (sx1 * sx1) / n1d) / (n1d - 1.0)
+    val v2 = (sxx2 - (sx2 * sx2) / n2d) / (n2d - 1.0)
+    val (se1, se2) = (v1 / n1d, v2 / n2d)
+    val t = (m1 - m2) / math.sqrt(se1 + se2)
+    val df = ((se1 + se2) * (se1 + se2)) /
+      ((se1 * se1) / (n1d - 1.0) + (se2 * se2) / (n2d - 1.0))
+    val got = Mining.qWelch(spark, sfDir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(r.getDouble(2) == m1 && r.getDouble(3) == m2)
+    assert(r.getDouble(4) == t && r.getDouble(5) == df)
+    // Satterthwaite df is bounded by the pooled and the smaller-side dfs.
+    assert(df >= math.min(n1d, n2d) - 1.0 && df <= n1d + n2d - 2.0)
+  }
+
   test("q_weighted_sample matches the brute-force Efraimidis-Spirakis top-3 per type") {
     import java.security.MessageDigest
     def key(id: Long, v: Double): Double = {
