@@ -1124,6 +1124,45 @@ object StreamOps extends Serializable {
     spark.table(sinkName).orderBy(col("segment"))
   }
 
+  /** q_stream_union — union of two independently-watermarked feeds into
+    * one windowed aggregation: the multi-source ingestion shape (N feeds
+    * of the same schema merged into one pipeline), driver-gated on its
+    * load-bearing semantic — the global watermark is the MIN of the
+    * sources' watermarks (`multipleWatermarkPolicy=min`, the default), so
+    * a feed racing ahead can never close a window a lagging feed could
+    * still fill. The two feeds here are disjoint event_type partitions
+    * of the replay, each with its own `withWatermark` node; the oracle's
+    * emission cutoff is `least(max_purchase_ts, max_other_ts) − 10 min`
+    * — a green hash row PROVES the min policy end-to-end (a max/any
+    * policy would emit more windows and mismatch). StreamingSpec pins
+    * the same contract interactively with one source raced 4 h ahead.
+    */
+  def qStreamUnion(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_union")
+    val replay = stageReplayDir(spark, d)
+    def feed(pred: org.apache.spark.sql.Column) =
+      eventsStream(spark, replay).filter(pred)
+        .withWatermark("ts", "10 minutes")
+    val query = startWithStatePartitions(spark) {
+      feed(col("event_type") === "purchase")
+        .unionByName(feed(col("event_type") =!= "purchase"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(Tables.tsSeconds(col("w.start")).as("w_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** q_stream_enrich_scd2 — streaming TEMPORAL (as-of) enrichment: each
     * streamed event joins the SCD2 dimension row that was valid AT THE
     * EVENT'S OWN TIME (user's type-interval built from the historic days,
@@ -1191,6 +1230,7 @@ object StreamOps extends Serializable {
     "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_stream_enrich_scd2" -> qStreamEnrichScd2 _,
+    "q_stream_union"       -> qStreamUnion _,
     "q_stream_join"        -> qStreamJoin _,
     "q_stream_join_outer"  -> qStreamJoinOuter _,
     "q_deadletter"         -> qDeadletter _,
@@ -1240,6 +1280,20 @@ object StreamOps extends Serializable {
         |GROUP BY h, event_type ORDER BY w_start, event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_stream_union" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT date_trunc('ms', MAX(ts)) FROM events
+        |     WHERE event_type = 'purchase'),
+        |    (SELECT date_trunc('ms', MAX(ts)) FROM events
+        |     WHERE event_type <> 'purchase')
+        |  ) - INTERVAL 10 MINUTE AS w
+        |)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |       COUNT(*) AS n
+        |FROM (SELECT date_trunc('hour', ts) AS h, event_type FROM events), wm
+        |WHERE h + INTERVAL 1 HOUR <= wm.w
+        |GROUP BY h, event_type ORDER BY w_start, event_type""".stripMargin,
     "q_stream_enrich" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
