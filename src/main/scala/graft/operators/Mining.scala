@@ -540,6 +540,86 @@ object Mining {
           "(se2 * se2) / (CAST(n2 AS DOUBLE) - 1.0))").as("df_welch"))
   }
 
+  /** q_linreg — per-type OLS trend of the hourly event-count series:
+    * slope/intercept/r² of count-vs-hour-index — "is this event type
+    * growing, and how linearly?", the monitoring regression behind every
+    * capacity forecast, and the parametric companion to [[qAutocorr]]
+    * (same series, dependence vs drift).
+    *
+    * Plan: the log collapses to the (type, hour) count histogram FIRST
+    * (the one pass over the data — map-side-partial); the five OLS
+    * moments (Σt, Σc, Σtt, Σtc, Σcc) are then ONE hash aggregate over
+    * that bounded relation (≤ |types|·|hours| rows at any volume — the
+    * q_autocorr calendar-bounds-the-work stance).
+    *
+    * Determinism: t is exact epoch-HOURS (BIGINT — unix_micros DIV
+    * 3600000000; a µs regressor would overflow Σtt), c exact BIGINT, so
+    * all five moments and both determinants (n·Σtt − Σt², n·Σcc − Σc²)
+    * are exact integers (width budget: n·Σtt ≈ 10³·10¹⁴ ≪ 2⁶³ at fixture
+    * scale — epoch-hours ≈ 5·10⁵). Only the covariance SQUARE would
+    * overflow, so r² casts the exact integer covariance to double FIRST
+    * and squares in doubles — one pinned parenthesization, zero-variance
+    * groups NULLed by the same exact-integer guards as the oracle.
+    */
+  def qLinreg(spark: SparkSession, d: String): DataFrame = {
+    val hourly = events(spark, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("t"))
+      .agg(count(lit(1)).as("c"))
+    val m = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("t")).as("st"), sum(col("c")).as("sc"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("t") * col("c")).as("stc"),
+      sum(col("c") * col("c")).as("scc"))
+    val detT = m("n") * m("stt") - m("st") * m("st")
+    val detC = m("n") * m("scc") - m("sc") * m("sc")
+    val cov  = m("n") * m("stc") - m("st") * m("sc")
+    val slope = cov.cast("double") / detT.cast("double")
+    m.select(col("event_type"), col("n"),
+      when(detT > 0L, slope).as("slope"),
+      when(detT > 0L,
+        (col("sc").cast("double") - slope * col("st").cast("double")) /
+          col("n").cast("double")).as("intercept"),
+      when(detT > 0L && detC > 0L,
+        (cov.cast("double") * cov.cast("double")) /
+          (detT.cast("double") * detC.cast("double"))).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_jaccard_sets — Jaccard similarity between event-type USER sets:
+    * J(a,b) = |A∩B| / |A∪B| for every unordered type pair — the
+    * set-overlap companion to [[qAssoc]]'s lift (lift asks "dependent?",
+    * Jaccard asks "how much of the audience is shared?"), and the same
+    * statistic MinHash estimates — computed exactly here, so the sketch
+    * paths (q_minhash_sig/q_minhash_lsh) have an audit twin on the
+    * events side.
+    *
+    * Plan: identical skeleton to [[qAssoc]] — the distinct (user, type)
+    * itemset relation shrinks the log before any join (≤ |users|·|types|
+    * rows), the pair join fans out ≤ |types|² per user, per-type set
+    * sizes ride back broadcast. a < b keeps each unordered pair once.
+    *
+    * Determinism: pure exact-BIGINT counts; the ratio is the only
+    * double, in one pinned parenthesization (union size via
+    * inclusion–exclusion n_a + n_b − n_ab, never a second dedup pass).
+    */
+  def qJaccardSets(spark: SparkSession, d: String): DataFrame = {
+    val items = events(spark, d)
+      .select(col("user_id"), col("event_type")).distinct()
+    val itemCnt = items.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    items.select(col("user_id"), col("event_type").as("a"))
+      .join(items.select(col("user_id"), col("event_type").as("b")), "user_id")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(itemCnt.select(col("event_type").as("a"), col("cnt").as("n_a"))), "a")
+      .join(broadcast(itemCnt.select(col("event_type").as("b"), col("cnt").as("n_b"))), "b")
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") /
+          (col("n_a") + col("n_b") - col("n_ab")).cast("double")).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc"         -> qAssoc _,
     "q_chisq"         -> qChisq _,
@@ -553,9 +633,55 @@ object Mining {
     "q_bootstrap_ci"  -> qBootstrapCi _,
     "q_weighted_sample" -> qWeightedSample _,
     "q_welch"         -> qWelch _,
+    "q_linreg"        -> qLinreg _,
+    "q_jaccard_sets"  -> qJaccardSets _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_linreg" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |), m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(c) AS BIGINT) AS sc,
+        |         CAST(SUM(t * t) AS BIGINT) AS stt,
+        |         CAST(SUM(t * c) AS BIGINT) AS stc,
+        |         CAST(SUM(c * c) AS BIGINT) AS scc
+        |  FROM hourly GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |       CASE WHEN (n * stt - st * st) > 0
+        |            THEN CAST(n * stc - st * sc AS DOUBLE)
+        |                 / CAST(n * stt - st * st AS DOUBLE) END AS slope,
+        |       CASE WHEN (n * stt - st * st) > 0
+        |            THEN (CAST(sc AS DOUBLE)
+        |                  - (CAST(n * stc - st * sc AS DOUBLE)
+        |                     / CAST(n * stt - st * st AS DOUBLE))
+        |                    * CAST(st AS DOUBLE))
+        |                 / CAST(n AS DOUBLE) END AS intercept,
+        |       CASE WHEN (n * stt - st * st) > 0 AND (n * scc - sc * sc) > 0
+        |            THEN (CAST(n * stc - st * sc AS DOUBLE)
+        |                  * CAST(n * stc - st * sc AS DOUBLE))
+        |                 / (CAST(n * stt - st * st AS DOUBLE)
+        |                    * CAST(n * scc - sc * sc AS DOUBLE)) END AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_jaccard_sets" ->
+      """WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+        |ic AS (SELECT event_type, COUNT(*) AS cnt FROM items GROUP BY event_type),
+        |p AS (
+        |  SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_ab
+        |  FROM items x JOIN items y ON x.user_id = y.user_id
+        |  WHERE x.event_type < y.event_type
+        |  GROUP BY x.event_type, y.event_type
+        |)
+        |SELECT a, b, n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
+        |       CAST(n_ab AS DOUBLE)
+        |         / CAST(ia.cnt + ib.cnt - n_ab AS DOUBLE) AS jaccard
+        |FROM p JOIN ic ia ON p.a = ia.event_type
+        |       JOIN ic ib ON p.b = ib.event_type
+        |ORDER BY a, b""".stripMargin,
     "q_assoc" ->
       """WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
         |u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),

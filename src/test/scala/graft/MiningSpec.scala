@@ -298,4 +298,56 @@ class MiningSpec extends SparkSpec {
       assert(r.getDouble(4) == expected._3, s"$t rn=$rn key")
     }
   }
+
+  test("q_linreg matches the brute-force OLS fit of the hourly count series") {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L, r.getLong(2)))
+    val got = Mining.qLinreg(spark, sfDir).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val pts = hourly.filter(_._1 == r.getString(0)).map(p => (p._2, p._3))
+      val n = pts.length.toLong
+      val st = pts.map(_._1).sum; val sc = pts.map(_._2).sum
+      val stt = pts.map(p => p._1 * p._1).sum
+      val stc = pts.map(p => p._1 * p._2).sum
+      val scc = pts.map(p => p._2 * p._2).sum
+      val detT = n * stt - st * st; val detC = n * scc - sc * sc
+      val cov = n * stc - st * sc
+      assert(r.getLong(1) == n)
+      assert(detT > 0, "fixture has a multi-hour series per type")
+      val slope = cov.toDouble / detT.toDouble
+      assert(r.getDouble(2) == slope, s"${r.getString(0)} slope")
+      assert(r.getDouble(3) ==
+        (sc.toDouble - slope * st.toDouble) / n.toDouble, s"${r.getString(0)} intercept")
+      val r2 = (cov.toDouble * cov.toDouble) / (detT.toDouble * detC.toDouble)
+      assert(r.getDouble(4) == r2, s"${r.getString(0)} r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("q_jaccard_sets matches brute-force set overlap and bounds") {
+    val items = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val byType = items.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val got = Mining.qJaccardSets(spark, sfDir).collect()
+    val types = byType.keySet.toSeq.sorted
+    // every unordered pair with a non-empty intersection appears exactly once
+    val expectedPairs = (for {
+      a <- types; b <- types if a < b
+      if (byType(a) intersect byType(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == expectedPairs)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val inter = (byType(a) intersect byType(b)).size.toLong
+      val union = (byType(a) union byType(b)).size.toLong
+      assert(r.getLong(2) == inter && r.getLong(3) == byType(a).size.toLong &&
+        r.getLong(4) == byType(b).size.toLong, s"$a/$b counts")
+      assert(r.getDouble(5) == inter.toDouble / union.toDouble, s"$a/$b jaccard")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }
