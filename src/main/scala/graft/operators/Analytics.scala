@@ -916,6 +916,68 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_s"), col("day_offset"))
 
+  /** q_cum_users — daily growth accounting: per day, distinct active
+    * users (DAU), NEW users (first ever touch), and the cumulative
+    * distinct user count to date. The naive cumulative-distinct is
+    * O(events × days) — re-deduplicating the whole prefix per day.
+    * The first-touch identity (cumulative distinct == running sum of
+    * first-touch counts) makes it two aggregates: ONE pass dedups to the
+    * user-day relation, per-user min-day gives first touches, and the
+    * cumulative sum is a window over the DAY SPINE — domain-sized, never
+    * corpus-sized (the q_ks_test stance), so the unpartitioned window is
+    * legal at 100 TB. Every new-user day is by definition an active day,
+    * so the left join onto DAU days drops nothing.
+    *
+    * Determinism: everything is exact BIGINT counts on exact
+    * midnight-truncated days; day rendered via the tsSeconds contract.
+    */
+  def qCumUsers(spark: SparkSession, d: String): DataFrame = {
+    val ud = events(spark, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val news = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dau.join(news, Seq("day"), "left")
+      .select(col("day"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(tsSeconds(col("day")).as("day_s"), col("dau"),
+        col("new_users"), col("cum_users"))
+      .orderBy(col("day_s"))
+  }
+
+  /** q_streaks — gaps-and-islands: per user, the activity-run structure
+    * of their calendar (number of maximal consecutive-day runs, total
+    * active days, longest streak) — the classic engagement feature, and
+    * THE canonical SQL pattern for "consecutive" questions (the island
+    * key day − row_number is constant exactly within a gap-free run).
+    *
+    * Plan: the log dedups to the user-day relation first (map-side
+    * partial, ≤ |users|·|days| rows at any volume); the island window
+    * partitions by user — parallel across users, sort amortized by the
+    * grouping shuffle — and both downstream aggregates reuse that
+    * user-hash partitioning (no second Exchange).
+    *
+    * Determinism: days are exact epoch-day BIGINTs (unix_micros DIV
+    * 86400000000 — the q_linreg integer-DIV contract); every output is
+    * an exact count.
+    */
+  def qStreaks(spark: SparkSession, d: String): DataFrame = {
+    val ud = events(spark, d)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) DIV 86400000000").as("dy"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dy"))
+    ud.withColumn("grp", col("dy") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("active_days"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -1700,6 +1762,8 @@ object Analytics {
     "q_rolling_avg"     -> qRollingAvg _,
     "q_anomaly"         -> qAnomaly _,
     "q_retention"       -> qRetention _,
+    "q_cum_users"       -> qCumUsers _,
+    "q_streaks"         -> qStreaks _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2194,6 +2258,39 @@ object Analytics {
         |FROM ud JOIN c ON ud.user_id = c.user_id
         |GROUP BY cohort_s, day_offset
         |ORDER BY cohort_s, day_offset""".stripMargin,
+    "q_cum_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |), dau AS (
+        |  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+        |), fi AS (
+        |  SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id
+        |), nw AS (
+        |  SELECT day, COUNT(*) AS new_users FROM fi GROUP BY day
+        |)
+        |SELECT strftime(dau.day, '%Y-%m-%d %H:%M:%S') AS day_s, dau.dau AS dau,
+        |       COALESCE(nw.new_users, 0) AS new_users,
+        |       CAST(SUM(COALESCE(nw.new_users, 0))
+        |         OVER (ORDER BY dau.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cum_users
+        |FROM dau LEFT JOIN nw ON dau.day = nw.day
+        |ORDER BY day_s""".stripMargin,
+    "q_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(date_trunc('day', ts)) // 86400000000 AS dy
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, dy,
+        |         dy - row_number() OVER (PARTITION BY user_id ORDER BY dy) AS grp
+        |  FROM ud
+        |), i AS (
+        |  SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp
+        |)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |       CAST(SUM(len) AS BIGINT) AS active_days,
+        |       CAST(MAX(len) AS BIGINT) AS longest_streak
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_mode" ->
       """SELECT user_id, event_type AS mode_type, n AS top_n FROM (
         |  SELECT user_id, event_type, COUNT(*) AS n

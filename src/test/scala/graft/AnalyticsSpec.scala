@@ -588,4 +588,48 @@ class AnalyticsSpec extends SparkSpec {
     // events), or the cogroup's empty-iterator branch goes untested.
     assert(got.exists(r => r.getLong(1) == 0L || r.getLong(3) == 0L))
   }
+
+  test("q_cum_users: first-touch identity equals brute-force cumulative distinct") {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).distinct
+    val days = ud.map(_._2).distinct.sorted
+    val got = Analytics.qCumUsers(spark, sfDir).collect()
+    assert(got.length == days.length)
+    got.zip(days).foreach { case (r, day) =>
+      val active = ud.filter(_._2 == day).map(_._1).toSet
+      // brute-force cumulative distinct: dedup the whole prefix per day —
+      // the O(n·days) definition the first-touch identity replaces.
+      val cum = ud.filter(_._2 <= day).map(_._1).toSet
+      val prev = ud.filter(_._2 < day).map(_._1).toSet
+      assert(r.getLong(1) == active.size.toLong, s"dau@$day")
+      assert(r.getLong(2) == (cum -- prev).size.toLong, s"new@$day")
+      assert(r.getLong(3) == cum.size.toLong, s"cum@$day")
+    }
+    // monotone non-decreasing cumulative curve ending at total distinct
+    assert(got.last.getLong(3) == ud.map(_._1).distinct.length.toLong)
+    assert(got.sliding(2).forall(p => p.head.getLong(3) <= p.last.getLong(3)))
+  }
+
+  test("q_streaks matches a brute-force consecutive-day run scan per user") {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 86400000L)).distinct
+    val got = Analytics.qStreaks(spark, sfDir).collect()
+    val byUser = ud.groupBy(_._1)
+    assert(got.length == byUser.size)
+    got.foreach { r =>
+      val days = byUser(r.getLong(0)).map(_._2).sorted
+      // brute-force island scan: split the sorted day list at gaps > 1
+      val runs = days.tail.foldLeft(List(List(days.head))) { (acc, d) =>
+        if (d == acc.head.head + 1) (d :: acc.head) :: acc.tail
+        else List(d) :: acc
+      }
+      assert(r.getLong(1) == runs.length.toLong, s"islands for ${r.getLong(0)}")
+      assert(r.getLong(2) == days.length.toLong, s"active for ${r.getLong(0)}")
+      assert(r.getLong(3) == runs.map(_.length).max.toLong, s"streak for ${r.getLong(0)}")
+    }
+    // the fixture must exercise a real gap or islands degenerate to 1 run
+    assert(got.exists(_.getLong(1) > 1L))
+  }
 }
