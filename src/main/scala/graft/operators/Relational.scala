@@ -56,6 +56,39 @@ object Relational {
         |FROM daily ORDER BY event_type, day""".stripMargin)
   }
 
+  /** q_exists — the correlated-subquery surface: EXISTS, NOT EXISTS and
+    * a correlated scalar aggregate subquery in one statement — the
+    * SQL-canon forms users write long before they reach for join
+    * combinators. Catalyst's RewritePredicateSubquery / scalar-subquery
+    * decorrelation compile them to the SAME physical plans the explicit
+    * q_join_semi / q_join_anti operators produce — a broadcast LEFT SEMI,
+    * a broadcast LEFT ANTI, and an aggregate-then-outer-join — so the
+    * subquery notation costs NOTHING at 100 TB: no per-row re-execution
+    * of the inner query (the naive reading), just three joins against
+    * ONE shared orders scan. PlanSpec pins LeftSemi + LeftAnti presence
+    * and that no subquery survives into the optimized plan.
+    *
+    * Like [[qSql]], the statement is deliberately ANSI-portable — the
+    * oracle runs a near-verbatim copy.
+    */
+  def qExists(spark: SparkSession, d: String): DataFrame = {
+    customer(spark, d).createOrReplaceTempView("graft_customer")
+    orders(spark, d).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |       (SELECT COUNT(*) FROM graft_orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM graft_customer c
+        |WHERE EXISTS (SELECT 1 FROM graft_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice < 50000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** q_limit — deterministic client-side limit, the `raw[:30]` slice of
     * github_events (app.py:144). Ordered first so the 30 rows are stable.
     */
@@ -181,6 +214,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan"        -> qScan _,
     "q_sql"         -> qSql _,
+    "q_exists"      -> qExists _,
     "q_limit"       -> qLimit _,
     "q_filter_eq"   -> qFilterEq _,
     "q_cast_double" -> qCastDouble _,
@@ -209,6 +243,19 @@ object Relational {
         |       RANK() OVER (PARTITION BY event_type ORDER BY n DESC, day)
         |         AS busy_rank
         |FROM daily ORDER BY event_type, day""".stripMargin,
+    "q_exists" ->
+      """SELECT c_custkey,
+        |       (SELECT COUNT(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice < 50000.0)
+        |ORDER BY c_custkey""".stripMargin,
     "q_limit" ->
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id LIMIT 30""".stripMargin,

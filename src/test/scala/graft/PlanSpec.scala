@@ -252,6 +252,22 @@ class PlanSpec extends SparkSpec {
       s"pagerank's top-20 must be a heap, not a global sort:\n$p")
   }
 
+  test("q_exists decorrelates every subquery into semi/anti/outer joins") {
+    val df = Relational.qExists(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // RewritePredicateSubquery must have consumed EXISTS / NOT EXISTS —
+    // the naive per-row inner-query re-execution never exists in Catalyst.
+    assert(opt.contains("LeftSemi"),
+      s"EXISTS must become a left-semi join:\n$opt")
+    assert(opt.contains("LeftAnti"),
+      s"NOT EXISTS must become a left-anti join:\n$opt")
+    assert(!opt.toLowerCase.contains("exists("),
+      s"no subquery expression may survive optimization:\n$opt")
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelated subqueries must stay equi-joins:\n$p")
+  }
+
   test("q_snapshot_diff and q_zorder push their predicates into the parquet scan") {
     for ((name, df) <- Seq(
         "q_snapshot_diff" -> Analytics.qSnapshotDiff(spark, sfDir),

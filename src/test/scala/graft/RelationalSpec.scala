@@ -62,4 +62,26 @@ class RelationalSpec extends SparkSpec {
     val b = Relational.qLimit(spark, sfDir).collect().toSeq
     assert(a == b && a.size == 30)
   }
+
+  test("q_exists matches a brute-force evaluation of all three subqueries") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val custs = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val byCust = orders.groupBy(_._1)
+    val want = custs.filter { c =>
+      val os = byCust.getOrElse(c, Array.empty)
+      os.exists(_._3 > 400000.0) &&
+        !os.exists(o => o._2 == "F" && o._3 < 50000.0)
+    }.sorted.map(c => (c, byCust(c).length.toLong))
+    val res = Relational.qExists(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(res == want.toSeq)
+    // the fixture must exercise BOTH filters (some pass EXISTS but fail
+    // NOT EXISTS), or the anti-join is dead weight
+    val existsOnly = custs.count(c =>
+      byCust.getOrElse(c, Array.empty).exists(_._3 > 400000.0))
+    assert(res.size > 0 && res.size < existsOnly)
+  }
 }
