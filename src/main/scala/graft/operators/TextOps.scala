@@ -966,6 +966,13 @@ object TextOps {
     org.apache.spark.sql.GraftSqlBridge.column(graft.functions.LnLibm(
       org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
+  /** Unicode NFC canonical composition via the codegen'd
+    * [[graft.functions.NfcNormalize]] — see q_clean_text.
+    */
+  private def nfc(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.NfcNormalize(
+      org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
   /** q_tfidf — per-(document, term) TF-IDF weights, the standard
     * relevance/quality signal of a text pipeline: tf = term count in the
     * doc, df = number of docs containing the term, weight = tf · ln(N/df).
@@ -1065,6 +1072,39 @@ object TextOps {
         size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
           .as("n_redactions"))
       .orderBy(col("doc_id"))
+
+  /** q_clean_text — the web-corpus sanitization pipeline: markup strip →
+    * whitespace collapse → Unicode NFC normalization, the three
+    * transforms every crawl-derived corpus passes through BEFORE any
+    * dedup or tokenization (tag spam skews quality scores; byte-different
+    * NFD/NFC spellings of the same text defeat every hash-based dedup in
+    * the engine — see [[graft.functions.NfcNormalize]]).
+    *
+    * The fixture text is born clean, so the query first injects the dirt
+    * deterministically — wraps each doc in HTML tags and appends a
+    * DECOMPOSED e + U+0301 — with the identical construction in the
+    * oracle; n_before ≠ n_after on every row then PROVES the composition
+    * pass actually fired (é collapses 2 code points → 1), rather than
+    * vacuously passing on already-NFC text.
+    *
+    * Plan: pure per-row expressions — regexp_replace chain (Java-regex /
+    * RE2-identical syntax: explicit classes, no shorthands) and the
+    * codegen'd NFC expression, all inside whole-stage codegen, zero
+    * shuffle (map-only at any scale). Lengths are code-point counts in
+    * both engines.
+    */
+  def qCleanText(spark: SparkSession, d: String): DataFrame = {
+    val dirty = concat(lit("<p class=\"x\">"), col("text"),
+      lit("</p> <br/>é fin")) // the é is DELIBERATELY decomposed bytes (65 CC 81 = e + U+0301)
+    val raw = trim(regexp_replace(
+      regexp_replace(dirty, "<[^>]*>", " "), "[ ]+", " "))
+    documents(spark, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), nfc(col("raw")).as("clean"),
+        length(col("raw")).as("n_before"),
+        length(nfc(col("raw"))).as("n_after"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Docs kept per language by [[qCurate]]'s final selection. */
   val CuratePerLang = 50
@@ -1280,6 +1320,7 @@ object TextOps {
     "q_tfidf"         -> qTfidf _,
     "q_pmi_bigrams"   -> qPmiBigrams _,
     "q_redact"        -> qRedact _,
+    "q_clean_text"    -> qCleanText _,
   )
 
   // ---- DuckDB oracle: identical tokenization, hashing, and arithmetic ----
@@ -1780,6 +1821,18 @@ object TextOps {
         |       regexp_replace(text, '[0-9]+', '#', 'g') AS redacted,
         |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_redactions
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_clean_text" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(
+        |           '<p class="x">' || text || '</p> <br/>e' || chr(769) || ' fin',
+        |           '<[^>]*>', ' ', 'g'), '[ ]+', ' ', 'g')) AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id, nfc_normalize(raw) AS clean,
+        |       CAST(length(raw) AS INTEGER) AS n_before,
+        |       CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_after
+        |FROM raw ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -570,4 +570,34 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("NfcNormalize composes NFD to NFC and is identity on canonical text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = "caf" + "é" // NFD: e + combining acute
+    val composed = "café"         // NFC: precomposed é
+    assert(graft.functions.NfcNormalize
+      .normalize(UTF8String.fromString(decomposed)).toString == composed)
+    // identity fast path returns the SAME UTF8String for canonical input
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(graft.functions.NfcNormalize.normalize(ascii) eq ascii)
+  }
+
+  test("q_clean_text strips all markup and the NFC pass provably fires per row") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = TextOps.qCleanText(spark, sfDir).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val clean = r.getString(1)
+      assert(!clean.contains("<") && !clean.contains(">"), s"tags survived: $clean")
+      assert(!clean.contains("  "), "whitespace not collapsed")
+      // the injected NFD é composed to exactly one precomposed code point
+      assert(clean.endsWith("é fin"), s"NFC tail missing: ${clean.takeRight(8)}")
+      assert(r.getInt(2) - r.getInt(3) == 1,
+        s"doc ${r.getLong(0)}: NFC must collapse exactly the injected pair")
+      // the cleaned body is the original text (fixture text is tag-free)
+      assert(clean == docs(r.getLong(0)) + " é fin", s"doc ${r.getLong(0)} body")
+    }
+  }
 }
