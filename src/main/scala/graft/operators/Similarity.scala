@@ -408,6 +408,98 @@ object Similarity {
       .orderBy(col("cid"), col("pos"))
   }
 
+  /** Embedding dimensionality of the fixture corpus (TESTDATA.md). */
+  val EmbDim = 64
+
+  /** Fixed-point scale for [[qPowerIter]]'s Gram accumulation: products
+    * of embedding coords (|x| ≤ ~0.53 ⇒ |x·y| ≤ ~0.28) scale to ≤ 2.8e9
+    * per row — exact BIGINT adds, order-independent under any
+    * partitioning, the q_bootstrap_ci fixed-point contract. Width
+    * budget: row sums must stay double-exact (< 2⁵³) for the normalize
+    * step — u_i ≤ dim·N·0.28·scale ⇒ at this scale the cast is exact to
+    * N ≈ 5·10⁵ vectors; beyond that a production run drops the scale a
+    * decade per 10× corpus (the documented knob), long before the
+    * BIGINT itself saturates.
+    */
+  val GramScale = 1.0e10
+
+  /** q_power_iter — the dominant principal direction of the embedding
+    * corpus: the d×d Gram matrix G = Σ x xᵀ computed DISTRIBUTED, then
+    * one power-iteration step v = G·1 / ‖G·1‖ with its Rayleigh
+    * quotient λ = vᵀGv — the building block of PCA/spectral embedding
+    * quality checks ("how much of the corpus is one direction?" — a
+    * collapsed embedding model shows λ ≈ trace).
+    *
+    * Plan — the two-scale shape that makes spectral work distributable:
+    * ALL the data-volume work is the Gram accumulation, done by typed
+    * `mapPartitions` with ONE d² long array per partition (an Expression
+    * can't express a d²-cell accumulator — the Multimodal/TopKPerGroup
+    * escape-hatch criterion) — no d²× row explosion (the naive
+    * posexplode² pays ×4096 rows; here the fan-out happens in a CPU
+    * register loop), shuffle volume = partitions × d² longs regardless
+    * of corpus size. Everything after (row sums, normalize, matvec,
+    * Rayleigh fold) runs on the d²-row cell relation — constant-sized at
+    * any scale. Further Lloyd-style iterations = re-run the cheap tail
+    * with v broadcast (the q_kmeans_step driver-loop contract).
+    *
+    * Determinism: fixed-point BIGINT Gram (floor(x·scale + 0.5) —
+    * floor-plus-half, NOT round(): Java round half-up vs DuckDB
+    * half-away-from-zero diverge on negative halves); u_i exact BIGINTs
+    * cast double-exactly (width budget at [[GramScale]]); the norm and
+    * Rayleigh sums are ORDERED folds (i, then (i,j)) with one pinned
+    * parenthesization per term, replayed by the oracle's list_reduce.
+    */
+  def qPowerIter(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dim = EmbDim
+    val partials = embeddings(spark, d).select(col("embedding"))
+      .as[Array[Float]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](dim * dim)
+        it.foreach { x =>
+          var i = 0
+          while (i < dim) {
+            val xi = x(i).toDouble
+            var j = 0
+            while (j < dim) {
+              acc(i * dim + j) += math.floor(xi * x(j).toDouble * GramScale + 0.5).toLong
+              j += 1
+            }
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+    val cells = partials
+      .select(posexplode(col("value")).as(Seq("p", "gp")))
+      .groupBy(expr(s"p DIV $dim + 1").as("i"), expr(s"p % $dim + 1").as("j"))
+      .agg(sum(col("gp")).as("g"))
+    val u = cells.groupBy(col("i")).agg(sum(col("g")).as("u"))
+    val uReal = col("u").cast("double") / lit(GramScale)
+    val nrm = u
+      .agg(sort_array(collect_list(struct(col("i"),
+        (uReal * uReal).as("sq")))).as("xs"))
+      .select(sqrt(
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.sq)"))
+        .as("nrm"))
+    val v = u.crossJoin(broadcast(nrm))
+      .select(col("i"), col("u"), (uReal / col("nrm")).as("v"))
+    val lam = cells
+      .join(broadcast(v.select(col("i"), col("v").as("vi"))), "i")
+      .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
+      .select(col("i"), col("j"),
+        ((col("vi") * (col("g").cast("double") / lit(GramScale))) * col("vj"))
+          .as("term"))
+      .agg(sort_array(collect_list(struct(col("i"), col("j"), col("term"))))
+        .as("ts"))
+      .select(
+        expr("aggregate(ts, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
+          .as("lambda"))
+    v.crossJoin(broadcast(lam))
+      .select(col("i"), col("u"), col("v"), col("lambda"))
+      .orderBy(col("i"))
+  }
+
   /** q_vec_minmax — per-dimension min/max over the embedding corpus: the
     * calibration pass every vector-quantization scheme (int8 scalar
     * quantization, PQ codebook training) runs before compressing an ANN
@@ -467,6 +559,7 @@ object Similarity {
     "q_kmeans_step"     -> qKmeansStep _,
     "q_vec_minmax"      -> qVecMinmax _,
     "q_label_entropy"   -> qLabelEntropy _,
+    "q_power_iter"      -> qPowerIter _,
   )
 
   // ---- DuckDB oracle: the same left-to-right double arithmetic ----------
@@ -499,6 +592,35 @@ object Similarity {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_power_iter" ->
+      """WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding) AS x
+        |  FROM embeddings
+        |), cells AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |         CAST(SUM(CAST(floor(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+        |                             * 1e10 + 0.5) AS BIGINT)) AS BIGINT) AS g
+        |  FROM flat a JOIN flat b USING (vec_id)
+        |  GROUP BY a.i, b.i
+        |), u AS (
+        |  SELECT i, CAST(SUM(g) AS BIGINT) AS u FROM cells GROUP BY i
+        |), nrm AS (
+        |  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list((CAST(u AS DOUBLE) / 1e10) * (CAST(u AS DOUBLE) / 1e10)
+        |         ORDER BY i)), (acc, x) -> acc + x)) AS nrm
+        |  FROM u
+        |), v AS (
+        |  SELECT i, u, (CAST(u AS DOUBLE) / 1e10) / nrm AS v
+        |  FROM u CROSS JOIN nrm
+        |), lam AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list((vi.v * (CAST(c.g AS DOUBLE) / 1e10)) * vj.v
+        |         ORDER BY c.i, c.j)), (acc, x) -> acc + x) AS lambda
+        |  FROM cells c JOIN v vi ON c.i = vi.i JOIN v vj ON c.j = vj.i
+        |)
+        |SELECT CAST(v.i AS BIGINT) AS i, v.u, v.v, lam.lambda
+        |FROM v CROSS JOIN lam ORDER BY i""".stripMargin,
     "q_vec_minmax" ->
       """SELECT pos, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n FROM (
         |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,

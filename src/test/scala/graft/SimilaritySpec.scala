@@ -273,4 +273,42 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q_power_iter replays the fixed-point Gram + power step brute-force") {
+    val dim = Similarity.EmbDim
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    // fixed-point Gram: exact longs, order-independent
+    val gram = Array.ofDim[Long](dim, dim)
+    vecs.foreach { x =>
+      for (i <- 0 until dim; j <- 0 until dim)
+        gram(i)(j) += math.floor(
+          x(i).toDouble * x(j).toDouble * Similarity.GramScale + 0.5).toLong
+    }
+    val u = gram.map(_.sum)
+    var nsq = 0.0
+    u.foreach { ui =>
+      val r = ui.toDouble / Similarity.GramScale; nsq += r * r }
+    val nrm = math.sqrt(nsq)
+    val v = u.map(ui => (ui.toDouble / Similarity.GramScale) / nrm)
+    var lambda = 0.0
+    for (i <- 0 until dim; j <- 0 until dim)
+      lambda += (v(i) * (gram(i)(j).toDouble / Similarity.GramScale)) * v(j)
+    val got = Similarity.qPowerIter(spark, sfDir).collect()
+    assert(got.length == dim)
+    got.zipWithIndex.foreach { case (r, idx) =>
+      assert(r.getLong(0) == idx + 1L)
+      assert(r.getLong(1) == u(idx), s"row sum at ${idx + 1}")
+      assert(r.getDouble(2) == v(idx), s"v at ${idx + 1}")
+      assert(r.getDouble(3) == lambda, s"lambda at ${idx + 1}")
+    }
+    // Rayleigh quotient of a PSD Gram: 0 < lambda <= trace, and the
+    // one-step iterate must already dominate the average eigenvalue.
+    val trace = (0 until dim).map(i => gram(i)(i).toDouble / Similarity.GramScale).sum
+    assert(lambda > 0.0 && lambda <= trace)
+    assert(lambda >= trace / dim, "power step must beat the mean eigenvalue")
+    // v is unit-norm
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+  }
 }
