@@ -112,6 +112,15 @@ object Tables {
     * associative (safe under any partitioning / AQE re-plan), then the final
     * cast back to double is correctly rounded in both engines.
     * Oracle SQL equivalent: `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`.
+    *
+    * VALIDITY RANGE: the contract holds only while |x|·10⁶ < 2⁵³ ≈ 9·10¹⁵
+    * (i.e. |x| ≲ 9·10⁹). DuckDB implements double→decimal as a double
+    * multiply by 10^scale + nearest-int; Spark goes through BigDecimal —
+    * they agree exactly when that multiply is exact and diverge in the last
+    * digits past it (measured on Σv⁴ in q_moments). Above the bound, use
+    * the explicit fixed-point form instead:
+    * `SUM(CAST(floor(x·10^s + 0.5) AS BIGINT))` at an s that fits — the
+    * same IEEE ops in both engines by construction.
     */
   def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
 

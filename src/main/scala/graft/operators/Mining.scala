@@ -620,6 +620,58 @@ object Mining {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q_moments — per-type higher-moment shape diagnostics: population
+    * variance, skewness and excess kurtosis of `value` — the
+    * distribution-shape triage (heavy tail? lopsided? peaked?) a
+    * pipeline runs before choosing transforms/clips, completing the
+    * moment ladder ([[qWelch]] stops at the 2nd moment).
+    *
+    * Plan: ONE map-side-partial aggregate per group collecting the four
+    * raw power sums — a single pass, no window, |types| rows out.
+    *
+    * Determinism: Σv..Σv³ go through the exactSum decimal contract —
+    * legal because a double→decimal(scale 6) cast is only cross-engine
+    * stable while v^k·10⁶ < 2⁵³ (DuckDB converts via a double multiply
+    * by 10^scale; Spark via BigDecimal — they agree only when that
+    * multiply is exact; v ≤ ~560 keeps v³·10⁶ ≈ 10¹⁴ safe). v⁴·10⁶ ≈
+    * 10¹⁷ CROSSES the boundary (measured: the engines' s4 differ in the
+    * last decimal digits), so the 4th moment uses the explicit
+    * fixed-point contract instead — floor(v⁴·100 + 0.5) summed as
+    * BIGINT, identical IEEE ops in both engines by construction (the
+    * q_bootstrap_ci / q_power_iter recipe; width: ≤ 10¹³ per row).
+    * Central moments are assembled from the raw sums in a pinned
+    * stepwise double chain mirrored column-by-column in the oracle
+    * (the q_welch contract); σ³ written as sqrt(v2)·v2 (no pow());
+    * zero-variance groups NULLed by the same guard both sides.
+    */
+  def qMoments(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.exactSum(col("value")).as("s1"),
+        graft.Tables.exactSum(col("value") * col("value")).as("s2"),
+        graft.Tables.exactSum((col("value") * col("value")) * col("value")).as("s3"),
+        sum(floor(((col("value") * col("value")) * col("value")) * col("value")
+          * lit(100.0) + lit(0.5)).cast("long")).as("s4i"))
+      .select(col("event_type"), col("n"), col("s1"), col("s2"), col("s3"),
+        (col("s4i").cast("double") / lit(100.0)).as("s4"))
+      .select(col("event_type"), col("n"),
+        expr("s1 / CAST(n AS DOUBLE)").as("mean"),
+        expr("s2 / CAST(n AS DOUBLE)").as("r2"),
+        expr("s3 / CAST(n AS DOUBLE)").as("r3"),
+        expr("s4 / CAST(n AS DOUBLE)").as("r4"))
+      .select(col("event_type"), col("n"), col("mean"),
+        expr("r2 - mean * mean").as("variance"),
+        expr("r3 - (3.0 * mean) * r2 + (2.0 * mean) * (mean * mean)").as("m3"),
+        expr("r4 - (4.0 * mean) * r3 + ((6.0 * mean) * mean) * r2 " +
+          "- ((3.0 * mean) * mean) * (mean * mean)").as("m4"))
+      .select(col("event_type"), col("n"), col("mean"), col("variance"),
+        when(col("variance") > 0.0,
+          expr("m3 / (sqrt(variance) * variance)")).as("skewness"),
+        when(col("variance") > 0.0,
+          expr("m4 / (variance * variance) - 3.0")).as("kurtosis_ex"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc"         -> qAssoc _,
     "q_chisq"         -> qChisq _,
@@ -635,9 +687,40 @@ object Mining {
     "q_welch"         -> qWelch _,
     "q_linreg"        -> qLinreg _,
     "q_jaccard_sets"  -> qJaccardSets _,
+    "q_moments"       -> qMoments _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_moments" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |         CAST(SUM(CAST((value * value) * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+        |         CAST(CAST(SUM(CAST(floor(((value * value) * value) * value
+        |           * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS s4
+        |  FROM events GROUP BY event_type
+        |), r AS (
+        |  SELECT event_type, n,
+        |         s1 / CAST(n AS DOUBLE) AS mean,
+        |         s2 / CAST(n AS DOUBLE) AS r2,
+        |         s3 / CAST(n AS DOUBLE) AS r3,
+        |         s4 / CAST(n AS DOUBLE) AS r4
+        |  FROM s
+        |), c AS (
+        |  SELECT event_type, n, mean,
+        |         r2 - mean * mean AS variance,
+        |         r3 - (3.0 * mean) * r2 + (2.0 * mean) * (mean * mean) AS m3,
+        |         r4 - (4.0 * mean) * r3 + ((6.0 * mean) * mean) * r2
+        |           - ((3.0 * mean) * mean) * (mean * mean) AS m4
+        |  FROM r
+        |)
+        |SELECT event_type, n, mean, variance,
+        |       CASE WHEN variance > 0.0
+        |            THEN m3 / (sqrt(variance) * variance) END AS skewness,
+        |       CASE WHEN variance > 0.0
+        |            THEN m4 / (variance * variance) - 3.0 END AS kurtosis_ex
+        |FROM c ORDER BY event_type""".stripMargin,
     "q_linreg" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,

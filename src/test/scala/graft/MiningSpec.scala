@@ -327,6 +327,40 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q_moments matches the brute-force central-moment assembly") {
+    import scala.math.BigDecimal.RoundingMode
+    def dec(x: Double): BigDecimal = BigDecimal(x).setScale(6, RoundingMode.HALF_UP)
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val got = Mining.qMoments(spark, sfDir).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val vs = rows.filter(_._1 == r.getString(0)).map(_._2)
+      val n = vs.length.toDouble
+      val s1 = vs.map(dec).sum.toDouble
+      val s2 = vs.map(v => dec(v * v)).sum.toDouble
+      val s3 = vs.map(v => dec((v * v) * v)).sum.toDouble
+      val s4 = vs.map(v =>
+        math.floor(((v * v) * v) * v * 100.0 + 0.5).toLong).sum.toDouble / 100.0
+      val mean = s1 / n
+      val (r2, r3, r4) = (s2 / n, s3 / n, s4 / n)
+      val variance = r2 - mean * mean
+      val m3 = r3 - (3.0 * mean) * r2 + (2.0 * mean) * (mean * mean)
+      val m4 = r4 - (4.0 * mean) * r3 + ((6.0 * mean) * mean) * r2 -
+        ((3.0 * mean) * mean) * (mean * mean)
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(r.getDouble(2) == mean && r.getDouble(3) == variance,
+        s"${r.getString(0)} mean/var")
+      assert(r.getDouble(4) == m3 / (math.sqrt(variance) * variance),
+        s"${r.getString(0)} skew")
+      assert(r.getDouble(5) == m4 / (variance * variance) - 3.0,
+        s"${r.getString(0)} kurt")
+      // a uniform-ish value distribution is platykurtic: sanity-bound
+      assert(variance > 0.0 && r.getDouble(5) > -3.0)
+    }
+  }
+
   test("q_jaccard_sets matches brute-force set overlap and bounds") {
     val items = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type")).collect()
