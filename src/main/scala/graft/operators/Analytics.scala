@@ -978,6 +978,44 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** q_wau — rolling 7-day active users per day, plus the DAU/WAU
+    * stickiness ratio — the engagement dashboard's second row, and the
+    * canonical SLIDING-window distinct count ([[qCumUsers]] is the
+    * unbounded cumulative case; a sliding distinct has no first-touch
+    * shortcut because users leave the window again).
+    *
+    * Plan: the log dedups once to the user-day relation; each user-day
+    * then contributes to exactly the 7 window ends it can serve
+    * (sequence + explode — a BOUNDED ×7 fan-out, the window length,
+    * never the data), deduped and counted per day. Everything after the
+    * first pass is ≤ 7·|users|·|days| rows — calendar-bounded at any
+    * volume. Phantom trailing days (windows ending past the last active
+    * day) are dropped by joining back to the observed day spine.
+    *
+    * Determinism: days are exact epoch-day BIGINTs; counts exact; the
+    * stickiness ratio is the single pinned double.
+    */
+  def qWau(spark: SparkSession, d: String): DataFrame = {
+    val ud = events(spark, d)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) DIV 86400000000").as("dy"))
+      .distinct()
+    val days = ud.select(col("dy")).distinct()
+    val dau = ud.groupBy(col("dy")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("dy"), col("dy") + lit(6L))).as("td"))
+      .distinct()
+      .join(days.select(col("dy").as("td")), "td")
+      .groupBy(col("td")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("dy") === col("td"))
+      .select(
+        tsSeconds(timestamp_micros(col("dy") * lit(86400000000L))).as("day_s"),
+        col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy(col("day_s"))
+  }
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -1764,6 +1802,7 @@ object Analytics {
     "q_retention"       -> qRetention _,
     "q_cum_users"       -> qCumUsers _,
     "q_streaks"         -> qStreaks _,
+    "q_wau"             -> qWau _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2274,6 +2313,27 @@ object Analytics {
         |         OVER (ORDER BY dau.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |         AS cum_users
         |FROM dau LEFT JOIN nw ON dau.day = nw.day
+        |ORDER BY day_s""".stripMargin,
+    "q_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(date_trunc('day', ts)) // 86400000000 AS dy
+        |  FROM events
+        |), days AS (SELECT DISTINCT dy FROM ud),
+        |dau AS (SELECT dy, COUNT(*) AS dau FROM ud GROUP BY dy),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, dy + o AS td
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+        |), wau AS (
+        |  SELECT td, COUNT(*) AS wau
+        |  FROM contrib JOIN days ON contrib.td = days.dy
+        |  GROUP BY td
+        |)
+        |SELECT strftime(make_timestamp(dau.dy * 86400000000),
+        |         '%Y-%m-%d %H:%M:%S') AS day_s,
+        |       dau.dau AS dau, wau.wau AS wau,
+        |       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON dau.dy = wau.td
         |ORDER BY day_s""".stripMargin,
     "q_streaks" ->
       """WITH ud AS (

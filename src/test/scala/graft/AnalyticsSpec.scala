@@ -611,6 +611,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.sliding(2).forall(p => p.head.getLong(3) <= p.last.getLong(3)))
   }
 
+  test("q_wau matches the brute-force trailing-7-day distinct scan") {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 86400000L)).distinct
+    val days = ud.map(_._2).distinct.sorted
+    val got = Analytics.qWau(spark, sfDir).collect()
+    assert(got.length == days.length)
+    got.zip(days).foreach { case (r, day) =>
+      val dau = ud.filter(_._2 == day).map(_._1).toSet
+      // brute force: distinct users over the trailing 7-day window
+      val wau = ud.filter(u => u._2 <= day && u._2 >= day - 6).map(_._1).toSet
+      assert(r.getLong(1) == dau.size.toLong, s"dau@$day")
+      assert(r.getLong(2) == wau.size.toLong, s"wau@$day")
+      assert(r.getDouble(3) == dau.size.toDouble / wau.size.toDouble)
+      assert(dau.subsetOf(wau))
+    }
+    // after the 7th day the window is saturated: wau must exceed dau
+    // somewhere or the window degenerated to a copy of dau
+    assert(got.drop(6).exists(r => r.getLong(2) > r.getLong(1)))
+  }
+
   test("q_streaks matches a brute-force consecutive-day run scan per user") {
     val ud = Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day")).collect()
