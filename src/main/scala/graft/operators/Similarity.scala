@@ -411,6 +411,76 @@ object Similarity {
   /** Embedding dimensionality of the fixture corpus (TESTDATA.md). */
   val EmbDim = 64
 
+  /** Queries evaluated by [[qRecallEval]] (vec_ids 1..N). */
+  val EvalQueries = 20
+
+  /** Cut-off for [[qRecallEval]]'s recall@k. */
+  val RecallK = 10
+
+  /** q_recall_eval — the ANN EVALUATION HARNESS as a query: recall@k of
+    * the banded sign-LSH candidate scheme against brute-force cosine
+    * truth, per query, over a fixed eval set — the number that decides
+    * whether an index's (bands, rows) geometry ships. An index you can't
+    * measure is an index you can't tune; production ANN work is this
+    * loop (change geometry → re-run recall eval) and SimilaritySpec's
+    * recall properties only pin ONE query's floor — this pins the whole
+    * eval-set distribution under the driver's hash gate.
+    *
+    * Plan: truth is the eval-subset × corpus cross join — ×|eval| row
+    * growth, NOT all-pairs: the eval set is a constant (20 here, maybe
+    * 10³ in production) so this is a broadcast-×-constant scan, the
+    * honest cost of ground truth, run once per tuning round. Candidates
+    * come from the SAME banded equi-join the production path uses
+    * ([[bandCandidates]] — Σ bucket² work), both directions of each
+    * undirected pair. Both sides rank with bounded per-query windows
+    * (rn ≤ k over ≤ corpus rows per eval query; WindowGroupLimit
+    * bounds the sort) and the hit count is a |eval|·k-row join.
+    *
+    * Determinism: cosines are the engine-wide VecDot left-fold contract,
+    * ties broken by c_id; counts exact; recall = ONE pinned double
+    * division by the constant k.
+    */
+  def qRecallEval(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, d)
+    val evalQ = e.filter(col("vec_id").between(1, EvalQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
+    val byCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val truth = corpus.crossJoin(broadcast(evalQ))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosinePre(col("ce"), col("qe"), col("cn"), col("qn")).as("cos"))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= RecallK).select(col("q_id"), col("c_id"))
+    val cand = bandCandidates(spark, d, NdBands, NdRows)
+    val candBoth = cand.select(col("a_id").as("q_id"), col("b_id").as("c_id"))
+      .union(cand.select(col("b_id").as("q_id"), col("a_id").as("c_id")))
+      .filter(col("q_id").between(1, EvalQueries))
+    val approx = candBoth
+      .join(broadcast(evalQ), "q_id")
+      .join(corpus, "c_id")
+      .select(col("q_id"), col("c_id"),
+        cosinePre(col("ce"), col("qe"), col("cn"), col("qn")).as("cos"))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= RecallK).select(col("q_id"), col("c_id"))
+    val hits = truth.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    val nCand = candBoth.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    evalQ.select(col("q_id"))
+      .join(nCand, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(RecallK.toDouble)).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** Fixed-point scale for [[qPowerIter]]'s Gram accumulation: products
     * of embedding coords (|x| ≤ ~0.53 ⇒ |x·y| ≤ ~0.28) scale to ≤ 2.8e9
     * per row — exact BIGINT adds, order-independent under any
@@ -560,6 +630,7 @@ object Similarity {
     "q_vec_minmax"      -> qVecMinmax _,
     "q_label_entropy"   -> qLabelEntropy _,
     "q_power_iter"      -> qPowerIter _,
+    "q_recall_eval"     -> qRecallEval _,
   )
 
   // ---- DuckDB oracle: the same left-to-right double arithmetic ----------
@@ -592,6 +663,51 @@ object Similarity {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_recall_eval" ->
+      s"""WITH bands AS (
+         |  ${ndBandsSql}
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |), cboth AS (
+         |  SELECT a_id AS q_id, b_id AS c_id FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS q_id, a_id AS c_id FROM pairs
+         |), evalq AS (
+         |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND $EvalQueries
+         |), corpus AS (
+         |  SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+         |), truth AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY ${cosSql("ce", "qe")} DESC, c_id) AS rn
+         |    FROM corpus CROSS JOIN evalq WHERE c_id <> q_id
+         |  ) WHERE rn <= $RecallK
+         |), approx AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT cb.q_id, cb.c_id,
+         |           row_number() OVER (PARTITION BY cb.q_id
+         |             ORDER BY ${cosSql("ce", "qe")} DESC, cb.c_id) AS rn
+         |    FROM cboth cb JOIN evalq ON cb.q_id = evalq.q_id
+         |                  JOIN corpus ON cb.c_id = corpus.c_id
+         |  ) WHERE rn <= $RecallK
+         |), hits AS (
+         |  SELECT q_id, COUNT(*) AS n_hits
+         |  FROM truth JOIN approx USING (q_id, c_id) GROUP BY q_id
+         |), ncand AS (
+         |  SELECT q_id, COUNT(*) AS n_cand FROM cboth
+         |  WHERE q_id BETWEEN 1 AND $EvalQueries GROUP BY q_id
+         |)
+         |SELECT evalq.q_id AS q_id,
+         |       COALESCE(n_cand, 0) AS n_cand,
+         |       COALESCE(n_hits, 0) AS n_hits,
+         |       CAST(COALESCE(n_hits, 0) AS DOUBLE) / ${RecallK}.0 AS recall
+         |FROM evalq LEFT JOIN ncand ON evalq.q_id = ncand.q_id
+         |           LEFT JOIN hits ON evalq.q_id = hits.q_id
+         |ORDER BY q_id""".stripMargin,
     "q_power_iter" ->
       """WITH flat AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

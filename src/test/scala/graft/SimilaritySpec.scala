@@ -274,6 +274,58 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q_recall_eval matches the brute-force recall computation") {
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // banded sign-LSH candidates, (4,4) geometry, brute force
+    def keys(v: Array[Float]): Seq[(Int, Int)] =
+      (0 until Similarity.NdBands).map { b =>
+        b -> (0 until Similarity.NdRows).map { i =>
+          (if (v(4 * (b * Similarity.NdRows + i)) >= 0) 1 else 0) <<
+            (Similarity.NdRows - 1 - i)
+        }.sum
+      }
+    val byBucket = all.flatMap { case (id, v) => keys(v).map(k => (k, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val candOf: Long => Set[Long] = q => {
+      val v = all.find(_._1 == q).get._2
+      keys(v).flatMap(k => byBucket(k)).toSet - q
+    }
+    val got = Similarity.qRecallEval(spark, sfDir).collect()
+    assert(got.length == Similarity.EvalQueries)
+    var anyMiss = false
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val qv = all.find(_._1 == q).get._2
+      val truth = all.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.RecallK).map(_._1).toSet
+      val cands = candOf(q)
+      assert(r.getLong(1) == cands.size.toLong, s"q=$q n_cand")
+      val approx = all.filter(p => cands.contains(p._1))
+        .map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.RecallK).map(_._1).toSet
+      val hits = (truth intersect approx).size
+      assert(r.getLong(2) == hits.toLong, s"q=$q n_hits")
+      assert(r.getDouble(3) == hits.toDouble / Similarity.RecallK, s"q=$q recall")
+      if (hits < Similarity.RecallK) anyMiss = true
+    }
+    // the eval must separate the index from an oracle: mean recall
+    // strictly between 0 and 1 (all-1.0 would mean the harness can't
+    // detect a bad geometry; all-0.0 would mean the index is junk)
+    val mean = got.map(_.getDouble(3)).sum / got.length
+    assert(mean > 0.0 && anyMiss, s"degenerate recall distribution: $mean")
+  }
+
   test("q_power_iter replays the fixed-point Gram + power step brute-force") {
     val dim = Similarity.EmbDim
     val vecs = Tables.embeddings(spark, sfDir)
