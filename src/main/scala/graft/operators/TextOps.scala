@@ -1106,6 +1106,64 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Terms entering [[qZipf]]'s log-log fit. */
+  val ZipfTop = 1000
+
+  /** q_zipf — Zipf's-law conformance of the corpus: OLS slope of
+    * ln(frequency) on ln(rank) over the top-[[ZipfTop]] terms (natural
+    * text ⇒ slope ≈ −1). The corpus-level pathology detector — template
+    * spam flattens the curve (slope → 0), a collapsed vocabulary
+    * steepens it — and, with [[qVocabGrowth]]'s Heaps'-law curve, the
+    * second of the two classic corpus-statistics laws. Output: n_terms,
+    * slope, intercept, r2.
+    *
+    * Plan: term counts are ONE vocab-sized hash agg over the token
+    * explode; the top-1000 selection is a TakeOrderedAndProject heap
+    * (never a global sort); ranking and the four moment folds then run
+    * on the CONSTANT-sized 1000-row relation — the q_ks_test
+    * domain-sized-tail stance.
+    *
+    * Determinism: ranks are exact (freq desc, term asc — total order);
+    * ln through the libm-exact [[lnLibm]]; the four moment sums are
+    * rank-ORDERED folds (no float sum reorder under partitioning), and
+    * slope/intercept/r2 are assembled in one pinned double chain
+    * mirrored stepwise by the oracle (the q_linreg formulas with the
+    * exact-integer determinants replaced by folded doubles — counts here
+    * are log-transformed, so there is no integer shortcut).
+    */
+  def qZipf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = tokenized(spark, d)
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(ZipfTop)
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("term")))
+          .cast("long"))
+      .select(struct(col("rank"),
+        lnLibm(col("rank").cast("double")).as("x"),
+        lnLibm(col("freq").cast("double")).as("y")).as("p"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("p"))).as("ps"))
+    def fold(e: String) =
+      expr(s"aggregate(ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + $e)")
+    ranked
+      .select(col("n"),
+        fold("p.x").as("sx"), fold("p.y").as("sy"),
+        fold("p.x * p.y").as("sxy"), fold("p.x * p.x").as("sxx"),
+        fold("p.y * p.y").as("syy"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+        expr("(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)")
+          .as("slope"))
+      .select(col("n").as("n_terms"), col("slope"),
+        expr("(sy - slope * sx) / CAST(n AS DOUBLE)").as("intercept"),
+        expr("CASE WHEN (CAST(n AS DOUBLE) * syy - sy * sy) > 0.0 THEN " +
+          "((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) / " +
+          "((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) END")
+          .as("r2"))
+  }
+
   /** Docs kept per language by [[qCurate]]'s final selection. */
   val CuratePerLang = 50
 
@@ -1321,6 +1379,7 @@ object TextOps {
     "q_pmi_bigrams"   -> qPmiBigrams _,
     "q_redact"        -> qRedact _,
     "q_clean_text"    -> qCleanText _,
+    "q_zipf"          -> qZipf _,
   )
 
   // ---- DuckDB oracle: identical tokenization, hashing, and arithmetic ----
@@ -1833,6 +1892,38 @@ object TextOps {
         |       CAST(length(raw) AS INTEGER) AS n_before,
         |       CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_after
         |FROM raw ORDER BY doc_id""".stripMargin,
+    "q_zipf" -> {
+      def fold(e: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list($e ORDER BY rank)), (acc, v) -> acc + v)"
+      s"""WITH tc AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+         |), freqs AS (
+         |  SELECT term, COUNT(*) AS freq FROM tc GROUP BY term
+         |  ORDER BY freq DESC, term LIMIT $ZipfTop
+         |), ranked AS (
+         |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS x,
+         |         ln(CAST(freq AS DOUBLE)) AS y,
+         |         row_number() OVER (ORDER BY freq DESC, term) AS rank
+         |  FROM freqs
+         |), m AS (
+         |  SELECT COUNT(*) AS n,
+         |         ${fold("x")} AS sx, ${fold("y")} AS sy,
+         |         ${fold("x * y")} AS sxy, ${fold("x * x")} AS sxx,
+         |         ${fold("y * y")} AS syy
+         |  FROM ranked
+         |), s AS (
+         |  SELECT n, sx, sy, sxy, sxx, syy,
+         |         (CAST(n AS DOUBLE) * sxy - sx * sy)
+         |           / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+         |  FROM m
+         |)
+         |SELECT n AS n_terms, slope,
+         |       (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept,
+         |       CASE WHEN (CAST(n AS DOUBLE) * syy - sy * sy) > 0.0 THEN
+         |         ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+         |         / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+         |FROM s""".stripMargin
+    },
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -571,6 +571,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_zipf matches the brute-force log-log OLS over ranked term frequencies") {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = counts.toSeq.sortBy { case (t, f) => (-f, t) }.take(TextOps.ZipfTop)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+    val n = pts.length.toDouble
+    def fold(f: ((Double, Double)) => Double): Double = {
+      var acc = 0.0; pts.foreach(p => acc += f(p)); acc }
+    val sx = fold(_._1); val sy = fold(_._2)
+    val sxy = fold(p => p._1 * p._2); val sxx = fold(p => p._1 * p._1)
+    val syy = fold(p => p._2 * p._2)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = TextOps.qZipf(spark, sfDir).collect().head
+    assert(r.getLong(0) == pts.length.toLong)
+    assert(r.getDouble(1) == slope, "slope")
+    assert(r.getDouble(2) == (sy - slope * sx) / n, "intercept")
+    assert(r.getDouble(3) ==
+      ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy)), "r2")
+    // a rank-frequency curve always slopes down; r2 in (0, 1]
+    assert(slope < 0.0 && r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("NfcNormalize composes NFD to NFC and is identity on canonical text") {
     import org.apache.spark.unsafe.types.UTF8String
     val decomposed = "caf" + "é" // NFD: e + combining acute
