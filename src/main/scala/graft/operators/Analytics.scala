@@ -1016,6 +1016,100 @@ object Analytics {
       .orderBy(col("day_s"))
   }
 
+  /** q_mad — robust dispersion + outlier counts per type: the median
+    * absolute deviation (MAD), its Gaussian-consistent σ estimate
+    * (1.4826·MAD), and how many rows sit beyond the 3σ̂ fence. The
+    * ROBUST twin of [[qAnomaly]]'s moment-based z-test: one glitch row
+    * of 10⁹ drags a mean/σ fence (masking), but moves a median fence by
+    * at most one rank — which is why robust fences are what production
+    * data-quality monitors actually deploy.
+    *
+    * Plan: BOTH medians are rank-selected elements ([[qMedian]]'s
+    * contract — selection, never interpolation), each a window over the
+    * event_type partitioning; the per-type medians join back broadcast
+    * (|types| rows). Two Exchanges total (the dev relation re-windows
+    * after the broadcast join changes nothing about partitioning — it
+    * reuses the type hash), all work parallel across types.
+    *
+    * Determinism: medians are exact element selections (ties by
+    * event_id); deviations |x − med| are one IEEE op; the fence test
+    * dev > (3.0·1.4826)·mad is a pinned literal chain, strict in both
+    * engines.
+    */
+  def qMad(spark: SparkSession, d: String): DataFrame = {
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val all = Window.partitionBy(col("event_type"))
+    val med = events(spark, d)
+      .select(col("event_type"), col("value"),
+        row_number().over(byVal).as("rn"), count(lit(1)).over(all).as("cnt"))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      .select(col("event_type"), col("value").as("med"))
+    val dev = events(spark, d)
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("event_id"),
+        abs(col("value") - col("med")).as("dev"), col("med"))
+    val byDev = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev"), col("event_id"))
+    val mad = dev
+      .select(col("event_type"), col("dev"),
+        row_number().over(byDev).as("rn"), count(lit(1)).over(all).as("cnt"))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("median_v"), first(col("mad")).as("mad"),
+        sum(when(col("dev") > (lit(3.0) * lit(1.4826)) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("median_v"), col("mad"),
+        (lit(1.4826) * col("mad")).as("sigma_hat"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_twap — time-weighted average of `value` per user: each
+    * observation holds until the user's next event (a step function) and
+    * is weighted by that duration — the TWAP/TWA statistic finance and
+    * IoT pipelines use wherever samples are IRREGULAR (a plain mean
+    * over-weights bursts; q_rolling_avg's row frames can't express
+    * duration weighting).
+    *
+    * Plan: ONE user-hash window (lead over (ts, event_id)) to pair each
+    * event with its successor, then one aggregate on the SAME
+    * partitioning — no second Exchange; parallel across users at any
+    * scale.
+    *
+    * Determinism: durations are exact integer µs truncated to ms
+    * (integer DIV, identical both engines); values enter as
+    * floor(v·10⁶ + 0.5) micro-units (the fixed-point contract); each
+    * weighted term is an exact BIGINT product (width: ≤ 5.6·10⁸ µv ×
+    * span-ms — and the per-user SUM TELESCOPES to value_max·span, not
+    * rows×span, so the fixture budget is ~1.5·10¹⁸ < 2⁶³ with the same
+    * headroom at any event rate; the budget binds on SPAN, re-scale
+    * beyond ~3 years per user). TWAP is ONE pinned double division at
+    * the end.
+    */
+  def qTwap(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events(spark, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"),
+        expr("(nxt - us) DIV 1000").as("dur_ms"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).as("v_uv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_holds"),
+        sum(col("dur_ms")).as("span_ms"),
+        sum(col("v_uv") * col("dur_ms")).as("swd"))
+      .select(col("user_id"), col("n_holds"), col("span_ms"),
+        (col("swd").cast("double") /
+          (lit(1000000.0) * col("span_ms").cast("double"))).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -1803,6 +1897,8 @@ object Analytics {
     "q_cum_users"       -> qCumUsers _,
     "q_streaks"         -> qStreaks _,
     "q_wau"             -> qWau _,
+    "q_mad"             -> qMad _,
+    "q_twap"            -> qTwap _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2314,6 +2410,50 @@ object Analytics {
         |         AS cum_users
         |FROM dau LEFT JOIN nw ON dau.day = nw.day
         |ORDER BY day_s""".stripMargin,
+    "q_twap" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events
+        |), h AS (
+        |  SELECT user_id, (nxt - us) // 1000 AS dur_ms,
+        |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_uv
+        |  FROM o WHERE nxt IS NOT NULL
+        |)
+        |SELECT user_id, COUNT(*) AS n_holds,
+        |       CAST(SUM(dur_ms) AS BIGINT) AS span_ms,
+        |       CAST(CAST(SUM(v_uv * dur_ms) AS BIGINT) AS DOUBLE)
+        |         / (1000000.0 * CAST(CAST(SUM(dur_ms) AS BIGINT) AS DOUBLE)) AS twap
+        |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, value AS med FROM (
+        |    SELECT event_type, value, event_id,
+        |           row_number() OVER (PARTITION BY event_type
+        |                              ORDER BY value, event_id) AS rn,
+        |           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM events
+        |  ) WHERE rn = (cnt + 1) // 2
+        |), dev AS (
+        |  SELECT e.event_type, e.event_id, ABS(e.value - m.med) AS dev, m.med
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |), mad AS (
+        |  SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev, event_id,
+        |           row_number() OVER (PARTITION BY event_type
+        |                              ORDER BY dev, event_id) AS rn,
+        |           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM dev
+        |  ) WHERE rn = (cnt + 1) // 2
+        |)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |       MIN(d.med) AS median_v, MIN(a.mad) AS mad,
+        |       1.4826 * MIN(a.mad) AS sigma_hat,
+        |       CAST(SUM(CASE WHEN d.dev > (3.0 * 1.4826) * a.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad a ON d.event_type = a.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q_wau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id,

@@ -570,6 +570,53 @@ object Similarity {
       .orderBy(col("i"))
   }
 
+  /** Neighbors consulted by [[qKnnClassify]]. */
+  val KnnK = 5
+
+  /** q_knn_classify — k-NN majority-vote label prediction over the
+    * [[EvalQueries]] eval set: each query's label predicted from its 5
+    * nearest neighbors by cosine (self excluded), scored against the
+    * true label — weak supervision / label-propagation's primitive, and
+    * the "is the embedding space label-coherent?" diagnostic (a strong
+    * space predicts labels from neighborhoods; a collapsed one doesn't).
+    *
+    * Plan: the [[qRecallEval]] skeleton — eval-subset × corpus broadcast
+    * cross join (constant ×|eval| growth), bounded rn ≤ k windows —
+    * then vote counting and winner selection over |eval|·k rows.
+    *
+    * Determinism: neighbor ranking ties by c_id; the vote winner is
+    * rank-selected with ties by SMALLEST label (the [[Analytics.qMode]]
+    * deterministic-mode contract — built-in mode() is arrival-order
+    * nondeterministic in both engines and ungateable).
+    */
+  def qKnnClassify(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, d)
+    val evalQ = e.filter(col("vec_id").between(1, EvalQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"), col("label").as("true_label"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"), col("label").as("c_label"))
+    val byCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val byVotes = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("c_label"))
+    corpus.crossJoin(broadcast(evalQ))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col("c_id"), col("c_label"),
+        cosinePre(col("ce"), col("qe"), col("cn"), col("qn")).as("cos"))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= KnnK)
+      .groupBy(col("q_id"), col("true_label"), col("c_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(byVotes))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"),
+        col("c_label").as("pred_label"), col("votes").as("n_votes"),
+        (col("true_label") === col("c_label")).cast("int").as("correct"))
+      .orderBy(col("q_id"))
+  }
+
   /** q_vec_minmax — per-dimension min/max over the embedding corpus: the
     * calibration pass every vector-quantization scheme (int8 scalar
     * quantization, PQ codebook training) runs before compressing an ANN
@@ -631,6 +678,7 @@ object Similarity {
     "q_label_entropy"   -> qLabelEntropy _,
     "q_power_iter"      -> qPowerIter _,
     "q_recall_eval"     -> qRecallEval _,
+    "q_knn_classify"    -> qKnnClassify _,
   )
 
   // ---- DuckDB oracle: the same left-to-right double arithmetic ----------
@@ -663,6 +711,34 @@ object Similarity {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_knn_classify" ->
+      s"""WITH evalq AS (
+         |  SELECT vec_id AS q_id, embedding AS qe, label AS true_label
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND $EvalQueries
+         |), corpus AS (
+         |  SELECT vec_id AS c_id, embedding AS ce, label AS c_label
+         |  FROM embeddings
+         |), nn AS (
+         |  SELECT q_id, true_label, c_label FROM (
+         |    SELECT q_id, true_label, c_id, c_label,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY ${cosSql("ce", "qe")} DESC, c_id) AS rn
+         |    FROM corpus CROSS JOIN evalq WHERE c_id <> q_id
+         |  ) WHERE rn <= $KnnK
+         |), votes AS (
+         |  SELECT q_id, true_label, c_label, COUNT(*) AS votes
+         |  FROM nn GROUP BY q_id, true_label, c_label
+         |), winner AS (
+         |  SELECT q_id, true_label, c_label, votes FROM (
+         |    SELECT q_id, true_label, c_label, votes,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY votes DESC, c_label) AS vr
+         |    FROM votes
+         |  ) WHERE vr = 1
+         |)
+         |SELECT q_id, true_label, c_label AS pred_label, votes AS n_votes,
+         |       CAST(true_label = c_label AS INTEGER) AS correct
+         |FROM winner ORDER BY q_id""".stripMargin,
     "q_recall_eval" ->
       s"""WITH bands AS (
          |  ${ndBandsSql}

@@ -632,6 +632,57 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.drop(6).exists(r => r.getLong(2) > r.getLong(1)))
   }
 
+  test("q_mad matches the brute-force rank-selected robust statistics") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def lowerMedian[A](xs: Seq[(Double, Long)]): Double =
+      xs.sortBy(identity)((Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)))
+        .apply((xs.length + 1) / 2 - 1)._1
+    val got = Analytics.qMad(spark, sfDir).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val vs = rows.filter(_._1 == t)
+      val med = lowerMedian(vs.map(v => (v._2, v._3)).toSeq)
+      val devs = vs.map(v => (math.abs(v._2 - med), v._3)).toSeq
+      val mad = lowerMedian(devs)
+      val out = devs.count(_._1 > (3.0 * 1.4826) * mad).toLong
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(r.getDouble(2) == med, s"$t median")
+      assert(r.getDouble(3) == mad, s"$t mad")
+      assert(r.getDouble(4) == 1.4826 * mad, s"$t sigma_hat")
+      assert(r.getLong(5) == out, s"$t outliers")
+      // robust fence sanity: the fence flags a minority, never everything
+      assert(out < vs.length / 2)
+    }
+  }
+
+  test("q_twap matches the brute-force step-function integral per user") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = Analytics.qTwap(spark, sfDir).collect()
+    val byUser = rows.groupBy(_._1)
+    assert(got.length == byUser.count(_._2.length >= 2))
+    got.foreach { r =>
+      val u = r.getLong(0)
+      val evs = byUser(u).sortBy(e => (e._3, e._2))
+      val holds = evs.sliding(2).collect { case Array(a, b) =>
+        ((b._3 - a._3) / 1000L, math.floor(a._4 * 1000000.0 + 0.5).toLong)
+      }.toSeq
+      val span = holds.map(_._1).sum
+      val swd = holds.map(h => h._2 * h._1).sum
+      assert(r.getLong(1) == holds.length.toLong, s"user $u holds")
+      assert(r.getLong(2) == span, s"user $u span")
+      assert(r.getDouble(3) == swd.toDouble / (1000000.0 * span.toDouble), s"user $u twap")
+      // TWAP lives inside the observed value envelope
+      val vs = evs.init.map(_._4)
+      assert(r.getDouble(3) >= vs.min - 1e-6 && r.getDouble(3) <= vs.max + 1e-6)
+    }
+  }
+
   test("q_streaks matches a brute-force consecutive-day run scan per user") {
     val ud = Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day")).collect()

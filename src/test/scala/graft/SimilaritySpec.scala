@@ -326,6 +326,39 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.0 && anyMiss, s"degenerate recall distribution: $mean")
   }
 
+  test("q_knn_classify matches the brute-force vote with the deterministic tie-break") {
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val got = Similarity.qKnnClassify(spark, sfDir).collect()
+    assert(got.length == Similarity.EvalQueries)
+    var nCorrect = 0
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val (_, qv, qLabel) = all.find(_._1 == q).get
+      val nn = all.filter(_._1 != q)
+        .map { case (id, v, l) => (id, cos(v, qv), l) }
+        .sortBy { case (id, c, _) => (-c, id) }
+        .take(Similarity.KnnK)
+      val votes = nn.groupBy(_._3).view.mapValues(_.length).toMap
+      val (pred, nv) = votes.toSeq.sortBy { case (l, v) => (-v, l) }.head
+      assert(r.getInt(1) == qLabel, s"q=$q true label")
+      assert(r.getInt(2) == pred, s"q=$q predicted")
+      assert(r.getLong(3) == nv.toLong, s"q=$q votes")
+      assert(r.getInt(4) == (if (pred == qLabel) 1 else 0))
+      nCorrect += r.getInt(4)
+    }
+    // the embedding space must be at least somewhat label-coherent, or
+    // the fixture can't exercise a meaningful classifier
+    assert(nCorrect > 0, "0/20 correct — fixture labels unrelated to geometry?")
+  }
+
   test("q_power_iter replays the fixed-point Gram + power step brute-force") {
     val dim = Similarity.EmbDim
     val vecs = Tables.embeddings(spark, sfDir)
