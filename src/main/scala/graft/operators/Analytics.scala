@@ -1110,6 +1110,115 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** q_weighted_median — weighted lower median of unit price by QUANTITY
+    * per return flag: the smallest price at which cumulative quantity
+    * reaches half the total — "the price at which half the UNITS ship",
+    * which an unweighted median (half the LINES) misstates whenever
+    * quantity and price correlate. The selection form of weighted
+    * quantiles: like [[qMedian]], an element is SELECTED, never
+    * interpolated, so the gate is exact.
+    *
+    * Plan: one flag-hash window carries BOTH the running quantity sum
+    * and the partition total (same Exchange, two frames); the selection
+    * filter 2·cum ≥ tot keeps the suffix and ONE min-struct aggregate
+    * picks its first row — no second shuffle, no self-join.
+    *
+    * Determinism: quantities are integral-valued doubles cast to exact
+    * BIGINT; the cumulative frame is ordered by the total
+    * (price, orderkey, linenumber) key; the ≥-half test is exact
+    * integer arithmetic (2·cum, no division); min-of-struct aligns with
+    * the frame order.
+    */
+  def qWeightedMedian(spark: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val all = Window.partitionBy(col("l_returnflag"))
+    lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("w"))
+      .withColumn("cum", sum(col("w")).over(
+        byPrice.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("w")).over(all))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(struct(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))).as("sel"),
+        first(col("tot")).as("total_qty"))
+      .select(col("l_returnflag"), col("sel.l_extendedprice").as("wmedian_price"),
+        col("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Session gap for [[qIntervalJoin]]'s per-user intervals (30 min). */
+  val IvSessionGapUs = 1800000000L
+  /** Burst gap for its per-type intervals (5 min). */
+  val IvBurstGapUs = 300000000L
+  /** Bucketization cell (1 h) — the fan-out knob: each interval lands in
+    * (length / cell + 1) cells.
+    */
+  val IvCellUs = 3600000000L
+
+  /** Gap-based closed intervals per key: maximal runs where consecutive
+    * event gaps stay ≤ gapUs (lag + cumulative-flag sessionization — the
+    * batch twin of session_window, exposed because [[qIntervalJoin]]
+    * needs the intervals themselves, not windowed aggregates).
+    */
+  private def gapIntervals(df: DataFrame, key: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("us"), col("event_id"))
+    df.select(col(key), col("us"), col("event_id"))
+      .withColumn("new",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("sid"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+  }
+
+  /** q_interval_join — interval OVERLAP join with NO equi-key: per-user
+    * activity sessions (30-min gap) × per-type event bursts (5-min gap),
+    * paired wherever the time intervals intersect — the genomics /
+    * flight-schedule / "which incidents overlapped which deploys" join
+    * that q_range_join's point-in-interval form can't express.
+    *
+    * Plan — the BINNING pattern, the standard scalable form: each
+    * interval explodes into the 1-hour cells it spans (fan-out bounded
+    * by interval LENGTH / [[IvCellUs]], a data property, not a corpus
+    * size), candidates come from the cell EQUI-join (never the
+    * quadratic theta join a naive `s.ss <= b.be AND b.bs <= s.se` plan
+    * degrades to), multi-cell duplicates collapse in an all-BIGINT
+    * DISTINCT, and the exact overlap predicate verifies candidates
+    * only. The ORACLE runs the naive theta join — same result, the
+    * plans differ, which is exactly the point (PlanSpec pins the
+    * no-nested-loop shape). Per-type totals: pair count and exact
+    * integer overlap mass.
+    */
+  def qIntervalJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val sessions = gapIntervals(ev, "user_id", IvSessionGapUs)
+      .select(col("user_id"), col("s").as("ss"), col("e").as("se"))
+    val bursts = gapIntervals(ev, "event_type", IvBurstGapUs)
+      .select(col("event_type"), col("s").as("bs"), col("e").as("be"))
+    val sCells = sessions.select(col("user_id"), col("ss"), col("se"),
+      explode(sequence(expr(s"ss DIV $IvCellUs"), expr(s"se DIV $IvCellUs")))
+        .as("cell"))
+    val bCells = bursts.select(col("event_type"), col("bs"), col("be"),
+      explode(sequence(expr(s"bs DIV $IvCellUs"), expr(s"be DIV $IvCellUs")))
+        .as("cell"))
+    sCells.join(bCells, "cell")
+      .select(col("user_id"), col("ss"), col("se"),
+        col("event_type"), col("bs"), col("be"))
+      .distinct()
+      .filter(col("ss") <= col("be") && col("bs") <= col("se"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("se"), col("be")) - greatest(col("ss"), col("bs")))
+          .as("overlap_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -1899,6 +2008,8 @@ object Analytics {
     "q_wau"             -> qWau _,
     "q_mad"             -> qMad _,
     "q_twap"            -> qTwap _,
+    "q_weighted_median" -> qWeightedMedian _,
+    "q_interval_join"   -> qIntervalJoin _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2410,6 +2521,64 @@ object Analytics {
         |         AS cum_users
         |FROM dau LEFT JOIN nw ON dau.day = nw.day
         |ORDER BY day_s""".stripMargin,
+    "q_interval_join" ->
+      s"""WITH ue AS (
+         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+         |), sf AS (
+         |  SELECT user_id, us, event_id,
+         |         CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+         |                ORDER BY us, event_id) > $IvSessionGapUs
+         |              THEN 1 ELSE 0 END AS new
+         |  FROM ue
+         |), sg AS (
+         |  SELECT user_id, us,
+         |         SUM(new) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM sf
+         |), sessions AS (
+         |  SELECT user_id, MIN(us) AS ss, MAX(us) AS se
+         |  FROM sg GROUP BY user_id, sid
+         |), bf AS (
+         |  SELECT event_type, us, event_id,
+         |         CASE WHEN us - lag(us) OVER (PARTITION BY event_type
+         |                ORDER BY us, event_id) > $IvBurstGapUs
+         |              THEN 1 ELSE 0 END AS new
+         |  FROM ue
+         |), bg AS (
+         |  SELECT event_type, us,
+         |         SUM(new) OVER (PARTITION BY event_type ORDER BY us, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM bf
+         |), bursts AS (
+         |  SELECT event_type, MIN(us) AS bs, MAX(us) AS be
+         |  FROM bg GROUP BY event_type, sid
+         |)
+         |SELECT event_type, COUNT(*) AS n_pairs,
+         |       CAST(SUM(least(se, be) - greatest(ss, bs)) AS BIGINT)
+         |         AS overlap_us
+         |FROM sessions s JOIN bursts b
+         |  ON s.ss <= b.be AND b.bs <= s.se
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_weighted_median" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+        |         CAST(l_quantity AS BIGINT) AS w,
+        |         SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |           ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem
+        |), sel AS (
+        |  SELECT l_returnflag, l_extendedprice, tot,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |  FROM w WHERE cum * 2 >= tot
+        |)
+        |SELECT l_returnflag, l_extendedprice AS wmedian_price,
+        |       CAST(tot AS BIGINT) AS total_qty
+        |FROM sel WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "q_twap" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, value,

@@ -55,8 +55,10 @@ object FileSources {
     * format) is never charged to whichever source query happens to run
     * first. Idempotent via [[stageCache]]; Verify still stages lazily.
     */
-  private[graft] def stageAll(spark: SparkSession, d: String): Unit =
+  private[graft] def stageAll(spark: SparkSession, d: String): Unit = {
     Seq("json", "csv", "orc").foreach(stage(spark, d, _))
+    stageEvolved(spark, d)
+  }
 
   private val readSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -98,11 +100,54 @@ object FileSources {
   def qOrcSource(spark: SparkSession, d: String): DataFrame =
     project(spark.read.schema(readSchema).orc(stage(spark, d, "orc")))
 
+  /** Stage the two-generation parquet layout for [[qSchemaMerge]]: an
+    * "old" file written before `event_type` existed (even event_ids,
+    * 3 columns) and a "new" file with the column (odd event_ids) — the
+    * deterministic stand-in for a table whose schema evolved mid-history.
+    */
+  private def stageEvolved(spark: SparkSession, d: String): String =
+    stageCache.getOrElseUpdate(s"evolved:$d", {
+      val dir = Files.createTempDirectory("graft_src_evolved_").toString
+      val base = serialized(spark, d)
+      base.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/v1")
+      base.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/v2")
+      dir
+    })
+
+  /** q_schema_merge — SCHEMA EVOLUTION on read: one logical table whose
+    * early files predate a column (`event_type` added mid-history — the
+    * single most common lakehouse migration), read as ONE DataFrame via
+    * `mergeSchema`, legacy rows surfacing NULL for the missing column.
+    * The aggregate proves the nullability semantics end-to-end: the NULL
+    * group carries exactly the legacy half's rows and mass, verified
+    * against the original un-split table by the oracle.
+    *
+    * Scale notes: `mergeSchema` reconciles footers at planning time —
+    * the cost is per-FILE, not per-row, and an explicit unified schema
+    * (production practice for 10⁶-file tables) skips even that; the
+    * scan itself stays a plain pruned/pushed columnar read. NULL-group
+    * ordering is pinned NULLS FIRST in both engines (Spark's asc
+    * default; DuckDB needs it spelled).
+    */
+  def qSchemaMerge(spark: SparkSession, d: String): DataFrame = {
+    val dir = stageEvolved(spark, d)
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("total"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_source" -> qJsonSource _,
     "q_csv_source"  -> qCsvSource _,
     "q_text_source" -> qTextSource _,
     "q_orc_source"  -> qOrcSource _,
+    "q_schema_merge" -> qSchemaMerge _,
   )
 
   private val baseSql =
@@ -115,5 +160,12 @@ object FileSources {
     "q_csv_source"  -> baseSql,
     "q_text_source" -> baseSql,
     "q_orc_source"  -> baseSql,
+    "q_schema_merge" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END
+        |         AS event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin,
   )
 }

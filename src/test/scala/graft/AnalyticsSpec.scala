@@ -683,6 +683,65 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_weighted_median matches the brute-force cumulative-weight selection") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4).toLong))
+    val got = Analytics.qWeightedMedian(spark, sfDir).collect()
+    assert(got.length == rows.map(_._1).distinct.length)
+    got.foreach { r =>
+      val fs = rows.filter(_._1 == r.getString(0))
+        .sortBy(t => (t._2, t._3, t._4))(
+          Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Long, Ordering.Int))
+      val tot = fs.map(_._5).sum
+      var cum = 0L
+      val sel = fs.find { t => cum += t._5; cum * 2 >= tot }.get
+      assert(r.getDouble(1) == sel._2, s"${r.getString(0)} weighted median")
+      assert(r.getLong(2) == tot, s"${r.getString(0)} total qty")
+      // at least half the mass sits at or below the selected price
+      val below = fs.filter(_._2 <= sel._2).map(_._5).sum
+      assert(below * 2 >= tot)
+    }
+  }
+
+  test("q_interval_join matches the brute-force theta overlap join") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def intervals[K](rows: Seq[(K, Long, Long)], gap: Long): Seq[(K, Long, Long)] =
+      rows.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+        val sorted = es.map(e => (e._3, e._2)).sorted // (us, event_id)
+        val runs = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+          if (e._1 - acc.head.head._1 > gap) List(e) :: acc
+          else (e :: acc.head) :: acc.tail
+        }
+        runs.map(run => (k, run.map(_._1).min, run.map(_._1).max))
+      }
+    val sessions = intervals(ev.map(e => (e._1, e._3, e._4)).toSeq,
+      Analytics.IvSessionGapUs)
+    val bursts = intervals(ev.map(e => (e._2, e._3, e._4)).toSeq,
+      Analytics.IvBurstGapUs)
+    val byType = bursts.groupBy(_._1)
+    val got = Analytics.qIntervalJoin(spark, sfDir).collect()
+    assert(got.length == byType.size)
+    got.foreach { r =>
+      val bs = byType(r.getString(0))
+      val pairs = for {
+        (_, ss, se) <- sessions; (_, b0, b1) <- bs
+        if ss <= b1 && b0 <= se
+      } yield math.min(se, b1) - math.max(ss, b0)
+      assert(r.getLong(1) == pairs.length.toLong, s"${r.getString(0)} pairs")
+      assert(r.getLong(2) == pairs.sum, s"${r.getString(0)} overlap")
+    }
+    // the gaps must actually split: more sessions than users, more
+    // bursts than types, or the interval machinery is vacuous here
+    assert(sessions.length > ev.map(_._1).distinct.length)
+    assert(bursts.length > byType.size)
+  }
+
   test("q_streaks matches a brute-force consecutive-day run scan per user") {
     val ud = Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day")).collect()

@@ -268,6 +268,12 @@ class PlanSpec extends SparkSpec {
       s"decorrelated subqueries must stay equi-joins:\n$p")
   }
 
+  test("q_interval_join candidates come from the cell equi-join, never a theta nested loop") {
+    val p = plan(Analytics.qIntervalJoin(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join must stay the bucketized equi-join:\n$p")
+  }
+
   test("q_snapshot_diff and q_zorder push their predicates into the parquet scan") {
     for ((name, df) <- Seq(
         "q_snapshot_diff" -> Analytics.qSnapshotDiff(spark, sfDir),
