@@ -1219,6 +1219,38 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_rownum_global — GLOBAL dense row numbering in event-time order,
+    * WITHOUT the single-partition window: `row_number() OVER (ORDER BY
+    * …)` with no PARTITION BY collapses the whole table through one
+    * task (Spark even warns) — the classic scale trap. The scalable
+    * form is the two-pass: range-partition + sort by the total key,
+    * count per partition, offset each partition by the prefix sum —
+    * which is exactly RDD `zipWithIndex` (pass 1 counts, pass 2 adds
+    * offsets), the one genuinely-RDD escape hatch in the registry
+    * (the DataFrame API cannot express "my partition's global offset";
+    * SURVEY §2's (d)-tier criterion).
+    *
+    * Determinism: indices depend only on the TOTAL order (ts µs,
+    * event_id — unique), not on where range boundaries land: any range
+    * partitioning yields the same (row, index) pairs, so the
+    * sampling-based partitioner underneath orderBy cannot perturb the
+    * result. Gate: the oracle's single-threaded
+    * `row_number() OVER (ORDER BY …)` must reproduce the distributed
+    * two-pass exactly.
+    */
+  def qRownumGlobal(spark: SparkSession, d: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    events(spark, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((eventId, _), idx) => (eventId, idx + 1L) }
+      .toDF("event_id", "rn")
+      .orderBy(col("event_id"))
+  }
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -2010,6 +2042,7 @@ object Analytics {
     "q_twap"            -> qTwap _,
     "q_weighted_median" -> qWeightedMedian _,
     "q_interval_join"   -> qIntervalJoin _,
+    "q_rownum_global"   -> qRownumGlobal _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2521,6 +2554,10 @@ object Analytics {
         |         AS cum_users
         |FROM dau LEFT JOIN nw ON dau.day = nw.day
         |ORDER BY day_s""".stripMargin,
+    "q_rownum_global" ->
+      """SELECT event_id,
+        |       row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_interval_join" ->
       s"""WITH ue AS (
          |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events

@@ -742,6 +742,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(bursts.length > byType.size)
   }
 
+  test("q_rownum_global: the two-pass zipWithIndex equals the sorted scan, across partitions") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1L) }.sortBy(_._1)
+    val got = Analytics.qRownumGlobal(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+    // AQE may coalesce the tiny fixture's sort to one partition, which
+    // would leave the cross-partition offset pass untested — so force an
+    // 8-way range layout and prove zipWithIndex still numbers the total
+    // order identically (indices depend only on the order, not on where
+    // the boundaries land — the property the query's determinism rests on).
+    val session = spark
+    import session.implicits._
+    val forced = Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .repartitionByRange(8, col("us"), col("event_id"))
+      .sortWithinPartitions(col("us"), col("event_id"))
+      .as[(Long, Long)]
+    assert(forced.rdd.getNumPartitions == 8)
+    val forcedIdx = forced.rdd.zipWithIndex()
+      .map { case ((id, _), i) => (id, i + 1L) }.collect().sortBy(_._1)
+    assert(forcedIdx.toSeq == want.toSeq)
+  }
+
   test("q_streaks matches a brute-force consecutive-day run scan per user") {
     val ud = Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day")).collect()
