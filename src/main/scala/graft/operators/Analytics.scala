@@ -1251,6 +1251,126 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** q_nearest_event — NEAREST-neighbor time join within a key: for
+    * every purchase, the user's closest `error` event in EITHER
+    * direction (|Δt|, ties → the earlier one) — sensor alignment /
+    * "was there an error near this purchase" root-causing.
+    * [[qAsofJoin]] is the backward half; nearest needs BOTH, and the
+    * naive form is a per-row scan of the other stream.
+    *
+    * Plan: the single-shuffle union trick extended to two frames — tag
+    * both event sets, union, ONE user-hash window, and read the
+    * backward neighbor with `last_value(ignoreNulls) OVER (… PRECEDING)`
+    * and the forward one with `first_value(ignoreNulls) OVER
+    * (… FOLLOWING)` — two frames on the SAME partitioning and sort, one
+    * Exchange, no join at all. The pick-closer is a per-row pinned
+    * comparison on exact µs integers.
+    *
+    * Determinism: the window sort key (us, tag, event_id) is total (tag
+    * orders an error before a co-timestamped purchase, making the
+    * backward frame's "≤" inclusive in BOTH engines); Δt and the
+    * direction flag are exact integer arithmetic; rows with no error on
+    * either side surface NULLs.
+    */
+  def qNearestEvent(spark: SparkSession, d: String): DataFrame = {
+    val tagged = events(spark, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        (col("event_type") === "error").cast("int").as("is_err"))
+      .select(col("user_id"), col("event_id"), col("us"), col("is_err"),
+        when(col("is_err") === 1, col("us")).as("err_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("is_err").desc, col("event_id"))
+    val back = last(col("err_us"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val fwd = first(col("err_us"), ignoreNulls = true)
+      .over(w.rowsBetween(0, Window.unboundedFollowing))
+    tagged
+      .withColumn("b", back).withColumn("f", fwd)
+      .filter(col("is_err") === 0)
+      .select(col("user_id"), col("event_id"), col("us"),
+        when(col("b").isNull && col("f").isNull, lit(null))
+          .when(col("f").isNull || (col("b").isNotNull &&
+            (col("us") - col("b")) <= (col("f") - col("us"))),
+            col("us") - col("b"))
+          .otherwise(col("f") - col("us")).as("dt_us"),
+        when(col("b").isNull && col("f").isNull, lit(null))
+          .when(col("f").isNull || (col("b").isNotNull &&
+            (col("us") - col("b")) <= (col("f") - col("us"))),
+            lit("before"))
+          .otherwise(lit("after")).as("direction"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q_cusum — changepoint LOCALIZATION on the hourly count series: the
+    * hour t maximizing |S_t|, S_t = Σ_{i≤t}(x_i − x̄) (the CUSUM
+    * statistic) — where [[graft.operators.Mining.qKsTest]]/
+    * [[graft.operators.Mining.qPsi]] DETECT that a distribution moved,
+    * CUSUM points at WHEN the level shifted. Output per type: the
+    * argmax hour, its index, and the normalized max deviation.
+    *
+    * Plan: the log collapses to the calendar-bounded hourly histogram
+    * first (the q_autocorr stance); the cumulative/total/ranking frames
+    * all ride ONE event_type hash partition.
+    *
+    * Determinism: the argmax is decided on EXACT integers — n·S_t =
+    * n·cum_t − t·Σx needs no division (width ≤ |hours|²·max-count ≪
+    * 2⁶³) — with ties broken by earliest hour; only the reported s_max
+    * divides, once, in a pinned double.
+    */
+  def qCusum(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val all = Window.partitionBy(col("event_type"))
+    val scored = events(spark, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("cum", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("sx", sum(col("x")).over(all))
+      .withColumn("absd", abs(col("n") * col("cum") - col("t") * col("sx")))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("absd").desc, col("h"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), tsSeconds(col("h")).as("cp_hour"),
+        col("t").as("cp_index"), col("n").as("n_hours"),
+        (col("absd").cast("double") / col("n").cast("double")).as("s_max"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_wow — week-over-week growth of the daily count per type: each
+    * day paired with the SAME WEEKDAY one week earlier (7-day lag kills
+    * the weekly seasonality a 1-day lag conflates with trend) — the
+    * dashboard growth-rate row. A ROW-offset lag silently lies on
+    * sparse series (lag(7 rows) ≠ 7 days if days are missing), so the
+    * pairing is an exact calendar EQUI-join of the daily histogram with
+    * its +7-day shift — the q_autocorr treatment; missing comparisons
+    * surface NULL, never a wrong pair.
+    *
+    * Plan: one calendar-bounded daily aggregate, self-equi-joined —
+    * |types|·|days| rows at any volume. Growth is one pinned double
+    * division on exact counts.
+    */
+  def qWow(spark: SparkSession, d: String): DataFrame = {
+    val daily = events(spark, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily
+      .join(daily.select(col("event_type"),
+          (col("day") + expr("INTERVAL 7 DAYS")).as("day"),
+          col("x").as("x_prev")),
+        Seq("event_type", "day"), "left")
+      .select(col("event_type"), tsSeconds(col("day")).as("day_s"),
+        col("x"), col("x_prev"),
+        ((col("x") - col("x_prev")).cast("double") /
+          col("x_prev").cast("double")).as("wow_growth"))
+      .orderBy(col("event_type"), col("day_s"))
+  }
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -2043,6 +2163,9 @@ object Analytics {
     "q_weighted_median" -> qWeightedMedian _,
     "q_interval_join"   -> qIntervalJoin _,
     "q_rownum_global"   -> qRownumGlobal _,
+    "q_nearest_event"   -> qNearestEvent _,
+    "q_cusum"           -> qCusum _,
+    "q_wow"             -> qWow _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2554,6 +2677,70 @@ object Analytics {
         |         AS cum_users
         |FROM dau LEFT JOIN nw ON dau.day = nw.day
         |ORDER BY day_s""".stripMargin,
+    "q_cusum" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |), scored AS (
+        |  SELECT event_type, h,
+        |         SUM(x) OVER (PARTITION BY event_type ORDER BY h
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |              AS BIGINT) AS t,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |         SUM(x) OVER (PARTITION BY event_type) AS sx
+        |  FROM hourly
+        |), d AS (
+        |  SELECT event_type, h, t, n,
+        |         ABS(n * cum - t * sx) AS absd,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY ABS(n * cum - t * sx) DESC, h) AS rn
+        |  FROM scored
+        |)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS cp_hour,
+        |       t AS cp_index, n AS n_hours,
+        |       CAST(absd AS DOUBLE) / CAST(n AS DOUBLE) AS s_max
+        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q_wow" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         COUNT(*) AS x
+        |  FROM events GROUP BY event_type, date_trunc('day', ts)
+        |)
+        |SELECT a.event_type,
+        |       strftime(a.day, '%Y-%m-%d %H:%M:%S') AS day_s,
+        |       a.x AS x, b.x AS x_prev,
+        |       CAST(a.x - b.x AS DOUBLE) / CAST(b.x AS DOUBLE) AS wow_growth
+        |FROM daily a LEFT JOIN daily b
+        |  ON a.event_type = b.event_type AND a.day = b.day + INTERVAL 7 DAY
+        |ORDER BY a.event_type, day_s""".stripMargin,
+    "q_nearest_event" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(event_type = 'error' AS INTEGER) AS is_err,
+        |         CASE WHEN event_type = 'error' THEN epoch_us(ts) END AS err_us
+        |  FROM events WHERE event_type IN ('purchase', 'error')
+        |), fr AS (
+        |  SELECT user_id, event_id, us, is_err,
+        |         last_value(err_us IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY us, is_err DESC, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+        |         first_value(err_us IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY us, is_err DESC, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+        |  FROM tagged
+        |)
+        |SELECT user_id, event_id, us,
+        |       CASE WHEN b IS NULL AND f IS NULL THEN NULL
+        |            WHEN f IS NULL OR (b IS NOT NULL AND (us - b) <= (f - us))
+        |              THEN us - b
+        |            ELSE f - us END AS dt_us,
+        |       CASE WHEN b IS NULL AND f IS NULL THEN NULL
+        |            WHEN f IS NULL OR (b IS NOT NULL AND (us - b) <= (f - us))
+        |              THEN 'before'
+        |            ELSE 'after' END AS direction
+        |FROM fr WHERE is_err = 0 ORDER BY event_id""".stripMargin,
     "q_rownum_global" ->
       """SELECT event_id,
         |       row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn

@@ -769,6 +769,94 @@ class AnalyticsSpec extends SparkSpec {
     assert(forcedIdx.toSeq == want.toSeq)
   }
 
+  test("q_nearest_event matches a brute-force bidirectional nearest scan") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val errsByUser = ev.filter(_._4 == "error").groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted).toMap
+    val got = Analytics.qNearestEvent(spark, sfDir).collect()
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(got.length == purchases.length)
+    val gotById = got.map(r => r.getLong(1) -> r).toMap
+    purchases.foreach { case (u, id, us, _) =>
+      val r = gotById(id)
+      errsByUser.get(u) match {
+        case None =>
+          assert(r.isNullAt(3) && r.isNullAt(4), s"purchase $id: no errors")
+        case Some(errs) =>
+          val before = errs.filter(_ <= us).lastOption
+          val after = errs.find(_ >= us)
+          val (dt, dir) = (before, after) match {
+            case (Some(b), Some(f)) =>
+              if (us - b <= f - us) (us - b, "before") else (f - us, "after")
+            case (Some(b), None) => (us - b, "before")
+            case (None, Some(f)) => (f - us, "after")
+            case _ => throw new AssertionError("unreachable")
+          }
+          assert(r.getLong(3) == dt, s"purchase $id dt")
+          assert(r.getString(4) == dir, s"purchase $id direction")
+      }
+    }
+    // both directions must occur or the pick-closer logic is untested
+    assert(got.exists(r => !r.isNullAt(4) && r.getString(4) == "before"))
+    assert(got.exists(r => !r.isNullAt(4) && r.getString(4) == "after"))
+  }
+
+  test("q_cusum matches the brute-force integer argmax of |S_t|") {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val got = Analytics.qCusum(spark, sfDir).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val series = hourly.filter(_._1 == r.getString(0)).sortBy(_._2)
+      val n = series.length.toLong
+      val sx = series.map(_._3).sum
+      var cum = 0L
+      val ds = series.zipWithIndex.map { case ((_, h, x), i) =>
+        cum += x; (h, i + 1L, math.abs(n * cum - (i + 1L) * sx))
+      }
+      val best = ds.minBy { case (h, _, d) => (-d, h) }
+      assert(r.getLong(2) == best._2, s"${r.getString(0)} cp index")
+      assert(r.getLong(3) == n)
+      assert(r.getDouble(4) == best._3.toDouble / n.toDouble, s"${r.getString(0)} s_max")
+      // the last cumulative deviation is identically zero — the argmax
+      // can never be the final hour unless the series is constant-zero
+      assert(best._2 != n)
+    }
+  }
+
+  test("q_wow matches the brute-force calendar-shifted pairing") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val byKey = daily.map(d => (d._1, d._2) -> d._3).toMap
+    val got = Analytics.qWow(spark, sfDir).collect()
+    assert(got.length == daily.length)
+    val weekMs = 7L * 86400000L
+    // output is (type, day)-ordered and day_s string order == day order,
+    // so zipping against the sorted brute-force rows aligns rows exactly
+    val sortedDaily = daily.sortBy(d => (d._1, d._2))
+    got.zip(sortedDaily).foreach { case (r, (t, day, x)) =>
+      assert(r.getString(0) == t)
+      assert(r.getLong(2) == x)
+      byKey.get((t, day - weekMs)) match {
+        case Some(prev) =>
+          assert(r.getLong(3) == prev)
+          assert(r.getDouble(4) == (x - prev).toDouble / prev.toDouble)
+        case None =>
+          assert(r.isNullAt(3) && r.isNullAt(4), s"$t ${r.getString(1)}")
+      }
+    }
+    // the first week of the fixture has no comparison: NULLs must exist
+    assert(got.count(_.isNullAt(4)) >= 5)
+  }
+
   test("q_streaks matches a brute-force consecutive-day run scan per user") {
     val ud = Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day")).collect()
