@@ -1371,6 +1371,24 @@ object Analytics {
       .orderBy(col("event_type"), col("day_s"))
   }
 
+  /** q_listagg — deterministic string aggregation: each user's distinct
+    * event types as ONE ordered, comma-joined string — the
+    * LISTAGG/STRING_AGG reporting surface (export rows, audit columns,
+    * feature crosses). Bare LISTAGG is arrival-order nondeterministic —
+    * same trap as built-in mode() ([[qMode]]) — so the gateable form
+    * pins BOTH an explicit sort and in-row dedup:
+    * array_join(array_sort(collect_set(…))). collect_set state is
+    * bounded by the value DOMAIN (|types|), not the group's row count —
+    * safe where an unbounded collect_list would OOM a hot key.
+    */
+  def qListagg(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types_csv"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("user_id"))
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -2166,6 +2184,7 @@ object Analytics {
     "q_nearest_event"   -> qNearestEvent _,
     "q_cusum"           -> qCusum _,
     "q_wow"             -> qWow _,
+    "q_listagg"         -> qListagg _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2677,6 +2696,12 @@ object Analytics {
         |         AS cum_users
         |FROM dau LEFT JOIN nw ON dau.day = nw.day
         |ORDER BY day_s""".stripMargin,
+    "q_listagg" ->
+      """SELECT user_id,
+        |       string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+        |         AS types_csv,
+        |       COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_cusum" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,

@@ -120,6 +120,42 @@ object TextOps {
           size(col("toks"))).as("conf"))
       .orderBy(col("doc_id"))
 
+  /** q_lang_confusion — the lang-ID EVALUATION harness: confusion matrix
+    * of [[qLangId]]'s stopword-vote prediction against the corpus'
+    * true labels, with per-true-language recall fractions — completing
+    * the eval-harness family (ANN recall = q_recall_eval, label
+    * coherence = q_knn_classify, classifier quality = this). The
+    * fixture makes it honest twice over: the predictor only knows
+    * en/es/de (so zh/fr mass must land SOMEWHERE visible), and the
+    * synthetic corpus carries English stopwords under every lang label —
+    * so the matrix exposes the vote collapsing toward the en column.
+    * That is the point of shipping the matrix as a first-class query: a
+    * bare accuracy number would bury a degenerate classifier; the
+    * matrix cannot (TextOpsSpec pins the exposure).
+    *
+    * Plan: per-row scoring (in-row filters, no shuffle), ONE
+    * |langs|²-bounded hash agg, per-true-lang totals joined back
+    * broadcast. Counts exact; the recall fraction is one pinned
+    * division.
+    */
+  def qLangConfusion(spark: SparkSession, d: String): DataFrame = {
+    val pred = tokenized(spark, d)
+      .select(col("lang"),
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").as("s_en"),
+        expr("size(filter(toks, t -> t IN ('el', 'la', 'un')))").as("s_es"),
+        expr("size(filter(toks, t -> t IN ('der', 'die', 'das')))").as("s_de"))
+      .select(col("lang"),
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de").as("pred_lang"))
+    val totals = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    pred.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (col("n").cast("double") / col("n_lang").cast("double")).as("frac"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** q_quality_score — document quality metrics for pipeline filtering:
     * token count, distinct-token count, stopword ratio, average token
     * length, and the resulting keep/drop flag.
@@ -1380,6 +1416,7 @@ object TextOps {
     "q_redact"        -> qRedact _,
     "q_clean_text"    -> qCleanText _,
     "q_zipf"          -> qZipf _,
+    "q_lang_confusion" -> qLangConfusion _,
   )
 
   // ---- DuckDB oracle: identical tokenization, hashing, and arithmetic ----
@@ -1535,6 +1572,25 @@ object TextOps {
         |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
         |FROM pairs GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH pred AS (
+        |  SELECT lang,
+        |         CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |              WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM (
+        |    SELECT lang,
+        |           len(list_filter(toks, t -> t IN ('the', 'a'))) AS s_en,
+        |           len(list_filter(toks, t -> t IN ('el', 'la', 'un'))) AS s_es,
+        |           len(list_filter(toks, t -> t IN ('der', 'die', 'das'))) AS s_de
+        |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))
+        |), totals AS (
+        |  SELECT lang, COUNT(*) AS n_lang FROM pred GROUP BY lang
+        |)
+        |SELECT p.lang, p.pred_lang, COUNT(*) AS n,
+        |       CAST(COUNT(*) AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS frac
+        |FROM pred p JOIN totals t ON p.lang = t.lang
+        |GROUP BY p.lang, p.pred_lang, t.n_lang
+        |ORDER BY p.lang, p.pred_lang""".stripMargin,
     "q_lang_id" ->
       """SELECT doc_id, s_en, s_es, s_de,
         |       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'

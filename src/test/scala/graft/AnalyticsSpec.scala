@@ -857,6 +857,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.count(_.isNullAt(4)) >= 5)
   }
 
+  test("q_listagg is the ordered, deduped join of each user's types") {
+    val items = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val byUser = items.groupBy(_._1)
+    val got = Analytics.qListagg(spark, sfDir).collect()
+    assert(got.length == byUser.size)
+    got.foreach { r =>
+      val types = byUser(r.getLong(0)).map(_._2).sorted
+      assert(r.getString(1) == types.mkString(","), s"user ${r.getLong(0)}")
+      assert(r.getLong(2) == types.length.toLong)
+    }
+  }
+
   test("q_streaks matches a brute-force consecutive-day run scan per user") {
     val ud = Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day")).collect()

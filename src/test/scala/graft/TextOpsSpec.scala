@@ -597,6 +597,32 @@ class TextOpsSpec extends SparkSpec {
     assert(slope < 0.0 && r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("q_lang_confusion matrix is consistent and exposes the unknown-language mass") {
+    val got = TextOps.qLangConfusion(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val trueLangs = Tables.documents(spark, sfDir)
+      .select(col("lang")).collect().map(_.getString(0))
+    val totals = trueLangs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // row masses: each true language's cells sum to its corpus count,
+    // and the fractions to 1
+    totals.foreach { case (lang, n) =>
+      val cells = got.filter(_._1 == lang)
+      assert(cells.map(_._3).sum == n, s"$lang mass")
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-9, s"$lang fracs")
+    }
+    // every true language must appear as a row, with every prediction
+    // inside the classifier's closed {en, es, de} vocabulary
+    assert(got.map(_._1).toSet == totals.keySet)
+    assert(got.forall(c => Set("en", "es", "de")(c._2)))
+    // THE finding this harness exists to surface: on this synthetic
+    // corpus the stopword vote is degenerate — the fixture's text
+    // contains English stopwords regardless of its lang label, so the
+    // matrix shows (at least) the en column absorbing foreign mass.
+    // A bare accuracy number would bury this; the matrix can't.
+    val enAbsorbed = got.filter(c => c._1 != "en" && c._2 == "en").map(_._3).sum
+    assert(enAbsorbed > 0, "expected off-diagonal mass in the en column")
+  }
+
   test("NfcNormalize composes NFD to NFC and is identity on canonical text") {
     import org.apache.spark.unsafe.types.UTF8String
     val decomposed = "caf" + "é" // NFD: e + combining acute
