@@ -1389,6 +1389,34 @@ object Analytics {
         countDistinct(col("event_type")).as("n_types"))
       .orderBy(col("user_id"))
 
+  /** q_null_safe_join — NULL-safe equality join (`<=>` / SQL's
+    * IS NOT DISTINCT FROM): the semantic corner every pipeline with
+    * nullable keys hits — under plain `=`, NULL keys match NOTHING and
+    * silently vanish from an inner join; under null-safe equality they
+    * match each other, so a dimension can carry an explicit NULL-keyed
+    * "unmapped" row that catches them. Here `error` events are nulled
+    * into exactly that bucket: a plain-= plan would report zero
+    * incidents and no error at all — the worst kind of wrong.
+    *
+    * Plan: the dimension is a 5-row literal relation, broadcast; `<=>`
+    * is a legal hash-join key (null-safe equality hashes NULL as a
+    * value), so this stays a broadcast HASH join — no nested-loop
+    * penalty for the null semantics. Exact counts; ordering total.
+    */
+  def qNullSafeJoin(spark: SparkSession, d: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val mapping = Seq(
+      (Option("view"), "browse"), (Option("click"), "browse"),
+      (Option("purchase"), "commerce"), (Option("signup"), "account"),
+      (Option.empty[String], "incident")).toDF("mk", "category")
+    events(spark, d)
+      .select(expr("nullif(event_type, 'error')").as("k"))
+      .join(broadcast(mapping), col("k") <=> col("mk"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n"))
+      .orderBy(col("category"))
+  }
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -2185,6 +2213,7 @@ object Analytics {
     "q_cusum"           -> qCusum _,
     "q_wow"             -> qWow _,
     "q_listagg"         -> qListagg _,
+    "q_null_safe_join"  -> qNullSafeJoin _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2696,6 +2725,17 @@ object Analytics {
         |         AS cum_users
         |FROM dau LEFT JOIN nw ON dau.day = nw.day
         |ORDER BY day_s""".stripMargin,
+    "q_null_safe_join" ->
+      """WITH m(mk, category) AS (
+        |  VALUES ('view', 'browse'), ('click', 'browse'),
+        |         ('purchase', 'commerce'), ('signup', 'account'),
+        |         (NULL, 'incident')
+        |), e AS (
+        |  SELECT nullif(event_type, 'error') AS k FROM events
+        |)
+        |SELECT category, COUNT(*) AS n
+        |FROM e JOIN m ON e.k IS NOT DISTINCT FROM m.mk
+        |GROUP BY category ORDER BY category""".stripMargin,
     "q_listagg" ->
       """SELECT user_id,
         |       string_agg(DISTINCT event_type, ',' ORDER BY event_type)

@@ -857,6 +857,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.count(_.isNullAt(4)) >= 5)
   }
 
+  test("q_null_safe_join routes NULL keys to the incident bucket, hash-join shaped") {
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type")).collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Analytics.qNullSafeJoin(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "account" -> byType("signup"),
+      "browse" -> (byType("view") + byType("click")),
+      "commerce" -> byType("purchase"),
+      "incident" -> byType("error")))
+    // errors only reach the result THROUGH the null-safe match — and the
+    // null semantics must not cost the hash join
+    assert(got("incident") > 0)
+    val p = Analytics.qNullSafeJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe equality must remain a hash join:\n$p")
+  }
+
   test("q_listagg is the ordered, deduped join of each user's types") {
     val items = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type")).collect()
