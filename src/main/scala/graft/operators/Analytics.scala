@@ -1417,6 +1417,84 @@ object Analytics {
       .orderBy(col("category"))
   }
 
+  /** q_seasonality — two-way additive decomposition of the traffic
+    * matrix: per (weekday, hour-of-day) cell, total events split into
+    * grand mean + weekday effect + hour effect + residual (the ANOVA /
+    * "classic seasonal profile" view) — how a capacity planner separates
+    * "Mondays are busy" from "9am is busy" from "Monday 9am is SPECIAL
+    * (residual)". Complements [[qCusum]]/[[graft.operators.Mining
+    * .qLinreg]]: those find level shifts and trend, this isolates the
+    * periodic structure.
+    *
+    * Plan: the log collapses to the 7×24 cell matrix in ONE map-side-
+    * partial agg; margins are re-aggregations OVER that constant-sized
+    * matrix (the q_mutual_info stance), joined back broadcast.
+    *
+    * Determinism: all counts exact BIGINT; each mean is ONE division of
+    * exact integers; the residual is one pinned chain
+    * (cell − dow̄ − hod̄ + grand) mirrored verbatim in the oracle.
+    */
+  def qSeasonality(spark: SparkSession, d: String): DataFrame = {
+    val cells = events(spark, d)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("c"))
+    val dowM = cells.groupBy(col("dow"))
+      .agg(sum(col("c")).as("sd"), count(lit(1)).as("nd"))
+    val hodM = cells.groupBy(col("hod"))
+      .agg(sum(col("c")).as("sh"), count(lit(1)).as("nh"))
+    val grand = cells.agg(sum(col("c")).as("sg"), count(lit(1)).as("ng"))
+    val dMean = col("sd").cast("double") / col("nd").cast("double")
+    val hMean = col("sh").cast("double") / col("nh").cast("double")
+    val gMean = col("sg").cast("double") / col("ng").cast("double")
+    cells
+      .join(broadcast(dowM), "dow")
+      .join(broadcast(hodM), "hod")
+      .crossJoin(broadcast(grand))
+      .select(col("dow"), col("hod"), col("c"),
+        dMean.as("dow_mean"), hMean.as("hod_mean"), gMean.as("grand_mean"),
+        (col("c").cast("double") - dMean - hMean + gMean).as("residual"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  /** q_time_to_convert — the product metric behind every activation
+    * funnel: per user, the delay from FIRST signup to the FIRST
+    * purchase after it, summarized per signup-weekday cohort as
+    * (n converted, lower-median delay, max delay). Composes the
+    * engine's contracts — first-touch ([[qCumUsers]]), forward-asof
+    * pairing ([[qNearestEvent]]'s frame trick degenerates to a min over
+    * a filtered join here), selection median ([[qMedian]]).
+    *
+    * Plan: two per-user aggregates (first signup, first qualifying
+    * purchase via min over a filtered equi-join on user — never a
+    * time-range theta join), then a |users|-row relation carries the
+    * cohort split and the rank-selected median. Delays are exact µs.
+    */
+  def qTimeToConvert(spark: SparkSession, d: String): DataFrame = {
+    val signup = events(spark, d).filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("s_us"))
+    val purch = events(spark, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val delays = signup.join(purch, "user_id")
+      .filter(col("p_us") >= col("s_us"))
+      .groupBy(col("user_id"), col("s_us"))
+      .agg(min(col("p_us") - col("s_us")).as("delay_us"))
+      .select(col("user_id"),
+        dayofweek(timestamp_micros(col("s_us"))).cast("long").as("dow"),
+        col("delay_us"))
+    val byDelay = Window.partitionBy(col("dow"))
+      .orderBy(col("delay_us"), col("user_id"))
+    val all = Window.partitionBy(col("dow"))
+    delays
+      .withColumn("rn", row_number().over(byDelay))
+      .withColumn("cnt", count(lit(1)).over(all))
+      .withColumn("mx", max(col("delay_us")).over(all))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      .select(col("dow"), col("cnt").as("n_converted"),
+        col("delay_us").as("median_delay_us"), col("mx").as("max_delay_us"))
+      .orderBy(col("dow"))
+  }
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -2214,6 +2292,8 @@ object Analytics {
     "q_wow"             -> qWow _,
     "q_listagg"         -> qListagg _,
     "q_null_safe_join"  -> qNullSafeJoin _,
+    "q_seasonality"     -> qSeasonality _,
+    "q_time_to_convert" -> qTimeToConvert _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2725,6 +2805,55 @@ object Analytics {
         |         AS cum_users
         |FROM dau LEFT JOIN nw ON dau.day = nw.day
         |ORDER BY day_s""".stripMargin,
+    "q_seasonality" ->
+      """WITH cells AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |         CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), dm AS (SELECT dow, CAST(SUM(c) AS BIGINT) AS sd, COUNT(*) AS nd
+        |          FROM cells GROUP BY dow),
+        |hm AS (SELECT hod, CAST(SUM(c) AS BIGINT) AS sh, COUNT(*) AS nh
+        |       FROM cells GROUP BY hod),
+        |g AS (SELECT CAST(SUM(c) AS BIGINT) AS sg, COUNT(*) AS ng FROM cells)
+        |SELECT dow, hod, c,
+        |       CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE) AS dow_mean,
+        |       CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE) AS hod_mean,
+        |       CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS grand_mean,
+        |       CAST(c AS DOUBLE)
+        |         - CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE)
+        |         - CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE)
+        |         + CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS residual
+        |FROM cells JOIN dm USING (dow) JOIN hm USING (hod) CROSS JOIN g
+        |ORDER BY dow, hod""".stripMargin,
+    "q_time_to_convert" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), d AS (
+        |  SELECT s.user_id, s.s_us,
+        |         CAST(MIN(p.p_us - s.s_us) AS BIGINT) AS delay_us
+        |  FROM s JOIN p ON s.user_id = p.user_id
+        |  WHERE p.p_us >= s.s_us
+        |  GROUP BY s.user_id, s.s_us
+        |), dd AS (
+        |  SELECT user_id,
+        |         CAST(dayofweek(make_timestamp(s_us)) + 1 AS BIGINT) AS dow,
+        |         delay_us
+        |  FROM d
+        |), r AS (
+        |  SELECT dow, delay_us, user_id,
+        |         row_number() OVER (PARTITION BY dow
+        |           ORDER BY delay_us, user_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY dow) AS cnt,
+        |         CAST(MAX(delay_us) OVER (PARTITION BY dow) AS BIGINT) AS mx
+        |  FROM dd
+        |)
+        |SELECT dow, cnt AS n_converted, delay_us AS median_delay_us,
+        |       mx AS max_delay_us
+        |FROM r WHERE rn = (cnt + 1) // 2 ORDER BY dow""".stripMargin,
     "q_null_safe_join" ->
       """WITH m(mk, category) AS (
         |  VALUES ('view', 'browse'), ('click', 'browse'),

@@ -877,6 +877,61 @@ class AnalyticsSpec extends SparkSpec {
       s"null-safe equality must remain a hash join:\n$p")
   }
 
+  test("q_seasonality: the decomposition reassembles and margins vanish") {
+    val got = Analytics.qSeasonality(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val total = Tables.events(spark, sfDir).count()
+    assert(got.map(_._3).sum == total, "cell matrix must cover every event")
+    // each residual is exactly the pinned chain of the published means
+    got.foreach { c =>
+      assert(c._7 == c._3.toDouble - c._4 - c._5 + c._6, s"cell ${(c._1, c._2)}")
+    }
+    // weekday margins: the mean of a weekday's cells equals its effect
+    got.groupBy(_._1).foreach { case (dow, cells) =>
+      val m = cells.map(_._3).sum.toDouble / cells.length
+      assert(math.abs(cells.head._4 - m) < 1e-9, s"dow $dow margin")
+    }
+    // the GLOBAL residual sum vanishes identically (Σ c − Σ dow̄ − Σ hod̄
+    // + Σ grand telescopes to T − T − T + T) even when the cell table is
+    // incomplete — per-row sums only vanish for complete balanced tables
+    val s = got.map(_._7).sum
+    assert(math.abs(s) < 1e-6 * total, s"global residual drift $s")
+  }
+
+  test("q_time_to_convert matches the brute-force first-signup/first-purchase scan") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val delays = byUser.toSeq.flatMap { case (u, es) =>
+      val signups = es.filter(_._2 == "signup").map(_._3)
+      if (signups.isEmpty) None
+      else {
+        val s = signups.min
+        es.filter(e => e._2 == "purchase" && e._3 >= s).map(_._3 - s)
+          .minOption.map(d => (u, s, d))
+      }
+    }
+    val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+    def dow(us: Long): Long = {
+      cal.setTimeInMillis(us / 1000L); cal.get(java.util.Calendar.DAY_OF_WEEK).toLong
+    }
+    val byDow = delays.groupBy(d => dow(d._2))
+    val got = Analytics.qTimeToConvert(spark, sfDir).collect()
+    assert(got.length == byDow.size)
+    got.foreach { r =>
+      val ds = byDow(r.getLong(0)).sortBy(d => (d._3, d._1))
+      assert(r.getLong(1) == ds.length.toLong, s"dow ${r.getLong(0)} n")
+      assert(r.getLong(2) == ds((ds.length + 1) / 2 - 1)._3, s"dow ${r.getLong(0)} median")
+      assert(r.getLong(3) == ds.map(_._3).max, s"dow ${r.getLong(0)} max")
+    }
+    // conversion delays must be nonnegative, and the cohort rows must
+    // account for every converted user exactly once
+    assert(delays.forall(_._3 >= 0))
+    assert(got.map(_.getLong(1)).sum == delays.size.toLong)
+  }
+
   test("q_listagg is the ordered, deduped join of each user's types") {
     val items = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type")).collect()
