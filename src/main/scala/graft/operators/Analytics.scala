@@ -1495,6 +1495,23 @@ object Analytics {
       .orderBy(col("dow"))
   }
 
+  /** q_multi_distinct — several COUNT(DISTINCT …) over different columns
+    * in ONE aggregate: the dashboard header row (rows / users / types /
+    * active days) and a real planner story — Catalyst compiles N
+    * distinct aggregates into a single EXPAND (each input row fans into
+    * N tagged copies, one per distinct column) + one aggregation tree,
+    * ONE pass over the data instead of N self-reads. The ×N expand is
+    * the honest cost of multi-distinct exactness; the sketch path
+    * (q_approx_distinct / q_hll_merge) is the documented escape when N
+    * distincts over 100 TB don't justify it. PlanSpec pins the Expand.
+    */
+  def qMultiDistinct(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(date_trunc("day", col("ts"))).as("n_days"))
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -2294,6 +2311,7 @@ object Analytics {
     "q_null_safe_join"  -> qNullSafeJoin _,
     "q_seasonality"     -> qSeasonality _,
     "q_time_to_convert" -> qTimeToConvert _,
+    "q_multi_distinct"  -> qMultiDistinct _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2805,6 +2823,12 @@ object Analytics {
         |         AS cum_users
         |FROM dau LEFT JOIN nw ON dau.day = nw.day
         |ORDER BY day_s""".stripMargin,
+    "q_multi_distinct" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(DISTINCT event_type) AS n_types,
+        |       COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+        |FROM events""".stripMargin,
     "q_seasonality" ->
       """WITH cells AS (
         |  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,

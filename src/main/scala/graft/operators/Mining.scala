@@ -193,6 +193,52 @@ object Mining {
           .as("mi"))
   }
 
+  /** Maximum lag of [[qAcf]]'s correlogram (hours). */
+  val AcfMaxLag = 24
+
+  /** q_acf — the full correlogram: Pearson r of the hourly event-count
+    * series against itself at every lag 1..[[AcfMaxLag]] — [[qAutocorr]]
+    * generalized from one point to the curve, which is what you actually
+    * read for periodicity (a daily cycle shows as a resonance at lag 24)
+    * and for "how much history matters" (AR order selection).
+    *
+    * Plan: ONE hourly histogram (the only pass over the log), then the
+    * lag spine explodes each histogram row into its ≤ [[AcfMaxLag]]
+    * pairings — fan-out bounded by the LAG BUDGET, not the data — and
+    * one (lag)-keyed aggregate computes all five moment sums per lag.
+    * Everything after the first pass is |hours|·|lags| rows,
+    * calendar-bounded at any volume.
+    *
+    * Determinism: the q_autocorr contract per lag — exact BIGINT
+    * moments, exact-integer zero-variance guards, doubles only in the
+    * final divide/sqrt with one pinned parenthesization.
+    */
+  def qAcf(spark: SparkSession, d: String): DataFrame = {
+    val hourly = events(spark, d)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000")
+        .as("h"))
+      .agg(count(lit(1)).as("x"))
+    val lagged = hourly
+      .select(col("h"), col("x"),
+        explode(sequence(lit(1L), lit(AcfMaxLag.toLong))).as("lag"))
+      .select((col("h") - col("lag")).as("h"), col("lag"), col("x").as("y"))
+    val m = hourly.join(lagged, "h")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val radX = m("n") * m("sxx") - m("sx") * m("sx")
+    val radY = m("n") * m("syy") - m("sy") * m("sy")
+    m.select(col("lag"), col("n"),
+      when(radX > 0L && radY > 0L,
+        (m("n") * m("sxy") - m("sx") * m("sy")).cast("double") /
+          (sqrt(radX.cast("double")) * sqrt(radY.cast("double"))))
+        .as("acf"))
+      .orderBy(col("lag"))
+  }
+
   /** q_ewma — exponentially-weighted moving average (α = 0.2) of the
     * hourly event-count series per event_type: the standard smoothed
     * "current level" statistic behind monitoring baselines and anomaly
@@ -739,6 +785,7 @@ object Mining {
     "q_jaccard_sets"  -> qJaccardSets _,
     "q_moments"       -> qMoments _,
     "q_benford"       -> qBenford _,
+    "q_acf"           -> qAcf _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -885,6 +932,30 @@ object Mining {
         |FROM cell JOIN langn USING (lang) JOIN dft USING (token) CROSS JOIN nd
         |WHERE df < n_docs
         |ORDER BY chi2 DESC, lang, token LIMIT 20""".stripMargin,
+    "q_acf" ->
+      s"""WITH hourly AS (
+         |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         |         CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1
+         |), lagged AS (
+         |  SELECT h - lag AS h, lag, x AS y
+         |  FROM hourly CROSS JOIN
+         |    (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag)
+         |), m AS (
+         |  SELECT lag, COUNT(*) AS n,
+         |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |         CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM hourly JOIN lagged USING (h) GROUP BY lag
+         |)
+         |SELECT lag, n,
+         |       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         |                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         |       END AS acf
+         |FROM m ORDER BY lag""".stripMargin,
     "q_autocorr" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x

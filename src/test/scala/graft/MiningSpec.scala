@@ -394,6 +394,34 @@ class MiningSpec extends SparkSpec {
       s"fixture drifted from its measured Benford-consistency: chi2=$chi2")
   }
 
+  test("q_acf matches per-lag brute force and lag 1 equals q_autocorr") {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getTimestamp(0).getTime / 3600000L, r.getLong(1)))
+    val byH = hourly.toMap
+    val got = Mining.qAcf(spark, sfDir).collect()
+    assert(got.length == Mining.AcfMaxLag)
+    got.foreach { r =>
+      val lag = r.getLong(0)
+      val pairs = hourly.flatMap { case (h, x) => byH.get(h + lag).map(y => (x, y)) }
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      assert(r.getLong(1) == n, s"lag $lag n")
+      val expected = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      assert(r.getDouble(2) == expected, s"lag $lag acf")
+      assert(math.abs(expected) <= 1.0)
+    }
+    // the curve's first point is exactly the single-lag operator
+    val a1 = Mining.qAutocorr(spark, sfDir).collect().head.getDouble(1)
+    assert(got.head.getDouble(2) == a1, "acf(1) must equal q_autocorr")
+  }
+
   test("q_jaccard_sets matches brute-force set overlap and bounds") {
     val items = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type")).collect()

@@ -274,6 +274,18 @@ class PlanSpec extends SparkSpec {
       s"overlap join must stay the bucketized equi-join:\n$p")
   }
 
+  test("q_multi_distinct compiles to one Expand pass, not N self-reads") {
+    val df = Analytics.qMultiDistinct(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("Expand"),
+      s"multi-distinct must use the tagged-expand strategy:\n$p")
+    // one scan of events feeds all four aggregates
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single events scan, saw $scans:\n$p")
+    val r = df.collect().head
+    assert(r.getLong(0) > r.getLong(1) && r.getLong(1) > r.getLong(2))
+  }
+
   test("q_snapshot_diff and q_zorder push their predicates into the parquet scan") {
     for ((name, df) <- Seq(
         "q_snapshot_diff" -> Analytics.qSnapshotDiff(spark, sfDir),
