@@ -1512,6 +1512,48 @@ object Analytics {
         countDistinct(col("event_type")).as("n_types"),
         countDistinct(date_trunc("day", col("ts"))).as("n_days"))
 
+  /** q_decile_lift — the gains/lift table: users scored by engagement
+    * (event count), deciled, and each decile read against the share of
+    * purchase VALUE it captures — "the top 10% of users by activity
+    * drive X% of revenue", the chart every targeting/model-eval
+    * conversation starts from. Lift(d) = value-share(d) / 0.1; the
+    * cumulative column is the gains curve.
+    *
+    * Plan: one per-user aggregate (score + value in the same pass),
+    * ntile over the |users|-sized relation (the [[qNtile]] stance —
+    * ntile is rank-arithmetic, parallel after one sort shuffle), one
+    * 10-row re-aggregate, and the cumulative window runs over TEN rows.
+    *
+    * Determinism: the ntile order is total ((score, user_id) desc/asc);
+    * value mass via exactSum; shares and lift are pinned divisions; the
+    * cumulative share sums the 10 exact decimal-backed doubles in rank
+    * order (ROWS frame over a deterministic 10-row relation).
+    */
+  def qDecileLift(spark: SparkSession, d: String): DataFrame = {
+    val perUser = events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        graft.Tables.exactSum(
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).as("revenue"))
+    val w = Window.orderBy(col("score").desc, col("user_id"))
+    val tot = perUser.agg(graft.Tables.exactSum(col("revenue")).as("tot_rev"),
+      count(lit(1)).as("n_users"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perUser
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users_d"),
+        graft.Tables.exactSum(col("revenue")).as("rev_d"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users_d"),
+        (col("rev_d") / col("tot_rev")).as("rev_share"),
+        ((col("rev_d") / col("tot_rev")) / lit(0.1)).as("lift"))
+      .withColumn("cum_share", sum(col("rev_share")).over(cum))
+      .orderBy(col("decile"))
+  }
+
   /** q_mode — per-user modal event type, DETERMINISTICALLY: the most
     * frequent value with ties broken by the smallest value, expressed as
     * one `min_by` over a (−count, value) struct — lexicographic struct
@@ -2312,6 +2354,7 @@ object Analytics {
     "q_seasonality"     -> qSeasonality _,
     "q_time_to_convert" -> qTimeToConvert _,
     "q_multi_distinct"  -> qMultiDistinct _,
+    "q_decile_lift"     -> qDecileLift _,
     "q_mode"            -> qMode _,
     "q_median"          -> qMedian _,
     "q_running_sum"     -> qRunningSum _,
@@ -2823,6 +2866,33 @@ object Analytics {
         |         AS cum_users
         |FROM dau LEFT JOIN nw ON dau.day = nw.day
         |ORDER BY day_s""".stripMargin,
+    "q_decile_lift" ->
+      """WITH pu AS (
+        |  SELECT user_id, COUNT(*) AS score,
+        |         CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+        |                            THEN value ELSE 0.0 END
+        |                       AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |  FROM events GROUP BY user_id
+        |), t AS (
+        |  SELECT CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS tot_rev,
+        |         COUNT(*) AS n_users
+        |  FROM pu
+        |), dd AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS BIGINT)
+        |           AS decile,
+        |         revenue
+        |  FROM pu
+        |), agg AS (
+        |  SELECT decile, COUNT(*) AS n_users_d,
+        |         CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS rev_d
+        |  FROM dd GROUP BY decile
+        |)
+        |SELECT decile, n_users_d,
+        |       rev_d / tot_rev AS rev_share,
+        |       (rev_d / tot_rev) / 0.1 AS lift,
+        |       SUM(rev_d / tot_rev) OVER (ORDER BY decile
+        |         ROWS UNBOUNDED PRECEDING) AS cum_share
+        |FROM agg CROSS JOIN t ORDER BY decile""".stripMargin,
     "q_multi_distinct" ->
       """SELECT COUNT(*) AS n_rows,
         |       COUNT(DISTINCT user_id) AS n_users,

@@ -932,6 +932,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum == delays.size.toLong)
   }
 
+  test("q_decile_lift matches brute force and the gains curve is well-formed") {
+    import scala.math.BigDecimal.RoundingMode
+    def dec(x: Double): BigDecimal = BigDecimal(x).setScale(6, RoundingMode.HALF_UP)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.length.toLong,
+        es.map(e => dec(if (e._2 == "purchase") e._3 else 0.0)).sum.toDouble)
+    }.toSeq
+    val ranked = perUser.sortBy(p => (-p._2, p._1))
+    val n = ranked.length
+    // SQL ntile: earlier tiles take the remainder rows
+    val base = n / 10; val extra = n % 10
+    val deciles = ranked.zipWithIndex.map { case (p, i) =>
+      var acc = 0; var d = 0
+      while (d < 10 && { val sz = base + (if (d < extra) 1 else 0); acc + sz <= i } ) {
+        acc += base + (if (d < extra) 1 else 0); d += 1 }
+      (d + 1, p._3)
+    }
+    val totRev = perUser.map(p => dec(p._3)).sum.toDouble
+    val got = Analytics.qDecileLift(spark, sfDir).collect()
+    assert(got.length == 10)
+    var cum = 0.0
+    got.zipWithIndex.foreach { case (r, i) =>
+      val d = i + 1
+      val mine = deciles.filter(_._1 == d)
+      val revD = mine.map(m => dec(m._2)).sum.toDouble
+      assert(r.getLong(0) == d.toLong && r.getLong(1) == mine.length.toLong)
+      assert(r.getDouble(2) == revD / totRev, s"decile $d share")
+      assert(r.getDouble(3) == (revD / totRev) / 0.1, s"decile $d lift")
+      cum += revD / totRev
+      assert(r.getDouble(4) == cum, s"decile $d cum")
+    }
+    // gains curve sanity: ends at ~1 and the curve is monotone
+    assert(math.abs(got.last.getDouble(4) - 1.0) < 1e-9)
+    assert(got.sliding(2).forall(p => p.head.getDouble(4) <= p.last.getDouble(4)))
+  }
+
   test("q_listagg is the ordered, deduped join of each user's types") {
     val items = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type")).collect()
