@@ -1200,6 +1200,62 @@ object TextOps {
           .as("r2"))
   }
 
+  /** Truncation depth of [[qRankDrift]]'s RBO. */
+  val RboK = 20
+
+  /** q_rank_drift — rank-biased overlap (RBO, truncated at depth
+    * [[RboK]], persistence p = 1/2) between the TOP-TERM RANKINGS of
+    * the train and test halves of the doc_id-hash split: the
+    * order-aware drift statistic. [[Mining.qKsTest]] compares value
+    * DISTRIBUTIONS; ranked surfaces (top queries, top terms, top
+    * products) need a comparison that weights rank 1 over rank 20 —
+    * that is RBO, the standard IR-evaluation choice for indefinite
+    * rankings. p = 1/2 makes every weight p^(d−1) = 2^(1−d) EXACTLY
+    * representable (shift-derived, no pow() to match across engines) —
+    * steeply top-weighted, which is the reading you want for "did my
+    * head terms move"; the p knob is the documented trade.
+    *
+    * Plan: per-half term counts (vocab-sized, map-side partial), top-k
+    * by (count desc, term) — each a rank window over a vocab-sized
+    * relation; the overlap profile X_d comes from the matched pairs
+    * exploding to the depths d ≥ max(ra, rb) they contribute to (an
+    * EQUI-explode onto the k-row depth spine — no inequality join) and
+    * the final fold runs over k rows. Everything past the counts is
+    * k-bounded.
+    *
+    * Determinism: ranks are total ((count, term)); X_d exact BIGINT;
+    * weights exact dyadic doubles; the depth-ORDERED fold and one
+    * pinned (1−p)·Σ w_d·X_d/d chain are replayed by the oracle.
+    */
+  def qRankDrift(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenized(spark, d)
+      .select(col("doc_id"), explode(col("toks")).as("term"),
+        (md5Long(col("doc_id").cast("string"), 15) % 10 < TrainBuckets)
+          .as("is_train"))
+    def topOf(train: Boolean, rc: String) = toks.filter(col("is_train") === train)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .withColumn(rc, row_number().over(
+        Window.orderBy(col("c").desc, col("term"))).cast("long"))
+      .filter(col(rc) <= RboK)
+      .select(col("term"), col(rc))
+    val matched = topOf(train = true, "ra").join(topOf(train = false, "rb"), "term")
+    val spine = spark.range(1, RboK + 1).select(col("id").as("dd"))
+    val xd = matched
+      .select(explode(sequence(greatest(col("ra"), col("rb")),
+        lit(RboK.toLong))).as("dd"))
+      .groupBy(col("dd")).agg(count(lit(1)).as("x"))
+    val profile = spine.join(xd, Seq("dd"), "left")
+      .select(col("dd"), coalesce(col("x"), lit(0L)).as("x"))
+    profile
+      .agg(sort_array(collect_list(struct(col("dd"), col("x")))).as("ps"))
+      .select(lit(RboK.toLong).as("k"),
+        expr(s"aggregate(ps, CAST(0.0 AS DOUBLE), (acc, e) -> acc + " +
+          "(CAST(1 AS DOUBLE) / CAST(shiftleft(1, CAST(e.dd AS INT) - 1) AS DOUBLE)) " +
+          "* (CAST(e.x AS DOUBLE) / CAST(e.dd AS DOUBLE)))").as("s"))
+      .select(col("k"), (lit(0.5) * col("s")).as("rbo"))
+  }
+
   /** Docs kept per language by [[qCurate]]'s final selection. */
   val CuratePerLang = 50
 
@@ -1417,6 +1473,7 @@ object TextOps {
     "q_clean_text"    -> qCleanText _,
     "q_zipf"          -> qZipf _,
     "q_lang_confusion" -> qLangConfusion _,
+    "q_rank_drift"    -> qRankDrift _,
   )
 
   // ---- DuckDB oracle: identical tokenization, hashing, and arithmetic ----
@@ -1572,6 +1629,40 @@ object TextOps {
         |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
         |FROM pairs GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q_rank_drift" -> {
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |           % 10 < $TrainBuckets AS is_train
+         |  FROM documents
+         |), ta AS (
+         |  SELECT term,
+         |         CAST(row_number() OVER (ORDER BY COUNT(*) DESC, term)
+         |              AS BIGINT) AS ra
+         |  FROM toks WHERE is_train GROUP BY term
+         |  QUALIFY ra <= $RboK
+         |), tb AS (
+         |  SELECT term,
+         |         CAST(row_number() OVER (ORDER BY COUNT(*) DESC, term)
+         |              AS BIGINT) AS rb
+         |  FROM toks WHERE NOT is_train GROUP BY term
+         |  QUALIFY rb <= $RboK
+         |), matched AS (
+         |  SELECT greatest(ra, rb) AS lo FROM ta JOIN tb USING (term)
+         |), xd AS (
+         |  SELECT dd, COUNT(*) AS x
+         |  FROM (SELECT unnest(range(lo, ${RboK + 1})) AS dd FROM matched)
+         |  GROUP BY dd
+         |), spine AS (SELECT unnest(range(1, ${RboK + 1})) AS dd)
+         |SELECT CAST($RboK AS BIGINT) AS k,
+         |       0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list((CAST(1 AS DOUBLE)
+         |                / CAST((1 << (CAST(dd AS INTEGER) - 1)) AS DOUBLE))
+         |              * (CAST(COALESCE(x, 0) AS DOUBLE) / CAST(dd AS DOUBLE))
+         |              ORDER BY dd)),
+         |         (acc, v) -> acc + v) AS rbo
+         |FROM spine LEFT JOIN xd USING (dd)""".stripMargin
+    },
     "q_lang_confusion" ->
       """WITH pred AS (
         |  SELECT lang,

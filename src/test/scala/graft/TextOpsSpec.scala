@@ -623,6 +623,35 @@ class TextOpsSpec extends SparkSpec {
     assert(enAbsorbed > 0, "expected off-diagonal mass in the en column")
   }
 
+  test("q_rank_drift matches brute-force truncated RBO and its bounds") {
+    import java.security.MessageDigest
+    def isTrain(id: Long): Boolean = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10 < TextOps.TrainBuckets
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    def top(train: Boolean): Seq[String] =
+      docs.filter(d => isTrain(d._1) == train).flatMap(_._2)
+        .groupBy(identity).view.mapValues(_.length).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(TextOps.RboK).map(_._1)
+    val (a, b) = (top(true), top(false))
+    var s = 0.0
+    for (d <- 1 to TextOps.RboK) {
+      val x = (a.take(d).toSet intersect b.take(d).toSet).size
+      s += (1.0 / (1L << (d - 1)).toDouble) * (x.toDouble / d.toDouble)
+    }
+    val rbo = 0.5 * s
+    val r = TextOps.qRankDrift(spark, sfDir).collect().head
+    assert(r.getLong(0) == TextOps.RboK.toLong)
+    assert(r.getDouble(1) == rbo, "rbo")
+    // RBO is a similarity in [0, 1]; the two halves of one corpus must
+    // be similar-but-not-identical at the head
+    assert(rbo > 0.0 && rbo < 1.0, s"degenerate rbo $rbo")
+  }
+
   test("NfcNormalize composes NFD to NFC and is identity on canonical text") {
     import org.apache.spark.unsafe.types.UTF8String
     val decomposed = "caf" + "é" // NFD: e + combining acute
