@@ -30,6 +30,7 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracle),
       (Ranking.queries, Ranking.oracle),
       (Mining.queries, Mining.oracle),
+      (Behavior.queries, Behavior.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
       (graft.sources.FileSources.queries, graft.sources.FileSources.oracle),
       (graft.sources.WritePath.queries, graft.sources.WritePath.oracle),
