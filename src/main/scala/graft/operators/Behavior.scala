@@ -98,9 +98,176 @@ object Behavior {
       .orderBy(col("cohort_s"), col("month_offset"))
   }
 
+  private def lnLibm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.LnLibm(
+      org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** q_prop_test — two-proportion z-test on user conversion between the
+    * two halves of a deterministic A/B split (`user_id % 2`): the
+    * experiment-readout statistic. Conversion = "made a high-value
+    * (≥150.00) purchase" — a mid-range rate; bare "any purchase" is
+    * degenerate on this fixture (every user converts, pooled variance
+    * 0). ONE per-user pass folds the variant and the converted flag;
+    * the per-variant table is 2 rows; the final row is a conditional
+    * re-aggregate. All counts BIGINT; p0/p1/z are pinned double chains
+    * (`sqrt` is IEEE correctly-rounded, so the whole expression is
+    * bit-identical across engines); a degenerate pooled rate (0 or 1)
+    * yields NULL z via the same CASE guard in both engines — under
+    * ANSI mode Spark (correctly) refuses even double division by zero
+    * rather than emitting ±Inf.
+    *
+    * Scale: the only shuffle is the per-user fold (map-side partial);
+    * everything downstream is constant-sized.
+    */
+  def qPropTest(spark: SparkSession, d: String): DataFrame = {
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val v = events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= lit(150.0),
+        lit(1L)).otherwise(lit(0L))).as("conv"))
+      .select(pmod(col("user_id"), lit(2L)).as("variant"), col("conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val w = v.agg(
+      max(when(col("variant") === 0L, col("n"))).as("n0"),
+      max(when(col("variant") === 0L, col("c"))).as("c0"),
+      max(when(col("variant") === 1L, col("n"))).as("n1"),
+      max(when(col("variant") === 1L, col("c"))).as("c1"))
+    val p0 = dbl(col("c0")) / dbl(col("n0"))
+    val p1 = dbl(col("c1")) / dbl(col("n1"))
+    val pp = dbl(col("c0") + col("c1")) / dbl(col("n0") + col("n1"))
+    w.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      p0.as("p0"), p1.as("p1"),
+      when((col("c0") + col("c1")) > 0L && (col("c0") + col("c1")) < (col("n0") + col("n1")),
+        (p0 - p1) /
+          sqrt((pp * (lit(1.0) - pp)) *
+            ((lit(1.0) / dbl(col("n0"))) + (lit(1.0) / dbl(col("n1")))))).as("z"))
+  }
+
+  /** q_survival — Kaplan-Meier survival over signup→purchase conversion
+    * with right-censoring at last activity: duration = days from a
+    * user's first signup to their first subsequent purchase (observed)
+    * or to their last event (censored). The life table carries, per
+    * distinct duration, the at-risk count (suffix sum over durations —
+    * a DESC cumulative window, no inequality join), the event count,
+    * and the log-survival curve ln S(t) = Σ_{u≤t} ln((n_u−d_u)/n_u).
+    *
+    * The curve is reported in LOG space: the cumulative product becomes
+    * a cumulative SUM of [[graft.functions.LnLibm]] factors — libm-exact
+    * in both engines — folded left-to-right by an ordered ROWS window
+    * (deterministic sequential order on both sides), sidestepping both
+    * float-product non-associativity and any exp() mismatch.
+    *
+    * Scale: ONE per-user shuffle folds signup/censor/purchase-list
+    * facts (the purchase list is bounded by per-user activity, the
+    * same contract as q_retention's day set); the life table is
+    * |distinct durations| rows (calendar-bounded), so the two
+    * single-partition windows are over a tiny relation.
+    */
+  def qSurvival(spark: SparkSession, d: String): DataFrame = {
+    val pu = events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("tsig"),
+        max(col("ts")).as("tmax"),
+        collect_list(when(col("event_type") === "purchase", col("ts"))).as("purch"))
+      .filter(col("tsig").isNotNull)
+      .select(col("tsig"), col("tmax"),
+        array_min(filter(col("purch"), p => p >= col("tsig"))).as("tp"))
+    val u = pu.select(
+      when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("observed"),
+      datediff(date_trunc("day", coalesce(col("tp"), col("tmax"))),
+        date_trunc("day", col("tsig"))).cast("long").as("t"))
+    val g = u.groupBy(col("t"))
+      .agg(sum(col("observed")).as("d"), count(lit(1)).as("n_all"))
+    val riskW = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val survW = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // The KM product hits EXACT zero on a step where every remaining
+    // at-risk user events (d == n_risk — only possible at the maximum
+    // duration, since n_risk is a suffix count). ln S is undefined from
+    // that step on: both engines carry NULL there (DuckDB refuses ln(0)
+    // outright; Math.log(0) would yield -Inf), via the same pair of
+    // guards — the factor guard keeps ln(0) out of the running sum, the
+    // zero-step counter NULLs every row at/after the zero step.
+    g.withColumn("n_risk", sum(col("n_all")).over(riskW))
+      .withColumn("zero_steps",
+        sum(when(col("d") === col("n_risk"), lit(1L)).otherwise(lit(0L))).over(survW))
+      .withColumn("ln_surv",
+        when(col("zero_steps") === 0L,
+          sum(when(col("d") < col("n_risk"),
+            lnLibm((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double")))).over(survW)))
+      .select(col("t"), col("n_risk"), col("d"), col("ln_surv"))
+      .orderBy(col("t"))
+  }
+
+  /** q_rolling_median — exact trailing-7-day median of daily revenue per
+    * event type: the robust smoother ops dashboards overlay on spiky
+    * daily series (a rolling MEAN follows one outlier day; the median
+    * doesn't). Daily cents are BIGINT (one map-side-partial aggregate
+    * over the log); the rolling exact `percentile(0.5)` runs per type
+    * over a ROWS frame of 7 calendar-bounded aggregate rows. Median of
+    * exact ints < 2⁵² is exactly representable (int or half-int) and
+    * both engines interpolate `a + (b−a)·0.5` — hash-exact.
+    *
+    * Scale: the window partitions by event_type over the DAILY aggregate
+    * (rows = types × days, calendar-bounded) — the expensive relation
+    * never meets a window.
+    */
+  def qRollingMedian(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    events(spark, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(cents(col("value"))).as("day_cents"))
+      .withColumn("med7_cents", percentile(col("day_cents"), lit(0.5)).over(w))
+      .select(col("event_type"), tsSeconds(col("day")).as("day_s"),
+        col("day_cents"), col("med7_cents"))
+      .orderBy(col("event_type"), col("day_s"))
+  }
+
+  /** q_calibration — reliability table for a score against outcomes
+    * (the companion to q_auc's ranking view: AUC says the score ORDERS
+    * well, calibration says its MAGNITUDE means what it claims). The
+    * `value` column is binned into 10 equal-width bins between the
+    * data min/max (1-row broadcast stats — no wall-clock, no collect),
+    * and each bin reports its observed purchase rate and exact mean
+    * score. Counts BIGINT; the bin index, rate, and mean are pinned
+    * double chains (bin edges from one broadcast min/max, mean via
+    * exactSum/count).
+    *
+    * Scale: one map-side-partial aggregate for the stats row, one for
+    * the 10-bin table — two passes over the scan, zero wide shuffles.
+    */
+  def qCalibration(spark: SparkSession, d: String): DataFrame = {
+    val stats = events(spark, d)
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    events(spark, d)
+      .crossJoin(broadcast(stats))
+      .select(
+        when(col("vmax") > col("vmin"),
+          least(floor(((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin"))) * lit(10.0)), lit(9.0)))
+          .otherwise(lit(0.0)).cast("long").as("bin"),
+        when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)).as("pos"),
+        col("value"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        graft.Tables.exactAvg(col("value")).as("avg_score"))
+      .withColumn("obs_rate", col("n_pos").cast("double") / col("n").cast("double"))
+      .select(col("bin"), col("n"), col("n_pos"), col("obs_rate"), col("avg_score"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> qRfm _,
     "q_ltv" -> qLtv _,
+    "q_prop_test" -> qPropTest _,
+    "q_survival" -> qSurvival _,
+    "q_rolling_median" -> qRollingMedian _,
+    "q_calibration" -> qCalibration _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -141,5 +308,96 @@ object Behavior {
         |       SUM(rev_cents) OVER (PARTITION BY cohort_s ORDER BY month_offset
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_cents
         |FROM m ORDER BY cohort_s, month_offset""".stripMargin,
+    "q_prop_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), v AS (
+        |  SELECT user_id % 2 AS variant, COUNT(*) AS n,
+        |         CAST(SUM(conv) AS BIGINT) AS c
+        |  FROM pu GROUP BY variant
+        |), w AS (
+        |  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        |         MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+        |         MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        |         MAX(CASE WHEN variant = 1 THEN c END) AS c1
+        |  FROM v
+        |)
+        |SELECT n0, c0, n1, c1,
+        |       CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |       CASE WHEN (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1) THEN
+        |         ((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) -
+        |          (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))) /
+        |         sqrt(((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+        |               (1.0 - (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))) *
+        |              ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE))))
+        |       END AS z
+        |FROM w""".stripMargin,
+    "q_survival" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS tsig,
+        |         MAX(ts) AS tmax
+        |  FROM events GROUP BY user_id
+        |), pp AS (
+        |  SELECT e.user_id, MIN(e.ts) AS tp
+        |  FROM events e JOIN pu ON e.user_id = pu.user_id
+        |  WHERE e.event_type = 'purchase' AND pu.tsig IS NOT NULL
+        |    AND e.ts >= pu.tsig
+        |  GROUP BY e.user_id
+        |), u AS (
+        |  SELECT CASE WHEN pp.tp IS NOT NULL THEN 1 ELSE 0 END AS observed,
+        |         CAST(date_diff('day', date_trunc('day', pu.tsig),
+        |              date_trunc('day', COALESCE(pp.tp, pu.tmax))) AS BIGINT) AS t
+        |  FROM pu LEFT JOIN pp ON pu.user_id = pp.user_id
+        |  WHERE pu.tsig IS NOT NULL
+        |), g AS (
+        |  SELECT t, CAST(SUM(observed) AS BIGINT) AS d, COUNT(*) AS n_all
+        |  FROM u GROUP BY t
+        |), r AS (
+        |  SELECT t, d,
+        |         SUM(n_all) OVER (ORDER BY t DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM g
+        |)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d,
+        |       CASE WHEN SUM(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |              OVER (ORDER BY t
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+        |       THEN SUM(CASE WHEN d < n_risk
+        |              THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
+        |              OVER (ORDER BY t
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       END AS ln_surv
+        |FROM r ORDER BY t""".stripMargin,
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS day_cents
+        |  FROM events GROUP BY event_type, day
+        |)
+        |SELECT event_type, strftime(day, '%Y-%m-%d %H:%M:%S') AS day_s,
+        |       day_cents,
+        |       median(day_cents) OVER (PARTITION BY event_type ORDER BY day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7_cents
+        |FROM daily ORDER BY event_type, day_s""".stripMargin,
+    "q_calibration" ->
+      """WITH stats AS (
+        |  SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+        |), b AS (
+        |  SELECT CAST(CASE WHEN s.vmax > s.vmin
+        |           THEN least(floor(((e.value - s.vmin) / (s.vmax - s.vmin)) * 10.0), 9.0)
+        |           ELSE 0.0 END AS BIGINT) AS bin,
+        |         CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+        |         e.value
+        |  FROM events e CROSS JOIN stats s
+        |)
+        |SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |       CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obs_rate,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_score
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
   )
 }

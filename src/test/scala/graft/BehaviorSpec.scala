@@ -81,4 +81,128 @@ class BehaviorSpec extends SparkSpec {
     // Completeness: every brute-force cell appears.
     assert(got.length == cells.size)
   }
+
+  test("q_prop_test matches the brute-force two-proportion z statistic") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val conv = ev.groupBy(_._1).view
+      .mapValues(g => if (g.exists(e => e._2 == "purchase" && e._3 >= 150.0)) 1L else 0L)
+      .toMap
+    // .toSeq before mapping keys through `conv`: a Set.map would dedup
+    // the 0/1 flags and break the sums.
+    val (v0, v1) = conv.keys.toSeq.partition(_ % 2 == 0)
+    val (n0, c0) = (v0.size.toLong, v0.map(conv).sum)
+    val (n1, c1) = (v1.size.toLong, v1.map(conv).sum)
+    val r = Behavior.qPropTest(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+      == ((n0, c0, n1, c1)))
+    val p0 = c0.toDouble / n0.toDouble
+    val p1 = c1.toDouble / n1.toDouble
+    val pp = (c0 + c1).toDouble / (n0 + n1).toDouble
+    val z = (p0 - p1) /
+      math.sqrt((pp * (1.0 - pp)) * ((1.0 / n0.toDouble) + (1.0 / n1.toDouble)))
+    assert(r(0).getDouble(4) == p0 && r(0).getDouble(5) == p1)
+    assert(r(0).getDouble(6) == z, "z must be the exact pinned chain")
+  }
+
+  test("q_survival matches the brute-force Kaplan-Meier life table") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    // .toSeq before flatMap: flatMapping a Map into (t, obs) pairs would
+    // re-collect into a Map keyed by t and collapse same-duration users.
+    val durations = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sig = rows.filter(_._3 == "signup").map(_._2.getTime)
+      if (sig.isEmpty) None else {
+        val t0 = sig.min
+        val tp = rows.filter(r => r._3 == "purchase" && r._2.getTime >= t0)
+          .map(_._2.getTime)
+        val (end, obs) =
+          if (tp.nonEmpty) (tp.min, 1L) else (rows.map(_._2.getTime).max, 0L)
+        Some(((dayMs(new java.sql.Timestamp(end)) -
+          dayMs(new java.sql.Timestamp(t0))) / 86400000L, obs))
+      }
+    }.toSeq
+    val byT = durations.groupBy(_._1).view
+      .mapValues(g => (g.map(_._2).sum, g.size.toLong)).toMap
+    val ts = byT.keys.toSeq.sorted
+    // Suffix at-risk counts and the sequential log-survival fold, in the
+    // same ascending order the window uses.
+    val atRisk = ts.map(t => t -> ts.filter(_ >= t).map(byT(_)._2).sum).toMap
+    var lnS = 0.0
+    var hitZero = false
+    val want = ts.map { t =>
+      val (d, _) = byT(t); val n = atRisk(t)
+      if (d == n) hitZero = true
+      else lnS += java.lang.Math.log((n - d).toDouble / n.toDouble)
+      // NULL from the exact-zero step on (ln S undefined there).
+      (t, n, d, if (hitZero) None else Some(lnS))
+    }
+    val got = Behavior.qSurvival(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == want, "life table rows must match bit-for-bit")
+    // Monotonicity: survival never increases while defined.
+    got.map(_._4).collect { case Some(v) => v }
+      .sliding(2).foreach { case Seq(a, b) => assert(b <= a); case _ => }
+  }
+
+  test("q_rolling_median matches brute-force trailing-7 medians") {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => ((r.getString(0), dayMs(r.getTimestamp(1))), centsOf(r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def med(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2).toDouble
+      else {
+        val (lo, hi) = (s(s.length / 2 - 1), s(s.length / 2))
+        lo.toDouble + (hi.toDouble - lo.toDouble) * 0.5
+      }
+    }
+    val want = daily.keys.groupBy(_._1).flatMap { case (tpe, ks) =>
+      val days = ks.map(_._2).toSeq.sorted
+      days.zipWithIndex.map { case (day, i) =>
+        val window = days.slice(math.max(0, i - 6), i + 1).map(d => daily((tpe, d)))
+        ((tpe, day), (daily((tpe, day)), med(window)))
+      }
+    }
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val got = Behavior.qRollingMedian(spark, sfDir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val key = (r.getString(0), fmt.parse(r.getString(1)).getTime)
+      val (cents, m) = want(key)
+      assert(r.getLong(2) == cents, s"$key day_cents")
+      assert(r.getDouble(3) == m, s"$key med7")
+    }
+  }
+
+  test("q_calibration matches brute-force binning and the rate is coherent") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("value"), col("event_type")).collect()
+      .map(r => (r.getDouble(0), r.getString(1) == "purchase"))
+    val vmin = ev.map(_._1).min; val vmax = ev.map(_._1).max
+    def bin(v: Double): Long =
+      if (vmax > vmin)
+        math.min(math.floor(((v - vmin) / (vmax - vmin)) * 10.0), 9.0).toLong
+      else 0L
+    val byBin = ev.groupBy(e => bin(e._1))
+    val got = Behavior.qCalibration(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet == byBin.keySet)
+    got.foreach { r =>
+      val g = byBin(r.getLong(0))
+      val n = g.length.toLong; val pos = g.count(_._2).toLong
+      assert(r.getLong(1) == n && r.getLong(2) == pos)
+      assert(r.getDouble(3) == pos.toDouble / n.toDouble)
+      // exactSum contract: decimal(38,6)-backed mean, reproduced exactly.
+      val dec = g.map(e => java.math.BigDecimal.valueOf(e._1)
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+        .reduce(_ add _)
+      assert(r.getDouble(4) == dec.doubleValue() / n.toDouble)
+    }
+  }
 }
