@@ -261,6 +261,50 @@ object Behavior {
       .orderBy(col("bin"))
   }
 
+  /** q_attribution — U-shaped (position-based) multi-touch attribution:
+    * each purchase closes a journey; the non-purchase touches since the
+    * user's previous purchase share the conversion credit 40/20/40
+    * (first / middles / last; all of it for a lone touch, 50/50 for a
+    * pair). Credit is integer MICRO-units with truncating division for
+    * the middle share — exact in both engines (the float alternative
+    * would need an ordered fold per journey); the per-journey remainder
+    * (≤ n−3 micro) is deliberately dropped, identically on both sides.
+    * Trailing touches with no subsequent purchase convert nothing and
+    * are excluded by a per-user total-conversion bound.
+    *
+    * Plan: journeys are gaps-and-islands — the journey id is a
+    * cumulative count of prior purchases (one ordered window per user),
+    * position/size are one more window pair over (user, journey), and
+    * the final surface is a |types|-row aggregate. All windows partition
+    * by user — parallel across the user dimension, never global.
+    */
+  def qAttribution(spark: SparkSession, d: String): DataFrame = {
+    val userW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val jw = Window.partitionBy(col("user_id"), col("jid"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)).as("is_conv"))
+      .withColumn("jid", coalesce(
+        sum(col("is_conv")).over(userW.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("total_conv",
+        sum(col("is_conv")).over(Window.partitionBy(col("user_id"))))
+    marked
+      .filter(col("is_conv") === 0L && col("jid") < col("total_conv"))
+      .withColumn("rn", row_number().over(jw).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("user_id"), col("jid"))))
+      .withColumn("credit",
+        when(col("n") === 1L, lit(1000000L))
+          .when(col("n") === 2L, lit(500000L))
+          .when(col("rn") === 1L || col("rn") === col("n"), lit(400000L))
+          .otherwise(expr("200000L div (n - 2L)")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_micro"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> qRfm _,
     "q_ltv" -> qLtv _,
@@ -268,6 +312,7 @@ object Behavior {
     "q_survival" -> qSurvival _,
     "q_rolling_median" -> qRollingMedian _,
     "q_calibration" -> qCalibration _,
+    "q_attribution" -> qAttribution _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -399,5 +444,28 @@ object Behavior {
         |       CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obs_rate,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_score
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_attribution" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+        |         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid,
+        |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id) AS total_conv
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type,
+        |         CAST(row_number() OVER (PARTITION BY user_id, jid
+        |           ORDER BY ts, event_id) AS BIGINT) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id, jid) AS n
+        |  FROM m WHERE is_conv = 0 AND jid < total_conv
+        |)
+        |SELECT event_type, COUNT(*) AS n_touches,
+        |       CAST(SUM(CASE WHEN n = 1 THEN 1000000
+        |                     WHEN n = 2 THEN 500000
+        |                     WHEN rn = 1 OR rn = n THEN 400000
+        |                     ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_micro
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

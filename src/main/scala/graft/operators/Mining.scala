@@ -768,8 +768,46 @@ object Mining {
       .orderBy(col("digit"))
   }
 
+  /** q_copurchase — part co-occurrence mining over order baskets: for
+    * every part pair bought together in ≥ 2 orders, the co-count and
+    * lift, top-100 by co-count. [[qAssoc]] at the OTHER vocabulary
+    * scale: event types are a constant-sized vocabulary (per-item
+    * counts broadcast, per-user fan-out |types|²); parts GROW with the
+    * catalog, so here the per-item counts join by SHUFFLE (broadcast
+    * is structurally impossible at 100 TB) and the pair fan-out is
+    * bounded by the BASKET size (TPC-H orders hold ≤ 7 lines), a
+    * per-row constant — the join output is |orders|·basket², linear in
+    * orders. The ≥2-support filter prunes the singleton tail before
+    * the stats joins; the top-100 is a TakeOrderedAndProject under a
+    * TOTAL (n_ab desc, a, b) order, never a global sort.
+    *
+    * All counts BIGINT; lift is one pinned double division.
+    */
+  def qCopurchase(spark: SparkSession, d: String): DataFrame = {
+    val items = lineitem(spark, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = items.agg(countDistinct(col("okey")).as("n_orders"))
+    val partCnt = items.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.select(col("okey"), col("part").as("a"))
+      .join(items.select(col("okey"), col("part").as("b")), "okey")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2L)
+    pairs
+      .join(partCnt.select(col("part").as("a"), col("cnt").as("n_a")), "a")
+      .join(partCnt.select(col("part").as("b"), col("cnt").as("n_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assoc"         -> qAssoc _,
+    "q_copurchase"    -> qCopurchase _,
     "q_chisq"         -> qChisq _,
     "q_autocorr"      -> qAutocorr _,
     "q_mutual_info"   -> qMutualInfo _,
@@ -890,6 +928,25 @@ object Mining {
         |FROM p JOIN ic ia ON p.a = ia.event_type
         |       JOIN ic ib ON p.b = ib.event_type
         |ORDER BY a, b""".stripMargin,
+    "q_copurchase" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+        |), no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+        |pc AS (SELECT part, COUNT(*) AS cnt FROM items GROUP BY part),
+        |pairs AS (
+        |  SELECT a.part AS a, b.part AS b, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY a.part, b.part HAVING COUNT(*) >= 2
+        |)
+        |SELECT pairs.a, pairs.b, pairs.n_ab,
+        |       ca.cnt AS n_a, cb.cnt AS n_b,
+        |       CAST(pairs.n_ab * no.n_orders AS DOUBLE) /
+        |         CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN pc ca ON pairs.a = ca.part
+        |JOIN pc cb ON pairs.b = cb.part
+        |CROSS JOIN no
+        |ORDER BY pairs.n_ab DESC, pairs.a, pairs.b LIMIT 100""".stripMargin,
     "q_assoc" ->
       """WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
         |u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),

@@ -751,6 +751,56 @@ object TextOps {
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("deg"))
 
+  /** BFS hop budget for [[qReach]] — fixed and unrolled in both engines
+    * (the oracle's recursive CTE carries the same depth bound).
+    */
+  val ReachHops = 3
+
+  /** q_reach — bounded-hop BFS over the high-confidence near-dup graph
+    * from a deterministic seed (the minimum node id): every document
+    * within [[ReachHops]] hops, labeled with its first-reach distance.
+    * The "blast radius" query of a dedup audit — q_dedup_groups says
+    * WHICH component a doc is in; this says how FAR the contamination
+    * spreads from a given doc, hop by hop (2 hops of near-dup ≠ near-dup,
+    * but it is the transitive cluster the curation decision has to see).
+    *
+    * Plan: DELTA BFS — each level joins only the new FRONTIER against
+    * the directed edge list and anti-joins everything already reached,
+    * so level work is |frontier|·deg, never |reached|·deg, and the
+    * unrolled plan is [[ReachHops]] bounded shuffles (the same fixed-
+    * iteration stance as q_pagerank). Each frontier is materialized via
+    * the self-join cache — it feeds three consumers (the next level's
+    * join, the anti-join set, and the final union) and would otherwise
+    * recompute once per consumer, compounding per level. The oracle
+    * states the same search declaratively: a depth-bounded recursive
+    * CTE enumerating walks, MIN-grouped to first-reach — path
+    * enumeration vs delta frontier, same answer, which is exactly the
+    * point.
+    */
+  def qReach(spark: SparkSession, d: String): DataFrame = {
+    val edges = graft.Tables.cacheForSelfJoin(
+      simhashPairSet(spark, d)
+        .filter(col("hamming") <= TriangleHamming)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+    // Every node appears as src (both directions are present), so the
+    // deterministic seed is one 1-row aggregate.
+    val seed = dir.agg(min(col("src")).as("id"))
+    var reached = seed.select(col("id"), lit(0L).as("hop"))
+    var frontier = seed.select(col("id"))
+    for (h <- 1 to ReachHops) {
+      val next = graft.Tables.cacheForSelfJoin(
+        frontier.join(dir, frontier("id") === dir("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(reached.select(col("id")), Seq("id"), "left_anti"))
+      reached = reached.union(next.select(col("id"), lit(h.toLong).as("hop")))
+      frontier = next.select(col("id"))
+    }
+    reached.select(col("id").as("doc_id"), col("hop"))
+      .orderBy(col("hop"), col("doc_id"))
+  }
+
   /** Word-trigram list WITH duplicates — [[ShingleArrayExpr]] minus the
     * distinct, for statistics where multiplicity is the signal.
     */
@@ -1462,6 +1512,7 @@ object TextOps {
     "q_triangles"     -> qTriangles _,
     "q_pagerank"      -> qPagerank _,
     "q_degree_dist"   -> qDegreeDist _,
+    "q_reach"         -> qReach _,
     "q_repetition"    -> qRepetition _,
     "q_chunk"         -> qChunk _,
     "q_vocab_growth"  -> qVocabGrowth _,
@@ -2005,6 +2056,39 @@ object TextOps {
          |  GROUP BY n
          |)
          |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+    // Declaratively the SAME search as the Spark delta BFS: enumerate all
+    // depth-bounded walks from the seed, MIN-group to first-reach. Path
+    // enumeration is fine single-node at fixture scale; the delta-frontier
+    // form is what survives 100 TB.
+    "q_reach" ->
+      s"""WITH RECURSIVE $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+               s"SELECT doc_id, simhash, $b AS blk, " +
+               s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+             }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), ed AS (
+         |  SELECT doc_a AS u, doc_b AS v
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
+         |), dir AS (
+         |  SELECT u AS src, v AS dst FROM ed
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM ed
+         |), walk AS (
+         |  SELECT MIN(src) AS id, 0 AS hop FROM dir
+         |  UNION
+         |  SELECT dir.dst AS id, walk.hop + 1 AS hop
+         |  FROM walk JOIN dir ON dir.src = walk.id
+         |  WHERE walk.hop < $ReachHops
+         |)
+         |SELECT id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hop
+         |FROM walk GROUP BY id ORDER BY hop, doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (
          |  $shingleSql

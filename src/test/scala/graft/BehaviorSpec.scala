@@ -205,4 +205,39 @@ class BehaviorSpec extends SparkSpec {
       assert(r.getDouble(4) == dec.doubleValue() / n.toDouble)
     }
   }
+
+  test("q_attribution matches brute-force U-shaped credit assignment") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val credit = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      // Split into journeys, each terminated by a purchase; drop the
+      // trailing unconverted touches.
+      var journey = List.empty[String]
+      ordered.foreach { r =>
+        if (r._4 == "purchase") {
+          val n = journey.length
+          journey.reverse.zipWithIndex.foreach { case (t, i) =>
+            val c =
+              if (n == 1) 1000000L
+              else if (n == 2) 500000L
+              else if (i == 0 || i == n - 1) 400000L
+              else 200000L / (n - 2)
+            val (cnt, sum) = credit(t); credit(t) = (cnt + 1, sum + c)
+          }
+          journey = Nil
+        } else journey ::= r._4
+      }
+    }
+    val got = Behavior.qAttribution(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      == credit.toMap)
+    // Sanity: purchases never self-credit.
+    assert(!got.exists(_.getString(0) == "purchase"))
+  }
 }

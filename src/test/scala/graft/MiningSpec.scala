@@ -445,4 +445,30 @@ class MiningSpec extends SparkSpec {
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("q_copurchase matches brute-force basket pair mining") {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nOrders = byOrder.size.toLong
+    val partCnt = items.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairCnt = byOrder.values.toSeq
+      .flatMap { parts =>
+        val s = parts.toSeq.sorted
+        for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+    val want = pairCnt.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(100)
+    val got = Mining.qCopurchase(spark, sfDir).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (r, ((a, b), nab)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((a, b, nab)))
+      assert(r.getLong(3) == partCnt(a) && r.getLong(4) == partCnt(b))
+      assert(r.getDouble(5) ==
+        (nab * nOrders).toDouble / (partCnt(a) * partCnt(b)).toDouble)
+    }
+  }
 }

@@ -502,6 +502,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map { case (d, n) => d * n }.sum == 2L * edges.length)
   }
 
+  test("q_reach equals a brute-force BFS from the minimum node") {
+    val edges = TextOps.qSimhashPairs(spark, sfDir).collect()
+      .filter(_.getInt(2) <= TextOps.TriangleHamming)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seed = adj.keys.min
+    var dist = Map(seed -> 0L)
+    var frontier = Set(seed)
+    (1 to TextOps.ReachHops).foreach { h =>
+      frontier = frontier.flatMap(adj).diff(dist.keySet)
+      dist ++= frontier.map(_ -> h.toLong)
+    }
+    val got = TextOps.qReach(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist)
+    // The seed itself is hop 0 and every hop level ≤ budget is present
+    // contiguously (BFS emits no gaps).
+    assert(got(seed) == 0L)
+    val hops = got.values.toSet
+    assert(hops == (0L to hops.max).toSet)
+  }
+
   test("q_repetition matches brute-force trigram multiset statistics") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
