@@ -292,20 +292,27 @@ object Similarity {
     * output as proof) are bit-exact and the argmin needs no epsilon.
     * Ties break to the lower codeword id.
     */
-  def qPqEncode(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Explode a vector table into its [[PqM]] subvector rows. */
+  private def pqSubbed(df: DataFrame): DataFrame = {
     val subs = (0 until PqM).map(lit(_))
-    def subbed(df: DataFrame) = df
-      .select(col("vec_id"), explode(array(subs: _*)).as("s"),
+    df.select(col("vec_id"), explode(array(subs: _*)).as("s"),
         col("embedding"))
       .select(col("vec_id"), col("s"),
         slice(col("embedding"), col("s") * PqDim + 1, lit(PqDim)).as("sv"))
+  }
+
+  /** PQ code assignment — the shared core of [[qPqEncode]] (which emits
+    * it) and [[qAnnPq]] (which searches over it): nearest codeword per
+    * (vector, subspace), ties to the lower codeword id.
+    */
+  private def pqCodes(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, d)
-    val codebook = subbed(e.filter(col("vec_id").between(1, PqK)))
+    val codebook = pqSubbed(e.filter(col("vec_id").between(1, PqK)))
       .select(col("vec_id").as("k"), col("s"), col("sv").as("cv"))
     val byDist = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("dist"), col("k"))
-    subbed(e)
+    pqSubbed(e)
       .join(broadcast(codebook), "s")
       .select(col("vec_id"), col("s"), col("k"),
         ((dotLtr(col("sv"), col("sv")) -
@@ -313,9 +320,54 @@ object Similarity {
           dotLtr(col("cv"), col("cv"))).as("dist"))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") === 1)
+  }
+
+  def qPqEncode(spark: SparkSession, d: String): DataFrame =
+    pqCodes(spark, d)
       .select(col("vec_id"), col("s").as("sub"), col("k").as("code"),
         col("dist"))
       .orderBy(col("vec_id"), col("sub"))
+
+  /** q_ann_pq — asymmetric-distance (ADC) search over the PQ codes: the
+    * query half of the IVF+PQ stack ([[qPqEncode]] compresses; this
+    * searches the compressed form). The query vector (vec_id 0, the
+    * [[qCosineTopk]] convention) is NOT quantized — per subspace its
+    * true squared distance to each codeword is tabulated once (an M×K
+    * lookup table, 32 rows, broadcast), and each stored vector's
+    * approximate distance is the Σ over its M codes of table entries:
+    * 8 lookups + 8 adds per vector instead of 64 multiplies — the
+    * arithmetic that makes billion-vector scan-and-rank affordable.
+    *
+    * Plan: codes ⋈ broadcast LUT on (subspace, code) — map-side, no
+    * corpus shuffle beyond the bounded ×M explode it inherits from
+    * assignment — then ONE hash aggregate per vector and a top-10
+    * TakeOrderedAndProject. Determinism: the M per-subspace terms are
+    * folded in SUBSPACE ORDER via sort_array + aggregate (a plain
+    * sum(double) would be partitioning-dependent in the last ulp); the
+    * oracle replays the identical fold with `list_reduce(list(d ORDER
+    * BY s))`. The LUT distances reuse the encode expansion verbatim, so
+    * every term is bit-exact.
+    */
+  def qAnnPq(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+    val codebook = pqSubbed(e.filter(col("vec_id").between(1, PqK)))
+      .select(col("vec_id").as("k"), col("s"), col("sv").as("cv"))
+    val lut = pqSubbed(e.filter(col("vec_id") === 0))
+      .join(codebook, "s")
+      .select(col("s"), col("k"),
+        ((dotLtr(col("sv"), col("sv")) -
+          lit(2.0) * dotLtr(col("sv"), col("cv"))) +
+          dotLtr(col("cv"), col("cv"))).as("d"))
+    pqCodes(spark, d)
+      .select(col("vec_id"), col("s"), col("k"))
+      .join(broadcast(lut), Seq("s", "k"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("d")))).as("ds"))
+      .select(col("vec_id"),
+        expr("aggregate(ds, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d)")
+          .as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(10)
   }
 
   /** q_centroid — per-label embedding centroid (the "trained centroids" a
@@ -673,6 +725,7 @@ object Similarity {
     "q_ann_ivf"         -> qAnnIvf _,
     "q_ann_ivf2"        -> qAnnIvf2 _,
     "q_pq_encode"       -> qPqEncode _,
+    "q_ann_pq"          -> qAnnPq _,
     "q_kmeans_step"     -> qKmeansStep _,
     "q_vec_minmax"      -> qVecMinmax _,
     "q_label_entropy"   -> qLabelEntropy _,
@@ -942,6 +995,42 @@ object Similarity {
          |)
          |SELECT vec_id, CAST(s AS INTEGER) AS sub, k AS code, dist
          |FROM ranked WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+    // The encode CTEs verbatim, plus the query-side LUT and the
+    // subspace-ordered list_reduce fold mirroring Spark's aggregate().
+    "q_ann_pq" ->
+      s"""WITH subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
+         |sub AS (
+         |  SELECT vec_id, s,
+         |         embedding[$PqDim * s + 1 : $PqDim * s + $PqDim] AS sv
+         |  FROM embeddings, subs
+         |), cb AS (
+         |  SELECT vec_id AS k, s, sv AS cv FROM sub
+         |  WHERE vec_id BETWEEN 1 AND $PqK
+         |), ranked AS (
+         |  SELECT v.vec_id, v.s, c.k,
+         |         (${dotSql("v.sv", "v.sv")}
+         |           - 2.0 * ${dotSql("v.sv", "c.cv")})
+         |           + ${dotSql("c.cv", "c.cv")} AS dist,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+         |                            ORDER BY dist, c.k) AS rn
+         |  FROM sub v JOIN cb c ON v.s = c.s
+         |), codes AS (
+         |  SELECT vec_id, s, k FROM ranked WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.s, c.k,
+         |         (${dotSql("q.sv", "q.sv")}
+         |           - 2.0 * ${dotSql("q.sv", "c.cv")})
+         |           + ${dotSql("c.cv", "c.cv")} AS d
+         |  FROM sub q JOIN cb c ON q.s = c.s
+         |  WHERE q.vec_id = 0
+         |), ad AS (
+         |  SELECT codes.vec_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(l.d ORDER BY codes.s)), (acc, x) -> acc + x) AS adist
+         |  FROM codes JOIN lut l ON codes.s = l.s AND codes.k = l.k
+         |  GROUP BY codes.vec_id
+         |)
+         |SELECT vec_id, adist FROM ad ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf2" ->
       s"""WITH centroids AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings

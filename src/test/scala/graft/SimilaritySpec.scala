@@ -232,6 +232,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q_ann_pq: ADC distances equal the brute-force LUT sum over codes") {
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+    def sqDist(a: Array[Float], b: Array[Float]): Double =
+      (dot(a, a) - 2.0 * dot(a, b)) + dot(b, b)
+    def subv(v: Array[Float], s: Int) = v.slice(8 * s, 8 * s + 8)
+    val q = vecs(0L)
+    // Brute-force: encode every vector (argmin with low-id tie-break),
+    // then fold the query→codeword LUT entries in subspace order.
+    val adist = vecs.toSeq.map { case (id, v) =>
+      val terms = (0 until Similarity.PqM).map { s =>
+        val code = (1 to Similarity.PqK)
+          .map(k => k.toLong -> sqDist(subv(v, s), subv(vecs(k.toLong), s)))
+          .minBy { case (k, dd) => (dd, k) }._1
+        sqDist(subv(q, s), subv(vecs(code), s))
+      }
+      id -> terms.foldLeft(0.0)(_ + _)
+    }
+    val want = adist.sortBy { case (id, ad) => (ad, id) }.take(10)
+    val got = Similarity.qAnnPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "top-10 ADC ranking must match bit-for-bit")
+    // ADC of a codebook vector is the exact query→codeword distance sum
+    // (its codes are itself), so it must be strictly positive here.
+    assert(got.forall(_._2 >= 0.0))
+  }
+
   test("q_kmeans_step: assignments are cosine argmax to the seeds; new centroids are member means") {
     val all = Tables.embeddings(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
