@@ -751,6 +751,46 @@ object TextOps {
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("deg"))
 
+  /** The [[qPhraseSearch]] phrase — two DISTINCT words (a same-word
+    * phrase could overlap itself; distinct words make occurrences
+    * disjoint), chosen for a mid-range document frequency.
+    */
+  val PhraseW1 = "table"
+  val PhraseW2 = "hash"
+
+  /** q_phrase_search — exact phrase retrieval ("table hash") via a
+    * POSITIONAL posting-list join: the inverted-index-with-positions
+    * operator under every search engine's quoted-phrase query, which
+    * pure bag-of-words scoring ([[qTfidf]], [[qBm25]]) cannot answer.
+    * Returns each matching document with its occurrence count.
+    *
+    * Plan: ONE tokenize pass is filtered to the two query terms' posting
+    * lists (corpus → ~df(w1)+df(w2) rows BEFORE any join; the filtered
+    * relation is cached because both join sides derive from it), then a
+    * per-document equi-join with the adjacency constraint pos₂ = pos₁+1
+    * folded into the join condition. Work is Σ per-doc df(w1)·df(w2) —
+    * posting-list-sized, never corpus × corpus. At 100 TB the posting
+    * lists are exactly what a materialized inverted index would store;
+    * the query shape (term-filtered scan → position join) is unchanged.
+    *
+    * All-integer output → hash-exact; positions are 0-based here and
+    * 1-based in the oracle's generate_subscripts, which the RELATIVE
+    * adjacency constraint is invariant to.
+    */
+  def qPhraseSearch(spark: SparkSession, d: String): DataFrame = {
+    val post = graft.Tables.cacheForSelfJoin(
+      tokenized(spark, d)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "t")))
+        .filter(col("t").isin(PhraseW1, PhraseW2)))
+    post.filter(col("t") === PhraseW1)
+      .select(col("doc_id"), col("pos"))
+      .join(post.filter(col("t") === PhraseW2)
+          .select(col("doc_id").as("d2"), col("pos").as("p2")),
+        col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BFS hop budget for [[qReach]] — fixed and unrolled in both engines
     * (the oracle's recursive CTE carries the same depth bound).
     */
@@ -1513,6 +1553,7 @@ object TextOps {
     "q_pagerank"      -> qPagerank _,
     "q_degree_dist"   -> qDegreeDist _,
     "q_reach"         -> qReach _,
+    "q_phrase_search" -> qPhraseSearch _,
     "q_repetition"    -> qRepetition _,
     "q_chunk"         -> qChunk _,
     "q_vocab_growth"  -> qVocabGrowth _,
@@ -2056,6 +2097,16 @@ object TextOps {
          |  GROUP BY n
          |)
          |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+    "q_phrase_search" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents
+         |)
+         |SELECT a.doc_id AS doc_id, COUNT(*) AS n_occ
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.t = '$PhraseW1' AND b.t = '$PhraseW2'
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     // Declaratively the SAME search as the Spark delta BFS: enumerate all
     // depth-bounded walks from the seed, MIN-group to first-reach. Path
     // enumeration is fine single-node at fixture scale; the delta-frontier

@@ -525,6 +525,23 @@ class TextOpsSpec extends SparkSpec {
     assert(hops == (0L to hops.max).toSet)
   }
 
+  test("q_phrase_search matches a brute-force sliding-window scan of the raw text") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    // Independent derivation: scan each token array for adjacent
+    // (w1, w2) — no posting lists, no joins.
+    val want = docs.flatMap { case (id, toks) =>
+      val n = toks.indices.dropRight(1).count(i =>
+        toks(i) == TextOps.PhraseW1 && toks(i + 1) == TextOps.PhraseW2)
+      if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+    val got = TextOps.qPhraseSearch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must contain the phrase")
+  }
+
   test("q_repetition matches brute-force trigram multiset statistics") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
