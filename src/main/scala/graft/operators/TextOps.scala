@@ -804,40 +804,50 @@ object TextOps {
     * spreads from a given doc, hop by hop (2 hops of near-dup ≠ near-dup,
     * but it is the transitive cluster the curation decision has to see).
     *
-    * Plan: DELTA BFS — each level joins only the new FRONTIER against
-    * the directed edge list and anti-joins everything already reached,
-    * so level work is |frontier|·deg, never |reached|·deg, and the
-    * unrolled plan is [[ReachHops]] bounded shuffles (the same fixed-
-    * iteration stance as q_pagerank). Each frontier is materialized via
-    * the self-join cache — it feeds three consumers (the next level's
-    * join, the anti-join set, and the final union) and would otherwise
-    * recompute once per consumer, compounding per level. The oracle
-    * states the same search declaratively: a depth-bounded recursive
-    * CTE enumerating walks, MIN-grouped to first-reach — path
-    * enumeration vs delta frontier, same answer, which is exactly the
-    * point.
+    * Plan: frontier BFS with per-level DISTINCT — each level joins the
+    * (node-bounded) frontier against the cached directed edge list; the
+    * tiny frontier side broadcasts, so a level is a BroadcastHashJoin +
+    * one small dedup, never an edge shuffle. First-reach distances come
+    * from ONE final `min(hop)` aggregate over the labeled level union —
+    * a revisited node re-expands (bounded by |component|·deg per level)
+    * instead of being anti-joined away: for a BOUNDED hop budget the
+    * visited-set subtraction costs a full shuffle per level and prunes
+    * almost nothing ([[qDedupGroups]], which iterates to FIXPOINT, is
+    * where subtraction pays; measured here, the anti-join form ran 4×
+    * slower on pure per-level plan overhead). The edge cache and the
+    * 1-row seed are each filled by a single-consumer job before the
+    * level plans fan out over them — branches of one job race to
+    * compute a cold cache's partitions independently (a stampede that
+    * re-runs the whole simhash subtree per branch). The oracle states
+    * the same search declaratively: a depth-bounded recursive CTE
+    * enumerating walks, MIN-grouped to first-reach — path enumeration
+    * vs bounded frontiers, same answer, which is exactly the point.
     */
   def qReach(spark: SparkSession, d: String): DataFrame = {
     val edges = graft.Tables.cacheForSelfJoin(
       simhashPairSet(spark, d)
         .filter(col("hamming") <= TriangleHamming)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    edges.count() // fill single-consumer (see scaladoc)
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .union(edges.select(col("v").as("src"), col("u").as("dst")))
     // Every node appears as src (both directions are present), so the
-    // deterministic seed is one 1-row aggregate.
-    val seed = dir.agg(min(col("src")).as("id"))
-    var reached = seed.select(col("id"), lit(0L).as("hop"))
+    // deterministic seed is one 1-row aggregate — cached: every level's
+    // lineage and the final union all start from it.
+    val seed = graft.Tables.cacheForSelfJoin(dir.agg(min(col("src")).as("id")))
+    seed.count()
+    var levels = List(seed.select(col("id"), lit(0L).as("hop")))
     var frontier = seed.select(col("id"))
     for (h <- 1 to ReachHops) {
       val next = graft.Tables.cacheForSelfJoin(
-        frontier.join(dir, frontier("id") === dir("src"))
-          .select(col("dst").as("id")).distinct()
-          .join(reached.select(col("id")), Seq("id"), "left_anti"))
-      reached = reached.union(next.select(col("id"), lit(h.toLong).as("hop")))
+        broadcast(frontier).join(dir, frontier("id") === dir("src"))
+          .select(col("dst").as("id")).distinct())
+      levels ::= next.select(col("id"), lit(h.toLong).as("hop"))
       frontier = next.select(col("id"))
     }
-    reached.select(col("id").as("doc_id"), col("hop"))
+    levels.reduce(_ union _)
+      .groupBy(col("id")).agg(min(col("hop")).as("hop"))
+      .select(col("id").as("doc_id"), col("hop"))
       .orderBy(col("hop"), col("doc_id"))
   }
 

@@ -36,6 +36,102 @@ case class SessionsState(sessions: Seq[OpenSession])
 case class ClosedSession(user_id: Long, s_start: Timestamp, s_end: Timestamp,
                          n: Long, sum_v: Double)
 
+/** One open (not-yet-closed) hour bucket of [[EwmaProcessor]] state:
+  * hour start in µs and its running count.
+  */
+case class OpenHour(hUs: Long, x: Long)
+
+/** A closed hour emitted by [[EwmaProcessor]]: the hour's exact count and
+  * the EWMA as of that hour (α = 0.2, seeded at the first closed hour —
+  * the same recurrence as the batch `Mining.qEwma` fold).
+  */
+case class EwmaPoint(event_type: String, h: Timestamp, x: Long, ewma: Double)
+
+/** Streaming EWMA over hourly counts — a custom WINDOWED aggregate and
+  * the smoothing fold in ONE `transformWithState` state machine (the
+  * built-in windowed aggregation cannot carry a value that depends on the
+  * PREVIOUS window's output; this is the canonical "streaming feature"
+  * shape: per-key recurrent state over closing windows).
+  *
+  *  - per event_type, open hours accumulate exact BIGINT counts in a
+  *    ListState (bounded by the watermark horizon: ≤ 2 open hours at a
+  *    10-minute delay on a 1-hour window);
+  *  - when the watermark passes an hour's end the hour CLOSES: closable
+  *    hours are folded in ASCENDING hour order through the pinned
+  *    α·x + (1−α)·s step against a ValueState carrying the running EWMA,
+  *    and one [[EwmaPoint]] per hour is emitted — identical arithmetic to
+  *    the oracle's `list_reduce` replay, so the gate is bit-exact;
+  *  - one timer stays armed at the earliest open hour's close time, so
+  *    quiet keys still emit when the watermark moves ([[SessionProcessor]]
+  *    discipline).
+  */
+class EwmaProcessor
+    extends StatefulProcessor[String, (String, Timestamp), EwmaPoint] {
+  import StreamOps._
+
+  @transient private var hours: ListState[OpenHour] = _
+  @transient private var sEwma: ValueState[Double] = _
+  @transient private var timerAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    hours = getHandle.getListState("hours",
+      Encoders.product[OpenHour], TTLConfig.NONE)
+    sEwma = getHandle.getValueState("ewma",
+      Encoders.scalaDouble, TTLConfig.NONE)
+    timerAt = getHandle.getValueState("timerAt",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def sweep(tpe: String, cur: List[OpenHour],
+                    wmUs: Long): Iterator[EwmaPoint] = {
+    val (closable, open) = cur.partition(h => h.hUs + HourUs <= wmUs)
+    if (open.isEmpty) {
+      hours.clear()
+      if (timerAt.exists()) { getHandle.deleteTimer(timerAt.get()); timerAt.clear() }
+    } else {
+      hours.put(open.toArray)
+      val want = math.max((open.map(_.hUs).min + HourUs) / 1000, wmUs / 1000 + 1)
+      if (!timerAt.exists() || timerAt.get() != want) {
+        if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+        getHandle.registerTimer(want)
+        timerAt.update(want)
+      }
+    }
+    // Ascending-hour fold through the recurrent state: the emission order
+    // IS the recurrence order, so it must be pinned even when several
+    // hours close in one sweep.
+    closable.sortBy(_.hUs).map { hb =>
+      val prev = if (sEwma.exists()) sEwma.get() else -1.0
+      val e = if (prev < 0.0) hb.x.toDouble
+              else 0.2 * hb.x.toDouble + 0.8 * prev
+      sEwma.update(e)
+      EwmaPoint(tpe, usTs(hb.hUs), hb.x, e)
+    }.iterator
+  }
+
+  override def handleInputRows(tpe: String,
+                               rows: Iterator[(String, Timestamp)],
+                               timerValues: TimerValues): Iterator[EwmaPoint] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
+    val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    rows.foreach { case (_, ts) =>
+      val t = tsUs(ts)
+      if (t >= wmUs) acc(t - Math.floorMod(t, HourUs)) += 1L // late rows drop
+    }
+    val merged = (hours.get().toList.map(h => h.hUs -> h.x) ++ acc.toList)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toList.map { case (h, x) => OpenHour(h, x) }
+    sweep(tpe, merged, wmUs)
+  }
+
+  override def handleExpiredTimer(tpe: String, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[EwmaPoint] = {
+    timerAt.clear()
+    sweep(tpe, hours.get().toList,
+      timerValues.getCurrentWatermarkInMs() * 1000)
+  }
+}
+
 /** The [[StreamOps.sessionizeWithState]] state machine ported to Spark 4's
   * arbitrary-state API (`transformWithState`): the open-session set lives
   * in a typed [[ListState]] (one RocksDB column family, merged per row by
@@ -412,6 +508,21 @@ object StreamOps extends Serializable {
       .withWatermark("ts", "10 minutes")
       .groupByKey(_._1)
       .transformWithState(new SessionProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** An hour in µs — the [[EwmaProcessor]] window length. */
+  private[streaming] val HourUs = 3600L * 1000000L
+
+  /** The [[EwmaProcessor]] chain, composable over any event stream. */
+  def ewmaWithState(events: DataFrame): Dataset[EwmaPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_type", "ts")
+      .as[(String, Timestamp)]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_._1)
+      .transformWithState(new EwmaProcessor, TimeMode.EventTime(),
         OutputMode.Append())
   }
 
@@ -870,6 +981,34 @@ object StreamOps extends Serializable {
     sessionResult(spark, sinkName)
   }
 
+  /** q_stream_ewma — the [[EwmaProcessor]] machine over the replay:
+    * hourly counts per event type smoothed by the α=0.2 EWMA as hours
+    * close, state carrying the recurrence ACROSS windows (what the
+    * built-in windowed aggregation cannot express). Append semantics:
+    * only hours the final watermark closed are emitted; the oracle
+    * replays exactly that cutoff (tickAppendOracle's) and re-derives
+    * every point's EWMA with a prefix `list_reduce` fold in hour order —
+    * the same pinned α·x + (1−α)·s chain, so doubles match bit-for-bit.
+    */
+  def qStreamEwma(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_ewma")
+    val query = startWithStatePartitions(spark) {
+      ewmaWithState(eventsStream(spark, stageReplayDir(spark, d)))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(col("event_type"), Tables.tsSeconds(col("h")).as("h_s"),
+        col("x"), col("ewma"))
+      .orderBy(col("event_type"), col("h_s"))
+  }
+
   /** q_stream_sink_parquet — the "stream to data lake" path: the same
     * watermarked append-mode windows as [[qStreamTickAppend]], but written
     * by Spark's transactional FILE SINK (format "parquet", partitioned by
@@ -1226,6 +1365,7 @@ object StreamOps extends Serializable {
     "q_stream_session"     -> qStreamSession _,
     "q_stream_session_custom" -> qStreamSessionCustom _,
     "q_stream_session_tws" -> qStreamSessionTws _,
+    "q_stream_ewma"        -> qStreamEwma _,
     "q_stream_dedup"       -> qStreamDedup _,
     "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
@@ -1370,6 +1510,33 @@ object StreamOps extends Serializable {
     "q_stream_session_tws" -> sessionOracle,
     "q_stream_tick_append" -> tickAppendOracle,
     "q_stream_sink_parquet" -> tickAppendOracle,
+    // tickAppendOracle's closed-hour cutoff, then each point's EWMA
+    // re-derived by a prefix fold in hour order — the identical
+    // α·x + (1−α)·s chain the processor steps through.
+    "q_stream_ewma" ->
+      """WITH wm AS (
+        |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
+        |), hx AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |), closed AS (
+        |  SELECT hx.* FROM hx, wm WHERE h + INTERVAL 1 HOUR <= wm.w
+        |), seq AS (
+        |  SELECT event_type, h, x,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM closed
+        |)
+        |SELECT a.event_type, strftime(a.h, '%Y-%m-%d %H:%M:%S') AS h_s, a.x,
+        |       list_reduce(list_prepend(CAST(-1.0 AS DOUBLE),
+        |         list(CAST(b.x AS DOUBLE) ORDER BY b.h)),
+        |         (acc, x) -> CASE WHEN acc < CAST(0.0 AS DOUBLE) THEN x
+        |                          ELSE CAST(0.2 AS DOUBLE) * x
+        |                               + CAST(0.8 AS DOUBLE) * acc END) AS ewma
+        |FROM seq a JOIN seq b
+        |  ON a.event_type = b.event_type AND b.rn <= a.rn
+        |GROUP BY a.event_type, a.h, a.x
+        |ORDER BY a.event_type, h_s""".stripMargin,
     "q_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
         |FROM events c JOIN events v
