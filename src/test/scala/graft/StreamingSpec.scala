@@ -644,4 +644,40 @@ class StreamingSpec extends SparkSpec {
         s"${g.getString(0)}: streamed decimal total must be bit-equal to batch")
     }
   }
+
+  test("transformWithState EWMA: recurrence crosses batch and timer boundaries") {
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rocks.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = rocks.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamOps.ewmaWithState(mem.toDF())
+      .writeStream.format("memory").queryName("ewma_tws")
+      .outputMode("append").start()
+    run(query) {
+      // Hour 10: 3 clicks. Hour 11: 1 click. Batch 1 watermark stays at
+      // 11:50-10m, so only hour 10 can close.
+      mem.addData(
+        Ev(1, t(10, 5), 1, "click", 1.0), Ev(2, t(10, 10), 2, "click", 1.0),
+        Ev(3, t(10, 40), 3, "click", 1.0), Ev(4, t(11, 50), 1, "click", 1.0))
+      query.processAllAvailable()
+      val after1 = rocks.table("ewma_tws").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+      assert(after1.toSeq == Seq(("2026-01-01 10:00:00.0", 3L, 3.0)),
+        s"only hour 10 closes in batch 1, seeding the EWMA at x: $after1")
+      // Advancing the watermark on ANOTHER key leaves the click key's
+      // hour 11 to close through its armed TIMER — and its EWMA must
+      // continue from hour 10's state (0.2·1 + 0.8·3), proving the
+      // recurrence survived both the batch boundary and the timer path.
+      mem.addData(Ev(5, t(14, 0), 9, "view", 1.0))
+      query.processAllAvailable()
+      val clicks = rocks.table("ewma_tws").collect()
+        .filter(_.getString(0) == "click")
+        .map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+      assert(clicks.toSeq.sortBy(_._1) == Seq(
+        ("2026-01-01 10:00:00.0", 3L, 3.0),
+        ("2026-01-01 11:00:00.0", 1L, 0.2 * 1.0 + 0.8 * 3.0)), s"got $clicks")
+    }
+  }
 }
