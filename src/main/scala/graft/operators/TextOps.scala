@@ -1438,6 +1438,106 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q_bigram_lm — bigram language-model scoring with add-1 smoothing:
+    * each document's average per-bigram log-probability
+    * avg_logp = (1/|bigrams|) Σ tf·ln((c(w₁w₂)+1)/(c(w₁·)+V)) under the
+    * corpus's own bigram table — [[qUnigramLm]]'s next model up: the
+    * unigram scorer can't see scrambled word order; conditional
+    * probabilities can (the degenerate-text signal q_repetition reads
+    * combinatorially, read probabilistically). V is the number of
+    * distinct left-contexts (the conditional vocabulary — the add-1
+    * denominator's event count).
+    *
+    * Plan: identical shape to the unigram scorer one level up — the
+    * per-(doc, bigram) TF table is built once (cached: three consumers),
+    * corpus bigram counts and left-context totals RE-AGGREGATE it (the
+    * corpus is never re-read), V is a 1-row broadcast, and the score
+    * join is tf ⋈ c(w₁w₂) ⋈ c(w₁·): vocabulary-sized relations that AQE
+    * broadcasts at scale. Determinism: libm-exact ln, per-doc sums via
+    * the bigram-sorted ordered fold, mirrored by the oracle's
+    * `list_reduce(list(... ORDER BY w1, w2))`.
+    */
+  def qBigramLm(spark: SparkSession, d: String): DataFrame = {
+    // Bigrams as "w1 w2" STRINGS (tokens are space-free, so string order
+    // and join keys coincide with (w1, w2) pairs in both engines).
+    val tf = graft.Tables.cacheForSelfJoin(
+      tokenized(spark, d)
+        .select(col("doc_id"), explode(expr(
+          "filter(transform(toks, (x, i) -> IF(i + 1 < size(toks), " +
+          "concat_ws(' ', x, toks[i+1]), NULL)), s -> s IS NOT NULL)"))
+          .as("big"))
+        .groupBy(col("doc_id"), col("big"))
+        .agg(count(lit(1)).as("tf")))
+    val cb = tf.groupBy(col("big")).agg(sum(col("tf")).as("cb"))
+    val cu = cb.groupBy(substring_index(col("big"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cu"))
+    val v = cu.agg(count(lit(1)).as("v"))
+    tf.join(cb, Seq("big"))
+      .join(cu, substring_index(col("big"), " ", 1) === cu("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("big"), col("tf"),
+        (col("tf").cast("double") *
+          lnLibm((col("cb") + lit(1L)).cast("double") /
+            (col("cu") + col("v")).cast("double"))).as("term_lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("big"), col("term_lp"))))
+          .as("lps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("aggregate(lps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term_lp)") /
+          col("n_bigrams")).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_curation_funnel — the drop-off report over [[qCurate]]'s gate
+    * chain: how many documents survive each successive curation gate
+    * (min length → stopword ratio → exact dedup → per-language cap).
+    * The capstone query keeps the survivors; this is the OPERATIONAL
+    * view — where the corpus is being lost, the first thing a pipeline
+    * owner asks when the output shrinks.
+    *
+    * Plan: stages 1-3 are conditional counts in ONE map-side-partial
+    * aggregate over the token stats; the dedup stage counts distinct
+    * fingerprints among gate-3 survivors (one hash aggregate); the cap
+    * stage folds per-language canonical counts through
+    * `least(cnt, cap)`. Every number is an exact BIGINT; the stage
+    * union is 5 rows.
+    */
+  def qCurationFunnel(spark: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.cacheForSelfJoin(
+      tokenized(spark, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(col("toks")).as("n_tokens"),
+          expr("size(filter(toks, t -> t IN ('the', 'a')))").as("stop_cnt"))
+        .withColumn("len_ok", col("n_tokens") >= 10)
+        .withColumn("stop_ok",
+          col("stop_cnt").cast("double") / col("n_tokens") <= 0.5))
+    val s123 = base.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("len_ok"), 1L).otherwise(0L)).as("n_len"),
+      sum(when(col("len_ok") && col("stop_ok"), 1L).otherwise(0L)).as("n_stop"))
+    val canon = base.filter(col("len_ok") && col("stop_ok"))
+      .groupBy(md5(col("text")).as("fp"))
+      // lang rides along deterministically as the min-id doc's label
+      // (identical text does not guarantee an identical lang column).
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"))
+    val s4 = canon.agg(count(lit(1)).as("n_dedup"))
+    val s5 = canon.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(least(col("cnt"), lit(CuratePerLang.toLong))).as("n_cap"))
+    s123.crossJoin(broadcast(s4)).crossJoin(broadcast(s5))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("total").as("gate"), col("n_total").as("n_docs")),
+        struct(lit(2L).as("stage"), lit("min_len").as("gate"), col("n_len").as("n_docs")),
+        struct(lit(3L).as("stage"), lit("stopword_ratio").as("gate"), col("n_stop").as("n_docs")),
+        struct(lit(4L).as("stage"), lit("exact_dedup").as("gate"), col("n_dedup").as("n_docs")),
+        struct(lit(5L).as("stage"), lit("lang_cap").as("gate"), col("n_cap").as("n_docs"))))
+        .as("s"))
+      .select(col("s.stage").as("stage"), col("s.gate").as("gate"),
+        col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage"))
+  }
+
   /** Token budget per packed training bin (a context-window's worth). */
   val PackBudget = 2048
   /** Packing shards per language — see [[qPack]]'s scale note. */
@@ -1564,6 +1664,8 @@ object TextOps {
     "q_degree_dist"   -> qDegreeDist _,
     "q_reach"         -> qReach _,
     "q_phrase_search" -> qPhraseSearch _,
+    "q_bigram_lm"     -> qBigramLm _,
+    "q_curation_funnel" -> qCurationFunnel _,
     "q_repetition"    -> qRepetition _,
     "q_chunk"         -> qChunk _,
     "q_vocab_growth"  -> qVocabGrowth _,
@@ -2107,6 +2209,67 @@ object TextOps {
          |  GROUP BY n
          |)
          |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(
+        |           list_zip(toks, toks[2:])[:greatest(len(toks)-1, 0)],
+        |           z -> z[1] || ' ' || z[2])) AS big
+        |  FROM tok
+        |), tf AS (
+        |  SELECT doc_id, big, COUNT(*) AS tf FROM bg GROUP BY doc_id, big
+        |), cb AS (SELECT big, SUM(tf) AS cb FROM tf GROUP BY big),
+        |cu AS (SELECT split_part(big, ' ', 1) AS w1, SUM(cb) AS cu
+        |       FROM cb GROUP BY split_part(big, ' ', 1)),
+        |v AS (SELECT COUNT(*) AS v FROM cu),
+        |lp AS (
+        |  SELECT tf.doc_id, tf.big, tf.tf,
+        |         CAST(tf.tf AS DOUBLE)
+        |           * ln(CAST(cb.cb + 1 AS DOUBLE) / CAST(cu.cu + v.v AS DOUBLE))
+        |           AS term_lp
+        |  FROM tf JOIN cb ON tf.big = cb.big
+        |  JOIN cu ON split_part(tf.big, ' ', 1) = cu.w1, v
+        |)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list(term_lp ORDER BY big)), (acc, x) -> acc + x)
+        |         / CAST(SUM(tf) AS BIGINT) AS avg_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_curation_funnel" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         len(list_filter(string_split(text, ' '),
+         |             t -> t IN ('the', 'a'))) AS stop_cnt
+         |  FROM documents
+         |), flags AS (
+         |  SELECT *, n_tokens >= 10 AS len_ok,
+         |         CAST(stop_cnt AS DOUBLE) / n_tokens <= 0.5 AS stop_ok
+         |  FROM base
+         |), s123 AS (
+         |  SELECT COUNT(*) AS n_total,
+         |         CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+         |         CAST(SUM(CASE WHEN len_ok AND stop_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_stop
+         |  FROM flags
+         |), canon AS (
+         |  SELECT md5(text) AS fp, MIN(doc_id) AS doc_id,
+         |         arg_min(lang, doc_id) AS lang
+         |  FROM flags WHERE len_ok AND stop_ok GROUP BY md5(text)
+         |), s4 AS (SELECT COUNT(*) AS n_dedup FROM canon),
+         |s5 AS (
+         |  SELECT CAST(SUM(LEAST(cnt, $CuratePerLang)) AS BIGINT) AS n_cap
+         |  FROM (SELECT lang, COUNT(*) AS cnt FROM canon GROUP BY lang)
+         |)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage, 'total' AS gate, n_total AS n_docs FROM s123
+         |  UNION ALL SELECT 2, 'min_len', n_len FROM s123
+         |  UNION ALL SELECT 3, 'stopword_ratio', n_stop FROM s123
+         |  UNION ALL SELECT 4, 'exact_dedup', n_dedup FROM s4
+         |  UNION ALL SELECT 5, 'lang_cap', n_cap FROM s5
+         |) ORDER BY stage""".stripMargin,
     "q_phrase_search" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t,

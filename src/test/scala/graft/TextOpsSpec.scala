@@ -542,6 +542,61 @@ class TextOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must contain the phrase")
   }
 
+  test("q_bigram_lm matches the brute-force add-1 conditional model") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val docBigrams = docs.map { case (id, toks) =>
+      id -> toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    }.toMap
+    val cb = docBigrams.values.toSeq.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cu = cb.toSeq.groupBy(_._1.split(" ")(0)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val v = cu.size.toLong
+    val got = TextOps.qBigramLm(spark, sfDir).collect()
+    assert(got.length == docBigrams.count(_._2.nonEmpty))
+    got.foreach { r =>
+      val (id, n) = (r.getLong(0), r.getLong(1))
+      val bgs = docBigrams(id)
+      assert(n == bgs.length.toLong)
+      val byBig = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sum = byBig.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (b, tf)) =>
+        acc + tf.toDouble *
+          java.lang.Math.log((cb(b) + 1L).toDouble / (cu(b.split(" ")(0)) + v).toDouble)
+      }
+      assert(r.getDouble(2) == sum / n.toDouble, s"doc $id avg_logp")
+      assert(r.getDouble(2) < 0.0)
+    }
+  }
+
+  test("q_curation_funnel matches brute-force gate counts and is monotone") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val withStats = docs.map { case (id, lang, text) =>
+      val toks = text.split(" ", -1)
+      val stop = toks.count(t => t == "the" || t == "a")
+      (id, lang, text, toks.length, stop)
+    }
+    val lenOk = withStats.filter(_._4 >= 10)
+    val stopOk = lenOk.filter(d => d._5.toDouble / d._4 <= 0.5)
+    val canon = stopOk.groupBy(_._3).map { case (_, g) => g.minBy(_._1) }
+    val capped = canon.groupBy(_._2).map { case (_, g) =>
+      math.min(g.size, TextOps.CuratePerLang)
+    }.sum
+    val got = TextOps.qCurationFunnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "total", docs.length.toLong),
+      (2L, "min_len", lenOk.length.toLong),
+      (3L, "stopword_ratio", stopOk.length.toLong),
+      (4L, "exact_dedup", canon.size.toLong),
+      (5L, "lang_cap", capped.toLong)))
+    // A funnel only narrows.
+    got.map(_._3).toSeq.sliding(2).foreach { case Seq(a, b) => assert(b <= a); case _ => }
+  }
+
   test("q_repetition matches brute-force trigram multiset statistics") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
