@@ -295,4 +295,52 @@ class PlanSpec extends SparkSpec {
         s"$name predicate must reach the scan:\n$p")
     }
   }
+
+  test("q_copurchase tops out through a heap; stats joins never nested-loop") {
+    val p = plan(graft.operators.Mining.qCopurchase(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be a per-partition heap, not a global sort:\n$p")
+    // Exactly ONE nested-loop is legitimate: the 1-row n_orders total
+    // broadcast-crossed onto the pair table. The stats joins must hash.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1 && !p.contains("CartesianProduct"),
+      s"only the 1-row total may cross-join (broadcast), never the stats joins:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both per-part count joins must be hash joins:\n$p")
+  }
+
+  test("q_ann_pq joins codes to a BROADCAST lookup table, map-side") {
+    val p = plan(Similarity.qAnnPq(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the M×K LUT must broadcast — a shuffled LUT join re-shuffles the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be a heap:\n$p")
+  }
+
+  test("q_phrase_search prunes documents to (doc_id, text) and equi-joins postings") {
+    val df = TextOps.qPhraseSearch(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the adjacency constraint must fold into the equi-join, not a theta join:\n$p")
+    assert(!p.contains("lang"),
+      s"phrase search reads a column it never uses — pruning lost:\n$p")
+    graft.Tables.clearSelfJoinCache()
+  }
+
+  test("q_rfm and q_attribution shuffle the raw log ONCE each") {
+    // q_rfm: one per-user fold; the quartile windows run over the
+    // user-sized aggregate. q_attribution: one user-partitioned window
+    // chain; the journey windows reuse the same hash partitioning.
+    for ((name, df, maxEx) <- Seq(
+        ("q_rfm", graft.operators.Behavior.qRfm(spark, sfDir), 1),
+        ("q_attribution", graft.operators.Behavior.qAttribution(spark, sfDir), 2))) {
+      val p = plan(df)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans <= 2, s"$name re-reads the log (saw $scans scans):\n$p")
+      val dataShuffles = "Exchange hashpartitioning".r.findAllIn(p)
+        .filter(_ => true).length
+      assert(dataShuffles <= maxEx + 2,
+        s"$name shuffle count grew (saw $dataShuffles):\n$p")
+    }
+  }
 }
