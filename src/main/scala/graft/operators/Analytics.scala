@@ -50,6 +50,83 @@ object Analytics {
     * then summed order-independently via [[graft.Tables.exactSum]]'s
     * decimal cast. Averages divide the exact decimal sum by the count.
     */
+  /** q_market_share — supplier-nation revenue share per order month
+    * (TPC-H Q8's shape): how each nation's suppliers split the market,
+    * month by month. The fact table joins orders CO-KEYED on the order
+    * key (both sides shuffle once on l_orderkey/o_orderkey — at 100 TB
+    * this is the join you bucket both tables on); supplier→nation is a
+    * BROADCAST snowflake arm; revenue is exact BIGINT cents of the
+    * discounted price; the share divides each (month, nation) cell by
+    * its month total through ONE aggregate-sized window, a pinned
+    * division of exact integers.
+    *
+    * Note the cents conversion happens per LINE (floor(x·100+0.5) on the
+    * discounted price, both engines) BEFORE aggregation, so the sum is
+    * order-independent — the float-sum-then-round alternative would be
+    * partitioning-dependent in the rounding ulp.
+    */
+  def qMarketShare(spark: SparkSession, d: String): DataFrame = {
+    val sn = supplier(spark, d)
+      .join(broadcast(nation(spark, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val lineCents = floor(
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).cast("long")
+    val cells = lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"), lineCents.as("cents"))
+      .join(orders(spark, d)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(tsSeconds(col("month")).as("month_s"), col("n_name"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val monthW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("month_s"))
+    cells
+      .withColumn("month_cents", sum(col("rev_cents")).over(monthW))
+      .select(col("month_s"), col("n_name"), col("rev_cents"),
+        (col("rev_cents").cast("double") / col("month_cents").cast("double"))
+          .as("share"))
+      .orderBy(col("month_s"), col("n_name"))
+  }
+
+  /** Cents threshold for [[qBigSpenders]] — ~the customer-total p95 of the
+    * fixture (400M cents = $4M): the HAVING cut that keeps "large-volume
+    * customers" a short list.
+    */
+  val BigSpenderCents = 400000000L
+
+  /** q_big_spenders — large-volume customers and their orders (TPC-H
+    * Q18's shape): aggregate-then-join-back. Phase 1 reduces orders to
+    * per-customer BIGINT totals and applies the HAVING threshold —
+    * customer-sized BEFORE any join; phase 2 joins the (short) qualifying
+    * list back to orders — AQE broadcasts it — plus the customer name
+    * arm. The anti-pattern this query exists to reject is filtering the
+    * JOINED fact table by a windowed total (shuffles the whole fact
+    * twice); the two-phase form shuffles orders once for the aggregate
+    * and streams the join-back map-side.
+    */
+  def qBigSpenders(spark: SparkSession, d: String): DataFrame = {
+    val orderCents =
+      floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+    val o = orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), orderCents.as("cents"))
+    val spenders = o.groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("total_cents"))
+      .filter(col("total_cents") > lit(BigSpenderCents))
+    o.join(spenders, "o_custkey")
+      .join(broadcast(customer(spark, d)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("total_cents"),
+        col("o_orderkey"), tsSeconds(col("o_orderdate")).as("o_date_s"),
+        col("cents").as("order_cents"))
+      .orderBy(col("total_cents").desc, col("o_custkey"), col("o_orderkey"))
+  }
+
   def qPricing(spark: SparkSession, d: String): DataFrame = {
     val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val charge = discPrice * (lit(1.0) + col("l_tax"))
@@ -2289,6 +2366,8 @@ object Analytics {
     "q_corr"            -> qCorr _,
     "q_groupby_agg"     -> qGroupbyAgg _,
     "q_pricing"         -> qPricing _,
+    "q_market_share"    -> qMarketShare _,
+    "q_big_spenders"    -> qBigSpenders _,
     "q_revenue_topn"    -> qRevenueTopn _,
     "q_regional_revenue" -> qRegionalRevenue _,
     "q_top_supplier"    -> qTopSupplier _,
@@ -2499,6 +2578,41 @@ object Analytics {
          |       ${decSum.format("l_discount")} / COUNT(l_discount) AS avg_disc
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_market_share" ->
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |), cells AS (
+        |  SELECT strftime(date_trunc('month', o.o_orderdate),
+        |           '%Y-%m-%d %H:%M:%S') AS month_s,
+        |         sn.n_name,
+        |         SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
+        |               * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN sn ON l.l_suppkey = sn.s_suppkey
+        |  GROUP BY month_s, sn.n_name
+        |)
+        |SELECT month_s, n_name, rev_cents,
+        |       CAST(rev_cents AS DOUBLE) /
+        |         CAST(SUM(rev_cents) OVER (PARTITION BY month_s) AS DOUBLE)
+        |         AS share
+        |FROM cells ORDER BY month_s, n_name""".stripMargin,
+    "q_big_spenders" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey, o_orderdate,
+         |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders
+         |), sp AS (
+         |  SELECT o_custkey, SUM(cents) AS total_cents FROM o
+         |  GROUP BY o_custkey HAVING SUM(cents) > $BigSpenderCents
+         |)
+         |SELECT c.c_name, o.o_custkey, sp.total_cents, o.o_orderkey,
+         |       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date_s,
+         |       o.cents AS order_cents
+         |FROM o JOIN sp ON o.o_custkey = sp.o_custkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY sp.total_cents DESC, o.o_custkey, o.o_orderkey""".stripMargin,
     "q_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${decSum.format("l_quantity")} AS sum_qty,

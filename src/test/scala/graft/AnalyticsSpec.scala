@@ -1006,4 +1006,60 @@ class AnalyticsSpec extends SparkSpec {
     // the fixture must exercise a real gap or islands degenerate to 1 run
     assert(got.exists(_.getLong(1) > 1L))
   }
+
+  test("q_market_share cells match brute force and shares telescope to 1 per month") {
+    import org.apache.spark.sql.functions._
+    val sn = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val oMonth = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), date_trunc("month", col("o_orderdate")))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toMap
+    val cells = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .map { r =>
+        val cents = math.floor(
+          (r.getDouble(2) * (1.0 - r.getDouble(3))) * 100.0 + 0.5).toLong
+        ((oMonth(r.getLong(0)), sn(r.getLong(1))), cents)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val got = graft.operators.Analytics.qMarketShare(spark, sfDir).collect()
+    assert(got.length == cells.size)
+    got.foreach { r =>
+      val key = (fmt.parse(r.getString(0)).getTime, r.getString(1))
+      assert(r.getLong(2) == cells(key), s"$key rev_cents")
+    }
+    // Shares within a month sum to 1 exactly in cents space.
+    got.groupBy(_.getString(0)).foreach { case (m, rows) =>
+      val tot = cells.filter(_._1._1 == fmt.parse(m).getTime).values.sum
+      rows.foreach { r =>
+        assert(r.getDouble(3) == r.getLong(2).toDouble / tot.toDouble, s"$m share")
+      }
+    }
+  }
+
+  test("q_big_spenders lists every order of every over-threshold customer, none else") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val totals = orders.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val qualifying = totals.filter(_._2 > graft.operators.Analytics.BigSpenderCents)
+    val got = graft.operators.Analytics.qBigSpenders(spark, sfDir).collect()
+    assert(got.nonEmpty && qualifying.nonEmpty)
+    // Exactly the qualifying customers' orders, with correct totals.
+    assert(got.map(_.getLong(1)).toSet == qualifying.keySet)
+    assert(got.length == orders.count(o => qualifying.contains(o._1)))
+    got.foreach { r =>
+      assert(r.getLong(2) == totals(r.getLong(1)), s"cust ${r.getLong(1)} total")
+      assert(r.getLong(2) > graft.operators.Analytics.BigSpenderCents)
+    }
+  }
 }
