@@ -249,4 +249,63 @@ class RecoverySpec extends SparkSpec {
     assert(batchDirs.contains(s"batch=$retriedId"),
       s"retried batch must land back in its own directory: $batchDirs")
   }
+
+  test("EWMA processor restart: the RECURRENCE ValueState survives the checkpoint boundary") {
+    // The q_stream_ewma state machine carries a value that depends on
+    // every previously CLOSED window — exactly the state a restart must
+    // not lose: if the ValueState reset, the first post-restart hour
+    // would re-seed at its raw count instead of continuing the
+    // α·x + (1−α)·s chain, silently shifting every later point. The cut
+    // is the fixture's median timestamp: run 1 closes at least one hour
+    // (seeding the recurrence), run 2 closes hours whose EWMA is only
+    // correct if run 1's ValueState was recovered.
+    val rocks = rocksSession()
+    val raw = rocks.read.schema(StreamOps.eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet")
+    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+
+    val replay = Files.createTempDirectory("graft_ewma_replay_")
+    val ckpt = Files.createTempDirectory("graft_ewma_ckpt_").toString
+    def arrive(half: org.apache.spark.sql.DataFrame, tick: Int): Unit = {
+      val scratch = Files.createTempDirectory(s"graft_ewma_half$tick")
+      half.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      scratch.toFile.listFiles.filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          val dst = replay.resolve(f"tick$tick%d-$i%05d.parquet")
+          Files.move(f.toPath, dst)
+          dst.toFile.setLastModified(1600000000000L + tick * 60000L): Unit
+        }
+    }
+    def drain(outDir: String, checkpoint: String): Seq[(String, String, Long, Double)] = {
+      val q = StreamOps.ewmaWithState(StreamOps.eventsStream(rocks, replay.toString))
+        .writeStream.option("checkpointLocation", checkpoint)
+        .format("parquet").option("path", outDir).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      rocks.read.parquet(outDir).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+                   r.getDouble(3))).toSeq
+    }
+    val out = Files.createTempDirectory("graft_ewma_out_").toString
+
+    arrive(raw.filter(col("ts") <= cut), 1)
+    val run1 = drain(out, ckpt)
+    assert(run1.nonEmpty, "run 1 must close at least one hour to seed the recurrence")
+    arrive(raw.filter(col("ts") > cut), 2)
+    val all = drain(out, ckpt)
+
+    // Exactly-once across the restart; and a post-restart point whose
+    // EWMA is NOT its raw count exists — i.e. the recurrence continued
+    // from recovered state rather than re-seeding.
+    assert(all.size == all.toSet.size, "EWMA points re-emitted after restart")
+    val run2New = all.toSet -- run1.toSet
+    assert(run2New.nonEmpty)
+    assert(run2New.exists(p => p._4 != p._3.toDouble),
+      "every post-restart EWMA equals its raw count — the recurrence state was lost")
+    // Interrupted == uninterrupted, bit-for-bit.
+    val whole = drain(Files.createTempDirectory("graft_ewma_out2_").toString,
+      Files.createTempDirectory("graft_ewma_ckpt2_").toString)
+    assert(all.toSet == whole.toSet && whole.nonEmpty,
+      "restarted EWMA output must equal the uninterrupted run")
+  }
 }
