@@ -686,6 +686,35 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** q_except_all / q_intersect_all — the MULTISET set operations
+    * (EXCEPT ALL / INTERSECT ALL): duplicate-preserving difference and
+    * intersection of the part bags sold through even- vs odd-keyed
+    * orders. The DISTINCT forms above answer "which parts"; the ALL
+    * forms answer "how many copies survive" — the semantics inventory
+    * reconciliation and bag-diff audits actually need (SQL: each row
+    * appears max(m−n, 0) / min(m, n) times). Catalyst plans both as a
+    * single hash aggregate computing per-key counts on each side then
+    * replicating — no join, ONE shuffle; the count re-aggregate here
+    * keeps the output compact and the row order total.
+    */
+  def qExceptAll(spark: SparkSession, d: String): DataFrame = {
+    val l = lineitem(spark, d)
+    l.filter(pmod(col("l_orderkey"), lit(2L)) === 0L).select(col("l_partkey"))
+      .exceptAll(l.filter(pmod(col("l_orderkey"), lit(2L)) === 1L)
+        .select(col("l_partkey")))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_surplus"))
+      .orderBy(col("l_partkey"))
+  }
+
+  def qIntersectAll(spark: SparkSession, d: String): DataFrame = {
+    val l = lineitem(spark, d)
+    l.filter(pmod(col("l_orderkey"), lit(2L)) === 0L).select(col("l_partkey"))
+      .intersectAll(l.filter(pmod(col("l_orderkey"), lit(2L)) === 1L)
+        .select(col("l_partkey")))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_common"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** q_rollup / q_cube — grouping-sets aggregation (E6). Subtotal rows'
     * NULL keys are coalesced to 'ALL' so the presentation order is total
     * without relying on engine-specific NULL ordering.
@@ -2368,6 +2397,8 @@ object Analytics {
     "q_pricing"         -> qPricing _,
     "q_market_share"    -> qMarketShare _,
     "q_big_spenders"    -> qBigSpenders _,
+    "q_except_all"      -> qExceptAll _,
+    "q_intersect_all"   -> qIntersectAll _,
     "q_revenue_topn"    -> qRevenueTopn _,
     "q_regional_revenue" -> qRegionalRevenue _,
     "q_top_supplier"    -> qTopSupplier _,
@@ -2578,6 +2609,18 @@ object Analytics {
          |       ${decSum.format("l_discount")} / COUNT(l_discount) AS avg_disc
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_except_all" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 1)
+        |SELECT l_partkey, COUNT(*) AS n_surplus
+        |FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "q_intersect_all" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 1)
+        |SELECT l_partkey, COUNT(*) AS n_common
+        |FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
     "q_market_share" ->
       """WITH sn AS (
         |  SELECT s_suppkey, n_name FROM supplier

@@ -1007,6 +1007,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.exists(_.getLong(1) > 1L))
   }
 
+  test("q_except_all and q_intersect_all obey the multiset max/min laws") {
+    import org.apache.spark.sql.functions._
+    val parts = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a = parts.filter(_._1 % 2 == 0).map(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val b = parts.filter(_._1 % 2 == 1).map(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wantEx = a.map { case (k, m) => k -> math.max(m - b.getOrElse(k, 0L), 0L) }
+      .filter(_._2 > 0)
+    val wantIn = a.map { case (k, m) => k -> math.min(m, b.getOrElse(k, 0L)) }
+      .filter(_._2 > 0)
+    val gotEx = graft.operators.Analytics.qExceptAll(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotIn = graft.operators.Analytics.qIntersectAll(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotEx == wantEx && gotEx.nonEmpty)
+    assert(gotIn == wantIn && gotIn.nonEmpty)
+    // Bag identity: |A| = |A\B| + |A∩B| per key and in total.
+    a.foreach { case (k, m) =>
+      assert(m == gotEx.getOrElse(k, 0L) + gotIn.getOrElse(k, 0L), s"key $k")
+    }
+  }
+
   test("q_market_share cells match brute force and shares telescope to 1 per month") {
     import org.apache.spark.sql.functions._
     val sn = Tables.supplier(spark, sfDir)

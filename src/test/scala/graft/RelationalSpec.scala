@@ -84,4 +84,46 @@ class RelationalSpec extends SparkSpec {
       byCust.getOrElse(c, Array.empty).exists(_._3 > 400000.0))
     assert(res.size > 0 && res.size < existsOnly)
   }
+
+  test("q_sql_recursive spine is gap-free month-by-month and counts reconcile") {
+    import org.apache.spark.sql.functions._
+    val months = Tables.orders(spark, sfDir)
+      .select(date_trunc("month", col("o_orderdate")).as("m"))
+      .groupBy("m").count().collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val got = graft.operators.Relational.qSqlRecursive(spark, sfDir).collect()
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    // Recursion must cover EVERY month from min to max, including months
+    // with zero orders (n_orders = 0) — the spine is calendar-complete.
+    val spine = got.map(r => fmt.parse(r.getString(0)))
+    val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+    spine.sliding(2).foreach {
+      case Array(a, b) =>
+        cal.setTime(a); cal.add(java.util.Calendar.MONTH, 1)
+        assert(cal.getTime == b, s"spine gap between $a and $b")
+      case _ =>
+    }
+    got.foreach { r =>
+      val t = fmt.parse(r.getString(0)).getTime
+      assert(r.getLong(1) == months.getOrElse(t, 0L), s"month $t count")
+    }
+    assert(got.map(_.getLong(1)).sum == months.values.sum, "total orders reconcile")
+  }
+
+  test("q_paginate returns exactly rows 101-150 of the total order") {
+    import org.apache.spark.sql.functions._
+    val all = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("d"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+      .sortBy(t => (t._1, t._2))
+    val want = all.slice(100, 150).map(t => (t._2, t._1, t._3)).toSeq
+    val got = graft.operators.Relational.qPaginate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
 }
