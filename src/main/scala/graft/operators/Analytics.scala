@@ -127,6 +127,34 @@ object Analytics {
       .orderBy(col("total_cents").desc, col("o_custkey"), col("o_orderkey"))
   }
 
+  /** q_lateral — the correlated LATERAL subquery surface: each
+    * customer's top-2 orders by value, written exactly as the SQL canon
+    * writes it (`FROM c, LATERAL (SELECT ... WHERE o.ck = c.ck ORDER BY
+    * ... LIMIT 2)`). Catalyst DECORRELATES the lateral into the same
+    * per-group-top-k machinery the explicit q_topk_group operator uses —
+    * the planner story: the user-facing correlated form and the
+    * engine-facing window/heap form meet at one physical plan, so
+    * LIMIT-inside-LATERAL does not become a per-row re-execution (the
+    * nested-loop reading of the syntax). All-integer output under a
+    * total order.
+    */
+  def qLateral(spark: SparkSession, d: String): DataFrame = {
+    orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      .createOrReplaceTempView("graft_lat_orders")
+    customer(spark, d).select(col("c_custkey"))
+      .createOrReplaceTempView("graft_lat_cust")
+    spark.sql(
+      """SELECT c.c_custkey, l.o_orderkey, l.cents
+        |FROM graft_lat_cust c,
+        |LATERAL (SELECT o_orderkey, cents FROM graft_lat_orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY cents DESC, o_orderkey LIMIT 2) l
+        |ORDER BY c.c_custkey, l.cents DESC, l.o_orderkey""".stripMargin)
+  }
+
   def qPricing(spark: SparkSession, d: String): DataFrame = {
     val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val charge = discPrice * (lit(1.0) + col("l_tax"))
@@ -2399,6 +2427,7 @@ object Analytics {
     "q_big_spenders"    -> qBigSpenders _,
     "q_except_all"      -> qExceptAll _,
     "q_intersect_all"   -> qIntersectAll _,
+    "q_lateral"         -> qLateral _,
     "q_revenue_topn"    -> qRevenueTopn _,
     "q_regional_revenue" -> qRegionalRevenue _,
     "q_top_supplier"    -> qTopSupplier _,
@@ -2609,6 +2638,18 @@ object Analytics {
          |       ${decSum.format("l_discount")} / COUNT(l_discount) AS avg_disc
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_lateral" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT c.c_custkey, l.o_orderkey, l.cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, cents FROM o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY cents DESC, o_orderkey LIMIT 2) l
+        |ORDER BY c.c_custkey, l.cents DESC, l.o_orderkey""".stripMargin,
     "q_except_all" ->
       """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0),
         |b AS (SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 1)

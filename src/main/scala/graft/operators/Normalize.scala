@@ -125,8 +125,30 @@ object Normalize {
       .orderBy(col("event_id"))
   }
 
+  /** q_variant — the VARIANT semi-structured type (Spark 4): `props`
+    * parsed ONCE into the binary variant encoding, fields extracted with
+    * typed `variant_get` paths, then aggregated — schema-on-read without
+    * a declared struct ([[qFromJson]]'s opposite trade: from_json wants
+    * the schema up front; variant defers it to the access site, which is
+    * what a pipeline ingesting heterogeneous payloads at 100 TB needs —
+    * parse once, shred at query time, no re-parse per field access).
+    * Output: per k-decade (k DIV 10) counts and exact value cents —
+    * all-integer, so the gate is exact; the oracle reads the same field
+    * through DuckDB's JSON path functions.
+    */
+  def qVariant(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(expr("k DIV 10").as("k_decade"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("k_decade"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_get"       -> qJsonGet _,
+    "q_variant"        -> qVariant _,
     "q_from_json"      -> qFromJson _,
     "q_explode_nested" -> qExplodeNested _,
     "q_map_explode"    -> qMapExplode _,
@@ -137,6 +159,15 @@ object Normalize {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_variant" ->
+      """WITH k AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT k // 10 AS k_decade, COUNT(*) AS n, SUM(cents) AS sum_cents,
+        |       MIN(k) AS k_min, MAX(k) AS k_max
+        |FROM k GROUP BY k // 10 ORDER BY k_decade""".stripMargin,
     "q_json_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

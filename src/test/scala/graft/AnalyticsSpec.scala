@@ -1007,6 +1007,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.exists(_.getLong(1) > 1L))
   }
 
+  test("q_lateral equals brute-force per-customer top-2 and decorrelates (no nested loop)") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val want = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      os.sortBy(o => (-o._3, o._2)).take(2).map(o => (ck, o._2, o._3))
+    }.sortBy(t => (t._1, -t._3, t._2))
+    val df = graft.operators.Analytics.qLateral(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LIMIT-inside-LATERAL must decorrelate, not re-execute per row:\n$p")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("q_variant field extraction matches a brute-force JSON parse") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("props"), col("value")).collect()
+      .map { r =>
+        val k = """"k":\s*(\d+)""".r.findFirstMatchIn(r.getString(0)).get.group(1).toLong
+        (k, math.floor(r.getDouble(1) * 100.0 + 0.5).toLong)
+      }
+    val byDecade = ev.groupBy(_._1 / 10)
+    val got = graft.operators.Normalize.qVariant(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet == byDecade.keySet)
+    got.foreach { r =>
+      val g = byDecade(r.getLong(0))
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == g.map(_._2).sum)
+      assert(r.getLong(3) == g.map(_._1).min && r.getLong(4) == g.map(_._1).max)
+    }
+  }
+
   test("q_except_all and q_intersect_all obey the multiset max/min laws") {
     import org.apache.spark.sql.functions._
     val parts = Tables.lineitem(spark, sfDir)
