@@ -1,0 +1,39 @@
+package graft
+
+/** Partitioning-invariance: the engine-wide determinism CONTRACT, pinned.
+  *
+  * Every float-emitting query claims its result is invariant under
+  * partitioning (exact decimal sums, ordered folds, pinned expression
+  * chains, fixed-point integers) — the property that makes the DuckDB
+  * hash gate meaningful and, at 1000 executors, makes reruns reproducible
+  * at all. This suite EXECUTES that claim: each query runs under two
+  * different `spark.sql.shuffle.partitions` settings (different partition
+  * counts → different aggregation merge orders, different AQE decisions)
+  * and the collected results must be equal to the BIT (boxed Double
+  * equality — stricter than ==: NaN equals NaN, +0.0 differs from −0.0).
+  *
+  * The chosen queries cover every determinism mechanism in the engine:
+  * decimal-backed sums (tfidf/welch/moments), ordered per-group folds
+  * (bigram LM, centroid chunked folds), sequential window folds
+  * (survival), single-partition ntile windows (decile lift), and pinned
+  * share divisions over windowed integer totals (market share).
+  */
+class InvarianceSpec extends SparkSpec {
+
+  private def collectWith(parts: Int, name: String): Seq[Seq[Any]] = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try SparkEntry.queries(name)(s, sfDir).collect().map(_.toSeq.toList).toSeq
+    finally Tables.clearSelfJoinCache()
+  }
+
+  for (q <- Seq("q_tfidf", "q_welch", "q_survival", "q_moments",
+      "q_market_share", "q_bigram_lm", "q_decile_lift", "q_centroid"))
+    test(s"$q is bit-identical under shuffle.partitions 2 vs 7") {
+      val a = collectWith(2, q)
+      val b = collectWith(7, q)
+      assert(a.nonEmpty)
+      assert(a == b,
+        s"$q result depends on partitioning — the determinism contract is broken")
+    }
+}
