@@ -142,4 +142,29 @@ class ObservabilitySpec extends SparkSpec {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("batch Observation: data-quality counters ride the job, no extra pass") {
+    // The batch side of the same observability story: `Dataset.observe`
+    // attaches aggregate metrics to an EXISTING job — row counts, null
+    // counts, value bounds — collected by the driver when the action
+    // finishes, with zero additional scans. This is how a production
+    // pipeline gets its freshness/volume counters without paying a
+    // second read of a 100 TB input.
+    val obs = new org.apache.spark.sql.Observation("graft_quality")
+    val df = Tables.events(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .filter(col("event_type") === "purchase")
+    val purchases = df.count()
+    val m = obs.get
+    // The metrics describe the OBSERVED relation (pre-filter), proving
+    // they ride the scan, not the query result.
+    val total = Tables.events(spark, sfDir).count()
+    assert(m("n_rows") == total && total > purchases)
+    assert(m("n_null_value") == 0L)
+    assert(m("min_ts").asInstanceOf[java.sql.Timestamp]
+      .before(m("max_ts").asInstanceOf[java.sql.Timestamp]))
+  }
 }
