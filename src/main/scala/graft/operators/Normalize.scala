@@ -146,9 +146,33 @@ object Normalize {
         min(col("k")).as("k_min"), max(col("k")).as("k_max"))
       .orderBy(col("k_decade"))
 
+  /** q_try_cast — the ANSI-safe error-handling surface: Spark 4 runs
+    * ANSI mode by DEFAULT, so a malformed numeric string KILLS the job
+    * at the `cast` — the `try_*` family (`try_cast`, `try_divide`,
+    * `try_add`) is how a production pipeline opts specific columns back
+    * into degrade-to-NULL semantics without giving up ANSI everywhere
+    * (the principled version of the old `ansi=false` blanket). Dirty
+    * numerics are injected on every 97th row ("N/A"); `try_cast` turns
+    * exactly those into NULLs, and the per-type report carries the bad
+    * count next to the exact cents sum of the survivors — the
+    * reject-and-count pattern of [[qJsonFallback]] at the TYPE level.
+    */
+  def qTryCast(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .select(col("event_type"),
+        expr("try_cast(CASE WHEN event_id % 97 = 0 THEN 'N/A' " +
+          "ELSE CAST(value AS STRING) END AS DOUBLE)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(floor(col("v") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("good_cents"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_get"       -> qJsonGet _,
     "q_variant"        -> qVariant _,
+    "q_try_cast"       -> qTryCast _,
     "q_from_json"      -> qFromJson _,
     "q_explode_nested" -> qExplodeNested _,
     "q_map_explode"    -> qMapExplode _,
@@ -159,6 +183,18 @@ object Normalize {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_try_cast" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |         TRY_CAST(CASE WHEN event_id % 97 = 0 THEN 'N/A'
+        |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS v
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_bad,
+        |       SUM(CAST(floor(v * 100.0 + 0.5) AS BIGINT)) AS good_cents
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_variant" ->
       """WITH k AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

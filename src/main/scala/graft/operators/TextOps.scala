@@ -1538,6 +1538,28 @@ object TextOps {
       .orderBy(col("stage"))
   }
 
+  /** q_array_stats — per-document token-length statistics computed
+    * ENTIRELY with higher-order array functions (`transform` +
+    * `aggregate` + `array_max`): the explode-free form of per-row
+    * array analytics. The explode form multiplies the row count by the
+    * tokens-per-doc factor before re-aggregating — at 100 TB that is a
+    * shuffle of the token stream to recover per-DOC facts the row
+    * already holds; the lambda form computes them in place, inside
+    * whole-stage codegen, with zero row amplification (the same reason
+    * [[qTokenCount]]'s family stays lambda-based). All-integer output
+    * plus one pinned mean division.
+    */
+  def qArrayStats(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (acc, x) -> acc + x)")
+          .as("sum_len"),
+        expr("array_max(transform(toks, t -> length(t)))").as("max_len"))
+      .withColumn("avg_len",
+        col("sum_len").cast("double") / col("n_toks").cast("double"))
+      .orderBy(col("doc_id"))
+
   /** Token budget per packed training bin (a context-window's worth). */
   val PackBudget = 2048
   /** Packing shards per language — see [[qPack]]'s scale note. */
@@ -1666,6 +1688,7 @@ object TextOps {
     "q_phrase_search" -> qPhraseSearch _,
     "q_bigram_lm"     -> qBigramLm _,
     "q_curation_funnel" -> qCurationFunnel _,
+    "q_array_stats"   -> qArrayStats _,
     "q_repetition"    -> qRepetition _,
     "q_chunk"         -> qChunk _,
     "q_vocab_growth"  -> qVocabGrowth _,
@@ -2209,6 +2232,19 @@ object TextOps {
          |  GROUP BY n
          |)
          |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+    "q_array_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS INTEGER) AS n_toks,
+        |       CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+        |         AS sum_len,
+        |       CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER)
+        |         AS max_len,
+        |       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |         / CAST(len(toks) AS DOUBLE) AS avg_len
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_bigram_lm" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -1025,6 +1025,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q_try_cast rejects exactly the injected dirty rows and sums the rest") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = ev.groupBy(_._2)
+    val got = graft.operators.Normalize.qTryCast(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet == byType.keySet)
+    got.foreach { r =>
+      val g = byType(r.getString(0))
+      val bad = g.filter(_._1 % 97 == 0)
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == bad.length.toLong)
+      assert(r.getLong(3) == g.filterNot(_._1 % 97 == 0)
+        .map(e => math.floor(e._3 * 100.0 + 0.5).toLong).sum)
+    }
+    // The injection must actually hit rows, or try_cast is untested.
+    assert(got.map(_.getLong(2)).sum > 0L)
+  }
+
   test("q_variant field extraction matches a brute-force JSON parse") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sfDir)

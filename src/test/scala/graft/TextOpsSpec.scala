@@ -542,6 +542,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must contain the phrase")
   }
 
+  test("q_array_stats matches brute-force token-length statistics, explode-free") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val df = TextOps.qArrayStats(spark, sfDir)
+    // The plan's load-bearing claim: NO row-exploding Generate node.
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"),
+      s"array stats must stay lambda-based, not explode:\n$p")
+    val got = df.collect()
+    assert(got.length == docs.length)
+    val byId = docs.toMap
+    got.foreach { r =>
+      val toks = byId(r.getLong(0))
+      val lens = toks.map(_.length)
+      assert(r.getInt(1) == toks.length)
+      assert(r.getLong(2) == lens.map(_.toLong).sum)
+      assert(r.getInt(3) == lens.max)
+      assert(r.getDouble(4) == lens.map(_.toLong).sum.toDouble / toks.length.toDouble)
+    }
+  }
+
   test("q_bigram_lm matches the brute-force add-1 conditional model") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
