@@ -74,32 +74,29 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively. Read it as a raw ns long and floor-divide to µs (integer DIV —
-    * a double division would lose precision past 2^53, and epoch-ns is
-    * ~1.7e18). DuckDB's reader truncates ns→µs the same way, so both engines
-    * see identical instants.
-    *
-    * The `nanosAsLong` conf is DELIBERATELY session-wide: every entry point
-    * (Verify, Bench, the test sessions) also sets it at session build, and
-    * the re-set here is an idempotent safety net for callers — e.g. the
-    * driver's smoke harness — that construct their own session without it.
-    * It only changes how TIMESTAMP(NANOS) columns decode, and `events` is
-    * the sole fixture table with one.
+  /** Staged-replay long-µs column → TimestampType. THE canonical
+    * conversion for the streaming replay path: [[graft.streaming.StreamOps
+    * .stageReplayDir]] stages `ts` as a raw int64 of epoch MICROSECONDS
+    * (Spark's native timestamp precision — exact, no unit ambiguity), and
+    * every streaming reader (file source and the graft-replay DSv2 source)
+    * re-attaches timestamp semantics with this one definition so batch and
+    * streaming plans see bit-identical instants.
     */
-  /** Raw parquet nanos column → TimestampType. THE canonical conversion —
-    * the oracle's bit-equality depends on its exact form (integer DIV, not
-    * double division, which loses precision past 2^53), so every reader
-    * (batch here, streaming in StreamOps) must share this one definition.
-    */
-  def nsToTs(colName: String): Column =
-    timestamp_micros(expr(s"$colName DIV 1000"))
+  def usToTs(colName: String): Column =
+    timestamp_micros(col(colName))
 
-  def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** `events.ts` is parquet TIMESTAMP(µs, isAdjustedToUTC=false), which
+    * Spark 4 reads as TIMESTAMP_NTZ. The engine (and its oracle contract)
+    * works in instant semantics — every session here runs in UTC, so the
+    * NTZ→LTZ cast below is an exact relabeling (same µs value, now an
+    * instant), and DuckDB reading the same file sees the identical naive
+    * wall-clock values. Casting once at the catalog boundary keeps every
+    * downstream operator (windows, watermarks, unix_micros arithmetic) on
+    * the TimestampType they were written for.
+    */
+  def events(spark: SparkSession, d: String): DataFrame =
     table(spark, d, "events")
-      .withColumn("ts", nsToTs("ts"))
-  }
+      .withColumn("ts", col("ts").cast("timestamp"))
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 

@@ -232,9 +232,11 @@ class SessionProcessor
   */
 object StreamOps extends Serializable {
 
-  /** `events.parquet` read schema for the streaming file source — `ts` as
-    * raw nanos (LongType), matching `spark.sql.legacy.parquet.nanosAsLong`;
-    * converted to a proper timestamp in [[eventsStream]].
+  /** Staged replay-file schema for the streaming sources — `ts` as a raw
+    * long of epoch MICROSECONDS (the staging step strips timestamp
+    * semantics so the custom DSv2 reader decodes plain int64, no
+    * logical-type handling); converted back to a proper timestamp in
+    * [[eventsStream]] via [[Tables.usToTs]].
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -245,6 +247,15 @@ object StreamOps extends Serializable {
     StructField("props", StringType)))
 
   private val replayCache = TrieMap.empty[String, String]
+
+  /** The events fixture in the staged-replay WIRE FORM ([[eventsRawSchema]]):
+    * `ts` stripped to a raw long of epoch µs (unix_micros after the same
+    * UTC relabeling [[Tables.events]] does). Staging and the recovery specs
+    * both derive their replay halves from this one definition, so cut
+    * arithmetic stays plain integer µs everywhere.
+    */
+  def eventsRawMicros(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d).withColumn("ts", unix_micros(col("ts")))
 
   /** Scratch dir for replay staging and streaming checkpoints: tmpfs
     * (/dev/shm) when available, system temp otherwise. Micro-batch
@@ -289,9 +300,8 @@ object StreamOps extends Serializable {
     */
   def stageReplayDir(spark: SparkSession, d: String): String =
     replayCache.getOrElseUpdate(d, {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val dir = java.nio.file.Paths.get(scratchDir("graft_replay_"))
-      val raw = spark.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
+      val raw = eventsRawMicros(spark, d)
       val n = raw.count()
       val cut = raw.orderBy(col("ts")).limit(math.max((n / 2).toInt, 1))
         .agg(max(col("ts"))).head().getLong(0)
@@ -320,7 +330,7 @@ object StreamOps extends Serializable {
   /** Streaming replay of the events table: file source over the staged
     * replay directory — the zero-egress analog of a live feed. One file per
     * trigger ≈ one reference tick (app.py:37). Timestamp conversion is
-    * [[Tables.nsToTs]] — the single canonical definition the oracle's
+    * [[Tables.usToTs]] — the single canonical definition the oracle's
     * bit-equality depends on.
     */
   def eventsStream(spark: SparkSession, replay: String): DataFrame = {
@@ -328,7 +338,7 @@ object StreamOps extends Serializable {
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(replay)
-      .withColumn("ts", Tables.nsToTs("ts"))
+      .withColumn("ts", Tables.usToTs("ts"))
   }
 
   /** Streaming replay through the custom DSv2 source
@@ -349,7 +359,7 @@ object StreamOps extends Serializable {
     // the option while batch DSv2 would get pruneColumns pushed for free.
     columns.foreach(reader.option("columns", _))
     reader.load(replay)
-      .withColumn("ts", Tables.nsToTs("ts"))
+      .withColumn("ts", Tables.usToTs("ts"))
   }
 
   // ---- Stream shapes: one plan, batch or streaming ----------------------

@@ -37,8 +37,7 @@ class RecoverySpec extends SparkSpec {
 
   test("restart from checkpoint: RocksDB state recovers, committed offsets are not reprocessed") {
     val rocks = rocksSession()
-    val raw = rocks.read.schema(StreamOps.eventsRawSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val raw = StreamOps.eventsRawMicros(rocks, sfDir)
 
     // Cut the replay INSIDE a window so at least one hour provably spans
     // the stop boundary — its final count then requires tick1's state to
@@ -49,8 +48,8 @@ class RecoverySpec extends SparkSpec {
     // before it is tick 1, everything after is tick 2 — a pure time split,
     // so the restarted run's rows are all newer than the recovered
     // watermark and none are dropped as late.
-    val nsPerHour = 3600L * 1000 * 1000 * 1000
-    val spanned = raw.groupBy(expr(s"ts DIV $nsPerHour").as("h"))
+    val usPerHour = 3600L * 1000 * 1000
+    val spanned = raw.groupBy(expr(s"ts DIV $usPerHour").as("h"))
       .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
       .filter(col("lo") < col("hi"))
       .orderBy(col("h")).limit(1).collect()
@@ -120,14 +119,13 @@ class RecoverySpec extends SparkSpec {
     // event pair less than 30 min apart, so a session PROVABLY spans the
     // stop boundary — state recovery is load-bearing, not vacuous.
     val rocks = rocksSession()
-    val raw = rocks.read.schema(StreamOps.eventsRawSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val raw = StreamOps.eventsRawMicros(rocks, sfDir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"))
-    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val gapUs = 30L * 60 * 1000 * 1000
     val pair = raw.select(col("ts"), lead(col("ts"), 1).over(w).as("nxt"))
       .filter(col("nxt").isNotNull && col("nxt") > col("ts") &&
-              col("nxt") - col("ts") < gapNs)
+              col("nxt") - col("ts") < gapUs)
       .orderBy(col("ts")).limit(1).collect()
     assert(pair.nonEmpty, "fixture must contain an intra-session event pair")
     val cut = (pair.head.getLong(0) + pair.head.getLong(1)) / 2
@@ -171,7 +169,7 @@ class RecoverySpec extends SparkSpec {
     // The recovered state did real work: a session STARTED before the cut
     // emits after the restart (its tick1 rows lived in recovered ListState).
     val run2New = all.toSet -- run1.toSet
-    val cutMs = cut / 1000000
+    val cutMs = cut / 1000
     assert(run2New.exists(s => java.sql.Timestamp.valueOf(s._2).getTime <= cutMs),
       "no tick1-started session emitted post-restart — state recovery untested")
     // Interrupted == uninterrupted: a fresh-checkpoint drain of the SAME
@@ -260,8 +258,7 @@ class RecoverySpec extends SparkSpec {
     // (seeding the recurrence), run 2 closes hours whose EWMA is only
     // correct if run 1's ValueState was recovered.
     val rocks = rocksSession()
-    val raw = rocks.read.schema(StreamOps.eventsRawSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val raw = StreamOps.eventsRawMicros(rocks, sfDir)
     val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
 
     val replay = Files.createTempDirectory("graft_ewma_replay_")

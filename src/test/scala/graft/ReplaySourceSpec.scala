@@ -44,7 +44,7 @@ class ReplaySourceSpec extends SparkSpec {
       .format("graft-replay")
       .option("req.rate-limit", "1")
       .load(replay)
-      .withColumn("ts", Tables.nsToTs("ts"))
+      .withColumn("ts", Tables.usToTs("ts"))
     val query = StreamOps.tumblingCounts(stream)
       .writeStream.format("memory").queryName("req_rate_limit")
       .outputMode("complete")
@@ -77,7 +77,7 @@ class ReplaySourceSpec extends SparkSpec {
       .format("graft-replay")
       .option("maxFilesPerTrigger", "1")
       .load(replay)
-      .withColumn("ts", Tables.nsToTs("ts"))
+      .withColumn("ts", Tables.usToTs("ts"))
     val query = StreamOps.tumblingCounts(stream)
       .writeStream.format("memory").queryName("mfpt_only")
       .outputMode("complete")
