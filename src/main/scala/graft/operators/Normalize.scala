@@ -169,8 +169,48 @@ object Normalize {
           .as("good_cents"))
       .orderBy(col("event_type"))
 
+  /** q_url_parse — URL decomposition + per-domain corpus stats: the
+    * first question a web-scale training-data pipeline asks of a crawl
+    * is "which domains am I holding, and how much of each?" (domain
+    * allow/deny lists, per-host quality priors, robots compliance all
+    * key off it). The fixture has no URL column, so a deterministic URL
+    * is synthesized per document from (source, lang, doc_id) — the
+    * construction is shared verbatim with the oracle, so the gate
+    * exercises the PARSING, not the synthesis. Spark side: the
+    * codegen'd `parse_url` expression (HOST / PATH / keyed QUERY
+    * access); oracle side: DuckDB regexp extraction of the same parts —
+    * two independent parsers agreeing on every row.
+    *
+    * Plan: per-row expressions + ONE map-side-partial hash aggregate to
+    * |hosts| rows. At 100 TB the output is domain-vocabulary-sized
+    * (~10^6), the aggregate is map-side combined, and nothing else
+    * shuffles. The distinct-path count is the one genuinely heavy term
+    * (distinct within group) — Spark plans it as a two-phase Expand
+    * aggregate, still keyed by host, never a global distinct.
+    */
+  def qUrlParse(spark: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      lit("https://"), col("source"), lit(".example.org/"),
+      col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+      lit("?ref="), col("lang"), lit("&p="),
+      pmod(col("doc_id"), lit(7)).cast("string"))
+    documents(spark, d)
+      .select(col("n_chars"), url.as("url"))
+      .select(col("n_chars"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("p")).cast("long").as("p"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("path")).as("n_paths"),
+        sum(col("p")).as("sum_p"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("host"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_get"       -> qJsonGet _,
+    "q_url_parse"      -> qUrlParse _,
     "q_variant"        -> qVariant _,
     "q_try_cast"       -> qTryCast _,
     "q_from_json"      -> qFromJson _,
@@ -183,6 +223,22 @@ object Normalize {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT n_chars,
+        |         'https://' || source || '.example.org/' || lang || '/doc-'
+        |           || CAST(doc_id AS VARCHAR) || '?ref=' || lang || '&p='
+        |           || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents
+        |)
+        |SELECT regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+        |       COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1))
+        |         AS n_paths,
+        |       SUM(CAST(regexp_extract(url, '[?&]p=([0-9]+)', 1) AS BIGINT))
+        |         AS sum_p,
+        |       SUM(n_chars) AS sum_chars
+        |FROM u GROUP BY 1 ORDER BY host""".stripMargin,
     "q_try_cast" ->
       """WITH r AS (
         |  SELECT event_type,
