@@ -377,6 +377,58 @@ object Mining {
           (col("n_train") * col("n_test")).cast("double")).as("ks_stat"))
   }
 
+  /** q_mann_whitney — Mann-Whitney U rank-sum test between the `click`
+    * and `error` populations of `value`: the NONPARAMETRIC two-sample
+    * location test ([[qWelch]]'s distribution-free counterpart — the one
+    * to reach for when the metric is skewed or heavy-tailed, i.e. most
+    * production metrics), with midrank tie handling and the tie-corrected
+    * normal approximation. Output: group sizes, 2·U (kept doubled so it
+    * stays an exact BIGINT under half-integer midranks), the tie term
+    * Σ(t³−t), and the z statistic.
+    *
+    * Plan: the log collapses to per-distinct-value counts FIRST (one
+    * map-side-partial hash aggregate), so the rank window runs over the
+    * |distinct values| relation, not the row count — the [[qKsTest]]
+    * domain-sized-tail stance; at 100 TB a measure with real duplication
+    * collapses by orders of magnitude, and a continuous one would be
+    * binned upstream exactly as a production test harness does. The
+    * cumulative rank prefix is the only ordered step; everything after is
+    * one global fold of exact BIGINTs.
+    *
+    * Determinism: ranks enter ONLY through 2·midrank = 2·cum_lt + t + 1
+    * (integer — no .5 anywhere), every fold is BIGINT-exact in any
+    * order, and z is a single pinned double chain over those integers,
+    * mirrored verbatim by the oracle.
+    */
+  def qMannWhitney(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ab = events(spark, d)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "error"))
+      .select(col("value").as("v"), (col("event_type") === "click").as("is_a"))
+    val perValue = ab.groupBy(col("v")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+      count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    perValue
+      .select(col("na"), col("nv"),
+        (sum(col("nv")).over(w) - col("nv")).as("cumlt"))
+      .agg(
+        sum(col("na")).as("n1"),
+        (sum(col("nv")) - sum(col("na"))).as("n2"),
+        sum(col("na") * (lit(2L) * col("cumlt") + col("nv") + lit(1L)))
+          .as("r1x2"),
+        sum(col("nv") * col("nv") * col("nv") - col("nv")).as("t_ties"))
+      .select(col("n1"), col("n2"),
+        (col("r1x2") - col("n1") * (col("n1") + lit(1L))).as("u_twice"),
+        col("t_ties"))
+      .select(col("n1"), col("n2"), col("u_twice"), col("t_ties"),
+        expr("CAST(u_twice - n1 * n2 AS DOUBLE) / " +
+          "(2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) * " +
+          "((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(t_ties AS DOUBLE) / " +
+          "(CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))")
+          .as("z"))
+  }
+
   /** q_psi — population stability index of each language's document-
     * length distribution against the whole corpus:
     * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over 10 fixed-width length
@@ -815,6 +867,7 @@ object Mining {
     "q_gini"          -> qGini _,
     "q_rolling_count" -> qRollingCount _,
     "q_ks_test"       -> qKsTest _,
+    "q_mann_whitney"  -> qMannWhitney _,
     "q_psi"           -> qPsi _,
     "q_bootstrap_ci"  -> qBootstrapCi _,
     "q_weighted_sample" -> qWeightedSample _,
@@ -1069,6 +1122,37 @@ object Mining {
         |                          ELSE CAST(0.2 AS DOUBLE) * x
         |                               + CAST(0.8 AS DOUBLE) * acc END) AS ewma
         |FROM hx GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH ab AS (
+        |  SELECT value AS v, (event_type = 'click') AS is_a
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'error')
+        |), pv AS (
+        |  SELECT v,
+        |         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         COUNT(*) AS nv
+        |  FROM ab GROUP BY v
+        |), rk AS (
+        |  SELECT na, nv,
+        |         SUM(nv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - nv
+        |           AS cumlt
+        |  FROM pv
+        |), agg AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS n1,
+        |         CAST(SUM(nv) - SUM(na) AS BIGINT) AS n2,
+        |         CAST(SUM(na * (2 * cumlt + nv + 1)) AS BIGINT) AS r1x2,
+        |         CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS t_ties
+        |  FROM rk
+        |), u AS (
+        |  SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u_twice, t_ties FROM agg
+        |)
+        |SELECT n1, n2, u_twice, t_ties,
+        |       CAST(u_twice - n1 * n2 AS DOUBLE) /
+        |       (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+        |         ((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(t_ties AS DOUBLE) /
+        |          (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+        |         AS z
+        |FROM u""".stripMargin,
     "q_ks_test" ->
       s"""WITH split AS (
          |  SELECT n_chars,

@@ -1242,6 +1242,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q_collate — collation-aware grouping (Spark 4 collations): the
+    * fixture's `source` labels are re-cased deterministically (odd
+    * doc_ids arrive UPPERCASED — the mixed-case mess real ingest
+    * produces), then deduplicated by grouping on the column COLLATED as
+    * UTF8_LCASE — case-insensitive comparison as a TYPE property the
+    * optimizer sees, not a `lower()` call the user must remember at
+    * every comparison site. The output key is `lower()`-normalized
+    * (a collated group's representative value is whichever case variant
+    * arrived first — nondeterministic under partitioning, so it must not
+    * be emitted raw), and the oracle expresses the same semantics with
+    * classic `GROUP BY lower(...)` — pinning that the collation path and
+    * the normalize-then-group path agree row-for-row.
+    *
+    * Plan: per-row expressions + one map-side-partial hash aggregate to
+    * |sources| rows; collation-aware grouping hashes the collation key
+    * (lowercased form) exactly like the explicit-lower plan — same
+    * shuffle volume at any scale, so the ergonomic surface is free.
+    */
+  def qCollate(spark: SparkSession, d: String): DataFrame = {
+    val mixed = when(col("doc_id") % 2 === 1, upper(col("source")))
+      .otherwise(col("source"))
+    documents(spark, d)
+      .select(mixed.as("src_m"), col("n_chars"))
+      .groupBy(collate(col("src_m"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(lower(col("k")).cast("string").as("source_ci"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("source_ci"))
+  }
+
   /** Terms entering [[qZipf]]'s log-log fit. */
   val ZipfTop = 1000
 
@@ -1698,6 +1728,7 @@ object TextOps {
     "q_pmi_bigrams"   -> qPmiBigrams _,
     "q_redact"        -> qRedact _,
     "q_clean_text"    -> qCleanText _,
+    "q_collate"       -> qCollate _,
     "q_zipf"          -> qZipf _,
     "q_lang_confusion" -> qLangConfusion _,
     "q_rank_drift"    -> qRankDrift _,
@@ -2371,6 +2402,16 @@ object TextOps {
         |       regexp_replace(text, '[0-9]+', '#', 'g') AS redacted,
         |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_redactions
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_collate" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 2 = 1 THEN upper(source) ELSE source END
+        |           AS src_m,
+        |         n_chars
+        |  FROM documents
+        |)
+        |SELECT lower(src_m) AS source_ci, COUNT(*) AS n_docs,
+        |       SUM(n_chars) AS sum_chars
+        |FROM m GROUP BY lower(src_m) ORDER BY source_ci""".stripMargin,
     "q_clean_text" ->
       """WITH raw AS (
         |  SELECT doc_id,

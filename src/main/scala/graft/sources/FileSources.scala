@@ -46,6 +46,7 @@ object FileSources {
         case "json" => w.json(dir)
         case "csv"  => w.option("header", "true").csv(dir)
         case "orc"  => w.orc(dir)
+        case "xml"  => w.option("rootTag", "rows").option("rowTag", "row").xml(dir)
       }
       dir
     })
@@ -56,7 +57,7 @@ object FileSources {
     * first. Idempotent via [[stageCache]]; Verify still stages lazily.
     */
   private[graft] def stageAll(spark: SparkSession, d: String): Unit = {
-    Seq("json", "csv", "orc").foreach(stage(spark, d, _))
+    Seq("json", "csv", "orc", "xml").foreach(stage(spark, d, _))
     stageEvolved(spark, d)
   }
 
@@ -99,6 +100,26 @@ object FileSources {
     */
   def qOrcSource(spark: SparkSession, d: String): DataFrame =
     project(spark.read.schema(readSchema).orc(stage(spark, d, "orc")))
+
+  /** q_xml_source — native XML replay (Spark 4 folds the spark-xml
+    * package into the engine): the events fixture serialized as an XML
+    * document of `<row>` elements and read back with `spark.read.xml`
+    * under the SAME explicit schema as the other formats — the
+    * enterprise-feed surface (SOAP exports, sitemaps, RSS) covered with
+    * zero extra dependencies. The oracle still runs on the parquet
+    * original, so the gate proves the XML round-trip is lossless,
+    * including the epoch-µs longs that sidestep per-format timestamp
+    * string ambiguity.
+    *
+    * Scale notes: XML is the one staged format that is NOT splittable by
+    * newline — Spark parallelizes by matching `rowTag` element
+    * boundaries per input file, so a 100 TB XML feed must arrive as many
+    * files (it does — feeds paginate); schema is explicit, inference
+    * (a full extra pass) never runs.
+    */
+  def qXmlSource(spark: SparkSession, d: String): DataFrame =
+    project(spark.read.schema(readSchema)
+      .option("rowTag", "row").xml(stage(spark, d, "xml")))
 
   /** Stage the two-generation parquet layout for [[qSchemaMerge]]: an
     * "old" file written before `event_type` existed (even event_ids,
@@ -147,6 +168,7 @@ object FileSources {
     "q_csv_source"  -> qCsvSource _,
     "q_text_source" -> qTextSource _,
     "q_orc_source"  -> qOrcSource _,
+    "q_xml_source"  -> qXmlSource _,
     "q_schema_merge" -> qSchemaMerge _,
   )
 
@@ -160,6 +182,7 @@ object FileSources {
     "q_csv_source"  -> baseSql,
     "q_text_source" -> baseSql,
     "q_orc_source"  -> baseSql,
+    "q_xml_source"  -> baseSql,
     "q_schema_merge" ->
       """SELECT CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END
         |         AS event_type,

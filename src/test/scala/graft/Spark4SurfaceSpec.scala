@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{Mining, Normalize, Relational, TextOps}
+import graft.sources.FileSources
+import org.apache.spark.sql.functions._
+
+/** Tests for the round-7 platform-surface batch: the Spark-4 syntax/type
+  * features (SQL pipe, collations, native XML) and the two new analytics
+  * (URL decomposition, Mann-Whitney U). Each is checked against an
+  * independent in-JVM rendering — a different code path from both the
+  * registered plan and the DuckDB oracle.
+  */
+class Spark4SurfaceSpec extends SparkSpec {
+
+  test("q_sql_pipe: the pipe-syntax program equals its DataFrame rendering") {
+    val pipe = Relational.qSqlPipe(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val df = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(pipe.nonEmpty && pipe.toSeq == df.toSeq,
+      "pipe syntax must be pure notation over the same plan")
+  }
+
+  test("q_collate: UTF8_LCASE grouping equals normalize-then-group, and sees through case") {
+    val got = TextOps.qCollate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val manual = Tables.documents(spark, sfDir)
+      .select(lower(col("source")).as("source_ci"), col("n_chars"))
+      .groupBy(col("source_ci"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source_ci")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // The mixed-case injection must not split any group: collation-aware
+    // grouping lands the UPPER'd odd-doc rows in the same buckets as the
+    // untouched even-doc rows, so totals equal the all-lowercase baseline.
+    assert(got.toSeq == manual.toSeq && got.nonEmpty)
+    // And the casing really was mixed going in (the test isn't vacuous).
+    val nUpper = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(nUpper > 0)
+  }
+
+  test("q_xml_source: XML round-trip is lossless vs the parquet original") {
+    val xml = FileSources.qXmlSource(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val orig = Tables.events(spark, sfDir)
+      .select(col("event_id"), Tables.tsSeconds(col("ts")).as("ts_s"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    assert(xml.length == orig.length && xml.toSeq == orig.toSeq)
+  }
+
+  test("q_url_parse: parse_url agrees with the synthesized components") {
+    val got = Normalize.qUrlParse(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // Hosts are exactly the source labels + the fixed domain, n_docs sums
+    // to the corpus, and sum_p is re-derivable from doc_id % 7.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._2)
+    got.foreach { r =>
+      val host = r.getString(0)
+      val src = host.stripSuffix(".example.org")
+      assert(bySource.contains(src), s"unexpected host $host")
+      val rows = bySource(src)
+      assert(r.getLong(1) == rows.length.toLong, "n_docs")
+      assert(r.getLong(2) == rows.map(_._1).distinct.length.toLong,
+        "n_paths: one distinct path per doc_id")
+      assert(r.getLong(3) == rows.map(_._1 % 7).sum, "sum_p")
+      assert(r.getLong(4) == rows.map(_._3).sum, "sum_chars")
+    }
+    assert(got.map(_.getLong(1)).sum == docs.length.toLong)
+  }
+
+  test("q_mann_whitney: z matches a brute-force midrank computation") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "error"))
+      .select(col("value"), col("event_type")).collect()
+      .map(r => (r.getDouble(0), r.getString(1) == "click"))
+    val sorted = rows.sortBy(_._1)
+    // Brute-force midranks (1-based), group A rank-sum.
+    val n = sorted.length
+    var i = 0
+    var r1 = 0.0
+    while (i < n) {
+      var j = i
+      while (j < n && sorted(j)._1 == sorted(i)._1) j += 1
+      val midrank = (i + 1 + j) / 2.0 // avg of ranks i+1 .. j
+      (i until j).foreach { k => if (sorted(k)._2) r1 += midrank }
+      i = j
+    }
+    val n1 = rows.count(_._2).toLong
+    val n2 = rows.length - n1
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val got = Mining.qMannWhitney(spark, sfDir).collect().head
+    assert(got.getLong(0) == n1 && got.getLong(1) == n2)
+    assert(got.getLong(2) == math.round(2 * u1), "2U must be the exact doubled rank-sum")
+    // Tie term and z against the textbook formulas (double tolerance: the
+    // brute force here sums midranks as doubles, the plan stays integer).
+    val tieGroups = rows.groupBy(_._1).values.map(_.length.toLong)
+    val t = tieGroups.map(c => c * c * c - c).sum
+    assert(got.getLong(3) == t)
+    val nn = (n1 + n2).toDouble
+    val varU = (n1 * n2 / 12.0) * ((nn + 1.0) - t / (nn * (nn - 1.0)))
+    val zRef = (u1 - n1 * n2 / 2.0) / math.sqrt(varU)
+    assert(math.abs(got.getDouble(4) - zRef) < 1e-9, s"z ${got.getDouble(4)} vs $zRef")
+  }
+}
