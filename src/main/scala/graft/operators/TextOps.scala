@@ -1071,6 +1071,50 @@ object TextOps {
       sh0.join(kept, "s").select(col("doc_id"), col("s"))))
   }
 
+  /** q_containment — overlap-coefficient near-dup: inter / min(|A|, |B|)
+    * over the df-capped shingle index. The asymmetric-duplication
+    * detector Jaccard structurally misses: a short doc fully quoted
+    * inside a much longer one scores inter/min = 1.0 while its Jaccard
+    * (inter/union) drowns in the big doc's size — and quote-subsumption
+    * is one of the dominant duplication modes in web corpora (boilerplate
+    * wrappers, syndication, quote-reply chains). Emitted next to jacc so
+    * the two scores can be thresholded jointly.
+    *
+    * Plan: IDENTICAL inverted-index equi-join shape as
+    * [[qNgramJaccardCapped]] (shared cached subtree, df ≤ [[DfCap]]
+    * bounding candidate fan-out at Σ df² — never all-pairs); min-size
+    * normalization is one extra `least()` on the already-joined sizes.
+    * Same 100 TB stance: candidate work is bucket-bounded, hot shingles
+    * refuse loudly via the capped path's contract.
+    *
+    * Determinism: counts BIGINT; cont is ONE double division; ordering
+    * (cont desc, doc_a, doc_b) is total.
+    */
+  def qContainment(spark: SparkSession, d: String): DataFrame = {
+    val sh0 = graft.Tables.cacheForSelfJoin(shingled(spark, d))
+    val kept = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap)
+      .select(col("s"))
+    val sh = graft.Tables.cacheForSelfJoin(
+      sh0.join(kept, "s").select(col("doc_id"), col("s")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("s2")),
+        col("s") === col("s2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")),
+        col("doc_b") === col("doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        least(col("na"), col("nb")).as("n_min"),
+        (col("inter").cast("double") / least(col("na"), col("nb")))
+          .as("cont"))
+      .orderBy(col("cont").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** Shared tail of the Jaccard queries: inverted-index self-join on the
     * shingle column → per-pair intersection counts → Jaccard against
     * per-doc set sizes → deterministic top-20.
@@ -1724,6 +1768,7 @@ object TextOps {
     "q_vocab_growth"  -> qVocabGrowth _,
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
+    "q_containment"   -> qContainment _,
     "q_tfidf"         -> qTfidf _,
     "q_pmi_bigrams"   -> qPmiBigrams _,
     "q_redact"        -> qRedact _,
@@ -2514,5 +2559,26 @@ object TextOps {
          |JOIN (SELECT doc_id, n_sh AS na FROM sizes) sa ON doc_a = sa.doc_id
          |JOIN (SELECT doc_id, n_sh AS nb FROM sizes) sb ON doc_b = sb.doc_id
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q_containment" ->
+      s"""WITH sh0 AS (
+         |  $shingleSql
+         |), kept AS (
+         |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= $DfCap
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN kept USING (s)
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |)
+         |SELECT doc_a, doc_b, inter,
+         |       least(na, nb) AS n_min,
+         |       CAST(inter AS DOUBLE) / least(na, nb) AS cont
+         |FROM inter
+         |JOIN (SELECT doc_id, n_sh AS na FROM sizes) sa ON doc_a = sa.doc_id
+         |JOIN (SELECT doc_id, n_sh AS nb FROM sizes) sb ON doc_b = sb.doc_id
+         |ORDER BY cont DESC, doc_a, doc_b LIMIT 20""".stripMargin,
   )
 }

@@ -249,6 +249,29 @@ class TextOpsSpec extends SparkSpec {
     assert(df.values.exists(_ > TextOps.DfCap))
   }
 
+  test("q_containment is exact overlap coefficient over capped sets, and dominates Jaccard") {
+    val df = docs.toSeq.flatMap { case (_, t) => shingles(t) }
+      .groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val capped: Map[Long, Set[String]] =
+      docs.map { case (id, t) => id -> shingles(t).filter(df(_) <= TextOps.DfCap) }
+    val rows = TextOps.qContainment(spark, sfDir).collect()
+    assert(rows.length == 20)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val (a, b, cont) = (r.getLong(0), r.getLong(1), r.getDouble(4))
+      val (sa, sb) = (capped(a), capped(b))
+      val inter = sa.intersect(sb).size
+      assert(r.getLong(2) == inter.toLong)
+      assert(r.getLong(3) == math.min(sa.size, sb.size).toLong)
+      assert(cont == inter.toDouble / math.min(sa.size, sb.size),
+        s"pair ($a,$b) containment mismatch")
+      // Overlap coefficient dominates Jaccard pairwise: min(|A|,|B|) ≤ |A∪B|.
+      val jacc = inter.toDouble / sa.union(sb).size
+      assert(cont >= jacc && cont > 0 && cont <= 1.0 && cont <= prev)
+      prev = cont
+    }
+  }
+
   test("q_tfidf matches hand-rolled tf·ln(N/df) bitwise") {
     val n = docs.size.toDouble
     val tf: Map[(Long, String), Long] = docs.toSeq.flatMap { case (id, t) =>
