@@ -327,6 +327,39 @@ class PlanSpec extends SparkSpec {
     graft.Tables.clearSelfJoinCache()
   }
 
+  test("q_url_parse is one map-side aggregate over a pruned scan; q_collate costs no extra shuffle") {
+    val pu = plan(graft.operators.Normalize.qUrlParse(spark, sfDir))
+    // text/lang beyond the URL inputs must not be read; no join anywhere.
+    assert(!pu.contains("text"), s"url_parse reads documents.text:\n$pu")
+    assert(!pu.contains("Join"), s"url_parse must be join-free:\n$pu")
+    val pc = plan(graft.operators.TextOps.qCollate(spark, sfDir))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(pc).length
+    // The collated group-by hashes the collation key exactly like the
+    // explicit lower() plan: one data shuffle total (plus the final sort's
+    // range exchange, which is not hashpartitioning).
+    assert(hashExchanges == 1,
+      s"collation grouping must cost one hash shuffle, saw $hashExchanges:\n$pc")
+  }
+
+  test("q_mann_whitney ranks over the distinct-value aggregate, never the log") {
+    val p = plan(graft.operators.Mining.qMannWhitney(spark, sfDir))
+    // The unpartitioned rank window must consume the per-value aggregate
+    // (same stance as q_auc's histogram window).
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"rank window must consume the per-value aggregate:\n$p")
+    // Filter pushdown reaches the scan: only click/error rows are decoded.
+    assert(p.contains("PushedFilters") && p.contains("click"),
+      s"event_type filter must reach the parquet scan:\n$p")
+  }
+
+  test("q_containment shares the capped inverted-index shape: equi-join, no nested loop") {
+    val p = plan(graft.operators.TextOps.qContainment(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment must stay an inverted-index equi-join:\n$p")
+  }
+
   test("q_rfm and q_attribution shuffle the raw log ONCE each") {
     // q_rfm: one per-user fold; the quartile windows run over the
     // user-sized aggregate. q_attribution: one user-partitioned window
