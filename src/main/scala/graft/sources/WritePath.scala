@@ -345,8 +345,50 @@ object WritePath {
         col("n_events"), col("n_users"), col("sum_eid"), col("sum_v"))
       .orderBy(col("event_date"))
 
+  /** q_file_metadata — the `_metadata` hidden-column surface: every file
+    * source exposes per-row provenance (`_metadata.file_name`, file_path,
+    * file_size, row_index) that exists only when selected — the
+    * first tool for the daily ops questions "which file did this bad row
+    * come from" and "is this table drowning in small files". Here the
+    * type-partitioned layout is read back and audited per partition key:
+    * `countDistinct(_metadata.file_name)` proves the repartition-by-key
+    * write produced exactly ONE file per type (the small-file discipline
+    * [[writePartitioned]] documents), and the row counts prove no file
+    * leaks rows across partition directories. The oracle states the same
+    * audit from the original table — n_files is the literal 1 the layout
+    * contract promises.
+    *
+    * Scale notes: metadata columns are populated by the scan itself —
+    * zero I/O beyond the read (the values come from the file listing, not
+    * the footers), and the aggregate is |types|-sized. The same query
+    * over a 10⁶-file table is the standard small-file audit, at file-
+    * listing cost.
+    */
+  def qFileMetadata(spark: SparkSession, d: String): DataFrame =
+    spark.read.parquet(typePartitioned(spark, d))
+      .select(col("event_type"), col("_metadata.file_name").as("f"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("f")).as("n_files"), count(lit(1)).as("n_rows"))
+      .orderBy(col("event_type"))
+
+  /** Events written type-partitioned, one file per type (repartition on
+    * the partition column before partitionBy — same discipline as
+    * [[writePartitioned]]). Fresh dir per invocation; previous scratch
+    * reclaimed like the other layout stages.
+    */
+  private val lastTypePartitioned = new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] def typePartitioned(spark: SparkSession, d: String): String = {
+    val dir = Files.createTempDirectory("graft_typepart_").toString
+    Option(lastTypePartitioned.getAndSet(dir)).foreach(d0 => deleteRecursively(new java.io.File(d0)))
+    Tables.events(spark, d)
+      .repartition(col("event_type"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_bucketed" -> qWriteBucketed _,
+    "q_file_metadata"  -> qFileMetadata _,
     "q_write_sorted"   -> qWriteSorted _,
     "q_zorder"         -> qZorder _,
     "q_write_partitioned" -> qWritePartitioned _,
@@ -354,6 +396,9 @@ object WritePath {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_file_metadata" ->
+      """SELECT event_type, CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_write_bucketed" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
