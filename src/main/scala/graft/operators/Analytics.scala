@@ -474,6 +474,32 @@ object Analytics {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** q_approx_topk — the engine-native heavy-hitters sketch (Spark 4.1's
+    * `approx_top_k` family): estimated top-k items with counts, built by
+    * the SAME accumulate → combine → estimate lifecycle as the HLL and
+    * MinHash sketches (q_hll_merge / q_minhash_merge complete the trio:
+    * distinct counts, set overlap, heavy hitters) — 1000 executors each
+    * accumulate their slice, constant-size sketches combine, one
+    * estimate finishes. AnalyticsSpec pins the per-day-accumulate +
+    * combine path against the direct sketch.
+    *
+    * The fixture's event_type domain (5 values) sits far under the
+    * sketch's default tracking capacity, where approx_top_k is EXACT by
+    * construction — so unlike the other sketches this one carries a full
+    * hash-match oracle (exact top counts), proving the sketch path
+    * end-to-end rather than rows-only.
+    *
+    * Plan: one map-side-partial sketch aggregate (constant state per
+    * partition), explode of the k-row estimate; nothing corpus-sized
+    * ever shuffles.
+    */
+  def qApproxTopk(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .agg(expr("approx_top_k(event_type, 5)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+
   /** q_hll_merge — HLL sketch MERGEABILITY, the property that makes
     * approximate distinct-counting a DISTRIBUTED sketch (the HLL analog
     * of q_minhash_merge): per-shard sketches union into exactly the
@@ -2438,6 +2464,7 @@ object Analytics {
     "q_first_last"      -> qFirstLast _,
     "q_distinct"        -> qDistinct _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_approx_topk"   -> qApproxTopk _,
     "q_hll_merge"       -> qHllMerge _,
     "q_join_inner"      -> qJoinInner _,
     "q_join_left"       -> qJoinLeft _,
@@ -2502,6 +2529,10 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_approx_topk" ->
+      """SELECT event_type AS item, COUNT(*) AS cnt
+        |FROM events GROUP BY event_type
+        |ORDER BY cnt DESC, item""".stripMargin,
     "q_scd2" ->
       """SELECT user_id, event_type,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,

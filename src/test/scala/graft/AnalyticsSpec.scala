@@ -41,6 +41,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_topk: per-day accumulate + combine estimates exactly like the direct sketch") {
+    val ev = Tables.events(spark, sfDir)
+    val direct = Analytics.qApproxTopk(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // The distributed lifecycle: shard by day, accumulate a sketch per
+    // shard, combine the shard sketches, estimate from the combined state.
+    val merged = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("approx_top_k_accumulate(event_type)").as("sk"))
+      .agg(expr("approx_top_k_combine(sk)").as("msk"))
+      .select(explode(expr("approx_top_k_estimate(msk, 5)")).as("e"))
+      .select(col("e.item"), col("e.count")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (item, cnt) => (-cnt, item) }
+    assert(direct.nonEmpty && direct.toSeq == merged.toSeq,
+      s"combined-sketch estimate must equal the direct sketch: $${direct.toSeq} vs $${merged.toSeq}")
+    // And at this domain size (5 types ≪ tracking capacity) both are EXACT.
+    val exact = ev.groupBy(col("event_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (item, cnt) => (-cnt, item) }
+    assert(direct.toSeq == exact.toSeq)
+  }
+
   test("q_asof_join matches a hand-rolled most-recent-order lookup") {
     val orders = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderdate").cast("timestamp"), col("o_orderkey"))
