@@ -80,6 +80,36 @@ object Relational {
         ||> ORDER BY event_type""".stripMargin)
   }
 
+  /** q_sql_udf — the SQL-defined function surface (Spark 4 ships
+    * `CREATE FUNCTION ... RETURNS ... RETURN <expr>`): the team-shared
+    * helper vocabulary (here: exact cents quantization and a
+    * null-guarded rate formatter — the two idioms every query in this
+    * engine re-spells) declared ONCE as catalog objects and called like
+    * built-ins. The feature is the governance surface scalar logic
+    * should live in instead of copy-pasted expressions or JVM UDFs:
+    * Catalyst INLINES the function body at analysis time, so the called
+    * form compiles to the identical codegen'd plan as the hand-inlined
+    * expression — zero cost at any scale, and the oracle runs exactly
+    * that inlined rendering.
+    */
+  def qSqlUdf(spark: SparkSession, d: String): DataFrame = {
+    events(spark, d).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(v DOUBLE)
+        |RETURNS BIGINT RETURN CAST(FLOOR(v * 100.0 + 0.5) AS BIGINT)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_share(part BIGINT, total BIGINT)
+        |RETURNS DOUBLE
+        |RETURN CASE WHEN total > 0 THEN CAST(part AS DOUBLE) / CAST(total AS DOUBLE) END""".stripMargin)
+    spark.sql(
+      """SELECT event_type,
+        |       SUM(graft_cents(value)) AS sum_cents,
+        |       graft_share(SUM(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END),
+        |                   COUNT(value)) AS hi_share
+        |FROM graft_events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** q_sql_recursive — the RECURSIVE CTE surface (Spark 4 finally ships
     * `WITH RECURSIVE`): a gap-free month spine generated by recursion
     * from the data's own bounds, left-joined to monthly order counts —
@@ -313,6 +343,7 @@ object Relational {
     "q_scan"        -> qScan _,
     "q_sql"         -> qSql _,
     "q_sql_pipe"    -> qSqlPipe _,
+    "q_sql_udf"     -> qSqlUdf _,
     "q_sql_recursive" -> qSqlRecursive _,
     "q_paginate"    -> qPaginate _,
     "q_exists"      -> qExists _,
@@ -330,6 +361,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_udf" ->
+      """SELECT event_type,
+        |       SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+        |       CASE WHEN COUNT(value) > 0 THEN
+        |         CAST(SUM(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / CAST(COUNT(value) AS DOUBLE) END AS hi_share
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_pipe" ->
       """SELECT event_type, COUNT(*) AS n,
         |       SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
