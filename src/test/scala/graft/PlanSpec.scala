@@ -360,6 +360,43 @@ class PlanSpec extends SparkSpec {
       s"containment must stay an inverted-index equi-join:\n$p")
   }
 
+  test("join strategy hints override the planner in both directions") {
+    // The control surface a 100 TB job leans on when stats mislead the
+    // planner: force a shuffle join where auto-broadcast would fire, and
+    // force a broadcast where size estimates would pick shuffle. Results
+    // are identical either way (same equi-join); only the strategy moves.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("value"))
+    val dim = Tables.events(spark, sfDir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_u"))
+    // Tiny dim ⇒ planner picks BroadcastHashJoin...
+    val auto = plan(ev.join(dim, "user_id"))
+    assert(auto.contains("BroadcastHashJoin"), s"expected auto-broadcast:\n$auto")
+    // ...MERGE hint must override it to a sort-merge join...
+    val forcedSmj = plan(ev.join(dim.hint("merge"), "user_id"))
+    assert(forcedSmj.contains("SortMergeJoin"),
+      s"merge hint must force SMJ over auto-broadcast:\n$forcedSmj")
+    // ...and the broadcast hint holds even with the threshold zeroed
+    // (the stats-say-too-big case).
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val noAuto = plan(ev.join(dim, "user_id"))
+      assert(!noAuto.contains("BroadcastHashJoin"),
+        s"threshold off must disable auto-broadcast:\n$noAuto")
+      val forcedB = plan(ev.join(broadcast(dim), "user_id"))
+      assert(forcedB.contains("BroadcastHashJoin"),
+        s"broadcast() must override the disabled threshold:\n$forcedB")
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q_rfm and q_attribution shuffle the raw log ONCE each") {
     // q_rfm: one per-user fold; the quartile windows run over the
     // user-sized aggregate. q_attribution: one user-partitioned window
