@@ -56,7 +56,7 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (item, cnt) => (-cnt, item) }
     assert(direct.nonEmpty && direct.toSeq == merged.toSeq,
-      s"combined-sketch estimate must equal the direct sketch: $${direct.toSeq} vs $${merged.toSeq}")
+      s"combined-sketch estimate must equal the direct sketch: ${direct.toSeq} vs ${merged.toSeq}")
     // And at this domain size (5 types ≪ tracking capacity) both are EXACT.
     val exact = ev.groupBy(col("event_type")).count().collect()
       .map(r => (r.getString(0), r.getLong(1)))
