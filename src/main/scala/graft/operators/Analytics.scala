@@ -1432,6 +1432,57 @@ object Analytics {
     * direction flag are exact integer arithmetic; rows with no error on
     * either side surface NULLs.
     */
+  /** q_geo_distance — great-circle (haversine) proximity ranking: the 10
+    * events nearest to the reference's own anchor point (London,
+    * 51.5072 / −0.1276 — its open_meteo constant, app.py:43; the
+    * lat/lon surface itself is the ISS feed, app.py:179-180). The
+    * fixture has no coordinates, so a deterministic position is
+    * synthesized per event from integer columns (construction shared
+    * verbatim with the oracle — the gate exercises the DISTANCE MATH,
+    * same contract as q_url_parse's synthesized URLs).
+    *
+    * Float-determinism is the interesting part, and trig changes the
+    * rules: JVM `Math.sin/cos/asin` are NOT bit-identical to libm
+    * (measured on this box: sin/cos diverge by 1 ulp on ~0.2% of inputs,
+    * asin on ~5%), so unlike every ln/sqrt path in the engine the raw
+    * double can differ between Spark and DuckDB. Three defenses: (a)
+    * degrees→radians through one shared LITERAL (0.017453292519943295 —
+    * `radians()` parenthesizes differently per engine and would add
+    * avoidable ulps); (b) the emitted distance is floor(meters) BIGINT —
+    * a 1-2 ulp trig divergence moves a ~10⁶ m value by ~1e-9 m, so the
+    * floor flips only within ~2e-9 m of an integer boundary (P ≈ 1e-9
+    * per row; the gate verifies the fixture has no straddler, and the
+    * spec's margin tripwire asserts every emitted value sits ≥ 1e-6 m
+    * from its boundary); (c) ordering is on the quantized BIGINT with an
+    * event_id tie-break — total and ulp-immune.
+    *
+    * Plan: per-row expressions + one global top-10 —
+    * TakeOrderedAndProject, no sort shuffle; at 100 TB this is the
+    * classic "nearest stations" scan, and the production refinement
+    * (geohash/S2 cell prefilter, exactly q_interval_join's binning
+    * stance on the sphere) composes in front of the same formula.
+    */
+  def qGeoDistance(spark: SparkSession, d: String): DataFrame = {
+    val degToRad = lit(0.017453292519943295)
+    val lat = (pmod(col("event_id") * lit(2654435761L), lit(1700000L))
+      .cast("double") / lit(10000.0)) - lit(85.0)
+    val lon = (pmod(col("event_id") * lit(40503L) + col("user_id"), lit(3600000L))
+      .cast("double") / lit(10000.0)) - lit(180.0)
+    val (lat0, lon0) = (lit(51.5072), lit(-0.1276))
+    val phi1 = lat0 * degToRad
+    val phi2 = lat * degToRad
+    val dphiH = (lat - lat0) * degToRad / lit(2.0)
+    val dlamH = (lon - lon0) * degToRad / lit(2.0)
+    val a = sin(dphiH) * sin(dphiH) +
+      cos(phi1) * cos(phi2) * (sin(dlamH) * sin(dlamH))
+    val distM = lit(2.0) * lit(6371000.0) * asin(sqrt(a))
+    events(spark, d)
+      .select(col("event_id"), col("event_type"),
+        floor(distM).cast("long").as("dist_m"))
+      .orderBy(col("dist_m"), col("event_id"))
+      .limit(10)
+  }
+
   def qNearestEvent(spark: SparkSession, d: String): DataFrame = {
     val tagged = events(spark, d)
       .filter(col("event_type").isin("purchase", "error"))
@@ -2513,6 +2564,7 @@ object Analytics {
     "q_interval_join"   -> qIntervalJoin _,
     "q_rownum_global"   -> qRownumGlobal _,
     "q_nearest_event"   -> qNearestEvent _,
+    "q_geo_distance"    -> qGeoDistance _,
     "q_cusum"           -> qCusum _,
     "q_wow"             -> qWow _,
     "q_listagg"         -> qListagg _,
@@ -2529,6 +2581,27 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_geo_distance" ->
+      """WITH pos AS (
+        |  SELECT event_id, event_type,
+        |         (CAST(((event_id * 2654435761) % 1700000 + 1700000) % 1700000
+        |               AS DOUBLE) / 10000.0) - 85.0 AS lat,
+        |         (CAST(((event_id * 40503 + user_id) % 3600000 + 3600000) % 3600000
+        |               AS DOUBLE) / 10000.0) - 180.0 AS lon
+        |  FROM events
+        |), h AS (
+        |  SELECT event_id, event_type,
+        |         sin((lat - 51.5072) * 0.017453292519943295 / 2.0)
+        |           * sin((lat - 51.5072) * 0.017453292519943295 / 2.0)
+        |         + cos(51.5072 * 0.017453292519943295)
+        |           * cos(lat * 0.017453292519943295)
+        |           * (sin((lon - -0.1276) * 0.017453292519943295 / 2.0)
+        |              * sin((lon - -0.1276) * 0.017453292519943295 / 2.0)) AS a
+        |  FROM pos
+        |)
+        |SELECT event_id, event_type,
+        |       CAST(floor(2.0 * 6371000.0 * asin(sqrt(a))) AS BIGINT) AS dist_m
+        |FROM h ORDER BY dist_m, event_id LIMIT 10""".stripMargin,
     "q_approx_topk" ->
       """SELECT event_type AS item, COUNT(*) AS cnt
         |FROM events GROUP BY event_type

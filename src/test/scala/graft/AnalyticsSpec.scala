@@ -64,6 +64,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(direct.toSeq == exact.toSeq)
   }
 
+  test("q_geo_distance: haversine re-derived brute-force; floor margins are ulp-safe") {
+    val got = Analytics.qGeoDistance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 10)
+    val k = 0.017453292519943295
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def dist(eid: Long, uid: Long): Double = {
+      val lat = (((eid * 2654435761L) % 1700000L + 1700000L) % 1700000L)
+        .toDouble / 10000.0 - 85.0
+      val lon = (((eid * 40503L + uid) % 3600000L + 3600000L) % 3600000L)
+        .toDouble / 10000.0 - 180.0
+      val s1 = math.sin((lat - 51.5072) * k / 2.0)
+      val s2 = math.sin((lon - -0.1276) * k / 2.0)
+      val a = s1 * s1 +
+        math.cos(51.5072 * k) * math.cos(lat * k) * (s2 * s2)
+      2.0 * 6371000.0 * math.asin(math.sqrt(a))
+    }
+    val all = events.map { case (eid, uid, t) => (eid, t, dist(eid, uid)) }
+      .sortBy { case (eid, _, dm) => (math.floor(dm).toLong, eid) }
+    // Top-10 identity against the brute force (same JVM trig → exact).
+    assert(got.toSeq == all.take(10)
+      .map { case (eid, t, dm) => (eid, t, math.floor(dm).toLong) }.toSeq)
+    // Margin tripwire: a 1-2 ulp cross-engine trig divergence moves these
+    // ~1e6 m values by ~1e-9 m; assert every emitted distance sits far
+    // (≥ 1e-6 m) from its floor boundary so the quantized BIGINT cannot
+    // flip between Spark and libm. Also no two top-10 rows share dist_m
+    // within 1 m, so membership and order are ulp-immune too.
+    all.take(10).foreach { case (eid, _, dm) =>
+      val frac = dm - math.floor(dm)
+      assert(frac > 1e-6 && frac < 1 - 1e-6,
+        s"event $eid distance $dm sits on a floor boundary")
+    }
+    val ds = all.take(11).map(_._3).toSeq
+    ds.zip(ds.tail).foreach { case (x, y) =>
+      assert(y - x > 1.0, s"top-10 boundary gap too small: $x vs $y") }
+  }
+
   test("q_asof_join matches a hand-rolled most-recent-order lookup") {
     val orders = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderdate").cast("timestamp"), col("o_orderkey"))
