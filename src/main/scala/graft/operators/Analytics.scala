@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import graft.functions.ArgMaxLong.argMaxLong
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1483,6 +1483,80 @@ object Analytics {
       .limit(10)
   }
 
+  /** q_geo_join — cell-bucketed nearest-anchor spatial join: the
+    * geohash/S2 prefilter [[qGeoDistance]]'s scaladoc names as the
+    * 100 TB refinement, actually implemented. 1000 synthetic anchor
+    * points (stations/POIs) are bucketed into 1° lat/lon cells; each
+    * event probes the 3×3 cell ring around its own cell (bounded
+    * 9-way in-plan explode — [[qRangeJoin]]'s binning stance on the
+    * sphere), candidates meet through a plain EQUI-join on the cell key,
+    * and min_by picks the nearest candidate. Output: the 10 closest
+    * (event, anchor) assignments. The contract is the standard
+    * bounded-radius one — "nearest anchor within one cell ring" (≥ 1°
+    * ≈ 111 km at the equator), the semantics a production spatial join
+    * ships because an unbounded nearest degenerates to all-pairs.
+    *
+    * Plan: anchors are ~10³ rows → broadcast; events explode ×9 then
+    * equi-join the broadcast cell index — zero shuffle of the event
+    * side, aggregate state is one (dist, anchor) pair per event. At
+    * 100 TB with 10⁸ anchors the same plan shuffles on the cell key
+    * instead of broadcasting — candidate work stays Σ cell² like every
+    * banded join in the engine, never all-pairs.
+    *
+    * Determinism: longitude cells wrap mod 360 on BOTH sides; distances
+    * ride [[qGeoDistance]]'s quantized floor(meters) BIGINT contract
+    * (same ulp-margin defense, spec-tripwired), and min_by ties break on
+    * (dist_m, anchor_id) — total everywhere.
+    */
+  def qGeoJoin(spark: SparkSession, d: String): DataFrame = {
+    val degToRad = lit(0.017453292519943295)
+    def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+      val phi1 = lat1 * degToRad
+      val phi2 = lat2 * degToRad
+      val dphiH = (lat2 - lat1) * degToRad / lit(2.0)
+      val dlamH = (lon2 - lon1) * degToRad / lit(2.0)
+      val a = sin(dphiH) * sin(dphiH) +
+        cos(phi1) * cos(phi2) * (sin(dlamH) * sin(dlamH))
+      floor(lit(2.0) * lit(6371000.0) * asin(sqrt(a))).cast("long")
+    }
+    val anchors = spark.range(1000).toDF("anchor_id")
+      .select(col("anchor_id"),
+        (pmod(col("anchor_id") * lit(97L), lit(1700L)).cast("double") /
+          lit(10.0) - lit(85.0) + lit(0.05)).as("alat"),
+        (pmod(col("anchor_id") * lit(131L), lit(3600L)).cast("double") /
+          lit(10.0) - lit(180.0) + lit(0.05)).as("alon"))
+      .select(col("anchor_id"), col("alat"), col("alon"),
+        floor(col("alat")).cast("long").as("cr"),
+        floor(col("alon")).cast("long").as("cc"))
+    val lat = (pmod(col("event_id") * lit(2654435761L), lit(1700000L))
+      .cast("double") / lit(10000.0)) - lit(85.0)
+    val lon = (pmod(col("event_id") * lit(40503L) + col("user_id"), lit(3600000L))
+      .cast("double") / lit(10000.0)) - lit(180.0)
+    val probes = events(spark, d)
+      .select(col("event_id"), lat.as("lat"), lon.as("lon"))
+      .select(col("event_id"), col("lat"), col("lon"),
+        explode(expr("sequence(-1L, 1L)")).as("dr"))
+      .select(col("event_id"), col("lat"), col("lon"),
+        (floor(col("lat")).cast("long") + col("dr")).as("cr"),
+        explode(expr("sequence(-1L, 1L)")).as("dc"))
+      // Longitude wraps: cell column re-centered into [-180, 180).
+      .select(col("event_id"), col("lat"), col("lon"), col("cr"),
+        (pmod(floor(col("lon")).cast("long") + col("dc") + lit(180L),
+          lit(360L)) - lit(180L)).as("cc"))
+    probes
+      .join(broadcast(anchors), Seq("cr", "cc"))
+      .select(col("event_id"),
+        struct(haversineM(col("lat"), col("lon"), col("alat"), col("alon"))
+            .as("dist_m"),
+          col("anchor_id")).as("cand"))
+      .groupBy(col("event_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("event_id"), col("best.anchor_id").as("anchor_id"),
+        col("best.dist_m").as("dist_m"))
+      .orderBy(col("dist_m"), col("event_id"))
+      .limit(10)
+  }
+
   def qNearestEvent(spark: SparkSession, d: String): DataFrame = {
     val tagged = events(spark, d)
       .filter(col("event_type").isin("purchase", "error"))
@@ -2565,6 +2639,7 @@ object Analytics {
     "q_rownum_global"   -> qRownumGlobal _,
     "q_nearest_event"   -> qNearestEvent _,
     "q_geo_distance"    -> qGeoDistance _,
+    "q_geo_join"        -> qGeoJoin _,
     "q_cusum"           -> qCusum _,
     "q_wow"             -> qWow _,
     "q_listagg"         -> qListagg _,
@@ -2581,6 +2656,52 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_geo_join" ->
+      """WITH anchors AS (
+        |  SELECT a AS anchor_id,
+        |         CAST((a * 97) % 1700 AS DOUBLE) / 10.0 - 85.0 + 0.05 AS alat,
+        |         CAST((a * 131) % 3600 AS DOUBLE) / 10.0 - 180.0 + 0.05 AS alon
+        |  FROM (SELECT unnest(range(0, 1000)) AS a)
+        |), acell AS (
+        |  SELECT anchor_id, alat, alon,
+        |         CAST(floor(alat) AS BIGINT) AS cr,
+        |         CAST(floor(alon) AS BIGINT) AS cc
+        |  FROM anchors
+        |), pos AS (
+        |  SELECT event_id,
+        |         CAST(((event_id * 2654435761) % 1700000 + 1700000) % 1700000
+        |              AS DOUBLE) / 10000.0 - 85.0 AS lat,
+        |         CAST(((event_id * 40503 + user_id) % 3600000 + 3600000) % 3600000
+        |              AS DOUBLE) / 10000.0 - 180.0 AS lon
+        |  FROM events
+        |), probes AS (
+        |  SELECT event_id, lat, lon,
+        |         CAST(floor(lat) AS BIGINT) + dr AS cr,
+        |         ((CAST(floor(lon) AS BIGINT) + dc + 180) % 360 + 360) % 360 - 180
+        |           AS cc
+        |  FROM pos,
+        |       (SELECT unnest(range(-1, 2)) AS dr),
+        |       (SELECT unnest(range(-1, 2)) AS dc)
+        |), cand AS (
+        |  SELECT p.event_id,
+        |         CAST(floor(2.0 * 6371000.0 * asin(sqrt(
+        |           sin((alat - lat) * 0.017453292519943295 / 2.0)
+        |             * sin((alat - lat) * 0.017453292519943295 / 2.0)
+        |           + cos(lat * 0.017453292519943295)
+        |             * cos(alat * 0.017453292519943295)
+        |             * (sin((alon - lon) * 0.017453292519943295 / 2.0)
+        |                * sin((alon - lon) * 0.017453292519943295 / 2.0))
+        |         ))) AS BIGINT) AS dist_m,
+        |         anchor_id
+        |  FROM probes p JOIN acell a ON p.cr = a.cr AND p.cc = a.cc
+        |)
+        |SELECT event_id, anchor_id, dist_m FROM (
+        |  SELECT event_id, anchor_id, dist_m,
+        |         row_number() OVER (PARTITION BY event_id
+        |                            ORDER BY dist_m, anchor_id) AS rn
+        |  FROM cand
+        |) WHERE rn = 1
+        |ORDER BY dist_m, event_id LIMIT 10""".stripMargin,
     "q_geo_distance" ->
       """WITH pos AS (
         |  SELECT event_id, event_type,

@@ -103,6 +103,56 @@ class AnalyticsSpec extends SparkSpec {
       assert(y - x > 1.0, s"top-10 boundary gap too small: $x vs $y") }
   }
 
+  test("q_geo_join: nearest-in-ring re-derived brute-force; candidate floor margins ulp-safe") {
+    val k = 0.017453292519943295
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val s1 = math.sin((lat2 - lat1) * k / 2.0)
+      val s2 = math.sin((lon2 - lon1) * k / 2.0)
+      val a = s1 * s1 + math.cos(lat1 * k) * math.cos(lat2 * k) * (s2 * s2)
+      2.0 * 6371000.0 * math.asin(math.sqrt(a))
+    }
+    val anchors = (0L until 1000L).map { a =>
+      (a, ((a * 97) % 1700).toDouble / 10.0 - 85.0 + 0.05,
+          ((a * 131) % 3600).toDouble / 10.0 - 180.0 + 0.05)
+    }
+    val byCell = anchors.groupBy { case (_, alat, alon) =>
+      (math.floor(alat).toLong, math.floor(alon).toLong) }
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val best = evs.flatMap { case (eid, uid) =>
+      val lat = (((eid * 2654435761L) % 1700000L + 1700000L) % 1700000L)
+        .toDouble / 10000.0 - 85.0
+      val lon = (((eid * 40503L + uid) % 3600000L + 3600000L) % 3600000L)
+        .toDouble / 10000.0 - 180.0
+      val cands = for {
+        dr <- -1L to 1L; dc <- -1L to 1L
+        cr = math.floor(lat).toLong + dr
+        cc = ((math.floor(lon).toLong + dc + 180) % 360 + 360) % 360 - 180
+        (aid, alat, alon) <- byCell.getOrElse((cr, cc), Seq.empty)
+      } yield (aid, hav(lat, lon, alat, alon))
+      // Margin tripwire on EVERY candidate this event sees: a 1-2 ulp
+      // cross-engine trig divergence must not flip any floor that could
+      // decide min_by membership or the final ordering.
+      cands.foreach { case (aid, dm) =>
+        val frac = dm - math.floor(dm)
+        assert(frac > 1e-6 && frac < 1 - 1e-6,
+          s"event $eid anchor $aid distance $dm on a floor boundary")
+      }
+      if (cands.isEmpty) None
+      else Some {
+        val (aid, dm) = cands.minBy { case (aid2, dm2) =>
+          (math.floor(dm2).toLong, aid2) }
+        (eid, aid, math.floor(dm).toLong)
+      }
+    }
+    val expected = best.sortBy { case (eid, _, dm) => (dm, eid) }.take(10).toSeq
+    val got = Analytics.qGeoJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.nonEmpty)
+  }
+
   test("q_asof_join matches a hand-rolled most-recent-order lookup") {
     val orders = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderdate").cast("timestamp"), col("o_orderkey"))
