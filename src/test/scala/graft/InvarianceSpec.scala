@@ -28,7 +28,10 @@ class InvarianceSpec extends SparkSpec {
   }
 
   for (q <- Seq("q_tfidf", "q_welch", "q_survival", "q_moments",
-      "q_market_share", "q_bigram_lm", "q_decile_lift", "q_centroid"))
+      "q_market_share", "q_bigram_lm", "q_decile_lift", "q_centroid",
+      // Round-7 additions: the rank-integer z chain and the two
+      // ulp-tripwired quantized-trig queries.
+      "q_mann_whitney", "q_geo_distance", "q_geo_join"))
     test(s"$q is bit-identical under shuffle.partitions 2 vs 7") {
       val a = collectWith(2, q)
       val b = collectWith(7, q)
