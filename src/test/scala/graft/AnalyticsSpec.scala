@@ -548,9 +548,9 @@ class AnalyticsSpec extends SparkSpec {
         col("l_shipdate") < lit("1996-02-01 00:00:00").cast("timestamp_ntz"))
       .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
     val all = joined.agg(
-      Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).head.getDouble(0)
+      Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).head().getDouble(0)
     val promo = joined.filter(col("p_type") === "PROMO").agg(
-      Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).head.getDouble(0)
+      Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).head().getDouble(0)
     assert(math.abs(share - promo * 100.0 / all) < 1e-9)
     assert(n == joined.count())
   }
@@ -590,7 +590,7 @@ class AnalyticsSpec extends SparkSpec {
       .unionByName(Tables.orders(spark, sfDir).limit(5))
       .groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0)).cast("long"))
-      .head.getLong(0)
+      .head().getLong(0)
     assert(dirty == 5L, s"duplicated keys must be counted, got $dirty")
   }
 
