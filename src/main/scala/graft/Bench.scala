@@ -83,7 +83,7 @@ object Bench {
     // so the per-query map always survives intact.
     try {
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full.json"))
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(out, line + "\n")
       System.err.println(s"[bench] full artifact written to $out")
