@@ -60,6 +60,47 @@ object TextOps {
       col("doc_id"),
       explode(expr(ShingleArrayExpr)).as("s"))
 
+  /** [[ShingleArrayExpr]] WITHOUT the in-row dedup — occurrence
+    * multiplicity preserved, for the tf-vs-df boilerplate diagnostic
+    * ([[qDupNgrams]]); every other shingle consumer wants per-doc sets.
+    */
+  private val ShingleArrayExprRaw =
+    "filter(" +
+      "transform(toks, (x, i) -> IF(i + 2 < size(toks), " +
+      "concat_ws(' ', x, toks[i+1], toks[i+2]), NULL)), " +
+      "s -> s IS NOT NULL)"
+
+  /** q_dup_ngrams — within-corpus duplicated-phrase discovery: for every
+    * 3-gram shingle, total occurrences (tf, WITH multiplicity), document
+    * spread (df), and the excess tf − df — top-20 by excess. This is the
+    * boilerplate detector of a pretraining pipeline (navigation chrome,
+    * license headers, templated sentences): cross-doc repetition that
+    * exact-dedup can't remove (the DOCUMENTS differ) and per-doc
+    * repetition ([[qRepetition]]) can't see (the phrase spreads ACROSS
+    * docs). High-excess phrases become the strip/downweight list the
+    * q_curate gates consume. Distinct from [[qTopkTerms]] (unigrams,
+    * per-language) and [[qSplitLeakage]]/decontamination (cross-SPLIT
+    * overlap, set semantics).
+    *
+    * Plan: tokenize → multiplicity-preserving shingle explode (a
+    * Generate, no shuffle) → two-level aggregate, (doc, shingle) then
+    * (shingle), both map-side partial — tf and df fall out of ONE
+    * pipeline with no distinct shuffle, and the second level
+    * re-aggregates the first's vocabulary-sized output, never the
+    * corpus; top-20 via a TakeOrderedAndProject heap.
+    *
+    * Determinism: all-BIGINT; total order (excess desc, tf desc, s).
+    */
+  def qDupNgrams(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d)
+      .select(col("doc_id"), explode(expr(ShingleArrayExprRaw)).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("s"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+      .select(col("s"), col("tf"), col("df"), (col("tf") - col("df")).as("excess"))
+      .orderBy(col("excess").desc, col("tf").desc, col("s"))
+      .limit(20)
+
   /** [[shingled]] with the language label carried through — per-DOC
     * distinct shingles (a lang's union keeps cross-doc duplicates, which
     * min-aggregation is insensitive to).
@@ -1769,6 +1810,7 @@ object TextOps {
     "q_ngram_jaccard" -> qNgramJaccard _,
     "q_ngram_jaccard_capped" -> qNgramJaccardCapped _,
     "q_containment"   -> qContainment _,
+    "q_dup_ngrams"    -> qDupNgrams _,
     "q_tfidf"         -> qTfidf _,
     "q_pmi_bigrams"   -> qPmiBigrams _,
     "q_redact"        -> qRedact _,
@@ -1780,6 +1822,16 @@ object TextOps {
   )
 
   // ---- DuckDB oracle: identical tokenization, hashing, and arithmetic ----
+
+  /** Multiplicity-preserving shingle stream (the [[ShingleArrayExprRaw]]
+    * twin): same zip/slice construction as [[shingleSql]] minus the
+    * list_distinct.
+    */
+  private val shingleRawSql =
+    """SELECT doc_id, unnest(list_transform(
+      |         list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+      |         z -> z[1] || ' ' || z[2] || ' ' || z[3])) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 
   /** `greatest(..., 0)` guards the slice: a negative bound on a <3-token
     * doc would wrap around (DuckDB negative indices count from the end) and
@@ -2559,6 +2611,18 @@ object TextOps {
          |JOIN (SELECT doc_id, n_sh AS na FROM sizes) sa ON doc_a = sa.doc_id
          |JOIN (SELECT doc_id, n_sh AS nb FROM sizes) sb ON doc_b = sb.doc_id
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q_dup_ngrams" ->
+      s"""WITH raw AS (
+         |  $shingleRawSql
+         |), perdoc AS (
+         |  SELECT doc_id, s, COUNT(*) AS tf_doc FROM raw GROUP BY doc_id, s
+         |), agg AS (
+         |  SELECT s, CAST(SUM(tf_doc) AS BIGINT) AS tf, COUNT(*) AS df
+         |  FROM perdoc GROUP BY s
+         |)
+         |SELECT s, tf, df, tf - df AS excess
+         |FROM agg
+         |ORDER BY excess DESC, tf DESC, s LIMIT 20""".stripMargin,
     "q_containment" ->
       s"""WITH sh0 AS (
          |  $shingleSql

@@ -272,6 +272,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_dup_ngrams: tf/df/excess re-derived with multiplicity; excess positive") {
+    def rawShingles(t: String): Seq[String] = {
+      val toks = t.split(" ")
+      (0 until math.max(toks.length - 2, 0))
+        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+    }
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, t) =>
+      val sh = rawShingles(t)
+      sh.foreach(s => tf(s) = tf.getOrElse(s, 0L) + 1)
+      sh.distinct.foreach(s => df(s) = df.getOrElse(s, 0L) + 1)
+    }
+    val got = TextOps.qDupNgrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 20)
+    got.foreach { case (s, tfg, dfg, ex) =>
+      assert(tfg == tf(s), s"tf($s)")
+      assert(dfg == df(s), s"df($s)")
+      assert(ex == tfg - dfg && ex >= 0)
+    }
+    // The detector must find real cross-doc boilerplate at this SF, and the
+    // emitted list must be exactly the brute-force top-20 under the total order.
+    assert(got.head._4 > 0, "no duplicated phrase found — diagnostic vacuous")
+    val expected = tf.keys.toSeq
+      .map(s => (s, tf(s), df(s), tf(s) - df(s)))
+      .sortBy { case (s, tfv, _, ex) => (-ex, -tfv, s) }.take(20)
+    assert(got.toSeq == expected)
+  }
+
   test("q_tfidf matches hand-rolled tf·ln(N/df) bitwise") {
     val n = docs.size.toDouble
     val tf: Map[(Long, String), Long] = docs.toSeq.flatMap { case (id, t) =>
