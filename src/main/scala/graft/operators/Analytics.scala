@@ -1464,9 +1464,15 @@ object Analytics {
     */
   def qGeoDistance(spark: SparkSession, d: String): DataFrame = {
     val degToRad = lit(0.017453292519943295)
-    val lat = (pmod(col("event_id") * lit(2654435761L), lit(1700000L))
+    // event_id is reduced mod m BEFORE the multiply: (e*k) mod m ==
+    // ((e mod m)*k) mod m, so values are identical, but the product is
+    // bounded by m*k (~4.5e15) instead of overflowing BIGINT (ANSI throw)
+    // once event_id reaches ~3.47e9 — a real id at 100 TB.
+    val lat = (pmod(pmod(col("event_id"), lit(1700000L)) * lit(2654435761L),
+      lit(1700000L))
       .cast("double") / lit(10000.0)) - lit(85.0)
-    val lon = (pmod(col("event_id") * lit(40503L) + col("user_id"), lit(3600000L))
+    val lon = (pmod(pmod(col("event_id"), lit(3600000L)) * lit(40503L) +
+      col("user_id"), lit(3600000L))
       .cast("double") / lit(10000.0)) - lit(180.0)
     val (lat0, lon0) = (lit(51.5072), lit(-0.1276))
     val phi1 = lat0 * degToRad
@@ -1475,7 +1481,9 @@ object Analytics {
     val dlamH = (lon - lon0) * degToRad / lit(2.0)
     val a = sin(dphiH) * sin(dphiH) +
       cos(phi1) * cos(phi2) * (sin(dlamH) * sin(dlamH))
-    val distM = lit(2.0) * lit(6371000.0) * asin(sqrt(a))
+    // near-antipodal rounding can push a to 1+ulp: asin(sqrt) would go NaN
+    // here but ERROR in DuckDB — clamp on both engines.
+    val distM = lit(2.0) * lit(6371000.0) * asin(sqrt(least(a, lit(1.0))))
     events(spark, d)
       .select(col("event_id"), col("event_type"),
         floor(distM).cast("long").as("dist_m"))
@@ -1517,7 +1525,8 @@ object Analytics {
       val dlamH = (lon2 - lon1) * degToRad / lit(2.0)
       val a = sin(dphiH) * sin(dphiH) +
         cos(phi1) * cos(phi2) * (sin(dlamH) * sin(dlamH))
-      floor(lit(2.0) * lit(6371000.0) * asin(sqrt(a))).cast("long")
+      floor(lit(2.0) * lit(6371000.0) * asin(sqrt(least(a, lit(1.0)))))
+        .cast("long")
     }
     val anchors = spark.range(1000).toDF("anchor_id")
       .select(col("anchor_id"),
@@ -1528,9 +1537,15 @@ object Analytics {
       .select(col("anchor_id"), col("alat"), col("alon"),
         floor(col("alat")).cast("long").as("cr"),
         floor(col("alon")).cast("long").as("cc"))
-    val lat = (pmod(col("event_id") * lit(2654435761L), lit(1700000L))
+    // event_id is reduced mod m BEFORE the multiply: (e*k) mod m ==
+    // ((e mod m)*k) mod m, so values are identical, but the product is
+    // bounded by m*k (~4.5e15) instead of overflowing BIGINT (ANSI throw)
+    // once event_id reaches ~3.47e9 — a real id at 100 TB.
+    val lat = (pmod(pmod(col("event_id"), lit(1700000L)) * lit(2654435761L),
+      lit(1700000L))
       .cast("double") / lit(10000.0)) - lit(85.0)
-    val lon = (pmod(col("event_id") * lit(40503L) + col("user_id"), lit(3600000L))
+    val lon = (pmod(pmod(col("event_id"), lit(3600000L)) * lit(40503L) +
+      col("user_id"), lit(3600000L))
       .cast("double") / lit(10000.0)) - lit(180.0)
     val probes = events(spark, d)
       .select(col("event_id"), lat.as("lat"), lon.as("lon"))
@@ -2669,9 +2684,9 @@ object Analytics {
         |  FROM anchors
         |), pos AS (
         |  SELECT event_id,
-        |         CAST(((event_id * 2654435761) % 1700000 + 1700000) % 1700000
+        |         CAST((((event_id % 1700000) * 2654435761) % 1700000 + 1700000) % 1700000
         |              AS DOUBLE) / 10000.0 - 85.0 AS lat,
-        |         CAST(((event_id * 40503 + user_id) % 3600000 + 3600000) % 3600000
+        |         CAST((((event_id % 3600000) * 40503 + user_id) % 3600000 + 3600000) % 3600000
         |              AS DOUBLE) / 10000.0 - 180.0 AS lon
         |  FROM events
         |), probes AS (
@@ -2684,14 +2699,14 @@ object Analytics {
         |       (SELECT unnest(range(-1, 2)) AS dc)
         |), cand AS (
         |  SELECT p.event_id,
-        |         CAST(floor(2.0 * 6371000.0 * asin(sqrt(
+        |         CAST(floor(2.0 * 6371000.0 * asin(sqrt(least(
         |           sin((alat - lat) * 0.017453292519943295 / 2.0)
         |             * sin((alat - lat) * 0.017453292519943295 / 2.0)
         |           + cos(lat * 0.017453292519943295)
         |             * cos(alat * 0.017453292519943295)
         |             * (sin((alon - lon) * 0.017453292519943295 / 2.0)
-        |                * sin((alon - lon) * 0.017453292519943295 / 2.0))
-        |         ))) AS BIGINT) AS dist_m,
+        |                * sin((alon - lon) * 0.017453292519943295 / 2.0)),
+        |           1.0)))) AS BIGINT) AS dist_m,
         |         anchor_id
         |  FROM probes p JOIN acell a ON p.cr = a.cr AND p.cc = a.cc
         |)
@@ -2705,9 +2720,9 @@ object Analytics {
     "q_geo_distance" ->
       """WITH pos AS (
         |  SELECT event_id, event_type,
-        |         (CAST(((event_id * 2654435761) % 1700000 + 1700000) % 1700000
+        |         (CAST((((event_id % 1700000) * 2654435761) % 1700000 + 1700000) % 1700000
         |               AS DOUBLE) / 10000.0) - 85.0 AS lat,
-        |         (CAST(((event_id * 40503 + user_id) % 3600000 + 3600000) % 3600000
+        |         (CAST((((event_id % 3600000) * 40503 + user_id) % 3600000 + 3600000) % 3600000
         |               AS DOUBLE) / 10000.0) - 180.0 AS lon
         |  FROM events
         |), h AS (
@@ -2721,7 +2736,7 @@ object Analytics {
         |  FROM pos
         |)
         |SELECT event_id, event_type,
-        |       CAST(floor(2.0 * 6371000.0 * asin(sqrt(a))) AS BIGINT) AS dist_m
+        |       CAST(floor(2.0 * 6371000.0 * asin(sqrt(least(a, 1.0)))) AS BIGINT) AS dist_m
         |FROM h ORDER BY dist_m, event_id LIMIT 10""".stripMargin,
     "q_approx_topk" ->
       """SELECT event_type AS item, COUNT(*) AS cnt
@@ -2895,8 +2910,8 @@ object Analytics {
         |  SELECT strftime(date_trunc('month', o.o_orderdate),
         |           '%Y-%m-%d %H:%M:%S') AS month_s,
         |         sn.n_name,
-        |         SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
-        |               * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+        |         CAST(SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
+        |               * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN sn ON l.l_suppkey = sn.s_suppkey
@@ -2913,7 +2928,7 @@ object Analytics {
          |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
          |  FROM orders
          |), sp AS (
-         |  SELECT o_custkey, SUM(cents) AS total_cents FROM o
+         |  SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS total_cents FROM o
          |  GROUP BY o_custkey HAVING SUM(cents) > $BigSpenderCents
          |)
          |SELECT c.c_name, o.o_custkey, sp.total_cents, o.o_orderkey,

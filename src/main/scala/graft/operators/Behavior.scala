@@ -333,7 +333,8 @@ object Behavior {
         |         CAST(ntile(4) OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS m_q
         |  FROM pu
         |)
-        |SELECT r_q, f_q, m_q, COUNT(*) AS n_users, SUM(cents) AS seg_cents
+        |SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
+        |       CAST(SUM(cents) AS BIGINT) AS seg_cents
         |FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin,
     "q_ltv" ->
       """WITH o AS (
@@ -345,13 +346,16 @@ object Behavior {
         |), m AS (
         |  SELECT strftime(c.cohort, '%Y-%m-%d %H:%M:%S') AS cohort_s,
         |         CAST(date_diff('month', c.cohort, o.month) AS BIGINT) AS month_offset,
-        |         COUNT(*) AS n_orders, SUM(o.cents) AS rev_cents
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(o.cents) AS BIGINT) AS rev_cents
         |  FROM o JOIN c ON o.o_custkey = c.o_custkey
         |  GROUP BY cohort_s, month_offset
         |)
         |SELECT cohort_s, month_offset, n_orders, rev_cents,
-        |       SUM(rev_cents) OVER (PARTITION BY cohort_s ORDER BY month_offset
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_cents
+        |       CAST(SUM(rev_cents) OVER (PARTITION BY cohort_s
+        |         ORDER BY month_offset
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_rev_cents
         |FROM m ORDER BY cohort_s, month_offset""".stripMargin,
     "q_prop_test" ->
       """WITH pu AS (
@@ -421,7 +425,8 @@ object Behavior {
     "q_rolling_median" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,
-        |         SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS day_cents
+        |         CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS day_cents
         |  FROM events GROUP BY event_type, day
         |)
         |SELECT event_type, strftime(day, '%Y-%m-%d %H:%M:%S') AS day_s,

@@ -399,6 +399,14 @@ object Mining {
     * (integer — no .5 anywhere), every fold is BIGINT-exact in any
     * order, and z is a single pinned double chain over those integers,
     * mirrored verbatim by the oracle.
+    *
+    * Bound: the tie term computes t³−t per distinct value in BIGINT, so a
+    * SINGLE value carrying more than 2^21 ≈ 2.09M tied rows overflows
+    * (ANSI throw here, error in DuckDB). That is a property of the
+    * per-value multiplicity, not the corpus size — a heavily-tied
+    * discrete metric at larger scale should be pre-binned (as the plan
+    * note above already prescribes) or the fold widened to
+    * DECIMAL(38,0) on both engines.
     */
   def qMannWhitney(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1174,8 +1182,9 @@ object Mining {
          |         SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS n_test
          |  FROM split
          |)
-         |SELECT n_train, n_test,
-         |       MAX(ABS(fa * n_test - fb * n_train)) AS ks_num,
+         |SELECT CAST(n_train AS BIGINT) AS n_train,
+         |       CAST(n_test AS BIGINT) AS n_test,
+         |       CAST(MAX(ABS(fa * n_test - fb * n_train)) AS BIGINT) AS ks_num,
          |       CAST(MAX(ABS(fa * n_test - fb * n_train)) AS DOUBLE)
          |         / CAST(n_train * n_test AS DOUBLE) AS ks_stat
          |FROM cum CROSS JOIN tot

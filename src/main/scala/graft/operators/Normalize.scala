@@ -235,9 +235,9 @@ object Normalize {
         |       COUNT(*) AS n_docs,
         |       COUNT(DISTINCT regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1))
         |         AS n_paths,
-        |       SUM(CAST(regexp_extract(url, '[?&]p=([0-9]+)', 1) AS BIGINT))
-        |         AS sum_p,
-        |       SUM(n_chars) AS sum_chars
+        |       CAST(SUM(CAST(regexp_extract(url, '[?&]p=([0-9]+)', 1) AS BIGINT))
+        |         AS BIGINT) AS sum_p,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM u GROUP BY 1 ORDER BY host""".stripMargin,
     "q_try_cast" ->
       """WITH r AS (
@@ -249,7 +249,8 @@ object Normalize {
         |SELECT event_type, COUNT(*) AS n_rows,
         |       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_bad,
-        |       SUM(CAST(floor(v * 100.0 + 0.5) AS BIGINT)) AS good_cents
+        |       CAST(SUM(CAST(floor(v * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS good_cents
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_variant" ->
       """WITH k AS (
@@ -257,7 +258,8 @@ object Normalize {
         |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
         |  FROM events
         |)
-        |SELECT k // 10 AS k_decade, COUNT(*) AS n, SUM(cents) AS sum_cents,
+        |SELECT k // 10 AS k_decade, COUNT(*) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
         |       MIN(k) AS k_min, MAX(k) AS k_max
         |FROM k GROUP BY k // 10 ORDER BY k_decade""".stripMargin,
     "q_json_get" ->

@@ -363,7 +363,8 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q_sql_udf" ->
       """SELECT event_type,
-        |       SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+        |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
         |       CASE WHEN COUNT(value) > 0 THEN
         |         CAST(SUM(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS DOUBLE)
         |           / CAST(COUNT(value) AS DOUBLE) END AS hi_share
@@ -371,7 +372,8 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_pipe" ->
       """SELECT event_type, COUNT(*) AS n,
-        |       SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+        |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
         |       MIN(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS min_cents,
         |       MAX(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS max_cents
         |FROM events WHERE value IS NOT NULL
@@ -409,8 +411,8 @@ object Relational {
         |  FROM events GROUP BY event_type, CAST(ts AS DATE)
         |)
         |SELECT event_type, day, n,
-        |       SUM(n) OVER (PARTITION BY event_type ORDER BY day
-        |                    ROWS UNBOUNDED PRECEDING) AS cum_n,
+        |       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
         |       RANK() OVER (PARTITION BY event_type ORDER BY n DESC, day)
         |         AS busy_rank
         |FROM daily ORDER BY event_type, day""".stripMargin,

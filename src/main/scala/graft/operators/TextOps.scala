@@ -660,11 +660,11 @@ object TextOps {
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    // Orient each edge toward the (deg, id)-larger endpoint. Cached:
-    // referenced by the adjacency build AND the main join — uncached,
-    // the orientation subtree would compute twice more via adj's two
-    // join sides.
-    val oriented = graft.Tables.cacheForSelfJoin(edges
+    // Orient each edge toward the (deg, id)-larger endpoint. Referenced
+    // ONCE (the adjacency build), so it needs no cache of its own —
+    // r7 cached it and the extra serial cache-materialization job was
+    // the fixed cost that kept this query over the 5 s bar.
+    val oriented = edges
       .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
       .select(
@@ -673,16 +673,21 @@ object TextOps {
           struct(col("u").as("x"), col("v").as("y")))
         .otherwise(struct(col("v").as("x"), col("u").as("y")))
         .as("e"))
-      .select(col("e.x").as("x"), col("e.y").as("y")))
-    // adj deliberately UNcached: it is two cheap aggregates over the
-    // cached `oriented` — rebuilding it per join side is cheaper than
-    // one more cache-materialization job (the fixed cost that actually
-    // dominates this query's wall clock; see the 5-cache → 3-cache note
-    // in the bench history).
-    val adj = oriented.groupBy(col("x").as("n"))
-      .agg(collect_list(col("y")).as("outs"))
-    val withAdj = oriented
-      .join(adj.select(col("n").as("x"), col("outs").as("adj_x")), "x")
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    // The adjacency is the ONLY materialized graph artifact (r7→r8
+    // restructure): the oriented edge stream is re-derived by EXPLODING
+    // the cached adjacency — each (x, adj_x, y ∈ adj_x) row carries its
+    // own out-neighbor set for free, so the old plan's two adj
+    // aggregates + two oriented-side joins collapse into one explode +
+    // ONE self-join (node-sized build side → broadcast under AQE; no
+    // shuffle of the edge stream at all). Same 2-shuffle-per-edge bound
+    // at 100 TB, two fewer serial stage barriers here.
+    val adj = graft.Tables.cacheForSelfJoin(
+      oriented.groupBy(col("x").as("n"))
+        .agg(collect_list(col("y")).as("outs")))
+    val withAdj = adj
+      .select(col("n").as("x"), col("outs").as("adj_x"),
+        explode(col("outs")).as("y"))
       // LEFT: a head with no out-edges of its own closes no triangle
       // but its edge still carries (zero-weight) endpoint rows.
       .join(adj.select(col("n").as("y"), col("outs").as("adj_y")), Seq("y"), "left")
@@ -1339,6 +1344,15 @@ object TextOps {
     * be emitted raw), and the oracle expresses the same semantics with
     * classic `GROUP BY lower(...)` — pinning that the collation path and
     * the normalize-then-group path agree row-for-row.
+    *
+    * Assumption (documented, ASCII labels): emitting `lower(k)` as the
+    * representative presumes `lower()` collapses exactly the UTF8_LCASE
+    * equivalence classes — true for ASCII source labels like these, but
+    * NOT for all of Unicode (dotted-İ and the Kelvin sign K fold
+    * together under LCASE while `lower()` keeps them distinct), where
+    * the emitted key would become representative-order-dependent. For
+    * arbitrary-Unicode keys, group on `lower(src_m)` directly and keep
+    * the collated grouping as a separate pinned-equivalence check.
     *
     * Plan: per-row expressions + one map-side-partial hash aggregate to
     * |sources| rows; collation-aware grouping hashes the collation key
@@ -2318,8 +2332,8 @@ object TextOps {
          |  SELECT DISTINCT doc_id // $VocabBucket AS bucket FROM documents
          |)
          |SELECT bucket, COALESCE(n_new, 0) AS n_new,
-         |       SUM(COALESCE(n_new, 0)) OVER (ORDER BY bucket
-         |         ROWS UNBOUNDED PRECEDING) AS cum_vocab
+         |       CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY bucket
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
          |FROM spine LEFT JOIN news USING (bucket)
          |ORDER BY bucket""".stripMargin,
     "q_chunk" ->
@@ -2507,7 +2521,7 @@ object TextOps {
         |  FROM documents
         |)
         |SELECT lower(src_m) AS source_ci, COUNT(*) AS n_docs,
-        |       SUM(n_chars) AS sum_chars
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM m GROUP BY lower(src_m) ORDER BY source_ci""".stripMargin,
     "q_clean_text" ->
       """WITH raw AS (

@@ -8,7 +8,7 @@ hashed). Not part of the shipped library — dev tooling only.
 
 Usage: python3 tools/local_verify.py <sfDir> <outDir>
 """
-import json, sys, glob, os
+import json, sys, glob, os, datetime
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -17,23 +17,74 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_class(t):
+    """Coarse arrow-type class for the typed compare.
+
+    The driver compares arrow-typed values, so an int64 Spark column vs a
+    DuckDB HUGEINT (int128 -> arrow decimal128(38,0)) column must FAIL here
+    even when every numeric value is equal (round-7 lesson: 14 oracles
+    shipped red because the old repr()-based compare erased this).
+    We tolerate only representational variants that carry no SQL meaning:
+    string vs large_string, binary widths, timestamp tz annotation (values
+    are normalized to UTC in norm_cell), and list offset widths.
+    """
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or \
+            pa.types.is_fixed_size_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_class(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{type_class(t.key_type)},{type_class(t.item_type)}>"
+    # Integer WIDTHS are normalized (the driver's value-level compare sees
+    # Python int either way — e.g. Spark's int32 rank()/ntile() vs DuckDB's
+    # int64 hash-match there, verified against CORRECTNESS_r07), but
+    # int-vs-decimal stays fatal: an uncast SUM(BIGINT) in an oracle is
+    # HUGEINT -> arrow decimal128(38,0) -> Decimal values, exactly the
+    # class of miss that shipped 14 red rows in round 7.
+    if pa.types.is_integer(t):
+        return "int"
+    # float32/64, bool, decimal128(p,s) keep their exact name.
+    return str(t)
+
+
 def norm_cell(v):
     # floats compared exactly (our queries are engineered to be bit-stable);
-    # everything else via repr.
+    # timestamps normalized to naive-UTC (spark parquet is tz-tagged, duckdb
+    # arrow is naive); everything else via repr — which keeps Decimal('5')
+    # distinct from 5, backing up the type_class compare at the value level.
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     return repr(v)
 
 
-def table_fingerprint(names, rows):
+def table_fingerprint(tbl):
+    """(sorted col names, sorted col type-classes, row tuples) for an arrow
+    table — both sides of the compare go through arrow now, so the
+    fingerprint carries types, not just values."""
+    names = tbl.column_names
     order = sorted(range(len(names)), key=lambda i: names[i])
     snames = [names[i] for i in order]
+    stypes = [type_class(tbl.schema.field(i).type) for i in order]
+    cols = [tbl.column(i) for i in order]
     out = []
-    for r in rows:
-        out.append(tuple(norm_cell(r[i]) for i in order))
-    return snames, out
+    for i in range(tbl.num_rows):
+        out.append(tuple(norm_cell(c[i].as_py()) for c in cols))
+    return snames, stypes, out
 
 
 def main():
@@ -72,8 +123,6 @@ def main():
         # Read ALL part files — correctness must not depend on Verify
         # coalescing to a single partition.
         tbl = pa.concat_tables([pq.read_table(f) for f in files])
-        s_names = tbl.column_names
-        s_rows = [tuple(c[i].as_py() for c in tbl.columns) for i in range(tbl.num_rows)]
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({tbl.num_rows} rows, rows-only check: "
                   f"{'PASS' if tbl.num_rows > 0 else 'FAIL — EMPTY'})")
@@ -81,17 +130,19 @@ def main():
                 n_fail += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            d_names = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            dtbl = con.execute(oracles[name]).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        sn, sr = table_fingerprint(s_names, s_rows)
-        dn, dr = table_fingerprint(d_names, d_rows)
+        sn, st, sr = table_fingerprint(tbl)
+        dn, dt, dr = table_fingerprint(dtbl)
         if sn != dn:
             print(f"FAIL {name}: columns spark={sn} duck={dn}")
+            n_fail += 1
+        elif st != dt:
+            bad = [(sn[i], st[i], dt[i]) for i in range(len(st)) if st[i] != dt[i]]
+            print(f"FAIL {name}: column TYPES differ (spark vs duck): {bad}")
             n_fail += 1
         elif len(sr) != len(dr):
             print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
