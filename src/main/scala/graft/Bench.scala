@@ -82,8 +82,12 @@ object Bench {
     // this (long) line in past rounds; persist the full artifact to a file
     // so the per-query map always survives intact.
     try {
+      // A filtered dev-loop run must not clobber the durable full-suite
+      // artifact (it did in r8: a 5-query run overwrote the r7 map).
+      val defaultOut =
+        if (only.isDefined) "/tmp/bench_filtered.json" else "bench/bench_full.json"
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(out, line + "\n")
       System.err.println(s"[bench] full artifact written to $out")

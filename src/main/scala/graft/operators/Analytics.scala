@@ -2015,9 +2015,18 @@ object Analytics {
     * approximate percentiles with accuracy 10000 (error ≤ 1/accuracy of
     * rank). Mergeable sketch, map-side partial — one row per group
     * crosses the shuffle regardless of group size, where exact element
-    * selection must move every row. No SQL oracle (sketch internals are
-    * engine-specific); AnalyticsSpec bounds it against the exact
-    * quantiles instead.
+    * selection must move every row.
+    *
+    * Like [[qApproxTopk]], the gate rides the sketch's EXACT domain: a
+    * GK summary never compresses while a group's sample count stays
+    * under the accuracy (10⁴), so at the driver's sf0.01 (~2 k values
+    * per event_type) every sample is retained, merges concatenate, and
+    * the estimate is the exact element at rank ⌈p·n⌉ — the same element
+    * DuckDB's `quantile_disc` selects, hence a full hash-match oracle
+    * proving the sketch path end-to-end (verified identical at both
+    * fixture SFs and under 4- vs 32-partition shuffles). Beyond the
+    * exact domain the gate would weaken to the AnalyticsSpec rank-error
+    * bound, which still pins the 100 TB contract.
     */
   def qApproxQuantiles(spark: SparkSession, d: String): DataFrame =
     events(spark, d)
@@ -3674,6 +3683,15 @@ object Analytics {
       }.mkString("\nUNION ALL\n")
       s"WITH s AS (SELECT $aggs FROM lineitem)\n$rows\nORDER BY col_name"
     },
+    // Exact-domain gate (see qApproxQuantiles scaladoc): under the GK
+    // accuracy the sketch retains every sample and returns the exact
+    // rank-⌈p·n⌉ element — quantile_disc's selection rule.
+    "q_approx_quantiles" ->
+      """SELECT event_type,
+        |       quantile_disc(value, 0.25) AS p25,
+        |       quantile_disc(value, 0.5) AS p50,
+        |       quantile_disc(value, 0.75) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_quantiles" ->
       """WITH ranked AS (
         |  SELECT event_type, value,

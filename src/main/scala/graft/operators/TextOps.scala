@@ -243,6 +243,43 @@ object TextOps {
   def qMinhashSig(spark: SparkSession, d: String): DataFrame =
     signatures(spark, d).orderBy(col("doc_id"))
 
+  /** (doc_id, band_key) rows — the MinHash-LSH band index of
+    * [[minhashPairs]] computed as pure PER-ROW expressions: shingle →
+    * hash → 16 `array_min` folds → 4 band keys, no explode-groupBy, no
+    * shuffle at all. Bit-identical to [[signatures]] (same md5/LCG/min
+    * arithmetic over the same distinct-shingle set), which is what lets
+    * the STREAMING near-dup path ([[graft.streaming.StreamOps]]
+    * q_stream_neardup) band each document the moment it arrives — the
+    * per-row form is the one a 100 TB ingest pipeline wants anyway:
+    * banding cost scales with the row, not with a shuffle of the corpus.
+    * Documents with no shingles (< 3 tokens) have no signature in the
+    * batch path and produce no band rows here — same domain.
+    * Band key string: "bandIdx:mh|mh|mh|mh" — [[minhashPairs]]'s
+    * (band_idx, bkey) pair collapsed to one join/state key.
+    */
+  private[graft] def minhashBandRows(docs: DataFrame): DataFrame = {
+    val hashes = transform(expr(ShingleArrayExpr),
+      s => pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P)))
+    val mhCols = hashParams.zipWithIndex.map { case ((a, b), k) =>
+      array_min(transform(col("hs"), h => pmod(lit(a) * h + lit(b), lit(P))))
+        .as(s"mh$k")
+    }
+    val bandCols = (0 until BANDS).map { j =>
+      concat_ws(":", lit(j),
+        concat_ws("|", (0 until 4).map(i => col(s"mh${4 * j + i}")): _*))
+    }
+    docs
+      // Trigram existence ⟺ ≥ 3 tokens — the CHEAP form of the
+      // "has a signature" filter. `size(hs) > 0` here was pushed into
+      // the scan as a DataFilter and re-ran the whole interpreted
+      // shingle→md5 HOF chain once more per row (measured 2× cost).
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id") +: mhCols: _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+  }
+
   /** q_minhash_lsh — LSH candidate pairs: signatures are cut into 4 bands
     * of 4 values; documents sharing any full band become a candidate pair.
     * The join is on band keys — an inverted index, never all-pairs.
@@ -868,7 +905,45 @@ object TextOps {
     * the same search declaratively: a depth-bounded recursive CTE
     * enumerating walks, MIN-grouped to first-reach — path enumeration
     * vs bounded frontiers, same answer, which is exactly the point.
+    *
+    * Frontier guard (r8): "the tiny frontier side broadcasts" is a
+    * CONDITIONAL claim, now checked — each level's row count (free: the
+    * count fills the level's cache, which the broadcast collect was
+    * already materializing) decides whether the NEXT level broadcasts
+    * or falls back to a shuffled hash join. On a 100× corpus whose
+    * near-dup graph has a giant component, a level can exceed
+    * broadcast-safe size; the guard makes that a plan change, not an
+    * executor OOM. TextOpsSpec forces the shuffle path on a dense
+    * synthetic graph and pins both paths to identical results.
     */
+  /** Max frontier rows [[qReach]] will broadcast; above this a level
+    * joins shuffled. ~8 B/row of raw key → low tens of MB broadcast at
+    * the bound, the standard autoBroadcastJoinThreshold ballpark.
+    */
+  val BroadcastFrontierMax = 2000000L
+
+  private[graft] def bfsFirstReach(
+      dir: DataFrame, seed: DataFrame, hops: Int,
+      broadcastMax: Long): DataFrame = {
+    var levels = List(seed.select(col("id"), lit(0L).as("hop")))
+    var frontier = seed.select(col("id"))
+    var frontierRows = 1L // the seed is a 1-row aggregate
+    for (h <- 1 to hops) {
+      val probe =
+        if (frontierRows <= broadcastMax) broadcast(frontier) else frontier
+      val next = graft.Tables.cacheForSelfJoin(
+        probe.join(dir, probe("id") === dir("src"))
+          .select(col("dst").as("id")).distinct())
+      // Fills the level cache AND sizes the next level's join choice.
+      frontierRows = next.count()
+      levels ::= next.select(col("id"), lit(h.toLong).as("hop"))
+      frontier = next.select(col("id"))
+    }
+    levels.reduce(_ union _)
+      .groupBy(col("id")).agg(min(col("hop")).as("hop"))
+      .select(col("id").as("doc_id"), col("hop"))
+  }
+
   def qReach(spark: SparkSession, d: String): DataFrame = {
     val edges = graft.Tables.cacheForSelfJoin(
       simhashPairSet(spark, d)
@@ -882,18 +957,7 @@ object TextOps {
     // lineage and the final union all start from it.
     val seed = graft.Tables.cacheForSelfJoin(dir.agg(min(col("src")).as("id")))
     seed.count()
-    var levels = List(seed.select(col("id"), lit(0L).as("hop")))
-    var frontier = seed.select(col("id"))
-    for (h <- 1 to ReachHops) {
-      val next = graft.Tables.cacheForSelfJoin(
-        broadcast(frontier).join(dir, frontier("id") === dir("src"))
-          .select(col("dst").as("id")).distinct())
-      levels ::= next.select(col("id"), lit(h.toLong).as("hop"))
-      frontier = next.select(col("id"))
-    }
-    levels.reduce(_ union _)
-      .groupBy(col("id")).agg(min(col("hop")).as("hop"))
-      .select(col("id").as("doc_id"), col("hop"))
+    bfsFirstReach(dir, seed, ReachHops, BroadcastFrontierMax)
       .orderBy(col("hop"), col("doc_id"))
   }
 
@@ -1882,7 +1946,7 @@ object TextOps {
     case ((a, b), k) => s"MIN(($a * h + $b) % $P) AS mh$k"
   }.mkString(",\n       ")
 
-  private val sigSql =
+  private[graft] val sigSql =
     s"""WITH shingled AS (
        |  $shingleSql
        |), hashed AS (
@@ -1892,7 +1956,7 @@ object TextOps {
        |SELECT doc_id, $minhashAggs
        |FROM hashed GROUP BY doc_id""".stripMargin
 
-  private val bandsSql: String = (0 until BANDS).map { j =>
+  private[graft] val bandsSql: String = (0 until BANDS).map { j =>
     val key = (0 until 4).map(i => s"mh${4 * j + i}").mkString(", ")
     s"SELECT doc_id, $j AS band_idx, concat_ws('|', $key) AS bkey FROM sig"
   }.mkString("\n  UNION ALL\n  ")

@@ -47,6 +47,59 @@ case class OpenHour(hUs: Long, x: Long)
   */
 case class EwmaPoint(event_type: String, h: Timestamp, x: Long, ewma: Double)
 
+/** One per-band admission verdict emitted by [[BandClaimProcessor]]:
+  * `lost` = an earlier-arriving document had already claimed this band.
+  */
+case class BandVote(doc_id: Long, lost: Boolean)
+
+/** The ONLINE MinHash-LSH band-claim state machine behind
+  * q_stream_neardup: keyed by LSH band key, a [[ValueState]] holds the
+  * band's first claimant (minimum arrival seq = doc_id — the documents
+  * replay arrives in doc_id order). Each incoming (band, doc) row gets a
+  * verdict: `lost` iff an earlier doc — prior batch via state, or same
+  * batch via the doc_id-ASCENDING fold — already claimed the band. A
+  * document is then ADMITTED iff it lost none of its bands, i.e. no
+  * earlier document shares ANY band with it — the per-band seen-set
+  * dedup a streaming training-data ingest runs (the online counterpart
+  * of the batch q_minhash_lsh candidate stage; a per-PAIR verdict, so no
+  * transitivity and no connected-components pass is needed online).
+  *
+  * Dropped documents STILL claim their unshared bands (single-pass
+  * seen-registration): a later near-dup of a dropped doc is also
+  * dropped. That is the standard online choice — state grows with bands
+  * SEEN, admission needs no second pass — and the batch oracle states
+  * the identical rule declaratively (kept ⟺ the doc is the min doc_id
+  * on every one of its bands).
+  *
+  * Determinism: the verdict depends only on the SET of earlier doc_ids
+  * per band (state min + in-batch ascending fold), not on partitioning
+  * or batch boundaries — any replay slicing yields the same votes.
+  * Scale: state is one long per distinct band key; votes shuffle
+  * |docs|·BANDS rows keyed by band — the same volume the batch LSH join
+  * shuffles, paid incrementally per micro-batch instead.
+  */
+class BandClaimProcessor
+    extends StatefulProcessor[String, (String, Long), BandVote] {
+  @transient private var owner: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    owner = getHandle.getValueState("owner", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(bandKey: String,
+                               rows: Iterator[(String, Long)],
+                               timerValues: TimerValues): Iterator[BandVote] = {
+    val ds = rows.map(_._2).toArray.sorted
+    var cur = if (owner.exists()) Some(owner.get()) else None
+    val out = ds.map { d =>
+      val lost = cur.exists(_ < d)
+      cur = Some(cur.fold(d)(math.min(_, d)))
+      BandVote(d, lost)
+    }
+    cur.foreach(owner.update)
+    out.iterator
+  }
+}
+
 /** Streaming EWMA over hourly counts — a custom WINDOWED aggregate and
   * the smoothing fold in ONE `transformWithState` state machine (the
   * built-in windowed aggregation cannot carry a value that depends on the
@@ -305,27 +358,66 @@ object StreamOps extends Serializable {
       val n = raw.count()
       val cut = raw.orderBy(col("ts")).limit(math.max((n / 2).toInt, 1))
         .agg(max(col("ts"))).head().getLong(0)
-      def stageHalf(half: DataFrame, tick: Int): Unit = {
-        val scratch = Files.createTempDirectory(s"graft_replay_half$tick")
-        half.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-        val parts = scratch.toFile.listFiles
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          // Zero-padded part index: the DSv2 source and FileStreamSource
-          // order files lexicographically, and tick1-10 < tick1-2 would
-          // diverge from numeric order if a half ever produced 10+ parts.
-          val dest = dir.resolve(f"tick$tick%d-$i%05d-${f.getName}%s")
-          Files.move(f.toPath, dest)
-          // Fixed epoch + 1 min per tick: mtime order == name order.
-          dest.toFile.setLastModified(1600000000000L + tick * 60000L)
-        }
-        scratch.toFile.listFiles.foreach(_.delete())
-        Files.deleteIfExists(scratch)
-      }
-      stageHalf(raw.filter(col("ts") <= cut), 1)
-      stageHalf(raw.filter(col("ts") > cut), 2)
+      stageTick(dir, raw.filter(col("ts") <= cut), 1)
+      stageTick(dir, raw.filter(col("ts") > cut), 2)
       dir.toString
     })
+
+  /** Write one replay tick into `dir` under the deterministic
+    * `tickN-`-prefixed names + strictly increasing mtimes the replay
+    * contract requires (see [[stageReplayDir]]'s scaladoc). Shared by the
+    * events replay and the documents replay ([[stageDocReplayDir]]).
+    */
+  private def stageTick(dir: java.nio.file.Path, half: DataFrame,
+                        tick: Int): Unit = {
+    val scratch = Files.createTempDirectory(s"graft_replay_half$tick")
+    half.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val parts = scratch.toFile.listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      // Zero-padded part index: the DSv2 source and FileStreamSource
+      // order files lexicographically, and tick1-10 < tick1-2 would
+      // diverge from numeric order if a half ever produced 10+ parts.
+      val dest = dir.resolve(f"tick$tick%d-$i%05d-${f.getName}%s")
+      Files.move(f.toPath, dest)
+      // Fixed epoch + 1 min per tick: mtime order == name order.
+      dest.toFile.setLastModified(1600000000000L + tick * 60000L)
+    }
+    scratch.toFile.listFiles.foreach(_.delete())
+    Files.deleteIfExists(scratch)
+  }
+
+  private val docReplayCache = TrieMap.empty[String, String]
+
+  /** Stage the documents fixture as a 2-tick replay directory split at the
+    * MEDIAN doc_id — the ingest-order analog of [[stageReplayDir]]'s
+    * median-timestamp split (documents carry no event time; doc_id IS the
+    * fixture's arrival order). Tick 1 delivers the older half of the
+    * corpus, tick 2 the newer, so cross-tick state (a band claimed in
+    * tick 1 rejecting a tick-2 near-dup) is genuinely exercised.
+    */
+  def stageDocReplayDir(spark: SparkSession, d: String): String =
+    docReplayCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Paths.get(scratchDir("graft_docreplay_"))
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val cut = docs.orderBy(col("doc_id")).limit(math.max((n / 2).toInt, 1))
+        .agg(max(col("doc_id"))).head().getLong(0)
+      stageTick(dir, docs.filter(col("doc_id") <= cut), 1)
+      stageTick(dir, docs.filter(col("doc_id") > cut), 2)
+      dir.toString
+    })
+
+  /** Streaming replay of the documents table (doc_id, text). */
+  def docsStream(spark: SparkSession, replay: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replay)
 
   /** Streaming replay of the events table: file source over the staged
     * replay directory — the zero-egress analog of a live feed. One file per
@@ -1144,6 +1236,61 @@ object StreamOps extends Serializable {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q_stream_neardup — ONLINE MinHash-LSH near-duplicate dedup of the
+    * documents replay stream: the streaming form of the batch
+    * q_minhash_lsh → dedup pipeline, and the missing ingest stage of the
+    * LLM-training-data path (batch dedup re-scans the corpus; a
+    * 100 TB/day feed needs each arriving document admitted or dropped
+    * ON ARRIVAL against everything already ingested).
+    *
+    * Pipeline: per-row band keys
+    * ([[graft.operators.TextOps.minhashBandRows]] — shingle → minhash →
+    * 4 band keys as pure projections, zero shuffle), then ONE stateful
+    * operator ([[BandClaimProcessor]], `transformWithState` keyed by
+    * band key) votes each (band, doc) row `lost` iff the band was
+    * claimed by an earlier document. The drained votes roll up to the
+    * per-document verdict — kept ⟺ 0 bands lost ⟺ no earlier doc shares
+    * any band — a stateless |docs|-sized aggregate over the sink (the
+    * admission decision itself; the heavy state, the band seen-set,
+    * lives in RocksDB keyed by band). Output: every banded document with
+    * its verdict and lost-band count, doc_id order.
+    *
+    * The oracle states the same rule declaratively over the batch
+    * corpus: kept ⟺ the doc is the MIN doc_id on each of its bands —
+    * per-band window minima, no recursion — which is exactly the
+    * batch-equivalence the replay contract promises.
+    */
+  def qStreamNeardup(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_neardup")
+    // 4 state partitions: sized to the STATE (one long per distinct band
+    // key), not the core count — the startWithStatePartitions stance; at
+    // real feed volume this is the knob that grows with the band space.
+    val query = startWithStatePartitions(spark, 4) {
+      import spark.implicits._
+      graft.operators.TextOps
+        .minhashBandRows(docsStream(spark, stageDocReplayDir(spark, d)))
+        .select(col("band_key"), col("doc_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new BandClaimProcessor, TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("lost"), 1L).otherwise(0L)).as("n_lost"))
+      .select(col("doc_id"), (col("n_lost") === 0L).as("kept"), col("n_lost"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The click→view follow join shape shared by [[qStreamJoin]] and the
     * MemoryStream specs: a self-join of the events stream, each side
     * filtered to one event type and watermarked, pairing each click with
@@ -1377,6 +1524,7 @@ object StreamOps extends Serializable {
     "q_stream_session_tws" -> qStreamSessionTws _,
     "q_stream_ewma"        -> qStreamEwma _,
     "q_stream_dedup"       -> qStreamDedup _,
+    "q_stream_neardup"     -> qStreamNeardup _,
     "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_stream_enrich_scd2" -> qStreamEnrichScd2 _,
@@ -1477,6 +1625,24 @@ object StreamOps extends Serializable {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // Declarative twin of the online band-claim rule (see qStreamNeardup):
+    // kept ⟺ min doc_id on EVERY band; n_lost = bands an earlier doc took.
+    "q_stream_neardup" ->
+      s"""WITH sig AS (
+         |${graft.operators.TextOps.sigSql}
+         |), bands AS (
+         |  ${graft.operators.TextOps.bandsSql}
+         |), m AS (
+         |  SELECT doc_id,
+         |         MIN(doc_id) OVER (PARTITION BY band_idx, bkey) AS mn
+         |  FROM bands
+         |)
+         |SELECT doc_id,
+         |       CAST(SUM(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT) = 0
+         |         AS kept,
+         |       CAST(SUM(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_lost
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_stream_distinct" ->
       """WITH wm AS (
         |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 70 MINUTE AS w FROM events

@@ -224,6 +224,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_quantiles is EXACT in the GK exact domain (n < accuracy) and partition-invariant") {
+    // The driver gate rides this: under the 10^4 accuracy every sample is
+    // retained, so the sketch returns the exact rank-⌈p·n⌉ element — the
+    // same element q_quantiles selects — for ANY partitioning (merges
+    // concatenate below the compress threshold).
+    val exact = Analytics.qQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val base = Analytics.qApproxQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(base == exact)
+    for (parts <- Seq(1, 4, 32)) {
+      val sp = spark
+      import org.apache.spark.sql.functions.{percentile_approx, array, lit, col}
+      val got = Tables.events(sp, sfDir).repartition(parts)
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+        .select(col("event_type"),
+          col("qs").getItem(0).as("p25"),
+          col("qs").getItem(1).as("p50"),
+          col("qs").getItem(2).as("p75"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got == exact, s"parts=$parts diverged from exact quantiles")
+    }
+  }
+
   test("ArgMaxLong: NaN counts as greatest (like max), null never wins, any partitioning") {
     import spark.implicits._
     val rows = Seq(
@@ -612,6 +639,52 @@ class AnalyticsSpec extends SparkSpec {
     val deltaRows = Tables.events(spark, sfDir)
       .filter(col("ts") >= lit("2024-01-30 00:00:00").cast("timestamp")).count()
     assert(deltaRows > 0 && deltaRows < Tables.events(spark, sfDir).count())
+  }
+
+  test("q_incremental_agg merge algebra is associative over a THIRD partial, bit-exactly") {
+    // The property that makes the pattern safe as a standing nightly job:
+    // yesterday's merged state absorbed into today's delta must equal
+    // merging the three raw partials in any association — decimal-exact,
+    // rounded to double ONCE at the end (the operator's own contract).
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.DecimalType
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    val decZero = lit(0).cast(DecimalType(38, 6))
+    def merge(a: DataFrame, b: DataFrame): DataFrame = {
+      val l = a.withColumnsRenamed(Map("n" -> "n_s", "sum_v" -> "sum_s",
+        "min_v" -> "min_s", "max_v" -> "max_s"))
+      val r = b.withColumnsRenamed(Map("n" -> "n_d", "sum_v" -> "sum_d",
+        "min_v" -> "min_d", "max_v" -> "max_d"))
+      l.join(r, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+          (coalesce(col("sum_s"), decZero) + coalesce(col("sum_d"), decZero)).as("sum_v"),
+          least(col("min_s"), col("min_d")).as("min_v"),
+          greatest(col("max_s"), col("max_d")).as("max_v"))
+    }
+    def finish(df: DataFrame): Map[String, (Long, Double, Double, Double)] =
+      df.select(col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_v"), col("min_v"), col("max_v"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+    val ev = Tables.events(spark, sfDir)
+    val c1 = lit("2024-01-15 00:00:00").cast("timestamp")
+    val c2 = lit("2024-01-30 00:00:00").cast("timestamp")
+    val p1 = partials(ev.filter(col("ts") < c1))
+    val p2 = partials(ev.filter(col("ts") >= c1 && col("ts") < c2))
+    val p3 = partials(ev.filter(col("ts") >= c2))
+    // All three slices must be non-trivial or associativity is vacuous.
+    Seq(p1, p2, p3).foreach(p => assert(p.count() > 0))
+    val leftAssoc = finish(merge(merge(p1, p2), p3))
+    val rightAssoc = finish(merge(p1, merge(p2, p3)))
+    val onePass = finish(partials(ev))
+    assert(leftAssoc == rightAssoc)
+    assert(leftAssoc == onePass)
   }
 
   test("q_first_last: accessors match each user's (ts, event_id)-ordered history") {

@@ -645,6 +645,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q_stream_neardup admission equals the batch LSH pair rule (kept = never a doc_b)") {
+    // Independent derivation from the BATCH candidate stage: minhashPairs
+    // emits (doc_a < doc_b) for every band-sharing pair, so a document is
+    // admitted by the online rule iff it never appears as doc_b. Also
+    // pins that the verdict domain is exactly the banded (signature-
+    // bearing) documents and that cross-tick state rejects tick-2 dups.
+    val got = StreamOps.qStreamNeardup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    val banded = graft.operators.TextOps.qMinhashSig(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.keySet == banded, "verdict domain = signature-bearing docs")
+    val pairs = graft.operators.TextOps.qMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val losers = pairs.map(_._2).toSet
+    got.foreach { case (d, (kept, nLost)) =>
+      assert(kept == !losers.contains(d), s"doc $d admission mismatch")
+      assert(kept == (nLost == 0L))
+    }
+    // Non-vacuous both ways, and the dedup actually crossed the replay
+    // tick boundary (some tick-2 doc lost to a tick-1 claim).
+    assert(got.values.exists(_._1) && got.values.exists(!_._1))
+    val cut = {
+      val ids = banded.toSeq.sorted; ids(ids.size / 2 - 1)
+    }
+    assert(got.exists { case (d, (kept, _)) => d > cut && !kept },
+      "a newer-half doc must have been rejected against older-half state")
+  }
+
   test("transformWithState EWMA: recurrence crosses batch and timer boundaries") {
     val rocks = spark.newSession()
     rocks.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -578,6 +578,30 @@ class TextOpsSpec extends SparkSpec {
     assert(hops == (0L to hops.max).toSet)
   }
 
+  test("bfsFirstReach: the shuffle-join fallback path equals the broadcast path on a dense graph") {
+    import spark.implicits._
+    // Dense synthetic graph: a 40-clique plus a 3-hop tail, so level-1
+    // frontier (39 nodes) exceeds a broadcastMax of 0 at EVERY level —
+    // the guard's big-frontier branch runs for real, not vacuously.
+    val clique = for (a <- 0L until 40L; b <- (a + 1) until 40L) yield (a, b)
+    val tail = Seq((39L, 100L), (100L, 101L), (101L, 102L))
+    val edges = (clique ++ tail).toDF("u", "v")
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+    val seed = dir.agg(org.apache.spark.sql.functions.min(col("src")).as("id"))
+    def run(broadcastMax: Long): Map[Long, Long] =
+      TextOps.bfsFirstReach(dir, seed, 3, broadcastMax).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaShuffle = run(0L)
+    val viaBroadcast = run(Long.MaxValue)
+    assert(viaShuffle == viaBroadcast)
+    // Structure: clique peers at hop 1, tail at hops 2..3 (102 is 4 hops
+    // out — beyond budget, absent).
+    assert(viaShuffle(0L) == 0L && viaShuffle(39L) == 1L &&
+      viaShuffle(100L) == 2L && viaShuffle(101L) == 3L &&
+      !viaShuffle.contains(102L))
+  }
+
   test("q_phrase_search matches a brute-force sliding-window scan of the raw text") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
