@@ -30,6 +30,7 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracle),
       (Ranking.queries, Ranking.oracle),
       (Mining.queries, Mining.oracle),
+      (Stats.queries, Stats.oracle),
       (Behavior.queries, Behavior.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
       (graft.sources.FileSources.queries, graft.sources.FileSources.oracle),

@@ -1,0 +1,651 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical-statistics operators (SURVEY.md §2e extensions, round 8):
+  * rank correlation (Spearman, Kendall τ-b), one-way ANOVA, Cramér's V,
+  * IQR outlier fencing, Theil–Sen robust trend, Holt double exponential
+  * smoothing, and Jensen–Shannon source drift — the hypothesis-testing /
+  * drift-detection layer a data platform runs on top of the dependence
+  * diagnostics in [[Mining]]. The reference's analytic surface stops at
+  * counts and a latest-row insight (/root/reference/app.py:200-293);
+  * these are the inferential-statistics analogs, each reduced to a
+  * domain-sized relation before any expensive step.
+  *
+  * Shared determinism contract (the [[Mining]] one): every statistic is
+  * assembled from EXACT BIGINT counts/rank sums/quantized cents; doubles
+  * appear only in final projections with ONE literal parenthesization
+  * mirrored in the oracle, logs go through the libm-exact
+  * [[graft.functions.LnLibm]], and cross-group sums of doubles use
+  * ordered folds (`sort_array` + `aggregate` here, `list_reduce` with
+  * `ORDER BY` in DuckDB).
+  */
+object Stats {
+
+  private def lnLibm(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.LnLibm(
+      org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** q_spearman — Spearman rank correlation between event `value` and
+    * event TIME (epoch µs): "does the metric trend over the capture
+    * window" as a distribution-free statistic, the drift probe that is
+    * robust to the metric's scale and to outliers (unlike [[Mining]]'s
+    * Pearson `q_corr`). Ties are handled exactly via midranks — ρ is
+    * Pearson over midranks, and 2·midrank = 2·cum_lt + t + 1 is an
+    * INTEGER, so every moment (Σr, Σr², Σrxry) folds as an exact BIGINT
+    * in any partitioning; ρ itself is one pinned double chain at the end.
+    *
+    * Plan: the rank tables are |distinct value| / |distinct ts| relations
+    * (domain-sized — the [[Mining.qMannWhitney]] stance) built with one
+    * unpartitioned window each over the DISTINCT-value histogram, then
+    * rows join their two midranks back by equality (AQE broadcasts the
+    * value side; the ts side shuffles on the join key once). The moment
+    * fold is one map-side-partial hash aggregate. BIGINT bounds: 2r ≤
+    * 2n+1, so Σ(2rx·2ry) ≤ n·(2n+1)² — exact through n ≈ 10⁵·…; past
+    * ~10⁶ rows the moments belong in DECIMAL(38,0) on both engines
+    * (documented bound, same class as q_mann_whitney's tie term).
+    */
+  def qSpearman(spark: SparkSession, d: String): DataFrame = {
+    val rows = events(spark, d)
+      .select(col("value").as("x"), unix_micros(col("ts")).as("y"))
+    def midranks(src: DataFrame, key: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(key)).rowsBetween(Window.unboundedPreceding, 0)
+      src.groupBy(col(key)).agg(count(lit(1)).as("nv"))
+        .select(col(key),
+          (lit(2L) * (sum(col("nv")).over(w) - col("nv")) +
+            col("nv") + lit(1L)).as(out))
+    }
+    rows
+      .join(midranks(rows, "x", "rx2"), "x")
+      .join(midranks(rows, "y", "ry2"), "y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+        sum(col("rx2") * col("ry2")).as("sxy"),
+        sum(col("rx2") * col("rx2")).as("sxx"),
+        sum(col("ry2") * col("ry2")).as("syy"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+          .as("rho"))
+  }
+
+  /** q_kendall_tau — Kendall τ-b between hour-of-capture and the
+    * 50-unit `value` band, computed on the CONTINGENCY TABLE: both axes
+    * are binned (24 hours × ~10 bands → ≤ a few hundred cells), so
+    * concordant/discordant mass comes from a cells×cells join — work is
+    * |cells|², a CONSTANT, never the O(n²) row-pair definition. This is
+    * how τ is computable at 100 TB at all: bin first (the analyst's
+    * resolution choice), then the pair statistic is exact ON THE BINNED
+    * marginals, ties handled by the τ-b correction.
+    *
+    * Determinism: P, Q, tie terms and n(n−1)/2 are exact BIGINTs
+    * (bounded by n² /2 — fine through n ≈ 3·10⁹); τ-b is one pinned
+    * double chain.
+    */
+  def qKendallTau(spark: SparkSession, d: String): DataFrame = {
+    val cells = graft.Tables.cacheForSelfJoin(
+      events(spark, d)
+        .select(hour(col("ts")).cast("long").as("hx"),
+          floor(col("value") / lit(50.0)).as("hy"))
+        .groupBy(col("hx"), col("hy")).agg(count(lit(1)).as("m")))
+    val pairs = cells.select(col("hx").as("ax"), col("hy").as("ay"), col("m").as("ma"))
+      .join(cells.select(col("hx").as("bx"), col("hy").as("by"), col("m").as("mb")),
+        col("ax") < col("bx"))
+      .agg(
+        sum(when(col("ay") < col("by"), col("ma") * col("mb")).otherwise(0L)).as("p"),
+        sum(when(col("ay") > col("by"), col("ma") * col("mb")).otherwise(0L)).as("q"))
+    val margins = cells.agg(sum(col("m")).as("n"))
+    val tx = cells.groupBy(col("hx")).agg(sum(col("m")).as("nx"))
+      .agg(sum(expr("nx * (nx - 1) div 2")).as("tx"))
+    val ty = cells.groupBy(col("hy")).agg(sum(col("m")).as("ny"))
+      .agg(sum(expr("ny * (ny - 1) div 2")).as("ty"))
+    pairs.crossJoin(broadcast(margins))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("n"), col("p").as("n_conc"), col("q").as("n_disc"),
+        ((col("p") - col("q")).cast("double") /
+          sqrt(expr("CAST(n * (n - 1) div 2 - tx AS DOUBLE)") *
+            expr("CAST(n * (n - 1) div 2 - ty AS DOUBLE)")))
+          .as("tau_b"))
+  }
+
+  /** q_anova — one-way ANOVA F-test of `value` across event types: are
+    * the five types' means distinguishable, the first question an A/B/n
+    * readout answers. Values are quantized to cents
+    * (`floor(v·100 + 0.5)` — the [[Mining.qBenford]] fixed-point
+    * contract) so per-group n, Σx, Σx² are EXACT BIGINTs; the
+    * between/within split uses A = Σ_g S_g²/n_g assembled as an ORDERED
+    * double fold over the k ≈ 5 group rows (group-sized, not
+    * data-sized), and F is one pinned chain. Bound: Σx² stays exact
+    * while cents²·rows < 2⁶³ — ~4·10⁸ rows at this value range;
+    * beyond, the moment fold widens to DECIMAL(38,0) on both engines.
+    *
+    * Plan: ONE map-side-partial hash aggregate to k rows, then
+    * constant-sized arithmetic. Nothing else touches the data.
+    */
+  def qAnova(spark: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    events(spark, d)
+      .select(col("event_type"), cents.as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("s_g"),
+        sum(col("c") * col("c")).as("ss_g"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+        sort_array(collect_list(struct(col("event_type").as("g"),
+          (col("s_g").cast("double") * col("s_g").cast("double") /
+            col("n_g").cast("double")).as("a")))).as("ga"))
+      .select(col("k"), col("n"), col("s"), col("ss"),
+        expr("aggregate(ga, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.a)")
+          .as("a"))
+      .select(col("k"), col("n"),
+        (col("a") - col("s").cast("double") * col("s").cast("double") /
+          col("n").cast("double")).as("ssb"),
+        (col("ss").cast("double") - col("a")).as("ssw"))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        ((col("ssb") / (col("k") - lit(1L)).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double"))).as("f"))
+  }
+
+  /** q_cramers_v — Cramér's V association between event type and the
+    * 7-day capture phase (epoch-day mod 7 — a pure integer phase bucket,
+    * chosen over named weekdays so both engines share one definition):
+    * the normalized-χ² "is behavior day-of-week dependent" check, scale-
+    * free in [0,1] where raw χ² grows with n. χ² is an ORDERED fold over
+    * the ≤ r·c contingency cells (constant-sized after ONE hash
+    * aggregate over the data); V = sqrt(χ² / (n·(min(r,c)−1))) is one
+    * pinned chain over exact BIGINT marginals.
+    */
+  def qCramersV(spark: SparkSession, d: String): DataFrame = {
+    val cells = graft.Tables.cacheForSelfJoin(
+      events(spark, d)
+        .select(col("event_type").as("g"),
+          expr("(unix_micros(ts) div 86400000000) % 7").as("dw"))
+        .groupBy(col("g"), col("dw")).agg(count(lit(1)).as("o")))
+    val rowTot = cells.groupBy(col("g")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("dw")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("g")).as("r"), countDistinct(col("dw")).as("c"))
+    cells
+      .join(broadcast(rowTot), "g").join(broadcast(colTot), "dw")
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("r"), col("c"), col("g"), col("dw"),
+        ((col("o").cast("double") -
+          col("rt").cast("double") * col("ct").cast("double") /
+            col("n").cast("double")) *
+          (col("o").cast("double") -
+            col("rt").cast("double") * col("ct").cast("double") /
+              col("n").cast("double")) /
+          (col("rt").cast("double") * col("ct").cast("double") /
+            col("n").cast("double"))).as("t"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sort_array(collect_list(struct(col("g"), col("dw"), col("t"))))
+        .as("cells"))
+      .select(col("n"), col("r"), col("c"),
+        expr("aggregate(cells, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)")
+          .as("chi2"))
+      .select(col("n"), col("r"), col("c"), col("chi2"),
+        sqrt(col("chi2") / (col("n").cast("double") *
+          (least(col("r"), col("c")) - lit(1L)).cast("double"))).as("v"))
+  }
+
+  /** q_iqr_outliers — Tukey-fence outlier audit per event type: q1/q3 by
+    * the SQL-standard continuous interpolation (the exact
+    * [[Analytics.qPercentileCont]] rank-arithmetic pattern — no sketch),
+    * fences at q1 − 1.5·IQR / q3 + 1.5·IQR, and the count + share of
+    * rows outside them — the robust screening step before any
+    * mean-based statistic ([[qAnova]]) is trusted.
+    *
+    * Plan: one per-type ranked window (parallel across types, sort
+    * amortized by the grouping shuffle) → 5-row fence table → broadcast
+    * back onto one more scan for the outside-count. Determinism: rank
+    * positions are integer arithmetic; the fence chain q1 − (1.5·(q3−q1))
+    * is pinned and replayed verbatim by the oracle, so the double
+    * comparisons agree bit-for-bit.
+    */
+  def qIqrOutliers(spark: SparkSession, d: String): DataFrame = {
+    val byValue = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val all = Window.partitionBy(col("event_type"))
+    val ranked = events(spark, d)
+      .select(col("event_type"), col("value"),
+        row_number().over(byValue).as("rn"),
+        count(lit(1)).over(all).as("cnt"))
+    def pos(q: Double) = lit(1.0) + (lit(q) * (col("cnt") - 1).cast("double"))
+    def lo(q: Double)  = floor(pos(q))
+    def hi(q: Double)  = least(lo(q) + 1, col("cnt"))
+    def pick(q: Double, tag: String) = Seq(
+      max(when(col("rn") === lo(q), col("value"))).as(s"v_lo$tag"),
+      max(when(col("rn") === hi(q), col("value"))).as(s"v_hi$tag"),
+      max(pos(q) - lo(q).cast("double")).as(s"frac$tag"))
+    def lerp(tag: String) =
+      col(s"v_lo$tag") + ((col(s"v_hi$tag") - col(s"v_lo$tag")) * col(s"frac$tag"))
+    val m = pick(0.25, "25") ++ pick(0.75, "75")
+    val fences = ranked.groupBy(col("event_type"))
+      .agg(m.head, m.tail: _*)
+      .select(col("event_type"),
+        lerp("25").as("q1"), lerp("75").as("q3"))
+      .select(col("event_type"), col("q1"), col("q3"),
+        (col("q1") - (lit(1.5) * (col("q3") - col("q1")))).as("lo"),
+        (col("q3") + (lit(1.5) * (col("q3") - col("q1")))).as("hi"))
+    events(spark, d)
+      .join(broadcast(fences), "event_type")
+      .groupBy(col("event_type"), col("q1"), col("q3"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_out"))
+      .select(col("event_type"), col("q1"), col("q3"), col("lo"), col("hi"),
+        col("n_out"),
+        (col("n_out").cast("double") / col("n_rows").cast("double"))
+          .as("out_share"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_theil_sen — Theil–Sen robust trend of monthly order revenue: the
+    * median of all pairwise month-to-month slopes (and the median-residual
+    * intercept), the estimator that shrugs off the outlier months that
+    * wreck OLS ([[Mining.qLinreg]]'s fragile twin). The data collapses to
+    * the ~80-row MONTHLY series first (exact cents sums — one hash agg),
+    * so the "all pairs" is months², a calendar-bounded constant at any
+    * data volume — the same domain-sized-tail stance as every quadratic
+    * statistic in this module.
+    *
+    * Determinism: slopes are double ratios of exact BIGINTs (identical
+    * IEEE division both engines); medians are LOWER medians picked by
+    * row_number over the total order (slope, ma, mb) / (resid, mi) — no
+    * averaging, no float summation anywhere.
+    */
+  def qTheilSen(spark: SparkSession, d: String): DataFrame = {
+    val monthly = graft.Tables.cacheForSelfJoin(
+      orders(spark, d)
+        .select((year(col("o_orderdate")) * lit(12L) +
+          (month(col("o_orderdate")) - lit(1L))).as("mi"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("mi")).agg(sum(col("c")).as("cents")))
+    val slopes = monthly.select(col("mi").as("ma"), col("cents").as("ca"))
+      .join(monthly.select(col("mi").as("mb"), col("cents").as("cb")),
+        col("ma") < col("mb"))
+      .select(col("ma"), col("mb"),
+        ((col("cb") - col("ca")).cast("double") /
+          (col("mb") - col("ma")).cast("double")).as("slope"))
+    val ws = Window.orderBy(col("slope"), col("ma"), col("mb"))
+    val slopeMed = slopes
+      .select(col("slope"), row_number().over(ws).as("rn"),
+        count(lit(1)).over().as("n_pairs"))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("slope"), col("n_pairs"))
+    val wr = Window.orderBy(col("resid"), col("mi"))
+    monthly.crossJoin(broadcast(slopeMed))
+      .select(col("mi"), col("n_pairs"), col("slope"),
+        (col("cents").cast("double") - col("slope") * col("mi").cast("double"))
+          .as("resid"))
+      .select(col("mi"), col("n_pairs"), col("slope"), col("resid"),
+        row_number().over(wr).as("rn"), count(lit(1)).over().as("n_months"))
+      .filter(col("rn") === expr("(n_months + 1) div 2"))
+      .select(col("n_months").cast("long").as("n_months"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("slope"), col("resid").as("intercept"))
+  }
+
+  /** q_holt — Holt double exponential smoothing (level + trend) of the
+    * per-type DAILY event-count series, α = β = 1/2: the forecasting
+    * upgrade of [[Mining.qEwma]] (which tracks level only — a trending
+    * series lags it forever). Like q_ewma the recurrence is inherently
+    * sequential, so the log collapses to the (type × days) histogram
+    * first and the fold runs per type over the calendar-bounded series;
+    * α = β = 1/2 keeps every state value a DYADIC rational — the fold is
+    * bit-exact in IEEE double on both engines, not just
+    * deterministically rounded. Initialization: l₀ = x₀, b₀ = 0 via a
+    * −1 sentinel (counts are ≥ 0). Output includes the one-step
+    * forecast l + b — the value a monitoring baseline would page on.
+    */
+  def qHolt(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("x")))).as("dx"))
+      .select(col("event_type"), col("n_days"),
+        expr("aggregate(dx, named_struct('l', CAST(-1.0 AS DOUBLE), " +
+          "'b', CAST(0.0 AS DOUBLE)), (acc, e) -> " +
+          "IF(acc.l < CAST(0.0 AS DOUBLE), " +
+          "named_struct('l', CAST(e.x AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)), " +
+          "named_struct(" +
+          "'l', CAST(0.5 AS DOUBLE) * CAST(e.x AS DOUBLE) + " +
+          "CAST(0.5 AS DOUBLE) * (acc.l + acc.b), " +
+          "'b', CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(e.x AS DOUBLE) + " +
+          "CAST(0.5 AS DOUBLE) * (acc.l + acc.b)) - acc.l) + " +
+          "CAST(0.5 AS DOUBLE) * acc.b)))").as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + col("st.b")).as("forecast"))
+      .orderBy(col("event_type"))
+
+  /** q_js_div — Jensen–Shannon divergence between every pair of ingest
+    * SOURCES' token distributions: the symmetric, bounded (≤ ln 2) drift
+    * score a corpus pipeline uses to spot a feed whose content shifted —
+    * the pairwise generalization of [[Mining.qPsi]]'s binned PSI.
+    * JSD(P,Q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2, with absent
+    * terms contributing p·ln2 (the 0-handling CASE both engines share).
+    *
+    * Plan: the corpus collapses to the (source × vocab) count matrix in
+    * ONE hash aggregate; pair scoring is (sources choose 2) × |vocab| —
+    * both factors are corpus-metadata-sized, so at 100 TB the expensive
+    * part remains the single tokenizing scan, like every corpus statistic
+    * here. Per-pair term sums are ordered folds (term-sorted), ln through
+    * [[graft.functions.LnLibm]].
+    *
+    * Output is QUANTIZED — jsd_e12 = floor(jsd·10¹² + ½) as BIGINT — the
+    * [[Analytics.qGeoDistance]] floor contract, because this query found
+    * the first measured input where `Math.log` (HotSpot/fdlibm) and
+    * glibc's `log` (DuckDB) disagree by 1 ulp (x = 0.8975352112676056,
+    * bits …779: Java …896 vs libm …895), so raw-double ln output cannot
+    * hash-match across engines in general. 10⁻¹² granularity dwarfs the
+    * ulp-scale divergence; StatsSpec's margin tripwire asserts every
+    * pair's jsd·10¹² sits far from its rounding boundary.
+    */
+  def qJsDiv(spark: SparkSession, d: String): DataFrame = {
+    val ct = graft.Tables.cacheForSelfJoin(
+      documents(spark, d)
+        .select(col("source").as("src"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("src"), col("term")).agg(count(lit(1)).as("c")))
+    val tot = ct.groupBy(col("src")).agg(sum(col("c")).as("tot"))
+    val vocab = ct.select(col("term")).distinct()
+    val srcs = tot.select(col("src"), col("tot"))
+    val pairs = srcs.select(col("src").as("src_a"), col("tot").as("tot_a"))
+      .join(srcs.select(col("src").as("src_b"), col("tot").as("tot_b")),
+        col("src_a") < col("src_b"))
+    val p = col("ca").cast("double") / col("tot_a").cast("double")
+    val q = col("cb").cast("double") / col("tot_b").cast("double")
+    val m = (p + q) / lit(2.0)
+    pairs.crossJoin(vocab)
+      .join(ct.select(col("src").as("src_a"), col("term"), col("c").as("ca")),
+        Seq("src_a", "term"), "left")
+      .join(ct.select(col("src").as("src_b"), col("term"), col("c").as("cb")),
+        Seq("src_b", "term"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+      .select(col("src_a"), col("src_b"), col("term"),
+        (when(col("ca") > 0L, (lit(0.5) * p) * lnLibm(p / m)).otherwise(lit(0.0)) +
+          when(col("cb") > 0L, (lit(0.5) * q) * lnLibm(q / m)).otherwise(lit(0.0)))
+          .as("t"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sort_array(collect_list(struct(col("term"), col("t")))).as("ts"))
+      .select(col("src_a"), col("src_b"),
+        floor(expr("aggregate(ts, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)") *
+          lit(1.0e12) + lit(0.5)).cast("long").as("jsd_e12"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spearman"     -> qSpearman _,
+    "q_kendall_tau"  -> qKendallTau _,
+    "q_anova"        -> qAnova _,
+    "q_cramers_v"    -> qCramersV _,
+    "q_iqr_outliers" -> qIqrOutliers _,
+    "q_theil_sen"    -> qTheilSen _,
+    "q_holt"         -> qHolt _,
+    "q_js_div"       -> qJsDiv _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_spearman" ->
+      """WITH r AS (SELECT value AS x, epoch_us(ts) AS y FROM events),
+        |xr AS (
+        |  SELECT x, COUNT(*) AS nv,
+        |         SUM(COUNT(*)) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |           - COUNT(*) AS cumlt
+        |  FROM r GROUP BY x
+        |), xr2 AS (SELECT x, 2 * cumlt + nv + 1 AS rx2 FROM xr),
+        |yr AS (
+        |  SELECT y, COUNT(*) AS nv,
+        |         SUM(COUNT(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+        |           - COUNT(*) AS cumlt
+        |  FROM r GROUP BY y
+        |), yr2 AS (SELECT y, 2 * cumlt + nv + 1 AS ry2 FROM yr),
+        |s AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(rx2) AS BIGINT) AS sx,
+        |         CAST(SUM(ry2) AS BIGINT) AS sy,
+        |         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+        |         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+        |         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+        |  FROM r JOIN xr2 USING (x) JOIN yr2 USING (y)
+        |)
+        |SELECT n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+        |FROM s""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH cells AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS hx,
+        |         CAST(floor(value / 50.0) AS BIGINT) AS hy,
+        |         COUNT(*) AS m
+        |  FROM events GROUP BY 1, 2
+        |), pq AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN a.hy < b.hy THEN a.m * b.m ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN a.hy > b.hy THEN a.m * b.m ELSE 0 END) AS BIGINT) AS q
+        |  FROM cells a JOIN cells b ON a.hx < b.hx
+        |), marg AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM cells),
+        |tx AS (
+        |  SELECT CAST(SUM(nx * (nx - 1) // 2) AS BIGINT) AS tx
+        |  FROM (SELECT CAST(SUM(m) AS BIGINT) AS nx FROM cells GROUP BY hx)
+        |), ty AS (
+        |  SELECT CAST(SUM(ny * (ny - 1) // 2) AS BIGINT) AS ty
+        |  FROM (SELECT CAST(SUM(m) AS BIGINT) AS ny FROM cells GROUP BY hy)
+        |)
+        |SELECT n, p AS n_conc, q AS n_disc,
+        |       CAST(p - q AS DOUBLE)
+        |       / sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)
+        |              * CAST(n * (n - 1) // 2 - ty AS DOUBLE)) AS tau_b
+        |FROM pq, marg, tx, ty""".stripMargin,
+    "q_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*) AS n_g,
+        |         CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_g,
+        |         CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+        |                  * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss_g
+        |  FROM events GROUP BY event_type
+        |), s AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |         CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(ss_g) AS BIGINT) AS ss,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |                / CAST(n_g AS DOUBLE) ORDER BY event_type)),
+        |           (acc, x) -> acc + x) AS a
+        |  FROM g
+        |), parts AS (
+        |  SELECT k, n,
+        |         a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |         CAST(ss AS DOUBLE) - a AS ssw
+        |  FROM s
+        |)
+        |SELECT k, n, ssb, ssw,
+        |       (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS f
+        |FROM parts""".stripMargin,
+    "q_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type AS g, (epoch_us(ts) // 86400000000) % 7 AS dw,
+        |         COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (SELECT g, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY g),
+        |ct AS (SELECT dw, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY dw),
+        |n AS (
+        |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |         CAST(COUNT(DISTINCT g) AS BIGINT) AS r,
+        |         CAST(COUNT(DISTINCT dw) AS BIGINT) AS c
+        |  FROM cells
+        |), terms AS (
+        |  SELECT n.n, n.r, n.c, cells.g, cells.dw,
+        |         (CAST(o AS DOUBLE)
+        |            - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |              / CAST(n.n AS DOUBLE))
+        |         * (CAST(o AS DOUBLE)
+        |            - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |              / CAST(n.n AS DOUBLE))
+        |         / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |            / CAST(n.n AS DOUBLE)) AS t
+        |  FROM cells JOIN rt USING (g) JOIN ct USING (dw) CROSS JOIN n
+        |), chi AS (
+        |  SELECT n, r, c,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(t ORDER BY g, dw)), (acc, x) -> acc + x) AS chi2
+        |  FROM terms GROUP BY n, r, c
+        |)
+        |SELECT n, r, c, chi2,
+        |       sqrt(chi2 / (CAST(n AS DOUBLE)
+        |                    * CAST(least(r, c) - 1 AS DOUBLE))) AS v
+        |FROM chi""".stripMargin,
+    "q_iqr_outliers" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events
+        |), q AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = CAST(floor(1.0 + (0.25 * CAST(cnt - 1 AS DOUBLE))) AS BIGINT)
+        |             THEN value END) AS v_lo25,
+        |    MAX(CASE WHEN rn = least(CAST(floor(1.0 + (0.25 * CAST(cnt - 1 AS DOUBLE))) AS BIGINT) + 1, cnt)
+        |             THEN value END) AS v_hi25,
+        |    MAX((1.0 + (0.25 * CAST(cnt - 1 AS DOUBLE)))
+        |        - floor(1.0 + (0.25 * CAST(cnt - 1 AS DOUBLE)))) AS frac25,
+        |    MAX(CASE WHEN rn = CAST(floor(1.0 + (0.75 * CAST(cnt - 1 AS DOUBLE))) AS BIGINT)
+        |             THEN value END) AS v_lo75,
+        |    MAX(CASE WHEN rn = least(CAST(floor(1.0 + (0.75 * CAST(cnt - 1 AS DOUBLE))) AS BIGINT) + 1, cnt)
+        |             THEN value END) AS v_hi75,
+        |    MAX((1.0 + (0.75 * CAST(cnt - 1 AS DOUBLE)))
+        |        - floor(1.0 + (0.75 * CAST(cnt - 1 AS DOUBLE)))) AS frac75
+        |  FROM ranked GROUP BY event_type
+        |), fences AS (
+        |  SELECT event_type,
+        |         v_lo25 + ((v_hi25 - v_lo25) * frac25) AS q1,
+        |         v_lo75 + ((v_hi75 - v_lo75) * frac75) AS q3
+        |  FROM q
+        |), f2 AS (
+        |  SELECT event_type, q1, q3,
+        |         q1 - (1.5 * (q3 - q1)) AS lo,
+        |         q3 + (1.5 * (q3 - q1)) AS hi
+        |  FROM fences
+        |)
+        |SELECT e.event_type, q1, q3, lo, hi,
+        |       CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_out,
+        |       CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS out_share
+        |FROM events e JOIN f2 ON e.event_type = f2.event_type
+        |GROUP BY e.event_type, q1, q3, lo, hi
+        |ORDER BY e.event_type""".stripMargin,
+    "q_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT) AS mi,
+        |         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), slopes AS (
+        |  SELECT a.mi AS ma, b.mi AS mb,
+        |         CAST(b.cents - a.cents AS DOUBLE)
+        |           / CAST(b.mi - a.mi AS DOUBLE) AS slope
+        |  FROM monthly a JOIN monthly b ON a.mi < b.mi
+        |), sm AS (
+        |  SELECT slope, n_pairs FROM (
+        |    SELECT slope,
+        |           ROW_NUMBER() OVER (ORDER BY slope, ma, mb) AS rn,
+        |           COUNT(*) OVER () AS n_pairs
+        |    FROM slopes)
+        |  WHERE rn = (n_pairs + 1) // 2
+        |), resid AS (
+        |  SELECT mi, n_pairs, slope,
+        |         CAST(cents AS DOUBLE) - slope * CAST(mi AS DOUBLE) AS resid
+        |  FROM monthly CROSS JOIN sm
+        |)
+        |SELECT CAST(n_months AS BIGINT) AS n_months,
+        |       CAST(n_pairs AS BIGINT) AS n_pairs, slope, resid AS intercept
+        |FROM (
+        |  SELECT n_pairs, slope, resid,
+        |         ROW_NUMBER() OVER (ORDER BY resid, mi) AS rn,
+        |         COUNT(*) OVER () AS n_months
+        |  FROM resid)
+        |WHERE rn = (n_months + 1) // 2""".stripMargin,
+    "q_holt" ->
+      // State rides a LIST [l, b], not a STRUCT: DuckDB's list_reduce
+      // assembles a struct accumulator FIELD-BY-FIELD against the
+      // accumulator storage, so a struct state's second field would see
+      // the first field already overwritten (measured: b' computed with
+      // acc.l = l'); list_value materializes the whole new state from the
+      // old one, matching Spark's functional named_struct semantics.
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), folded AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |         list_reduce(list_prepend(
+        |           [CAST(-1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+        |           list([CAST(x AS DOUBLE)] ORDER BY day)),
+        |           (acc, e) -> CASE WHEN acc[1] < CAST(0.0 AS DOUBLE)
+        |             THEN [e[1], CAST(0.0 AS DOUBLE)]
+        |             ELSE [CAST(0.5 AS DOUBLE) * e[1]
+        |                     + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+        |                   CAST(0.5 AS DOUBLE)
+        |                     * ((CAST(0.5 AS DOUBLE) * e[1]
+        |                         + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))
+        |                        - acc[1])
+        |                     + CAST(0.5 AS DOUBLE) * acc[2]] END) AS st
+        |  FROM daily GROUP BY event_type
+        |)
+        |SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+        |       st[1] + st[2] AS forecast
+        |FROM folded ORDER BY event_type""".stripMargin,
+    "q_js_div" ->
+      """WITH ct AS (
+        |  SELECT source AS src, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT src, term, COUNT(*) AS c FROM ct GROUP BY src, term
+        |), tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY src),
+        |vocab AS (SELECT DISTINCT term FROM cnt),
+        |pairs AS (
+        |  SELECT a.src AS src_a, a.tot AS tot_a, b.src AS src_b, b.tot AS tot_b
+        |  FROM tot a JOIN tot b ON a.src < b.src
+        |), terms AS (
+        |  SELECT src_a, src_b, v.term,
+        |         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb,
+        |         tot_a, tot_b
+        |  FROM pairs CROSS JOIN vocab v
+        |  LEFT JOIN cnt ca ON ca.src = src_a AND ca.term = v.term
+        |  LEFT JOIN cnt cb ON cb.src = src_b AND cb.term = v.term
+        |), scored AS (
+        |  SELECT src_a, src_b, term,
+        |    (CASE WHEN ca > 0 THEN
+        |       (0.5 * (CAST(ca AS DOUBLE) / CAST(tot_a AS DOUBLE)))
+        |       * ln((CAST(ca AS DOUBLE) / CAST(tot_a AS DOUBLE))
+        |            / ((CAST(ca AS DOUBLE) / CAST(tot_a AS DOUBLE)
+        |                + CAST(cb AS DOUBLE) / CAST(tot_b AS DOUBLE)) / 2.0))
+        |     ELSE CAST(0.0 AS DOUBLE) END)
+        |    + (CASE WHEN cb > 0 THEN
+        |       (0.5 * (CAST(cb AS DOUBLE) / CAST(tot_b AS DOUBLE)))
+        |       * ln((CAST(cb AS DOUBLE) / CAST(tot_b AS DOUBLE))
+        |            / ((CAST(ca AS DOUBLE) / CAST(tot_a AS DOUBLE)
+        |                + CAST(cb AS DOUBLE) / CAST(tot_b AS DOUBLE)) / 2.0))
+        |     ELSE CAST(0.0 AS DOUBLE) END) AS t
+        |  FROM terms
+        |)
+        |SELECT src_a, src_b,
+        |       CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list(t ORDER BY term)), (acc, x) -> acc + x)
+        |         * 1.0e12 + 0.5) AS BIGINT) AS jsd_e12
+        |FROM scored GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+  )
+}

@@ -1,0 +1,246 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+
+/** Tests for the classical-statistics surface (round 8) — each statistic is
+  * re-derived brute-force from collected fixture rows (independent of both
+  * the Spark plan and the oracle SQL), replaying the SAME pinned double
+  * chains so equality asserts are exact, not approximate.
+  */
+class StatsSpec extends SparkSpec {
+
+  private def eventRows =
+    Tables.events(spark, sfDir)
+      .select(col("value"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  /** 2·midrank per key value, from the distinct-value histogram. */
+  private def midranks2[K: Ordering](xs: Seq[K]): Map[K, Long] = {
+    val hist = xs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    var cum = 0L
+    hist.map { case (k, nv) =>
+      val r2 = 2L * cum + nv + 1L; cum += nv; k -> r2
+    }.toMap
+  }
+
+  test("q_spearman matches the brute-force midrank Pearson, bit-exactly") {
+    val rows = eventRows.map(r => (r._1, r._2))
+    val rx = midranks2(rows.map(_._1).toSeq)
+    val ry = midranks2(rows.map(_._2).toSeq)
+    val pairs = rows.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.length.toLong
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val expected = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    val got = Stats.qSpearman(spark, sfDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == n)
+    assert(got(0).getDouble(1) == expected)
+    // Σ2r over all rows is 2·(n(n+1)/2) = n(n+1) on both axes — the
+    // midrank identity that catches a rank-table join dropping rows.
+    assert(sx == n * (n + 1L) && sy == sx)
+    assert(math.abs(expected) <= 1.0)
+  }
+
+  test("q_kendall_tau matches the O(n^2) row-pair brute force on the bins") {
+    // Recompute bins exactly as the query: hour-of-day and 50-unit band.
+    val rows = Tables.events(spark, sfDir)
+      .select(hour(col("ts")).cast("long").as("hx"),
+        floor(col("value") / lit(50.0)).as("hy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var p = 0L; var q = 0L
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val (a, b) = (rows(i), rows(j))
+      if (a._1 != b._1 && a._2 != b._2) {
+        if ((a._1 < b._1) == (a._2 < b._2)) p += 1 else q += 1
+      }
+    }
+    val n = rows.length.toLong
+    val n0 = n * (n - 1) / 2
+    val tx = rows.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val ty = rows.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val expected = (p - q).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    val got = Stats.qKendallTau(spark, sfDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == n)
+    assert(got(0).getLong(1) == p, "concordant")
+    assert(got(0).getLong(2) == q, "discordant")
+    assert(got(0).getDouble(3) == expected)
+    assert(math.abs(expected) <= 1.0)
+  }
+
+  test("q_anova matches the brute-force cents decomposition; SSB+SSW = SST") {
+    val cents = eventRows.map(r =>
+      (r._3, math.floor(r._1 * 100.0 + 0.5).toLong))
+    val groups = cents.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val k = groups.length.toLong
+    val n = cents.length.toLong
+    val s = cents.map(_._2).sum
+    val ss = cents.map(c => c._2 * c._2).sum
+    var a = 0.0
+    groups.foreach { case (_, xs) =>
+      val sg = xs.sum
+      a += sg.toDouble * sg.toDouble / xs.length.toDouble
+    }
+    val ssb = a - s.toDouble * s.toDouble / n.toDouble
+    val ssw = ss.toDouble - a
+    val f = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    val got = Stats.qAnova(spark, sfDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == k && got(0).getLong(1) == n)
+    assert(got(0).getDouble(2) == ssb && got(0).getDouble(3) == ssw)
+    assert(got(0).getDouble(4) == f)
+    // Decomposition sanity at double precision.
+    assert(math.abs((ssb + ssw) - (ss.toDouble - s.toDouble * s.toDouble / n.toDouble))
+      < 1e-6 * math.abs(ssw))
+  }
+
+  test("q_cramers_v matches brute force and lands in [0,1]") {
+    val cells = eventRows
+      .map(r => ((r._3, r._2 / 86400000000L % 7L), 1L))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val n = cells.map(_._2).sum
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    var chi2 = 0.0
+    cells.foreach { case ((g, dw), o) =>
+      val e = rt(g).toDouble * ct(dw).toDouble / n.toDouble
+      chi2 += (o.toDouble - e) * (o.toDouble - e) / e
+    }
+    val r = rt.size.toLong; val c = ct.size.toLong
+    val v = math.sqrt(chi2 / (n.toDouble * (math.min(r, c) - 1).toDouble))
+    val got = Stats.qCramersV(spark, sfDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == n && got(0).getLong(1) == r && got(0).getLong(2) == c)
+    assert(got(0).getDouble(3) == chi2)
+    assert(got(0).getDouble(4) == v)
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("q_iqr_outliers matches brute-force interpolated fences per type") {
+    val byType = eventRows.groupBy(_._3)
+    val got = Stats.qIqrOutliers(spark, sfDir).collect()
+    assert(got.length == byType.size)
+    got.foreach { row =>
+      val t = row.getString(0)
+      val vs = byType(t).sortBy(r => (r._1, r._4)).map(_._1)
+      def quant(qq: Double): Double = {
+        val pos = 1.0 + (qq * (vs.length - 1).toDouble)
+        val lo = math.floor(pos).toInt
+        val hi = math.min(lo + 1, vs.length)
+        val frac = pos - math.floor(pos)
+        vs(lo - 1) + ((vs(hi - 1) - vs(lo - 1)) * frac)
+      }
+      val q1 = quant(0.25); val q3 = quant(0.75)
+      val lo = q1 - (1.5 * (q3 - q1)); val hi = q3 + (1.5 * (q3 - q1))
+      val nOut = vs.count(v => v < lo || v > hi).toLong
+      assert(row.getDouble(1) == q1 && row.getDouble(2) == q3, s"$t quantiles")
+      assert(row.getDouble(3) == lo && row.getDouble(4) == hi, s"$t fences")
+      assert(row.getLong(5) == nOut, s"$t n_out")
+      assert(row.getDouble(6) == nOut.toDouble / vs.length.toDouble, s"$t share")
+      assert(q1 <= q3 && lo <= q1 && q3 <= hi)
+    }
+  }
+
+  test("q_theil_sen matches brute-force pairwise-slope medians") {
+    val monthly = Tables.orders(spark, sfDir)
+      .select((year(col("o_orderdate")) * lit(12L) +
+        (month(col("o_orderdate")) - lit(1L))).as("mi"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("mi")).agg(sum(col("c")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- monthly.indices; j <- (i + 1) until monthly.length
+    } yield {
+      val (ma, ca) = monthly(i); val (mb, cb) = monthly(j)
+      ((cb - ca).toDouble / (mb - ma).toDouble, ma, mb)
+    }).sortBy(identity)
+    val slope = slopes((slopes.length + 1) / 2 - 1)._1
+    val resids = monthly
+      .map { case (mi, c) => (c.toDouble - slope * mi.toDouble, mi) }
+      .sortBy(identity)
+    val intercept = resids((resids.length + 1) / 2 - 1)._1
+    val got = Stats.qTheilSen(spark, sfDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == monthly.length.toLong)
+    assert(got(0).getLong(1) == slopes.length.toLong)
+    assert(got(0).getDouble(2) == slope)
+    assert(got(0).getDouble(3) == intercept)
+  }
+
+  test("q_holt matches the sequential reference fold, bit-exactly") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val got = Stats.qHolt(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val t = row.getString(0)
+      val xs = daily.filter(_._1 == t).sortBy(_._2).map(_._3.toDouble)
+      var l = xs.head; var b = 0.0
+      xs.tail.foreach { x =>
+        val l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l2 - l) + 0.5 * b
+        l = l2
+      }
+      assert(row.getLong(1) == xs.length.toLong, s"$t n_days")
+      assert(row.getDouble(2) == l, s"$t level")
+      assert(row.getDouble(3) == b, s"$t trend")
+      assert(row.getDouble(4) == l + b, s"$t forecast")
+      // α = β = 1/2 keeps state dyadic: forecast can't drift beyond the
+      // series' own range by more than the max one-step jump.
+      assert(l >= 0.0)
+    }
+  }
+
+  test("q_js_div is quantization-safe: every pair's jsd*1e12 sits off the boundary") {
+    // Brute-force the RAW jsd per pair with the same Math.log chain, then
+    // assert (a) the quantized output equals floor(raw*1e12 + 0.5) and
+    // (b) raw*1e12 + 0.5 keeps a wide margin from its floor boundary, so a
+    // 1-ulp cross-engine ln divergence (the measured Math.log-vs-glibc gap
+    // that forced the quantized contract) cannot flip any output value.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cnt = docs.flatMap { case (s, t) => t.split(" ").map(w => (s, w)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vocab = cnt.keys.map(_._2).toSeq.distinct.sorted
+    val srcs = tot.keys.toSeq.sorted
+    val raw = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      var s = 0.0
+      vocab.foreach { w =>
+        val ca = cnt.getOrElse((a, w), 0L); val cb = cnt.getOrElse((b, w), 0L)
+        val p = ca.toDouble / tot(a).toDouble
+        val q = cb.toDouble / tot(b).toDouble
+        val m = (p + q) / 2.0
+        val t = (if (ca > 0) (0.5 * p) * math.log(p / m) else 0.0) +
+          (if (cb > 0) (0.5 * q) * math.log(q / m) else 0.0)
+        s += t
+      }
+      (a, b) -> s
+    }).toMap
+    val got = Stats.qJsDiv(spark, sfDir).collect()
+    assert(got.length == raw.size)
+    got.foreach { row =>
+      val key = (row.getString(0), row.getString(1))
+      val r = raw(key)
+      assert(r >= -1e-12 && r <= math.log(2.0) + 1e-12, s"$key jsd bounds")
+      val scaled = r * 1.0e12 + 0.5
+      assert(row.getLong(2) == math.floor(scaled).toLong, s"$key quantized value")
+      val margin = math.min(scaled - math.floor(scaled), math.ceil(scaled) - scaled)
+      assert(margin > 1e-4, s"$key boundary margin $margin")
+    }
+  }
+}
