@@ -834,6 +834,104 @@ object TextOps {
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("deg"))
 
+  /** Max degree of a common neighbor counted by [[qAdamicAdar]]. Hubs
+    * contribute O(1/ln deg) ≈ nothing to the score but deg² to the wedge
+    * join — the stop-node cap every production link predictor applies
+    * (the [[qNgramJaccardCapped]] df-cap stance, read graph-side).
+    */
+  val AaDegCap = 32
+
+  /** q_adamic_adar — Adamic–Adar link prediction over the high-confidence
+    * near-dup graph: for each NON-adjacent pair sharing common neighbors,
+    * AA(a,b) = Σ_{z ∈ N(a)∩N(b), deg(z) ≤ [[AaDegCap]]} 1/ln(deg z) —
+    * "these two documents aren't flagged as near-dups, but their
+    * neighborhoods say they should be": the transitive-closure audit of
+    * the pair stage, ranking the edges the LSH/blocking recall missed.
+    * Top-20 by score.
+    *
+    * Plan: wedges come from the capped-adjacency self-join on the CENTER
+    * node z (work Σ min(deg, cap)² — bounded per node by the cap, never
+    * all-pairs); existing edges leave via one anti-join against the edge
+    * set. Per-pair scores are z-ordered folds of 1/ln(deg) terms.
+    *
+    * Cross-engine ln: Math.log and glibc log agree bit-for-bit on every
+    * INTEGER input 2..4096 (exhaustively verified — unlike the arbitrary
+    * ratios that forced [[Stats.qJsDiv]]'s quantized contract), and
+    * deg ≤ [[AaDegCap]] ≪ that bound, so raw-double output is hash-safe
+    * here.
+    */
+  def qAdamicAdar(spark: SparkSession, d: String): DataFrame = {
+    val edges = graft.Tables.cacheForSelfJoin(
+      simhashPairSet(spark, d)
+        .filter(col("hamming") <= TriangleHamming)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val dir = edges.select(col("u").as("z"), col("v").as("nb"))
+      .union(edges.select(col("v").as("z"), col("u").as("nb")))
+    val deg = dir.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val adj = graft.Tables.cacheForSelfJoin(
+      dir.join(deg.filter(col("deg") <= AaDegCap), "z"))
+    adj.select(col("z"), col("nb").as("a"), col("deg"))
+      .join(adj.select(col("z"), col("nb").as("b")), "z")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("z"),
+        (lit(1.0) / lnLibm(col("deg").cast("double"))).as("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"),
+        sort_array(collect_list(struct(col("z"), col("w")))).as("zw"))
+      .select(col("a"), col("b"), col("n_common"),
+        expr("aggregate(zw, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.w)")
+          .as("aa"))
+      .join(edges, col("a") === col("u") && col("b") === col("v"), "left_anti")
+      .orderBy(col("aa").desc, col("a"), col("b"))
+      .limit(20)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n_common"), col("aa"))
+  }
+
+  /** Synchronous min-label rounds run by [[qLabelProp]]. Bounded (not
+    * to-fixpoint) BY DESIGN: this is the community-detection STEP — the
+    * per-round operator a production LPA schedules — while
+    * [[qDedupGroups]] owns the run-to-convergence connected-components
+    * contract on the MinHash graph. Two rounds already merge every
+    * path-≤2 neighborhood, which is what the near-dup cluster audit
+    * reads.
+    */
+  val LpRounds = 2
+
+  /** q_label_prop — [[LpRounds]] synchronous min-label-propagation rounds
+    * over the high-confidence near-dup graph: every document adopts the
+    * smallest label in its closed neighborhood each round; after r rounds
+    * labels identify every cluster of graph-radius ≤ r. Output is the
+    * full (doc, label) assignment — the input a dedup auditor joins back
+    * onto documents to eyeball cluster membership.
+    *
+    * Plan: per round ONE node-sized rank-style shuffle (edge join +
+    * min-aggregate) exactly like a [[qPagerank]] step — 2m rows in
+    * flight, never adjacency²; rounds are a fixed small constant so the
+    * driver holds no convergence loop at all. All-integer labels →
+    * hash-exact; synchronous semantics (round r+1 reads only round r)
+    * make the result partitioning-independent by construction.
+    */
+  def qLabelProp(spark: SparkSession, d: String): DataFrame = {
+    val edges = graft.Tables.cacheForSelfJoin(
+      simhashPairSet(spark, d)
+        .filter(col("hamming") <= TriangleHamming)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+    var lab = dir.select(col("src").as("n")).distinct()
+      .select(col("n"), col("n").as("label"))
+    for (_ <- 1 to LpRounds) {
+      val nbMin = dir
+        .join(lab.withColumnRenamed("n", "src")
+          .withColumnRenamed("label", "lsrc"), "src")
+        .groupBy(col("dst")).agg(min(col("lsrc")).as("nbmin"))
+      lab = lab.join(nbMin.withColumnRenamed("dst", "n"), "n")
+        .select(col("n"), least(col("label"), col("nbmin")).as("label"))
+    }
+    lab.select(col("n").as("doc_id"), col("label")).orderBy(col("doc_id"))
+  }
+
   /** The [[qPhraseSearch]] phrase — two DISTINCT words (a same-word
     * phrase could overlap itself; distinct words make occurrences
     * disjoint), chosen for a mid-range document frequency.
@@ -1292,6 +1390,47 @@ object TextOps {
           lnLibm(col("n_docs").cast("double") / col("df").cast("double")))
           .as("tfidf"))
       .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** Keywords emitted per document by [[qKeywords]]. */
+  val KeywordsPerDoc = 3
+
+  /** q_keywords — per-document keyword extraction: each document's top-
+    * [[KeywordsPerDoc]] terms by TF-IDF. [[qTfidf]] scores the full
+    * (doc, term) matrix; this is the per-doc head of it — the metadata
+    * tag a corpus pipeline stores alongside each document for routing,
+    * clustering labels, and mixture reporting.
+    *
+    * Plan: the same two hash aggregates + vocab join as q_tfidf, then one
+    * row_number window PARTITIONED BY doc — parallel across documents,
+    * per-partition heap bounded by the doc's distinct-term count. Output
+    * is docs × [[KeywordsPerDoc]] rows.
+    *
+    * Determinism: scores ride [[lnLibm]] on the same n_docs/df ratio
+    * domain q_tfidf's gate already pins; rank order (tfidf DESC, term)
+    * is total given bit-equal scores.
+    */
+  def qKeywords(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenized(spark, d)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(spark, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          lnLibm(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KeywordsPerDoc)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
   }
 
   /** Minimum bigram count to enter the PMI ranking — sparse pairs have
@@ -1877,7 +2016,10 @@ object TextOps {
     "q_triangles"     -> qTriangles _,
     "q_pagerank"      -> qPagerank _,
     "q_degree_dist"   -> qDegreeDist _,
+    "q_adamic_adar"   -> qAdamicAdar _,
+    "q_label_prop"    -> qLabelProp _,
     "q_reach"         -> qReach _,
+    "q_keywords"      -> qKeywords _,
     "q_phrase_search" -> qPhraseSearch _,
     "q_bigram_lm"     -> qBigramLm _,
     "q_curation_funnel" -> qCurationFunnel _,
@@ -2438,6 +2580,74 @@ object TextOps {
          |  GROUP BY n
          |)
          |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+    "q_adamic_adar" ->
+      s"""WITH $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+               s"SELECT doc_id, simhash, $b AS blk, " +
+               s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+             }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), ed AS (
+         |  SELECT doc_a AS u, doc_b AS v
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
+         |), dir AS (
+         |  SELECT u AS z, v AS nb FROM ed UNION ALL SELECT v AS z, u AS nb FROM ed
+         |), deg AS (SELECT z, COUNT(*) AS deg FROM dir GROUP BY z),
+         |adj AS (
+         |  SELECT dir.z, dir.nb, deg.deg FROM dir JOIN deg USING (z)
+         |  WHERE deg.deg <= $AaDegCap
+         |), wedges AS (
+         |  SELECT a.z, a.nb AS a, b.nb AS b, a.deg
+         |  FROM adj a JOIN adj b ON a.z = b.z AND a.nb < b.nb
+         |), agg AS (
+         |  SELECT a, b, COUNT(*) AS n_common,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(CAST(1.0 AS DOUBLE) / ln(CAST(deg AS DOUBLE))
+         |                ORDER BY z)), (acc, x) -> acc + x) AS aa
+         |  FROM wedges GROUP BY a, b
+         |)
+         |SELECT a AS doc_a, b AS doc_b, n_common, aa
+         |FROM agg
+         |WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.u = agg.a AND ed.v = agg.b)
+         |ORDER BY aa DESC, a, b LIMIT 20""".stripMargin,
+    "q_label_prop" ->
+      s"""WITH $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+               s"SELECT doc_id, simhash, $b AS blk, " +
+               s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+             }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), ed AS (
+         |  SELECT doc_a AS u, doc_b AS v
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
+         |), dir AS (
+         |  SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v AS src, u AS dst FROM ed
+         |), l0 AS (
+         |  SELECT n, n AS label FROM (SELECT DISTINCT src AS n FROM dir)
+         |), n1 AS (
+         |  SELECT dir.dst AS n, MIN(l.label) AS nbmin
+         |  FROM dir JOIN l0 l ON l.n = dir.src GROUP BY dir.dst
+         |), l1 AS (
+         |  SELECT l.n, least(l.label, n1.nbmin) AS label FROM l0 l JOIN n1 USING (n)
+         |), n2 AS (
+         |  SELECT dir.dst AS n, MIN(l.label) AS nbmin
+         |  FROM dir JOIN l1 l ON l.n = dir.src GROUP BY dir.dst
+         |), l2 AS (
+         |  SELECT l.n, least(l.label, n2.nbmin) AS label FROM l1 l JOIN n2 USING (n)
+         |)
+         |SELECT n AS doc_id, label FROM l2 ORDER BY doc_id""".stripMargin,
     "q_array_stats" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -2646,6 +2856,29 @@ object TextOps {
         |         ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
         |FROM tf JOIN df USING (term), n
         |ORDER BY tf.doc_id, tf.term""".stripMargin,
+    "q_keywords" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(tf.tf AS DOUBLE) *
+        |           ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN df USING (term), n
+        |), ranked AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, rk, term, tf, df, tfidf
+        |FROM ranked WHERE rk <= $KeywordsPerDoc
+        |ORDER BY doc_id, rk""".stripMargin,
     "q_pmi_bigrams" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split(text, ' ') AS l FROM documents

@@ -875,4 +875,83 @@ class TextOpsSpec extends SparkSpec {
       assert(clean == docs(r.getLong(0)) + " é fin", s"doc ${r.getLong(0)} body")
     }
   }
+
+  /** Undirected near-dup edge set at the triangle threshold, from the
+    * gated pair query — shared input of the round-8 graph specs.
+    */
+  private def hamEdges: Set[(Long, Long)] =
+    TextOps.qSimhashPairs(spark, sfDir).collect()
+      .filter(_.getInt(2) <= TextOps.TriangleHamming)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q_adamic_adar matches brute force and emits only non-edges") {
+    val edges = hamEdges
+    val adjAll = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adjAll.view.mapValues(_.size.toLong).toMap
+    val adj = adjAll.view
+      .filterKeys(z => deg(z) <= TextOps.AaDegCap).toMap
+    // brute-force wedge accumulation, z-ordered like the query's fold
+    val scores = collection.mutable.Map.empty[(Long, Long), (Long, Double)]
+    adj.toSeq.sortBy(_._1).foreach { case (z, nbs) =>
+      val s = nbs.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length) {
+        val key = (s(i), s(j))
+        val (n0, a0) = scores.getOrElse(key, (0L, 0.0))
+        scores(key) = (n0 + 1, a0 + 1.0 / math.log(deg(z).toDouble))
+      }
+    }
+    val nonEdge = scores.view.filterKeys(k => !edges(k)).toMap
+    val expected = nonEdge.toSeq
+      .map { case ((a, b), (n, aa)) => (a, b, n, aa) }
+      .sortBy(t => (-t._4, t._1, t._2)).take(20)
+    val got = TextOps.qAdamicAdar(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == math.min(20, nonEdge.size))
+    // same pair set and counts; aa compared to the fold within 1e-12
+    // (the brute force accumulates in wedge order, not z-sorted-per-pair
+    // fold order, so last-ulp association may differ)
+    assert(got.map(t => (t._1, t._2)).toSet ==
+      expected.map(t => (t._1, t._2)).toSet)
+    got.foreach { case (a, b, n, aa) =>
+      assert(!edges((a, b)), s"($a,$b) is an existing edge")
+      assert(n == nonEdge((a, b))._1, s"($a,$b) n_common")
+      assert(math.abs(aa - nonEdge((a, b))._2) < 1e-12, s"($a,$b) aa")
+    }
+  }
+
+  test("q_label_prop labels equal the min doc_id within graph radius LpRounds") {
+    val edges = hamEdges
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = TextOps.qLabelProp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == adj.keySet)
+    // synchronous min-label: after r rounds each node holds the min id
+    // over its radius-r closed neighborhood
+    adj.keys.foreach { n =>
+      var frontier = Set(n)
+      for (_ <- 1 to TextOps.LpRounds)
+        frontier = frontier ++ frontier.flatMap(adj(_))
+      assert(got(n) == frontier.min, s"node $n")
+    }
+  }
+
+  test("q_keywords emits each doc's top-3 tfidf terms consistent with q_tfidf") {
+    val full = TextOps.qTfidf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val byDoc = full.groupBy(_._1)
+    val got = TextOps.qKeywords(spark, sfDir).collect()
+    assert(got.length == byDoc.size * TextOps.KeywordsPerDoc)
+    got.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
+      val expected = byDoc(doc).sortBy(t => (-t._5, t._2))
+        .take(TextOps.KeywordsPerDoc)
+      rows.sortBy(_.getInt(1)).zip(expected).foreach { case (r, e) =>
+        assert(r.getString(2) == e._2 && r.getLong(3) == e._3 &&
+          r.getLong(4) == e._4 && r.getDouble(5) == e._5,
+          s"doc $doc rank ${r.getInt(1)}")
+      }
+    }
+  }
 }
