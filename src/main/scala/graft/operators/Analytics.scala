@@ -2584,7 +2584,76 @@ object Analytics {
           .as("n_view_click_purchase"))
   }
 
+  /** q_freshness — per-feed staleness monitor: each event type's last
+    * event time and its lag behind the freshest feed — the first page of
+    * every ingestion dashboard ("which source stopped"), and the
+    * Spark-native analog of the reference's 60 s refresh loop's implicit
+    * promise (/root/reference/app.py:37: data is only as fresh as the
+    * last fetch). Times ride epoch-µs BIGINTs end to end (the
+    * [[graft.sources.FileSources]] round-trip stance — no timestamp
+    * formatting ambiguity), lag in whole seconds via integer div.
+    *
+    * Plan: ONE map-side-partial min/max aggregate to |types| rows; the
+    * global watermark is a 1-row broadcast re-aggregated FROM those
+    * |types| rows (the corpus is scanned once, the q_unigram_lm
+    * re-aggregation stance).
+    */
+  def qFreshness(spark: SparkSession, d: String): DataFrame = {
+    val perType = graft.Tables.cacheForSelfJoin(
+      events(spark, d)
+        .groupBy(col("event_type"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("n_events")))
+    val global = perType.agg(max(col("last_us")).as("global_us"))
+    perType.crossJoin(broadcast(global))
+      .select(col("event_type"), col("last_us"),
+        expr("(global_us - last_us) div 1000000").as("lag_sec"),
+        col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Keys reported by [[qSkewReport]]. */
+  val SkewTopK = 20
+
+  /** q_skew_report — hot-key audit of the event log: the top-
+    * [[SkewTopK]] user_ids by row count with each key's share and the
+    * cumulative share — the diagnostic run BEFORE launching any
+    * user-keyed join/agg at scale, because its output is precisely the
+    * decision input for the engine's own skew levers (`q_salted_agg`/
+    * `q_salted_join` when the head is heavy, plain hash partitioning
+    * when it isn't). Companion summary columns put each count in
+    * context: ratio_to_mean = cnt·n_keys/n.
+    *
+    * Plan: ONE map-side-partial count to |keys| rows, TakeOrdered heap
+    * for the top-K, then windows/joins only over the CONSTANT-sized
+    * top-K relation (cum share is a K-row ordered prefix — the q_ks_test
+    * domain-sized-tail stance). Exact BIGINTs everywhere; shares are
+    * pinned double divisions.
+    */
+  def qSkewReport(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.Tables.cacheForSelfJoin(
+      events(spark, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt")))
+    val tot = counts.agg(sum(col("cnt")).as("n"),
+      count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("cnt").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts.orderBy(col("cnt").desc, col("user_id")).limit(SkewTopK)
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .select(col("user_id"), col("cnt"),
+        (col("cnt").cast("double") / col("n").cast("double")).as("share"),
+        (col("cum_cnt").cast("double") / col("n").cast("double"))
+          .as("cum_share"),
+        (col("cnt").cast("double") * col("n_keys").cast("double") /
+          col("n").cast("double")).as("ratio_to_mean"))
+      .orderBy(col("cnt").desc, col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_freshness"       -> qFreshness _,
+    "q_skew_report"     -> qSkewReport _,
     "q_scd2"            -> qScd2 _,
     "q_scd2_apply"      -> qScd2Apply _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
@@ -2680,6 +2749,37 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_freshness" ->
+      """WITH pt AS (
+        |  SELECT event_type, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY event_type
+        |), g AS (SELECT CAST(MAX(last_us) AS BIGINT) AS global_us FROM pt)
+        |SELECT event_type, last_us,
+        |       (global_us - last_us) // 1000000 AS lag_sec,
+        |       n_events
+        |FROM pt CROSS JOIN g ORDER BY event_type""".stripMargin,
+    "q_skew_report" ->
+      """WITH counts AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+        |), tot AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS n_keys FROM counts
+        |), top AS (
+        |  SELECT user_id, cnt FROM counts
+        |  ORDER BY cnt DESC, user_id LIMIT 20
+        |), cum AS (
+        |  SELECT user_id, cnt,
+        |         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, user_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum_cnt
+        |  FROM top
+        |)
+        |SELECT user_id, cnt,
+        |       CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+        |       CAST(cum_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS cum_share,
+        |       CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |         / CAST(n AS DOUBLE) AS ratio_to_mean
+        |FROM cum CROSS JOIN tot ORDER BY cnt DESC, user_id""".stripMargin,
     "q_geo_join" ->
       """WITH anchors AS (
         |  SELECT a AS anchor_id,

@@ -110,6 +110,33 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** q_sql_params — the parameterized-SQL surface (Spark 4 named
+    * parameter markers): the same SQL text executed with `:minbal` /
+    * `:prio` bound through `spark.sql(text, args)` — how a serving layer
+    * ships ONE audited statement with per-request values instead of
+    * string-splicing literals (the injection-proof form of the
+    * reference's hand-assembled per-source queries). The binder
+    * substitutes ANALYZED literals, so the executed plan is identical
+    * to the inlined form — the oracle IS that inlined rendering, making
+    * the gate prove the substitution semantics, the q_sql_udf stance.
+    *
+    * The program itself is a broadcast-dim join (customer segment dim
+    * onto orders) with exact-cents revenue per segment — filter pushdown
+    * on both parameters lands in the scans.
+    */
+  def qSqlParams(spark: SparkSession, d: String): DataFrame = {
+    customer(spark, d).createOrReplaceTempView("graft_customer")
+    orders(spark, d).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        |       SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS rev_cents
+        |FROM graft_orders o JOIN graft_customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal >= :minbal AND o.o_orderpriority = :prio
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+      Map("minbal" -> 1000.0, "prio" -> "1-URGENT"))
+  }
+
   /** q_sql_recursive — the RECURSIVE CTE surface (Spark 4 finally ships
     * `WITH RECURSIVE`): a gap-free month spine generated by recursion
     * from the data's own bounds, left-joined to monthly order counts —
@@ -344,6 +371,7 @@ object Relational {
     "q_sql"         -> qSql _,
     "q_sql_pipe"    -> qSqlPipe _,
     "q_sql_udf"     -> qSqlUdf _,
+    "q_sql_params"  -> qSqlParams _,
     "q_sql_recursive" -> qSqlRecursive _,
     "q_paginate"    -> qPaginate _,
     "q_exists"      -> qExists _,
@@ -361,6 +389,13 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_params" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS rev_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal >= 1000.0 AND o.o_orderpriority = '1-URGENT'
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q_sql_udf" ->
       """SELECT event_type,
         |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)

@@ -163,6 +163,28 @@ object FileSources {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** q_binary_source — the `binaryFile` opaque-blob source over the
+    * fixture directory itself: path + byte length per file, the listing
+    * the multimodal ingest path ([[graft.operators.Multimodal]]) starts
+    * from when assets arrive as raw files rather than rows. The format
+    * reads (path, modificationTime, length, content); this query prunes
+    * to the METADATA columns, and Spark's binaryFile reader skips
+    * content I/O when `content` is pruned away — so the plan is a
+    * listing-cost scan exactly like `_metadata` (E152), valid at 10⁶
+    * files.
+    *
+    * Oracle note: the only oracle that must READ FILES (DuckDB
+    * `read_blob` glob) — file paths are not relational state, so the
+    * oracle names the gate's fixture directory (sf0.01) directly; the
+    * spec covers other scale dirs.
+    */
+  def qBinarySource(spark: SparkSession, d: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(d)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("fname"),
+        col("length"))
+      .orderBy(col("fname"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_source" -> qJsonSource _,
     "q_csv_source"  -> qCsvSource _,
@@ -170,6 +192,7 @@ object FileSources {
     "q_orc_source"  -> qOrcSource _,
     "q_xml_source"  -> qXmlSource _,
     "q_schema_merge" -> qSchemaMerge _,
+    "q_binary_source" -> qBinarySource _,
   )
 
   private val baseSql =
@@ -190,5 +213,10 @@ object FileSources {
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
         |FROM events
         |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_binary_source" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS fname,
+        |       size AS length
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY fname""".stripMargin,
   )
 }

@@ -1329,4 +1329,35 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(2) > graft.operators.Analytics.BigSpenderCents)
     }
   }
+
+  test("q_freshness lags are non-negative and exactly the freshest feed reads zero") {
+    val got = graft.operators.Analytics.qFreshness(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val lags = got.map(_.getLong(2))
+    assert(lags.forall(_ >= 0L))
+    assert(lags.count(_ == 0L) >= 1)
+    val globalUs = got.map(_.getLong(1)).max
+    got.foreach { r =>
+      assert(r.getLong(2) == (globalUs - r.getLong(1)) / 1000000L,
+        s"${r.getString(0)} lag")
+    }
+  }
+
+  test("q_skew_report is the true top-20 with monotone cumulative share") {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = counts.map(_._2).sum
+    val expected = counts.sortBy(t => (-t._2, t._1)).take(20)
+    val got = graft.operators.Analytics.qSkewReport(spark, sfDir).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == expected.toSeq)
+    var cum = 0.0
+    got.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1).toDouble / n.toDouble)
+      assert(r.getDouble(3) >= cum && r.getDouble(3) <= 1.0 + 1e-12)
+      cum = r.getDouble(3)
+      assert(r.getDouble(4) == r.getLong(1).toDouble * counts.length.toDouble / n.toDouble)
+    }
+  }
+
 }

@@ -27,4 +27,14 @@ class FileSourcesSpec extends SparkSpec {
         s"${r.getString(0)} count")
     }
   }
+
+  test("q_binary_source lists every fixture parquet with its true byte length") {
+    val fs = new java.io.File(sfDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length())).sortBy(_._1).toSeq
+    val got = graft.sources.FileSources.qBinarySource(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == fs && got.size == 10)
+  }
+
 }

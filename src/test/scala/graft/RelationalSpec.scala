@@ -126,4 +126,21 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == want)
   }
+
+  test("q_sql_params equals the literal-inlined DataFrame program") {
+    val inlined = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_acctbal") >= 1000.0 && col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("rev_cents"))
+      .orderBy(col("c_mktsegment"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = graft.operators.Relational.qSqlParams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == inlined && got.nonEmpty)
+  }
+
 }
