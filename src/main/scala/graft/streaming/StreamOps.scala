@@ -1291,6 +1291,46 @@ object StreamOps extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  /** q_stream_curate — the streaming ADMISSION stage of the curation
+    * pipeline: every arriving document gets an immediate verdict
+    * (too_short / low_quality / ok) from the same predicates the batch
+    * [[graft.operators.TextOps.qCurate]] keep-filter applies (≥ 10
+    * tokens, stopword ratio ≤ ½) — the gate a training-data feed runs
+    * ON ARRIVAL so rejected bytes never reach storage, with
+    * [[qStreamNeardup]] as the stateful dedup stage behind it.
+    *
+    * Deliberately STATELESS (a per-row verdict needs no state): the
+    * streaming value is the plumbing — per-row projection inside the
+    * micro-batch, zero shuffle, any replay slicing yields the same
+    * verdicts because each verdict depends only on its own row. The
+    * stop-ratio test is integer form (2·stop_cnt > n_tokens), so the
+    * whole row is integer/bool/string — hash-exact against the batch
+    * oracle over the same documents.
+    */
+  def qStreamCurate(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_curate")
+    val query = startWithStatePartitions(spark, 4) {
+      docsStream(spark, stageDocReplayDir(spark, d))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          expr("size(filter(toks, t -> t IN ('the', 'a')))").as("stop_cnt"))
+        .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+          when(col("n_tokens") < 10, "too_short")
+            .when(col("stop_cnt") * 2 > col("n_tokens"), "low_quality")
+            .otherwise("ok").as("reason"))
+        .withColumn("kept", col("reason") === "ok")
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName).orderBy(col("doc_id"))
+  }
+
   /** The click→view follow join shape shared by [[qStreamJoin]] and the
     * MemoryStream specs: a self-join of the events stream, each side
     * filtered to one event type and watermarked, pairing each click with
@@ -1525,6 +1565,7 @@ object StreamOps extends Serializable {
     "q_stream_ewma"        -> qStreamEwma _,
     "q_stream_dedup"       -> qStreamDedup _,
     "q_stream_neardup"     -> qStreamNeardup _,
+    "q_stream_curate"      -> qStreamCurate _,
     "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_stream_enrich_scd2" -> qStreamEnrichScd2 _,
@@ -1643,6 +1684,22 @@ object StreamOps extends Serializable {
          |       CAST(SUM(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_lost
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_stream_curate" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_filter(string_split(text, ' '),
+        |                         t -> t IN ('the', 'a'))) AS stop_cnt
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens, stop_cnt,
+        |       CASE WHEN n_tokens < 10 THEN 'too_short'
+        |            WHEN stop_cnt * 2 > n_tokens THEN 'low_quality'
+        |            ELSE 'ok' END AS reason,
+        |       (CASE WHEN n_tokens < 10 THEN 'too_short'
+        |             WHEN stop_cnt * 2 > n_tokens THEN 'low_quality'
+        |             ELSE 'ok' END) = 'ok' AS kept
+        |FROM v ORDER BY doc_id""".stripMargin,
     "q_stream_distinct" ->
       """WITH wm AS (
         |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 70 MINUTE AS w FROM events

@@ -708,4 +708,25 @@ class StreamingSpec extends SparkSpec {
         ("2026-01-01 11:00:00.0", 1L, 0.2 * 1.0 + 0.8 * 3.0)), s"got $clicks")
     }
   }
+
+  test("q_stream_curate verdicts equal the per-row batch predicate for every doc") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = graft.streaming.StreamOps.qStreamCurate(spark, sfDir).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1)
+      val stop = toks.count(t => t == "the" || t == "a")
+      val reason =
+        if (toks.length < 10) "too_short"
+        else if (stop * 2 > toks.length) "low_quality"
+        else "ok"
+      assert(r.getInt(1) == toks.length, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getInt(2) == stop, s"doc ${r.getLong(0)} stop_cnt")
+      assert(r.getString(3) == reason, s"doc ${r.getLong(0)} reason")
+      assert(r.getBoolean(4) == (reason == "ok"))
+    }
+  }
+
 }
