@@ -383,7 +383,40 @@ object Stats {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Fixed evaluation grid of [[qCdf]] — covers the fixture's value
+    * range (0..490) at a 50-unit pitch; at scale the grid is the
+    * analyst's resolution choice exactly like [[qKendallTau]]'s bins.
+    */
+  val CdfGrid: Seq[Int] = (1 to 9).map(_ * 50)
+
+  /** q_cdf — empirical CDF of `value` per event type at the fixed
+    * [[CdfGrid]] points: P(X ≤ g) as exact counts — the
+    * distribution-drift readout two runs/segments compare pointwise
+    * (the fixed-grid form of [[Mining.qKsTest]]'s sup-gap, and the
+    * serving shape of a percentile dashboard: grid in, share out).
+    *
+    * Plan: ONE map-side-partial aggregate computes every grid counter
+    * as a conditional sum — a single pass, no grid×data explode — then
+    * the |types|-row result unpivots to (type, g) rows in-plan. All
+    * counts exact BIGINT; cdf is one pinned division.
+    */
+  def qCdf(spark: SparkSession, d: String): DataFrame = {
+    val counters = CdfGrid.map(g =>
+      sum(when(col("value") <= lit(g.toDouble), 1L).otherwise(0L))
+        .as(s"c$g")) :+ count(lit(1)).as("n")
+    val unpivot = explode(array(CdfGrid.map(g =>
+      struct(lit(g.toLong).as("g"), col(s"c$g").as("n_le"))): _*)).as("p")
+    events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(counters.head, counters.tail: _*)
+      .select(col("event_type"), col("n"), unpivot)
+      .select(col("event_type"), col("p.g").as("g"), col("p.n_le").as("n_le"),
+        (col("p.n_le").cast("double") / col("n").cast("double")).as("cdf"))
+      .orderBy(col("event_type"), col("g"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdf"          -> qCdf _,
     "q_spearman"     -> qSpearman _,
     "q_kendall_tau"  -> qKendallTau _,
     "q_anova"        -> qAnova _,
@@ -395,6 +428,18 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cdf" ->
+      """WITH grid AS (SELECT unnest(generate_series(1, 9)) * 50 AS g),
+        |c AS (
+        |  SELECT event_type, g,
+        |         CAST(SUM(CASE WHEN value <= CAST(g AS DOUBLE)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_le,
+        |         COUNT(*) AS n
+        |  FROM events CROSS JOIN grid GROUP BY event_type, g
+        |)
+        |SELECT event_type, CAST(g AS BIGINT) AS g, n_le,
+        |       CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE) AS cdf
+        |FROM c ORDER BY event_type, g""".stripMargin,
     "q_spearman" ->
       """WITH r AS (SELECT value AS x, epoch_us(ts) AS y FROM events),
         |xr AS (

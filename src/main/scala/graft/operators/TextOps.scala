@@ -309,6 +309,57 @@ object TextOps {
   def qMinhashLsh(spark: SparkSession, d: String): DataFrame =
     minhashPairs(spark, d).orderBy(col("doc_a"), col("doc_b"))
 
+  /** q_minhash_est — sketch-accuracy evaluation of the MinHash pipeline
+    * itself: for every LSH candidate pair, the SKETCH's Jaccard estimate
+    * (matching signature positions / 16) next to the EXACT shingle-set
+    * Jaccard and the absolute error — the calibration readout that tells
+    * an operator whether 16 permutations are enough for their corpus
+    * before they trust the dedup verdicts (the [[qRecallEval]] stance
+    * pointed at the sketch instead of the ANN index).
+    *
+    * Plan: candidates come from the banded index ([[minhashPairs]] —
+    * never all-pairs); the exact Jaccard is the candidates-then-verify
+    * shape ([[qEditDistance]]'s): pair ⋈ shingles ⋈ shingles on
+    * (doc, shingle), work Σ per-pair |A| — posting-sized. Signature
+    * agreement is 16 codegen'd column equalities on the already-joined
+    * row. All ratios are exact-integer divisions (est is dyadic n/16) —
+    * no ln anywhere, hash-exact without quantization.
+    */
+  def qMinhashEst(spark: SparkSession, d: String): DataFrame = {
+    val sig = graft.Tables.cacheForSelfJoin(signatures(spark, d))
+    val sh = graft.Tables.cacheForSelfJoin(shingled(spark, d))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = minhashPairs(spark, d)
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val nMatch = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val inter = pairs.select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_bands"),
+        nMatch.as("n_match"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match").cast("double") / lit(16.0)).as("est"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jacc"),
+        abs((col("n_match").cast("double") / lit(16.0)) -
+          (col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double")))
+          .as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Train fraction of the [[qSplitLeakage]] hash split: doc_id-hash
     * mod 10 < 8 → 80/20.
     */
@@ -2005,6 +2056,7 @@ object TextOps {
     "q_fingerprint"   -> qFingerprint _,
     "q_minhash_sig"   -> qMinhashSig _,
     "q_minhash_lsh"   -> qMinhashLsh _,
+    "q_minhash_est"   -> qMinhashEst _,
     "q_edit_distance" -> qEditDistance _,
     "q_dedup_groups"  -> qDedupGroups _,
     "q_split_leakage" -> qSplitLeakage _,
@@ -2104,6 +2156,48 @@ object TextOps {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_minhash_est" ->
+      s"""WITH sig AS (
+         |${sigSql}
+         |), bands AS (
+         |  ${bandsSql}
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), shing AS (
+         |  $shingleSql
+         |), sz AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN shing sa ON sa.doc_id = c.doc_a
+         |  JOIN shing sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2
+         |), m AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(${(0 until 16).map(i =>
+                     s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+                     .mkString(" + ")} AS BIGINT) AS n_match,
+         |         CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+         |         za.sz AS sz_a, zb.sz AS sz_b
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b
+         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sz za ON za.doc_id = c.doc_a
+         |  JOIN sz zb ON zb.doc_id = c.doc_b
+         |)
+         |SELECT doc_a, doc_b, n_match,
+         |       CAST(n_match AS DOUBLE) / 16.0 AS est,
+         |       CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)
+         |         AS jacc,
+         |       abs(CAST(n_match AS DOUBLE) / 16.0
+         |           - CAST(inter AS DOUBLE)
+         |             / CAST(sz_a + sz_b - inter AS DOUBLE)) AS abs_err
+         |FROM m ORDER BY doc_a, doc_b""".stripMargin,
     "q_unigram_lm" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -243,4 +243,25 @@ class StatsSpec extends SparkSpec {
       assert(margin > 1e-4, s"$key boundary margin $margin")
     }
   }
+
+  test("q_cdf counts match brute force and are monotone along the grid") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byType = rows.groupBy(_._1)
+    val got = Stats.qCdf(spark, sfDir).collect()
+    assert(got.length == byType.size * Stats.CdfGrid.length)
+    got.groupBy(_.getString(0)).foreach { case (t, trs) =>
+      var prev = -1L
+      trs.sortBy(_.getLong(1)).foreach { r =>
+        val g = r.getLong(1)
+        val expected = byType(t).count(_._2 <= g.toDouble).toLong
+        assert(r.getLong(2) == expected, s"$t at $g")
+        assert(r.getDouble(3) == expected.toDouble / byType(t).length.toDouble)
+        assert(r.getLong(2) >= prev, s"$t monotone at $g")
+        prev = r.getLong(2)
+      }
+    }
+  }
+
 }

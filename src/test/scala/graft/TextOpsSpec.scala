@@ -954,4 +954,21 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_minhash_est rows are internally consistent and cover exactly the LSH candidates") {
+    val cand = TextOps.qMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TextOps.qMinhashEst(spark, sfDir).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == cand)
+    got.foreach { r =>
+      val (nMatch, est, jacc, err) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nMatch >= 4L && nMatch <= 16L,
+        "an LSH candidate shares a band = at least 4 matching positions")
+      assert(est == nMatch.toDouble / 16.0)
+      assert(jacc >= 0.0 && jacc <= 1.0)
+      assert(err == math.abs(est - jacc))
+    }
+  }
+
 }
