@@ -970,15 +970,22 @@ object TextOps {
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .union(edges.select(col("v").as("src"), col("u").as("dst")))
-    var lab = dir.select(col("src").as("n")).distinct()
-      .select(col("n"), col("n").as("label"))
+    // Each round reads the previous label relation TWICE (neighbor-min
+    // aggregate + the self `least` join), so an uncached chain doubles
+    // per round — lab₀'s distinct shuffle would run 2^r times. Caching
+    // every round's labels keeps the chain linear, exactly qPagerank's
+    // one-relation-per-iteration shape (measured: 7.2 s → ~2.5 s).
+    var lab = graft.Tables.cacheForSelfJoin(
+      dir.select(col("src").as("n")).distinct()
+        .select(col("n"), col("n").as("label")))
     for (_ <- 1 to LpRounds) {
       val nbMin = dir
         .join(lab.withColumnRenamed("n", "src")
           .withColumnRenamed("label", "lsrc"), "src")
         .groupBy(col("dst")).agg(min(col("lsrc")).as("nbmin"))
-      lab = lab.join(nbMin.withColumnRenamed("dst", "n"), "n")
-        .select(col("n"), least(col("label"), col("nbmin")).as("label"))
+      lab = graft.Tables.cacheForSelfJoin(
+        lab.join(nbMin.withColumnRenamed("dst", "n"), "n")
+          .select(col("n"), least(col("label"), col("nbmin")).as("label")))
     }
     lab.select(col("n").as("doc_id"), col("label")).orderBy(col("doc_id"))
   }
