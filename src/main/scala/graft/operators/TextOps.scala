@@ -1090,8 +1090,11 @@ object TextOps {
       val next = graft.Tables.cacheForSelfJoin(
         probe.join(dir, probe("id") === dir("src"))
           .select(col("dst").as("id")).distinct())
-      // Fills the level cache AND sizes the next level's join choice.
-      frontierRows = next.count()
+      // Fills the level cache AND sizes the next level's join choice —
+      // needed only while there IS a next level: the final level's count
+      // decides nothing, and skipping it removes one serial driver job
+      // (its cache still materializes inside the final action).
+      if (h < hops) frontierRows = next.count()
       levels ::= next.select(col("id"), lit(h.toLong).as("hop"))
       frontier = next.select(col("id"))
     }
@@ -1105,14 +1108,16 @@ object TextOps {
       simhashPairSet(spark, d)
         .filter(col("hamming") <= TriangleHamming)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
-    edges.count() // fill single-consumer (see scaladoc)
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .union(edges.select(col("v").as("src"), col("u").as("dst")))
     // Every node appears as src (both directions are present), so the
     // deterministic seed is one 1-row aggregate — cached: every level's
-    // lineage and the final union all start from it.
+    // lineage and the final union all start from it. Neither cache gets
+    // an eager .count(): the level-1 frontier count is the first action
+    // and fills both (edges via the join, seed via the probe) inside ONE
+    // job — eager fills here measured two extra serial driver jobs for
+    // identical work.
     val seed = graft.Tables.cacheForSelfJoin(dir.agg(min(col("src")).as("id")))
-    seed.count()
     bfsFirstReach(dir, seed, ReachHops, BroadcastFrontierMax)
       .orderBy(col("hop"), col("doc_id"))
   }
