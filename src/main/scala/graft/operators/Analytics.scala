@@ -2651,9 +2651,129 @@ object Analytics {
       .orderBy(col("cnt").desc, col("user_id"))
   }
 
+  /** q_heatmap — the (7-day phase × hour-of-day) activity matrix: counts
+    * and share of total per cell — the classic ops calendar heatmap
+    * ("when does traffic arrive"), and the visual twin of
+    * [[Stats.qCramersV]]'s association test over the same axes. Phase =
+    * epoch-day mod 7, the engine-shared integer weekday definition
+    * (E161's stance).
+    *
+    * Plan: ONE map-side-partial aggregate to ≤ 168 rows; total is
+    * re-aggregated from those rows (single scan). Integer counts +
+    * pinned share division.
+    */
+  def qHeatmap(spark: SparkSession, d: String): DataFrame = {
+    val cells = graft.Tables.cacheForSelfJoin(
+      events(spark, d)
+        .select(expr("(unix_micros(ts) div 86400000000) % 7").as("dw"),
+          hour(col("ts")).cast("long").as("hr"))
+        .groupBy(col("dw"), col("hr")).agg(count(lit(1)).as("n")))
+    val tot = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dw"), col("hr"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy(col("dw"), col("hr"))
+  }
+
+  /** q_union_by_name — schema-evolution-tolerant union (`unionByName`
+    * with `allowMissingColumns`): two feeds of the same logical table
+    * whose physical schemas drifted — columns in different ORDER, one
+    * feed missing a column — combined by NAME with nulls filled, the
+    * everyday multi-source ingest shape positional UNION silently
+    * corrupts (it would zip mismatched columns; the engine's q_union
+    * covers the aligned case). Verdict columns: per-feed row count and
+    * how many rows carry the drift-filled null.
+    *
+    * Plan: unions are metadata-only; the aggregate is one
+    * map-side-partial pass over both scans.
+    */
+  def qUnionByName(spark: SparkSession, d: String): DataFrame = {
+    val full = events(spark, d)
+      .filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        lit("feed_a").as("feed"))
+    val drifted = events(spark, d)
+      .filter(col("event_id") % 2 === 1)
+      .select(lit("feed_b").as("feed"), col("event_type"), col("event_id"))
+    full.unionByName(drifted, allowMissingColumns = true)
+      .groupBy(col("feed"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"))
+      .orderBy(col("feed"))
+  }
+
+  /** q_seq3 — third-order behavioral sequence mining: the top-20
+    * time-ordered event-type TRIGRAMS across user journeys —
+    * [[qMarkov]]'s first-order transitions can't see "view→click→
+    * purchase vs view→click→error", which is exactly the signal funnel
+    * debugging needs. Counts per distinct 3-step pattern, top-20.
+    *
+    * Plan: two `lag` windows per user partition (parallel across users,
+    * sort amortized by the partitioning shuffle — the qMarkov shape),
+    * one vocabulary³-bounded hash aggregate, TakeOrdered heap.
+    * All-integer counts; (ts, event_id) total order.
+    */
+  def qSeq3(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, d)
+      .select(col("user_id"),
+        lag(col("event_type"), 2).over(w).as("e1"),
+        lag(col("event_type"), 1).over(w).as("e2"),
+        col("event_type").as("e3"))
+      .filter(col("e1").isNotNull && col("e2").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  /** q_tpch_q6 — the TPC-H Q6 forecasting-revenue-change shape: one
+    * filtered scan, one global aggregate — the canonical predicate-
+    * pushdown benchmark (year band + discount band + quantity cap all
+    * land in `PushedFilters`), and the simplest query whose revenue
+    * expression is a PRODUCT of two decimals. Exactness: cents ×
+    * discount-percent = one BIGINT per row (10⁻⁴-dollar units), so the
+    * sum is exact under any partitioning — the double product the
+    * spec-sheet query would sum is order-dependent.
+    */
+  def qTpchQ6(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long") *
+          floor(col("l_discount") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("revenue_e4"))
+
+  /** q_tpch_q13 — the TPC-H Q13 customer-distribution shape: orders per
+    * customer INCLUDING zero-order customers (the left join no inner
+    * aggregate can express), then the histogram of that count — the
+    * engagement-distribution readout every CRM audit starts with.
+    *
+    * Plan: left join customer→orders (AQE picks the build side),
+    * count(o_orderkey) ignores the null-padded rows, and the histogram
+    * re-aggregates the \|customers\|-sized relation. All-integer.
+    */
+  def qTpchQ13(spark: SparkSession, d: String): DataFrame =
+    customer(spark, d)
+      .join(orders(spark, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_freshness"       -> qFreshness _,
     "q_skew_report"     -> qSkewReport _,
+    "q_heatmap"         -> qHeatmap _,
+    "q_union_by_name"   -> qUnionByName _,
+    "q_seq3"            -> qSeq3 _,
+    "q_tpch_q6"         -> qTpchQ6 _,
+    "q_tpch_q13"        -> qTpchQ13 _,
     "q_scd2"            -> qScd2 _,
     "q_scd2_apply"      -> qScd2Apply _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
@@ -2749,6 +2869,59 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_heatmap" ->
+      """WITH cells AS (
+        |  SELECT (epoch_us(ts) // 86400000000) % 7 AS dw,
+        |         CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+        |SELECT dw, hr, n,
+        |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM cells CROSS JOIN t ORDER BY dw, hr""".stripMargin,
+    "q_union_by_name" ->
+      """WITH u AS (
+        |  SELECT event_id, event_type, value, 'feed_a' AS feed
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, NULL AS value, 'feed_b' AS feed
+        |  FROM events WHERE event_id % 2 = 1
+        |)
+        |SELECT feed, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_null_value
+        |FROM u GROUP BY feed ORDER BY feed""".stripMargin,
+    "q_seq3" ->
+      """WITH seq AS (
+        |  SELECT lag(event_type, 2) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS e1,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS e2,
+        |         event_type AS e3
+        |  FROM events
+        |)
+        |SELECT e1, e2, e3, COUNT(*) AS n
+        |FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |                * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q13" ->
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey
+        |)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_freshness" ->
       """WITH pt AS (
         |  SELECT event_type, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,

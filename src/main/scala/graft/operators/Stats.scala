@@ -415,8 +415,38 @@ object Stats {
       .orderBy(col("event_type"), col("g"))
   }
 
+  /** q_fano — burstiness (Fano factor, var/mean) of each event type's
+    * HOURLY arrival counts: ≈1 says Poisson-like arrivals, ≫1 says
+    * bursts/incidents, ≪1 says rate-limited/metronomic traffic — the
+    * one-number arrival-process diagnostic an ops dashboard tracks per
+    * feed (and the statistic behind [[Mining.qEwma]]'s threshold
+    * tuning). Sample variance via the exact-moment identity.
+    *
+    * Plan: the log collapses to the (type × hours) histogram in ONE
+    * map-side-partial agg (the q_ewma stance), then n/Σx/Σx² — exact
+    * BIGINTs per type — assemble var and fano in one pinned double
+    * chain. Calendar-bounded everywhere.
+    */
+  def qFano(spark: SparkSession, d: String): DataFrame =
+    events(spark, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      .select(col("event_type"), col("n_hours"),
+        (col("s").cast("double") / col("n_hours").cast("double")).as("mean"),
+        ((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n_hours").cast("double")) /
+          (col("n_hours") - lit(1L)).cast("double")).as("variance"))
+      .select(col("event_type"), col("n_hours"), col("mean"), col("variance"),
+        (col("variance") / col("mean")).as("fano"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdf"          -> qCdf _,
+    "q_fano"         -> qFano _,
     "q_spearman"     -> qSpearman _,
     "q_kendall_tau"  -> qKendallTau _,
     "q_anova"        -> qAnova _,
@@ -440,6 +470,27 @@ object Stats {
         |SELECT event_type, CAST(g AS BIGINT) AS g, n_le,
         |       CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE) AS cdf
         |FROM c ORDER BY event_type, g""".stripMargin,
+    "q_fano" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, COUNT(*) AS n_hours,
+        |         CAST(SUM(x) AS BIGINT) AS s,
+        |         CAST(SUM(x * x) AS BIGINT) AS ss
+        |  FROM hourly GROUP BY event_type
+        |), v AS (
+        |  SELECT event_type, n_hours,
+        |         CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean,
+        |         (CAST(ss AS DOUBLE)
+        |            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |              / CAST(n_hours AS DOUBLE))
+        |         / CAST(n_hours - 1 AS DOUBLE) AS variance
+        |  FROM m
+        |)
+        |SELECT event_type, n_hours, mean, variance,
+        |       variance / mean AS fano
+        |FROM v ORDER BY event_type""".stripMargin,
     "q_spearman" ->
       """WITH r AS (SELECT value AS x, epoch_us(ts) AS y FROM events),
         |xr AS (

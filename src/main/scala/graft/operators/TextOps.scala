@@ -1496,6 +1496,47 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Vocabulary-size grid evaluated by [[qVocabCoverage]]. */
+  val CoverageGrid: Seq[Int] = Seq(5, 10, 20, 40)
+
+  /** q_vocab_coverage — token-mass coverage of a top-k vocabulary: for
+    * each candidate vocab size k, the share of ALL corpus tokens covered
+    * by the k most frequent terms — THE tokenizer/vocab-sizing curve
+    * (where it flattens is where additional vocab stops paying), and the
+    * quantitative form of [[qZipf]]'s law readout. k values past the
+    * actual vocabulary clamp to full coverage (share 1.0) rather than
+    * vanishing — the curve stays total on any corpus.
+    *
+    * Plan: ONE vocab-sized hash agg over the token explode, then
+    * ranking + cumulative mass as a window over the |vocab| relation and
+    * a constant grid join — the q_ks_test domain-sized-tail stance.
+    * Counts exact; the share is one pinned division.
+    */
+  def qVocabCoverage(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokenized(spark, d)
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = counts
+      .select(col("term"), col("freq"),
+        row_number().over(Window.orderBy(col("freq").desc, col("term")))
+          .cast("long").as("rk"),
+        sum(col("freq")).over(w).as("cum"),
+        sum(col("freq")).over().as("total"),
+        count(lit(1)).over().as("nv"))
+    val grid = spark.range(1)
+      .select(explode(lit(CoverageGrid.map(_.toLong).toArray)).as("k"))
+    ranked
+      .crossJoin(broadcast(grid))
+      .filter(col("rk") === least(col("k"), col("nv")))
+      .select(col("k"), col("rk").as("terms_used"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("covered_share"))
+      .orderBy(col("k"))
+  }
+
   /** Minimum bigram count to enter the PMI ranking — sparse pairs have
     * wildly high PMI by chance (one co-occurrence of two rare words maxes
     * the score); every collocation pipeline thresholds.
@@ -2084,6 +2125,7 @@ object TextOps {
     "q_label_prop"    -> qLabelProp _,
     "q_reach"         -> qReach _,
     "q_keywords"      -> qKeywords _,
+    "q_vocab_coverage" -> qVocabCoverage _,
     "q_phrase_search" -> qPhraseSearch _,
     "q_bigram_lm"     -> qBigramLm _,
     "q_curation_funnel" -> qCurationFunnel _,
@@ -2985,6 +3027,29 @@ object TextOps {
         |SELECT doc_id, rk, term, tf, df, tfidf
         |FROM ranked WHERE rk <= $KeywordsPerDoc
         |ORDER BY doc_id, rk""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT term, COUNT(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY term
+         |), ranked AS (
+         |  SELECT term, freq,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT)
+         |           AS rk,
+         |         CAST(SUM(freq) OVER (ORDER BY freq DESC, term
+         |                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |           AS cum,
+         |         CAST(SUM(freq) OVER () AS BIGINT) AS total,
+         |         COUNT(*) OVER () AS nv
+         |  FROM counts
+         |), grid AS (
+         |  SELECT CAST(unnest([${CoverageGrid.mkString(", ")}]) AS BIGINT) AS k
+         |)
+         |SELECT k, rk AS terms_used,
+         |       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS covered_share
+         |FROM ranked CROSS JOIN grid
+         |WHERE rk = least(k, nv)
+         |ORDER BY k""".stripMargin,
     "q_pmi_bigrams" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split(text, ' ') AS l FROM documents

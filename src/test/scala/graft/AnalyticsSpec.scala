@@ -1360,4 +1360,82 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+
+  test("q_heatmap shares sum to 1 and counts match brute force") {
+    val rows = Tables.events(spark, sfDir)
+      .select(expr("(unix_micros(ts) div 86400000000) % 7").as("dw"),
+        hour(col("ts")).cast("long").as("hr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Analytics.qHeatmap(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    var shareSum = 0.0
+    got.foreach { r =>
+      assert(r.getLong(2) == expected((r.getLong(0), r.getLong(1))))
+      shareSum += r.getDouble(3)
+    }
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+  }
+
+  test("q_union_by_name fills the drifted feed's missing column with nulls only there") {
+    val got = graft.operators.Analytics.qUnionByName(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = Tables.events(spark, sfDir).count()
+    assert(got("feed_a")._1 + got("feed_b")._1 == n)
+    assert(got("feed_a")._2 == 0L, "aligned feed must carry no drift nulls")
+    assert(got("feed_b")._2 == got("feed_b")._1,
+      "every drifted-feed row carries the filled null")
+  }
+
+  test("q_seq3 counts match brute-force user-sequence trigrams") {
+    val seqs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).map(_._4).toSeq).toMap
+    val tri = seqs.values.flatMap(_.sliding(3).filter(_.length == 3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Analytics.qSeq3(spark, sfDir).collect()
+    assert(got.length == math.min(20, tri.size))
+    val expectedTop = tri.toSeq
+      .map { case (k, v) => (k(0), k(1), k(2), v) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(20)
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq == expectedTop)
+  }
+
+  test("q_tpch_q6 revenue matches the exact fixed-point brute force") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(year(col("l_shipdate")).as("yr"), col("l_discount"),
+        col("l_quantity"), col("l_extendedprice"))
+      .collect()
+    val sel = rows.filter { r =>
+      r.getInt(0) == 1995 &&
+        r.getDouble(1) >= 0.05 && r.getDouble(1) <= 0.07 && r.getDouble(2) < 24
+    }
+    val rev = sel.map { r =>
+      math.floor(r.getDouble(3) * 100.0 + 0.5).toLong *
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong
+    }.sum
+    val got = graft.operators.Analytics.qTpchQ6(spark, sfDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == sel.length.toLong)
+    assert(got(0).getLong(1) == rev)
+    assert(sel.nonEmpty, "fixture must exercise the Q6 band")
+  }
+
+  test("q_tpch_q13 histogram covers every customer including zero-order ones") {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val custs = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val hist = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Analytics.qTpchQ13(spark, sfDir).collect()
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap == hist)
+    assert(got.map(_.getLong(1)).sum == custs.length.toLong)
+  }
+
 }

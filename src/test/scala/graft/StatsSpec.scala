@@ -264,4 +264,26 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+
+  test("q_fano matches the brute-force hourly var/mean per type") {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val got = Stats.qFano(spark, sfDir).collect()
+    assert(got.length == hourly.map(_._1).distinct.length)
+    got.foreach { r =>
+      val xs = hourly.filter(_._1 == r.getString(0)).map(_._2)
+      val n = xs.length.toLong
+      val s = xs.sum; val ss = xs.map(x => x * x).sum
+      val mean = s.toDouble / n.toDouble
+      val variance = (ss.toDouble - s.toDouble * s.toDouble / n.toDouble) /
+        (n - 1).toDouble
+      assert(r.getLong(1) == n && r.getDouble(2) == mean &&
+        r.getDouble(3) == variance && r.getDouble(4) == variance / mean,
+        s"${r.getString(0)}")
+      assert(variance / mean > 0.0)
+    }
+  }
+
 }

@@ -971,4 +971,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+
+  test("q_vocab_coverage is monotone, clamps past the vocabulary, matches brute force") {
+    val toks = docs.values.flatMap(_.split(" ")).toSeq
+    val freq = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(t => (-t._2, t._1))
+    val total = toks.length.toLong
+    val got = TextOps.qVocabCoverage(spark, sfDir).collect()
+    assert(got.length == TextOps.CoverageGrid.length)
+    var prev = 0.0
+    got.zip(TextOps.CoverageGrid).foreach { case (r, k) =>
+      val used = math.min(k, freq.length)
+      val cum = freq.take(used).map(_._2).sum
+      assert(r.getLong(0) == k.toLong && r.getLong(1) == used.toLong)
+      assert(r.getDouble(2) == cum.toDouble / total.toDouble, s"k=$k")
+      assert(r.getDouble(2) >= prev); prev = r.getDouble(2)
+    }
+    assert(got.last.getDouble(2) == 1.0 ||
+      TextOps.CoverageGrid.last < freq.length)
+  }
+
 }
