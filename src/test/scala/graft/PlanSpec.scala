@@ -413,4 +413,63 @@ class PlanSpec extends SparkSpec {
         s"$name shuffle count grew (saw $dataShuffles):\n$p")
     }
   }
+
+  test("q_tpch_q6 pushes all three predicate bands into the parquet scan") {
+    val p = plan(Analytics.qTpchQ6(spark, sfDir))
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"Q6 predicates must reach the scan:\n$p")
+    // The whole query is one scan + one aggregate: no join, no shuffle
+    // beyond the final single-partition aggregate exchange.
+    assert(!p.contains("Join"), s"Q6 must not join:\n$p")
+  }
+
+  test("q_cdf computes every grid counter in ONE pass (single scan, no grid explode before the agg)") {
+    val p = plan(graft.operators.Stats.qCdf(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"q_cdf must read events exactly once, saw $scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the grid must unpivot AFTER aggregation, not multiply the scan:\n$p")
+  }
+
+  test("q_fano is a single-scan two-level aggregate; q_heatmap computes its cells once (cached)") {
+    val pf = plan(graft.operators.Stats.qFano(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(pf).length
+    assert(scans == 1, s"q_fano must read events exactly once, saw $scans:\n$pf")
+    // q_heatmap's two consumers (cells, total) share ONE cached cell
+    // relation — the plan must read it through InMemoryTableScan, not
+    // recompute the aggregate per consumer. (A cached subtree's plan
+    // text repeats the parquet scan per consumer, so scan-counting
+    // can't see this; the cache node can.)
+    val ph = plan(Analytics.qHeatmap(spark, sfDir))
+    assert(ph.contains("InMemoryTableScan"),
+      s"q_heatmap's cell relation must be cached:\n$ph")
+  }
+
+  test("q_skew_report takes its top-20 with a heap, never a global sort of all keys") {
+    val p = plan(Analytics.qSkewReport(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K keys must come from the bounded heap:\n$p")
+  }
+
+  test("q_seq3 sorts inside the user partitioning and heaps the final top-20") {
+    val p = plan(Analytics.qSeq3(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 trigrams must be a bounded heap:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in q_seq3:\n$p")
+  }
+
+  test("q_anova is one scan + group-sized shuffles; q_cramers_v caches its cells") {
+    val pa = plan(graft.operators.Stats.qAnova(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(pa).length
+    assert(scans == 1, s"q_anova must read events once, saw $scans:\n$pa")
+    val ex = "Exchange hashpartitioning".r.findAllIn(pa).length
+    assert(ex <= 2,
+      s"q_anova shuffles $ex times — group relations only means <= 2:\n$pa")
+    val pc = plan(graft.operators.Stats.qCramersV(spark, sfDir))
+    assert(pc.contains("InMemoryTableScan"),
+      s"q_cramers_v's cell relation must be cached across its 4 consumers:\n$pc")
+    assert(!pc.contains("CartesianProduct"),
+      s"marginal joins are broadcasts of constant-sized relations:\n$pc")
+  }
+
 }
