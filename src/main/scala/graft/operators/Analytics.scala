@@ -2766,7 +2766,65 @@ object Analytics {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
 
+  /** q_yoy — year-over-year growth of monthly order revenue: each month
+    * joined to the SAME month one year earlier (a calendar join on
+    * month-index − 12, robust to gaps where a 12-row LAG silently slips),
+    * growth as the pinned (c − p)/p. [[qWow]] reads the week axis of the
+    * events stream; this is the finance-calendar axis of the orders fact
+    * — the pair every reporting layer ships.
+    *
+    * Plan: the fact collapses to the ~80-row monthly series (exact cents,
+    * one hash agg, cached for its self-join) and everything after is
+    * calendar-sized.
+    */
+  def qYoy(spark: SparkSession, d: String): DataFrame = {
+    val monthly = graft.Tables.cacheForSelfJoin(
+      orders(spark, d)
+        .select((year(col("o_orderdate")) * lit(12L) +
+          (month(col("o_orderdate")) - lit(1L))).as("mi"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("mi")).agg(sum(col("c")).as("cents")))
+    monthly
+      .join(monthly.select((col("mi") + 12L).as("mi"),
+        col("cents").as("prev_cents")), "mi")
+      .select(col("mi"), col("cents"), col("prev_cents"),
+        ((col("cents") - col("prev_cents")).cast("double") /
+          col("prev_cents").cast("double")).as("yoy"))
+      .orderBy(col("mi"))
+  }
+
+  /** q_sole_supplier — the TPC-H Q21 planner shape: suppliers ranked by
+    * how many orders they fulfilled ALONE (an order with no line from
+    * any other supplier) — a correlated NOT EXISTS whose subquery
+    * re-references the outer fact table. The decorrelation story is the
+    * point: Catalyst must rewrite the correlated anti-condition
+    * (l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey ≠ l1.l_suppkey)
+    * into a LEFT ANTI self-join on the order key — never a per-row
+    * subquery loop — which is what makes the shape runnable at fact-
+    * table scale. Written as SQL text because the surface under test IS
+    * the correlated-subquery SQL form ([[Relational.qExists]] covers the
+    * positive EXISTS half).
+    */
+  def qSoleSupplier(spark: SparkSession, d: String): DataFrame = {
+    supplier(spark, d).createOrReplaceTempView("graft_supplier")
+    lineitem(spark, d).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT s.s_suppkey, s.s_name,
+        |       COUNT(DISTINCT l1.l_orderkey) AS n_sole
+        |FROM graft_supplier s
+        |JOIN graft_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM graft_lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey
+        |    AND l2.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY n_sole DESC, s_suppkey
+        |LIMIT 10""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_yoy"             -> qYoy _,
+    "q_sole_supplier"   -> qSoleSupplier _,
     "q_freshness"       -> qFreshness _,
     "q_skew_report"     -> qSkewReport _,
     "q_heatmap"         -> qHeatmap _,
@@ -2869,6 +2927,31 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_yoy" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+        |              AS BIGINT) AS mi,
+        |         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT a.mi, a.cents, b.cents AS prev_cents,
+        |       CAST(a.cents - b.cents AS DOUBLE)
+        |         / CAST(b.cents AS DOUBLE) AS yoy
+        |FROM monthly a JOIN monthly b ON a.mi = b.mi + 12
+        |ORDER BY a.mi""".stripMargin,
+    "q_sole_supplier" ->
+      """SELECT s.s_suppkey, s.s_name,
+        |       CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_sole
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey
+        |    AND l2.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY n_sole DESC, s_suppkey
+        |LIMIT 10""".stripMargin,
     "q_heatmap" ->
       """WITH cells AS (
         |  SELECT (epoch_us(ts) // 86400000000) % 7 AS dw,

@@ -1438,4 +1438,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum == custs.length.toLong)
   }
 
+
+  test("q_yoy matches brute-force month-over-year-ago growth") {
+    val monthly = Tables.orders(spark, sfDir)
+      .select((year(col("o_orderdate")) * lit(12L) +
+        (month(col("o_orderdate")) - lit(1L))).as("mi"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("mi")).agg(sum(col("c")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = graft.operators.Analytics.qYoy(spark, sfDir).collect()
+    val expected = monthly.keys.filter(mi => monthly.contains(mi - 12)).toSeq.sorted
+    assert(got.map(_.getLong(0)).toSeq == expected)
+    got.foreach { r =>
+      val (mi, c) = (r.getLong(0), r.getLong(1))
+      val p = monthly(mi - 12)
+      assert(c == monthly(mi) && r.getLong(2) == p)
+      assert(r.getDouble(3) == (c - p).toDouble / p.toDouble)
+    }
+  }
+
+  test("q_sole_supplier matches brute force and decorrelates to an anti join") {
+    val lines = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val suppsPerOrder = lines.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val soleCounts = lines.filter(l => suppsPerOrder(l._1).size == 1)
+      .map(l => (l._2, l._1)).distinct
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val names = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = soleCounts.toSeq.map { case (sk, n) => (sk, names(sk), n) }
+      .sortBy(t => (-t._3, t._1)).take(10)
+    val df = graft.operators.Analytics.qSoleSupplier(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti") || p.contains("ExistenceJoin"),
+      s"NOT EXISTS must decorrelate to an anti/existence join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested-loop fallback:\n$p")
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+    assert(got.nonEmpty)
+  }
+
 }
