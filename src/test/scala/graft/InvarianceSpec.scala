@@ -31,7 +31,15 @@ class InvarianceSpec extends SparkSpec {
       "q_market_share", "q_bigram_lm", "q_decile_lift", "q_centroid",
       // Round-7 additions: the rank-integer z chain and the two
       // ulp-tripwired quantized-trig queries.
-      "q_mann_whitney", "q_geo_distance", "q_geo_join"))
+      "q_mann_whitney", "q_geo_distance", "q_geo_join",
+      // Round-8 additions, one per new mechanism: midrank BIGINT moments
+      // (spearman), ordered group folds of double terms (anova), the
+      // quantized-ln contract (js_div), the dyadic sequential fold
+      // (holt), lower-median row picks (theil_sen), the z-ordered
+      // 1/ln(deg) wedge folds (adamic_adar), and the per-doc tfidf rank
+      // windows (keywords).
+      "q_spearman", "q_anova", "q_js_div", "q_holt", "q_theil_sen",
+      "q_adamic_adar", "q_keywords"))
     test(s"$q is bit-identical under shuffle.partitions 2 vs 7") {
       val a = collectWith(2, q)
       val b = collectWith(7, q)
