@@ -52,6 +52,38 @@ case class EwmaPoint(event_type: String, h: Timestamp, x: Long, ewma: Double)
   */
 case class BandVote(doc_id: Long, lost: Boolean)
 
+/** Verdict row of [[FirstKProcessor]]: arrival index + admission. */
+case class UserFirstK(user_id: Long, event_id: Long, seq: Long,
+                      admitted: Boolean)
+
+/** Per-user first-K admission ([[StreamOps.qStreamFirstk]]): ONE
+  * ValueState long per user — the arrival count — admits a user's first
+  * K events and stamps every event with its arrival index. Determinism
+  * under replay slicing: rows are folded in (ts, event_id) order within
+  * each batch, and the tick staging splits strictly at a timestamp cut,
+  * so the cross-batch arrival order IS the global per-user (ts,
+  * event_id) order — the oracle's rank.
+  */
+class FirstKProcessor(k: Int)
+    extends StatefulProcessor[Long, (Long, Long, Long), UserFirstK] {
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState("seen", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+                               timerValues: TimerValues): Iterator[UserFirstK] = {
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    var n = if (seen.exists()) seen.get() else 0L
+    val out = sorted.map { case (_, _, eid) =>
+      n += 1
+      UserFirstK(user, eid, n, n <= k)
+    }
+    seen.update(n)
+    out.iterator
+  }
+}
+
 /** The ONLINE MinHash-LSH band-claim state machine behind
   * q_stream_neardup: keyed by LSH band key, a [[ValueState]] holds the
   * band's first claimant (minimum arrival seq = doc_id — the documents
@@ -1291,6 +1323,47 @@ object StreamOps extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  /** Events admitted per user by [[qStreamFirstk]]. */
+  val FirstK = 3
+
+  /** q_stream_firstk — per-key quota admission ON ARRIVAL: each user's
+    * first [[FirstK]] events are admitted, everything after is flagged —
+    * the streaming form of per-contributor rate capping a training-data
+    * feed applies so one prolific source can't dominate a shard (the
+    * batch counterpart is [[graft.operators.Analytics.qSampleBalanced]]'s
+    * per-group cap). Every event is stamped with its per-user arrival
+    * index, so the output doubles as an arrival-order audit.
+    *
+    * State: ONE long per user (the arrival count) in a `ValueState` —
+    * the cheapest possible `transformWithState` machine, sized to
+    * |users| at any feed volume. Determinism under replay slicing: see
+    * [[FirstKProcessor]].
+    */
+  def qStreamFirstk(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_firstk")
+    val query = startWithStatePartitions(spark, 8) {
+      import spark.implicits._
+      spark.readStream.schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageReplayDir(spark, d))
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new FirstKProcessor(FirstK), TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName).orderBy(col("user_id"), col("seq"))
+  }
+
   /** q_stream_curate — the streaming ADMISSION stage of the curation
     * pipeline: every arriving document gets an immediate verdict
     * (too_short / low_quality / ok) from the same predicates the batch
@@ -1566,6 +1639,7 @@ object StreamOps extends Serializable {
     "q_stream_dedup"       -> qStreamDedup _,
     "q_stream_neardup"     -> qStreamNeardup _,
     "q_stream_curate"      -> qStreamCurate _,
+    "q_stream_firstk"      -> qStreamFirstk _,
     "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_stream_enrich_scd2" -> qStreamEnrichScd2 _,
@@ -1684,6 +1758,16 @@ object StreamOps extends Serializable {
          |       CAST(SUM(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_lost
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_stream_firstk" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS BIGINT)
+        |           AS seq
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, seq, seq <= 3 AS admitted
+        |FROM ranked ORDER BY user_id, seq""".stripMargin,
     "q_stream_curate" ->
       """WITH v AS (
         |  SELECT doc_id,

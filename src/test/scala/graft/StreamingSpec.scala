@@ -729,4 +729,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+
+  test("q_stream_firstk admits exactly each user's first-3 by (ts,event_id), state surviving the tick cut") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e._2, e._3)).zipWithIndex.map { case (e, i) =>
+        (u, e._3) -> (i + 1L, i + 1L <= StreamOps.FirstK)
+      }
+    }.toMap
+    val got = StreamOps.qStreamFirstk(spark, sfDir).collect()
+    assert(got.length == rows.length)
+    got.foreach { r =>
+      val (seq, adm) = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == seq && r.getBoolean(3) == adm,
+        s"user ${r.getLong(0)} event ${r.getLong(1)}")
+    }
+    // The replay has two ticks; busy users span the cut, so the quota
+    // must have filled in tick 1 for some user and rejected tick-2
+    // arrivals — i.e. the ValueState genuinely crossed batches.
+    assert(got.count(!_.getBoolean(3)) > 0)
+  }
+
 }
