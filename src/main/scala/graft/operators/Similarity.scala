@@ -148,6 +148,73 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(20)
 
+  /** Every [[AnnBatchEvery]]-th vector becomes a query in
+    * [[qAnnBatch]]; neighbors returned per query.
+    */
+  val AnnBatchEvery = 100
+  val AnnBatchK = 5
+
+  /** q_ann_batch — BATCH nearest-neighbor serving: top-[[AnnBatchK]]
+    * cosine neighbors for EVERY query in a query SET (each
+    * [[AnnBatchEvery]]-th vector), not one probe — the offline shape
+    * ANN actually runs in production (nightly "neighbors for all new
+    * items" jobs), where per-query invocation ([[qCosineTopk]]) would
+    * pay the scan once per query. ONE pass over the base table scores
+    * all queries; per-query heaps bound the sort.
+    *
+    * Plan: the query set broadcasts (rows/[[AnnBatchEvery]] — small by
+    * construction; at larger query sets the same join shuffles on a
+    * bucket key, the E8b LSH path), the scored relation is
+    * base × |queries| rows cut to K per query by a rank-limit window
+    * (WindowGroupLimit / TopKPerGroup — the bounded-per-key discipline
+    * PlanSpec pins elsewhere). Self-matches are excluded. Scores reuse
+    * [[cosinePre]]'s left-to-right fold so every value hash-matches the
+    * oracle's identical chain.
+    */
+  def qAnnBatch(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = embeddings(spark, d)
+      .filter(col("vec_id") % AnnBatchEvery === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    embeddings(spark, d)
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosinePre(col("embedding"), col("qe"),
+          norm(col("embedding")), col("qn")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnBatchK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** q_vec_check — embedding-table data-quality audit: dimension
+    * conformance, non-finite values (NaN/±Inf), zero-norm vectors, and
+    * the norm range — the constraint check ([[Analytics.qConstraintCheck]]
+    * stance) every vector pipeline runs before an index build, because a
+    * single NaN silently poisons every distance it touches and a
+    * zero-norm vector divides cosine by zero. One aggregate row.
+    *
+    * Plan: pure per-row array expressions (no shuffle) + ONE global
+    * aggregate. Norm min/max are comparison-based over per-row
+    * left-to-right folds — deterministic under any partitioning.
+    */
+  def qVecCheck(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("size(filter(embedding, x -> isnan(x) OR " +
+          "abs(x) = CAST('Infinity' AS FLOAT)))").cast("long").as("n_nonfinite"),
+        norm(col("embedding")).as("nrm"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dim") =!= EmbDim.toLong, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(col("n_nonfinite")).as("n_nonfinite"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+
   /** q_cosine_topk_lsh — the scale path: score only the query's LSH bucket
     * (~1/16 of the table here; 1/2^planes in general), then top-10 within
     * it. Recall vs. [[qCosineTopk]] is property-tested in SimilaritySpec.
@@ -732,6 +799,8 @@ object Similarity {
     "q_power_iter"      -> qPowerIter _,
     "q_recall_eval"     -> qRecallEval _,
     "q_knn_classify"    -> qKnnClassify _,
+    "q_ann_batch"       -> qAnnBatch _,
+    "q_vec_check"       -> qVecCheck _,
   )
 
   // ---- DuckDB oracle: the same left-to-right double arithmetic ----------
@@ -764,6 +833,35 @@ object Similarity {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_ann_batch" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id % $AnnBatchEvery = 0
+         |), scored AS (
+         |  SELECT q_id, e.vec_id, ${cosSql("e.embedding", "qe")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |                                 ORDER BY cos DESC, vec_id)
+         |              AS INTEGER) AS rk
+         |  FROM scored
+         |)
+         |SELECT q_id, rk, vec_id, cos
+         |FROM ranked WHERE rk <= $AnnBatchK
+         |ORDER BY q_id, rk""".stripMargin,
+    "q_vec_check" ->
+      s"""SELECT COUNT(*) AS n_vecs,
+         |       CAST(SUM(CASE WHEN len(embedding) <> $EmbDim
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+         |       CAST(SUM(len(list_filter(embedding,
+         |                  x -> isnan(x) OR isinf(x)))) AS BIGINT)
+         |         AS n_nonfinite,
+         |       CAST(SUM(CASE WHEN sqrt(${dotSql("embedding", "embedding")}) = 0.0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+         |       MIN(sqrt(${dotSql("embedding", "embedding")})) AS min_norm,
+         |       MAX(sqrt(${dotSql("embedding", "embedding")})) AS max_norm
+         |FROM embeddings""".stripMargin,
     "q_knn_classify" ->
       s"""WITH evalq AS (
          |  SELECT vec_id AS q_id, embedding AS qe, label AS true_label

@@ -345,6 +345,54 @@ object WritePath {
         col("n_events"), col("n_users"), col("sum_eid"), col("sum_v"))
       .orderBy(col("event_date"))
 
+  private val lastDynpart = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** q_overwrite_dynamic — DYNAMIC partition overwrite
+    * (`spark.sql.sources.partitionOverwriteMode=dynamic`): the daily
+    * backfill primitive — rewrite exactly the partitions present in the
+    * incoming batch and leave every other partition untouched, where
+    * STATIC overwrite mode would first truncate the whole table root.
+    * The query stages the date-partitioned events layout, then
+    * dynamically overwrites ONE day (2024-01-10) with a corrected batch
+    * (that day's rows filtered to value ≥ 50 — a compliance-scrub
+    * backfill), and reads back the 3-day window around the patch: the
+    * neighbors must be byte-identical to the original, the patched day
+    * must hold only the corrected rows. The oracle states that exact
+    * final semantic state from the original table, so the green row
+    * proves the mode's partition isolation, not just that a write
+    * happened.
+    *
+    * Scale: the overwrite job touches only the patched day's files — the
+    * same one-writer-per-date repartition discipline as the base layout;
+    * a 3-year backfill of one day rewrites ~0.1% of files.
+    */
+  def qOverwriteDynamic(spark: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_dynpart_").toString
+    Option(lastDynpart.getAndSet(dir)).foreach(d0 =>
+      deleteRecursively(new java.io.File(d0)))
+    val base = Tables.events(spark, d)
+      .withColumn("event_date", to_date(col("ts")))
+    base.repartition(col("event_date"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    val day = lit("2024-01-10").cast("date")
+    val patched = base.filter(col("event_date") === day && col("value") >= 50.0)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try patched.repartition(col("event_date"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.read.parquet(dir)
+      .filter(col("event_date").between(
+        lit("2024-01-09").cast("date"), lit("2024-01-11").cast("date")))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_eid"),
+        Tables.exactSum(col("value")).as("sum_v"))
+      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("n_events"), col("sum_eid"), col("sum_v"))
+      .orderBy(col("event_date"))
+  }
+
   /** q_file_metadata — the `_metadata` hidden-column surface: every file
     * source exposes per-row provenance (`_metadata.file_name`, file_path,
     * file_size, row_index) that exists only when selected — the
@@ -392,6 +440,7 @@ object WritePath {
     "q_write_sorted"   -> qWriteSorted _,
     "q_zorder"         -> qZorder _,
     "q_write_partitioned" -> qWritePartitioned _,
+    "q_overwrite_dynamic" -> qOverwriteDynamic _,
     "q_compact"        -> qCompact _,
   )
 
@@ -421,6 +470,18 @@ object WritePath {
         |WHERE (EXTRACT(day FROM ts) - 1) * 24 + EXTRACT(hour FROM ts)
         |        BETWEEN 240 AND 287
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_overwrite_dynamic" ->
+      """WITH st AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, event_id, value
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-11'
+        |    AND (CAST(ts AS DATE) <> DATE '2024-01-10' OR value >= 50.0)
+        |)
+        |SELECT strftime(event_date, '%Y-%m-%d') AS event_date,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM st GROUP BY event_date ORDER BY event_date""".stripMargin,
     "q_write_partitioned" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
         |       COUNT(*) AS n_events,

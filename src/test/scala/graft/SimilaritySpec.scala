@@ -425,4 +425,49 @@ class SimilaritySpec extends SparkSpec {
     // v is unit-norm
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
   }
+
+  test("q_ann_batch per-query neighbors equal the brute-force top-5 (self excluded)") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      i = 0; while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+      i = 0; while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.filter(_._1 % graft.operators.Similarity.AnnBatchEvery == 0)
+    val got = graft.operators.Similarity.qAnnBatch(spark, sfDir).collect()
+    assert(got.length == queries.length * graft.operators.Similarity.AnnBatchK)
+    queries.foreach { case (qid, qv) =>
+      val expected = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy(t => (-t._2, t._1)).take(graft.operators.Similarity.AnnBatchK)
+      val rows = got.filter(_.getLong(0) == qid).sortBy(_.getInt(1))
+      rows.zip(expected).foreach { case (r, (id, c)) =>
+        assert(r.getLong(2) == id, s"q$qid rank ${r.getInt(1)}")
+        assert(math.abs(r.getDouble(3) - c) < 1e-12, s"q$qid cos")
+      }
+    }
+  }
+
+  test("q_vec_check reads an all-clean fixture with true norm extremes") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val got = graft.operators.Similarity.qVecCheck(spark, sfDir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == vecs.length.toLong)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L,
+      "fixture embeddings must be clean")
+    assert(r.getDouble(4) == norms.min && r.getDouble(5) == norms.max)
+  }
+
 }

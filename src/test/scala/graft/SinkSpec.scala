@@ -68,4 +68,24 @@ class SinkSpec extends SparkSpec {
     assert(again == committed,
       s"manifest read-back must ignore the orphan: $again vs $committed")
   }
+
+  test("q_overwrite_dynamic patches exactly one partition and leaves neighbors byte-identical") {
+    val original = Tables.events(spark, sfDir)
+      .withColumn("d", to_date(col("ts")))
+      .filter(col("d").between(lit("2024-01-09").cast("date"),
+        lit("2024-01-11").cast("date")))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 50.0, 1L).otherwise(0L)).as("n_hi"))
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val got = graft.sources.WritePath.qOverwriteDynamic(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == original.keySet)
+    assert(got("2024-01-09") == original("2024-01-09")._1, "neighbor untouched")
+    assert(got("2024-01-11") == original("2024-01-11")._1, "neighbor untouched")
+    assert(got("2024-01-10") == original("2024-01-10")._2,
+      "patched day holds exactly the corrected rows")
+    assert(got("2024-01-10") < original("2024-01-10")._1,
+      "the patch must actually shrink the day")
+  }
+
 }
