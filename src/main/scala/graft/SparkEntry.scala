@@ -32,6 +32,7 @@ object SparkEntry {
       (Mining.queries, Mining.oracle),
       (Stats.queries, Stats.oracle),
       (Behavior.queries, Behavior.oracle),
+      (Series.queries, Series.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
       (graft.sources.FileSources.queries, graft.sources.FileSources.oracle),
       (graft.sources.WritePath.queries, graft.sources.WritePath.oracle),
