@@ -2766,6 +2766,147 @@ object Analytics {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
 
+  /** q_tpch_q3 — the TPC-H Q3 shipping-priority shape: top-10 not-yet-
+    * shipped orders of one market segment by discounted revenue — the
+    * canonical fact⋈fact⋈dim join with HALF-pushed date predicates (the
+    * order-side date filters `orders`, the ship-side date filters
+    * `lineitem` — each lands in its OWN scan's PushedFilters) and a
+    * TakeOrdered top-k instead of a global sort.
+    *
+    * Plan: customer (segment-filtered, broadcast) ⋈ orders ⋈ lineitem;
+    * the only full shuffle is the (orderkey) revenue aggregate, whose
+    * output is order-cardinality. Revenue is exact discounted cents —
+    * BIGINT under any partitioning.
+    */
+  def qTpchQ3(spark: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val lineCents = floor(
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).cast("long")
+    customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .join(orders(spark, d).filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(spark, d).filter(col("l_shipdate") > cutoff),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(lineCents).as("revenue_cents"))
+      .select(col("l_orderkey"), col("revenue_cents"),
+        tsSeconds(col("o_orderdate")).as("o_orderdate_s"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q_tpch_q18 — the TPC-H Q18 large-volume-customer shape: orders whose
+    * total line quantity exceeds a threshold, with their customer — the
+    * canonical HAVING-on-aggregate-then-join-back pattern (the aggregate
+    * must run BEFORE the customer join; filtering after a pre-join would
+    * re-scan the fact per customer).
+    *
+    * Plan: ONE lineitem aggregate to order grain, the HAVING cut shrinks
+    * it to the tail (threshold-selective at every sf), and only that tail
+    * joins back to orders/customer — AQE broadcasts the survivors.
+    * Quantities are integral doubles (1..50) cast to BIGINT: exact.
+    */
+  def qTpchQ18(spark: SparkSession, d: String): DataFrame = {
+    val bigOrders = lineitem(spark, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300L)
+    bigOrders
+      .join(orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        tsSeconds(col("o_orderdate")).as("o_orderdate_s"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("total_cents"),
+        col("total_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q_tpch_q5 — the TPC-H Q5 local-supplier-volume shape: revenue per
+    * nation of one region, counting only lineitems whose supplier sits in
+    * the CUSTOMER'S nation — the canonical 6-way star-with-a-twist join
+    * (the c_nationkey = s_nationkey equality ties two dimension arms
+    * together, so no single join order is "the" star order; Catalyst must
+    * carry the nation key through the fact).
+    *
+    * Plan: region ⋈ nation collapses to a ≤|nations| broadcast LUT before
+    * anything large moves; customer and supplier each join it broadcast;
+    * the year predicate lands in the orders scan's PushedFilters; the only
+    * big shuffles are fact⋈fact on the order key and the final ≤|nations|-
+    * row aggregate (map-side partial). Exact discounted cents → BIGINT.
+    */
+  def qTpchQ5(spark: SparkSession, d: String): DataFrame = {
+    val lineCents = floor(
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).cast("long")
+    val asiaNations = broadcast(
+      nation(spark, d)
+        .join(broadcast(region(spark, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    val custs = customer(spark, d)
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ords = orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"), lineCents.as("cents"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(custs, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  /** q_tpch_q10 — the TPC-H Q10 returned-item-reporting shape: the top-20
+    * customers by revenue LOST to returns in one quarter — the
+    * "who should account management call" join+agg with a selective fact
+    * predicate (`l_returnflag = 'R'`) that reaches the lineitem scan's
+    * PushedFilters and a quarter band on the orders scan.
+    *
+    * Plan: both fact filters push down; customer and nation ride broadcast
+    * joins; the single full shuffle is the customer-grain aggregate;
+    * TakeOrdered cuts to 20. Account balance is emitted as half-up cents
+    * (the same fixed-point contract as revenue) so the row is all-BIGINT.
+    */
+  def qTpchQ10(spark: SparkSession, d: String): DataFrame = {
+    val lineCents = floor(
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).cast("long")
+    val ords = orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem(spark, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), lineCents.as("cents"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+            .as("acctbal_cents")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("acctbal_cents"),
+        col("n_name"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** q_yoy — year-over-year growth of monthly order revenue: each month
     * joined to the SAME month one year earlier (a calendar join on
     * month-index − 12, robust to gaps where a 12-row LAG silently slips),
@@ -2832,6 +2973,10 @@ object Analytics {
     "q_seq3"            -> qSeq3 _,
     "q_tpch_q6"         -> qTpchQ6 _,
     "q_tpch_q13"        -> qTpchQ13 _,
+    "q_tpch_q3"         -> qTpchQ3 _,
+    "q_tpch_q18"        -> qTpchQ18 _,
+    "q_tpch_q5"         -> qTpchQ5 _,
+    "q_tpch_q10"        -> qTpchQ10 _,
     "q_scd2"            -> qScd2 _,
     "q_scd2_apply"      -> qScd2Apply _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
@@ -3005,6 +3150,66 @@ object Analytics {
         |SELECT c_count, COUNT(*) AS custdist
         |FROM per_cust GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |         * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        |       o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate_s, o_orderpriority
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        |       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+        |       total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |         * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents,
+        |       n_name,
+        |       CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |         * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, acctbal_cents, n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
     "q_freshness" ->
       """WITH pt AS (
         |  SELECT event_type, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,

@@ -784,7 +784,52 @@ object Similarity {
           .as("entropy"))
   }
 
+  /** q_vec_quantize — SQ8 scalar quantization of the embedding table:
+    * each dimension min/max-normalized to an 8-bit code (the standard
+    * 4×-memory ANN serving compression — FAISS's SQ8 / Milvus's
+    * quantizer), emitted with the per-vector reconstruction MSE so the
+    * accuracy cost of the compression ships WITH the codes. Completes the
+    * vector-index toolchain: IVF partitions (E21), PQ subquantizes
+    * (E21b), SQ8 is the cheap-but-uniform third option.
+    *
+    * Plan: per-dimension min/max via ONE posexplode aggregate (64 rows),
+    * collapsed to two 64-long arrays in a 1-row broadcast (the
+    * [[qZorder]]-style stats stance: no driver collect); each vector then
+    * quantizes IN the scan projection — zero shuffles over the big table.
+    * Codes are exact integers (the only double chain before floor is
+    * mirrored verbatim in the oracle); the MSE is an index-ORDERED array
+    * fold, partitioning-independent by construction. A constant
+    * dimension (range 0) maps to code 0 / error 0 on both engines —
+    * guarded, not assumed away.
+    */
+  def qVecQuantize(spark: SparkSession, d: String): DataFrame = {
+    val stats = embeddings(spark, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("mn"), col("mx")))).as("sd"))
+      .select(
+        expr("transform(sd, e -> CAST(e.mn AS DOUBLE))").as("mins"),
+        expr("transform(sd, e -> CAST(e.mx AS DOUBLE) - CAST(e.mn AS DOUBLE))")
+          .as("rngs"))
+    embeddings(spark, d)
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("embedding"), col("mins"), col("rngs"),
+        expr("transform(embedding, (x, i) -> CASE WHEN rngs[i] > 0.0D" +
+          " THEN CAST(floor((CAST(x AS DOUBLE) - mins[i]) * 255.0 / rngs[i]" +
+          " + 0.5) AS INT) ELSE 0 END)").as("codes"))
+      .select(col("vec_id"), col("codes"),
+        (expr("aggregate(transform(embedding, (x, i) -> CASE WHEN" +
+          " rngs[i] > 0.0D THEN CAST(x AS DOUBLE) - (mins[i] +" +
+          " CAST(codes[i] AS DOUBLE) * rngs[i] / 255.0) ELSE 0.0D END)," +
+          " CAST(0.0 AS DOUBLE), (acc, e) -> acc + e * e)") /
+          expr("CAST(size(embedding) AS DOUBLE)")).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_quantize"    -> qVecQuantize _,
     "q_cosine_topk"     -> qCosineTopk _,
     "q_centroid"        -> qCentroid _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
@@ -833,6 +878,37 @@ object Similarity {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_vec_quantize" ->
+      """WITH pd AS (
+        |  SELECT pos, MIN(v) AS mn, MAX(v) AS mx
+        |  FROM (SELECT unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)
+        |  GROUP BY pos
+        |), st AS (
+        |  SELECT list(CAST(mn AS DOUBLE) ORDER BY pos) AS mins,
+        |         list(CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)
+        |              ORDER BY pos) AS rngs
+        |  FROM pd
+        |), q AS (
+        |  SELECT vec_id, embedding, mins, rngs,
+        |         list_transform(range(1, len(embedding) + 1), i ->
+        |           CASE WHEN rngs[i] > 0.0
+        |             THEN CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+        |               * 255.0 / rngs[i] + 0.5) AS INTEGER)
+        |             ELSE 0 END) AS codes
+        |  FROM embeddings CROSS JOIN st
+        |)
+        |SELECT vec_id, codes,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(range(1, len(embedding) + 1), i ->
+        |           CASE WHEN rngs[i] > 0.0
+        |             THEN CAST(embedding[i] AS DOUBLE) - (mins[i]
+        |               + CAST(codes[i] AS DOUBLE) * rngs[i] / 255.0)
+        |             ELSE 0.0 END)),
+        |         (acc, e) -> acc + e * e)
+        |         / CAST(len(embedding) AS DOUBLE) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_ann_batch" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings

@@ -444,7 +444,100 @@ object Stats {
         (col("variance") / col("mean")).as("fano"))
       .orderBy(col("event_type"))
 
+  /** q_cohens_d — Cohen's d standardized effect size between the click and
+    * error cohorts' values: the "is the difference MEANINGFUL, not just
+    * significant" companion to [[Mining.qWelch]]'s t-test (t grows with n;
+    * d doesn't). Pooled-variance form d = (m₁−m₂)/s_p with
+    * s_p² = ((n₁−1)v₁ + (n₂−1)v₂)/(n₁+n₂−2).
+    *
+    * Plan: ONE conditional-aggregate pass folds both cohorts' exact cents
+    * moments (n, Σc, Σc² — BIGINT, map-side partial); means/variances/d
+    * are one pinned double chain over those integers, mirrored verbatim
+    * in the oracle. Output is a single row.
+    */
+  def qCohensD(spark: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    events(spark, d)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "error"))
+      .select((col("event_type") === "click").as("g"), cents.as("c"))
+      .agg(
+        count(when(col("g"), lit(1))).as("n1"),
+        sum(when(col("g"), col("c"))).as("s1"),
+        sum(when(col("g"), col("c") * col("c"))).as("ss1"),
+        count(when(!col("g"), lit(1))).as("n2"),
+        sum(when(!col("g"), col("c"))).as("s2"),
+        sum(when(!col("g"), col("c") * col("c"))).as("ss2"))
+      .select(col("n1"), col("n2"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)").as("mean_1"),
+        expr("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)").as("mean_2"),
+        expr("(CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+          " / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)").as("v1"),
+        expr("(CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)" +
+          " / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)").as("v2"))
+      .select(col("n1"), col("n2"), col("mean_1"), col("mean_2"),
+        expr("(mean_1 - mean_2) / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1 + " +
+          "(CAST(n2 AS DOUBLE) - 1.0) * v2) / " +
+          "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))").as("cohens_d"))
+  }
+
+  /** q_kruskal — Kruskal–Wallis H test of `value` across ALL event types:
+    * [[qAnova]]'s distribution-free counterpart (and [[Mining.qMannWhitney]]
+    * extended from 2 to k groups) — the "do ANY of the feeds differ in
+    * level" gate that is robust to the heavy tails production metrics
+    * actually have. Midrank ties exactly: 2·midrank = 2·cum_lt + n_v + 1
+    * keeps every rank sum BIGINT (no .5 anywhere); H from the standard
+    * identity H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) with the tie
+    * correction H' = H / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Plan: the log collapses to per-(value, type) counts in ONE map-side-
+    * partial aggregate; everything downstream is domain-sized (distinct
+    * values), the [[Mining.qMannWhitney]] stance — the single-task rank
+    * window runs on the value domain, never the log. (2R_g)² can exceed
+    * 2⁶³ (R_g ~ N²), so the per-group square lives in DOUBLE; the
+    * cross-group Σ is a g-ordered fold (5 terms) mirrored by the oracle's
+    * list_reduce. Tie/cube terms bound: n_v, N < 2²¹ (the documented
+    * [[Mining.qMannWhitney]] BIGINT bound — beyond it, widen to
+    * DECIMAL(38,0) on both engines).
+    */
+  def qKruskal(spark: SparkSession, d: String): DataFrame = {
+    val pvg = graft.Tables.cacheForSelfJoin(
+      events(spark, d)
+        .filter(col("value").isNotNull)
+        .select(col("value").as("v"), col("event_type").as("g"))
+        .groupBy(col("v"), col("g"))
+        .agg(count(lit(1)).as("n_gv")))
+    val pv = pvg.groupBy(col("v")).agg(sum(col("n_gv")).as("nv"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = pv.select(col("v"), col("nv"),
+      (sum(col("nv")).over(w) - col("nv")).as("cumlt"))
+    val ties = pv.agg(
+      sum(col("nv") * col("nv") * col("nv") - col("nv")).as("t"))
+    pvg.join(cum, "v")
+      .groupBy(col("g"))
+      .agg(
+        sum(col("n_gv") * (lit(2L) * col("cumlt") + col("nv") + lit(1L)))
+          .as("r2"),
+        sum(col("n_gv")).as("ng"))
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sort_array(collect_list(struct(col("g"),
+          (col("r2").cast("double") * col("r2").cast("double") /
+            (lit(4.0) * col("ng").cast("double"))).as("s")))).as("gs"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"), col("n"), col("t"),
+        expr("aggregate(gs, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.s)")
+          .as("s"))
+      .select(col("k"), col("n"), col("t"),
+        expr("12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s" +
+          " - 3.0 * (CAST(n AS DOUBLE) + 1.0)").as("h"))
+      .select(col("k"), col("n"), col("h"),
+        expr("h / (1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE)" +
+          " * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))")
+          .as("h_tie"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohens_d"     -> qCohensD _,
+    "q_kruskal"      -> qKruskal _,
     "q_cdf"          -> qCdf _,
     "q_fano"         -> qFano _,
     "q_spearman"     -> qSpearman _,
@@ -458,6 +551,75 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kruskal" ->
+      """WITH b AS (
+        |  SELECT value AS v, event_type AS g FROM events
+        |  WHERE value IS NOT NULL
+        |), pvg AS (
+        |  SELECT v, g, COUNT(*) AS n_gv FROM b GROUP BY v, g
+        |), pv AS (
+        |  SELECT v, CAST(SUM(n_gv) AS BIGINT) AS nv FROM pvg GROUP BY v
+        |), c AS (
+        |  SELECT v, nv,
+        |         CAST(SUM(nv) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nv
+        |           AS BIGINT) AS cumlt
+        |  FROM pv
+        |), rg AS (
+        |  SELECT g,
+        |         CAST(SUM(n_gv * (2 * cumlt + nv + 1)) AS BIGINT) AS r2,
+        |         CAST(SUM(n_gv) AS BIGINT) AS ng
+        |  FROM pvg JOIN c USING (v) GROUP BY g
+        |), tt AS (
+        |  SELECT CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS t FROM pv
+        |), agg AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |             / (4.0 * CAST(ng AS DOUBLE)) ORDER BY g)),
+        |           (acc, x) -> acc + x) AS s
+        |  FROM rg
+        |), hh AS (
+        |  SELECT k, n, t,
+        |         12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+        |           - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h
+        |  FROM agg CROSS JOIN tt
+        |)
+        |SELECT k, n, h,
+        |       h / (1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE)
+        |         * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+        |         AS h_tie
+        |FROM hh""".stripMargin,
+    "q_cohens_d" ->
+      """WITH b AS (
+        |  SELECT (event_type = 'click') AS g,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'error')
+        |), m AS (
+        |  SELECT
+        |    COUNT(CASE WHEN g THEN 1 END) AS n1,
+        |    CAST(SUM(CASE WHEN g THEN c END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN g THEN c * c END) AS BIGINT) AS ss1,
+        |    COUNT(CASE WHEN NOT g THEN 1 END) AS n2,
+        |    CAST(SUM(CASE WHEN NOT g THEN c END) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN NOT g THEN c * c END) AS BIGINT) AS ss2
+        |  FROM b
+        |), v AS (
+        |  SELECT n1, n2,
+        |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_1,
+        |         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_2,
+        |         (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |            / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |         (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |            / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |  FROM m
+        |)
+        |SELECT n1, n2, mean_1, mean_2,
+        |       (mean_1 - mean_2) / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1 +
+        |         (CAST(n2 AS DOUBLE) - 1.0) * v2) /
+        |         (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS cohens_d
+        |FROM v""".stripMargin,
     "q_cdf" ->
       """WITH grid AS (SELECT unnest(generate_series(1, 9)) * 50 AS g),
         |c AS (

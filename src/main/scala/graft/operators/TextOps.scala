@@ -990,6 +990,92 @@ object TextOps {
     lab.select(col("n").as("doc_id"), col("label")).orderBy(col("doc_id"))
   }
 
+  /** [[qKcore]] peel threshold and bounded round count. K=2 strips the
+    * pendant pair/chain fringe of the near-dup graph; three synchronous
+    * rounds identify every core a radius-3 peel can expose (run-to-
+    * fixpoint is [[qDedupGroups]]' driver-loop stance — this is the
+    * bounded step a scheduled audit runs).
+    */
+  val KcoreK = 2
+  val KcoreRounds = 3
+
+  /** q_kcore — bounded k-core peel (k=[[KcoreK]], [[KcoreRounds]] rounds)
+    * of the high-confidence near-dup graph: repeatedly drop nodes of
+    * degree < k, recompute degrees on the induced subgraph, repeat.
+    * Survivors with their final core degree are the graph's DENSE
+    * boilerplate/template clusters — the structures a dedup policy treats
+    * differently from one-off pair dups (which a single peel removes).
+    * [[qDegreeDist]] reads raw degrees; this reads cohesion.
+    *
+    * Plan: per round ONE node-sized degree aggregate + two semi-joins of
+    * the edge list against the surviving-node set — never adjacency².
+    * Each round's induced edge list is cached ([[qLabelProp]]'s
+    * linear-chain stance: the next round reads it three times — degree
+    * agg + both semi-join probes). Fixed rounds ⇒ bounded shuffles, no
+    * driver convergence loop. All-integer → hash-exact.
+    */
+  def qKcore(spark: SparkSession, d: String): DataFrame = {
+    var ed = graft.Tables.cacheForSelfJoin(
+      simhashPairSet(spark, d)
+        .filter(col("hamming") <= TriangleHamming)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    for (_ <- 1 to KcoreRounds) {
+      val keep = ed.select(col("u").as("n"))
+        .union(ed.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KcoreK)
+        .select(col("n"))
+      ed = graft.Tables.cacheForSelfJoin(
+        ed.join(keep.withColumnRenamed("n", "u"), Seq("u"), "semi")
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"), "semi")
+          .select(col("u"), col("v")))
+    }
+    ed.select(col("u").as("n")).union(ed.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .select(col("n").as("doc_id"), col("deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_source_overlap — cross-feed content-overlap matrix: for every
+    * ordered source pair, how many distinct word-trigram shingles BOTH
+    * feeds emit, plus the overlap coefficient (shared / min set size) —
+    * the "which feeds copy each other" ingest diagnostic that decides
+    * whether two sources should be deduped jointly or are genuinely
+    * disjoint. Shingle-level (not whole-doc md5 — [[Analytics.qDocDedup]]
+    * owns exact copies) so PARTIAL syndication shows up.
+    *
+    * Plan: corpus → distinct (source, shingle) in one hash aggregate (the
+    * SOURCE-level shingle inventory — shrinks per-doc repetition before
+    * any join), then an equi-self-join on the shingle: per-shingle
+    * fan-out is bounded by source-count choose 2 by construction (each
+    * shingle appears once per SOURCE here, never per doc); sizes join
+    * back broadcast (source-cardinality). At 10⁶ sources the hot-shingle
+    * cap ([[DfCap]]'s stance at source grain) composes in front — at feed
+    * counts (10–10³) the bound is inherent. Output ≤ sources² rows;
+    * coefficient = one pinned integer division.
+    */
+  def qSourceOverlap(spark: SparkSession, d: String): DataFrame = {
+    val ss = graft.Tables.cacheForSelfJoin(
+      documents(spark, d)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"), explode(expr(ShingleArrayExpr)).as("s"))
+        .distinct())
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ss.select(col("source").as("src_a"), col("s"))
+      .join(ss.select(col("source").as("src_b"), col("s")), "s")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n", "n_a")), "src_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n", "n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** The [[qPhraseSearch]] phrase — two DISTINCT words (a same-word
     * phrase could overlap itself; distinct words make occurrences
     * disjoint), chosen for a mid-range document frequency.
@@ -1874,6 +1960,67 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q_naive_bayes — multinomial naive-Bayes language classification,
+    * trained AND applied on the corpus in one job: per-lang token counts
+    * with add-1 smoothing + log-priors from label frequencies, every doc
+    * scored against every lang, argmax emitted next to the gold label
+    * (resubstitution accuracy — "how separable are the feeds under a
+    * bag-of-words model", the learned-model check on [[qLangId]]'s
+    * hand-rolled n-gram heuristic). Classifier TRAINING as aggregation:
+    * the model never leaves the cluster.
+    *
+    * Plan: one TF aggregate (map-side partial) is the only corpus-sized
+    * shuffle; the model is |langs|×|vocab| rows (the (m,term) equi-join is
+    * shuffle-safe at any vocab; priors/totals/V are 1-row or |langs|-row
+    * broadcasts). Scoring fans TF out ×|langs| — bounded by the label-set
+    * size, the same stance as [[qLangConfusion]]. Determinism: smoothing
+    * logs go through the libm-exact [[graft.functions.LnLibm]], per-
+    * (doc,lang) sums are term-ORDERED folds, prior added last in a pinned
+    * chain, and the argmax tie-breaks on lang — so the winner is
+    * bit-identical cross-engine.
+    */
+  def qNaiveBayes(spark: SparkSession, d: String): DataFrame = {
+    val tf = graft.Tables.cacheForSelfJoin(
+      tokenized(spark, d)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val priors = documents(spark, d)
+      .groupBy(col("lang").as("m")).agg(count(lit(1)).as("n_docs_l"))
+    val nDocs = documents(spark, d).agg(count(lit(1)).as("nd"))
+    val lt = tf.groupBy(col("lang").as("m"), col("term"))
+      .agg(sum(col("tf")).as("c"))
+    val totals = lt.groupBy(col("m")).agg(sum(col("c")).as("t_l"))
+    val vocab = lt.select(col("term")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("m"))
+    tf.crossJoin(broadcast(priors))
+      .join(lt, Seq("m", "term"), "left")
+      .join(broadcast(totals), "m")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"), col("m"), col("term"),
+        col("n_docs_l"),
+        (col("tf").cast("double") *
+          lnLibm((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("t_l").cast("double") + col("v").cast("double"))))
+          .as("term_lp"))
+      .groupBy(col("doc_id"), col("lang"), col("m"), col("n_docs_l"))
+      .agg(sort_array(collect_list(struct(col("term"), col("term_lp"))))
+        .as("lps"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("lang"), col("m"),
+        (lnLibm(col("n_docs_l").cast("double") / col("nd").cast("double")) +
+          expr("aggregate(lps, CAST(0.0 AS DOUBLE)," +
+            " (acc, x) -> acc + x.term_lp)")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("m").as("pred"),
+        (col("m") === col("lang")).as("correct"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_bigram_lm — bigram language-model scoring with add-1 smoothing:
     * each document's average per-bigram log-probability
     * avg_logp = (1/|bigrams|) Σ tf·ln((c(w₁w₂)+1)/(c(w₁·)+V)) under the
@@ -2098,6 +2245,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate"        -> qCurate _,
     "q_unigram_lm"    -> qUnigramLm _,
+    "q_naive_bayes"   -> qNaiveBayes _,
     "q_pack"          -> qPack _,
     "q_mixture"       -> qMixture _,
     "q_token_count"   -> qTokenCount _,
@@ -2123,6 +2271,8 @@ object TextOps {
     "q_degree_dist"   -> qDegreeDist _,
     "q_adamic_adar"   -> qAdamicAdar _,
     "q_label_prop"    -> qLabelProp _,
+    "q_kcore"         -> qKcore _,
+    "q_source_overlap" -> qSourceOverlap _,
     "q_reach"         -> qReach _,
     "q_keywords"      -> qKeywords _,
     "q_vocab_coverage" -> qVocabCoverage _,
@@ -2252,6 +2402,47 @@ object TextOps {
          |           - CAST(inter AS DOUBLE)
          |             / CAST(sz_a + sz_b - inter AS DOUBLE)) AS abs_err
          |FROM m ORDER BY doc_a, doc_b""".stripMargin,
+    "q_naive_bayes" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, lang, term, COUNT(*) AS tf
+        |  FROM tok GROUP BY doc_id, lang, term
+        |), pri AS (
+        |  SELECT lang AS m, COUNT(*) AS n_docs_l FROM documents GROUP BY lang
+        |), ndocs AS (SELECT COUNT(*) AS nd FROM documents),
+        |lt AS (
+        |  SELECT lang AS m, term, CAST(SUM(tf) AS BIGINT) AS c
+        |  FROM tf GROUP BY lang, term
+        |), tot AS (SELECT m, CAST(SUM(c) AS BIGINT) AS t_l FROM lt GROUP BY m),
+        |voc AS (SELECT COUNT(DISTINCT term) AS v FROM lt),
+        |terms AS (
+        |  SELECT tf.doc_id, tf.lang, p.m, p.n_docs_l, tf.term,
+        |         CAST(tf.tf AS DOUBLE)
+        |           * ln((CAST(COALESCE(lt.c, 0) AS DOUBLE) + 1.0)
+        |             / (CAST(tot.t_l AS DOUBLE) + CAST(voc.v AS DOUBLE)))
+        |           AS term_lp
+        |  FROM tf
+        |  CROSS JOIN pri p
+        |  LEFT JOIN lt ON lt.m = p.m AND lt.term = tf.term
+        |  JOIN tot ON tot.m = p.m
+        |  CROSS JOIN voc
+        |), sc AS (
+        |  SELECT doc_id, lang, m,
+        |         ln(CAST(n_docs_l AS DOUBLE) / CAST(nd AS DOUBLE))
+        |           + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list(term_lp ORDER BY term)), (acc, x) -> acc + x)
+        |           AS score
+        |  FROM terms CROSS JOIN ndocs
+        |  GROUP BY doc_id, lang, m, n_docs_l, nd
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, m) AS rn
+        |  FROM sc
+        |)
+        |SELECT doc_id, lang, m AS pred, (m = lang) AS correct, score
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_unigram_lm" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -2764,6 +2955,49 @@ object TextOps {
          |FROM agg
          |WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.u = agg.a AND ed.v = agg.b)
          |ORDER BY aa DESC, a, b LIMIT 20""".stripMargin,
+    "q_kcore" ->
+      s"""WITH $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+               s"SELECT doc_id, simhash, $b AS blk, " +
+               s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+             }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), ed0 AS (
+         |  SELECT doc_a AS u, doc_b AS v
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
+         |)${(1 to KcoreRounds).map { r =>
+               s""", k$r AS (
+               |  SELECT n FROM (SELECT unnest([u, v]) AS n FROM ed${r - 1})
+               |  GROUP BY n HAVING COUNT(*) >= $KcoreK
+               |), ed$r AS (
+               |  SELECT u, v FROM ed${r - 1}
+               |  WHERE u IN (SELECT n FROM k$r) AND v IN (SELECT n FROM k$r)
+               |)""".stripMargin
+             }.mkString}
+         |SELECT n AS doc_id, COUNT(*) AS deg
+         |FROM (SELECT unnest([u, v]) AS n FROM ed$KcoreRounds)
+         |GROUP BY n ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      """WITH ss AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |         list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+        |         z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS s
+        |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+        |), sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared,
+        |       CAST(COUNT(*) AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+        |         AS overlap
+        |FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+        |JOIN sizes sa ON sa.source = a.source
+        |JOIN sizes sb ON sb.source = b.source
+        |GROUP BY src_a, src_b, sa.n, sb.n
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_label_prop" ->
       s"""WITH $simhashCte, blocks AS (
          |  ${(0 to HammingMax).map { b =>

@@ -792,6 +792,50 @@ object StreamOps extends Serializable {
     spark.table(sinkName).orderBy(col("n").desc, col("event_type"))
   }
 
+  /** q_stream_ohlc — [[graft.operators.Series.qOhlc]]'s tick-to-bar
+    * compaction ON ARRIVAL: 6-hour OHLC bars per event type maintained
+    * incrementally as the replay stream drains. Open/close ride
+    * `min_by`/`max_by` over the (ts, event_id) total-order struct — each
+    * bar's state is ONE candidate row per extreme plus three longs
+    * (high/low/volume), so state = |bars| regardless of feed volume: the
+    * O(1)-per-key incremental form of the batch bar build, and
+    * deterministic under any replay slicing because min/max over a total
+    * order is batch-split-insensitive.
+    *
+    * Complete mode (the bar table is the serving artifact, bar-cardinality
+    * small); the oracle is the batch equivalence over the drained replay —
+    * the same SQL as the batch query, proving stream-batch parity.
+    */
+  def qStreamOhlc(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_ohlc")
+    val query = startWithStatePartitions(spark) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .filter(col("value").isNotNull)
+        .select(expr("unix_micros(ts) div 21600000000").as("bucket"),
+          col("event_type"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("id"))
+            .as("ord"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(
+          min_by(col("c"), col("ord")).as("open_cents"),
+          max(col("c")).as("high_cents"),
+          min(col("c")).as("low_cents"),
+          max_by(col("c"), col("ord")).as("close_cents"),
+          count(lit(1)).as("n_ticks"),
+          sum(col("c")).as("vol_cents"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName).orderBy(col("bucket"), col("event_type"))
+  }
+
   private val dlqCache = TrieMap.empty[String, String]
 
   /** q_deadletter — the Agent-2 failure-fallback path (app.py:242-247) as a
@@ -1627,6 +1671,7 @@ object StreamOps extends Serializable {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tick"        -> qStreamTick _,
     "q_stream_topk"        -> qStreamTopk _,
+    "q_stream_ohlc"        -> qStreamOhlc _,
     "q_stream_tick_append" -> qStreamTickAppend _,
     "q_stream_sink_parquet" -> qStreamSinkParquet _,
     "q_stream_tick_update" -> qStreamTickUpdate _,
@@ -1798,6 +1843,29 @@ object StreamOps extends Serializable {
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_ohlc" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 21600000000 AS bucket, event_type,
+        |         epoch_us(ts) AS us, event_id,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY bucket, event_type
+        |                            ORDER BY us, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY bucket, event_type
+        |                            ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e
+        |)
+        |SELECT bucket, event_type,
+        |       CAST(MAX(CASE WHEN rn_a = 1 THEN c END) AS BIGINT) AS open_cents,
+        |       CAST(MAX(c) AS BIGINT) AS high_cents,
+        |       CAST(MIN(c) AS BIGINT) AS low_cents,
+        |       CAST(MAX(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS close_cents,
+        |       COUNT(*) AS n_ticks,
+        |       CAST(SUM(c) AS BIGINT) AS vol_cents
+        |FROM r GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
     "q_stream_topk" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v

@@ -1481,4 +1481,123 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_tpch_q3 equals the brute-force shipping-priority top-10") {
+    def centsOf(p: Double, disc: Double): Long =
+      math.floor(p * (1.0 - disc) * 100.0 + 0.5).toLong
+    val cutoff = java.time.LocalDateTime.parse("1998-06-01T00:00:00")
+    val custs = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority")).collect()
+      .filter(r => custs(r.getLong(1)) &&
+        r.getAs[java.time.LocalDateTime](2).isBefore(cutoff))
+      .map(r => r.getLong(0) ->
+        ((r.getAs[java.time.LocalDateTime](2), r.getString(3)))).toMap
+    val rev = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_shipdate")).collect()
+      .filter(r => ords.contains(r.getLong(0)) &&
+        r.getAs[java.time.LocalDateTime](3).isAfter(cutoff))
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => centsOf(r.getDouble(1), r.getDouble(2))).sum)
+      .toSeq.sortBy { case (k, v) => (-v, k) }.take(10)
+    val got = Analytics.qTpchQ3(spark, sfDir).collect()
+    assert(got.length == rev.length && got.nonEmpty)
+    got.zip(rev).foreach { case (g, (ok, cents)) =>
+      assert(g.getLong(0) == ok && g.getLong(1) == cents)
+      assert(g.getString(3) == ords(ok)._2)
+    }
+  }
+
+  test("q_tpch_q18 returns exactly the orders above the quantity threshold") {
+    val qty = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getDouble(1).toLong).sum)
+      .filter(_._2 > 300L).toMap
+    val got = Analytics.qTpchQ18(spark, sfDir).collect()
+    assert(got.map(_.getLong(2)).toSet == qty.keySet)
+    got.foreach(r => assert(r.getLong(5) == qty(r.getLong(2)),
+      s"order ${r.getLong(2)} total_qty"))
+    // Total cents ordering is strict (desc, orderkey tiebreak).
+    val keys = got.map(r => (-r.getLong(4), r.getLong(2))).toSeq
+    assert(keys == keys.sorted, "presentation order")
+  }
+
+
+  test("q_tpch_q5 matches the brute-force local-supplier revenue") {
+    def cents(p: Double, disc: Double): Long =
+      math.floor(p * (1.0 - disc) * 100.0 + 0.5).toLong
+    val regions = Tables.region(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val asia = Tables.nation(spark, sfDir).collect()
+      .filter(r => regions(r.getInt(2)) == "ASIA")
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val custNation = Tables.customer(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val suppNation = Tables.supplier(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val lo = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+    val ordCust = Tables.orders(spark, sfDir).collect()
+      .filter { r =>
+        val t = r.getAs[java.time.LocalDateTime](4)
+        !t.isBefore(lo) && t.isBefore(hi)
+      }.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rev = scala.collection.mutable.Map.empty[String, Long]
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .foreach { r =>
+        ordCust.get(r.getLong(0)).foreach { ck =>
+          val cn = custNation(ck)
+          if (asia.contains(cn) && suppNation(r.getLong(1)) == cn)
+            rev(asia(cn)) =
+              rev.getOrElse(asia(cn), 0L) + cents(r.getDouble(2), r.getDouble(3))
+        }
+      }
+    val want = rev.toSeq.sortBy { case (n, c) => (-c, n) }
+    val got = Analytics.qTpchQ5(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q_tpch_q10 matches the brute-force returned-revenue top-20") {
+    def cents(p: Double, disc: Double): Long =
+      math.floor(p * (1.0 - disc) * 100.0 + 0.5).toLong
+    val lo = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("1996-04-01T00:00:00")
+    val ordCust = Tables.orders(spark, sfDir).collect()
+      .filter { r =>
+        val t = r.getAs[java.time.LocalDateTime](4)
+        !t.isBefore(lo) && t.isBefore(hi)
+      }.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rev = scala.collection.mutable.Map.empty[Long, Long]
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .foreach { r =>
+        if (r.getString(1) == "R")
+          ordCust.get(r.getLong(0)).foreach { ck =>
+            rev(ck) = rev.getOrElse(ck, 0L) + cents(r.getDouble(2), r.getDouble(3))
+          }
+      }
+    val cust = Tables.customer(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2),
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))).toMap
+    val natName = Tables.nation(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val want = rev.toSeq.sortBy { case (ck, c) => (-c, ck) }.take(20)
+    val got = Analytics.qTpchQ10(spark, sfDir).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, (ck, c)) =>
+      val (nm, nk, bal) = cust(ck)
+      assert(g.getLong(0) == ck && g.getString(1) == nm)
+      assert(g.getLong(2) == bal && g.getString(3) == natName(nk))
+      assert(g.getLong(4) == c)
+    }
+  }
+
 }

@@ -470,4 +470,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(4) == norms.min && r.getDouble(5) == norms.max)
   }
 
+
+  test("q_vec_quantize codes and reconstruction MSE match brute force") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dim = vecs.head._2.length
+    val mins = Array.tabulate(dim)(i => vecs.map(_._2(i)).min.toDouble)
+    val rngs = Array.tabulate(dim)(i => vecs.map(_._2(i)).max.toDouble - mins(i))
+    val want = vecs.map { case (id, v) =>
+      val codes = Array.tabulate(dim) { i =>
+        if (rngs(i) > 0.0)
+          math.floor((v(i).toDouble - mins(i)) * 255.0 / rngs(i) + 0.5).toInt
+        else 0
+      }
+      val mse = Array.tabulate(dim) { i =>
+        if (rngs(i) > 0.0)
+          v(i).toDouble - (mins(i) + codes(i).toDouble * rngs(i) / 255.0)
+        else 0.0
+      }.foldLeft(0.0)((a, e) => a + e * e) / dim.toDouble
+      (id, codes.toSeq, mse)
+    }.sortBy(_._1)
+    val got = Similarity.qVecQuantize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"vec ${w._1}")
+    }
+    val allCodes = got.flatMap(_._2)
+    assert(allCodes.min == 0 && allCodes.max == 255,
+      "codes span the full 8-bit range at the per-dimension extremes")
+  }
+
 }

@@ -286,4 +286,60 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_cohens_d matches the brute-force pooled effect size bit-exactly") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "error"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0) == "click",
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    def side(g: Boolean): (Long, Long, Long) = {
+      val cs = rows.filter(_._1 == g).map(_._2)
+      (cs.length.toLong, cs.sum, cs.map(c => c * c).sum)
+    }
+    val (n1, s1, ss1) = side(true)
+    val (n2, s2, ss2) = side(false)
+    val m1 = s1.toDouble / n1.toDouble
+    val m2 = s2.toDouble / n2.toDouble
+    val v1 = (ss1.toDouble - s1.toDouble * s1.toDouble / n1.toDouble) /
+      (n1.toDouble - 1.0)
+    val v2 = (ss2.toDouble - s2.toDouble * s2.toDouble / n2.toDouble) /
+      (n2.toDouble - 1.0)
+    val d = (m1 - m2) / math.sqrt(
+      ((n1.toDouble - 1.0) * v1 + (n2.toDouble - 1.0) * v2) /
+        (n1.toDouble + n2.toDouble - 2.0))
+    val r = Stats.qCohensD(spark, sfDir).collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(r.getDouble(2) == m1 && r.getDouble(3) == m2)
+    assert(r.getDouble(4) == d)
+  }
+
+
+  test("q_kruskal matches the brute-force tie-corrected H bit-exactly") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val values = counts.keys.toSeq.sorted
+    val cumlt = values.zip(
+      values.scanLeft(0L)((acc, v) => acc + counts(v)).dropRight(1)).toMap
+    val byG = rows.groupBy(_._1)
+    val r2 = byG.view.mapValues(_.map(r =>
+      2L * cumlt(r._2) + counts(r._2) + 1L).sum).toMap
+    val ng = byG.view.mapValues(_.size.toLong).toMap
+    val s = byG.keys.toSeq.sorted.foldLeft(0.0) { (acc, g) =>
+      acc + r2(g).toDouble * r2(g).toDouble / (4.0 * ng(g).toDouble)
+    }
+    val nd = rows.length.toDouble
+    val h = 12.0 / (nd * (nd + 1.0)) * s - 3.0 * (nd + 1.0)
+    val t = counts.values.map(nv => nv * nv * nv - nv).sum
+    val hTie = h / (1.0 - t.toDouble / (nd * nd * nd - nd))
+    val r = Stats.qKruskal(spark, sfDir).collect().head
+    assert(r.getLong(0) == byG.size && r.getLong(1) == rows.length)
+    assert(r.getDouble(2) == h && r.getDouble(3) == hTie)
+    // The fixture must actually exercise ties or the correction is vacuous.
+    assert(t > 0L, "tie term must be non-zero")
+  }
+
 }

@@ -752,4 +752,16 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(!_.getBoolean(3)) > 0)
   }
 
+  test("q_stream_ohlc bars equal the batch OHLC bit-exactly") {
+    val got = StreamOps.qStreamOhlc(spark, sfDir).collect()
+    val batch = graft.operators.Series.qOhlc(spark, sfDir).collect()
+    assert(got.length == batch.length && got.nonEmpty)
+    got.zip(batch).foreach { case (g, b) =>
+      (0 until b.length).foreach { i =>
+        assert(g.get(i) == b.get(i),
+          s"bar ${b.getLong(0)}/${b.getString(1)} col $i")
+      }
+    }
+  }
+
 }

@@ -991,4 +991,93 @@ class TextOpsSpec extends SparkSpec {
       TextOps.CoverageGrid.last < freq.length)
   }
 
+  test("q_kcore equals the brute-force bounded peel of the near-dup graph") {
+    var ed = hamEdges
+    for (_ <- 1 to TextOps.KcoreRounds) {
+      val deg = (ed.toSeq ++ ed.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= TextOps.KcoreK).keySet
+      ed = ed.filter(e => keep(e._1) && keep(e._2))
+    }
+    val finalDeg = (ed.toSeq ++ ed.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = TextOps.qKcore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == finalDeg, "bounded-peel survivors and degrees")
+    // The peel actually removed something at this fixture, or the test is
+    // vacuous (the raw graph has pendant pairs by construction).
+    val rawNodes = hamEdges.flatMap(e => Seq(e._1, e._2))
+    assert(got.keySet.size < rawNodes.size, "peel removed fringe nodes")
+  }
+
+  test("q_source_overlap matches brute-force shingle-set intersections") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).view.mapValues { ds =>
+      ds.flatMap { case (_, text) =>
+        val toks = text.split(" ")
+        toks.indices.dropRight(2)
+          .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+      }.toSet
+    }.toMap
+    val got = TextOps.qSourceOverlap(spark, sfDir).collect()
+    val sources = bySource.keys.toSeq.sorted
+    val expectedPairs = for {
+      a <- sources; b <- sources if a < b
+      shared = (bySource(a) intersect bySource(b)).size if shared > 0
+    } yield (a, b, shared.toLong)
+    assert(got.length == expectedPairs.length)
+    got.zip(expectedPairs).foreach { case (r, (a, b, n)) =>
+      assert(r.getString(0) == a && r.getString(1) == b && r.getLong(2) == n)
+      val minSize = math.min(bySource(a).size, bySource(b).size).toLong
+      assert(r.getDouble(3) == n.toDouble / minSize.toDouble, s"$a-$b overlap")
+    }
+  }
+
+
+  test("q_naive_bayes matches brute-force smoothed scores and argmax") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val langs = docs.map(_._2).distinct.sorted
+    val nDocsL = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nd = docs.length.toLong
+    val lt: Map[(String, String), Long] = docs.groupBy(_._2).flatMap {
+      case (l, ds) =>
+        ds.flatMap(_._3.split(" ")).groupBy(identity).map {
+          case (t, arr) => (l, t) -> arr.length.toLong
+        }
+    }
+    val tl = langs.map(l =>
+      l -> lt.collect { case ((m, _), c) if m == l => c }.sum).toMap
+    val vocab = lt.keys.map(_._2).toSet.size.toLong
+    val got = TextOps.qNaiveBayes(spark, sfDir).collect()
+    assert(got.length == docs.length)
+    val byId = docs.map(d => d._1 -> d).toMap
+    got.foreach { r =>
+      val (id, lang, _) = byId(r.getLong(0))
+      assert(r.getString(1) == lang)
+      val tfd = byId(id)._3.split(" ").groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      val scores = langs.map { m =>
+        val fold = tfd.foldLeft(0.0) { case (acc, (t, f)) =>
+          acc + f.toDouble * math.log(
+            (lt.getOrElse((m, t), 0L).toDouble + 1.0) /
+              (tl(m).toDouble + vocab.toDouble))
+        }
+        m -> (math.log(nDocsL(m).toDouble / nd.toDouble) + fold)
+      }
+      val (pm, ps) = scores.sortBy { case (m, s) => (-s, m) }.head
+      assert(r.getString(2) == pm, s"doc $id argmax")
+      assert(r.getBoolean(3) == (pm == lang) && r.getDouble(4) == ps)
+    }
+    // The honest baseline for a k-class classifier is the majority-class
+    // prior (predict 'en' always), not 1/k — the fixture languages share
+    // most of their synthetic vocabulary, so accuracy is modest but must
+    // still beat that prior for the model to carry any signal.
+    assert(got.count(_.getBoolean(3)) > nDocsL.values.max,
+      "the learned model must beat the majority-class prior")
+  }
+
 }
