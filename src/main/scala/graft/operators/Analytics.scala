@@ -2907,6 +2907,102 @@ object Analytics {
       .limit(20)
   }
 
+  /** q_tpch_q19 — the TPC-H Q19 disjunctive-predicate shape: revenue from
+    * three (brand, size-band, quantity-band) channels expressed as ONE
+    * OR-of-ANDs that references BOTH join sides — the canonical test of
+    * disjunction pushdown. Catalyst must split the OR into its side-local
+    * implications (the quantity-band disjunction reaches the lineitem
+    * scan's PushedFilters, the brand/size disjunction the part scan's)
+    * without being told — the query states only the business predicate.
+    *
+    * Plan: part is a broadcast dim; after both scans are pre-cut by their
+    * pushed disjunctions, the residual OR evaluates post-join on the
+    * survivors; ONE 1-row aggregate. Exact discounted cents.
+    */
+  def qTpchQ19(spark: SparkSession, d: String): DataFrame = {
+    val lineCents = floor(
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).cast("long")
+    val qty = col("l_quantity")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        qty.between(1.0, 11.0)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        qty.between(10.0, 20.0)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+        qty.between(20.0, 30.0))
+    lineitem(spark, d)
+      .join(broadcast(part(spark, d)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(sum(lineCents).as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
+  /** q_tpch_q11 — the TPC-H Q11 important-stock shape: keys whose
+    * aggregate exceeds a FRACTION of the global aggregate — the
+    * HAVING-against-scalar-subquery pattern (per-part revenue > 0.1% of
+    * total revenue). The global total must come from the SAME aggregate
+    * relation, not a second fact scan.
+    *
+    * Plan: one fact shuffle to part grain; the cut compares against the
+    * 1-row total re-aggregated from the CACHED part-grain relation
+    * (broadcast back). TPC-H's literal 0.0001 fraction is vacuous on a
+    * near-uniform synthetic part distribution, so the cut is scale-FREE:
+    * parts above 1.5× the MEAN part revenue, as the EXACT integer
+    * comparison 2·rev·n_parts > 3·total — no double enters the decision
+    * (the [[qPareto]] stance). Bound: rev·n_parts < 2⁶² holds through
+    * ~10⁶ parts × 10¹² cents; beyond, widen to DECIMAL(38,0).
+    */
+  def qTpchQ11(spark: SparkSession, d: String): DataFrame = {
+    val lineCents = floor(
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).cast("long")
+    val perPart = graft.Tables.cacheForSelfJoin(
+      lineitem(spark, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(lineCents).as("rev_cents")))
+    val total = perPart.agg(sum(col("rev_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(lit(2L) * col("rev_cents") * col("n_parts") >
+        lit(3L) * col("total_cents"))
+      .select(col("l_partkey").as("partkey"), col("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("partkey"))
+  }
+
+  /** q_target_encode — leave-one-out smoothed target encoding of the
+    * event-type categorical against the value target: each row's encoding
+    * is the mean of its category EXCLUDING the row itself, shrunk toward
+    * the global prior with pseudo-count k=20 — the leakage-aware
+    * categorical encoder every tabular-ML pipeline materializes (naive
+    * per-category means leak the row's own label into its feature;
+    * LOO + shrinkage is the standard fix).
+    *
+    * Plan: category moments (n, Σcents — BIGINT, map-side partial) come
+    * from ONE pass over the cached base relation; every row then encodes
+    * map-side against the |categories|-row broadcast — the fact shuffles
+    * ZERO times beyond the moment aggregate. The prior stays global
+    * (shrinkage target, standard practice). One pinned double chain,
+    * mirrored verbatim in the oracle.
+    */
+  def qTargetEncode(spark: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val base = graft.Tables.cacheForSelfJoin(
+      events(spark, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), cents.as("c")))
+    val stats = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("s_g"))
+    val tot = stats.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"))
+    base.join(broadcast(stats), "event_type")
+      .crossJoin(broadcast(tot))
+      .select(col("event_id"), col("event_type"),
+        expr("(CAST(s_g - c AS DOUBLE) + 20.0 * (CAST(s AS DOUBLE)" +
+          " / CAST(n AS DOUBLE))) / (CAST(n_g - 1 AS DOUBLE) + 20.0)")
+          .as("enc_loo"))
+      .orderBy(col("event_id"))
+  }
+
   /** q_yoy — year-over-year growth of monthly order revenue: each month
     * joined to the SAME month one year earlier (a calendar join on
     * month-index − 12, robust to gaps where a 12-row LAG silently slips),
@@ -2977,6 +3073,9 @@ object Analytics {
     "q_tpch_q18"        -> qTpchQ18 _,
     "q_tpch_q5"         -> qTpchQ5 _,
     "q_tpch_q10"        -> qTpchQ10 _,
+    "q_tpch_q19"        -> qTpchQ19 _,
+    "q_tpch_q11"        -> qTpchQ11 _,
+    "q_target_encode"   -> qTargetEncode _,
     "q_scd2"            -> qScd2 _,
     "q_scd2_apply"      -> qScd2Apply _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
@@ -3210,6 +3309,47 @@ object Analytics {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, acctbal_cents, n_name
         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |         * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS partkey,
+        |         CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |           * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY l_partkey
+        |), t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+        |                COUNT(*) AS n_parts FROM pp)
+        |SELECT partkey, rev_cents
+        |FROM pp CROSS JOIN t
+        |WHERE 2 * rev_cents * n_parts > 3 * total_cents
+        |ORDER BY rev_cents DESC, partkey""".stripMargin,
+    "q_target_encode" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, COUNT(*) AS n_g, CAST(SUM(c) AS BIGINT) AS s_g
+        |  FROM b GROUP BY event_type
+        |), t AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s
+        |  FROM g
+        |)
+        |SELECT event_id, b.event_type,
+        |       (CAST(s_g - c AS DOUBLE) + 20.0 * (CAST(s AS DOUBLE)
+        |         / CAST(n AS DOUBLE))) / (CAST(n_g - 1 AS DOUBLE) + 20.0)
+        |         AS enc_loo
+        |FROM b JOIN g ON b.event_type = g.event_type CROSS JOIN t
+        |ORDER BY event_id""".stripMargin,
     "q_freshness" ->
       """WITH pt AS (
         |  SELECT event_type, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,

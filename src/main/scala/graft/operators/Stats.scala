@@ -535,9 +535,70 @@ object Stats {
           .as("h_tie"))
   }
 
+  /** q_levene — Brown–Forsythe (median-based Levene) test of variance
+    * homogeneity across event types: [[qAnova]]'s own PRECONDITION check
+    * (classic ANOVA assumes equal group variances; this is the robust
+    * test that decides whether to trust it or fall back to Welch). W is
+    * the one-way ANOVA F computed on absolute deviations from each
+    * group's median — the median (not mean) choice is what makes it
+    * robust to the heavy tails production metrics have.
+    *
+    * Plan: the log collapses to per-(type, cents) counts in ONE map-side
+    * aggregate and NEVER reappears — group medians come from a cumsum
+    * window over the domain-sized count relation (the [[Mining
+    * .qMannWhitney]] stance; picks the lower-median row where the cumsum
+    * first crosses (n+1) DIV 2), deviations are |c − m| per DISTINCT
+    * value weighted by its count, and the F chain is [[qAnova]]'s pinned
+    * chain verbatim. Lower-median convention (exact integer, no .5)
+    * documented rather than interpolated — the statistic's robustness
+    * properties are unchanged. All moments BIGINT → only the final
+    * chain is double.
+    */
+  def qLevene(spark: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    val counts = graft.Tables.cacheForSelfJoin(
+      events(spark, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("g"), cents.as("c"))
+        .groupBy(col("g"), col("c"))
+        .agg(count(lit(1)).as("n_c")))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wall = Window.partitionBy(col("g"))
+    val med = counts
+      .select(col("g"), col("c"), col("n_c"),
+        sum(col("n_c")).over(wcum).as("cum"),
+        sum(col("n_c")).over(wall).as("n_g"))
+      .filter(col("cum") >= expr("(n_g + 1) DIV 2") &&
+        (col("cum") - col("n_c")) < expr("(n_g + 1) DIV 2"))
+      .select(col("g"), col("c").as("m"))
+    counts.join(broadcast(med), "g")
+      .select(col("g"), col("n_c"), abs(col("c") - col("m")).as("z"))
+      .groupBy(col("g"))
+      .agg(sum(col("n_c")).as("n_g"),
+        sum(col("n_c") * col("z")).as("s_g"),
+        sum(col("n_c") * col("z") * col("z")).as("ss_g"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+        sort_array(collect_list(struct(col("g"),
+          (col("s_g").cast("double") * col("s_g").cast("double") /
+            col("n_g").cast("double")).as("a")))).as("ga"))
+      .select(col("k"), col("n"), col("s"), col("ss"),
+        expr("aggregate(ga, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.a)")
+          .as("a"))
+      .select(col("k"), col("n"),
+        (col("a") - col("s").cast("double") * col("s").cast("double") /
+          col("n").cast("double")).as("ssb"),
+        (col("ss").cast("double") - col("a")).as("ssw"))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        ((col("ssb") / (col("k") - lit(1L)).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double"))).as("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohens_d"     -> qCohensD _,
     "q_kruskal"      -> qKruskal _,
+    "q_levene"       -> qLevene _,
     "q_cdf"          -> qCdf _,
     "q_fano"         -> qFano _,
     "q_spearman"     -> qSpearman _,
@@ -551,6 +612,47 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_levene" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), counts AS (
+        |  SELECT g, c, COUNT(*) AS n_c FROM b GROUP BY g, c
+        |), cm AS (
+        |  SELECT g, c, n_c,
+        |         SUM(n_c) OVER (PARTITION BY g ORDER BY c
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(n_c) OVER (PARTITION BY g) AS n_all
+        |  FROM counts
+        |), med AS (
+        |  SELECT g, c AS m FROM cm
+        |  WHERE cum >= (n_all + 1) // 2 AND cum - n_c < (n_all + 1) // 2
+        |), z AS (
+        |  SELECT counts.g, n_c, abs(c - m) AS z
+        |  FROM counts JOIN med ON counts.g = med.g
+        |), gm AS (
+        |  SELECT g, CAST(SUM(n_c) AS BIGINT) AS n_g,
+        |         CAST(SUM(n_c * z) AS BIGINT) AS s_g,
+        |         CAST(SUM(n_c * z * z) AS BIGINT) AS ss_g
+        |  FROM z GROUP BY g
+        |), s AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |         CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(ss_g) AS BIGINT) AS ss,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |                / CAST(n_g AS DOUBLE) ORDER BY g)),
+        |           (acc, x) -> acc + x) AS a
+        |  FROM gm
+        |), parts AS (
+        |  SELECT k, n,
+        |         a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |         CAST(ss AS DOUBLE) - a AS ssw
+        |  FROM s
+        |)
+        |SELECT k, n, ssb, ssw,
+        |       (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS w
+        |FROM parts""".stripMargin,
     "q_kruskal" ->
       """WITH b AS (
         |  SELECT value AS v, event_type AS g FROM events

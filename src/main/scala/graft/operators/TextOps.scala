@@ -610,6 +610,26 @@ object TextOps {
     labels.orderBy(col("doc_id"))
   }
 
+  /** q_cc_sizes — duplicate-cluster size distribution: how many
+    * connected components of each size the MinHash near-dup graph has —
+    * THE dedup-policy planning readout ([[qDedupGroups]] labels every
+    * doc; this answers "is duplication mostly pairs, or are there
+    * mega-clusters that need a different keep-rule and will skew any
+    * per-cluster work"). Singleton clusters (size 1) are the non-
+    * duplicated mass and appear explicitly.
+    *
+    * Plan: the component labels come from [[qDedupGroups]]' per-round
+    * distributed label propagation; everything after is two node-sized
+    * hash aggregates (labels → sizes → histogram), output bounded by the
+    * largest cluster size. All-integer → hash-exact.
+    */
+  def qCcSizes(spark: SparkSession, d: String): DataFrame =
+    qDedupGroups(spark, d)
+      .groupBy(col("canon_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+      .orderBy(col("sz"))
+
   /** q_simhash — [[SimhashBits]]-bit SimHash fingerprint over distinct
     * tokens: each token votes ±1 per bit position of its hash; the
     * fingerprint keeps the sign of each bit's tally. Near-dup docs differ
@@ -2260,6 +2280,7 @@ object TextOps {
     "q_minhash_est"   -> qMinhashEst _,
     "q_edit_distance" -> qEditDistance _,
     "q_dedup_groups"  -> qDedupGroups _,
+    "q_cc_sizes"      -> qCcSizes _,
     "q_split_leakage" -> qSplitLeakage _,
     "q_minhash_merge" -> qMinhashMerge _,
     "q_decontaminate" -> qDecontaminate _,
@@ -2721,6 +2742,30 @@ object TextOps {
          |JOIN documents da ON doc_a = da.doc_id
          |JOIN documents db ON doc_b = db.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_cc_sizes" ->
+      s"""WITH RECURSIVE sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.doc_b FROM reach JOIN edges e ON reach.r = e.doc_a
+         |), labels AS (
+         |  SELECT id AS doc_id, MIN(r) AS canon_id FROM reach GROUP BY id
+         |), sizes AS (
+         |  SELECT canon_id, COUNT(*) AS sz FROM labels GROUP BY canon_id
+         |)
+         |SELECT sz, COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
     "q_dedup_groups" ->
       s"""WITH RECURSIVE sig AS (
          |$sigSql

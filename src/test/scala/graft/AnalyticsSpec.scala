@@ -1600,4 +1600,75 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+
+  test("q_tpch_q19 matches the brute-force disjunctive-channel revenue") {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    var cents = 0L
+    var nl = 0L
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .foreach { r =>
+        val (b, sz) = parts(r.getLong(0))
+        val q = r.getDouble(1)
+        val hit =
+          (b == "Brand#12" && sz >= 1 && sz <= 5 && q >= 1 && q <= 11) ||
+          (b == "Brand#23" && sz >= 1 && sz <= 10 && q >= 10 && q <= 20) ||
+          (b == "Brand#24" && sz >= 1 && sz <= 15 && q >= 20 && q <= 30)
+        if (hit) {
+          cents += math.floor(
+            r.getDouble(2) * (1.0 - r.getDouble(3)) * 100.0 + 0.5).toLong
+          nl += 1
+        }
+      }
+    val got = Analytics.qTpchQ19(spark, sfDir).collect().head
+    assert(nl > 0, "fixture must hit at least one channel")
+    assert(got.getLong(0) == cents && got.getLong(1) == nl)
+  }
+
+  test("q_tpch_q11 returns exactly the parts above the global-fraction cut") {
+    val rev = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => math.floor(
+        r.getDouble(1) * (1.0 - r.getDouble(2)) * 100.0 + 0.5).toLong).sum)
+      .toMap
+    val total = rev.values.sum
+    val np = rev.size.toLong
+    val want = rev.filter { case (_, c) => 2L * c * np > 3L * total }.toSeq
+      .sortBy { case (pk, c) => (-c, pk) }
+    val got = Analytics.qTpchQ11(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    assert(got.length < rev.size, "the cut must actually exclude parts")
+  }
+
+  test("q_target_encode LOO encodings match brute force") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val byG = rows.groupBy(_._2)
+    val sG = byG.view.mapValues(_.map(_._3).sum).toMap
+    val nG = byG.view.mapValues(_.size.toLong).toMap
+    val s = rows.map(_._3).sum
+    val n = rows.length.toLong
+    val got = Analytics.qTargetEncode(spark, sfDir).collect()
+    assert(got.length == rows.length)
+    val expect = rows.map { case (id, g, c) =>
+      id -> (((sG(g) - c).toDouble + 20.0 * (s.toDouble / n.toDouble)) /
+        ((nG(g) - 1).toDouble + 20.0))
+    }.toMap
+    got.foreach(r =>
+      assert(r.getDouble(2) == expect(r.getLong(0)), s"event ${r.getLong(0)}"))
+    // Two rows of the same category with different targets must encode
+    // differently (the LOO exclusion is real, not a per-category constant).
+    val byCat = got.groupBy(_.getString(1)).head._2.map(_.getDouble(2))
+    assert(byCat.distinct.length > 1, "LOO must vary within a category")
+  }
+
 }

@@ -472,4 +472,109 @@ class PlanSpec extends SparkSpec {
       s"marginal joins are broadcasts of constant-sized relations:\n$pc")
   }
 
+
+  test("q_tpch_q3 pushes each date band into ITS OWN scan and heaps the top-10") {
+    val p = plan(Analytics.qTpchQ3(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Q3's top-10 must be a bounded heap, not a global sort:\n$p")
+    assert(p.contains("LessThan(o_orderdate"),
+      s"the order-side date band must reach the orders scan:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"the ship-side date band must reach the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"Q3 joins are all equi-joins:\n$p")
+  }
+
+  test("q_tpch_q5 rides broadcast for every dimension arm; no nested loop") {
+    val p = plan(Analytics.qTpchQ5(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the two-armed nation condition must stay inside equi-joins:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2,
+      s"nation LUT and supplier must ride broadcast joins, saw $bhj:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the year band must reach the orders scan:\n$p")
+  }
+
+  test("q_tpch_q10 pushes the returnflag cut into the lineitem scan and heaps the top-20") {
+    val p = plan(Analytics.qTpchQ10(spark, sfDir))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"the returns cut must reach the lineitem scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a bounded heap:\n$p")
+  }
+
+  test("q_tpch_q18 filters on the order-grain aggregate (HAVING before the join-back)") {
+    val p = plan(Analytics.qTpchQ18(spark, sfDir))
+    assert(p.contains("> 300"),
+      s"the HAVING cut on total_qty must appear as a post-aggregate filter:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the join-back is an equi-join of the surviving tail:\n$p")
+  }
+
+  test("q_vec_quantize quantizes inside the scan projection: only the stats aggregate shuffles") {
+    val p = plan(Similarity.qVecQuantize(spark, sfDir))
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex == 1,
+      s"only the per-dimension stats aggregate may hash-shuffle — the vector table itself must quantize map-side, saw $ex:\n$p")
+  }
+
+  test("q_kruskal windows over the value-domain aggregate, never the log") {
+    val p = plan(graft.operators.Stats.qKruskal(spark, sfDir))
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"the rank window must consume the per-value aggregate (the q_mann_whitney stance):\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the per-(value,type) relation feeds two consumers and must be cached:\n$p")
+  }
+
+  test("q_naive_bayes scores through hash joins with a cached TF relation") {
+    val p = plan(TextOps.qNaiveBayes(spark, sfDir))
+    assert(p.contains("InMemoryTableScan"),
+      s"the TF relation feeds the model and the scorer and must be cached:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"the (lang,term) model join must be a real equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only constant-sized relations may cross:\n$p")
+  }
+
+
+  test("q_tpch_q19 pushes the side-local OR implications into both scans") {
+    val p = plan(Analytics.qTpchQ19(spark, sfDir))
+    // The query states only the cross-side OR; Catalyst must derive each
+    // side's disjunction and push it to that side's parquet scan.
+    val linePushed = "PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p)
+    val partPushed = "PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(p)
+    assert(linePushed.isDefined,
+      s"the quantity-band disjunction must reach the lineitem scan:\n$p")
+    assert(partPushed.isDefined,
+      s"the brand/size disjunction must reach the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part is a broadcast dim:\n$p")
+  }
+
+  test("q_tpch_q11 re-reads its part-grain aggregate from cache for the scalar total") {
+    val p = plan(Analytics.qTpchQ11(spark, sfDir))
+    assert(p.contains("InMemoryTableScan"),
+      s"the part-grain relation feeds the cut AND the total — must be cached:\n$p")
+  }
+
+  test("q_target_encode shuffles only the category-moment aggregate") {
+    val p = plan(Analytics.qTargetEncode(spark, sfDir))
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex <= 2,
+      s"rows must encode map-side against broadcast moments, saw $ex hash exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-category moments join must broadcast:\n$p")
+  }
+
+  test("q_levene windows over the domain-sized count relation and broadcasts medians back") {
+    val p = plan(graft.operators.Stats.qLevene(spark, sfDir))
+    assert(p.contains("InMemoryTableScan"),
+      s"the (type,cents) count relation feeds the median and the moments — must be cached:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group medians join back broadcast:\n$p")
+  }
+
 }

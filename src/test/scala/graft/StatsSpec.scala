@@ -342,4 +342,35 @@ class StatsSpec extends SparkSpec {
     assert(t > 0L, "tie term must be non-zero")
   }
 
+
+  test("q_levene matches the brute-force Brown-Forsythe W bit-exactly") {
+    val cents = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    val groups = cents.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+    val devs = groups.map { case (g, xs) =>
+      val m = xs(((xs.length + 1) / 2) - 1) // lower median, the query's contract
+      g -> xs.map(c => math.abs(c - m))
+    }
+    val k = devs.length.toLong
+    val n = cents.length.toLong
+    val s = devs.flatMap(_._2).sum
+    val ss = devs.flatMap(_._2).map(z => z * z).sum
+    var a = 0.0
+    devs.foreach { case (_, zs) =>
+      val sg = zs.sum
+      a += sg.toDouble * sg.toDouble / zs.length.toDouble
+    }
+    val ssb = a - s.toDouble * s.toDouble / n.toDouble
+    val ssw = ss.toDouble - a
+    val w = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    val got = Stats.qLevene(spark, sfDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == k && got(0).getLong(1) == n)
+    assert(got(0).getDouble(2) == ssb && got(0).getDouble(3) == ssw)
+    assert(got(0).getDouble(4) == w)
+  }
+
 }

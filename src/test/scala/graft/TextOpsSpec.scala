@@ -1080,4 +1080,30 @@ class TextOpsSpec extends SparkSpec {
       "the learned model must beat the majority-class prior")
   }
 
+
+  test("q_cc_sizes equals the union-find cluster-size histogram") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    TextOps.qMinhashLsh(spark, sfDir).collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val want = docs.groupBy(find).values.map(_.length)
+      .groupBy(identity).map { case (sz, xs) =>
+        (sz.toLong, xs.size.toLong, sz.toLong * xs.size) }
+      .toSeq.sortBy(_._1)
+    val got = TextOps.qCcSizes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._3).sum == docs.length.toLong,
+      "every doc lands in exactly one cluster")
+    assert(got.length > 1, "fixture must mix singletons and real clusters")
+  }
+
 }
