@@ -53,6 +53,47 @@ object Tables {
     df
   }
 
+  /** [[cacheForSelfJoin]] + EAGER materialization (one count() job).
+    *
+    * For the iterative graph operators that chain per-round cached tiers
+    * (k-core peel, label propagation, Adamic–Adar's capped adjacency):
+    * left lazy, the FINAL action's DAG launches several concurrent map
+    * stages over each still-unmaterialized tier, and concurrent first
+    * readers of a cache entry each recompute its plan (block-store
+    * population is first-writer-wins, not compute-once), so the recompute
+    * fans out MULTIPLICATIVELY across chained rounds — q_kcore's three
+    * peel rounds read the previous tier ~5× each (degree agg twice per
+    * semi-join probe + the probe side), measured at 23.5 s for a plan
+    * whose single-computation cost is ~3 s. The count() serializes the
+    * tiers: each computes exactly once, warm for every downstream reader.
+    * The trade is one node-sized serial job per round — the r7 triangles
+    * lesson (an UNSHARED single-reader subtree should NOT pay this) still
+    * holds, so callers reserve this for tiers with ≥2 concurrent readers.
+    */
+  def cacheEager(df: DataFrame): DataFrame = {
+    cacheForSelfJoin(df)
+    df.count()
+    df
+  }
+
+  /** Materialize an ITERATION TIER and cut its lineage. The per-round
+    * relations of the iterative graph operators appear k times in the
+    * next round's plan (k-core's peel reads the previous tier 5×: the
+    * degree agg's two union legs under each of two semi-join probes,
+    * plus the probe side), so the LOGICAL PLAN grows k^r across rounds —
+    * and Catalyst re-analyzes, re-optimizes and canonicalizes the whole
+    * exponential tree on every round boundary even when the DATA is
+    * cached (measured: q_kcore spent 40+ s of driver-side planning on an
+    * 84 k-row edge set; caching alone did not move it). localCheckpoint
+    * collapses the tier to a LogicalRDD leaf: plans stay O(one round),
+    * rounds stay one bounded job each. Blocks are executor-local
+    * (MEMORY_AND_DISK) — exactly the per-round `localCheckpoint`
+    * truncation the 100 TB notes on [[graft.operators.TextOps]]'
+    * connected-components prescribe; a cluster with executor churn
+    * swaps in reliable `checkpoint(dir)`: same algebra, durable blocks.
+    */
+  def checkpointTier(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** Drop every live self-join cache entry. The per-invocation contract
     * only needs an entry alive while its own query executes; the entries
     * otherwise linger until the SAME plan is re-invoked, so over a long

@@ -220,14 +220,79 @@ object Ranking {
           .as("auc"))
   }
 
+  /** [[qMap]] ranking depth — deeper than [[NdcgK]] so the precision
+    * terms mix early and late hits. */
+  val MapK = 100
+
+  /** q_map — average precision at [[MapK]] per event type (binary
+    * relevance rel ≥ 2 on [[qNdcg]]'s graded scale): the third standard
+    * ranking metric next to [[qNdcg]] (graded, position-discounted) and
+    * [[qAuc]] (threshold-free pairwise) — AP is what rewards putting ALL
+    * relevant items early, the recall-oriented serving metric. AP =
+    * (Σ_{k: rel_k} hits_k / k) / |relevant in top K|.
+    *
+    * Plan: one ranking window + one cumulative-hits window over the SAME
+    * per-type partitioning (a single sort pays both), cut to K rows per
+    * type, then a type-sized aggregate. Each precision term hits_k/k is
+    * a single exact-integer division; the cross-position Σ is a
+    * pos-ORDERED fold mirrored by the oracle's list_reduce.
+    */
+  def qMap(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, d)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        (floor(col("value")) % lit(4L) >= lit(2L)).as("rel"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("hits", sum(when(col("rel"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("pos") <= MapK)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"),
+        sort_array(collect_list(when(col("rel"),
+          struct(col("pos"), (col("hits").cast("double") /
+            col("pos").cast("double")).as("p"))))).as("terms"))
+      .select(col("event_type"), col("n_rel"),
+        when(col("n_rel") > 0L,
+          expr("aggregate(terms, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)")
+            / col("n_rel").cast("double")).as("ap"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"        -> qBm25 _,
     "q_rank_fusion" -> qRankFusion _,
     "q_ndcg"        -> qNdcg _,
+    "q_map"         -> qMap _,
     "q_auc"         -> qAuc _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_map" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id, ts,
+         |         (CAST(floor(value) AS BIGINT) % 4 >= 2) AS rel
+         |  FROM events
+         |), ranked AS (
+         |  SELECT event_type, rel,
+         |         row_number() OVER w AS pos,
+         |         SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER
+         |           (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts DESC, event_id DESC)
+         |)
+         |SELECT event_type,
+         |       CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         |       CASE WHEN SUM(CASE WHEN rel THEN 1 ELSE 0 END) > 0 THEN
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(CAST(hits AS DOUBLE) / CAST(pos AS DOUBLE)
+         |                ORDER BY pos) FILTER (WHERE rel)),
+         |           (acc, x) -> acc + x)
+         |           / CAST(CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+         |               AS DOUBLE)
+         |       END AS ap
+         |FROM ranked WHERE pos <= $MapK
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_bm25" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          |dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM tok),

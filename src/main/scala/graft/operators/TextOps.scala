@@ -932,14 +932,18 @@ object TextOps {
     * here.
     */
   def qAdamicAdar(spark: SparkSession, d: String): DataFrame = {
-    val edges = graft.Tables.cacheForSelfJoin(
+    // Both tiers eager: `edges` feeds dir's two union legs AND the final
+    // anti-join; `adj` is both sides of the wedge self-join — all
+    // concurrent first readers that would otherwise recompute the
+    // simhash pair subtree (the cacheEager rationale).
+    val edges = graft.Tables.cacheEager(
       simhashPairSet(spark, d)
         .filter(col("hamming") <= TriangleHamming)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val dir = edges.select(col("u").as("z"), col("v").as("nb"))
       .union(edges.select(col("v").as("z"), col("u").as("nb")))
     val deg = dir.groupBy(col("z")).agg(count(lit(1)).as("deg"))
-    val adj = graft.Tables.cacheForSelfJoin(
+    val adj = graft.Tables.cacheEager(
       dir.join(deg.filter(col("deg") <= AaDegCap), "z"))
     adj.select(col("z"), col("nb").as("a"), col("deg"))
       .join(adj.select(col("z"), col("nb").as("b")), "z")
@@ -984,18 +988,24 @@ object TextOps {
     * make the result partitioning-independent by construction.
     */
   def qLabelProp(spark: SparkSession, d: String): DataFrame = {
-    val edges = graft.Tables.cacheForSelfJoin(
+    // Eager: dir's two union legs are concurrent first readers of the
+    // edge tier, and dir itself re-enters every round's join.
+    val edges = graft.Tables.cacheEager(
       simhashPairSet(spark, d)
         .filter(col("hamming") <= TriangleHamming)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .union(edges.select(col("v").as("src"), col("u").as("dst")))
     // Each round reads the previous label relation TWICE (neighbor-min
-    // aggregate + the self `least` join), so an uncached chain doubles
-    // per round — lab₀'s distinct shuffle would run 2^r times. Caching
-    // every round's labels keeps the chain linear, exactly qPagerank's
-    // one-relation-per-iteration shape (measured: 7.2 s → ~2.5 s).
-    var lab = graft.Tables.cacheForSelfJoin(
+    // aggregate + the self `least` join) and embeds it twice in the next
+    // round's plan — an uncut chain doubles both the RECOMPUTE and the
+    // LOGICAL PLAN per round (lab₀'s distinct shuffle would run 2^r
+    // times; Catalyst would re-plan a 2^r tree — q_kcore's failure mode
+    // at fan-out 5). checkpointTier materializes each round once AND
+    // truncates it to a leaf (measured: 7.2 s → ~2.5 s cached, steady
+    // thereafter). qPagerank needs neither: its iterations read ONE
+    // cached relation in strictly sequential stages.
+    var lab = graft.Tables.checkpointTier(
       dir.select(col("src").as("n")).distinct()
         .select(col("n"), col("n").as("label")))
     for (_ <- 1 to LpRounds) {
@@ -1003,7 +1013,7 @@ object TextOps {
         .join(lab.withColumnRenamed("n", "src")
           .withColumnRenamed("label", "lsrc"), "src")
         .groupBy(col("dst")).agg(min(col("lsrc")).as("nbmin"))
-      lab = graft.Tables.cacheForSelfJoin(
+      lab = graft.Tables.checkpointTier(
         lab.join(nbMin.withColumnRenamed("dst", "n"), "n")
           .select(col("n"), least(col("label"), col("nbmin")).as("label")))
     }
@@ -1035,7 +1045,13 @@ object TextOps {
     * driver convergence loop. All-integer → hash-exact.
     */
   def qKcore(spark: SparkSession, d: String): DataFrame = {
-    var ed = graft.Tables.cacheForSelfJoin(
+    // checkpointTier, not cache: each round's plan embeds the previous
+    // tier 5× (the degree agg's two union legs under BOTH semi-join
+    // probes, plus the probe side), so an uncut lineage grows the
+    // LOGICAL PLAN 5^r — Catalyst re-planned 40+ s of pure driver work
+    // on this 84 k-row edge set with every tier cached-and-counted.
+    // Truncating each tier to a LogicalRDD leaf keeps planning O(round).
+    var ed = graft.Tables.checkpointTier(
       simhashPairSet(spark, d)
         .filter(col("hamming") <= TriangleHamming)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
@@ -1045,7 +1061,7 @@ object TextOps {
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KcoreK)
         .select(col("n"))
-      ed = graft.Tables.cacheForSelfJoin(
+      ed = graft.Tables.checkpointTier(
         ed.join(keep.withColumnRenamed("n", "u"), Seq("u"), "semi")
           .join(keep.withColumnRenamed("n", "v"), Seq("v"), "semi")
           .select(col("u"), col("v")))

@@ -56,6 +56,58 @@ case class BandVote(doc_id: Long, lost: Boolean)
 case class UserFirstK(user_id: Long, event_id: Long, seq: Long,
                       admitted: Boolean)
 
+/** Running per-type moments carried by [[AnomalyProcessor]] — exact
+  * BIGINTs, so the state merge is associative and overflow-auditable. */
+case class TypeMoments(n: Long, s: Long, ss: Long)
+
+/** Flag row of [[AnomalyProcessor]]: the prior-count makes the warmup
+  * cut (n ≥ 30) auditable in the gated result. */
+case class AnomalyFlag(event_type: String, event_id: Long, n_prior: Long,
+                       flag: Boolean)
+
+/** Online 3σ outlier flagging ([[StreamOps.qStreamAnomaly]]): ONE
+  * ValueState of exact (n, Σcents, Σcents²) per event type; each arriving
+  * event is judged against the moments of STRICTLY EARLIER events only
+  * (pre-update state — the causal, no-lookahead rule a production monitor
+  * must obey), then folded in. Warmup: no flag before 30 priors.
+  *
+  * Determinism under replay slicing: rows fold in (ts, event_id) order
+  * within each batch and the tick staging cuts strictly at a timestamp,
+  * so each row's prior-moment prefix IS the global per-type prefix — the
+  * oracle's exclusive cumulative window. The flag compares squared
+  * deviation against 9·variance (no sqrt/abs), one pinned double chain
+  * over exact integers, bit-identical cross-engine.
+  */
+class AnomalyProcessor
+    extends StatefulProcessor[String, (String, Long, Long, Long), AnomalyFlag] {
+  @transient private var st: ValueState[TypeMoments] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState("moments", Encoders.product[TypeMoments],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+                               rows: Iterator[(String, Long, Long, Long)],
+                               timerValues: TimerValues): Iterator[AnomalyFlag] = {
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    var m = if (st.exists()) st.get() else TypeMoments(0L, 0L, 0L)
+    val out = sorted.map { case (_, _, eid, c) =>
+      val flag = m.n >= 30L && {
+        val nd = m.n.toDouble
+        val mean = m.s.toDouble / nd
+        val varr = (m.ss.toDouble - m.s.toDouble * m.s.toDouble / nd) / nd
+        val dev = c.toDouble - mean
+        dev * dev > 9.0 * varr
+      }
+      val res = AnomalyFlag(key, eid, m.n, flag)
+      m = TypeMoments(m.n + 1L, m.s + c, m.ss + c * c)
+      res
+    }
+    st.update(m)
+    out.iterator
+  }
+}
+
 /** Per-user first-K admission ([[StreamOps.qStreamFirstk]]): ONE
   * ValueState long per user — the arrival count — admits a user's first
   * K events and stamps every event with its arrival index. Determinism
@@ -834,6 +886,44 @@ object StreamOps extends Serializable {
     }
     query.awaitTermination()
     spark.table(sinkName).orderBy(col("bucket"), col("event_type"))
+  }
+
+  /** q_stream_anomaly — [[AnomalyProcessor]]'s online 3σ monitor over the
+    * replay stream: every event flagged against its type's running exact
+    * moments AT ARRIVAL (strictly-prior prefix, 30-event warmup). The
+    * oracle replays the identical rule as an exclusive cumulative window
+    * over the drained replay — stream flags == batch flags, proving the
+    * causal prefix is slicing-independent.
+    *
+    * Scale: state is three longs per event type; per batch the work is
+    * one in-memory sort of the type's slice. The flag chain is the
+    * documented pinned double sequence over exact BIGINTs.
+    */
+  def qStreamAnomaly(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_anomaly")
+    val query = startWithStatePartitions(spark, 8) {
+      import spark.implicits._
+      spark.readStream.schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageReplayDir(spark, d))
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+        .as[(String, Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new AnomalyProcessor, TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName).orderBy(col("event_type"), col("event_id"))
   }
 
   private val dlqCache = TrieMap.empty[String, String]
@@ -1672,6 +1762,7 @@ object StreamOps extends Serializable {
     "q_stream_tick"        -> qStreamTick _,
     "q_stream_topk"        -> qStreamTopk _,
     "q_stream_ohlc"        -> qStreamOhlc _,
+    "q_stream_anomaly"     -> qStreamAnomaly _,
     "q_stream_tick_append" -> qStreamTickAppend _,
     "q_stream_sink_parquet" -> qStreamSinkParquet _,
     "q_stream_tick_update" -> qStreamTickUpdate _,
@@ -1843,6 +1934,28 @@ object StreamOps extends Serializable {
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), w AS (
+        |  SELECT event_type, event_id, c,
+        |         COUNT(*) OVER pre AS n,
+        |         CAST(SUM(c) OVER pre AS BIGINT) AS s,
+        |         CAST(SUM(c * c) OVER pre AS BIGINT) AS ss
+        |  FROM e
+        |  WINDOW pre AS (PARTITION BY event_type ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, event_id, n AS n_prior,
+        |       CASE WHEN n >= 30 THEN
+        |         (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |           > 9.0 * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+        |             * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |       ELSE FALSE END AS flag
+        |FROM w ORDER BY event_type, event_id""".stripMargin,
     "q_stream_ohlc" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) // 21600000000 AS bucket, event_type,

@@ -85,4 +85,33 @@ class RankingSpec extends SparkSpec {
       case _           => ()
     }
   }
+
+  test("q_map equals the brute-force average precision at K") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3)).toLong % 4L >= 2L))
+    val want = rows.groupBy(_._1).map { case (t, rs) =>
+      val ranked = rs.sortBy(r => (-r._3, -r._2)).take(graft.operators.Ranking.MapK)
+      var hits = 0L
+      var s = 0.0
+      ranked.zipWithIndex.foreach { case ((_, _, _, rel), i) =>
+        if (rel) {
+          hits += 1
+          s += hits.toDouble / (i + 1).toDouble
+        }
+      }
+      t -> ((hits, if (hits > 0) s / hits.toDouble else Double.NaN))
+    }
+    val got = graft.operators.Ranking.qMap(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nRel, ap) = want(r.getString(0))
+      assert(r.getLong(1) == nRel, s"${r.getString(0)} n_rel")
+      assert(r.getDouble(2) == ap, s"${r.getString(0)} ap")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
 }

@@ -764,4 +764,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+
+  test("q_stream_anomaly flags equal the causal-prefix batch recomputation") {
+    val got = StreamOps.qStreamAnomaly(spark, sfDir).collect()
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      var n = 0L; var s = 0L; var ss = 0L
+      rs.sortBy(r => (r._2, r._3)).toSeq.map { case (_, _, eid, c) =>
+        val flag = n >= 30L && {
+          val nd = n.toDouble
+          val mean = s.toDouble / nd
+          val varr = (ss.toDouble - s.toDouble * s.toDouble / nd) / nd
+          val dev = c.toDouble - mean
+          dev * dev > 9.0 * varr
+        }
+        val res = (t, eid, n, flag)
+        n += 1; s += c; ss += c * c
+        res
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, (t, eid, np, f)) =>
+      assert(g.getString(0) == t && g.getLong(1) == eid &&
+        g.getLong(2) == np && g.getBoolean(3) == f, s"event $eid")
+    }
+    assert(got.exists(_.getBoolean(3)), "fixture must flag at least one event")
+    assert(got.exists(r => !r.getBoolean(3) && r.getLong(2) >= 30),
+      "and leave mature in-band events unflagged")
+  }
+
 }
