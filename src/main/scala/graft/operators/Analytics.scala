@@ -2970,6 +2970,154 @@ object Analytics {
       .orderBy(col("rev_cents").desc, col("partkey"))
   }
 
+  /** q_tpch_q4 — the TPC-H Q4 order-priority-checking shape: how many
+    * orders of one quarter-year had at least one LATE line (shipped more
+    * than 60 days after the order date — the fixture's proxy for Q4's
+    * commitdate < receiptdate, which the schema lacks), counted per
+    * priority. The shape under test is EXISTS-as-semi-join with a
+    * NON-equi conjunct: the date comparison rides the join condition, so
+    * the probe emits each order AT MOST once — a rewrite to inner-join +
+    * distinct would shuffle the full match multiset first.
+    *
+    * Plan: the year band lands in the orders scan's PushedFilters; one
+    * semi-join (AQE broadcasts the filtered order side if small enough)
+    * and a ≤5-row aggregate. All-integer.
+    */
+  def qTpchQ4(spark: SparkSession, d: String): DataFrame =
+    orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(lineitem(spark, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q_tpch_q12 — the TPC-H Q12 shipping-priority-distribution shape:
+    * per return flag (the fixture's stand-in for Q12's ship mode), how
+    * many lines of one ship-year belong to high-priority orders
+    * (URGENT/HIGH) vs the rest — the canonical conditional-aggregation-
+    * after-join readout (two CASE sums in ONE pass; a per-class
+    * re-scan would double the fact traffic).
+    *
+    * Plan: the ship-year band lands in the lineitem scan, the order join
+    * carries only (o_orderkey, o_orderpriority), and the output is
+    * ≤|flags| rows. All-integer.
+    */
+  def qTpchQ12(spark: SparkSession, d: String): DataFrame = {
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(orders(spark, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q_tpch_q17 — the TPC-H Q17 small-quantity-order-revenue shape: the
+    * revenue locked in lines whose quantity is below 20% of their part's
+    * average order quantity — the canonical CORRELATED-SCALAR-AVG
+    * decorrelation (the per-part average must become one aggregate
+    * relation joined back, never a per-row subquery).
+    *
+    * Exactness: the 0.2·avg comparison is the EXACT integer cross-
+    * multiplication 5·qty·n < Σqty (quantities are integral 1..50 —
+    * the [[qPareto]]/[[qTpchQ11]] no-doubles-in-the-decision stance).
+    * Plan: ONE fact pass builds the part-grain (Σqty, n) relation; the
+    * fact re-joins it on the part key (both sides already part-keyed;
+    * AQE broadcasts the aggregate side when it fits) and the survivors
+    * collapse to one row. The fact subtree is cached for its self-join.
+    */
+  def qTpchQ17(spark: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.cacheForSelfJoin(
+      lineitem(spark, d)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents")))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("nq"))
+    li.join(perPart, "l_partkey")
+      .filter(lit(5L) * col("qty") * col("nq") < col("sq"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("cents")).as("small_rev_cents"))
+  }
+
+  /** q_tpch_q22 — the TPC-H Q22 global-opportunity shape: DORMANT
+    * customers with above-average (positive) account balance — money
+    * parked with no order since 1999 (every fixture customer has SOME
+    * order, so Q22's "never ordered" is read as Q22's own 7-years-idle
+    * spirit: no RECENT order) — counted and summed per nation (the
+    * fixture's country code). The canonical scalar-subquery-threshold +
+    * NOT-EXISTS-anti-join pair in one query.
+    *
+    * Exactness: the above-average cut is the integer cross-multiplication
+    * cents·n > Σcents over exact balance cents — no double enters the
+    * decision. Plan: the 1-row positive-balance average broadcasts onto
+    * the customer scan; the anti-join probes the DATE-FILTERED orders
+    * (the recency band lands in the orders scan's PushedFilters) on the
+    * customer key — the only fact shuffle; output is ≤|nations| rows.
+    */
+  def qTpchQ22(spark: SparkSession, d: String): DataFrame = {
+    val cust = graft.Tables.cacheForSelfJoin(
+      customer(spark, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+            .as("bal_cents")))
+    val avgPos = cust.filter(col("bal_cents") > 0L)
+      .agg(sum(col("bal_cents")).as("s"), count(lit(1)).as("n"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_cents") * col("n") > col("s"))
+      .join(orders(spark, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totbal_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** q_tpch_q2 — the TPC-H Q2 minimum-cost-supplier shape re-expressed on
+    * the fixture schema (no partsupp table): for each small part
+    * (p_size < 10), the supplier offering its cheapest line price — the
+    * canonical ARGMIN-within-group-then-enrich pattern, where the
+    * correlated `= (SELECT MIN ...)` subquery must decorrelate to one
+    * per-group aggregate with a deterministic tie-break, never a per-part
+    * probe.
+    *
+    * Plan: one fact pass to (part, supplier) offer grain; the per-part
+    * argmin is a window row_number over that part-keyed relation (same
+    * partitioning — no extra shuffle); winners join the supplier dim
+    * broadcast and the size-filtered part dim. Tie-break (best_cents,
+    * suppkey) is total, so the winner is partitioning-independent.
+    */
+  def qTpchQ2(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val offer = lineitem(spark, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+        .cast("long")).as("best_cents"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("best_cents"), col("l_suppkey"))
+    offer.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(part(spark, d).filter(col("p_size") < 10)
+        .select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(spark, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("partkey"), col("p_name"),
+        col("l_suppkey").as("suppkey"), col("s_name"), col("best_cents"))
+      .orderBy(col("best_cents"), col("partkey"))
+      .limit(100)
+  }
+
   /** q_target_encode — leave-one-out smoothed target encoding of the
     * event-type categorical against the value target: each row's encoding
     * is the mean of its category EXCLUDING the row itself, shrunk toward
@@ -3067,6 +3215,11 @@ object Analytics {
     "q_heatmap"         -> qHeatmap _,
     "q_union_by_name"   -> qUnionByName _,
     "q_seq3"            -> qSeq3 _,
+    "q_tpch_q2"         -> qTpchQ2 _,
+    "q_tpch_q4"         -> qTpchQ4 _,
+    "q_tpch_q12"        -> qTpchQ12 _,
+    "q_tpch_q17"        -> qTpchQ17 _,
+    "q_tpch_q22"        -> qTpchQ22 _,
     "q_tpch_q6"         -> qTpchQ6 _,
     "q_tpch_q13"        -> qTpchQ13 _,
     "q_tpch_q3"         -> qTpchQ3 _,
@@ -3230,6 +3383,79 @@ object Analytics {
         |FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
         |GROUP BY e1, e2, e3
         |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), pp AS (
+        |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sq,
+        |         CAST(COUNT(*) AS BIGINT) AS nq
+        |  FROM li GROUP BY l_partkey
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(cents) AS BIGINT) AS small_rev_cents
+        |FROM li JOIN pp USING (l_partkey)
+        |WHERE 5 * qty * nq < sq""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |), avgpos AS (
+        |  SELECT CAST(SUM(bal_cents) AS BIGINT) AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM cust WHERE bal_cents > 0
+        |)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(bal_cents) AS BIGINT) AS totbal_cents
+        |FROM cust, avgpos
+        |WHERE bal_cents * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH offer AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(MIN(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS best_cents
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |), ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY l_partkey ORDER BY best_cents, l_suppkey) AS rn
+        |  FROM offer
+        |)
+        |SELECT r.l_partkey AS partkey, p_name, r.l_suppkey AS suppkey,
+        |       s_name, best_cents
+        |FROM ranked r
+        |JOIN part ON r.l_partkey = p_partkey
+        |JOIN supplier ON r.l_suppkey = s_suppkey
+        |WHERE rn = 1 AND p_size < 10
+        |ORDER BY best_cents, partkey LIMIT 100""".stripMargin,
     "q_tpch_q6" ->
       """SELECT COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)

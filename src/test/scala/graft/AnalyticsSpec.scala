@@ -1646,6 +1646,117 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.length < rev.size, "the cut must actually exclude parts")
   }
 
+  test("q_tpch_q4 counts exactly the window's orders with a >60-day-late line") {
+    import java.time.LocalDateTime
+    val ships = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1)))
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1), r.getString(2)))
+    val from = LocalDateTime.parse("1997-01-01T00:00:00")
+    val to = LocalDateTime.parse("1998-01-01T00:00:00")
+    val byOrder = ships.groupBy(_._1)
+    val want = orders
+      .filter { case (ok, od, _) =>
+        !od.isBefore(from) && od.isBefore(to) &&
+          byOrder.getOrElse(ok, Array.empty[(Long, LocalDateTime)])
+            .exists(_._2.isAfter(od.plusDays(60)))
+      }
+      .groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val got = Analytics.qTpchQ4(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+    assert(got.values.sum <
+      orders.count { case (_, od, _) => !od.isBefore(from) && od.isBefore(to) },
+      "the EXISTS must actually exclude on-time orders")
+  }
+
+  test("q_tpch_q12 splits the ship-year's lines by order priority class") {
+    val pri = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val lines = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        year(col("l_shipdate")).as("yr")).collect()
+      .filter(_.getInt(2) == 1998)
+      .map(r => (r.getString(1),
+        Set("1-URGENT", "2-HIGH")(pri(r.getLong(0)))))
+    val want = lines.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(_._2).toLong, rs.count(!_._2).toLong)
+    }.toMap
+    val got = Analytics.qTpchQ12(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want && got.nonEmpty)
+    assert(got.values.exists(v => v._1 > 0 && v._2 > 0),
+      "both priority classes must be populated")
+  }
+
+  test("q_tpch_q17 equals the brute-force below-fifth-of-average revenue") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong,
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val stats = rows.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.size.toLong)).toMap
+    val sel = rows.filter { case (pk, q, _) =>
+      val (sq, nq) = stats(pk); 5L * q * nq < sq
+    }
+    val got = Analytics.qTpchQ17(spark, sfDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == sel.length.toLong)
+    assert(got(0).getLong(1) == sel.map(_._3).sum)
+    assert(sel.nonEmpty && sel.length < rows.length,
+      "the quantity cut must be selective but non-vacuous")
+  }
+
+  test("q_tpch_q22 finds the dormant above-average-balance customers per nation") {
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val pos = cust.map(_._3).filter(_ > 0L)
+    val (s, n) = (pos.sum, pos.length.toLong)
+    val dormant = cust.filter { case (ck, _, b) =>
+      b * n > s && !recent(ck)
+    }
+    val want = dormant.groupBy(_._2).view
+      .mapValues(rs => (rs.size.toLong, rs.map(_._3).sum)).toMap
+    val got = Analytics.qTpchQ22(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want && got.nonEmpty,
+      "the fixture must contain dormant above-average customers")
+  }
+
+  test("q_tpch_q2 picks each small part's cheapest supplier with a total tie-break") {
+    val offers = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val smallParts = Tables.part(spark, sfDir)
+      .filter(col("p_size") < 10).select(col("p_partkey")).collect()
+      .map(_.getLong(0)).toSet
+    val winners = offers.toSeq
+      .map { case ((pk, sk), c) => (pk, sk, c) }
+      .groupBy(_._1).view
+      .mapValues(_.minBy(o => (o._3, o._2))).toMap
+    val want = winners.values.toSeq
+      .filter(w => smallParts(w._1))
+      .sortBy(w => (w._3, w._1)).take(100)
+      .map(w => (w._1, w._2, w._3))
+    val got = Analytics.qTpchQ2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q_target_encode LOO encodings match brute force") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("value").isNotNull)
