@@ -600,6 +600,115 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** q_kmeans_sse — the clustering-quality readout on [[qKmeansStep]]'s
+    * assignment: per cell, member count and the within-cluster sum of
+    * squared euclidean distance to the cell's SEED centroid (the ivf
+    * inverted file's cells), plus each cell's share of the total SSE —
+    * the objective a k-means driver loop watches per round (monotone
+    * decrease is the convergence signal; a cell with outsized SSE is the
+    * one to split). [[qKmeansStep]] produces the next centroids; this
+    * scores the current ones — together they are the full Lloyd loop
+    * instrumentation.
+    *
+    * Determinism: per row, ‖x−c‖² = (x·x − 2·x·c) + c·c — one pinned
+    * double chain of three codegen'd dot products. Across members the
+    * double sum is order-DEPENDENT, so it folds with [[qCentroid]]'s
+    * two-level chunked ordered fold (state per group bounded by
+    * [[CentroidChunk]], never a cell's membership) — bit-exact under any
+    * partitioning. Share = sse/total via one 1-row broadcast.
+    */
+  def qKmeansSse(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+    val cents = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val assigned = ivfRanked(spark, d).filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+      .join(broadcast(cents), "cid")
+      .select(col("cid"), col("vec_id"),
+        ((dotLtr(col("embedding"), col("embedding")) -
+          lit(2.0) * dotLtr(col("embedding"), col("ce"))) +
+          dotLtr(col("ce"), col("ce"))).as("sq"))
+    val chunked = assigned
+      .groupBy(col("cid"), expr(s"vec_id DIV $CentroidChunk").as("chunk"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("sq")))).as("vs"))
+      .select(col("cid"), col("chunk"),
+        expr("aggregate(vs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.sq)")
+          .as("csum"),
+        size(col("vs")).as("cn"))
+    val perCell = graft.Tables.cacheForSelfJoin(
+      chunked.groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("chunk"), col("csum")))).as("cs"),
+          sum(col("cn")).as("n_members"))
+        .select(col("cid"), col("n_members"),
+          expr("aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.csum)")
+            .as("sse")))
+    val total = perCell
+      .agg(sort_array(collect_list(struct(col("cid"), col("sse")))).as("ss"))
+      .select(
+        expr("aggregate(ss, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.sse)")
+          .as("total_sse"))
+    perCell.crossJoin(broadcast(total))
+      .select(col("cid"), col("n_members"), col("sse"),
+        (col("sse") / col("total_sse")).as("sse_share"))
+      .orderBy(col("cid"))
+  }
+
+  /** Truncation width evaluated by [[qMatryoshka]] — the first quarter of
+    * [[EmbDim]]: the standard Matryoshka serving question is "how much
+    * recall does the 4× cheaper prefix keep?".
+    */
+  val MrlDim = 16
+
+  /** q_matryoshka — truncated-embedding recall: for each eval query, how
+    * many of its full-dimension cosine top-[[RecallK]] neighbors survive
+    * when ranking by the FIRST [[MrlDim]] of [[EmbDim]] coordinates —
+    * the Matryoshka-representation serving eval (prefix-truncated
+    * vectors are the standard way to cut ANN memory/compute 4×; this
+    * query is the number that decides whether the cut ships, exactly as
+    * [[qRecallEval]] decides the LSH geometry).
+    *
+    * Plan: ONE corpus pass scores both cosines per (query, candidate)
+    * row against the broadcast eval set (the truncated dot reuses the
+    * sliced arrays in-row — no second scan), cached; the two rankings
+    * are windows over the SAME query-partitioned relation; overlap is a
+    * key-equi join of two k-row-per-query sets. The corpus×20 cross is
+    * the documented bounded eval cost ([[qRecallEval]]'s stance: truth
+    * is what you pay for a measurement, on an eval SAMPLE, never the
+    * serving path). Ties break on c_id in both engines; cosine doubles
+    * are the pinned left-to-right fold, bit-identical cross-engine.
+    */
+  def qMatryoshka(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, d)
+    val evalQ = e.filter(col("vec_id").between(1, EvalQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val pairs = graft.Tables.cacheForSelfJoin(
+      e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        .crossJoin(broadcast(evalQ))
+        .filter(col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          cosine(col("ce"), col("qe")).as("cos_full"),
+          cosine(slice(col("ce"), 1, MrlDim), slice(col("qe"), 1, MrlDim))
+            .as("cos_trunc")))
+    val wFull = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_full").desc, col("c_id"))
+    val wTrunc = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_trunc").desc, col("c_id"))
+    val truth = pairs.withColumn("rn", row_number().over(wFull))
+      .filter(col("rn") <= RecallK).select(col("q_id"), col("c_id"))
+    val approx = pairs.withColumn("rn", row_number().over(wTrunc))
+      .filter(col("rn") <= RecallK).select(col("q_id"), col("c_id"))
+    val hits = truth.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    evalQ.select(col("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") /
+          lit(RecallK.toDouble)).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** Fixed-point scale for [[qPowerIter]]'s Gram accumulation: products
     * of embedding coords (|x| ≤ ~0.53 ⇒ |x·y| ≤ ~0.28) scale to ≤ 2.8e9
     * per row — exact BIGINT adds, order-independent under any
@@ -839,10 +948,12 @@ object Similarity {
     "q_pq_encode"       -> qPqEncode _,
     "q_ann_pq"          -> qAnnPq _,
     "q_kmeans_step"     -> qKmeansStep _,
+    "q_kmeans_sse"      -> qKmeansSse _,
     "q_vec_minmax"      -> qVecMinmax _,
     "q_label_entropy"   -> qLabelEntropy _,
     "q_power_iter"      -> qPowerIter _,
     "q_recall_eval"     -> qRecallEval _,
+    "q_matryoshka"      -> qMatryoshka _,
     "q_knn_classify"    -> qKnnClassify _,
     "q_ann_batch"       -> qAnnBatch _,
     "q_vec_check"       -> qVecCheck _,
@@ -878,6 +989,68 @@ object Similarity {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_kmeans_sse" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), ranked AS (
+         |  SELECT e.vec_id, cid, e.embedding, ce,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosSql("e.embedding", "ce")} DESC, cid) AS rn
+         |  FROM embeddings e CROSS JOIN cents
+         |), asg AS (
+         |  SELECT cid, vec_id,
+         |         (${dotSql("embedding", "embedding")}
+         |          - 2.0 * ${dotSql("embedding", "ce")})
+         |          + ${dotSql("ce", "ce")} AS sq
+         |  FROM ranked WHERE rn = 1
+         |), ch AS (
+         |  SELECT cid, vec_id // $CentroidChunk AS chunk,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(sq ORDER BY vec_id)), (acc, v) -> acc + v) AS csum,
+         |         CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM asg GROUP BY cid, chunk
+         |), pc AS (
+         |  SELECT cid,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(csum ORDER BY chunk)), (acc, v) -> acc + v) AS sse,
+         |         CAST(SUM(cn) AS BIGINT) AS n_members
+         |  FROM ch GROUP BY cid
+         |), tot AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(sse ORDER BY cid)), (acc, v) -> acc + v) AS total_sse
+         |  FROM pc
+         |)
+         |SELECT cid, n_members, sse, sse / total_sse AS sse_share
+         |FROM pc, tot ORDER BY cid""".stripMargin,
+    "q_matryoshka" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND $EvalQueries
+         |), p AS (
+         |  SELECT q_id, e.vec_id AS c_id,
+         |         ${cosSql("e.embedding", "qe")} AS cos_full,
+         |         ${cosSql(s"e.embedding[1:$MrlDim]", s"qe[1:$MrlDim]")}
+         |           AS cos_trunc
+         |  FROM embeddings e, q WHERE e.vec_id <> q_id
+         |), t AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cos_full DESC, c_id) AS rn FROM p)
+         |  WHERE rn <= $RecallK
+         |), a AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cos_trunc DESC, c_id) AS rn FROM p)
+         |  WHERE rn <= $RecallK
+         |), h AS (
+         |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM t JOIN a USING (q_id, c_id) GROUP BY q_id
+         |)
+         |SELECT q.q_id AS q_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
+         |       CAST(COALESCE(n, 0) AS DOUBLE) / $RecallK.0 AS recall
+         |FROM q LEFT JOIN h ON q.q_id = h.q_id
+         |ORDER BY q.q_id""".stripMargin,
     "q_vec_quantize" ->
       """WITH pd AS (
         |  SELECT pos, MIN(v) AS mn, MAX(v) AS mx

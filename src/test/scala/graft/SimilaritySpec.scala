@@ -502,4 +502,72 @@ class SimilaritySpec extends SparkSpec {
       "codes span the full 8-bit range at the per-dimension extremes")
   }
 
+  test("q_kmeans_sse equals the brute-force chunk-folded within-cluster SSE") {
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = all.filter(r => r._1 >= 1 && r._1 <= 8)
+    val asg = all.map { case (id, v) =>
+      val cid = cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .minBy { case (c, s) => (-s, c) }._1
+      val cv = cents.find(_._1 == cid).get._2
+      (cid, id, (dot(v, v) - 2.0 * dot(v, cv)) + dot(cv, cv))
+    }
+    val want = asg.groupBy(_._1).view.mapValues { rs =>
+      val chunks = rs.groupBy(_._2 / graft.operators.Similarity.CentroidChunk)
+        .toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).foldLeft(0.0)((a, r) => a + r._3))
+      (rs.size.toLong, chunks.foldLeft(0.0)(_ + _))
+    }.toMap
+    val totalSse = want.toSeq.sortBy(_._1).map(_._2._2).foldLeft(0.0)(_ + _)
+    val got = graft.operators.Similarity.qKmeansSse(spark, sfDir).collect()
+    assert(got.length == want.size && got.length == 8)
+    got.foreach { r =>
+      val (n, sse) = want(r.getLong(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == sse, s"cell ${r.getLong(0)}")
+      assert(r.getDouble(3) == sse / totalSse)
+    }
+    assert(got.map(_.getLong(1)).sum == all.length.toLong,
+      "every vector is assigned to exactly one cell")
+  }
+
+  test("q_matryoshka equals brute-force truncated-prefix recall and the cut is non-vacuous") {
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos(a: Array[Float], b: Array[Float], n: Int): Double =
+      dot(a, b, n) / (math.sqrt(dot(a, a, n)) * math.sqrt(dot(b, b, n)))
+    def topk(q: Long, qv: Array[Float], n: Int): Set[Long] =
+      all.filter(_._1 != q)
+        .map { case (c, cv) => (c, cos(cv, qv, n)) }
+        .sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.RecallK).map(_._1).toSet
+    val got = Similarity.qMatryoshka(spark, sfDir).collect()
+    assert(got.length == Similarity.EvalQueries)
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val qv = all.find(_._1 == q).get._2
+      val hits = (topk(q, qv, qv.length) intersect
+        topk(q, qv, Similarity.MrlDim)).size.toLong
+      assert(r.getLong(1) == hits, s"query $q n_hits")
+      assert(r.getDouble(2) ==
+        hits.toDouble / Similarity.RecallK.toDouble, s"query $q recall")
+    }
+    // Truncation must actually cost recall somewhere on this corpus or
+    // the eval measures nothing; and it must keep SOME neighbor overall
+    // or the fixture geometry is degenerate.
+    assert(got.exists(_.getLong(1) < Similarity.RecallK))
+    assert(got.map(_.getLong(1)).sum > 0L)
+  }
+
 }
