@@ -1019,6 +1019,35 @@ object Analytics {
       .orderBy(col("event_type"), col("h_s"))
   }
 
+  /** q_range_window — the time-RANGE window frame: per event, the
+    * trailing-hour spend and event count of its type (`RANGE BETWEEN
+    * 3600000000 PRECEDING AND CURRENT ROW` over epoch-µs order) — the
+    * frame a ROWS window cannot express on UNEVENLY spaced events
+    * ([[qRollingAvg]] needed gap-filled densification to fake it on the
+    * hourly grid; a range frame reads the raw stream directly — the pair
+    * documents when each tool applies). Per-event trailing windows are
+    * the serving-side feature shape (rate limits, velocity features,
+    * fraud scores) that batch precomputation must match exactly.
+    *
+    * Determinism: frame membership is defined by the µs VALUES (ties at
+    * the same µs are all in-frame in both engines — no peer ambiguity),
+    * sums are exact BIGINT cents. One shuffle on event_type serves the
+    * sort and the frame.
+    */
+  def qRangeWindow(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    events(spark, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .select(col("event_type"), col("event_id"), col("us"),
+        sum(col("c")).over(w).as("hour_cents"),
+        count(lit(1)).over(w).as("n_hour"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** q_anomaly — σ-threshold outlier detection over the DENSE hourly
     * series: hours whose count deviates from their type's mean by more
     * than 3 population standard deviations. Composes [[hourlyDense]] —
@@ -3295,6 +3324,7 @@ object Analytics {
     "q_histogram"       -> qHistogram _,
     "q_gapfill"         -> qGapfill _,
     "q_rolling_avg"     -> qRollingAvg _,
+    "q_range_window"    -> qRangeWindow _,
     "q_anomaly"         -> qAnomaly _,
     "q_retention"       -> qRetention _,
     "q_cum_users"       -> qCumUsers _,
@@ -4168,6 +4198,19 @@ object Analytics {
         |       COALESCE(n, 0) AS n
         |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
         |ORDER BY g.event_type, h_s""".stripMargin,
+    "q_range_window" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, event_id, us,
+        |       CAST(SUM(c) OVER w AS BIGINT) AS hour_cents,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q_rolling_avg" ->
       """WITH c AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n

@@ -305,7 +305,47 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  /** q_cohort_matrix — the weekly retention MATRIX: users grouped by
+    * their first-ever active week (the cohort), each later week's
+    * activity expressed as a RATE of the cohort's size — the triangle
+    * every product-analytics dashboard renders, and the denominator
+    * [[Analytics.qRetention]]'s raw day-offset counts deliberately leave
+    * out (counts compare cohorts of different sizes incomparably; rates
+    * are the decision surface).
+    *
+    * Plan: events collapse to the DISTINCT user-week grain first (one
+    * hash aggregate — the fact never reappears), the per-user cohort is
+    * a window min over that user-partitioned relation (same shuffle the
+    * dedup already paid), cells are a second calendar-sized aggregate,
+    * and the cohort-size denominator is the matrix's own offset-0 column
+    * joined back broadcast. Rate = one pinned integer division.
+    */
+  def qCohortMatrix(spark: SparkSession, d: String): DataFrame = {
+    // Purchase events only: "active" for a retention matrix means the
+    // VALUE action, and the fixture's all-event stream has every user
+    // touching every week (a degenerate all-1.0 matrix says nothing).
+    val uw = events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val withCohort = uw.withColumn("cohort",
+      min(col("wk")).over(Window.partitionBy(col("user_id"))))
+    val cells = graft.Tables.cacheForSelfJoin(
+      withCohort.groupBy(col("cohort"),
+        expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)").as("week_offset"))
+        .agg(count(lit(1)).as("n_active")))
+    val sizes = cells.filter(col("week_offset") === 0L)
+      .select(col("cohort"), col("n_active").as("n_cohort"))
+    cells.join(broadcast(sizes), "cohort")
+      .select(tsSeconds(col("cohort")).as("cohort_s"), col("week_offset"),
+        col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_s"), col("week_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_matrix" -> qCohortMatrix _,
     "q_rfm" -> qRfm _,
     "q_ltv" -> qLtv _,
     "q_prop_test" -> qPropTest _,
@@ -316,6 +356,26 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_matrix" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        |  WHERE event_type = 'purchase'
+        |), wc AS (
+        |  SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort
+        |  FROM uw
+        |), cells AS (
+        |  SELECT cohort,
+        |         CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+        |         CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM wc GROUP BY cohort, week_offset
+        |), sz AS (
+        |  SELECT cohort, n_active AS n_cohort FROM cells WHERE week_offset = 0
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d %H:%M:%S') AS cohort_s, week_offset,
+        |       n_active, n_cohort,
+        |       CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+        |FROM cells JOIN sz USING (cohort)
+        |ORDER BY cohort_s, week_offset""".stripMargin,
     "q_rfm" ->
       """WITH anchor AS (
         |  SELECT MAX(date_trunc('day', ts)) AS anchor FROM events

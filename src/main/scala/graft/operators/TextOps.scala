@@ -630,6 +630,33 @@ object TextOps {
         sum(col("sz")).as("n_docs"))
       .orderBy(col("sz"))
 
+  /** q_dup_rate_source — near-duplication rate per source feed: each
+    * document labeled with its MinHash connected component
+    * ([[qDedupGroups]]' fixpoint), then per source the share of
+    * NON-canonical members (docs a keep-min dedup policy would DROP) —
+    * the per-feed readout that turns the corpus-wide cluster histogram
+    * ([[qCcSizes]]) into an ingest decision: a feed with an outsized dup
+    * rate gets deduped (or cut) at the source, before it pays transform
+    * cost. [[qSourceOverlap]] asks "who copies whom"; this asks "how
+    * much of each feed is redundant".
+    *
+    * Plan: labels from the per-round distributed propagation; ONE
+    * broadcast-joinable doc→source projection (two columns off the
+    * documents scan — the text never moves); per-source counts are a
+    * source-sized hash aggregate. Rate = one pinned integer division.
+    */
+  def qDupRateSource(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d).select(col("doc_id"), col("source"))
+      .join(qDedupGroups(spark, d), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("canon_id") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        (col("n_dropped").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+      .orderBy(col("source"))
+
   /** q_simhash — [[SimhashBits]]-bit SimHash fingerprint over distinct
     * tokens: each token votes ±1 per bit position of its hash; the
     * fingerprint keeps the sign of each bit's tally. Near-dup docs differ
@@ -1825,6 +1852,43 @@ object TextOps {
     * exact-integer determinants replaced by folded doubles — counts here
     * are log-transformed, so there is no integer shortcut).
     */
+  /** q_entropy_by_source — unigram token entropy per source feed (with
+    * vocab and token mass): H = −Σ p·ln p over the feed's token
+    * distribution — the corpus-quality signal that catches what length
+    * and punctuation ratios ([[qQualityScore]]) can't: a feed of
+    * boilerplate/templated text shows LOW entropy at normal lengths, a
+    * scraped-garbage feed shows anomalously HIGH entropy. Per-feed (not
+    * per-doc) because the curation decision — dedupe, down-weight, or cut
+    * a SOURCE — is made at feed grain.
+    *
+    * Plan: the corpus collapses to the (source, term) count relation in
+    * one hash aggregate and never reappears; totals join back broadcast
+    * (source-cardinality); each term's −p·ln p is computed IN-ROW with
+    * the codegen'd libm ln ([[graft.functions.LnLibm]] — cross-engine
+    * bit-exact), and the cross-term sum is a term-ORDERED fold, so the
+    * double is partitioning-independent. Per-source vocab lists are
+    * fixture-bounded; at 10⁹-token feeds the fold chunks exactly like
+    * [[graft.operators.Similarity.qCentroid]] (the documented knob).
+    */
+  def qEntropyBySource(spark: SparkSession, d: String): DataFrame = {
+    val tc = graft.Tables.cacheForSelfJoin(
+      documents(spark, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c")))
+    val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("n_tokens"))
+    val p = col("c").cast("double") / col("n_tokens").cast("double")
+    tc.join(broadcast(tot), "source")
+      .select(col("source"), col("term"), col("n_tokens"),
+        (-(p * lnLibm(p))).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"), max(col("n_tokens")).as("n_tokens"),
+        sort_array(collect_list(struct(col("term"), col("t")))).as("ts"))
+      .select(col("source"), col("n_vocab"), col("n_tokens"),
+        expr("aggregate(ts, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)")
+          .as("entropy"))
+      .orderBy(col("source"))
+  }
+
   def qZipf(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val top = tokenized(spark, d)
@@ -2330,6 +2394,8 @@ object TextOps {
     "q_clean_text"    -> qCleanText _,
     "q_collate"       -> qCollate _,
     "q_zipf"          -> qZipf _,
+    "q_entropy_by_source" -> qEntropyBySource _,
+    "q_dup_rate_source"   -> qDupRateSource _,
     "q_lang_confusion" -> qLangConfusion _,
     "q_rank_drift"    -> qRankDrift _,
   )
@@ -2758,6 +2824,53 @@ object TextOps {
          |JOIN documents da ON doc_a = da.doc_id
          |JOIN documents db ON doc_b = db.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dup_rate_source" ->
+      s"""WITH RECURSIVE sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.doc_b FROM reach JOIN edges e ON reach.r = e.doc_a
+         |), labels AS (
+         |  SELECT id AS doc_id, MIN(r) AS canon_id FROM reach GROUP BY id
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN canon_id <> l.doc_id THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_dropped,
+         |       CAST(SUM(CASE WHEN canon_id <> l.doc_id THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+         |FROM labels l JOIN documents USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_entropy_by_source" ->
+      """WITH tc AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        |), cnt AS (
+        |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tc GROUP BY source, term
+        |), tot AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens
+        |  FROM cnt GROUP BY source
+        |), terms AS (
+        |  SELECT cnt.source AS source, term, n_tokens,
+        |         -((CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |           * ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS t
+        |  FROM cnt JOIN tot ON cnt.source = tot.source
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list(t ORDER BY term)), (acc, v) -> acc + v) AS entropy
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "q_cc_sizes" ->
       s"""WITH RECURSIVE sig AS (
          |$sigSql

@@ -1757,6 +1757,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("q_range_window equals the brute-force trailing-hour range frame") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    val byType = rows.groupBy(_._1)
+    val got = graft.operators.Analytics.qRangeWindow(spark, sfDir).collect()
+    assert(got.length == rows.length)
+    got.foreach { r =>
+      val (t, us) = (r.getString(0), r.getLong(2))
+      val inFrame = byType(t).filter(e => e._3 >= us - 3600000000L && e._3 <= us)
+      assert(r.getLong(3) == inFrame.map(_._4).sum, s"event ${r.getLong(1)} sum")
+      assert(r.getLong(4) == inFrame.length.toLong, s"event ${r.getLong(1)} n")
+    }
+    // The frame must genuinely vary (uneven spacing is the point).
+    assert(got.map(_.getLong(4)).distinct.length > 1)
+  }
+
   test("q_target_encode LOO encodings match brute force") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("value").isNotNull)

@@ -240,4 +240,34 @@ class BehaviorSpec extends SparkSpec {
     // Sanity: purchases never self-credit.
     assert(!got.exists(_.getString(0) == "purchase"))
   }
+
+  test("q_cohort_matrix equals the brute-force weekly retention triangle") {
+    val uw = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .select(col("user_id"), unix_micros(col("wk")).as("us"),
+        graft.Tables.tsSeconds(col("wk")).as("wk_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val cohortOf = uw.groupBy(_._1).view.mapValues(_.minBy(_._2)).toMap
+    val cells = uw.groupBy { case (u, us, _) =>
+      (cohortOf(u)._3, (us - cohortOf(u)._2) / (7L * 86400L * 1000000L))
+    }.view.mapValues(_.length.toLong).toMap
+    val sizes = cells.collect { case ((c, 0L), n) => c -> n }.toMap
+    val got = Behavior.qCohortMatrix(spark, sfDir).collect()
+    assert(got.length == cells.size && got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(cells.contains(key), s"unexpected cell $key")
+      assert(r.getLong(2) == cells(key), s"$key n_active")
+      assert(r.getLong(3) == sizes(key._1), s"$key n_cohort")
+      assert(r.getDouble(4) ==
+        cells(key).toDouble / sizes(key._1).toDouble)
+    }
+    assert(got.exists(_.getDouble(4) < 1.0),
+      "the purchase matrix must show real decay")
+    assert(got.map(_.getLong(1)).distinct.length > 1,
+      "and more than one week offset")
+  }
 }

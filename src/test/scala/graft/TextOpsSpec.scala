@@ -1106,4 +1106,59 @@ class TextOpsSpec extends SparkSpec {
     assert(got.length > 1, "fixture must mix singletons and real clusters")
   }
 
+  test("q_dup_rate_source equals the union-find per-source drop rate") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    TextOps.qMinhashLsh(spark, sfDir).collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val want = docs.groupBy(_._2).view.mapValues { ds =>
+      val n = ds.length.toLong
+      val dropped = ds.count { case (id, _) => find(id) != id }.toLong
+      (n, dropped)
+    }.toMap
+    val got = TextOps.qDupRateSource(spark, sfDir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, dropped) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == dropped, r.getString(0))
+      assert(r.getDouble(3) == dropped.toDouble / n.toDouble)
+    }
+    assert(got.map(_.getLong(2)).sum > 0L, "fixture must contain dropped dups")
+    assert(got.exists(r => r.getLong(2) == 0L) ||
+      got.map(_.getDouble(3)).distinct.length > 1,
+      "rates must differentiate sources")
+  }
+
+  test("q_entropy_by_source equals the term-ordered brute-force entropy") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
+    val want = toks.groupBy(_._1).view.mapValues { ts =>
+      val counts = ts.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val n = counts.values.sum
+      val h = counts.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, c)) =>
+        val p = c.toDouble / n.toDouble
+        acc + (-(p * math.log(p)))
+      }
+      (counts.size.toLong, n, h)
+    }.toMap
+    val got = TextOps.qEntropyBySource(spark, sfDir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (v, n, h) = want(r.getString(0))
+      assert(r.getLong(1) == v && r.getLong(2) == n, r.getString(0))
+      assert(r.getDouble(3) == h, s"${r.getString(0)} entropy")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= math.log(v.toDouble))
+    }
+  }
+
 }
