@@ -108,6 +108,46 @@ class AnomalyProcessor
   }
 }
 
+/** Output row of [[GapProcessor]]: gap to the user's previous event in
+  * µs (−1 for the first), with the threshold verdict materialized so the
+  * monitor's decision is itself gated.
+  */
+case class GapRow(user_id: Long, event_id: Long, gap_us: Long,
+                  is_first: Boolean, big_gap: Boolean)
+
+/** Per-user inter-event gap monitor ([[StreamOps.qStreamGap]]): ONE
+  * ValueState long per user — the last event-time seen — stamps every
+  * arriving event with its gap to the user's previous event and flags
+  * gaps over the threshold (session death / tracking outage / churn
+  * signal, computed ON ARRIVAL rather than by a nightly lag() sweep).
+  *
+  * Determinism under replay slicing: rows fold in (ts, event_id) order
+  * within each batch and the tick staging cuts strictly at a timestamp,
+  * so each row's predecessor IS its global per-user predecessor — the
+  * oracle's lag() window over the drained replay. All-integer.
+  */
+class GapProcessor(thresholdUs: Long)
+    extends StatefulProcessor[Long, (Long, Long, Long), GapRow] {
+  @transient private var last: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState("last", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+                               timerValues: TimerValues): Iterator[GapRow] = {
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    var prev = if (last.exists()) last.get() else -1L
+    val out = sorted.map { case (_, ts, eid) =>
+      val first = prev < 0L
+      val gap = if (first) -1L else ts - prev
+      prev = ts
+      GapRow(user, eid, gap, first, !first && gap > thresholdUs)
+    }
+    last.update(prev)
+    out.iterator
+  }
+}
+
 /** Per-user first-K admission ([[StreamOps.qStreamFirstk]]): ONE
   * ValueState long per user — the arrival count — admits a user's first
   * K events and stamps every event with its arrival index. Determinism
@@ -1498,6 +1538,47 @@ object StreamOps extends Serializable {
     spark.table(sinkName).orderBy(col("user_id"), col("seq"))
   }
 
+  /** Gap threshold of [[qStreamGap]]: 12 hours in µs — on the fixture's
+    * ~30-day-per-user event spans a churn-grade gap, rare but present.
+    */
+  val GapThresholdUs: Long = 12L * 3600L * 1000000L
+
+  /** q_stream_gap — [[GapProcessor]]'s per-user inter-event gap monitor
+    * over the replay stream: every event stamped with the µs gap to its
+    * user's previous event, gaps over [[GapThresholdUs]] flagged — the
+    * on-arrival churn/outage signal whose batch equivalent is a lag()
+    * sweep. The oracle replays exactly that lag() over the drained
+    * replay — stream stamps == batch stamps, proving the predecessor
+    * chain is slicing-independent.
+    *
+    * Scale: state is ONE long per user at any feed volume; per batch the
+    * work is an in-memory sort of the user's slice. All-integer output.
+    */
+  def qStreamGap(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_gap")
+    val query = startWithStatePartitions(spark, 8) {
+      import spark.implicits._
+      spark.readStream.schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageReplayDir(spark, d))
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new GapProcessor(GapThresholdUs), TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName).orderBy(col("user_id"), col("event_id"))
+  }
+
   /** q_stream_curate — the streaming ADMISSION stage of the curation
     * pipeline: every arriving document gets an immediate verdict
     * (too_short / low_quality / ok) from the same predicates the batch
@@ -1776,6 +1857,7 @@ object StreamOps extends Serializable {
     "q_stream_neardup"     -> qStreamNeardup _,
     "q_stream_curate"      -> qStreamCurate _,
     "q_stream_firstk"      -> qStreamFirstk _,
+    "q_stream_gap"         -> qStreamGap _,
     "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_stream_enrich_scd2" -> qStreamEnrichScd2 _,
@@ -1894,6 +1976,20 @@ object StreamOps extends Serializable {
          |       CAST(SUM(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_lost
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_stream_gap" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+         |), w AS (
+         |  SELECT user_id, event_id, us,
+         |         lag(us) OVER (PARTITION BY user_id
+         |                       ORDER BY us, event_id) AS prev
+         |  FROM e
+         |)
+         |SELECT user_id, event_id,
+         |       CAST(COALESCE(us - prev, -1) AS BIGINT) AS gap_us,
+         |       prev IS NULL AS is_first,
+         |       (prev IS NOT NULL AND us - prev > $GapThresholdUs) AS big_gap
+         |FROM w ORDER BY user_id, event_id""".stripMargin,
     "q_stream_firstk" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id,

@@ -765,6 +765,31 @@ class StreamingSpec extends SparkSpec {
   }
 
 
+  test("q_stream_gap stamps equal the batch lag() recomputation") {
+    val got = StreamOps.qStreamGap(spark, sfDir).collect()
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      var prev = -1L
+      rs.sortBy(r => (r._2, r._3)).toSeq.map { case (_, us, eid) =>
+        val first = prev < 0L
+        val gap = if (first) -1L else us - prev
+        prev = us
+        (u, eid, gap, first, !first && gap > StreamOps.GapThresholdUs)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, (u, eid, gap, first, big)) =>
+      assert(g.getLong(0) == u && g.getLong(1) == eid &&
+        g.getLong(2) == gap && g.getBoolean(3) == first &&
+        g.getBoolean(4) == big, s"event $eid")
+    }
+    assert(got.exists(_.getBoolean(4)) && got.exists(r =>
+      !r.getBoolean(4) && !r.getBoolean(3)), "both gap classes populated")
+  }
+
   test("q_stream_anomaly flags equal the causal-prefix batch recomputation") {
     val got = StreamOps.qStreamAnomaly(spark, sfDir).collect()
     val rows = Tables.events(spark, sfDir)
