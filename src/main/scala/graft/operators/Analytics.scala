@@ -3147,6 +3147,125 @@ object Analytics {
       .limit(100)
   }
 
+  /** q_tpch_q7 — the TPC-H Q7 volume-shipping shape: bilateral trade —
+    * revenue between one NATION PAIR in both directions, per supplier
+    * nation × customer nation × ship year. The planner story is the
+    * DOUBLE dimension arm: the supplier side and the customer side each
+    * need their own nation decode, and the pair predicate is a
+    * disjunction across the two arms that must NOT block pushing the
+    * single-nation membership filter into each arm (members of {n1,n2}
+    * prune each dim broadcast BEFORE the fact joins; only the
+    * cross-arm pairing runs post-join).
+    *
+    * Plan: both nation-filtered dim maps broadcast; the year band lands
+    * in the lineitem scan; the one big shuffle is fact⋈fact on the
+    * order key; output is ≤ 2×years rows. Exact discounted cents.
+    */
+  def qTpchQ7(spark: SparkSession, d: String): DataFrame = {
+    val lineCents = floor(
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).cast("long")
+    val nat = nation(spark, d)
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
+      .select(col("n_nationkey"), col("n_name"))
+    val suppN = supplier(spark, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = customer(spark, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(orders(spark, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(lineCents).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** q_tpch_q8 — the TPC-H Q8 national-market-share shape: of all
+    * revenue that one region's customers generated per order year, the
+    * share supplied by ONE nation — the canonical conditional-sum RATIO
+    * (numerator and denominator from the SAME aggregate pass; running
+    * the fact twice for a ratio is the classic waste).
+    *
+    * Plan: region⋈nation collapses to a broadcast membership list that
+    * prunes customers before the fact joins; supplier decode rides
+    * broadcast; ONE fact⋈fact shuffle; the ratio divides two exact
+    * BIGINT cent sums once per year row.
+    */
+  def qTpchQ8(spark: SparkSession, d: String): DataFrame = {
+    val lineCents = floor(
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).cast("long")
+    val asiaNations = nation(spark, d)
+      .join(broadcast(region(spark, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val custAsia = customer(spark, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    lineitem(spark, d)
+      .join(orders(spark, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"), "semi")
+      .join(broadcast(supplier(spark, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("s_nationkey") === 3, lineCents).otherwise(0L))
+        .as("nation_cents"),
+        sum(lineCents).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        (col("nation_cents").cast("double") / col("total_cents").cast("double"))
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** q_tpch_q9 — the TPC-H Q9 product-profit shape: profit per supplier
+    * nation × order year over one part family (name-infix filter — the
+    * non-sargable LIKE that must still prune the part dim BEFORE the
+    * fact join), profit = discounted revenue − a 10%-of-retail cost
+    * proxy (the schema has no partsupp.ps_supplycost; the SHAPE — a
+    * 5-way join with a computed measure mixing columns of three tables
+    * — is what's under test).
+    *
+    * Exactness: revenue in half-up cents, cost = qty × floor(retail·10
+    * + 0.5) (10% of retail in exact cents) — the profit is a BIGINT
+    * difference, order-independent. Plan: part (infix-filtered) and
+    * supplier/nation broadcast; ONE fact⋈fact shuffle on the order key;
+    * output is nations × years.
+    */
+  def qTpchQ9(spark: SparkSession, d: String): DataFrame = {
+    val profitCents =
+      floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        * lit(100.0) + lit(0.5)).cast("long") -
+        col("l_quantity").cast("long") *
+          floor(col("p_retailprice") * lit(10.0) + lit(0.5)).cast("long")
+    lineitem(spark, d)
+      .join(broadcast(part(spark, d).filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(spark, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders(spark, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profitCents).as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   /** q_target_encode — leave-one-out smoothed target encoding of the
     * event-type categorical against the value target: each row's encoding
     * is the mean of its category EXCLUDING the row itself, shrunk toward
@@ -3245,6 +3364,9 @@ object Analytics {
     "q_union_by_name"   -> qUnionByName _,
     "q_seq3"            -> qSeq3 _,
     "q_tpch_q2"         -> qTpchQ2 _,
+    "q_tpch_q7"         -> qTpchQ7 _,
+    "q_tpch_q8"         -> qTpchQ8 _,
+    "q_tpch_q9"         -> qTpchQ9 _,
     "q_tpch_q4"         -> qTpchQ4 _,
     "q_tpch_q12"        -> qTpchQ12 _,
     "q_tpch_q17"        -> qTpchQ17 _,
@@ -3413,6 +3535,67 @@ object Analytics {
         |FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
         |GROUP BY e1, e2, e3
         |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+    "q_tpch_q7" ->
+      """WITH nat AS (
+        |  SELECT n_nationkey, n_name FROM nation
+        |  WHERE n_name IN ('NATION_3', 'NATION_8')
+        |)
+        |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |         * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nat cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nat sn ON s_nationkey = sn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q8" ->
+      """WITH asia AS (
+        |  SELECT n_nationkey FROM nation JOIN region
+        |    ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |)
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CASE WHEN s_nationkey = 3 THEN
+        |         CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |           * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |         AS nation_cents,
+        |       CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |         * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+        |       CAST(SUM(CASE WHEN s_nationkey = 3 THEN
+        |         CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |           * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |         / CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |           * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer JOIN asia
+        |    ON c_nationkey = asia.n_nationkey)
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |           * 100.0 + 0.5) AS BIGINT)
+        |         - CAST(l_quantity AS BIGINT)
+        |           * CAST(floor(p_retailprice * 10.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
     "q_tpch_q4" ->
       """SELECT o_orderpriority,
         |       CAST(COUNT(*) AS BIGINT) AS order_count

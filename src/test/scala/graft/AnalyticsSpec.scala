@@ -1757,6 +1757,112 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("q_tpch_q7 equals the brute-force bilateral nation-pair revenue") {
+    val natOf = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val suppNat = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> natOf(r.getInt(1))).toMap
+    val custNat = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> natOf(r.getInt(1))).toMap
+    val custOf = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pair = Set("NATION_3", "NATION_8")
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .flatMap { r =>
+        val sn = suppNat(r.getLong(1))
+        val cn = custNat(custOf(r.getLong(0)))
+        val yr = r.getInt(2)
+        if (pair(sn) && pair(cn) && sn != cn && (yr == 1996 || yr == 1997))
+          Some(((sn, cn, yr.toLong), math.floor(
+            r.getDouble(3) * (1.0 - r.getDouble(4)) * 100.0 + 0.5).toLong))
+        else None
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = Analytics.qTpchQ7(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want && got.nonEmpty)
+    assert(got.keys.map(k => (k._1, k._2)).toSet.size == 2,
+      "both directions of the pair must appear")
+  }
+
+  test("q_tpch_q8 market share equals the brute-force conditional ratio") {
+    val asiaN = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).toSet
+    val custAsia = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .filter(r => asiaN(r.getInt(1))).map(_.getLong(0)).toSet
+    val ordInfo = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val suppN = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .flatMap { r =>
+        val (ck, yr) = ordInfo(r.getLong(0))
+        if (custAsia(ck)) Some((yr.toLong,
+          suppN(r.getLong(1)) == 3,
+          math.floor(r.getDouble(2) * (1.0 - r.getDouble(3)) * 100.0 + 0.5)
+            .toLong))
+        else None
+      }
+      .groupBy(_._1).view.mapValues { rs =>
+        (rs.filter(_._2).map(_._3).sum, rs.map(_._3).sum)
+      }.toMap
+    val got = Analytics.qTpchQ8(spark, sfDir).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val (nc, tc) = want(r.getLong(0))
+      assert(r.getLong(1) == nc && r.getLong(2) == tc, s"year ${r.getLong(0)}")
+      assert(r.getDouble(3) == nc.toDouble / tc.toDouble)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0,
+        "the share must be a real fraction")
+    }
+  }
+
+  test("q_tpch_q9 equals the brute-force widget-family profit") {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice")).collect()
+      .filter(_.getString(1).contains("widget"))
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(2) * 10.0 + 0.5).toLong).toMap
+    val natOf = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val suppNat = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> natOf(r.getInt(1))).toMap
+    val ordYear = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), year(col("o_orderdate"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .flatMap { r =>
+        parts.get(r.getLong(1)).map { cost =>
+          ((suppNat(r.getLong(2)), ordYear(r.getLong(0)).toLong),
+            math.floor(r.getDouble(4) * (1.0 - r.getDouble(5)) * 100.0 + 0.5)
+              .toLong - r.getDouble(3).toLong * cost)
+        }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = Analytics.qTpchQ9(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q_range_window equals the brute-force trailing-hour range frame") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("value").isNotNull)
