@@ -3266,6 +3266,82 @@ object Analytics {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** q_tpch_q16 — the TPC-H Q16 parts-supplier-relationship shape: how
+    * many distinct suppliers can provide each (brand, type, size) part
+    * bucket, excluding one brand and excluding flagged suppliers via
+    * NOT IN — the count-distinct-by-attributes + anti-list pair. The
+    * schema has no partsupp, so the part↔supplier relationship is
+    * RECONSTRUCTED as `SELECT DISTINCT l_partkey, l_suppkey FROM
+    * lineitem` (who actually shipped what — the materialization a real
+    * warehouse without a catalog table derives); "customer complaints"
+    * is read as negative account balance.
+    *
+    * Plan: the distinct pair relation is ONE fact hash-aggregate; the
+    * anti-list and the attribute-filtered part dim ride broadcast; the
+    * count-distinct re-aggregates the pair-sized relation. All-integer.
+    */
+  def qTpchQ16(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(supplier(spark, d).filter(col("s_acctbal") < 0.0)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part(spark, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size") < 15)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  /** q_tpch_q20 — the TPC-H Q20 excess-inventory shape re-expressed
+    * without partsupp.availqty: suppliers whose 1997 shipped quantity of
+    * the widget part family exceeds 1.5× the family's corpus-wide share
+    * of shipping — the "who is long on this part family" screen, built
+    * from the same nested-aggregate-then-threshold skeleton as Q20
+    * (per-supplier family aggregate, per-supplier total aggregate, a
+    * global scalar, one HAVING-style cut, then the supplier/nation
+    * decode join).
+    *
+    * Exactness: the share cut is the integer cross-multiplication
+    * 2·wq·GT > 3·t·GW (no double in the decision — [[qTpchQ11]]'s
+    * stance; width: wq·GT < 2⁶² through ~10⁹ total units, beyond which
+    * DECIMAL(38,0) — documented). Plan: ONE year-banded fact pass
+    * cached; family and total aggregates are both supplier-grain reads
+    * of it; the 1-row global broadcasts; survivors join the supplier
+    * dim broadcast.
+    */
+  def qTpchQ20(spark: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.cacheForSelfJoin(
+      lineitem(spark, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty")))
+    val widgets = part(spark, d).filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"))
+    val tot = li.groupBy(col("l_suppkey")).agg(sum(col("qty")).as("t"))
+    val wid = li.join(broadcast(widgets),
+      col("l_partkey") === col("p_partkey"), "semi")
+      .groupBy(col("l_suppkey")).agg(sum(col("qty")).as("wq"))
+    val global = wid.join(tot, "l_suppkey")
+      .agg(sum(col("wq")).as("gw"), sum(col("t")).as("gt"))
+    wid.join(tot, "l_suppkey")
+      .crossJoin(broadcast(global))
+      .filter(lit(2L) * col("wq") * col("gt") > lit(3L) * col("t") * col("gw"))
+      .join(broadcast(supplier(spark, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name"),
+        col("n_name").as("nation"), col("wq").as("widget_qty"),
+        col("t").as("total_qty"))
+      .orderBy(col("suppkey"))
+  }
+
   /** q_target_encode — leave-one-out smoothed target encoding of the
     * event-type categorical against the value target: each row's encoding
     * is the mean of its category EXCLUDING the row itself, shrunk toward
@@ -3365,6 +3441,8 @@ object Analytics {
     "q_seq3"            -> qSeq3 _,
     "q_tpch_q2"         -> qTpchQ2 _,
     "q_tpch_q7"         -> qTpchQ7 _,
+    "q_tpch_q16"        -> qTpchQ16 _,
+    "q_tpch_q20"        -> qTpchQ20 _,
     "q_tpch_q8"         -> qTpchQ8 _,
     "q_tpch_q9"         -> qTpchQ9 _,
     "q_tpch_q4"         -> qTpchQ4 _,
@@ -3535,6 +3613,41 @@ object Analytics {
         |FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
         |GROUP BY e1, e2, e3
         |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size < 15
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |), tot AS (
+        |  SELECT l_suppkey, CAST(SUM(qty) AS BIGINT) AS t
+        |  FROM li GROUP BY l_suppkey
+        |), wid AS (
+        |  SELECT l_suppkey, CAST(SUM(qty) AS BIGINT) AS wq
+        |  FROM li WHERE l_partkey IN (
+        |    SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |  GROUP BY l_suppkey
+        |), g AS (
+        |  SELECT CAST(SUM(wq) AS BIGINT) AS gw, CAST(SUM(t) AS BIGINT) AS gt
+        |  FROM wid JOIN tot USING (l_suppkey)
+        |)
+        |SELECT s_suppkey AS suppkey, s_name, n_name AS nation,
+        |       wq AS widget_qty, t AS total_qty
+        |FROM wid JOIN tot USING (l_suppkey), g
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE 2 * wq * gt > 3 * t * gw
+        |ORDER BY suppkey""".stripMargin,
     "q_tpch_q7" ->
       """WITH nat AS (
         |  SELECT n_nationkey, n_name FROM nation

@@ -1863,6 +1863,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("q_tpch_q16 equals the brute-force reconstructed-partsupp supplier count") {
+    val flagged = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      .collect().map(_.getLong(0)).toSet
+    val partAttr = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      .collect()
+      .filter(r => r.getString(1) != "Brand#1" && r.getInt(3) < 15)
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3))))
+      .toMap
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (pk, sk) => partAttr.contains(pk) && !flagged(sk) }
+      .groupBy { case (pk, _) => partAttr(pk) }.view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = Analytics.qTpchQ16(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want && got.nonEmpty)
+    assert(!got.keys.exists(_._1 == "Brand#1"))
+  }
+
+  test("q_tpch_q20 finds exactly the widget-heavy suppliers") {
+    val widgets = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        year(col("l_shipdate"))).collect()
+      .filter(_.getInt(3) == 1997)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2).toLong))
+    val tot = li.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val wid = li.filter(r => widgets(r._1))
+      .groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val gw = wid.keys.map(wid).sum
+    val gt = wid.keys.map(tot).sum
+    val want = wid.keys.filter(s => 2L * wid(s) * gt > 3L * tot(s) * gw)
+      .toSeq.sorted
+    val got = Analytics.qTpchQ20(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSeq == want && got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(3) == wid(r.getLong(0)) &&
+        r.getLong(4) == tot(r.getLong(0)))
+    }
+    assert(want.length < wid.size, "the share cut must be selective")
+  }
+
   test("q_range_window equals the brute-force trailing-hour range frame") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("value").isNotNull)
