@@ -94,6 +94,53 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Scene-cut threshold for [[qFrameDiff]]: an adjacent-frame feature
+    * delta above this flags a boundary (~p99 of the fixture's deltas —
+    * the knob a real shot-boundary detector calibrates per corpus).
+    */
+  val CutThreshold = 200L
+
+  /** q_frame_diff — the shot-boundary-detection shape of video
+    * ingestion: every blob decodes to CONSECUTIVE frame features (no
+    * stride — adjacency is the signal; [[qFrameSample]] owns the strided
+    * thinning), each frame is scored by its absolute feature delta to
+    * the previous frame, and deltas above [[CutThreshold]] are flagged
+    * as cuts — the standard first pass that turns raw video into
+    * trainable scene clips (STUB decode: byte-window sums stand in for
+    * pixel histograms; the plumbing — per-partition frame loop, fixed
+    * feature rows, windowed adjacency downstream — is the real shape).
+    *
+    * Scale: the blob never shuffles; only (doc, frame, sum) rows leave
+    * the scan stage, and the lag window shuffles on doc_id once.
+    * All-integer → hash-exact.
+    */
+  def qFrameDiff(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val blobs = documents(spark, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    val frames = blobs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        (0 until bytes.length / FrameBytes).iterator.map { f =>
+          // --- STUB FRAME DECODE (see qMultimodalFeatures) -----------
+          var s = 0L
+          var i = f * FrameBytes
+          while (i < (f + 1) * FrameBytes) { s += bytes(i) & 0xff; i += 1 }
+          (id, f, s)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_sum")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .select(col("doc_id"), col("frame_idx"), col("frame_sum"),
+        abs(col("frame_sum") - lag(col("frame_sum"), 1).over(w)).as("delta"))
+      .filter(col("delta").isNotNull)
+      .select(col("doc_id"), col("frame_idx"), col("frame_sum"), col("delta"),
+        (col("delta") > CutThreshold).as("is_cut"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Downsampling factor for [[qResize]]: keep every k-th byte. */
   val ResizeFactor = 2
 
@@ -128,6 +175,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> qMultimodalFeatures _,
     "q_frame_sample"        -> qFrameSample _,
+    "q_frame_diff"          -> qFrameDiff _,
     "q_resize"              -> qResize _,
   )
 
@@ -146,6 +194,28 @@ object Multimodal {
         |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_diff" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(
+         |             string_split(substr(text, f * $FrameBytes + 1, $FrameBytes), ''),
+         |             c -> CAST(ascii(c) AS BIGINT))),
+         |           (acc, c) -> acc + c) AS frame_sum
+         |  FROM (
+         |    SELECT doc_id, text,
+         |           unnest(generate_series(0, len(text) // $FrameBytes - 1)) AS f
+         |    FROM documents)
+         |), dd AS (
+         |  SELECT doc_id, frame_idx, frame_sum,
+         |         abs(frame_sum - lag(frame_sum) OVER
+         |           (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+         |  FROM fr
+         |)
+         |SELECT doc_id, frame_idx, frame_sum, CAST(delta AS BIGINT) AS delta,
+         |       delta > $CutThreshold AS is_cut
+         |FROM dd WHERE delta IS NOT NULL
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_frame_sample" ->
       s"""SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
          |       list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Specs for the multimodal decode-stage plumbing (Multimodal.scala).
+  * The decodes are documented stubs; what these tests pin is that the
+  * per-partition frame loop and the windowed adjacency downstream
+  * reproduce the byte-level contract exactly, independent of
+  * partitioning.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("q_frame_diff equals the brute-force adjacent-frame deltas") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = texts.flatMap { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val sums = (0 until bytes.length / Multimodal.FrameBytes).map { f =>
+        bytes.slice(f * Multimodal.FrameBytes, (f + 1) * Multimodal.FrameBytes)
+          .map(b => (b & 0xff).toLong).sum
+      }
+      sums.zipWithIndex.drop(1).map { case (s, f) =>
+        val delta = math.abs(s - sums(f - 1))
+        (id, f, s, delta, delta > Multimodal.CutThreshold)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Multimodal.qFrameDiff(spark, sfDir).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, (id, f, s, delta, cut)) =>
+      assert(g.getLong(0) == id && g.getInt(1) == f && g.getLong(2) == s &&
+        g.getLong(3) == delta && g.getBoolean(4) == cut, s"doc $id frame $f")
+    }
+    assert(got.exists(_.getBoolean(4)) && got.exists(r => !r.getBoolean(4)),
+      "both cut classes populated")
+  }
+}
