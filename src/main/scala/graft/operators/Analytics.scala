@@ -1048,6 +1048,118 @@ object Analytics {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** q_locf — last-observation-carried-forward: per user in event order,
+    * the value column with nulls replaced by the user's most recent
+    * non-null value (`last(..., ignoreNulls)` over an unbounded-preceding
+    * ROWS frame) — THE feature-pipeline imputation for sensor/price
+    * streams where null means "unchanged", and the IGNORE NULLS window
+    * surface [[qGapfill]]'s grid densification doesn't exercise.
+    *
+    * The fixture stream carries no nulls, so a deterministic dropout
+    * mask (event_id ≡ 0 mod 5 reads as missing — the sensor-outage
+    * simulation, stated identically in the oracle) supplies the gaps
+    * the fill must close. Determinism: the filled value is an IDENTITY
+    * COPY of an input double (no arithmetic), so cross-engine bits are
+    * trivially equal; frame order is total via the event_id tie-break.
+    * One shuffle on user_id.
+    */
+  def qLocf(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(pmod(col("event_id"), lit(5L)) === 0L, lit(null))
+          .otherwise(col("value")).as("value"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        last(col("value"), ignoreNulls = true).over(w).as("value_ff"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q_calendar_dim — the generated DATE DIMENSION joined back to the
+    * fact: a continuous day spine spanning the orders table's range
+    * (built IN-PLAN from a 1-row min/max aggregate + `sequence` explode —
+    * no driver collect), each day carrying engine-independent derived
+    * attributes (day-of-week as days-since-a-known-Monday mod 7, month,
+    * quarter, weekend flag), left-joined to daily order revenue so
+    * zero-order days appear explicitly — the calendar-dimension
+    * generation every warehouse model ships, and the orders-side analog
+    * of [[qGapfill]]'s hourly grid.
+    *
+    * dow is computed, not `dayofweek()`: Spark (1=Sunday) and DuckDB
+    * (0=Sunday) disagree on the builtin's origin, while
+    * datediff-from-epoch-Monday mod 7 is the same integer in both.
+    */
+  def qCalendarDim(spark: SparkSession, d: String): DataFrame = {
+    val daily = orders(spark, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("rev_cents"))
+    val spine = orders(spark, d)
+      .agg(date_trunc("day", min(col("o_orderdate"))).as("d0"),
+        date_trunc("day", max(col("o_orderdate"))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val dow = pmod(datediff(col("day"), lit("1995-01-02").cast("date")),
+      lit(7)).cast("long")
+    spine.join(daily, Seq("day"), "left")
+      .select(tsSeconds(col("day")).as("day_s"), dow.as("dow"),
+        (dow >= 5L).as("is_weekend"),
+        month(col("day")).cast("long").as("month"),
+        quarter(col("day")).cast("long").as("quarter"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("rev_cents"), lit(0L)).as("rev_cents"))
+      .orderBy(col("day_s"))
+  }
+
+  /** q_grouping_id — the grouping-metadata surface on a CUBE: revenue by
+    * (returnflag, linestatus) with every subtotal level, each row
+    * stamped with gid = grouping(flag)·2 + grouping(status) so a
+    * consumer can SELECT the level it wants from ONE pass — the
+    * mechanism that makes a single cube materialization serve detail,
+    * both rollups, and the grand total ([[qCube]] emits the levels;
+    * this emits the level DISCRIMINATOR, composed from grouping() so
+    * both engines agree bit-for-bit on the bitmask).
+    */
+  def qGroupingId(spark: SparkSession, d: String): DataFrame =
+    lineitem(spark, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("rev_cents"),
+        (grouping(col("l_returnflag")).cast("long") * lit(2L) +
+          grouping(col("l_linestatus")).cast("long")).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** q_percentile_disc — DISCRETE percentiles (nearest-rank: the
+    * smallest ELEMENT whose cumulative rank reaches q·n) per event type
+    * — the partner of [[qPercentileCont]]'s interpolated form, and the
+    * right quantile when the answer must be a value that actually
+    * occurred (latency SLOs, price points). Same single-sort shape: one
+    * rank window, one conditional-aggregate pick at rn = ceil(q·cnt);
+    * the emitted double is an IDENTITY COPY of an input value, so the
+    * gate needs no arithmetic pinning at all. The oracle states the
+    * identical nearest-rank window (neither engine's quantile builtin
+    * is used — their edge conventions differ; the definition IS the
+    * query).
+    */
+  def qPercentileDisc(spark: SparkSession, d: String): DataFrame = {
+    val byValue = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val all = Window.partitionBy(col("event_type"))
+    val ranked = events(spark, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        row_number().over(byValue).as("rn"),
+        count(lit(1)).over(all).as("cnt"))
+    def pick(q: Double, tag: String) =
+      max(when(col("rn") === ceil(lit(q) * col("cnt")), col("value")))
+        .as(s"p$tag")
+    ranked.groupBy(col("event_type"))
+      .agg(pick(0.5, "50"), pick(0.9, "90"), pick(0.99, "99"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_anomaly — σ-threshold outlier detection over the DENSE hourly
     * series: hours whose count deviates from their type's mean by more
     * than 3 population standard deviations. Composes [[hourlyDense]] —
@@ -3525,6 +3637,10 @@ object Analytics {
     "q_gapfill"         -> qGapfill _,
     "q_rolling_avg"     -> qRollingAvg _,
     "q_range_window"    -> qRangeWindow _,
+    "q_locf"            -> qLocf _,
+    "q_calendar_dim"    -> qCalendarDim _,
+    "q_grouping_id"     -> qGroupingId _,
+    "q_percentile_disc" -> qPercentileDisc _,
     "q_anomaly"         -> qAnomaly _,
     "q_retention"       -> qRetention _,
     "q_cum_users"       -> qCumUsers _,
@@ -4494,6 +4610,67 @@ object Analytics {
         |       COALESCE(n, 0) AS n
         |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
         |ORDER BY g.event_type, h_s""".stripMargin,
+    "q_locf" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, value,
+        |       last_value(value IGNORE NULLS) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "q_calendar_dim" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY day
+        |), spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('day', MIN(o_orderdate)) FROM orders),
+        |    (SELECT date_trunc('day', MAX(o_orderdate)) FROM orders),
+        |    INTERVAL 1 DAY)) AS day
+        |)
+        |SELECT strftime(s.day, '%Y-%m-%d %H:%M:%S') AS day_s,
+        |       CAST(((date_diff('day', DATE '1995-01-02', s.day) % 7) + 7) % 7
+        |         AS BIGINT) AS dow,
+        |       ((date_diff('day', DATE '1995-01-02', s.day) % 7) + 7) % 7 >= 5
+        |         AS is_weekend,
+        |       CAST(month(s.day) AS BIGINT) AS month,
+        |       CAST(quarter(s.day) AS BIGINT) AS quarter,
+        |       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+        |       CAST(COALESCE(rev_cents, 0) AS BIGINT) AS rev_cents
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY day_s""".stripMargin,
+    "q_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS rev_cents,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+        |         AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_percentile_disc" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type,
+        |       MAX(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+        |                THEN value END) AS p50,
+        |       MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT)
+        |                THEN value END) AS p90,
+        |       MAX(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT)
+        |                THEN value END) AS p99
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_range_window" ->
       """WITH e AS (
         |  SELECT event_type, event_id, epoch_us(ts) AS us,

@@ -1931,6 +1931,92 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_.getLong(4)).distinct.length > 1)
   }
 
+  test("q_locf forward-fills exactly the per-user last non-null value") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3) || r.getLong(1) % 5 == 0) None
+        else Some(r.getDouble(3))))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      var lastSeen: Option[Double] = None
+      rs.sortBy(r => (r._3, r._2)).toSeq.map { case (u, eid, _, v) =>
+        if (v.isDefined) lastSeen = v
+        (u, eid, v, lastSeen)
+      }
+    }.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val got = graft.operators.Analytics.qLocf(spark, sfDir).collect()
+    assert(got.length == rows.length)
+    var filled = 0
+    got.foreach { r =>
+      val (v, ff) = want((r.getLong(0), r.getLong(1)))
+      assert((if (r.isNullAt(2)) None else Some(r.getDouble(2))) == v)
+      val gotFf = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(gotFf == ff, s"event ${r.getLong(1)}")
+      if (v.isEmpty && gotFf.isDefined) filled += 1
+    }
+    assert(filled > 0, "the fill must actually replace some nulls")
+  }
+
+  test("q_calendar_dim spans the full range with zero-order days explicit") {
+    val got = Analytics.qCalendarDim(spark, sfDir).collect()
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(graft.Tables.tsSeconds(date_trunc("day", col("o_orderdate")))
+        .as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // Continuous spine: one row per day, length = span of the range.
+    assert(got.length >= daily.size)
+    assert(got.map(_.getLong(1)).distinct.sorted.toSeq == (0L to 6L),
+      "all seven weekdays appear")
+    got.foreach { r =>
+      val (n, c) = daily.getOrElse(r.getString(0), (0L, 0L))
+      assert(r.getLong(5) == n && r.getLong(6) == c, r.getString(0))
+      assert(r.getBoolean(2) == (r.getLong(1) >= 5L))
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 12L &&
+        r.getLong(4) >= 1L && r.getLong(4) <= 4L)
+    }
+    assert(got.exists(_.getLong(5) == 0L) || got.length == daily.size,
+      "zero-order days are explicit when the range has gaps")
+  }
+
+  test("q_grouping_id emits all four cube levels with the right masks") {
+    val got = Analytics.qGroupingId(spark, sfDir).collect()
+    val byGid = got.groupBy(_.getLong(4))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val total = byGid(3L)
+    assert(total.length == 1 &&
+      total(0).isNullAt(0) && total(0).isNullAt(1))
+    val detailN = byGid(0L).map(_.getLong(2)).sum
+    assert(detailN == total(0).getLong(2), "detail level sums to the total")
+    assert(byGid(1L).forall(r => !r.isNullAt(0) && r.isNullAt(1)))
+    assert(byGid(2L).forall(r => r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("q_percentile_disc picks exactly the nearest-rank elements") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+      def pick(q: Double) = sorted(math.ceil(q * sorted.length).toInt - 1)
+      (pick(0.5), pick(0.9), pick(0.99))
+    }.toMap
+    val got = Analytics.qPercentileDisc(spark, sfDir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (p50, p90, p99) = want(r.getString(0))
+      assert(r.getDouble(1) == p50 && r.getDouble(2) == p90 &&
+        r.getDouble(3) == p99, r.getString(0))
+      assert(r.getDouble(1) <= r.getDouble(2) &&
+        r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
   test("q_target_encode LOO encodings match brute force") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("value").isNotNull)
