@@ -137,6 +137,50 @@ object Relational {
       Map("minbal" -> 1000.0, "prio" -> "1-URGENT"))
   }
 
+  /** q_sql_var — the SQL session-variable surface (Spark 4's
+    * DECLARE/SET VAR): a threshold DECLARED as a typed variable, SET
+    * from a scalar subquery over the data itself (the real use — a
+    * driver computes a cut once and every later statement reads it),
+    * then consumed by the report query. The variable value is an EXACT
+    * integer (floor-mean via SUM DIV COUNT), so the downstream filter
+    * is engine-deterministic; the oracle inlines the identical scalar
+    * subquery (DuckDB has no session variables — the SEMANTICS, one
+    * scalar computed once and referenced by name, is what's pinned).
+    */
+  def qSqlVar(spark: SparkSession, d: String): DataFrame = {
+    lineitem(spark, d).createOrReplaceTempView("graft_lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_qty_cut BIGINT")
+    spark.sql(
+      """SET VAR graft_qty_cut =
+        |  (SELECT SUM(CAST(l_quantity AS BIGINT)) DIV COUNT(*)
+        |   FROM graft_lineitem)""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM graft_lineitem
+        |WHERE l_quantity > graft_qty_cut
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** q_identifier — the IDENTIFIER() clause (Spark 4's injection-safe
+    * dynamic SQL): the table name arrives as a PARAMETER and is bound
+    * through IDENTIFIER(:tbl), not string concatenation — the surface
+    * that lets a metadata-driven pipeline template one statement over N
+    * tables without SQL injection. The oracle runs the resolved query;
+    * what's pinned is that the indirect binding resolves to the same
+    * relation.
+    */
+  def qIdentifier(spark: SparkSession, d: String): DataFrame = {
+    orders(spark, d).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS rev_cents
+        |FROM IDENTIFIER(:tbl)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("tbl" -> "graft_orders"))
+  }
+
   /** q_sql_recursive — the RECURSIVE CTE surface (Spark 4 finally ships
     * `WITH RECURSIVE`): a gap-free month spine generated by recursion
     * from the data's own bounds, left-joined to monthly order counts —
@@ -386,9 +430,24 @@ object Relational {
     "q_max_by"      -> qMaxBy _,
     "q_chart_proj"  -> qChartProj _,
     "q_format"      -> qFormat _,
+    "q_sql_var"     -> qSqlVar _,
+    "q_identifier"  -> qIdentifier _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_var" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT SUM(CAST(l_quantity AS BIGINT)) // COUNT(*)
+        |                    FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_identifier" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS rev_cents
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sql_params" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))

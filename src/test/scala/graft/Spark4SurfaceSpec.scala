@@ -116,4 +116,34 @@ class Spark4SurfaceSpec extends SparkSpec {
     val zRef = (u1 - n1 * n2 / 2.0) / math.sqrt(varU)
     assert(math.abs(got.getDouble(4) - zRef) < 1e-9, s"z ${got.getDouble(4)} vs $zRef")
   }
+
+  test("q_sql_var: the session-variable cut equals the inlined scalar subquery") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong))
+    val cut = rows.map(_._2).sum / rows.length
+    val want = rows.filter(_._2 > cut).groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val got = Relational.qSqlVar(spark, sfDir).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, sq) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == sq, r.getString(0))
+    }
+    assert(want.values.map(_._1).sum < rows.length,
+      "the variable cut must filter")
+  }
+
+  test("q_identifier: the parameter-bound relation equals the direct query") {
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("rev_cents"))
+      .orderBy(col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Relational.qIdentifier(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == direct && got.nonEmpty)
+  }
 }
