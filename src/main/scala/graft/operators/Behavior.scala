@@ -344,8 +344,52 @@ object Behavior {
       .orderBy(col("cohort_s"), col("week_offset"))
   }
 
+  /** Anonymity threshold for [[qKAnonymity]]: groups smaller than K are
+    * re-identification risks (the conventional release bar).
+    */
+  val AnonK = 5L
+
+  /** q_k_anonymity — the privacy-release audit: group the customer table
+    * by its quasi-identifier tuple (market segment × nation × coarse
+    * balance band — the attributes an attacker can link from outside),
+    * and report each
+    * equivalence class's size, its distinct count of the sensitive
+    * attribute (order priority of the customer's orders — l-diversity's
+    * l), and whether the class passes k ≥ [[AnonK]] — plus the overall
+    * share of ROWS at risk. This is the check a dataset must pass
+    * before leaving the curated zone; a class of size < k means those
+    * customers are re-identifiable by their public attributes alone.
+    *
+    * Plan: one customer⋈orders join carries only three columns; the
+    * class relation is a |segments×nations|-sized hash aggregate;
+    * at-risk share via a 1-row broadcast. All-integer + one pinned
+    * division.
+    */
+  def qKAnonymity(spark: SparkSession, d: String): DataFrame = {
+    val classes = graft.Tables.cacheForSelfJoin(
+      customer(spark, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / lit(2500.0)).cast("long").as("bal_band"))
+        .join(orders(spark, d).select(col("o_custkey"), col("o_orderpriority")),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+        .agg(countDistinct(col("c_custkey")).as("k"),
+          countDistinct(col("o_orderpriority")).as("l_div")))
+    val risk = classes.agg(
+      sum(when(col("k") < AnonK, col("k")).otherwise(0L)).as("n_at_risk"),
+      sum(col("k")).as("n_total"))
+    classes.crossJoin(broadcast(risk))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("bal_band"),
+        col("k"), col("l_div"),
+        (col("k") >= AnonK).as("passes_k"),
+        (col("n_at_risk").cast("double") / col("n_total").cast("double"))
+          .as("at_risk_share"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_matrix" -> qCohortMatrix _,
+    "q_k_anonymity" -> qKAnonymity _,
     "q_rfm" -> qRfm _,
     "q_ltv" -> qLtv _,
     "q_prop_test" -> qPropTest _,
@@ -356,6 +400,26 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |         CAST(floor(c_acctbal / 2500.0) AS BIGINT) AS bal_band,
+        |         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS k,
+        |         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_div
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_mktsegment, c_nationkey, bal_band
+        |), risk AS (
+        |  SELECT CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |           AS n_at_risk,
+        |         CAST(SUM(k) AS BIGINT) AS n_total
+        |  FROM cls
+        |)
+        |SELECT c_mktsegment, c_nationkey, bal_band, k, l_div,
+        |       k >= 5 AS passes_k,
+        |       CAST(n_at_risk AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |         AS at_risk_share
+        |FROM cls, risk
+        |ORDER BY c_mktsegment, c_nationkey, bal_band""".stripMargin,
     "q_cohort_matrix" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events

@@ -148,6 +148,47 @@ class GapProcessor(thresholdUs: Long)
   }
 }
 
+/** Output row of [[LocfProcessor]] — the masked observation and its
+  * forward-filled value (None until the user's first non-null).
+  */
+case class LocfRow(user_id: Long, event_id: Long, value: Option[Double],
+                   value_ff: Option[Double])
+
+/** Streaming last-observation-carried-forward
+  * ([[StreamOps.qStreamLocf]]): ONE ValueState double per user — the
+  * last non-null observation — fills each arriving masked reading
+  * ON ARRIVAL. The dropout mask (event_id ≡ 0 mod 5, the same
+  * sensor-outage simulation as the batch
+  * [[graft.operators.Analytics.qLocf]]) is applied INSIDE the
+  * processor so the replay schema stays null-free. Determinism: rows
+  * fold in (ts, event_id) order + strict tick cut ⇒ each row's
+  * carried value IS the global per-user prefix's last observation —
+  * the batch IGNORE NULLS window.
+  */
+class LocfProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long, Double), LocfRow] {
+  @transient private var lastSeen: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastSeen = getHandle.getValueState("last", Encoders.scalaDouble,
+      TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+                               rows: Iterator[(Long, Long, Long, Double)],
+                               timerValues: TimerValues): Iterator[LocfRow] = {
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    var carry: Option[Double] =
+      if (lastSeen.exists()) Some(lastSeen.get()) else None
+    val out = sorted.map { case (_, _, eid, v) =>
+      val masked = eid % 5L == 0L
+      if (!masked) carry = Some(v)
+      LocfRow(user, eid, if (masked) None else Some(v), carry)
+    }
+    carry.foreach(lastSeen.update)
+    out.iterator
+  }
+}
+
 /** Per-user first-K admission ([[StreamOps.qStreamFirstk]]): ONE
   * ValueState long per user — the arrival count — admits a user's first
   * K events and stamps every event with its arrival index. Determinism
@@ -1579,6 +1620,44 @@ object StreamOps extends Serializable {
     spark.table(sinkName).orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q_stream_locf — [[LocfProcessor]]'s online forward-fill over the
+    * replay stream: each arriving reading (with the batch op's
+    * deterministic dropout mask) is filled from its user's last
+    * observation AT ARRIVAL — the serving-side twin of the batch
+    * [[graft.operators.Analytics.qLocf]], and the oracle IS that batch
+    * window over the drained replay: stream fills == batch fills,
+    * proving the carry chain is slicing-independent.
+    *
+    * Scale: state is one double per user; per batch the work is an
+    * in-memory sort of the user's slice. Filled values are identity
+    * copies — no arithmetic to pin.
+    */
+  def qStreamLocf(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_locf")
+    val query = startWithStatePartitions(spark, 8) {
+      import spark.implicits._
+      spark.readStream.schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageReplayDir(spark, d))
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new LocfProcessor, TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName).orderBy(col("user_id"), col("event_id"))
+  }
+
   /** q_stream_curate — the streaming ADMISSION stage of the curation
     * pipeline: every arriving document gets an immediate verdict
     * (too_short / low_quality / ok) from the same predicates the batch
@@ -1858,6 +1937,7 @@ object StreamOps extends Serializable {
     "q_stream_curate"      -> qStreamCurate _,
     "q_stream_firstk"      -> qStreamFirstk _,
     "q_stream_gap"         -> qStreamGap _,
+    "q_stream_locf"        -> qStreamLocf _,
     "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_stream_enrich_scd2" -> qStreamEnrichScd2 _,
@@ -1976,6 +2056,17 @@ object StreamOps extends Serializable {
          |       CAST(SUM(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_lost
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_stream_locf" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT user_id, event_id, value,
+        |       last_value(value IGNORE NULLS) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
     "q_stream_gap" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events

@@ -270,4 +270,32 @@ class BehaviorSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).distinct.length > 1,
       "and more than one week offset")
   }
+
+  test("q_k_anonymity equals the brute-force equivalence-class audit") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        col("c_acctbal")).collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getInt(2), math.floor(r.getDouble(3) / 2500.0).toLong)))
+      .toMap
+    val prio = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byClass = prio.groupBy { case (ck, _) => cust(ck) }.view.mapValues { os =>
+      (os.map(_._1).distinct.length.toLong, os.map(_._2).distinct.length.toLong)
+    }.toMap
+    val atRisk = byClass.values.filter(_._1 < Behavior.AnonK).map(_._1).sum
+    val total = byClass.values.map(_._1).sum
+    val got = Behavior.qKAnonymity(spark, sfDir).collect()
+    assert(got.length == byClass.size && got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getInt(1), r.getLong(2))
+      val (k, l) = byClass(key)
+      assert(r.getLong(3) == k && r.getLong(4) == l, s"$key")
+      assert(r.getBoolean(5) == (k >= Behavior.AnonK))
+      assert(r.getDouble(6) == atRisk.toDouble / total.toDouble)
+    }
+    assert(got.exists(!_.getBoolean(5)),
+      "the banded QI must expose at-risk classes")
+  }
 }

@@ -790,6 +790,33 @@ class StreamingSpec extends SparkSpec {
       !r.getBoolean(4) && !r.getBoolean(3)), "both gap classes populated")
   }
 
+  test("q_stream_locf fills equal the batch IGNORE NULLS window") {
+    val got = StreamOps.qStreamLocf(spark, sfDir).collect()
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      var carry: Option[Double] = None
+      rs.sortBy(r => (r._2, r._3)).toSeq.map { case (u, _, eid, v) =>
+        val masked = eid % 5L == 0L
+        if (!masked) carry = Some(v)
+        (u, eid, if (masked) None else Some(v), carry)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.length == want.length && got.nonEmpty)
+    var filled = 0
+    got.zip(want).foreach { case (g, (u, eid, v, ff)) =>
+      assert(g.getLong(0) == u && g.getLong(1) == eid, s"event $eid")
+      val gv = if (g.isNullAt(2)) None else Some(g.getDouble(2))
+      val gff = if (g.isNullAt(3)) None else Some(g.getDouble(3))
+      assert(gv == v && gff == ff, s"event $eid fill")
+      if (gv.isEmpty && gff.isDefined) filled += 1
+    }
+    assert(filled > 0, "the stream fill must close real gaps")
+  }
+
   test("q_stream_anomaly flags equal the causal-prefix batch recomputation") {
     val got = StreamOps.qStreamAnomaly(spark, sfDir).collect()
     val rows = Tables.events(spark, sfDir)
