@@ -1160,6 +1160,26 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q_cume_dist — the cumulative-distribution window function: each
+    * event's value stamped with its type-relative CDF position
+    * (fraction of peers ≤ it, ties sharing one value — the SQL-standard
+    * peer semantics [[qPercentRank]]'s (rank−1)/(n−1) does NOT give) —
+    * the per-row percentile stamp feature pipelines join back onto raw
+    * events. Determinism: cume_dist is a count ratio (peers/total) —
+    * one exact-integer division per row, identical bits cross-engine;
+    * one shuffle on event_type serves sort + frame.
+    */
+  def qCumeDist(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    events(spark, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .select(col("event_type"), col("event_id"), col("cents"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** q_anomaly — σ-threshold outlier detection over the DENSE hourly
     * series: hours whose count deviates from their type's mean by more
     * than 3 population standard deviations. Composes [[hourlyDense]] —
@@ -3641,6 +3661,7 @@ object Analytics {
     "q_calendar_dim"    -> qCalendarDim _,
     "q_grouping_id"     -> qGroupingId _,
     "q_percentile_disc" -> qPercentileDisc _,
+    "q_cume_dist"       -> qCumeDist _,
     "q_anomaly"         -> qAnomaly _,
     "q_retention"       -> qRetention _,
     "q_cum_users"       -> qCumUsers _,
@@ -4655,6 +4676,15 @@ object Analytics {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_cume_dist" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, event_id, cents,
+        |       cume_dist() OVER (PARTITION BY event_type ORDER BY cents) AS cd
+        |FROM e ORDER BY event_type, event_id""".stripMargin,
     "q_percentile_disc" ->
       """WITH ranked AS (
         |  SELECT event_type, value,

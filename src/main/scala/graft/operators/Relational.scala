@@ -137,6 +137,32 @@ object Relational {
       Map("minbal" -> 1000.0, "prio" -> "1-URGENT"))
   }
 
+  /** q_scalar_subquery — correlated scalar subqueries IN THE PROJECTION:
+    * per top-balance customer, an order count and a max order total each
+    * written as `(SELECT agg FROM orders WHERE o_custkey = c_custkey)` —
+    * the decorrelation shape [[graft.operators.Analytics.qTpchQ17]]
+    * exercises in WHERE, moved to SELECT, where the rewrite target is a
+    * LEFT OUTER aggregate join (a per-row subquery loop is the
+    * at-scale death sentence; COUNT(*) must still read 0, not NULL, for
+    * order-less customers — the COUNT bug decorrelation famously has to
+    * special-case). Written as SQL text because the surface under test
+    * IS the correlated-scalar SQL form.
+    */
+  def qScalarSubquery(spark: SparkSession, d: String): DataFrame = {
+    customer(spark, d).createOrReplaceTempView("graft_customer")
+    orders(spark, d).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |       (SELECT COUNT(*) FROM graft_orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT CAST(MAX(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+        |          AS BIGINT)) AS BIGINT) FROM graft_orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_cents
+        |FROM graft_customer c
+        |WHERE c_acctbal >= 9000.0
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** q_sql_var — the SQL session-variable surface (Spark 4's
     * DECLARE/SET VAR): a threshold DECLARED as a typed variable, SET
     * from a scalar subquery over the data itself (the real use — a
@@ -432,9 +458,20 @@ object Relational {
     "q_format"      -> qFormat _,
     "q_sql_var"     -> qSqlVar _,
     "q_identifier"  -> qIdentifier _,
+    "q_scalar_subquery" -> qScalarSubquery _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        |       (SELECT COUNT(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT CAST(MAX(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+        |          AS BIGINT)) AS BIGINT) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_cents
+        |FROM customer c
+        |WHERE c_acctbal >= 9000.0
+        |ORDER BY c_custkey""".stripMargin,
     "q_sql_var" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

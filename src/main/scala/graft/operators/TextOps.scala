@@ -197,6 +197,53 @@ object TextOps {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** q_prf1 — per-class precision / recall / F1 of the stopword
+    * language classifier: the metric readout that turns
+    * [[qLangConfusion]]'s matrix into the numbers a model gate checks
+    * (per class: TP from the diagonal, FP down the predicted column, FN
+    * across the true row). Classes the classifier can never emit
+    * (fr/zh here) surface honestly: precision NULL (no predictions to
+    * be wrong about), recall 0 — the distinction a flat accuracy
+    * number hides.
+    *
+    * Plan: the confusion relation (≤ langs² rows, cached) feeds three
+    * class-sized aggregates joined full-outer on the label; every
+    * division is a CASE-guarded pinned chain over exact counts.
+    */
+  def qPrf1(spark: SparkSession, d: String): DataFrame = {
+    val pred = tokenized(spark, d)
+      .select(col("lang"),
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").as("s_en"),
+        expr("size(filter(toks, t -> t IN ('el', 'la', 'un')))").as("s_es"),
+        expr("size(filter(toks, t -> t IN ('der', 'die', 'das')))").as("s_de"))
+      .select(col("lang"),
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de").as("pred_lang"))
+    val conf = graft.Tables.cacheForSelfJoin(
+      pred.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n")))
+    val actual = conf.groupBy(col("lang").as("label"))
+      .agg(sum(col("n")).as("n_actual"))
+    val predicted = conf.groupBy(col("pred_lang").as("label"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = conf.filter(col("lang") === col("pred_lang"))
+      .select(col("lang").as("label"), col("n").as("n_tp"))
+    val p = col("n_tp").cast("double") / col("n_pred").cast("double")
+    val r = col("n_tp").cast("double") / col("n_actual").cast("double")
+    actual.join(predicted, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"))
+      .select(col("label"), col("n_actual"), col("n_pred"), col("n_tp"),
+        when(col("n_pred") > 0L, p).as("precision"),
+        when(col("n_actual") > 0L, r).as("recall"),
+        when(col("n_pred") > 0L && col("n_actual") > 0L && col("n_tp") > 0L,
+          lit(2.0) * p * r / (p + r)).as("f1"))
+      .orderBy(col("label"))
+  }
+
   /** q_quality_score — document quality metrics for pipeline filtering:
     * token count, distinct-token count, stopword ratio, average token
     * length, and the resulting keep/drop flag.
@@ -2403,6 +2450,7 @@ object TextOps {
     "q_entropy_by_source" -> qEntropyBySource _,
     "q_dup_rate_source"   -> qDupRateSource _,
     "q_lang_confusion" -> qLangConfusion _,
+    "q_prf1"          -> qPrf1 _,
     "q_rank_drift"    -> qRankDrift _,
   )
 
@@ -2686,6 +2734,50 @@ object TextOps {
          |         (acc, v) -> acc + v) AS rbo
          |FROM spine LEFT JOIN xd USING (dd)""".stripMargin
     },
+    "q_prf1" ->
+      """WITH pred AS (
+        |  SELECT lang,
+        |         CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |              WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+        |  FROM (
+        |    SELECT lang,
+        |           len(list_filter(toks, t -> t IN ('the', 'a'))) AS s_en,
+        |           len(list_filter(toks, t -> t IN ('el', 'la', 'un'))) AS s_es,
+        |           len(list_filter(toks, t -> t IN ('der', 'die', 'das'))) AS s_de
+        |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))
+        |), conf AS (
+        |  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY lang, pred_lang
+        |), act AS (
+        |  SELECT lang AS label, CAST(SUM(n) AS BIGINT) AS n_actual
+        |  FROM conf GROUP BY lang
+        |), prd AS (
+        |  SELECT pred_lang AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+        |  FROM conf GROUP BY pred_lang
+        |), tp AS (
+        |  SELECT lang AS label, n AS n_tp FROM conf WHERE lang = pred_lang
+        |)
+        |SELECT label,
+        |       CAST(COALESCE(n_actual, 0) AS BIGINT) AS n_actual,
+        |       CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+        |       CAST(COALESCE(n_tp, 0) AS BIGINT) AS n_tp,
+        |       CASE WHEN COALESCE(n_pred, 0) > 0 THEN
+        |         CAST(COALESCE(n_tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE)
+        |       END AS precision,
+        |       CASE WHEN COALESCE(n_actual, 0) > 0 THEN
+        |         CAST(COALESCE(n_tp, 0) AS DOUBLE) / CAST(n_actual AS DOUBLE)
+        |       END AS recall,
+        |       CASE WHEN COALESCE(n_pred, 0) > 0 AND COALESCE(n_actual, 0) > 0
+        |                 AND COALESCE(n_tp, 0) > 0 THEN
+        |         2.0 * (CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+        |             * (CAST(n_tp AS DOUBLE) / CAST(n_actual AS DOUBLE))
+        |           / ((CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+        |              + (CAST(n_tp AS DOUBLE) / CAST(n_actual AS DOUBLE)))
+        |       END AS f1
+        |FROM act
+        |FULL OUTER JOIN prd USING (label)
+        |FULL OUTER JOIN tp USING (label)
+        |ORDER BY label""".stripMargin,
     "q_lang_confusion" ->
       """WITH pred AS (
         |  SELECT lang,

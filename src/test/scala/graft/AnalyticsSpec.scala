@@ -2017,6 +2017,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_cume_dist stamps each row with its peer-inclusive CDF position") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val byType = rows.groupBy(_._1)
+    val got = Analytics.qCumeDist(spark, sfDir).collect()
+    assert(got.length == rows.length)
+    got.foreach { r =>
+      val peers = byType(r.getString(0))
+      val le = peers.count(_._3 <= r.getLong(2)).toLong
+      assert(r.getDouble(3) == le.toDouble / peers.length.toDouble,
+        s"event ${r.getLong(1)}")
+    }
+    // Ties share one position (the peer semantics percent_rank lacks).
+    val tied = got.groupBy(r => (r.getString(0), r.getLong(2)))
+      .values.find(_.length > 1)
+    tied.foreach(g => assert(g.map(_.getDouble(3)).distinct.length == 1))
+  }
+
   test("q_target_encode LOO encodings match brute force") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("value").isNotNull)

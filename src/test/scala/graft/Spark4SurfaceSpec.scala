@@ -134,6 +134,32 @@ class Spark4SurfaceSpec extends SparkSpec {
       "the variable cut must filter")
   }
 
+  test("q_scalar_subquery: correlated projections equal the join rendering and decorrelate") {
+    val custs = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") >= 9000.0)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        max(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = Relational.qScalarSubquery(spark, sfDir).collect()
+    assert(got.length == custs.length && got.nonEmpty)
+    got.zip(custs.sortBy(_._1)).foreach { case (g, (ck, name)) =>
+      assert(g.getLong(0) == ck && g.getString(1) == name)
+      val (n, mx) = perCust.getOrElse(ck, (0L, -1L))
+      assert(g.getLong(2) == n, s"cust $ck n_orders")
+      if (n > 0) assert(g.getLong(3) == mx) else assert(g.isNullAt(3))
+    }
+    // The plan must be a decorrelated aggregate join, not a per-row loop.
+    val plan = Relational.qScalarSubquery(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ScalarSubquery"),
+      "correlated scalars must decorrelate out of the plan")
+  }
+
   test("q_identifier: the parameter-bound relation equals the direct query") {
     val direct = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderpriority"))

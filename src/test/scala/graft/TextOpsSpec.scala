@@ -1138,6 +1138,38 @@ class TextOpsSpec extends SparkSpec {
       "rates must differentiate sources")
   }
 
+  test("q_prf1 equals the brute-force per-class metrics and surfaces unpredictable classes") {
+    val pairs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        val en = toks.count(Set("the", "a"))
+        val es = toks.count(Set("el", "la", "un"))
+        val de = toks.count(Set("der", "die", "das"))
+        val p = if (en >= es && en >= de) "en" else if (es >= de) "es" else "de"
+        (r.getString(0), p)
+      }
+    val labels = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+    val got = TextOps.qPrf1(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSeq == labels.toSeq)
+    got.foreach { r =>
+      val l = r.getString(0)
+      val nA = pairs.count(_._1 == l).toLong
+      val nP = pairs.count(_._2 == l).toLong
+      val tp = pairs.count(p => p._1 == l && p._2 == l).toLong
+      assert(r.getLong(1) == nA && r.getLong(2) == nP && r.getLong(3) == tp, l)
+      if (nP > 0) assert(r.getDouble(4) == tp.toDouble / nP.toDouble)
+      else assert(r.isNullAt(4), s"$l precision must be NULL with no predictions")
+      if (nA > 0) assert(r.getDouble(5) == tp.toDouble / nA.toDouble)
+      if (nP > 0 && nA > 0 && tp > 0) {
+        val (p, rc) = (tp.toDouble / nP.toDouble, tp.toDouble / nA.toDouble)
+        assert(r.getDouble(6) == 2.0 * p * rc / (p + rc))
+      }
+    }
+    // fr/zh can never be predicted: NULL precision, zero recall.
+    assert(got.exists(r => r.isNullAt(4) && r.getDouble(5) == 0.0))
+  }
+
   test("q_entropy_by_source equals the term-ordered brute-force entropy") {
     val toks = Tables.documents(spark, sfDir)
       .select(col("source"), col("text")).collect()
