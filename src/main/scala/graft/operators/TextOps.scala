@@ -582,6 +582,40 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q_dl_distance — the transposition-aware candidate verifier:
+    * [[qEditDistance]]'s pair set re-scored with TRUE Damerau-
+    * Levenshtein (the codegen'd
+    * [[graft.functions.DamerauLevenshtein]] expression — Spark ships
+    * only plain levenshtein) alongside the plain distance, plus their
+    * difference — the count of adjacent-swap edits the plain metric
+    * double-charges. On reordered-boilerplate near-dups the gain is
+    * what separates "same text, shuffled" (large gain) from "genuinely
+    * divergent" (no gain) — the triage a dedup keep-rule reads.
+    *
+    * Plan identical to [[qEditDistance]]: texts join onto the bounded
+    * LSH candidate pairs (never all-pairs — the O(|a|·|b|) DP is priced
+    * per CANDIDATE); all-integer output → hash-exact with no float
+    * contract. Oracle: DuckDB's unrestricted `damerau_levenshtein`
+    * builtin (variant verified on the OSA-discriminating "CA"→"ABC").
+    */
+  def qDlDistance(spark: SparkSession, d: String): DataFrame = {
+    def dlDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.DamerauLevenshtein(
+          org.apache.spark.sql.GraftSqlBridge.expression(a),
+          org.apache.spark.sql.GraftSqlBridge.expression(b)))
+    val txt = documents(spark, d).select(col("doc_id"), col("text"))
+    minhashPairs(spark, d)
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("lev"),
+        dlDist(col("ta"), col("tb")).as("dl"))
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("dl"),
+        (col("lev") - col("dl")).as("swap_gain"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Iteration cap for [[qDedupGroups]]'s label propagation — a safety
     * bound, not a tuning knob: min-label propagation converges in
     * O(component diameter) rounds and the convergence check exits the
@@ -2412,6 +2446,7 @@ object TextOps {
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_minhash_est"   -> qMinhashEst _,
     "q_edit_distance" -> qEditDistance _,
+    "q_dl_distance"   -> qDlDistance _,
     "q_dedup_groups"  -> qDedupGroups _,
     "q_cc_sizes"      -> qCcSizes _,
     "q_split_leakage" -> qSplitLeakage _,
@@ -2905,6 +2940,27 @@ object TextOps {
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dl_distance" ->
+      s"""WITH sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |)
+         |SELECT doc_a, doc_b,
+         |       CAST(levenshtein(da.text, db.text) AS INTEGER) AS lev,
+         |       CAST(damerau_levenshtein(da.text, db.text) AS INTEGER) AS dl,
+         |       CAST(levenshtein(da.text, db.text)
+         |         - damerau_levenshtein(da.text, db.text) AS INTEGER)
+         |         AS swap_gain
+         |FROM pairs
+         |JOIN documents da ON doc_a = da.doc_id
+         |JOIN documents db ON doc_b = db.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_edit_distance" ->
       s"""WITH sig AS (
          |$sigSql

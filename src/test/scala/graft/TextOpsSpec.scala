@@ -1138,6 +1138,29 @@ class TextOpsSpec extends SparkSpec {
       "rates must differentiate sources")
   }
 
+  test("DamerauLevenshtein computes the UNRESTRICTED variant, and q_dl_distance verifies candidates") {
+    import graft.functions.DamerauLevenshtein.dl
+    // The OSA-discriminating case: restricted OSA gives 3, true DL 2.
+    assert(dl("CA", "ABC") == 2)
+    assert(dl("ab", "ba") == 1)
+    assert(dl("a cat", "an act") == 2)
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("", "abc") == 3 && dl("abc", "") == 3 && dl("", "") == 0)
+    assert(dl("same", "same") == 0)
+    val got = TextOps.qDlDistance(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      assert(r.getInt(3) == dl(a, b), s"pair ${r.getLong(0)}-${r.getLong(1)}")
+      assert(r.getInt(4) == r.getInt(2) - r.getInt(3))
+      assert(r.getInt(3) <= r.getInt(2),
+        "DL can never exceed plain Levenshtein")
+    }
+  }
+
   test("q_prf1 equals the brute-force per-class metrics and surfaces unpredictable classes") {
     val pairs = Tables.documents(spark, sfDir)
       .select(col("lang"), col("text")).collect()
