@@ -387,9 +387,102 @@ object Behavior {
       .orderBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
   }
 
+  /** q_cuped — CUPED variance reduction for the A/B readout: each
+    * user's post-period spend adjusted by their PRE-period spend
+    * (Y' = Y − θ·(X − X̄), θ = cov(X,Y)/var(X)) — the standard
+    * experimentation trick that removes between-user baseline variance
+    * from the treatment comparison, often halving required sample size.
+    * Periods split at day 15 of the fixture window; variant =
+    * user_id mod 2 ([[qPropTest]]'s deterministic split).
+    *
+    * Determinism: ALL moments (n, Σx, Σy, Σxy, Σx²) are exact BIGINT
+    * cent sums from ONE per-user fold (x·y ≲ 10¹⁰ per user — widen to
+    * DECIMAL(38,0) past ~10⁸-cent users, documented); θ and the
+    * adjusted means are single pinned double chains over those
+    * integers, mirrored verbatim. Plan: one fact shuffle (per-user
+    * fold); everything after is 2-row / 1-row relations broadcast.
+    */
+  def qCuped(spark: SparkSession, d: String): DataFrame = {
+    val perUser = graft.Tables.cacheForSelfJoin(
+      events(spark, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(dayofmonth(col("ts")) <= 15, cents(col("value")))
+            .otherwise(0L)).as("x"),
+          sum(when(dayofmonth(col("ts")) > 15, cents(col("value")))
+            .otherwise(0L)).as("y"))
+        .select(pmod(col("user_id"), lit(2L)).as("variant"),
+          col("x"), col("y")))
+    val g = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val theta = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / nD) /
+      (col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / nD)
+    val xbar = col("sx").cast("double") / nD
+    perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_v"),
+        sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
+      .crossJoin(broadcast(g.select(theta.as("theta"), xbar.as("xbar"))))
+      .select(col("variant"), col("n_v"),
+        (col("sy_v").cast("double") / col("n_v").cast("double"))
+          .as("mean_y"),
+        ((col("sy_v").cast("double") / col("n_v").cast("double")) -
+          col("theta") *
+            ((col("sx_v").cast("double") / col("n_v").cast("double")) -
+              col("xbar"))).as("adj_mean_y"),
+        col("theta"))
+      .orderBy(col("variant"))
+  }
+
+  /** Normal quantiles for [[qMde]]'s 95%-power/5%-size design — the
+    * conventional z₀.₉₇₅ and z₀.₈ constants, fixed so the closed form
+    * is pure arithmetic.
+    */
+  val ZAlpha = 1.959963984540054
+  val ZPower = 0.8416212335729143
+
+  /** q_mde — minimum detectable effect of the running A/B split: given
+    * each variant's user count and the pooled baseline conversion rate
+    * (the [[qPropTest]] population), the smallest absolute rate lift a
+    * 5%-size / 80%-power two-proportion test can detect —
+    * MDE = (z_α/2 + z_β)·√(p(1−p)(1/n₀+1/n₁)). THE experiment-planning
+    * readout ("is this test even worth running at current traffic?"),
+    * computed from the same exact counts the test itself uses.
+    *
+    * One per-user fold → 2-row variant table → 1-row closed form; the
+    * only doubles are the final pinned chain (sqrt is correctly
+    * rounded — bit-identical cross-engine).
+    */
+  def qMde(spark: SparkSession, d: String): DataFrame = {
+    val v = events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") >= lit(150.0), 1L).otherwise(0L)).as("conv"))
+      .select(pmod(col("user_id"), lit(2L)).as("variant"), col("conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val w = v.agg(
+      max(when(col("variant") === 0L, col("n"))).as("n0"),
+      max(when(col("variant") === 1L, col("n"))).as("n1"),
+      sum(col("c")).as("c_all"), sum(col("n")).as("n_all"))
+    val p = col("c_all").cast("double") / col("n_all").cast("double")
+    w.select(col("n0"), col("n1"), col("c_all"), p.as("p_base"),
+      (lit(ZAlpha + ZPower) *
+        sqrt((p * (lit(1.0) - p)) *
+          ((lit(1.0) / col("n0").cast("double")) +
+            (lit(1.0) / col("n1").cast("double"))))).as("mde"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_matrix" -> qCohortMatrix _,
     "q_k_anonymity" -> qKAnonymity _,
+    "q_cuped" -> qCuped _,
+    "q_mde" -> qMde _,
     "q_rfm" -> qRfm _,
     "q_ltv" -> qLtv _,
     "q_prop_test" -> qPropTest _,
@@ -400,6 +493,63 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 AS variant,
+        |         CAST(SUM(CASE WHEN day(ts) <= 15 THEN
+        |           CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN day(ts) > 15 THEN
+        |           CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+        |           AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM pu
+        |), t AS (
+        |  SELECT (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |            / CAST(n AS DOUBLE))
+        |         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |            / CAST(n AS DOUBLE)) AS theta,
+        |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM g
+        |)
+        |SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_v,
+        |       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_y,
+        |       (CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |         - theta * ((CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |                    - xbar) AS adj_mean_y,
+        |       theta
+        |FROM pu, t GROUP BY variant, theta, xbar
+        |ORDER BY variant""".stripMargin,
+    "q_mde" ->
+      s"""WITH pu AS (
+         |  SELECT user_id % 2 AS variant,
+         |         MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+         |                  THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY user_id
+         |), v AS (
+         |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(conv) AS BIGINT) AS c
+         |  FROM pu GROUP BY variant
+         |), w AS (
+         |  SELECT CAST(MAX(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+         |         CAST(MAX(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+         |         CAST(SUM(c) AS BIGINT) AS c_all,
+         |         CAST(SUM(n) AS BIGINT) AS n_all
+         |  FROM v
+         |)
+         |SELECT n0, n1, c_all,
+         |       CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS p_base,
+         |       ${ZAlpha + ZPower} *
+         |         sqrt(((CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+         |               * (1.0 - CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+         |              * ((1.0 / CAST(n0 AS DOUBLE))
+         |                 + (1.0 / CAST(n1 AS DOUBLE)))) AS mde
+         |FROM w""".stripMargin,
     "q_k_anonymity" ->
       """WITH cls AS (
         |  SELECT c_mktsegment, c_nationkey,

@@ -244,6 +244,23 @@ object TextOps {
       .orderBy(col("label"))
   }
 
+  /** q_len_hist — the corpus LENGTH DISTRIBUTION at packing grain: doc
+    * token counts bucketed by 32 (n_docs, token mass, min/max per
+    * bucket) — the histogram that CONFIGURES [[qPack]]'s bin size and
+    * predicts its waste (a corpus with mass near the context length
+    * packs badly; one dominated by short docs needs aggressive
+    * concatenation), and the length axis [[qQualityScore]] thresholds
+    * but never distributes. Two nested hash aggregates, output ≤
+    * max-length/32 rows, all-integer.
+    */
+  def qLenHist(spark: SparkSession, d: String): DataFrame =
+    tokenized(spark, d)
+      .select(size(col("toks")).cast("long").as("n_tokens"))
+      .groupBy(expr("n_tokens DIV 32").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("bucket"))
+
   /** q_quality_score — document quality metrics for pipeline filtering:
     * token count, distinct-token count, stopword ratio, average token
     * length, and the resulting keep/drop flag.
@@ -2441,6 +2458,7 @@ object TextOps {
     "q_bpe_pairs"     -> qBpePairs _,
     "q_lang_id"       -> qLangId _,
     "q_quality_score" -> qQualityScore _,
+    "q_len_hist"      -> qLenHist _,
     "q_fingerprint"   -> qFingerprint _,
     "q_minhash_sig"   -> qMinhashSig _,
     "q_minhash_lsh"   -> qMinhashLsh _,
@@ -2844,6 +2862,16 @@ object TextOps {
         |         CAST(len(list_filter(toks, t -> t IN ('der', 'die', 'das'))) AS INTEGER) AS s_de
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_len_hist" ->
+      """SELECT len(string_split(text, ' ')) // 32 AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |         AS total_tokens,
+        |       CAST(MIN(len(string_split(text, ' '))) AS BIGINT)
+        |         AS min_tokens,
+        |       CAST(MAX(len(string_split(text, ' '))) AS BIGINT)
+        |         AS max_tokens
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id, n_tokens, n_uniq,
         |       CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,

@@ -298,4 +298,57 @@ class BehaviorSpec extends SparkSpec {
     assert(got.exists(!_.getBoolean(5)),
       "the banded QI must expose at-risk classes")
   }
+
+  test("q_cuped equals the brute-force covariate adjustment and reduces nothing vacuously") {
+    val pu = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), dayofmonth(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+      .groupBy(_._1).toSeq.map { case (u, rs) =>
+        (u % 2, rs.filter(_._2 <= 15).map(_._3).sum,
+          rs.filter(_._2 > 15).map(_._3).sum)
+      }
+    val n = pu.length.toLong
+    val (sx, sy) = (pu.map(_._2).sum, pu.map(_._3).sum)
+    val sxy = pu.map(r => r._2 * r._3).sum
+    val sxx = pu.map(r => r._2 * r._2).sum
+    val theta = (sxy.toDouble - sx.toDouble * sy.toDouble / n.toDouble) /
+      (sxx.toDouble - sx.toDouble * sx.toDouble / n.toDouble)
+    val xbar = sx.toDouble / n.toDouble
+    val got = Behavior.qCuped(spark, sfDir).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val vs = pu.filter(_._1 == r.getLong(0))
+      val meanY = vs.map(_._3).sum.toDouble / vs.length.toDouble
+      val meanX = vs.map(_._2).sum.toDouble / vs.length.toDouble
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(r.getDouble(2) == meanY)
+      assert(r.getDouble(3) == meanY - theta * (meanX - xbar))
+      assert(r.getDouble(4) == theta)
+    }
+    assert(theta != 0.0, "pre-period spend must carry signal")
+    assert(got.map(_.getDouble(3)).distinct.length == 2)
+  }
+
+  test("q_mde equals the closed-form minimum detectable effect") {
+    val conv = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .groupBy(_.getLong(0)).toSeq.map { case (u, rs) =>
+        (u % 2, rs.exists(r => r.getString(1) == "purchase" &&
+          !r.isNullAt(2) && r.getDouble(2) >= 150.0))
+      }
+    val n0 = conv.count(_._1 == 0L).toLong
+    val n1 = conv.count(_._1 == 1L).toLong
+    val cAll = conv.count(_._2).toLong
+    val p = cAll.toDouble / (n0 + n1).toDouble
+    val mde = (Behavior.ZAlpha + Behavior.ZPower) *
+      math.sqrt((p * (1.0 - p)) * ((1.0 / n0.toDouble) + (1.0 / n1.toDouble)))
+    val got = Behavior.qMde(spark, sfDir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == n0 && r.getLong(1) == n1 && r.getLong(2) == cAll)
+    assert(r.getDouble(3) == p && r.getDouble(4) == mde)
+    assert(mde > 0.0 && mde < 1.0, "the effect bound must be a real rate")
+  }
 }

@@ -1161,6 +1161,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_len_hist buckets the token-count distribution exactly") {
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0).split(" ").length.toLong)
+    val want = lens.groupBy(_ / 32).view.mapValues(ls =>
+      (ls.length.toLong, ls.sum, ls.min, ls.max)).toMap
+    val got = TextOps.qLenHist(spark, sfDir).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, tot, mn, mx) = want(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == tot &&
+        r.getLong(3) == mn && r.getLong(4) == mx, s"bucket ${r.getLong(0)}")
+    }
+    assert(got.map(_.getLong(1)).sum == lens.length.toLong)
+  }
+
   test("q_prf1 equals the brute-force per-class metrics and surfaces unpredictable classes") {
     val pairs = Tables.documents(spark, sfDir)
       .select(col("lang"), col("text")).collect()
