@@ -577,4 +577,43 @@ class PlanSpec extends SparkSpec {
       s"group medians join back broadcast:\n$p")
   }
 
+  test("iterative peels keep their LOGICAL plans round-sized (the 5^r tripwire)") {
+    // q_kcore's round-8 lesson: each peel round embedded the previous
+    // round's plan 5×, so the tree grew 5^r and Catalyst re-planned
+    // 30-44 s of pure driver work on an 84 k-row edge set — with every
+    // tier cached-and-counted. checkpointTier cuts each tier to a
+    // LogicalRDD leaf; this pins that the final plan stays round-sized
+    // so a refactor back to lazy chaining fails HERE, not in the bench.
+    def logicalSize(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case n => n }.length
+    val kcore = logicalSize(TextOps.queries("q_kcore")(spark, sfDir))
+    assert(kcore < 40,
+      s"q_kcore's analyzed plan has $kcore nodes — lineage truncation lost")
+    val lp = logicalSize(TextOps.queries("q_label_prop")(spark, sfDir))
+    assert(lp < 40,
+      s"q_label_prop's analyzed plan has $lp nodes — lineage truncation lost")
+  }
+
+  test("q_tpch_q4 plans the EXISTS as a semi join with the date conjunct inside") {
+    val p = plan(Analytics.qTpchQ4(spark, sfDir))
+    assert(p.contains("LeftSemi"),
+      s"the EXISTS must stay a semi join (each order emitted at most once):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the non-equi date conjunct must ride the equi semi join, not a nested loop:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the year band must reach the orders scan:\n$p")
+  }
+
+  test("q_tpch_q17 reads the fact through the cache on BOTH sides of the re-join") {
+    val p = plan(Analytics.qTpchQ17(spark, sfDir))
+    // Two InMemoryTableScans (probe side + moments side) — each renders
+    // the cache's one-scan child plan inline, so counting "Scan parquet"
+    // strings would double-count; the cache hits are the real claim.
+    val cacheHits = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheHits >= 2,
+      s"both the probe and the per-part moments must read the cached fact " +
+        s"projection (saw $cacheHits InMemoryTableScans):\n$p")
+  }
+
 }
