@@ -478,8 +478,73 @@ object Behavior {
             (lit(1.0) / col("n1").cast("double"))))).as("mde"))
   }
 
+  /** [[qWindowFunnel]] window: a chain must complete within 3 days of
+    * its FIRST step.
+    */
+  val FunnelWindowUs: Long = 3L * 24 * 3600 * 1000000L
+
+  /** q_window_funnel — the time-BOUNDED ordered funnel (the windowFunnel
+    * operator ClickHouse popularized, re-expressed Spark-first): per
+    * user, the deepest view → click → purchase chain whose steps occur
+    * in order AND within [[FunnelWindowUs]] of the chain's first step,
+    * reported as the level histogram. [[Analytics.qFunnel]] counts
+    * unordered lifetime reach; THIS is the conversion-window semantics a
+    * growth team actually quotes ("converted within 3 days of first
+    * view"). Semantics pinned exactly (greedy earliest chain): t₁ =
+    * first view; t₂ = first click after t₁ within the window of t₁;
+    * t₃ = first purchase after t₂ within the window of t₁.
+    *
+    * Plan: ONE per-user shuffle; the chain state machine is an ORDERED
+    * fold over the user's sorted event structs — each event encoded as
+    * the SAME struct shape as the accumulator (its µs in the slot of
+    * its step, −1 elsewhere), so the fold is a uniform-type reduce that
+    * DuckDB's list_reduce replays verbatim. Per-user state is three
+    * BIGINTs; the histogram is a ≤4-row aggregate. All-integer →
+    * hash-exact.
+    */
+  def qWindowFunnel(spark: SparkSession, d: String): DataFrame = {
+    val enc = expr(
+      """named_struct(
+        |  'us', unix_micros(ts), 'eid', event_id,
+        |  't1', CASE WHEN event_type = 'view' THEN unix_micros(ts)
+        |             ELSE CAST(-1 AS BIGINT) END,
+        |  't2', CASE WHEN event_type = 'click' THEN unix_micros(ts)
+        |             ELSE CAST(-1 AS BIGINT) END,
+        |  't3', CASE WHEN event_type = 'purchase' THEN unix_micros(ts)
+        |             ELSE CAST(-1 AS BIGINT) END)""".stripMargin)
+    val zero =
+      "named_struct('us', CAST(-1 AS BIGINT), 'eid', CAST(-1 AS BIGINT), " +
+        "'t1', CAST(-1 AS BIGINT), 't2', CAST(-1 AS BIGINT), " +
+        "'t3', CAST(-1 AS BIGINT))"
+    val step =
+      s"""(s, e) -> named_struct(
+         |  'us', e.us, 'eid', e.eid,
+         |  't1', CASE WHEN s.t1 >= 0 THEN s.t1 ELSE e.t1 END,
+         |  't2', CASE WHEN s.t2 >= 0 THEN s.t2
+         |             WHEN s.t1 >= 0 AND e.t2 > s.t1
+         |                  AND e.t2 <= s.t1 + $FunnelWindowUs THEN e.t2
+         |             ELSE CAST(-1 AS BIGINT) END,
+         |  't3', CASE WHEN s.t3 >= 0 THEN s.t3
+         |             WHEN s.t1 >= 0 AND s.t2 >= 0 AND e.t3 > s.t2
+         |                  AND e.t3 <= s.t1 + $FunnelWindowUs THEN e.t3
+         |             ELSE CAST(-1 AS BIGINT) END)""".stripMargin
+    events(spark, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), enc.as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"),
+        expr(s"aggregate(evs, $zero, $step)").as("f"))
+      .select(col("user_id"),
+        when(col("f.t3") >= 0L, 3L).when(col("f.t2") >= 0L, 2L)
+          .when(col("f.t1") >= 0L, 1L).otherwise(0L).as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_matrix" -> qCohortMatrix _,
+    "q_window_funnel" -> qWindowFunnel _,
     "q_k_anonymity" -> qKAnonymity _,
     "q_cuped" -> qCuped _,
     "q_mde" -> qMde _,
@@ -493,6 +558,48 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_funnel" -> {
+      val w = FunnelWindowUs
+      s"""WITH enc AS (
+         |  SELECT user_id,
+         |         struct_pack(
+         |           us := epoch_us(ts), eid := event_id,
+         |           t1 := CASE WHEN event_type = 'view' THEN epoch_us(ts)
+         |                      ELSE CAST(-1 AS BIGINT) END,
+         |           t2 := CASE WHEN event_type = 'click' THEN epoch_us(ts)
+         |                      ELSE CAST(-1 AS BIGINT) END,
+         |           t3 := CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+         |                      ELSE CAST(-1 AS BIGINT) END) AS e,
+         |         epoch_us(ts) AS us, event_id
+         |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+         |), folded AS (
+         |  SELECT user_id,
+         |         list_reduce(
+         |           list_prepend(
+         |             struct_pack(us := CAST(-1 AS BIGINT),
+         |                         eid := CAST(-1 AS BIGINT),
+         |                         t1 := CAST(-1 AS BIGINT),
+         |                         t2 := CAST(-1 AS BIGINT),
+         |                         t3 := CAST(-1 AS BIGINT)),
+         |             list(e ORDER BY us, event_id)),
+         |           (acc, x) -> struct_pack(
+         |             us := x.us, eid := x.eid,
+         |             t1 := CASE WHEN acc.t1 >= 0 THEN acc.t1 ELSE x.t1 END,
+         |             t2 := CASE WHEN acc.t2 >= 0 THEN acc.t2
+         |                        WHEN acc.t1 >= 0 AND x.t2 > acc.t1
+         |                             AND x.t2 <= acc.t1 + $w THEN x.t2
+         |                        ELSE CAST(-1 AS BIGINT) END,
+         |             t3 := CASE WHEN acc.t3 >= 0 THEN acc.t3
+         |                        WHEN acc.t1 >= 0 AND acc.t2 >= 0 AND x.t3 > acc.t2
+         |                             AND x.t3 <= acc.t1 + $w THEN x.t3
+         |                        ELSE CAST(-1 AS BIGINT) END)) AS f
+         |  FROM enc GROUP BY user_id
+         |)
+         |SELECT CAST(CASE WHEN f.t3 >= 0 THEN 3 WHEN f.t2 >= 0 THEN 2
+         |            WHEN f.t1 >= 0 THEN 1 ELSE 0 END AS BIGINT) AS level,
+         |       CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM folded GROUP BY level ORDER BY level""".stripMargin
+    },
     "q_cuped" ->
       """WITH pu AS (
         |  SELECT user_id % 2 AS variant,

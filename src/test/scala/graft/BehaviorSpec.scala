@@ -299,6 +299,34 @@ class BehaviorSpec extends SparkSpec {
       "the banded QI must expose at-risk classes")
   }
 
+  test("q_window_funnel equals the brute-force greedy windowed chain") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val w = Behavior.FunnelWindowUs
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      var t1 = -1L; var t2 = -1L; var t3 = -1L
+      rs.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, et) =>
+        if (t1 < 0 && et == "view") t1 = us
+        else if (t2 < 0 && t1 >= 0 && et == "click" && us > t1 && us <= t1 + w)
+          t2 = us
+        else if (t3 < 0 && t2 >= 0 && et == "purchase" && us > t2 && us <= t1 + w)
+          t3 = us
+      }
+      if (t3 >= 0) 3L else if (t2 >= 0) 2L else if (t1 >= 0) 1L else 0L
+    }.toMap
+    val hist = want.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Behavior.qWindowFunnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == hist && got.nonEmpty)
+    assert(got.keys.exists(_ >= 2L) && got.values.sum == want.size.toLong,
+      "the window must admit real multi-step chains and cover every user")
+    assert(got.contains(3L) && (got.contains(1L) || got.contains(2L)),
+      "the time bound must separate full conversions from stalled chains")
+  }
+
   test("q_cuped equals the brute-force covariate adjustment and reduces nothing vacuously") {
     val pu = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
