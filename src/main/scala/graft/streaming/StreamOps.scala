@@ -189,6 +189,51 @@ class LocfProcessor
   }
 }
 
+/** Chain state of [[FunnelProcessor]] — the three BIGINT timestamps of
+  * the greedy earliest windowed chain (−1 = step not reached).
+  */
+case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+/** Per-event funnel-level stamp emitted by [[FunnelProcessor]]. */
+case class FunnelLevel(user_id: Long, event_id: Long, level: Long)
+
+/** Streaming windowed-funnel state machine
+  * ([[StreamOps.qStreamFunnel]]): ONE ValueState of three BIGINTs per
+  * user advances the greedy earliest view → click → purchase chain
+  * (window bounded from the chain's FIRST step) as events arrive —
+  * identical transition rules to the batch
+  * [[graft.operators.Behavior.qWindowFunnel]] fold, so the drained
+  * stream's final per-user levels ARE the batch histogram. Rows fold in
+  * (ts, event_id) order + strict tick cut ⇒ slicing-independent.
+  */
+class FunnelProcessor(windowUs: Long)
+    extends StatefulProcessor[Long, (Long, Long, Long, String), FunnelLevel] {
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState("chain", Encoders.product[FunnelState],
+      TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+                               rows: Iterator[(Long, Long, Long, String)],
+                               timerValues: TimerValues): Iterator[FunnelLevel] = {
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+    val out = sorted.map { case (_, us, eid, et) =>
+      if (s.t1 < 0 && et == "view") s = s.copy(t1 = us)
+      else if (s.t2 < 0 && s.t1 >= 0 && et == "click" &&
+        us > s.t1 && us <= s.t1 + windowUs) s = s.copy(t2 = us)
+      else if (s.t3 < 0 && s.t2 >= 0 && et == "purchase" &&
+        us > s.t2 && us <= s.t1 + windowUs) s = s.copy(t3 = us)
+      val level =
+        if (s.t3 >= 0) 3L else if (s.t2 >= 0) 2L else if (s.t1 >= 0) 1L else 0L
+      FunnelLevel(user, eid, level)
+    }
+    st.update(s)
+    out.iterator
+  }
+}
+
 /** Per-user first-K admission ([[StreamOps.qStreamFirstk]]): ONE
   * ValueState long per user — the arrival count — admits a user's first
   * K events and stamps every event with its arrival index. Determinism
@@ -1658,6 +1703,47 @@ object StreamOps extends Serializable {
     spark.table(sinkName).orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q_stream_funnel — [[FunnelProcessor]]'s windowed funnel ON ARRIVAL:
+    * every funnel event stamped with its user's chain level AFTER that
+    * event, the per-user final level aggregated to the same histogram
+    * the batch [[graft.operators.Behavior.qWindowFunnel]] computes —
+    * which IS the oracle (stream chain == batch fold over the drained
+    * replay, slicing-independent). The growth dashboard reading live
+    * conversion depth without a nightly batch.
+    *
+    * Scale: three BIGINTs of state per user; per batch one in-memory
+    * sort of the user's slice; the final histogram is a ≤4-row agg.
+    */
+  def qStreamFunnel(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_funnel")
+    val query = startWithStatePartitions(spark, 8) {
+      import spark.implicits._
+      spark.readStream.schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageReplayDir(spark, d))
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new FunnelProcessor(graft.operators.Behavior.FunnelWindowUs),
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName)
+      .groupBy(col("user_id")).agg(max(col("level")).as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
   /** q_stream_curate — the streaming ADMISSION stage of the curation
     * pipeline: every arriving document gets an immediate verdict
     * (too_short / low_quality / ok) from the same predicates the batch
@@ -1938,6 +2024,7 @@ object StreamOps extends Serializable {
     "q_stream_firstk"      -> qStreamFirstk _,
     "q_stream_gap"         -> qStreamGap _,
     "q_stream_locf"        -> qStreamLocf _,
+    "q_stream_funnel"      -> qStreamFunnel _,
     "q_stream_distinct"    -> qStreamDistinct _,
     "q_stream_enrich"      -> qStreamEnrich _,
     "q_stream_enrich_scd2" -> qStreamEnrichScd2 _,
@@ -2056,6 +2143,10 @@ object StreamOps extends Serializable {
          |       CAST(SUM(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_lost
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The streaming funnel's oracle IS the batch windowed-funnel SQL —
+    // the equivalence being gated.
+    "q_stream_funnel" ->
+      graft.operators.Behavior.oracle("q_window_funnel"),
     "q_stream_locf" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

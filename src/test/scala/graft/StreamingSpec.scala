@@ -817,6 +817,16 @@ class StreamingSpec extends SparkSpec {
     assert(filled > 0, "the stream fill must close real gaps")
   }
 
+  test("q_stream_funnel histogram equals the batch windowed funnel") {
+    val got = StreamOps.qStreamFunnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Behavior.qWindowFunnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+    assert(got.keys.exists(_ >= 2L),
+      "the stream must advance real multi-step chains")
+  }
+
   test("q_stream_anomaly flags equal the causal-prefix batch recomputation") {
     val got = StreamOps.qStreamAnomaly(spark, sfDir).collect()
     val rows = Tables.events(spark, sfDir)
