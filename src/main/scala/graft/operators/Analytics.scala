@@ -1180,6 +1180,39 @@ object Analytics {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** q_rolling_zscore — trailing-window standardization: each event's
+    * value z-scored against its type's LAST 100 events (ROWS frame over
+    * (ts, event_id) order, current row inclusive) — the rolling-baseline
+    * form that adapts to drift where [[qZscore]]'s global moments and
+    * [[Streaming.qStreamAnomaly]]'s all-history prefix do not; the
+    * standard online feature for rate/fraud models. 30-event warmup and
+    * a zero-variance guard decided in EXACT integers (n·Σc² > (Σc)² —
+    * no double in either decision), then one pinned double chain,
+    * mirrored verbatim. One shuffle on event_type serves sort + frame;
+    * window state is three running integers.
+    */
+  def qRollingZscore(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-99, 0)
+    val nD = col("n").cast("double")
+    events(spark, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .select(col("event_type"), col("event_id"), col("c"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("c")).over(w).as("s"),
+        sum(col("c") * col("c")).over(w).as("ss"))
+      .select(col("event_type"), col("event_id"), col("c"), col("n"),
+        when(col("n") >= 30L && col("n") * col("ss") > col("s") * col("s"),
+          (col("c").cast("double") - col("s").cast("double") / nD) /
+            sqrt((col("ss").cast("double") -
+              col("s").cast("double") * col("s").cast("double") / nD) / nD))
+          .as("z"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** q_anomaly — σ-threshold outlier detection over the DENSE hourly
     * series: hours whose count deviates from their type's mean by more
     * than 3 population standard deviations. Composes [[hourlyDense]] —
@@ -3662,6 +3695,7 @@ object Analytics {
     "q_grouping_id"     -> qGroupingId _,
     "q_percentile_disc" -> qPercentileDisc _,
     "q_cume_dist"       -> qCumeDist _,
+    "q_rolling_zscore"  -> qRollingZscore _,
     "q_anomaly"         -> qAnomaly _,
     "q_retention"       -> qRetention _,
     "q_cum_users"       -> qCumUsers _,
@@ -4676,6 +4710,28 @@ object Analytics {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), m AS (
+        |  SELECT event_type, event_id, c,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |         CAST(SUM(c) OVER w AS BIGINT) AS s,
+        |         CAST(SUM(c * c) OVER w AS BIGINT) AS ss
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+        |               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, event_id, c, n,
+        |       CASE WHEN n >= 30 AND n * ss > s * s THEN
+        |         (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |           / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+        |               * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |             / CAST(n AS DOUBLE))
+        |       END AS z
+        |FROM m ORDER BY event_type, event_id""".stripMargin,
     "q_cume_dist" ->
       """WITH e AS (
         |  SELECT event_type, event_id,

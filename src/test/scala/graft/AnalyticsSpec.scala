@@ -2017,6 +2017,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_rolling_zscore equals the brute-force trailing-100 standardization") {
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2)).toSeq
+      sorted.zipWithIndex.map { case ((t, eid, _, c), i) =>
+        val frame = sorted.slice(math.max(0, i - 99), i + 1).map(_._4)
+        val n = frame.length.toLong
+        val s = frame.sum
+        val ss = frame.map(x => x * x).sum
+        val z = if (n >= 30 && n * ss > s * s)
+          Some((c.toDouble - s.toDouble / n.toDouble) /
+            math.sqrt((ss.toDouble - s.toDouble * s.toDouble / n.toDouble) /
+              n.toDouble))
+        else None
+        (t, eid, c, n, z)
+      }
+    }.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val got = Analytics.qRollingZscore(spark, sfDir).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    var scored = 0
+    got.foreach { r =>
+      val (c, n, z) = want((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == c && r.getLong(3) == n, s"event ${r.getLong(1)}")
+      val gz = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      assert(gz == z, s"event ${r.getLong(1)} z")
+      if (gz.isDefined) scored += 1
+    }
+    assert(scored > 0 && scored < got.length,
+      "warmup must suppress early rows and score mature ones")
+  }
+
   test("q_cume_dist stamps each row with its peer-inclusive CDF position") {
     val rows = Tables.events(spark, sfDir)
       .filter(col("value").isNotNull)
