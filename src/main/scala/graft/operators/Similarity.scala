@@ -910,9 +910,20 @@ object Similarity {
     * fold, partitioning-independent by construction. A constant
     * dimension (range 0) maps to code 0 / error 0 on both engines —
     * guarded, not assumed away.
+    *
+    * The gated output serializes the 64 int codes as one CSV string
+    * (`codes_csv`) rather than an `array<int>` column: the driver's
+    * pandas comparator cannot sort/hash list-valued cells, so every
+    * gated query emits scalar columns only (same contract as
+    * [[qPqEncode]]'s exploded rows — CSV keeps this one at 500 rows).
     */
-  def qVecQuantize(spark: SparkSession, d: String): DataFrame = {
-    val stats = embeddings(spark, d)
+  /** Per-dimension SQ8 training stats as ONE broadcastable row:
+    * `mins[i]` and `rngs[i] = max−min` over the corpus, both 64-long
+    * arrays — shared by [[qVecQuantize]] (encode) and [[qAnnSq8]]
+    * (ADC search).
+    */
+  private def sq8Stats(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
@@ -922,13 +933,18 @@ object Similarity {
         expr("transform(sd, e -> CAST(e.mn AS DOUBLE))").as("mins"),
         expr("transform(sd, e -> CAST(e.mx AS DOUBLE) - CAST(e.mn AS DOUBLE))")
           .as("rngs"))
+
+  def qVecQuantize(spark: SparkSession, d: String): DataFrame = {
+    val stats = sq8Stats(spark, d)
     embeddings(spark, d)
       .crossJoin(broadcast(stats))
       .select(col("vec_id"), col("embedding"), col("mins"), col("rngs"),
         expr("transform(embedding, (x, i) -> CASE WHEN rngs[i] > 0.0D" +
           " THEN CAST(floor((CAST(x AS DOUBLE) - mins[i]) * 255.0 / rngs[i]" +
           " + 0.5) AS INT) ELSE 0 END)").as("codes"))
-      .select(col("vec_id"), col("codes"),
+      .select(col("vec_id"),
+        expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')")
+          .as("codes_csv"),
         (expr("aggregate(transform(embedding, (x, i) -> CASE WHEN" +
           " rngs[i] > 0.0D THEN CAST(x AS DOUBLE) - (mins[i] +" +
           " CAST(codes[i] AS DOUBLE) * rngs[i] / 255.0) ELSE 0.0D END)," +
@@ -937,8 +953,48 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q_ann_sq8 — asymmetric-distance (ADC) search over the SQ8 codes:
+    * the query half of scalar quantization, completing SQ8 the way
+    * [[qAnnPq]] completes PQ. The query vector (vec_id 0, the
+    * [[qCosineTopk]] convention) stays exact; every stored vector is
+    * scored THROUGH its 8-bit codes — approximate squared L2 =
+    * Σᵢ (q[i] − recon(code[i]))², recon(c) = mins[i] + c·rngs[i]/255.
+    *
+    * The per-dim ADC lookup table is ALGEBRAICALLY FOLDED into the scan
+    * projection: SQ8's LUT entry for (dim i, code c) is affine in c, so
+    * instead of materializing the 64×256 table and exploding the corpus
+    * ×64 to join it (the [[qAnnPq]] shape — right for PQ, whose codeword
+    * table is irreducible), the lookup inlines as two fused multiply-adds
+    * per dim inside whole-stage codegen. Zero corpus shuffle: the stats
+    * row and the query row broadcast, quantize + score + per-vector fold
+    * all run in the scan stage, and the top-10 is a
+    * TakeOrderedAndProject heap — at 100 TB this is one pass over the
+    * code table with two 1-row broadcasts, the cheapest possible serving
+    * scan. Determinism: the ONLY float chain is the index-ordered
+    * `aggregate` fold over dims (mirrored stepwise by the oracle), and
+    * encode reuses [[qVecQuantize]]'s exact-integer code chain.
+    */
+  def qAnnSq8(spark: SparkSession, d: String): DataFrame = {
+    val qv = embeddings(spark, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    embeddings(spark, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(sq8Stats(spark, d)))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("qe"), col("mins"), col("rngs"),
+        expr("transform(embedding, (x, i) -> CASE WHEN rngs[i] > 0.0D" +
+          " THEN CAST(floor((CAST(x AS DOUBLE) - mins[i]) * 255.0 / rngs[i]" +
+          " + 0.5) AS INT) ELSE 0 END)").as("codes"))
+      .select(col("vec_id"),
+        expr("aggregate(transform(codes, (c, i) -> CAST(qe[i] AS DOUBLE)" +
+          " - (mins[i] + CAST(c AS DOUBLE) * rngs[i] / 255.0))," +
+          " CAST(0.0 AS DOUBLE), (acc, e) -> acc + e * e)").as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_quantize"    -> qVecQuantize _,
+    "q_ann_sq8"         -> qAnnSq8 _,
     "q_cosine_topk"     -> qCosineTopk _,
     "q_centroid"        -> qCentroid _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
@@ -1072,7 +1128,8 @@ object Similarity {
         |             ELSE 0 END) AS codes
         |  FROM embeddings CROSS JOIN st
         |)
-        |SELECT vec_id, codes,
+        |SELECT vec_id,
+        |       array_to_string(codes, ',') AS codes_csv,
         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |         list_transform(range(1, len(embedding) + 1), i ->
         |           CASE WHEN rngs[i] > 0.0
@@ -1082,6 +1139,37 @@ object Similarity {
         |         (acc, e) -> acc + e * e)
         |         / CAST(len(embedding) AS DOUBLE) AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
+    "q_ann_sq8" ->
+      """WITH pd AS (
+        |  SELECT pos, MIN(v) AS mn, MAX(v) AS mx
+        |  FROM (SELECT unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)
+        |  GROUP BY pos
+        |), st AS (
+        |  SELECT list(CAST(mn AS DOUBLE) ORDER BY pos) AS mins,
+        |         list(CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)
+        |              ORDER BY pos) AS rngs
+        |  FROM pd
+        |), qv AS (
+        |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        |), c AS (
+        |  SELECT vec_id, qe, mins, rngs,
+        |         list_transform(range(1, len(embedding) + 1), i ->
+        |           CASE WHEN rngs[i] > 0.0
+        |             THEN CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+        |               * 255.0 / rngs[i] + 0.5) AS INTEGER)
+        |             ELSE 0 END) AS codes
+        |  FROM embeddings CROSS JOIN st CROSS JOIN qv
+        |  WHERE vec_id <> 0
+        |)
+        |SELECT vec_id,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(range(1, len(codes) + 1), i ->
+        |           CAST(qe[i] AS DOUBLE)
+        |             - (mins[i] + CAST(codes[i] AS DOUBLE) * rngs[i] / 255.0))),
+        |         (acc, e) -> acc + e * e) AS adist
+        |FROM c ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     "q_ann_batch" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings

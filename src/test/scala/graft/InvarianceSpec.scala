@@ -23,8 +23,13 @@ class InvarianceSpec extends SparkSpec {
   private def collectWith(parts: Int, name: String): Seq[Seq[Any]] = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try SparkEntry.queries(name)(s, sfDir).collect().map(_.toSeq.toList).toSeq
-    finally Tables.clearSelfJoinCache()
+    try {
+      // Session pins would serve the FIRST run's edge list to the second
+      // partitioning — rebuild from scratch each run so the pair-set
+      // build itself is inside the invariance claim.
+      Tables.clearSessionPins()
+      SparkEntry.queries(name)(s, sfDir).collect().map(_.toSeq.toList).toSeq
+    } finally Tables.clearSelfJoinCache()
   }
 
   for (q <- Seq("q_tfidf", "q_welch", "q_survival", "q_moments",

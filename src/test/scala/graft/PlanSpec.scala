@@ -212,9 +212,11 @@ class PlanSpec extends SparkSpec {
   test("no LSH/inverted-index join degrades to nested-loop or cartesian") {
     for ((name, df) <- Seq(
         "q_cosine_neardup" -> Similarity.qCosineNeardup(spark, sfDir),
-        "q_simhash_pairs" -> TextOps.qSimhashPairs(spark, sfDir),
+        // The registered pair-set queries read the session-pinned leaf, so
+        // the banded-join shape is asserted on the UNPINNED builders.
+        "q_simhash_pairs" -> TextOps.simhashPairSetUnpinned(spark, sfDir),
         "q_ngram_jaccard_capped" -> TextOps.qNgramJaccardCapped(spark, sfDir),
-        "q_minhash_lsh" -> TextOps.qMinhashLsh(spark, sfDir),
+        "q_minhash_lsh" -> TextOps.minhashPairsUnpinned(spark, sfDir),
         "q_range_join" -> Analytics.qRangeJoin(spark, sfDir))) {
       val p = plan(df)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -519,6 +521,17 @@ class PlanSpec extends SparkSpec {
       s"only the per-dimension stats aggregate may hash-shuffle — the vector table itself must quantize map-side, saw $ex:\n$p")
   }
 
+  test("q_ann_sq8 scores in the scan stage: stats shuffle only, heap top-k") {
+    val p = plan(Similarity.qAnnSq8(spark, sfDir))
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex == 1,
+      s"only the per-dimension stats aggregate may hash-shuffle — ADC scoring must run map-side against broadcasts, saw $ex:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-10 must be a heap, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row stats/query joins must broadcast:\n$p")
+  }
+
   test("q_kruskal windows over the value-domain aggregate, never the log") {
     val p = plan(graft.operators.Stats.qKruskal(spark, sfDir))
     val winIdx = p.indexOf("Window")
@@ -592,6 +605,13 @@ class PlanSpec extends SparkSpec {
     val lp = logicalSize(TextOps.queries("q_label_prop")(spark, sfDir))
     assert(lp < 40,
       s"q_label_prop's analyzed plan has $lp nodes — lineage truncation lost")
+    // q_dedup_groups runs to FIXPOINT (unbounded rounds), so its final
+    // plan must likewise be a projection over the last round's
+    // checkpointed leaf — constant depth regardless of how many rounds
+    // the component diameter forced.
+    val dg = logicalSize(TextOps.queries("q_dedup_groups")(spark, sfDir))
+    assert(dg < 10,
+      s"q_dedup_groups' analyzed plan has $dg nodes — per-round lineage truncation lost")
   }
 
   test("q_tpch_q4 plans the EXISTS as a semi join with the date conjunct inside") {

@@ -492,7 +492,8 @@ class SimilaritySpec extends SparkSpec {
       (id, codes.toSeq, mse)
     }.sortBy(_._1)
     val got = Similarity.qVecQuantize(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+      .map(r => (r.getLong(0),
+        r.getString(1).split(',').toSeq.map(_.toInt), r.getDouble(2)))
     assert(got.length == want.length)
     got.zip(want).foreach { case (g, w) =>
       assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"vec ${w._1}")
@@ -500,6 +501,37 @@ class SimilaritySpec extends SparkSpec {
     val allCodes = got.flatMap(_._2)
     assert(allCodes.min == 0 && allCodes.max == 255,
       "codes span the full 8-bit range at the per-dimension extremes")
+  }
+
+  test("q_ann_sq8 ADC distances match brute force through the codes") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dim = vecs.head._2.length
+    val mins = Array.tabulate(dim)(i => vecs.map(_._2(i)).min.toDouble)
+    val rngs = Array.tabulate(dim)(i => vecs.map(_._2(i)).max.toDouble - mins(i))
+    val qe = vecs.find(_._1 == 0L).get._2
+    val want = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      val adist = (0 until dim).map { i =>
+        val code = if (rngs(i) > 0.0)
+          math.floor((v(i).toDouble - mins(i)) * 255.0 / rngs(i) + 0.5).toInt
+        else 0
+        qe(i).toDouble - (mins(i) + code.toDouble * rngs(i) / 255.0)
+      }.foldLeft(0.0)((a, e) => a + e * e)
+      (id, adist)
+    }.sortBy { case (id, adist) => (adist, id) }.take(10)
+    val got = Similarity.qAnnSq8(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+    // The approximation must actually rank: the quantized top-10 should
+    // overlap the exact-L2 top-10 heavily (SQ8 keeps ~8 bits/dim).
+    val exact = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      val d2 = (0 until dim).map(i => qe(i).toDouble - v(i).toDouble)
+        .foldLeft(0.0)((a, e) => a + e * e)
+      (id, d2)
+    }.sortBy { case (id, d2) => (d2, id) }.take(10).map(_._1).toSet
+    assert(got.map(_._1).count(exact) >= 8,
+      s"SQ8 top-10 diverged from exact top-10: ${got.map(_._1).toSeq}")
   }
 
   test("q_kmeans_sse equals the brute-force chunk-folded within-cluster SSE") {

@@ -124,10 +124,32 @@ def main():
         # coalescing to a single partition.
         tbl = pa.concat_tables([pq.read_table(f) for f in files])
         if name not in oracles:
+            nested = [f.name for f in tbl.schema
+                      if pa.types.is_nested(f.type)]
+            warn = (f" [WARN nested cols {nested} — fine rows-only, fatal "
+                    f"if an oracle is ever added]" if nested else "")
             print(f"SKIP {name}: no oracle ({tbl.num_rows} rows, rows-only check: "
-                  f"{'PASS' if tbl.num_rows > 0 else 'FAIL — EMPTY'})")
+                  f"{'PASS' if tbl.num_rows > 0 else 'FAIL — EMPTY'}){warn}")
             if tbl.num_rows == 0:
                 n_fail += 1
+            continue
+        # Driver parity (round-8 lesson): the driver loads both sides into
+        # pandas and sorts every column with sort_values, which raises
+        # "unhashable type: 'numpy.ndarray'" on ANY list/struct/map-valued
+        # column — the query then ships as err'd, unverified. Hard-reject
+        # nested top-level columns here so that shape never reaches the
+        # driver. (Rows-only queries skip the driver compare, so they are
+        # exempt — but the same shape there would break if an oracle were
+        # ever added, hence the warning above in the SKIP branch.)
+        nested = [f.name for f in tbl.schema
+                  if pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+                  or pa.types.is_fixed_size_list(f.type)
+                  or pa.types.is_struct(f.type) or pa.types.is_map(f.type)]
+        if nested:
+            print(f"FAIL {name}: driver-unhashable nested column(s) {nested} "
+                  f"in gated output — the driver's pandas sort_values crashes "
+                  f"on these; emit scalar columns (CSV-join or explode)")
+            n_fail += 1
             continue
         try:
             dtbl = con.execute(oracles[name]).arrow()
