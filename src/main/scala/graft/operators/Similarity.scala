@@ -992,9 +992,118 @@ object Similarity {
       .limit(10)
   }
 
+  /** q_ann_ivf_pq — the complete IVF+PQ serving path in ONE query: the
+    * coarse quantizer prunes (query assigned to its nprobe=2 nearest of
+    * the 8 IVF cells, only those cells' members survive), then the fine
+    * quantizer scores the survivors through their PQ codes via the
+    * broadcast ADC lookup table — [[qAnnIvf2]] picks the cells,
+    * [[qAnnPq]] does the arithmetic, this composes them into the
+    * billion-vector architecture every production vector index actually
+    * runs (FAISS IVFPQ): prune first, then 8 adds per candidate.
+    *
+    * Plan: cell assignment and probe selection ride one broadcast
+    * centroid cross (bounded ×8); the probed-cell filter is a broadcast
+    * semi-structure (2 cells); candidate codes join the 32-row broadcast
+    * LUT map-side; ONE hash aggregate per candidate folds the M terms in
+    * subspace order; top-10 via TakeOrderedAndProject. At 100 TB the
+    * codes table is PARTITIONED BY cell id, so the probe is partition
+    * pruning — the scan reads nprobe/ncells of the index, and the
+    * per-candidate cost is 8 LUT adds: both pruning levers compose.
+    * Determinism: every distance is the pinned `(x·x − 2·x·c) + c·c`
+    * chain over [[dotLtr]] folds, the ADC sum is subspace-ordered, ties
+    * break on ids — bit-exact vs the oracle.
+    */
+  def qAnnIvfPq(spark: SparkSession, d: String): DataFrame = {
+    val ranked = ivfRanked(spark, d)
+    val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
+      .select(col("cid").as("qcid"))
+    val candidates = ranked.filter(col("rn") === 1)
+      .join(broadcast(qCells), col("cid") === col("qcid"))
+      .select(col("vec_id"), col("cid"))
+    val e = embeddings(spark, d)
+    val codebook = pqSubbed(e.filter(col("vec_id").between(1, PqK)))
+      .select(col("vec_id").as("k"), col("s"), col("sv").as("cv"))
+    val lut = pqSubbed(e.filter(col("vec_id") === 0))
+      .join(codebook, "s")
+      .select(col("s"), col("k"),
+        ((dotLtr(col("sv"), col("sv")) -
+          lit(2.0) * dotLtr(col("sv"), col("cv"))) +
+          dotLtr(col("cv"), col("cv"))).as("d"))
+    pqCodes(spark, d)
+      .select(col("vec_id"), col("s"), col("k"))
+      .join(candidates, "vec_id")
+      .join(broadcast(lut), Seq("s", "k"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sort_array(collect_list(struct(col("s"), col("d")))).as("ds"))
+      .select(col("vec_id"), col("cid"),
+        expr("aggregate(ds, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d)")
+          .as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** q_sq8_recall — recall@[[RecallK]] of [[qAnnSq8]]'s quantized ranking
+    * against the exact squared-L2 ranking, per eval query (vec_ids
+    * 1..[[EvalQueries]], the [[qRecallEval]] convention): the accuracy
+    * cost of the SQ8 compression measured the way [[qRecallEval]] prices
+    * LSH geometry and [[qMatryoshka]] prices prefix truncation — the
+    * number that decides whether 4× memory compression ships.
+    *
+    * Plan: ONE corpus pass scores BOTH distances per (query, candidate)
+    * row against the broadcast eval set and broadcast stats (exact L2
+    * and through-the-codes L2 computed side by side from the same row —
+    * no second corpus scan), cached; both rankings are windows over the
+    * SAME query-partitioned relation (one shuffle pays both sorts);
+    * recall is the equi-join of two K-row-per-query sets. The corpus×20
+    * cross is the documented bounded eval cost of ground truth.
+    * Determinism: both folds are index-ordered, rankings tie-break on
+    * c_id, recall is one exact count over [[RecallK]].
+    */
+  def qSq8Recall(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, d)
+    val evalQ = e.filter(col("vec_id").between(1, EvalQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val scored = graft.Tables.cacheForSelfJoin(
+      e.crossJoin(broadcast(sq8Stats(spark, d)))
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("mins"), col("rngs"),
+          expr("transform(embedding, (x, i) -> CASE WHEN rngs[i] > 0.0D" +
+            " THEN CAST(floor((CAST(x AS DOUBLE) - mins[i]) * 255.0 /" +
+            " rngs[i] + 0.5) AS INT) ELSE 0 END)").as("codes"))
+        .crossJoin(broadcast(evalQ))
+        .filter(col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          expr("aggregate(transform(ce, (x, i) -> CAST(qe[i] AS DOUBLE)" +
+            " - CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE)," +
+            " (acc, e) -> acc + e * e)").as("d_exact"),
+          expr("aggregate(transform(codes, (c, i) -> CAST(qe[i] AS DOUBLE)" +
+            " - (mins[i] + CAST(c AS DOUBLE) * rngs[i] / 255.0))," +
+            " CAST(0.0 AS DOUBLE), (acc, e) -> acc + e * e)").as("d_adc")))
+    val byExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("d_exact"), col("c_id"))
+    val byAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("d_adc"), col("c_id"))
+    val truth = scored.withColumn("rn", row_number().over(byExact))
+      .filter(col("rn") <= RecallK).select(col("q_id"), col("c_id"))
+    val approx = scored.withColumn("rn", row_number().over(byAdc))
+      .filter(col("rn") <= RecallK).select(col("q_id"), col("c_id"))
+    val hits = truth.join(approx, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    evalQ.select(col("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(RecallK.toDouble)).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_quantize"    -> qVecQuantize _,
     "q_ann_sq8"         -> qAnnSq8 _,
+    "q_ann_ivf_pq"      -> qAnnIvfPq _,
+    "q_sq8_recall"      -> qSq8Recall _,
     "q_cosine_topk"     -> qCosineTopk _,
     "q_centroid"        -> qCentroid _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
@@ -1170,6 +1279,106 @@ object Similarity {
         |             - (mins[i] + CAST(codes[i] AS DOUBLE) * rngs[i] / 255.0))),
         |         (acc, e) -> acc + e * e) AS adist
         |FROM c ORDER BY adist, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_pq" ->
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), cranked AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${cosSql("e.embedding", "c.ce")} AS ccos,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ccos DESC, c.cid) AS rn
+         |  FROM embeddings e, centroids c
+         |), qcells AS (
+         |  SELECT cid AS qcid FROM cranked WHERE vec_id = 0 AND rn <= 2
+         |), cand AS (
+         |  SELECT a.vec_id, a.cid FROM cranked a JOIN qcells
+         |    ON a.cid = qcid WHERE a.rn = 1
+         |), subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
+         |sub AS (
+         |  SELECT vec_id, s,
+         |         embedding[$PqDim * s + 1 : $PqDim * s + $PqDim] AS sv
+         |  FROM embeddings, subs
+         |), cb AS (
+         |  SELECT vec_id AS k, s, sv AS cv FROM sub
+         |  WHERE vec_id BETWEEN 1 AND $PqK
+         |), pranked AS (
+         |  SELECT v.vec_id, v.s, c.k,
+         |         (${dotSql("v.sv", "v.sv")}
+         |           - 2.0 * ${dotSql("v.sv", "c.cv")})
+         |           + ${dotSql("c.cv", "c.cv")} AS dist,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+         |                            ORDER BY dist, c.k) AS rn
+         |  FROM sub v JOIN cb c ON v.s = c.s
+         |), codes AS (
+         |  SELECT vec_id, s, k FROM pranked WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.s, c.k,
+         |         (${dotSql("q.sv", "q.sv")}
+         |           - 2.0 * ${dotSql("q.sv", "c.cv")})
+         |           + ${dotSql("c.cv", "c.cv")} AS d
+         |  FROM sub q JOIN cb c ON q.s = c.s
+         |  WHERE q.vec_id = 0
+         |), ad AS (
+         |  SELECT codes.vec_id, cand.cid,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(l.d ORDER BY codes.s)), (acc, x) -> acc + x) AS adist
+         |  FROM codes
+         |  JOIN cand ON codes.vec_id = cand.vec_id
+         |  JOIN lut l ON codes.s = l.s AND codes.k = l.k
+         |  GROUP BY codes.vec_id, cand.cid
+         |)
+         |SELECT vec_id, cid, adist FROM ad
+         |ORDER BY adist, vec_id LIMIT 10""".stripMargin,
+    "q_sq8_recall" ->
+      s"""WITH pd AS (
+         |  SELECT pos, MIN(v) AS mn, MAX(v) AS mx
+         |  FROM (SELECT unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS pos
+         |        FROM embeddings)
+         |  GROUP BY pos
+         |), st AS (
+         |  SELECT list(CAST(mn AS DOUBLE) ORDER BY pos) AS mins,
+         |         list(CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)
+         |              ORDER BY pos) AS rngs
+         |  FROM pd
+         |), q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND $EvalQueries
+         |), scored AS (
+         |  SELECT q_id, e.vec_id AS c_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(e.embedding) + 1), i ->
+         |             CAST(qe[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))),
+         |           (acc, x) -> acc + x * x) AS d_exact,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(e.embedding) + 1), i ->
+         |             CAST(qe[i] AS DOUBLE) - (mins[i] +
+         |               CAST(CASE WHEN rngs[i] > 0.0
+         |                 THEN CAST(floor((CAST(e.embedding[i] AS DOUBLE)
+         |                   - mins[i]) * 255.0 / rngs[i] + 0.5) AS INTEGER)
+         |                 ELSE 0 END AS DOUBLE) * rngs[i] / 255.0))),
+         |           (acc, x) -> acc + x * x) AS d_adc
+         |  FROM embeddings e CROSS JOIN st CROSS JOIN q
+         |  WHERE e.vec_id <> q_id
+         |), t AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY d_exact, c_id) AS rn FROM scored)
+         |  WHERE rn <= $RecallK
+         |), a AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY d_adc, c_id) AS rn FROM scored)
+         |  WHERE rn <= $RecallK
+         |), h AS (
+         |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM t JOIN a USING (q_id, c_id) GROUP BY q_id
+         |)
+         |SELECT q.q_id AS q_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
+         |       CAST(COALESCE(n, 0) AS DOUBLE) / $RecallK.0 AS recall
+         |FROM q LEFT JOIN h ON q.q_id = h.q_id
+         |ORDER BY q.q_id""".stripMargin,
     "q_ann_batch" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings

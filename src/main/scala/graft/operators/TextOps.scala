@@ -723,6 +723,80 @@ object TextOps {
     labels.orderBy(col("doc_id"))
   }
 
+  /** q_cc_bigstar — connected components of the MinHash near-dup graph
+    * via the LARGE-STAR / SMALL-STAR alternation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014): the O(log n)-
+    * round algorithm [[qDedupGroups]]' scaladoc names as the 100 TB path
+    * for high-diameter components, made real and gate-verified. Min-label
+    * propagation needs DIAMETER rounds (a 10⁶-long chain of near-dups =
+    * 10⁶ rounds); star alternation contracts paths exponentially, so the
+    * same chain closes in ~20. Same fixpoint, same output contract as
+    * [[qDedupGroups]] — (doc_id, canon_id = component min) — and the
+    * oracle is the identical recursive-CTE reachability query, so the
+    * gate pins that both algorithms compute the SAME components.
+    *
+    * Per round (both steps node/edge-bounded distributed ops):
+    *  - LARGE-STAR: group both orientations by u; every strictly-larger
+    *    neighbor re-attaches to min(Γ⁺(u)) — one groupBy + one join.
+    *  - SMALL-STAR: orient edges to the larger endpoint; the larger
+    *    endpoint and all its ≤-neighbors re-attach to the minimum — one
+    *    groupBy + one join.
+    * Each step is [[graft.Tables.checkpointTier]]'d (the q_kcore
+    * lesson: constant plan depth across rounds); the driver evaluates
+    * only the convergence bit (edge set unchanged — two semi-difference
+    * probes on the node-bounded star edges), never data.
+    */
+  def qCcBigstar(spark: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(spark, d).select(col("doc_a"), col("doc_b"))
+    // Canonical (larger, smaller) orientation; self-loops impossible.
+    var ed = graft.Tables.checkpointTier(
+      pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .distinct())
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      if (iter > MaxCcIters)
+        throw new IllegalStateException(
+          s"q_cc_bigstar: no fixpoint after $MaxCcIters rounds")
+      // LARGE-STAR over both orientations: m(u) = min(Γ(u) ∪ {u});
+      // every neighbor v > u re-attaches as (v, m). Each undirected edge
+      // surfaces through its smaller endpoint's group, so the edge set
+      // stays connected while long paths fold onto local minima.
+      val nbrs = ed.select(col("u"), col("v"))
+        .union(ed.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = graft.Tables.checkpointTier(
+        nbrs.join(mins, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct())
+      // SMALL-STAR on the (larger, smaller) orientation: u and all its
+      // ≤-neighbors re-attach to the group minimum.
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = graft.Tables.checkpointTier(
+        large.join(smins, "u")
+          .select(col("v").as("n"), col("m"))
+          .union(smins.select(col("u").as("n"), col("m")))
+          .filter(col("n") =!= col("m"))
+          .select(col("n").as("u"), col("m").as("v"))
+          .distinct())
+      converged = next.exceptAll(ed).isEmpty && ed.exceptAll(next).isEmpty
+      ed = next
+    }
+    // At the fixpoint the graph is a union of stars rooted at component
+    // minima: every non-root doc carries exactly its (doc, root) edge.
+    val roots = ed.groupBy(col("u")).agg(min(col("v")).as("canon_id"))
+      .withColumnRenamed("u", "doc_id")
+    documents(spark, d).select(col("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_cc_sizes — duplicate-cluster size distribution: how many
     * connected components of each size the MinHash near-dup graph has —
     * THE dedup-policy planning readout ([[qDedupGroups]] labels every
@@ -2499,6 +2573,7 @@ object TextOps {
     "q_edit_distance" -> qEditDistance _,
     "q_dl_distance"   -> qDlDistance _,
     "q_dedup_groups"  -> qDedupGroups _,
+    "q_cc_bigstar"    -> qCcBigstar _,
     "q_cc_sizes"      -> qCcSizes _,
     "q_split_leakage" -> qSplitLeakage _,
     "q_minhash_merge" -> qMinhashMerge _,
@@ -3111,6 +3186,28 @@ object TextOps {
          |SELECT sz, COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
          |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
     "q_dedup_groups" ->
+      s"""WITH RECURSIVE sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.doc_b FROM reach JOIN edges e ON reach.r = e.doc_a
+         |)
+         |SELECT id AS doc_id, MIN(r) AS canon_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Same oracle as q_dedup_groups BY DESIGN: the star alternation must
+    // find the identical components — the gate pins algorithm-agreement.
+    "q_cc_bigstar" ->
       s"""WITH RECURSIVE sig AS (
          |$sigSql
          |), bands AS (

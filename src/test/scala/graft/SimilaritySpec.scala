@@ -261,6 +261,79 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._2 >= 0.0))
   }
 
+  test("q_ann_ivf_pq: probe prunes to the query's 2 cells, ADC ranks the survivors") {
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def sqDist(a: Array[Float], b: Array[Float]): Double =
+      (dot(a, a) - 2.0 * dot(a, b)) + dot(b, b)
+    def subv(v: Array[Float], s: Int) = v.slice(8 * s, 8 * s + 8)
+    val cents = (1L to 8L).map(c => c -> vecs(c))
+    def cell(v: Array[Float], rank: Int): Long =
+      cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.apply(rank)._1
+    val probed = Set(cell(vecs(0L), 0), cell(vecs(0L), 1))
+    val q = vecs(0L)
+    val want = vecs.toSeq
+      .filter { case (id, v) => probed(cell(v, 0)) }
+      .map { case (id, v) =>
+        val terms = (0 until Similarity.PqM).map { s =>
+          val code = (1 to Similarity.PqK)
+            .map(k => k.toLong -> sqDist(subv(v, s), subv(vecs(k.toLong), s)))
+            .minBy { case (k, dd) => (dd, k) }._1
+          sqDist(subv(q, s), subv(vecs(code), s))
+        }
+        (id, cell(v, 0), terms.foldLeft(0.0)(_ + _))
+      }
+      .sortBy { case (id, c, ad) => (ad, id) }.take(10)
+    val got = Similarity.qAnnIvfPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"IVF+PQ top-10 must match brute force:\n$got\n$want")
+    assert(got.forall { case (_, c, _) => probed(c) },
+      "every survivor must come from a probed cell")
+  }
+
+  test("q_sq8_recall: per-query recall matches the brute-force double ranking") {
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = vecs.head._2.length
+    val ids = vecs.keys.toSeq
+    val mins = Array.tabulate(dim)(i => ids.map(id => vecs(id)(i)).min.toDouble)
+    val rngs = Array.tabulate(dim)(i =>
+      ids.map(id => vecs(id)(i)).max.toDouble - mins(i))
+    def dExact(q: Array[Float], c: Array[Float]): Double =
+      (0 until dim).map(i => q(i).toDouble - c(i).toDouble)
+        .foldLeft(0.0)((a, e) => a + e * e)
+    def dAdc(q: Array[Float], c: Array[Float]): Double =
+      (0 until dim).map { i =>
+        val code = if (rngs(i) > 0.0)
+          math.floor((c(i).toDouble - mins(i)) * 255.0 / rngs(i) + 0.5).toInt
+        else 0
+        q(i).toDouble - (mins(i) + code.toDouble * rngs(i) / 255.0)
+      }.foldLeft(0.0)((a, e) => a + e * e)
+    val want = (1L to Similarity.EvalQueries.toLong).map { qid =>
+      val others = ids.filter(_ != qid)
+      val truth = others.map(c => (c, dExact(vecs(qid), vecs(c))))
+        .sortBy { case (c, dd) => (dd, c) }.take(Similarity.RecallK)
+        .map(_._1).toSet
+      val approx = others.map(c => (c, dAdc(vecs(qid), vecs(c))))
+        .sortBy { case (c, dd) => (dd, c) }.take(Similarity.RecallK)
+        .map(_._1).toSet
+      val hits = (truth & approx).size.toLong
+      (qid, hits, hits.toDouble / Similarity.RecallK)
+    }
+    val got = Similarity.qSq8Recall(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want.toSeq)
+    // The eval must not be vacuous in either direction: SQ8 keeps most
+    // of the ranking, but quantization must actually move something.
+    assert(got.map(_._2).sum >= got.length * Similarity.RecallK / 2,
+      "SQ8 recall collapsed — quantization is destroying the ranking")
+  }
+
   test("q_kmeans_step: assignments are cosine argmax to the seeds; new centroids are member means") {
     val all = Tables.embeddings(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))

@@ -121,6 +121,19 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_cc_bigstar agrees with q_dedup_groups on every label") {
+    // Two independent algorithms (min-label propagation to fixpoint vs
+    // the Kiveris large-star/small-star alternation) over the same edge
+    // set must produce the identical component labeling — the strongest
+    // cross-check either can get, and the property that makes the star
+    // variant a drop-in replacement at high diameter.
+    val a = TextOps.qDedupGroups(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = TextOps.qCcBigstar(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("q_dedup_groups labels are a valid connected-components fixpoint") {
     import org.apache.spark.sql.functions.col
     val labels = TextOps.qDedupGroups(spark, sfDir).collect()
