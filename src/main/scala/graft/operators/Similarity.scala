@@ -1099,11 +1099,56 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Within-cell cosine bar for [[qSemanticDedup]]. 0.3 matches
+    * [[qCosineNeardup]]'s bar on this synthetic fixture (near-random
+    * embeddings: the within-cell cosine p99 is ~0.33, max ~0.49, so the
+    * bar yields a real-but-sparse drop set); production text embeddings
+    * run ~0.95+ — the bar is the tunable, the plan is the point.
+    */
+  val SemDedupTau = 0.3
+
+  /** q_semantic_dedup — SemDeDup (Abbas et al. 2023), the embedding-space
+    * dedup policy LLM curation runs AFTER lexical dedup: cluster the
+    * embeddings, and within each cluster drop every vector that is
+    * cosine-≥-τ to a LOWER-id member (keep-min, [[graft.operators
+    * .TextOps]]' doc-dedup convention). Lexical MinHash (E17) catches
+    * copies; this catches paraphrases and re-renderings that share no
+    * n-grams. Output: every vector with its cell and keep verdict.
+    *
+    * Plan: cell assignment rides the broadcast centroid cross (the
+    * [[qAnnIvf]] inverted file — deterministic stand-in for trained
+    * k-means); the quadratic cosine scan is WITHIN-CELL only — that
+    * locality is SemDeDup's entire design (cluster first so the
+    * pairwise stage is Σ cell², never corpus²); norms are computed once
+    * per vector, not per pair. At 100 TB: k grows with the corpus so
+    * cells stay ε-sized (paper: 50k cells for 5B images) and each
+    * cell's pair scan is one partition-local task after a single
+    * cell-keyed shuffle — embarrassingly parallel.
+    */
+  def qSemanticDedup(spark: SparkSession, d: String): DataFrame = {
+    val asg = graft.Tables.cacheForSelfJoin(
+      ivfRanked(spark, d).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          norm(col("embedding")).as("nn")))
+    val dropped = asg.alias("a")
+      .join(asg.alias("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .filter(cosinePre(col("a.embedding"), col("b.embedding"),
+        col("a.nn"), col("b.nn")) >= SemDedupTau)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("drp", lit(1))
+    asg.select(col("vec_id"), col("cid"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("drp").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_quantize"    -> qVecQuantize _,
     "q_ann_sq8"         -> qAnnSq8 _,
     "q_ann_ivf_pq"      -> qAnnIvfPq _,
     "q_sq8_recall"      -> qSq8Recall _,
+    "q_semantic_dedup"  -> qSemanticDedup _,
     "q_cosine_topk"     -> qCosineTopk _,
     "q_centroid"        -> qCentroid _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
@@ -1379,6 +1424,28 @@ object Similarity {
          |       CAST(COALESCE(n, 0) AS DOUBLE) / $RecallK.0 AS recall
          |FROM q LEFT JOIN h ON q.q_id = h.q_id
          |ORDER BY q.q_id""".stripMargin,
+    "q_semantic_dedup" ->
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), cranked AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         ${cosSql("e.embedding", "c.ce")} AS ccos,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ccos DESC, c.cid) AS rn
+         |  FROM embeddings e, centroids c
+         |), asg AS (
+         |  SELECT vec_id, embedding, cid FROM cranked WHERE rn = 1
+         |), dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $SemDedupTau
+         |)
+         |SELECT asg.vec_id, cid,
+         |       dropped.vec_id IS NULL AS kept
+         |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
+         |ORDER BY asg.vec_id""".stripMargin,
     "q_ann_batch" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings

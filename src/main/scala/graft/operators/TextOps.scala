@@ -2271,6 +2271,63 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed-feature bucket count and target domain for [[qDsir]]. */
+  val DsirBuckets = 256L
+  val DsirTargetLang = "en"
+
+  /** q_dsir — Data Selection via Importance Resampling (Xie et al.,
+    * 2023): per-document importance weight log w(x) = Σ_features
+    * [ln p_target(f) − ln p_raw(f)] under two add-1-smoothed
+    * hashed-unigram bag-of-words models — target = the `en` slice (the
+    * domain you want more of), raw = the whole corpus. Docs are then
+    * RESAMPLED ∝ w — the principled alternative to hard quality cuts,
+    * and the third selection lever beside dedup (E17) and quality
+    * scores (E14): it reshapes the DISTRIBUTION toward the target
+    * domain instead of filtering rows independently.
+    *
+    * Plan: features are md5-hashed token buckets ([[DsirBuckets]] = 256
+    * — the hashing trick that makes both LMs FIXED-size no matter the
+    * vocabulary: at 100 TB the model is still 256 rows); one
+    * corpus-sized explode feeds (a) the two bucket-count aggregates
+    * (map-side partial, 256-row results) and (b) the per-(doc, bucket)
+    * tf relation, via the shared-subtree cache; the 256-row log-ratio
+    * model joins back BROADCAST, so scoring is map-side. Determinism:
+    * both smoothed probabilities are single pinned double chains over
+    * exact BIGINT counts, ln through [[lnLibm]], and the per-doc sum is
+    * a bucket-ORDERED fold — partitioning-independent.
+    */
+  def qDsir(spark: SparkSession, d: String): DataFrame = {
+    val feats = graft.Tables.cacheForSelfJoin(
+      tokenized(spark, d)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
+        .select(col("doc_id"), col("lang"),
+          (md5Long(col("t"), 15) % DsirBuckets).as("b")))
+    val rawC = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtC = feats.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = rawC.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgtC.agg(sum(col("ct")).as("tt")))
+    val model = rawC.join(tgtC, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (lnLibm((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tt") + lit(DsirBuckets)).cast("double")) -
+          lnLibm((col("cr") + lit(1L)).cast("double") /
+            (col("tr") + lit(DsirBuckets)).cast("double"))).as("lr"))
+    feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(model), "b")
+      .select(col("doc_id"), col("b"), col("tf"),
+        (col("tf").cast("double") * col("lr")).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sort_array(collect_list(struct(col("b"), col("contrib"))))
+          .as("cs"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)")
+          .as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_naive_bayes — multinomial naive-Bayes language classification,
     * trained AND applied on the corpus in one job: per-lang token counts
     * with add-1 smoothing + log-priors from label frequencies, every doc
@@ -2556,6 +2613,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate"        -> qCurate _,
     "q_unigram_lm"    -> qUnigramLm _,
+    "q_dsir"          -> qDsir _,
     "q_naive_bayes"   -> qNaiveBayes _,
     "q_pack"          -> qPack _,
     "q_mixture"       -> qMixture _,
@@ -2779,6 +2837,38 @@ object TextOps {
         |         list(term_lp ORDER BY term)), (acc, x) -> acc + x)
         |         / CAST(SUM(tf) AS BIGINT) AS avg_logp
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dsir" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id, lang,
+         |         ('0x' || substr(md5(t), 1, 15))::BIGINT % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, lang,
+         |               unnest(string_split(text, ' ')) AS t FROM documents)
+         |), rawc AS (
+         |  SELECT b, COUNT(*) AS cr FROM feats GROUP BY b
+         |), tgtc AS (
+         |  SELECT b, COUNT(*) AS ct FROM feats
+         |  WHERE lang = '$DsirTargetLang' GROUP BY b
+         |), tot AS (
+         |  SELECT (SELECT SUM(cr) FROM rawc) AS tr,
+         |         (SELECT SUM(ct) FROM tgtc) AS tt
+         |), model AS (
+         |  SELECT rawc.b,
+         |         ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+         |              / CAST(tt + $DsirBuckets AS DOUBLE))
+         |           - ln(CAST(cr + 1 AS DOUBLE)
+         |              / CAST(tr + $DsirBuckets AS DOUBLE)) AS lr
+         |  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b, tot
+         |), dtf AS (
+         |  SELECT doc_id, b, COUNT(*) AS tf FROM feats GROUP BY doc_id, b
+         |), contrib AS (
+         |  SELECT doc_id, dtf.b, tf,
+         |         CAST(tf AS DOUBLE) * lr AS contrib
+         |  FROM dtf JOIN model ON dtf.b = model.b
+         |)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(contrib ORDER BY b)), (acc, x) -> acc + x) AS logw
+         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pack" ->
       s"""SELECT lang, shard, doc_id, n_toks,
          |       CAST(start_off // $PackBudget AS BIGINT) AS bin,

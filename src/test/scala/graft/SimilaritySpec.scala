@@ -334,6 +334,32 @@ class SimilaritySpec extends SparkSpec {
       "SQ8 recall collapsed — quantization is destroying the ranking")
   }
 
+  test("q_semantic_dedup: within-cell keep-min at the cosine bar matches brute force") {
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = (1L to 8L).map(c => c -> vecs(c))
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .minBy { case (c, s) => (-s, c) }._1
+    }
+    val want = vecs.keys.toSeq.sorted.map { id =>
+      val dropped = vecs.keys.exists(o => o < id &&
+        cellOf(o) == cellOf(id) &&
+        cos(vecs(id), vecs(o)) >= Similarity.SemDedupTau)
+      (id, cellOf(id), !dropped)
+    }
+    val got = Similarity.qSemanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == want)
+    // Non-vacuous in both directions on the fixture.
+    assert(got.exists(!_._3) && got.count(_._3) > got.length / 2,
+      s"drop set degenerate: ${got.count(!_._3)} of ${got.length} dropped")
+  }
+
   test("q_kmeans_step: assignments are cosine argmax to the seeds; new centroids are member means") {
     val all = Tables.embeddings(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))

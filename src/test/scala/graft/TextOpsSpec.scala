@@ -394,6 +394,47 @@ class TextOpsSpec extends SparkSpec {
     assert(sel.count(s => s._3 == 100L) == curated.size)
   }
 
+  test("q_dsir: importance weights match a hand-rolled hashed-unigram model") {
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(t: String): Long =
+      java.lang.Long.parseLong(md5Hex(t).take(15), 16) % TextOps.DsirBuckets
+    val feats = rows.map { case (id, lang, text) =>
+      (id, lang, text.split(" ").toSeq.map(bucket))
+    }
+    val rawC = feats.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgtC = feats.filter(_._2 == TextOps.DsirTargetLang)
+      .flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tr = rawC.values.sum
+    val tt = tgtC.values.sum
+    val B = TextOps.DsirBuckets
+    def lr(b: Long): Double =
+      math.log((tgtC.getOrElse(b, 0L) + 1L).toDouble / (tt + B).toDouble) -
+        math.log((rawC(b) + 1L).toDouble / (tr + B).toDouble)
+    val want = feats.map { case (id, _, bs) =>
+      val byB = bs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (b, tf) => b }
+      val logw = byB.foldLeft(0.0) { case (acc, (b, tf)) =>
+        acc + tf.toDouble * lr(b)
+      }
+      (id, bs.size.toLong, logw)
+    }.sortBy { case (id, n, w) => id }
+    val got = TextOps.qDsir(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)).toSeq == want.map(t => (t._1, t._2)).toSeq)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-9, s"doc ${w._1}: ${g._3} vs ${w._3}")
+    }
+    // The weights must actually separate the domains: target-language
+    // docs should average a higher importance weight than the rest.
+    val gotW = got.map(t => t._1 -> t._3).toMap
+    val en = rows.filter(_._2 == TextOps.DsirTargetLang).map(r => gotW(r._1))
+    val other = rows.filter(_._2 != TextOps.DsirTargetLang).map(r => gotW(r._1))
+    assert(en.sum / en.size > other.sum / other.size,
+      "DSIR weights do not favor the target domain")
+  }
+
   test("q_unigram_lm: scores are negative averages bounded by the rarest token") {
     val total = docs.values.map(_.split(" ").length).sum.toDouble
     val rows = TextOps.qUnigramLm(spark, sfDir).collect()
