@@ -2271,6 +2271,71 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q_ppl_buckets — CCNet-style perplexity banding (Wenzek et al.
+    * 2020): within each language, docs rank by their unigram-LM score
+    * ([[qUnigramLm]]'s avg log-prob — higher = more probable = lower
+    * perplexity) and split into head/middle/tail terciles. THE classic
+    * web-corpus quality triage: "head" reads like the LM's training
+    * distribution, "tail" is the noise candidate — and banding is
+    * per-LANGUAGE because raw scores are not comparable across langs
+    * (different vocab sizes shift the whole scale).
+    *
+    * Plan: the LM scores are [[qUnigramLm]]'s pipeline verbatim (one
+    * corpus-sized TF aggregate + broadcast totals); lang joins back as a
+    * two-column projection; the tercile is one ntile window per lang
+    * partition — |docs|-sized rows through ONE lang-keyed shuffle.
+    * Determinism: scores are the gate-green bit-exact LM chain, the
+    * window orders (score DESC, doc_id) — total order, so NTILE is
+    * engine-identical.
+    */
+  def qPplBuckets(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logp").desc, col("doc_id"))
+    qUnigramLm(spark, d)
+      .join(documents(spark, d).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("band"),
+        col("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_dup_inflation — per-source training-token inflation from the
+    * duplicate components: how much of each feed's byte mass a keep-min
+    * dedup would discard, and the corpus totals those shares roll into —
+    * the "wasted compute" readout that turns [[qDedupGroups]]' labels
+    * into a budget number (duplicated tokens cost full training FLOPs
+    * and return ~nothing; this is the number that justifies the dedup
+    * stage to whoever pays for the cluster). [[qDupRateSource]] counts
+    * dropped DOCS; this weighs dropped BYTES, which is what the FLOP
+    * bill actually scales with.
+    *
+    * Plan: labels from the per-round distributed propagation; kept =
+    * doc IS its own canonical (the keep-min survivor); one two-column
+    * projection join (text never moves) + a source-sized hash aggregate.
+    * All-integer sums; the share is one pinned double division.
+    */
+  def qDupInflation(spark: SparkSession, d: String): DataFrame = {
+    val labels = qDedupGroups(spark, d)
+    documents(spark, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .join(labels, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("canon_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(col("n_chars")).as("bytes_total"),
+        sum(when(col("canon_id") === col("doc_id"), col("n_chars"))
+          .otherwise(0L)).as("bytes_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("bytes_total"), col("bytes_kept"),
+        ((col("bytes_total") - col("bytes_kept")).cast("double") /
+          col("bytes_total").cast("double")).as("dup_byte_share"))
+      .orderBy(col("source"))
+  }
+
   /** Hashed-feature bucket count and target domain for [[qDsir]]. */
   val DsirBuckets = 256L
   val DsirTargetLang = "en"
@@ -2614,6 +2679,8 @@ object TextOps {
     "q_curate"        -> qCurate _,
     "q_unigram_lm"    -> qUnigramLm _,
     "q_dsir"          -> qDsir _,
+    "q_ppl_buckets"   -> qPplBuckets _,
+    "q_dup_inflation" -> qDupInflation _,
     "q_naive_bayes"   -> qNaiveBayes _,
     "q_pack"          -> qPack _,
     "q_mixture"       -> qMixture _,
@@ -2837,6 +2904,35 @@ object TextOps {
         |         list(term_lp ORDER BY term)), (acc, x) -> acc + x)
         |         / CAST(SUM(tf) AS BIGINT) AS avg_logp
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        |), c AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+        |n AS (SELECT SUM(c) AS t FROM c),
+        |lp AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         CAST(tf.tf AS DOUBLE)
+        |           * ln(CAST(c.c AS DOUBLE) / CAST(n.t AS DOUBLE)) AS term_lp
+        |  FROM tf JOIN c USING (term), n
+        |), scored AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(term_lp ORDER BY term)), (acc, x) -> acc + x)
+        |           / CAST(SUM(tf) AS BIGINT) AS avg_logp
+        |  FROM lp GROUP BY doc_id
+        |), banded AS (
+        |  SELECT s.doc_id, d.lang, avg_logp,
+        |         NTILE(3) OVER (PARTITION BY d.lang
+        |                        ORDER BY avg_logp DESC, s.doc_id) AS tercile
+        |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, lang,
+        |       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |            ELSE 'tail' END AS band,
+        |       avg_logp
+        |FROM banded ORDER BY doc_id""".stripMargin,
     "q_dsir" ->
       s"""WITH feats AS (
          |  SELECT doc_id, lang,
@@ -3295,6 +3391,39 @@ object TextOps {
          |)
          |SELECT id AS doc_id, MIN(r) AS canon_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dup_inflation" ->
+      s"""WITH RECURSIVE sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.doc_b FROM reach JOIN edges e ON reach.r = e.doc_a
+         |), labels AS (
+         |  SELECT id AS doc_id, MIN(r) AS canon_id FROM reach GROUP BY id
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN canon_id = d.doc_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_kept,
+         |       CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+         |       CAST(SUM(CASE WHEN canon_id = d.doc_id THEN n_chars
+         |                     ELSE 0 END) AS BIGINT) AS bytes_kept,
+         |       CAST(CAST(SUM(n_chars) AS BIGINT)
+         |            - CAST(SUM(CASE WHEN canon_id = d.doc_id THEN n_chars
+         |                           ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+         |         AS dup_byte_share
+         |FROM documents d JOIN labels ON d.doc_id = labels.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     // Same oracle as q_dedup_groups BY DESIGN: the star alternation must
     // find the identical components — the gate pins algorithm-agreement.
     "q_cc_bigstar" ->

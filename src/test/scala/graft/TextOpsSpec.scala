@@ -435,6 +435,46 @@ class TextOpsSpec extends SparkSpec {
       "DSIR weights do not favor the target domain")
   }
 
+  test("q_ppl_buckets: terciles are balanced per lang and ordered by score") {
+    val rows = TextOps.qPplBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(rows.length == docs.size)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.size).toMap
+      // NTILE(3): band sizes differ by at most one.
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang bands unbalanced: $sizes")
+      // Every head doc scores at least every tail doc (ties broken by id
+      // can only place EQUAL scores across the cut).
+      val head = rs.filter(_._3 == "head").map(_._4)
+      val tail = rs.filter(_._3 == "tail").map(_._4)
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.min >= tail.max, s"$lang band ordering broken")
+    }
+    assert(rows.map(_._3).distinct.sorted.toSeq == Seq("head", "middle", "tail"))
+  }
+
+  test("q_dup_inflation matches a recomputation from the component labels") {
+    val labels = TextOps.qDedupGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meta = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = meta.groupBy(_._2).map { case (src, rs) =>
+      val kept = rs.filter(r => labels(r._1) == r._1)
+      val bt = rs.map(_._3).sum
+      val bk = kept.map(_._3).sum
+      (src, rs.size.toLong, kept.size.toLong, bt, bk,
+        (bt - bk).toDouble / bt.toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.qDupInflation(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    // Non-vacuous: the fixture has real duplicate mass somewhere.
+    assert(got.exists(_._6 > 0.0))
+  }
+
   test("q_unigram_lm: scores are negative averages bounded by the rarest token") {
     val total = docs.values.map(_.split(" ").length).sum.toDouble
     val rows = TextOps.qUnigramLm(spark, sfDir).collect()
