@@ -2336,6 +2336,118 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** [[qKmvDistinct]] sketch size. */
+  val KmvK = 64
+
+  /** q_kmv_distinct — KMV ("k minimum values" / theta) distinct-count
+    * sketch per language over the TRIGRAM SHINGLE space (the cardinality
+    * a dedup/decontamination index sizes on — the fixture's raw token
+    * vocabulary is 31 words, below any sketch's regime, exactly why
+    * [[qMinhashSig]] shingles too), WITH its error against the exact
+    * count: keep the [[KmvK]] smallest hash values of the distinct
+    * shingles; the kth
+    * smallest h_k estimates the cardinality as (k−1)·P/h_k (uniform
+    * hashes ⇒ k points span k/n of the hash space). The third sketch
+    * family beside HLL (E37, counts) and CMS (E38, frequencies): KMV
+    * sketches are trivially MERGEABLE (union = k smallest of the
+    * concatenation) and support set-intersection estimates HLL cannot.
+    * Like [[qMinhashEst]], the estimate ships NEXT TO ground truth, so
+    * the row is its own calibration check.
+    *
+    * Plan: the (lang, h) relation is distinct-aggregated FIRST (map-side
+    * partial — the corpus never reaches the sort); the per-lang k-min is
+    * one row_number window over the vocabulary-sized distinct relation;
+    * exact counts ride the same cached relation. All-integer except the
+    * one pinned estimate division. At 100 TB the same plan holds: the
+    * distinct relation is vocabulary-sized, and a PartialKMV pre-merge
+    * per partition (keep k smallest locally, then re-rank) bounds the
+    * shuffle at k·partitions rows — the documented merge identity.
+    */
+  def qKmvDistinct(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = graft.Tables.cacheForSelfJoin(
+      tokenized(spark, d)
+        .select(col("lang"), explode(expr(ShingleArrayExpr)).as("s"))
+        .select(col("lang"), (md5Long(col("s"), 15) % P).as("h"))
+        .distinct())
+    val exact = hashes.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+    val byH = Window.partitionBy(col("lang")).orderBy(col("h"))
+    val kth = hashes.withColumn("rn", row_number().over(byH))
+      .filter(col("rn") === KmvK)
+      .select(col("lang"), col("h").as("hk"))
+    exact.join(kth, Seq("lang"), "left")
+      .select(col("lang"), col("n_exact"), col("hk"),
+        when(col("hk").isNotNull,
+          lit((KmvK - 1).toDouble) * lit(P.toDouble) /
+            col("hk").cast("double"))
+          .otherwise(col("n_exact").cast("double")).as("est"),
+        (when(col("hk").isNotNull,
+          lit((KmvK - 1).toDouble) * lit(P.toDouble) /
+            col("hk").cast("double"))
+          .otherwise(col("n_exact").cast("double")) /
+          col("n_exact").cast("double") - lit(1.0)).as("rel_err"))
+      .orderBy(col("lang"))
+  }
+
+  /** [[qWinnowing]] geometry: k-gram size and window width. Guarantee:
+    * any shared run of ≥ k + w − 1 = 6 tokens between two documents
+    * yields at least one SHARED fingerprint.
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** q_winnowing — MOSS document fingerprinting (Schleimer et al. 2003,
+    * the plagiarism-detection standard): hash every [[WinnowK]]-gram,
+    * slide a [[WinnowW]]-wide window over the hash sequence, and select
+    * each window's minimum (rightmost on ties); consecutive windows
+    * usually share their minimum, so ~2/(w+1) of positions survive as
+    * the document's fingerprints. The fourth near-dup scheme in the
+    * engine and the only POSITION-AWARE one: MinHash sketches global
+    * set overlap, SimHash global distribution — winnowing's guarantee
+    * is LOCAL (any shared ≥ k+w−1 token run is caught), which is what
+    * catches a copied paragraph inside an otherwise-original document.
+    *
+    * Plan: grams hash in the scan projection; each gram row explodes to
+    * its ≤ w window memberships (bounded ×4 — the [[qPqEncode]] explode
+    * stance); the per-window argmin is one row_number window over the
+    * (doc, window)-keyed relation; DISTINCT collapses repeated
+    * selections. No corpus self-join — fingerprint PAIRS are a later
+    * equi-join on h exactly like the other LSH joins. Determinism:
+    * md5-derived integer hashes, (h ASC, pos DESC) total order.
+    */
+  def qWinnowing(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The gram relation feeds the membership explode AND the per-doc
+    // count — cached so the tokenize+hash chain runs once.
+    val grams = graft.Tables.cacheForSelfJoin(
+      tokenized(spark, d)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"filter(transform(toks, (t, i) -> " +
+            s"CASE WHEN i + $WinnowK <= size(toks) THEN " +
+            s"concat_ws(' ', slice(toks, i + 1, $WinnowK)) END), " +
+            s"g -> g IS NOT NULL)")).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"),
+          (md5Long(col("g"), 15) % P).as("h")))
+    val members = grams
+      .select(col("doc_id"), col("pos"), col("h"),
+        explode(expr(s"sequence(0, ${WinnowW - 1})")).as("off"))
+      .select(col("doc_id"), col("pos"), col("h"),
+        (col("pos") - col("off")).as("w"))
+      .filter(col("w") >= 0)
+    // Only COMPLETE windows select a fingerprint (w + WinnowW - 1 must
+    // be a real gram position) — the standard winnowing frame.
+    val nGrams = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    val byMin = Window.partitionBy(col("doc_id"), col("w"))
+      .orderBy(col("h"), col("pos").desc)
+    members.join(nGrams, "doc_id")
+      .filter(col("w") <= col("ng") - WinnowW)
+      .withColumn("rn", row_number().over(byMin))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("pos"), col("h")).distinct()
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Hashed-feature bucket count and target domain for [[qDsir]]. */
   val DsirBuckets = 256L
   val DsirTargetLang = "en"
@@ -2681,6 +2793,8 @@ object TextOps {
     "q_dsir"          -> qDsir _,
     "q_ppl_buckets"   -> qPplBuckets _,
     "q_dup_inflation" -> qDupInflation _,
+    "q_kmv_distinct"  -> qKmvDistinct _,
+    "q_winnowing"     -> qWinnowing _,
     "q_naive_bayes"   -> qNaiveBayes _,
     "q_pack"          -> qPack _,
     "q_mixture"       -> qMixture _,
@@ -2933,6 +3047,66 @@ object TextOps {
         |            ELSE 'tail' END AS band,
         |       avg_logp
         |FROM banded ORDER BY doc_id""".stripMargin,
+    "q_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT lang,
+         |         ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS h
+         |  FROM (SELECT lang, unnest(list_distinct(list_transform(
+         |          list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+         |          z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS s
+         |        FROM (SELECT lang, string_split(text, ' ') AS toks
+         |              FROM documents))
+         |), ex AS (
+         |  SELECT lang, COUNT(*) AS n_exact FROM h GROUP BY lang
+         |), kth AS (
+         |  SELECT lang, h AS hk FROM (
+         |    SELECT lang, h,
+         |           row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |    FROM h)
+         |  WHERE rn = $KmvK
+         |)
+         |SELECT ex.lang, n_exact, hk,
+         |       CASE WHEN hk IS NOT NULL
+         |            THEN ${(KmvK - 1).toDouble} * ${P.toDouble}
+         |                 / CAST(hk AS DOUBLE)
+         |            ELSE CAST(n_exact AS DOUBLE) END AS est,
+         |       CASE WHEN hk IS NOT NULL
+         |            THEN ${(KmvK - 1).toDouble} * ${P.toDouble}
+         |                 / CAST(hk AS DOUBLE)
+         |            ELSE CAST(n_exact AS DOUBLE) END
+         |         / CAST(n_exact AS DOUBLE) - 1.0 AS rel_err
+         |FROM ex LEFT JOIN kth ON ex.lang = kth.lang
+         |ORDER BY ex.lang""".stripMargin,
+    "q_winnowing" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         list_transform(
+         |           list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+         |           z -> z[1] || ' ' || z[2] || ' ' || z[3]) AS grams
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |), g0 AS (
+         |  SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+         |         unnest(grams) AS g
+         |  FROM base
+         |), g AS (
+         |  SELECT doc_id, pos,
+         |         ('0x' || substr(md5(g), 1, 15))::BIGINT % $P AS h
+         |  FROM g0
+         |), ng AS (
+         |  SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id
+         |), members AS (
+         |  SELECT g.doc_id, g.pos, g.h, g.pos - off AS w
+         |  FROM g, (SELECT unnest(generate_series(0, ${WinnowW - 1})) AS off) o
+         |  WHERE g.pos - off >= 0
+         |), sel AS (
+         |  SELECT m.doc_id, m.pos, m.h,
+         |         row_number() OVER (PARTITION BY m.doc_id, m.w
+         |                            ORDER BY m.h, m.pos DESC) AS rn
+         |  FROM members m JOIN ng USING (doc_id)
+         |  WHERE m.w <= ng.ng - $WinnowW
+         |)
+         |SELECT DISTINCT doc_id, pos, h FROM sel WHERE rn = 1
+         |ORDER BY doc_id, pos""".stripMargin,
     "q_dsir" ->
       s"""WITH feats AS (
          |  SELECT doc_id, lang,

@@ -475,6 +475,59 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_._6 > 0.0))
   }
 
+  test("q_kmv_distinct: estimate and error match the hand-rolled k-minimum-values sketch") {
+    val langOf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = docs.toSeq.groupBy { case (id, _) => langOf(id) }
+    val want = byLang.map { case (lang, ds) =>
+      val hs = ds.flatMap(d => shingles(d._2)).distinct
+        .map(s => java.lang.Long.parseLong(md5Hex(s).take(15), 16) % P)
+        .distinct.sorted
+      val n = hs.size.toLong
+      val hk = if (hs.size >= TextOps.KmvK) Some(hs(TextOps.KmvK - 1)) else None
+      val est = hk.map(h => (TextOps.KmvK - 1).toDouble * P.toDouble / h.toDouble)
+        .getOrElse(n.toDouble)
+      (lang, n, hk, est, est / n.toDouble - 1.0)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.qKmvDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want)
+    // In-regime langs (≥ k distinct tokens) must estimate within 50%;
+    // under-k langs fall back to the exact count (rel_err exactly 0).
+    assert(got.exists(_._3.isDefined), "no lang reached the sketch regime")
+    got.foreach { r =>
+      if (r._3.isDefined)
+        assert(math.abs(r._5) < 0.5, s"KMV estimate off: ${r._1} ${r._5}")
+      else assert(r._5 == 0.0, s"fallback lang must have zero error: $r")
+    }
+  }
+
+  test("q_winnowing fingerprints match the hand-rolled MOSS selection") {
+    val want = docs.toSeq.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val grams = toks.sliding(TextOps.WinnowK)
+        .filter(_.length == TextOps.WinnowK).map(_.mkString(" ")).toArray
+      val hs = grams.map(g =>
+        java.lang.Long.parseLong(md5Hex(g).take(15), 16) % P)
+      (0 to hs.length - TextOps.WinnowW).map { w =>
+        val window = (w until w + TextOps.WinnowW).map(p => (hs(p), p))
+        // Minimum hash, rightmost position on ties.
+        val (h, p) = window.minBy { case (hh, pp) => (hh, -pp) }
+        (id, p, h)
+      }.distinct
+    }.sortBy { case (id, p, h) => (id, p) }
+    val got = TextOps.qWinnowing(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == want.map { case (id, p, h) => (id, p, h) })
+    // Winnowing density: roughly 2/(w+1) of gram positions survive —
+    // sanity that selection is local, not one-per-doc.
+    val perDoc = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perDoc.values.forall(_ >= 2), "degenerate fingerprint sets")
+  }
+
   test("q_unigram_lm: scores are negative averages bounded by the rarest token") {
     val total = docs.values.map(_.split(" ").length).sum.toDouble
     val rows = TextOps.qUnigramLm(spark, sfDir).collect()
