@@ -60,6 +60,76 @@ object Multimodal {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  /** [[qMediaPhash]] geometry: byte window per difference, hash width,
+    * and the Manku-Jain-Sarma block split (4 × 15 bits ⇒ any pair within
+    * Hamming 3 shares a block exactly — the same pigeonhole as
+    * [[graft.operators.TextOps]]' simhash banding).
+    */
+  val PhashWindow = 2
+  val PhashBits = 60
+  val PhashBlockBits = 15
+
+  /** One perceptual-hash index row: the 60-bit dHash stand-in plus its
+    * four 15-bit band keys, i.e. the record a media near-dup index
+    * materializes per blob.
+    */
+  case class MediaPhash(doc_id: Long, phash: Long)
+
+  /** q_media_phash — perceptual-hash INDEX BUILD over the binary media
+    * column: each blob collapses to a 60-bit difference hash (dHash —
+    * bit j set iff window j+1's intensity exceeds window j's; the
+    * STANDARD image near-dup fingerprint) inside the mapPartitions
+    * decode stage, then fans out its four 15-bit band keys — the row a
+    * media dedup pipeline writes to its band index, completing the
+    * dedup matrix across modalities (text: MinHash/SimHash/winnowing;
+    * embeddings: sign-LSH/SemDeDup; media: THIS). Pair retrieval is the
+    * identical banded equi-join the simhash family already runs
+    * (pigeonhole: Hamming ≤ 3 ⇒ a shared block), so it is not repeated
+    * here — on this text-derived fixture the blob space has no
+    * byte-level near-dups, and an honest pair query would be empty.
+    *
+    * STUB DECODE contract (same as every op in this file): real dHash
+    * resizes to 9×8 grayscale and compares adjacent pixels; the
+    * container has no codecs, so adjacent [[PhashWindow]]-byte-window
+    * sums stand in for pixel intensities — deterministic over the raw
+    * bytes, oracle-verifiable, and shaped exactly like the real thing.
+    * Scale: the blob never leaves the scan stage — 8 bytes of hash plus
+    * four shorts flow downstream per blob.
+    */
+  def qMediaPhash(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val blobs = documents(spark, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    val hashed = blobs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // --- STUB DECODE ---------------------------------------------
+        def winSum(k: Int): Long = {
+          var acc = 0L
+          var i = k * PhashWindow
+          val end = math.min(bytes.length, (k + 1) * PhashWindow)
+          while (i < end) { acc += bytes(i) & 0xff; i += 1 }
+          acc
+        }
+        var h = 0L
+        var j = 0
+        while (j < PhashBits) {
+          if (winSum(j + 1) > winSum(j)) h |= 1L << j
+          j += 1
+        }
+        MediaPhash(id, h)
+        // -------------------------------------------------------------
+      }
+    }.toDF()
+    hashed.select(
+      col("doc_id") +: col("phash") +:
+        (0 until PhashBits / PhashBlockBits).map { b =>
+          shiftright(col("phash"), PhashBlockBits * b)
+            .bitwiseAND(lit((1L << PhashBlockBits) - 1)).as(s"bkey$b")
+        }: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame size (bytes) and sampling stride for [[qFrameSample]]. */
   val FrameBytes = 16
   val FrameStride = 4
@@ -174,6 +244,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> qMultimodalFeatures _,
+    "q_media_phash"         -> qMediaPhash _,
     "q_frame_sample"        -> qFrameSample _,
     "q_frame_diff"          -> qFrameDiff _,
     "q_resize"              -> qResize _,
@@ -194,6 +265,32 @@ object Multimodal {
         |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_phash" ->
+      s"""WITH ss AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, ${PhashBits + 1}), k ->
+         |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(
+         |               string_split(substr(text, k * $PhashWindow + 1,
+         |                                   $PhashWindow), ''),
+         |               c -> CAST(ascii(c) AS BIGINT))),
+         |             (acc, c) -> acc + c)) AS s
+         |  FROM documents
+         |), ph AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(0, $PhashBits), j ->
+         |             CASE WHEN s[j + 2] > s[j + 1]
+         |                  THEN (1::BIGINT << j) ELSE 0::BIGINT END)),
+         |           (acc, b) -> acc + b) AS phash
+         |  FROM ss
+         |)
+         |SELECT doc_id, phash,
+         |       ${(0 until PhashBits / PhashBlockBits).map { b =>
+                   s"(phash // ${1L << (PhashBlockBits * b)}) % " +
+                   s"${1L << PhashBlockBits} AS bkey$b"
+                 }.mkString(",\n       ")}
+         |FROM ph ORDER BY doc_id""".stripMargin,
     "q_frame_diff" ->
       s"""WITH fr AS (
          |  SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,

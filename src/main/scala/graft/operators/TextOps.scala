@@ -2448,6 +2448,37 @@ object TextOps {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** Minimum shared winnowing fingerprints for a [[qWinnowPairs]] match
+    * (the fixture's near-dup families share 8-40; unrelated docs share
+    * 0-2 through hash-space collisions of the tiny vocabulary).
+    */
+  val WinnowSharedMin = 8
+
+  /** q_winnow_pairs — the retrieval half of [[qWinnowing]]: document
+    * pairs sharing ≥ [[WinnowSharedMin]] fingerprint HASHES — MOSS's
+    * match score. Because winnowing's guarantee is local, a high count
+    * here localizes WHERE the overlap is (the shared fingerprints carry
+    * positions), which the global MinHash score cannot.
+    *
+    * Plan: the fingerprint relation dedups to (doc, h) and self-joins on
+    * h — an inverted index like every LSH join here, work Σ df² over
+    * fingerprint buckets, never all-pairs (a production run on a
+    * boilerplate-heavy corpus adds [[qNgramJaccardCapped]]'s df cap —
+    * same lever, documented not repeated). One count aggregate per
+    * surviving pair.
+    */
+  def qWinnowPairs(spark: SparkSession, d: String): DataFrame = {
+    val fp = graft.Tables.cacheForSelfJoin(
+      qWinnowing(spark, d).select(col("doc_id"), col("h")).distinct())
+    fp.select(col("doc_id").as("doc_a"), col("h"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowSharedMin)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Hashed-feature bucket count and target domain for [[qDsir]]. */
   val DsirBuckets = 256L
   val DsirTargetLang = "en"
@@ -2795,6 +2826,7 @@ object TextOps {
     "q_dup_inflation" -> qDupInflation _,
     "q_kmv_distinct"  -> qKmvDistinct _,
     "q_winnowing"     -> qWinnowing _,
+    "q_winnow_pairs"  -> qWinnowPairs _,
     "q_naive_bayes"   -> qNaiveBayes _,
     "q_pack"          -> qPack _,
     "q_mixture"       -> qMixture _,
@@ -3107,6 +3139,42 @@ object TextOps {
          |)
          |SELECT DISTINCT doc_id, pos, h FROM sel WHERE rn = 1
          |ORDER BY doc_id, pos""".stripMargin,
+    "q_winnow_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         list_transform(
+         |           list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+         |           z -> z[1] || ' ' || z[2] || ' ' || z[3]) AS grams
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |), g0 AS (
+         |  SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+         |         unnest(grams) AS g
+         |  FROM base
+         |), g AS (
+         |  SELECT doc_id, pos,
+         |         ('0x' || substr(md5(g), 1, 15))::BIGINT % $P AS h
+         |  FROM g0
+         |), ng AS (
+         |  SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id
+         |), members AS (
+         |  SELECT g.doc_id, g.pos, g.h, g.pos - off AS w
+         |  FROM g, (SELECT unnest(generate_series(0, ${WinnowW - 1})) AS off) o
+         |  WHERE g.pos - off >= 0
+         |), sel AS (
+         |  SELECT m.doc_id, m.pos, m.h,
+         |         row_number() OVER (PARTITION BY m.doc_id, m.w
+         |                            ORDER BY m.h, m.pos DESC) AS rn
+         |  FROM members m JOIN ng USING (doc_id)
+         |  WHERE m.w <= ng.ng - $WinnowW
+         |), fp AS (
+         |  SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       COUNT(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b
+         |HAVING COUNT(*) >= $WinnowSharedMin
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dsir" ->
       s"""WITH feats AS (
          |  SELECT doc_id, lang,

@@ -11,6 +11,39 @@ import org.apache.spark.sql.functions._
   */
 class MultimodalSpec extends SparkSpec {
 
+  test("q_media_phash equals the hand-rolled dHash with consistent band keys") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = texts.map { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      def s(k: Int): Long = {
+        val from = k * Multimodal.PhashWindow
+        val to = math.min(bytes.length, (k + 1) * Multimodal.PhashWindow)
+        if (from >= to) 0L
+        else bytes.slice(from, to).map(b => (b & 0xff).toLong).sum
+      }
+      val h = (0 until Multimodal.PhashBits).foldLeft(0L) { (acc, j) =>
+        if (s(j + 1) > s(j)) acc | (1L << j) else acc
+      }
+      (id, h)
+    }.sortBy(_._1)
+    val got = Multimodal.qMediaPhash(spark, sfDir).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, (id, h)) =>
+      assert(g.getLong(0) == id && g.getLong(1) == h, s"doc $id phash")
+      // Band keys reassemble the hash exactly.
+      val keys = (0 until Multimodal.PhashBits / Multimodal.PhashBlockBits)
+        .map(b => g.getLong(2 + b))
+      val rebuilt = keys.zipWithIndex.foldLeft(0L) { case (acc, (k, b)) =>
+        acc | (k << (Multimodal.PhashBlockBits * b))
+      }
+      assert(rebuilt == h, s"doc $id band keys don't reassemble")
+    }
+    // The hash must discriminate: distinct blobs ⇒ (mostly) distinct hashes.
+    assert(got.map(_.getLong(1)).distinct.length > got.length / 2)
+  }
+
   test("q_frame_diff equals the brute-force adjacent-frame deltas") {
     val texts = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()

@@ -528,6 +528,29 @@ class TextOpsSpec extends SparkSpec {
     assert(perDoc.values.forall(_ >= 2), "degenerate fingerprint sets")
   }
 
+  test("q_winnow_pairs: shared-fingerprint counts match brute force and find real dups") {
+    def fingerprints(text: String): Set[Long] = {
+      val toks = text.split(" ")
+      val hs = toks.sliding(TextOps.WinnowK)
+        .filter(_.length == TextOps.WinnowK).map(_.mkString(" ")).toArray
+        .map(g => java.lang.Long.parseLong(md5Hex(g).take(15), 16) % P)
+      (0 to hs.length - TextOps.WinnowW).map { w =>
+        (w until w + TextOps.WinnowW).map(p => (hs(p), p))
+          .minBy { case (hh, pp) => (hh, -pp) }._1
+      }.toSet
+    }
+    val fps = docs.view.mapValues(fingerprints).toMap
+    val ids = docs.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      shared = (fps(a) & fps(b)).size if shared >= TextOps.WinnowSharedMin
+    } yield (a, b, shared.toLong)).sortBy { case (a, b, s) => (a, b) }
+    val got = TextOps.qWinnowPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "the fixture's near-dup families must surface")
+  }
+
   test("q_unigram_lm: scores are negative averages bounded by the rarest token") {
     val total = docs.values.map(_.split(" ").length).sum.toDouble
     val rows = TextOps.qUnigramLm(spark, sfDir).collect()
