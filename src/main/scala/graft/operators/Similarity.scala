@@ -1143,12 +1143,61 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q_dedup_stages — the COMPLETE dedup funnel with stage attribution,
+    * one row per document: exact (byte-identical text, md5 keep-min) →
+    * lexical (MinHash connected components, [[graft.operators.TextOps]]'
+    * E17 labels) → semantic ([[qSemanticDedup]]'s within-cell cosine
+    * keep-min), each doc stamped with the FIRST stage that would drop it
+    * — the per-stage attribution a curation report needs ("how much did
+    * each stage buy us") and the end-to-end composition of the three
+    * dedup modalities this engine implements.
+    *
+    * Contract notes: the three drop flags are computed INDEPENDENTLY on
+    * the full corpus and attributed first-match (exact < lexical <
+    * semantic) — deterministic and exactly mirrorable by the oracle; a
+    * production pipeline that re-runs each stage on the previous stage's
+    * survivors changes counts only when a later stage's keep-min anchor
+    * was itself dropped earlier, and keeps this query's plan shape.
+    * Docs without an embedding row cannot be semantically deduped and
+    * are never attributed to that stage (left join, null ⇒ false).
+    *
+    * Plan: exact = one md5 hash-agg + broadcast-able keep-min join-back;
+    * lexical rides the session-pinned edge labels; semantic reuses the
+    * within-cell scan; final assembly is three doc-keyed equi-joins of
+    * doc-sized flag relations.
+    */
+  def qDedupStages(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+    val exact = graft.Tables.cacheForSelfJoin(
+      docs.select(col("doc_id"), md5(col("text")).as("fp")))
+    val exactFlag = exact
+      .join(exact.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")),
+        "fp")
+      .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("exact_drop"))
+    val lexFlag = TextOps.qDedupGroups(spark, d)
+      .select(col("doc_id"), (col("canon_id") =!= col("doc_id")).as("lex_drop"))
+    val semFlag = qSemanticDedup(spark, d)
+      .select(col("vec_id").as("doc_id"), (!col("kept")).as("sem_drop"))
+    exactFlag
+      .join(lexFlag, "doc_id")
+      .join(semFlag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_drop"), "exact")
+          .when(col("lex_drop"), "minhash")
+          .when(coalesce(col("sem_drop"), lit(false)), "semantic")
+          .otherwise("kept").as("stage"),
+        (!(col("exact_drop") || col("lex_drop") ||
+          coalesce(col("sem_drop"), lit(false)))).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_quantize"    -> qVecQuantize _,
     "q_ann_sq8"         -> qAnnSq8 _,
     "q_ann_ivf_pq"      -> qAnnIvfPq _,
     "q_sq8_recall"      -> qSq8Recall _,
     "q_semantic_dedup"  -> qSemanticDedup _,
+    "q_dedup_stages"    -> qDedupStages _,
     "q_cosine_topk"     -> qCosineTopk _,
     "q_centroid"        -> qCentroid _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
@@ -1446,6 +1495,60 @@ object Similarity {
          |       dropped.vec_id IS NULL AS kept
          |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
          |ORDER BY asg.vec_id""".stripMargin,
+    "q_dedup_stages" ->
+      s"""WITH RECURSIVE sig AS (
+         |${graft.operators.TextOps.sigSql}
+         |), bands AS (
+         |  ${graft.operators.TextOps.bandsSql}
+         |), prs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM prs
+         |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM prs
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.doc_b FROM reach JOIN edges e ON reach.r = e.doc_a
+         |), labels AS (
+         |  SELECT id AS doc_id, MIN(r) AS canon_id FROM reach GROUP BY id
+         |), ex AS (
+         |  SELECT doc_id, md5(text) AS fp FROM documents
+         |), exmin AS (
+         |  SELECT fp, MIN(doc_id) AS keep_id FROM ex GROUP BY fp
+         |), exflag AS (
+         |  SELECT doc_id, doc_id <> keep_id AS exact_drop
+         |  FROM ex JOIN exmin USING (fp)
+         |), centroids AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), cranked AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         ${cosSql("e.embedding", "c.ce")} AS ccos,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ccos DESC, c.cid) AS rn
+         |  FROM embeddings e, centroids c
+         |), asg AS (
+         |  SELECT vec_id, embedding, cid FROM cranked WHERE rn = 1
+         |), sdropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $SemDedupTau
+         |)
+         |SELECT f.doc_id,
+         |       CASE WHEN exact_drop THEN 'exact'
+         |            WHEN canon_id <> f.doc_id THEN 'minhash'
+         |            WHEN sdropped.vec_id IS NOT NULL THEN 'semantic'
+         |            ELSE 'kept' END AS stage,
+         |       NOT (exact_drop OR canon_id <> f.doc_id
+         |            OR sdropped.vec_id IS NOT NULL) AS kept
+         |FROM exflag f
+         |JOIN labels ON f.doc_id = labels.doc_id
+         |LEFT JOIN sdropped ON f.doc_id = sdropped.vec_id
+         |ORDER BY f.doc_id""".stripMargin,
     "q_ann_batch" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings

@@ -360,6 +360,33 @@ class SimilaritySpec extends SparkSpec {
       s"drop set degenerate: ${got.count(!_._3)} of ${got.length} dropped")
   }
 
+  test("q_dedup_stages composes the three verified stages with first-match attribution") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exactKeep = docs.groupBy(_._2).values
+      .map(g => g.map(_._1).min).toSet
+    val lex = graft.operators.TextOps.qDedupGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sem = Similarity.qSemanticDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val want = docs.map(_._1).sorted.map { id =>
+      val stage =
+        if (!exactKeep(id)) "exact"
+        else if (lex(id) != id) "minhash"
+        else if (!sem.getOrElse(id, true)) "semantic"
+        else "kept"
+      (id, stage, stage == "kept")
+    }
+    val got = Similarity.qDedupStages(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got == want.toSeq)
+    // The funnel must attribute to more than one stage on the fixture.
+    val stages = got.map(_._2).distinct.toSet
+    assert(stages("kept") && (stages("minhash") || stages("semantic")),
+      s"degenerate funnel: $stages")
+  }
+
   test("q_kmeans_step: assignments are cosine argmax to the seeds; new centroids are member means") {
     val all = Tables.embeddings(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
