@@ -310,6 +310,50 @@ class BandClaimProcessor
   }
 }
 
+/** One published KMV-sketch version for [[StreamOps.qStreamKmv]]:
+  * the per-type state snapshot after a micro-batch — `seq` is the
+  * per-key publish counter (consumers read the latest), `hk` the kth
+  * smallest distinct hash (−1 while under k), `n_state` the retained
+  * distinct-hash count (≤ k).
+  */
+case class KmvSnapshot(event_type: String, seq: Long, hk: Long, n_state: Int)
+
+/** Online KMV ("k minimum values") distinct-count sketch per key — the
+  * streaming twin of [[graft.operators.TextOps.qKmvDistinct]]: state is
+  * the k smallest DISTINCT hashes seen (one bounded sorted list per
+  * key, ≤ k longs — constant memory at any feed volume), merged with
+  * each micro-batch's hashes by the KMV union identity (k smallest of
+  * the concatenation). After every batch the CURRENT sketch version is
+  * published with a per-key sequence number — exactly how an online
+  * cardinality store serves reads while ingest continues.
+  *
+  * Determinism under replay slicing: "k smallest of a set" is
+  * order-independent, so the FINAL snapshot equals the batch KMV over
+  * the drained replay no matter how ticks partitioned the input — the
+  * stream==batch claim the oracle states.
+  */
+class KmvProcessor(k: Int)
+    extends StatefulProcessor[String, (String, Long), KmvSnapshot] {
+  @transient private var mins: ListState[Long] = _
+  @transient private var seq: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    mins = getHandle.getListState("mins", Encoders.scalaLong, TTLConfig.NONE)
+    seq = getHandle.getValueState("seq", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(tpe: String,
+                               rows: Iterator[(String, Long)],
+                               timerValues: TimerValues): Iterator[KmvSnapshot] = {
+    val merged = (mins.get().toArray ++ rows.map(_._2)).distinct.sorted.take(k)
+    mins.put(merged)
+    val s = (if (seq.exists()) seq.get() else 0L) + 1L
+    seq.update(s)
+    Iterator.single(KmvSnapshot(tpe, s,
+      if (merged.length >= k) merged(k - 1) else -1L, merged.length))
+  }
+}
+
 /** Streaming EWMA over hourly counts — a custom WINDOWED aggregate and
   * the smoothing fold in ONE `transformWithState` state machine (the
   * built-in windowed aggregation cannot carry a value that depends on the
@@ -1583,6 +1627,65 @@ object StreamOps extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  /** [[qStreamKmv]] sketch size and hash modulus (the corpus-wide
+    * md5-hash convention, [[graft.operators.TextOps]]' P).
+    */
+  val StreamKmvK = 64
+  private val KmvP = 2147483647L
+
+  /** q_stream_kmv — online distinct-user cardinality per event type via
+    * the [[KmvProcessor]] KMV sketch: each arriving event's md5-hashed
+    * user folds into its type's bounded k-min state, and the sketch
+    * version published after the LAST micro-batch is served with its
+    * estimate (k−1)·P/h_k — live per-segment audience counting in
+    * constant memory, the streaming member of the sketch family
+    * (batch KMV E244, HLL E37, CMS E38).
+    *
+    * The drained-replay oracle computes the identical kth-smallest over
+    * the batch events table: KMV's order-independence makes the final
+    * stream state equal the batch sketch under ANY replay slicing.
+    * Types with fewer than k distinct users serve their exact retained
+    * count (hk NULL) — the same under-k contract as the batch twin.
+    */
+  def qStreamKmv(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sinkName = freshSink(spark, "stream_kmv")
+    val query = startWithStatePartitions(spark, 4) {
+      import spark.implicits._
+      spark.readStream.schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageReplayDir(spark, d))
+        .select(col("event_type"),
+          (expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15)," +
+            " 16, 10) AS BIGINT)") % KmvP).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new KmvProcessor(StreamKmvK), TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    val latest = Window.partitionBy(col("event_type")).orderBy(col("seq").desc)
+    spark.table(sinkName)
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        col("n_state").cast("long").as("n_state"),
+        when(col("hk") >= 0L, col("hk")).as("hk"),
+        when(col("hk") >= 0L,
+          lit((StreamKmvK - 1).toDouble) * lit(KmvP.toDouble) /
+            col("hk").cast("double"))
+          .otherwise(col("n_state").cast("double")).as("est"))
+      .orderBy(col("event_type"))
+  }
+
   /** Events admitted per user by [[qStreamFirstk]]. */
   val FirstK = 3
 
@@ -2007,6 +2110,7 @@ object StreamOps extends Serializable {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tick"        -> qStreamTick _,
     "q_stream_topk"        -> qStreamTopk _,
+    "q_stream_kmv"         -> qStreamKmv _,
     "q_stream_ohlc"        -> qStreamOhlc _,
     "q_stream_anomaly"     -> qStreamAnomaly _,
     "q_stream_tick_append" -> qStreamTickAppend _,
@@ -2257,6 +2361,29 @@ object StreamOps extends Serializable {
         |       CAST(SUM(c) AS BIGINT) AS vol_cents
         |FROM r GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin,
+    "q_stream_kmv" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |           % $KmvP AS h
+         |  FROM events
+         |), ex AS (
+         |  SELECT event_type, COUNT(*) AS n FROM h GROUP BY event_type
+         |), kth AS (
+         |  SELECT event_type, h AS hk FROM (
+         |    SELECT event_type, h,
+         |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM h)
+         |  WHERE rn = $StreamKmvK
+         |)
+         |SELECT ex.event_type,
+         |       CAST(LEAST(n, $StreamKmvK) AS BIGINT) AS n_state, hk,
+         |       CASE WHEN hk IS NOT NULL
+         |            THEN ${(StreamKmvK - 1).toDouble} * ${KmvP.toDouble}
+         |                 / CAST(hk AS DOUBLE)
+         |            ELSE CAST(n AS DOUBLE) END AS est
+         |FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type
+         |ORDER BY ex.event_type""".stripMargin,
     "q_stream_topk" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v

@@ -645,6 +645,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q_stream_kmv final sketch equals the batch k-minimum-values over the drained replay") {
+    val got = StreamOps.qStreamKmv(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3))).toSeq
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = events.groupBy(_._1).map { case (tpe, rs) =>
+      val hs = rs.map(_._2).distinct
+        .map(u => java.lang.Long.parseLong(md5Hex(u.toString).take(15), 16) %
+          2147483647L)
+        .distinct.sorted
+      val k = StreamOps.StreamKmvK
+      val hk = if (hs.size >= k) Some(hs(k - 1)) else None
+      val est = hk.map(h => (k - 1).toDouble * 2147483647.0 / h.toDouble)
+        .getOrElse(hs.size.toDouble)
+      (tpe, math.min(hs.size, k).toLong, hk, est)
+    }.toSeq.sortBy(_._1)
+    assert(got == want)
+    // Whichever regime the fixture scale puts each type in, the branch
+    // contract must hold: in-regime types carry a real kth hash, under-k
+    // types serve their exact retained count with zero-error estimate.
+    got.foreach {
+      case (tpe, n, Some(hk), est) =>
+        assert(n == StreamOps.StreamKmvK.toLong && hk > 0 && est > 0.0, tpe)
+      case (tpe, n, None, est) =>
+        assert(est == n.toDouble, s"$tpe: under-k estimate must be exact")
+    }
+  }
+
   test("q_stream_neardup admission equals the batch LSH pair rule (kept = never a doc_b)") {
     // Independent derivation from the BATCH candidate stage: minhashPairs
     // emits (doc_a < doc_b) for every band-sharing pair, so a document is
