@@ -1686,6 +1686,73 @@ object StreamOps extends Serializable {
       .orderBy(col("event_type"))
   }
 
+  /** q_stream_winnow — online MOSS admission: each arriving document's
+    * winnowing fingerprint set ([[graft.operators.TextOps.qWinnowing]]'s
+    * selection, computed HERE as one per-row array expression — the
+    * per-window argmin needs no cross-row window, so it runs in the
+    * stream's scan projection) claims its hashes in the shared seen-state
+    * ([[BandClaimProcessor]] — the identical first-owner machine the
+    * MinHash admission uses, keyed by fingerprint hash); a document is
+    * admitted iff FEWER than [[graft.operators.TextOps.WinnowSharedMin]]
+    * of its fingerprints were already claimed — the position-aware
+    * online dedup that catches an arriving doc whose middle paragraph is
+    * copied from an earlier one.
+    *
+    * Determinism: lost(doc, h) ⟺ some earlier doc carries h ⟺ the
+    * global min owner of h is < doc (state min + in-batch ascending
+    * fold), slicing-independent — so the oracle states the batch rule
+    * declaratively: n_lost = |{h ∈ fp(d) : min owner(h) < d}|.
+    * State: one long per distinct fingerprint hash.
+    */
+  def qStreamWinnow(spark: SparkSession, d: String): DataFrame = {
+    val k = graft.operators.TextOps.WinnowK
+    val w = graft.operators.TextOps.WinnowW
+    val sinkName = freshSink(spark, "stream_winnow")
+    val query = startWithStatePartitions(spark, 4) {
+      import spark.implicits._
+      val hs =
+        s"transform(filter(transform(toks, (t, i) -> " +
+        s"IF(i + ${k - 1} < size(toks), " +
+        s"concat_ws(' ', slice(toks, i + 1, $k)), NULL)), " +
+        s"g -> g IS NOT NULL), g -> " +
+        s"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % $KmvP)"
+      val fps =
+        s"CASE WHEN size(hs) >= $w THEN array_distinct(" +
+        s"transform(sequence(0, size(hs) - $w), s -> " +
+        s"aggregate(sequence(s, s + ${w - 1}), " +
+        s"struct(CAST(NULL AS BIGINT) AS h, -1 AS p), " +
+        s"(acc, j) -> IF(acc.h IS NULL OR hs[j] < acc.h OR " +
+        s"(hs[j] = acc.h AND j > acc.p), " +
+        s"struct(hs[j] AS h, j AS p), acc), " +
+        s"acc -> acc.h))) " +
+        s"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+      docsStream(spark, stageDocReplayDir(spark, d))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(hs).as("hs"))
+        .select(col("doc_id"), explode(expr(fps)).as("h"))
+        .select(concat(lit("fp:"), col("h")).as("key"), col("doc_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new BandClaimProcessor, TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("lost"), 1L).otherwise(0L)).as("n_lost"))
+      .select(col("doc_id"), col("n_lost"),
+        (col("n_lost") < graft.operators.TextOps.WinnowSharedMin).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Events admitted per user by [[qStreamFirstk]]. */
   val FirstK = 3
 
@@ -2111,6 +2178,7 @@ object StreamOps extends Serializable {
     "q_stream_tick"        -> qStreamTick _,
     "q_stream_topk"        -> qStreamTopk _,
     "q_stream_kmv"         -> qStreamKmv _,
+    "q_stream_winnow"      -> qStreamWinnow _,
     "q_stream_ohlc"        -> qStreamOhlc _,
     "q_stream_anomaly"     -> qStreamAnomaly _,
     "q_stream_tick_append" -> qStreamTickAppend _,
@@ -2361,6 +2429,46 @@ object StreamOps extends Serializable {
         |       CAST(SUM(c) AS BIGINT) AS vol_cents
         |FROM r GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin,
+    "q_stream_winnow" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         list_transform(
+         |           list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+         |           z -> z[1] || ' ' || z[2] || ' ' || z[3]) AS grams
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |), g0 AS (
+         |  SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+         |         unnest(grams) AS g
+         |  FROM base
+         |), g AS (
+         |  SELECT doc_id, pos,
+         |         ('0x' || substr(md5(g), 1, 15))::BIGINT % $KmvP AS h
+         |  FROM g0
+         |), ng AS (
+         |  SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id
+         |), members AS (
+         |  SELECT g.doc_id, g.pos, g.h, g.pos - off AS w
+         |  FROM g, (SELECT unnest(generate_series(0,
+         |           ${graft.operators.TextOps.WinnowW - 1})) AS off) o
+         |  WHERE g.pos - off >= 0
+         |), sel AS (
+         |  SELECT m.doc_id, m.pos, m.h,
+         |         row_number() OVER (PARTITION BY m.doc_id, m.w
+         |                            ORDER BY m.h, m.pos DESC) AS rn
+         |  FROM members m JOIN ng USING (doc_id)
+         |  WHERE m.w <= ng.ng - ${graft.operators.TextOps.WinnowW}
+         |), fp AS (
+         |  SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1
+         |), owner AS (
+         |  SELECT h, MIN(doc_id) AS first_doc FROM fp GROUP BY h
+         |)
+         |SELECT fp.doc_id,
+         |       CAST(SUM(CASE WHEN first_doc < fp.doc_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_lost,
+         |       SUM(CASE WHEN first_doc < fp.doc_id THEN 1 ELSE 0 END)
+         |         < ${graft.operators.TextOps.WinnowSharedMin} AS kept
+         |FROM fp JOIN owner USING (h)
+         |GROUP BY fp.doc_id ORDER BY fp.doc_id""".stripMargin,
     "q_stream_kmv" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,

@@ -678,6 +678,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q_stream_winnow admission equals the batch first-owner rule over fingerprints") {
+    // Independent derivation from the BATCH winnowing output (itself
+    // brute-force-verified): lost(doc, h) ⟺ the global min owner of h
+    // precedes doc — the declarative form of the online claim rule.
+    val fps = graft.operators.TextOps.qWinnowing(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).distinct
+    val owner = fps.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val want = fps.groupBy(_._1).map { case (doc, hs) =>
+      val nLost = hs.map(_._2).distinct.count(h => owner(h) < doc).toLong
+      (doc, nLost, nLost < graft.operators.TextOps.WinnowSharedMin)
+    }.toSeq.sortBy(_._1)
+    val got = StreamOps.qStreamWinnow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == want)
+    assert(got.exists(!_._3) && got.count(_._3) > got.length / 2,
+      "admission must reject the near-dup tail and keep the majority")
+  }
+
   test("q_stream_neardup admission equals the batch LSH pair rule (kept = never a doc_b)") {
     // Independent derivation from the BATCH candidate stage: minhashPairs
     // emits (doc_a < doc_b) for every band-sharing pair, so a document is
