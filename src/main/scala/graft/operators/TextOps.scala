@@ -2479,6 +2479,58 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Token budget allocated by [[qLangMixture]] (a stand-in training-run
+    * size; the shares are the content, the budget scales them).
+    */
+  val MixtureBudget = 1000000L
+
+  /** q_lang_mixture — temperature-based language sampling weights (the
+    * mT5/XLM-R multilingual recipe, α = 0.5): sampling share w_l ∝
+    * p_l^α where p_l is the language's token share — the exponent lifts
+    * low-resource languages without letting the head language dominate.
+    * Emitted per language: token count, natural share, α=0.5 share, the
+    * token budget allocated from [[MixtureBudget]], and the effective
+    * epochs over that language's data (allocated / owned — >1 means the
+    * language's corpus is repeated, the overfit-risk readout).
+    *
+    * α = 0.5 BY DESIGN here: p^0.5 = sqrt(p), and IEEE sqrt is
+    * correctly rounded in both engines, so the whole chain stays
+    * bit-exact under the hash gate — general pow() is libm-dependent
+    * and would need the quantize-or-libm treatment [[lnLibm]] gives ln.
+    *
+    * Plan: one lang-sized count aggregate (map-side partial over the
+    * token explode), the sqrt-sum normalizer folded in LANG ORDER from
+    * the |langs|-row relation (partitioning-independent), shares and
+    * epochs as pinned double chains over exact BIGINTs.
+    */
+  def qLangMixture(spark: SparkSession, d: String): DataFrame = {
+    val counts = graft.Tables.cacheForSelfJoin(
+      tokenized(spark, d)
+        .select(col("lang"), size(col("toks")).as("n"))
+        .groupBy(col("lang")).agg(sum(col("n")).as("n_toks")))
+    val tot = counts
+      .agg(sum(col("n_toks")).as("n_total"),
+        sort_array(collect_list(struct(col("lang"), col("n_toks"))))
+          .as("ln"))
+      .select(col("n_total"),
+        expr("aggregate(ln, CAST(0.0 AS DOUBLE)," +
+          " (acc, x) -> acc + sqrt(CAST(x.n_toks AS DOUBLE)))")
+          .as("z"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_toks"),
+        (col("n_toks").cast("double") / col("n_total").cast("double"))
+          .as("p_natural"),
+        (sqrt(col("n_toks").cast("double")) / col("z")).as("p_alpha"))
+      .select(col("lang"), col("n_toks"), col("p_natural"), col("p_alpha"),
+        floor(col("p_alpha") * lit(MixtureBudget.toDouble)).cast("long")
+          .as("budget_toks"))
+      .select(col("lang"), col("n_toks"), col("p_natural"), col("p_alpha"),
+        col("budget_toks"),
+        (col("budget_toks").cast("double") / col("n_toks").cast("double"))
+          .as("epochs"))
+      .orderBy(col("lang"))
+  }
+
   /** Hashed-feature bucket count and target domain for [[qDsir]]. */
   val DsirBuckets = 256L
   val DsirTargetLang = "en"
@@ -2827,6 +2879,7 @@ object TextOps {
     "q_kmv_distinct"  -> qKmvDistinct _,
     "q_winnowing"     -> qWinnowing _,
     "q_winnow_pairs"  -> qWinnowPairs _,
+    "q_lang_mixture"  -> qLangMixture _,
     "q_naive_bayes"   -> qNaiveBayes _,
     "q_pack"          -> qPack _,
     "q_mixture"       -> qMixture _,
@@ -3079,6 +3132,33 @@ object TextOps {
         |            ELSE 'tail' END AS band,
         |       avg_logp
         |FROM banded ORDER BY doc_id""".stripMargin,
+    "q_lang_mixture" ->
+      s"""WITH c AS (
+         |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |           AS n_toks
+         |  FROM documents GROUP BY lang
+         |), t AS (
+         |  SELECT CAST(SUM(n_toks) AS BIGINT) AS n_total,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(sqrt(CAST(n_toks AS DOUBLE)) ORDER BY lang)),
+         |           (acc, x) -> acc + x) AS z
+         |  FROM c
+         |), s AS (
+         |  SELECT lang, n_toks,
+         |         CAST(n_toks AS DOUBLE) / CAST(n_total AS DOUBLE)
+         |           AS p_natural,
+         |         sqrt(CAST(n_toks AS DOUBLE)) / z AS p_alpha
+         |  FROM c, t
+         |), b AS (
+         |  SELECT lang, n_toks, p_natural, p_alpha,
+         |         CAST(floor(p_alpha * ${MixtureBudget.toDouble}) AS BIGINT)
+         |           AS budget_toks
+         |  FROM s
+         |)
+         |SELECT lang, n_toks, p_natural, p_alpha, budget_toks,
+         |       CAST(budget_toks AS DOUBLE) / CAST(n_toks AS DOUBLE)
+         |         AS epochs
+         |FROM b ORDER BY lang""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH h AS (
          |  SELECT DISTINCT lang,

@@ -551,6 +551,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "the fixture's near-dup families must surface")
   }
 
+  test("q_lang_mixture: alpha=0.5 shares lift low-resource langs and sum to ~1") {
+    val langOf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = docs.toSeq.groupBy { case (id, _) => langOf(id) }
+      .view.mapValues(_.map(_._2.split(" ").length.toLong).sum).toMap
+    val langs = counts.keys.toSeq.sorted
+    val z = langs.foldLeft(0.0)((acc, l) => acc + math.sqrt(counts(l).toDouble))
+    val total = counts.values.sum
+    val want = langs.map { l =>
+      val pa = math.sqrt(counts(l).toDouble) / z
+      val budget = math.floor(pa * TextOps.MixtureBudget.toDouble).toLong
+      (l, counts(l), counts(l).toDouble / total.toDouble, pa, budget,
+        budget.toDouble / counts(l).toDouble)
+    }
+    val got = TextOps.qLangMixture(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    // The temperature must actually flatten: every sub-head language's
+    // alpha share exceeds its natural share, the head's shrinks.
+    val head = got.maxBy(_._2)
+    got.foreach { r =>
+      if (r._1 != head._1 && r._2 < head._2)
+        assert(r._4 > r._3, s"${r._1}: alpha share must lift the tail")
+    }
+    assert(head._4 < head._3, "the head language's share must shrink")
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
+  }
+
   test("q_unigram_lm: scores are negative averages bounded by the rarest token") {
     val total = docs.values.map(_.split(" ").length).sum.toDouble
     val rows = TextOps.qUnigramLm(spark, sfDir).collect()
