@@ -259,15 +259,75 @@ object Ranking {
       .orderBy(col("event_type"))
   }
 
+  /** [[qMrr]] evaluation depth and the hit-rate cut. */
+  val MrrK = 100
+  val HitK = 10
+
+  /** q_mrr — mean-reciprocal-rank + hit-rate@[[HitK]] per event type
+    * over the recency ranking: the position of the FIRST relevant item
+    * (the metric for known-item search / "did the top of the feed have
+    * anything good"), completing the ranking-metric battery — nDCG
+    * (graded, discounted), AP (all relevant early), AUC (pairwise),
+    * MRR (first hit). Same ranking and binary-relevance convention as
+    * [[qMap]], so the four metrics are directly comparable per type.
+    *
+    * Plan: one type-keyed ranking window (the same single sort every
+    * metric here pays), cut at [[MrrK]], then a type-sized aggregate —
+    * first_pos = MIN over relevant positions, so no second window.
+    * rr = 1/first_pos is one exact division; empty types score 0 by
+    * the usual MRR convention.
+    */
+  def qMrr(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, d)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        (floor(col("value")) % lit(4L) >= lit(2L)).as("rel"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= MrrK)
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rel"), col("pos"))).as("first_pos"),
+        sum(when(col("rel") && col("pos") <= HitK, 1L).otherwise(0L))
+          .as("n_hits_at_k"))
+      .select(col("event_type"), col("first_pos"),
+        when(col("first_pos").isNotNull,
+          lit(1.0) / col("first_pos").cast("double"))
+          .otherwise(lit(0.0)).as("rr"),
+        (col("n_hits_at_k") > 0L).as("hit_at_k"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"        -> qBm25 _,
     "q_rank_fusion" -> qRankFusion _,
     "q_ndcg"        -> qNdcg _,
     "q_map"         -> qMap _,
+    "q_mrr"         -> qMrr _,
     "q_auc"         -> qAuc _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mrr" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id, ts,
+         |         (CAST(floor(value) AS BIGINT) % 4 >= 2) AS rel
+         |  FROM events
+         |), ranked AS (
+         |  SELECT event_type, rel,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY ts DESC, event_id DESC) AS pos
+         |  FROM ev
+         |)
+         |SELECT event_type,
+         |       MIN(CASE WHEN rel THEN pos END) AS first_pos,
+         |       CASE WHEN MIN(CASE WHEN rel THEN pos END) IS NOT NULL
+         |            THEN 1.0 / CAST(MIN(CASE WHEN rel THEN pos END)
+         |                            AS DOUBLE)
+         |            ELSE 0.0 END AS rr,
+         |       CAST(SUM(CASE WHEN rel AND pos <= $HitK THEN 1 ELSE 0 END)
+         |            AS BIGINT) > 0 AS hit_at_k
+         |FROM ranked WHERE pos <= $MrrK
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_map" ->
       s"""WITH ev AS (
          |  SELECT event_type, event_id, ts,

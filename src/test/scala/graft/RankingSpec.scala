@@ -86,6 +86,35 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("q_mrr equals the brute-force first-relevant reciprocal rank") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3)).toLong % 4L >= 2L))
+    val want = rows.groupBy(_._1).map { case (t, rs) =>
+      val ranked = rs.sortBy(r => (-r._3, -r._2))
+        .take(graft.operators.Ranking.MrrK)
+      val firstPos = ranked.indexWhere(_._4) match {
+        case -1 => None
+        case i  => Some(i + 1)
+      }
+      val hit = ranked.take(graft.operators.Ranking.HitK).exists(_._4)
+      t -> ((firstPos, firstPos.map(p => 1.0 / p.toDouble).getOrElse(0.0), hit))
+    }
+    val got = graft.operators.Ranking.qMrr(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { r =>
+      val (fp, rr, hit) = want(r.getString(0))
+      val gfp = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      assert(gfp == fp, s"${r.getString(0)} first_pos")
+      assert(r.getDouble(2) == rr, s"${r.getString(0)} rr")
+      assert(r.getBoolean(3) == hit, s"${r.getString(0)} hit_at_k")
+    }
+    // Non-vacuous: at least one type has an early hit.
+    assert(got.exists(r => !r.isNullAt(1)))
+  }
+
   test("q_map equals the brute-force average precision at K") {
     val rows = Tables.events(spark, sfDir)
       .select(col("event_type"), col("event_id"),
