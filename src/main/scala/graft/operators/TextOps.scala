@@ -679,8 +679,18 @@ object TextOps {
     * RECURSIVE CTE (min over the full reachability set), so the gate
     * checks the fixpoint itself, not the iteration schedule.
     */
-  def qDedupGroups(spark: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(spark, d).select(col("doc_a"), col("doc_b"))
+  def qDedupGroups(spark: SparkSession, d: String): DataFrame =
+    minLabelComponents(spark, d,
+      minhashPairs(spark, d).select(col("doc_a"), col("doc_b")))
+
+  /** Min-label propagation to fixpoint over an arbitrary (doc_a, doc_b)
+    * candidate edge set — the shared engine of [[qDedupGroups]] (MinHash
+    * edges) and [[qDedupEnsemble]] (the union of all three lexical
+    * signals). See [[qDedupGroups]]'s scaladoc for the algorithm and
+    * determinism contract.
+    */
+  private def minLabelComponents(spark: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
     // Undirected: propagate along both directions of every candidate edge.
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -723,6 +733,39 @@ object TextOps {
     labels.orderBy(col("doc_id"))
   }
 
+  /** q_dedup_ensemble — connected components over the UNION of all
+    * three lexical near-dup signals: MinHash band pairs (global set
+    * overlap), SimHash Hamming-≤3 pairs (global distribution), and
+    * winnowing shared-fingerprint pairs (local runs). Each signal
+    * catches duplicates the others miss (MinHash needs shingle-set
+    * overlap, SimHash tolerates reordering, winnowing fires on one
+    * copied paragraph), so a production dedup policy unions the
+    * candidate edges BEFORE the transitive closure — one component pass
+    * instead of three, and one keep-min decision consistent across
+    * signals. Output contract identical to [[qDedupGroups]].
+    *
+    * Plan: the two heavy pair sets ride their session pins; the union
+    * is edge-sized; components run the same per-round checkpointed
+    * min-label loop. At 100 TB this is strictly cheaper than three
+    * separate dedup passes: the label propagation is paid once.
+    */
+  def qDedupEnsemble(spark: SparkSession, d: String): DataFrame =
+    // starComponents, not min-label: the union graph's merged components
+    // are larger and higher-diameter than any single signal's — the
+    // O(log n)-round alternation's case. The SimHash leg enters at its
+    // HIGH-CONFIDENCE threshold (hamming ≤ [[TriangleHamming]] = 2, the
+    // same bar the whole graph family analyzes at): a transitive-closure
+    // consumer must be stricter per edge than a pairwise reviewer,
+    // because one loose edge merges two entire components.
+    // No distinct on the union: starComponents orients and DISTINCTs the
+    // edge set as its own first step.
+    starComponents(spark, d,
+      minhashPairs(spark, d).select(col("doc_a"), col("doc_b"))
+        .union(simhashPairSet(spark, d)
+          .filter(col("hamming") <= TriangleHamming)
+          .select(col("doc_a"), col("doc_b")))
+        .union(winnowPairSet(spark, d).select(col("doc_a"), col("doc_b"))))
+
   /** q_cc_bigstar — connected components of the MinHash near-dup graph
     * via the LARGE-STAR / SMALL-STAR alternation (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", 2014): the O(log n)-
@@ -746,8 +789,18 @@ object TextOps {
     * only the convergence bit (edge set unchanged — two semi-difference
     * probes on the node-bounded star edges), never data.
     */
-  def qCcBigstar(spark: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(spark, d).select(col("doc_a"), col("doc_b"))
+  def qCcBigstar(spark: SparkSession, d: String): DataFrame =
+    starComponents(spark, d,
+      minhashPairs(spark, d).select(col("doc_a"), col("doc_b")))
+
+  /** The large-star/small-star component engine over an arbitrary
+    * (doc_a, doc_b) edge set — shared by [[qCcBigstar]] (MinHash edges)
+    * and [[qDedupEnsemble]] (the three-signal union, whose larger
+    * merged components are exactly the high-diameter case the
+    * O(log n)-round alternation exists for).
+    */
+  private def starComponents(spark: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
     // Canonical (larger, smaller) orientation; self-loops impossible.
     var ed = graft.Tables.checkpointTier(
       pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -759,7 +812,7 @@ object TextOps {
       iter += 1
       if (iter > MaxCcIters)
         throw new IllegalStateException(
-          s"q_cc_bigstar: no fixpoint after $MaxCcIters rounds")
+          s"starComponents: no fixpoint after $MaxCcIters rounds")
       // LARGE-STAR over both orientations: m(u) = min(Γ(u) ∪ {u});
       // every neighbor v > u re-attaches as (v, m). Each undirected edge
       // surfaces through its smaller endpoint's group, so the edge set
@@ -769,10 +822,12 @@ object TextOps {
       val mins = nbrs.groupBy(col("u"))
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // No distinct here: duplicate (v, m) rows cannot change the small
+      // star's min aggregate, and `next`'s distinct collapses them — one
+      // shuffle per round saved on the largest intermediate.
       val large = graft.Tables.checkpointTier(
         nbrs.join(mins, "u").filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .distinct())
+          .select(col("v").as("u"), col("m").as("v")))
       // SMALL-STAR on the (larger, smaller) orientation: u and all its
       // ≤-neighbors re-attach to the group minimum.
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -783,7 +838,10 @@ object TextOps {
           .filter(col("n") =!= col("m"))
           .select(col("n").as("u"), col("m").as("v"))
           .distinct())
-      converged = next.exceptAll(ed).isEmpty && ed.exceptAll(next).isEmpty
+      // Both sides are distinct sets, so equal counts + empty one-sided
+      // difference ⟺ set equality — half the probe shuffles of the
+      // symmetric version.
+      converged = next.count() == ed.count() && next.except(ed).isEmpty
       ed = next
     }
     // At the fixpoint the graph is a union of stars rooted at component
@@ -932,6 +990,8 @@ object TextOps {
   def stageGraphFamily(spark: SparkSession, d: String): Unit = {
     simhashPairSet(spark, d)
     minhashPairs(spark, d)
+    winnowFpSet(spark, d)
+    winnowPairSet(spark, d)
     ()
   }
 
@@ -2415,7 +2475,19 @@ object TextOps {
     * equi-join on h exactly like the other LSH joins. Determinism:
     * md5-derived integer hashes, (h ASC, pos DESC) total order.
     */
-  def qWinnowing(spark: SparkSession, d: String): DataFrame = {
+  def qWinnowing(spark: SparkSession, d: String): DataFrame =
+    winnowFpSet(spark, d).orderBy(col("doc_id"), col("pos"))
+
+  /** Session-pinned winnowing fingerprint table (doc_id, pos, h) — the
+    * third materialized dedup base relation beside the two pair sets
+    * ([[graft.Tables.pinForSession]]): [[qWinnowing]] presents it,
+    * [[qWinnowPairs]] self-joins it, [[qDedupEnsemble]] folds its pairs
+    * into the union components.
+    */
+  private def winnowFpSet(spark: SparkSession, d: String): DataFrame =
+    graft.Tables.pinForSession(winnowFpUnpinned(spark, d))
+
+  private[graft] def winnowFpUnpinned(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The gram relation feeds the membership explode AND the per-doc
     // count — cached so the tokenize+hash chain runs once.
@@ -2445,7 +2517,6 @@ object TextOps {
       .withColumn("rn", row_number().over(byMin))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("pos"), col("h")).distinct()
-      .orderBy(col("doc_id"), col("pos"))
   }
 
   /** Minimum shared winnowing fingerprints for a [[qWinnowPairs]] match
@@ -2467,17 +2538,24 @@ object TextOps {
     * same lever, documented not repeated). One count aggregate per
     * surviving pair.
     */
-  def qWinnowPairs(spark: SparkSession, d: String): DataFrame = {
-    val fp = graft.Tables.cacheForSelfJoin(
-      qWinnowing(spark, d).select(col("doc_id"), col("h")).distinct())
-    fp.select(col("doc_id").as("doc_a"), col("h"))
-      .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= WinnowSharedMin)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  def qWinnowPairs(spark: SparkSession, d: String): DataFrame =
+    winnowPairSet(spark, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Session-pinned MOSS match table — [[qWinnowPairs]] presents it,
+    * [[qDedupEnsemble]] folds it into the union components; like the
+    * other two pinned pair sets, production materializes it once.
+    */
+  private def winnowPairSet(spark: SparkSession, d: String): DataFrame =
+    graft.Tables.pinForSession {
+      val fp = graft.Tables.cacheForSelfJoin(
+        winnowFpSet(spark, d).select(col("doc_id"), col("h")).distinct())
+      fp.select(col("doc_id").as("doc_a"), col("h"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowSharedMin)
+    }
 
   /** Token budget allocated by [[qLangMixture]] (a stand-in training-run
     * size; the shares are the content, the budget scales them).
@@ -2898,6 +2976,7 @@ object TextOps {
     "q_dl_distance"   -> qDlDistance _,
     "q_dedup_groups"  -> qDedupGroups _,
     "q_cc_bigstar"    -> qCcBigstar _,
+    "q_dedup_ensemble" -> qDedupEnsemble _,
     "q_cc_sizes"      -> qCcSizes _,
     "q_split_leakage" -> qSplitLeakage _,
     "q_minhash_merge" -> qMinhashMerge _,
@@ -3746,6 +3825,77 @@ object TextOps {
          |         AS dup_byte_share
          |FROM documents d JOIN labels ON d.doc_id = labels.doc_id
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_ensemble" ->
+      s"""WITH RECURSIVE sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |), prs_mh AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |), $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+              s"SELECT doc_id, simhash, $b AS blk, " +
+              s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+            }.mkString("\n  UNION ALL\n  ")}
+         |), cand_sh AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), prs_sh AS (
+         |  SELECT doc_a, doc_b FROM cand_sh
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
+         |), wbase AS (
+         |  SELECT doc_id,
+         |         list_transform(
+         |           list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+         |           z -> z[1] || ' ' || z[2] || ' ' || z[3]) AS grams
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |), wg0 AS (
+         |  SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+         |         unnest(grams) AS g
+         |  FROM wbase
+         |), wg AS (
+         |  SELECT doc_id, pos,
+         |         ('0x' || substr(md5(g), 1, 15))::BIGINT % $P AS h
+         |  FROM wg0
+         |), wng AS (
+         |  SELECT doc_id, COUNT(*) AS ng FROM wg GROUP BY doc_id
+         |), wmembers AS (
+         |  SELECT wg.doc_id, wg.pos, wg.h, wg.pos - off AS w
+         |  FROM wg, (SELECT unnest(generate_series(0, ${WinnowW - 1})) AS off) o
+         |  WHERE wg.pos - off >= 0
+         |), wsel AS (
+         |  SELECT m.doc_id, m.pos, m.h,
+         |         row_number() OVER (PARTITION BY m.doc_id, m.w
+         |                            ORDER BY m.h, m.pos DESC) AS rn
+         |  FROM wmembers m JOIN wng USING (doc_id)
+         |  WHERE m.w <= wng.ng - $WinnowW
+         |), wfp AS (
+         |  SELECT DISTINCT doc_id, h FROM wsel WHERE rn = 1
+         |), prs_wn AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM wfp a JOIN wfp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |  HAVING COUNT(*) >= $WinnowSharedMin
+         |), allp AS (
+         |  SELECT doc_a, doc_b FROM prs_mh
+         |  UNION SELECT doc_a, doc_b FROM prs_sh
+         |  UNION SELECT doc_a, doc_b FROM prs_wn
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM allp
+         |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM allp
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.doc_b FROM reach JOIN edges e ON reach.r = e.doc_a
+         |)
+         |SELECT id AS doc_id, MIN(r) AS canon_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // Same oracle as q_dedup_groups BY DESIGN: the star alternation must
     // find the identical components — the gate pins algorithm-agreement.
     "q_cc_bigstar" ->

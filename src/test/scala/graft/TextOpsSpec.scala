@@ -134,6 +134,42 @@ class TextOpsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("q_dedup_ensemble equals union-find over the three verified pair sets") {
+    val mh = TextOps.qMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sh = TextOps.qSimhashPairs(spark, sfDir).collect()
+      .filter(_.getInt(2) <= TextOps.TriangleHamming)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wn = TextOps.qWinnowPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    (mh ++ sh ++ wn).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.map(i => (i, find(i)))
+    val got = TextOps.qDedupEnsemble(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // The ensemble must COARSEN the single-signal components: every
+    // MinHash-only pair still shares an ensemble component, and at
+    // least one ensemble merge crosses MinHash component boundaries.
+    val single = TextOps.qDedupGroups(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ens = got.toMap
+    mh.foreach { case (a, b) => assert(ens(a) == ens(b)) }
+    val nSingle = single.values.toSet.size
+    val nEns = ens.values.toSet.size
+    assert(nEns <= nSingle,
+      s"union of edge sets can only merge components: $nEns vs $nSingle")
+  }
+
   test("q_dedup_groups labels are a valid connected-components fixpoint") {
     import org.apache.spark.sql.functions.col
     val labels = TextOps.qDedupGroups(spark, sfDir).collect()
