@@ -855,6 +855,52 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q_modularity — Newman modularity of the SOURCE partition over the
+    * high-confidence near-dup graph: Q = Σ_c [e_c/m − (deg_c/2m)²],
+    * emitted per source as its exact-integer contribution — the ingest
+    * diagnostic that turns the near-dup graph into a ROUTING decision:
+    * Q near its maximum means duplication is within-feed (dedupe each
+    * source on its own, cheap and parallel), Q near 0/negative means
+    * feeds copy EACH OTHER and only the corpus-wide pass (E17/E254)
+    * works. Complements [[qSourceOverlap]] (which measures raw shingle
+    * sharing): modularity weighs the actual near-dup EDGES.
+    *
+    * Determinism: each contribution is the exact integer
+    * 4·m·e_c − deg_c² over a 4m² denominator (both emitted), and the
+    * double share is ONE pinned division — no float sums anywhere.
+    * Longs hold 4·m·e_c up to m ≈ 1.5·10⁹ edges; past that the same
+    * two columns go DECIMAL(38,0) — the [[graft.Tables.exactSum]]
+    * stance. Plan: edges ride the session pin; two source-sized
+    * aggregates + a 1-row broadcast.
+    */
+  def qModularity(spark: SparkSession, d: String): DataFrame = {
+    val src = documents(spark, d).select(col("doc_id"), col("source"))
+    val tagged = graft.Tables.cacheForSelfJoin(
+      simhashPairSet(spark, d)
+        .filter(col("hamming") <= TriangleHamming)
+        .select(col("doc_a"), col("doc_b"))
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b")), "doc_b"))
+    val m = tagged.agg(count(lit(1)).as("m"))
+    val intra = tagged.filter(col("src_a") === col("src_b"))
+      .groupBy(col("src_a").as("source")).agg(count(lit(1)).as("e_c"))
+    val degs = tagged.select(col("src_a").as("source"))
+      .union(tagged.select(col("src_b").as("source")))
+      .groupBy(col("source")).agg(count(lit(1)).as("deg_c"))
+    degs.join(intra, Seq("source"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("source"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("deg_c"), col("m"),
+        (lit(4L) * col("m") * coalesce(col("e_c"), lit(0L)) -
+          col("deg_c") * col("deg_c")).as("contrib_num"))
+      .select(col("source"), col("e_c"), col("deg_c"), col("contrib_num"),
+        (col("contrib_num").cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double")).as("q_contrib"))
+      .orderBy(col("source"))
+  }
+
   /** q_cc_sizes — duplicate-cluster size distribution: how many
     * connected components of each size the MinHash near-dup graph has —
     * THE dedup-policy planning readout ([[qDedupGroups]] labels every
@@ -2449,6 +2495,58 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** q_kmv_overlap — the SKETCH path for cross-feed content overlap:
+    * per-source KMV sketches ([[KmvK]]-minimum shingle hashes) estimate
+    * every source pair's |A|, |B|, |A∪B| (kth smallest of the MERGED
+    * k-min lists — KMV's union identity) and |A∩B| by inclusion-
+    * exclusion. [[qSourceOverlap]] computes these overlaps EXACTLY with
+    * corpus-sized shingle joins; at 100 TB that join is the bottleneck
+    * and this is what actually runs — 20 sketches of 64 longs replace
+    * the shingle×shingle equi-join, and the pair stage touches only
+    * |sources|²/2 × 2k values. The standard theta-sketch set-operation
+    * workflow (Apache DataSketches' intersection path), gate-verified
+    * end to end because every step is deterministic integers + pinned
+    * divisions.
+    *
+    * Plan: ONE distinct-aggregated (source, hash) relation (map-side
+    * partial, the corpus read once); per-source k-min via one window;
+    * sketches collapse to |sources| rows of 64-long arrays; the pair
+    * stage is a broadcast self-join of that tiny relation with in-row
+    * array merges. Inclusion-exclusion can go negative at sketch
+    * resolution — clamped at 0 on both engines (documented estimator
+    * behavior, not an error).
+    */
+  def qKmvOverlap(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = documents(spark, d)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), explode(expr(ShingleArrayExpr)).as("s"))
+      .select(col("source"), (md5Long(col("s"), 15) % P).as("h"))
+      .distinct()
+    val byH = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sk = hashes.withColumn("rn", row_number().over(byH))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("mins"))
+      .select(col("source"), col("mins"),
+        (lit((KmvK - 1).toDouble) * lit(P.toDouble) /
+          element_at(col("mins"), KmvK).cast("double")).as("est"))
+    val a = sk.select(col("source").as("source_a"), col("mins").as("ma"),
+      col("est").as("est_a"))
+    val b = sk.select(col("source").as("source_b"), col("mins").as("mb"),
+      col("est").as("est_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        (lit((KmvK - 1).toDouble) * lit(P.toDouble) /
+          element_at(expr("slice(array_sort(array_distinct(concat(ma, mb)))," +
+            s" 1, $KmvK)"), KmvK).cast("double")).as("est_union"))
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_inter"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** [[qWinnowing]] geometry: k-gram size and window width. Guarantee:
     * any shared run of ≥ k + w − 1 = 6 tokens between two documents
     * yields at least one SHARED fingerprint.
@@ -2955,6 +3053,7 @@ object TextOps {
     "q_ppl_buckets"   -> qPplBuckets _,
     "q_dup_inflation" -> qDupInflation _,
     "q_kmv_distinct"  -> qKmvDistinct _,
+    "q_kmv_overlap"   -> qKmvOverlap _,
     "q_winnowing"     -> qWinnowing _,
     "q_winnow_pairs"  -> qWinnowPairs _,
     "q_lang_mixture"  -> qLangMixture _,
@@ -2977,6 +3076,7 @@ object TextOps {
     "q_dedup_groups"  -> qDedupGroups _,
     "q_cc_bigstar"    -> qCcBigstar _,
     "q_dedup_ensemble" -> qDedupEnsemble _,
+    "q_modularity"    -> qModularity _,
     "q_cc_sizes"      -> qCcSizes _,
     "q_split_leakage" -> qSplitLeakage _,
     "q_minhash_merge" -> qMinhashMerge _,
@@ -3238,6 +3338,38 @@ object TextOps {
          |       CAST(budget_toks AS DOUBLE) / CAST(n_toks AS DOUBLE)
          |         AS epochs
          |FROM b ORDER BY lang""".stripMargin,
+    "q_kmv_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT source,
+         |         ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS h
+         |  FROM (SELECT source, unnest(list_distinct(list_transform(
+         |          list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+         |          z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS s
+         |        FROM (SELECT source, string_split(text, ' ') AS toks
+         |              FROM documents))
+         |), km AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h,
+         |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |    FROM h)
+         |  WHERE rn <= $KmvK
+         |), sk AS (
+         |  SELECT source, list(h ORDER BY h) AS mins,
+         |         ${(KmvK - 1).toDouble} * ${P.toDouble}
+         |           / CAST(max(h) AS DOUBLE) AS est
+         |  FROM km GROUP BY source
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       a.est AS est_a, b.est AS est_b,
+         |       ${(KmvK - 1).toDouble} * ${P.toDouble}
+         |         / CAST((list_sort(list_distinct(a.mins || b.mins)))[$KmvK]
+         |                AS DOUBLE) AS est_union,
+         |       greatest(0.0, a.est + b.est -
+         |         ${(KmvK - 1).toDouble} * ${P.toDouble}
+         |           / CAST((list_sort(list_distinct(a.mins || b.mins)))[$KmvK]
+         |                  AS DOUBLE)) AS est_inter
+         |FROM sk a JOIN sk b ON a.source < b.source
+         |ORDER BY source_a, source_b""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH h AS (
          |  SELECT DISTINCT lang,
@@ -3825,6 +3957,45 @@ object TextOps {
          |         AS dup_byte_share
          |FROM documents d JOIN labels ON d.doc_id = labels.doc_id
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q_modularity" ->
+      s"""WITH $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+              s"SELECT doc_id, simhash, $b AS blk, " +
+              s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+            }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), ed AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
+         |), tagged AS (
+         |  SELECT da.source AS src_a, db.source AS src_b
+         |  FROM ed
+         |  JOIN documents da ON ed.doc_a = da.doc_id
+         |  JOIN documents db ON ed.doc_b = db.doc_id
+         |), m AS (SELECT COUNT(*) AS m FROM tagged),
+         |intra AS (
+         |  SELECT src_a AS source, COUNT(*) AS e_c
+         |  FROM tagged WHERE src_a = src_b GROUP BY src_a
+         |), degs AS (
+         |  SELECT source, COUNT(*) AS deg_c FROM (
+         |    SELECT src_a AS source FROM tagged
+         |    UNION ALL SELECT src_b AS source FROM tagged)
+         |  GROUP BY source
+         |)
+         |SELECT degs.source,
+         |       CAST(COALESCE(e_c, 0) AS BIGINT) AS e_c,
+         |       CAST(deg_c AS BIGINT) AS deg_c,
+         |       CAST(4 * m * COALESCE(e_c, 0) - deg_c * deg_c AS BIGINT)
+         |         AS contrib_num,
+         |       CAST(4 * m * COALESCE(e_c, 0) - deg_c * deg_c AS DOUBLE)
+         |         / CAST(4 * m * m AS DOUBLE) AS q_contrib
+         |FROM degs LEFT JOIN intra ON degs.source = intra.source, m
+         |ORDER BY degs.source""".stripMargin,
     "q_dedup_ensemble" ->
       s"""WITH RECURSIVE sig AS (
          |$sigSql

@@ -170,6 +170,31 @@ class TextOpsSpec extends SparkSpec {
       s"union of edge sets can only merge components: $nEns vs $nSingle")
   }
 
+  test("q_modularity contributions match brute force over the tagged edge set") {
+    val srcOf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = TextOps.qSimhashPairs(spark, sfDir).collect()
+      .filter(_.getInt(2) <= TextOps.TriangleHamming)
+      .map(r => (srcOf(r.getLong(0)), srcOf(r.getLong(1))))
+    val m = edges.length.toLong
+    val eC = edges.filter(e => e._1 == e._2)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val degC = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = degC.keys.toSeq.sorted.map { s =>
+      val e = eC.getOrElse(s, 0L)
+      val num = 4L * m * e - degC(s) * degC(s)
+      (s, e, degC(s), num, num.toDouble / (4L * m * m).toDouble)
+    }
+    val got = TextOps.qModularity(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == want)
+    val q = got.map(_._5).sum
+    assert(q >= -1.0 && q <= 1.0 && got.exists(_._2 > 0))
+  }
+
   test("q_dedup_groups labels are a valid connected-components fixpoint") {
     import org.apache.spark.sql.functions.col
     val labels = TextOps.qDedupGroups(spark, sfDir).collect()
@@ -562,6 +587,35 @@ class TextOpsSpec extends SparkSpec {
     // sanity that selection is local, not one-per-doc.
     val perDoc = got.groupBy(_._1).view.mapValues(_.size)
     assert(perDoc.values.forall(_ >= 2), "degenerate fingerprint sets")
+  }
+
+  test("q_kmv_overlap: pairwise sketch set-ops match the hand-rolled KMV and track truth") {
+    val srcOf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val k = TextOps.KmvK
+    val bySrc = docs.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .view.mapValues(_.flatMap(d => shingles(d._2)).distinct
+        .map(s => java.lang.Long.parseLong(md5Hex(s).take(15), 16) % P)
+        .distinct.sorted).toMap
+    def est(hs: Seq[Long]) = (k - 1).toDouble * P.toDouble / hs(k - 1).toDouble
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      ma = bySrc(a).take(k); mb = bySrc(b).take(k)
+      eu = est((ma ++ mb).distinct.sorted.take(k))
+    } yield (a, b, est(ma), est(mb), eu,
+      math.max(0.0, est(ma) + est(mb) - eu)))
+      .sortBy { case (a, b, _, _, _, _) => (a, b) }
+    val got = TextOps.qKmvOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    // Union estimates must track the exact unions within sketch noise.
+    got.foreach { case (a, b, _, _, eu, _) =>
+      val exact = (bySrc(a) ++ bySrc(b)).distinct.size.toDouble
+      assert(math.abs(eu / exact - 1.0) < 0.5, s"$a-$b union est off: $eu vs $exact")
+    }
   }
 
   test("q_winnow_pairs: shared-fingerprint counts match brute force and find real dups") {
