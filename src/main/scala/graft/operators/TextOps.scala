@@ -855,6 +855,43 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q_clustering — global clustering coefficient of the high-confidence
+    * near-dup graph: 3·triangles / wedges, with the raw counts (nodes,
+    * edges, wedges, triangles) emitted beside it. The transitivity
+    * readout that separates CLIQUE-like duplication (template families,
+    * cc → 1 — dedup keep-min collapses them safely) from CHAIN-like
+    * near-dup drift (cc → 0 — transitive closure over chains merges
+    * non-duplicates, the E254 threshold-tightening case). Completes the
+    * graph-statistics family: degree distribution (E-family), triangle
+    * counts, components, modularity, transitivity.
+    *
+    * Determinism: all-integer counts — wedges = Σ deg(deg−1) DIV 2 and
+    * triangles = Σ per-doc counts DIV 3 are exact integer divisions —
+    * and the coefficient is ONE pinned double division. Plan: edges
+    * ride the session pin; the triangle side reuses [[qTriangles]]'
+    * oracle-verified per-doc counts; three tiny aggregates cross-joined
+    * as 1-row broadcasts.
+    */
+  def qClustering(spark: SparkSession, d: String): DataFrame = {
+    val edges = simhashPairSet(spark, d)
+      .filter(col("hamming") <= TriangleHamming)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val degs = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val wed = degs
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1)")).as("dd"))
+      .select(col("n_nodes"), expr("dd DIV 2").as("n_wedges"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    val t3 = qTriangles(spark, d).agg(sum(col("n_tri")).as("tri3"))
+    ne.crossJoin(broadcast(wed)).crossJoin(broadcast(t3))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        expr("tri3 DIV 3").as("n_triangles"),
+        (col("tri3").cast("double") / col("n_wedges").cast("double"))
+          .as("global_cc"))
+  }
+
   /** q_modularity — Newman modularity of the SOURCE partition over the
     * high-confidence near-dup graph: Q = Σ_c [e_c/m − (deg_c/2m)²],
     * emitted per source as its exact-integer contribution — the ingest
@@ -3077,6 +3114,7 @@ object TextOps {
     "q_cc_bigstar"    -> qCcBigstar _,
     "q_dedup_ensemble" -> qDedupEnsemble _,
     "q_modularity"    -> qModularity _,
+    "q_clustering"    -> qClustering _,
     "q_cc_sizes"      -> qCcSizes _,
     "q_split_leakage" -> qSplitLeakage _,
     "q_minhash_merge" -> qMinhashMerge _,
@@ -3957,6 +3995,40 @@ object TextOps {
          |         AS dup_byte_share
          |FROM documents d JOIN labels ON d.doc_id = labels.doc_id
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q_clustering" ->
+      s"""WITH $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+              s"SELECT doc_id, simhash, $b AS blk, " +
+              s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+            }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
+         |), tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM edges e1
+         |  JOIN edges e2 ON e1.v = e2.u
+         |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+         |), degs AS (
+         |  SELECT n, COUNT(*) AS deg FROM (
+         |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+         |  GROUP BY n
+         |)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM degs) AS n_nodes,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+         |       (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) FROM degs)
+         |         AS n_wedges,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+         |       CAST((SELECT 3 * COUNT(*) FROM tri) AS DOUBLE)
+         |         / CAST((SELECT SUM(deg * (deg - 1)) // 2 FROM degs)
+         |                AS DOUBLE) AS global_cc""".stripMargin,
     "q_modularity" ->
       s"""WITH $simhashCte, blocks AS (
          |  ${(0 to HammingMax).map { b =>

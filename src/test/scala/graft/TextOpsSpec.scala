@@ -170,6 +170,29 @@ class TextOpsSpec extends SparkSpec {
       s"union of edge sets can only merge components: $nEns vs $nSingle")
   }
 
+  test("q_clustering equals the brute-force transitivity of the near-dup graph") {
+    val edges = TextOps.qSimhashPairs(spark, sfDir).collect()
+      .filter(_.getInt(2) <= TextOps.TriangleHamming)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val degs = adj.view.mapValues(_.size.toLong).toMap
+    val wedges = degs.values.map(d => d * (d - 1) / 2).sum
+    val tris = edges.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).size.toLong
+    }.sum / 3
+    val got = TextOps.qClustering(spark, sfDir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == degs.size.toLong, "n_nodes")
+    assert(r.getLong(1) == edges.size.toLong, "n_edges")
+    assert(r.getLong(2) == wedges, "n_wedges")
+    assert(r.getLong(3) == tris, "n_triangles")
+    assert(r.getDouble(4) == 3.0 * tris.toDouble / wedges.toDouble ||
+      math.abs(r.getDouble(4) - 3.0 * tris.toDouble / wedges.toDouble) < 1e-15)
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("q_modularity contributions match brute force over the tagged edge set") {
     val srcOf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source")).collect()
