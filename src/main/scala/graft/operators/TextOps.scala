@@ -892,6 +892,49 @@ object TextOps {
           .as("global_cc"))
   }
 
+  /** q_assortativity — degree assortativity of the high-confidence
+    * near-dup graph: Pearson correlation of endpoint degrees over the
+    * 2m ordered edge-endpoint pairs, r = (2m·Σxy − (Σx)²) /
+    * (2m·Σx² − (Σx)²) — positive means big dup hubs attach to other
+    * hubs (template ecosystems that dedup as one mega-cluster),
+    * negative means hubs attach to leaves (one canonical page copied
+    * everywhere — keep-min trivially wins). With [[qDegreeDist]],
+    * [[qClustering]] and [[qModularity]], the structural profile a
+    * dedup policy is chosen from.
+    *
+    * Determinism: the symmetrized pairs make Σx = Σy and Σx² = Σy², so
+    * the whole statistic is FOUR exact BIGINT sums and ONE pinned
+    * double division — no float accumulation (2m·Σxy stays in long to
+    * m·deg² ≈ 10¹⁵; past that, DECIMAL — the [[qModularity]] stance).
+    * Plan: degrees are one node-sized aggregate off the pinned edge
+    * set; the moment sums are one map-side-partial aggregate over the
+    * degree-tagged edges.
+    */
+  def qAssortativity(spark: SparkSession, d: String): DataFrame = {
+    val edges = simhashPairSet(spark, d)
+      .filter(col("hamming") <= TriangleHamming)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val degs = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    edges
+      .join(degs.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(degs.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("m"),
+        sum(col("du") + col("dv")).as("sum_x"),
+        sum(lit(2L) * col("du") * col("dv")).as("sum_xy"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sum_xx"))
+      .select(col("m"), col("sum_x"), col("sum_xy"), col("sum_xx"),
+        (lit(2L) * col("m") * col("sum_xy") - col("sum_x") * col("sum_x"))
+          .as("num"),
+        (lit(2L) * col("m") * col("sum_xx") - col("sum_x") * col("sum_x"))
+          .as("den"))
+      .select(col("m"), col("sum_x"), col("sum_xy"), col("sum_xx"),
+        col("num"), col("den"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("assortativity"))
+  }
+
   /** q_modularity — Newman modularity of the SOURCE partition over the
     * high-confidence near-dup graph: Q = Σ_c [e_c/m − (deg_c/2m)²],
     * emitted per source as its exact-integer contribution — the ingest
@@ -3115,6 +3158,7 @@ object TextOps {
     "q_dedup_ensemble" -> qDedupEnsemble _,
     "q_modularity"    -> qModularity _,
     "q_clustering"    -> qClustering _,
+    "q_assortativity" -> qAssortativity _,
     "q_cc_sizes"      -> qCcSizes _,
     "q_split_leakage" -> qSplitLeakage _,
     "q_minhash_merge" -> qMinhashMerge _,
@@ -3995,6 +4039,42 @@ object TextOps {
          |         AS dup_byte_share
          |FROM documents d JOIN labels ON d.doc_id = labels.doc_id
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q_assortativity" ->
+      s"""WITH $simhashCte, blocks AS (
+         |  ${(0 to HammingMax).map { b =>
+              s"SELECT doc_id, simhash, $b AS blk, " +
+              s"(simhash // ${1L << (BlockBits * b)}) % ${1L << BlockBits} AS bkey FROM sh"
+            }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v
+         |  FROM cand
+         |  JOIN sh sa ON doc_a = sa.doc_id
+         |  JOIN sh sb ON doc_b = sb.doc_id
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $TriangleHamming
+         |), degs AS (
+         |  SELECT n, COUNT(*) AS deg FROM (
+         |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+         |  GROUP BY n
+         |), mo AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |         CAST(SUM(a.deg + b.deg) AS BIGINT) AS sum_x,
+         |         CAST(SUM(2 * a.deg * b.deg) AS BIGINT) AS sum_xy,
+         |         CAST(SUM(a.deg * a.deg + b.deg * b.deg) AS BIGINT) AS sum_xx
+         |  FROM edges
+         |  JOIN degs a ON edges.u = a.n
+         |  JOIN degs b ON edges.v = b.n
+         |)
+         |SELECT m, sum_x, sum_xy, sum_xx,
+         |       CAST(2 * m * sum_xy - sum_x * sum_x AS BIGINT) AS num,
+         |       CAST(2 * m * sum_xx - sum_x * sum_x AS BIGINT) AS den,
+         |       CAST(2 * m * sum_xy - sum_x * sum_x AS DOUBLE)
+         |         / CAST(2 * m * sum_xx - sum_x * sum_x AS DOUBLE)
+         |         AS assortativity
+         |FROM mo""".stripMargin,
     "q_clustering" ->
       s"""WITH $simhashCte, blocks AS (
          |  ${(0 to HammingMax).map { b =>

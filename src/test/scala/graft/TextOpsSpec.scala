@@ -193,6 +193,28 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
   }
 
+  test("q_assortativity equals the brute-force degree-degree Pearson") {
+    val edges = TextOps.qSimhashPairs(spark, sfDir).collect()
+      .filter(_.getInt(2) <= TextOps.TriangleHamming)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val m = edges.length.toLong
+    val sx = edges.map(e => deg(e._1) + deg(e._2)).sum
+    val sxy = edges.map(e => 2L * deg(e._1) * deg(e._2)).sum
+    val sxx = edges.map(e => deg(e._1) * deg(e._1) + deg(e._2) * deg(e._2)).sum
+    val num = 2L * m * sxy - sx * sx
+    val den = 2L * m * sxx - sx * sx
+    val got = TextOps.qAssortativity(spark, sfDir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((m, sx, sxy, sxx)))
+    assert(r.getLong(4) == num && r.getLong(5) == den)
+    assert(r.getDouble(6) == num.toDouble / den.toDouble)
+    assert(r.getDouble(6) >= -1.0 && r.getDouble(6) <= 1.0)
+  }
+
   test("q_modularity contributions match brute force over the tagged edge set") {
     val srcOf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source")).collect()
