@@ -94,6 +94,23 @@ object Tables {
     */
   def checkpointTier(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Free a superseded [[checkpointTier]] round. `localCheckpoint`
+    * persists its RDD OUTSIDE the CacheManager, so `Dataset.unpersist`
+    * is a no-op on it and, left alone, every round of an iterative
+    * operator stays resident until its RDD is GC'd — storage grows
+    * linearly with component diameter. The iterative graph loops call
+    * this on round r's tier once round r+1 is materialized
+    * (checkpointTier is EAGER, so the successor never re-reads its
+    * predecessor). The analyzed plan of a checkpointed frame is a
+    * single LogicalRDD leaf; its wrapped RDD holds the blocks.
+    */
+  def unpersistTier(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private val sessionPins = scala.collection.concurrent.TrieMap
     .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
 
@@ -109,6 +126,18 @@ object Tables {
     * to a LogicalRDD leaf) and every later caller — across queries —
     * reads the pinned blocks. Keyed by canonical plan: a different
     * sfDir (or a changed upstream) is a different pin.
+    *
+    * ASSUMPTIONS (enforced by the harness, documented here): (1) the
+    * parquet fixtures under a given sfDir are IMMUTABLE for the session
+    * — a pin is keyed by plan, not by data fingerprint, so rewriting a
+    * fixture mid-session would serve stale rows (the driver never does;
+    * a deployment whose inputs mutate should key pins by snapshot/commit
+    * id, i.e. read a Delta/Iceberg version, which lands in the plan and
+    * therefore in the key); (2) `localCheckpoint` blocks are
+    * NON-RECOVERABLE — an executor loss permanently fails later readers.
+    * That is the documented local-mode trade ([[checkpointTier]]'s
+    * scaladoc); a cluster with executor churn swaps in reliable
+    * `checkpoint(dir)` or writes the relation as a real table.
     *
     * Unlike [[cacheForSelfJoin]] entries, pins survive
     * [[clearSelfJoinCache]] — that drain keeps per-query numbers honest

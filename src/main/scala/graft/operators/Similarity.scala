@@ -315,6 +315,13 @@ object Similarity {
       .limit(10)
   }
 
+  /** DOCUMENTED CONVENTION: the query vector (vec_id 0) is itself a
+    * corpus member and appears in its own cell, so its cos≈1 self-hit
+    * row leads the readout — [[qAnnIvf]]/[[qAnnIvf2]] are index
+    * READOUTS (what does the probed region contain?), and the self row
+    * is the standard sanity anchor. The SERVING-path queries
+    * ([[qAnnSq8]], [[qAnnIvfPq]]) exclude self: they return neighbors.
+    */
   def qAnnIvf(spark: SparkSession, d: String): DataFrame =
     ivfProbe(spark, d, nprobe = 1)
 
@@ -1017,7 +1024,13 @@ object Similarity {
     val ranked = ivfRanked(spark, d)
     val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
       .select(col("cid").as("qcid"))
+    // Self excluded from the candidate set (the [[qAnnSq8]] convention):
+    // the query vector lands in its own probed cell at near-zero ADC
+    // distance and would occupy a top-10 slot — a serving path returns
+    // NEIGHBORS, not the query. [[qAnnIvf]] keeps its self-hit row by
+    // documented contract (it is an index READOUT, not a serving query).
     val candidates = ranked.filter(col("rn") === 1)
+      .filter(col("vec_id") =!= 0)
       .join(broadcast(qCells), col("cid") === col("qcid"))
       .select(col("vec_id"), col("cid"))
     val e = embeddings(spark, d)
@@ -1387,7 +1400,7 @@ object Similarity {
          |  SELECT cid AS qcid FROM cranked WHERE vec_id = 0 AND rn <= 2
          |), cand AS (
          |  SELECT a.vec_id, a.cid FROM cranked a JOIN qcells
-         |    ON a.cid = qcid WHERE a.rn = 1
+         |    ON a.cid = qcid WHERE a.rn = 1 AND a.vec_id <> 0
          |), subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
          |sub AS (
          |  SELECT vec_id, s,

@@ -726,6 +726,10 @@ object TextOps {
             .as("canon_id"),
           (coalesce(col("n.nmin"), col("l.canon_id")) < col("l.canon_id"))
             .as("chg")))
+      // checkpointTier is eager, so round r's blocks are dead the moment
+      // round r+1 materializes — free them now or storage grows linearly
+      // with component diameter (the round-9 advisory).
+      graft.Tables.unpersistTier(labels)
       converged = next.filter(col("chg")).isEmpty
       labels = next.select(col("doc_id"), col("canon_id"))
     }
@@ -842,6 +846,12 @@ object TextOps {
       // difference ⟺ set equality — half the probe shuffles of the
       // symmetric version.
       converged = next.count() == ed.count() && next.except(ed).isEmpty
+      // `large` is consumed (smins + next are materialized); `ed` was
+      // last read by the convergence probe above. Free both before the
+      // next round — otherwise every round's two tiers stay resident for
+      // the query lifetime (round-9 advisory).
+      graft.Tables.unpersistTier(large)
+      graft.Tables.unpersistTier(ed)
       ed = next
     }
     // At the fixpoint the graph is a union of stars rooted at component
@@ -1437,9 +1447,11 @@ object TextOps {
         .join(lab.withColumnRenamed("n", "src")
           .withColumnRenamed("label", "lsrc"), "src")
         .groupBy(col("dst")).agg(min(col("lsrc")).as("nbmin"))
+      val prev = lab
       lab = graft.Tables.checkpointTier(
         lab.join(nbMin.withColumnRenamed("dst", "n"), "n")
           .select(col("n"), least(col("label"), col("nbmin")).as("label")))
+      graft.Tables.unpersistTier(prev) // round r dead once r+1 is eager
     }
     lab.select(col("n").as("doc_id"), col("label")).orderBy(col("doc_id"))
   }
@@ -1485,10 +1497,12 @@ object TextOps {
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KcoreK)
         .select(col("n"))
+      val prev = ed
       ed = graft.Tables.checkpointTier(
         ed.join(keep.withColumnRenamed("n", "u"), Seq("u"), "semi")
           .join(keep.withColumnRenamed("n", "v"), Seq("v"), "semi")
           .select(col("u"), col("v")))
+      graft.Tables.unpersistTier(prev) // round r dead once r+1 is eager
     }
     ed.select(col("u").as("n")).union(ed.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -2604,22 +2618,28 @@ object TextOps {
       .select(col("source"), (md5Long(col("s"), 15) % P).as("h"))
       .distinct()
     val byH = Window.partitionBy(col("source")).orderBy(col("h"))
+    // Under-k contract (mirrors [[qKmvDistinct]]): a sketch holding
+    // fewer than [[KmvK]] values IS the exact distinct set, so the
+    // estimate degrades to size(mins) instead of reading the (absent)
+    // kth element — which would throw under Spark 4's ANSI mode.
+    def kmvEst(mins: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(mins) >= KmvK,
+        lit((KmvK - 1).toDouble) * lit(P.toDouble) /
+          element_at(mins, KmvK).cast("double"))
+        .otherwise(size(mins).cast("double"))
     val sk = hashes.withColumn("rn", row_number().over(byH))
       .filter(col("rn") <= KmvK)
       .groupBy(col("source"))
       .agg(sort_array(collect_list(col("h"))).as("mins"))
-      .select(col("source"), col("mins"),
-        (lit((KmvK - 1).toDouble) * lit(P.toDouble) /
-          element_at(col("mins"), KmvK).cast("double")).as("est"))
+      .select(col("source"), col("mins"), kmvEst(col("mins")).as("est"))
     val a = sk.select(col("source").as("source_a"), col("mins").as("ma"),
       col("est").as("est_a"))
     val b = sk.select(col("source").as("source_b"), col("mins").as("mb"),
       col("est").as("est_b"))
     a.join(broadcast(b), col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
-        (lit((KmvK - 1).toDouble) * lit(P.toDouble) /
-          element_at(expr("slice(array_sort(array_distinct(concat(ma, mb)))," +
-            s" 1, $KmvK)"), KmvK).cast("double")).as("est_union"))
+        kmvEst(expr("slice(array_sort(array_distinct(concat(ma, mb)))," +
+          s" 1, $KmvK)")).as("est_union"))
       .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
         col("est_union"),
         greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union"))
@@ -3437,21 +3457,27 @@ object TextOps {
          |  WHERE rn <= $KmvK
          |), sk AS (
          |  SELECT source, list(h ORDER BY h) AS mins,
-         |         ${(KmvK - 1).toDouble} * ${P.toDouble}
-         |           / CAST(max(h) AS DOUBLE) AS est
+         |         CASE WHEN COUNT(*) >= $KmvK THEN
+         |           ${(KmvK - 1).toDouble} * ${P.toDouble}
+         |             / CAST(max(h) AS DOUBLE)
+         |         ELSE CAST(COUNT(*) AS DOUBLE) END AS est
          |  FROM km GROUP BY source
+         |), pr AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         a.est AS est_a, b.est AS est_b,
+         |         list_sort(list_distinct(a.mins || b.mins)) AS m
+         |  FROM sk a JOIN sk b ON a.source < b.source
+         |), pu AS (
+         |  SELECT source_a, source_b, est_a, est_b,
+         |         CASE WHEN len(m) >= $KmvK THEN
+         |           ${(KmvK - 1).toDouble} * ${P.toDouble}
+         |             / CAST(m[$KmvK] AS DOUBLE)
+         |         ELSE CAST(len(m) AS DOUBLE) END AS est_union
+         |  FROM pr
          |)
-         |SELECT a.source AS source_a, b.source AS source_b,
-         |       a.est AS est_a, b.est AS est_b,
-         |       ${(KmvK - 1).toDouble} * ${P.toDouble}
-         |         / CAST((list_sort(list_distinct(a.mins || b.mins)))[$KmvK]
-         |                AS DOUBLE) AS est_union,
-         |       greatest(0.0, a.est + b.est -
-         |         ${(KmvK - 1).toDouble} * ${P.toDouble}
-         |           / CAST((list_sort(list_distinct(a.mins || b.mins)))[$KmvK]
-         |                  AS DOUBLE)) AS est_inter
-         |FROM sk a JOIN sk b ON a.source < b.source
-         |ORDER BY source_a, source_b""".stripMargin,
+         |SELECT source_a, source_b, est_a, est_b, est_union,
+         |       greatest(0.0, est_a + est_b - est_union) AS est_inter
+         |FROM pu ORDER BY source_a, source_b""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH h AS (
          |  SELECT DISTINCT lang,

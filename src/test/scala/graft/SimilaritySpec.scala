@@ -278,7 +278,8 @@ class SimilaritySpec extends SparkSpec {
     val probed = Set(cell(vecs(0L), 0), cell(vecs(0L), 1))
     val q = vecs(0L)
     val want = vecs.toSeq
-      .filter { case (id, v) => probed(cell(v, 0)) }
+      // Serving-path convention: the query itself is not a neighbor.
+      .filter { case (id, v) => id != 0L && probed(cell(v, 0)) }
       .map { case (id, v) =>
         val terms = (0 until Similarity.PqM).map { s =>
           val code = (1 to Similarity.PqK)

@@ -663,6 +663,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_overlap: under-k sources fall back to exact counts (no ANSI index error)") {
+    // The fixtures never exercise the under-k branch (every source holds
+    // ≥1100 distinct shingles), so build a micro corpus where each source
+    // has FEWER than KmvK distinct trigrams: the sketch IS the exact set,
+    // est must equal the exact distinct-shingle count, and est_union the
+    // exact union — and element_at(mins, K) must never be reached (it
+    // would throw ARRAY_INDEX_OUT_OF_BOUNDS under Spark 4 ANSI mode).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmv-underk").toString
+    val textA = (1 to 10).map(i => s"a$i").mkString(" ")   // 8 trigrams
+    val textB = (6 to 15).map(i => s"a$i").mkString(" ")   // 8, overlap 3
+    Seq((1L, textA, "en", "sA", textA.length.toLong),
+        (2L, textB, "en", "sB", textB.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.qKmvOverlap(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val sa = shingles(textA).map(s =>
+      java.lang.Long.parseLong(md5Hex(s).take(15), 16) % P)
+    val sb = shingles(textB).map(s =>
+      java.lang.Long.parseLong(md5Hex(s).take(15), 16) % P)
+    assert(got == Seq(("sA", "sB", sa.size.toDouble, sb.size.toDouble,
+      (sa ++ sb).size.toDouble,
+      math.max(0.0, (sa.size + sb.size - (sa ++ sb).size).toDouble))))
+  }
+
   test("q_winnow_pairs: shared-fingerprint counts match brute force and find real dups") {
     def fingerprints(text: String): Set[Long] = {
       val toks = text.split(" ")
