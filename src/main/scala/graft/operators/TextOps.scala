@@ -2627,11 +2627,15 @@ object TextOps {
         lit((KmvK - 1).toDouble) * lit(P.toDouble) /
           element_at(mins, KmvK).cast("double"))
         .otherwise(size(mins).cast("double"))
-    val sk = hashes.withColumn("rn", row_number().over(byH))
-      .filter(col("rn") <= KmvK)
-      .groupBy(col("source"))
-      .agg(sort_array(collect_list(col("h"))).as("mins"))
-      .select(col("source"), col("mins"), kmvEst(col("mins")).as("est"))
+    // cacheForSelfJoin: the pair stage reads sk on BOTH sides — uncached,
+    // each side re-runs the corpus shingle+hash+distinct chain (two full
+    // scans; the round-10 PlanSpec tripwire caught exactly this).
+    val sk = graft.Tables.cacheForSelfJoin(
+      hashes.withColumn("rn", row_number().over(byH))
+        .filter(col("rn") <= KmvK)
+        .groupBy(col("source"))
+        .agg(sort_array(collect_list(col("h"))).as("mins"))
+        .select(col("source"), col("mins"), kmvEst(col("mins")).as("est")))
     val a = sk.select(col("source").as("source_a"), col("mins").as("ma"),
       col("est").as("est_a"))
     val b = sk.select(col("source").as("source_b"), col("mins").as("mb"),

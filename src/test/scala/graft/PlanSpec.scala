@@ -614,6 +614,54 @@ class PlanSpec extends SparkSpec {
       s"q_dedup_groups' analyzed plan has $dg nodes — per-round lineage truncation lost")
   }
 
+  test("post-close graph statistics ride the session pin and never re-derive the edge list") {
+    // Round-9 post-close additions (q_clustering, q_assortativity,
+    // q_modularity) landed after the main PlanSpec passes — the round-9
+    // verdict asked for the same tripwires the older graph family has:
+    // the edge list must come from the session-pinned LogicalRDD leaf
+    // (one simhash band-join per session, not one per statistic), so the
+    // plans must contain an ExistingRDD scan and NO re-run of the
+    // shingle/simhash pipeline over documents.text.
+    for ((name, df, docScanOk) <- Seq(
+        ("q_clustering", TextOps.qClustering(spark, sfDir), false),
+        ("q_assortativity", TextOps.qAssortativity(spark, sfDir), false),
+        ("q_modularity", TextOps.qModularity(spark, sfDir), true))) {
+      val p = plan(df)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name must read the session-pinned edge leaf:\n$p")
+      if (docScanOk)
+        // q_modularity's only parquet read is the (doc_id, source)
+        // dimension — dragging text through the tag joins would make
+        // the source tagging corpus-payload-sized at scale.
+        assert(!p.contains("text"),
+          s"q_modularity's source tag must not read documents.text:\n$p")
+      else
+        assert(!p.contains("Scan parquet"),
+          s"$name must not re-derive anything from parquet — " +
+            s"the pinned edge list is its only base relation:\n$p")
+    }
+  }
+
+  test("q_kmv_overlap reads the corpus once, pruned, and broadcasts the sketch pair stage") {
+    val p = plan(TextOps.qKmvOverlap(spark, sfDir))
+    // ONE corpus pass: the collapsed |sources|-row sketch relation is
+    // cached and BOTH pair-join sides read the cache — uncached, each
+    // side re-runs the corpus shingle+hash+distinct chain (the round-10
+    // regression this tripwire caught on first run).
+    val cacheHits = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheHits >= 2,
+      s"both pair-stage sides must read the cached sketch relation " +
+        s"(saw $cacheHits InMemoryTableScans):\n$p")
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      s"the documents scan must prune to (text, source):\n$p")
+    // The pair stage is a |sources|-row broadcast self-join of the
+    // collapsed sketch relation (theta condition source_a < source_b on
+    // a ~20-row side — the bounded nested loop is the DESIGN, asserted
+    // here so a refactor to a corpus-sized theta join cannot hide).
+    assert(p.contains("BroadcastExchange"),
+      s"the sketch pair stage must broadcast the tiny sketch side:\n$p")
+  }
+
   test("q_tpch_q4 plans the EXISTS as a semi join with the date conjunct inside") {
     val p = plan(Analytics.qTpchQ4(spark, sfDir))
     assert(p.contains("LeftSemi"),
