@@ -1173,6 +1173,97 @@ object StreamOps extends Serializable {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Row budget of the mock HTTP feed: the reference's endpoints serve
+    * bounded payloads per request (`?limit=20` / `limit=50`,
+    * /root/reference/app.py:42-51), so the loopback feed serves the first
+    * [[HttpFeedLimit]] events by event_id — a client-side limit the oracle
+    * replays verbatim, and what keeps the payload bounded at every SF.
+    */
+  val HttpFeedLimit = 2000
+
+  private val httpTickCache = TrieMap.empty[String, IndexedSeq[String]]
+
+  /** Render the mock feed's per-tick JSON payloads — SERVER-side staging
+    * (the loopback stand-in for the external API rendering its response),
+    * not engine data movement: the driver-side collect here is the
+    * server's, and is bounded by [[HttpFeedLimit]]. Same 2-tick
+    * median-timestamp split as [[stageReplayDir]]; each tick is
+    * JSON-LINES (one `to_json(struct(...))` object per event — JSON
+    * escaping guarantees no raw newlines inside a record).
+    */
+  def stageHttpTicks(spark: SparkSession, d: String): IndexedSeq[String] =
+    httpTickCache.getOrElseUpdate(d, {
+      val feed = eventsRawMicros(spark, d)
+        .orderBy(col("event_id")).limit(HttpFeedLimit)
+        .cache()
+      val n = feed.count()
+      val cut = feed.orderBy(col("ts")).limit(math.max((n / 2).toInt, 1))
+        .agg(max(col("ts"))).head().getLong(0)
+      def body(half: DataFrame): String =
+        half.orderBy(col("event_id"))
+          .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))).as("j"))
+          .collect().map(_.getString(0)).mkString("\n")
+      val ticks = IndexedSeq(body(feed.filter(col("ts") <= cut)),
+                             body(feed.filter(col("ts") > cut)))
+      feed.unpersist(blocking = false)
+      ticks
+    })
+
+  /** q_http_source — the reference's Extract tick over REAL sockets: a
+    * loopback [[graft.sources.HttpReplayServer]] replays the staged JSON
+    * ticks, the `graft-http` DSv2 source polls it (tick-counter offsets,
+    * admission control, AvailableNow, per-source User-Agent header — the
+    * full app.py:67-81 fetch contract), and the stream decodes
+    * JSON-lines → typed rows → grouped exact totals. The last
+    * reference-fidelity gap closed: every other source here replays
+    * FILES; this one proves the same offset machinery over HTTP, end to
+    * end against the DuckDB oracle.
+    *
+    * Scale stance: the driver polls only the tick COUNTER; payloads are
+    * fetched executor-side, one tick per partition, so feed bytes never
+    * flow through the driver. The aggregate is the [[Tables.exactSum]]
+    * decimal contract — bit-identical no matter how ticks split the feed.
+    */
+  def qHttpSource(spark: SparkSession, d: String): DataFrame = {
+    val server = new graft.sources.HttpReplayServer(
+      stageHttpTicks(spark, d),
+      // The NWS rule (app.py:71-72): the feed demands a UA header; the
+      // source supplies it via the per-source request-option seam (S3).
+      requiredHeaders = Map("User-Agent" -> "graft-engine/1.0"))
+    server.start()
+    try {
+      val sinkName = freshSink(spark, "http_source")
+      val query = startWithStatePartitions(spark) {
+        spark.readStream
+          .format("graft-http")
+          .option("maxTicksPerTrigger", "1")
+          .option("req.User-Agent", "graft-engine/1.0")
+          .option("url", server.url)
+          .load()
+          // S4 decode: JSON-lines payload → typed event rows. A fetch
+          // error would surface as (body NULL, error) — none expected on
+          // the healthy path; the dead-letter split is spec-covered.
+          .select(explode(split(col("body"), "\n")).as("line"))
+          .select(from_json(col("line"), eventsRawSchema).as("e"))
+          .select(col("e.event_type").as("event_type"), col("e.value").as("value"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Tables.exactSum(col("value")).as("sum_v"))
+          .writeStream
+          .option("checkpointLocation", ckpt())
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      query.awaitTermination()
+      // Materialize before the server stops (the memory sink already
+      // holds the rows; this pins the read plan's independence from it).
+      spark.table(sinkName).orderBy(col("event_type"))
+    } finally server.stop()
+  }
+
   /** q_stream_tick_append — the scale-safe form of [[qStreamTick]]: APPEND
     * output mode, so each window is emitted exactly once, when the
     * watermark passes its end, and its state is evicted. Complete mode
@@ -2204,6 +2295,7 @@ object StreamOps extends Serializable {
     "q_stream_join"        -> qStreamJoin _,
     "q_stream_join_outer"  -> qStreamJoinOuter _,
     "q_deadletter"         -> qDeadletter _,
+    "q_http_source"        -> qHttpSource _,
   )
 
   /** The sessionization contract, replayed in SQL: gaps-and-islands
@@ -2379,6 +2471,14 @@ object StreamOps extends Serializable {
         |FROM (SELECT date_trunc('hour', ts) AS h, event_type, user_id FROM events), wm
         |WHERE h + INTERVAL 1 HOUR <= wm.w
         |GROUP BY h, event_type ORDER BY w_start, event_type""".stripMargin,
+    "q_http_source" ->
+      s"""WITH feed AS (
+         |  SELECT event_type, value FROM events
+         |  ORDER BY event_id LIMIT $HttpFeedLimit
+         |)
+         |SELECT event_type, COUNT(*) AS n,
+         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+         |FROM feed GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_tick" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, COUNT(*) AS n
