@@ -53,38 +53,55 @@ object Bench {
     // ~5 s of one-off cost and numbers aren't comparable across rounds.
     // timeOnce's own try/catch keeps a missing path from killing the run.
     ordered.headOption.foreach { case (n, f) => timeOnce(n, f) }
+    // Staging steps are one-time SETUP (per-query numbers measure the
+    // algorithm, not the Nth rebuild of shared infrastructure) — but their
+    // cost SCALES with the fixture, so the scaling bench can opt into
+    // timing them (SPARK_GRAFT_TIME_STAGING=1): each appears in the
+    // queries map under a `_stage_*` pseudo-key. Unset (the driver's
+    // per-round run), behavior and output are unchanged.
+    val timeStaging = sys.env.get("SPARK_GRAFT_TIME_STAGING").contains("1")
+    val stagingTimes = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    def staged(name: String)(work: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        work
+        if (timeStaging) stagingTimes += name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name staging failed: ${e.getMessage}")
+      }
+    }
     // Replay staging is stream-source SETUP (writing the 2-file replay
     // dir), not query work — pay it here once so the first streaming
     // query's timing measures the stream, not the fixture copy.
-    try graft.streaming.StreamOps.stageReplayDir(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] replay staging failed: ${e.getMessage}")
+    staged("_stage_replay") {
+      graft.streaming.StreamOps.stageReplayDir(spark, sfDir): Unit
     }
     // Same contract for the file-format sources: staging the json/csv/orc
     // copies of the fixture is one-time setup, not query work — unstaged,
     // whichever of q_{json,csv,orc,text}_source ran first absorbed the
     // conversion write and its number drifted round-to-round.
-    try graft.sources.FileSources.stageAll(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] file-format staging failed: ${e.getMessage}")
+    staged("_stage_file_formats") {
+      graft.sources.FileSources.stageAll(spark, sfDir)
     }
     // Graph-family staging: the two near-dup edge lists are session-pinned
     // base relations (Tables.pinForSession) consumed by 15 registered
     // queries — in production they are materialized tables written once.
     // Building the pins here keeps each graph query's number the cost of
     // its ALGORITHM, not the Nth rebuild of an identical edge list.
-    try graft.operators.TextOps.stageGraphFamily(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] graph-family staging failed: ${e.getMessage}")
+    staged("_stage_graph_family") {
+      graft.operators.TextOps.stageGraphFamily(spark, sfDir)
     }
     val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     val results = ordered.flatMap { case (n, f) =>
       val best = (pass1(n).toSeq ++ timeOnce(n, f).toSeq)
       if (best.isEmpty) None else Some(n -> best.min)
-    }
+    } ++ stagingTimes
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // _stage_* pseudo-entries are reported but never counted in the suite
+    // total: the total is the round-over-round comparable number.
+    val counted = results.filterNot(_._1.startsWith("_"))
+    val total = if (counted.nonEmpty) counted.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures the tail of stdout and has truncated the head of

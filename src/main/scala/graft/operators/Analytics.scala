@@ -2291,6 +2291,29 @@ object Analytics {
       .orderBy(col("event_type"), col("value").desc, col("event_id"))
   }
 
+  /** q_topk_rewrite — [[qTopkGroup]]'s OPTIMIZER-TIER twin: the query is
+    * written as the ubiquitous WINDOW IDIOM (`row_number().over(...)`,
+    * `filter(rn <= 3)`, `drop("rn")`) and the registered
+    * [[graft.plans.RowNumberTopKRewrite]] rule rewrites it to the same
+    * O(k)-heap [[graft.plans.TopKPerGroupPlan]] operator — so a user who
+    * never heard of the custom operator still gets the heap instead of
+    * WindowExec's full partition sort. qTopkGroup gate-verifies the
+    * OPERATOR; this verifies the REWRITE end to end (TopKSpec pins the
+    * plan shape: TopKPerGroup exec present, no Window, one shuffle).
+    * Same oracle as qTopkGroup — the two plans must agree row-for-row.
+    */
+  def qTopkRewrite(spark: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    events(spark, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("event_type"), col("value").desc, col("event_id"))
+  }
+
   /** q_range_join — interval/range join: same-user event pairs within ±1
     * hour of each other. The naive inequality join is not equi-keyed, so
     * Spark would plan a nested loop (quadratic per user at 100 TB);
@@ -3679,6 +3702,7 @@ object Analytics {
     "q_range_join"      -> qRangeJoin _,
     "q_profile"         -> qProfile _,
     "q_topk_group"      -> qTopkGroup _,
+    "q_topk_rewrite"    -> qTopkRewrite _,
     "q_sample_hash"     -> qSampleHash _,
     "q_unpivot"         -> qUnpivot _,
     "q_salted_agg"      -> qSaltedAgg _,
@@ -5190,6 +5214,11 @@ object Analytics {
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_topk_group" ->
+      """SELECT event_type, event_id, value FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |                           ORDER BY value DESC, event_id) <= 3
+        |ORDER BY event_type, value DESC, event_id""".stripMargin,
+    "q_topk_rewrite" ->
       """SELECT event_type, event_id, value FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
         |                           ORDER BY value DESC, event_id) <= 3

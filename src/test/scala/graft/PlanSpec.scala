@@ -662,6 +662,17 @@ class PlanSpec extends SparkSpec {
       s"the sketch pair stage must broadcast the tiny sketch side:\n$p")
   }
 
+  test("q_topk_rewrite: the registered window idiom compiles to the heap operator") {
+    // TopKSpec pins the rewrite on the bare idiom; this pins the
+    // REGISTERED query (which adds a presentation sort on top) — the
+    // rule must still match the inner Project(Filter(Window)) shape.
+    val p = plan(Analytics.qTopkRewrite(spark, sfDir))
+    assert(p.contains("TopKPerGroup ["),
+      s"registered q_topk_rewrite must ride the heap operator:\n$p")
+    assert(!p.contains("Window"),
+      s"no WindowExec fallback in the registered query:\n$p")
+  }
+
   test("q_tpch_q4 plans the EXISTS as a semi join with the date conjunct inside") {
     val p = plan(Analytics.qTpchQ4(spark, sfDir))
     assert(p.contains("LeftSemi"),

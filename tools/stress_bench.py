@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Aggregate the round-10 stress bench into per-query scaling exponents.
+
+Inputs: three Bench artifacts produced with SPARK_GRAFT_TIME_STAGING=1 over
+the same SPARK_GRAFT_ONLY list —
+  /tmp/stress_bench_sf0.1.json   (base, n)
+  /tmp/stress_bench_x3.json      (3n, StressGen factor 3)
+  /tmp/stress_bench_x10.json     (10n, StressGen factor 10)
+
+For each query: exponent_full = ln(t10/t1)/ln(10) and exponent_tail =
+ln(t10/t3)/ln(10/3). The TAIL exponent is the honest asymptotic readout —
+the base point carries the largest constant-overhead share (session,
+planning, RocksDB opens), which deflates exponent_full; between 3n and 10n
+the constants amortize. A query is flagged when exponent_tail exceeds its
+documented model's bound + noise margin:
+
+  linear   (bound 1.00 + 0.35): hash aggregates, equi-joins, banded LSH
+           self-joins with constant bucket sizes, the disjoint-copy graph
+           family — the stress model grows buckets/components in NUMBER,
+           not size, so work is ~n.
+  nlogn    (bound 1.10 + 0.35): global/per-key sorts over data-sized
+           relations (windows, asof).
+  sublinear(bound 1.00 + 0.35): streaming replay queries — dominated by
+           fixed per-batch store open/commit costs at replay batch sizes;
+           an exponent NEAR 1 here just means the data term is becoming
+           visible, which is fine; >1.35 would mean state machinery is
+           superlinear in state size, a real bug.
+
+The 0.35 margin is shared-box scheduler noise, measured ±2x on single-shot
+runs and ±10-20%% on best-of-2 (BASELINE.md); exponents compound two such
+measurements.
+
+Writes bench/bench_r10_stress.json. Not part of the shipped library — dev
+tooling, driven once per round.
+"""
+import json
+import math
+import sys
+
+NLOGN = {"q_asof_join", "q_interval_join"}
+SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
+             "q_stream_dedup"}
+# Fixed-geometry LSH: candidate mass ~ n^2 / 2^rows at the registered
+# (bands, rows) — superlinear BY DESIGN at fixed geometry; the production
+# lever is rows ~ log2(n) (graft.LshGeomProbe measures it restoring ~linear
+# wall). Bound matches the others so a regression past the documented
+# signature still flags.
+LSH_FIXED = {"q_cosine_neardup"}
+
+
+def model_of(q):
+    if q in NLOGN:
+        return "nlogn", 1.10 + 0.35
+    if q in SUBLINEAR:
+        return "streaming-fixed-cost", 1.00 + 0.35
+    if q in LSH_FIXED:
+        return "lsh-fixed-geometry", 1.00 + 0.35
+    return "linear", 1.00 + 0.35
+
+
+def main():
+    runs = {}
+    for tag in ["sf0.1", "x3", "x10"]:
+        with open(f"/tmp/stress_bench_{tag}.json") as f:
+            runs[tag] = json.load(f)["queries"]
+    names = sorted(set(runs["sf0.1"]) & set(runs["x3"]) & set(runs["x10"]))
+    out, flagged = {}, []
+    for q in names:
+        t1, t3, t10 = runs["sf0.1"][q], runs["x3"][q], runs["x10"][q]
+        exp_full = math.log(t10 / t1) / math.log(10)
+        exp_tail = math.log(t10 / t3) / math.log(10 / 3)
+        model, bound = model_of(q)
+        flag = exp_tail > bound
+        out[q] = {
+            "t_base_s": round(t1, 3), "t_x3_s": round(t3, 3),
+            "t_x10_s": round(t10, 3),
+            "exp_full": round(exp_full, 3), "exp_tail": round(exp_tail, 3),
+            "model": model, "bound": round(bound, 2), "flag": flag,
+        }
+        if flag:
+            flagged.append(q)
+    result = {
+        "round": 10,
+        "method": ("union-with-perturbation stress fixtures (graft.StressGen: "
+                   "consistent TPC-H keys, per-copy user/doc/vec offsets, "
+                   "token-suffixed documents and sign-flipped embeddings for "
+                   "constant dup density) at 3x and 10x of sf0.1; Bench "
+                   "best-of-2 noop-write per scale; exponent_tail = "
+                   "ln(t10/t3)/ln(10/3)"),
+        "flagged": flagged,
+        "queries": out,
+    }
+    # Streaming steady-state: events rows per second at each scale. Wall
+    # time ~flat while rows x10 => fixed per-batch cost dominates; the
+    # marginal-row cost is the regression-sensitive number.
+    base_events = 100_000
+    stream_rates = {}
+    for q in sorted(SUBLINEAR & set(names)):
+        t1, t3, t10 = runs["sf0.1"][q], runs["x3"][q], runs["x10"][q]
+        stream_rates[q] = {
+            "rows_per_s_base": round(base_events / t1),
+            "rows_per_s_x3": round(3 * base_events / t3),
+            "rows_per_s_x10": round(10 * base_events / t10),
+        }
+        out[q]["rows_per_s"] = stream_rates[q]
+    result["streaming_rows_per_s"] = stream_rates
+    with open("bench/bench_r10_stress.json", "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+
+    # Fill the BASELINE.md marker sections.
+    hdr = ("| query | t(n) s | t(3n) s | t(10n) s | exp full | exp tail | "
+           "model |\n|---|---|---|---|---|---|---|\n")
+    rows = "".join(
+        f"| `{q}` | {out[q]['t_base_s']:.2f} | {out[q]['t_x3_s']:.2f} | "
+        f"{out[q]['t_x10_s']:.2f} | {out[q]['exp_full']:.2f} | "
+        f"{out[q]['exp_tail']:.2f}{' **FLAG**' if out[q]['flag'] else ''} | "
+        f"{out[q]['model']} |\n"
+        for q in names)
+    stress_md = hdr + rows + (
+        f"\n{len(names)} queries measured; **{len(flagged)} flagged** "
+        f"({', '.join(flagged) if flagged else 'none'}).\n")
+    shdr = ("| query | rows/s @ n | rows/s @ 3n | rows/s @ 10n |\n"
+            "|---|---|---|---|\n")
+    srows = "".join(
+        f"| `{q}` | {v['rows_per_s_base']:,} | {v['rows_per_s_x3']:,} | "
+        f"{v['rows_per_s_x10']:,} |\n" for q, v in stream_rates.items())
+    with open("BASELINE.md") as f:
+        md = f.read()
+    md = md.replace("<!-- STRESS_RESULTS -->", stress_md)
+    md = md.replace("<!-- STREAM_STEADY_RESULTS -->", shdr + srows)
+    with open("BASELINE.md", "w") as f:
+        f.write(md)
+
+    for q in names:
+        r = out[q]
+        mark = " <-- FLAG" if r["flag"] else ""
+        print(f"{q:26s} {r['t_base_s']:7.2f} {r['t_x3_s']:7.2f} "
+              f"{r['t_x10_s']:7.2f}  full={r['exp_full']:5.2f} "
+              f"tail={r['exp_tail']:5.2f} [{r['model']}]{mark}")
+    print(f"\n{len(names)} queries, {len(flagged)} flagged: {flagged}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
