@@ -105,6 +105,43 @@ class HttpSourceSpec extends SparkSpec {
       s"non-secret options must surface for operability: $desc")
   }
 
+  test("restart from checkpoint: committed ticks are not refetched, new ticks resume the offset") {
+    // The replay contract over sockets: drain a 2-tick feed, grow it to
+    // 4 ticks, restart from the SAME checkpoint — the resumed query must
+    // fetch ONLY ticks 2 and 3 (committed tick-index offsets, exactly
+    // like the file-index source), and the sink must hold each tick once.
+    // "Growth" is modeled as two servers sharing the tick prefix (the
+    // payloads are immutable, so a 4-tick feed IS the grown 2-tick feed).
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_http_ckpt_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_http_out_").toString
+    def drainTo(s: HttpReplayServer): Unit = {
+      val q = spark.readStream.format("graft-http")
+        .option("url", s.url).option("maxTicksPerTrigger", "1")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val s1 = new HttpReplayServer(IndexedSeq("t0", "t1"))
+    s1.start()
+    try drainTo(s1) finally s1.stop()
+    val s2 = new HttpReplayServer(IndexedSeq("t0", "t1", "t2", "t3"))
+    s2.start()
+    val before = s2.requestCount
+    try drainTo(s2) finally s2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((0L, "t0"), (1L, "t1"), (2L, "t2"), (3L, "t3")),
+      s"each tick must land exactly once across the restart: $rows")
+    // The resumed run fetched only the NEW ticks (plus counter polls):
+    // no /tick/0 or /tick/1 GETs hit the second server.
+    assert(s2.requestCount - before < 2 + 4,
+      s"resume must not refetch committed ticks (saw ${s2.requestCount - before} requests)")
+  }
+
   test("a feed whose tick history shrinks below a committed offset fails loudly") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val server = new HttpReplayServer(IndexedSeq("t0"))
