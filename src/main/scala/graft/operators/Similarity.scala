@@ -250,9 +250,18 @@ object Similarity {
     * the difference between reading each vector once and re-normalizing
     * it once per candidate.
     */
-  def qCosineNeardup(spark: SparkSession, d: String): DataFrame = {
+  def qCosineNeardup(spark: SparkSession, d: String): DataFrame =
+    neardupPairs(spark, d, NdBands, NdRows)
+
+  /** The LSH-candidates → exact-verify tail shared by [[qCosineNeardup]]
+    * (fixed geometry) and [[qCosineNeardupScaled]] (occupancy-compensated
+    * geometry): band candidates at (bands, rows), each surviving pair
+    * fetches its two embeddings once by equi-join, exact cosine ≥ 0.3.
+    */
+  private[graft] def neardupPairs(spark: SparkSession, d: String,
+                                  bands: Int, rows: Int): DataFrame = {
     val e = embeddings(spark, d)
-    val cand = bandCandidates(spark, d, NdBands, NdRows)
+    val cand = bandCandidates(spark, d, bands, rows)
     def side(p: String) = e.select(
       col("vec_id").as(s"${p}_id"),
       col("embedding").as(s"${p}_e"),
@@ -264,6 +273,53 @@ object Similarity {
               cosinePre(col("a_e"), col("b_e"), col("a_n"), col("b_n")).as("cos"))
       .filter(col("cos") >= 0.3)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Expected per-band bucket occupancy above which [[scaledGeometry]]
+    * widens the bucket key: with n vectors and 2^rows buckets per band,
+    * occupancy ~ n/2^rows under near-uniform sign bits, and per-band
+    * candidate mass is Σ bucket² ≈ n·occupancy — so holding occupancy
+    * ≤ this constant holds candidate mass ~LINEAR in n (the
+    * `graft.LshGeomProbe` measurement: fixed (4,4) at ×10 data → ×100
+    * candidates, 9.3 s; compensated (2,8) → ×3.4 candidates, flat wall).
+    */
+  val NdTargetOcc = 256L
+
+  /** rows ≈ log₂(n/occupancy), snapped to the (bands, rows) splits of the
+    * [[NdPlanes]]-plane signature: the smallest rows ∈ {4, 8, 16} whose
+    * 2^rows buckets keep expected occupancy ≤ [[NdTargetOcc]] (16-row cap:
+    * one exact-signature band). Monotone by construction, and the
+    * candidate sets NEST across the cuts (candidates(1,16) ⊆
+    * candidates(2,8) ⊆ candidates(4,4) — [[bandKeysFor]]'s contiguous
+    * split), so growing the corpus only ever SHRINKS the candidate ratio,
+    * never surprises recall upward.
+    */
+  private[graft] def scaledGeometry(n: Long): (Int, Int) =
+    if (n <= (NdTargetOcc << 4)) (4, 4)
+    else if (n <= (NdTargetOcc << 8)) (2, 8)
+    else (1, 16)
+
+  /** q_cosine_neardup_scaled — [[qCosineNeardup]] with the production
+    * geometry lever SHIPPED: (bands, rows) chosen from the corpus COUNT by
+    * [[scaledGeometry]] so per-bucket occupancy — and therefore candidate
+    * mass per row — stays constant as the corpus grows. This is the
+    * documented fix for the fixed-geometry n²/2^rows candidate signature
+    * (the one >1 tail exponent in `bench/bench_r10_stress.json`): at ×10
+    * data the compensated geometry held wall time FLAT where fixed (4,4)
+    * paid ×9.5.
+    *
+    * The count() is an index-build-time statistic — one columnar
+    * metadata-only job, the moral equivalent of the table stats AQE reads;
+    * a production index build knows its corpus size before choosing
+    * shingle/band geometry. Recall at wider keys is the standard LSH
+    * trade: candidates need all `rows` sign bits of some band to agree,
+    * and the spec sweep pins the monotone candidate/recall nesting across
+    * exactly these splits.
+    */
+  def qCosineNeardupScaled(spark: SparkSession, d: String): DataFrame = {
+    val n = embeddings(spark, d).count()
+    val (bands, rows) = scaledGeometry(n)
+    neardupPairs(spark, d, bands, rows)
   }
 
   /** q_ann_ivf — IVF-style ANN, the other standard scale path besides LSH:
@@ -1215,6 +1271,7 @@ object Similarity {
     "q_centroid"        -> qCentroid _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
     "q_cosine_neardup"  -> qCosineNeardup _,
+    "q_cosine_neardup_scaled" -> qCosineNeardupScaled _,
     "q_ann_ivf"         -> qAnnIvf _,
     "q_ann_ivf2"        -> qAnnIvf2 _,
     "q_pq_encode"       -> qPqEncode _,
@@ -1252,13 +1309,36 @@ object Similarity {
     * 1-based like Spark's `element_at`, so plane j is `embedding[4j+1]`
     * in both engines.
     */
-  private val ndBandsSql: String = (0 until NdBands).map { b =>
-    val key = (0 until NdRows).map { i =>
-      val coord = 4 * (b * NdRows + i) + 1
-      s"CAST(embedding[$coord] >= 0 AS INT) * ${1 << (NdRows - 1 - i)}"
+  private def bandsSqlFor(bands: Int, rows: Int): String = (0 until bands).map { b =>
+    val key = (0 until rows).map { i =>
+      val coord = 4 * (b * rows + i) + 1
+      s"CAST(embedding[$coord] >= 0 AS INT) * ${1 << (rows - 1 - i)}"
     }.mkString(" + ")
     s"SELECT vec_id, $b AS band, $key AS bkey FROM embeddings"
   }.mkString("\n  UNION ALL\n  ")
+
+  private val ndBandsSql: String = bandsSqlFor(NdBands, NdRows)
+
+  /** The scaled-geometry oracle carries EVERY [[scaledGeometry]] branch,
+    * each gated on the same corpus-count cuts the Scala side reads — the
+    * two engines agree on the geometry for ANY fixture size, not just the
+    * gate's. Gates are disjoint, so the UNION ALL of candidate branches
+    * is the selected branch alone.
+    */
+  private val ndScaledCandSql: String = {
+    val cuts = Seq(
+      ((4, 4), s"(SELECT cnt FROM n) <= ${NdTargetOcc << 4}"),
+      ((2, 8), s"(SELECT cnt FROM n) > ${NdTargetOcc << 4} AND " +
+               s"(SELECT cnt FROM n) <= ${NdTargetOcc << 8}"),
+      ((1, 16), s"(SELECT cnt FROM n) > ${NdTargetOcc << 8}"))
+    cuts.map { case ((bands, rows), gate) =>
+      s"""SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM (${bandsSqlFor(bands, rows)}) a
+         |  JOIN (${bandsSqlFor(bands, rows)}) b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |  WHERE $gate""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_kmeans_sse" ->
@@ -1778,6 +1858,17 @@ object Similarity {
          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |)
+         |SELECT a_id, b_id, cos FROM (
+         |  SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON a_id = ea.vec_id
+         |  JOIN embeddings eb ON b_id = eb.vec_id)
+         |WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+    "q_cosine_neardup_scaled" ->
+      s"""WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+         |cand AS (
+         |  $ndScaledCandSql
          |)
          |SELECT a_id, b_id, cos FROM (
          |  SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos

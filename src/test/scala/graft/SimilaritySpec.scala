@@ -151,6 +151,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("scaledGeometry: rows ~ log2(n/occupancy), snapped to the 16-plane splits") {
+    // Below the first cut the default geometry holds; each cut widens the
+    // bucket key by one split; the widest is the exact-signature band.
+    assert(Similarity.scaledGeometry(0) == (4, 4))
+    assert(Similarity.scaledGeometry(Similarity.NdTargetOcc << 4) == (4, 4))
+    assert(Similarity.scaledGeometry((Similarity.NdTargetOcc << 4) + 1) == (2, 8))
+    assert(Similarity.scaledGeometry(Similarity.NdTargetOcc << 8) == (2, 8))
+    assert(Similarity.scaledGeometry((Similarity.NdTargetOcc << 8) + 1) == (1, 16))
+    // The invariant the cuts encode: at each selected geometry the
+    // expected occupancy n/2^rows stays <= the target (until the 16-row
+    // cap, where the signature has no planes left to spend).
+    for (n <- Seq(100L, 4096L, 5000L, 65536L, 70000L, 1000000L)) {
+      val (_, rows) = Similarity.scaledGeometry(n)
+      if (rows < 16)
+        assert(n.toDouble / (1L << rows) <= Similarity.NdTargetOcc,
+          s"occupancy at n=$n rows=$rows exceeds target")
+    }
+  }
+
+  test("q_cosine_neardup_scaled: fixture count selects (4,4) and reproduces q_cosine_neardup exactly") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(Similarity.scaledGeometry(n) == (4, 4),
+      s"fixture count $n must sit below the first occupancy cut")
+    val scaled = Similarity.qCosineNeardupScaled(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fixed = Similarity.qCosineNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(scaled == fixed)
+  }
+
+  test("wider-geometry tail: neardupPairs(2,8) pairs nest in (4,4) with identical scores") {
+    val p44 = Similarity.neardupPairs(spark, sfDir, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p28 = Similarity.neardupPairs(spark, sfDir, 2, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p28.nonEmpty, "the wider geometry must still surface pairs on the fixture")
+    assert(p28.keySet.subsetOf(p44.keySet),
+      "candidates(2,8) ⊆ candidates(4,4) must survive the verify stage")
+    p28.foreach { case (k, c) =>
+      assert(p44(k) == c, s"pair $k scored differently across geometries")
+    }
+  }
+
   test("banded LSH property sweep: (2,8)->(4,4)->(8,2) trades candidate mass for recall monotonically") {
     val ids = vecs.keys.toSeq.sorted
     val truth = (for {

@@ -46,6 +46,10 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
 # wall). Bound matches the others so a regression past the documented
 # signature still flags.
 LSH_FIXED = {"q_cosine_neardup"}
+# Occupancy-compensated geometry (scaledGeometry): candidate mass is held
+# ~linear in n by widening the bucket key with the corpus, so this one is
+# gated at the plain linear bound — the shipped fix for LSH_FIXED.
+LSH_SCALED = {"q_cosine_neardup_scaled"}
 
 
 def model_of(q):
@@ -55,6 +59,8 @@ def model_of(q):
         return "streaming-fixed-cost", 1.00 + 0.35
     if q in LSH_FIXED:
         return "lsh-fixed-geometry", 1.00 + 0.35
+    if q in LSH_SCALED:
+        return "lsh-occupancy-compensated", 1.00 + 0.35
     return "linear", 1.00 + 0.35
 
 
