@@ -7,6 +7,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan-split sizing stays at Spark's defaults ON PURPOSE: split
+      // width is already dynamic — min(maxPartitionBytes, max(openCost,
+      // totalBytes/defaultParallelism)) — so at local[32] every fixture
+      // up to ×40 stress (427 MB lineitem → ~18 MB splits ≈ 1 file/task
+      // over 40 files) scans with ~core-count tasks. A round-10 probe
+      // that forced 16 MB splits moved nothing at 32 cores; the serial
+      // scan it was chasing was an artifact of benching at local[4]
+      // (447 MB/4 ⇒ 128 MB splits ⇒ 4 tasks), i.e. a CORE-COUNT effect
+      // — which is why the artifact line below records cpus.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -102,7 +111,10 @@ object Bench {
     // total: the total is the round-over-round comparable number.
     val counted = results.filterNot(_._1.startsWith("_"))
     val total = if (counted.nonEmpty) counted.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // cpus is IN the artifact: a sweep once compared local[4] numbers
+    // against a local[32] anchor because the config lived only in the
+    // launch command — self-describing artifacts make that impossible.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures the tail of stdout and has truncated the head of
     // this (long) line in past rounds; persist the full artifact to a file

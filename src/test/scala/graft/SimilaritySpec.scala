@@ -181,15 +181,20 @@ class SimilaritySpec extends SparkSpec {
     assert(scaled == fixed)
   }
 
-  test("wider-geometry tail: neardupPairs(2,8) pairs nest in (4,4) with identical scores") {
-    val p44 = Similarity.neardupPairs(spark, sfDir, 4, 4).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val p28 = Similarity.neardupPairs(spark, sfDir, 2, 8).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(p28.nonEmpty, "the wider geometry must still surface pairs on the fixture")
-    assert(p28.keySet.subsetOf(p44.keySet),
-      "candidates(2,8) ⊆ candidates(4,4) must survive the verify stage")
-    p28.foreach { case (k, c) =>
+  test("wider-geometry tails: neardupPairs(1,16) ⊆ (2,8) ⊆ (4,4) with identical scores") {
+    // Execution coverage for BOTH non-default scaledGeometry branches:
+    // every geometry the selector can pick runs the same verify tail, and
+    // the verified pair sets nest exactly as the candidate sets do.
+    val geos = Seq((4, 4), (2, 8), (1, 16))
+    val ps = geos.map { case (b, r) =>
+      Similarity.neardupPairs(spark, sfDir, b, r).collect()
+        .map(row => (row.getLong(0), row.getLong(1)) -> row.getDouble(2)).toMap
+    }
+    val Seq(p44, p28, p116) = ps
+    assert(p28.nonEmpty, "the (2,8) geometry must still surface pairs on the fixture")
+    assert(p116.keySet.subsetOf(p28.keySet) && p28.keySet.subsetOf(p44.keySet),
+      "verified pairs must nest down the geometry cuts")
+    (p28 ++ p116).foreach { case (k, c) =>
       assert(p44(k) == c, s"pair $k scored differently across geometries")
     }
   }

@@ -6,6 +6,8 @@ the same SPARK_GRAFT_ONLY list —
   /tmp/stress_bench_sf0.1.json   (base, n)
   /tmp/stress_bench_x3.json      (3n, StressGen factor 3)
   /tmp/stress_bench_x10.json     (10n, StressGen factor 10)
+(each falls back to the committed archive bench/r10_local32/ when the
+/tmp copy is gone — the tables regenerate from git alone)
 
 For each query: exponent_full = ln(t10/t1)/ln(10) and exponent_tail =
 ln(t10/t3)/ln(10/3). The TAIL exponent is the honest asymptotic readout —
@@ -35,7 +37,18 @@ tooling, driven once per round.
 """
 import json
 import math
+import os
 import sys
+
+
+def _load(name):
+    """Prefer the fresh /tmp artifact; fall back to the committed archive
+    (bench/r10_local32/) so the tables regenerate from git alone."""
+    for path in (f"/tmp/{name}", f"bench/r10_local32/{name}"):
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+    raise FileNotFoundError(name)
 
 NLOGN = {"q_asof_join", "q_interval_join"}
 SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
@@ -65,10 +78,29 @@ def model_of(q):
 
 
 def main():
-    runs = {}
+    runs, cpus = {}, set()
     for tag in ["sf0.1", "x3", "x10"]:
-        with open(f"/tmp/stress_bench_{tag}.json") as f:
-            runs[tag] = json.load(f)["queries"]
+        d = _load(f"stress_bench_{tag}.json")
+        runs[tag] = d["queries"]
+        cpus.add(d.get("cpus"))
+    # Exponents compare points across scales — a mixed-core-count sweep
+    # (the round-10 local[4]-vs-local[32] incident) produces exponents
+    # that measure the LAUNCH COMMAND, not the algorithm. Hard-stop.
+    if len(cpus) != 1:
+        sys.exit(f"refusing mixed-cpus artifacts: {sorted(map(str, cpus))}")
+    # Optional 4th point: a ×40 run over a SUBSET of the heaviest queries
+    # (/tmp/stress_bench_x40.json, produced the same way). Its exponent is
+    # ln(t40/t10)/ln(4) — one more doubling-and-change of the tail, on the
+    # queries where a superlinear term would show first.
+    x40 = {}
+    try:
+        d40 = _load("stress_bench_x40.json")
+        if d40.get("cpus") not in cpus:
+            sys.exit(f"refusing mixed-cpus x40 artifact: {d40.get('cpus')} "
+                     f"vs {sorted(map(str, cpus))}")
+        x40 = d40["queries"]
+    except FileNotFoundError:
+        pass
     names = sorted(set(runs["sf0.1"]) & set(runs["x3"]) & set(runs["x10"]))
     out, flagged = {}, []
     for q in names:
@@ -83,6 +115,15 @@ def main():
             "exp_full": round(exp_full, 3), "exp_tail": round(exp_tail, 3),
             "model": model, "bound": round(bound, 2), "flag": flag,
         }
+        if q in x40:
+            t40 = x40[q]
+            exp40 = math.log(t40 / t10) / math.log(4)
+            out[q]["t_x40_s"] = round(t40, 3)
+            out[q]["exp_x40"] = round(exp40, 3)
+            # The x40 point gates at the same bound as the x10 tail.
+            if exp40 > bound:
+                out[q]["flag"] = True
+                flag = True
         if flag:
             flagged.append(q)
     result = {
@@ -90,9 +131,12 @@ def main():
         "method": ("union-with-perturbation stress fixtures (graft.StressGen: "
                    "consistent TPC-H keys, per-copy user/doc/vec offsets, "
                    "token-suffixed documents and sign-flipped embeddings for "
-                   "constant dup density) at 3x and 10x of sf0.1; Bench "
-                   "best-of-2 noop-write per scale; exponent_tail = "
-                   "ln(t10/t3)/ln(10/3)"),
+                   "constant dup density) at 3x and 10x of sf0.1 (+optional "
+                   "40x subset); Bench best-of-2 noop-write per scale at "
+                   "local[32] (artifacts record cpus; Spark's dynamic scan "
+                   "splits totalBytes/cores keep task count ~cores at every "
+                   "scale); exponent_tail = ln(t10/t3)/ln(10/3), "
+                   "exponent_x40 = ln(t40/t10)/ln(4)"),
         "flagged": flagged,
         "queries": out,
     }
@@ -108,41 +152,59 @@ def main():
             "rows_per_s_x3": round(3 * base_events / t3),
             "rows_per_s_x10": round(10 * base_events / t10),
         }
+        if q in x40:
+            stream_rates[q]["rows_per_s_x40"] = round(40 * base_events / x40[q])
         out[q]["rows_per_s"] = stream_rates[q]
     result["streaming_rows_per_s"] = stream_rates
     with open("bench/bench_r10_stress.json", "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
     # Fill the BASELINE.md marker sections.
-    hdr = ("| query | t(n) s | t(3n) s | t(10n) s | exp full | exp tail | "
-           "model |\n|---|---|---|---|---|---|---|\n")
+    hdr = ("| query | t(n) s | t(3n) s | t(10n) s | t(40n) s | exp full | "
+           "exp tail | exp ×40 | model |\n|---|---|---|---|---|---|---|---|---|\n")
     rows = "".join(
         f"| `{q}` | {out[q]['t_base_s']:.2f} | {out[q]['t_x3_s']:.2f} | "
-        f"{out[q]['t_x10_s']:.2f} | {out[q]['exp_full']:.2f} | "
-        f"{out[q]['exp_tail']:.2f}{' **FLAG**' if out[q]['flag'] else ''} | "
+        f"{out[q]['t_x10_s']:.2f} | "
+        + (f"{out[q]['t_x40_s']:.2f}" if 't_x40_s' in out[q] else "—") + " | "
+        f"{out[q]['exp_full']:.2f} | "
+        f"{out[q]['exp_tail']:.2f} | "
+        + (f"{out[q]['exp_x40']:.2f}" if 'exp_x40' in out[q] else "—")
+        + (' **FLAG**' if out[q]['flag'] else '') + " | "
         f"{out[q]['model']} |\n"
         for q in names)
     stress_md = hdr + rows + (
         f"\n{len(names)} queries measured; **{len(flagged)} flagged** "
         f"({', '.join(flagged) if flagged else 'none'}).\n")
-    shdr = ("| query | rows/s @ n | rows/s @ 3n | rows/s @ 10n |\n"
-            "|---|---|---|---|\n")
+    shdr = ("| query | rows/s @ n | rows/s @ 3n | rows/s @ 10n | rows/s @ 40n |\n"
+            "|---|---|---|---|---|\n")
     srows = "".join(
         f"| `{q}` | {v['rows_per_s_base']:,} | {v['rows_per_s_x3']:,} | "
-        f"{v['rows_per_s_x10']:,} |\n" for q, v in stream_rates.items())
+        f"{v['rows_per_s_x10']:,} | "
+        + (f"{v['rows_per_s_x40']:,}" if 'rows_per_s_x40' in v else "—")
+        + " |\n" for q, v in stream_rates.items())
+    # Idempotent refresh: replace BETWEEN begin/end sentinels so a re-sweep
+    # (config change, new scale point) regenerates the tables in place
+    # instead of silently no-opping on consumed one-shot markers.
+    def fill(md, tag, body):
+        b, e = f"<!-- {tag}_BEGIN -->", f"<!-- {tag}_END -->"
+        i, j = md.index(b) + len(b), md.index(e)
+        return md[:i] + "\n" + body + md[j:]
+
     with open("BASELINE.md") as f:
         md = f.read()
-    md = md.replace("<!-- STRESS_RESULTS -->", stress_md)
-    md = md.replace("<!-- STREAM_STEADY_RESULTS -->", shdr + srows)
+    md = fill(md, "STRESS_RESULTS", stress_md)
+    md = fill(md, "STREAM_STEADY_RESULTS", shdr + srows)
     with open("BASELINE.md", "w") as f:
         f.write(md)
 
     for q in names:
         r = out[q]
         mark = " <-- FLAG" if r["flag"] else ""
+        x40s = (f" t40={r['t_x40_s']:7.2f} e40={r['exp_x40']:5.2f}"
+                if "t_x40_s" in r else "")
         print(f"{q:26s} {r['t_base_s']:7.2f} {r['t_x3_s']:7.2f} "
               f"{r['t_x10_s']:7.2f}  full={r['exp_full']:5.2f} "
-              f"tail={r['exp_tail']:5.2f} [{r['model']}]{mark}")
+              f"tail={r['exp_tail']:5.2f}{x40s} [{r['model']}]{mark}")
     print(f"\n{len(names)} queries, {len(flagged)} flagged: {flagged}")
     return 1 if flagged else 0
 
