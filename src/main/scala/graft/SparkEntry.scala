@@ -27,6 +27,7 @@ object SparkEntry {
       (Windows.queries, Windows.oracle),
       (Similarity.queries, Similarity.oracle),
       (TextOps.queries, TextOps.oracle),
+      (Corpus.queries, Corpus.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (Ranking.queries, Ranking.oracle),
       (Mining.queries, Mining.oracle),

@@ -3619,7 +3619,96 @@ object Analytics {
         |LIMIT 10""".stripMargin)
   }
 
+  /** q_bloom_join — the EXPLICIT bloom-filter semi-join: the selective
+    * dimension's key set (urgent orders) is sketched into ONE bloom
+    * filter (Spark's own `BloomFilterAggregate`, the sketch
+    * `InjectRuntimeFilter` builds internally — RuntimeFilterSpec pins
+    * the automatic path; this query constructs it deliberately), pushed
+    * into the fact scan as a `might_contain` predicate, and the handful
+    * of false positives die in the exact join behind it. This is the
+    * 100 TB join discipline written out: at scale the filter is built
+    * ONCE and reused across every consumer of the same dimension cut
+    * (a materialized runtime filter), and the fact side sheds ~4/5 of
+    * its rows BEFORE the shuffle instead of after.
+    *
+    * Plan: the bloom is a 1-row scalar subquery (one pass over the
+    * dimension, map-side merged sketches); the fact scan evaluates
+    * xxhash64 + might_contain per row inside codegen — zero extra
+    * shuffles; the exact join then carries only surviving rows. The
+    * bloom is pure PRUNING — correctness never depends on it (false
+    * positives are removed by the equi-join, false negatives are
+    * impossible), which is why the oracle is the plain join SQL.
+    */
+  def qBloomJoin(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val sel = orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = sel.select(GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col("o_orderkey"))))
+        .toAggregateExpression()).as("bf"))
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      ScalarSubquery(bloom.queryExecution.analyzed),
+      GraftSqlBridge.expression(xxhash64(col("l_orderkey")))))
+    val cents = floor(
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0)
+        + lit(0.5)).cast("long")
+    lineitem(spark, d)
+      .filter(mightContain)
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), sum(cents).as("revenue_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q_hits — HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    * customer→part purchase graph, two unnormalized power iterations:
+    * auth₁(p) = in-degree, hub₁(c) = Σ auth₁ over c's parts, auth₂(p) =
+    * Σ hub₁ over p's buyers — "important parts are bought by important
+    * customers, important customers buy important parts." The
+    * mutual-reinforcement ranking [[qPagerank]]'s single-score walk
+    * can't express on a bipartite graph; in a catalog this is the
+    * influence ranking behind "anchor products".
+    *
+    * Determinism: normalization is deliberately DROPPED for the fixed
+    * two-iteration readout, so every score is an EXACT BIGINT degree
+    * convolution — the ranking is identical to the normalized one
+    * (normalization is a positive global scalar per iteration) and the
+    * hash gate compares integers, not float ulps. A converged solver
+    * adds per-round normalization and the [[TextOps]] driver-loop
+    * convergence contract.
+    *
+    * Plan: the edge list (distinct customer–part pairs) is built once
+    * and reused for all three convolutions ([[graft.Tables
+    * .cacheForSelfJoin]]); each iteration is an edge-keyed equi-join +
+    * hash agg with map-side partials — edges never fan out, scores are
+    * node-grain. Top-20 via TakeOrderedAndProject.
+    */
+  def qHits(spark: SparkSession, d: String): DataFrame = {
+    val edges = graft.Tables.cacheForSelfJoin(
+      orders(spark, d).select(col("o_custkey"), col("o_orderkey"))
+        .join(lineitem(spark, d).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct())
+    val auth1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+    val hub1 = edges.join(auth1, "p")
+      .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+    val auth2 = edges.join(hub1, "c")
+      .groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+    auth2.join(auth1, "p")
+      .select(col("p").as("partkey"), col("a1").as("in_deg"),
+        col("a2").as("authority2"))
+      .orderBy(col("authority2").desc, col("partkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join"      -> qBloomJoin _,
+    "q_hits"            -> qHits _,
     "q_yoy"             -> qYoy _,
     "q_sole_supplier"   -> qSoleSupplier _,
     "q_freshness"       -> qFreshness _,
@@ -3749,6 +3838,30 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))
+        |         * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hits" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), auth1 AS (
+        |  SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM edges GROUP BY p
+        |), hub1 AS (
+        |  SELECT c, CAST(SUM(a1) AS BIGINT) AS h1
+        |  FROM edges JOIN auth1 USING (p) GROUP BY c
+        |), auth2 AS (
+        |  SELECT p, CAST(SUM(h1) AS BIGINT) AS a2
+        |  FROM edges JOIN hub1 USING (c) GROUP BY p
+        |)
+        |SELECT p AS partkey, a1 AS in_deg, a2 AS authority2
+        |FROM auth2 JOIN auth1 USING (p)
+        |ORDER BY authority2 DESC, partkey LIMIT 20""".stripMargin,
     "q_yoy" ->
       """WITH monthly AS (
         |  SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1)

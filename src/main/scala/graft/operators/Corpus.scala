@@ -1,0 +1,450 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-forensics operators over `documents` — the round-10 additions to
+  * the LLM-data-pipeline family (SURVEY.md §2f): exact shared-substring
+  * duplication coverage, content-defined chunking dedup, lexical-diversity
+  * and tokenizer-fertility profiling, and a Kneser-Ney smoothed bigram
+  * model. The reference has no text analytics at all (its only string
+  * handling renders insights, /root/reference/app.py:206-218); these are
+  * the corpus-audit queries a training-data pipeline runs between ingest
+  * and sampling.
+  *
+  * Determinism contract (the driver's hash gate): every statistic is
+  * assembled from EXACT integer counts; every double is produced by a
+  * pinned sequence of +,-,*,/ mirrored literally in the oracle SQL; chunk
+  * identity is `md5` (bit-identical across engines); no RNG, no
+  * engine-specific hash.
+  *
+  * Scale design (100 TB): every per-document step here is a per-row array
+  * expression inside the scan projection (codegen, no shuffle); the only
+  * shuffles are hash-aggregations on n-gram / chunk-hash / token keys,
+  * all map-side-partial-aggregated. Nothing materializes per-position
+  * rows except the n-gram posting explode, which is the same inverted-
+  * index shape as [[TextOps]]' shingle pipeline (hot-key caps documented
+  * there apply unchanged).
+  */
+object Corpus {
+
+  // ---------------------------------------------------------------------
+  // q_substring_dup — exact shared-substring duplication coverage
+  // ---------------------------------------------------------------------
+
+  /** Shared-run length, in tokens. Lee et al. (2022, "Deduplicating
+    * Training Data Makes Language Models Better") use 50 BPE tokens over
+    * a suffix array; at the fixture's ~40-token documents the same
+    * statistic is meaningful at 8.
+    */
+  val SubDupL = 8
+
+  /** q_substring_dup — per-document EXACT duplicated-substring coverage:
+    * the fraction of token positions covered by some length-[[SubDupL]]
+    * token run that also appears verbatim in at least one OTHER document.
+    * This is the exact-substring dedup statistic of Lee et al. (2022) —
+    * the signal that catches verbatim boilerplate MinHash's whole-doc
+    * similarity dilutes away — re-expressed relationally: the suffix
+    * array they build is a single-machine data structure; the distributed
+    * equivalent is the n-gram inverted index (posting = (gram, doc, pos)),
+    * a duplicated-gram filter, and a per-document interval union.
+    *
+    * Plan shape: gram generation is one per-row `transform` over the
+    * token array (Generate — no shuffle); the posting aggregation
+    * shuffles gram keys once (map-side partials); the interval union is
+    * a per-document window over ONLY the duplicated positions (dup
+    * postings, not all postings). At 100 TB the gram key becomes a
+    * 64-bit hash instead of the literal text (the oracle-parity build
+    * keeps the text so both engines group identically) and pathological
+    * grams get the same df-cap guard as [[TextOps]]' hot-shingle path.
+    *
+    * Determinism: covered-token counts are exact integers from the
+    * classic sweep (running max of span ends); the single division is
+    * pinned.
+    */
+  def qSubstringDup(spark: SparkSession, d: String): DataFrame = {
+    val L = SubDupL
+    val toks = documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_toks"))
+    val grams = toks
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $L
+           |THEN transform(sequence(1, size(toks) - ${L - 1}),
+           |       i -> struct(CAST(i AS BIGINT) AS pos,
+           |                   array_join(slice(toks, i, $L), ' ') AS gram))
+           |ELSE CAST(array() AS ARRAY<STRUCT<pos: BIGINT, gram: STRING>>)
+           |END""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val dupGrams = grams
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val spans = grams.join(dupGrams, "gram")
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + lit(L - 1)).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = spans
+      .withColumn("pmax", max(col("e")).over(w))
+      .select(col("doc_id"),
+        greatest(lit(0L),
+          col("e") - greatest(col("s"), coalesce(col("pmax") + 1, col("s"))) + 1)
+          .as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).as("dup_toks"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_toks"),
+        (coalesce(col("dup_toks"), lit(0L)).cast("double") /
+          col("n_toks").cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q_cdc_chunks — content-defined chunking dedup
+  // ---------------------------------------------------------------------
+
+  /** Rolling-window width (chars) and boundary divisor: a cut lands where
+    * the window hash ≡ 0 (mod [[CdcDivisor]]), so the EXPECTED chunk is
+    * ~64 chars — the LBFS recipe (Muthitacharoen et al. 2001) scaled to
+    * the fixture's ~150-400-char documents.
+    */
+  val CdcW = 8
+  val CdcDivisor = 64
+
+  /** Positional weights 31^j, j=0..7 — exact int64 literals so the window
+    * hash is a pure integer polynomial both engines compute identically
+    * (max value ≈ 3.5·10¹², far inside int64).
+    */
+  private val cdcWeights: Seq[Long] =
+    Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
+
+  private def cdcPoly(textCol: String, posVar: String): String =
+    cdcWeights.zipWithIndex.map { case (wgt, j) =>
+      s"ascii(substr($textCol, CAST($posVar AS INT) + $j, 1)) * ${wgt}L"
+    }.mkString(" + ")
+
+  /** q_cdc_chunks — content-defined chunking dedup per source: split every
+    * document at positions where an 8-char rolling polynomial hash ≡ 0
+    * (mod 64) — boundaries defined by CONTENT, so an insertion early in a
+    * document shifts only the chunk it lands in, not every later boundary
+    * (the property fixed-size chunking lacks, and the reason CDC is the
+    * storage-dedup standard: LBFS, restic, borg, Data Domain). Chunks are
+    * identified by md5; per source the query reports chunk count, distinct
+    * chunk count, total vs distinct chunk bytes, and the dedup ratio —
+    * the "how much of this feed is re-served bytes" capacity readout.
+    *
+    * Plan shape: boundary detection AND chunk extraction are per-row
+    * array expressions (filter/transform over a char-position sequence —
+    * codegen inside the scan projection, no per-position rows ever
+    * shuffle); only (source, chunk-hash, len) rows reach the two
+    * hash-aggregations. At 100 TB the md5 becomes xxhash64 and the
+    * chunk-hash agg is the only corpus-sized shuffle — bytes never move.
+    *
+    * Determinism: the polynomial is exact int64; chunk spans are integer
+    * arithmetic; md5 is bit-identical across engines; the single double
+    * division is pinned.
+    */
+  def qCdcChunks(spark: SparkSession, d: String): DataFrame = {
+    val poly = cdcPoly("text", "i")
+    val chunks = documents(spark, d)
+      .select(col("source"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .withColumn("b", expr(
+        s"""concat(array(CAST(1 AS BIGINT)),
+           |  CASE WHEN n >= ${CdcW + 1}
+           |  THEN filter(sequence(CAST(2 AS BIGINT), n - ${CdcW - 1}),
+           |         i -> ($poly) % $CdcDivisor = 0)
+           |  ELSE CAST(array() AS ARRAY<BIGINT>) END)""".stripMargin))
+      .select(col("source"), col("text"), col("n"), explode(expr(
+        """transform(sequence(1, size(b)),
+          |  k -> struct(element_at(b, CAST(k AS INT)) AS s,
+          |              CASE WHEN k < size(b)
+          |                   THEN element_at(b, CAST(k + 1 AS INT)) - 1
+          |                   ELSE n END AS e))""".stripMargin)).as("c"))
+      .select(col("source"),
+        md5(expr("substr(text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT))"))
+          .as("h"),
+        (col("c.e") - col("c.s") + 1).as("clen"))
+    val totals = chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_chars"))
+    val uniques = chunks.select(col("source"), col("h"), col("clen")).distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_uniq"), sum(col("clen")).as("uniq_chars"))
+    totals.join(uniques, "source")
+      .select(col("source"), col("n_chunks"), col("n_uniq"),
+        col("total_chars"), col("uniq_chars"),
+        (col("uniq_chars").cast("double") / col("total_chars").cast("double"))
+          .as("dedup_ratio"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q_ttr — lexical diversity (type-token ratio + hapax share)
+  // ---------------------------------------------------------------------
+
+  /** q_ttr — per-source lexical diversity: token count, type (distinct
+    * token) count, type-token ratio, hapax count (types occurring exactly
+    * once in the source) and hapax share of types. Low TTR or a thin
+    * hapax tail marks templated/boilerplate feeds (the Gopher/C4 rules
+    * gate on exactly this kind of repetitiveness at the document level —
+    * [[TextOps]]' q_repetition; this is the FEED-level roll-up a
+    * curation pipeline ranks sources by).
+    *
+    * Plan: one tokenize-explode, one (source, token) count aggregation
+    * (map-side partials), then a source-sized roll-up — the token
+    * shuffle is the only corpus-sized stage. All-integer, two pinned
+    * divisions.
+    */
+  def qTtr(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"))
+      .orderBy(col("source"))
+
+  // ---------------------------------------------------------------------
+  // q_fertility — tokenizer fertility by language
+  // ---------------------------------------------------------------------
+
+  /** q_fertility — tokenizer fertility per language: BPE-ish pieces per
+    * whitespace word and chars per piece, using the same piece regex as
+    * [[TextOps.qTokenBpe]]. Fertility is THE number a multilingual
+    * pipeline checks before fixing a token budget per language (a
+    * language at fertility 2× costs 2× the compute per word — the
+    * mT5/XGLM papers tabulate exactly this); here it also cross-checks
+    * the corpus: synthetic English-ish text should read ≈ 1 piece/word.
+    *
+    * Plan: per-row `size(regexp_extract_all)` + `size(split)` inside the
+    * scan projection — the corpus is read ONCE and only (lang, 3 longs)
+    * rows reach the aggregation. All-integer, two pinned divisions.
+    */
+  def qFertility(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("words"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
+          .as("pieces"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(sum(col("words")).as("n_words"),
+        sum(col("pieces")).as("n_pieces"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy(col("lang"))
+
+  // ---------------------------------------------------------------------
+  // q_kn_bigram — interpolated Kneser-Ney bigram model
+  // ---------------------------------------------------------------------
+
+  /** Absolute discount D. 0.75 is the standard Chen-Goodman fixed
+    * discount; since every observed bigram has count ≥ 1 > D, the
+    * max(c−D, 0) clamp never binds and the score is a clean pinned
+    * arithmetic chain.
+    */
+  val KnD = 0.75
+
+  /** q_kn_bigram — interpolated Kneser-Ney bigram probabilities, top-20:
+    * P(w2|w1) = (c(w1w2) − D)/c(w1·) + (D·N₁₊(w1·)/c(w1·)) · N₁₊(·w2)/T,
+    * where N₁₊(w1·)/N₁₊(·w2) are distinct-continuation counts and T the
+    * bigram-type count — the smoothing that made n-gram LMs competitive
+    * (Kneser-Ney 1995; Chen-Goodman 1999) and, in a data pipeline, the
+    * cheap in-domain LM whose per-document cross-entropy drives
+    * perplexity-based quality filtering ([[TextOps]]' q_ppl_buckets uses
+    * a unigram band; this is the bigram upgrade with the zero-count mass
+    * handled properly instead of add-one).
+    *
+    * Plan: ONE bigram explode (zip_with of two slices — per-row, no
+    * shuffle) feeding one (w1,w2) count aggregation; every other relation
+    * is derived from that count table (w1-grain, w2-grain, one 1-row
+    * type-count broadcast) — the corpus is scanned once and shuffled
+    * once at bigram grain, exactly how KenLM's distributed counting
+    * stage works.
+    *
+    * Determinism: all counts exact integers; the probability is ONE
+    * pinned parenthesization ((c12−D)/c1 + ((D·nfw)/c1)·(nbw/T)) both
+    * engines evaluate literally; top-20 ordered (pkn desc, w1, w2).
+    */
+  def qKnBigram(spark: SparkSession, d: String): DataFrame = {
+    val bg = documents(spark, d)
+      .select(explode(expr(
+        """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nfw"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("nbw"))
+    val types = c12.agg(count(lit(1)).as("t"))
+    c12.join(left, "w1").join(right, "w2").crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"),
+        (((col("c12").cast("double") - lit(KnD)) / col("c1").cast("double")) +
+          ((lit(KnD) * col("nfw").cast("double")) / col("c1").cast("double")) *
+            (col("nbw").cast("double") / col("t").cast("double"))).as("pkn"))
+      .orderBy(col("pkn").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substring_dup" -> qSubstringDup _,
+    "q_cdc_chunks"    -> qCdcChunks _,
+    "q_ttr"           -> qTtr _,
+    "q_fertility"     -> qFertility _,
+    "q_kn_bigram"     -> qKnBigram _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_substring_dup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |), g0 AS (
+         |  SELECT doc_id, l,
+         |         unnest(generate_series(1, len(l) - ${SubDupL - 1})) AS i
+         |  FROM tok WHERE len(l) >= $SubDupL
+         |), g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         array_to_string(l[i:i+${SubDupL - 1}], ' ') AS gram
+         |  FROM g0
+         |), dup AS (
+         |  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+         |), sp AS (
+         |  SELECT doc_id, pos AS s, pos + ${SubDupL - 1} AS e
+         |  FROM g WHERE gram IN (SELECT gram FROM dup)
+         |), m AS (
+         |  SELECT doc_id, s, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING
+         |                      AND 1 PRECEDING) AS pmax
+         |  FROM sp
+         |), cov AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pmax + 1, s))
+         |                              + 1)) AS BIGINT) AS dup_toks
+         |  FROM m GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(l) AS BIGINT) AS n_toks,
+         |       COALESCE(dup_toks, 0) AS dup_toks,
+         |       CAST(COALESCE(dup_toks, 0) AS DOUBLE)
+         |         / CAST(len(l) AS DOUBLE) AS dup_frac
+         |FROM tok t LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_cdc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT source, text, CAST(len(text) AS BIGINT) AS n FROM documents
+         |), b AS (
+         |  SELECT source, text, n,
+         |    list_prepend(CAST(1 AS BIGINT),
+         |      CASE WHEN n >= ${CdcW + 1}
+         |      THEN list_filter(generate_series(CAST(2 AS BIGINT), n - ${CdcW - 1}),
+         |             i -> (${cdcWeights.zipWithIndex.map { case (wgt, j) =>
+                 s"ascii(substr(text, CAST(i AS INT) + $j, 1)) * CAST($wgt AS BIGINT)"
+               }.mkString(" + ")}) % $CdcDivisor = 0)
+         |      ELSE [] END) AS bnd
+         |  FROM d
+         |), c0 AS (
+         |  SELECT source, text, n, bnd,
+         |         unnest(generate_series(1, len(bnd))) AS k
+         |  FROM b
+         |), c AS (
+         |  SELECT source,
+         |    md5(substr(text, CAST(bnd[k] AS INT),
+         |        CAST((CASE WHEN k < len(bnd) THEN bnd[k + 1] - 1 ELSE n END)
+         |             - bnd[k] + 1 AS INT))) AS h,
+         |    (CASE WHEN k < len(bnd) THEN bnd[k + 1] - 1 ELSE n END)
+         |      - bnd[k] + 1 AS clen
+         |  FROM c0
+         |), tot AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |         CAST(SUM(clen) AS BIGINT) AS total_chars
+         |  FROM c GROUP BY source
+         |), unq AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_uniq,
+         |         CAST(SUM(clen) AS BIGINT) AS uniq_chars
+         |  FROM (SELECT DISTINCT source, h, clen FROM c) GROUP BY source
+         |)
+         |SELECT source, n_chunks, n_uniq, total_chars, uniq_chars,
+         |       CAST(uniq_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+         |         AS dedup_ratio
+         |FROM tot JOIN unq USING (source)
+         |ORDER BY source""".stripMargin,
+    "q_ttr" ->
+      """WITH tc AS (
+        |  SELECT source, tok, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok
+        |)
+        |SELECT source,
+        |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hapax,
+        |       CAST(COUNT(*) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT)
+        |         AS DOUBLE) AS ttr,
+        |       CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    "q_fertility" ->
+      """SELECT lang,
+        |       CAST(SUM(words) AS BIGINT) AS n_words,
+        |       CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+        |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |       CAST(CAST(SUM(pieces) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(SUM(words) AS BIGINT) AS DOUBLE) AS fertility,
+        |       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(SUM(pieces) AS BIGINT) AS DOUBLE)
+        |         AS chars_per_piece
+        |FROM (
+        |  SELECT lang, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS pieces
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_kn_bigram" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |), bg0 AS (
+         |  SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+         |  FROM tok WHERE len(l) >= 2
+         |), bg AS (
+         |  SELECT l[i] AS w1, l[i + 1] AS w2 FROM bg0
+         |), c12 AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM bg GROUP BY w1, w2
+         |), lft AS (
+         |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |         CAST(COUNT(*) AS BIGINT) AS nfw
+         |  FROM c12 GROUP BY w1
+         |), rgt AS (
+         |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS nbw FROM c12 GROUP BY w2
+         |), ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c12)
+         |SELECT w1, w2, c12,
+         |       ((CAST(c12 AS DOUBLE) - $KnD) / CAST(c1 AS DOUBLE))
+         |       + (($KnD * CAST(nfw AS DOUBLE)) / CAST(c1 AS DOUBLE))
+         |         * (CAST(nbw AS DOUBLE) / CAST(t AS DOUBLE)) AS pkn
+         |FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN ty
+         |ORDER BY pkn DESC, w1, w2 LIMIT 20""".stripMargin,
+  )
+}

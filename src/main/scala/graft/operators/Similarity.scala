@@ -1260,7 +1260,138 @@ object Similarity {
       .orderBy(col("doc_id"))
   }
 
+  /** Shortlist size for [[qAnnRefine]]'s first stage. */
+  val RefineShortlist = 50
+
+  /** q_ann_refine — the TWO-STAGE serving path every production vector
+    * store runs (FAISS's refine wrapper, DiskANN's PQ-then-full-precision
+    * rerank): stage 1 scores the WHOLE corpus through its SQ8 codes (the
+    * [[qAnnSq8]] ADC scan — broadcast stats + broadcast query, zero
+    * corpus shuffle) and keeps a [[RefineShortlist]]-row shortlist by
+    * approximate distance; stage 2 re-scores ONLY the shortlist against
+    * the exact float vectors and returns the top-10 by exact squared L2.
+    * The shortlist bounds the full-precision work, which is the entire
+    * economics of quantized serving: RAM holds 64-byte codes, exact
+    * vectors live on the slow tier and are touched [[RefineShortlist]]
+    * times per query — compression misranks inside the shortlist get
+    * corrected, misses outside it are the recall cost [[qSq8Recall]]
+    * prices.
+    *
+    * Plan: stage 1 is one codegen scan + a TakeOrderedAndProject heap;
+    * the exact vectors ride the same 50 surviving rows here (the
+    * fixture's "slow tier" is the same table), so stage 2 is a 50-row
+    * projection + second tiny heap — at 100 TB it becomes a broadcast
+    * point-read join against the full-precision table, still 50 rows.
+    * Determinism: both distances are index-ordered folds ([[qAnnSq8]] /
+    * [[qSq8Recall]]'s exact chains); both cuts tie-break on vec_id.
+    */
+  def qAnnRefine(spark: SparkSession, d: String): DataFrame = {
+    val qv = embeddings(spark, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    embeddings(spark, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(sq8Stats(spark, d)))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding").as("ce"), col("qe"),
+        col("mins"), col("rngs"),
+        expr("transform(embedding, (x, i) -> CASE WHEN rngs[i] > 0.0D" +
+          " THEN CAST(floor((CAST(x AS DOUBLE) - mins[i]) * 255.0 / rngs[i]" +
+          " + 0.5) AS INT) ELSE 0 END)").as("codes"))
+      .select(col("vec_id"), col("ce"), col("qe"),
+        expr("aggregate(transform(codes, (c, i) -> CAST(qe[i] AS DOUBLE)" +
+          " - (mins[i] + CAST(c AS DOUBLE) * rngs[i] / 255.0))," +
+          " CAST(0.0 AS DOUBLE), (acc, e) -> acc + e * e)").as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(RefineShortlist)
+      .select(col("vec_id"), col("adist"),
+        expr("aggregate(transform(ce, (x, i) -> CAST(qe[i] AS DOUBLE)" +
+          " - CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE)," +
+          " (acc, e) -> acc + e * e)").as("edist"))
+      .orderBy(col("edist"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** q_embed_drift — embedding-distribution shift between ADJACENT label
+    * cohorts: cosine similarity and L2 distance between consecutive
+    * labels' centroids ([[qCentroid]]'s bit-exact means). With labels
+    * standing in for ingest batches (the fixture has no embedding
+    * timestamps), this is the drift monitor a production embedding
+    * pipeline runs per model rev / ingest day: centroid cosine ≈ 1 means
+    * the new batch lives where the old one did; a drop is the
+    * re-index/re-train trigger (and the signal that cached ANN geometry
+    * — [[scaledGeometry]] — was tuned on a different distribution).
+    *
+    * Plan: everything downstream of the centroid fold is label-grain
+    * (|labels|×64 rows) — the corpus is touched only by [[qCentroid]]'s
+    * chunk-bounded mean; the pair join and the per-pair folds are
+    * dimension-ordered over 64-element lists. Determinism: centroids are
+    * [[qCentroid]]'s pinned two-level fold; dot/norm/Σ(Δ²) are pos-ORDERED
+    * folds; sqrt is IEEE-exact; ONE pinned division.
+    */
+  def qEmbedDrift(spark: SparkSession, d: String): DataFrame = {
+    val cent = qCentroid(spark, d)
+    val a = cent.select(col("label").as("label_a"), col("pos"),
+      col("c").as("ca"))
+    val b = cent.select((col("label") - 1).as("label_a"),
+      col("label").as("label_b"), col("pos"), col("c").as("cb"))
+    a.join(b, Seq("label_a", "pos"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("ca"), col("cb")))).as("ps"))
+      .select(col("label_a"), col("label_b"),
+        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.ca * x.cb)")
+          .as("dot"),
+        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.ca * x.ca)")
+          .as("na"),
+        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.cb * x.cb)")
+          .as("nb"),
+        expr("aggregate(ps, CAST(0.0 AS DOUBLE)," +
+          " (acc, x) -> acc + (x.ca - x.cb) * (x.ca - x.cb))").as("ss"))
+      .select(col("label_a"), col("label_b"),
+        (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cos_drift"),
+        sqrt(col("ss")).as("l2_dist"))
+      .orderBy(col("label_a"))
+  }
+
+  /** q_cluster_purity — label purity of the IVF cells: each cell's member
+    * count, distinct-label count, majority label and purity (majority
+    * share) — the standard external cluster-quality readout (purity
+    * against gold labels), and operationally the check on [[qAnnIvf]]'s
+    * index: cells that mix labels at chance level mean the coarse
+    * quantizer isn't separating the classes the corpus cares about
+    * (retrain centroids / raise nprobe before trusting cell-pruned
+    * recall). Complements [[qKnnClassify]] (pointwise label coherence)
+    * with the index-level view.
+    *
+    * Plan: assignment is [[ivfRanked]]'s bounded ×8 broadcast argmax (no
+    * corpus shuffle); counts are one (cid, label) hash agg with map-side
+    * partials; the majority pick is a row_number over ≤ |labels| rows per
+    * cell. All-integer until the single pinned division; ties break on
+    * label.
+    */
+  def qClusterPurity(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = ivfRanked(spark, d).filter(col("rn") === 1)
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val byN = Window.partitionBy(col("cid"))
+      .orderBy(col("n").desc, col("label"))
+    counts.withColumn("rn2", row_number().over(byN))
+      .groupBy(col("cid"))
+      .agg(sum(col("n")).as("n_members"),
+        count(lit(1)).as("n_labels"),
+        max(when(col("rn2") === 1, col("label"))).as("top_label"),
+        max(when(col("rn2") === 1, col("n"))).as("top_n"))
+      .select(col("cid"), col("n_members"), col("n_labels"),
+        col("top_label"), col("top_n"),
+        (col("top_n").cast("double") / col("n_members").cast("double"))
+          .as("purity"))
+      .orderBy(col("cid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_refine"      -> qAnnRefine _,
+    "q_embed_drift"     -> qEmbedDrift _,
+    "q_cluster_purity"  -> qClusterPurity _,
     "q_vec_quantize"    -> qVecQuantize _,
     "q_ann_sq8"         -> qAnnSq8 _,
     "q_ann_ivf_pq"      -> qAnnIvfPq _,
@@ -1341,6 +1472,106 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_ann_refine" ->
+      s"""WITH pd AS (
+         |  SELECT pos, MIN(v) AS mn, MAX(v) AS mx
+         |  FROM (SELECT unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) AS pos
+         |        FROM embeddings)
+         |  GROUP BY pos
+         |), st AS (
+         |  SELECT list(CAST(mn AS DOUBLE) ORDER BY pos) AS mins,
+         |         list(CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)
+         |              ORDER BY pos) AS rngs
+         |  FROM pd
+         |), qv AS (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+         |), c AS (
+         |  SELECT vec_id, embedding AS ce, qe, mins, rngs,
+         |         list_transform(range(1, len(embedding) + 1), i ->
+         |           CASE WHEN rngs[i] > 0.0
+         |             THEN CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+         |               * 255.0 / rngs[i] + 0.5) AS INTEGER)
+         |             ELSE 0 END) AS codes
+         |  FROM embeddings CROSS JOIN st CROSS JOIN qv
+         |  WHERE vec_id <> 0
+         |), short AS (
+         |  SELECT vec_id, ce, qe,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(codes) + 1), i ->
+         |             CAST(qe[i] AS DOUBLE)
+         |               - (mins[i] + CAST(codes[i] AS DOUBLE) * rngs[i] / 255.0))),
+         |           (acc, e) -> acc + e * e) AS adist
+         |  FROM c ORDER BY adist, vec_id LIMIT $RefineShortlist
+         |)
+         |SELECT vec_id, adist,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list_transform(range(1, len(ce) + 1), i ->
+         |           CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))),
+         |         (acc, e) -> acc + e * e) AS edist
+         |FROM short ORDER BY edist, vec_id LIMIT 10""".stripMargin,
+    "q_embed_drift" ->
+      s"""WITH bypos AS (
+         |  SELECT label, vec_id, vec_id // $CentroidChunk AS chunk,
+         |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         |         unnest(embedding) AS v
+         |  FROM embeddings
+         |), chunks AS (
+         |  SELECT label, pos, chunk,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(CAST(v AS DOUBLE) ORDER BY vec_id)),
+         |           (acc, x) -> acc + x) AS psum,
+         |         COUNT(*) AS pn
+         |  FROM bypos GROUP BY label, pos, chunk
+         |), cent AS (
+         |  SELECT label, pos,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(psum ORDER BY chunk)), (acc, x) -> acc + x) / SUM(pn) AS c
+         |  FROM chunks GROUP BY label, pos
+         |), pr AS (
+         |  SELECT a.label AS label_a, b.label AS label_b, a.pos,
+         |         a.c AS ca, b.c AS cb
+         |  FROM cent a JOIN cent b
+         |    ON b.label = a.label + 1 AND b.pos = a.pos
+         |)
+         |SELECT label_a, label_b,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(ca * cb ORDER BY pos)), (acc, v) -> acc + v)
+         |       / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list(ca * ca ORDER BY pos)), (acc, v) -> acc + v))
+         |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |              list(cb * cb ORDER BY pos)), (acc, v) -> acc + v)))
+         |         AS cos_drift,
+         |       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list((ca - cb) * (ca - cb) ORDER BY pos)),
+         |         (acc, v) -> acc + v)) AS l2_dist
+         |FROM pr GROUP BY label_a, label_b ORDER BY label_a""".stripMargin,
+    "q_cluster_purity" ->
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), cranked AS (
+         |  SELECT e.vec_id, e.label, c.cid,
+         |         ${cosSql("e.embedding", "c.ce")} AS ccos,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ccos DESC, c.cid) AS rn
+         |  FROM embeddings e, centroids c
+         |), cnt AS (
+         |  SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM cranked WHERE rn = 1 GROUP BY cid, label
+         |), rk AS (
+         |  SELECT cid, label, n,
+         |         ROW_NUMBER() OVER (PARTITION BY cid
+         |                            ORDER BY n DESC, label) AS rn2
+         |  FROM cnt
+         |)
+         |SELECT cid, CAST(SUM(n) AS BIGINT) AS n_members,
+         |       CAST(COUNT(*) AS BIGINT) AS n_labels,
+         |       MAX(CASE WHEN rn2 = 1 THEN label END) AS top_label,
+         |       MAX(CASE WHEN rn2 = 1 THEN n END) AS top_n,
+         |       CAST(MAX(CASE WHEN rn2 = 1 THEN n END) AS DOUBLE)
+         |         / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS purity
+         |FROM rk GROUP BY cid ORDER BY cid""".stripMargin,
     "q_kmeans_sse" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings

@@ -595,7 +595,111 @@ object Stats {
           (col("ssw") / (col("n") - col("k")).cast("double"))).as("w"))
   }
 
+  /** SAX breakpoints for alphabet size 4: the standard N(0,1) quartile
+    * cuts (Lin et al. 2003). The quartile of the normal is an irrational;
+    * 0.6745 is the conventional 4-digit literal, and BOTH engines parse
+    * the same literal — the comparison is bit-deterministic because z
+    * itself is exact-integer-derived.
+    */
+  val SaxQ = 0.6745
+
+  /** q_sax — SAX symbolic discretization (Lin et al. 2003) of each event
+    * type's hourly-count series: z-normalize per type, cut at the N(0,1)
+    * quartiles, emit one symbol a–d per hour. SAX is the front door to
+    * whole families of cheap sequence analytics (motif discovery,
+    * discord/anomaly search, sequence indexing) because downstream work
+    * runs on a tiny alphabet instead of doubles — the discretization a
+    * monitoring pipeline stores next to the raw series.
+    *
+    * Determinism: the usual z = (x−μ)/σ chain would put TWO divisions
+    * and a subtraction between engines; instead z is algebraically
+    * rearranged to (n·x − Σx)/√(n·Σx² − (Σx)²) — numerator and radicand
+    * are EXACT BIGINTs, so the whole statistic is one integer→double
+    * cast, one IEEE sqrt and ONE division: bit-identical cross-engine,
+    * and the a–d cut points compare against the same parsed literal.
+    *
+    * Plan: the log collapses to the (type × hour) histogram in one
+    * map-side-partial agg (the [[qFano]] stance); per-type moments are a
+    * type-sized second agg broadcast back; the symbol projection is
+    * per-row codegen. Nothing is ever wider than the histogram.
+    */
+  def qSax(spark: SparkSession, d: String): DataFrame = {
+    val hourly = events(spark, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val mom = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    hourly.join(broadcast(mom), "event_type")
+      .select(col("event_type"), graft.Tables.tsSeconds(col("h")).as("h_s"),
+        col("x"),
+        ((col("n") * col("x") - col("s")).cast("double") /
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")))
+          .as("z"))
+      .select(col("event_type"), col("h_s"), col("x"), col("z"),
+        when(col("z") < -SaxQ, "a")
+          .when(col("z") < 0.0, "b")
+          .when(col("z") < SaxQ, "c")
+          .otherwise("d").as("symbol"))
+      .orderBy(col("event_type"), col("h_s"))
+  }
+
+  /** Half-width of [[qStl]]'s centered moving-average trend window
+    * (25 hours total — one full day plus the centering hour, the
+    * classic hourly-series choice).
+    */
+  val StlHalf = 12
+
+  /** q_stl — additive seasonal-trend decomposition of each event type's
+    * hourly-count series (the STL shape: trend by centered moving
+    * average, seasonal by per-phase mean of the detrended series,
+    * remainder as what's left): x = trend + seasonal + resid, seasonal
+    * phase = hour-of-day. The decomposition behind every "is this spike
+    * load growth, daily rhythm, or an incident?" triage — [[qFano]] and
+    * [[Mining.qSeasonality]]-style profiles read the components; this
+    * materializes them per hour.
+    *
+    * Determinism: the trend window aggregates INTEGER sum+count (a
+    * sliding double-sum's addition order differs between engines —
+    * Spark re-folds each frame, DuckDB segment-trees it; integer sums
+    * are order-free), so trend = one division per row. The seasonal
+    * means fold the detrended doubles in pinned h_s order (per-phase
+    * groups are days-count-sized — bounded state; the [[Similarity]]
+    * chunked-fold upgrade applies past ~10⁵ days). resid = the same
+    * (x − trend) − seasonal chain in both engines.
+    *
+    * Plan: histogram agg → two windows over it (type-partitioned, tiny)
+    * → a phase-grain agg joined back. The corpus is touched once.
+    */
+  def qStl(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-StlHalf, StlHalf)
+    val det = events(spark, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("event_type"), col("h"), col("x"),
+        (sum(col("x")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("trend"))
+      .select(col("event_type"), graft.Tables.tsSeconds(col("h")).as("h_s"),
+        hour(col("h")).as("hod"), col("x"), col("trend"),
+        (col("x").cast("double") - col("trend")).as("det"))
+    val seasonal = det.groupBy(col("event_type"), col("hod"))
+      .agg(sort_array(collect_list(struct(col("h_s"), col("det")))).as("ds"),
+        count(lit(1)).as("np"))
+      .select(col("event_type"), col("hod"),
+        (expr("aggregate(ds, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.det)") /
+          col("np").cast("double")).as("seasonal"))
+    det.join(seasonal, Seq("event_type", "hod"))
+      .select(col("event_type"), col("h_s"), col("x"), col("trend"),
+        col("seasonal"),
+        ((col("x").cast("double") - col("trend")) - col("seasonal"))
+          .as("resid"))
+      .orderBy(col("event_type"), col("h_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sax"          -> qSax _,
+    "q_stl"          -> qStl _,
     "q_cohens_d"     -> qCohensD _,
     "q_kruskal"      -> qKruskal _,
     "q_levene"       -> qLevene _,
@@ -612,6 +716,57 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sax" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h,
+         |         CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY event_type, h
+         |), mom AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(x) AS BIGINT) AS s,
+         |         CAST(SUM(x * x) AS BIGINT) AS ss
+         |  FROM hourly GROUP BY event_type
+         |), z AS (
+         |  SELECT hourly.event_type,
+         |         strftime(h, '%Y-%m-%d %H:%M:%S') AS h_s, x,
+         |         CAST(n * x - s AS DOUBLE)
+         |           / sqrt(CAST(n * ss - s * s AS DOUBLE)) AS z
+         |  FROM hourly JOIN mom USING (event_type)
+         |)
+         |SELECT event_type, h_s, x, z,
+         |       CASE WHEN z < -$SaxQ THEN 'a'
+         |            WHEN z < 0.0 THEN 'b'
+         |            WHEN z < $SaxQ THEN 'c'
+         |            ELSE 'd' END AS symbol
+         |FROM z ORDER BY event_type, h_s""".stripMargin,
+    "q_stl" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h,
+         |         CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY event_type, h
+         |), det AS (
+         |  SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h_s,
+         |         CAST(hour(h) AS INTEGER) AS hod, x,
+         |         CAST(SUM(x) OVER w AS DOUBLE)
+         |           / CAST(COUNT(*) OVER w AS DOUBLE) AS trend,
+         |         CAST(x AS DOUBLE) - (CAST(SUM(x) OVER w AS DOUBLE)
+         |           / CAST(COUNT(*) OVER w AS DOUBLE)) AS det
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+         |               ROWS BETWEEN $StlHalf PRECEDING
+         |               AND $StlHalf FOLLOWING)
+         |), seasonal AS (
+         |  SELECT event_type, hod,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(det ORDER BY h_s)), (acc, e) -> acc + e)
+         |           / CAST(COUNT(*) AS DOUBLE) AS seasonal
+         |  FROM det GROUP BY event_type, hod
+         |)
+         |SELECT d.event_type, d.h_s, d.x, d.trend, s.seasonal,
+         |       (CAST(d.x AS DOUBLE) - d.trend) - s.seasonal AS resid
+         |FROM det d JOIN seasonal s
+         |  ON d.event_type = s.event_type AND d.hod = s.hod
+         |ORDER BY d.event_type, d.h_s""".stripMargin,
     "q_levene" ->
       """WITH b AS (
         |  SELECT event_type AS g,

@@ -2099,4 +2099,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(byCat.distinct.length > 1, "LOO must vary within a category")
   }
 
+  test("q_bloom_join: bloom prunes in the plan, result equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val df = Analytics.qBloomJoin(spark, sfDir)
+    // The bloom must actually be in the physical plan — as a
+    // might_contain predicate evaluated on the fact side.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom predicate missing from plan")
+    val cents = floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      * lit(100.0) + lit(0.5)).cast("long")
+    val expected = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), sum(cents).as("revenue_cents"))
+      .orderBy(col("l_returnflag")).collect()
+    val got = df.collect()
+    assert(got.length == expected.length && got.length > 0)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0))
+      assert(g.getLong(1) == e.getLong(1) && g.getLong(2) == e.getLong(2))
+    }
+  }
+
+  test("q_hits equals brute-force two-iteration degree convolution") {
+    import org.apache.spark.sql.functions._
+    val edges = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .join(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val auth1 = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val hub1 = edges.groupBy(_._1).view
+      .mapValues(_.map(e => auth1(e._2)).sum).toMap
+    val auth2 = edges.groupBy(_._2).view
+      .mapValues(_.map(e => hub1(e._1)).sum).toMap
+    val expected = auth2.toSeq.map { case (p, a2) => (p, auth1(p), a2) }
+      .sortBy { case (p, _, a2) => (-a2, p) }.take(20)
+    val got = Analytics.qHits(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (p, a1, a2)) =>
+      assert(r.getLong(0) == p, s"rank order: got ${r.getLong(0)} want $p")
+      assert(r.getLong(1) == a1 && r.getLong(2) == a2)
+    }
+    // Mutual reinforcement must actually reorder somewhere: the top-20 by
+    // authority2 must differ from the top-20 by raw in-degree, or the
+    // second iteration added nothing on this graph.
+    val byDeg = auth1.toSeq.sortBy { case (p, a1) => (-a1, p) }
+      .take(20).map(_._1)
+    assert(got.map(_.getLong(0)).toSeq != byDeg)
+  }
+
 }

@@ -1,0 +1,165 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+/** Tests for the corpus-forensics surface (Corpus.scala). Beyond the
+  * driver's DuckDB hash gate, every statistic is re-derived here by an
+  * independent brute-force computation on collected fixture rows (tiny at
+  * sf0.001), so a bug mirrored into the oracle SQL would still be caught.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private lazy val docs: Array[(Long, String, String, String)] =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  test("q_substring_dup equals brute-force shared-run coverage") {
+    val L = Corpus.SubDupL
+    val toks = docs.map { case (id, t, _, _) => id -> t.split(" ", -1).toSeq }
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, ts) <- toks; i <- 0 to ts.length - L) {
+      val g = ts.slice(i, i + L).mkString(" ")
+      gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+    }
+    val dup = gramDocs.collect { case (g, ds) if ds.size >= 2 => g }.toSet
+    val expected = toks.map { case (id, ts) =>
+      val covered = Array.fill(ts.length)(false)
+      for (i <- 0 to ts.length - L
+           if dup(ts.slice(i, i + L).mkString(" "));
+           j <- i until i + L) covered(j) = true
+      id -> ((ts.length.toLong, covered.count(identity).toLong))
+    }.toMap
+    val got = Corpus.qSubstringDup(spark, sfDir).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (n, dupToks) = expected(r.getLong(0))
+      assert(r.getLong(1) == n, s"doc ${r.getLong(0)} n_toks")
+      assert(r.getLong(2) == dupToks,
+        s"doc ${r.getLong(0)}: got ${r.getLong(2)} want $dupToks")
+      assert(r.getDouble(3) == dupToks.toDouble / n.toDouble)
+    }
+    // The fixture's perturbed near-duplicate families must actually light
+    // this signal up — an all-zero column would mean the operator is
+    // vacuous at the corpus it ships against.
+    assert(got.count(_.getLong(2) > 0) > 0)
+  }
+
+  test("q_cdc_chunks equals brute-force content-defined chunking") {
+    val w = Corpus.CdcW
+    val weights = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+      887503681L, 27512614111L)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(t: String): Seq[String] = {
+      val n = t.length
+      val bounds = 1 +: (2 to n - w + 1).filter { i =>
+        val p = (0 until w).map(j => t.charAt(i - 1 + j).toLong * weights(j)).sum
+        p % Corpus.CdcDivisor == 0
+      }
+      bounds.zipAll(bounds.drop(1).map(_ - 1), 0, n).map {
+        case (s, e) => t.substring(s - 1, e)
+      }
+    }
+    val bySource = docs.groupBy(_._3).map { case (src, ds) =>
+      val cs = ds.toSeq.flatMap(d => chunksOf(d._2))
+      val uniq = cs.map(c => (md5hex(c), c.length)).distinct
+      src -> ((cs.size.toLong, uniq.size.toLong,
+        cs.map(_.length.toLong).sum, uniq.map(_._2.toLong).sum))
+    }
+    val got = Corpus.qCdcChunks(spark, sfDir).collect()
+    assert(got.length == bySource.size)
+    got.foreach { r =>
+      val (nc, nu, tc, uc) = bySource(r.getString(0))
+      assert(r.getLong(1) == nc, s"${r.getString(0)} n_chunks")
+      assert(r.getLong(2) == nu, s"${r.getString(0)} n_uniq")
+      assert(r.getLong(3) == tc && r.getLong(4) == uc)
+      assert(r.getDouble(5) == uc.toDouble / tc.toDouble)
+      // Content-defined boundaries must actually fire (not one chunk per
+      // doc) and some re-served bytes must exist in a corpus with
+      // near-duplicate families.
+      assert(nc > ds(r.getString(0)), s"${r.getString(0)}: no boundaries cut")
+      assert(uc < tc, s"${r.getString(0)}: no duplicated chunks")
+    }
+  }
+
+  private lazy val ds: Map[String, Long] =
+    docs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+
+  test("q_ttr equals brute-force type/token/hapax counts") {
+    val expected = docs.groupBy(_._3).map { case (src, rows) =>
+      val all = rows.toSeq.flatMap(_._2.split(" ", -1))
+      val counts = all.groupBy(identity).view.mapValues(_.size).toMap
+      src -> ((all.size.toLong, counts.size.toLong,
+        counts.count(_._2 == 1).toLong))
+    }
+    val got = Corpus.qTtr(spark, sfDir).collect()
+    got.foreach { r =>
+      val (tok, typ, hap) = expected(r.getString(0))
+      assert(r.getLong(1) == tok && r.getLong(2) == typ && r.getLong(3) == hap,
+        s"${r.getString(0)}: got (${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}) want ($tok,$typ,$hap)")
+      assert(r.getDouble(4) == typ.toDouble / tok.toDouble)
+      assert(r.getDouble(5) == hap.toDouble / typ.toDouble)
+    }
+  }
+
+  test("q_fertility equals brute-force piece/word counts per lang") {
+    val re = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9 ]")
+    val expected = docs.groupBy(_._4).map { case (lang, rows) =>
+      val words = rows.map(_._2.split(" ", -1).length.toLong).sum
+      val pieces = rows.map { r =>
+        val m = re.matcher(r._2); var c = 0L; while (m.find()) c += 1; c
+      }.sum
+      val chars = rows.map(_._2.length.toLong).sum
+      lang -> ((words, pieces, chars))
+    }
+    val got = Corpus.qFertility(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (wds, pcs, chs) = expected(r.getString(0))
+      assert(r.getLong(1) == wds && r.getLong(2) == pcs && r.getLong(3) == chs)
+      assert(r.getDouble(4) == pcs.toDouble / wds.toDouble)
+      assert(r.getDouble(5) == chs.toDouble / pcs.toDouble)
+    }
+  }
+
+  test("q_kn_bigram matches brute force and its mass sums to 1 per history") {
+    val bigrams = docs.toSeq.flatMap { case (_, t, _, _) =>
+      val ts = t.split(" ", -1); ts.dropRight(1).zip(ts.drop(1))
+    }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nfw = c12.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val nbw = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val t = c12.size.toLong
+    val d = Corpus.KnD
+    def pkn(w1: String, w2: String): Double =
+      ((c12((w1, w2)).toDouble - d) / c1(w1).toDouble) +
+        ((d * nfw(w1).toDouble) / c1(w1).toDouble) *
+          (nbw(w2).toDouble / t.toDouble)
+    val got = Corpus.qKnBigram(spark, sfDir).collect()
+    assert(got.length == 20)
+    val handTop = c12.keys.toSeq
+      .map { case (w1, w2) => (w1, w2, pkn(w1, w2)) }
+      .sortBy { case (w1, w2, p) => (-p, w1, w2) }.take(20)
+    got.zip(handTop).foreach { case (r, (w1, w2, p)) =>
+      assert(r.getString(0) == w1 && r.getString(1) == w2,
+        s"rank order: got (${r.getString(0)},${r.getString(1)}) want ($w1,$w2)")
+      assert(r.getLong(2) == c12((w1, w2)))
+      assert(math.abs(r.getDouble(3) - p) < 1e-15)
+    }
+    // Kneser-Ney mass identity: for any observed history w1, the observed
+    // terms plus the backoff mass over the FULL continuation vocabulary
+    // sum to exactly 1 — the property that distinguishes a correctly
+    // interpolated model from an ad-hoc score.
+    val w1 = handTop.head._1
+    val observed = c12.keys.collect { case (a, b) if a == w1 => b }
+    val mass = observed.toSeq.sorted.map(pkn(w1, _)).sum +
+      (d * nfw(w1).toDouble / c1(w1).toDouble) *
+        ((t - observed.map(nbw).sum).toDouble / t.toDouble)
+    assert(math.abs(mass - 1.0) < 1e-9, s"KN mass for '$w1': $mass")
+  }
+}

@@ -777,4 +777,112 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum > 0L)
   }
 
+  test("q_ann_refine equals brute-force SQ8 shortlist + exact rerank") {
+    val dims = vecs.values.head.length
+    val mins = (0 until dims).map(i => vecs.values.map(_(i)).min.toDouble)
+    val rngs = (0 until dims).map(i =>
+      vecs.values.map(_(i)).max.toDouble - mins(i))
+    val qe = vecs(0L)
+    def codes(v: Seq[Float]): Seq[Int] = (0 until dims).map { i =>
+      if (rngs(i) > 0.0)
+        math.floor((v(i).toDouble - mins(i)) * 255.0 / rngs(i) + 0.5).toInt
+      else 0
+    }
+    def adc(v: Seq[Float]): Double = {
+      val c = codes(v)
+      (0 until dims).foldLeft(0.0) { (acc, i) =>
+        val e = qe(i).toDouble - (mins(i) + c(i).toDouble * rngs(i) / 255.0)
+        acc + e * e
+      }
+    }
+    def exact(v: Seq[Float]): Double =
+      (0 until dims).foldLeft(0.0) { (acc, i) =>
+        val e = qe(i).toDouble - v(i).toDouble; acc + e * e
+      }
+    val short = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, adc(v), v) }
+      .sortBy { case (id, a, _) => (a, id) }
+      .take(Similarity.RefineShortlist)
+    val expected = short.map { case (id, a, v) => (id, a, exact(v)) }
+      .sortBy { case (id, _, e) => (e, id) }.take(10)
+    val got = Similarity.qAnnRefine(spark, sfDir).collect()
+    assert(got.length == 10)
+    got.zip(expected).foreach { case (r, (id, a, e)) =>
+      assert(r.getLong(0) == id, s"rank order: got ${r.getLong(0)} want $id")
+      assert(math.abs(r.getDouble(1) - a) < 1e-9)
+      assert(math.abs(r.getDouble(2) - e) < 1e-9)
+    }
+    // The rerank must actually change the order somewhere in the
+    // shortlist, or the refine stage is vacuous on this corpus.
+    val byAdc = short.take(10).map(_._1)
+    assert(byAdc != expected.map(_._1), "ADC and exact top-10 identical")
+  }
+
+  test("q_embed_drift matches brute-force centroid cosine/L2 per adjacent pair") {
+    val labels: Map[Long, Int] =
+      Tables.embeddings(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val dims = vecs.values.head.length
+    val byLabel = vecs.groupBy { case (id, _) => labels(id) }
+    val cent: Map[Int, Seq[Double]] = byLabel.map { case (l, vs) =>
+      l -> (0 until dims).map(i =>
+        vs.values.map(_(i).toDouble).sum / vs.size)
+    }
+    val got = Similarity.qEmbedDrift(spark, sfDir).collect()
+    val ls = cent.keys.toSeq.sorted
+    val adjacent = ls.filter(l => cent.contains(l + 1))
+    assert(got.length == adjacent.length)
+    got.foreach { r =>
+      val (la, lb) = (r.getInt(0), r.getInt(1))
+      assert(lb == la + 1)
+      val (ca, cb) = (cent(la), cent(lb))
+      val dot = (0 until dims).map(i => ca(i) * cb(i)).sum
+      val na = math.sqrt(ca.map(x => x * x).sum)
+      val nb = math.sqrt(cb.map(x => x * x).sum)
+      val l2 = math.sqrt((0 until dims).map { i =>
+        val e = ca(i) - cb(i); e * e
+      }.sum)
+      assert(math.abs(r.getDouble(2) - dot / (na * nb)) < 1e-9,
+        s"pair ($la,$lb) cosine")
+      assert(math.abs(r.getDouble(3) - l2) < 1e-9, s"pair ($la,$lb) l2")
+      assert(r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0)
+    }
+  }
+
+  test("q_cluster_purity equals brute-force IVF-cell majority labels") {
+    val rows = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val cents = rows.filter(r => r._1 >= 1 && r._1 <= 8)
+      .map(r => (r._1, r._2)).sortBy(_._1)
+    def cosd(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val assigned = rows.map { case (id, v, l) =>
+      val cid = cents.map { case (c, cv) => (c, cosd(v, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.head._1
+      (cid, l)
+    }
+    val expected = assigned.groupBy(_._1).map { case (cid, ms) =>
+      val counts = ms.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (topLabel, topN) = counts.toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      cid -> ((ms.length.toLong, counts.size.toLong, topLabel, topN))
+    }
+    val got = Similarity.qClusterPurity(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, nl, tl, tn) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == nl)
+      assert(r.getInt(3) == tl && r.getLong(4) == tn,
+        s"cell ${r.getLong(0)}: got (${r.getInt(3)},${r.getLong(4)}) want ($tl,$tn)")
+      assert(r.getDouble(5) == tn.toDouble / n.toDouble)
+    }
+    // Cells must actually mix labels somewhere (purity < 1) — the
+    // near-random fixture embeddings make a pure clustering impossible,
+    // so an all-1.0 column would mean the assignment is degenerate.
+    assert(got.exists(_.getDouble(5) < 1.0))
+  }
+
 }
