@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
@@ -55,6 +56,11 @@ case class BandVote(doc_id: Long, lost: Boolean)
 /** Verdict row of [[FirstKProcessor]]: arrival index + admission. */
 case class UserFirstK(user_id: Long, event_id: Long, seq: Long,
                       admitted: Boolean)
+
+/** Verdict row of [[WindowQuotaProcessor]]: the event's tumbling window,
+  * its within-window arrival index and the quota verdict. */
+case class ThrottleRow(user_id: Long, win_us: Long, event_id: Long,
+                       seq: Long, admitted: Boolean)
 
 /** Running per-type moments carried by [[AnomalyProcessor]] — exact
   * BIGINTs, so the state merge is associative and overflow-auditable. */
@@ -256,6 +262,48 @@ class FirstKProcessor(k: Int)
     val out = sorted.map { case (_, _, eid) =>
       n += 1
       UserFirstK(user, eid, n, n <= k)
+    }
+    seen.update(n)
+    out.iterator
+  }
+}
+
+/** The WINDOWED quota admission behind q_stream_throttle: keyed by
+  * (user, tumbling-window-start), one counter per key — [[
+  * FirstKProcessor]]'s lifetime quota re-keyed to a window, which is how
+  * a rate limiter differs from a first-K filter: the quota RESETS each
+  * window. Every event gets a verdict on arrival (admitted iff its
+  * within-window arrival index ≤ k), so the downstream consumer sees a
+  * deterministic, replayable admission log — the standard ingest
+  * throttle (per-crawler-host page budgets, per-user API quotas,
+  * per-source daily document caps in a training-data feed).
+  *
+  * Determinism: within a batch the key's rows fold in (ts, event_id)
+  * order; across batches the replay is ts-ordered (stageReplayDir's
+  * sort), so arrival index == (ts, event_id) rank within the window —
+  * exactly what the batch oracle's row_number states, the
+  * slicing-independence contract every processor here carries.
+  *
+  * Scale: state is ONE long per ACTIVE (user, window) key. A production
+  * deployment sets a TTL of window length + allowed lateness so expired
+  * windows evict (TTLConfig is the knob, on the same handle); the
+  * replay keeps TTL off so a restarted drain is bit-identical.
+  */
+class WindowQuotaProcessor(k: Int)
+    extends StatefulProcessor[(Long, Long), (Long, Long, Long), ThrottleRow] {
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState("seen", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, Long),
+                               rows: Iterator[(Long, Long, Long)],
+                               timerValues: TimerValues): Iterator[ThrottleRow] = {
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    var n = if (seen.exists()) seen.get() else 0L
+    val out = sorted.map { case (_, _, eid) =>
+      n += 1
+      ThrottleRow(key._1, key._2, eid, n, n <= k)
     }
     seen.update(n)
     out.iterator
@@ -1885,6 +1933,109 @@ object StreamOps extends Serializable {
     spark.table(sinkName).orderBy(col("user_id"), col("seq"))
   }
 
+  /** Per-window admission quota and tumbling-window width (1 day in µs)
+    * of [[qStreamThrottle]]. k=2 against the fixture's ~2 events per
+    * user-day puts real mass on BOTH verdicts.
+    */
+  val ThrottleK = 2
+  val ThrottleWinUs: Long = 86400000000L
+
+  /** q_stream_throttle — per-user per-day quota admission ON ARRIVAL
+    * ([[WindowQuotaProcessor]]): each user's first [[ThrottleK]] events
+    * of each UTC day are admitted, the rest rejected with their
+    * within-window arrival index — the windowed rate limiter every
+    * ingest edge runs (per-source daily document caps, API quotas),
+    * and the windowed upgrade of [[qStreamFirstk]]'s lifetime quota.
+    * The oracle states the batch equivalent (row_number per (user, day)
+    * ≤ k over the drained replay): stream verdicts == batch verdicts,
+    * the slicing-independence proof.
+    *
+    * Scale: keying by (user, window-start) makes the window reset FREE —
+    * no per-key timer churn, state is one long per active pair, and the
+    * production TTL eviction is documented on the processor.
+    */
+  def qStreamThrottle(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_throttle")
+    val query = startWithStatePartitions(spark, 8) {
+      import spark.implicits._
+      spark.readStream.schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageReplayDir(spark, d))
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(r => (r._1, r._2 / ThrottleWinUs * ThrottleWinUs))
+        .transformWithState(new WindowQuotaProcessor(ThrottleK),
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName)
+      .orderBy(col("user_id"), col("win_us"), col("seq"))
+  }
+
+  /** q_stream_quantile — per-type DAILY median through a MERGEABLE
+    * fixed-bin histogram sketch, computed on the stream: the windowed
+    * aggregation state is (window, type, bin)→count — integer, bounded
+    * by the bin alphabet, and mergeable across partitions and batches
+    * (the property that makes it a SKETCH: any slicing of the feed sums
+    * to the same histogram) — and the median is read off the closed
+    * windows' cumulative bins. This is how streaming engines actually
+    * serve windowed quantiles (fixed-bin / t-digest state, NOT a
+    * per-window value buffer): state per window is O(bins), never
+    * O(events), which is the 100 TB difference between a sketch and
+    * collecting the window.
+    *
+    * Append mode + watermark: a window's histogram emits once, when the
+    * watermark closes it — the oracle replays the same cutoff
+    * (tickAppendOracle's rule at day grain). The ±0.5-bin accuracy
+    * trade is the documented sketch contract ([[graft.operators
+    * .Analytics]]' q_histogram picks the same integer bins); the
+    * estimate itself is exact integer arithmetic + one cast.
+    */
+  def qStreamQuantile(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_quantile")
+    val query = startWithStatePartitions(spark) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .filter(col("value").isNotNull)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+          floor(col("value")).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("w_epoch"),
+          col("event_type"), col("bin"), col("n"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    val wCum = Window.partitionBy(col("w_epoch"), col("event_type"))
+      .orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("w_epoch"), col("event_type"))
+    spark.table(sinkName)
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("w_epoch"), col("event_type"))
+      .agg(min(col("bin")).as("med_bin"), max(col("tot")).as("n_values"))
+      .select(
+        Tables.tsSeconds(timestamp_seconds(col("w_epoch").cast("long")))
+          .as("w_start"),
+        col("event_type"), col("n_values"),
+        (col("med_bin").cast("double") + lit(0.5)).as("median_est"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** Gap threshold of [[qStreamGap]]: 12 hours in µs — on the fixture's
     * ~30-day-per-user event spans a churn-grade gap, rare but present.
     */
@@ -2285,6 +2436,8 @@ object StreamOps extends Serializable {
     "q_stream_neardup"     -> qStreamNeardup _,
     "q_stream_curate"      -> qStreamCurate _,
     "q_stream_firstk"      -> qStreamFirstk _,
+    "q_stream_throttle"    -> qStreamThrottle _,
+    "q_stream_quantile"    -> qStreamQuantile _,
     "q_stream_gap"         -> qStreamGap _,
     "q_stream_locf"        -> qStreamLocf _,
     "q_stream_funnel"      -> qStreamFunnel _,
@@ -2436,6 +2589,43 @@ object StreamOps extends Serializable {
          |       prev IS NULL AS is_first,
          |       (prev IS NOT NULL AND us - prev > $GapThresholdUs) AS big_gap
          |FROM w ORDER BY user_id, event_id""".stripMargin,
+    "q_stream_throttle" ->
+      s"""WITH ranked AS (
+         |  SELECT user_id,
+         |         epoch_us(ts) // $ThrottleWinUs * $ThrottleWinUs AS win_us,
+         |         event_id,
+         |         CAST(ROW_NUMBER() OVER (
+         |           PARTITION BY user_id, epoch_us(ts) // $ThrottleWinUs
+         |           ORDER BY ts, event_id) AS BIGINT) AS seq
+         |  FROM events
+         |)
+         |SELECT user_id, win_us, event_id, seq,
+         |       seq <= $ThrottleK AS admitted
+         |FROM ranked ORDER BY user_id, win_us, seq""".stripMargin,
+    "q_stream_quantile" ->
+      """WITH wm AS (
+        |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
+        |), bins AS (
+        |  SELECT date_trunc('day', ts) AS dw, event_type,
+        |         CAST(floor(value) AS BIGINT) AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY dw, event_type, bin
+        |), closed AS (
+        |  SELECT bins.* FROM bins, wm WHERE dw + INTERVAL 1 DAY <= wm.w
+        |), cum AS (
+        |  SELECT dw, event_type, bin, n,
+        |         CAST(SUM(n) OVER (PARTITION BY dw, event_type
+        |                           ORDER BY bin) AS BIGINT) AS cum,
+        |         CAST(SUM(n) OVER (PARTITION BY dw, event_type)
+        |              AS BIGINT) AS tot
+        |  FROM closed
+        |)
+        |SELECT strftime(dw, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |       CAST(MAX(tot) AS BIGINT) AS n_values,
+        |       CAST(MIN(bin) AS DOUBLE) + 0.5 AS median_est
+        |FROM cum WHERE cum * 2 >= tot
+        |GROUP BY dw, event_type ORDER BY w_start, event_type""".stripMargin,
     "q_stream_firstk" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id,

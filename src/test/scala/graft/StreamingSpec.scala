@@ -911,4 +911,72 @@ class StreamingSpec extends SparkSpec {
       "and leave mature in-band events unflagged")
   }
 
+  test("q_stream_throttle shape: verdicts are slicing-independent and reset per window") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rocks.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = rocks.sqlContext
+    val day = StreamOps.ThrottleWinUs
+    // user 1: 4 events on day 0 (quota 2 → 2 admitted, 2 rejected), then
+    // 1 event on day 1 (quota RESETS → admitted). user 2: 2 on day 0.
+    val rows = Seq(
+      (1L, 1000L, 10L), (1L, 2000L, 11L), (1L, 3000L, 12L),
+      (2L, 3500L, 20L), (1L, 4000L, 13L), (2L, 4500L, 21L),
+      (1L, day + 1000L, 14L))
+    def drain(slices: Seq[Seq[(Long, Long, Long)]], name: String) = {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val query = mem.toDS()
+        .groupByKey(r => (r._1, r._2 / day * day))
+        .transformWithState(
+          new graft.streaming.WindowQuotaProcessor(StreamOps.ThrottleK),
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      run(query) {
+        slices.foreach { s => mem.addData(s); query.processAllAvailable() }
+        rocks.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getBoolean(4))).toSet
+      }
+    }
+    val oneBatch = drain(Seq(rows), "thr_a")
+    val sliced = drain(Seq(rows.take(3), rows.slice(3, 5), rows.drop(5)), "thr_b")
+    assert(oneBatch == sliced, "verdicts depend on batch slicing")
+    val expected = rows.groupBy(r => (r._1, r._2 / day * day)).toSeq.flatMap {
+      case ((u, w), rs) => rs.sortBy(r => (r._2, r._3)).zipWithIndex.map {
+        case ((_, _, eid), i) =>
+          (u, w, eid, i + 1L, i + 1L <= StreamOps.ThrottleK)
+      }
+    }.toSet
+    assert(oneBatch == expected)
+    // Both verdicts and the reset must be real on this input.
+    assert(expected.exists(!_._5) && expected.exists(r => r._2 == day && r._5))
+  }
+
+  test("q_stream_quantile: emitted medians match the sketch contract on the replay") {
+    val got = StreamOps.qStreamQuantile(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val raw = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(date_format(date_trunc("day", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("d"), col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val byKey = raw.groupBy(r => (r._1, r._2))
+    got.foreach { r =>
+      val vs = byKey((r.getString(0), r.getString(1))).map(_._3).sorted
+      assert(r.getLong(2) == vs.length, "n_values")
+      // The min-bin rule picks the bin holding the LOWER median, so the
+      // ±0.5 midpoint estimate must share that element's integer floor.
+      val lower = vs((vs.length + 1) / 2 - 1)
+      assert(r.getDouble(3) == math.floor(lower) + 0.5,
+        s"(${r.getString(0)},${r.getString(1)}): est ${r.getDouble(3)} vs lower-median $lower")
+    }
+    // The watermark must withhold the tail day: fewer emitted keys than
+    // raw (day,type) keys.
+    assert(got.length < byKey.size)
+  }
+
 }
