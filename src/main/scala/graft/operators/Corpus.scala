@@ -303,6 +303,96 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // q_ngram_coverage — head-domination of the 3-gram distribution
+  // ---------------------------------------------------------------------
+
+  /** Cut depths of [[qNgramCoverage]]'s coverage curve. */
+  val CoverageKs: Seq[Int] = Seq(10, 100, 1000)
+
+  /** q_ngram_coverage — head-domination curve of the corpus 3-gram
+    * distribution: for K ∈ {10, 100, 1000}, the share of ALL 3-gram
+    * occurrences covered by the top-K most frequent 3-grams. A corpus
+    * whose top-1000 trigrams carry most of the mass is template/
+    * boilerplate-dominated (navigation chrome, legal footers) — the
+    * feed-level readout that complements [[qTtr]]'s type diversity and
+    * [[TextOps]]' per-document repetition gate, and the number that
+    * predicts how much [[qSubstringDup]] will find before running it.
+    *
+    * Plan: ONE trigram explode + count agg (map-side partials — the only
+    * corpus-sized stage); each K-cut is a TakeOrderedAndProject HEAP +
+    * 1-row sum over K rows — never a global sort of the vocabulary (the
+    * honest at-scale shape: a rank window over the vocab would funnel it
+    * through one task). All-integer, one pinned division per row.
+    */
+  def qNgramCoverage(spark: SparkSession, d: String): DataFrame = {
+    val counts = graft.Tables.cacheForSelfJoin(
+      documents(spark, d)
+        .select(explode(expr(
+          """CASE WHEN size(split(text, ' ')) >= 3
+            |THEN transform(sequence(1, size(split(text, ' ')) - 2),
+            |       i -> array_join(slice(split(text, ' '), i, 3), ' '))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n")))
+    val total = counts.agg(sum(col("n")).as("total_mass"))
+    CoverageKs.map { k =>
+      counts.orderBy(col("n").desc, col("g")).limit(k)
+        .agg(sum(col("n")).as("top_mass"))
+        .select(lit(k.toLong).as("k"), col("top_mass"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("top_mass"), col("total_mass"),
+        (col("top_mass").cast("double") / col("total_mass").cast("double"))
+          .as("share"))
+      .orderBy(col("k"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q_train_split — deterministic hash split with per-language audit
+  // ---------------------------------------------------------------------
+
+  /** Percent cuts of [[qTrainSplit]]: buckets 0–89 train, 90–94 val,
+    * 95–99 test.
+    */
+  val SplitTrainPct = 90
+  val SplitValPct = 95
+
+  /** q_train_split — the DETERMINISTIC train/val/test assignment every
+    * training-data pipeline makes, audited per language: each document
+    * lands in a split by key-hash bucket (md5(doc_id) mod 100 →
+    * 90/5/5), so the assignment is reproducible across runs, engines
+    * and partitionings, stratifiable for free, and content-independent
+    * (assign by DOCUMENT IDENTITY, then dedup/decontaminate ACROSS
+    * splits — [[TextOps]]' q_split_leakage is the audit that catches
+    * near-dup pairs straddling the cut this query makes). `df.sample`/
+    * `randomSplit` draw per-partition RNG streams — unreproducible
+    * under AQE/repartition, and a re-run reassigns documents; hash-mod
+    * is the production answer ([[graft.operators.Analytics
+    * .qSampleHash]]'s contract, extended to a partition of the corpus).
+    *
+    * Output: per (lang, split) document/char counts and the within-
+    * language share — the imbalance check (a language whose val split
+    * went empty) read before training starts.
+    */
+  def qTrainSplit(spark: SparkSession, d: String): DataFrame = {
+    val bucket = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
+    documents(spark, d)
+      .select(col("lang"), col("n_chars"),
+        when(bucket < SplitTrainPct, "train")
+          .when(bucket < SplitValPct, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("lang_docs",
+        sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))))
+      .select(col("lang"), col("split"), col("n_docs"), col("n_chars"),
+        (col("n_docs").cast("double") / col("lang_docs").cast("double"))
+          .as("share"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -312,6 +402,8 @@ object Corpus {
     "q_ttr"           -> qTtr _,
     "q_fertility"     -> qFertility _,
     "q_kn_bigram"     -> qKnBigram _,
+    "q_ngram_coverage" -> qNgramCoverage _,
+    "q_train_split"   -> qTrainSplit _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -446,5 +538,48 @@ object Corpus {
          |         * (CAST(nbw AS DOUBLE) / CAST(t AS DOUBLE)) AS pkn
          |FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN ty
          |ORDER BY pkn DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_ngram_coverage" -> {
+      val cuts = CoverageKs.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |       (SELECT CAST(SUM(n) AS BIGINT) FROM (
+           |          SELECT n FROM counts ORDER BY n DESC, g LIMIT $k))
+           |         AS top_mass""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |), g0 AS (
+         |  SELECT l, unnest(generate_series(1, len(l) - 2)) AS i
+         |  FROM tok WHERE len(l) >= 3
+         |), counts AS (
+         |  SELECT array_to_string(l[i:i+2], ' ') AS g,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM g0 GROUP BY g
+         |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_mass FROM counts),
+         |cuts AS (
+         |$cuts
+         |)
+         |SELECT k, top_mass, total_mass,
+         |       CAST(top_mass AS DOUBLE) / CAST(total_mass AS DOUBLE) AS share
+         |FROM cuts CROSS JOIN tot ORDER BY k""".stripMargin
+    },
+    "q_train_split" ->
+      s"""WITH assigned AS (
+         |  SELECT lang, n_chars,
+         |         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |                   % 100 < $SplitTrainPct THEN 'train'
+         |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |                   % 100 < $SplitValPct THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents
+         |), agg AS (
+         |  SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |  FROM assigned GROUP BY lang, split
+         |)
+         |SELECT lang, split, n_docs, n_chars,
+         |       CAST(n_docs AS DOUBLE)
+         |         / CAST(CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+         |             AS DOUBLE) AS share
+         |FROM agg ORDER BY lang, split""".stripMargin,
   )
 }

@@ -242,7 +242,53 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** q_media_dedup — fixed-block content-addressed dedup over the binary
+    * media column: every blob splits into [[FrameBytes]]-byte segments
+    * inside the mapPartitions decode stage (the natural unit for media —
+    * video IS fixed segments, and a re-encoded clip shares them
+    * exactly), each segment collapses to its sha-256, and the top-20
+    * most-copied segments report copy/document counts and the bytes a
+    * content-addressed store reclaims. Completes the media dedup matrix
+    * tiers: perceptual near-dup ([[qMediaPhash]]), fixed-block exact
+    * (THIS — the control that edit-SHIFTED content defeats), and
+    * content-defined chunking ([[graft.operators.Corpus]]' CDC, which
+    * survives the shift). Whole-object dedup is this query at one
+    * segment per blob.
+    *
+    * Scale: blobs never shuffle — only (32-byte hash, doc) rows leave
+    * the scan; ONE hash-keyed aggregation with map-side partials; the
+    * reclaim arithmetic is exact integers; top-20 is a
+    * TakeOrderedAndProject heap.
+    */
+  def qMediaDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val blobs = documents(spark, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    blobs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { case (id, bytes) =>
+        (0 until bytes.length / FrameBytes).iterator.map { f =>
+          md.reset()
+          md.update(bytes, f * FrameBytes, FrameBytes)
+          (id, md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }.toDF("doc_id", "h")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical"))
+      .filter(col("n_copies") >= 2)
+      .select(col("h"), col("n_copies"), col("n_docs"), col("canonical"),
+        ((col("n_copies") - 1) * lit(FrameBytes.toLong))
+          .as("reclaimed_bytes"))
+      .orderBy(col("n_copies").desc, col("h"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_dedup"         -> qMediaDedup _,
     "q_multimodal_features" -> qMultimodalFeatures _,
     "q_media_phash"         -> qMediaPhash _,
     "q_frame_sample"        -> qFrameSample _,
@@ -254,6 +300,26 @@ object Multimodal {
     * byte-level features are expressible over characters in SQL.
     */
   val oracle: Map[String, String] = Map(
+    "q_media_dedup" ->
+      s"""WITH segs AS (
+         |  SELECT doc_id,
+         |         sha256(substr(text, CAST(f AS INT) * $FrameBytes + 1,
+         |                       $FrameBytes)) AS h
+         |  FROM (SELECT doc_id, text,
+         |               unnest(generate_series(0,
+         |                 strlen(text) // $FrameBytes - 1)) AS f
+         |        FROM documents WHERE strlen(text) >= $FrameBytes)
+         |), g AS (
+         |  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |         MIN(doc_id) AS canonical
+         |  FROM segs GROUP BY h
+         |)
+         |SELECT h, n_copies, n_docs, canonical,
+         |       (n_copies - 1) * CAST($FrameBytes AS BIGINT)
+         |         AS reclaimed_bytes
+         |FROM g WHERE n_copies >= 2
+         |ORDER BY n_copies DESC, h LIMIT 20""".stripMargin,
     "q_multimodal_features" ->
       """SELECT doc_id,
         |       CAST(len(text) AS INTEGER) AS n_bytes,

@@ -188,6 +188,31 @@ object Relational {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** q_sql_exec_immediate — EXECUTE IMMEDIATE (Spark 4 dynamic SQL): the
+    * statement TEXT lives in a SQL variable and runs through
+    * `EXECUTE IMMEDIATE var USING (args)` with positional parameter
+    * markers — the stored-procedure-style dispatch a metadata-driven
+    * pipeline uses when the query itself is data (a rules table of
+    * quality checks, a generated per-tenant report). Completes the
+    * dynamic-SQL surface: q_sql_params binds values into static text,
+    * q_identifier binds an IDENTIFIER, THIS binds the whole statement —
+    * with injection confined to the parameter markers, never string
+    * concatenation. The oracle runs the resolved query; what's pinned is
+    * that the indirection yields the same rows.
+    */
+  def qSqlExecImmediate(spark: SparkSession, d: String): DataFrame = {
+    events(spark, d).createOrReplaceTempView("graft_events")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING")
+    spark.sql(
+      """SET VAR graft_stmt =
+        |  'SELECT event_type, COUNT(*) AS n,
+        |          CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+        |               AS BIGINT) AS sum_cents
+        |   FROM graft_events WHERE value IS NOT NULL AND value >= ?
+        |   GROUP BY event_type ORDER BY event_type'""".stripMargin)
+    spark.sql("EXECUTE IMMEDIATE graft_stmt USING (50.0)")
+  }
+
   /** q_identifier — the IDENTIFIER() clause (Spark 4's injection-safe
     * dynamic SQL): the table name arrives as a PARAMETER and is bound
     * through IDENTIFIER(:tbl), not string concatenation — the surface
@@ -457,11 +482,18 @@ object Relational {
     "q_chart_proj"  -> qChartProj _,
     "q_format"      -> qFormat _,
     "q_sql_var"     -> qSqlVar _,
+    "q_sql_exec_immediate" -> qSqlExecImmediate _,
     "q_identifier"  -> qIdentifier _,
     "q_scalar_subquery" -> qScalarSubquery _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_exec_immediate" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM events WHERE value IS NOT NULL AND value >= 50.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT c_custkey, c_name,
         |       (SELECT COUNT(*) FROM orders o

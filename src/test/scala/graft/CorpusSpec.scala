@@ -162,4 +162,64 @@ class CorpusSpec extends SparkSpec {
         ((t - observed.map(nbw).sum).toDouble / t.toDouble)
     assert(math.abs(mass - 1.0) < 1e-9, s"KN mass for '$w1': $mass")
   }
+
+  test("q_ngram_coverage equals brute-force head mass and is monotone") {
+    val counts = docs.toSeq
+      .flatMap { case (_, t, _, _) =>
+        val ts = t.split(" ", -1)
+        (0 to ts.length - 3).map(i => ts.slice(i, i + 3).mkString(" "))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    val ranked = counts.toSeq.sortBy { case (g, n) => (-n, g) }
+    val got = Corpus.qNgramCoverage(spark, sfDir).collect()
+    assert(got.length == Corpus.CoverageKs.length)
+    got.foreach { r =>
+      val k = r.getLong(0).toInt
+      val top = ranked.take(k).map(_._2).sum
+      assert(r.getLong(1) == top && r.getLong(2) == total)
+      assert(r.getDouble(3) == top.toDouble / total.toDouble)
+    }
+    // Monotone in k, and the head must carry REAL mass on this corpus.
+    val shares = got.sortBy(_.getLong(0)).map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last > 0.01)
+  }
+
+  test("q_train_split equals the brute-force hash assignment and covers every language") {
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def splitOf(id: Long): String = {
+      val b = bucket(id)
+      if (b < Corpus.SplitTrainPct) "train"
+      else if (b < Corpus.SplitValPct) "val" else "test"
+    }
+    val expected = docs.groupBy(r => (r._4, splitOf(r._1)))
+      .map { case (k, rs) =>
+        k -> ((rs.length.toLong, rs.map(_._2.length.toLong).sum))
+      }
+    val langTotals = docs.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val got = Corpus.qTrainSplit(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nd, nc) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == nd, s"(${r.getString(0)},${r.getString(1)})")
+      assert(r.getLong(3) == nc)
+      assert(r.getDouble(4) ==
+        nd.toDouble / langTotals(r.getString(0)).toDouble)
+    }
+    // Every language must have a train split, and the assignment must be
+    // a real partition (shares per language sum to 1).
+    val langs = docs.map(_._4).distinct
+    assert(langs.forall(l =>
+      got.exists(r => r.getString(0) == l && r.getString(1) == "train")))
+    langs.foreach { l =>
+      val s = got.filter(_.getString(0) == l).map(_.getDouble(4)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"$l shares sum $s")
+    }
+  }
 }

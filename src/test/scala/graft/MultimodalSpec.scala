@@ -68,4 +68,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got.exists(_.getBoolean(4)) && got.exists(r => !r.getBoolean(4)),
       "both cut classes populated")
   }
+
+  test("q_media_dedup equals brute-force fixed-block segment dedup") {
+    import org.apache.spark.sql.functions._
+    val fb = graft.operators.Multimodal.FrameBytes
+    def sha(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map("%02x".format(_)).mkString
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        (0 until bytes.length / fb).map { f =>
+          (r.getLong(0), sha(bytes.slice(f * fb, (f + 1) * fb)))
+        }
+      }
+    val expected = segs.groupBy(_._2).map { case (h, ms) =>
+      h -> ((ms.length.toLong, ms.map(_._1).distinct.length.toLong,
+        ms.map(_._1).min))
+    }.filter(_._2._1 >= 2).toSeq
+      .map { case (h, (nc, nd, cn)) => (h, nc, nd, cn) }
+      .sortBy { case (h, nc, _, _) => (-nc, h) }.take(20)
+    val got = graft.operators.Multimodal.qMediaDedup(spark, sfDir).collect()
+    assert(got.length == expected.length && got.nonEmpty,
+      "fixture must contain duplicated segments")
+    got.zip(expected).foreach { case (g, (h, nc, nd, cn)) =>
+      assert(g.getString(0) == h && g.getLong(1) == nc &&
+        g.getLong(2) == nd && g.getLong(3) == cn)
+      assert(g.getLong(4) == (nc - 1) * fb)
+    }
+    // Cross-document duplication must be present (shared prefixes of the
+    // near-dup families), not just within-document repeats.
+    assert(got.exists(_.getLong(2) >= 2))
+  }
 }

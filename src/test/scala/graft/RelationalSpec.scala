@@ -143,4 +143,17 @@ class RelationalSpec extends SparkSpec {
     assert(got == inlined && got.nonEmpty)
   }
 
+  test("q_sql_exec_immediate equals the statically-run statement") {
+    val got = graft.operators.Relational.qSqlExecImmediate(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val static = spark.sql(
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS sum_cents
+        |FROM graft_events WHERE value IS NOT NULL AND value >= 50.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == static && got.nonEmpty)
+  }
+
 }
