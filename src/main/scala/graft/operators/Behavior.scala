@@ -542,6 +542,88 @@ object Behavior {
       .orderBy(col("level"))
   }
 
+  /** q_bitmap_rollup — DAU + rolling 7-day WAU per day computed through
+    * BITMAP WORDS: users pack into 63-bit BIGINT words (`bucket =
+    * user_id div 63`, bit `user_id mod 63`), a day's activity per bucket
+    * is one `bit_or` word, the 7-day window is a word-wise OR of the
+    * contributing days, and distinct counts are `sum(bit_count(word))`.
+    * The roaring-bitmap scheme every production engagement store uses
+    * (Druid/ClickHouse/Snowflake BITMAP_* do exactly this), and the
+    * scalable twin of [[graft.operators.Analytics.qWau]]: that query
+    * fans out |user-days|×7 DISTINCT rows; this one's window state is
+    * |buckets|×|days| words — a 63× compression that also turns the
+    * distinct-count into a popcount with NO second dedup shuffle.
+    * 63-bit words (not 64) because the oracle's `1::BIGINT << 63`
+    * overflows signed range in DuckDB; capping the shift at 62 keeps
+    * both engines in defined-behavior territory.
+    *
+    * Plan: events collapse to (day, bucket) words in ONE hash aggregate
+    * (map-side partial `bit_or` — associative, so partials combine
+    * exactly); the ×7 sequence-explode fan-out is bounded by the window
+    * length, never the data; phantom trailing windows drop against the
+    * broadcast day spine. At 10⁹ users a day is 1.6·10⁷ words — the
+    * whole rollup is calendar×buckets-sized, independent of event
+    * volume. All-BIGINT bit ops → hash-exact.
+    */
+  def qBitmapRollup(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d).select(
+      expr("unix_micros(date_trunc('day', ts)) DIV 86400000000").as("dy"),
+      expr("user_id DIV 63").as("bucket"),
+      expr("CAST(user_id % 63 AS INT)").as("bit"))
+    val daily = ev.groupBy(col("dy"), col("bucket"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("w"))
+    val days = daily.select(col("dy")).distinct()
+    val dau = daily.groupBy(col("dy"))
+      .agg(sum(expr("bit_count(w)")).as("dau"))
+    val wau7 = daily
+      .select(explode(sequence(col("dy"), col("dy") + lit(6L))).as("td"),
+        col("bucket"), col("w"))
+      .join(broadcast(days.select(col("dy").as("td"))), "td")
+      .groupBy(col("td"), col("bucket"))
+      .agg(expr("bit_or(w)").as("w7"))
+      .groupBy(col("td")).agg(sum(expr("bit_count(w7)")).as("wau7"))
+    dau.join(wau7, col("dy") === col("td"))
+      .select(
+        tsSeconds(timestamp_micros(col("dy") * lit(86400000000L))).as("day_s"),
+        col("dau"), col("wau7"))
+      .orderBy(col("day_s"))
+  }
+
+  /** q_dp_counts — ε-differentially-private per-(type, day) event counts
+    * via the Laplace mechanism: release count + Lap(Δ/ε) with
+    * sensitivity Δ=1 (one event moves one cell by one) and ε=1. The
+    * privacy layer a shared analytics surface publishes through —
+    * counts leave the engine only after calibrated noise.
+    *
+    * DERANDOMIZED FOR THE GATE: production draws the Laplace sample
+    * from a CSPRNG; here the uniform is the cell's portable 60-bit md5
+    * hash scaled to [0,1) (the [[graft.operators.TextOps]] hash idiom),
+    * pushed through the standard inverse-CDF transform
+    * `−sign(u−½)·b·ln(1−2|u−½|)`. Same mechanism, same distribution
+    * across cells, reproducible in both engines — the documented
+    * seeded-noise testing stance (same as a seeded `rand(42)` but
+    * engine-portable). ln goes through the codegen'd [[lnLibm]] so the
+    * released double is bit-identical to DuckDB's.
+    *
+    * Plan: one hash aggregate to cells, then per-row scalar math —
+    * nothing after the groupBy exceeds |types|×|days| rows.
+    */
+  def qDpCounts(spark: SparkSession, d: String): DataFrame = {
+    val cnt = events(spark, d)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) DIV 86400000000").as("dy"))
+      .groupBy(col("event_type"), col("dy")).agg(count(lit(1)).as("n"))
+    val u = conv(substring(md5(
+      concat(col("event_type"), lit("|"), col("dy").cast("string"))), 1, 15),
+      16, 10).cast("long").cast("double") / lit(1152921504606846976.0)
+    val c = u - lit(0.5)
+    val noise = (-signum(c)) * lit(1.0) * lnLibm(lit(1.0) - (lit(2.0) * abs(c)))
+    cnt.select(col("event_type"),
+        tsSeconds(timestamp_micros(col("dy") * lit(86400000000L))).as("day_s"),
+        (col("n").cast("double") + noise).as("noisy_n"))
+      .orderBy(col("event_type"), col("day_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_matrix" -> qCohortMatrix _,
     "q_window_funnel" -> qWindowFunnel _,
@@ -555,9 +637,59 @@ object Behavior {
     "q_rolling_median" -> qRollingMedian _,
     "q_calibration" -> qCalibration _,
     "q_attribution" -> qAttribution _,
+    "q_bitmap_rollup" -> qBitmapRollup _,
+    "q_dp_counts" -> qDpCounts _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bitmap_rollup" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS dy,
+        |         user_id // 63 AS bucket, CAST(user_id % 63 AS INT) AS bit
+        |  FROM events
+        |), daily AS (
+        |  SELECT dy, bucket,
+        |         bit_or(CAST(1 AS BIGINT) << bit) AS w
+        |  FROM ev GROUP BY dy, bucket
+        |), days AS (SELECT DISTINCT dy FROM daily),
+        |dau AS (
+        |  SELECT dy, CAST(SUM(bit_count(w)) AS BIGINT) AS dau
+        |  FROM daily GROUP BY dy
+        |), expand AS (
+        |  SELECT unnest(generate_series(dy, dy + 6)) AS td, bucket, w
+        |  FROM daily
+        |), wau AS (
+        |  SELECT e.td, e.bucket, bit_or(e.w) AS w7
+        |  FROM expand e JOIN days ON e.td = days.dy
+        |  GROUP BY e.td, e.bucket
+        |), wau7 AS (
+        |  SELECT td, CAST(SUM(bit_count(w7)) AS BIGINT) AS wau7
+        |  FROM wau GROUP BY td
+        |)
+        |SELECT strftime(make_timestamp(dau.dy * 86400000000),
+        |         '%Y-%m-%d %H:%M:%S') AS day_s,
+        |       dau.dau AS dau, wau7.wau7 AS wau7
+        |FROM dau JOIN wau7 ON dau.dy = wau7.td
+        |ORDER BY day_s""".stripMargin,
+    "q_dp_counts" ->
+      """WITH cnt AS (
+        |  SELECT event_type,
+        |         epoch_us(date_trunc('day', ts)) // 86400000000 AS dy,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY event_type, dy
+        |), h AS (
+        |  SELECT event_type, dy, n,
+        |         (CAST(CAST(('0x' || substr(md5(
+        |            event_type || '|' || CAST(dy AS VARCHAR)), 1, 15))
+        |            AS BIGINT) AS DOUBLE) / 1152921504606846976.0) - 0.5 AS c
+        |  FROM cnt
+        |)
+        |SELECT event_type,
+        |       strftime(make_timestamp(dy * 86400000000),
+        |         '%Y-%m-%d %H:%M:%S') AS day_s,
+        |       CAST(n AS DOUBLE)
+        |         + ((-sign(c)) * 1.0 * ln(1.0 - (2.0 * abs(c)))) AS noisy_n
+        |FROM h ORDER BY event_type, day_s""".stripMargin,
     "q_window_funnel" -> {
       val w = FunnelWindowUs
       s"""WITH enc AS (

@@ -245,6 +245,67 @@ object Series {
           (col("mean_c_post") - col("mean_c_pre")))
   }
 
+  /** q_dtw — Dynamic Time Warping distance between every pair of
+    * per-type daily count series (Sakoe/Chiba's classic alignment
+    * measure): the similarity metric that matches series which move
+    * ALIKE BUT SHIFTED, where Euclidean/correlation ([[qStl]]'s
+    * decomposition, q_corr's moment) punish any phase lag. The
+    * curation use: cluster sources/feeds whose daily volume curves are
+    * time-warped copies (mirrors, re-posters, delayed syndication).
+    *
+    * Series are gap-filled to the GLOBAL day grid (0 on silent days —
+    * same densification stance as E28b) so every pair compares equal-
+    * length vectors; costs are |ca − cb| over exact BIGINT counts, so
+    * the whole O(n²) DP is INTEGER arithmetic — hash-exact with no
+    * float anywhere. The DP is the textbook row-rolling recurrence
+    * d[i][j] = cost + min(d[i−1][j], d[i][j−1], d[i−1][j−1]) expressed
+    * as a nested `aggregate` fold (outer over series A, inner building
+    * each row left-to-right; the 10¹⁵ sentinel plays ∞ and cannot
+    * overflow: at most one sentinel enters any sum, costs are ≤ 2⁴⁰).
+    *
+    * Plan: one hash agg to (type, day) counts, a broadcast grid fill,
+    * then a |types|-row broadcast self-join — the DP runs INSIDE each
+    * pair row on one executor, no shuffle. Scale: pairs grow with the
+    * alphabet² (bounded), series length with the calendar; at years of
+    * days swap the full DP for the Sakoe-Chiba band (cap |i−j| ≤ w in
+    * the inner fold — same recurrence, O(n·w)).
+    */
+  def qDtw(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) DIV 86400000000").as("dy"))
+      .groupBy(col("event_type"), col("dy")).agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(min(col("dy")).as("lo"), max(col("dy")).as("hi"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("dy"))
+    val ser = grid.join(ev, Seq("event_type", "dy"), "left")
+      .select(col("event_type"), col("dy"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("dy"), col("c")))).as("sc"))
+      .select(col("event_type"), expr("transform(sc, x -> x.c)").as("s"))
+    val a = ser.select(col("event_type").as("type_a"), col("s").as("sa"))
+    val b = ser.select(col("event_type").as("type_b"), col("s").as("sb"))
+    val inf = "CAST(1000000000000000 AS BIGINT)"
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr(
+          s"""element_at(
+             |  aggregate(
+             |    sa,
+             |    concat(array(CAST(0 AS BIGINT)), transform(sb, x -> $inf)),
+             |    (prev, ai) -> aggregate(
+             |      sb,
+             |      array($inf),
+             |      (curr, bj) -> concat(curr, array(
+             |        abs(ai - bj) + least(
+             |          element_at(prev, size(curr) + 1),
+             |          element_at(prev, size(curr)),
+             |          element_at(curr, size(curr))))))),
+             |  size(sb) + 1)""".stripMargin).as("dtw"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ohlc" -> qOhlc _,
     "q_lag_features" -> qLagFeatures _,
@@ -252,9 +313,48 @@ object Series {
     "q_hhi" -> qHhi _,
     "q_pareto" -> qPareto _,
     "q_did" -> qDid _,
+    "q_dtw" -> qDtw _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dtw" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         epoch_us(date_trunc('day', ts)) // 86400000000 AS dy,
+        |         COUNT(*) AS c
+        |  FROM events GROUP BY event_type, dy
+        |), bounds AS (SELECT MIN(dy) AS lo, MAX(dy) AS hi FROM ev),
+        |grid AS (
+        |  SELECT t.event_type,
+        |         unnest(generate_series(bounds.lo, bounds.hi)) AS dy
+        |  FROM (SELECT DISTINCT event_type FROM ev) t, bounds
+        |), ser AS (
+        |  SELECT g.event_type,
+        |         list(COALESCE(ev.c, 0) ORDER BY g.dy) AS s
+        |  FROM grid g LEFT JOIN ev
+        |    ON g.event_type = ev.event_type AND g.dy = ev.dy
+        |  GROUP BY g.event_type
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         a.s AS sa, b.s AS sb
+        |  FROM ser a JOIN ser b ON a.event_type < b.event_type
+        |)
+        |SELECT type_a, type_b,
+        |  list_reduce(
+        |    list_prepend(
+        |      list_concat([CAST(0 AS BIGINT)],
+        |        list_transform(sb, x -> CAST(1000000000000000 AS BIGINT))),
+        |      list_transform(sa, v -> [v])),
+        |    (prev, ae) -> list_reduce(
+        |      list_prepend(
+        |        [CAST(1000000000000000 AS BIGINT)],
+        |        list_transform(sb, w -> [w])),
+        |      (curr, be) -> list_concat(curr,
+        |        [abs(ae[1] - be[1]) + least(
+        |           prev[len(curr) + 1],
+        |           prev[len(curr)],
+        |           curr[len(curr)])])))[len(sb) + 1] AS dtw
+        |FROM pairs ORDER BY type_a, type_b""".stripMargin,
     "q_ohlc" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) // 21600000000 AS bucket, event_type,

@@ -543,6 +543,51 @@ object Similarity {
       .orderBy(col("label"), col("pos"))
   }
 
+  /** q_gram_matrix — the upper triangle of the corpus Gram matrix
+    * Σᵥ v·vᵀ over the embedding table (dim×dim entries): THE linear-
+    * algebra primitive under PCA/whitening/ridge — covariance is this
+    * matrix minus the mean outer product, and [[qPowerIter]]'s dominant
+    * eigenvector is what a driver loop extracts FROM it. A training
+    * pipeline lands this nightly before any decorrelation step.
+    *
+    * Determinism: each entry is a double sum over the corpus, so it
+    * folds in [[qCentroid]]'s two-level pinned order (vec_id-sorted
+    * within [[CentroidChunk]] chunks, then chunk order) — the exact-
+    * order scheme whose per-group state stays ≤ chunk-sized at any
+    * corpus volume. Products are float→double casts then ONE IEEE
+    * multiply, identical in both engines.
+    *
+    * Plan: the (vec_id, pos, v) relation is built once, cached, and
+    * self-joined ON vec_id (co-partitioned — the pair fan-out is
+    * dim(dim+1)/2 per vector, a constant ×2080 at dim 64, never
+    * corpus×corpus); everything after is (i,j,chunk)-cardinality. At
+    * higher dims the fan-out is the knob: block the matrix (pos DIV B
+    * pairs) or sketch (count-sketch JL projection) — documented, not
+    * silently hit.
+    */
+  def qGramMatrix(spark: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.cacheForSelfJoin(
+      embeddings(spark, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v"))))
+    val prods = e.as("a").join(e.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.pos") <= col("b.pos"))
+      .select(col("a.pos").as("i"), col("b.pos").as("j"),
+        col("a.vec_id").as("vid"),
+        (col("a.v").cast("double") * col("b.v").cast("double")).as("p"))
+    prods
+      .groupBy(col("i"), col("j"), expr(s"vid DIV $CentroidChunk").as("chunk"))
+      .agg(sort_array(collect_list(struct(col("vid"), col("p")))).as("ps"))
+      .select(col("i"), col("j"), col("chunk"),
+        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)")
+          .as("psum"))
+      .groupBy(col("i"), col("j"))
+      .agg(sort_array(collect_list(struct(col("chunk"), col("psum")))).as("cs"))
+      .select(col("i"), col("j"),
+        expr("aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.psum)")
+          .as("g"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** q_kmeans_step — ONE full Lloyd iteration of k-means over the
     * embedding corpus: assign every vector to its nearest of the 8
     * deterministic seed centroids ([[ivfRanked]]'s inverted file — by
@@ -1400,6 +1445,7 @@ object Similarity {
     "q_dedup_stages"    -> qDedupStages _,
     "q_cosine_topk"     -> qCosineTopk _,
     "q_centroid"        -> qCentroid _,
+    "q_gram_matrix"     -> qGramMatrix _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
     "q_cosine_neardup"  -> qCosineNeardup _,
     "q_cosine_neardup_scaled" -> qCosineNeardupScaled _,
@@ -2024,6 +2070,27 @@ object Similarity {
         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |         list(term ORDER BY label)), (acc, x) -> acc + x) AS entropy
         |FROM t""".stripMargin,
+    "q_gram_matrix" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         |         unnest(embedding) AS v
+         |  FROM embeddings
+         |), p AS (
+         |  SELECT a.pos AS i, b.pos AS j, a.vec_id AS vid,
+         |         a.vec_id // $CentroidChunk AS chunk,
+         |         CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) AS p
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+         |), chunks AS (
+         |  SELECT i, j, chunk,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(p ORDER BY vid)), (acc, x) -> acc + x) AS psum
+         |  FROM p GROUP BY i, j, chunk
+         |)
+         |SELECT i, j,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(psum ORDER BY chunk)), (acc, x) -> acc + x) AS g
+         |FROM chunks GROUP BY i, j ORDER BY i, j""".stripMargin,
     "q_centroid" ->
       s"""WITH bypos AS (
          |  SELECT label, vec_id, vec_id // $CentroidChunk AS chunk,

@@ -379,4 +379,54 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getDouble(3) == p && r.getDouble(4) == mde)
     assert(mde > 0.0 && mde < 1.0, "the effect bound must be a real rate")
   }
+
+  test("q_bitmap_rollup popcounts equal the brute-force distinct user counts") {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), dayMs(r.getTimestamp(1)) / 86400000L))
+      .distinct
+    val days = ud.map(_._2).distinct.sorted
+    val wantDau = days.map(d => d -> ud.count(_._2 == d).toLong).toMap
+    val wantWau = days.map(d =>
+      d -> ud.filter(p => p._2 >= d - 6 && p._2 <= d).map(_._1).distinct.length.toLong).toMap
+
+    val got = Behavior.qBitmapRollup(spark, sfDir).collect()
+    assert(got.length == days.length, "one row per observed day")
+    got.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getString(0).take(10)).toEpochDay
+      assert(r.getLong(1) == wantDau(d), s"dau at day $d")
+      assert(r.getLong(2) == wantWau(d), s"wau7 at day $d")
+    }
+    // The bitmap path must agree with the explode-path q_wau on shared days.
+    val wau = operators.Analytics.qWau(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    got.foreach(r => assert(wau(r.getString(0)) == r.getLong(2),
+      "bitmap wau7 must equal q_wau's distinct-count wau"))
+  }
+
+  test("q_dp_counts noise is bounded, deterministic, and centered on the true cell counts") {
+    val want = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), dayMs(r.getTimestamp(1)) / 86400000L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Behavior.qDpCounts(spark, sfDir).collect()
+    assert(got.length == want.size, "one row per (type, day) cell")
+    // Laplace(b=1) noise from a 60-bit uniform: |noise| = |ln(1-2|u-1/2|)|
+    // <= ln(2^60) = 60*ln2 ~ 41.6. Every released count sits inside that
+    // bound around its true cell count, and at least one cell is actually
+    // perturbed (the mechanism is not the identity).
+    var moved = 0
+    got.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getString(1).take(10)).toEpochDay
+      val n = want((r.getString(0), d)).toDouble
+      val noise = r.getDouble(2) - n
+      assert(math.abs(noise) <= 60.0 * math.log(2.0) + 1e-9,
+        s"noise bound at (${r.getString(0)}, $d)")
+      if (noise != 0.0) moved += 1
+    }
+    assert(moved > got.length / 2, "most cells must carry non-zero noise")
+    // Derandomized mechanism: a second run releases identical doubles.
+    val again = Behavior.qDpCounts(spark, sfDir).collect()
+    assert(got.map(_.getDouble(2)).toSeq == again.map(_.getDouble(2)).toSeq)
+  }
 }

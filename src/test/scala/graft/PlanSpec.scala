@@ -662,6 +662,38 @@ class PlanSpec extends SparkSpec {
       s"the sketch pair stage must broadcast the tiny sketch side:\n$p")
   }
 
+  test("q_bitmap_rollup aggregates words map-side-partial and broadcasts the day spine") {
+    val p = plan(graft.operators.Behavior.qBitmapRollup(spark, sfDir))
+    // The (day, bucket) word build must be a partial_bit_or hash
+    // aggregate (associative — combines before the shuffle); losing the
+    // partial would ship every raw event row through the exchange.
+    assert(p.contains("partial_bit_or") || p.contains("partial_first") ||
+      "HashAggregate.*bit_or".r.findFirstIn(p).isDefined,
+      s"word build must be a partial bit_or hash aggregate:\n$p")
+    // The phantom-window cut joins the ×7 fan-out against the tiny day
+    // spine — that side must broadcast, never shuffle the fan-out extra.
+    assert(p.contains("BroadcastExchange"),
+      s"the day spine must broadcast into the phantom-window cut:\n$p")
+    // Calendar math only — the scan needs (ts, user_id), nothing else.
+    assert(p.contains("ReadSchema: struct<ts:timestamp"),
+      s"events scan must prune to (ts, user_id):\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"the rollup is pure aggregation — no window operator:\n$p")
+  }
+
+  test("q_dp_counts prunes the scan to the cell keys and stays window-free") {
+    val p = plan(graft.operators.Behavior.qDpCounts(spark, sfDir))
+    // DP release touches only (event_type, ts): dragging value/props
+    // into a privacy projection would read 2 unneeded corpus columns.
+    assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,event_type:string>")
+        || p.contains("ReadSchema: struct<event_type:string,ts:timestamp"),
+      s"events scan must prune to (event_type, ts):\n$p")
+    // One shuffle total: the cell aggregate; noise is per-row scalar math.
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"DP release is one cell aggregate, saw $hashExchanges hash exchanges:\n$p")
+  }
+
   test("q_topk_rewrite: the registered window idiom compiles to the heap operator") {
     // TopKSpec pins the rewrite on the bare idiom; this pins the
     // REGISTERED query (which adds a presentation sort on top) — the

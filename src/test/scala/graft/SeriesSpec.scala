@@ -160,4 +160,43 @@ class SeriesSpec extends SparkSpec {
     assert(r.getDouble(2) == mcPre && r.getDouble(3) == mcPost)
     assert(r.getDouble(4) == (mtPost - mtPre) - (mcPost - mcPre))
   }
+
+  test("q_dtw equals the brute-force DP over gap-filled daily count series") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 86400000L))
+    val days = ev.map(_._2)
+    val (lo, hi) = (days.min, days.max)
+    val series: Map[String, Array[Long]] = ev.map(_._1).distinct.sorted.map { t =>
+      val byDay = ev.filter(_._1 == t).groupBy(_._2).view.mapValues(_.length.toLong)
+      t -> (lo to hi).map(d => byDay.getOrElse(d, 0L)).toArray
+    }.toMap
+
+    def dtw(a: Array[Long], b: Array[Long]): Long = {
+      val INF = 1000000000000000L
+      var prev = Array.fill(b.length + 1)(INF); prev(0) = 0L
+      for (ai <- a) {
+        val curr = Array.fill(b.length + 1)(INF)
+        for (j <- 1 to b.length)
+          curr(j) = math.abs(ai - b(j - 1)) +
+            math.min(prev(j), math.min(prev(j - 1), curr(j - 1)))
+        prev = curr
+      }
+      prev(b.length)
+    }
+
+    val got = Series.qDtw(spark, sfDir).collect()
+    val types = series.keys.toSeq.sorted
+    assert(got.length == types.combinations(2).length, "one row per type pair")
+    got.foreach { r =>
+      val want = dtw(series(r.getString(0)), series(r.getString(1)))
+      assert(r.getLong(2) == want,
+        s"dtw(${r.getString(0)}, ${r.getString(1)})")
+      // DTW is bounded above by the Manhattan distance of the alignment-free
+      // pairing (the diagonal path is one admissible warping).
+      val diag = series(r.getString(0)).zip(series(r.getString(1)))
+        .map { case (x, y) => math.abs(x - y) }.sum
+      assert(r.getLong(2) <= diag, "warping can only improve on the diagonal")
+    }
+  }
 }

@@ -885,4 +885,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(_.getDouble(5) < 1.0))
   }
 
+  test("q_gram_matrix equals the brute-force chunk-ordered outer-product sums") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val dim = vecs.head._2.length
+    val chunkOf = (vid: Long) => vid / Similarity.CentroidChunk
+
+    def entry(i: Int, j: Int): Double = {
+      // Replay the two-level pinned fold: vec_id order within chunks,
+      // then chunk order — the exact addition sequence of the contract.
+      val byChunk = vecs.groupBy(v => chunkOf(v._1)).toSeq.sortBy(_._1)
+      var total = 0.0
+      byChunk.foreach { case (_, vs) =>
+        var psum = 0.0
+        vs.sortBy(_._1).foreach { case (_, e) =>
+          psum += e(i).toDouble * e(j).toDouble
+        }
+        total += psum
+      }
+      total
+    }
+
+    val got = Similarity.qGramMatrix(spark, sfDir).collect()
+    assert(got.length == dim * (dim + 1) / 2, "full upper triangle")
+    // Exact replay on a deterministic sample of entries (all 2080 would
+    // be slow in a scalatest loop): the diagonal plus one off-diagonal band.
+    got.filter(r => r.getInt(1) == r.getInt(0) || r.getInt(1) == r.getInt(0) + 7)
+      .foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        assert(r.getDouble(2) == entry(i, j), s"gram($i,$j)")
+        if (i == j) assert(r.getDouble(2) >= 0.0, "diagonal is a sum of squares")
+      }
+  }
 }
