@@ -557,34 +557,50 @@ object Similarity {
     * corpus volume. Products are float→double casts then ONE IEEE
     * multiply, identical in both engines.
     *
-    * Plan: the (vec_id, pos, v) relation is built once, cached, and
-    * self-joined ON vec_id (co-partitioned — the pair fan-out is
-    * dim(dim+1)/2 per vector, a constant ×2080 at dim 64, never
-    * corpus×corpus); everything after is (i,j,chunk)-cardinality. At
-    * higher dims the fan-out is the knob: block the matrix (pos DIV B
-    * pairs) or sketch (count-sketch JL projection) — documented, not
-    * silently hit.
+    * Plan: NO join, and NO per-pair shuffle rows — each vector
+    * builds its WHOLE upper triangle as one dim(dim+1)/2 array
+    * (nested transform over tail slices, (i asc, j asc) lex order),
+    * so the shuffle carries ONE row per vector, not one per pair
+    * (×2080 fewer rows at dim 64; the bytes are the same, the
+    * per-row agg machinery isn't). Chunks fold their ≤128 member
+    * arrays element-wise with `zip_with` in vid order, chunk partials
+    * fold in chunk order, and the single surviving row posexplodes
+    * back to (i, j) cells only at the very end. At higher dims the
+    * array size is the knob: block the matrix (pos DIV B pairs) or
+    * sketch (count-sketch JL projection) — documented, not silently
+    * hit.
     */
   def qGramMatrix(spark: SparkSession, d: String): DataFrame = {
-    val e = graft.Tables.cacheForSelfJoin(
-      embeddings(spark, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v"))))
-    val prods = e.as("a").join(e.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.pos") <= col("b.pos"))
-      .select(col("a.pos").as("i"), col("b.pos").as("j"),
-        col("a.vec_id").as("vid"),
-        (col("a.v").cast("double") * col("b.v").cast("double")).as("p"))
-    prods
-      .groupBy(col("i"), col("j"), expr(s"vid DIV $CentroidChunk").as("chunk"))
-      .agg(sort_array(collect_list(struct(col("vid"), col("p")))).as("ps"))
-      .select(col("i"), col("j"), col("chunk"),
-        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)")
+    val nPairs = EmbDim * (EmbDim + 1) / 2
+    val perVec = embeddings(spark, d)
+      .select(col("vec_id").as("vid"),
+        expr(
+          s"""flatten(transform(embedding, (vi, i) ->
+             |  transform(slice(embedding, i + 1, $EmbDim), vj ->
+             |    CAST(vi AS DOUBLE) * CAST(vj AS DOUBLE))))""".stripMargin)
+          .as("prods"))
+    val zero = s"array_repeat(CAST(0.0 AS DOUBLE), $nPairs)"
+    // (i, j) recovery for the flat lex index: an exact integer index
+    // array zipped against the folded sums — no float inversion.
+    val idx =
+      s"""flatten(transform(sequence(0, ${EmbDim - 1}), i ->
+         |  transform(sequence(i, ${EmbDim - 1}), j ->
+         |    named_struct('i', i, 'j', j))))""".stripMargin
+    perVec
+      .groupBy(expr(s"vid DIV $CentroidChunk").as("chunk"))
+      .agg(sort_array(collect_list(struct(col("vid"), col("prods")))).as("ps"))
+      .select(col("chunk"),
+        expr(s"aggregate(ps, $zero, (acc, x) -> zip_with(acc, x.prods, (u, v) -> u + v))")
           .as("psum"))
-      .groupBy(col("i"), col("j"))
+      .groupBy()
       .agg(sort_array(collect_list(struct(col("chunk"), col("psum")))).as("cs"))
-      .select(col("i"), col("j"),
-        expr("aggregate(cs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.psum)")
-          .as("g"))
+      .select(expr(
+        s"aggregate(cs, $zero, (acc, x) -> zip_with(acc, x.psum, (u, v) -> u + v))")
+        .as("gs"))
+      .select(explode(expr(
+        s"zip_with($idx, gs, (ij, g) -> named_struct('i', ij.i, 'j', ij.j, 'g', g))"))
+        .as("cell"))
+      .select(col("cell.i").as("i"), col("cell.j").as("j"), col("cell.g").as("g"))
       .orderBy(col("i"), col("j"))
   }
 
