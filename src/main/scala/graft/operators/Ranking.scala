@@ -297,7 +297,86 @@ object Ranking {
       .orderBy(col("event_type"))
   }
 
+  /** RBO persistence and evaluation depth for [[qRbo]]. */
+  val RboPhi   = 0.9
+  val RboDepth = 20
+
+  /** Weight table φ^(k−1), k = 1..[[RboDepth]], built by REPEATED IEEE
+    * multiplication (not `pow`, whose last-ulp rounding differs across
+    * libms) and shared VERBATIM with the oracle: the Spark side embeds
+    * these doubles as literals, the SQL side embeds their shortest
+    * round-trip decimal form (`Double.toString`), which every IEEE-754
+    * parser recovers bit-exactly.
+    */
+  val RboWeights: Array[Double] =
+    Array.iterate(1.0, RboDepth)(_ * RboPhi)
+
+  /** q_rbo — Rank-Biased Overlap (Webber–Moffat–Zobel 2010) between the
+    * part-revenue ranking of the EARLY order-date half (< 1998-01-01)
+    * and the LATE half: RBO@d = (1−φ)·Σₖ φ^(k−1)·|A₁..ₖ ∩ B₁..ₖ|/k, the
+    * top-weighted rank-stability metric search teams use to compare two
+    * rankers — Kendall/Spearman ([[Stats.qKendallTau]]) weight every
+    * position equally and need CONJOINT lists; RBO weights the head
+    * geometrically and is defined on two different top-k lists, which is
+    * what real before/after ranking comparisons have.
+    *
+    * Determinism: revenues are exact BIGINT cents (`floor(p·(1−d)·100 +
+    * 0.5)` at the scan), so both rankings and every prefix-overlap count
+    * are integers; the only doubles are the [[RboWeights]] literals and
+    * the k-ordered fold Σ (wₖ·ov)/k — ordered `aggregate` ⇔ DuckDB
+    * `list_reduce` ORDER BY k, one pinned parenthesization.
+    *
+    * Plan: lineitem collapses per (half, part) in ONE join+agg pass
+    * (broadcast the orders date spine — no, orders is the BIG side's
+    * probe: the join is on orderkey, shuffle-colocated); each half's
+    * top-[[RboDepth]] is a TakeOrderedAndProject HEAP (never a global
+    * sort), and everything after is ≤ 2·depth rows: the depth×pairs
+    * overlap grid is 20×40, driver-free and volume-independent. The
+    * depth/φ pair is the head-weight knob — deepen d, raise φ for
+    * flatter emphasis.
+    */
+  def qRbo(spark: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(100.0) + lit(0.5)).cast("long")
+    val li = lineitem(spark, d).select(col("l_orderkey"), col("l_partkey"),
+      cents.as("cents"))
+    val od = orders(spark, d).select(col("o_orderkey"),
+      (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("early"))
+    val rev = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("early"), col("l_partkey"))
+      .agg(sum(col("cents")).as("rev"))
+    def top(side: Boolean, rk: String) = {
+      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      rev.filter(col("early") === side)
+        .withColumn(rk, row_number().over(w))
+        .filter(col(rk) <= RboDepth)
+        .select(col("l_partkey"), col(rk))
+    }
+    val joined = top(side = true, "ra").join(top(side = false, "rb"),
+      Seq("l_partkey"), "full_outer")
+    val ov = joined
+      .select(col("ra"), col("rb"),
+        explode(sequence(lit(1), lit(RboDepth))).as("k"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("ra") <= col("k") && col("rb") <= col("k"), 1L)
+        .otherwise(0L)).as("ov"))
+    val wArr = array(RboWeights.map(lit(_)): _*)
+    ov.select(col("k"), col("ov"),
+        ((element_at(wArr, col("k")) * col("ov").cast("double")) /
+          col("k").cast("double")).as("term"))
+      .agg(sort_array(collect_list(struct(col("k"), col("term")))).as("ts"),
+        max(when(col("k") === RboDepth, col("ov"))).as("ov_at_d"))
+      .select(
+        (lit(1.0 - RboPhi) *
+          expr("aggregate(ts, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"))
+          .as("rbo"),
+        col("ov_at_d"),
+        (col("ov_at_d").cast("double") / lit(RboDepth.toDouble))
+          .as("agreement_at_d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rbo"         -> qRbo _,
     "q_bm25"        -> qBm25 _,
     "q_rank_fusion" -> qRankFusion _,
     "q_ndcg"        -> qNdcg _,
@@ -307,6 +386,50 @@ object Ranking {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rbo" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey,
+         |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+         |           + 0.5) AS BIGINT) AS cents
+         |  FROM lineitem
+         |), rev AS (
+         |  SELECT (o_orderdate < TIMESTAMP '1998-01-01') AS early, l_partkey,
+         |         CAST(SUM(cents) AS BIGINT) AS rev
+         |  FROM li JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY early, l_partkey
+         |), ta AS (
+         |  SELECT l_partkey, rk AS ra FROM (
+         |    SELECT l_partkey,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey)
+         |             AS INT) AS rk
+         |    FROM rev WHERE early) WHERE rk <= $RboDepth
+         |), tb AS (
+         |  SELECT l_partkey, rk AS rb FROM (
+         |    SELECT l_partkey,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey)
+         |             AS INT) AS rk
+         |    FROM rev WHERE NOT early) WHERE rk <= $RboDepth
+         |), j AS (
+         |  SELECT ra, rb FROM ta FULL JOIN tb USING (l_partkey)
+         |), ov AS (
+         |  SELECT k, CAST(SUM(CASE WHEN ra <= k AND rb <= k THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS ov
+         |  FROM (SELECT ra, rb, unnest(generate_series(1, $RboDepth)) AS k
+         |        FROM j)
+         |  GROUP BY k
+         |), terms AS (
+         |  SELECT k, ov,
+         |         (list_extract([${RboWeights.mkString(", ")}], k)
+         |           * CAST(ov AS DOUBLE)) / CAST(k AS DOUBLE) AS term
+         |  FROM ov
+         |)
+         |SELECT ${1.0 - RboPhi} * list_reduce(
+         |         list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY k)),
+         |         (acc, x) -> acc + x) AS rbo,
+         |       MAX(CASE WHEN k = $RboDepth THEN ov END) AS ov_at_d,
+         |       CAST(MAX(CASE WHEN k = $RboDepth THEN ov END) AS DOUBLE)
+         |         / $RboDepth.0 AS agreement_at_d
+         |FROM terms""".stripMargin,
     "q_mrr" ->
       s"""WITH ev AS (
          |  SELECT event_type, event_id, ts,

@@ -697,6 +697,92 @@ object Stats {
       .orderBy(col("event_type"), col("h_s"))
   }
 
+  /** Permutation count for [[qFdrBh]] — p-value resolution 1/(R+1). */
+  val FdrPerms = 200
+
+  /** q_fdr_bh — Benjamini–Hochberg FDR control over a FAMILY of per-type
+    * hypothesis tests: each event type gets a permutation test of "do
+    * the two halves of the deterministic A/B split (`user_id % 2`)
+    * differ in events-per-user", and the five resulting p-values go
+    * through the BH step-up (reject the k smallest with p₍ₖ₎ ≤ αk/m).
+    * The multiple-comparisons layer every experiment dashboard needs on
+    * top of the single-test operators ([[Mining.qWelch]],
+    * [[Mining.qMannWhitney]], [[Behavior]]'s q_prop_test) — without it,
+    * a 20-metric scorecard at α=0.05 false-alarms once per refresh.
+    *
+    * The per-test p-value is a PERMUTATION p-value, and every step is
+    * EXACT INTEGER arithmetic — no normal/t CDF (whose erf/tgamma would
+    * diverge across libms): the test statistic is the difference in
+    * per-side mean event counts, compared CROSS-MULTIPLIED (|Sᴬnᴮ −
+    * Sᴮnᴬ|·d₀ vs |num₀|·d with d = nᴬnᴮ — all BIGINT, no division), and
+    * the permuted assignment for replicate r is the portable 60-bit md5
+    * of `user_id|r` mod 2 (the [[TextOps.md5Long]] split idiom — a
+    * seeded permutation both engines replay bit-identically). p =
+    * (1 + #extreme) / (R+1) is an exact rational; the only doubles are
+    * that final division and the αk/m threshold, each ONE pinned
+    * expression. Degenerate permutations (an empty side) count as
+    * extreme — the conservative convention.
+    *
+    * Plan: the log collapses to (type, user) counts FIRST (the one
+    * corpus-sized pass, map-side partial); the ×(R+1) replicate fan-out
+    * is over that bounded relation, so work is |types|·|users|·R —
+    * independent of event volume; R is the resolution/cost knob. The BH
+    * step-up runs in an unpartitioned window over m = |types| rows
+    * (the q_auc bounded-window stance). At 10⁹ users the cross-products
+    * approach 2⁶³ — the documented widening knob is DECIMAL(38,0) for
+    * the two |num|·d products.
+    */
+  def qFdrBh(spark: SparkSession, d: String): DataFrame = {
+    val perUser = events(spark, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val fan = perUser
+      .select(col("event_type"), col("user_id"), col("c"),
+        explode(sequence(lit(0), lit(FdrPerms))).as("r"))
+      .select(col("event_type"), col("c"), col("r"),
+        when(col("r") === 0, col("user_id") % 2L)
+          .otherwise(TextOps.md5Long(
+            concat(col("user_id").cast("string"), lit("|"),
+              col("r").cast("string")), 15) % 2L).as("side"))
+    val stat = fan.groupBy(col("event_type"), col("r"))
+      .agg(sum(when(col("side") === 0L, col("c"))).as("sa"),
+        sum(when(col("side") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("side") === 1L, col("c"))).as("sb"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("nb"))
+      .select(col("event_type"), col("r"), col("na"), col("nb"),
+        abs(coalesce(col("sa"), lit(0L)) * col("nb") -
+          coalesce(col("sb"), lit(0L)) * col("na")).as("num"),
+        (col("na") * col("nb")).as("den"))
+    val obs = stat.filter(col("r") === 0)
+      .select(col("event_type"), (col("na") + col("nb")).as("n_users"),
+        col("num").as("num0"), col("den").as("den0"))
+    val p = stat.filter(col("r") >= 1)
+      .join(obs, "event_type")
+      .groupBy(col("event_type"), col("n_users"))
+      .agg(sum(when(col("den") === 0L ||
+          col("num") * col("den0") >= col("num0") * col("den"), 1L)
+        .otherwise(0L)).as("n_extreme"))
+      .select(col("event_type"), col("n_users"),
+        ((lit(1L) + col("n_extreme")).cast("double") /
+          lit((FdrPerms + 1).toDouble)).as("p_perm"))
+    val byP = Window.orderBy(col("p_perm"), col("event_type"))
+    p.withColumn("k", row_number().over(byP))
+      .withColumn("m", count(lit(1)).over(byP.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("event_type"), col("n_users"), col("p_perm"), col("k"),
+        ((lit(0.05) * col("k").cast("double")) / col("m").cast("double"))
+          .as("bh_thr"))
+      .withColumn("kmax",
+        max(when(col("p_perm") <= col("bh_thr"), col("k"))).over(
+          Window.orderBy(col("k")).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("event_type"), col("n_users"), col("p_perm"), col("k"),
+        col("bh_thr"),
+        when(col("k") <= coalesce(col("kmax"), lit(0)), 1).otherwise(0)
+          .as("reject"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sax"          -> qSax _,
     "q_stl"          -> qStl _,
@@ -713,9 +799,60 @@ object Stats {
     "q_theil_sen"    -> qTheilSen _,
     "q_holt"         -> qHolt _,
     "q_js_div"       -> qJsDiv _,
+    "q_fdr_bh"       -> qFdrBh _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fdr_bh" ->
+      s"""WITH pu AS (
+         |  SELECT event_type, user_id, COUNT(*) AS c
+         |  FROM events GROUP BY event_type, user_id
+         |), fan AS (
+         |  SELECT event_type, c, r,
+         |         CASE WHEN r = 0 THEN user_id % 2
+         |              ELSE ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+         |                || '|' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 2
+         |         END AS side
+         |  FROM (SELECT event_type, user_id, c,
+         |               unnest(generate_series(0, $FdrPerms)) AS r
+         |        FROM pu)
+         |), agg AS (
+         |  SELECT event_type, r,
+         |         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |         CAST(COALESCE(SUM(CASE WHEN side = 0 THEN c END), 0) AS BIGINT) AS sa,
+         |         CAST(COALESCE(SUM(CASE WHEN side = 1 THEN c END), 0) AS BIGINT) AS sb
+         |  FROM fan GROUP BY event_type, r
+         |), stat AS (
+         |  SELECT event_type, r, na, nb,
+         |         abs(sa * nb - sb * na) AS num, na * nb AS den
+         |  FROM agg
+         |), obs AS (
+         |  SELECT event_type, na + nb AS n_users, num AS num0, den AS den0
+         |  FROM stat WHERE r = 0
+         |), pv AS (
+         |  SELECT s.event_type, o.n_users,
+         |         CAST(1 + SUM(CASE WHEN s.den = 0
+         |             OR s.num * o.den0 >= o.num0 * s.den
+         |           THEN 1 ELSE 0 END) AS DOUBLE) / ${FdrPerms + 1}.0 AS p_perm
+         |  FROM stat s JOIN obs o ON s.event_type = o.event_type
+         |  WHERE s.r >= 1
+         |  GROUP BY s.event_type, o.n_users
+         |), ranked AS (
+         |  SELECT event_type, n_users, p_perm,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY p_perm, event_type) AS INT) AS k,
+         |         COUNT(*) OVER () AS m
+         |  FROM pv
+         |), thr AS (
+         |  SELECT event_type, n_users, p_perm, k,
+         |         (0.05 * CAST(k AS DOUBLE)) / CAST(m AS DOUBLE) AS bh_thr
+         |  FROM ranked
+         |)
+         |SELECT event_type, n_users, p_perm, k, bh_thr,
+         |       CASE WHEN k <= COALESCE(
+         |           MAX(CASE WHEN p_perm <= bh_thr THEN k END) OVER (), 0)
+         |         THEN 1 ELSE 0 END AS reject
+         |FROM thr ORDER BY k""".stripMargin,
     "q_sax" ->
       s"""WITH hourly AS (
          |  SELECT event_type, date_trunc('hour', ts) AS h,

@@ -143,4 +143,45 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("q_rbo replays the ranked-overlap geometric fold brute-force") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val early = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val rev = scala.collection.mutable.Map[(Boolean, Long), Long]()
+    li.foreach { case (ok, pk, p, disc) =>
+      early.get(ok).foreach { e =>
+        val cents = math.floor(p * (1.0 - disc) * 100.0 + 0.5).toLong
+        rev((e, pk)) = rev.getOrElse((e, pk), 0L) + cents
+      }
+    }
+    def top(e: Boolean): Map[Long, Int] =
+      rev.collect { case ((s, pk), v) if s == e => (pk, v) }.toSeq
+        .sortBy { case (pk, v) => (-v, pk) }.take(Ranking.RboDepth)
+        .zipWithIndex.map { case ((pk, _), i) => pk -> (i + 1) }.toMap
+    val (ta, tb) = (top(true), top(false))
+    val ovk = (1 to Ranking.RboDepth).map { k =>
+      k -> ta.count { case (pk, ra) => ra <= k && tb.get(pk).exists(_ <= k) }
+        .toLong
+    }
+    var acc = 0.0
+    ovk.foreach { case (k, ov) =>
+      acc += (Ranking.RboWeights(k - 1) * ov.toDouble) / k.toDouble
+    }
+    val rbo = (1.0 - Ranking.RboPhi) * acc
+    val got = Ranking.qRbo(spark, sfDir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getDouble(0) == rbo, "rbo fold")
+    assert(r.getLong(1) == ovk.last._2, "overlap at depth")
+    assert(r.getDouble(2) == ovk.last._2.toDouble / Ranking.RboDepth.toDouble)
+    assert(rbo >= 0.0 && rbo <= 1.0)
+    // prefix-overlap counts are monotone non-decreasing in k
+    ovk.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(a <= b) }
+  }
+
 }

@@ -440,4 +440,58 @@ class StatsSpec extends SparkSpec {
     assert(phases.length > 1)
   }
 
+  test("q_fdr_bh replays the integer permutation test and BH step-up brute-force") {
+    import java.security.MessageDigest
+    def h2(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2
+    }
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perUser = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case ((t, u), c) => (t, u, c) }
+    val types = perUser.map(_._1).distinct.sorted
+    val m = types.length
+    val pv = types.map { t =>
+      val us = perUser.filter(_._1 == t)
+      def stat(assign: Long => Long): (Long, Long) = {
+        var sa = 0L; var sb = 0L; var na = 0L; var nb = 0L
+        us.foreach { case (_, u, c) =>
+          if (assign(u) == 0L) { sa += c; na += 1 } else { sb += c; nb += 1 } }
+        (math.abs(sa * nb - sb * na), na * nb)
+      }
+      val (num0, den0) = stat(u => u % 2)
+      var ext = 0L
+      (1 to Stats.FdrPerms).foreach { r =>
+        val (num, den) = stat(u => h2(s"$u|$r"))
+        if (den == 0L || num * den0 >= num0 * den) ext += 1
+      }
+      (t, us.length.toLong, (1L + ext).toDouble / (Stats.FdrPerms + 1).toDouble)
+    }
+    val ranked = pv.sortBy { case (t, _, p) => (p, t) }.zipWithIndex.map {
+      case ((t, n, p), i) =>
+        (t, n, p, i + 1, (0.05 * (i + 1).toDouble) / m.toDouble)
+    }
+    val kmax = ranked.collect { case (_, _, p, k, thr) if p <= thr => k }
+      .maxOption.getOrElse(0)
+    val got = Stats.qFdrBh(spark, sfDir).collect()
+    assert(got.length == m)
+    got.zip(ranked).foreach { case (r, (t, n, p, k, thr)) =>
+      assert(r.getString(0) == t, s"type at k=$k")
+      assert(r.getLong(1) == n, s"n_users for $t")
+      assert(r.getDouble(2) == p, s"p for $t")
+      assert(r.getInt(3) == k, s"k for $t")
+      assert(r.getDouble(4) == thr, s"thr for $t")
+      assert(r.getInt(5) == (if (k <= kmax) 1 else 0), s"reject for $t")
+    }
+    // p-values are exact rationals in [1/(R+1), 1]
+    pv.foreach { case (_, _, p) =>
+      assert(p >= 1.0 / (Stats.FdrPerms + 1) && p <= 1.0)
+    }
+    // under a null split, p-values should not all collapse to the floor
+    assert(pv.map(_._3).distinct.length > 1 || pv.head._3 > 0.1)
+  }
+
 }
