@@ -1825,6 +1825,102 @@ object StreamOps extends Serializable {
       .orderBy(col("event_type"))
   }
 
+  /** q_stream_bitmap — streaming daily-active-user counts through BITMAP
+    * WORDS: users pack into 63-bit BIGINT words (`bucket = user DIV 63`,
+    * bit `user MOD 63` — [[graft.operators.Behavior]]'s q_bitmap_rollup
+    * scheme made stateful), the watermarked day-window aggregation
+    * maintains ONE `bit_or` word per (day, bucket), and append mode
+    * emits each (day, bucket) word exactly once when the watermark
+    * closes its day. The popcount roll-up to per-day DAU happens on the
+    * emitted words — calendar×buckets-sized, not stream-sized.
+    *
+    * Why this exists next to [[qStreamDistinct]]: both are exact
+    * streaming cardinalities, but the state SHAPE differs by the
+    * compression factor — dedup state is one row per (user, type,
+    * window) key; bitmap state is one 8-byte word per 63 users per
+    * window. At 10⁹ daily users that is 16 M words (~128 MB across the
+    * cluster) versus 10⁹ dedup rows — the difference between state that
+    * fits the RocksDB block cache and state that doesn't. `bit_or` is
+    * associative/commutative, so partial aggregation combines words
+    * map-side in any partitioning, and a bucket's word lands on one
+    * state partition — no second dedup shuffle.
+    *
+    * Append-mode contract: the replay's final open day never closes
+    * under `AvailableNow`, so the oracle applies the same watermark
+    * cutoff (max ts − 10 min, day end ≤ cutoff) — the
+    * [[qStreamDistinct]] idiom. All-BIGINT words → hash-exact.
+    */
+  def qStreamBitmap(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_bitmap")
+    val query = startWithStatePartitions(spark) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day").as("w"),
+          expr("user_id DIV 63").as("bucket"))
+        .agg(expr(
+          "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))")
+          .as("word"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName)
+      .groupBy(Tables.tsSeconds(col("w.start")).as("day_s"))
+      .agg(sum(expr("bit_count(word)")).as("dau"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("day_s"))
+  }
+
+  /** q_state_read — the Spark 4 STATE STORE READER as a first-class
+    * query surface: run the canonical tumbling aggregation
+    * ([[tumblingCounts]], complete mode) to its checkpoint, then read
+    * the stateful operator's RocksDB state back as a DataFrame via
+    * `spark.read.format("statestore")` and project the (window, type,
+    * count) rows out of the key/value structs. This is the streaming
+    * OBSERVABILITY primitive — state-debugging dashboards, state-size
+    * audits, offline repair tooling all start from "state as a table" —
+    * and in complete mode nothing is ever evicted, so the state IS the
+    * full aggregate: the oracle is the plain batch GROUP BY, which makes
+    * this the one query that hash-proves streaming state CONTENTS (not
+    * just sink output) equal the batch plan.
+    *
+    * Scale: the reader loads each state partition independently (one
+    * task per store shard, no driver materialization), so reading 10⁹
+    * state rows is an ordinary distributed scan; `snapshotStartBatchId`/
+    * `readChangeFeed` (not needed here) bound it further for
+    * incremental audits.
+    */
+  def qStateRead(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "state_read")
+    val ckptDir = ckpt()
+    val query = startWithStatePartitions(spark) {
+      tumblingCounts(eventsStream(spark, stageReplayDir(spark, d)))
+        .writeStream
+        .option("checkpointLocation", ckptDir)
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    val state = spark.read.format("statestore").load(ckptDir)
+    val cols = state.select(col("key.*")).columns
+    // The agg key is (window, event_type); the value struct carries the
+    // unresolved aggregate buffer column (count's one-field buffer).
+    val valCol = state.select(col("value.*")).columns.head
+    state.select(
+        Tables.tsSeconds(col(s"key.${cols.head}.start")).as("w_start"),
+        col(s"key.${cols.last}").as("event_type"),
+        col(s"value.$valCol").cast("long").as("n"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** q_stream_winnow — online MOSS admission: each arriving document's
     * winnowing fingerprint set ([[graft.operators.TextOps.qWinnowing]]'s
     * selection, computed HERE as one per-row array expression — the
@@ -2421,6 +2517,8 @@ object StreamOps extends Serializable {
     "q_stream_topk"        -> qStreamTopk _,
     "q_stream_kmv"         -> qStreamKmv _,
     "q_stream_winnow"      -> qStreamWinnow _,
+    "q_stream_bitmap"      -> qStreamBitmap _,
+    "q_state_read"         -> qStateRead _,
     "q_stream_ohlc"        -> qStreamOhlc _,
     "q_stream_anomaly"     -> qStreamAnomaly _,
     "q_stream_tick_append" -> qStreamTickAppend _,
@@ -2652,6 +2750,25 @@ object StreamOps extends Serializable {
         |             WHEN stop_cnt * 2 > n_tokens THEN 'low_quality'
         |             ELSE 'ok' END) = 'ok' AS kept
         |FROM v ORDER BY doc_id""".stripMargin,
+    "q_stream_bitmap" ->
+      """WITH wm AS (
+        |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 10 MINUTE AS w FROM events
+        |), words AS (
+        |  SELECT date_trunc('day', ts) AS dy, user_id // 63 AS bucket,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS word
+        |  FROM events, wm
+        |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+        |  GROUP BY dy, bucket
+        |)
+        |SELECT strftime(dy, '%Y-%m-%d %H:%M:%S') AS day_s,
+        |       CAST(SUM(bit_count(word)) AS BIGINT) AS dau,
+        |       COUNT(*) AS n_words
+        |FROM words GROUP BY dy ORDER BY day_s""".stripMargin,
+    "q_state_read" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, COUNT(*) AS n
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     "q_stream_distinct" ->
       """WITH wm AS (
         |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 70 MINUTE AS w FROM events

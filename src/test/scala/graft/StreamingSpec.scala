@@ -979,4 +979,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.length < byKey.size)
   }
 
+  test("q_stream_bitmap popcounts equal brute-force distinct users per closed day") {
+    val rows = Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")), col("user_id"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0).getTime, r.getLong(1),
+        r.getLong(2)))
+    // watermark cutoff: max ts (ms precision) - 10 min; closed days have
+    // day end <= cutoff
+    val cutoffMs = rows.map(_._3 / 1000L).max - 10L * 60000L
+    val byDay = rows.groupBy(_._1).view
+      .filterKeys(_ + 86400000L <= cutoffMs)
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val got = StreamOps.qStreamBitmap(spark, sfDir).collect()
+    assert(got.length == byDay.size, "one row per closed day")
+    got.foreach { r =>
+      val dayMs = java.sql.Timestamp.valueOf(r.getString(0)).getTime
+      assert(byDay(dayMs) == r.getLong(1),
+        s"DAU at ${r.getString(0)}: bitmap ${r.getLong(1)} vs exact ${byDay(dayMs)}")
+      // word compression: never more words than users, at least one word
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= byDay(dayMs))
+    }
+    // the bitmap must actually compress: with 63 users/word, strictly
+    // fewer words than distinct users whenever a day has >1 user sharing
+    // a bucket (true on every fixture day)
+    assert(got.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
+  test("q_state_read: state-store rows equal the batch tumbling aggregate") {
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(Tables.tsSeconds(col("h")).as("w_start"), col("event_type"),
+        col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = StreamOps.qStateRead(spark, sfDir).collect()
+    assert(got.length == batch.size,
+      s"state rows ${got.length} vs batch groups ${batch.size}")
+    got.foreach { r =>
+      assert(batch((r.getString(0), r.getString(1))) == r.getLong(2),
+        s"count at (${r.getString(0)}, ${r.getString(1)})")
+    }
+  }
+
 }
