@@ -306,7 +306,63 @@ object Series {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q_seasonal_backtest — forecast-model BACKTEST over the per-type
+    * daily count series: score the two zero-parameter baselines every
+    * forecasting deployment must beat — naive (ŷₜ = yₜ₋₁) and
+    * seasonal-naive (ŷₜ = yₜ₋₇, the weekly cycle) — by their summed
+    * absolute error over the evaluable days, and name the winner. The
+    * M-competition protocol in miniature: [[qHolt]] and
+    * [[Mining.qLinreg]] FIT models; this query answers "against what
+    * bar", which is the number that decides whether a fitted model
+    * ships.
+    *
+    * Determinism: counts are exact BIGINT on the gap-filled global day
+    * grid ([[qDtw]]'s densification — silent days are real zeros, and
+    * lag(7) means 7 CALENDAR days, not 7 observed rows), so both error
+    * sums are exact integers; the MAEs are one pinned division each.
+    * Eval window: days with a full 7-day history (both lags defined on
+    * the grid), identical in both engines by construction.
+    *
+    * Plan: one hash agg to (type, day), broadcast grid fill, per-type
+    * windows over calendar-bounded series, final |types|-row aggregate
+    * — nothing after the first agg scales with event volume.
+    */
+  def qSeasonalBacktest(spark: SparkSession, d: String): DataFrame = {
+    val ev = events(spark, d)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) DIV 86400000000").as("dy"))
+      .groupBy(col("event_type"), col("dy")).agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(min(col("dy")).as("lo"), max(col("dy")).as("hi"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("dy"))
+    val filled = grid.join(ev, Seq("event_type", "dy"), "left")
+      .select(col("event_type"), col("dy"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("dy"))
+    filled
+      .withColumn("l1", lag(col("c"), 1).over(w))
+      .withColumn("l7", lag(col("c"), 7).over(w))
+      .filter(col("l7").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("c") - col("l1"))).as("sae_naive"),
+        sum(abs(col("c") - col("l7"))).as("sae_seasonal"))
+      .select(col("event_type"), col("n_eval"),
+        col("sae_naive"), col("sae_seasonal"),
+        (col("sae_naive").cast("double") / col("n_eval").cast("double"))
+          .as("mae_naive"),
+        (col("sae_seasonal").cast("double") / col("n_eval").cast("double"))
+          .as("mae_seasonal"),
+        when(col("sae_naive") <= col("sae_seasonal"), lit("naive"))
+          .otherwise(lit("seasonal")).as("winner"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_backtest" -> qSeasonalBacktest _,
     "q_ohlc" -> qOhlc _,
     "q_lag_features" -> qLagFeatures _,
     "q_changepoint" -> qChangepoint _,
@@ -317,6 +373,39 @@ object Series {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seasonal_backtest" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         epoch_us(date_trunc('day', ts)) // 86400000000 AS dy,
+        |         COUNT(*) AS c
+        |  FROM events GROUP BY event_type, dy
+        |), bounds AS (SELECT MIN(dy) AS lo, MAX(dy) AS hi FROM ev),
+        |grid AS (
+        |  SELECT t.event_type,
+        |         unnest(generate_series(bounds.lo, bounds.hi)) AS dy
+        |  FROM (SELECT DISTINCT event_type FROM ev) t, bounds
+        |), filled AS (
+        |  SELECT g.event_type, g.dy, COALESCE(ev.c, 0) AS c
+        |  FROM grid g LEFT JOIN ev
+        |    ON g.event_type = ev.event_type AND g.dy = ev.dy
+        |), lagged AS (
+        |  SELECT event_type, c,
+        |         lag(c, 1) OVER w AS l1, lag(c, 7) OVER w AS l7
+        |  FROM filled WINDOW w AS (PARTITION BY event_type ORDER BY dy)
+        |), agg AS (
+        |  SELECT event_type, COUNT(*) AS n_eval,
+        |         CAST(SUM(abs(c - l1)) AS BIGINT) AS sae_naive,
+        |         CAST(SUM(abs(c - l7)) AS BIGINT) AS sae_seasonal
+        |  FROM lagged WHERE l7 IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT event_type, n_eval, sae_naive, sae_seasonal,
+        |       CAST(sae_naive AS DOUBLE) / CAST(n_eval AS DOUBLE)
+        |         AS mae_naive,
+        |       CAST(sae_seasonal AS DOUBLE) / CAST(n_eval AS DOUBLE)
+        |         AS mae_seasonal,
+        |       CASE WHEN sae_naive <= sae_seasonal THEN 'naive'
+        |            ELSE 'seasonal' END AS winner
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q_dtw" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -148,6 +148,35 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(20)
 
+  /** q_mips — Maximum Inner-Product Search top-10 against the query
+    * vector: rank by RAW dot product, not cosine. MIPS is the serving
+    * primitive of recommendation / two-tower retrieval (user·item score,
+    * where item norm IS signal — popular items legitimately win), and it
+    * is NOT the same ranking as [[qCosineTopk]]'s: cosine divides the
+    * norm out, so the two top-k lists disagree exactly where item norms
+    * vary. Self-hit excluded (the [[qAnnSq8]] convention).
+    *
+    * Scale path (documented, not needed at this k): MIPS has no direct
+    * LSH family (inner product violates the triangle inequality), but
+    * the Bachrach/Shrivastava norm-augmentation reduction appends
+    * √(M²−‖x‖²) as an extra coordinate, turning MIPS into cosine search
+    * over the augmented vectors — after which ALL the cosine ANN
+    * machinery here (LSH banding, IVF, PQ) applies verbatim.
+    *
+    * Plan: broadcast the 1-row query, ONE scan scoring via the codegen'd
+    * [[graft.functions.VecDot]] left-fold (the engine-wide determinism
+    * contract), TakeOrderedAndProject heap for the top-k — never a
+    * global sort.
+    */
+  def qMips(spark: SparkSession, d: String): DataFrame =
+    embeddings(spark, d)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(spark, d)))
+      .select(col("vec_id"), col("label"),
+        dotLtr(col("embedding"), col("qe")).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10)
+
   /** Every [[AnnBatchEvery]]-th vector becomes a query in
     * [[qAnnBatch]]; neighbors returned per query.
     */
@@ -1460,6 +1489,7 @@ object Similarity {
     "q_semantic_dedup"  -> qSemanticDedup _,
     "q_dedup_stages"    -> qDedupStages _,
     "q_cosine_topk"     -> qCosineTopk _,
+    "q_mips"            -> qMips _,
     "q_centroid"        -> qCentroid _,
     "q_gram_matrix"     -> qGramMatrix _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
@@ -2158,6 +2188,12 @@ object Similarity {
          |SELECT vec_id, label, ${cosSql("embedding", "qe")} AS cos
          |FROM embeddings, q
          |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q_mips" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${dotSql("embedding", "qe")} AS ip
+         |FROM embeddings, q
+         |WHERE vec_id <> 0
+         |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
     "q_cosine_topk_lsh" ->
       s"""WITH q AS (SELECT embedding AS qe, ${bucketSql("embedding")} AS qb
          |           FROM embeddings WHERE vec_id = 0)

@@ -3150,7 +3150,65 @@ object TextOps {
       .limit(20)
   }
 
+  /** Sort-key length / neighbor window / emit threshold for
+    * [[qSortedNeighborhood]].
+    */
+  val SnmKeyLen    = 32
+  val SnmWindow    = 2
+  val SnmThreshold = 0.4
+
+  /** q_sorted_neighborhood — the Sorted Neighborhood Method
+    * (Hernández–Stolfo) as a THIRD near-dup blocking strategy next to
+    * MinHash banding ([[qMinhashLsh]]) and SimHash bands ([[qSimhashPairs]]):
+    * sort the corpus by a cheap key (the first [[SnmKeyLen]] chars),
+    * compare each document ONLY to its [[SnmWindow]] successors in key
+    * order, verify candidates with exact shingle Jaccard. SNM is what
+    * record-linkage stacks run when near-dups cluster under a sortable
+    * prefix (URLs, titles, lead paragraphs — and this fixture's
+    * shared-prefix families): zero hashing, zero banding, candidates
+    * bounded at |corpus|·window by CONSTRUCTION rather than by hash
+    * luck, at the price of missing pairs whose keys sort apart (why
+    * production runs it multi-pass with rotated keys — the documented
+    * extension).
+    *
+    * Plan: the global key order comes from sort + `zipWithIndex` (the
+    * q_rownum_global scale-safe idiom — never an unpartitioned window),
+    * neighbors materialize as `SnmWindow` self-joins on the DENSE rank
+    * (co-partitioned equi-joins on a BIGINT), and the Jaccard verify is
+    * per-pair array arithmetic — no explode, no shuffle beyond the rank
+    * joins. All counts exact integers; jacc is one pinned division.
+    */
+  def qSortedNeighborhood(spark: SparkSession, d: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val ranked = tokenized(spark, d)
+      .select(col("doc_id"), substring(col("text"), 1, SnmKeyLen).as("k"),
+        expr(ShingleArrayExpr).as("sh"))
+      .orderBy(col("k"), col("doc_id"))
+      .as[(Long, String, Seq[String])]
+      .rdd.zipWithIndex()
+      .map { case ((id, _, sh), r) => (r, id, sh) }
+      .toDF("rank", "doc_id", "sh")
+    val a = ranked.select(col("rank"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val pairs = (1 to SnmWindow).map { delta =>
+      a.join(ranked.select((col("rank") - delta).as("rank"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b")), "rank")
+    }.reduce(_ unionAll _)
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("ssum"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("ssum") - col("inter")).as("uni"),
+        (col("inter").cast("double") /
+          (col("ssum") - col("inter")).cast("double")).as("jacc"))
+      .filter(col("jacc") >= SnmThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sorted_neighborhood" -> qSortedNeighborhood _,
     "q_curate"        -> qCurate _,
     "q_unigram_lm"    -> qUnigramLm _,
     "q_dsir"          -> qDsir _,
@@ -3287,6 +3345,32 @@ object TextOps {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_sorted_neighborhood" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, substr(text, 1, $SnmKeyLen) AS k,
+         |         list_distinct(list_transform(
+         |           list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+         |           z -> z[1] || ' ' || z[2] || ' ' || z[3])) AS sh
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+         |        FROM documents)
+         |), ranked AS (
+         |  SELECT doc_id, sh,
+         |         ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rnk
+         |  FROM sh
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+         |           AS BIGINT) AS inter,
+         |         CAST(len(a.sh) + len(b.sh) AS BIGINT) AS ssum
+         |  FROM ranked a JOIN ranked b
+         |    ON b.rnk - a.rnk BETWEEN 1 AND $SnmWindow
+         |)
+         |SELECT doc_a, doc_b, inter, ssum - inter AS uni,
+         |       CAST(inter AS DOUBLE) / CAST(ssum - inter AS DOUBLE) AS jacc
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE) / CAST(ssum - inter AS DOUBLE)
+         |        >= $SnmThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_minhash_est" ->
       s"""WITH sig AS (
          |${sigSql}

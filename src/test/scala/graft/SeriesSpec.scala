@@ -199,4 +199,31 @@ class SeriesSpec extends SparkSpec {
       assert(r.getLong(2) <= diag, "warping can only improve on the diagonal")
     }
   }
+
+  test("q_seasonal_backtest replays the gap-filled lag errors brute-force") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(date_trunc("day", col("ts")))).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000L))
+    val counts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val types = rows.map(_._1).distinct.sorted
+    val lo = rows.map(_._2).min
+    val hi = rows.map(_._2).max
+    val got = Series.qSeasonalBacktest(spark, sfDir).collect()
+    assert(got.length == types.length)
+    got.zip(types).foreach { case (r, t) =>
+      val series = (lo to hi).map(dy => counts.getOrElse((t, dy), 0L))
+      val eval = (7 until series.length).map { i =>
+        (math.abs(series(i) - series(i - 1)), math.abs(series(i) - series(i - 7)))
+      }
+      val saeN = eval.map(_._1).sum
+      val saeS = eval.map(_._2).sum
+      assert(r.getString(0) == t)
+      assert(r.getLong(1) == eval.length.toLong, s"n_eval for $t")
+      assert(r.getLong(2) == saeN, s"sae_naive for $t")
+      assert(r.getLong(3) == saeS, s"sae_seasonal for $t")
+      assert(r.getDouble(4) == saeN.toDouble / eval.length.toDouble)
+      assert(r.getDouble(5) == saeS.toDouble / eval.length.toDouble)
+      assert(r.getString(6) == (if (saeN <= saeS) "naive" else "seasonal"))
+    }
+  }
 }

@@ -919,4 +919,32 @@ class SimilaritySpec extends SparkSpec {
         if (i == j) assert(r.getDouble(2) >= 0.0, "diagonal is a sum of squares")
       }
   }
+
+  test("q_mips equals the brute-force raw-dot top-10 (and differs from cosine rank)") {
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val q = all.find(_._1 == 0L).get._3
+    val expected = all.filter(_._1 != 0L)
+      .map { case (id, l, v) => (id, l, dot(v, q)) }
+      .sortBy { case (id, _, ip) => (-ip, id) }
+      .take(10)
+    val got = Similarity.qMips(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (id, l, ip)) =>
+      assert(r.getLong(0) == id, "mips neighbor id")
+      assert(r.getInt(1) == l)
+      assert(r.getDouble(2) == ip, s"ip for $id")
+    }
+    // inner product must be able to disagree with cosine: at least the
+    // SCORES differ from normalized ones whenever norms vary
+    val norms = all.map(v => math.sqrt(dot(v._3, v._3)))
+    assert(norms.max > norms.min, "fixture norms vary, MIPS is not cosine")
+  }
 }

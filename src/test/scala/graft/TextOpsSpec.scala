@@ -1593,4 +1593,41 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+
+  test("q_sorted_neighborhood replays the sort-block candidate pairs brute-force") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      (0 until math.max(toks.length - 2, 0))
+        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    val ranked = docs
+      .map { case (id, t) => (t.take(TextOps.SnmKeyLen), id, shingles(t)) }
+      .sortBy { case (k, id, _) => (k, id) }
+    val expected = (for {
+      i <- ranked.indices
+      delta <- 1 to TextOps.SnmWindow
+      j = i + delta
+      if j < ranked.length
+    } yield {
+      val (a, b) = (ranked(i), ranked(j))
+      val inter = (a._3 & b._3).size.toLong
+      val uni = a._3.size.toLong + b._3.size.toLong - inter
+      val jacc = inter.toDouble / uni.toDouble
+      (a._2, b._2, inter, uni, jacc)
+    }).filter(_._5 >= TextOps.SnmThreshold)
+      .sortBy { case (a, b, _, _, _) => (a, b) }
+    val got = TextOps.qSortedNeighborhood(spark, sfDir).collect()
+    assert(got.length == expected.length,
+      s"pairs ${got.length} vs ${expected.length}")
+    got.zip(expected).foreach { case (r, (a, b, inter, uni, jacc)) =>
+      assert(r.getLong(0) == a && r.getLong(1) == b, s"pair ($a,$b)")
+      assert(r.getLong(2) == inter && r.getLong(3) == uni)
+      assert(r.getDouble(4) == jacc)
+    }
+    // the shared-prefix near-dup families must produce real candidates
+    assert(got.nonEmpty, "SNM found no pairs - sort key no longer blocks families")
+  }
 }
