@@ -624,7 +624,74 @@ object Behavior {
       .orderBy(col("event_type"), col("day_s"))
   }
 
+  /** SPRT design constants for [[qSprt]]: H0 p=0.04 vs H1 p=0.06
+    * (straddling the fixture's ≈4.7% high-value rate so the walk is a
+    * REAL contest), α=0.05, β=0.2.
+    */
+  val SprtP0 = 0.04
+  val SprtP1 = 0.06
+
+  /** q_sprt — Wald's Sequential Probability Ratio Test per event type:
+    * observations (in event-time order) update a cumulative
+    * log-likelihood ratio between H1 (high-value rate [[SprtP1]]) and
+    * H0 ([[SprtP0]]); the FIRST crossing of ln((1−β)/α) accepts H1, of
+    * ln(β/(1−α)) accepts H0, otherwise the test is still running at
+    * data end. This is the SEQUENTIAL experimentation layer —
+    * fixed-horizon tests ([[qPropTest]], the BH family) answer "decide
+    * at n"; SPRT answers "decide AS EARLY AS the evidence allows",
+    * which is how modern always-on experiment platforms stop — with
+    * ~half the average sample size at the same error rates (Wald's
+    * optimality).
+    *
+    * Determinism: LLRₙ = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) needs NO
+    * per-row float accumulation — k and n are EXACT prefix integers
+    * (one window sum), and the two ln constants go through the
+    * libm-exact [[lnLibm]], so every LLR is two exact-int casts, two
+    * multiplies, one add — bit-identical cross-engine, as are the
+    * boundary comparisons. Conversion = value ≥ 150 (the [[qPropTest]]
+    * threshold).
+    *
+    * Plan: per-type ordered prefix windows (the q_stream_anomaly
+    * causal-prefix stance — partitioned by type, calendar-bounded
+    * keys), then TWO domain-sized aggregates (first crossing via
+    * min/min_by, totals via max/max_by) joined on type. Nothing after
+    * the window exceeds |types| rows.
+    */
+  def qSprt(spark: SparkSession, d: String): DataFrame = {
+    val la = lnLibm(lit(SprtP1) / lit(SprtP0))
+    val lb = lnLibm((lit(1.0) - lit(SprtP1)) / (lit(1.0) - lit(SprtP0)))
+    val up = lnLibm(lit(0.8) / lit(0.05))
+    val dn = lnLibm(lit(0.2) / lit(0.95))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val pref = events(spark, d)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        when(col("value") >= lit(150.0), 1L).otherwise(0L).as("x"))
+      .withColumn("n", row_number().over(w))
+      .withColumn("k", sum(col("x")).over(w))
+      .select(col("event_type"), col("n"),
+        ((col("k").cast("double") * la) +
+          ((col("n") - col("k")).cast("double") * lb)).as("llr"))
+      .withColumn("dir",
+        when(col("llr") >= up, lit("accept_h1"))
+          .when(col("llr") <= dn, lit("accept_h0")))
+    val firstCross = pref.filter(col("dir").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(min(col("n")).as("decision_n"),
+        min_by(col("dir"), col("n")).as("dir_at"),
+        min_by(col("llr"), col("n")).as("llr_at"))
+    val totals = pref.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_obs"), max_by(col("llr"), col("n")).as("llr_end"))
+    totals.join(firstCross, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_obs"), col("decision_n"),
+        coalesce(col("dir_at"), lit("continue")).as("decision"),
+        coalesce(col("llr_at"), col("llr_end")).as("llr_at_decision"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sprt"          -> qSprt _,
     "q_cohort_matrix" -> qCohortMatrix _,
     "q_window_funnel" -> qWindowFunnel _,
     "q_k_anonymity" -> qKAnonymity _,
@@ -642,6 +709,43 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sprt" ->
+      s"""WITH pref AS (
+         |  SELECT event_type,
+         |         CAST(ROW_NUMBER() OVER w AS INT) AS n,
+         |         CAST(SUM(CASE WHEN value >= 150.0 THEN 1 ELSE 0 END)
+         |           OVER w AS BIGINT) AS k
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+         |               ROWS UNBOUNDED PRECEDING)
+         |), lr AS (
+         |  SELECT event_type, n,
+         |         (CAST(k AS DOUBLE)
+         |            * ln(CAST($SprtP1 AS DOUBLE) / CAST($SprtP0 AS DOUBLE)))
+         |           + (CAST(n - k AS DOUBLE)
+         |            * ln((1.0 - CAST($SprtP1 AS DOUBLE))
+         |                 / (1.0 - CAST($SprtP0 AS DOUBLE)))) AS llr
+         |  FROM pref
+         |), flagged AS (
+         |  SELECT event_type, n, llr,
+         |         CASE WHEN llr >= ln(CAST(0.8 AS DOUBLE) / CAST(0.05 AS DOUBLE))
+         |                THEN 'accept_h1'
+         |              WHEN llr <= ln(CAST(0.2 AS DOUBLE) / CAST(0.95 AS DOUBLE))
+         |                THEN 'accept_h0' END AS dir
+         |  FROM lr
+         |), fc AS (
+         |  SELECT event_type, MIN(n) AS decision_n,
+         |         min_by(dir, n) AS dir_at, min_by(llr, n) AS llr_at
+         |  FROM flagged WHERE dir IS NOT NULL GROUP BY event_type
+         |), tot AS (
+         |  SELECT event_type, MAX(n) AS n_obs, max_by(llr, n) AS llr_end
+         |  FROM flagged GROUP BY event_type
+         |)
+         |SELECT t.event_type, t.n_obs, fc.decision_n,
+         |       COALESCE(fc.dir_at, 'continue') AS decision,
+         |       COALESCE(fc.llr_at, t.llr_end) AS llr_at_decision
+         |FROM tot t LEFT JOIN fc ON t.event_type = fc.event_type
+         |ORDER BY t.event_type""".stripMargin,
     "q_bitmap_rollup" ->
       """WITH ev AS (
         |  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS dy,

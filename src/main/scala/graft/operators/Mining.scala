@@ -865,7 +865,43 @@ object Mining {
       .limit(100)
   }
 
+  /** Key-sampling modulus for [[qJoinSizeEst]] — keep 1/8 of join keys. */
+  val JoinEstMod = 8
+
+  /** q_join_size_est — JOIN CARDINALITY ESTIMATION by deterministic key
+    * sampling: the optimizer-statistics primitive behind every join
+    * reorder / broadcast decision. The self-join size on `user_id` is
+    * Σᵤ f(u)² (exact, from the key histogram — never the join itself);
+    * the estimator keeps the 1/[[JoinEstMod]] of keys whose portable
+    * md5 lands in bucket 0 (END-BIASED key sampling — a key is either
+    * fully in or fully out, so each kept key's f² term is EXACT and the
+    * estimate is unbiased over the hash choice; row-level Bernoulli
+    * sampling would bias f² low) and scales by the modulus. Output is
+    * exact vs estimate vs signed relative error — the calibration row a
+    * planner regression suite tracks.
+    *
+    * Plan: ONE pass to the (user, f) histogram (map-side partial), the
+    * sample filter is a projection on that bounded relation, both sums
+    * are exact BIGINTs. At any volume this costs what a count(*) group
+    * by costs; the join being estimated is never executed. rel_err is
+    * the single pinned double.
+    */
+  def qJoinSizeEst(spark: SparkSession, d: String): DataFrame = {
+    val hist = events(spark, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("f"))
+    val h = TextOps.md5Long(col("user_id").cast("string"), 15) % JoinEstMod
+    hist.select(col("f"), (h === 0L).as("in_sample"))
+      .agg(sum(col("f") * col("f")).as("exact_pairs"),
+        (sum(when(col("in_sample"), col("f") * col("f")).otherwise(0L)) *
+          JoinEstMod).as("est_pairs"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled_keys"))
+      .select(col("exact_pairs"), col("est_pairs"), col("n_sampled_keys"),
+        ((col("est_pairs") - col("exact_pairs")).cast("double") /
+          col("exact_pairs").cast("double")).as("rel_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_size_est" -> qJoinSizeEst _,
     "q_assoc"         -> qAssoc _,
     "q_copurchase"    -> qCopurchase _,
     "q_chisq"         -> qChisq _,
@@ -888,6 +924,26 @@ object Mining {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_size_est" ->
+      s"""WITH hist AS (
+         |  SELECT user_id, COUNT(*) AS f FROM events GROUP BY user_id
+         |), s AS (
+         |  SELECT f,
+         |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |           ::BIGINT % $JoinEstMod = 0 AS in_sample
+         |  FROM hist
+         |), agg AS (
+         |  SELECT CAST(SUM(f * f) AS BIGINT) AS exact_pairs,
+         |         CAST(SUM(CASE WHEN in_sample THEN f * f ELSE 0 END)
+         |           * $JoinEstMod AS BIGINT) AS est_pairs,
+         |         CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_sampled_keys
+         |  FROM s
+         |)
+         |SELECT exact_pairs, est_pairs, n_sampled_keys,
+         |       CAST(est_pairs - exact_pairs AS DOUBLE)
+         |         / CAST(exact_pairs AS DOUBLE) AS rel_err
+         |FROM agg""".stripMargin,
     "q_benford" ->
       """WITH c AS (
         |  SELECT CAST(substr(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)

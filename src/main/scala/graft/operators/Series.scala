@@ -361,7 +361,65 @@ object Series {
       .orderBy(col("event_type"))
   }
 
+  /** Watermark-equivalent lateness bound for [[qDisorder]], µs. */
+  val DisorderBoundUs = 600000000L
+
+  /** q_disorder — event-time DISORDER audit per type, under TWO arrival
+    * orders: (1) the OBSERVED ingest order (event_id — the fixture's
+    * monotone ingest id), and (2) the adversarial HASH-SHUFFLED
+    * permutation (arrival by md5(event_id) — what ingest looks like
+    * when ordering guarantees are lost to a partitioned bus). For each
+    * order, replay the log and measure how far each event's timestamp
+    * lags the running event-time maximum. This is THE number that tunes
+    * a watermark: `late_share` at the candidate delay is exactly the
+    * fraction a streaming job with that watermark would DROP (the
+    * 10-minute bound here is the watermark every streaming query in
+    * this engine uses), and the max bounds the delay that loses
+    * nothing. The observed row proving 0 disorder is itself the audit
+    * finding ("this feed is in-order — the watermark is pure safety
+    * margin"); the shuffled row is the contingency bound. Streaming
+    * observability reports drops AFTER deployment; this is the a-priori
+    * batch audit.
+    *
+    * Determinism: all-BIGINT µs arithmetic — running maxes,
+    * differences, counts; the only double is one pinned share division.
+    * The shuffle permutation is the portable 60-bit md5 (ties broken by
+    * event_id — a total order in both engines).
+    *
+    * Plan: two per-type ordered prefix windows on the SAME partitioning
+    * (one Exchange, two sorts), then a |types|-row aggregate. For
+    * type-skewed logs the documented knob is the day-bucketed two-level
+    * max (prefix max of per-day maxes).
+    */
+  def qDisorder(spark: SparkSession, d: String): DataFrame = {
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("event_id"))
+    val wSh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))
+    events(spark, d)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        TextOps.md5Long(col("event_id").cast("string"), 15).as("h"))
+      .withColumn("late_in", max(col("us")).over(wIn) - col("us"))
+      .withColumn("late_sh", max(col("us")).over(wSh) - col("us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_in") > DisorderBoundUs, 1L).otherwise(0L))
+          .as("n_late_ingest"),
+        max(col("late_in")).as("max_late_ingest_us"),
+        sum(when(col("late_sh") > DisorderBoundUs, 1L).otherwise(0L))
+          .as("n_late_shuffled"),
+        max(col("late_sh")).as("max_late_shuffled_us"))
+      .select(col("event_type"), col("n"), col("n_late_ingest"),
+        col("max_late_ingest_us"), col("n_late_shuffled"),
+        (col("n_late_shuffled").cast("double") / col("n").cast("double"))
+          .as("late_share_shuffled"),
+        col("max_late_shuffled_us"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_disorder"          -> qDisorder _,
     "q_seasonal_backtest" -> qSeasonalBacktest _,
     "q_ohlc" -> qOhlc _,
     "q_lag_features" -> qLagFeatures _,
@@ -373,6 +431,29 @@ object Series {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_disorder" ->
+      s"""WITH lagged AS (
+         |  SELECT event_type,
+         |         MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+         |           ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+         |           - epoch_us(ts) AS late_in,
+         |         MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+         |           ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+         |             1, 15))::BIGINT, event_id ROWS UNBOUNDED PRECEDING)
+         |           - epoch_us(ts) AS late_sh
+         |  FROM events
+         |)
+         |SELECT event_type, COUNT(*) AS n,
+         |       CAST(SUM(CASE WHEN late_in > $DisorderBoundUs
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_ingest,
+         |       CAST(MAX(late_in) AS BIGINT) AS max_late_ingest_us,
+         |       CAST(SUM(CASE WHEN late_sh > $DisorderBoundUs
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_shuffled,
+         |       CAST(SUM(CASE WHEN late_sh > $DisorderBoundUs
+         |         THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |         AS late_share_shuffled,
+         |       CAST(MAX(late_sh) AS BIGINT) AS max_late_shuffled_us
+         |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_seasonal_backtest" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -429,4 +429,53 @@ class BehaviorSpec extends SparkSpec {
     val again = Behavior.qDpCounts(spark, sfDir).collect()
     assert(got.map(_.getDouble(2)).toSeq == again.map(_.getDouble(2)).toSeq)
   }
+
+  test("q_sprt replays the sequential LLR walk and first-crossing decision") {
+    val la = math.log(Behavior.SprtP1 / Behavior.SprtP0)
+    val lb = math.log((1.0 - Behavior.SprtP1) / (1.0 - Behavior.SprtP0))
+    val up = math.log(0.8 / 0.05)
+    val dn = math.log(0.2 / 0.95)
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (!r.isNullAt(3) && r.getDouble(3) >= 150.0) 1L else 0L))
+    val got = Behavior.qSprt(spark, sfDir).collect()
+    val types = rows.map(_._1).distinct.sorted
+    assert(got.length == types.length)
+    got.zip(types).foreach { case (r, t) =>
+      val seq = rows.filter(_._1 == t).sortBy(x => (x._2, x._3)).map(_._4)
+      var k = 0L
+      var decided: Option[(Int, String, Double)] = None
+      var lastLlr = 0.0
+      seq.zipWithIndex.foreach { case (x, i) =>
+        k += x
+        val n = i + 1
+        val llr = (k.toDouble * la) + ((n - k).toDouble * lb)
+        lastLlr = llr
+        if (decided.isEmpty) {
+          if (llr >= up) decided = Some((n, "accept_h1", llr))
+          else if (llr <= dn) decided = Some((n, "accept_h0", llr))
+        }
+      }
+      assert(r.getString(0) == t)
+      assert(r.getInt(1) == seq.length, s"n_obs for $t")
+      decided match {
+        case Some((n, dir, llr)) =>
+          assert(r.getInt(2) == n, s"decision_n for $t")
+          assert(r.getString(3) == dir, s"decision for $t")
+          // math.log may differ from LnLibm by 1 ulp on rare inputs; the
+          // walk itself is integer-driven, so compare to 1e-9
+          assert(math.abs(r.getDouble(4) - llr) < 1e-9, s"llr for $t")
+        case None =>
+          assert(r.isNullAt(2) && r.getString(3) == "continue")
+          assert(math.abs(r.getDouble(4) - lastLlr) < 1e-9)
+      }
+    }
+    // at least one type must reach a decision (both decisions occur at
+    // sf0.01; the sparse sf0.001 spec fixture still decides h0 early)
+    val ds = got.map(_.getString(3)).toSet
+    assert(ds.contains("accept_h0") || ds.contains("accept_h1"),
+      s"degenerate SPRT outcome set $ds")
+  }
 }

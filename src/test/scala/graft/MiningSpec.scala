@@ -471,4 +471,26 @@ class MiningSpec extends SparkSpec {
         (nab * nOrders).toDouble / (partCnt(a) * partCnt(b)).toDouble)
     }
   }
+
+  test("q_join_size_est replays the key-sampled self-join cardinality brute-force") {
+    import java.security.MessageDigest
+    def h(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % Mining.JoinEstMod
+    }
+    val freqs = Tables.events(spark, sfDir).select(col("user_id")).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = freqs.values.map(f => f * f).sum
+    val sampled = freqs.filter { case (u, _) => h(u) == 0L }
+    val est = sampled.values.map(f => f * f).sum * Mining.JoinEstMod
+    val r = Mining.qJoinSizeEst(spark, sfDir).collect().head
+    assert(r.getLong(0) == exact, "exact pair count")
+    assert(r.getLong(1) == est, "scaled estimate")
+    assert(r.getLong(2) == sampled.size.toLong)
+    assert(r.getDouble(3) == (est - exact).toDouble / exact.toDouble)
+    // the estimator must be in the right ballpark on the fixture (the
+    // per-user frequency distribution is near-uniform)
+    assert(math.abs(r.getDouble(3)) < 1.0, s"rel_err ${r.getDouble(3)}")
+  }
 }

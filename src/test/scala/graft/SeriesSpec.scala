@@ -226,4 +226,41 @@ class SeriesSpec extends SparkSpec {
       assert(r.getString(6) == (if (saeN <= saeS) "naive" else "seasonal"))
     }
   }
+
+  test("q_disorder: ingest order is clean, hash-shuffled order replays brute-force") {
+    import java.security.MessageDigest
+    def h(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Series.qDisorder(spark, sfDir).collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      val evs = rows.filter(_._1 == t)
+      // shuffled replay
+      val sh = evs.sortBy(e => (h(e._2), e._2))
+      var runMax = Long.MinValue
+      var nLate = 0L
+      var maxLate = 0L
+      sh.foreach { e =>
+        runMax = math.max(runMax, e._3)
+        val late = runMax - e._3
+        if (late > Series.DisorderBoundUs) nLate += 1
+        maxLate = math.max(maxLate, late)
+      }
+      assert(r.getLong(1) == evs.length.toLong)
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
+        s"fixture ingest must be in-order for $t")
+      assert(r.getLong(4) == nLate, s"shuffled n_late for $t")
+      assert(r.getDouble(5) == nLate.toDouble / evs.length.toDouble)
+      assert(r.getLong(6) == maxLate, s"shuffled max_late for $t")
+      // the adversarial permutation must produce real disorder
+      assert(nLate > 0L)
+    }
+  }
 }
