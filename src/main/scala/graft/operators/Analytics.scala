@@ -3664,6 +3664,76 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Bloom geometry for [[qBloomFpr]]: 1024 words × 63 usable bits,
+    * 4 hashes, 5000 guaranteed-non-member probes.
+    */
+  val BloomWords  = 1024
+  val BloomHashes = 4
+  val BloomProbes = 5000
+
+  /** q_bloom_fpr — MEASURED false-positive-rate calibration of a Bloom
+    * filter over the customer key set: build an m = [[BloomWords]]·63-bit
+    * filter with [[BloomHashes]] portable md5 hash functions, probe it
+    * with [[BloomProbes]] keys chosen ABOVE the key domain (guaranteed
+    * non-members), and report the observed FPR plus the fill ratio it
+    * derives from. [[qBloomJoin]] USES an engine bloom filter and trusts
+    * its advertised error; this query is the calibration harness that
+    * checks a filter design against reality before a pipeline bets a
+    * 100 TB scan's pruning rate on it — measured FPR tracks the
+    * (1 − e^(−kn/m))^k curve, and the fill ratio is the early-warning
+    * number (past ~50% fill the filter is degrading).
+    *
+    * Determinism: hashes are the portable 60-bit md5 of `key#i` mod the
+    * bit space; the filter is (word → `bit_or` of 63-bit masks) — the
+    * [[graft.operators.Behavior]] bitmap-word scheme; probes test
+    * bits with pure integer masks. Counts exact; the two ratios are
+    * pinned divisions.
+    *
+    * Plan: build = one explode(×k) + word aggregate over the MEMBER set
+    * (dimension-sized); the word table ([[BloomWords]] rows) BROADCASTS
+    * to the probe side — probing any stream is a broadcast hash join on
+    * word index + a mask test, which is exactly how the engine's own
+    * runtime bloom pushdown consumes it.
+    */
+  def qBloomFpr(spark: SparkSession, d: String): DataFrame = {
+    val m = BloomWords * 63
+    def hash(key: Column, i: Int): Column =
+      graft.operators.TextOps.md5Long(
+        concat(key.cast("string"), lit("#"), lit(i.toString)), 15) % m
+    val members = customer(spark, d).select(col("c_custkey").as("key"))
+    val words = members
+      .select(explode(array((1 to BloomHashes).map(i =>
+        hash(col("key"), i)): _*)).as("h"))
+      .groupBy(expr("h DIV 63").as("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(h % 63 AS INT)))")
+        .as("mask"))
+    val probes = members.agg(max(col("key")).as("mk"))
+      .select(explode(sequence(col("mk") + 1L,
+        col("mk") + lit(BloomProbes.toLong))).as("key"))
+    val tests = probes
+      .select(col("key"), explode(array((1 to BloomHashes).map(i =>
+        hash(col("key"), i)): _*)).as("h"))
+      .join(broadcast(words), expr("h DIV 63") === col("word"),
+        "left")
+      .select(col("key"),
+        when(coalesce(col("mask"), lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 63 AS INT))"))
+          =!= 0L, 1L).otherwise(0L).as("hit"))
+    val perProbe = tests.groupBy(col("key"))
+      .agg(sum(col("hit")).as("n_hit"))
+    val fill = words.agg(sum(expr("bit_count(mask)")).as("bits_set"))
+    perProbe
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("n_hit") === BloomHashes.toLong, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .crossJoin(broadcast(fill))
+      .select(col("n_probes"), col("n_false_pos"),
+        (col("n_false_pos").cast("double") / col("n_probes").cast("double"))
+          .as("fpr"),
+        col("bits_set"),
+        (col("bits_set").cast("double") / lit(m.toDouble)).as("fill_ratio"))
+  }
+
   /** q_hits — HITS hubs & authorities (Kleinberg 1999) on the bipartite
     * customer→part purchase graph, two unnormalized power iterations:
     * auth₁(p) = in-degree, hub₁(c) = Σ auth₁ over c's parts, auth₂(p) =
@@ -3708,6 +3778,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join"      -> qBloomJoin _,
+    "q_bloom_fpr"       -> qBloomFpr _,
     "q_hits"            -> qHits _,
     "q_yoy"             -> qYoy _,
     "q_sole_supplier"   -> qSoleSupplier _,
@@ -3838,6 +3909,46 @@ object Analytics {
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_fpr" -> {
+      val m = BloomWords * 63
+      val is = (1 to BloomHashes).mkString(", ")
+      s"""WITH members AS (SELECT c_custkey AS key FROM customer),
+         |h AS (
+         |  SELECT ('0x' || substr(md5(CAST(key AS VARCHAR) || '#'
+         |           || CAST(i AS VARCHAR)), 1, 15))::BIGINT % $m AS h
+         |  FROM (SELECT key, unnest([$is]) AS i FROM members)
+         |), words AS (
+         |  SELECT h // 63 AS word,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INT)) AS mask
+         |  FROM h GROUP BY word
+         |), probes AS (
+         |  SELECT unnest(generate_series(mk + 1, mk + $BloomProbes)) AS key
+         |  FROM (SELECT MAX(key) AS mk FROM members)
+         |), ph AS (
+         |  SELECT key, ('0x' || substr(md5(CAST(key AS VARCHAR) || '#'
+         |           || CAST(i AS VARCHAR)), 1, 15))::BIGINT % $m AS h
+         |  FROM (SELECT key, unnest([$is]) AS i FROM probes)
+         |), tests AS (
+         |  SELECT ph.key,
+         |         CASE WHEN COALESCE(w.mask, 0)
+         |                & (CAST(1 AS BIGINT) << CAST(ph.h % 63 AS INT)) <> 0
+         |           THEN 1 ELSE 0 END AS hit
+         |  FROM ph LEFT JOIN words w ON ph.h // 63 = w.word
+         |), per AS (
+         |  SELECT key, CAST(SUM(hit) AS BIGINT) AS n_hit
+         |  FROM tests GROUP BY key
+         |), fill AS (
+         |  SELECT CAST(SUM(bit_count(mask)) AS BIGINT) AS bits_set FROM words
+         |)
+         |SELECT COUNT(*) AS n_probes,
+         |       CAST(SUM(CASE WHEN n_hit = $BloomHashes THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_false_pos,
+         |       CAST(SUM(CASE WHEN n_hit = $BloomHashes THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fpr,
+         |       MAX(bits_set) AS bits_set,
+         |       CAST(MAX(bits_set) AS DOUBLE) / $m.0 AS fill_ratio
+         |FROM per, fill""".stripMargin
+    },
     "q_bloom_join" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
         |       CAST(SUM(CAST(floor((l_extendedprice * (1.0 - l_discount))

@@ -396,7 +396,79 @@ object Corpus {
   // Registry
   // ---------------------------------------------------------------------
 
+  /** Summary size (points per source) for [[qQuantileMerge]]. */
+  val QmergeQ = 32
+
+  /** q_quantile_merge — MERGEABLE quantile summaries with an exact rank
+    * audit: each source condenses its n_chars distribution into
+    * [[QmergeQ]] equi-rank summary points (the j-th point is the
+    * ceil(j·n/Q)-th order statistic, carrying weight n), the per-source
+    * summaries merge by weighted cumulative rank, and the merged
+    * quartile estimates are audited against the TRUE global quartiles
+    * plus their exact rank error. This is the distributed-systems
+    * primitive under every approximate-quantile implementation
+    * (t-digest, GK, Spark's own approxQuantile): shards ship Q values
+    * each — not raw data — and a coordinator merges; the audit row is
+    * what tells you Q is big enough for your SLA before you trust it
+    * on a 100 TB column.
+    *
+    * Determinism: summary selection, merge thresholds (4·cumw ≥
+    * p·Q·N) and both rank audits are ALL-INTEGER (no interpolation —
+    * disc semantics end to end, the [[Analytics]] percentile_disc
+    * convention); the only double is the final error-share division.
+    *
+    * Plan: per-source rank windows (source-partitioned), the merged
+    * summary is |sources|·Q rows (the bounded-window stance for its
+    * ONE unpartitioned cumsum), and the true quartiles come from the
+    * VALUE HISTOGRAM cumsum — never a global row sort. Every stage
+    * after the two first-pass aggregates is domain-sized.
+    */
+  def qQuantileMerge(spark: SparkSession, d: String): DataFrame = {
+    val docs = documents(spark, d)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val total = sizes.agg(sum(col("n_s")).as("n_total"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val summary = docs
+      .withColumn("rn", row_number().over(wSrc))
+      .join(sizes, "source")
+      .select(col("source"), col("n_chars"), col("rn"), col("n_s"),
+        explode(sequence(lit(1), lit(QmergeQ))).as("j"))
+      .filter(expr(s"(j * n_s + ${QmergeQ - 1}) DIV $QmergeQ") === col("rn"))
+      .select(col("source"), col("j"), col("n_chars").as("v"),
+        col("n_s").as("wt"))
+    val wAll = Window.orderBy(col("v"), col("source"), col("j"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = summary.withColumn("cumw", sum(col("wt")).over(wAll))
+    val quartiles = cum.crossJoin(broadcast(total))
+      .select(col("v"), col("cumw"), col("n_total"),
+        explode(sequence(lit(1), lit(3))).as("p4"))
+      .filter(col("cumw") * 4L >= col("p4") * lit(QmergeQ.toLong) * col("n_total"))
+      .groupBy(col("p4")).agg(min(col("v")).as("est_merged"))
+    val hist = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exact = hist.crossJoin(broadcast(total))
+      .select(col("v"), col("cum"), col("n_total"),
+        explode(sequence(lit(1), lit(3))).as("p4"))
+      .filter(col("cum") * 4L >= col("p4") * col("n_total"))
+      .groupBy(col("p4")).agg(min(col("v")).as("exact_disc"))
+    quartiles.join(exact, "p4")
+      .join(hist.select(col("v").as("est_merged"), col("cum").as("n_le_est")),
+        "est_merged")
+      .crossJoin(broadcast(total))
+      .select(col("p4").cast("long").as("p4"), col("est_merged"),
+        col("exact_disc"), col("n_le_est"),
+        (abs(col("n_le_est") * 4L - col("p4") * col("n_total")).cast("double") /
+          (col("n_total") * 4L).cast("double")).as("rank_err_share"))
+      .orderBy(col("p4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_merge" -> qQuantileMerge _,
     "q_substring_dup" -> qSubstringDup _,
     "q_cdc_chunks"    -> qCdcChunks _,
     "q_ttr"           -> qTtr _,
@@ -407,6 +479,53 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_quantile_merge" ->
+      s"""WITH docs AS (SELECT source, n_chars, doc_id FROM documents),
+         |sizes AS (SELECT source, COUNT(*) AS n_s FROM docs GROUP BY source),
+         |total AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total FROM sizes),
+         |ranked AS (
+         |  SELECT d.source, d.n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY d.source
+         |           ORDER BY d.n_chars, d.doc_id) AS rn,
+         |         s.n_s
+         |  FROM docs d JOIN sizes s ON d.source = s.source
+         |), summary AS (
+         |  SELECT source, j, n_chars AS v, n_s AS wt
+         |  FROM (SELECT source, n_chars, rn, n_s,
+         |               unnest(generate_series(1, $QmergeQ)) AS j
+         |        FROM ranked)
+         |  WHERE (j * n_s + ${QmergeQ - 1}) // $QmergeQ = rn
+         |), cum AS (
+         |  SELECT v, CAST(SUM(wt) OVER (ORDER BY v, source, j
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+         |  FROM summary
+         |), quart AS (
+         |  SELECT p4, MIN(v) AS est_merged
+         |  FROM (SELECT v, cumw, unnest([1, 2, 3]) AS p4 FROM cum) q
+         |  CROSS JOIN total
+         |  WHERE q.cumw * 4 >= q.p4 * $QmergeQ * total.n_total
+         |  GROUP BY p4
+         |), hist AS (
+         |  SELECT v, CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |           AS BIGINT) AS cum
+         |  FROM (SELECT n_chars AS v, COUNT(*) AS c FROM docs
+         |        GROUP BY n_chars)
+         |), ex AS (
+         |  SELECT p4, MIN(v) AS exact_disc
+         |  FROM (SELECT v, cum, unnest([1, 2, 3]) AS p4 FROM hist) h
+         |  CROSS JOIN total
+         |  WHERE h.cum * 4 >= h.p4 * total.n_total
+         |  GROUP BY p4
+         |)
+         |SELECT CAST(q.p4 AS BIGINT) AS p4, q.est_merged, ex.exact_disc,
+         |       h2.cum AS n_le_est,
+         |       CAST(abs(h2.cum * 4 - q.p4 * t.n_total) AS DOUBLE)
+         |         / CAST(t.n_total * 4 AS DOUBLE) AS rank_err_share
+         |FROM quart q
+         |JOIN ex ON q.p4 = ex.p4
+         |JOIN hist h2 ON h2.v = q.est_merged
+         |CROSS JOIN total t
+         |ORDER BY p4""".stripMargin,
     "q_substring_dup" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split(text, ' ') AS l FROM documents

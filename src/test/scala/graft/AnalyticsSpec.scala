@@ -2153,4 +2153,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq != byDeg)
   }
 
+
+  test("q_bloom_fpr replays the 63-bit-word bloom build and probe brute-force") {
+    import java.security.MessageDigest
+    val m = Analytics.BloomWords * 63
+    def h(key: Long, i: Int): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$key#$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % m
+    }
+    val keys = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val words = scala.collection.mutable.Map[Long, Long]()
+    keys.foreach { k =>
+      (1 to Analytics.BloomHashes).foreach { i =>
+        val hv = h(k, i)
+        words(hv / 63) = words.getOrElse(hv / 63, 0L) | (1L << (hv % 63).toInt)
+      }
+    }
+    val mk = keys.max
+    var falsePos = 0L
+    ((mk + 1) to (mk + Analytics.BloomProbes)).foreach { k =>
+      val allHit = (1 to Analytics.BloomHashes).forall { i =>
+        val hv = h(k, i)
+        (words.getOrElse(hv / 63, 0L) & (1L << (hv % 63).toInt)) != 0L
+      }
+      if (allHit) falsePos += 1
+    }
+    val bitsSet = words.values.map(java.lang.Long.bitCount(_).toLong).sum
+    val r = Analytics.qBloomFpr(spark, sfDir).collect().head
+    assert(r.getLong(0) == Analytics.BloomProbes.toLong)
+    assert(r.getLong(1) == falsePos, "false positive count")
+    assert(r.getDouble(2) == falsePos.toDouble / Analytics.BloomProbes.toDouble)
+    assert(r.getLong(3) == bitsSet, "bits set")
+    assert(r.getDouble(4) == bitsSet.toDouble / m.toDouble)
+    // sanity against theory: measured FPR within an order of magnitude of
+    // (1 - e^(-kn/m))^k (loose band - small-sample noise dominates)
+    val expected = math.pow(1.0 -
+      math.exp(-Analytics.BloomHashes.toDouble * keys.length / m), Analytics.BloomHashes)
+    assert(r.getDouble(2) <= expected * 20 + 0.002,
+      s"measured ${r.getDouble(2)} vs theory $expected")
+  }
 }

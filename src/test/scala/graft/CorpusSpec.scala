@@ -222,4 +222,49 @@ class CorpusSpec extends SparkSpec {
       assert(math.abs(s - 1.0) < 1e-12, s"$l shares sum $s")
     }
   }
+
+  test("q_quantile_merge replays the summary merge and honors the 1/Q rank bound") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val q = Corpus.QmergeQ
+    val bySrc = docs.groupBy(_._1)
+    val summary = bySrc.toSeq.flatMap { case (s, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val n = sorted.length.toLong
+      (1 to q).map { j =>
+        val rank = ((j * n + q - 1) / q).toInt
+        (sorted(rank - 1)._2, s, j, n)
+      }
+    }.sortBy { case (v, s, j, _) => (v, s, j) }
+    val nTotal = docs.length.toLong
+    val got = Corpus.qQuantileMerge(spark, sfDir).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val p4 = r.getLong(0)
+      var cum = 0L
+      var est = Long.MaxValue
+      summary.foreach { case (v, _, _, wt) =>
+        cum += wt
+        if (cum * 4 >= p4 * q * nTotal && v < est) est = v
+      }
+      // min v among qualifying = first qualifying in sorted order
+      cum = 0L
+      val qualifying = summary.map { case (v, _, _, wt) => cum += wt; (v, cum) }
+        .filter { case (_, c) => c * 4 >= p4 * q * nTotal }.map(_._1)
+      assert(r.getLong(1) == qualifying.min, s"est at p4=$p4")
+      val sortedAll = docs.map(_._2).sorted
+      val exact = sortedAll(
+        (((p4 * nTotal + 3) / 4).toInt - 1).max(0))
+      assert(r.getLong(2) == exact, s"exact disc at p4=$p4")
+      val nLe = docs.count(_._2 <= r.getLong(1)).toLong
+      assert(r.getLong(3) == nLe)
+      assert(r.getDouble(4) ==
+        math.abs(nLe * 4 - p4 * nTotal).toDouble / (nTotal * 4).toDouble)
+      // the merge theorem: rank error of a Q-point equi-rank summary
+      // merge is bounded by 1/Q of the population
+      assert(r.getDouble(4) <= 1.0 / q.toDouble,
+        s"rank error ${r.getDouble(4)} above 1/Q")
+    }
+  }
 }
