@@ -467,7 +467,46 @@ object Corpus {
       .orderBy(col("p4"))
   }
 
+  /** q_simpson — Simpson concentration / Gini–Simpson diversity of each
+    * source's token distribution, with the unbiased finite-sample form
+    * λ̂ = Σc(c−1)/(N(N−1)) (Simpson 1949): the probability two tokens
+    * drawn WITHOUT replacement are the same type. 1−λ̂ is the
+    * Gini–Simpson diversity a curation dashboard tracks next to
+    * [[qTtr]]'s type-token ratio — TTR measures vocabulary SIZE, this
+    * measures vocabulary CONCENTRATION (a boilerplate feed repeating
+    * ten templates scores high λ̂ at any vocabulary size), and unlike
+    * entropy ([[graft.operators.TextOps]] q_entropy_by_source) it
+    * needs no logarithm — the whole statistic is integer arithmetic
+    * until one final division, so the gate is hash-exact with no libm
+    * anywhere.
+    *
+    * Plan: one token explode → (source, token) count agg (map-side
+    * partial — the corpus-sized stage), then a |vocab|-sized agg to
+    * per-source moments; both Σc(c−1) and N(N−1) are exact BIGINTs
+    * (bounded by N² ≤ 10¹⁸ at ~10⁹ tokens/source — the documented
+    * DECIMAL escape hatch applies past that); λ̂ is ONE pinned
+    * division and the diversity column is 1.0 minus that same double.
+    */
+  def qSimpson(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - lit(1L))).as("sum_cc"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("sum_cc"),
+        (col("sum_cc").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - lit(1L))).cast("double"))
+          .as("simpson"),
+        (lit(1.0) - col("sum_cc").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - lit(1L))).cast("double"))
+          .as("gini_simpson"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simpson"        -> qSimpson _,
     "q_quantile_merge" -> qQuantileMerge _,
     "q_substring_dup" -> qSubstringDup _,
     "q_cdc_chunks"    -> qCdcChunks _,
@@ -479,6 +518,26 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_simpson" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+        |), m AS (
+        |  SELECT source,
+        |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         COUNT(*) AS n_types,
+        |         CAST(SUM(c * (c - 1)) AS BIGINT) AS sum_cc
+        |  FROM cnt GROUP BY source
+        |)
+        |SELECT source, n_tokens, n_types, sum_cc,
+        |       CAST(sum_cc AS DOUBLE)
+        |         / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson,
+        |       1.0 - CAST(sum_cc AS DOUBLE)
+        |         / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS gini_simpson
+        |FROM m
+        |ORDER BY source""".stripMargin,
     "q_quantile_merge" ->
       s"""WITH docs AS (SELECT source, n_chars, doc_id FROM documents),
          |sizes AS (SELECT source, COUNT(*) AS n_s FROM docs GROUP BY source),

@@ -783,7 +783,67 @@ object Stats {
       .orderBy(col("k"))
   }
 
+  /** Total sample budget allocated by [[qNeymanAlloc]]. */
+  val NeymanBudget = 1000L
+
+  /** q_neyman_alloc — Neyman-optimal stratified-sampling allocation of a
+    * [[NeymanBudget]]-document sample across sources, next to the naive
+    * proportional split: stratum h gets n·N_h·S_h / Σ N_h·S_h (Neyman
+    * 1934) — the variance-minimizing design under a fixed budget, and
+    * the number a 100 TB curation pipeline needs BEFORE sampling (a
+    * high-variance source deserves more than its row share; a uniform
+    * boilerplate feed needs almost none). The readout is the per-source
+    * plan: size, stddev of n_chars, Neyman share, allocated n, and the
+    * proportional n it replaces.
+    *
+    * Determinism: the three stratum moments (count, Σx, Σx²) are exact
+    * BIGINTs from ONE map-side-partial aggregate; the variance numerator
+    * n·Σx²−(Σx)² is assembled in DECIMAL(38,0) (exact — BIGINT would
+    * overflow near ~10⁶ rows × 10⁴ chars) and becomes a double in ONE
+    * pinned division; S_h = sqrt (IEEE-correctly-rounded, engine-exact);
+    * the cross-stratum Σ N_h·S_h folds in source order (`sort_array` +
+    * `aggregate` ⇔ `list_reduce` with ORDER BY — the module's ordered
+    * double-fold contract); allocations are floor(x+0.5) over those
+    * pinned doubles, and the proportional column stays all-integer
+    * ((2n·N_h+N) DIV 2N — round-half-up without ever leaving BIGINT).
+    *
+    * Plan: one hash aggregate over documents (map-side partial), then
+    * everything is |sources|-sized: the fold is a 1-row broadcast
+    * attached by crossJoin — nothing after the first agg scales with
+    * corpus volume.
+    */
+  def qNeymanAlloc(spark: SparkSession, d: String): DataFrame = {
+    val moments = documents(spark, d)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+    val perStratum = moments.select(col("source"), col("n_h"),
+      sqrt(greatest(
+        ((col("s2").cast("decimal(38,0)") * col("n_h") -
+          col("s1").cast("decimal(38,0)") * col("s1")).cast("double")) /
+          (col("n_h") * (col("n_h") - lit(1L))).cast("double"),
+        lit(0.0))).as("s_h"))
+      .select(col("source"), col("n_h"), col("s_h"),
+        (col("n_h").cast("double") * col("s_h")).as("w_h"))
+    val totals = perStratum
+      .agg(sum(col("n_h")).as("n_total"),
+        sort_array(collect_list(struct(col("source"), col("w_h"))))
+          .as("ws"))
+      .select(col("n_total"),
+        expr("aggregate(ws, 0.0D, (acc, e) -> acc + e.w_h)").as("w_total"))
+    perStratum.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_h").as("n_docs"), col("s_h"),
+        (col("w_h") / col("w_total")).as("neyman_share"),
+        floor(lit(NeymanBudget.toDouble) * col("w_h") / col("w_total") +
+          lit(0.5)).cast("long").as("neyman_n"),
+        expr(s"(${2L * NeymanBudget} * n_h + n_total) DIV (2 * n_total)")
+          .as("prop_n"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neyman_alloc" -> qNeymanAlloc _,
     "q_sax"          -> qSax _,
     "q_stl"          -> qStl _,
     "q_cohens_d"     -> qCohensD _,
@@ -803,6 +863,35 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_neyman_alloc" ->
+      s"""WITH m AS (
+         |  SELECT source, COUNT(*) AS n_h,
+         |         CAST(SUM(n_chars) AS BIGINT) AS s1,
+         |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+         |  FROM documents GROUP BY source
+         |), w AS (
+         |  SELECT source, n_h,
+         |         sqrt(greatest(
+         |           CAST(CAST(s2 AS HUGEINT) * n_h
+         |              - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+         |           / CAST(n_h * (n_h - 1) AS DOUBLE), 0.0)) AS s_h
+         |  FROM m
+         |), ww AS (
+         |  SELECT source, n_h, s_h, CAST(n_h AS DOUBLE) * s_h AS w_h FROM w
+         |), tot AS (
+         |  SELECT CAST(SUM(n_h) AS BIGINT) AS n_total,
+         |         list_reduce(list_prepend(0.0, list(w_h ORDER BY source)),
+         |                     (a, b) -> a + b) AS w_total
+         |  FROM ww
+         |)
+         |SELECT ww.source, ww.n_h AS n_docs, ww.s_h,
+         |       ww.w_h / t.w_total AS neyman_share,
+         |       CAST(floor($NeymanBudget.0 * ww.w_h / t.w_total + 0.5)
+         |         AS BIGINT) AS neyman_n,
+         |       (${2 * NeymanBudget} * ww.n_h + t.n_total)
+         |         // (2 * t.n_total) AS prop_n
+         |FROM ww CROSS JOIN tot t
+         |ORDER BY source""".stripMargin,
     "q_fdr_bh" ->
       s"""WITH pu AS (
          |  SELECT event_type, user_id, COUNT(*) AS c

@@ -1128,6 +1128,9 @@ object TextOps {
     minhashPairs(spark, d)
     winnowFpSet(spark, d)
     winnowPairSet(spark, d)
+    // q_lsh_tuning's pinned inputs (same canonicalized plans).
+    graft.Tables.pinForSession(signatures(spark, d))
+    graft.Tables.pinForSession(shingled(spark, d))
     ()
   }
 
@@ -3207,7 +3210,107 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Banding configs swept by [[qLshTuning]]: (label, rows per band),
+    * all cutting the same 16-value signature (bands = 16 / rows). */
+  private val LshTuneConfigs = Seq(("b2_r8", 8), ("b4_r4", 4), ("b8_r2", 2))
+
+  /** q_lsh_tuning — the MinHash-LSH DESIGN harness: sweep the three
+    * (bands, rows) factorizations of the 16-permutation signature —
+    * 8×2 (recall-greedy), 4×4 (the shipped q_minhash_lsh geometry),
+    * 2×8 (precision-greedy) — and measure, per config, the candidate
+    * count, how many candidates verify as true near-dups at Jaccard
+    * ≥ 1/2 (exact shingle sets), the resulting precision, and the
+    * relative recall against the union of verified pairs across all
+    * configs. Banding theory gives each config an S-curve threshold
+    * (1/b)^(1/r); this query is the EMPIRICAL version of that table on
+    * the operator's own corpus — the run-before-you-bet readout for
+    * choosing a geometry ahead of a 100 TB dedup pass, where a
+    * recall-greedy config multiplies candidate-verify cost and a
+    * precision-greedy one silently drops near-dups.
+    *
+    * Determinism: candidates/verified are exact counts over the
+    * portable md5/LCG signature arithmetic ([[signatures]] ⇔ the
+    * oracle's sigSql); the Jaccard-≥-1/2 verdict is the all-integer
+    * cross-multiplication 3·|A∩B| ≥ |A|+|B| (never a float compare);
+    * precision and relative recall are single pinned divisions guarded
+    * NULL when their denominator is 0.
+    *
+    * Plan: ONE signature build feeds all three band decompositions
+    * (cached — the multi-config sweep reuses the sketch, not the
+    * corpus); each config's candidates come from the same inverted-
+    * index band self-join as the production query (work Σ bucket², no
+    * all-pairs anywhere); verification runs ONCE over the union of
+    * candidate pairs (a pair surfacing in all three configs verifies
+    * once) via the posting-list intersection join; everything after is
+    * |configs|-sized with the union-truth scalar attached by 1-row
+    * broadcast.
+    */
+  def qLshTuning(spark: SparkSession, d: String): DataFrame = {
+    // Session pins, not the remove-and-recache self-join cache: the sweep
+    // re-reads both relations across three configs plus verification, and
+    // the suite's graph-family staging pre-builds the same pins untimed.
+    val sig = graft.Tables.pinForSession(signatures(spark, d))
+    val sh = graft.Tables.pinForSession(shingled(spark, d))
+    val bands = LshTuneConfigs.map { case (label, r) =>
+      val b = 16 / r
+      val bandCols = (0 until b).map { j =>
+        concat_ws("|", (0 until r).map(i => col(s"mh${r * j + i}")): _*)
+      }
+      sig.select(lit(label).as("config"), col("doc_id"),
+          posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "bkey")
+    }.reduce(_ unionAll _)
+    val left = bands.select(col("config"), col("band_idx"), col("bkey"),
+      col("doc_id").as("doc_a"))
+    val right = bands.select(col("config").as("c2"),
+      col("band_idx").as("bi2"), col("bkey").as("bk2"),
+      col("doc_id").as("doc_b"))
+    val cand = left.join(right,
+        col("config") === col("c2") && col("band_idx") === col("bi2") &&
+          col("bkey") === col("bk2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("config"), col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val uniq = cand.select(col("doc_a"), col("doc_b")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = uniq
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val verdicts = uniq
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        when(lit(3L) * coalesce(col("inter"), lit(0L)) >=
+          col("sz_a") + col("sz_b"), 1L).otherwise(0L).as("is_true"))
+    val perCfg = cand.join(verdicts, Seq("doc_a", "doc_b"))
+      .groupBy(col("config"))
+      .agg(count(lit(1)).as("n_cand"), sum(col("is_true")).as("n_true"))
+    val totTrue = verdicts.agg(sum(col("is_true")).as("n_true_union"))
+    val spine = spark.range(1).select(explode(array(
+      LshTuneConfigs.map { case (label, r) =>
+        struct(lit(label).as("config"), lit((16 / r).toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"))
+      }: _*)).as("c")).select(col("c.*"))
+    spine.join(perCfg, Seq("config"), "left")
+      .crossJoin(broadcast(totTrue))
+      .select(col("config"), col("bands"), col("rows_per_band"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        when(coalesce(col("n_cand"), lit(0L)) > 0L,
+          col("n_true").cast("double") / col("n_cand").cast("double"))
+          .as("prec"),
+        when(col("n_true_union") > 0L,
+          coalesce(col("n_true"), lit(0L)).cast("double") /
+            col("n_true_union").cast("double")).as("rel_recall"))
+      .orderBy(col("config"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_tuning"    -> qLshTuning _,
     "q_sorted_neighborhood" -> qSortedNeighborhood _,
     "q_curate"        -> qCurate _,
     "q_unigram_lm"    -> qUnigramLm _,
@@ -3344,7 +3447,75 @@ object TextOps {
     s"SELECT doc_id, $j AS band_idx, concat_ws('|', $key) AS bkey FROM sig"
   }.mkString("\n  UNION ALL\n  ")
 
+  /** Per-config band projections for the q_lsh_tuning oracle — the
+    * DuckDB twin of the three band decompositions in [[qLshTuning]]. */
+  private val lshTuneBandsSql: String = LshTuneConfigs.map { case (label, r) =>
+    val b = 16 / r
+    (0 until b).map { j =>
+      val key = (0 until r).map(i => s"mh${r * j + i}").mkString(", ")
+      s"SELECT '$label' AS config, doc_id, $j AS band_idx, " +
+        s"concat_ws('|', $key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+  }.mkString("\n  UNION ALL\n  ")
+
   val oracle: Map[String, String] = Map(
+    "q_lsh_tuning" ->
+      s"""WITH sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $lshTuneBandsSql
+         |), cand AS (
+         |  SELECT a.config, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.config = b.config AND a.band_idx = b.band_idx
+         |   AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3
+         |), uniq AS (SELECT doc_a, doc_b FROM cand GROUP BY 1, 2),
+         |shing AS (
+         |$shingleSql
+         |), sz AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+         |inter AS (
+         |  SELECT u.doc_a, u.doc_b, COUNT(*) AS inter
+         |  FROM uniq u
+         |  JOIN shing sa ON sa.doc_id = u.doc_a
+         |  JOIN shing sb ON sb.doc_id = u.doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2
+         |), verd AS (
+         |  SELECT u.doc_a, u.doc_b,
+         |         CASE WHEN 3 * COALESCE(i.inter, 0) >= za.sz + zb.sz
+         |              THEN 1 ELSE 0 END AS is_true
+         |  FROM uniq u
+         |  JOIN sz za ON za.doc_id = u.doc_a
+         |  JOIN sz zb ON zb.doc_id = u.doc_b
+         |  LEFT JOIN inter i ON i.doc_a = u.doc_a AND i.doc_b = u.doc_b
+         |), per AS (
+         |  SELECT c.config, COUNT(*) AS n_cand,
+         |         CAST(SUM(v.is_true) AS BIGINT) AS n_true
+         |  FROM cand c JOIN verd v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+         |  GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(is_true) AS BIGINT) AS n_true_union FROM verd
+         |), spine AS (
+         |  SELECT * FROM (VALUES
+         |    ('b2_r8', CAST(2 AS BIGINT), CAST(8 AS BIGINT)),
+         |    ('b4_r4', CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+         |    ('b8_r2', CAST(8 AS BIGINT), CAST(2 AS BIGINT)))
+         |    AS t(config, bands, rows_per_band)
+         |)
+         |SELECT s.config, s.bands, s.rows_per_band,
+         |       COALESCE(p.n_cand, 0) AS n_cand,
+         |       COALESCE(p.n_true, 0) AS n_true,
+         |       CASE WHEN COALESCE(p.n_cand, 0) > 0
+         |            THEN CAST(p.n_true AS DOUBLE) / CAST(p.n_cand AS DOUBLE)
+         |       END AS prec,
+         |       CASE WHEN t.n_true_union > 0
+         |            THEN CAST(COALESCE(p.n_true, 0) AS DOUBLE)
+         |               / CAST(t.n_true_union AS DOUBLE)
+         |       END AS rel_recall
+         |FROM spine s
+         |LEFT JOIN per p ON p.config = s.config
+         |CROSS JOIN tot t
+         |ORDER BY s.config""".stripMargin,
     "q_sorted_neighborhood" ->
       s"""WITH sh AS (
          |  SELECT doc_id, substr(text, 1, $SnmKeyLen) AS k,

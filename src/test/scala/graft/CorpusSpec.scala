@@ -267,4 +267,32 @@ class CorpusSpec extends SparkSpec {
         s"rank error ${r.getDouble(4)} above 1/Q")
     }
   }
+
+  test("q_simpson equals brute-force Simpson concentration per source") {
+    val bySrc = docs.groupBy(_._3)
+    val expected = bySrc.toSeq.sortBy(_._1).map { case (s, rows) =>
+      val toks = rows.flatMap(_._2.split(" ", -1))
+      val counts = toks.groupBy(identity).map(_._2.size.toLong)
+      val n = counts.sum
+      val types = counts.size.toLong
+      val sumCc = counts.map(c => c * (c - 1)).sum
+      val simpson = sumCc.toDouble / (n * (n - 1)).toDouble
+      (s, n, types, sumCc, simpson)
+    }
+    val got = Corpus.qSimpson(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (s, n, types, sumCc, simpson)) =>
+      assert(r.getString(0) == s)
+      assert(r.getLong(1) == n, s"$s n_tokens")
+      assert(r.getLong(2) == types, s"$s n_types")
+      assert(r.getLong(3) == sumCc, s"$s sum_cc")
+      assert(r.getDouble(4) == simpson, s"$s simpson")
+      assert(r.getDouble(5) == 1.0 - simpson, s"$s gini_simpson")
+      // a without-replacement same-type probability is a proper one
+      assert(simpson >= 0.0 && simpson <= 1.0)
+    }
+    // repeated tokens exist in every source, so concentration is
+    // strictly positive - the statistic is non-vacuous on the fixture
+    assert(got.forall(_.getLong(3) > 0L))
+  }
 }

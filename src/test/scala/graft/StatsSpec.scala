@@ -494,4 +494,41 @@ class StatsSpec extends SparkSpec {
     assert(pv.map(_._3).distinct.length > 1 || pv.head._3 > 0.1)
   }
 
+  test("q_neyman_alloc replays the allocation with exact-integer moments") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val strata = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, rows) =>
+      val n = rows.length.toLong
+      val s1 = BigInt(rows.map(_._2).sum)
+      val s2 = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      val num = s2 * n - s1 * s1
+      val sH = math.sqrt(
+        math.max(num.toDouble / (n * (n - 1)).toDouble, 0.0))
+      (s, n, sH, n.toDouble * sH)
+    }
+    val wTotal = strata.map(_._4).foldLeft(0.0)(_ + _) // source order
+    val nTotal = docs.length.toLong
+    val got = Stats.qNeymanAlloc(spark, sfDir).collect()
+    assert(got.length == strata.length)
+    got.zip(strata).foreach { case (r, (s, n, sH, w)) =>
+      assert(r.getString(0) == s)
+      assert(r.getLong(1) == n, s"$s n_docs")
+      assert(r.getDouble(2) == sH, s"$s s_h")
+      assert(r.getDouble(3) == w / wTotal, s"$s share")
+      assert(r.getLong(4) ==
+        math.floor(Stats.NeymanBudget.toDouble * w / wTotal + 0.5).toLong,
+        s"$s neyman_n")
+      assert(r.getLong(5) ==
+        (2 * Stats.NeymanBudget * n + nTotal) / (2 * nTotal), s"$s prop_n")
+    }
+    // each rounding drifts the column total from the budget by < 1/2
+    // per stratum
+    val m = strata.length
+    assert(math.abs(got.map(_.getLong(4)).sum - Stats.NeymanBudget) <= m / 2 + 1)
+    assert(math.abs(got.map(_.getLong(5)).sum - Stats.NeymanBudget) <= m / 2 + 1)
+    // shares partition to 1
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+  }
+
 }

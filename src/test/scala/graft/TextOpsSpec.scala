@@ -1630,4 +1630,61 @@ class TextOpsSpec extends SparkSpec {
     // the shared-prefix near-dup families must produce real candidates
     assert(got.nonEmpty, "SNM found no pairs - sort key no longer blocks families")
   }
+
+  test("q_lsh_tuning replays the three-config sweep and nests candidate sets") {
+    val params = (0 until 16).map(k => (2L * k + 1, (1000003L * k + 12345L) % P))
+    val sigs: Map[Long, Vector[Long]] = docs.flatMap { case (id, text) =>
+      val hs = shingles(text).map(s =>
+        java.lang.Long.parseLong(md5Hex(s).take(15), 16) % P)
+      if (hs.isEmpty) None
+      else Some(id -> params.map { case (a, b) =>
+        hs.map(h => (a * h + b) % P).min
+      }.toVector)
+    }
+    val configs = Seq(("b2_r8", 8), ("b4_r4", 4), ("b8_r2", 2))
+    val candSets: Map[String, Set[(Long, Long)]] = configs.map { case (l, r) =>
+      val byBand = scala.collection.mutable.Map
+        .empty[(Int, Seq[Long]), List[Long]]
+      sigs.foreach { case (id, sig) =>
+        (0 until 16 / r).foreach { j =>
+          val key = (j, sig.slice(r * j, r * j + r))
+          byBand(key) = id :: byBand.getOrElse(key, Nil)
+        }
+      }
+      l -> byBand.values.flatMap { ids =>
+        val s = ids.sorted
+        for (i <- s.indices; k <- i + 1 until s.length) yield (s(i), s(k))
+      }.toSet
+    }.toMap
+    val shingleSets = docs.map { case (id, t) => id -> shingles(t) }
+    val allPairs = candSets.values.reduce(_ ++ _)
+    val isTrue: Map[(Long, Long), Boolean] = allPairs.map { case (a, b) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      (a, b) -> (3L * (sa & sb).size >= sa.size + sb.size)
+    }.toMap
+    val nTrueUnion = isTrue.values.count(identity).toLong
+    val got = TextOps.qLshTuning(spark, sfDir).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val cfg = r.getString(0)
+      val cand = candSets(cfg)
+      val nTrue = cand.count(isTrue).toLong
+      assert(r.getLong(1) == 16L / configs.toMap.apply(cfg) &&
+        r.getLong(2) == configs.toMap.apply(cfg), s"$cfg geometry")
+      assert(r.getLong(3) == cand.size.toLong, s"$cfg n_cand")
+      assert(r.getLong(4) == nTrue, s"$cfg n_true")
+      if (cand.nonEmpty)
+        assert(r.getDouble(5) == nTrue.toDouble / cand.size.toDouble)
+      else assert(r.isNullAt(5))
+      if (nTrueUnion > 0)
+        assert(r.getDouble(6) == nTrue.toDouble / nTrueUnion.toDouble)
+      else assert(r.isNullAt(6))
+    }
+    // an r-row band match implies its sub-bands match, so candidate sets
+    // nest: precision-greedy ⊆ shipped ⊆ recall-greedy
+    assert(candSets("b2_r8").subsetOf(candSets("b4_r4")))
+    assert(candSets("b4_r4").subsetOf(candSets("b8_r2")))
+    assert(candSets("b8_r2").nonEmpty,
+      "loosest config found no candidates - sweep is vacuous")
+  }
 }
