@@ -690,7 +690,87 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  /** q_ucb_replay — UCB1 policy evaluation on the logged bandit
+    * feedback (Auer et al. 2002 scores, Li et al. 2011 replay stance):
+    * arms = event types, one decision per UTC day. For each day the
+    * policy scores every arm from the LOGGED history strictly before
+    * that day — mean high-value rate s_i/n_i plus the exploration
+    * bonus √(2·ln N/n_i) — and "pulls" the argmax (unexplored arms
+    * first, the canonical play-each-arm-once bootstrap); the day's
+    * realized best arm by high-value count sets the per-day regret.
+    * This is the offline harness an experimentation platform runs
+    * BEFORE wiring a bandit to live traffic: would UCB have kept up
+    * with the oracle arm on our own logs, and how fast does its
+    * exploration debt amortize?
+    *
+    * Determinism: per-(day, arm) trials/successes and all prefix
+    * histories are exact BIGINT window sums (integer — safe in any
+    * accumulation order); regret is COUNT-based (best successes −
+    * chosen successes, an exact integer) so the cumulative-regret
+    * window never sums doubles; the UCB score itself is a per-row
+    * pinned double chain (one division + LnLibm + IEEE sqrt) used
+    * only for ORDERING, with the explored-first / score / arm-name
+    * sort fully pinned on both engines (DESC NULLS LAST stated
+    * explicitly).
+    *
+    * Plan: the log collapses to the |days|×|arms| daily grid first
+    * (one map-side-partial aggregate — the only corpus-sized stage),
+    * densified against the day×arm spine so silent days still carry
+    * their prefix history; every window after that rides the
+    * domain-sized grid.
+    */
+  def qUcbReplay(spark: SparkSession, d: String): DataFrame = {
+    val daily = events(spark, d)
+      .select(expr("unix_micros(date_trunc('day', ts)) DIV 86400000000")
+        .as("dy"), col("event_type").as("arm"),
+        when(col("value") >= 150.0, 1L).otherwise(0L).as("hv"))
+      .groupBy(col("dy"), col("arm"))
+      .agg(count(lit(1)).as("trials"), sum(col("hv")).as("succ"))
+    val spine = daily.select(col("dy")).distinct()
+      .crossJoin(daily.select(col("arm")).distinct())
+    val grid = spine.join(daily, Seq("dy", "arm"), "left")
+      .select(col("dy"), col("arm"),
+        coalesce(col("trials"), lit(0L)).as("trials"),
+        coalesce(col("succ"), lit(0L)).as("succ"))
+    val wArm = Window.partitionBy(col("arm")).orderBy(col("dy"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDay = Window.partitionBy(col("dy"))
+    val scored = grid
+      .withColumn("n_i", coalesce(sum(col("trials")).over(wArm), lit(0L)))
+      .withColumn("s_i", coalesce(sum(col("succ")).over(wArm), lit(0L)))
+      .withColumn("n_prev", sum(col("n_i")).over(wDay))
+      .withColumn("ucb",
+        when(col("n_i") > 0L && col("n_prev") > 0L,
+          col("s_i").cast("double") / col("n_i").cast("double") +
+            sqrt((lit(2.0) * lnLibm(col("n_prev").cast("double"))) /
+              col("n_i").cast("double"))))
+      .withColumn("explored", when(col("n_i") > 0L, 1).otherwise(0))
+    val chosen = scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("dy"))
+        .orderBy(col("explored").asc, col("ucb").desc_nulls_last,
+          col("arm").asc)))
+      .filter(col("rn") === 1)
+      .select(col("dy"), col("arm").as("chosen_arm"),
+        (col("explored") === 0).as("forced_explore"), col("ucb"),
+        col("succ").as("chosen_succ"), col("trials").as("chosen_trials"))
+    val best = grid
+      .withColumn("rn", row_number().over(Window.partitionBy(col("dy"))
+        .orderBy(col("succ").desc, col("arm").asc)))
+      .filter(col("rn") === 1)
+      .select(col("dy"), col("arm").as("best_arm"),
+        col("succ").as("best_succ"))
+    chosen.join(best, "dy")
+      .select(col("dy"), col("chosen_arm"), col("forced_explore"),
+        col("ucb"), col("best_arm"), col("chosen_succ"), col("best_succ"),
+        (col("best_succ") - col("chosen_succ")).as("regret"))
+      .withColumn("cum_regret", sum(col("regret")).over(
+        Window.orderBy(col("dy"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("dy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ucb_replay"    -> qUcbReplay _,
     "q_sprt"          -> qSprt _,
     "q_cohort_matrix" -> qCohortMatrix _,
     "q_window_funnel" -> qWindowFunnel _,
@@ -709,6 +789,61 @@ object Behavior {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ucb_replay" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS dy,
+        |         event_type AS arm, COUNT(*) AS trials,
+        |         CAST(SUM(CASE WHEN value >= 150.0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS succ
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT d.dy, a.arm FROM (SELECT DISTINCT dy FROM daily) d
+        |  CROSS JOIN (SELECT DISTINCT arm FROM daily) a
+        |), grid AS (
+        |  SELECT s.dy, s.arm, COALESCE(d.trials, 0) AS trials,
+        |         COALESCE(d.succ, 0) AS succ
+        |  FROM spine s LEFT JOIN daily d ON d.dy = s.dy AND d.arm = s.arm
+        |), pref AS (
+        |  SELECT dy, arm, trials, succ,
+        |         CAST(COALESCE(SUM(trials) OVER (PARTITION BY arm ORDER BY dy
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n_i,
+        |         CAST(COALESCE(SUM(succ) OVER (PARTITION BY arm ORDER BY dy
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS s_i
+        |  FROM grid
+        |), tot AS (
+        |  SELECT *, CAST(SUM(n_i) OVER (PARTITION BY dy) AS BIGINT) AS n_prev
+        |  FROM pref
+        |), scored AS (
+        |  SELECT *,
+        |         CASE WHEN n_i > 0 AND n_prev > 0
+        |              THEN CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+        |                 + sqrt((2.0 * ln(CAST(n_prev AS DOUBLE)))
+        |                        / CAST(n_i AS DOUBLE))
+        |         END AS ucb,
+        |         CASE WHEN n_i > 0 THEN 1 ELSE 0 END AS explored
+        |  FROM tot
+        |), chosen AS (
+        |  SELECT dy, arm AS chosen_arm, explored = 0 AS forced_explore,
+        |         ucb, succ AS chosen_succ
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dy
+        |          ORDER BY explored ASC, ucb DESC NULLS LAST, arm ASC) AS rn
+        |        FROM scored)
+        |  WHERE rn = 1
+        |), best AS (
+        |  SELECT dy, arm AS best_arm, succ AS best_succ
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dy
+        |          ORDER BY succ DESC, arm ASC) AS rn FROM grid)
+        |  WHERE rn = 1
+        |)
+        |SELECT c.dy, c.chosen_arm, c.forced_explore, c.ucb, b.best_arm,
+        |       c.chosen_succ, b.best_succ,
+        |       b.best_succ - c.chosen_succ AS regret,
+        |       CAST(SUM(b.best_succ - c.chosen_succ) OVER (ORDER BY c.dy
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_regret
+        |FROM chosen c JOIN best b ON b.dy = c.dy
+        |ORDER BY c.dy""".stripMargin,
     "q_sprt" ->
       s"""WITH pref AS (
          |  SELECT event_type,

@@ -505,7 +505,59 @@ object Corpus {
           .as("gini_simpson"))
       .orderBy(col("source"))
 
+  /** q_dataset_card — the one-row dataset datasheet (Gebru et al.
+    * "Datasheets for Datasets", the numbers section of every HF dataset
+    * card): corpus size (docs / tokens / chars / sources / languages),
+    * mean document length, short-document share (< 10 tokens), the
+    * 16-char-prefix duplication share (the cheap boilerplate smell the
+    * full dedup pass then quantifies), and the dominant language with
+    * its share. The capstone summary a curation pipeline publishes
+    * with each snapshot — every number here is re-derivable from the
+    * dedicated operators, but THIS is the row that ships with the
+    * data.
+    *
+    * Determinism: every count is an exact BIGINT; the four shares /
+    * means are single pinned divisions. Plan: one corpus pass for the
+    * base aggregate, one prefix groupBy (map-side partial, |prefixes|
+    * rows), one |langs|-row ranking window — the three 1-row results
+    * attach by broadcast crossJoin, nothing collects.
+    */
+  def qDatasetCard(spark: SparkSession, d: String): DataFrame = {
+    val base = documents(spark, d).select(col("doc_id"), col("source"),
+      col("lang"), col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      substring(col("text"), 1, 16).as("p16"))
+    val totals = base.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_toks")).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(when(col("n_toks") < 10L, 1L).otherwise(0L)).as("n_short"))
+    val prefDup = base.groupBy(col("p16"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") >= 2L, col("c")).otherwise(0L))
+        .as("n_prefix_dup"))
+    val topLang = base.groupBy(col("lang")).agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("lc").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("lang").as("top_lang"), col("lc").as("top_lang_docs"))
+    totals.crossJoin(broadcast(prefDup)).crossJoin(broadcast(topLang))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_tokens"), col("total_chars"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"),
+        (col("n_short").cast("double") / col("n_docs").cast("double"))
+          .as("short_share"),
+        (col("n_prefix_dup").cast("double") / col("n_docs").cast("double"))
+          .as("prefix_dup_share"),
+        col("top_lang"),
+        (col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
+          .as("top_lang_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_card"   -> qDatasetCard _,
     "q_simpson"        -> qSimpson _,
     "q_quantile_merge" -> qQuantileMerge _,
     "q_substring_dup" -> qSubstringDup _,
@@ -518,6 +570,45 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dataset_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         substr(text, 1, 16) AS p16
+        |  FROM documents
+        |), totals AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |         CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(SUM(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_short
+        |  FROM base
+        |), pref AS (
+        |  SELECT CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |           AS n_prefix_dup
+        |  FROM (SELECT p16, COUNT(*) AS c FROM base GROUP BY p16)
+        |), toplang AS (
+        |  SELECT lang AS top_lang, lc AS top_lang_docs
+        |  FROM (SELECT lang, COUNT(*) AS lc,
+        |               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang ASC)
+        |                 AS rn
+        |        FROM base GROUP BY lang)
+        |  WHERE rn = 1
+        |)
+        |SELECT t.n_docs, t.n_sources, t.n_langs, t.total_tokens,
+        |       t.total_chars,
+        |       CAST(t.total_tokens AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+        |         AS mean_tokens,
+        |       CAST(t.n_short AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+        |         AS short_share,
+        |       CAST(p.n_prefix_dup AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+        |         AS prefix_dup_share,
+        |       l.top_lang,
+        |       CAST(l.top_lang_docs AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+        |         AS top_lang_share
+        |FROM totals t CROSS JOIN pref p CROSS JOIN toplang l""".stripMargin,
     "q_simpson" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -3210,6 +3210,94 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** |n_chars| band for the q_fs_weights length-agreement feature. */
+  val FsLenBand = 64L
+
+  /** q_fs_weights — Fellegi–Sunter record-linkage weights (1969) learned
+    * from the MinHash-LSH candidate pairs: truth = exact shingle Jaccard
+    * ≥ ½ (the [[qLshTuning]] verdict), comparison vector = four cheap
+    * agreement features (same source, same lang, |n_chars| within
+    * [[FsLenBand]], equal 16-char prefix). For each feature the m/u
+    * probabilities — P(agree | match), P(agree | non-match), add-one
+    * smoothed — and the log-likelihood agreement / disagreement weights
+    * ln(m/u), ln((1−m)/(1−u)) that a linkage scorer sums per pair. This
+    * is the CALIBRATION layer over the three blocking strategies
+    * (MinHash banding, SimHash blocks, sorted neighborhood): blocking
+    * proposes, Fellegi–Sunter weighs the evidence — and the weight
+    * table is |features| rows you can ship to any scoring pass.
+    *
+    * Determinism: all agreement tallies are exact BIGINTs; m and u are
+    * single pinned divisions; each weight is ONE [[lnLibm]] call over a
+    * single division of exact smoothed integer PRODUCTS ((a_m+1)(n_u+2)
+    * / (n_m+2)(a_u+1) — never ln(m)−ln(u), which would compound two
+    * roundings), libm-exact cross-engine.
+    *
+    * Plan: candidates ride the session-pinned band index (never
+    * all-pairs); the truth verdict is the posting-list intersection
+    * join over the pinned shingle relation (work Σ per-pair |A|); the
+    * feature unpivot explodes 4 structs per PAIR row (pair-bounded),
+    * and everything after the feature aggregate is 4 rows.
+    */
+  def qFsWeights(spark: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(spark, d).select(col("doc_a"), col("doc_b"))
+    val sh = graft.Tables.pinForSession(shingled(spark, d))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val attrs = documents(spark, d).select(col("doc_id"), col("source"),
+      col("lang"), col("n_chars"), substring(col("text"), 1, 16).as("p16"))
+    val labeled = pairs
+      .join(attrs.select(col("doc_id").as("doc_a"), col("source").as("src_a"),
+        col("lang").as("lang_a"), col("n_chars").as("nc_a"),
+        col("p16").as("p_a")), "doc_a")
+      .join(attrs.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
+        col("lang").as("lang_b"), col("n_chars").as("nc_b"),
+        col("p16").as("p_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(
+        when(lit(3L) * coalesce(col("inter"), lit(0L)) >=
+          col("sz_a") + col("sz_b"), 1L).otherwise(0L).as("is_m"),
+        explode(array(
+          struct(lit("lang").as("feature"),
+            (col("lang_a") === col("lang_b")).as("agree")),
+          struct(lit("len64").as("feature"),
+            (abs(col("nc_a") - col("nc_b")) <= FsLenBand).as("agree")),
+          struct(lit("prefix16").as("feature"),
+            (col("p_a") === col("p_b")).as("agree")),
+          struct(lit("source").as("feature"),
+            (col("src_a") === col("src_b")).as("agree")))).as("f"))
+      .select(col("is_m"), col("f.feature").as("feature"),
+        col("f.agree").as("agree"))
+    labeled.groupBy(col("feature"))
+      .agg(sum(col("is_m")).as("n_match"),
+        sum(lit(1L) - col("is_m")).as("n_nonmatch"),
+        sum(when(col("agree"), col("is_m")).otherwise(0L)).as("a_match"),
+        sum(when(col("agree"), lit(1L) - col("is_m")).otherwise(0L))
+          .as("a_nonmatch"))
+      .select(col("feature"), col("n_match"), col("n_nonmatch"),
+        col("a_match"), col("a_nonmatch"),
+        ((col("a_match") + lit(1L)).cast("double") /
+          (col("n_match") + lit(2L)).cast("double")).as("m_prob"),
+        ((col("a_nonmatch") + lit(1L)).cast("double") /
+          (col("n_nonmatch") + lit(2L)).cast("double")).as("u_prob"),
+        lnLibm(((col("a_match") + lit(1L)) *
+            (col("n_nonmatch") + lit(2L))).cast("double") /
+          ((col("n_match") + lit(2L)) *
+            (col("a_nonmatch") + lit(1L))).cast("double")).as("w_agree"),
+        lnLibm(((col("n_match") + lit(1L) - col("a_match")) *
+            (col("n_nonmatch") + lit(2L))).cast("double") /
+          ((col("n_match") + lit(2L)) *
+            (col("n_nonmatch") + lit(1L) - col("a_nonmatch")))
+            .cast("double")).as("w_disagree"))
+      .orderBy(col("feature"))
+  }
+
   /** Banding configs swept by [[qLshTuning]]: (label, rows per band),
     * all cutting the same 16-value signature (bands = 16 / rows). */
   private val LshTuneConfigs = Seq(("b2_r8", 8), ("b4_r4", 4), ("b8_r2", 2))
@@ -3311,6 +3399,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lsh_tuning"    -> qLshTuning _,
+    "q_fs_weights"    -> qFsWeights _,
     "q_sorted_neighborhood" -> qSortedNeighborhood _,
     "q_curate"        -> qCurate _,
     "q_unigram_lm"    -> qUnigramLm _,
@@ -3459,6 +3548,69 @@ object TextOps {
   }.mkString("\n  UNION ALL\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_fs_weights" ->
+      s"""WITH sig AS (
+         |$sigSql
+         |), bands AS (
+         |  $bandsSql
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), shing AS (
+         |$shingleSql
+         |), sz AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN shing sa ON sa.doc_id = c.doc_a
+         |  JOIN shing sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2
+         |), attrs AS (
+         |  SELECT doc_id, source, lang, n_chars, substr(text, 1, 16) AS p16
+         |  FROM documents
+         |), lab AS (
+         |  SELECT CASE WHEN 3 * COALESCE(i.inter, 0) >= za.sz + zb.sz
+         |              THEN 1 ELSE 0 END AS is_m,
+         |         (aa.lang = ab.lang) AS f_lang,
+         |         (abs(aa.n_chars - ab.n_chars) <= $FsLenBand) AS f_len,
+         |         (aa.p16 = ab.p16) AS f_prefix,
+         |         (aa.source = ab.source) AS f_source
+         |  FROM cand c
+         |  JOIN attrs aa ON aa.doc_id = c.doc_a
+         |  JOIN attrs ab ON ab.doc_id = c.doc_b
+         |  JOIN sz za ON za.doc_id = c.doc_a
+         |  JOIN sz zb ON zb.doc_id = c.doc_b
+         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |), feat AS (
+         |  SELECT is_m, 'lang' AS feature, f_lang AS agree FROM lab
+         |  UNION ALL SELECT is_m, 'len64', f_len FROM lab
+         |  UNION ALL SELECT is_m, 'prefix16', f_prefix FROM lab
+         |  UNION ALL SELECT is_m, 'source', f_source FROM lab
+         |), agg AS (
+         |  SELECT feature,
+         |         CAST(SUM(is_m) AS BIGINT) AS n_match,
+         |         CAST(SUM(1 - is_m) AS BIGINT) AS n_nonmatch,
+         |         CAST(SUM(CASE WHEN agree THEN is_m ELSE 0 END) AS BIGINT)
+         |           AS a_match,
+         |         CAST(SUM(CASE WHEN agree THEN 1 - is_m ELSE 0 END)
+         |           AS BIGINT) AS a_nonmatch
+         |  FROM feat GROUP BY feature
+         |)
+         |SELECT feature, n_match, n_nonmatch, a_match, a_nonmatch,
+         |       CAST(a_match + 1 AS DOUBLE) / CAST(n_match + 2 AS DOUBLE)
+         |         AS m_prob,
+         |       CAST(a_nonmatch + 1 AS DOUBLE)
+         |         / CAST(n_nonmatch + 2 AS DOUBLE) AS u_prob,
+         |       ln(CAST((a_match + 1) * (n_nonmatch + 2) AS DOUBLE)
+         |          / CAST((n_match + 2) * (a_nonmatch + 1) AS DOUBLE))
+         |         AS w_agree,
+         |       ln(CAST((n_match + 1 - a_match) * (n_nonmatch + 2) AS DOUBLE)
+         |          / CAST((n_match + 2) * (n_nonmatch + 1 - a_nonmatch)
+         |                 AS DOUBLE)) AS w_disagree
+         |FROM agg ORDER BY feature""".stripMargin,
     "q_lsh_tuning" ->
       s"""WITH sig AS (
          |$sigSql

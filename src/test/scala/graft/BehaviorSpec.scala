@@ -478,4 +478,62 @@ class BehaviorSpec extends SparkSpec {
     assert(ds.contains("accept_h0") || ds.contains("accept_h1"),
       s"degenerate SPRT outcome set $ds")
   }
+
+  test("q_ucb_replay replays the UCB1 walk day by day") {
+    val rows = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getLong(0) / 86400000000L, r.getString(1),
+        if (r.getDouble(2) >= 150.0) 1L else 0L))
+    val daily = rows.groupBy(r => (r._1, r._2)).map { case ((dy, a), es) =>
+      (dy, a) -> ((es.length.toLong, es.map(_._3).sum))
+    }
+    val days = rows.map(_._1).distinct.sorted
+    val arms = rows.map(_._2).distinct.sorted
+    val pulls = scala.collection.mutable.Map(
+      arms.map(_ -> (0L, 0L)): _*) // arm -> (n_i, s_i) prior history
+    var cumRegret = 0L
+    val got = graft.operators.Behavior.qUcbReplay(spark, sfDir).collect()
+    assert(got.length == days.length)
+    var nonForced = 0
+    got.zip(days).foreach { case (r, dy) =>
+      val nPrev = pulls.values.map(_._1).sum
+      val unexplored = arms.filter(a => pulls(a)._1 == 0L)
+      val (chosen, forced, ucb) =
+        if (unexplored.nonEmpty) (unexplored.head, true, None)
+        else {
+          val scoredArms = arms.map { a =>
+            val (n, s) = pulls(a)
+            a -> (s.toDouble / n.toDouble +
+              math.sqrt((2.0 * math.log(nPrev.toDouble)) / n.toDouble))
+          }
+          val top = scoredArms.minBy { case (a, u) => (-u, a) }
+          (top._1, false, Some(top._2))
+        }
+      val dayStats = arms.map(a => a -> daily.getOrElse((dy, a), (0L, 0L)))
+      val best = dayStats.minBy { case (a, (_, s)) => (-s, a) }
+      val chosenSucc = dayStats.toMap.apply(chosen)._2
+      cumRegret += best._2._2 - chosenSucc
+      assert(r.getLong(0) == dy)
+      assert(r.getString(1) == chosen, s"day $dy chosen")
+      assert(r.getBoolean(2) == forced, s"day $dy forced")
+      ucb match {
+        case Some(u) => assert(r.getDouble(3) == u, s"day $dy ucb")
+        case None    => assert(r.isNullAt(3), s"day $dy ucb null")
+      }
+      assert(r.getString(4) == best._1, s"day $dy best")
+      assert(r.getLong(5) == chosenSucc && r.getLong(6) == best._2._2)
+      assert(r.getLong(7) == best._2._2 - chosenSucc)
+      assert(r.getLong(8) == cumRegret, s"day $dy cum_regret")
+      if (!forced) nonForced += 1
+      // every arm updates from the LOGGED day, not just the pull —
+      // this is replay over logged feedback, all arms observed daily
+      dayStats.foreach { case (a, (t, s)) =>
+        val (n0, s0) = pulls(a); pulls(a) = (n0 + t, s0 + s)
+      }
+    }
+    // after |arms| bootstrap days the policy must actually score
+    assert(nonForced > 0, "UCB never left forced exploration")
+    assert(arms.length >= 2, "bandit needs at least two arms")
+  }
 }

@@ -295,4 +295,37 @@ class CorpusSpec extends SparkSpec {
     // strictly positive - the statistic is non-vacuous on the fixture
     assert(got.forall(_.getLong(3) > 0L))
   }
+
+  test("q_dataset_card equals the brute-force datasheet") {
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val nDocs = rows.length.toLong
+    val toks = rows.map(_._4.split(" ", -1).length.toLong)
+    val totalTokens = toks.sum
+    val nShort = toks.count(_ < 10L).toLong
+    val prefDup = rows.map(_._4.take(16)).groupBy(identity)
+      .map(_._2.size.toLong).filter(_ >= 2L).sum
+    val (topLang, topDocs) = rows.groupBy(_._2).view
+      .mapValues(_.size.toLong).toSeq
+      .minBy { case (l, c) => (-c, l) }
+    val r = Corpus.qDatasetCard(spark, sfDir).collect() match {
+      case Array(one) => one
+      case other      => fail(s"expected 1 row, got ${other.length}")
+    }
+    assert(r.getLong(0) == nDocs)
+    assert(r.getLong(1) == rows.map(_._1).distinct.length.toLong)
+    assert(r.getLong(2) == rows.map(_._2).distinct.length.toLong)
+    assert(r.getLong(3) == totalTokens)
+    assert(r.getLong(4) == rows.map(_._3).sum)
+    assert(r.getDouble(5) == totalTokens.toDouble / nDocs.toDouble)
+    assert(r.getDouble(6) == nShort.toDouble / nDocs.toDouble)
+    assert(r.getDouble(7) == prefDup.toDouble / nDocs.toDouble)
+    assert(r.getString(8) == topLang)
+    assert(r.getDouble(9) == topDocs.toDouble / nDocs.toDouble)
+    // the near-dup families share 64-char prefixes, so the cheap
+    // boilerplate smell must be non-vacuous on the fixture
+    assert(prefDup > 0L)
+  }
 }

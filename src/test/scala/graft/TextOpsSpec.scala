@@ -1687,4 +1687,64 @@ class TextOpsSpec extends SparkSpec {
     assert(candSets("b8_r2").nonEmpty,
       "loosest config found no candidates - sweep is vacuous")
   }
+
+  test("q_fs_weights replays the Fellegi-Sunter m/u estimation") {
+    val params = (0 until 16).map(k => (2L * k + 1, (1000003L * k + 12345L) % P))
+    val sigs: Map[Long, Vector[Long]] = docs.flatMap { case (id, text) =>
+      val hs = shingles(text).map(s =>
+        java.lang.Long.parseLong(md5Hex(s).take(15), 16) % P)
+      if (hs.isEmpty) None
+      else Some(id -> params.map { case (a, b) =>
+        hs.map(h => (a * h + b) % P).min
+      }.toVector)
+    }
+    val byBand = scala.collection.mutable.Map.empty[(Int, Seq[Long]), List[Long]]
+    sigs.foreach { case (id, sig) =>
+      (0 until 4).foreach { j =>
+        val key = (j, sig.slice(4 * j, 4 * j + 4))
+        byBand(key) = id :: byBand.getOrElse(key, Nil)
+      }
+    }
+    val pairs = byBand.values.flatMap { ids =>
+      val s = ids.sorted
+      for (i <- s.indices; k <- i + 1 until s.length) yield (s(i), s(k))
+    }.toSet
+    val attrs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("text")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4).take(16)))).toMap
+    val shingleSets = docs.map { case (id, t) => id -> shingles(t) }
+    val labeled = pairs.toSeq.map { case (a, b) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val isM = 3L * (sa & sb).size >= sa.size + sb.size
+      val (srcA, langA, ncA, pA) = attrs(a)
+      val (srcB, langB, ncB, pB) = attrs(b)
+      (isM, Map("lang" -> (langA == langB),
+        "len64" -> (math.abs(ncA - ncB) <= TextOps.FsLenBand),
+        "prefix16" -> (pA == pB), "source" -> (srcA == srcB)))
+    }
+    val got = TextOps.qFsWeights(spark, sfDir).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      val f = r.getString(0)
+      val nM = labeled.count(_._1).toLong
+      val nU = labeled.count(!_._1).toLong
+      val aM = labeled.count(p => p._1 && p._2(f)).toLong
+      val aU = labeled.count(p => !p._1 && p._2(f)).toLong
+      assert(r.getLong(1) == nM && r.getLong(2) == nU, s"$f totals")
+      assert(r.getLong(3) == aM && r.getLong(4) == aU, s"$f agreements")
+      assert(r.getDouble(5) == (aM + 1).toDouble / (nM + 2).toDouble)
+      assert(r.getDouble(6) == (aU + 1).toDouble / (nU + 2).toDouble)
+      assert(r.getDouble(7) == math.log(
+        ((aM + 1) * (nU + 2)).toDouble / ((nM + 2) * (aU + 1)).toDouble))
+      assert(r.getDouble(8) == math.log(
+        ((nM + 1 - aM) * (nU + 2)).toDouble /
+          ((nM + 2) * (nU + 1 - aU)).toDouble))
+    }
+    // discriminative on the fixture: at least one feature must weigh
+    // agreement positively (matches agree more often than non-matches)
+    assert(labeled.nonEmpty, "no LSH candidates - weights are vacuous")
+    assert(got.exists(_.getDouble(7) > 0.0))
+  }
 }
