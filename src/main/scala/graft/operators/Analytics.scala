@@ -3641,23 +3641,18 @@ object Analytics {
     */
   def qBloomJoin(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val sel = orders(spark, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bloom = sel.select(GraftSqlBridge.column(
-      new BloomFilterAggregate(
-        GraftSqlBridge.expression(xxhash64(col("o_orderkey"))))
-        .toAggregateExpression()).as("bf"))
-    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
-      ScalarSubquery(bloom.queryExecution.analyzed),
-      GraftSqlBridge.expression(xxhash64(col("l_orderkey")))))
+    // The bloom predicate is version-fragile Catalyst internals,
+    // quarantined in GraftSqlBridge; None ⇒ the plain (still correct,
+    // just unpruned) equi-join — pruning is optional by construction.
+    val mightContain = GraftSqlBridge.bloomMightContain(
+      sel, xxhash64(col("o_orderkey")), xxhash64(col("l_orderkey")))
     val cents = floor(
       (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100.0)
         + lit(0.5)).cast("long")
-    lineitem(spark, d)
-      .filter(mightContain)
+    mightContain.fold(lineitem(spark, d))(lineitem(spark, d).filter(_))
       .join(sel, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"), sum(cents).as("revenue_cents"))

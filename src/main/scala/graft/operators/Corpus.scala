@@ -122,9 +122,16 @@ object Corpus {
   private val cdcWeights: Seq[Long] =
     Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
 
-  private def cdcPoly(textCol: String, posVar: String): String =
+  /** Window polynomial over a PRE-MATERIALIZED char-code array `csCol`
+    * (see [[qCdcChunks]]): `element_at` on an array is O(1), where the
+    * previous `ascii(substr(text, i+j, 1))` formulation cost O(i) per
+    * probe (UTF8String.substring walks from the front because UTF-8 is
+    * variable-width) — 8 probes × n positions × O(n) walk = O(n²) per
+    * document, the round-10 bench's one >5 s query (14.05 s → ~O(n)).
+    */
+  private def cdcPoly(csCol: String, posVar: String): String =
     cdcWeights.zipWithIndex.map { case (wgt, j) =>
-      s"ascii(substr($textCol, CAST($posVar AS INT) + $j, 1)) * ${wgt}L"
+      s"element_at($csCol, CAST($posVar AS INT) + $j) * ${wgt}L"
     }.mkString(" + ")
 
   /** q_cdc_chunks — content-defined chunking dedup per source: split every
@@ -141,7 +148,10 @@ object Corpus {
     * array expressions (filter/transform over a char-position sequence —
     * codegen inside the scan projection, no per-position rows ever
     * shuffle); only (source, chunk-hash, len) rows reach the two
-    * hash-aggregations. At 100 TB the md5 becomes xxhash64 and the
+    * hash-aggregations. The char-code array is materialized ONCE per row
+    * so the rolling window is O(1) per position (O(n) per document, not
+    * the O(n²) an ascii(substr(text, i, 1)) probe chain costs on
+    * variable-width UTF-8). At 100 TB the md5 becomes xxhash64 and the
     * chunk-hash agg is the only corpus-sized shuffle — bytes never move.
     *
     * Determinism: the polynomial is exact int64; chunk spans are integer
@@ -149,10 +159,16 @@ object Corpus {
     * division is pinned.
     */
   def qCdcChunks(spark: SparkSession, d: String): DataFrame = {
-    val poly = cdcPoly("text", "i")
+    val poly = cdcPoly("cs", "i")
     val chunks = documents(spark, d)
       .select(col("source"), col("text"),
         length(col("text")).cast("long").as("n"))
+      // One O(n) pass materializes the char-code array; every window
+      // probe below is then an O(1) element_at. Same int64 values as the
+      // old ascii(substr(..)) form, so chunk boundaries — and therefore
+      // md5 chunk identities — are bit-identical to the DuckDB oracle.
+      .withColumn("cs",
+        expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
       .withColumn("b", expr(
         s"""concat(array(CAST(1 AS BIGINT)),
            |  CASE WHEN n >= ${CdcW + 1}
@@ -169,12 +185,18 @@ object Corpus {
         md5(expr("substr(text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT))"))
           .as("h"),
         (col("c.e") - col("c.s") + 1).as("clen"))
-    val totals = chunks.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_chars"))
-    val uniques = chunks.select(col("source"), col("h"), col("clen")).distinct()
+    // ONE corpus pass: per-(source, h, clen) copy counts (the distinct
+    // chunk identities — the oracle's SELECT DISTINCT groups), then a
+    // source-sized roll-up derives BOTH the total and the distinct
+    // statistics. The previous totals ⋈ uniques formulation referenced
+    // `chunks` twice, re-reading and re-chunking the whole corpus.
+    chunks.groupBy(col("source"), col("h"), col("clen"))
+      .agg(count(lit(1)).as("n"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_uniq"), sum(col("clen")).as("uniq_chars"))
-    totals.join(uniques, "source")
+      .agg(sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_uniq"),
+        sum(col("n") * col("clen")).as("total_chars"),
+        sum(col("clen")).as("uniq_chars"))
       .select(col("source"), col("n_chunks"), col("n_uniq"),
         col("total_chars"), col("uniq_chars"),
         (col("uniq_chars").cast("double") / col("total_chars").cast("double"))
@@ -712,14 +734,17 @@ object Corpus {
          |ORDER BY doc_id""".stripMargin,
     "q_cdc_chunks" ->
       s"""WITH d AS (
-         |  SELECT source, text, CAST(len(text) AS BIGINT) AS n FROM documents
+         |  SELECT source, text, CAST(len(text) AS BIGINT) AS n,
+         |         list_transform(string_split(text, ''),
+         |                        c -> CAST(ascii(c) AS BIGINT)) AS cs
+         |  FROM documents
          |), b AS (
          |  SELECT source, text, n,
          |    list_prepend(CAST(1 AS BIGINT),
          |      CASE WHEN n >= ${CdcW + 1}
          |      THEN list_filter(generate_series(CAST(2 AS BIGINT), n - ${CdcW - 1}),
          |             i -> (${cdcWeights.zipWithIndex.map { case (wgt, j) =>
-                 s"ascii(substr(text, CAST(i AS INT) + $j, 1)) * CAST($wgt AS BIGINT)"
+                 s"cs[CAST(i AS INT) + $j] * CAST($wgt AS BIGINT)"
                }.mkString(" + ")}) % $CdcDivisor = 0)
          |      ELSE [] END) AS bnd
          |  FROM d

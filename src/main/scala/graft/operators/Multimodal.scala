@@ -258,23 +258,21 @@ object Multimodal {
     * Scale: blobs never shuffle — only (32-byte hash, doc) rows leave
     * the scan; ONE hash-keyed aggregation with map-side partials; the
     * reclaim arithmetic is exact integers; top-20 is a
-    * TakeOrderedAndProject heap.
+    * TakeOrderedAndProject heap. The segment hash is pure Catalyst —
+    * `sha2(substring(blob, f*FrameBytes+1, FrameBytes), 256)` over an
+    * exploded frame index — so the whole scan→explode→hash chain stays
+    * inside WholeStageCodegen with column pruning intact (no typed
+    * Dataset serialization boundary; `substring` on BinaryType slices
+    * bytes at O(1) offsets).
     */
   def qMediaDedup(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val blobs = documents(spark, d)
+    documents(spark, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      .as[(Long, Array[Byte])]
-    blobs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      it.flatMap { case (id, bytes) =>
-        (0 until bytes.length / FrameBytes).iterator.map { f =>
-          md.reset()
-          md.update(bytes, f * FrameBytes, FrameBytes)
-          (id, md.digest().map("%02x".format(_)).mkString)
-        }
-      }
-    }.toDF("doc_id", "h")
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN length(blob) >= $FrameBytes
+           |THEN transform(sequence(0, length(blob) div $FrameBytes - 1),
+           |  f -> sha2(substring(blob, f * $FrameBytes + 1, $FrameBytes), 256))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("h"))
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -296,8 +294,16 @@ object Multimodal {
     "q_resize"              -> qResize _,
   )
 
-  /** The fixture text is pure ASCII, so UTF-8 bytes == ascii codes and the
-    * byte-level features are expressible over characters in SQL.
+  /** ASCII-ONLY ORACLE CONTRACT: the Spark side of this module segments
+    * UTF-8 BYTES (`encode(text,'UTF-8')` + binary `substring`), while the
+    * DuckDB oracle segments CHARACTERS (`substr`) with byte-count bounds
+    * (`strlen`). The two agree iff bytes == characters, i.e. the text is
+    * pure ASCII — which the driver fixture guarantees (and
+    * `MultimodalSpec` asserts). Any multibyte character would silently
+    * diverge the engines; DuckDB (as pinned here) cannot slice BLOBs, so
+    * the byte-based oracle that would make this unconditional is not
+    * expressible — the contract is documented instead. The same
+    * single-byte assumption underlies the `ascii`-code checksums below.
     */
   val oracle: Map[String, String] = Map(
     "q_media_dedup" ->

@@ -1910,14 +1910,27 @@ object StreamOps extends Serializable {
     }
     query.awaitTermination()
     val state = spark.read.format("statestore").load(ckptDir)
-    val cols = state.select(col("key.*")).columns
-    // The agg key is (window, event_type); the value struct carries the
-    // unresolved aggregate buffer column (count's one-field buffer).
-    val valCol = state.select(col("value.*")).columns.head
+    // Project key/value fields BY NAME and assert the layout first: the
+    // state-store schema is Spark-internal, and a minor-version reorder
+    // would silently misproject a positional cols.head/cols.last read.
+    // As of Spark 4.1 the agg state key names the window field `window`
+    // (the expression's own name, NOT the query's `w` alias) and the
+    // value struct is count's one-field LongType `count` buffer.
+    val keySchema = state.select(col("key.*")).schema
+    val valSchema = state.select(col("value.*")).schema
+    require(
+      keySchema.fieldNames.sameElements(Array("window", "event_type")) &&
+        keySchema("window").dataType.isInstanceOf[StructType] &&
+        valSchema.fieldNames.sameElements(Array("count")) &&
+        valSchema.head.dataType == LongType,
+      s"unexpected state-store layout: key=${keySchema.simpleString} " +
+        s"value=${valSchema.simpleString} — expected key (window: struct, " +
+        "event_type) and a single LongType `count` buffer; the streaming " +
+        "agg state schema changed, update qStateRead's projection")
     state.select(
-        Tables.tsSeconds(col(s"key.${cols.head}.start")).as("w_start"),
-        col(s"key.${cols.last}").as("event_type"),
-        col(s"value.$valCol").cast("long").as("n"))
+        Tables.tsSeconds(col("key.window.start")).as("w_start"),
+        col("key.event_type").as("event_type"),
+        col("value.count").cast("long").as("n"))
       .orderBy(col("w_start"), col("event_type"))
   }
 
@@ -2059,7 +2072,10 @@ object StreamOps extends Serializable {
         .parquet(stageReplayDir(spark, d))
         .select(col("user_id"), col("ts"), col("event_id"))
         .as[(Long, Long, Long)]
-        .groupByKey(r => (r._1, r._2 / ThrottleWinUs * ThrottleWinUs))
+        // floorDiv, not /: the oracle's DuckDB // floor-divides, while
+        // Scala / truncates toward zero — they disagree on pre-epoch
+        // (negative-µs) timestamps.
+        .groupByKey(r => (r._1, Math.floorDiv(r._2, ThrottleWinUs) * ThrottleWinUs))
         .transformWithState(new WindowQuotaProcessor(ThrottleK),
           TimeMode.None(), OutputMode.Append())
         .toDF()

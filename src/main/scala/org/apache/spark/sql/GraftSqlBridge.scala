@@ -21,4 +21,34 @@ object GraftSqlBridge {
                 plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Explicit bloom-semi-join runtime filter, quarantining the PRIVATE
+    * Catalyst surface it needs (`BloomFilterAggregate`,
+    * `BloomFilterMightContain`, `ScalarSubquery` over an analyzed plan —
+    * the pieces `InjectRuntimeFilter` wires internally) into this one
+    * bridge file. The filter is semantically OPTIONAL pruning — callers
+    * (`Analytics.qBloomJoin`) treat `None` as "run the plain equi-join
+    * unpruned" — so a Spark minor-version change to these internals must
+    * only ever cost performance here, never correctness or a build break
+    * outside this file. Any construction/analysis failure is caught and
+    * collapsed to `None`.
+    *
+    * @param buildKeyHash xxhash64 of the build (dimension) side's key,
+    *                     evaluated against `buildSide`
+    * @param probeKeyHash xxhash64 of the probe (fact) side's key
+    * @return a `might_contain` predicate Column for the probe side, or
+    *         `None` if the internal API is unavailable
+    */
+  def bloomMightContain(buildSide: DataFrame,
+                        buildKeyHash: Column,
+                        probeKeyHash: Column): Option[Column] =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val bloom = buildSide.select(column(
+        new BloomFilterAggregate(expression(buildKeyHash))
+          .toAggregateExpression()).as("bf"))
+      column(BloomFilterMightContain(
+        ScalarSubquery(bloom.queryExecution.analyzed),
+        expression(probeKeyHash)))
+    }.toOption
 }

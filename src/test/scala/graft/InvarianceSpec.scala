@@ -52,4 +52,32 @@ class InvarianceSpec extends SparkSpec {
       assert(a == b,
         s"$q result depends on partitioning — the determinism contract is broken")
     }
+
+  test("pinForSession: a mutated fixture under the same path is explicitly " +
+      "unsupported (pin serves the first materialization, by contract)") {
+    // Tables.pinForSession keys by canonicalized PLAN, not by a data
+    // fingerprint — valid because the driver's fixtures are immutable for
+    // the session (the documented contract on the method). This test PINS
+    // that contract's failure mode so it can never be silent: if someone
+    // mutates a fixture dir mid-session, the pin keeps serving the rows
+    // it materialized first. If this test ever fails, Spark's relation
+    // canonicalization changed and the pin-keying strategy (and this
+    // contract) must be re-validated.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pin_contract")
+      .toString
+    Tables.clearSessionPins()
+    try {
+      Seq(1L, 2L, 3L).toDF("v").write.mode("overwrite").parquet(dir)
+      def plan = spark.read.parquet(dir)
+        .groupBy().agg(org.apache.spark.sql.functions.sum("v").as("s"))
+      assert(Tables.pinForSession(plan).collect().head.getLong(0) == 6L)
+      Seq(10L, 20L).toDF("v").write.mode("overwrite").parquet(dir)
+      val second = Tables.pinForSession(plan).collect().head.getLong(0)
+      assert(second == 6L,
+        s"pin rebuilt against the mutated fixture (got $second) — plan " +
+          "canonicalization no longer dedups re-reads of one path; " +
+          "re-validate Tables.pinForSession's keying and contract")
+    } finally Tables.clearSessionPins()
+  }
 }

@@ -101,4 +101,17 @@ class MultimodalSpec extends SparkSpec {
     // near-dup families), not just within-document repeats.
     assert(got.exists(_.getLong(2) >= 2))
   }
+
+  test("fixture text is pure ASCII (the byte==char oracle contract)") {
+    // The Multimodal oracles segment DuckDB CHARACTERS with BYTE-count
+    // bounds; the Spark side segments UTF-8 bytes. Equivalence requires
+    // bytes == chars, i.e. pure ASCII — tripwire it so a fixture change
+    // fails loudly here instead of as a silent oracle hash mismatch.
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) =!= length(encode(col("text"), "UTF-8")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain multibyte chars — Multimodal/Corpus " +
+        "byte-based oracles are only valid for ASCII fixtures")
+  }
 }

@@ -716,6 +716,104 @@ class PlanSpec extends SparkSpec {
       s"the year band must reach the orders scan:\n$p")
   }
 
+  test("q_cdc_chunks reads the corpus ONCE and keeps boundary math in the scan projection") {
+    val p = plan(graft.operators.Corpus.qCdcChunks(spark, sfDir))
+    // One corpus pass: the single-pass (source, h, clen) roll-up replaced
+    // the totals ⋈ uniques double read.
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"CDC must chunk the corpus once, saw $scans parquet scans:\n$p")
+    // The O(n²) per-position probe chain must never return: boundary
+    // hashes read the once-materialized char-code array.
+    assert(!p.contains("ascii(substr"),
+      s"boundary scan regressed to per-position ascii(substr(...)):\n$p")
+    // Chunk rows shuffle exactly twice: (source, h, clen) partials, then
+    // the source-sized roll-up. Text never moves.
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex == 2,
+      s"CDC is two hash aggregations, saw $ex hash exchanges:\n$p")
+  }
+
+  test("q_media_dedup hashes frames in codegen: no typed boundary, heap top-20") {
+    val p = plan(graft.operators.Multimodal.qMediaDedup(spark, sfDir))
+    // sha2(substring(blob, ...)) over an exploded index replaced the
+    // typed mapPartitions digest loop — no Dataset (de)serialization hop
+    // may reappear between the scan and the aggregate.
+    assert(!p.contains("DeserializeToObject") &&
+        !p.contains("SerializeFromObject") && !p.contains("MapPartitions"),
+      s"frame hashing fell out of codegen into a typed boundary:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be the per-partition heap:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one blob pass, saw $scans parquet scans:\n$p")
+    // Only (hash, doc) rows shuffle: the count-distinct pair agg ≤ 2
+    // exchanges; blobs never move.
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex <= 2, s"segment agg must be the only shuffle(s), saw $ex:\n$p")
+  }
+
+  test("q_substring_dup: posting agg + interval window, no pair blow-up joins") {
+    val p = plan(graft.operators.Corpus.qSubstringDup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"gram candidate generation must stay equi-join shaped:\n$p")
+    // ONE window pass (the per-document interval-union sweep) — the
+    // coverage math must not grow extra window operators.
+    assert("WindowExec|Window \\[".r.findAllIn(p).length <= 1,
+      s"interval union is one window sweep:\n$p")
+  }
+
+  test("q_gram_matrix folds arrays — no join, one corpus-keyed shuffle") {
+    val p = plan(graft.operators.Similarity.qGramMatrix(spark, sfDir))
+    // The whole upper triangle rides per-vector arrays into a two-level
+    // fold: any Join node means the plan regressed to per-pair rows.
+    assert(!p.contains("Join"),
+      s"Gram matrix must be a fold, never a join:\n$p")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex == 1,
+      s"one chunk-keyed exchange (then a single-partition fold), saw $ex:\n$p")
+  }
+
+  test("q_mips broadcasts the query vector and heaps the top-k — zero shuffles") {
+    val p = plan(graft.operators.Similarity.qMips(spark, sfDir))
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row query vector must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"MIPS top-k must be the per-partition heap, not a global sort:\n$p")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex == 0,
+      s"scoring is scan-local; saw $ex hash exchanges:\n$p")
+  }
+
+  test("q_ngram_coverage cuts the head with heaps over the CACHED count relation") {
+    val p = plan(graft.operators.Corpus.qNgramCoverage(spark, sfDir))
+    // Each K-cut is a TakeOrderedAndProject over the vocabulary — never
+    // a global vocabulary sort funneled through one task.
+    val heaps = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(heaps >= 3,
+      s"each of the 3 K-cuts needs its own heap, saw $heaps:\n$p")
+    // The trigram count relation is computed once and re-read 4× (3 cuts
+    // + the total) from cache.
+    val cacheHits = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheHits >= 4,
+      s"K-cuts must read the cached count relation, saw $cacheHits hits:\n$p")
+  }
+
+  test("q_sorted_neighborhood joins neighbors on the BIGINT rank, never a theta plan") {
+    val p = plan(TextOps.qSortedNeighborhood(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"SNM's window joins must be rank equi-joins:\n$p")
+    // The global order comes from sort + zipWithIndex (an RDD leaf — it
+    // renders as Scan ExistingRDD or as the typed Scan[obj] +
+    // SerializeFromObject pair), the scale-safe idiom — not an
+    // unpartitioned row_number window.
+    assert(p.contains("Scan ExistingRDD") || p.contains("SerializeFromObject"),
+      s"the rank relation must be the zipWithIndex leaf:\n$p")
+    assert(!"WindowExec".r.findFirstIn(p).isDefined,
+      s"no unpartitioned window may produce the global rank:\n$p")
+  }
+
   test("q_tpch_q17 reads the fact through the cache on BOTH sides of the re-join") {
     val p = plan(Analytics.qTpchQ17(spark, sfDir))
     // Two InMemoryTableScans (probe side + moments side) — each renders

@@ -457,4 +457,268 @@ class RecoverySpec extends SparkSpec {
     assert(all.toSet == whole.toSet && whole.nonEmpty,
       "restarted EWMA output must equal the uninterrupted run")
   }
+
+  /** Shared replay staging for the round-11 chaos tests: one half of the
+    * feed lands as `tickN-*` files with strictly increasing mtimes (the
+    * (mtime, path) order FileStreamSource batches by).
+    */
+  private def arriveTick(replay: java.nio.file.Path,
+                         half: org.apache.spark.sql.DataFrame,
+                         tick: Int): Unit = {
+    val scratch = Files.createTempDirectory(s"graft_chaos_half$tick")
+    half.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    scratch.toFile.listFiles.filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+        val dst = replay.resolve(f"tick$tick%d-$i%05d.parquet")
+        Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + tick * 60000L): Unit
+      }
+  }
+
+  test("bitmap word state restart: a straddling day's word keeps its pre-cut bits") {
+    // q_stream_bitmap's state is one bit_or word per (day, bucket). Cut
+    // the replay at the median timestamp (mid-day), restart, and the
+    // straddling day — emitted only after the restart, when the
+    // watermark closes it — must pop-count to the FULL day's distinct
+    // users: bits set by tick1 events live only in recovered state.
+    val rocks = rocksSession()
+    val raw = StreamOps.eventsRawMicros(rocks, sfDir)
+    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val dayUs = 86400L * 1000000L
+    val dayStart = Math.floorDiv(cut, dayUs) * dayUs
+    // Load-bearing precondition: some user is active in the cut's day
+    // ONLY before the cut — their bit exists nowhere but in state.
+    val dayRows = raw.filter(col("ts") >= dayStart && col("ts") < dayStart + dayUs)
+    val preOnly = dayRows.groupBy(col("user_id")).agg(max(col("ts")).as("mx"))
+      .filter(col("mx") <= cut).count()
+    assert(preOnly > 0, "fixture: the median day needs a pre-cut-only user")
+
+    def words(events: org.apache.spark.sql.DataFrame) = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        expr("user_id DIV 63").as("bucket"))
+      .agg(expr(
+        "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))")
+        .as("word"))
+      .select(unix_timestamp(col("w.start")).as("w_epoch"), col("bucket"),
+        col("word"))
+    val replay = Files.createTempDirectory("graft_bitmap_replay_")
+    val ckpt = Files.createTempDirectory("graft_bitmap_ckpt_").toString
+    def drain(outDir: String, checkpoint: String): Seq[(Long, Long, Long)] = {
+      val q = words(StreamOps.eventsStream(rocks, replay.toString))
+        .writeStream.option("checkpointLocation", checkpoint)
+        .format("parquet").option("path", outDir).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      rocks.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val out = Files.createTempDirectory("graft_bitmap_out_").toString
+    arriveTick(replay, raw.filter(col("ts") <= cut), 1)
+    val run1 = drain(out, ckpt)
+    arriveTick(replay, raw.filter(col("ts") > cut), 2)
+    val all = drain(out, ckpt)
+    assert(all.size == all.toSet.size, "bitmap words re-emitted after restart")
+    // The straddling day emitted post-restart with the FULL day's users.
+    val dayEpoch = dayStart / 1000000L
+    val emittedDau = (all.toSet -- run1.toSet)
+      .filter(_._1 == dayEpoch).toSeq
+      .map(w => java.lang.Long.bitCount(w._3).toLong).sum
+    val wantDau = dayRows.select(col("user_id")).distinct().count()
+    assert(emittedDau == wantDau && wantDau > 0,
+      s"straddling day popped $emittedDau of $wantDau users — " +
+        "tick1 bits were lost across the restart")
+    // Interrupted == uninterrupted.
+    val whole = drain(Files.createTempDirectory("graft_bitmap_out2_").toString,
+      Files.createTempDirectory("graft_bitmap_ckpt2_").toString)
+    assert(all.toSet == whole.toSet && whole.nonEmpty,
+      "restarted bitmap stream must equal the uninterrupted run")
+  }
+
+  test("histogram sketch restart: a straddling day's bin counts merge across the boundary") {
+    // q_stream_quantile's state is (day, type, bin)→count. The sketch
+    // contract is MERGEABILITY under any slicing — including a slicing
+    // interrupted by a restart: the straddling day's final bin counts
+    // must equal the full-day batch histogram, which needs the tick1
+    // partial counts recovered from state.
+    val rocks = rocksSession()
+    val raw = StreamOps.eventsRawMicros(rocks, sfDir)
+    val dayUs = 86400L * 1000000L
+    // Choose the cut FROM a provably straddle-able cell: a (type, bin,
+    // day) with two distinct timestamps — cutting between them puts
+    // counts of ONE cell on both sides of the restart, so its final
+    // count is a genuine state merge, not a tick2-only count. (The
+    // sf0.001 fixture is too sparse for a blind median-ts cut to land
+    // inside a multi-event cell.)
+    val cell = raw.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bin"),
+        expr(s"ts DIV $dayUs").as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .filter(col("lo") < col("hi"))
+      .orderBy(col("day"), col("event_type"), col("bin")).limit(1).collect()
+    assert(cell.nonEmpty, "fixture: need a multi-event (type, bin, day) cell")
+    val cut = (cell.head.getAs[Long]("lo") + cell.head.getAs[Long]("hi")) / 2
+    val dayStart = cell.head.getAs[Long]("day") * dayUs
+    val dayRows = raw
+      .filter(col("ts") >= dayStart && col("ts") < dayStart + dayUs &&
+        col("value").isNotNull)
+      .select(col("event_type"), floor(col("value")).cast("long").as("bin"),
+        col("ts"))
+
+    def hist(events: org.apache.spark.sql.DataFrame) = events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+        floor(col("value")).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("w_epoch"),
+        col("event_type"), col("bin"), col("n"))
+    val replay = Files.createTempDirectory("graft_quant_replay_")
+    val ckpt = Files.createTempDirectory("graft_quant_ckpt_").toString
+    def drain(outDir: String, checkpoint: String): Seq[(Long, String, Long, Long)] = {
+      val q = hist(StreamOps.eventsStream(rocks, replay.toString))
+        .writeStream.option("checkpointLocation", checkpoint)
+        .format("parquet").option("path", outDir).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      rocks.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    }
+    val out = Files.createTempDirectory("graft_quant_out_").toString
+    arriveTick(replay, raw.filter(col("ts") <= cut), 1)
+    val run1 = drain(out, ckpt)
+    arriveTick(replay, raw.filter(col("ts") > cut), 2)
+    val all = drain(out, ckpt)
+    assert(all.size == all.toSet.size, "histogram rows re-emitted after restart")
+    // Straddling day: emitted bins == the full-day batch histogram.
+    val dayEpoch = dayStart / 1000000L
+    val emitted = (all.toSet -- run1.toSet)
+      .filter(_._1 == dayEpoch).map(r => (r._2, r._3) -> r._4).toMap
+    val want = dayRows.groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(emitted == want && want.nonEmpty,
+      "straddling day's bins must merge tick1 state with tick2 arrivals")
+    val whole = drain(Files.createTempDirectory("graft_quant_out2_").toString,
+      Files.createTempDirectory("graft_quant_ckpt2_").toString)
+    assert(all.toSet == whole.toSet && whole.nonEmpty,
+      "restarted histogram stream must equal the uninterrupted run")
+  }
+
+  test("window quota restart: the seen-counter resumes, verdicts equal the batch rank") {
+    // q_stream_throttle's state is one long per (user, day). Cut the
+    // replay between two same-(user, day) events: the post-restart
+    // event's seq must CONTINUE the recovered counter (a reset would
+    // re-admit it as seq 1), and the full verdict set must equal the
+    // batch row_number oracle.
+    val rocks = rocksSession()
+    val raw = StreamOps.eventsRawMicros(rocks, sfDir)
+    val winUs = StreamOps.ThrottleWinUs
+    val pair = raw
+      .select(col("user_id"), col("ts"),
+        expr(s"ts DIV $winUs").as("day"),
+        lead(col("ts"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), expr(s"ts DIV $winUs"))
+          .orderBy(col("ts"), col("event_id"))).as("nxt"))
+      .filter(col("nxt").isNotNull && col("nxt") > col("ts"))
+      .orderBy(col("ts")).limit(1).collect()
+    assert(pair.nonEmpty, "fixture: need a (user, day) with 2+ events")
+    val cut = (pair.head.getAs[Long]("ts") + pair.head.getAs[Long]("nxt")) / 2
+    val (qUser, qDay) = (pair.head.getAs[Long]("user_id"),
+      pair.head.getAs[Long]("day") * winUs)
+
+    def quota(events: org.apache.spark.sql.DataFrame) = {
+      import rocks.implicits._
+      events.select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(r => (r._1, Math.floorDiv(r._2, winUs) * winUs))
+        .transformWithState(
+          new graft.streaming.WindowQuotaProcessor(StreamOps.ThrottleK),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+    }
+    val replay = Files.createTempDirectory("graft_quota_replay_")
+    val ckpt = Files.createTempDirectory("graft_quota_ckpt_").toString
+    def drain(outDir: String, checkpoint: String): Set[(Long, Long, Long, Long, Boolean)] = {
+      val q = quota(rocks.readStream.schema(StreamOps.eventsRawSchema)
+          .option("maxFilesPerTrigger", "1").parquet(replay.toString))
+        .writeStream.option("checkpointLocation", checkpoint)
+        .format("parquet").option("path", outDir).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rows = rocks.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSeq
+      assert(rows.size == rows.toSet.size, "quota verdicts re-emitted")
+      rows.toSet
+    }
+    val out = Files.createTempDirectory("graft_quota_out_").toString
+    arriveTick(replay, raw.filter(col("ts") <= cut), 1)
+    val run1 = drain(out, ckpt)
+    arriveTick(replay, raw.filter(col("ts") > cut), 2)
+    val all = drain(out, ckpt)
+    // The boundary (user, day)'s post-restart seqs CONTINUE the counter.
+    val preSeqs = run1.filter(v => v._1 == qUser && v._2 == qDay).map(_._4)
+    val postSeqs = (all -- run1).filter(v => v._1 == qUser && v._2 == qDay)
+      .map(_._4)
+    assert(preSeqs.nonEmpty && postSeqs.nonEmpty &&
+        postSeqs.min == preSeqs.max + 1,
+      s"seen-counter did not resume: pre=$preSeqs post=$postSeqs")
+    // Full verdict set == the batch rank oracle.
+    val want = raw.select(col("user_id"),
+        expr(s"(ts DIV $winUs) * $winUs").as("win_us"), col("event_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), expr(s"ts DIV $winUs"))
+          .orderBy(col("ts"), col("event_id"))).as("seq"))
+      .select(col("user_id"), col("win_us"), col("event_id"), col("seq"),
+        (col("seq") <= StreamOps.ThrottleK).as("admitted"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong, r.getBoolean(4))).toSet
+    assert(all == want && all.nonEmpty,
+      "restarted quota verdicts must equal the batch row_number plan")
+  }
+
+  test("state-store reader after restart: recovered state contents equal the batch plan") {
+    // q_state_read's surface, through a crash: run the complete-mode
+    // tumbling aggregation in two drains against ONE checkpoint, then
+    // read the RocksDB state back with the statestore reader — the
+    // recovered-and-updated state CONTENTS (not just sink output) must
+    // equal the batch GROUP BY over the full feed.
+    val rocks = rocksSession()
+    val raw = StreamOps.eventsRawMicros(rocks, sfDir)
+    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val replay = Files.createTempDirectory("graft_sread_replay_")
+    val ckpt = Files.createTempDirectory("graft_sread_ckpt_").toString
+    def drain(sink: String): Unit = {
+      val q = StreamOps.tumblingCounts(
+          StreamOps.eventsStream(rocks, replay.toString))
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("memory").queryName(sink).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    arriveTick(replay, raw.filter(col("ts") <= cut), 1)
+    drain("sread_run1")
+    arriveTick(replay, raw.filter(col("ts") > cut), 2)
+    drain("sread_run2")
+    val state = rocks.read.format("statestore").load(ckpt)
+    // Same name-based projection contract as StreamOps.qStateRead.
+    val keyFields = state.select(col("key.*")).schema.fieldNames.toSeq
+    assert(keyFields == Seq("window", "event_type"),
+      s"state key layout changed: $keyFields")
+    val got = state.select(col("key.window.start").cast("long").as("s"),
+        col("key.event_type").as("t"),
+        col("value.count").cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Tables.events(rocks, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("s"),
+        col("event_type").as("t"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty,
+      "post-restart state-store contents must equal the batch plan")
+  }
 }
