@@ -1,12 +1,12 @@
 #!/usr/bin/env python3
-"""Aggregate the round-10 stress bench into per-query scaling exponents.
+"""Aggregate the round-11 stress bench into per-query scaling exponents.
 
 Inputs: three Bench artifacts produced with SPARK_GRAFT_TIME_STAGING=1 over
 the same SPARK_GRAFT_ONLY list —
   /tmp/stress_bench_sf0.1.json   (base, n)
   /tmp/stress_bench_x3.json      (3n, StressGen factor 3)
   /tmp/stress_bench_x10.json     (10n, StressGen factor 10)
-(each falls back to the committed archive bench/r10_local32/ when the
+(each falls back to the committed archive bench/r11_local32/ when the
 /tmp copy is gone — the tables regenerate from git alone)
 
 For each query: exponent_full = ln(t10/t1)/ln(10) and exponent_tail =
@@ -32,7 +32,7 @@ The 0.35 margin is shared-box scheduler noise, measured ±2x on single-shot
 runs and ±10-20%% on best-of-2 (BASELINE.md); exponents compound two such
 measurements.
 
-Writes bench/bench_r10_stress.json. Not part of the shipped library — dev
+Writes bench/bench_r11_stress.json. Not part of the shipped library — dev
 tooling, driven once per round.
 """
 import json
@@ -44,15 +44,21 @@ import sys
 def _load(name):
     """Prefer the fresh /tmp artifact; fall back to the committed archive
     (bench/r10_local32/) so the tables regenerate from git alone."""
-    for path in (f"/tmp/{name}", f"bench/r10_local32/{name}"):
+    for path in (f"/tmp/{name}", f"bench/r11_local32/{name}", f"bench/r10_local32/{name}"):
         if os.path.exists(path):
             with open(path) as f:
                 return json.load(f)
     raise FileNotFoundError(name)
 
-NLOGN = {"q_asof_join", "q_interval_join"}
+NLOGN = {"q_asof_join", "q_interval_join",
+         # round-11 additions: SNM's global key sort; substring-dup's
+         # per-document interval-union window sort over dup postings.
+         "q_sorted_neighborhood", "q_substring_dup"}
 SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
-             "q_stream_dedup"}
+             "q_stream_dedup",
+             # round-11 stateful newcomers (RocksDB fixed per-batch cost
+             # dominates at replay batch sizes).
+             "q_stream_bitmap", "q_stream_quantile", "q_stream_throttle"}
 # Fixed-geometry LSH: candidate mass ~ n^2 / 2^rows at the registered
 # (bands, rows) — superlinear BY DESIGN at fixed geometry; the production
 # lever is rows ~ log2(n) (graft.LshGeomProbe measures it restoring ~linear
@@ -127,7 +133,7 @@ def main():
         if flag:
             flagged.append(q)
     result = {
-        "round": 10,
+        "round": 11,
         "method": ("union-with-perturbation stress fixtures (graft.StressGen: "
                    "consistent TPC-H keys, per-copy user/doc/vec offsets, "
                    "token-suffixed documents and sign-flipped embeddings for "
@@ -164,7 +170,7 @@ def main():
             stream_rates[q]["rows_per_s_x40"] = round(40 * base_events / x40[q])
         out[q]["rows_per_s"] = stream_rates[q]
     result["streaming_rows_per_s"] = stream_rates
-    with open("bench/bench_r10_stress.json", "w") as f:
+    with open("bench/bench_r11_stress.json", "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
     # Fill the BASELINE.md marker sections.
