@@ -1400,6 +1400,63 @@ object Similarity {
       .limit(10)
   }
 
+  /** Candidate budget / final k of [[qAnnRerank]]'s two stages. */
+  val RerankShortlist = 50
+  val RerankK = 10
+
+  /** q_ann_rerank — BUDGET-SPLIT retrieve-then-rerank, the cross-encoder
+    * serving shape: stage 1 ranks the WHOLE corpus by a CHEAP scorer
+    * (cosine over the first [[MrlDim]] matryoshka dims — ¼ of the
+    * flops; in a two-tower + cross-encoder stack this is the bi-encoder
+    * ANN pass) and keeps a [[RerankShortlist]]-row shortlist; stage 2
+    * re-scores ONLY the shortlist with the EXPENSIVE scorer (full-dim
+    * exact cosine — standing in for the cross-encoder forward pass,
+    * whose cost per pair is why it can never see the corpus) and
+    * returns the top-[[RerankK]]. The output carries both scores and
+    * both ranks plus a `promoted` flag (final top-k entries the cheap
+    * ranking alone would have missed) — the measured value of the
+    * rerank budget. Differs from [[qAnnRefine]] exactly in the budget
+    * SPLIT question: refine corrects quantization error of one scorer;
+    * rerank trades a cheap-model corpus pass against an expensive-model
+    * shortlist pass, and the shortlist size IS the serving knob
+    * (recall@k rises with C at C·cost_expensive spend — [[qMatryoshka]]
+    * prices the cheap stage's recall).
+    *
+    * Plan: 1-row query vector broadcasts; stage 1 is ONE codegen scan +
+    * a TakeOrderedAndProject heap (no shuffle); stage 2 and both rank
+    * windows run over the C-row shortlist — bounded by the budget, not
+    * the corpus. At 100 TB the expensive scorer becomes a model-serving
+    * UDF or point-read join; the shape (scan-heap-then-bounded-rescore)
+    * is unchanged. Determinism: both cosines are the pinned VecDot
+    * left-fold; every cut ties on vec_id.
+    */
+  def qAnnRerank(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = embeddings(spark, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val shortlist = embeddings(spark, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"), col("embedding"), col("qe"),
+        cosine(slice(col("embedding"), 1, MrlDim),
+          slice(col("qe"), 1, MrlDim)).as("cos_cheap"))
+      .orderBy(col("cos_cheap").desc, col("vec_id"))
+      .limit(RerankShortlist)
+    // Both windows rank the C-row shortlist (budget-bounded, never the
+    // corpus) — the unpartitioned window is the DESIGN here.
+    val w1 = Window.orderBy(col("cos_cheap").desc, col("vec_id"))
+    val w2 = Window.orderBy(col("cos_full").desc, col("vec_id"))
+    shortlist
+      .withColumn("stage1_rank", row_number().over(w1).cast("long"))
+      .select(col("vec_id"), col("label"), col("stage1_rank"),
+        col("cos_cheap"), cosine(col("embedding"), col("qe")).as("cos_full"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= RerankK)
+      .select(col("rank"), col("vec_id"), col("label"), col("stage1_rank"),
+        col("cos_cheap"), col("cos_full"),
+        (col("stage1_rank") > RerankK).as("promoted"))
+      .orderBy(col("rank"))
+  }
+
   /** q_embed_drift — embedding-distribution shift between ADJACENT label
     * cohorts: cosine similarity and L2 distance between consecutive
     * labels' centroids ([[qCentroid]]'s bit-exact means). With labels
@@ -1480,6 +1537,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_refine"      -> qAnnRefine _,
+    "q_ann_rerank"      -> qAnnRerank _,
     "q_embed_drift"     -> qEmbedDrift _,
     "q_cluster_purity"  -> qClusterPurity _,
     "q_vec_quantize"    -> qVecQuantize _,
@@ -1602,6 +1660,29 @@ object Similarity {
          |           CAST(qe[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))),
          |         (acc, e) -> acc + e * e) AS edist
          |FROM short ORDER BY edist, vec_id LIMIT 10""".stripMargin,
+    "q_ann_rerank" ->
+      s"""WITH qv AS (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+         |), s AS (
+         |  SELECT vec_id, label,
+         |         ${cosSql(s"e.embedding[1:$MrlDim]", s"qe[1:$MrlDim]")}
+         |           AS cos_cheap,
+         |         ${cosSql("e.embedding", "qe")} AS cos_full
+         |  FROM embeddings e CROSS JOIN qv WHERE vec_id <> 0
+         |), sl AS (
+         |  SELECT vec_id, label, cos_cheap, cos_full,
+         |         CAST(row_number() OVER
+         |           (ORDER BY cos_cheap DESC, vec_id) AS BIGINT) AS stage1_rank
+         |  FROM s ORDER BY cos_cheap DESC, vec_id LIMIT $RerankShortlist
+         |), rr AS (
+         |  SELECT vec_id, label, stage1_rank, cos_cheap, cos_full,
+         |         CAST(row_number() OVER
+         |           (ORDER BY cos_full DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sl
+         |)
+         |SELECT rank, vec_id, label, stage1_rank, cos_cheap, cos_full,
+         |       stage1_rank > $RerankK AS promoted
+         |FROM rr WHERE rank <= $RerankK ORDER BY rank""".stripMargin,
     "q_embed_drift" ->
       s"""WITH bypos AS (
          |  SELECT label, vec_id, vec_id // $CentroidChunk AS chunk,

@@ -1766,6 +1766,86 @@ object StreamOps extends Serializable {
       .orderBy(col("doc_id"))
   }
 
+  /** The [[qStreamQuality]] gate, as a reusable per-row predicate over a
+    * (doc_id, text) frame: [[graft.operators.TextOps.qQualityScore]]'s
+    * keep rule (≥ 10 tokens, stopword share ≤ ½) EXTENDED with the
+    * repetition cut the Gopher/C4 rules gate on (type-token ratio ≥
+    * 0.32 — the audit's n_uniq/n_tokens, the signal that rejects
+    * templated boilerplate; the base rule alone passes 100% of this
+    * corpus, which would make the gate vacuous). All three tests are
+    * INTEGER comparisons (stop·2 ≤ n, uniq·25 ≥ n·8) — no float
+    * boundary to disagree across engines.
+    */
+  private def qualityKeepExpr: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    (size(toks) >= 10) &&
+      (expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))") * 2
+        <= size(toks)) &&
+      (size(array_distinct(toks)) * 25 >= size(toks) * 8)
+  }
+
+  /** q_stream_quality — the ONLINE quality-gated ingest admission, the
+    * one LLM-ingest shape ([[graft.operators.TextOps.qQualityScore]]'s
+    * filter) that was batch-only until now: each arriving document is
+    * scored by the per-row quality rule AT ARRIVAL; only quality-passers
+    * enter the near-dup band-claim state machine
+    * ([[BandClaimProcessor]], the [[qStreamNeardup]] admission); a
+    * document is ADMITTED iff it passes quality AND loses no band to an
+    * earlier ADMITTED-quality document. The gate ordering is the real
+    * pipeline's: quality runs FIRST (stateless, cheap, in the scan
+    * projection), so rejected garbage never claims dedup state — which
+    * also means a later near-dup of a quality-rejected document is
+    * admitted (its content never entered the store), the semantics that
+    * distinguish this from a post-hoc AND of the two batch verdicts.
+    *
+    * Determinism: the quality predicate is per-row (slicing-free); the
+    * band verdict over the quality-passing subsequence is
+    * [[BandClaimProcessor]]'s slicing-independent min-owner rule — so
+    * the oracle states the whole gate declaratively: admitted ⟺ keep ∧
+    * (min quality-passing owner of every band = self). State: one long
+    * per band key CLAIMED BY A PASSER — strictly smaller than
+    * [[qStreamNeardup]]'s. Quality columns in the output are recomputed
+    * batch-side from the same expressions (bit-identical by
+    * construction); only the band verdicts carry stream state.
+    */
+  def qStreamQuality(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "stream_quality")
+    val query = startWithStatePartitions(spark, 4) {
+      import spark.implicits._
+      graft.operators.TextOps
+        .minhashBandRows(
+          docsStream(spark, stageDocReplayDir(spark, d))
+            .filter(qualityKeepExpr))
+        .select(col("band_key"), col("doc_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new BandClaimProcessor, TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    val votes = spark.table(sinkName)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("lost"), 1L).otherwise(0L)).as("n_lost"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        qualityKeepExpr.as("q_keep"))
+      .join(votes, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("q_keep"),
+        coalesce(col("n_lost"), lit(0L)).as("n_lost"),
+        (col("q_keep") && coalesce(col("n_lost"), lit(0L)) === 0L)
+          .as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[qStreamKmv]] sketch size and hash modulus (the corpus-wide
     * md5-hash convention, [[graft.operators.TextOps]]' P).
     */
@@ -2548,6 +2628,7 @@ object StreamOps extends Serializable {
     "q_stream_ewma"        -> qStreamEwma _,
     "q_stream_dedup"       -> qStreamDedup _,
     "q_stream_neardup"     -> qStreamNeardup _,
+    "q_stream_quality"     -> qStreamQuality _,
     "q_stream_curate"      -> qStreamCurate _,
     "q_stream_firstk"      -> qStreamFirstk _,
     "q_stream_throttle"    -> qStreamThrottle _,
@@ -2674,6 +2755,38 @@ object StreamOps extends Serializable {
          |       CAST(SUM(CASE WHEN mn < doc_id THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_lost
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Quality gate first (per-row rule), band min-owner admission among
+    // QUALITY-PASSING docs only — the declarative statement of the
+    // stream's claim-after-filter ordering.
+    "q_stream_quality" ->
+      s"""WITH ql AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         (len(toks) >= 10 AND
+         |          len(list_filter(toks, t -> t IN ('the', 'a'))) * 2
+         |            <= len(toks) AND
+         |          len(list_distinct(toks)) * 25 >= len(toks) * 8) AS q_keep
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents)
+         |), sig AS (
+         |${graft.operators.TextOps.sigSql}
+         |), bands AS (
+         |  ${graft.operators.TextOps.bandsSql}
+         |), m AS (
+         |  SELECT b.doc_id,
+         |         MIN(b.doc_id) OVER (PARTITION BY band_idx, bkey) AS mn
+         |  FROM bands b JOIN ql USING (doc_id) WHERE ql.q_keep
+         |), lost AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN mn < doc_id THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_lost
+         |  FROM m GROUP BY doc_id
+         |)
+         |SELECT q.doc_id, q.n_tokens, q.q_keep,
+         |       COALESCE(l.n_lost, 0) AS n_lost,
+         |       (q.q_keep AND COALESCE(l.n_lost, 0) = 0) AS admitted
+         |FROM ql q LEFT JOIN lost l USING (doc_id)
+         |ORDER BY q.doc_id""".stripMargin,
     // The streaming funnel's oracle IS the batch windowed-funnel SQL —
     // the equivalence being gated.
     "q_stream_funnel" ->

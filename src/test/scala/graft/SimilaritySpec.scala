@@ -947,4 +947,44 @@ class SimilaritySpec extends SparkSpec {
     val norms = all.map(v => math.sqrt(dot(v._3, v._3)))
     assert(norms.max > norms.min, "fixture norms vary, MIPS is not cosine")
   }
+
+  test("q_ann_rerank equals brute-force cheap-shortlist + exact rerank, and reranking does work") {
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float], n: Int): Double =
+      dot(a, b, n) / (math.sqrt(dot(a, a, n)) * math.sqrt(dot(b, b, n)))
+    val q = all.find(_._1 == 0L).get._3
+    val dim = q.length
+    val shortlist = all.filter(_._1 != 0L)
+      .map { case (id, l, v) =>
+        (id, l, cos(v, q, Similarity.MrlDim), cos(v, q, dim)) }
+      .sortBy { case (id, _, cc, _) => (-cc, id) }
+      .take(Similarity.RerankShortlist)
+      .zipWithIndex.map { case ((id, l, cc, cf), i) => (id, l, i + 1L, cc, cf) }
+    val expected = shortlist
+      .sortBy { case (id, _, _, _, cf) => (-cf, id) }
+      .take(Similarity.RerankK)
+      .zipWithIndex.map { case ((id, l, s1, cc, cf), i) =>
+        (i + 1L, id, l, s1, cc, cf, s1 > Similarity.RerankK) }
+    val got = Similarity.qAnnRerank(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (rk, id, l, s1, cc, cf, prom)) =>
+      assert(r.getLong(0) == rk && r.getLong(1) == id && r.getInt(2) == l &&
+        r.getLong(3) == s1, s"rerank row $rk identity")
+      assert(r.getDouble(4) == cc && r.getDouble(5) == cf, s"scores for $id")
+      assert(r.getBoolean(6) == prom)
+    }
+    // The budget must BUY something: some final top-k entry was promoted
+    // from beyond the cheap top-k (else the expensive stage is a no-op
+    // and the fixture can't price the rerank).
+    assert(got.exists(_.getBoolean(6)),
+      "no promoted entries — cheap and exact rankings agree on the top-k")
+  }
 }

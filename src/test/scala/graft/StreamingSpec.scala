@@ -724,6 +724,51 @@ class StreamingSpec extends SparkSpec {
       "a newer-half doc must have been rejected against older-half state")
   }
 
+  test("q_stream_quality: quality gates first, dedup claims only among passers") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stop = Set("the", "a")
+    val quality = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val keep = toks.length >= 10 &&
+        toks.count(stop) * 2 <= toks.length &&
+        toks.distinct.length * 25 >= toks.length * 8
+      id -> ((toks.length.toLong, keep))
+    }.toMap
+    val passers = quality.collect { case (id, (_, true)) => id }.toSet
+    // Band-sharing pairs from the BATCH candidate stage; the online rule
+    // among passers: d is rejected iff an earlier PASSER shares a band.
+    val pairs = graft.operators.TextOps.qMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val passerLosers = pairs.collect {
+      case (a, b) if passers(a) && passers(b) => b
+    }.toSet
+    val got = StreamOps.qStreamQuality(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getBoolean(2), r.getLong(3), r.getBoolean(4))))
+    assert(got.map(_._1).toSeq == docs.map(_._1).sorted.toSeq,
+      "verdict domain must be the whole corpus, in doc_id order")
+    got.foreach { case (id, (nTok, qKeep, nLost, admitted)) =>
+      val (wantTok, wantKeep) = quality(id)
+      assert(nTok == wantTok && qKeep == wantKeep, s"doc $id quality")
+      assert((nLost == 0L) == !passerLosers(id), s"doc $id band verdict")
+      assert(admitted == (wantKeep && !passerLosers(id)), s"doc $id admission")
+    }
+    // Non-vacuous in all three cells: quality rejects, dedup rejects a
+    // passer, and the majority is admitted.
+    assert(got.exists(!_._2._2), "no quality rejects — gate vacuous")
+    assert(got.exists(g => g._2._2 && !g._2._4), "no dedup rejects among passers")
+    assert(got.count(_._2._4) > got.length / 2, "majority must be admitted")
+    // The gate-ordering semantics (claims AFTER the filter): any global
+    // near-dup loser whose only earlier band-sharers were quality-REJECTED
+    // must be admitted — its duplicate never entered the store.
+    val rescued = pairs.map(_._2).toSet.diff(passerLosers).intersect(passers)
+    rescued.foreach { id =>
+      assert(got.toMap.apply(id)._4, s"doc $id must be rescued by the gate order")
+    }
+  }
+
   test("transformWithState EWMA: recurrence crosses batch and timer boundaries") {
     val rocks = spark.newSession()
     rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
