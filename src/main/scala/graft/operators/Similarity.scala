@@ -1457,6 +1457,52 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** Candidate budgets swept by [[qRerankBudget]]. */
+  val RerankBudgets: Seq[Int] = Seq(10, 25, 50)
+
+  /** q_rerank_budget — the rerank serving-knob CURVE: for each candidate
+    * budget C ∈ [[RerankBudgets]], recall@[[RerankK]] of the
+    * cheap-shortlist(C) → exact-rerank pipeline ([[qAnnRerank]]'s shape)
+    * against the brute-force full-dim truth. This is the capacity table
+    * an operator reads BEFORE fixing C: the shortlists NEST across
+    * budgets (top-10 by the cheap score ⊂ top-25 ⊂ top-50), so recall is
+    * provably non-decreasing in C (the spec pins it), and the marginal
+    * recall per extra expensive-stage row is the stopping rule.
+    * [[qMatryoshka]] prices the cheap stage alone; this prices the whole
+    * two-stage stack as a function of its one knob.
+    *
+    * Plan: ONE corpus scan computes both scores per row (broadcast 1-row
+    * query vector); the scored relation is CACHED and every cut — the
+    * truth and each budget's two stages — is a TakeOrderedAndProject
+    * heap over it; everything downstream of the heaps is ≤ C rows per
+    * budget. Determinism: pinned VecDot folds, vec_id ties everywhere,
+    * exact hit counts, one pinned division per row.
+    */
+  def qRerankBudget(spark: SparkSession, d: String): DataFrame = {
+    val qv = embeddings(spark, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val scored = graft.Tables.cacheForSelfJoin(
+      embeddings(spark, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          cosine(slice(col("embedding"), 1, MrlDim),
+            slice(col("qe"), 1, MrlDim)).as("cos_cheap"),
+          cosine(col("embedding"), col("qe")).as("cos_full")))
+    val truth = scored.orderBy(col("cos_full").desc, col("vec_id"))
+      .limit(RerankK).select(col("vec_id"))
+    RerankBudgets.map { c =>
+      scored.orderBy(col("cos_cheap").desc, col("vec_id")).limit(c)
+        .orderBy(col("cos_full").desc, col("vec_id")).limit(RerankK)
+        .select(col("vec_id"))
+        .join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(c.toLong).as("budget"), col("n_hits"))
+    }.reduce(_ unionAll _)
+      .select(col("budget"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(RerankK.toDouble)).as("recall"))
+      .orderBy(col("budget"))
+  }
+
   /** q_embed_drift — embedding-distribution shift between ADJACENT label
     * cohorts: cosine similarity and L2 distance between consecutive
     * labels' centroids ([[qCentroid]]'s bit-exact means). With labels
@@ -1538,6 +1584,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_refine"      -> qAnnRefine _,
     "q_ann_rerank"      -> qAnnRerank _,
+    "q_rerank_budget"   -> qRerankBudget _,
     "q_embed_drift"     -> qEmbedDrift _,
     "q_cluster_purity"  -> qClusterPurity _,
     "q_vec_quantize"    -> qVecQuantize _,
@@ -1683,6 +1730,34 @@ object Similarity {
          |SELECT rank, vec_id, label, stage1_rank, cos_cheap, cos_full,
          |       stage1_rank > $RerankK AS promoted
          |FROM rr WHERE rank <= $RerankK ORDER BY rank""".stripMargin,
+    "q_rerank_budget" ->
+      s"""WITH qv AS (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+         |), s AS (
+         |  SELECT vec_id,
+         |         ${cosSql(s"e.embedding[1:$MrlDim]", s"qe[1:$MrlDim]")}
+         |           AS cos_cheap,
+         |         ${cosSql("e.embedding", "qe")} AS cos_full
+         |  FROM embeddings e CROSS JOIN qv WHERE vec_id <> 0
+         |), t AS (
+         |  SELECT vec_id FROM s ORDER BY cos_full DESC, vec_id LIMIT $RerankK
+         |)${RerankBudgets.map { c =>
+             s""",
+         |c$c AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, cos_full FROM s
+         |    ORDER BY cos_cheap DESC, vec_id LIMIT $c)
+         |  ORDER BY cos_full DESC, vec_id LIMIT $RerankK
+         |)"""
+           }.mkString}
+         |${RerankBudgets.map { c =>
+             s"""SELECT CAST($c AS BIGINT) AS budget,
+         |       (SELECT CAST(COUNT(*) AS BIGINT)
+         |        FROM c$c JOIN t USING (vec_id)) AS n_hits,
+         |       (SELECT CAST(COUNT(*) AS BIGINT)
+         |        FROM c$c JOIN t USING (vec_id)) / $RerankK.0 AS recall"""
+           }.mkString("\n         |UNION ALL\n         |")}
+         |ORDER BY budget""".stripMargin,
     "q_embed_drift" ->
       s"""WITH bypos AS (
          |  SELECT label, vec_id, vec_id // $CentroidChunk AS chunk,

@@ -987,4 +987,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(_.getBoolean(6)),
       "no promoted entries — cheap and exact rankings agree on the top-k")
   }
+
+  test("q_rerank_budget equals brute force and the recall curve is non-decreasing") {
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float], n: Int): Double =
+      dot(a, b, n) / (math.sqrt(dot(a, a, n)) * math.sqrt(dot(b, b, n)))
+    val q = all.find(_._1 == 0L).get._2
+    val scored = all.filter(_._1 != 0L).map { case (id, v) =>
+      (id, cos(v, q, Similarity.MrlDim), cos(v, q, q.length)) }
+    val truth = scored.sortBy { case (id, _, cf) => (-cf, id) }
+      .take(Similarity.RerankK).map(_._1).toSet
+    val expected = Similarity.RerankBudgets.map { c =>
+      val hits = scored.sortBy { case (id, cc, _) => (-cc, id) }.take(c)
+        .sortBy { case (id, _, cf) => (-cf, id) }.take(Similarity.RerankK)
+        .count(r => truth(r._1)).toLong
+      (c.toLong, hits, hits.toDouble / Similarity.RerankK)
+    }
+    val got = Similarity.qRerankBudget(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected, s"budget curve mismatch: $got vs $expected")
+    // Shortlists nest, so recall is monotone in the budget — the property
+    // that makes the curve a valid capacity-planning table.
+    assert(got.map(_._2) == got.map(_._2).sorted,
+      "recall must be non-decreasing in the candidate budget")
+    // Non-vacuous: the largest budget does better than the smallest
+    // WOULD imply the knob matters — require at least strict improvement
+    // somewhere OR perfect recall at the top (both prove the curve read).
+    assert(got.last._2 == Similarity.RerankK.toLong || got.last._2 > got.head._2,
+      "curve is flat and imperfect — fixture cannot price the budget")
+  }
 }
