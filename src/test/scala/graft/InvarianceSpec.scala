@@ -44,7 +44,9 @@ class InvarianceSpec extends SparkSpec {
       // 1/ln(deg) wedge folds (adamic_adar), and the per-doc tfidf rank
       // windows (keywords).
       "q_spearman", "q_anova", "q_js_div", "q_holt", "q_theil_sen",
-      "q_adamic_adar", "q_keywords"))
+      "q_adamic_adar", "q_keywords",
+      // Round-11: the two-stage rerank's pinned VecDot cosine chains.
+      "q_ann_rerank"))
     test(s"$q is bit-identical under shuffle.partitions 2 vs 7") {
       val a = collectWith(2, q)
       val b = collectWith(7, q)

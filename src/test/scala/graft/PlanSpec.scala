@@ -814,6 +814,76 @@ class PlanSpec extends SparkSpec {
       s"no unpartitioned window may produce the global rank:\n$p")
   }
 
+  test("q_ttr and q_simpson shuffle the token counts once, then a source roll-up") {
+    for ((name, df) <- Seq(
+        "q_ttr" -> graft.operators.Corpus.qTtr(spark, sfDir),
+        "q_simpson" -> graft.operators.Corpus.queries("q_simpson")(spark, sfDir))) {
+      val p = plan(df)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$name must read the corpus once, saw $scans:\n$p")
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(ex == 2,
+        s"$name is (source, token) agg + source roll-up, saw $ex exchanges:\n$p")
+    }
+  }
+
+  test("q_fertility and q_train_split aggregate per-row projections — one shuffle, no explode") {
+    val pf = plan(graft.operators.Corpus.qFertility(spark, sfDir))
+    assert(!pf.contains("Generate"),
+      s"fertility counts are size() in the scan projection, never an explode:\n$pf")
+    assert("Exchange hashpartitioning".r.findAllIn(pf).length == 1,
+      s"fertility is one lang-keyed aggregate:\n$pf")
+    val pt = plan(graft.operators.Corpus.qTrainSplit(spark, sfDir))
+    assert(!pt.contains("text"),
+      s"train split reads identity + metadata, never documents.text:\n$pt")
+    // Two domain-sized shuffles: the (lang, split) aggregate and the
+    // per-lang share window over the 3·|langs| aggregate rows.
+    assert("Exchange hashpartitioning".r.findAllIn(pt).length == 2,
+      s"train split is agg + lang-share window, nothing corpus-sized:\n$pt")
+  }
+
+  test("q_bloom_fpr probes through a broadcast word-table hash join") {
+    val p = plan(graft.operators.Analytics.queries("q_bloom_fpr")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 1024-row word table must broadcast to the probe side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the probe join:\n$p")
+  }
+
+  test("q_ucb_replay's walk runs on the grid; spine scans stay aggregate-pruned") {
+    val p = plan(graft.operators.Behavior.queries("q_ucb_replay")(spark, sfDir))
+    // The day/arm spine derivations each aggregate the pruned log
+    // immediately (6 cheap scans at the current shape — tripwired so a
+    // refactor can't silently multiply them) and the sequential walk's
+    // windows run over the |days|-sized grid, never the raw log.
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 6,
+      s"spine/grid derivations grew beyond the pinned shape, $scans scans:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"spine densification must never plan a cartesian:\n$p")
+    assert(!p.contains("props") && !p.contains("user_id"),
+      s"the log scans must prune to (ts, event_type, value):\n$p")
+  }
+
+  test("q_ann_rerank: zero shuffles — broadcast query, heap shortlist, bounded windows") {
+    val p = plan(graft.operators.Similarity.qAnnRerank(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"stage 1 must cut the corpus with a heap:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 0,
+      s"rerank never hash-shuffles — scoring is scan-local, windows are " +
+        s"shortlist-sized:\n$p")
+  }
+
+  test("q_rerank_budget reads the scored relation from cache for every cut") {
+    val p = plan(graft.operators.Similarity.qRerankBudget(spark, sfDir))
+    val cacheHits = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheHits >= 4,
+      s"truth + 3 budget cuts must share ONE scored scan via cache, " +
+        s"saw $cacheHits hits:\n$p")
+    val heaps = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(heaps >= 4, s"every cut is a heap, saw $heaps:\n$p")
+  }
+
   test("q_tpch_q17 reads the fact through the cache on BOTH sides of the re-join") {
     val p = plan(Analytics.qTpchQ17(spark, sfDir))
     // Two InMemoryTableScans (probe side + moments side) — each renders

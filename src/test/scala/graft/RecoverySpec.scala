@@ -680,6 +680,89 @@ class RecoverySpec extends SparkSpec {
       "restarted quota verdicts must equal the batch row_number plan")
   }
 
+  test("band-claim state restart: tick-1 claims reject tick-2 near-dups through the gate") {
+    // The BandClaimProcessor family (q_stream_neardup / q_stream_winnow /
+    // q_stream_quality) holds one first-owner long per band key. Cut the
+    // DOCUMENT replay at the median doc_id, restart from the same
+    // checkpoint, and a tick-2 quality-passing near-dup of a tick-1
+    // passer must still be rejected — its rejection exists only in
+    // recovered state. Runs the QUALITY-GATED variant so the claims-
+    // after-filter ordering is exercised through the restart too.
+    val rocks = rocksSession()
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val docs = Tables.documents(rocks, sfDir).select(col("doc_id"), col("text"))
+    // The q_stream_quality gate, restated (StreamingSpec pins the rule).
+    val keep = {
+      val toks = split(col("text"), " ")
+      (size(toks) >= 10) &&
+        (expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))") * 2
+          <= size(toks)) &&
+        (size(array_distinct(toks)) * 25 >= size(toks) * 8)
+    }
+    val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0).head.toLong
+    // Load-bearing precondition: a cross-cut band-sharing pair of
+    // quality PASSERS exists (tick-2 member rejected only via state).
+    val passers = docs.filter(keep).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val crossPairs = graft.operators.TextOps.qMinhashLsh(rocks, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) =>
+        passers(a) && passers(b) && a <= cut && b > cut }
+    assert(crossPairs.nonEmpty,
+      "fixture: need a quality-passing near-dup pair straddling the cut")
+
+    val replay = Files.createTempDirectory("graft_band_replay_")
+    val ckpt = Files.createTempDirectory("graft_band_ckpt_").toString
+    def drain(outDir: String, checkpoint: String): Map[Long, Long] = {
+      import rocks.implicits._
+      val q = graft.operators.TextOps.minhashBandRows(
+          rocks.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", "1").parquet(replay.toString)
+            .filter(keep))
+        .select(col("band_key"), col("doc_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.BandClaimProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.option("checkpointLocation", checkpoint)
+        .format("parquet").option("path", outDir).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      rocks.read.parquet(outDir)
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("lost"), 1L).otherwise(0L)).as("n_lost"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val out = Files.createTempDirectory("graft_band_out_").toString
+    arriveTick(replay, docs.filter(col("doc_id") <= cut), 1)
+    val run1 = drain(out, ckpt)
+    arriveTick(replay, docs.filter(col("doc_id") > cut), 2)
+    val all = drain(out, ckpt)
+    // The straddling rejection happened, and only post-restart.
+    crossPairs.map(_._2).foreach { b =>
+      assert(all.getOrElse(b, 0L) > 0L,
+        s"tick-2 near-dup $b admitted — tick-1 band claims were lost")
+      assert(!run1.contains(b), s"doc $b voted before it arrived")
+    }
+    // Interrupted == uninterrupted, and equal to the declarative rule
+    // (min passing owner per band) via the batch pair set.
+    val whole = drain(Files.createTempDirectory("graft_band_out2_").toString,
+      Files.createTempDirectory("graft_band_ckpt2_").toString)
+    assert(all == whole && all.nonEmpty,
+      "restarted band-claim votes must equal the uninterrupted run")
+    val passerLosers = graft.operators.TextOps.qMinhashLsh(rocks, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if passers(a) && passers(b) => b }.toSet
+    all.foreach { case (d, n) =>
+      assert((n > 0L) == passerLosers(d), s"doc $d verdict vs batch rule")
+    }
+  }
+
   test("state-store reader after restart: recovered state contents equal the batch plan") {
     // q_state_read's surface, through a crash: run the complete-mode
     // tumbling aggregation in two drains against ONE checkpoint, then
