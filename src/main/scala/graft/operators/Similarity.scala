@@ -351,6 +351,52 @@ object Similarity {
     neardupPairs(spark, d, bands, rows)
   }
 
+  /** Train-bucket cut of [[qSemanticLeakage]]'s hash split (md5 mod 10 <
+    * 8 → 80% train — [[graft.operators.TextOps]]' q_split_leakage rule,
+    * applied to vec_id).
+    */
+  val SemLeakTrainBuckets = 8
+
+  /** q_semantic_leakage — SEMANTIC eval-set contamination across the
+    * train/test split: deterministic hash-split of the embedding table
+    * (the [[graft.operators.TextOps.qSplitLeakage]] assignment rule),
+    * then every LSH-candidate pair with exact cosine ≥ 0.3 whose members
+    * straddle the split is reported as (test_id, train_id, cos). This is
+    * the audit n-gram decontamination structurally CANNOT run: a
+    * paraphrased eval item shares no 8-gram with its train twin but
+    * sits at high cosine — the reason the Phi/SemDeDup-era pipelines
+    * decontaminate in embedding space as well as token space. Completes
+    * the leakage matrix: [[graft.operators.TextOps.qSplitLeakage]]
+    * (lexical near-dup pairs across the split), q_decontaminate (exact
+    * n-gram containment), THIS (semantic).
+    *
+    * Plan: candidates come from the occupancy-compensated LSH banding
+    * ([[scaledGeometry]] — candidate mass ~linear in corpus size, the
+    * shipped 100 TB path), each pair fetches its embeddings once by
+    * equi-join, the split tags join on vec_id; everything after the
+    * verify filter is pair-bounded. Determinism: md5 split is
+    * content-independent and reproducible; cosine is the pinned VecDot
+    * fold; output ordered (test_id, train_id).
+    */
+  def qSemanticLeakage(spark: SparkSession, d: String): DataFrame = {
+    val n = embeddings(spark, d).count()
+    val (bands, rows) = scaledGeometry(n)
+    val split = embeddings(spark, d).select(col("vec_id"),
+      (expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), " +
+        "16, 10) AS BIGINT) % 10") < SemLeakTrainBuckets).as("is_train"))
+    neardupPairs(spark, d, bands, rows)
+      .join(split.select(col("vec_id").as("a_id"),
+        col("is_train").as("train_a")), "a_id")
+      .join(split.select(col("vec_id").as("b_id"),
+        col("is_train").as("train_b")), "b_id")
+      .filter(col("train_a") =!= col("train_b"))
+      .select(
+        when(col("train_a"), col("b_id")).otherwise(col("a_id")).as("test_id"),
+        when(col("train_a"), col("a_id")).otherwise(col("b_id")).as("train_id"),
+        col("cos"))
+      .orderBy(col("test_id"), col("train_id"))
+  }
+
   /** q_ann_ivf — IVF-style ANN, the other standard scale path besides LSH:
     * vectors are assigned to their nearest of 8 centroids (an inverted
     * file), and the query searches only its own cell (nprobe=1). Centroids
@@ -1600,6 +1646,7 @@ object Similarity {
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
     "q_cosine_neardup"  -> qCosineNeardup _,
     "q_cosine_neardup_scaled" -> qCosineNeardupScaled _,
+    "q_semantic_leakage" -> qSemanticLeakage _,
     "q_ann_ivf"         -> qAnnIvf _,
     "q_ann_ivf2"        -> qAnnIvf2 _,
     "q_pq_encode"       -> qPqEncode _,
@@ -2382,6 +2429,31 @@ object Similarity {
          |  JOIN embeddings ea ON a_id = ea.vec_id
          |  JOIN embeddings eb ON b_id = eb.vec_id)
          |WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+    "q_semantic_leakage" ->
+      s"""WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+         |cand AS (
+         |  $ndScaledCandSql
+         |), pairs AS (
+         |  SELECT a_id, b_id, cos FROM (
+         |    SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |    FROM cand
+         |    JOIN embeddings ea ON a_id = ea.vec_id
+         |    JOIN embeddings eb ON b_id = eb.vec_id)
+         |  WHERE cos >= 0.3
+         |), sp AS (
+         |  SELECT vec_id,
+         |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+         |           % 10 < $SemLeakTrainBuckets AS is_train
+         |  FROM embeddings
+         |)
+         |SELECT CASE WHEN sa.is_train THEN b_id ELSE a_id END AS test_id,
+         |       CASE WHEN sa.is_train THEN a_id ELSE b_id END AS train_id,
+         |       cos
+         |FROM pairs
+         |JOIN sp sa ON a_id = sa.vec_id
+         |JOIN sp sb ON b_id = sb.vec_id
+         |WHERE sa.is_train <> sb.is_train
+         |ORDER BY test_id, train_id""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH centroids AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings

@@ -1024,4 +1024,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.last._2 == Similarity.RerankK.toLong || got.last._2 > got.head._2,
       "curve is flat and imperfect — fixture cannot price the budget")
   }
+
+  test("q_semantic_leakage is exactly the cross-split cut of the scaled near-dup pairs") {
+    def md5Long(x: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val isTrain = (id: Long) =>
+      md5Long(id) % 10 < Similarity.SemLeakTrainBuckets
+    val pairs = Similarity.qCosineNeardupScaled(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs.collect {
+      case (a, b, c) if isTrain(a) != isTrain(b) =>
+        if (isTrain(a)) (b, a, c) else (a, b, c)
+    }.sortBy { case (t, tr, _) => (t, tr) }.toSeq
+    val got = Similarity.queries("q_semantic_leakage")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected, "cross-split cut mismatch")
+    // Non-vacuous and genuinely bidirectional: leakage is detected
+    // whichever side of the split the test item landed on.
+    assert(got.nonEmpty, "fixture must contain cross-split semantic pairs")
+    assert(got.exists { case (t, tr, _) => t < tr } &&
+      got.exists { case (t, tr, _) => t > tr },
+      "both pair orientations must occur (test item older and newer)")
+  }
 }
