@@ -884,6 +884,40 @@ class PlanSpec extends SparkSpec {
     assert(heaps >= 4, s"every cut is a heap, saw $heaps:\n$p")
   }
 
+  test("q_fs_weights rides the pinned band index; q_lsh_tuning shares one signature build") {
+    val pf = plan(TextOps.queries("q_fs_weights")(spark, sfDir))
+    assert(pf.contains("Scan ExistingRDD"),
+      s"F-S candidates must come from the session-pinned pair leaf:\n$pf")
+    assert(!pf.contains("CartesianProduct"),
+      s"feature/truth joins must stay equi-shaped:\n$pf")
+    val pl = plan(TextOps.queries("q_lsh_tuning")(spark, sfDir))
+    // The sweep's signature and shingle relations are SESSION PINS
+    // (LogicalRDD leaves) — all three geometries and the verification
+    // read them; nothing re-derives from parquet.
+    val pins = "Scan ExistingRDD".r.findAllIn(pl).length
+    assert(pins >= 2,
+      s"sweep must read the pinned signature+shingle leaves, saw $pins:\n$pl")
+    assert(!pl.contains("Scan parquet"),
+      s"no geometry may re-derive its inputs from parquet:\n$pl")
+    // (The plan's one BroadcastNestedLoopJoin is the 1-row union-truth
+    // scalar attach — the allowed pattern; a cartesian would be the bug.)
+    assert(!pl.contains("CartesianProduct"),
+      s"candidate generation stays an inverted-index equi-join:\n$pl")
+  }
+
+  test("q_dataset_card and q_kn_bigram stay scan-bounded with no cartesian blow-up") {
+    val pd = plan(graft.operators.Corpus.queries("q_dataset_card")(spark, sfDir))
+    assert(!pd.contains("CartesianProduct"),
+      s"1-row attaches must broadcast, never plan a cartesian:\n$pd")
+    val scans = "Scan parquet".r.findAllIn(pd).length
+    assert(scans <= 3,
+      s"the card is base agg + prefix agg + lang rank — ≤3 corpus reads, " +
+        s"saw $scans:\n$pd")
+    val pk = plan(graft.operators.Corpus.qKnBigram(spark, sfDir))
+    assert(!pk.contains("CartesianProduct"),
+      s"KN continuation/backoff joins stay equi-shaped:\n$pk")
+  }
+
   test("q_tpch_q17 reads the fact through the cache on BOTH sides of the re-join") {
     val p = plan(Analytics.qTpchQ17(spark, sfDir))
     // Two InMemoryTableScans (probe side + moments side) — each renders
