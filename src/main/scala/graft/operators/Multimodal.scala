@@ -244,8 +244,8 @@ object Multimodal {
 
   /** q_media_dedup — fixed-block content-addressed dedup over the binary
     * media column: every blob splits into [[FrameBytes]]-byte segments
-    * inside the mapPartitions decode stage (the natural unit for media —
-    * video IS fixed segments, and a re-encoded clip shares them
+    * in the scan projection (the natural unit for media — video IS
+    * fixed segments, and a re-encoded clip shares them
     * exactly), each segment collapses to its sha-256, and the top-20
     * most-copied segments report copy/document counts and the bytes a
     * content-addressed store reclaims. Completes the media dedup matrix
