@@ -58,7 +58,8 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              "q_stream_dedup",
              # round-11 stateful newcomers (RocksDB fixed per-batch cost
              # dominates at replay batch sizes).
-             "q_stream_bitmap", "q_stream_quantile", "q_stream_throttle"}
+             "q_stream_bitmap", "q_stream_quantile", "q_stream_throttle",
+             "q_stream_quality"}
 # Fixed-geometry LSH: candidate mass ~ n^2 / 2^rows at the registered
 # (bands, rows) — superlinear BY DESIGN at fixed geometry; the production
 # lever is rows ~ log2(n) (graft.LshGeomProbe measures it restoring ~linear
@@ -68,7 +69,9 @@ LSH_FIXED = {"q_cosine_neardup"}
 # Occupancy-compensated geometry (scaledGeometry): candidate mass is held
 # ~linear in n by widening the bucket key with the corpus, so this one is
 # gated at the plain linear bound — the shipped fix for LSH_FIXED.
-LSH_SCALED = {"q_cosine_neardup_scaled"}
+LSH_SCALED = {"q_cosine_neardup_scaled",
+              # rides the same occupancy-compensated candidate stage.
+              "q_semantic_leakage"}
 
 
 def model_of(q):
@@ -158,16 +161,20 @@ def main():
     # time ~flat while rows x10 => fixed per-batch cost dominates; the
     # marginal-row cost is the regression-sensitive number.
     base_events = 100_000
+    # q_stream_quality replays the DOCUMENTS table (5k rows at sf0.1),
+    # not the 100k-event feed — its rows/s must use the right numerator.
+    base_rows = {"q_stream_quality": 5_000}
     stream_rates = {}
     for q in sorted(SUBLINEAR & set(names)):
+        base = base_rows.get(q, base_events)
         t1, t3, t10 = runs["sf0.1"][q], runs["x3"][q], runs["x10"][q]
         stream_rates[q] = {
-            "rows_per_s_base": round(base_events / t1),
-            "rows_per_s_x3": round(3 * base_events / t3),
-            "rows_per_s_x10": round(10 * base_events / t10),
+            "rows_per_s_base": round(base / t1),
+            "rows_per_s_x3": round(3 * base / t3),
+            "rows_per_s_x10": round(10 * base / t10),
         }
         if q in x40:
-            stream_rates[q]["rows_per_s_x40"] = round(40 * base_events / x40[q])
+            stream_rates[q]["rows_per_s_x40"] = round(40 * base / x40[q])
         out[q]["rows_per_s"] = stream_rates[q]
     result["streaming_rows_per_s"] = stream_rates
     with open("bench/bench_r11_stress.json", "w") as f:
