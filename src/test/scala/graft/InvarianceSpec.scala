@@ -45,8 +45,9 @@ class InvarianceSpec extends SparkSpec {
       // windows (keywords).
       "q_spearman", "q_anova", "q_js_div", "q_holt", "q_theil_sen",
       "q_adamic_adar", "q_keywords",
-      // Round-11: the two-stage rerank's pinned VecDot cosine chains.
-      "q_ann_rerank"))
+      // Round-11: the two-stage rerank's pinned VecDot cosine chains, the
+      // budget curve's cached cuts, and the cross-split leakage cosines.
+      "q_ann_rerank", "q_rerank_budget", "q_semantic_leakage"))
     test(s"$q is bit-identical under shuffle.partitions 2 vs 7") {
       val a = collectWith(2, q)
       val b = collectWith(7, q)
