@@ -918,6 +918,43 @@ class PlanSpec extends SparkSpec {
       s"KN continuation/backoff joins stay equi-shaped:\n$pk")
   }
 
+  test("q_join_size_est never executes the join it estimates") {
+    val p = plan(graft.operators.Mining.qJoinSizeEst(spark, sfDir))
+    // The whole point: Σf² comes from the key histogram, so the plan
+    // must contain NO join operator at all and exactly one log pass.
+    assert(!p.contains("Join"),
+      s"the estimated join must never be executed:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one histogram pass over the log, saw $scans:\n$p")
+  }
+
+  test("q_neyman_alloc is one corpus aggregate; the fold side broadcasts") {
+    val p = plan(graft.operators.Stats.qNeymanAlloc(spark, sfDir))
+    // The cached |sources|-row stratum relation serves both consumers —
+    // the per-stratum rows and the 1-row fold — off ONE corpus pass.
+    val cacheHits = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheHits >= 2,
+      s"both consumers must read the cached stratum relation, " +
+        s"saw $cacheHits cache hits:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row cross-stratum fold must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the scalar attach must never be a cartesian:\n$p")
+  }
+
+  test("q_quantile_merge windows per source and never sorts raw rows globally") {
+    val p = plan(graft.operators.Corpus.qQuantileMerge(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"merge/audit joins stay bounded:\n$p")
+    // The true quartiles come from the VALUE-HISTOGRAM cumsum: the only
+    // relations ever globally sorted/cumsum'd are domain-sized (the
+    // |sources|·Q merged summary and the |distinct n_chars| histogram),
+    // so no Sort may consume a scan directly (every sort sits above an
+    // aggregate that collapsed the corpus first).
+    assert(!"Sort [^\\n]*\\n[^\\n]*Scan parquet".r.findFirstIn(p).isDefined,
+      s"a sort consumes the raw corpus scan directly:\n$p")
+  }
+
   test("q_tpch_q17 reads the fact through the cache on BOTH sides of the re-join") {
     val p = plan(Analytics.qTpchQ17(spark, sfDir))
     // Two InMemoryTableScans (probe side + moments side) — each renders
