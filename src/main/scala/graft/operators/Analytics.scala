@@ -2686,6 +2686,12 @@ object Analytics {
     val historic = tagged.filter(col("ts") < col("day0")).drop("day0")
     val changes = tagged.filter(col("ts") >= col("day0")).drop("day0")
 
+    // `changes` and `dimHeads` each feed two consumers, but their
+    // duplicated subtrees sit under identical window/agg exchanges that
+    // ReuseExchange dedups at runtime — caching them measured SLOWER
+    // (materialization overhead for no saved compute). A production SCD2
+    // job materializes the dim as a real table; inside one plan, reuse
+    // is the engine's job.
     val dimHeads = scd2Heads(historic)
     val changeHeads = scd2Heads(changes)
     val touched = changes.select(col("user_id")).distinct()

@@ -448,6 +448,10 @@ object Corpus {
   def qQuantileMerge(spark: SparkSession, d: String): DataFrame = {
     val docs = documents(spark, d)
       .select(col("source"), col("n_chars"), col("doc_id"))
+    // sizes and hist are each consumed twice, but their duplicated
+    // subtrees sit under identical agg exchanges — ReuseExchange dedups
+    // them at runtime (caching measured slower; see the scan-audit note
+    // in ScanAuditSpec).
     val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
     val total = sizes.agg(sum(col("n_s")).as("n_total"))
     val wSrc = Window.partitionBy(col("source"))

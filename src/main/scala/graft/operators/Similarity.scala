@@ -774,6 +774,11 @@ object Similarity {
         cosinePre(col("ce"), col("qe"), col("cn"), col("qn")).as("cos"))
       .withColumn("rn", row_number().over(byCos))
       .filter(col("rn") <= RecallK).select(col("q_id"), col("c_id"))
+    // The banded candidate set feeds BOTH the approx ranking and the
+    // per-query candidate count. NOT cached: the duplicated subtrees sit
+    // under IDENTICAL exchanges (the band self-join's shuffle), which
+    // Spark's ReuseExchange dedups at runtime — measured, a cache here
+    // only adds materialization overhead.
     val cand = bandCandidates(spark, d, NdBands, NdRows)
     val candBoth = cand.select(col("a_id").as("q_id"), col("b_id").as("c_id"))
       .union(cand.select(col("b_id").as("q_id"), col("a_id").as("c_id")))
@@ -967,6 +972,10 @@ object Similarity {
         }
         Iterator.single(acc)
       }
+    // dim² rows, consumed by BOTH the u-fold and the Rayleigh quotient.
+    // NOT cached: both consumers sit above the identical (i, j) agg
+    // exchange, which ReuseExchange dedups at runtime — the corpus pass
+    // runs once either way, and a cache only adds overhead (measured).
     val cells = partials
       .select(posexplode(col("value")).as(Seq("p", "gp")))
       .groupBy(expr(s"p DIV $dim + 1").as("i"), expr(s"p % $dim + 1").as("j"))

@@ -819,17 +819,17 @@ object Stats {
       .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s1"),
         sum(col("x") * col("x")).as("s2"))
     // The |sources|-row stratum relation feeds BOTH the per-stratum rows
-    // and the 1-row fold — cache it so the corpus is aggregated ONCE
-    // (uncached, each consumer re-reads documents; PlanSpec pins this).
-    val perStratum = graft.Tables.cacheForSelfJoin(
-      moments.select(col("source"), col("n_h"),
-        sqrt(greatest(
-          ((col("s2").cast("decimal(38,0)") * col("n_h") -
-            col("s1").cast("decimal(38,0)") * col("s1")).cast("double")) /
-            (col("n_h") * (col("n_h") - lit(1L))).cast("double"),
-          lit(0.0))).as("s_h"))
-        .select(col("source"), col("n_h"), col("s_h"),
-          (col("n_h").cast("double") * col("s_h")).as("w_h")))
+    // and the 1-row fold; the duplicated subtree sits under the identical
+    // (source) agg exchange, so ReuseExchange computes the corpus pass
+    // once at runtime — no cache needed (measured equal-or-faster).
+    val perStratum = moments.select(col("source"), col("n_h"),
+      sqrt(greatest(
+        ((col("s2").cast("decimal(38,0)") * col("n_h") -
+          col("s1").cast("decimal(38,0)") * col("s1")).cast("double")) /
+          (col("n_h") * (col("n_h") - lit(1L))).cast("double"),
+        lit(0.0))).as("s_h"))
+      .select(col("source"), col("n_h"), col("s_h"),
+        (col("n_h").cast("double") * col("s_h")).as("w_h"))
     val totals = perStratum
       .agg(sum(col("n_h")).as("n_total"),
         sort_array(collect_list(struct(col("source"), col("w_h"))))

@@ -930,12 +930,15 @@ class PlanSpec extends SparkSpec {
 
   test("q_neyman_alloc is one corpus aggregate; the fold side broadcasts") {
     val p = plan(graft.operators.Stats.qNeymanAlloc(spark, sfDir))
-    // The cached |sources|-row stratum relation serves both consumers —
-    // the per-stratum rows and the 1-row fold — off ONE corpus pass.
-    val cacheHits = "InMemoryTableScan".r.findAllIn(p).length
-    assert(cacheHits >= 2,
-      s"both consumers must read the cached stratum relation, " +
-        s"saw $cacheHits cache hits:\n$p")
+    // Both consumers of the stratum relation sit above the IDENTICAL
+    // (source) agg exchange — ReuseExchange dedups the corpus pass at
+    // runtime, so the tripwire pins the exchange KEY equality instead of
+    // a scan count: exactly one distinct hashpartitioning expression.
+    val exKeys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(exKeys == Set("source"),
+      s"stratum consumers must share the one source-keyed exchange, " +
+        s"saw keys $exKeys:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"the 1-row cross-stratum fold must broadcast back:\n$p")
     assert(!p.contains("CartesianProduct"),
