@@ -18,7 +18,10 @@ package graft
   */
 class ScanAuditSpec extends SparkSpec {
 
-  test("audit: per-query repeated-table scan counts") {
+  // `ignore` by default: the audit plans (and partially executes) every
+  // batch query (~4 min) — run on demand by flipping to `test` or via
+  //   sbt 'testOnly graft.ScanAuditSpec'  after changing ignore→test.
+  ignore("audit: per-query repeated-table scan counts") {
     val streaming = SparkEntry.queries.keys.filter(_.startsWith("q_stream"))
       .toSet ++ Set("q_deadletter", "q_http_source", "q_state_read",
       "q_window_tumble", "q_window_slide", "q_session")
