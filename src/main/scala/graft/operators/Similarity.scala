@@ -262,12 +262,21 @@ object Similarity {
       .limit(10)
   }
 
-  /** q_cosine_neardup — embedding-space near-duplicate pairs via banded
-    * sign-LSH ([[NdBands]] bands × [[NdRows]] planes, [[NdPlanes]] planes
-    * total): candidates are id pairs agreeing on ALL planes of at least one
-    * band, deduplicated, then verified with exact cosine ≥ 0.3. The shape
-    * of embedding-based dedup in an LLM data pipeline: candidates from
-    * LSH, exact verification on candidates only.
+  /** Fixed-geometry near-dup control (deregistered as a driver query in
+    * round 12): embedding-space near-duplicate pairs via banded sign-LSH
+    * at the PINNED ([[NdBands]] bands × [[NdRows]] planes) geometry.
+    * Candidates are id pairs agreeing on ALL planes of at least one band,
+    * deduplicated, then verified with exact cosine ≥ 0.3.
+    *
+    * Kept as the spec-side control the banding sweep and the scaled
+    * geometry compare against (SimilaritySpec pins candidates(1,16) ⊆
+    * candidates(2,8) ⊆ candidates(4,4) and scaled == fixed at fixture
+    * count): at fixed geometry, candidate mass grows ~n²/2^rows with the
+    * corpus — the one measured super-linear signature in the round-11
+    * stress sweep (tail exponent 1.42 at ×10). The REGISTERED production
+    * form is [[qCosineNeardupScaled]], whose occupancy-compensated
+    * geometry holds candidate mass ~linear (measured 0.34/0.32 at
+    * ×10/×40).
     *
     * Plan: each vector emits one (band, key) row per band (a Generate, no
     * shuffle), candidates come from the (band, key) equi-join — per-band
@@ -279,7 +288,7 @@ object Similarity {
     * the difference between reading each vector once and re-normalizing
     * it once per candidate.
     */
-  def qCosineNeardup(spark: SparkSession, d: String): DataFrame =
+  private[graft] def qCosineNeardup(spark: SparkSession, d: String): DataFrame =
     neardupPairs(spark, d, NdBands, NdRows)
 
   /** The LSH-candidates → exact-verify tail shared by [[qCosineNeardup]]
@@ -1653,7 +1662,10 @@ object Similarity {
     "q_centroid"        -> qCentroid _,
     "q_gram_matrix"     -> qGramMatrix _,
     "q_cosine_topk_lsh" -> qCosineTopkLsh _,
-    "q_cosine_neardup"  -> qCosineNeardup _,
+    // q_cosine_neardup (fixed geometry) deregistered round 12: its n²/2^rows
+    // candidate signature was the suite's one measured scale-killer; the
+    // production near-dup is q_cosine_neardup_scaled and the fixed form
+    // stays as the spec-side control ([[qCosineNeardup]]).
     "q_cosine_neardup_scaled" -> qCosineNeardupScaled _,
     "q_semantic_leakage" -> qSemanticLeakage _,
     "q_ann_ivf"         -> qAnnIvf _,
@@ -2413,20 +2425,6 @@ object Similarity {
          |FROM embeddings, q
          |WHERE ${bucketSql("embedding")} = qb
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-    "q_cosine_neardup" ->
-      s"""WITH bands AS (
-         |  $ndBandsSql
-         |), cand AS (
-         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-         |)
-         |SELECT a_id, b_id, cos FROM (
-         |  SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
-         |  FROM cand
-         |  JOIN embeddings ea ON a_id = ea.vec_id
-         |  JOIN embeddings eb ON b_id = eb.vec_id)
-         |WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin,
     "q_cosine_neardup_scaled" ->
       s"""WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
          |cand AS (

@@ -50,5 +50,20 @@ object GraftSqlBridge {
       column(BloomFilterMightContain(
         ScalarSubquery(bloom.queryExecution.analyzed),
         expression(probeKeyHash)))
-    }.toOption
+    } match {
+      case scala.util.Success(c) => Some(c)
+      case scala.util.Failure(e) =>
+        // The None path only costs pruning, never correctness — but a
+        // silent None after a Spark upgrade breaking these internals is a
+        // permanent invisible performance regression. Warn ONCE per JVM so
+        // the degraded path is observable without spamming per-query.
+        if (bloomWarned.compareAndSet(false, true)) {
+          System.err.println(
+            "[graft] bloom runtime-filter construction failed; joins run " +
+              s"unpruned from here on (internal API drift?): $e")
+        }
+        None
+    }
+
+  private val bloomWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

@@ -834,7 +834,10 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(pf).length == 1,
       s"fertility is one lang-keyed aggregate:\n$pf")
     val pt = plan(graft.operators.Corpus.qTrainSplit(spark, sfDir))
-    assert(!pt.contains("text"),
+    // Match the COLUMN REFERENCE (attribute `text#NN`), not the bare
+    // substring — a fixture path segment or a future `context` field would
+    // false-fail a plain contains("text").
+    assert("""\btext#\d+""".r.findFirstIn(pt).isEmpty,
       s"train split reads identity + metadata, never documents.text:\n$pt")
     // Two domain-sized shuffles: the (lang, split) aggregate and the
     // per-lang share window over the 3·|langs| aggregate rows.

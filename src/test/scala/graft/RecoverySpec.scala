@@ -667,10 +667,16 @@ class RecoverySpec extends SparkSpec {
         postSeqs.min == preSeqs.max + 1,
       s"seen-counter did not resume: pre=$preSeqs post=$postSeqs")
     // Full verdict set == the batch rank oracle.
+    // floor division, NOT `ts DIV winUs`: DIV truncates toward zero while
+    // the stream buckets with Math.floorDiv — the oracle must pin the
+    // floor semantics so pre-epoch (negative-µs) timestamps would disagree
+    // loudly here if the stream ever regressed to truncation.
+    val floorWin = s"(ts DIV $winUs - (CASE WHEN ts < 0 AND ts % $winUs <> 0" +
+      s" THEN 1 ELSE 0 END))"
     val want = raw.select(col("user_id"),
-        expr(s"(ts DIV $winUs) * $winUs").as("win_us"), col("event_id"),
+        expr(s"$floorWin * $winUs").as("win_us"), col("event_id"),
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"), expr(s"ts DIV $winUs"))
+          .partitionBy(col("user_id"), expr(floorWin))
           .orderBy(col("ts"), col("event_id"))).as("seq"))
       .select(col("user_id"), col("win_us"), col("event_id"), col("seq"),
         (col("seq") <= StreamOps.ThrottleK).as("admitted"))

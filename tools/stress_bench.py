@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Aggregate the round-11 stress bench into per-query scaling exponents.
+"""Aggregate the round-12 stress bench into per-query scaling exponents.
 
 Inputs: three Bench artifacts produced with SPARK_GRAFT_TIME_STAGING=1 over
 the same SPARK_GRAFT_ONLY list —
@@ -43,9 +43,13 @@ import sys
 
 def _load(name):
     """Prefer the fresh /tmp artifact; fall back to the committed archive
-    (bench/r10_local32/) so the tables regenerate from git alone."""
-    for path in (f"/tmp/{name}", f"bench/r11_local32/{name}", f"bench/r10_local32/{name}"):
+    so the tables regenerate from git alone. Every hit PRINTS the path it
+    was served from — a missing/typo'd fresh artifact silently mixing a
+    prior round's archive into this round's table was an ADVICE-flagged
+    trap (the round-11 _load fell back two rounds deep with no trace)."""
+    for path in (f"/tmp/{name}", f"bench/r12_local32/{name}", f"bench/r11_local32/{name}"):
         if os.path.exists(path):
+            print(f"[stress_bench] {name} <- {path}")
             with open(path) as f:
                 return json.load(f)
     raise FileNotFoundError(name)
@@ -60,12 +64,13 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              # dominates at replay batch sizes).
              "q_stream_bitmap", "q_stream_quantile", "q_stream_throttle",
              "q_stream_quality"}
-# Fixed-geometry LSH: candidate mass ~ n^2 / 2^rows at the registered
-# (bands, rows) — superlinear BY DESIGN at fixed geometry; the production
-# lever is rows ~ log2(n) (graft.LshGeomProbe measures it restoring ~linear
-# wall). Bound matches the others so a regression past the documented
-# signature still flags.
-LSH_FIXED = {"q_cosine_neardup"}
+# Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
+# rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
+# driver query (it survives as the spec-side control Similarity.
+# qCosineNeardup); the production near-dup is the occupancy-compensated
+# q_cosine_neardup_scaled below. Kept as a set so re-registering a
+# fixed-geometry form slots back into the expected-flag machinery.
+LSH_FIXED = set()
 # Occupancy-compensated geometry (scaledGeometry): candidate mass is held
 # ~linear in n by widening the bucket key with the corpus, so this one is
 # gated at the plain linear bound — the shipped fix for LSH_FIXED.
@@ -136,7 +141,7 @@ def main():
         if flag:
             flagged.append(q)
     result = {
-        "round": 11,
+        "round": 12,
         "method": ("union-with-perturbation stress fixtures (graft.StressGen: "
                    "consistent TPC-H keys, per-copy user/doc/vec offsets, "
                    "token-suffixed documents and sign-flipped embeddings for "
@@ -177,7 +182,7 @@ def main():
             stream_rates[q]["rows_per_s_x40"] = round(40 * base / x40[q])
         out[q]["rows_per_s"] = stream_rates[q]
     result["streaming_rows_per_s"] = stream_rates
-    with open("bench/bench_r11_stress.json", "w") as f:
+    with open("bench/bench_r12_stress.json", "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
     # Fill the BASELINE.md marker sections.
