@@ -34,6 +34,7 @@ object SparkEntry {
       (Stats.queries, Stats.oracle),
       (Behavior.queries, Behavior.oracle),
       (Series.queries, Series.oracle),
+      (RowLevelOps.queries, RowLevelOps.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
       (graft.sources.FileSources.queries, graft.sources.FileSources.oracle),
       (graft.sources.WritePath.queries, graft.sources.WritePath.oracle),

@@ -1,0 +1,430 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.{Collections => JCollections, UUID}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A minimal COPY-ON-WRITE parquet table catalog implementing the DSv2
+  * row-level-operation surface (`SupportsRowLevelOperations`), which is what
+  * turns the SQL write-side primitives — `MERGE INTO … WHEN MATCHED/NOT
+  * MATCHED`, `UPDATE`, `DELETE` — into real engine capabilities instead of
+  * the hand-rolled DataFrame folds `q_scd2_apply`/`q_stream_cdc_apply`
+  * emulate them with. The reference's pipeline is read-only (app.py never
+  * mutates its fetched frames); this is the write-side capability a user
+  * of the ENGINE reaches for next, built on the public connector API the
+  * way Iceberg/Delta build theirs.
+  *
+  * Shape of the implementation (all public DSv2, no Catalyst internals):
+  *
+  *  - [[CowCatalog]]: a `TableCatalog` whose state lives in the JVM-global
+  *    [[CowStore]] (catalog instances are constructed per session; the
+  *    store is the "metastore"). Tables are directories of immutable
+  *    parquet files + a versioned file-list pointer.
+  *  - [[CowTable]]: `SupportsRead` (one `InputPartition` per file, column
+  *    pruning pushed to the parquet reader's projection) + `SupportsWrite`
+  *    (append, and truncate-overwrite for `INSERT OVERWRITE`) +
+  *    `SupportsRowLevelOperations`.
+  *  - [[CowRowLevelOperation]]: GROUP-BASED (no `SupportsDelta`), so
+  *    Catalyst's `RewriteMergeIntoTable`/`RewriteUpdateTable`/
+  *    `RewriteDeleteFromTable` plan a `ReplaceData` over the op's own scan
+  *    and the commit atomically swaps the whole affected group for the
+  *    rewritten rows. The group here is the WHOLE TABLE (
+  *    `requiredMetadataAttributes` is empty): the honest minimal COW. At
+  *    100 TB the groups are FILES — the same API carries `_file` metadata
+  *    attributes + runtime group filtering so only files containing
+  *    matches are rewritten; that narrowing is scope-noted, not faked.
+  *  - Commits REPLACE the pointer, never delete superseded files: an
+  *    in-flight scan planned against version N keeps reading N's files
+  *    after a concurrent commit of N+1 (reader snapshot isolation, the
+  *    lakehouse contract). Vacuuming old versions is out of scope.
+  *
+  * Write distribution: each task writes its own parquet file
+  * executor-side (`data-<uuid>.parquet` — no driver data movement, no
+  * write coordination beyond the commit-message file list); empty
+  * partitions produce no file. Commit is a single pointer swap in the
+  * store — the miniature of a metastore/Iceberg snapshot commit.
+  *
+  * Column types are the fixture triple (long, double, string) — enough
+  * for every row-level scenario in the suite; anything else fails loudly
+  * at CREATE.
+  */
+object CowStore {
+  /** One table version: the current schema and the immutable file list. */
+  final case class State(schema: StructType, version: Long,
+                         files: Vector[String], dir: String)
+
+  private val tables = new ConcurrentHashMap[String, State]()
+
+  private def key(catalog: String, ident: Identifier): String =
+    (catalog +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  def get(catalog: String, ident: Identifier): Option[State] =
+    Option(tables.get(key(catalog, ident)))
+
+  def create(catalog: String, ident: Identifier, schema: StructType): State = {
+    schema.fields.foreach { f =>
+      require(Seq(LongType, DoubleType, StringType).contains(f.dataType),
+        s"graft-cow supports long/double/string columns; got " +
+          s"${f.name}: ${f.dataType.simpleString}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cow_").toString
+    val st = State(schema, 0L, Vector.empty, dir)
+    if (tables.putIfAbsent(key(catalog, ident), st) != null)
+      throw new TableAlreadyExistsException(ident.toString)
+    st
+  }
+
+  def drop(catalog: String, ident: Identifier): Boolean =
+    tables.remove(key(catalog, ident)) != null
+
+  def list(catalog: String, namespace: Array[String]): Array[Identifier] = {
+    import scala.jdk.CollectionConverters._
+    val prefix = (catalog +: namespace.toSeq).mkString("/") + "/"
+    tables.keySet().asScala.toArray.sorted.collect {
+      case k if k.startsWith(prefix) && !k.stripPrefix(prefix).contains("/") =>
+        Identifier.of(namespace, k.stripPrefix(prefix))
+    }
+  }
+
+  /** Publish a write: `replace = true` swaps the whole file list (the
+    * row-level ReplaceData commit and INSERT OVERWRITE), `false` appends.
+    * Synchronized pointer swap = the atomic commit; superseded files stay
+    * on disk for in-flight readers of older versions.
+    */
+  def commit(catalog: String, ident: Identifier, newFiles: Seq[String],
+             replace: Boolean): Unit = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
+    val files = if (replace) newFiles.toVector else st.files ++ newFiles
+    tables.put(k, st.copy(version = st.version + 1, files = files))
+  }
+}
+
+class CowCatalog extends TableCatalog {
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    CowStore.list(catalogName, namespace)
+
+  override def loadTable(ident: Identifier): Table =
+    CowStore.get(catalogName, ident)
+      .map(_ => new CowTable(catalogName, ident))
+      .getOrElse(throw new NoSuchTableException(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-cow: partition transforms are not supported (single-group COW)")
+    CowStore.create(catalogName, ident, schema)
+    new CowTable(catalogName, ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft-cow: ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    CowStore.drop(catalogName, ident)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft-cow: RENAME not supported")
+}
+
+class CowTable(catalog: String, ident: Identifier)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations {
+
+  private def state: CowStore.State =
+    CowStore.get(catalog, ident).getOrElse(
+      throw new NoSuchTableException(ident))
+
+  override def name(): String =
+    (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+  override def schema(): StructType = state.schema
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val s = new java.util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    JCollections.unmodifiableSet(s)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CowScanBuilder(name(), state)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new CowWriteBuilder(catalog, ident, state, replaceAll = false, info.schema())
+
+  /** Group-based row-level operation: MERGE/UPDATE/DELETE read through the
+    * op's scan and commit a full replace of the (single, whole-table)
+    * group. No `SupportsDelta` ⇒ Catalyst plans `ReplaceData`.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new CowScanBuilder(name(), state)
+      override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+        new CowWriteBuilder(catalog, ident, state, replaceAll = true,
+          info.schema())
+      override def description(): String =
+        s"graft-cow ${info.command()} on ${name()} (group = whole table)"
+    }
+}
+
+/** Column pruning pushed down to the parquet reader's projection — same
+  * I/O-layer contract as [[ReplayReaderFactory]].
+  */
+class CowScanBuilder(tableName: String, state: CowStore.State)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = state.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(
+      state.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new Scan {
+    // Snapshot at plan time: the file list this scan will read is pinned
+    // here, so a later commit (including the row-level op this scan may be
+    // feeding) never changes what an already-planned query reads.
+    private val files = state.files
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"graft-cow scan of $tableName v${state.version} " +
+        s"[${required.fieldNames.mkString(",")}] (${files.size} files)"
+    override def toBatch: Batch = new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        files.map(CowFilePartition(_): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        CowReaderFactory(required, state.schema)
+    }
+  }
+}
+
+case class CowFilePartition(file: String) extends InputPartition
+
+/** Executor-side parquet Group reader over one immutable file, projection
+  * pushed to parquet-mr (`parquet.read.schema`) so unrequested columns'
+  * pages are never decoded. Generalizes [[ReplayReaderFactory]]'s pattern
+  * to an arbitrary long/double/string schema.
+  */
+case class CowReaderFactory(schema: StructType, tableSchema: StructType)
+    extends PartitionReaderFactory {
+
+  // A column-less required schema (count(*) scans) still needs one parquet
+  // column to drive row iteration; fall back to the narrowest table column.
+  private def physicalFields =
+    if (schema.fields.isEmpty) tableSchema.fields.take(1) else schema.fields
+
+  private def parquetProjection: String =
+    physicalFields.map { f =>
+      val t = f.dataType match {
+        case LongType   => "int64"
+        case DoubleType => "double"
+        case StringType => "binary"
+        case other => throw new IllegalArgumentException(
+          s"graft-cow: unsupported column type ${other.simpleString} for ${f.name}")
+      }
+      s"  optional $t ${f.name};"
+    }.mkString("message graft_cow_projection {\n", "\n", "\n}")
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[CowFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[Group] = {
+        val conf = new Configuration()
+        conf.set(ReadSupport.PARQUET_READ_SCHEMA, parquetProjection)
+        ParquetReader.builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(file)).withConf(conf).build()
+      }
+      private var current: Group = _
+
+      override def next(): Boolean = {
+        current = reader.read()
+        current != null
+      }
+
+      override def get(): InternalRow = {
+        val g = current
+        def has(name: String): Boolean = {
+          val i = g.getType.getFieldIndex(name)
+          g.getFieldRepetitionCount(i) > 0
+        }
+        new GenericInternalRow(schema.fields.map[Any] { f =>
+          if (!has(f.name)) null
+          else f.dataType match {
+            case LongType   => g.getLong(g.getType.getFieldIndex(f.name), 0)
+            case DoubleType => g.getDouble(g.getType.getFieldIndex(f.name), 0)
+            case StringType =>
+              UTF8String.fromString(g.getString(g.getType.getFieldIndex(f.name), 0))
+          }
+        })
+      }
+
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+/** Append by default; `truncate()` (INSERT OVERWRITE) and the row-level
+  * replace both commit with `replace = true`.
+  */
+class CowWriteBuilder(catalog: String, ident: Identifier,
+                      state: CowStore.State, replaceAll: Boolean,
+                      writeSchema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new CowWriteBuilder(catalog, ident, state, replaceAll = true, writeSchema)
+
+  override def build(): Write = new Write {
+    override def description(): String =
+      s"graft-cow ${if (replaceAll) "replace" else "append"} to " +
+        (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        CowWriterFactory(state.dir, writeSchema, state.schema)
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        CowStore.commit(catalog, ident,
+          messages.flatMap(_.asInstanceOf[CowCommitMessage].files).toSeq,
+          replace = replaceAll)
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        messages.foreach {
+          case CowCommitMessage(files) => files.foreach { f =>
+            new java.io.File(f).delete(): Unit
+          }
+          case _ => ()
+        }
+    }
+  }
+}
+
+case class CowCommitMessage(files: Seq[String]) extends WriterCommitMessage
+
+/** Executor-side writer: one parquet file per non-empty task, written with
+  * parquet-hadoop's Group API; a zero-row task deletes its just-opened
+  * file and contributes nothing (no empty-file litter at 32 partitions ×
+  * small results). Only files named in COMMITTED messages enter the table
+  * state — files from aborted/speculative attempts are never visible.
+  *
+  * Incoming rows are laid out in `writeSchema` order (the
+  * `LogicalWriteInfo` schema — for a row-level ReplaceData that's the
+  * rewrite query's output, NOT necessarily table order), so extraction
+  * indexes/types come from `writeSchema` and each table column is located
+  * BY NAME; the parquet file itself is always written in table-schema
+  * shape. A table column missing from the write schema fails loudly.
+  */
+case class CowWriterFactory(dir: String, writeSchema: StructType,
+                            tableSchema: StructType)
+    extends DataWriterFactory {
+
+  private def messageType: String =
+    tableSchema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType   => "int64"
+        case DoubleType => "double"
+        case StringType => "binary"
+        case other => throw new IllegalArgumentException(
+          s"graft-cow: unsupported column type ${other.simpleString} for ${f.name}")
+      }
+      s"  optional $t ${f.name};"
+    }.mkString("message graft_cow_write {\n", "\n", "\n}")
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val file = s"$dir/data-${UUID.randomUUID().toString}.parquet"
+      private val parsed: MessageType = MessageTypeParser.parseMessageType(messageType)
+      private val factory = new SimpleGroupFactory(parsed)
+      private val writer: ParquetWriter[Group] =
+        ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(file))
+          .withType(parsed).withConf(new Configuration()).build()
+      // table column -> position in the DECLARED write schema, resolved once.
+      private val srcIdx: Array[Int] = tableSchema.fields.map { f =>
+        val i = writeSchema.fieldIndex(f.name)
+        require(writeSchema.fields(i).dataType == f.dataType,
+          s"graft-cow: write schema types ${writeSchema.fields(i).dataType} " +
+            s"!= table ${f.dataType} for column ${f.name}")
+        i
+      }
+      // Spark 4.1 plan-shape quirk, measured against the shipped bytecode:
+      // a group-based ReplaceData whose operation requests NO metadata
+      // attributes takes the plain DataWritingSparkTask path, which does
+      // NOT apply ReplaceDataProjections.rowProjection — the writer sees
+      // the rewrite query's raw output, `__row_operation` int PREPENDED to
+      // the declared write columns (ReplaceDataExec.writingTask only pairs
+      // the projections when a metadata projection exists; connectors that
+      // request `_file` etc. get the projected two-arg write path). The
+      // shift is observable per row as numFields − |writeSchema| and is 0
+      // on the plain append path, so compute it defensively: a future
+      // Spark that applies the projection makes this a no-op.
+      private def leadOffset(row: InternalRow): Int = {
+        val off = row.numFields - writeSchema.fields.length
+        require(off == 0 || off == 1,
+          s"graft-cow: row has ${row.numFields} fields for declared write " +
+            s"schema ${writeSchema.simpleString} — unexpected layout")
+        off
+      }
+      private var rows = 0L
+
+      override def write(row: InternalRow): Unit = {
+        val off = leadOffset(row)
+        val g = factory.newGroup()
+        var t = 0
+        while (t < tableSchema.fields.length) {
+          val i = off + srcIdx(t)
+          if (!row.isNullAt(i)) {
+            val f = tableSchema.fields(t)
+            f.dataType match {
+              case LongType   => g.append(f.name, row.getLong(i))
+              case DoubleType => g.append(f.name, row.getDouble(i))
+              case StringType => g.append(f.name, row.getUTF8String(i).toString)
+              case other => throw new IllegalArgumentException(
+                s"graft-cow: unsupported column type ${other.simpleString}")
+            }
+          }
+          t += 1
+        }
+        writer.write(g)
+        rows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        if (rows == 0L) {
+          new java.io.File(file).delete()
+          CowCommitMessage(Seq.empty)
+        } else CowCommitMessage(Seq(file))
+      }
+
+      override def abort(): Unit = {
+        writer.close()
+        new java.io.File(file).delete(): Unit
+      }
+
+      override def close(): Unit = ()
+    }
+}

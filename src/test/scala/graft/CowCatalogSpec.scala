@@ -1,0 +1,184 @@
+package graft
+
+import java.util.UUID
+
+import graft.sources.{CowCatalog, CowStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The copy-on-write catalog + SQL row-level operations (MERGE INTO /
+  * UPDATE / DELETE through `SupportsRowLevelOperations`): semantics pinned
+  * against relational rebuilds, plan shape pinned against the group-based
+  * rewrite (`MergeRows` / `ReplaceData`), and the commit contract
+  * (superseded files retained, truncate overwrite, merge cardinality
+  * violation) exercised directly.
+  */
+class CowCatalogSpec extends SparkSpec {
+
+  private val cat = "graft_cow"
+
+  private def ensureCatalog(): Unit =
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty)
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[CowCatalog].getName)
+
+  private def fresh(tag: String): String = {
+    ensureCatalog()
+    s"$cat.spec.${tag}_${UUID.randomUUID().toString.replace("-", "")}"
+  }
+
+  /** A small deterministic base: ids 0..19 with string + long payloads. */
+  private def mkBase(tbl: String): Unit = {
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, concat('t', CAST(id % 3 AS STRING)), id * 10
+         |FROM range(0, 20)""".stripMargin)
+  }
+
+  test("MERGE INTO == relational rebuild (update + delete + insert branches all fire)") {
+    val tbl = fresh("merge")
+    mkBase(tbl)
+    // Source: ids 10..29 → matched 10..19, unmatched 20..29; matched ids
+    // divisible by 4 are deleted, the rest updated.
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT id, concat('s', CAST(id AS STRING)) AS tag, id * 100 AS nv
+         |       FROM range(10, 30)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.id % 4 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv, tag = s.tag
+         |WHEN NOT MATCHED THEN INSERT (id, tag, v) VALUES (s.id, s.tag, s.nv)
+         |""".stripMargin)
+    val got = spark.table(tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // Rebuild declaratively: 0..9 carried; 10..19 deleted when %4==0 else
+    // updated; 20..29 inserted.
+    val want =
+      (0L until 10L).map(i => (i, s"t${i % 3}", i * 10)) ++
+      (10L until 20L).filter(_ % 4 != 0).map(i => (i, s"s$i", i * 100)) ++
+      (20L until 30L).map(i => (i, s"s$i", i * 100))
+    assert(got == want.sortBy(_._1), s"merge state diverged: $got")
+    // All three branches provably fired.
+    assert(got.count(_._2.startsWith("t")) == 10)      // carried
+    assert(!got.exists(r => r._1 >= 10 && r._1 < 20 && r._1 % 4 == 0)) // deleted
+    assert(got.count(r => r._1 >= 20) == 10)           // inserted
+  }
+
+  test("MERGE matched clauses apply first-match-wins (DELETE shadows UPDATE)") {
+    val tbl = fresh("order")
+    mkBase(tbl)
+    // Rows 0..2 satisfy BOTH clauses' conditions; the FIRST (DELETE) must
+    // win — SQL merge clause-order semantics. Rows 3..4 only match the
+    // trailing unconditional UPDATE. (The parser itself enforces that only
+    // the last MATCHED clause may omit its condition.)
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT id FROM range(0, 5)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.id < 3 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = -1
+         |""".stripMargin)
+    val left = spark.table(tbl).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(left.map(_._1).toSeq == (3L until 20L),
+      s"delete-first semantics broken: ${left.toSeq}")
+    assert(left.filter(_._1 < 5).forall(_._2 == -1L),
+      "rows past the delete condition must take the update branch")
+  }
+
+  test("MERGE raises the cardinality violation when one target row matches two source rows") {
+    val tbl = fresh("card")
+    mkBase(tbl)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl t
+           |USING (SELECT CAST(id / 2 AS BIGINT) AS id FROM range(0, 4)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = 0
+           |""".stripMargin)
+    }
+    val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("MERGE_CARDINALITY_VIOLATION") ||
+      msg.toLowerCase.contains("cardinality"),
+      s"expected the standard merge cardinality error, got: $msg")
+  }
+
+  test("UPDATE and DELETE rewrite through ReplaceData and match the predicate rebuild") {
+    val tbl = fresh("ud")
+    mkBase(tbl)
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id % 3 = 0")
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 15")
+    val got = spark.table(tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val want = (0L until 15L).map(i => (i, if (i % 3 == 0) i * 10 + 1 else i * 10))
+    assert(got == want)
+  }
+
+  test("the MERGE plan is the group-based rewrite: MergeRows over the COW scan, ReplaceData write") {
+    val tbl = fresh("plan")
+    mkBase(tbl)
+    val p = spark.sql(
+      s"""EXPLAIN FORMATTED MERGE INTO $tbl t
+         |USING (SELECT id, id * 2 AS nv FROM range(0, 5)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (id, tag, v) VALUES (s.id, 'x', s.nv)
+         |""".stripMargin).collect().map(_.getString(0)).mkString("\n")
+    assert(p.contains("ReplaceData"), s"expected group-based ReplaceData:\n$p")
+    assert(p.contains("MergeRows"), s"expected MergeRows merge semantics:\n$p")
+    assert(p.contains("graft-cow scan"), s"target must read through the COW scan:\n$p")
+  }
+
+  test("column pruning reaches the COW scan (readSchema in the scan description)") {
+    val tbl = fresh("prune")
+    mkBase(tbl)
+    val df = spark.table(tbl).select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("[id]") && !plan.contains("[id,tag,v]"),
+      s"projection must prune to [id] at the scan:\n$plan")
+    assert(df.count() == 20)
+  }
+
+  test("commits retain superseded files (reader snapshots stay valid); truncate overwrites") {
+    val tbl = fresh("snap")
+    mkBase(tbl)
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("spec"), tbl.split("\\.").last)
+    val before = CowStore.get(cat, ident).get
+    assert(before.files.nonEmpty && before.version == 1L)
+    spark.sql(s"DELETE FROM $tbl WHERE id < 10")
+    val after = CowStore.get(cat, ident).get
+    assert(after.version == 2L)
+    assert(after.files.toSet.intersect(before.files.toSet).isEmpty,
+      "COW delete must swap in rewritten files")
+    // Old version's files still on disk — an in-flight scan planned
+    // against v1 keeps reading them.
+    assert(before.files.forall(f => new java.io.File(f).exists()),
+      "superseded files must be retained for reader snapshots")
+    // INSERT OVERWRITE goes through the truncate path.
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT id, 'o', id FROM range(0, 3)")
+    val rows = spark.table(tbl).collect()
+    assert(rows.length == 3 && rows.forall(_.getString(1) == "o"))
+  }
+
+  test("registered row-level queries return the documented shapes on the fixture") {
+    import graft.operators.RowLevelOps
+    val m = RowLevelOps.qMergeInto(spark, sfDir)
+    assert(m.columns.toSeq == Seq("doc_id", "source", "score"))
+    assert(m.count() > 0)
+    val docIds = m.select("doc_id").collect().map(_.getLong(0))
+    assert(docIds.exists(_ % 6 == 0), "NOT MATCHED inserts (doc_id%6==0) must appear")
+    val d = RowLevelOps.qDeleteWhere(spark, sfDir)
+    // Survivors all violate the delete predicate.
+    assert(d.collect().forall(r => r.getLong(2) % 4 >= 2))
+    val u = RowLevelOps.qUpdateWhere(spark, sfDir)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u.collect().forall { r =>
+      val (id, score) = (r.getLong(0), r.getLong(2))
+      score == (if (id % 7 == 0) base(id) * 2 + 1 else base(id))
+    })
+  }
+}
