@@ -2014,6 +2014,64 @@ object StreamOps extends Serializable {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** q_state_changefeed — the state store's CHANGE FEED as a query
+    * surface: run the canonical tumbling aggregation ([[tumblingCounts]],
+    * complete mode, 2 replay micro-batches) to its checkpoint, then read
+    * the PER-BATCH state deltas via
+    * `spark.read.format("statestore").option("readChangeFeed", true)` —
+    * the incremental-audit path [[qStateRead]]'s scaladoc names: instead
+    * of re-scanning 10⁹ state rows per audit, an offline monitor tails
+    * only the keys each batch touched (RocksDB changelog checkpointing
+    * makes the delta a first-class artifact; the reader surfaces it).
+    *
+    * The oracle is the BATCH-COMPUTED diff of consecutive replay
+    * prefixes: batch 0's changes are the tick-1 aggregate (every touched
+    * key is an `update` carrying its post-batch count), batch 1's are
+    * exactly the groups with ≥1 tick-2 row, carrying the FULL two-tick
+    * count (state accumulates; complete mode never evicts, so no
+    * `delete` rows exist). The tick split is [[stageReplayDir]]'s median
+    * cut, restated in SQL as the ⌈n/2⌉-th order statistic of raw µs.
+    * Hash-proving this equality pins BOTH that the changelog records
+    * precisely the touched keys and that per-batch values match the
+    * prefix aggregates — the contract an incremental state auditor
+    * depends on.
+    */
+  def qStateChangefeed(spark: SparkSession, d: String): DataFrame = {
+    val sinkName = freshSink(spark, "state_changefeed")
+    val ckptDir = ckpt()
+    val query = startWithStatePartitions(spark) {
+      tumblingCounts(eventsStream(spark, stageReplayDir(spark, d)))
+        .writeStream
+        .option("checkpointLocation", ckptDir)
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    val feed = spark.read.format("statestore")
+      .option("readChangeFeed", "true")
+      .option("changeStartBatchId", "0")
+      .load(ckptDir)
+    // Same layout tripwire as qStateRead, plus the feed's own columns.
+    require(feed.columns.contains("batch_id") &&
+        feed.columns.contains("change_type"),
+      s"unexpected change-feed layout: ${feed.schema.simpleString} — " +
+        "expected batch_id + change_type; the statestore reader's " +
+        "readChangeFeed schema changed, update qStateChangefeed")
+    val keySchema = feed.select(col("key.*")).schema
+    require(keySchema.fieldNames.sameElements(Array("window", "event_type")),
+      s"unexpected state key layout: ${keySchema.simpleString}")
+    feed.select(
+        col("batch_id").cast("long").as("batch_id"),
+        col("change_type").cast("string").as("change_type"),
+        Tables.tsSeconds(col("key.window.start")).as("w_start"),
+        col("key.event_type").as("event_type"),
+        col("value.count").cast("long").as("n"))
+      .orderBy(col("batch_id"), col("w_start"), col("event_type"))
+  }
+
   /** q_stream_winnow — online MOSS admission: each arriving document's
     * winnowing fingerprint set ([[graft.operators.TextOps.qWinnowing]]'s
     * selection, computed HERE as one per-row array expression — the
@@ -2615,6 +2673,7 @@ object StreamOps extends Serializable {
     "q_stream_winnow"      -> qStreamWinnow _,
     "q_stream_bitmap"      -> qStreamBitmap _,
     "q_state_read"         -> qStateRead _,
+    "q_state_changefeed"   -> qStateChangefeed _,
     "q_stream_ohlc"        -> qStreamOhlc _,
     "q_stream_anomaly"     -> qStreamAnomaly _,
     "q_stream_tick_append" -> qStreamTickAppend _,
@@ -2898,6 +2957,31 @@ object StreamOps extends Serializable {
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    // Per-batch state deltas == consecutive prefix aggregates: the replay
+    // cut is the ceil(n/2)-th order statistic of raw microseconds (the
+    // stageReplayDir median split), batch 0 emits the tick-1 counts,
+    // batch 1 re-emits (with the accumulated two-tick count) exactly the
+    // groups a tick-2 row touched.
+    "q_state_changefeed" ->
+      """WITH us AS (
+        |  SELECT epoch_us(ts) AS tus, date_trunc('hour', ts) AS w, event_type
+        |  FROM events
+        |), cut AS (
+        |  SELECT max(tus) AS c FROM (
+        |    SELECT tus, row_number() OVER (ORDER BY tus) AS rn FROM us)
+        |  WHERE rn <= greatest((SELECT COUNT(*) FROM us) // 2, 1)
+        |)
+        |SELECT batch_id, change_type, w_start, event_type, n FROM (
+        |  SELECT CAST(0 AS BIGINT) AS batch_id, 'update' AS change_type,
+        |         strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |         COUNT(*) AS n
+        |  FROM us, cut WHERE tus <= c GROUP BY w, event_type
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'update',
+        |         strftime(w, '%Y-%m-%d %H:%M:%S'), event_type, COUNT(*)
+        |  FROM us GROUP BY w, event_type
+        |  HAVING COUNT(*) FILTER (WHERE tus > (SELECT c FROM cut)) > 0
+        |) ORDER BY batch_id, w_start, event_type""".stripMargin,
     "q_stream_distinct" ->
       """WITH wm AS (
         |  SELECT date_trunc('ms', MAX(ts)) - INTERVAL 70 MINUTE AS w FROM events

@@ -810,4 +810,67 @@ class RecoverySpec extends SparkSpec {
     assert(got == want && got.nonEmpty,
       "post-restart state-store contents must equal the batch plan")
   }
+
+  test("state change feed after restart: per-batch deltas equal the uninterrupted run's") {
+    // q_state_changefeed's surface, through a crash: the same two-drain
+    // replay against ONE checkpoint, then the change feed read over the
+    // whole batch range must record exactly the deltas the uninterrupted
+    // run records — batch 0 = tick-1 touched keys with tick-1 counts,
+    // batch 1 = keys a tick-2 row touched with ACCUMULATED counts. The
+    // restart must neither replay batch 0's changelog nor lose it.
+    val rocks = rocksSession()
+    val raw = StreamOps.eventsRawMicros(rocks, sfDir)
+    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    def feedOf(ckpt: String): Seq[(Long, String, Long, String, Long)] = {
+      val feed = rocks.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0").load(ckpt)
+      val rows = feed.select(col("batch_id").cast("long"),
+          col("change_type").cast("string"),
+          col("key.window.start").cast("long"),
+          col("key.event_type"), col("value.count").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getLong(4))).toSeq
+      // Normalize batch ids to their RANK so an empty admin batch in one
+      // schedule can't shift the comparison — the CONTENT per data batch
+      // is the contract.
+      val rank = rows.map(_._1).distinct.sorted.zipWithIndex.toMap
+      rows.map(r => (rank(r._1).toLong, r._2, r._3, r._4, r._5)).sorted
+    }
+    def drain(replay: java.nio.file.Path, ckpt: String, sink: String): Unit = {
+      val q = StreamOps.tumblingCounts(
+          StreamOps.eventsStream(rocks, replay.toString))
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("memory").queryName(sink).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // Interrupted: tick1, crash boundary, tick2 — one checkpoint.
+    val replayA = Files.createTempDirectory("graft_cfeed_replay_")
+    val ckptA = Files.createTempDirectory("graft_cfeed_ckpt_").toString
+    arriveTick(replayA, raw.filter(col("ts") <= cut), 1)
+    drain(replayA, ckptA, "cfeed_run1")
+    arriveTick(replayA, raw.filter(col("ts") > cut), 2)
+    drain(replayA, ckptA, "cfeed_run2")
+    val interrupted = feedOf(ckptA)
+    // Uninterrupted control: both ticks staged before one drain.
+    val replayB = Files.createTempDirectory("graft_cfeed_replayB_")
+    val ckptB = Files.createTempDirectory("graft_cfeed_ckptB_").toString
+    arriveTick(replayB, raw.filter(col("ts") <= cut), 1)
+    arriveTick(replayB, raw.filter(col("ts") > cut), 2)
+    drain(replayB, ckptB, "cfeed_whole")
+    val whole = feedOf(ckptB)
+    assert(interrupted == whole && whole.nonEmpty,
+      "restarted change feed must equal the uninterrupted run's deltas")
+    // And batch 1's deltas are exactly the tick-2-touched groups with
+    // accumulated counts (the incremental-audit contract).
+    val want2 = raw.filter(col("ts") > cut)
+      .select((col("ts") - pmod(col("ts"), lit(3600L * 1000000L))).as("w"),
+        col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0) / 1000000L, r.getString(1))).toSet
+    val got2 = interrupted.filter(_._1 == 1L).map(r => (r._3, r._4)).toSet
+    assert(got2 == want2 && got2.nonEmpty,
+      "batch-1 deltas must be exactly the tick-2-touched (window, type) keys")
+  }
 }
