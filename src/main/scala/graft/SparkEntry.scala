@@ -35,6 +35,7 @@ object SparkEntry {
       (Behavior.queries, Behavior.oracle),
       (Series.queries, Series.oracle),
       (RowLevelOps.queries, RowLevelOps.oracle),
+      (PipelineOps.queries, PipelineOps.oracle),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
       (graft.sources.FileSources.queries, graft.sources.FileSources.oracle),
       (graft.sources.WritePath.queries, graft.sources.WritePath.oracle),

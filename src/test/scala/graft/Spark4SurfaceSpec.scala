@@ -172,4 +172,39 @@ class Spark4SurfaceSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == direct && got.nonEmpty)
   }
+
+  test("q_sdp_pipeline: the declarative runtime schedules clean before its two dependents") {
+    import org.apache.spark.sql.pipelines.GraftPipelineBridge
+    import org.apache.spark.sql.pipelines.GraftPipelineBridge.TableSpec
+    val db = s"sdp_spec_${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val storage = java.nio.file.Files
+      .createTempDirectory("graft_sdp_spec_").toUri.toString
+    // clean fans out to TWO dependents — a real dataflow edge, so the
+    // runtime must finish clean's flow before starting either dependent.
+    val events = GraftPipelineBridge.runBatchPipeline(spark, db, Seq(
+      TableSpec("agg_a", "SELECT lang, COUNT(*) AS n FROM clean GROUP BY lang"),
+      TableSpec("clean",
+        s"SELECT * FROM parquet.`$sfDir/documents.parquet` WHERE n_chars >= 100"),
+      TableSpec("agg_b", "SELECT source, COUNT(*) AS n FROM clean GROUP BY source")
+    ), storage)
+    // Materialized tables are ordinary catalog tables afterwards.
+    val nClean = spark.table(s"$db.clean").count()
+    val wantClean = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("n_chars") >= 100).count()
+    assert(nClean == wantClean && nClean > 0)
+    assert(spark.table(s"$db.agg_a").count() > 0)
+    assert(spark.table(s"$db.agg_b").count() > 0)
+    // Scheduling order from the event log: clean's flow completes before
+    // either dependent flow starts (declaration order above is shuffled
+    // on purpose — the runtime must TOPOLOGICALLY sort, not run in order).
+    def idx(p: String): Int = events.indexWhere(_.matches(s"(?s).*$p.*"))
+    val cleanDone = idx(s"Flow spark_catalog\\.$db\\.clean has COMPLETED")
+    val aStart = idx(s"Flow spark_catalog\\.$db\\.agg_a is RUNNING")
+    val bStart = idx(s"Flow spark_catalog\\.$db\\.agg_b is RUNNING")
+    assert(cleanDone >= 0 && aStart >= 0 && bStart >= 0,
+      s"expected flow lifecycle events, got:\n${events.mkString("\n")}")
+    assert(cleanDone < aStart && cleanDone < bStart,
+      s"dependents must wait for clean: clean@$cleanDone a@$aStart b@$bStart")
+  }
 }
