@@ -270,7 +270,10 @@ object Series {
     * days swap the full DP for the Sakoe-Chiba band (cap |i−j| ≤ w in
     * the inner fold — same recurrence, O(n·w)).
     */
-  def qDtw(spark: SparkSession, d: String): DataFrame = {
+  /** Gap-filled per-type daily count series, paired (type_a < type_b) —
+    * the input relation both DTW forms fold over.
+    */
+  private def dailySeriesPairs(spark: SparkSession, d: String): DataFrame = {
     val ev = events(spark, d)
       .select(col("event_type"),
         expr("unix_micros(date_trunc('day', ts)) DIV 86400000000").as("dy"))
@@ -286,8 +289,12 @@ object Series {
       .select(col("event_type"), expr("transform(sc, x -> x.c)").as("s"))
     val a = ser.select(col("event_type").as("type_a"), col("s").as("sa"))
     val b = ser.select(col("event_type").as("type_b"), col("s").as("sb"))
-    val inf = "CAST(1000000000000000 AS BIGINT)"
     a.join(broadcast(b), col("type_a") < col("type_b"))
+  }
+
+  def qDtw(spark: SparkSession, d: String): DataFrame = {
+    val inf = "CAST(1000000000000000 AS BIGINT)"
+    dailySeriesPairs(spark, d)
       .select(col("type_a"), col("type_b"),
         expr(
           s"""element_at(
@@ -303,6 +310,58 @@ object Series {
              |          element_at(prev, size(curr)),
              |          element_at(curr, size(curr))))))),
              |  size(sb) + 1)""".stripMargin).as("dtw"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Sakoe-Chiba band half-width for [[qDtwBanded]]: alignments may lag
+    * by at most this many days. Stated identically in the oracle.
+    */
+  val DtwBand = 7
+
+  /** q_dtw_banded — [[qDtw]]'s documented years-of-days lever SHIPPED:
+    * the Sakoe-Chiba band caps |i−j| ≤ [[DtwBand]], and the DP rows are
+    * stored BAND-RELATIVE (2w+1 cells centered on the diagonal), so the
+    * fold does O(n·w) work and carries O(w) state — not the full O(n²)/
+    * O(n) of [[qDtw]] with cells merely masked. Row i's cell k holds
+    * d[i][i−w+k]; the recurrence's three neighbors land at prev[k+2]
+    * (=d[i−1][j]), prev[k+1] (=d[i−1][j−1]) and curr[k] (=d[i][j−1]),
+    * with off-band/off-grid neighbors pinned to the ∞ sentinel (at most
+    * one sentinel enters any sum — same overflow headroom argument as
+    * [[qDtw]]). Classic banding trade, stated exactly in the oracle:
+    * banded DTW ≥ full DTW (it forbids long warps), equal whenever the
+    * optimal path stays within the band — SeriesSpec pins both.
+    *
+    * Same plan shape as [[qDtw]]: one hash agg, broadcast grid fill,
+    * |types|²/2 broadcast pair join, DP inside the projection — no
+    * shuffle grows with the calendar.
+    */
+  def qDtwBanded(spark: SparkSession, d: String): DataFrame = {
+    val inf = "CAST(1000000000000000 AS BIGINT)"
+    val w = DtwBand
+    val width = 2 * w
+    dailySeriesPairs(spark, d)
+      .select(col("type_a"), col("type_b"),
+        expr(
+          s"""element_at(
+             |  aggregate(
+             |    sequence(1, size(sa)),
+             |    transform(sequence(0, $width),
+             |              k -> IF(k = $w, CAST(0 AS BIGINT), $inf)),
+             |    (prev, i) -> aggregate(
+             |      sequence(0, $width),
+             |      CAST(array() AS ARRAY<BIGINT>),
+             |      (curr, k) -> concat(curr, array(
+             |        CASE WHEN i - $w + k < 1 OR i - $w + k > size(sb)
+             |             THEN $inf
+             |        ELSE abs(element_at(sa, i) - element_at(sb, i - $w + k))
+             |             + least(
+             |                 CASE WHEN k + 2 > ${width + 1} THEN $inf
+             |                      ELSE element_at(prev, k + 2) END,
+             |                 element_at(prev, k + 1),
+             |                 CASE WHEN k = 0 THEN $inf
+             |                      ELSE element_at(curr, k) END)
+             |        END)))),
+             |  ${w + 1})""".stripMargin).as("dtw_banded"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -428,6 +487,7 @@ object Series {
     "q_pareto" -> qPareto _,
     "q_did" -> qDid _,
     "q_dtw" -> qDtw _,
+    "q_dtw_banded" -> qDtwBanded _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -525,6 +585,58 @@ object Series {
         |           prev[len(curr)],
         |           curr[len(curr)])])))[len(sb) + 1] AS dtw
         |FROM pairs ORDER BY type_a, type_b""".stripMargin,
+    // Band-relative Sakoe-Chiba rows: row i's cell k (0-based offset from
+    // the diagonal's left band edge) holds d[i][i-w+k]; the neighbors sit
+    // at prev[k+2], prev[k+1], curr[k] (1-based list indexing after the
+    // k=0 cell is appended). Same CTE chain as q_dtw; w stated literally.
+    "q_dtw_banded" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |         epoch_us(date_trunc('day', ts)) // 86400000000 AS dy,
+         |         COUNT(*) AS c
+         |  FROM events GROUP BY event_type, dy
+         |), bounds AS (SELECT MIN(dy) AS lo, MAX(dy) AS hi FROM ev),
+         |grid AS (
+         |  SELECT t.event_type,
+         |         unnest(generate_series(bounds.lo, bounds.hi)) AS dy
+         |  FROM (SELECT DISTINCT event_type FROM ev) t, bounds
+         |), ser AS (
+         |  SELECT g.event_type,
+         |         list(COALESCE(ev.c, 0) ORDER BY g.dy) AS s
+         |  FROM grid g LEFT JOIN ev
+         |    ON g.event_type = ev.event_type AND g.dy = ev.dy
+         |  GROUP BY g.event_type
+         |), pairs AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         a.s AS sa, b.s AS sb
+         |  FROM ser a JOIN ser b ON a.event_type < b.event_type
+         |)
+         |SELECT type_a, type_b,
+         |  list_reduce(
+         |    list_prepend(
+         |      list_transform(generate_series(0, ${2 * DtwBand}),
+         |        k -> CASE WHEN k = $DtwBand THEN CAST(0 AS BIGINT)
+         |                  ELSE CAST(1000000000000000 AS BIGINT) END),
+         |      list_transform(generate_series(1, len(sa)), i -> [i])),
+         |    (prev, ie) -> list_reduce(
+         |      list_prepend(
+         |        CAST([] AS BIGINT[]),
+         |        list_transform(generate_series(0, ${2 * DtwBand}), k -> [k])),
+         |      (curr, ke) -> list_concat(curr, [
+         |        CASE WHEN ie[1] - $DtwBand + ke[1] < 1
+         |               OR ie[1] - $DtwBand + ke[1] > len(sb)
+         |             THEN CAST(1000000000000000 AS BIGINT)
+         |        ELSE abs(sa[ie[1]] - sb[ie[1] - $DtwBand + ke[1]])
+         |             + least(
+         |                 CASE WHEN ke[1] + 2 > ${2 * DtwBand + 1}
+         |                      THEN CAST(1000000000000000 AS BIGINT)
+         |                      ELSE prev[ke[1] + 2] END,
+         |                 prev[ke[1] + 1],
+         |                 CASE WHEN ke[1] = 0
+         |                      THEN CAST(1000000000000000 AS BIGINT)
+         |                      ELSE curr[ke[1]] END)
+         |        END])))[${DtwBand + 1}] AS dtw_banded
+         |FROM pairs ORDER BY type_a, type_b""".stripMargin,
     "q_ohlc" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) // 21600000000 AS bucket, event_type,

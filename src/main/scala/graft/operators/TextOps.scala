@@ -2592,6 +2592,39 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** q_kmv_partial — [[qKmvDistinct]]'s documented PartialKMV pre-merge
+    * SHIPPED ([[graft.functions.KmvKMin]]): the per-lang k-min sketch is
+    * computed by a partial-aggregable typed Aggregator whose buffer is
+    * the bounded k-min distinct set, so each scan partition reduces its
+    * whole shingle-hash stream to ≤ [[KmvK]] longs per lang BEFORE the
+    * shuffle — the exchange carries ≤ k · partitions · |langs| values at
+    * any corpus size (the window form's shuffle is vocabulary-sized).
+    * No distinct(), no window, no sort: the theta-sketch merge identity
+    * run by the aggregation framework itself. Same estimator as
+    * [[qKmvDistinct]] ((k−1)·P/h_k; exact n_sketch below saturation), so
+    * the DuckDB oracle is the sequential kth-order-statistic — the green
+    * row proves order-free bounded pre-merge == the exact rank compute.
+    *
+    * Plan pin (PlanSpec): exactly ONE exchange (the lang-keyed
+    * partial→final boundary) and an ObjectHashAggregate pair — the
+    * corpus never reaches a sort or a distinct shuffle.
+    */
+  def qKmvPartial(spark: SparkSession, d: String): DataFrame = {
+    val kmin = graft.functions.KmvKMin.kmvKMin(KmvK) _
+    tokenized(spark, d)
+      .select(col("lang"), explode(expr(ShingleArrayExpr)).as("s"))
+      .select(col("lang"), (md5Long(col("s"), 15) % P).as("h"))
+      .groupBy(col("lang"))
+      .agg(kmin(col("h")).as("kmv"))
+      .select(col("lang"), col("kmv.hk").as("hk"),
+        col("kmv.n_sketch").as("n_sketch"),
+        when(col("kmv.hk").isNotNull,
+          lit((KmvK - 1).toDouble) * lit(P.toDouble) /
+            col("kmv.hk").cast("double"))
+          .otherwise(col("kmv.n_sketch").cast("double")).as("est"))
+      .orderBy(col("lang"))
+  }
+
   /** q_kmv_overlap — the SKETCH path for cross-feed content overlap:
     * per-source KMV sketches ([[KmvK]]-minimum shingle hashes) estimate
     * every source pair's |A|, |B|, |A∪B| (kth smallest of the MERGED
@@ -3407,6 +3440,7 @@ object TextOps {
     "q_ppl_buckets"   -> qPplBuckets _,
     "q_dup_inflation" -> qDupInflation _,
     "q_kmv_distinct"  -> qKmvDistinct _,
+    "q_kmv_partial"   -> qKmvPartial _,
     "q_kmv_overlap"   -> qKmvOverlap _,
     "q_winnowing"     -> qWinnowing _,
     "q_winnow_pairs"  -> qWinnowPairs _,
@@ -3889,6 +3923,34 @@ object TextOps {
          |SELECT source_a, source_b, est_a, est_b, est_union,
          |       greatest(0.0, est_a + est_b - est_union) AS est_inter
          |FROM pu ORDER BY source_a, source_b""".stripMargin,
+    // Same kth-order-statistic oracle family as q_kmv_distinct, minus the
+    // exact-count column (the partial form never materializes the exact
+    // relation — n_sketch is least(distinct, k) by construction).
+    "q_kmv_partial" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT lang,
+         |         ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS h
+         |  FROM (SELECT lang, unnest(list_distinct(list_transform(
+         |          list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
+         |          z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS s
+         |        FROM (SELECT lang, string_split(text, ' ') AS toks
+         |              FROM documents))
+         |), ex AS (
+         |  SELECT lang, COUNT(*) AS nd FROM h GROUP BY lang
+         |), kth AS (
+         |  SELECT lang, h AS hk FROM (
+         |    SELECT lang, h,
+         |           row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |    FROM h)
+         |  WHERE rn = $KmvK
+         |)
+         |SELECT ex.lang, hk, least(nd, $KmvK) AS n_sketch,
+         |       CASE WHEN hk IS NOT NULL
+         |            THEN ${(KmvK - 1).toDouble} * ${P.toDouble}
+         |                 / CAST(hk AS DOUBLE)
+         |            ELSE CAST(nd AS DOUBLE) END AS est
+         |FROM ex LEFT JOIN kth ON ex.lang = kth.lang
+         |ORDER BY ex.lang""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH h AS (
          |  SELECT DISTINCT lang,

@@ -47,7 +47,11 @@ class InvarianceSpec extends SparkSpec {
       "q_adamic_adar", "q_keywords",
       // Round-11: the two-stage rerank's pinned VecDot cosine chains, the
       // budget curve's cached cuts, and the cross-split leakage cosines.
-      "q_ann_rerank", "q_rerank_budget", "q_semantic_leakage"))
+      "q_ann_rerank", "q_rerank_budget", "q_semantic_leakage",
+      // Round-12: the bounded k-min typed Aggregator — different
+      // partition counts mean different pre-merge groupings and merge
+      // orders, exactly what its set-function claim must survive.
+      "q_kmv_partial"))
     test(s"$q is bit-identical under shuffle.partitions 2 vs 7") {
       val a = collectWith(2, q)
       val b = collectWith(7, q)

@@ -972,4 +972,37 @@ class PlanSpec extends SparkSpec {
         s"projection (saw $cacheHits InMemoryTableScans):\n$p")
   }
 
+  test("q_kmv_partial bounds the shuffle structurally: one lang exchange over bounded buffers") {
+    val p = plan(graft.operators.TextOps.queries("q_kmv_partial")(spark, sfDir))
+    // The whole point of the PartialKMV pre-merge: the ONLY hash exchange
+    // is the lang-keyed partial→final aggregation boundary, carrying one
+    // ≤k-long buffer per (lang, partition) — no distinct shuffle, no
+    // window, no rank sort over the vocabulary.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly one exchange (the partial→final boundary):\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the typed k-min Aggregator must run as an object hash aggregate " +
+        s"(partial + final stages):\n$p")
+    assert(!p.contains("Window"),
+      s"no rank window — the kth value comes from the bounded buffer:\n$p")
+    // Both aggregate stages present: partial below the exchange, final
+    // above (the map-side pre-merge is the documented k·partitions bound).
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial AND final object-hash stages:\n$p")
+  }
+
+  test("q_dtw_banded keeps q_dtw's no-shuffle pair shape (DP inside the projection)") {
+    val pb = plan(graft.operators.Series.queries("q_dtw_banded")(spark, sfDir))
+    val pf = plan(graft.operators.Series.queries("q_dtw")(spark, sfDir))
+    // The band changes per-cell WORK (O(n·w) rows of width 2w+1), not the
+    // plan: same exchanges as the full DP, pairs via broadcast, no
+    // cartesian, no extra shuffle introduced by the banding.
+    assert("Exchange hashpartitioning".r.findAllIn(pb).length ==
+      "Exchange hashpartitioning".r.findAllIn(pf).length,
+      s"banding must not add a shuffle:\nbanded:\n$pb\nfull:\n$pf")
+    assert(pb.contains("BroadcastNestedLoopJoin") || pb.contains("BroadcastHashJoin"),
+      s"pair join must broadcast the |types|-row side:\n$pb")
+    assert(!pb.contains("CartesianProduct"), s"no cartesian:\n$pb")
+  }
+
 }

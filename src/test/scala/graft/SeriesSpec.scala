@@ -200,6 +200,51 @@ class SeriesSpec extends SparkSpec {
     }
   }
 
+  test("q_dtw_banded equals the brute-force banded DP; band only ever tightens the warp") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 86400000L))
+    val days = ev.map(_._2)
+    val (lo, hi) = (days.min, days.max)
+    val series: Map[String, Array[Long]] = ev.map(_._1).distinct.sorted.map { t =>
+      val byDay = ev.filter(_._1 == t).groupBy(_._2).view.mapValues(_.length.toLong)
+      t -> (lo to hi).map(d => byDay.getOrElse(d, 0L)).toArray
+    }.toMap
+
+    // Brute-force SAKOE-CHIBA DP over FULL-WIDTH rows (the obviously-
+    // correct masked form) — the query's band-relative O(n·w) rows must
+    // reproduce it cell-for-cell at the corner.
+    def dtwBanded(a: Array[Long], b: Array[Long], w: Int): Long = {
+      val INF = 1000000000000000L
+      var prev = Array.fill(b.length + 1)(INF); prev(0) = 0L
+      for (i <- 1 to a.length) {
+        val curr = Array.fill(b.length + 1)(INF)
+        for (j <- 1 to b.length if math.abs(i - j) <= w)
+          curr(j) = math.abs(a(i - 1) - b(j - 1)) +
+            math.min(prev(j), math.min(prev(j - 1), curr(j - 1)))
+        prev = curr
+      }
+      prev(b.length)
+    }
+    def dtwFull(a: Array[Long], b: Array[Long]): Long =
+      dtwBanded(a, b, math.max(a.length, b.length))
+
+    val got = Series.qDtwBanded(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (sa, sb) = (series(r.getString(0)), series(r.getString(1)))
+      val want = dtwBanded(sa, sb, Series.DtwBand)
+      assert(r.getLong(2) == want,
+        s"banded dtw(${r.getString(0)}, ${r.getString(1)})")
+      // Banding forbids long warps: banded >= full, always.
+      assert(r.getLong(2) >= dtwFull(sa, sb),
+        "the band can only restrict the alignment space")
+      // And a band at least as wide as the series is the full DP.
+      assert(dtwBanded(sa, sb, math.max(sa.length, sb.length)) ==
+        dtwFull(sa, sb))
+    }
+  }
+
   test("q_seasonal_backtest replays the gap-filled lag errors brute-force") {
     val rows = Tables.events(spark, sfDir)
       .select(col("event_type"), unix_micros(date_trunc("day", col("ts")))).collect()

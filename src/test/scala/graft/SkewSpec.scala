@@ -93,4 +93,50 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected, "AQE and non-AQE candidate sets must be identical")
   }
+
+  test("AQE does NOT split a skewed bucketed join (no exchange to re-plan) — the manual-salting regime") {
+    // q_salted_join's scaladoc (Analytics.scala) names where
+    // OptimizeSkewedJoin cannot reach: bucketed/pre-partitioned inputs.
+    // The rule re-splits SHUFFLE output partitions; a co-located bucketed
+    // join has no shuffle stage on either side, so the hot bucket stays
+    // whole no matter how aggressive the skew thresholds are — the regime
+    // where the manual salting lever (q_salted_agg/q_salted_join) is the
+    // only spreader. Same skewed data and same forced thresholds as the
+    // first test, which DOES split once a shuffle exists.
+    val base = java.nio.file.Files.createTempDirectory("graft_skewbkt_").toString
+    val skewed = spark.newSession()
+    skewed.conf.set("spark.sql.adaptive.enabled", "true")
+    skewed.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    skewed.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    skewed.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    skewed.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    skewed.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+    skewed.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    skewed.conf.set("spark.sql.shuffle.partitions", "4")
+    import skewed.implicits._
+    try {
+      skewed.range(0, 55000)
+        .select(when($"id" < 50000, lit(0L)).otherwise($"id" % 100).as("k"),
+          $"id".as("v"))
+        .write.bucketBy(4, "k").option("path", s"$base/skew_left")
+        .saveAsTable("skew_left_b")
+      skewed.range(0, 100).select($"id".as("k"), ($"id" * 10).as("w"))
+        .write.bucketBy(4, "k").option("path", s"$base/skew_right")
+        .saveAsTable("skew_right_b")
+      val joined = skewed.table("skew_left_b")
+        .join(skewed.table("skew_right_b"), "k")
+      val n = joined.collect().length
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), "plan must have executed")
+      assert(!finalPlan.contains("Exchange hashpartitioning"),
+        s"bucketed join must stay co-located (no shuffle):\n$finalPlan")
+      assert(!finalPlan.contains("skew=true"),
+        "OptimizeSkewedJoin must NOT fire on a bucketed join — there is " +
+          s"no shuffle partition to re-split:\n$finalPlan")
+      assert(n == 55000, s"join result must be complete, got $n")
+    } finally {
+      skewed.sql("DROP TABLE IF EXISTS skew_left_b")
+      skewed.sql("DROP TABLE IF EXISTS skew_right_b")
+    }
+  }
 }

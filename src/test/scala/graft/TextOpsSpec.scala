@@ -611,6 +611,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_partial: the bounded pre-merge Aggregator equals the rank form's sketch") {
+    // Same estimator, different machinery: q_kmv_distinct materializes
+    // the distinct (lang, h) relation and ranks; q_kmv_partial keeps a
+    // bounded k-min buffer through map-side partial aggregation. The
+    // sketch columns (hk, est) must agree exactly, and n_sketch is
+    // least(exact, k) by construction.
+    val distinctForm = TextOps.qKmvDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3))).toSeq
+    val got = TextOps.qKmvPartial(spark, sfDir).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty && got.length == distinctForm.length)
+    got.zip(distinctForm).foreach { case ((lang, hk, nSketch, est),
+                                          (lang2, nExact, hk2, est2)) =>
+      assert(lang == lang2)
+      assert(hk == hk2, s"$lang: kth hash diverged ($hk vs $hk2)")
+      assert(est == est2, s"$lang: estimate diverged")
+      assert(nSketch == math.min(nExact, TextOps.KmvK.toLong),
+        s"$lang: n_sketch must be least(exact, k)")
+    }
+  }
+
   test("q_winnowing fingerprints match the hand-rolled MOSS selection") {
     val want = docs.toSeq.flatMap { case (id, text) =>
       val toks = text.split(" ")
