@@ -973,7 +973,7 @@ object StreamOps extends Serializable {
     * batch sizes, where per-batch state deltas dwarf the fixed costs
     * measurable on replay-sized batches.)
     */
-  private def startWithStatePartitions[A](spark: SparkSession, n: Int = 8)
+  private[graft] def startWithStatePartitions[A](spark: SparkSession, n: Int = 8)
                                          (start: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     // Changelog checkpointing is the production RocksDB configuration:
@@ -1776,7 +1776,7 @@ object StreamOps extends Serializable {
     * INTEGER comparisons (stop·2 ≤ n, uniq·25 ≥ n·8) — no float
     * boundary to disagree across engines.
     */
-  private def qualityKeepExpr: org.apache.spark.sql.Column = {
+  private[graft] def qualityKeepExpr: org.apache.spark.sql.Column = {
     val toks = split(col("text"), " ")
     (size(toks) >= 10) &&
       (expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))") * 2
