@@ -21,10 +21,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale shape: the MERGE source join is a plain equi-join on the key
   * (planner picks broadcast vs shuffle from stats); the rewrite reads the
-  * affected group once and writes its replacement once — O(group) I/O,
-  * the copy-on-write trade. With the minimal whole-table group that's a
-  * full rewrite per statement; the API's production narrowing (file-level
-  * groups + runtime group filtering, or `SupportsDelta` merge-on-read) is
+  * affected groups once and writes their replacements once — O(affected
+  * groups) I/O, the copy-on-write trade. Groups are FILES: Catalyst's
+  * runtime group filter narrows the rewrite to files containing matches
+  * (CowCatalogSpec pins a 4-file table where a one-range MERGE rewrites
+  * exactly one file), so a sparse MERGE against a huge table touches only
+  * its hot files; the remaining lever (`SupportsDelta` merge-on-read) is
   * noted in [[graft.sources.CowCatalog]]'s scaladoc.
   */
 object RowLevelOps {

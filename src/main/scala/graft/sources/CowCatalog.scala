@@ -44,12 +44,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - [[CowRowLevelOperation]]: GROUP-BASED (no `SupportsDelta`), so
   *    Catalyst's `RewriteMergeIntoTable`/`RewriteUpdateTable`/
   *    `RewriteDeleteFromTable` plan a `ReplaceData` over the op's own scan
-  *    and the commit atomically swaps the whole affected group for the
-  *    rewritten rows. The group here is the WHOLE TABLE (
-  *    `requiredMetadataAttributes` is empty): the honest minimal COW. At
-  *    100 TB the groups are FILES — the same API carries `_file` metadata
-  *    attributes + runtime group filtering so only files containing
-  *    matches are rewritten; that narrowing is scope-noted, not faked.
+  *    and the commit atomically swaps the affected groups for the
+  *    rewritten rows. Groups are FILES: the operation requires the
+  *    [[CowFileColumn]] `_file` metadata column, the scan serves it and
+  *    accepts Catalyst's runtime group filter
+  *    (`RowLevelOperationRuntimeGroupFiltering` injects
+  *    `_file IN (matching groups)` via `SupportsRuntimeV2Filtering`), and
+  *    the commit replaces exactly the files the filtered scan read —
+  *    I/O is O(affected groups), not O(table), which is what makes
+  *    copy-on-write usable at 100 TB. A command whose matches touch
+  *    every file degrades gracefully to the full rewrite.
   *  - Commits REPLACE the pointer, never delete superseded files: an
   *    in-flight scan planned against version N keeps reading N's files
   *    after a concurrent commit of N+1 (reader snapshot isolation, the
@@ -103,17 +107,22 @@ object CowStore {
     }
   }
 
-  /** Publish a write: `replace = true` swaps the whole file list (the
-    * row-level ReplaceData commit and INSERT OVERWRITE), `false` appends.
-    * Synchronized pointer swap = the atomic commit; superseded files stay
-    * on disk for in-flight readers of older versions.
+  /** Publish a write: `remove = None` appends; `remove = Some(gone)`
+    * replaces exactly those files with the new ones — the GROUP-LEVEL
+    * copy-on-write commit (whole-table replace = `gone` being every
+    * current file; INSERT OVERWRITE passes exactly that). Synchronized
+    * pointer swap = the atomic commit; superseded files stay on disk for
+    * in-flight readers of older versions.
     */
   def commit(catalog: String, ident: Identifier, newFiles: Seq[String],
-             replace: Boolean): Unit = synchronized {
+             remove: Option[Set[String]]): Unit = synchronized {
     val k = key(catalog, ident)
     val st = Option(tables.get(k)).getOrElse(
       throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
-    val files = if (replace) newFiles.toVector else st.files ++ newFiles
+    val files = remove match {
+      case None       => st.files ++ newFiles
+      case Some(gone) => st.files.filterNot(gone) ++ newFiles
+    }
     tables.put(k, st.copy(version = st.version + 1, files = files))
   }
 }
@@ -153,9 +162,23 @@ class CowCatalog extends TableCatalog {
     throw new UnsupportedOperationException("graft-cow: RENAME not supported")
 }
 
+/** The `_file` metadata column — the GROUP identity of the copy-on-write
+  * scheme (Iceberg's `_file` in miniature): the row-level operation
+  * requires it, the scan serves it, and the runtime group filter prunes
+  * on it so a MERGE/UPDATE/DELETE rewrites only the files that contain
+  * matches.
+  */
+object CowFileColumn extends MetadataColumn {
+  val Name = "_file"
+  override def name(): String = Name
+  override def dataType(): org.apache.spark.sql.types.DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String = "graft-cow source file (COW group id)"
+}
+
 class CowTable(catalog: String, ident: Identifier)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private def state: CowStore.State =
     CowStore.get(catalog, ident).getOrElse(
@@ -164,6 +187,7 @@ class CowTable(catalog: String, ident: Identifier)
   override def name(): String =
     (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".")
   override def schema(): StructType = state.schema
+  override def metadataColumns(): Array[MetadataColumn] = Array(CowFileColumn)
   override def capabilities(): java.util.Set[TableCapability] = {
     val s = new java.util.HashSet[TableCapability]()
     s.add(TableCapability.BATCH_READ)
@@ -173,56 +197,141 @@ class CowTable(catalog: String, ident: Identifier)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CowScanBuilder(name(), state)
+    new CowScanBuilder(name(), state, op = None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new CowWriteBuilder(catalog, ident, state, replaceAll = false, info.schema())
+    new CowWriteBuilder(catalog, ident, state, op = None, info.schema())
 
-  /** Group-based row-level operation: MERGE/UPDATE/DELETE read through the
-    * op's scan and commit a full replace of the (single, whole-table)
-    * group. No `SupportsDelta` ⇒ Catalyst plans `ReplaceData`.
+  /** Group-based row-level operation with FILE-LEVEL groups:
+    * MERGE/UPDATE/DELETE read through the op's scan (which serves the
+    * `_file` metadata column and accepts the runtime group filter), and
+    * the commit replaces exactly the files the filtered scan read. No
+    * `SupportsDelta` ⇒ Catalyst plans `ReplaceData`; with
+    * `requiredMetadataAttributes = [_file]`,
+    * `RowLevelOperationRuntimeGroupFiltering` injects the dynamic
+    * IN-subquery that narrows the rewrite to matching groups.
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new RowLevelOperation {
-      override def command(): RowLevelOperation.Command = info.command()
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new CowScanBuilder(name(), state)
-      override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-        new CowWriteBuilder(catalog, ident, state, replaceAll = true,
-          info.schema())
-      override def description(): String =
-        s"graft-cow ${info.command()} on ${name()} (group = whole table)"
-    }
+    () => new CowRowLevelOperation(catalog, ident, name(), state, info)
+}
+
+/** One row-level command's shared context: the SAME operation instance
+  * backs the target scan and the replacing write (that is
+  * `RowLevelOperationTable`'s contract), so the scan records here which
+  * files the (possibly runtime-group-filtered) read actually served and
+  * the write's commit removes exactly those.
+  */
+class CowRowLevelOperation(catalog: String, ident: Identifier,
+                           tableName: String, state: CowStore.State,
+                           info: RowLevelOperationInfo)
+    extends RowLevelOperation {
+  /** Files the op's scan will read — the groups being rewritten. Set at
+    * scan-snapshot time (all current files), narrowed by the runtime
+    * group filter when it fires.
+    */
+  val scannedFiles = new java.util.concurrent.atomic.AtomicReference[Set[String]](
+    state.files.toSet)
+
+  override def command(): RowLevelOperation.Command = info.command()
+
+  override def requiredMetadataAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(CowFileColumn.Name))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CowScanBuilder(tableName, state, op = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new CowWriteBuilder(catalog, ident, state, op = Some(this), info.schema())
+
+  override def description(): String =
+    s"graft-cow ${info.command()} on $tableName (groups = files)"
 }
 
 /** Column pruning pushed down to the parquet reader's projection — same
-  * I/O-layer contract as [[ReplayReaderFactory]].
+  * I/O-layer contract as [[ReplayReaderFactory]]. The required schema may
+  * include the [[CowFileColumn]] metadata column (row-level op scans ask
+  * for it); it is synthesized per partition, never read from parquet.
   */
-class CowScanBuilder(tableName: String, state: CowStore.State)
+class CowScanBuilder(tableName: String, state: CowStore.State,
+                     op: Option[CowRowLevelOperation])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = state.schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(
-      state.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+      state.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)) ++
+        requiredSchema.fields.filter(_.name == CowFileColumn.Name))
 
-  override def build(): Scan = new Scan {
-    // Snapshot at plan time: the file list this scan will read is pinned
-    // here, so a later commit (including the row-level op this scan may be
-    // feeding) never changes what an already-planned query reads.
-    private val files = state.files
-    override def readSchema(): StructType = required
-    override def description(): String =
-      s"graft-cow scan of $tableName v${state.version} " +
-        s"[${required.fieldNames.mkString(",")}] (${files.size} files)"
-    override def toBatch: Batch = new Batch {
-      override def planInputPartitions(): Array[InputPartition] =
-        files.map(CowFilePartition(_): InputPartition).toArray
-      override def createReaderFactory(): PartitionReaderFactory =
-        CowReaderFactory(required, state.schema)
+  override def build(): Scan = new CowScan(tableName, state, required, op)
+}
+
+/** Snapshot at plan time: the file list this scan will read is pinned at
+  * construction, so a later commit (including the row-level op this scan
+  * may be feeding) never changes what an already-planned query reads.
+  * For row-level op scans, [[SupportsRuntimeV2Filtering]] accepts the
+  * group filter Catalyst injects (`_file IN (matching groups)`): the file
+  * list narrows to the matching groups, and the shared
+  * [[CowRowLevelOperation]] records them so the commit replaces exactly
+  * what was read.
+  */
+class CowScan(tableName: String, state: CowStore.State,
+              required: StructType, op: Option[CowRowLevelOperation])
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  @volatile private var files: Vector[String] = state.files
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (op.isDefined) Array(Expressions.column(CowFileColumn.Name)) else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    // Collect the IN/= sets on _file; unparseable predicates are ignored
+    // (pruning is optional — correctness never depends on it).
+    val keeps = predicates.flatMap(inFileSet)
+    if (keeps.nonEmpty) {
+      val keep = keeps.reduce(_ intersect _)
+      files = files.filter(keep)
+      op.foreach(_.scannedFiles.set(files.toSet))
     }
   }
+
+  private def inFileSet(p: Predicate): Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit}
+    def refIsFile(e: V2Expr) = e match {
+      case r: NamedReference => r.fieldNames().sameElements(Array(CowFileColumn.Name))
+      case _ => false
+    }
+    // Match the public Literal interface (LiteralValue is private[sql]).
+    def strLit(e: V2Expr): Option[String] = e match {
+      case l: V2Lit[_] if l.dataType() == StringType =>
+        Option(l.value()).map(_.toString)
+      case _ => None
+    }
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.nonEmpty && refIsFile(kids.head) =>
+        val vals = kids.tail.flatMap(strLit)
+        if (vals.length == kids.length - 1) Some(vals.toSet) else None
+      case "=" if kids.length == 2 && refIsFile(kids.head) =>
+        strLit(kids(1)).map(Set(_))
+      case _ => None
+    }
+  }
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-cow scan of $tableName v${state.version} " +
+      s"[${required.fieldNames.mkString(",")}] (${files.size} files)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(CowFilePartition(_): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    CowReaderFactory(required, state.schema)
 }
 
 case class CowFilePartition(file: String) extends InputPartition
@@ -235,10 +344,14 @@ case class CowFilePartition(file: String) extends InputPartition
 case class CowReaderFactory(schema: StructType, tableSchema: StructType)
     extends PartitionReaderFactory {
 
-  // A column-less required schema (count(*) scans) still needs one parquet
-  // column to drive row iteration; fall back to the narrowest table column.
-  private def physicalFields =
-    if (schema.fields.isEmpty) tableSchema.fields.take(1) else schema.fields
+  // The _file metadata column is synthesized per partition, never decoded
+  // from parquet. A physically column-less projection (count(*) scans, or
+  // _file-only reads) still needs one parquet column to drive row
+  // iteration; fall back to the narrowest table column.
+  private def physicalFields = {
+    val data = schema.fields.filter(_.name != CowFileColumn.Name)
+    if (data.isEmpty) tableSchema.fields.take(1) else data
+  }
 
   private def parquetProjection: String =
     physicalFields.map { f =>
@@ -268,6 +381,8 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
         current != null
       }
 
+      private val filePath = UTF8String.fromString(file)
+
       override def get(): InternalRow = {
         val g = current
         def has(name: String): Boolean = {
@@ -275,7 +390,8 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
           g.getFieldRepetitionCount(i) > 0
         }
         new GenericInternalRow(schema.fields.map[Any] { f =>
-          if (!has(f.name)) null
+          if (f.name == CowFileColumn.Name) filePath
+          else if (!has(f.name)) null
           else f.dataType match {
             case LongType   => g.getLong(g.getType.getFieldIndex(f.name), 0)
             case DoubleType => g.getDouble(g.getType.getFieldIndex(f.name), 0)
@@ -290,28 +406,42 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
   }
 }
 
-/** Append by default; `truncate()` (INSERT OVERWRITE) and the row-level
-  * replace both commit with `replace = true`.
+/** Append by default; `truncate()` (INSERT OVERWRITE) replaces every
+  * current file; a row-level write (`op` present) replaces exactly the
+  * files the op's (runtime-group-filtered) scan served.
   */
 class CowWriteBuilder(catalog: String, ident: Identifier,
-                      state: CowStore.State, replaceAll: Boolean,
-                      writeSchema: StructType)
+                      state: CowStore.State, op: Option[CowRowLevelOperation],
+                      writeSchema: StructType, truncateAll: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
-    new CowWriteBuilder(catalog, ident, state, replaceAll = true, writeSchema)
+    new CowWriteBuilder(catalog, ident, state, op, writeSchema,
+      truncateAll = true)
 
   override def build(): Write = new Write {
-    override def description(): String =
-      s"graft-cow ${if (replaceAll) "replace" else "append"} to " +
+    override def description(): String = {
+      val mode =
+        if (op.isDefined) "replace-groups"
+        else if (truncateAll) "truncate" else "append"
+      s"graft-cow $mode to " +
         (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+    }
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         CowWriterFactory(state.dir, writeSchema, state.schema)
-      override def commit(messages: Array[WriterCommitMessage]): Unit =
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        // Row-level ops remove the scanned (= rewritten) groups; truncate
+        // removes everything current; append removes nothing. Reading the
+        // op's record HERE — after the rewrite query ran — picks up the
+        // runtime group filter's narrowing.
+        val remove =
+          op.map(_.scannedFiles.get())
+            .orElse(if (truncateAll) Some(state.files.toSet) else None)
         CowStore.commit(catalog, ident,
           messages.flatMap(_.asInstanceOf[CowCommitMessage].files).toSeq,
-          replace = replaceAll)
+          remove)
+      }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.foreach {
           case CowCommitMessage(files) => files.foreach { f =>
@@ -389,6 +519,15 @@ case class CowWriterFactory(dir: String, writeSchema: StructType,
         off
       }
       private var rows = 0L
+
+      // The metadata-paired write path (DataAndMetadataWritingSparkTask —
+      // taken whenever the row-level operation requests metadata
+      // attributes, as this one does for `_file`): the data row arrives
+      // ALREADY projected to the declared write schema, the metadata row
+      // (the source `_file`) is not persisted — group membership of the
+      // OUTPUT files is the commit's concern, not the row's.
+      override def write(meta: InternalRow, row: InternalRow): Unit =
+        write(row)
 
       override def write(row: InternalRow): Unit = {
         val off = leadOffset(row)

@@ -149,8 +149,11 @@ class CowCatalogSpec extends SparkSpec {
     spark.sql(s"DELETE FROM $tbl WHERE id < 10")
     val after = CowStore.get(cat, ident).get
     assert(after.version == 2L)
-    assert(after.files.toSet.intersect(before.files.toSet).isEmpty,
-      "COW delete must swap in rewritten files")
+    // File-group COW: the files whose rows matched were swapped for
+    // rewritten ones; files without matches survive IDENTICALLY (the
+    // runtime group filter's point — see the dedicated test below).
+    val replaced = before.files.toSet -- after.files.toSet
+    assert(replaced.nonEmpty, "a matching group must have been rewritten")
     // Old version's files still on disk — an in-flight scan planned
     // against v1 keeps reading them.
     assert(before.files.forall(f => new java.io.File(f).exists()),
@@ -159,6 +162,47 @@ class CowCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT OVERWRITE $tbl SELECT id, 'o', id FROM range(0, 3)")
     val rows = spark.table(tbl).collect()
     assert(rows.length == 3 && rows.forall(_.getString(1) == "o"))
+  }
+
+  test("runtime group filtering narrows the rewrite to files containing matches") {
+    // Four single-file inserts with disjoint key ranges → four groups
+    // whose membership is known exactly. A MERGE touching only range
+    // [0, 5) must rewrite ONLY that file: the other three survive in the
+    // committed state byte-identically (same paths), and total I/O is
+    // O(affected groups) — the property that makes copy-on-write usable
+    // at 100 TB (Catalyst's RowLevelOperationRuntimeGroupFiltering
+    // injects `_file IN (matching groups)`, served by the scan's
+    // SupportsRuntimeV2Filtering).
+    val tbl = fresh("groups")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)")
+    for (lo <- Seq(0, 5, 10, 15))
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT id, concat('t', CAST(id AS STRING)), id * 10
+           |FROM range($lo, ${lo + 5}, 1, 1)""".stripMargin)
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("spec"), tbl.split("\\.").last)
+    val before = CowStore.get(cat, ident).get
+    assert(before.files.length == 4, s"expected 4 groups: ${before.files}")
+    // Store order == insert order (commits append): file 0 is range(0,5).
+    val loFile = before.files.head
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT id, id * 100 AS nv FROM range(0, 5)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |""".stripMargin)
+    val after = CowStore.get(cat, ident).get
+    val survivors = after.files.toSet.intersect(before.files.toSet)
+    assert(survivors == before.files.toSet - loFile,
+      s"only the matching group may be rewritten — before=${before.files} " +
+        s"after=${after.files}")
+    assert(!after.files.contains(loFile), "the matched group must be swapped")
+    // And the table content is the full correct state.
+    val got = spark.table(tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val want = (0L until 20L).map(i => (i, if (i < 5) i * 100 else i * 10))
+    assert(got == want)
   }
 
   test("registered row-level queries return the documented shapes on the fixture") {
