@@ -32,7 +32,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object RowLevelOps {
   private val CatalogName = "graft_cow"
 
-  private def ensureCatalog(spark: SparkSession): Unit =
+  private[graft] def ensureCatalog(spark: SparkSession): Unit =
     if (spark.conf.getOption(s"spark.sql.catalog.$CatalogName").isEmpty)
       spark.conf.set(s"spark.sql.catalog.$CatalogName",
         classOf[CowCatalog].getName)
@@ -98,10 +98,31 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** q_time_travel — `VERSION AS OF` reads on the COW catalog: because
+    * commits swap a version pointer and never delete superseded files,
+    * every commit's file list stays readable. The query UPDATEs the base
+    * table (commit 2) and joins the CURRENT state against `VERSION AS OF
+    * 1` (the insert commit) — the audit/debug/reproducibility read every
+    * lakehouse exposes, here proving both that the old snapshot is
+    * intact post-rewrite and that exactly the predicate's rows changed.
+    */
+  def qTimeTravel(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "tt")
+    spark.sql(s"UPDATE $tbl SET score = score + 1000 WHERE doc_id % 5 = 0")
+    spark.sql(
+      s"""SELECT c.doc_id, b.score AS score_v1, c.score AS score_now,
+         |       c.score <> b.score AS changed
+         |FROM $tbl c
+         |JOIN (SELECT doc_id, score FROM $tbl VERSION AS OF 1) b
+         |  ON c.doc_id = b.doc_id
+         |ORDER BY c.doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_into"   -> qMergeInto _,
     "q_update_where" -> qUpdateWhere _,
     "q_delete_where" -> qDeleteWhere _,
+    "q_time_travel"  -> qTimeTravel _,
   )
 
   /** DuckDB rebuilds the final state declaratively from the same
@@ -137,5 +158,11 @@ object RowLevelOps {
         |FROM documents
         |WHERE doc_id % 3 <> 0 AND NOT (n_chars % 4 < 2)
         |ORDER BY doc_id""".stripMargin,
+    "q_time_travel" ->
+      """SELECT doc_id, n_chars AS score_v1,
+        |       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END
+        |         AS score_now,
+        |       doc_id % 5 = 0 AS changed
+        |FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -70,9 +70,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * at CREATE.
   */
 object CowStore {
-  /** One table version: the current schema and the immutable file list. */
+  /** One table version: the current schema and the immutable file list,
+    * plus the full version → file-list history (commits never delete
+    * superseded files, so every retained version stays READABLE — the
+    * snapshot/time-travel contract; vacuuming is out of scope).
+    */
   final case class State(schema: StructType, version: Long,
-                         files: Vector[String], dir: String)
+                         files: Vector[String], dir: String,
+                         history: Map[Long, Vector[String]] = Map(0L -> Vector.empty)) {
+    def filesAt(v: Long): Vector[String] =
+      history.getOrElse(v,
+        throw new IllegalArgumentException(
+          s"graft-cow: no such version $v (have ${history.keys.toSeq.sorted})"))
+  }
 
   private val tables = new ConcurrentHashMap[String, State]()
 
@@ -123,7 +133,8 @@ object CowStore {
       case None       => st.files ++ newFiles
       case Some(gone) => st.files.filterNot(gone) ++ newFiles
     }
-    tables.put(k, st.copy(version = st.version + 1, files = files))
+    tables.put(k, st.copy(version = st.version + 1, files = files,
+      history = st.history + ((st.version + 1) -> files)))
   }
 }
 
@@ -141,6 +152,21 @@ class CowCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table =
     CowStore.get(catalogName, ident)
       .map(_ => new CowTable(catalogName, ident))
+      .getOrElse(throw new NoSuchTableException(ident))
+
+  /** `VERSION AS OF v` time travel: superseded files are never deleted
+    * and every commit records its file list, so any retained version is
+    * an ordinary (read-only) scan of its pinned file set.
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    CowStore.get(catalogName, ident)
+      .map { st =>
+        val v = scala.util.Try(version.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-cow: version must be a commit number, got '$version'"))
+        st.filesAt(v): Unit // fail loudly at resolution, not first scan
+        new CowTable(catalogName, ident, pinnedVersion = Some(v))
+      }
       .getOrElse(throw new NoSuchTableException(ident))
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -176,16 +202,26 @@ object CowFileColumn extends MetadataColumn {
   override def comment(): String = "graft-cow source file (COW group id)"
 }
 
-class CowTable(catalog: String, ident: Identifier)
+class CowTable(catalog: String, ident: Identifier,
+               pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
-  private def state: CowStore.State =
-    CowStore.get(catalog, ident).getOrElse(
+  private def state: CowStore.State = {
+    val st = CowStore.get(catalog, ident).getOrElse(
       throw new NoSuchTableException(ident))
+    // A version-pinned load scans that commit's file list; the table is
+    // read-only (writes go through the CURRENT version only).
+    pinnedVersion.fold(st)(v => st.copy(version = v, files = st.filesAt(v)))
+  }
+
+  private def requireWritable(): Unit =
+    require(pinnedVersion.isEmpty,
+      s"graft-cow: VERSION AS OF ${pinnedVersion.get} relations are read-only")
 
   override def name(): String =
-    (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+    (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".") +
+      pinnedVersion.fold("")(v => s"@v$v")
   override def schema(): StructType = state.schema
   override def metadataColumns(): Array[MetadataColumn] = Array(CowFileColumn)
   override def capabilities(): java.util.Set[TableCapability] = {
@@ -199,8 +235,10 @@ class CowTable(catalog: String, ident: Identifier)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CowScanBuilder(name(), state, op = None)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable()
     new CowWriteBuilder(catalog, ident, state, op = None, info.schema())
+  }
 
   /** Group-based row-level operation with FILE-LEVEL groups:
     * MERGE/UPDATE/DELETE read through the op's scan (which serves the
@@ -212,8 +250,10 @@ class CowTable(catalog: String, ident: Identifier)
     * IN-subquery that narrows the rewrite to matching groups.
     */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable()
     () => new CowRowLevelOperation(catalog, ident, name(), state, info)
+  }
 }
 
 /** One row-level command's shared context: the SAME operation instance

@@ -1463,6 +1463,64 @@ object StreamOps extends Serializable {
       .orderBy(col("user_id"))
   }
 
+  /** q_stream_merge — the streaming CDC upsert through the SQL WRITE
+    * PATH: each micro-batch's per-user latest event is `MERGE INTO`ed
+    * into a [[graft.sources.CowCatalog]] table (matched-and-newer →
+    * UPDATE, not-matched → INSERT) — the foreachBatch-MERGE pattern every
+    * lakehouse deployment runs for streaming upserts, superseding
+    * [[qStreamCdcApply]]'s hand-rolled versioned-snapshot fold with the
+    * engine's own row-level machinery (file-group ReplaceData per batch).
+    *
+    * Retry-idempotence comes from the MATCH CONDITION, not bookkeeping:
+    * the update fires only when the incoming row is at least as new
+    * under the (us, event_id) total order, so a replayed batch finds its
+    * latest values already absorbed and rewrites them in place — the
+    * final state is the per-user argmax regardless of batch slicing or
+    * retries, which is exactly what the batch oracle states.
+    */
+  def qStreamMerge(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val tbl = "graft_cow.ops.stream_merge_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, last_us BIGINT, " +
+      "last_event_id BIGINT, last_type STRING)")
+    val query = startWithStatePartitions(spark) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("event_type"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val latest = batch.withColumn("rn",
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id"))
+                .orderBy(col("us").desc, col("event_id").desc)))
+            .filter(col("rn") === 1).drop("rn")
+          val view = s"stream_merge_src_$batchId"
+          latest.createOrReplaceTempView(view)
+          s.sql(
+            s"""MERGE INTO $tbl t USING $view s ON t.user_id = s.user_id
+               |WHEN MATCHED AND (s.us > t.last_us OR
+               |                  (s.us = t.last_us AND
+               |                   s.event_id >= t.last_event_id))
+               |  THEN UPDATE SET last_us = s.us, last_event_id = s.event_id,
+               |                  last_type = s.event_type
+               |WHEN NOT MATCHED THEN
+               |  INSERT (user_id, last_us, last_event_id, last_type)
+               |  VALUES (s.user_id, s.us, s.event_id, s.event_type)
+               |""".stripMargin)
+          s.catalog.dropTempView(view): Unit
+        }
+        .start()
+    }
+    query.awaitTermination()
+    spark.sql(s"SELECT user_id, last_us, last_event_id, last_type FROM $tbl " +
+      "ORDER BY user_id")
+  }
+
   /** q_stream_session — STREAMING sessionization as a first-class
     * correctness-gated query: the same `session_window` aggregation the
     * batch `Windows.qSession` runs, executed as a real streaming query
@@ -2674,6 +2732,7 @@ object StreamOps extends Serializable {
     "q_stream_bitmap"      -> qStreamBitmap _,
     "q_state_read"         -> qStateRead _,
     "q_state_changefeed"   -> qStateChangefeed _,
+    "q_stream_merge"       -> qStreamMerge _,
     "q_stream_ohlc"        -> qStreamOhlc _,
     "q_stream_anomaly"     -> qStreamAnomaly _,
     "q_stream_tick_append" -> qStreamTickAppend _,
@@ -2957,6 +3016,17 @@ object StreamOps extends Serializable {
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    // The streaming upsert's final state is the per-user argmax under the
+    // (us, event_id) total order — batch slicing and retries cannot move
+    // it (the monotone MERGE condition).
+    "q_stream_merge" ->
+      """SELECT user_id, last_us, last_event_id, last_type FROM (
+        |  SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+        |         event_type AS last_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // Per-batch state deltas == consecutive prefix aggregates: the replay
     // cut is the ceil(n/2)-th order statistic of raw microseconds (the
     // stageReplayDir median split), batch 0 emits the tick-1 counts,

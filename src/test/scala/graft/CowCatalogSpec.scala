@@ -205,6 +205,61 @@ class CowCatalogSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("VERSION AS OF reads pinned commits; pinned relations are read-only") {
+    val tbl = fresh("tt")
+    mkBase(tbl) // create = v0 (empty), insert = v1
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id < 5") // v2
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 15") // v3
+    def rows(q: String) = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val v1 = rows(s"SELECT id, v FROM $tbl VERSION AS OF 1")
+    assert(v1 == (0L until 20L).map(i => (i, i * 10)),
+      "version 1 must be the pristine insert state")
+    val v2 = rows(s"SELECT id, v FROM $tbl VERSION AS OF 2")
+    assert(v2 == (0L until 20L).map(i => (i, if (i < 5) i * 10 + 1 else i * 10)))
+    val now = rows(s"SELECT id, v FROM $tbl")
+    assert(now == (0L until 15L).map(i => (i, if (i < 5) i * 10 + 1 else i * 10)))
+    // v0 is the empty pre-insert table; a never-committed version fails
+    // loudly at resolution.
+    assert(rows(s"SELECT id, v FROM $tbl VERSION AS OF 0").isEmpty)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT id FROM $tbl VERSION AS OF 99").collect()
+    }
+    assert(e.toString.contains("no such version") ||
+      Option(e.getCause).exists(_.toString.contains("no such version")))
+    // Pinned loads are read-only at the connector level.
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("spec"), tbl.split("\\.").last)
+    val cowCat = new CowCatalog()
+    cowCat.initialize(cat,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    val pinned = cowCat.loadTable(ident, "1")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+    val err = intercept[IllegalArgumentException] {
+      pinned.newWriteBuilder(null)
+    }
+    assert(err.getMessage.contains("read-only"))
+  }
+
+  test("q_stream_merge: streaming upsert final state == batch argmax") {
+    import graft.streaming.StreamOps
+    val got = StreamOps.queries("q_stream_merge")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == want && got.nonEmpty,
+      "streaming MERGE upsert must land on the per-user argmax")
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)

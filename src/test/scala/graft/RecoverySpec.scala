@@ -873,4 +873,77 @@ class RecoverySpec extends SparkSpec {
     assert(got2 == want2 && got2.nonEmpty,
       "batch-1 deltas must be exactly the tick-2-touched (window, type) keys")
   }
+
+  test("streaming MERGE upsert restart: one table through two drains == batch argmax; a retried batch is a no-op") {
+    // q_stream_merge's crash story: the same COW table and checkpoint
+    // through a tick-boundary restart must land on the per-user argmax,
+    // and RE-MERGING an already-applied batch (a foreachBatch retry)
+    // must leave the committed state bit-identical — idempotence comes
+    // from the monotone match condition, not replay bookkeeping.
+    val rocks = rocksSession()
+    graft.operators.RowLevelOps.ensureCatalog(rocks)
+    val raw = StreamOps.eventsRawMicros(rocks, sfDir)
+    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val tbl = s"graft_cow.spec.smerge_${System.nanoTime()}"
+    rocks.sql(s"CREATE TABLE $tbl (user_id BIGINT, last_us BIGINT, " +
+      "last_event_id BIGINT, last_type STRING)")
+    def mergeLatest(s: org.apache.spark.sql.SparkSession,
+                    src: org.apache.spark.sql.DataFrame): Unit = {
+      val latest = src.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("us").desc, col("event_id").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      latest.createOrReplaceTempView("smerge_chaos_src")
+      s.sql(
+        s"""MERGE INTO $tbl t USING smerge_chaos_src s ON t.user_id = s.user_id
+           |WHEN MATCHED AND (s.us > t.last_us OR
+           |                  (s.us = t.last_us AND s.event_id >= t.last_event_id))
+           |  THEN UPDATE SET last_us = s.us, last_event_id = s.event_id,
+           |                  last_type = s.event_type
+           |WHEN NOT MATCHED THEN
+           |  INSERT (user_id, last_us, last_event_id, last_type)
+           |  VALUES (s.user_id, s.us, s.event_id, s.event_type)
+           |""".stripMargin): Unit
+    }
+    val replay = Files.createTempDirectory("graft_smerge_replay_")
+    val ckpt = Files.createTempDirectory("graft_smerge_ckpt_").toString
+    def drain(): Unit = {
+      val q = StreamOps.eventsStream(rocks, replay.toString)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("event_type"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          mergeLatest(batch.sparkSession, batch)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    arriveTick(replay, raw.filter(col("ts") <= cut), 1)
+    drain()
+    arriveTick(replay, raw.filter(col("ts") > cut), 2)
+    drain()
+    def stateNow(): Seq[(Long, Long, Long, String)] =
+      rocks.sql(s"SELECT user_id, last_us, last_event_id, last_type " +
+          s"FROM $tbl ORDER BY user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val afterRestart = stateNow()
+    val want = raw.withColumn("us", col("ts"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(afterRestart == want && want.nonEmpty,
+      "restarted streaming merge must equal the batch argmax")
+    // The retry: re-apply tick 2 (and then tick 1, the stale half) — the
+    // monotone condition must leave the state unchanged both times.
+    mergeLatest(rocks, raw.filter(col("ts") > cut).withColumnRenamed("ts", "us"))
+    assert(stateNow() == afterRestart, "a retried batch must be a no-op")
+    mergeLatest(rocks, raw.filter(col("ts") <= cut).withColumnRenamed("ts", "us"))
+    assert(stateNow() == afterRestart, "a stale batch must never regress state")
+  }
 }

@@ -63,7 +63,11 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              # round-11 stateful newcomers (RocksDB fixed per-batch cost
              # dominates at replay batch sizes).
              "q_stream_bitmap", "q_stream_quantile", "q_stream_throttle",
-             "q_stream_quality"}
+             "q_stream_quality",
+             # round-12: the change-feed read rides the same 2-batch
+             # replay aggregation (store open/commit dominates); the
+             # streaming MERGE upsert pays a per-batch COW commit.
+             "q_state_changefeed", "q_stream_merge"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
