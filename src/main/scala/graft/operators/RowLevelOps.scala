@@ -118,8 +118,34 @@ object RowLevelOps {
          |ORDER BY c.doc_id""".stripMargin)
   }
 
+  /** q_cow_compact — small-files MAINTENANCE on the COW catalog (the
+    * lakehouse compaction job, E-q_compact's discipline on the writable
+    * table): four fragment inserts build a 4-file table, then one
+    * self-`INSERT OVERWRITE` (scan snapshots the old file list at plan
+    * time; the truncate-write commits a new one — reading and replacing
+    * the same table is safe exactly because commits swap pointers and
+    * never delete read snapshots) rewrites the content into a single
+    * file. Content is provably unchanged (the oracle is the plain base
+    * relation); the file-count collapse is pinned in CowCatalogSpec.
+    */
+  def qCowCompact(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.compact_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    for (m <- 0 until 4)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+           |FROM parquet.`$d/documents.parquet`
+           |WHERE doc_id % 3 <> 0 AND doc_id % 4 = $m""".stripMargin)
+    spark.sql(
+      s"INSERT OVERWRITE $tbl SELECT /*+ COALESCE(1) */ * FROM $tbl")
+    finalState(spark, tbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_into"   -> qMergeInto _,
+    "q_cow_compact"  -> qCowCompact _,
     "q_update_where" -> qUpdateWhere _,
     "q_delete_where" -> qDeleteWhere _,
     "q_time_travel"  -> qTimeTravel _,
@@ -158,6 +184,9 @@ object RowLevelOps {
         |FROM documents
         |WHERE doc_id % 3 <> 0 AND NOT (n_chars % 4 < 2)
         |ORDER BY doc_id""".stripMargin,
+    "q_cow_compact" ->
+      """SELECT doc_id, source, n_chars AS score FROM documents
+        |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
     "q_time_travel" ->
       """SELECT doc_id, n_chars AS score_v1,
         |       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END

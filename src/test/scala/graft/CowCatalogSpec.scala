@@ -260,6 +260,35 @@ class CowCatalogSpec extends SparkSpec {
       "streaming MERGE upsert must land on the per-user argmax")
   }
 
+  test("q_cow_compact: self-INSERT OVERWRITE collapses fragments to one file, content unchanged") {
+    import graft.operators.RowLevelOps
+    val before = CowStore.list(cat, Array("ops")).length
+    val df = RowLevelOps.qCowCompact(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // Content == base relation (compaction moves bytes, never rows).
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == want.toSeq && rows.nonEmpty)
+    // Every compact_* table ends at version 5 (create=0, four fragment
+    // inserts=1-4, the overwrite=5) with ONE file; its pre-compaction
+    // snapshot (v4) keeps the four fragments readable.
+    assert(CowStore.list(cat, Array("ops")).length > before)
+    val states = CowStore.list(cat, Array("ops"))
+      .filter(_.name.startsWith("compact_"))
+      .map(i => CowStore.get(cat, i).get)
+    assert(states.nonEmpty && states.forall(_.version == 5L),
+      s"unexpected compact-table versions: ${states.map(_.version).toSeq}")
+    states.foreach { st =>
+      assert(st.files.length == 1,
+        s"compaction must leave one file, got ${st.files.length}")
+      assert(st.filesAt(4L).length == 4,
+        "the pre-compaction snapshot keeps its four fragments readable")
+    }
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
