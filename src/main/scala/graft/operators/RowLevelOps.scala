@@ -143,9 +143,40 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** q_cow_skipping — PLAN-TIME FILE SKIPPING from write-time statistics
+    * (the Iceberg-manifest miniature): four disjoint doc_id-range
+    * fragments are written as one file each (every writer records its
+    * per-long-column [min, max] in the commit), then a range predicate
+    * touching one fragment prunes the other three files BEFORE any I/O —
+    * the scan description shows `1 of 4 files, 3 skipped`, pinned in
+    * CowCatalogSpec. Skipping is pruning-only: every pushed filter is
+    * also kept as a residual Spark evaluates, so stats can only save
+    * I/O, never change answers. The same stats make the table a SIZED
+    * relation (`SupportsReportStatistics`), so small COW tables broadcast.
+    */
+  def qCowSkipping(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.skip_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    val n = spark.read.parquet(s"$d/documents.parquet").count()
+    for (q <- 0 until 4)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+           |FROM parquet.`$d/documents.parquet`
+           |WHERE doc_id % 3 <> 0
+           |  AND doc_id >= ${q * n / 4} AND doc_id < ${(q + 1) * n / 4}
+           |""".stripMargin)
+    spark.sql(
+      s"""SELECT doc_id, source, score FROM $tbl
+         |WHERE doc_id >= ${n / 2} AND doc_id < ${n / 2 + n / 8}
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_into"   -> qMergeInto _,
     "q_cow_compact"  -> qCowCompact _,
+    "q_cow_skipping" -> qCowSkipping _,
     "q_update_where" -> qUpdateWhere _,
     "q_delete_where" -> qDeleteWhere _,
     "q_time_travel"  -> qTimeTravel _,
@@ -187,6 +218,14 @@ object RowLevelOps {
     "q_cow_compact" ->
       """SELECT doc_id, source, n_chars AS score FROM documents
         |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+    // The query range [n/2, n/2 + n/8) sits strictly inside the third
+    // fragment for any n > 8, so the fragment bounds never clip it.
+    "q_cow_skipping" ->
+      """WITH n AS (SELECT COUNT(*) AS cnt FROM documents)
+        |SELECT doc_id, source, n_chars AS score FROM documents, n
+        |WHERE doc_id % 3 <> 0
+        |  AND doc_id >= cnt // 2 AND doc_id < cnt // 2 + cnt // 8
+        |ORDER BY doc_id""".stripMargin,
     "q_time_travel" ->
       """SELECT doc_id, n_chars AS score_v1,
         |       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END

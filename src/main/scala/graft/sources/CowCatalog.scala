@@ -75,9 +75,24 @@ object CowStore {
     * superseded files, so every retained version stays READABLE — the
     * snapshot/time-travel contract; vacuuming is out of scope).
     */
+  /** Per-file statistics collected AT WRITE TIME by the task that wrote
+    * the file (the manifest-entry miniature): row/byte counts feed the
+    * planner ([[CowScan]] reports them via `SupportsReportStatistics`, so
+    * a small COW table broadcasts like any sized relation), and the
+    * per-long-column value ranges feed PLAN-TIME FILE SKIPPING (a
+    * predicate outside a file's [min, max] prunes the file before any
+    * I/O — Iceberg manifests / parquet row-group stats, one level up).
+    * Ranges cover non-null values only; a file with no range entry for a
+    * column is conservatively kept.
+    */
+  final case class ColRange(min: Long, max: Long)
+  final case class FileStats(rows: Long, bytes: Long,
+                             longRanges: Map[String, ColRange])
+
   final case class State(schema: StructType, version: Long,
                          files: Vector[String], dir: String,
-                         history: Map[Long, Vector[String]] = Map(0L -> Vector.empty)) {
+                         history: Map[Long, Vector[String]] = Map(0L -> Vector.empty),
+                         stats: Map[String, FileStats] = Map.empty) {
     def filesAt(v: Long): Vector[String] =
       history.getOrElse(v,
         throw new IllegalArgumentException(
@@ -125,7 +140,8 @@ object CowStore {
     * in-flight readers of older versions.
     */
   def commit(catalog: String, ident: Identifier, newFiles: Seq[String],
-             remove: Option[Set[String]]): Unit = synchronized {
+             remove: Option[Set[String]],
+             newStats: Map[String, FileStats] = Map.empty): Unit = synchronized {
     val k = key(catalog, ident)
     val st = Option(tables.get(k)).getOrElse(
       throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
@@ -133,8 +149,11 @@ object CowStore {
       case None       => st.files ++ newFiles
       case Some(gone) => st.files.filterNot(gone) ++ newFiles
     }
+    // Superseded files keep their stats: old versions stay readable and
+    // their time-travel scans skip/size with the same fidelity.
     tables.put(k, st.copy(version = st.version + 1, files = files,
-      history = st.history + ((st.version + 1) -> files)))
+      history = st.history + ((st.version + 1) -> files),
+      stats = st.stats ++ newStats))
   }
 }
 
@@ -297,15 +316,43 @@ class CowRowLevelOperation(catalog: String, ident: Identifier,
   */
 class CowScanBuilder(tableName: String, state: CowStore.State,
                      op: Option[CowRowLevelOperation])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = state.schema
+  private var skippable: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(
       state.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)) ++
         requiredSchema.fields.filter(_.name == CowFileColumn.Name))
 
-  override def build(): Scan = new CowScan(tableName, state, required, op)
+  /** File-skipping pushdown: comparisons on long columns are retained
+    * for [[CowScan]]'s min/max pruning, but EVERY filter is also returned
+    * as residual — skipping prunes whole files, Spark still evaluates the
+    * predicate on surviving rows, so a stats bug can only cost I/O
+    * sav­ings, never correctness.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def longCol(c: String): Boolean =
+      state.schema.fields.exists(f => f.name == c && f.dataType == LongType)
+    def longVal(v: Any): Boolean = v.isInstanceOf[java.lang.Number]
+    skippable = filters.filter {
+      case EqualTo(c, v)            => longCol(c) && longVal(v)
+      case GreaterThan(c, v)        => longCol(c) && longVal(v)
+      case GreaterThanOrEqual(c, v) => longCol(c) && longVal(v)
+      case LessThan(c, v)           => longCol(c) && longVal(v)
+      case LessThanOrEqual(c, v)    => longCol(c) && longVal(v)
+      case _ => false
+    }
+    filters // all residual by design
+  }
+
+  override def pushedFilters(): Array[Filter] = skippable
+
+  override def build(): Scan =
+    new CowScan(tableName, state, required, op, skippable)
 }
 
 /** Snapshot at plan time: the file list this scan will read is pinned at
@@ -318,13 +365,62 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
   * what was read.
   */
 class CowScan(tableName: String, state: CowStore.State,
-              required: StructType, op: Option[CowRowLevelOperation])
+              required: StructType, op: Option[CowRowLevelOperation],
+              skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
-  @volatile private var files: Vector[String] = state.files
+  /** STATIC file skipping from write-time stats: drop files whose
+    * per-column [min, max] cannot satisfy the pushed conjunction. A file
+    * without stats (or without a range for the column) is kept.
+    */
+  private def surviveSkipping(f: String): Boolean =
+    state.stats.get(f).forall { fs =>
+      import org.apache.spark.sql.sources._
+      def rng(c: String) = fs.longRanges.get(c)
+      skipFilters.forall {
+        case EqualTo(c, v: java.lang.Number) =>
+          rng(c).forall(r => r.min <= v.longValue() && v.longValue() <= r.max)
+        case GreaterThan(c, v: java.lang.Number) =>
+          rng(c).forall(_.max > v.longValue())
+        case GreaterThanOrEqual(c, v: java.lang.Number) =>
+          rng(c).forall(_.max >= v.longValue())
+        case LessThan(c, v: java.lang.Number) =>
+          rng(c).forall(_.min < v.longValue())
+        case LessThanOrEqual(c, v: java.lang.Number) =>
+          rng(c).forall(_.min <= v.longValue())
+        case _ => true
+      }
+    }
+
+  @volatile private var files: Vector[String] =
+    state.files.filter(surviveSkipping)
+  // A row-level op's commit replaces exactly what its scan READ: the
+  // static skip above already narrowed the read set, so record it — a
+  // skipped file's rows must never be dropped by the rewrite.
+  op.foreach(_.scannedFiles.set(files.toSet))
+
+  /** Write-time stats make the COW table a SIZED relation: the planner
+    * sees Σ bytes / Σ rows of the (skip-pruned) file set instead of the
+    * unknown-size default, so a small table broadcasts and join sides
+    * order correctly. Files without stats contribute unknown → report
+    * only when every surviving file is covered.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val covered = files.forall(state.stats.contains)
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (covered)
+          java.util.OptionalLong.of(files.map(state.stats(_).bytes).sum)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (covered)
+          java.util.OptionalLong.of(files.map(state.stats(_).rows).sum)
+        else java.util.OptionalLong.empty()
+    }
 
   override def filterAttributes(): Array[NamedReference] =
     if (op.isDefined) Array(Expressions.column(CowFileColumn.Name)) else Array.empty
@@ -364,9 +460,15 @@ class CowScan(tableName: String, state: CowStore.State,
   }
 
   override def readSchema(): StructType = required
-  override def description(): String =
+  override def description(): String = {
+    val skipped = state.files.size - files.size
+    val pushed =
+      if (skipFilters.isEmpty) ""
+      else s" skipBy[${skipFilters.mkString(",")}]"
     s"graft-cow scan of $tableName v${state.version} " +
-      s"[${required.fieldNames.mkString(",")}] (${files.size} files)"
+      s"[${required.fieldNames.mkString(",")}] " +
+      s"(${files.size} of ${state.files.size} files, $skipped skipped)$pushed"
+  }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(CowFilePartition(_): InputPartition).toArray
@@ -478,13 +580,14 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
         val remove =
           op.map(_.scannedFiles.get())
             .orElse(if (truncateAll) Some(state.files.toSet) else None)
+        val msgs = messages.map(_.asInstanceOf[CowCommitMessage])
         CowStore.commit(catalog, ident,
-          messages.flatMap(_.asInstanceOf[CowCommitMessage].files).toSeq,
-          remove)
+          msgs.flatMap(_.files.map(_._1)).toSeq, remove,
+          msgs.flatMap(_.files).toMap)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.foreach {
-          case CowCommitMessage(files) => files.foreach { f =>
+          case CowCommitMessage(files) => files.foreach { case (f, _) =>
             new java.io.File(f).delete(): Unit
           }
           case _ => ()
@@ -493,7 +596,8 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
   }
 }
 
-case class CowCommitMessage(files: Seq[String]) extends WriterCommitMessage
+case class CowCommitMessage(files: Seq[(String, CowStore.FileStats)])
+    extends WriterCommitMessage
 
 /** Executor-side writer: one parquet file per non-empty task, written with
   * parquet-hadoop's Group API; a zero-row task deletes its just-opened
@@ -559,6 +663,15 @@ case class CowWriterFactory(dir: String, writeSchema: StructType,
         off
       }
       private var rows = 0L
+      // Write-time per-long-column ranges: the file's manifest stats,
+      // collected as rows stream through — zero extra passes.
+      private val longIdx: Array[Int] =
+        tableSchema.fields.indices.filter(
+          i => tableSchema.fields(i).dataType == LongType).toArray
+      private val statsSlot: Array[Int] =
+        tableSchema.fields.indices.map(longIdx.indexOf(_)).toArray
+      private val mins = Array.fill(longIdx.length)(Long.MaxValue)
+      private val maxs = Array.fill(longIdx.length)(Long.MinValue)
 
       // The metadata-paired write path (DataAndMetadataWritingSparkTask —
       // taken whenever the row-level operation requests metadata
@@ -578,7 +691,12 @@ case class CowWriterFactory(dir: String, writeSchema: StructType,
           if (!row.isNullAt(i)) {
             val f = tableSchema.fields(t)
             f.dataType match {
-              case LongType   => g.append(f.name, row.getLong(i))
+              case LongType =>
+                val v = row.getLong(i)
+                val s = statsSlot(t)
+                if (v < mins(s)) mins(s) = v
+                if (v > maxs(s)) maxs(s) = v
+                g.append(f.name, v)
               case DoubleType => g.append(f.name, row.getDouble(i))
               case StringType => g.append(f.name, row.getUTF8String(i).toString)
               case other => throw new IllegalArgumentException(
@@ -596,7 +714,15 @@ case class CowWriterFactory(dir: String, writeSchema: StructType,
         if (rows == 0L) {
           new java.io.File(file).delete()
           CowCommitMessage(Seq.empty)
-        } else CowCommitMessage(Seq(file))
+        } else {
+          val ranges = longIdx.indices.collect {
+            case s if mins(s) <= maxs(s) =>
+              tableSchema.fields(longIdx(s)).name ->
+                CowStore.ColRange(mins(s), maxs(s))
+          }.toMap
+          CowCommitMessage(Seq(file -> CowStore.FileStats(
+            rows, new java.io.File(file).length(), ranges)))
+        }
       }
 
       override def abort(): Unit = {

@@ -289,6 +289,45 @@ class CowCatalogSpec extends SparkSpec {
     }
   }
 
+  test("write-time stats: range predicates skip files at plan time; the sized table broadcasts") {
+    val tbl = fresh("stats")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)")
+    for (lo <- Seq(0, 5, 10, 15))
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT id, concat('t', CAST(id AS STRING)), id * 10
+           |FROM range($lo, ${lo + 5}, 1, 1)""".stripMargin)
+    // Predicate inside ONE fragment's [min, max]: three files pruned
+    // before any I/O, and the rows still come back exactly (skipping is
+    // pruning-only — every filter stays residual).
+    val df = spark.table(tbl).filter(col("id") >= 16)
+    val got = df.collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (16L until 20L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("1 of 4 files, 3 skipped"),
+      s"stats must prune the three out-of-range fragments:\n$plan")
+    // A contradiction prunes everything (0 files) and still answers.
+    val none = spark.table(tbl).filter(col("id") > 100)
+    assert(none.count() == 0)
+    assert(none.queryExecution.executedPlan.toString
+      .contains("0 of 4 files, 4 skipped"))
+    // Reported statistics make the table a SIZED relation: the 20-row
+    // side broadcasts in a join (an unsized DSv2 relation defaults to
+    // spark.sql.defaultSizeInBytes = Long.Max and never would).
+    val stats = spark.table(tbl).queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 1000000,
+      s"write-time bytes must reach the planner: ${stats.sizeInBytes}")
+    assert(stats.rowCount.exists(_.toLong == 20L),
+      s"write-time row count must reach the planner: ${stats.rowCount}")
+    import spark.implicits._
+    val big = spark.range(0, 50000).select(($"id" % 20).as("id"), $"id".as("x"))
+    val joined = big.join(spark.table(tbl), "id")
+    val jp = joined.queryExecution.executedPlan.toString
+    assert(jp.contains("BroadcastHashJoin") || jp.contains("BroadcastExchange"),
+      s"the sized 20-row COW table must broadcast:\n$jp")
+    assert(joined.count() == 50000)
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
