@@ -173,10 +173,43 @@ object RowLevelOps {
          |ORDER BY doc_id""".stripMargin)
   }
 
+  /** q_cow_cluster — CLUSTERED compaction: the maintenance job that makes
+    * file statistics SELECTIVE. The table is first built hash-fragmented
+    * (four `doc_id % 4` inserts — every file spans the full key range, so
+    * a range predicate's min/max check keeps all four files: stats exist
+    * but prune nothing). One self-`INSERT OVERWRITE … REPARTITION_BY_RANGE
+    * (4, doc_id)` rewrites the same rows into four RANGE-DISJOINT files —
+    * after which the same predicate skips three of them. This is why
+    * lakehouse compaction clusters rather than merely concatenates:
+    * Z-order/sort-cluster layout (E86's lesson) applied to the writable
+    * table, with the before/after skip counts pinned in CowCatalogSpec.
+    */
+  def qCowCluster(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.cluster_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    for (m <- 0 until 4) // hash fragments: each spans the full key range
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+           |FROM parquet.`$d/documents.parquet`
+           |WHERE doc_id % 3 <> 0 AND doc_id % 4 = $m""".stripMargin)
+    spark.sql(
+      s"""INSERT OVERWRITE $tbl
+         |SELECT /*+ REPARTITION_BY_RANGE(4, doc_id) */ doc_id, source, score
+         |FROM $tbl""".stripMargin)
+    val n = spark.read.parquet(s"$d/documents.parquet").count()
+    spark.sql(
+      s"""SELECT doc_id, source, score FROM $tbl
+         |WHERE doc_id >= ${n / 2} AND doc_id < ${n / 2 + n / 8}
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_into"   -> qMergeInto _,
     "q_cow_compact"  -> qCowCompact _,
     "q_cow_skipping" -> qCowSkipping _,
+    "q_cow_cluster"  -> qCowCluster _,
     "q_update_where" -> qUpdateWhere _,
     "q_delete_where" -> qDeleteWhere _,
     "q_time_travel"  -> qTimeTravel _,
@@ -218,6 +251,12 @@ object RowLevelOps {
     "q_cow_compact" ->
       """SELECT doc_id, source, n_chars AS score FROM documents
         |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+    "q_cow_cluster" ->
+      """WITH n AS (SELECT COUNT(*) AS cnt FROM documents)
+        |SELECT doc_id, source, n_chars AS score FROM documents, n
+        |WHERE doc_id % 3 <> 0
+        |  AND doc_id >= cnt // 2 AND doc_id < cnt // 2 + cnt // 8
+        |ORDER BY doc_id""".stripMargin,
     // The query range [n/2, n/2 + n/8) sits strictly inside the third
     // fragment for any n > 8, so the fragment bounds never clip it.
     "q_cow_skipping" ->

@@ -328,6 +328,33 @@ class CowCatalogSpec extends SparkSpec {
     assert(joined.count() == 50000)
   }
 
+  test("clustered compaction turns useless stats into selective ones (0 skipped -> 3 skipped)") {
+    val tbl = fresh("clust")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)")
+    // Hash fragments: every file spans ~the full key range.
+    for (m <- 0 until 4)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT id, concat('t', CAST(id AS STRING)), id * 10
+           |FROM range(0, 20, 1, 1) WHERE id % 4 = $m""".stripMargin)
+    def planOf() = spark.table(tbl).filter(col("id") >= 16)
+      .queryExecution.executedPlan.toString
+    assert(planOf().contains("4 of 4 files, 0 skipped"),
+      s"hash-fragmented stats must prune nothing:\n${planOf()}")
+    // Cluster: same rows, range-disjoint files.
+    spark.sql(
+      s"""INSERT OVERWRITE $tbl
+         |SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, tag, v FROM $tbl""".stripMargin)
+    val after = planOf()
+    assert(after.contains("of 4 files, 3 skipped") ||
+      after.contains("of 4 files, 2 skipped"), // range splits may straddle
+      s"clustered stats must prune the out-of-range files:\n$after")
+    val got = spark.table(tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == (0L until 20L).map(i => (i, i * 10)),
+      "clustering moves bytes, never rows")
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
