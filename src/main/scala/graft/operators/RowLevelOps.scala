@@ -205,7 +205,41 @@ object RowLevelOps {
          |ORDER BY doc_id""".stripMargin)
   }
 
+  /** q_cow_history — the table's COMMIT HISTORY as a queryable relation
+    * (Delta's `DESCRIBE HISTORY` in miniature, and the natural companion
+    * of E311's `VERSION AS OF`): every commit's version and ROW COUNT,
+    * computed from the store's version → file-list history joined to the
+    * write-time per-file stats (E314) — metadata only, no data files
+    * opened. The scripted lineage is create (v0, empty) → single-file
+    * insert (v1) → UPDATE (v2, same cardinality) → DELETE (v3, shrunk),
+    * so the history readout doubles as an audit that row-level commits
+    * changed exactly the cardinality they claimed. File counts are
+    * deliberately NOT in the output: rewrite task counts depend on
+    * session partitioning (the spec pins them instead, under a fixed
+    * config).
+    */
+  def qCowHistory(spark: SparkSession, d: String): DataFrame = {
+    val tbl = s"$CatalogName.ops.hist_${UUID.randomUUID().toString.replace("-", "")}"
+    ensureCatalog(spark)
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+         |FROM parquet.`$d/documents.parquet` WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(s"UPDATE $tbl SET score = score * 2 + 1 WHERE doc_id % 7 = 0")
+    spark.sql(s"DELETE FROM $tbl WHERE score % 4 < 2")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ops"), tbl.split("\\.").last)
+    val st = graft.sources.CowStore.get(CatalogName, ident).get
+    val rows = st.history.toSeq.map { case (v, files) =>
+      (v, files.map(f => st.stats.get(f).map(_.rows).getOrElse(0L)).sum)
+    }.sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("version", "n_rows").orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cow_history"  -> qCowHistory _,
     "q_merge_into"   -> qMergeInto _,
     "q_cow_compact"  -> qCowCompact _,
     "q_cow_skipping" -> qCowSkipping _,
@@ -251,6 +285,23 @@ object RowLevelOps {
     "q_cow_compact" ->
       """SELECT doc_id, source, n_chars AS score FROM documents
         |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+    // The scripted lineage's cardinalities: v0 empty, v1 = base insert,
+    // v2 = UPDATE (same rows), v3 = DELETE survivors of the UPDATED
+    // scores.
+    "q_cow_history" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN n_chars * 2 + 1
+        |              ELSE n_chars END AS upd
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |)
+        |SELECT CAST(version AS BIGINT) AS version, n_rows FROM (
+        |  SELECT 0 AS version, CAST(0 AS BIGINT) AS n_rows
+        |  UNION ALL SELECT 1, (SELECT COUNT(*) FROM base)
+        |  UNION ALL SELECT 2, (SELECT COUNT(*) FROM base)
+        |  UNION ALL SELECT 3,
+        |    (SELECT COUNT(*) FROM base WHERE NOT (upd % 4 < 2))
+        |) ORDER BY version""".stripMargin,
     "q_cow_cluster" ->
       """WITH n AS (SELECT COUNT(*) AS cnt FROM documents)
         |SELECT doc_id, source, n_chars AS score FROM documents, n

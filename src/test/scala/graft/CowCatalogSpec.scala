@@ -355,6 +355,25 @@ class CowCatalogSpec extends SparkSpec {
       "clustering moves bytes, never rows")
   }
 
+  test("q_cow_history: the commit lineage reads back version-exact row counts") {
+    import graft.operators.RowLevelOps
+    val got = RowLevelOps.qCowHistory(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nBase = base.length.toLong
+    val nAfterDelete = base.count { case (id, ch) =>
+      val upd = if (id % 7 == 0) ch * 2 + 1 else ch
+      !(upd % 4 < 2)
+    }.toLong
+    assert(got == Seq((0L, 0L), (1L, nBase), (2L, nBase), (3L, nAfterDelete)),
+      s"commit lineage must read back exactly: $got")
+    assert(nAfterDelete > 0 && nAfterDelete < nBase,
+      "the delete must have shrunk the table non-trivially")
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
