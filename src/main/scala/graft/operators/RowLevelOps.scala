@@ -39,15 +39,19 @@ object RowLevelOps {
 
   /** Base relation: documents with `doc_id % 3 <> 0` as (doc_id, source,
     * score = n_chars) — the third that's missing makes NOT MATCHED
-    * branches provably fire at any fixture size.
+    * branches provably fire at any fixture size. `mor = true` creates the
+    * table MERGE-ON-READ (`TBLPROPERTIES ('graft.mode' = 'mor')`): same
+    * SQL surface, delta-based writes.
     */
-  private def freshBaseTable(spark: SparkSession, d: String, tag: String): String = {
+  private def freshBaseTable(spark: SparkSession, d: String, tag: String,
+                             mor: Boolean = false): String = {
     ensureCatalog(spark)
     // UUID-suffixed: Bench runs every query twice and test suites share
     // the JVM-global store — each invocation is fully self-contained.
     val tbl = s"$CatalogName.ops.${tag}_${UUID.randomUUID().toString.replace("-", "")}"
+    val props = if (mor) " TBLPROPERTIES ('graft.mode' = 'mor')" else ""
     spark.sql(
-      s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+      s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)$props")
     spark.sql(
       s"""INSERT INTO $tbl
          |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
@@ -78,6 +82,83 @@ object RowLevelOps {
          |  INSERT (doc_id, source, score) VALUES (s.doc_id, s.source, s.new_score)
          |""".stripMargin)
     finalState(spark, tbl)
+  }
+
+  /** q_merge_into_mor — the IDENTICAL three-branch MERGE as
+    * [[qMergeInto]], against a MERGE-ON-READ table
+    * (`TBLPROPERTIES ('graft.mode' = 'mor')`): Catalyst plans a
+    * `WriteDelta` instead of `ReplaceData`, so matched DELETEs/UPDATEs
+    * commit O(changed rows) positional-delete entries + one insert file
+    * rather than rewriting every touched file — the write-amplification
+    * fix for hot-row workloads (see [[graft.sources.CowCatalog]]). Same
+    * oracle as q_merge_into: strategy must be invisible to results.
+    */
+  def qMergeIntoMor(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "mergemor", mor = true)
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT doc_id, source, n_chars + 1000 AS new_score
+         |       FROM parquet.`$d/documents.parquet`
+         |       WHERE doc_id % 2 = 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.new_score % 5 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET score = s.new_score
+         |WHEN NOT MATCHED THEN
+         |  INSERT (doc_id, source, score) VALUES (s.doc_id, s.source, s.new_score)
+         |""".stripMargin)
+    finalState(spark, tbl)
+  }
+
+  /** q_cow_vacuum — RETENTION as a SQL maintenance verb:
+    * `CALL graft_cow.vacuum(table, retain)` (the DSv2 `ProcedureCatalog`
+    * surface) keeps the newest `retain` versions and deletes data files +
+    * manifests referenced only by older ones. The scripted lineage is
+    * create (v0) → single-file insert (v1) → UPDATE (v2) → UPDATE (v3);
+    * vacuum retain 2 drops v0–v2's exclusive files (v1's original file
+    * was replaced in v2 — it dies; v2's rewrite survives only if v3 kept
+    * it). The query returns the final table state — vacuum must be
+    * invisible to the CURRENT version (CowCatalogSpec pins the file
+    * deletion, the loud time-travel error past the horizon, and
+    * post-vacuum recovery from the pruned log).
+    */
+  def qCowVacuum(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"vac_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+         |FROM parquet.`$d/documents.parquet` WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(s"UPDATE $tbl SET score = score * 2 + 1 WHERE doc_id % 7 = 0")
+    spark.sql(s"UPDATE $tbl SET score = score + 5 WHERE doc_id % 5 = 0")
+    spark.sql(s"CALL $CatalogName.vacuum('ops.$name', 2)")
+    finalState(spark, tbl)
+  }
+
+  /** q_cow_evolve — `ALTER TABLE … ADD COLUMN` schema evolution (the
+    * writable twin of E110 q_schema_merge): the column is a METADATA
+    * commit (same files, extended schema — no rewrite); files written
+    * BEFORE the evolution read NULL for it (each file's write-time stats
+    * record the column set it carries), files written after carry real
+    * values. `VERSION AS OF` a pre-evolution commit reads the OLD schema
+    * (snapshots pin schema, not just files — spec-pinned).
+    */
+  def qCowEvolve(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.evolve_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 = 1""".stripMargin)
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN bonus BIGINT")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars, n_chars + 7
+         |FROM parquet.`$d/documents.parquet` WHERE doc_id % 3 = 2""".stripMargin)
+    spark.sql(
+      s"SELECT doc_id, source, score, bonus FROM $tbl ORDER BY doc_id")
   }
 
   /** q_update_where — SQL `UPDATE … WHERE` through the same group-based
@@ -231,8 +312,11 @@ object RowLevelOps {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array("ops"), tbl.split("\\.").last)
     val st = graft.sources.CowStore.get(CatalogName, ident).get
-    val rows = st.history.toSeq.map { case (v, files) =>
-      (v, files.map(f => st.stats.get(f).map(_.rows).getOrElse(0L)).sum)
+    // Row count per version = Σ file rows − Σ delete-vector sizes, all
+    // from write-time metadata (no data files opened).
+    val rows = st.history.toSeq.map { case (v, snap) =>
+      (v, snap.files.map(f => st.stats.get(f).map(_.rows).getOrElse(0L)).sum -
+        snap.deletes.valuesIterator.map(_.length.toLong).sum)
     }.sortBy(_._1)
     import spark.implicits._
     rows.toDF("version", "n_rows").orderBy("version")
@@ -241,6 +325,9 @@ object RowLevelOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cow_history"  -> qCowHistory _,
     "q_merge_into"   -> qMergeInto _,
+    "q_merge_into_mor" -> qMergeIntoMor _,
+    "q_cow_vacuum"   -> qCowVacuum _,
+    "q_cow_evolve"   -> qCowEvolve _,
     "q_cow_compact"  -> qCowCompact _,
     "q_cow_skipping" -> qCowSkipping _,
     "q_cow_cluster"  -> qCowCluster _,
@@ -249,10 +336,48 @@ object RowLevelOps {
     "q_time_travel"  -> qTimeTravel _,
   )
 
+  /** The MERGE scenario's declarative rebuild — shared verbatim by the
+    * copy-on-write and merge-on-read variants: the write STRATEGY must be
+    * invisible to query results.
+    */
+  private val mergeOracle =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars AS score FROM documents
+      |  WHERE doc_id % 3 <> 0
+      |), chg AS (
+      |  SELECT doc_id, source, n_chars + 1000 AS new_score FROM documents
+      |  WHERE doc_id % 2 = 0
+      |)
+      |SELECT doc_id, source, score FROM (
+      |  SELECT b.doc_id AS doc_id, b.source AS source, c.new_score AS score
+      |  FROM base b JOIN chg c ON b.doc_id = c.doc_id
+      |  WHERE c.new_score % 5 <> 0
+      |  UNION ALL
+      |  SELECT b.doc_id, b.source, b.score FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.doc_id = b.doc_id)
+      |  UNION ALL
+      |  SELECT c.doc_id, c.source, c.new_score FROM chg c
+      |  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.doc_id = c.doc_id)
+      |) ORDER BY doc_id""".stripMargin
+
   /** DuckDB rebuilds the final state declaratively from the same
     * base/changes definitions — MERGE == relational rebuild.
     */
   val oracle: Map[String, String] = Map(
+    "q_merge_into_mor" -> mergeOracle,
+    // Two sequential UPDATEs then vacuum: retention must be invisible to
+    // the current version — the oracle is the plain double-update rebuild.
+    "q_cow_vacuum" ->
+      """SELECT doc_id, source,
+        |       (CASE WHEN doc_id % 7 = 0 THEN n_chars * 2 + 1 ELSE n_chars END)
+        |         + (CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END) AS score
+        |FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+    // Pre-evolution rows (doc_id % 3 = 1) read NULL for the added column;
+    // post-evolution rows carry written values.
+    "q_cow_evolve" ->
+      """SELECT doc_id, source, n_chars AS score,
+        |       CASE WHEN doc_id % 3 = 2 THEN n_chars + 7 ELSE NULL END AS bonus
+        |FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
     "q_merge_into" ->
       """WITH base AS (
         |  SELECT doc_id, source, n_chars AS score FROM documents

@@ -14,14 +14,15 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** A minimal COPY-ON-WRITE parquet table catalog implementing the DSv2
+/** A minimal parquet lakehouse-table catalog implementing the DSv2
   * row-level-operation surface (`SupportsRowLevelOperations`), which is what
   * turns the SQL write-side primitives — `MERGE INTO … WHEN MATCHED/NOT
   * MATCHED`, `UPDATE`, `DELETE` — into real engine capabilities instead of
@@ -31,73 +32,134 @@ import org.apache.spark.unsafe.types.UTF8String
   * of the ENGINE reaches for next, built on the public connector API the
   * way Iceberg/Delta build theirs.
   *
-  * Shape of the implementation (all public DSv2, no Catalyst internals):
+  * Two write strategies, chosen per table at CREATE
+  * (`TBLPROPERTIES ('graft.mode' = 'mor')` opts in to merge-on-read):
   *
-  *  - [[CowCatalog]]: a `TableCatalog` whose state lives in the JVM-global
-  *    [[CowStore]] (catalog instances are constructed per session; the
-  *    store is the "metastore"). Tables are directories of immutable
-  *    parquet files + a versioned file-list pointer.
-  *  - [[CowTable]]: `SupportsRead` (one `InputPartition` per file, column
-  *    pruning pushed to the parquet reader's projection) + `SupportsWrite`
-  *    (append, and truncate-overwrite for `INSERT OVERWRITE`) +
-  *    `SupportsRowLevelOperations`.
-  *  - [[CowRowLevelOperation]]: GROUP-BASED (no `SupportsDelta`), so
-  *    Catalyst's `RewriteMergeIntoTable`/`RewriteUpdateTable`/
-  *    `RewriteDeleteFromTable` plan a `ReplaceData` over the op's own scan
-  *    and the commit atomically swaps the affected groups for the
-  *    rewritten rows. Groups are FILES: the operation requires the
-  *    [[CowFileColumn]] `_file` metadata column, the scan serves it and
-  *    accepts Catalyst's runtime group filter
+  *  - **COPY-ON-WRITE (default)** — [[CowRowLevelOperation]] is
+  *    GROUP-BASED (no `SupportsDelta`), so Catalyst's
+  *    `RewriteMergeIntoTable`/`RewriteUpdateTable`/`RewriteDeleteFromTable`
+  *    plan a `ReplaceData` over the op's own scan and the commit atomically
+  *    swaps the affected groups for the rewritten rows. Groups are FILES:
+  *    the operation requires the [[CowFileColumn]] `_file` metadata column,
+  *    the scan serves it and accepts Catalyst's runtime group filter
   *    (`RowLevelOperationRuntimeGroupFiltering` injects
   *    `_file IN (matching groups)` via `SupportsRuntimeV2Filtering`), and
-  *    the commit replaces exactly the files the filtered scan read —
-  *    I/O is O(affected groups), not O(table), which is what makes
-  *    copy-on-write usable at 100 TB. A command whose matches touch
-  *    every file degrades gracefully to the full rewrite.
-  *  - Commits REPLACE the pointer, never delete superseded files: an
-  *    in-flight scan planned against version N keeps reading N's files
-  *    after a concurrent commit of N+1 (reader snapshot isolation, the
-  *    lakehouse contract). Vacuuming old versions is out of scope.
+  *    the commit replaces exactly the files the filtered scan read — I/O is
+  *    O(affected groups), not O(table). Reads stay pure scans (no merge
+  *    work); writes pay whole-file rewrite for every touched group.
+  *  - **MERGE-ON-READ (`mor`)** — [[CowMorOperation]] is DELTA-BASED
+  *    (`SupportsDelta`, row id = (`_file`, `_pos`)), so Catalyst plans a
+  *    `WriteDelta`: DELETE commits O(deleted rows) POSITIONAL DELETE
+  *    entries (per-file sorted position vectors — Iceberg positional
+  *    deletes / Delta deletion vectors in miniature) instead of rewriting
+  *    any file; UPDATE/MERGE-matched rows are represented as delete +
+  *    insert (`representUpdateAsDeleteAndInsert`), so the write cost is
+  *    O(changed rows), not O(touched files). The scan applies each file's
+  *    delete vector during the read (a monotone merge-walk in the reader —
+  *    positions are sorted, rows stream in position order, so the filter
+  *    is O(1) per row). Compaction (self-`INSERT OVERWRITE`) FOLDS the
+  *    vectors: the rewrite reads DV-filtered rows and the truncate commit
+  *    drops the replaced files' vectors with them. This is the write
+  *    amplification fix for hot-row workloads (the streaming MERGE
+  *    upsert): `q_stream_merge`'s ×40 stress exponent (0.61) is COW
+  *    rewrite amplification; `q_stream_merge_mor` runs the identical
+  *    pipeline against a MOR table.
+  *
+  * Durability + concurrency (the metastore half of the lakehouse
+  * contract):
+  *
+  *  - **Commit log.** Every commit (CREATE, append, replace, delta,
+  *    ALTER) writes a per-version MANIFEST (`<table dir>/_log/
+  *    v<N>.manifest`) recording the snapshot's schema, file list,
+  *    write-time file statistics and delete vectors. [[CowStore.recover]]
+  *    rebuilds the full in-memory state (history, stats, DVs, schema) from
+  *    the manifests alone — a new session/process resumes the table,
+  *    including time travel to any retained version (CowCatalogSpec
+  *    simulates the restart with [[CowStore.evict]]).
+  *  - **Write-write conflict detection.** Commits validate against the
+  *    CURRENT state under the store lock: a group-replacing commit whose
+  *    removed files are no longer all present (another commit replaced one
+  *    first), or a delta commit whose delete targets a replaced file or a
+  *    position already deleted, throws `ConcurrentModificationException`
+  *    instead of silently duplicating/resurrecting/dropping rows — the
+  *    file-level (respectively row-level) validation a real lakehouse
+  *    commit performs. Disjoint-file concurrent commits are permitted
+  *    (snapshot isolation with file-level conflict detection, the Iceberg
+  *    stance).
+  *  - **VACUUM.** `CALL graft_cow.vacuum(table, retain)` (the DSv2
+  *    `ProcedureCatalog` surface, Spark 4's `CALL` statement) deletes data
+  *    files and manifests referenced ONLY by versions older than the
+  *    `retain` newest. Time travel past the horizon fails loudly
+  *    (`no such version`); the current version is untouched. This closes
+  *    the retention half superseded-file accumulation opens.
+  *  - **Schema evolution.** `ALTER TABLE … ADD COLUMN` commits a new
+  *    version with the SAME files and an extended schema; every file
+  *    records the column set it was written with (in its write-time
+  *    stats), so pre-evolution files read NULL for added columns without
+  *    any rewrite, and `VERSION AS OF` a pre-evolution commit reads the
+  *    OLD schema (snapshots pin schema, not just files).
+  *
+  * Commits REPLACE the version pointer, never delete superseded files
+  * (VACUUM is the explicit retention lever): an in-flight scan planned
+  * against version N keeps reading N's files after a concurrent commit of
+  * N+1 (reader snapshot isolation).
   *
   * Write distribution: each task writes its own parquet file
   * executor-side (`data-<uuid>.parquet` — no driver data movement, no
   * write coordination beyond the commit-message file list); empty
-  * partitions produce no file. Commit is a single pointer swap in the
-  * store — the miniature of a metastore/Iceberg snapshot commit.
+  * partitions produce no file. Commit is a single pointer swap + manifest
+  * append under the store lock — the miniature of a metastore/Iceberg
+  * snapshot commit.
   *
   * Column types are the fixture triple (long, double, string) — enough
   * for every row-level scenario in the suite; anything else fails loudly
-  * at CREATE.
+  * at CREATE/ALTER.
   */
 object CowStore {
-  /** One table version: the current schema and the immutable file list,
-    * plus the full version → file-list history (commits never delete
-    * superseded files, so every retained version stays READABLE — the
-    * snapshot/time-travel contract; vacuuming is out of scope).
-    */
   /** Per-file statistics collected AT WRITE TIME by the task that wrote
     * the file (the manifest-entry miniature): row/byte counts feed the
     * planner ([[CowScan]] reports them via `SupportsReportStatistics`, so
-    * a small COW table broadcasts like any sized relation), and the
+    * a small COW table broadcasts like any sized relation), the
     * per-long-column value ranges feed PLAN-TIME FILE SKIPPING (a
     * predicate outside a file's [min, max] prunes the file before any
-    * I/O — Iceberg manifests / parquet row-group stats, one level up).
-    * Ranges cover non-null values only; a file with no range entry for a
-    * column is conservatively kept.
+    * I/O — Iceberg manifests / parquet row-group stats, one level up),
+    * and `cols` records the SCHEMA the file was written under, which is
+    * what lets pre-evolution files read NULL for later-added columns
+    * without a rewrite. Ranges cover non-null values only; a file with no
+    * range entry for a column is conservatively kept.
     */
   final case class ColRange(min: Long, max: Long)
   final case class FileStats(rows: Long, bytes: Long,
-                             longRanges: Map[String, ColRange])
+                             longRanges: Map[String, ColRange],
+                             cols: Vector[String])
 
-  final case class State(schema: StructType, version: Long,
-                         files: Vector[String], dir: String,
-                         history: Map[Long, Vector[String]] = Map(0L -> Vector.empty),
-                         stats: Map[String, FileStats] = Map.empty) {
-    def filesAt(v: Long): Vector[String] =
+  /** One committed version: the file list, the per-file POSITIONAL
+    * DELETE vectors (merge-on-read tables; always empty for COW tables —
+    * sorted physical row ordinals, applied by the reader), and the schema
+    * AS OF this commit (ALTER ADD COLUMN versions the schema the same way
+    * writes version the file list, so time travel reads the contemporary
+    * shape).
+    */
+  final case class Snapshot(files: Vector[String],
+                            deletes: Map[String, Vector[Long]],
+                            schema: StructType)
+
+  final case class State(version: Long, dir: String, mor: Boolean,
+                         history: Map[Long, Snapshot],
+                         stats: Map[String, FileStats]) {
+    def snapshot: Snapshot = history(version)
+    def schema: StructType = snapshot.schema
+    def files: Vector[String] = snapshot.files
+    def deletes: Map[String, Vector[Long]] = snapshot.deletes
+    def snapshotAt(v: Long): Snapshot =
       history.getOrElse(v,
         throw new IllegalArgumentException(
           s"graft-cow: no such version $v (have ${history.keys.toSeq.sorted})"))
+    def filesAt(v: Long): Vector[String] = snapshotAt(v).files
   }
+
+  final case class VacuumReport(removedFiles: Long, removedVersions: Long,
+                                retainedVersions: Vector[Long])
 
   private val tables = new ConcurrentHashMap[String, State]()
 
@@ -107,21 +169,44 @@ object CowStore {
   def get(catalog: String, ident: Identifier): Option[State] =
     Option(tables.get(key(catalog, ident)))
 
-  def create(catalog: String, ident: Identifier, schema: StructType): State = {
+  private def supportedType(t: DataType): Boolean =
+    Seq(LongType, DoubleType, StringType).contains(t)
+
+  def create(catalog: String, ident: Identifier, schema: StructType,
+             mor: Boolean): State = synchronized {
     schema.fields.foreach { f =>
-      require(Seq(LongType, DoubleType, StringType).contains(f.dataType),
+      require(supportedType(f.dataType),
         s"graft-cow supports long/double/string columns; got " +
           s"${f.name}: ${f.dataType.simpleString}")
     }
     val dir = java.nio.file.Files.createTempDirectory("graft_cow_").toString
-    val st = State(schema, 0L, Vector.empty, dir)
-    if (tables.putIfAbsent(key(catalog, ident), st) != null)
+    val st = State(0L, dir, mor,
+      history = Map(0L -> Snapshot(Vector.empty, Map.empty, schema)),
+      stats = Map.empty)
+    if (tables.putIfAbsent(key(catalog, ident), st) != null) {
+      // Create-race hygiene: the loser's just-created temp dir would
+      // otherwise leak on disk with no owner.
+      deleteRecursively(new java.io.File(dir))
       throw new TableAlreadyExistsException(ident.toString)
+    }
+    writeManifest(st)
     st
   }
 
-  def drop(catalog: String, ident: Identifier): Boolean =
-    tables.remove(key(catalog, ident)) != null
+  /** Drop removes the in-memory entry AND the table directory (data
+    * files, manifests): a dropped table has no readers to snapshot for,
+    * and leaving its files would leak a temp dir per dropped table.
+    */
+  def drop(catalog: String, ident: Identifier): Boolean = {
+    val st = tables.remove(key(catalog, ident))
+    if (st != null) deleteRecursively(new java.io.File(st.dir))
+    st != null
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 
   def list(catalog: String, namespace: Array[String]): Array[Identifier] = {
     import scala.jdk.CollectionConverters._
@@ -136,8 +221,16 @@ object CowStore {
     * replaces exactly those files with the new ones — the GROUP-LEVEL
     * copy-on-write commit (whole-table replace = `gone` being every
     * current file; INSERT OVERWRITE passes exactly that). Synchronized
-    * pointer swap = the atomic commit; superseded files stay on disk for
-    * in-flight readers of older versions.
+    * pointer swap + manifest write = the atomic commit; superseded files
+    * stay on disk for in-flight readers of older versions (until VACUUM).
+    *
+    * CONFLICT DETECTION: a replacing commit requires every removed file
+    * to still be current — if a concurrent commit already replaced one,
+    * this command's rewrite was computed against a stale group and
+    * blindly swapping would duplicate its rows (the old `filterNot`
+    * silently no-op'd here); the commit throws instead and the command
+    * must be retried against the new state. Removed files' delete
+    * vectors fold away with them (their surviving rows were rewritten).
     */
   def commit(catalog: String, ident: Identifier, newFiles: Seq[String],
              remove: Option[Set[String]],
@@ -145,19 +238,226 @@ object CowStore {
     val k = key(catalog, ident)
     val st = Option(tables.get(k)).getOrElse(
       throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
+    val snap = st.snapshot
     val files = remove match {
-      case None       => st.files ++ newFiles
-      case Some(gone) => st.files.filterNot(gone) ++ newFiles
+      case None => snap.files ++ newFiles
+      case Some(gone) =>
+        val missing = gone -- snap.files.toSet
+        if (missing.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"graft-cow: write-write conflict on $k — this command's " +
+              s"rewrite replaces ${missing.size} file(s) a concurrent commit " +
+              s"already replaced (e.g. ${missing.head}); retry against " +
+              s"version ${st.version}")
+        snap.files.filterNot(gone) ++ newFiles
     }
-    // Superseded files keep their stats: old versions stay readable and
-    // their time-travel scans skip/size with the same fidelity.
-    tables.put(k, st.copy(version = st.version + 1, files = files,
-      history = st.history + ((st.version + 1) -> files),
-      stats = st.stats ++ newStats))
+    val dvs = snap.deletes -- remove.getOrElse(Set.empty)
+    publish(k, st, Snapshot(files, dvs, snap.schema), newStats)
   }
+
+  /** Publish a MERGE-ON-READ delta commit: `newDeletes` are per-file
+    * sorted position vectors to MERGE into the current snapshot's delete
+    * vectors; `newFiles` carry the inserted rows. O(changed rows) bytes —
+    * no data file is rewritten or removed.
+    *
+    * CONFLICT DETECTION (row-level): a delete targeting a file that is no
+    * longer current means a concurrent commit replaced it (the position
+    * no longer names the same row); a delete of a position already in the
+    * current vector means a concurrent command deleted/updated the same
+    * row (for an UPDATE represented as delete+insert, blindly merging
+    * would keep BOTH inserts — a silent duplicate). Both throw.
+    */
+  def commitDelta(catalog: String, ident: Identifier, newFiles: Seq[String],
+                  newStats: Map[String, FileStats],
+                  newDeletes: Map[String, Vector[Long]]): Unit = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
+    val snap = st.snapshot
+    val current = snap.files.toSet
+    val merged = newDeletes.foldLeft(snap.deletes) { case (acc, (f, ps)) =>
+      if (!current.contains(f))
+        throw new java.util.ConcurrentModificationException(
+          s"graft-cow: delta conflict on $k — deletes target $f, which a " +
+            "concurrent commit replaced; retry against version " +
+            s"${st.version}")
+      val existing = acc.getOrElse(f, Vector.empty)
+      val clash = ps.toSet.intersect(existing.toSet)
+      if (clash.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"graft-cow: delta conflict on $k — row(s) at position(s) " +
+            s"${clash.toSeq.sorted.take(3).mkString(",")} of $f were " +
+            "already deleted by a concurrent commit")
+      acc + (f -> (existing ++ ps).sorted)
+    }
+    publish(k, st, Snapshot(snap.files ++ newFiles, merged, snap.schema),
+      newStats)
+  }
+
+  /** `ALTER TABLE … ADD COLUMN`: a new version with the SAME files and an
+    * extended schema. Pre-evolution files lack the column physically and
+    * read NULL (the reader consults each file's write-time column set);
+    * `VERSION AS OF` a pre-evolution commit reads the OLD schema.
+    */
+  def addColumn(catalog: String, ident: Identifier, field: StructField): State =
+    synchronized {
+      val k = key(catalog, ident)
+      val st = Option(tables.get(k)).getOrElse(
+        throw new NoSuchTableException(ident))
+      require(supportedType(field.dataType),
+        s"graft-cow supports long/double/string columns; got " +
+          s"${field.name}: ${field.dataType.simpleString}")
+      require(!st.schema.fieldNames.contains(field.name),
+        s"graft-cow: column ${field.name} already exists")
+      require(field.nullable,
+        "graft-cow: added columns must be nullable (existing files read NULL)")
+      val snap = st.snapshot
+      publish(k, st, snap.copy(schema = snap.schema.add(field)), Map.empty)
+    }
+
+  private def publish(k: String, st: State, snap: Snapshot,
+                      newStats: Map[String, FileStats]): State = {
+    val nst = st.copy(version = st.version + 1,
+      history = st.history + ((st.version + 1) -> snap),
+      // Superseded files keep their stats: old versions stay readable and
+      // their time-travel scans skip/size with the same fidelity.
+      stats = st.stats ++ newStats)
+    tables.put(k, nst)
+    writeManifest(nst)
+    nst
+  }
+
+  // ---------------------------------------------------------------------
+  // Durable commit log: one self-contained manifest per version under
+  // <table dir>/_log. Tab-separated lines (paths are temp-dir files and
+  // contain no tabs/newlines); the schema rides Spark's own stable
+  // StructType JSON. Each manifest fully describes its snapshot (files +
+  // stats + delete vectors + schema), so recovery = parse every manifest,
+  // union the stats, take the max version as current.
+  // ---------------------------------------------------------------------
+
+  private def logDir(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "_log")
+
+  private def manifestPath(dir: String, v: Long): java.nio.file.Path =
+    logDir(dir).resolve(s"v$v.manifest")
+
+  private def writeManifest(st: State): Unit = {
+    val snap = st.snapshot
+    val sb = new StringBuilder
+    sb ++= s"version\t${st.version}\n"
+    sb ++= s"mor\t${st.mor}\n"
+    sb ++= s"schema\t${snap.schema.json}\n"
+    snap.files.foreach { f =>
+      st.stats.get(f) match {
+        case Some(fs) =>
+          val ranges =
+            if (fs.longRanges.isEmpty) "-"
+            else fs.longRanges.toSeq.sortBy(_._1).map { case (c, r) =>
+              s"$c:${r.min}:${r.max}"
+            }.mkString(",")
+          sb ++= s"file\t$f\t${fs.rows}\t${fs.bytes}\t$ranges\t${fs.cols.mkString(",")}\n"
+        case None => sb ++= s"file\t$f\t-\n"
+      }
+    }
+    snap.deletes.toSeq.sortBy(_._1).foreach { case (f, ps) =>
+      sb ++= s"dv\t$f\t${ps.mkString(",")}\n"
+    }
+    java.nio.file.Files.createDirectories(logDir(st.dir))
+    java.nio.file.Files.write(manifestPath(st.dir, st.version),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Rebuild a table's full state (version history, schema history, file
+    * stats, delete vectors) from its on-disk manifest log and register it
+    * under `ident` — the NEW-SESSION recovery path: the in-memory map is
+    * just a cache of what `_log` records. Returns the recovered state.
+    */
+  def recover(catalog: String, ident: Identifier, dir: String): State =
+    synchronized {
+      import scala.jdk.CollectionConverters._
+      val log = logDir(dir)
+      require(java.nio.file.Files.isDirectory(log),
+        s"graft-cow: no commit log at $log — not a graft-cow table dir")
+      val manifests = java.nio.file.Files.list(log).iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.manifest")).toVector
+      require(manifests.nonEmpty, s"graft-cow: empty commit log at $log")
+      var mor = false
+      var stats = Map.empty[String, FileStats]
+      val history = manifests.map { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+        var version = -1L
+        var schema: StructType = null
+        var files = Vector.empty[String]
+        var dvs = Map.empty[String, Vector[Long]]
+        lines.foreach { line =>
+          line.split("\t", -1).toSeq match {
+            case Seq("version", v) => version = v.toLong
+            case Seq("mor", m) => mor = m.toBoolean
+            case Seq("schema", j) =>
+              schema = DataType.fromJson(j).asInstanceOf[StructType]
+            case Seq("file", f, "-") => files :+= f
+            case Seq("file", f, rows, bytes, ranges, cols) =>
+              files :+= f
+              val lr =
+                if (ranges == "-") Map.empty[String, ColRange]
+                else ranges.split(",").map { r =>
+                  val Array(c, mn, mx) = r.split(":")
+                  c -> ColRange(mn.toLong, mx.toLong)
+                }.toMap
+              stats += f -> FileStats(rows.toLong, bytes.toLong, lr,
+                if (cols.isEmpty) Vector.empty else cols.split(",").toVector)
+            case Seq("dv", f, ps) =>
+              dvs += f -> ps.split(",").map(_.toLong).toVector
+            case other =>
+              throw new IllegalStateException(
+                s"graft-cow: unparseable manifest line in $p: $other")
+          }
+        }
+        require(version >= 0 && schema != null,
+          s"graft-cow: manifest $p lacks version/schema")
+        version -> Snapshot(files, dvs, schema)
+      }.toMap
+      val st = State(history.keys.max, dir, mor, history, stats)
+      tables.put(key(catalog, ident), st)
+      st
+    }
+
+  /** Testing hook: forget a table's in-memory state WITHOUT touching its
+    * files or commit log — simulates a fresh session for [[recover]].
+    */
+  def evict(catalog: String, ident: Identifier): Unit =
+    tables.remove(key(catalog, ident)): Unit
+
+  /** Retention: keep the newest `retain` versions, DELETE data files
+    * referenced only by older versions (plus those versions' manifests
+    * and history entries). The current version is by construction always
+    * retained; time travel to a vacuumed version fails loudly at
+    * resolution (`no such version`). This is the explicit lever that
+    * bounds the superseded-file accumulation the snapshot-isolation
+    * contract creates.
+    */
+  def vacuum(catalog: String, ident: Identifier, retain: Int): VacuumReport =
+    synchronized {
+      require(retain >= 1, s"graft-cow: VACUUM must retain >= 1 version, got $retain")
+      val k = key(catalog, ident)
+      val st = Option(tables.get(k)).getOrElse(
+        throw new NoSuchTableException(ident))
+      val versions = st.history.keys.toVector.sorted
+      val keep = versions.takeRight(retain)
+      val dropV = versions.dropRight(retain)
+      val live = keep.flatMap(v => st.history(v).files).toSet
+      val dead = dropV.flatMap(v => st.history(v).files).toSet -- live
+      dead.foreach(f => new java.io.File(f).delete())
+      dropV.foreach(v => java.nio.file.Files.deleteIfExists(
+        manifestPath(st.dir, v)))
+      tables.put(k, st.copy(history = st.history -- dropV,
+        stats = st.stats -- dead))
+      VacuumReport(dead.size.toLong, dropV.size.toLong, keep)
+    }
 }
 
-class CowCatalog extends TableCatalog {
+class CowCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -174,8 +474,9 @@ class CowCatalog extends TableCatalog {
       .getOrElse(throw new NoSuchTableException(ident))
 
   /** `VERSION AS OF v` time travel: superseded files are never deleted
-    * and every commit records its file list, so any retained version is
-    * an ordinary (read-only) scan of its pinned file set.
+    * before their version is vacuumed, and every commit records its file
+    * list (and schema), so any retained version is an ordinary
+    * (read-only) scan of its pinned snapshot.
     */
   override def loadTable(ident: Identifier, version: String): Table =
     CowStore.get(catalogName, ident)
@@ -183,7 +484,7 @@ class CowCatalog extends TableCatalog {
         val v = scala.util.Try(version.toLong).getOrElse(
           throw new IllegalArgumentException(
             s"graft-cow: version must be a commit number, got '$version'"))
-        st.filesAt(v): Unit // fail loudly at resolution, not first scan
+        st.snapshotAt(v): Unit // fail loudly at resolution, not first scan
         new CowTable(catalogName, ident, pinnedVersion = Some(v))
       }
       .getOrElse(throw new NoSuchTableException(ident))
@@ -193,32 +494,122 @@ class CowCatalog extends TableCatalog {
                            properties: java.util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       "graft-cow: partition transforms are not supported (single-group COW)")
-    CowStore.create(catalogName, ident, schema)
+    val mor = Option(properties.get("graft.mode")).map(_.toLowerCase)
+      .exists(m => m == "mor" || m == "merge-on-read")
+    CowStore.create(catalogName, ident, schema, mor)
     new CowTable(catalogName, ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft-cow: ALTER TABLE not supported")
+  /** `ALTER TABLE … ADD COLUMN` (add-only schema evolution): a metadata
+    * commit — same files, extended schema, no rewrite. Everything else
+    * (renames, drops, type changes) is rejected loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft-cow: nested columns are not supported")
+        require(add.position() == null,
+          "graft-cow: ADD COLUMN only appends (no FIRST/AFTER)")
+        require(add.defaultValue() == null,
+          "graft-cow: column defaults are not supported (added columns read NULL)")
+        CowStore.addColumn(catalogName, ident,
+          StructField(add.fieldNames()(0), add.dataType(),
+            nullable = add.isNullable)): Unit
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-cow: unsupported ALTER TABLE change $other (ADD COLUMN only)")
+    }
+    new CowTable(catalogName, ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     CowStore.drop(catalogName, ident)
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft-cow: RENAME not supported")
+
+  /** The maintenance-procedure surface (DSv2 `ProcedureCatalog`, Spark
+    * 4's `CALL` statement): `CALL graft_cow.vacuum('<ns.table>', <retain>)`
+    * runs [[CowStore.vacuum]] and returns its report as one row.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    ident.name() match {
+      case "vacuum" => new CowVacuumProcedure(catalogName)
+      case other => throw new RuntimeException(
+        s"graft-cow: no such procedure $other (have: vacuum)")
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "vacuum"))
+}
+
+/** `CALL <catalog>.vacuum(table, retain)` — retention as a first-class
+  * SQL maintenance verb (the Iceberg `expire_snapshots` shape on the
+  * miniature catalog). Returns (removed_files, removed_versions,
+  * retained_from) so the operator sees what the horizon did.
+  */
+class CowVacuumProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "graft-cow VACUUM: retain the newest <retain> versions, delete files " +
+      "referenced only by older ones"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String = CowVacuumProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("retain", IntegerType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val retain = input.getInt(1)
+      val parts = table.split("\\.")
+      val ident = Identifier.of(parts.init, parts.last)
+      val report = CowStore.vacuum(catalogName, ident, retain)
+      val out = new GenericInternalRow(Array[Any](
+        report.removedFiles, report.removedVersions,
+        report.retainedVersions.min))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(out)
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("removed_files", LongType, nullable = false),
+          StructField("removed_versions", LongType, nullable = false),
+          StructField("retained_from", LongType, nullable = false)))
+        override def description(): String = "graft-cow vacuum report"
+      }
+      JCollections.singletonList(scan).iterator()
+    }
+  }
 }
 
 /** The `_file` metadata column — the GROUP identity of the copy-on-write
   * scheme (Iceberg's `_file` in miniature): the row-level operation
   * requires it, the scan serves it, and the runtime group filter prunes
   * on it so a MERGE/UPDATE/DELETE rewrites only the files that contain
-  * matches.
+  * matches. For merge-on-read tables it is the file half of the row id.
   */
 object CowFileColumn extends MetadataColumn {
   val Name = "_file"
   override def name(): String = Name
-  override def dataType(): org.apache.spark.sql.types.DataType = StringType
+  override def dataType(): DataType = StringType
   override def isNullable: Boolean = false
   override def comment(): String = "graft-cow source file (COW group id)"
+}
+
+/** The `_pos` metadata column — the row's PHYSICAL POSITION within its
+  * file (0-based ordinal, counted before delete-vector filtering so
+  * positions are stable across deletes): the position half of the
+  * merge-on-read row id, what a positional delete entry points at.
+  */
+object CowPosColumn extends MetadataColumn {
+  val Name = "_pos"
+  override def name(): String = Name
+  override def dataType(): DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String = "graft-cow row position within _file (MOR row id)"
 }
 
 class CowTable(catalog: String, ident: Identifier,
@@ -229,9 +620,10 @@ class CowTable(catalog: String, ident: Identifier,
   private def state: CowStore.State = {
     val st = CowStore.get(catalog, ident).getOrElse(
       throw new NoSuchTableException(ident))
-    // A version-pinned load scans that commit's file list; the table is
-    // read-only (writes go through the CURRENT version only).
-    pinnedVersion.fold(st)(v => st.copy(version = v, files = st.filesAt(v)))
+    // A version-pinned load scans that commit's snapshot (files, delete
+    // vectors AND schema); the table is read-only (writes go through the
+    // CURRENT version only).
+    pinnedVersion.fold(st)(v => st.copy(version = v))
   }
 
   private def requireWritable(): Unit =
@@ -242,7 +634,13 @@ class CowTable(catalog: String, ident: Identifier,
     (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".") +
       pinnedVersion.fold("")(v => s"@v$v")
   override def schema(): StructType = state.schema
-  override def metadataColumns(): Array[MetadataColumn] = Array(CowFileColumn)
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("graft.mode", if (state.mor) "mor" else "cow")
+    JCollections.unmodifiableMap(m)
+  }
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(CowFileColumn, CowPosColumn)
   override def capabilities(): java.util.Set[TableCapability] = {
     val s = new java.util.HashSet[TableCapability]()
     s.add(TableCapability.BATCH_READ)
@@ -259,24 +657,30 @@ class CowTable(catalog: String, ident: Identifier,
     new CowWriteBuilder(catalog, ident, state, op = None, info.schema())
   }
 
-  /** Group-based row-level operation with FILE-LEVEL groups:
-    * MERGE/UPDATE/DELETE read through the op's scan (which serves the
-    * `_file` metadata column and accepts the runtime group filter), and
-    * the commit replaces exactly the files the filtered scan read. No
-    * `SupportsDelta` ⇒ Catalyst plans `ReplaceData`; with
-    * `requiredMetadataAttributes = [_file]`,
-    * `RowLevelOperationRuntimeGroupFiltering` injects the dynamic
-    * IN-subquery that narrows the rewrite to matching groups.
+  /** Row-level operations, strategy per the table's mode:
+    *
+    *  - COW (default): GROUP-BASED with FILE-LEVEL groups —
+    *    MERGE/UPDATE/DELETE read through the op's scan (which serves the
+    *    `_file` metadata column and accepts the runtime group filter),
+    *    and the commit replaces exactly the files the filtered scan read.
+    *    No `SupportsDelta` ⇒ Catalyst plans `ReplaceData`; with
+    *    `requiredMetadataAttributes = [_file]`,
+    *    `RowLevelOperationRuntimeGroupFiltering` injects the dynamic
+    *    IN-subquery that narrows the rewrite to matching groups.
+    *  - MOR: DELTA-BASED (`SupportsDelta`, row id (`_file`,`_pos`)) ⇒
+    *    Catalyst plans `WriteDelta`; the commit records positional
+    *    delete vectors + insert files, O(changed rows).
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable()
-    () => new CowRowLevelOperation(catalog, ident, name(), state, info)
+    if (state.mor) () => new CowMorOperation(catalog, ident, name(), state, info)
+    else () => new CowRowLevelOperation(catalog, ident, name(), state, info)
   }
 }
 
-/** One row-level command's shared context: the SAME operation instance
-  * backs the target scan and the replacing write (that is
+/** One group-based row-level command's shared context: the SAME operation
+  * instance backs the target scan and the replacing write (that is
   * `RowLevelOperationTable`'s contract), so the scan records here which
   * files the (possibly runtime-group-filtered) read actually served and
   * the write's commit removes exactly those.
@@ -285,9 +689,14 @@ class CowRowLevelOperation(catalog: String, ident: Identifier,
                            tableName: String, state: CowStore.State,
                            info: RowLevelOperationInfo)
     extends RowLevelOperation {
-  /** Files the op's scan will read — the groups being rewritten. Set at
-    * scan-snapshot time (all current files), narrowed by the runtime
-    * group filter when it fires.
+  /** Files the op's scan actually READ — the groups being rewritten.
+    * Initialized conservatively to the full snapshot; overwritten by the
+    * EXECUTED scan at `planInputPartitions` time (after static skipping
+    * and the runtime group filter have both narrowed its file list), so a
+    * scan that is merely CONSTRUCTED during planning but never executed
+    * can no longer clobber the record (the round-13 ADVICE defect: the
+    * old constructor-time write meant "last scan built wins", not "the
+    * scan that fed the rewrite wins").
     */
   val scannedFiles = new java.util.concurrent.atomic.AtomicReference[Set[String]](
     state.files.toSet)
@@ -309,10 +718,47 @@ class CowRowLevelOperation(catalog: String, ident: Identifier,
     s"graft-cow ${info.command()} on $tableName (groups = files)"
 }
 
+/** One MERGE-ON-READ row-level command: DELTA-BASED (`SupportsDelta`),
+  * row id = (`_file`, `_pos`). Catalyst plans a `WriteDelta` whose rows
+  * carry an operation tag; updates arrive as delete + insert
+  * (`representUpdateAsDeleteAndInsert` — the positional-delete scheme has
+  * no in-place update). The scan is the PLAIN table scan (no group
+  * tracking: nothing is replaced), it just has to serve the row-id
+  * metadata columns, which every [[CowScan]] does.
+  */
+class CowMorOperation(catalog: String, ident: Identifier,
+                      tableName: String, state: CowStore.State,
+                      info: RowLevelOperationInfo)
+    extends RowLevelOperation with SupportsDelta {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  override def command(): RowLevelOperation.Command = info.command()
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(CowFileColumn.Name),
+      Expressions.column(CowPosColumn.Name))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CowScanBuilder(tableName, state, op = None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new CowDeltaWriteBuilder(catalog, ident, state, info)
+
+  override def description(): String =
+    s"graft-cow ${info.command()} on $tableName (merge-on-read, " +
+      "positional deletes)"
+}
+
 /** Column pruning pushed down to the parquet reader's projection — same
   * I/O-layer contract as [[ReplayReaderFactory]]. The required schema may
-  * include the [[CowFileColumn]] metadata column (row-level op scans ask
-  * for it); it is synthesized per partition, never read from parquet.
+  * include the [[CowFileColumn]]/[[CowPosColumn]] metadata columns
+  * (row-level op scans ask for them); they are synthesized per partition,
+  * never read from parquet.
   */
 class CowScanBuilder(tableName: String, state: CowStore.State,
                      op: Option[CowRowLevelOperation])
@@ -320,13 +766,16 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
 
+  private def isMeta(n: String): Boolean =
+    n == CowFileColumn.Name || n == CowPosColumn.Name
+
   private var required: StructType = state.schema
   private var skippable: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(
       state.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)) ++
-        requiredSchema.fields.filter(_.name == CowFileColumn.Name))
+        requiredSchema.fields.filter(f => isMeta(f.name)))
 
   /** File-skipping pushdown: comparisons on long columns are retained
     * for [[CowScan]]'s min/max pruning, but EVERY filter is also returned
@@ -361,8 +810,10 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
   * For row-level op scans, [[SupportsRuntimeV2Filtering]] accepts the
   * group filter Catalyst injects (`_file IN (matching groups)`): the file
   * list narrows to the matching groups, and the shared
-  * [[CowRowLevelOperation]] records them so the commit replaces exactly
-  * what was read.
+  * [[CowRowLevelOperation]] records the EXECUTED read set (at
+  * `planInputPartitions`) so the commit replaces exactly what was read.
+  * Merge-on-read delete vectors travel inside each file's
+  * [[CowFilePartition]] and are applied by the reader.
   */
 class CowScan(tableName: String, state: CowStore.State,
               required: StructType, op: Option[CowRowLevelOperation],
@@ -398,16 +849,13 @@ class CowScan(tableName: String, state: CowStore.State,
 
   @volatile private var files: Vector[String] =
     state.files.filter(surviveSkipping)
-  // A row-level op's commit replaces exactly what its scan READ: the
-  // static skip above already narrowed the read set, so record it — a
-  // skipped file's rows must never be dropped by the rewrite.
-  op.foreach(_.scannedFiles.set(files.toSet))
 
   /** Write-time stats make the COW table a SIZED relation: the planner
     * sees Σ bytes / Σ rows of the (skip-pruned) file set instead of the
     * unknown-size default, so a small table broadcasts and join sides
-    * order correctly. Files without stats contribute unknown → report
-    * only when every surviving file is covered.
+    * order correctly. Row counts are net of delete vectors. Files
+    * without stats contribute unknown → report only when every surviving
+    * file is covered.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
@@ -418,7 +866,9 @@ class CowScan(tableName: String, state: CowStore.State,
         else java.util.OptionalLong.empty()
       override def numRows(): java.util.OptionalLong =
         if (covered)
-          java.util.OptionalLong.of(files.map(state.stats(_).rows).sum)
+          java.util.OptionalLong.of(files.map { f =>
+            state.stats(f).rows - state.deletes.getOrElse(f, Vector.empty).length
+          }.sum)
         else java.util.OptionalLong.empty()
     }
 
@@ -432,7 +882,6 @@ class CowScan(tableName: String, state: CowStore.State,
     if (keeps.nonEmpty) {
       val keep = keeps.reduce(_ intersect _)
       files = files.filter(keep)
-      op.foreach(_.scannedFiles.set(files.toSet))
     }
   }
 
@@ -470,45 +919,79 @@ class CowScan(tableName: String, state: CowStore.State,
       s"(${files.size} of ${state.files.size} files, $skipped skipped)$pushed"
   }
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(CowFilePartition(_): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    // A row-level op's commit replaces exactly what its scan READ: this
+    // is the EXECUTION-time file list (post static-skip, post runtime
+    // group filter), recorded by the scan that actually plans its
+    // partitions — a skipped file's rows must never be dropped by the
+    // rewrite, and a scan built-but-not-executed must never widen or
+    // narrow the record.
+    op.foreach(_.scannedFiles.set(files.toSet))
+    files.map { f =>
+      CowFilePartition(f,
+        // The columns physically present in the file = the schema it was
+        // written under (write-time stats); files predating an ADD COLUMN
+        // read NULL for the added columns. No stats ⇒ assume current
+        // schema (pre-stats files can't have been through evolution).
+        state.stats.get(f).map(_.cols)
+          .getOrElse(state.schema.fieldNames.toVector),
+        state.deletes.getOrElse(f, Vector.empty).toArray): InputPartition
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     CowReaderFactory(required, state.schema)
 }
 
-case class CowFilePartition(file: String) extends InputPartition
+/** One file's read task: its write-time column set (schema evolution) and
+  * its positional delete vector (merge-on-read), both applied reader-side.
+  */
+case class CowFilePartition(file: String, presentCols: Vector[String],
+                            deletes: Array[Long]) extends InputPartition
 
 /** Executor-side parquet Group reader over one immutable file, projection
   * pushed to parquet-mr (`parquet.read.schema`) so unrequested columns'
   * pages are never decoded. Generalizes [[ReplayReaderFactory]]'s pattern
-  * to an arbitrary long/double/string schema.
+  * to an arbitrary long/double/string schema. Serves the `_file`/`_pos`
+  * metadata columns, synthesizes NULL for columns added after the file
+  * was written, and applies the file's positional delete vector as a
+  * MONOTONE MERGE-WALK (positions are sorted, rows stream in position
+  * order ⇒ O(1) per row, no set lookups).
   */
 case class CowReaderFactory(schema: StructType, tableSchema: StructType)
     extends PartitionReaderFactory {
 
-  // The _file metadata column is synthesized per partition, never decoded
-  // from parquet. A physically column-less projection (count(*) scans, or
-  // _file-only reads) still needs one parquet column to drive row
-  // iteration; fall back to the narrowest table column.
-  private def physicalFields = {
-    val data = schema.fields.filter(_.name != CowFileColumn.Name)
-    if (data.isEmpty) tableSchema.fields.take(1) else data
-  }
-
-  private def parquetProjection: String =
-    physicalFields.map { f =>
-      val t = f.dataType match {
-        case LongType   => "int64"
-        case DoubleType => "double"
-        case StringType => "binary"
-        case other => throw new IllegalArgumentException(
-          s"graft-cow: unsupported column type ${other.simpleString} for ${f.name}")
-      }
-      s"  optional $t ${f.name};"
-    }.mkString("message graft_cow_projection {\n", "\n", "\n}")
-
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[CowFilePartition].file
+    val part = partition.asInstanceOf[CowFilePartition]
+    val file = part.file
+    val present = part.presentCols.toSet
+    val dv = part.deletes
+
+    // Metadata columns are synthesized per partition, never decoded from
+    // parquet; columns missing from THIS file (added after it was
+    // written) read NULL. A physically column-less projection (count(*)
+    // scans, _file/_pos-only reads, or all-new-column projections) still
+    // needs one parquet column to drive row iteration; fall back to the
+    // narrowest PRESENT column.
+    val physicalFields: Array[StructField] = {
+      val data = schema.fields.filter(f =>
+        f.name != CowFileColumn.Name && f.name != CowPosColumn.Name &&
+          present.contains(f.name))
+      if (data.nonEmpty) data
+      else tableSchema.fields.filter(f => present.contains(f.name)).take(1)
+    }
+
+    val parquetProjection: String =
+      physicalFields.map { f =>
+        val t = f.dataType match {
+          case LongType   => "int64"
+          case DoubleType => "double"
+          case StringType => "binary"
+          case other => throw new IllegalArgumentException(
+            s"graft-cow: unsupported column type ${other.simpleString} for ${f.name}")
+        }
+        s"  optional $t ${f.name};"
+      }.mkString("message graft_cow_projection {\n", "\n", "\n}")
+
     new PartitionReader[InternalRow] {
       private val reader: ParquetReader[Group] = {
         val conf = new Configuration()
@@ -517,10 +1000,18 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
           new org.apache.hadoop.fs.Path(file)).withConf(conf).build()
       }
       private var current: Group = _
+      private var pos = -1L // physical position of `current` within the file
+      private var di = 0    // merge-walk pointer into the sorted delete vector
 
       override def next(): Boolean = {
-        current = reader.read()
-        current != null
+        while (true) {
+          current = reader.read()
+          if (current == null) return false
+          pos += 1
+          if (di < dv.length && dv(di) == pos) di += 1 // deleted: skip row
+          else return true
+        }
+        false
       }
 
       private val filePath = UTF8String.fromString(file)
@@ -533,6 +1024,8 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
         }
         new GenericInternalRow(schema.fields.map[Any] { f =>
           if (f.name == CowFileColumn.Name) filePath
+          else if (f.name == CowPosColumn.Name) pos
+          else if (!present.contains(f.name)) null // added after this file
           else if (!has(f.name)) null
           else f.dataType match {
             case LongType   => g.getLong(g.getType.getFieldIndex(f.name), 0)
@@ -549,8 +1042,8 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
 }
 
 /** Append by default; `truncate()` (INSERT OVERWRITE) replaces every
-  * current file; a row-level write (`op` present) replaces exactly the
-  * files the op's (runtime-group-filtered) scan served.
+  * current file; a group-based row-level write (`op` present) replaces
+  * exactly the files the op's (runtime-group-filtered) scan served.
   */
 class CowWriteBuilder(catalog: String, ident: Identifier,
                       state: CowStore.State, op: Option[CowRowLevelOperation],
@@ -596,26 +1089,67 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
   }
 }
 
+/** The MERGE-ON-READ write: Catalyst's `WriteDelta` feeds per-row
+  * operations; deletes accumulate as (file → positions) — O(deleted rows)
+  * bytes, NO file rewritten — and inserts stream into ordinary new files.
+  * Updates never reach `update()` (`representUpdateAsDeleteAndInsert`).
+  */
+class CowDeltaWriteBuilder(catalog: String, ident: Identifier,
+                           state: CowStore.State, info: LogicalWriteInfo)
+    extends DeltaWriteBuilder {
+
+  override def build(): DeltaWrite = new DeltaWrite {
+    override def description(): String =
+      s"graft-cow delta (merge-on-read) to " +
+        (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+    override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+      override def createBatchWriterFactory(
+          pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
+        val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+          new IllegalStateException(
+            "graft-cow: delta write without a row-id schema"))
+        CowDeltaWriterFactory(state.dir, info.schema(), rowIdSchema,
+          state.schema)
+      }
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val msgs = messages.map(_.asInstanceOf[CowDeltaCommitMessage])
+        // Per-file positions merged across tasks, sorted for the
+        // reader's merge-walk (each task saw an arbitrary slice).
+        val deletes = msgs.flatMap(_.deletes)
+          .groupBy(_._1).map { case (f, ps) =>
+            f -> ps.flatMap(_._2).toVector.sorted
+          }
+        CowStore.commitDelta(catalog, ident,
+          msgs.flatMap(_.files.map(_._1)).toSeq,
+          msgs.flatMap(_.files).toMap, deletes)
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        messages.foreach {
+          case CowDeltaCommitMessage(files, _) => files.foreach { case (f, _) =>
+            new java.io.File(f).delete(): Unit
+          }
+          case _ => ()
+        }
+    }
+  }
+}
+
 case class CowCommitMessage(files: Seq[(String, CowStore.FileStats)])
     extends WriterCommitMessage
 
-/** Executor-side writer: one parquet file per non-empty task, written with
-  * parquet-hadoop's Group API; a zero-row task deletes its just-opened
-  * file and contributes nothing (no empty-file litter at 32 partitions ×
-  * small results). Only files named in COMMITTED messages enter the table
-  * state — files from aborted/speculative attempts are never visible.
-  *
-  * Incoming rows are laid out in `writeSchema` order (the
-  * `LogicalWriteInfo` schema — for a row-level ReplaceData that's the
-  * rewrite query's output, NOT necessarily table order), so extraction
-  * indexes/types come from `writeSchema` and each table column is located
-  * BY NAME; the parquet file itself is always written in table-schema
-  * shape. A table column missing from the write schema fails loudly.
-  */
-case class CowWriterFactory(dir: String, writeSchema: StructType,
-                            tableSchema: StructType)
-    extends DataWriterFactory {
+case class CowDeltaCommitMessage(files: Seq[(String, CowStore.FileStats)],
+                                 deletes: Seq[(String, Seq[Long])])
+    extends WriterCommitMessage
 
+/** One task's parquet output file: the Group-API writer + write-time
+  * stats collection shared by the group-based (COW) and delta-based (MOR)
+  * write paths. Rows are extracted by `writeSchema` position (plus a
+  * caller-supplied lead offset, see [[CowWriterFactory]]); the file is
+  * always laid out in table-schema shape. A zero-row task deletes its
+  * just-opened file and contributes nothing.
+  */
+private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
+                                         tableSchema: StructType) {
   private def messageType: String =
     tableSchema.fields.map { f =>
       val t = f.dataType match {
@@ -628,22 +1162,103 @@ case class CowWriterFactory(dir: String, writeSchema: StructType,
       s"  optional $t ${f.name};"
     }.mkString("message graft_cow_write {\n", "\n", "\n}")
 
+  private val file = s"$dir/data-${UUID.randomUUID().toString}.parquet"
+  private val parsed: MessageType = MessageTypeParser.parseMessageType(messageType)
+  private val factory = new SimpleGroupFactory(parsed)
+  private val writer: ParquetWriter[Group] =
+    ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(file))
+      .withType(parsed).withConf(new Configuration()).build()
+  // table column -> position in the DECLARED write schema, resolved once.
+  private val srcIdx: Array[Int] = tableSchema.fields.map { f =>
+    val i = writeSchema.fieldIndex(f.name)
+    require(writeSchema.fields(i).dataType == f.dataType,
+      s"graft-cow: write schema types ${writeSchema.fields(i).dataType} " +
+        s"!= table ${f.dataType} for column ${f.name}")
+    i
+  }
+  private var rows = 0L
+  // Write-time per-long-column ranges: the file's manifest stats,
+  // collected as rows stream through — zero extra passes.
+  private val longIdx: Array[Int] =
+    tableSchema.fields.indices.filter(
+      i => tableSchema.fields(i).dataType == LongType).toArray
+  private val statsSlot: Array[Int] =
+    tableSchema.fields.indices.map(longIdx.indexOf(_)).toArray
+  private val mins = Array.fill(longIdx.length)(Long.MaxValue)
+  private val maxs = Array.fill(longIdx.length)(Long.MinValue)
+
+  def write(row: InternalRow, off: Int): Unit = {
+    val g = factory.newGroup()
+    var t = 0
+    while (t < tableSchema.fields.length) {
+      val i = off + srcIdx(t)
+      if (!row.isNullAt(i)) {
+        val f = tableSchema.fields(t)
+        f.dataType match {
+          case LongType =>
+            val v = row.getLong(i)
+            val s = statsSlot(t)
+            if (v < mins(s)) mins(s) = v
+            if (v > maxs(s)) maxs(s) = v
+            g.append(f.name, v)
+          case DoubleType => g.append(f.name, row.getDouble(i))
+          case StringType => g.append(f.name, row.getUTF8String(i).toString)
+          case other => throw new IllegalArgumentException(
+            s"graft-cow: unsupported column type ${other.simpleString}")
+        }
+      }
+      t += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  /** Close; return the (file, stats) pair, or nothing for a zero-row task
+    * (the just-opened file is deleted — no empty-file litter at 32
+    * partitions × small results).
+    */
+  def finish(): Option[(String, CowStore.FileStats)] = {
+    writer.close()
+    if (rows == 0L) {
+      new java.io.File(file).delete()
+      None
+    } else {
+      val ranges = longIdx.indices.collect {
+        case s if mins(s) <= maxs(s) =>
+          tableSchema.fields(longIdx(s)).name ->
+            CowStore.ColRange(mins(s), maxs(s))
+      }.toMap
+      Some(file -> CowStore.FileStats(
+        rows, new java.io.File(file).length(), ranges,
+        tableSchema.fieldNames.toVector))
+    }
+  }
+
+  def abort(): Unit = {
+    writer.close()
+    new java.io.File(file).delete(): Unit
+  }
+}
+
+/** Executor-side writer for the GROUP-BASED paths (append / truncate /
+  * ReplaceData): one parquet file per non-empty task. Only files named in
+  * COMMITTED messages enter the table state — files from
+  * aborted/speculative attempts are never visible.
+  *
+  * Incoming rows are laid out in `writeSchema` order (the
+  * `LogicalWriteInfo` schema — for a row-level ReplaceData that's the
+  * rewrite query's output, NOT necessarily table order), so extraction
+  * indexes/types come from `writeSchema` and each table column is located
+  * BY NAME; the parquet file itself is always written in table-schema
+  * shape. A table column missing from the write schema fails loudly.
+  */
+case class CowWriterFactory(dir: String, writeSchema: StructType,
+                            tableSchema: StructType)
+    extends DataWriterFactory {
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val file = s"$dir/data-${UUID.randomUUID().toString}.parquet"
-      private val parsed: MessageType = MessageTypeParser.parseMessageType(messageType)
-      private val factory = new SimpleGroupFactory(parsed)
-      private val writer: ParquetWriter[Group] =
-        ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(file))
-          .withType(parsed).withConf(new Configuration()).build()
-      // table column -> position in the DECLARED write schema, resolved once.
-      private val srcIdx: Array[Int] = tableSchema.fields.map { f =>
-        val i = writeSchema.fieldIndex(f.name)
-        require(writeSchema.fields(i).dataType == f.dataType,
-          s"graft-cow: write schema types ${writeSchema.fields(i).dataType} " +
-            s"!= table ${f.dataType} for column ${f.name}")
-        i
-      }
+      private val out = new CowTaskFile(dir, writeSchema, tableSchema)
       // Spark 4.1 plan-shape quirk, measured against the shipped bytecode:
       // a group-based ReplaceData whose operation requests NO metadata
       // attributes takes the plain DataWritingSparkTask path, which does
@@ -662,73 +1277,65 @@ case class CowWriterFactory(dir: String, writeSchema: StructType,
             s"schema ${writeSchema.simpleString} — unexpected layout")
         off
       }
-      private var rows = 0L
-      // Write-time per-long-column ranges: the file's manifest stats,
-      // collected as rows stream through — zero extra passes.
-      private val longIdx: Array[Int] =
-        tableSchema.fields.indices.filter(
-          i => tableSchema.fields(i).dataType == LongType).toArray
-      private val statsSlot: Array[Int] =
-        tableSchema.fields.indices.map(longIdx.indexOf(_)).toArray
-      private val mins = Array.fill(longIdx.length)(Long.MaxValue)
-      private val maxs = Array.fill(longIdx.length)(Long.MinValue)
 
       // The metadata-paired write path (DataAndMetadataWritingSparkTask —
       // taken whenever the row-level operation requests metadata
-      // attributes, as this one does for `_file`): the data row arrives
+      // attributes, as the COW op does for `_file`): the data row arrives
       // ALREADY projected to the declared write schema, the metadata row
       // (the source `_file`) is not persisted — group membership of the
       // OUTPUT files is the commit's concern, not the row's.
       override def write(meta: InternalRow, row: InternalRow): Unit =
-        write(row)
+        out.write(row, 0)
 
-      override def write(row: InternalRow): Unit = {
-        val off = leadOffset(row)
-        val g = factory.newGroup()
-        var t = 0
-        while (t < tableSchema.fields.length) {
-          val i = off + srcIdx(t)
-          if (!row.isNullAt(i)) {
-            val f = tableSchema.fields(t)
-            f.dataType match {
-              case LongType =>
-                val v = row.getLong(i)
-                val s = statsSlot(t)
-                if (v < mins(s)) mins(s) = v
-                if (v > maxs(s)) maxs(s) = v
-                g.append(f.name, v)
-              case DoubleType => g.append(f.name, row.getDouble(i))
-              case StringType => g.append(f.name, row.getUTF8String(i).toString)
-              case other => throw new IllegalArgumentException(
-                s"graft-cow: unsupported column type ${other.simpleString}")
-            }
-          }
-          t += 1
-        }
-        writer.write(g)
-        rows += 1
-      }
+      override def write(row: InternalRow): Unit =
+        out.write(row, leadOffset(row))
 
-      override def commit(): WriterCommitMessage = {
-        writer.close()
-        if (rows == 0L) {
-          new java.io.File(file).delete()
-          CowCommitMessage(Seq.empty)
-        } else {
-          val ranges = longIdx.indices.collect {
-            case s if mins(s) <= maxs(s) =>
-              tableSchema.fields(longIdx(s)).name ->
-                CowStore.ColRange(mins(s), maxs(s))
-          }.toMap
-          CowCommitMessage(Seq(file -> CowStore.FileStats(
-            rows, new java.io.File(file).length(), ranges)))
-        }
-      }
+      override def commit(): WriterCommitMessage =
+        CowCommitMessage(out.finish().toSeq)
 
-      override def abort(): Unit = {
-        writer.close()
-        new java.io.File(file).delete(): Unit
-      }
+      override def abort(): Unit = out.abort()
+
+      override def close(): Unit = ()
+    }
+}
+
+/** Executor-side writer for the DELTA-BASED (merge-on-read) path: inserts
+  * stream into one new parquet file (same stats collection as every
+  * write), deletes accumulate as (file → positions) — the positional
+  * delete entries the commit merges into the table's delete vectors.
+  */
+case class CowDeltaWriterFactory(dir: String, writeSchema: StructType,
+                                 rowIdSchema: StructType,
+                                 tableSchema: StructType)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val out = new CowTaskFile(dir, writeSchema, tableSchema)
+      private val deletes =
+        scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      // Row-id field positions resolved from the DECLARED row-id schema,
+      // not assumed — the projection Spark hands us is named.
+      private val fileIdx = rowIdSchema.fieldIndex(CowFileColumn.Name)
+      private val posIdx = rowIdSchema.fieldIndex(CowPosColumn.Name)
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        deletes.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(posIdx)
+
+      override def update(meta: InternalRow, id: InternalRow,
+                          row: InternalRow): Unit =
+        throw new IllegalStateException(
+          "graft-cow: updates are represented as delete+insert " +
+            "(representUpdateAsDeleteAndInsert) — update() must not be called")
+
+      override def insert(row: InternalRow): Unit = out.write(row, 0)
+
+      override def commit(): WriterCommitMessage =
+        CowDeltaCommitMessage(out.finish().toSeq,
+          deletes.toSeq.map { case (f, ps) => f -> ps.toSeq })
+
+      override def abort(): Unit = out.abort()
 
       override def close(): Unit = ()
     }

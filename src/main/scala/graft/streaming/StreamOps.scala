@@ -1521,6 +1521,65 @@ object StreamOps extends Serializable {
       "ORDER BY user_id")
   }
 
+  /** q_stream_merge_mor — the IDENTICAL streaming MERGE upsert as
+    * [[qStreamMerge]], against a MERGE-ON-READ table
+    * (`TBLPROPERTIES ('graft.mode' = 'mor')`). This is the
+    * write-amplification fix the round-12 stress table demanded:
+    * q_stream_merge's ×40 exponent (0.61) is the COW path re-WRITING
+    * every file a batch's matches touch — and a streaming upsert's
+    * matches touch nearly every file, every batch, so the per-batch cost
+    * grows with TABLE size, not batch size. The delta path commits
+    * O(changed rows) positional-delete entries + one insert file per
+    * batch: per-batch cost is O(batch), the difference between a
+    * streaming MERGE that survives 100 TB of accumulated state and one
+    * that rewrites the table every minute. Same oracle as q_stream_merge
+    * (the per-user (us, event_id) argmax): the storage strategy must be
+    * invisible to results under any batch slicing.
+    */
+  def qStreamMergeMor(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val tbl = "graft_cow.ops.stream_merge_mor_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, last_us BIGINT, " +
+      "last_event_id BIGINT, last_type STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    val query = startWithStatePartitions(spark) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("event_type"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val latest = batch.withColumn("rn",
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id"))
+                .orderBy(col("us").desc, col("event_id").desc)))
+            .filter(col("rn") === 1).drop("rn")
+          val view = s"stream_merge_mor_src_$batchId"
+          latest.createOrReplaceTempView(view)
+          s.sql(
+            s"""MERGE INTO $tbl t USING $view s ON t.user_id = s.user_id
+               |WHEN MATCHED AND (s.us > t.last_us OR
+               |                  (s.us = t.last_us AND
+               |                   s.event_id >= t.last_event_id))
+               |  THEN UPDATE SET last_us = s.us, last_event_id = s.event_id,
+               |                  last_type = s.event_type
+               |WHEN NOT MATCHED THEN
+               |  INSERT (user_id, last_us, last_event_id, last_type)
+               |  VALUES (s.user_id, s.us, s.event_id, s.event_type)
+               |""".stripMargin)
+          s.catalog.dropTempView(view): Unit
+        }
+        .start()
+    }
+    query.awaitTermination()
+    spark.sql(s"SELECT user_id, last_us, last_event_id, last_type FROM $tbl " +
+      "ORDER BY user_id")
+  }
+
   /** q_stream_session — STREAMING sessionization as a first-class
     * correctness-gated query: the same `session_window` aggregation the
     * batch `Windows.qSession` runs, executed as a real streaming query
@@ -2088,7 +2147,8 @@ object StreamOps extends Serializable {
     * exactly the groups with ≥1 tick-2 row, carrying the FULL two-tick
     * count (state accumulates; complete mode never evicts, so no
     * `delete` rows exist). The tick split is [[stageReplayDir]]'s median
-    * cut, restated in SQL as the ⌈n/2⌉-th order statistic of raw µs.
+    * cut, restated in SQL as the max(⌊n/2⌋, 1)-th order statistic of
+    * raw µs (integer division, exactly the staging code's `n / 2`).
     * Hash-proving this equality pins BOTH that the changelog records
     * precisely the touched keys and that per-batch values match the
     * prefix aggregates — the contract an incremental state auditor
@@ -2733,6 +2793,7 @@ object StreamOps extends Serializable {
     "q_state_read"         -> qStateRead _,
     "q_state_changefeed"   -> qStateChangefeed _,
     "q_stream_merge"       -> qStreamMerge _,
+    "q_stream_merge_mor"   -> qStreamMergeMor _,
     "q_stream_ohlc"        -> qStreamOhlc _,
     "q_stream_anomaly"     -> qStreamAnomaly _,
     "q_stream_tick_append" -> qStreamTickAppend _,
@@ -2806,6 +2867,18 @@ object StreamOps extends Serializable {
         |FROM (SELECT date_trunc('hour', ts) AS h, event_type FROM events), wm
         |WHERE h + INTERVAL 1 HOUR <= wm.w
         |GROUP BY h, event_type ORDER BY w_start, event_type""".stripMargin
+
+  /** The streaming-upsert final state, shared by q_stream_merge (COW) and
+    * q_stream_merge_mor (merge-on-read).
+    */
+  private val StreamMergeOracle: String =
+    """SELECT user_id, last_us, last_event_id, last_type FROM (
+      |  SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+      |         event_type AS last_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_stream_union" ->
@@ -3018,18 +3091,13 @@ object StreamOps extends Serializable {
         |ORDER BY w_start, event_type""".stripMargin,
     // The streaming upsert's final state is the per-user argmax under the
     // (us, event_id) total order — batch slicing and retries cannot move
-    // it (the monotone MERGE condition).
-    "q_stream_merge" ->
-      """SELECT user_id, last_us, last_event_id, last_type FROM (
-        |  SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
-        |         event_type AS last_type,
-        |         row_number() OVER (PARTITION BY user_id
-        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // it (the monotone MERGE condition). Shared verbatim by the COW and
+    // merge-on-read variants: the storage strategy must be invisible.
+    "q_stream_merge" -> StreamMergeOracle,
+    "q_stream_merge_mor" -> StreamMergeOracle,
     // Per-batch state deltas == consecutive prefix aggregates: the replay
-    // cut is the ceil(n/2)-th order statistic of raw microseconds (the
-    // stageReplayDir median split), batch 0 emits the tick-1 counts,
+    // cut is the max(⌊n/2⌋, 1)-th order statistic of raw microseconds
+    // (the stageReplayDir median split), batch 0 emits the tick-1 counts,
     // batch 1 re-emits (with the accumulated two-tick count) exactly the
     // groups a tick-2 row touched.
     "q_state_changefeed" ->
