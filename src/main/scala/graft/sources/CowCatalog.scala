@@ -1311,7 +1311,15 @@ case class CowDeltaWriterFactory(dir: String, writeSchema: StructType,
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
-      private val out = new CowTaskFile(dir, writeSchema, tableSchema)
+      // LAZY: a DELETE-only command's write schema is EMPTY (no data
+      // columns flow) and its tasks never insert — constructing the
+      // parquet file eagerly would fail column resolution AND litter a
+      // file per task. Opened on first insert.
+      private var out: CowTaskFile = null
+      private def ensureOut(): CowTaskFile = {
+        if (out == null) out = new CowTaskFile(dir, writeSchema, tableSchema)
+        out
+      }
       private val deletes =
         scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
       // Row-id field positions resolved from the DECLARED row-id schema,
@@ -1329,13 +1337,14 @@ case class CowDeltaWriterFactory(dir: String, writeSchema: StructType,
           "graft-cow: updates are represented as delete+insert " +
             "(representUpdateAsDeleteAndInsert) — update() must not be called")
 
-      override def insert(row: InternalRow): Unit = out.write(row, 0)
+      override def insert(row: InternalRow): Unit = ensureOut().write(row, 0)
 
       override def commit(): WriterCommitMessage =
-        CowDeltaCommitMessage(out.finish().toSeq,
+        CowDeltaCommitMessage(
+          if (out == null) Seq.empty else out.finish().toSeq,
           deletes.toSeq.map { case (f, ps) => f -> ps.toSeq })
 
-      override def abort(): Unit = out.abort()
+      override def abort(): Unit = if (out != null) out.abort()
 
       override def close(): Unit = ()
     }

@@ -374,6 +374,249 @@ class CowCatalogSpec extends SparkSpec {
       "the delete must have shrunk the table non-trivially")
   }
 
+  private def identOf(tbl: String) =
+    org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("spec"), tbl.split("\\.").last)
+
+  private def mkMorBase(tbl: String): Unit = {
+    // Single file (range numSlices = 1) so physical positions == ids —
+    // the delete-vector assertions can name exact positions.
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, concat('t', CAST(id % 3 AS STRING)), id * 10
+         |FROM range(0, 20, 1, 1)""".stripMargin)
+  }
+
+  test("merge-on-read: a 1-row DELETE writes O(1) delete entries while COW rewrites the file") {
+    val cow = fresh("wamp_cow")
+    spark.sql(s"CREATE TABLE $cow (id BIGINT, tag STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cow SELECT id, 't', id * 10 FROM range(0, 20, 1, 1)")
+    val mor = fresh("wamp_mor")
+    mkMorBase(mor)
+    val cowBefore = CowStore.get(cat, identOf(cow)).get
+    val morBefore = CowStore.get(cat, identOf(mor)).get
+    spark.sql(s"DELETE FROM $cow WHERE id = 7")
+    spark.sql(s"DELETE FROM $mor WHERE id = 7")
+    val cowAfter = CowStore.get(cat, identOf(cow)).get
+    val morAfter = CowStore.get(cat, identOf(mor)).get
+    // COW: the matched group was REPLACED — a whole new file was written
+    // for a 1-row delete (the write amplification MOR exists to fix).
+    assert(cowAfter.files.toSet != cowBefore.files.toSet &&
+      cowAfter.files.length == 1,
+      s"COW must rewrite the touched file: ${cowBefore.files} -> ${cowAfter.files}")
+    // MOR: file list IDENTICAL (zero data bytes written); the commit is
+    // one positional delete entry — position 7 of the single base file.
+    assert(morAfter.files == morBefore.files,
+      s"MOR must not rewrite any file: ${morBefore.files} -> ${morAfter.files}")
+    assert(morAfter.deletes == Map(morBefore.files.head -> Vector(7L)),
+      s"expected one positional delete entry, got ${morAfter.deletes}")
+    // Both read the same 19 survivors.
+    for (t <- Seq(cow, mor)) {
+      val ids = spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (0L until 20L).filterNot(_ == 7L), s"$t: $ids")
+    }
+    // The planner's row estimate is net of delete vectors.
+    val stats = spark.table(mor).queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_.toLong == 19L),
+      s"MOR row estimate must subtract delete vectors: ${stats.rowCount}")
+  }
+
+  test("merge-on-read MERGE: updates land as delete+insert; base file untouched; DVs are versioned (time travel)") {
+    val tbl = fresh("mor_merge")
+    mkMorBase(tbl) // v1: one file, positions == ids 0..19
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT id FROM range(0, 25)) s ON t.id = s.id
+         |WHEN MATCHED AND t.id < 5 THEN UPDATE SET v = t.v + 1
+         |WHEN MATCHED AND t.id >= 15 THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (id, tag, v) VALUES (s.id, 'new', s.id)
+         |""".stripMargin)
+    val st = CowStore.get(cat, identOf(tbl)).get
+    val base = st.filesAt(1L).head
+    // The base file is still in the current snapshot (nothing rewritten);
+    // inserts (20..24 plus the 5 updated rows) arrived as NEW files.
+    assert(st.files.contains(base), "delta writes must keep the base file")
+    assert(st.files.length > 1, "inserted/updated rows must be in new files")
+    // Updates (ids 0..4) + deletes (ids 15..19) = positions 0..4 and
+    // 15..19 of the base file, exactly.
+    assert(st.deletes(base) == ((0L to 4L) ++ (15L to 19L)).toVector,
+      s"unexpected delete vector: ${st.deletes}")
+    val got = spark.table(tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val want = (0L until 5L).map(i => (i, i * 10 + 1)) ++
+      (5L until 15L).map(i => (i, i * 10)) ++
+      (20L until 25L).map(i => (i, i))
+    assert(got == want, s"MOR MERGE final state wrong: $got")
+    // Delete vectors are part of the SNAPSHOT: v1 still reads all 20
+    // pristine rows (time travel must un-delete).
+    val v1 = spark.sql(s"SELECT id, v FROM $tbl VERSION AS OF 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(v1 == (0L until 20L).map(i => (i, i * 10)),
+      "the pre-merge snapshot must read rows its successors deleted")
+  }
+
+  test("merge-on-read compaction folds delete vectors (self-overwrite leaves none)") {
+    val tbl = fresh("mor_compact")
+    mkMorBase(tbl)
+    spark.sql(s"DELETE FROM $tbl WHERE id % 3 = 0")
+    val mid = CowStore.get(cat, identOf(tbl)).get
+    assert(mid.deletes.nonEmpty)
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT /*+ COALESCE(1) */ * FROM $tbl")
+    val st = CowStore.get(cat, identOf(tbl)).get
+    assert(st.deletes.isEmpty,
+      "compaction must fold delete vectors into the rewrite")
+    assert(st.files.length == 1)
+    val ids = spark.table(tbl).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 20L).filter(_ % 3 != 0))
+  }
+
+  test("write-write conflicts throw instead of corrupting (group replace + delta deletes)") {
+    // Group path: replacing a file a concurrent commit already replaced.
+    val tbl = fresh("conflict")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $tbl SELECT id, 't', id FROM range(0, 5, 1, 1)")
+    val ident = identOf(tbl)
+    val f = CowStore.get(cat, ident).get.files.head
+    CowStore.commit(cat, ident, Seq.empty, Some(Set(f))) // first wins
+    val e1 = intercept[java.util.ConcurrentModificationException] {
+      CowStore.commit(cat, ident, Seq.empty, Some(Set(f))) // stale rewrite
+    }
+    assert(e1.getMessage.contains("write-write conflict"))
+    // Delta path: double-delete of one position, and deletes against a
+    // file no concurrent snapshot holds.
+    val mor = fresh("conflict_mor")
+    mkMorBase(mor)
+    val mident = identOf(mor)
+    val mf = CowStore.get(cat, mident).get.files.head
+    CowStore.commitDelta(cat, mident, Seq.empty, Map.empty,
+      Map(mf -> Vector(3L)))
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      CowStore.commitDelta(cat, mident, Seq.empty, Map.empty,
+        Map(mf -> Vector(3L)))
+    }
+    assert(e2.getMessage.contains("already deleted"))
+    val e3 = intercept[java.util.ConcurrentModificationException] {
+      CowStore.commitDelta(cat, mident, Seq.empty, Map.empty,
+        Map("/no/such/file.parquet" -> Vector(0L)))
+    }
+    assert(e3.getMessage.contains("concurrent commit replaced"))
+  }
+
+  test("commit log: a fresh session recovers history, stats, schema and delete vectors from manifests") {
+    val tbl = fresh("recover")
+    mkMorBase(tbl) // v1
+    spark.sql(s"DELETE FROM $tbl WHERE id < 3") // v2: delete vector
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN w BIGINT") // v3: schema commit
+    val before = CowStore.get(cat, identOf(tbl)).get
+    val rowsBefore = spark.table(tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // Simulate a fresh session: forget the in-memory state, then rebuild
+    // it from the on-disk commit log alone.
+    CowStore.evict(cat, identOf(tbl))
+    assert(CowStore.get(cat, identOf(tbl)).isEmpty)
+    val rec = CowStore.recover(cat, identOf(tbl), before.dir)
+    assert(rec.version == before.version && rec.mor == before.mor)
+    assert(rec.history == before.history,
+      "recovered version history (files, DVs, schemas) must be exact")
+    assert(rec.stats == before.stats,
+      "recovered write-time file stats must be exact")
+    val rowsAfter = spark.table(tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rowsAfter == rowsBefore,
+      "the recovered table must read identically")
+    assert(spark.table(tbl).columns.contains("w"),
+      "the recovered schema must include the evolved column")
+    // Time travel works across the restart (history recovered).
+    val v1 = spark.sql(s"SELECT id FROM $tbl VERSION AS OF 1").count()
+    assert(v1 == 20L, "pre-delete snapshot must read all rows post-restart")
+  }
+
+  test("VACUUM deletes horizon-only files, keeps the current version intact, and fails loud time travel") {
+    val tbl = fresh("vac")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)") // v0
+    spark.sql(s"INSERT INTO $tbl SELECT id, 't', id FROM range(0, 20, 1, 1)") // v1
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id >= 0") // v2: rewrite
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id >= 0") // v3: rewrite
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    val f1 = st.snapshotAt(1L).files.head
+    val name = tbl.split("\\.").last
+    val report = spark.sql(s"CALL $cat.vacuum('spec.$name', 2)").collect()
+    assert(report.length == 1)
+    assert(report.head.getLong(0) == 1L, // removed_files: v1's original
+      s"expected 1 removed file, got ${report.head}")
+    assert(report.head.getLong(1) == 2L, // removed_versions: v0, v1
+      s"expected 2 removed versions, got ${report.head}")
+    assert(report.head.getLong(2) == 2L) // retained_from
+    assert(!new java.io.File(f1).exists(),
+      "the horizon-only file must be deleted from disk")
+    val after = CowStore.get(cat, ident).get
+    assert(after.history.keySet == Set(2L, 3L))
+    assert(after.files.forall(f => new java.io.File(f).exists()))
+    // Current version untouched.
+    val got = spark.table(tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == (0L until 20L).map(i => (i, i + 2)))
+    // Time travel past the horizon fails loudly at resolution.
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT id FROM $tbl VERSION AS OF 1").collect()
+    }
+    assert(e.toString.contains("no such version") ||
+      Option(e.getCause).exists(_.toString.contains("no such version")))
+    // The pruned commit log stays recoverable.
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, after.dir)
+    assert(rec.history.keySet == Set(2L, 3L) && rec.version == 3L)
+  }
+
+  test("ADD COLUMN: pre-evolution files read NULL; VERSION AS OF reads the old schema; bad ALTERs fail loudly") {
+    val tbl = fresh("evolve")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $tbl SELECT id, 't', id FROM range(0, 5, 1, 1)") // v1
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN w BIGINT") // v2
+    spark.sql(s"INSERT INTO $tbl SELECT id, 'u', id, id * 7 FROM range(5, 10, 1, 1)") // v3
+    val got = spark.table(tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == (0L until 5L).map(i => (i, -1L)) ++
+      (5L until 10L).map(i => (i, i * 7)),
+      s"pre-evolution rows must read NULL for the added column: $got")
+    // Snapshots pin SCHEMA, not just files: the pre-evolution version
+    // reads the 3-column shape.
+    val v1 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("id", "tag", "v"),
+      s"pre-evolution snapshot must read the old schema: ${v1.columns.toSeq}")
+    assert(v1.count() == 5L)
+    // Unsupported ALTERs are rejected loudly, state unchanged.
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN bad INT") // unsupported type
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN v") // unsupported change
+    }
+    assert(CowStore.get(cat, identOf(tbl)).get.schema.fieldNames.toSeq ==
+      Seq("id", "tag", "v", "w"))
+  }
+
+  test("q_stream_merge_mor: streaming upsert through delta commits == batch argmax") {
+    import graft.streaming.StreamOps
+    val got = StreamOps.queries("q_stream_merge_mor")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == want && got.nonEmpty,
+      "the merge-on-read streaming upsert must land on the per-user argmax")
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
