@@ -1924,6 +1924,26 @@ object StreamOps extends Serializable {
     * [[qStreamNeardup]]'s. Quality columns in the output are recomputed
     * batch-side from the same expressions (bit-identical by
     * construction); only the band verdicts carry stream state.
+    *
+    * SCALING (round-14 fix, measured by [[graft.StreamScaleProbe]]): the
+    * staged replay writes each tick as ONE single-row-group parquet file,
+    * and a one-row-group file is a SEQUENTIAL scan no matter how many
+    * byte-range splits the scheduler makes — so without intervention the
+    * entire per-doc signature chain (shingle → md5 → 16 permutation
+    * folds, the measured ~58% of the pipeline) ran on ONE core per
+    * micro-batch, which is why the round-12 stress table showed 5.8 k
+    * rows/s at ×40 with ×1.0 core-scaling. The `repartition` below moves
+    * the signature work off the scan task onto `defaultParallelism`
+    * cores — the scan then only reads + routes raw rows. Measured at ×40
+    * (200 k docs): 6.7 k → 25–29 k rows/s on local[32] (×4.4), and the
+    * repartitioned stage now scales with cores (local[4] 16.7 k vs
+    * local[32] 25.3 k at the same config). The residual ceiling is the
+    * band-claim state machine's fixed per-batch RocksDB cost, which
+    * amortizes with batch size (the sublinear stress model), and whose
+    * parallelism follows STATE partitions — sized to state volume per
+    * the [[startWithStatePartitions]] stance (BASELINE.md records the
+    * sp=4/8/32 curve; the order-independent min-owner fold makes the
+    * extra shuffle semantics-free).
     */
   def qStreamQuality(spark: SparkSession, d: String): DataFrame = {
     val sinkName = freshSink(spark, "stream_quality")
@@ -1932,6 +1952,7 @@ object StreamOps extends Serializable {
       graft.operators.TextOps
         .minhashBandRows(
           docsStream(spark, stageDocReplayDir(spark, d))
+            .repartition(spark.sparkContext.defaultParallelism)
             .filter(qualityKeepExpr))
         .select(col("band_key"), col("doc_id"))
         .as[(String, Long)]
@@ -2318,6 +2339,17 @@ object StreamOps extends Serializable {
     * Scale: keying by (user, window-start) makes the window reset FREE —
     * no per-key timer churn, state is one long per active pair, and the
     * production TTL eviction is documented on the processor.
+    *
+    * The round-12 stress table's 260 k → 263 k rows/s plateau from
+    * ×10 → ×40 is a LINEAR WALL AT FIXED PARALLELISM, and
+    * [[startWithStatePartitions]] is the designed knob: measured at ×40
+    * (4 M events, [[graft.StreamScaleProbe]], noop sink), 8 state
+    * partitions serve 554 k rows/s and 32 partitions 790 k rows/s
+    * (×1.43) — at ×10 the same move LOSES (488 k → 388 k rows/s: more
+    * per-partition store opens than the batch amortizes). Partitions
+    * follow STATE VOLUME, not cores; the pinned 8 here is right for the
+    * suite's replay sizes, and the curve in BASELINE.md is the evidence
+    * the wall moves when state grows.
     */
   def qStreamThrottle(spark: SparkSession, d: String): DataFrame = {
     val sinkName = freshSink(spark, "stream_throttle")

@@ -32,7 +32,7 @@ The 0.35 margin is shared-box scheduler noise, measured ±2x on single-shot
 runs and ±10-20%% on best-of-2 (BASELINE.md); exponents compound two such
 measurements.
 
-Writes bench/bench_r11_stress.json. Not part of the shipped library — dev
+Writes bench/bench_r14_stress.json. Not part of the shipped library — dev
 tooling, driven once per round.
 """
 import json
@@ -47,7 +47,8 @@ def _load(name):
     was served from — a missing/typo'd fresh artifact silently mixing a
     prior round's archive into this round's table was an ADVICE-flagged
     trap (the round-11 _load fell back two rounds deep with no trace)."""
-    for path in (f"/tmp/{name}", f"bench/r12_local32/{name}", f"bench/r11_local32/{name}"):
+    for path in (f"/tmp/{name}", f"bench/r14_local32/{name}",
+                 f"bench/r12_local32/{name}", f"bench/r11_local32/{name}"):
         if os.path.exists(path):
             print(f"[stress_bench] {name} <- {path}")
             with open(path) as f:
@@ -67,7 +68,11 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              # round-12: the change-feed read rides the same 2-batch
              # replay aggregation (store open/commit dominates); the
              # streaming MERGE upsert pays a per-batch COW commit.
-             "q_state_changefeed", "q_stream_merge"}
+             "q_state_changefeed", "q_stream_merge",
+             # round-14: the same upsert through MERGE-ON-READ delta
+             # commits (O(batch) positional deletes instead of the COW
+             # rewrite) - the fix for q_stream_merge's x40 exponent.
+             "q_stream_merge_mor"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
@@ -145,7 +150,7 @@ def main():
         if flag:
             flagged.append(q)
     result = {
-        "round": 12,
+        "round": 14,
         "method": ("union-with-perturbation stress fixtures (graft.StressGen: "
                    "consistent TPC-H keys, per-copy user/doc/vec offsets, "
                    "token-suffixed documents and sign-flipped embeddings for "
@@ -186,7 +191,7 @@ def main():
             stream_rates[q]["rows_per_s_x40"] = round(40 * base / x40[q])
         out[q]["rows_per_s"] = stream_rates[q]
     result["streaming_rows_per_s"] = stream_rates
-    with open("bench/bench_r12_stress.json", "w") as f:
+    with open("bench/bench_r14_stress.json", "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
     # Fill the BASELINE.md marker sections.
