@@ -17,10 +17,11 @@ state partitioning is pinned to state volume, not session cores —
 StreamOps.startWithStatePartitions).
 
 Inputs:
-  bench/r12_local4/stress_bench_{sf0.1,x3,x10}_local4.json  (cpus=4 run)
+  bench/r14_local4/stress_bench_{sf0.1,x3,x10}_local4.json  (cpus=4 run;
+    round-12 rows merged with the round-14 changed/new queries)
   /tmp/stress_bench_{sf0.1,x3,x10}.json                     (cpus=32 run)
-(the 32-core inputs fall back to bench/r12_local32/ when /tmp is gone)
-Writes bench/bench_r12_parallel.json and fills the
+(the 32-core inputs fall back to bench/r14_local32/, then r12_local32/)
+Writes bench/bench_r14_parallel.json and fills the
 PARALLEL_SCALING_BEGIN/END region of BASELINE.md. Dev tooling, not part of
 the shipped library.
 """
@@ -31,7 +32,8 @@ import sys
 
 def _load32(name):
     """Prefer the fresh /tmp artifact; fall back to the committed archive."""
-    for path in (f"/tmp/{name}", f"bench/r12_local32/{name}"):
+    for path in (f"/tmp/{name}", f"bench/r14_local32/{name}",
+                 f"bench/r12_local32/{name}"):
         if os.path.exists(path):
             with open(path) as f:
                 return json.load(f)
@@ -42,13 +44,15 @@ STREAMING = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              "q_stream_dedup",
              "q_stream_bitmap", "q_stream_quantile", "q_stream_throttle",
              # round-12 members of the state-pinned/fixed-cost family.
-             "q_stream_quality", "q_state_changefeed", "q_stream_merge"}
+             "q_stream_quality", "q_state_changefeed", "q_stream_merge",
+             # round-14: the merge-on-read streaming upsert.
+             "q_stream_merge_mor"}
 
 
 def main():
     slow, fast = {}, {}
     for t in SCALES:
-        with open(f"bench/r12_local4/stress_bench_{t}_local4.json") as f:
+        with open(f"bench/r14_local4/stress_bench_{t}_local4.json") as f:
             slow[t] = json.load(f)["queries"]
         d = _load32(f"stress_bench_{t}.json")
         if d.get("cpus") != 32:
@@ -69,7 +73,7 @@ def main():
                        else "compute")
         out[q] = row
     result = {
-        "round": 12,
+        "round": 14,
         "method": ("same fixtures, same code, same best-of-2 noop-write "
                    "method at local[4] vs local[32]; speedup = "
                    "t_local4/t_local32 per scale. Streaming queries pin "
@@ -78,7 +82,7 @@ def main():
                    "failure to parallelize."),
         "queries": out,
     }
-    with open("bench/bench_r12_parallel.json", "w") as f:
+    with open("bench/bench_r14_parallel.json", "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
     hdr = ("| query | sf0.1: 4c / 32c (speedup) | x3 | x10 | kind |\n"
