@@ -309,17 +309,62 @@ object RowLevelOps {
          |FROM parquet.`$d/documents.parquet` WHERE doc_id % 3 <> 0""".stripMargin)
     spark.sql(s"UPDATE $tbl SET score = score * 2 + 1 WHERE doc_id % 7 = 0")
     spark.sql(s"DELETE FROM $tbl WHERE score % 4 < 2")
-    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
-      Array("ops"), tbl.split("\\.").last)
-    val st = graft.sources.CowStore.get(CatalogName, ident).get
-    // Row count per version = Σ file rows − Σ delete-vector sizes, all
-    // from write-time metadata (no data files opened).
-    val rows = st.history.toSeq.map { case (v, snap) =>
-      (v, snap.files.map(f => st.stats.get(f).map(_.rows).getOrElse(0L)).sum -
-        snap.deletes.valuesIterator.map(_.length.toLong).sum)
-    }.sortBy(_._1)
-    import spark.implicits._
-    rows.toDF("version", "n_rows").orderBy("version")
+    // Since round 14 the commit log is ALSO a SQL relation
+    // (`<table>.history`, the Delta DESCRIBE HISTORY shape served by
+    // [[graft.sources.CowHistoryTable]]): version-exact row counts from
+    // write-time metadata — no data files opened, no store API needed.
+    spark.sql(
+      s"SELECT version, n_rows FROM $tbl.history ORDER BY version")
+  }
+
+  /** q_cow_files — the MANIFEST as a relation (`SELECT … FROM
+    * <table>.files`, Iceberg's files metadata table in miniature): one
+    * row per data file carrying the write-time statistics that power
+    * E314's plan-time skipping (row counts, per-long-column [min, max]).
+    * Four disjoint doc_id-range fragments are written one file each, so
+    * the relation's (n_rows, ranges) per file equal the per-quartile
+    * aggregates the oracle computes declaratively — the check that the
+    * skipping metadata is EXACT, not merely conservative. Zero data
+    * files opened: the rows come from store metadata.
+    */
+  def qCowFiles(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.files_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    val n = spark.read.parquet(s"$d/documents.parquet").count()
+    for (q <- 0 until 4)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+           |FROM parquet.`$d/documents.parquet`
+           |WHERE doc_id % 3 <> 0
+           |  AND doc_id >= ${q * n / 4} AND doc_id < ${(q + 1) * n / 4}
+           |""".stripMargin)
+    spark.sql(
+      s"""SELECT n_rows, min_doc_id, max_doc_id, min_score, max_score
+         |FROM $tbl.files ORDER BY min_doc_id""".stripMargin)
+  }
+
+  /** q_cow_ctas — ATOMIC `CREATE TABLE … AS SELECT` then `REPLACE TABLE
+    * … AS SELECT` through the `StagingTableCatalog` surface: the CTAS
+    * table is invisible until its single staged commit, and the RTAS
+    * swaps content + schema as ONE new version on the existing history
+    * (the pre-replace snapshot stays time-travelable — spec-pinned).
+    * The oracle is the replace query's relation: whatever the staging
+    * machinery does, the final state must equal the declared SELECT.
+    */
+  def qCowCtas(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.ctas_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(
+      s"""CREATE TABLE $tbl AS
+         |SELECT doc_id, source, n_chars AS score
+         |FROM parquet.`$d/documents.parquet` WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(
+      s"""REPLACE TABLE $tbl AS
+         |SELECT doc_id, source, n_chars * 2 AS score
+         |FROM parquet.`$d/documents.parquet` WHERE doc_id % 2 = 0""".stripMargin)
+    finalState(spark, tbl)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -328,6 +373,8 @@ object RowLevelOps {
     "q_merge_into_mor" -> qMergeIntoMor _,
     "q_cow_vacuum"   -> qCowVacuum _,
     "q_cow_evolve"   -> qCowEvolve _,
+    "q_cow_files"    -> qCowFiles _,
+    "q_cow_ctas"     -> qCowCtas _,
     "q_cow_compact"  -> qCowCompact _,
     "q_cow_skipping" -> qCowSkipping _,
     "q_cow_cluster"  -> qCowCluster _,
@@ -372,6 +419,27 @@ object RowLevelOps {
         |       (CASE WHEN doc_id % 7 = 0 THEN n_chars * 2 + 1 ELSE n_chars END)
         |         + (CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END) AS score
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+    // One row per fragment file: the write-time stats must equal the
+    // per-quartile aggregates exactly (fragment q covers
+    // [(q*cnt)//4, ((q+1)*cnt)//4) after the %3 cut).
+    "q_cow_files" ->
+      """WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+        |frag AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN doc_id < (1 * cnt) // 4 THEN 0
+        |              WHEN doc_id < (2 * cnt) // 4 THEN 1
+        |              WHEN doc_id < (3 * cnt) // 4 THEN 2 ELSE 3 END AS q
+        |  FROM documents, n WHERE doc_id % 3 <> 0
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+        |       MIN(n_chars) AS min_score, MAX(n_chars) AS max_score
+        |FROM frag GROUP BY q ORDER BY min_doc_id""".stripMargin,
+    // The RTAS relation IS the final state, whatever the staging
+    // machinery did in between.
+    "q_cow_ctas" ->
+      """SELECT doc_id, source, n_chars * 2 AS score
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
     // Pre-evolution rows (doc_id % 3 = 1) read NULL for the added column;
     // post-evolution rows carry written values.
     "q_cow_evolve" ->

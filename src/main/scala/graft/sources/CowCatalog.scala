@@ -429,6 +429,68 @@ object CowStore {
   def evict(catalog: String, ident: Identifier): Unit =
     tables.remove(key(catalog, ident)): Unit
 
+  /** How a staged (CTAS/RTAS) commit publishes — see
+    * [[CowCatalog.stageCreate]].
+    */
+  object StageMode extends Enumeration {
+    val Create, Replace, CreateOrReplace = Value
+  }
+
+  /** Publish a staged CTAS/RTAS atomically: until this call the table is
+    * invisible (Create) or unchanged (Replace). Create registers a fresh
+    * v0-empty + v1-files history (the same lineage an explicit CREATE +
+    * INSERT leaves); Replace commits a NEW VERSION on the existing
+    * history — old snapshots stay time-travelable, delete vectors and
+    * schema are superseded wholesale. A Create that loses the race to a
+    * concurrent CREATE cleans up its staged files and throws.
+    */
+  def commitStaged(catalog: String, ident: Identifier, schema: StructType,
+                   mor: Boolean, dir: String, freshDir: Boolean,
+                   files: Seq[(String, FileStats)],
+                   mode: StageMode.Value): Unit = synchronized {
+    val k = key(catalog, ident)
+    val existing = Option(tables.get(k))
+    def cleanup(): Unit = {
+      files.foreach { case (f, _) => new java.io.File(f).delete() }
+      if (freshDir) deleteRecursively(new java.io.File(dir))
+    }
+    def freshCreate(): Unit = {
+      val v0 = State(0L, dir, mor,
+        history = Map(0L -> Snapshot(Vector.empty, Map.empty, schema)),
+        stats = Map.empty)
+      tables.put(k, v0)
+      writeManifest(v0)
+      publish(k, v0,
+        Snapshot(files.map(_._1).toVector, Map.empty, schema), files.toMap): Unit
+    }
+    def replace(st: State): Unit =
+      publish(k, st,
+        Snapshot(files.map(_._1).toVector, Map.empty, schema), files.toMap): Unit
+    mode match {
+      case StageMode.Create =>
+        if (existing.isDefined) {
+          cleanup()
+          throw new TableAlreadyExistsException(ident.toString)
+        }
+        freshCreate()
+      case StageMode.Replace =>
+        existing match {
+          case Some(st) => replace(st)
+          case None => cleanup(); throw new NoSuchTableException(ident)
+        }
+      case StageMode.CreateOrReplace =>
+        existing match {
+          case Some(st) => replace(st)
+          case None => freshCreate()
+        }
+    }
+  }
+
+  private[sources] def deleteDirRecursively(f: java.io.File): Unit =
+    deleteRecursively(f)
+
+  private[sources] def typeSupported(t: DataType): Boolean = supportedType(t)
+
   /** Retention: keep the newest `retain` versions, DELETE data files
     * referenced only by older versions (plus those versions' manifests
     * and history entries). The current version is by construction always
@@ -457,7 +519,8 @@ object CowStore {
     }
 }
 
-class CowCatalog extends TableCatalog with ProcedureCatalog {
+class CowCatalog extends TableCatalog with StagingTableCatalog
+    with ProcedureCatalog {
   private var catalogName: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -470,8 +533,67 @@ class CowCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier): Table =
     CowStore.get(catalogName, ident)
-      .map(_ => new CowTable(catalogName, ident))
+      .map(_ => new CowTable(catalogName, ident): Table)
+      .orElse(metadataTable(ident))
       .getOrElse(throw new NoSuchTableException(ident))
+
+  /** Iceberg-style METADATA RELATIONS: `SELECT … FROM <table>.files` /
+    * `<table>.history` resolve here (the multipart name parses as
+    * namespace [..., table] + name "files"/"history"). Driver-computed
+    * from the store's write-time stats and version history — zero data
+    * files opened; the manifest surface AS SQL.
+    */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    val ns = ident.namespace()
+    if (ns.isEmpty) None
+    else {
+      val base = Identifier.of(ns.init, ns.last)
+      CowStore.get(catalogName, base).flatMap { st =>
+        val baseName =
+          (catalogName +: ns.toSeq).mkString(".") + "." + ident.name()
+        ident.name() match {
+          case "files"   => Some(new CowFilesTable(baseName, st))
+          case "history" => Some(new CowHistoryTable(baseName, st))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** ATOMIC `CREATE TABLE … AS SELECT` / `REPLACE TABLE … AS SELECT`
+    * (the `StagingTableCatalog` surface): the staged table is INVISIBLE
+    * until `commitStagedChanges` — task files land first, then one
+    * store-locked registration/pointer-swap publishes them, so a failed
+    * CTAS leaves no half-created table and a failed RTAS leaves the old
+    * table untouched (RTAS commits a NEW VERSION on the existing
+    * history — `VERSION AS OF` the pre-replace state keeps working).
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, CowStore.StageMode.Create)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, CowStore.StageMode.Replace)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      CowStore.StageMode.CreateOrReplace)
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: java.util.Map[String, String],
+                    mode: CowStore.StageMode.Value): StagedTable = {
+    require(partitions.isEmpty,
+      "graft-cow: partition transforms are not supported (single-group COW)")
+    val mor = Option(properties.get("graft.mode")).map(_.toLowerCase)
+      .exists(m => m == "mor" || m == "merge-on-read")
+    new CowStagedTable(catalogName, ident, schema, mor, mode)
+  }
 
   /** `VERSION AS OF v` time travel: superseded files are never deleted
     * before their version is vacuumed, and every commit records its file
@@ -583,6 +705,158 @@ class CowVacuumProcedure(catalogName: String) extends UnboundProcedure {
       JCollections.singletonList(scan).iterator()
     }
   }
+}
+
+/** One staged CTAS/RTAS: writers land task files (into a fresh dir for
+  * CREATE, the existing table's dir for REPLACE) and the collected
+  * (file, stats) pairs publish in ONE [[CowStore.commitStaged]] when
+  * Spark calls `commitStagedChanges` — the table is invisible/unchanged
+  * until then, which is the atomicity `StagingTableCatalog` exists for.
+  */
+class CowStagedTable(catalog: String, ident: Identifier,
+                     tableSchema: StructType, mor: Boolean,
+                     mode: CowStore.StageMode.Value)
+    extends StagedTable with SupportsWrite {
+
+  tableSchema.fields.foreach { f =>
+    require(CowStore.typeSupported(f.dataType),
+      s"graft-cow supports long/double/string columns; got " +
+        s"${f.name}: ${f.dataType.simpleString}")
+  }
+
+  private val existingDir = CowStore.get(catalog, ident).map(_.dir)
+  private val freshDir =
+    existingDir.isEmpty || mode == CowStore.StageMode.Create
+  private val dir =
+    if (freshDir) java.nio.file.Files.createTempDirectory("graft_cow_").toString
+    else existingDir.get
+  private val staged =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, CowStore.FileStats)]()
+
+  override def name(): String =
+    (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".") +
+      s" (staged ${mode.toString.toLowerCase})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val s = new java.util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_WRITE)
+    // RTAS plans OverwriteByExpression(true) against the staged table;
+    // the analyzer gates that on the TRUNCATE capability.
+    s.add(TableCapability.TRUNCATE)
+    JCollections.unmodifiableSet(s)
+  }
+
+  // RTAS plans its write as a truncate (`OverwriteByExpression(true)`)
+  // against the STAGED table — which holds nothing yet, so truncate is
+  // the identity here; the real swap happens at commitStagedChanges.
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def description(): String = s"graft-cow staged write to ${name()}"
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              pinfo: PhysicalWriteInfo): DataWriterFactory =
+            CowWriterFactory(dir, info.schema(), tableSchema)
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            messages.foreach {
+              case CowCommitMessage(files) => files.foreach(staged.add)
+              case _ => ()
+            }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            messages.foreach {
+              case CowCommitMessage(files) => files.foreach { case (f, _) =>
+                new java.io.File(f).delete(): Unit
+              }
+              case _ => ()
+            }
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    import scala.jdk.CollectionConverters._
+    CowStore.commitStaged(catalog, ident, tableSchema, mor, dir, freshDir,
+      staged.asScala.toSeq, mode)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    staged.forEach { case (f, _) => new java.io.File(f).delete(): Unit }
+    if (freshDir) CowStore.deleteDirRecursively(new java.io.File(dir))
+  }
+}
+
+/** `SELECT … FROM <table>.files` — the manifest AS A RELATION (Iceberg's
+  * files metadata table in miniature): one row per current data file with
+  * its write-time stats (row/byte counts, per-long-column [min, max] —
+  * exactly what powers E314's plan-time skipping) and its delete-vector
+  * size. Driver-computed from store metadata; zero data files opened.
+  */
+class CowFilesTable(tableName: String, st: CowStore.State)
+    extends Table with SupportsRead {
+  private val longCols =
+    st.schema.fields.filter(_.dataType == LongType).map(_.name)
+
+  override def name(): String = tableName
+  override def schema(): StructType = StructType(
+    Seq(StructField("file", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_deletes", LongType, nullable = false)) ++
+      longCols.toSeq.flatMap(c => Seq(
+        StructField(s"min_$c", LongType, nullable = true),
+        StructField(s"max_$c", LongType, nullable = true))))
+  override def capabilities(): java.util.Set[TableCapability] =
+    JCollections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = CowFilesTable.this.schema()
+      override def description(): String = s"graft-cow files metadata of $tableName"
+      override def rows(): Array[InternalRow] = st.files.map { f =>
+        val fs = st.stats.get(f)
+        val dv = st.deletes.getOrElse(f, Vector.empty).length.toLong
+        new GenericInternalRow(
+          Array[Any](UTF8String.fromString(f),
+            fs.map(_.rows).getOrElse(-1L),
+            fs.map(_.bytes).getOrElse(-1L), dv) ++
+            longCols.flatMap { c =>
+              val r = fs.flatMap(_.longRanges.get(c))
+              Array[Any](r.map(_.min).getOrElse(null),
+                r.map(_.max).getOrElse(null))
+            }): InternalRow
+      }.toArray
+    }
+}
+
+/** `SELECT … FROM <table>.history` — the commit log AS A RELATION
+  * (Delta's DESCRIBE HISTORY shape): one row per retained version with
+  * its file count, net row count (Σ file rows − Σ delete-vector sizes)
+  * and delete-entry count, all from write-time metadata.
+  */
+class CowHistoryTable(tableName: String, st: CowStore.State)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_deletes", LongType, nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    JCollections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = CowHistoryTable.this.schema()
+      override def description(): String = s"graft-cow history metadata of $tableName"
+      override def rows(): Array[InternalRow] =
+        st.history.toSeq.sortBy(_._1).map { case (v, snap) =>
+          val raw = snap.files.map(f => st.stats.get(f).map(_.rows).getOrElse(0L)).sum
+          val dv = snap.deletes.valuesIterator.map(_.length.toLong).sum
+          new GenericInternalRow(Array[Any](
+            v, snap.files.length.toLong, raw - dv, dv)): InternalRow
+        }.toArray
+    }
 }
 
 /** The `_file` metadata column — the GROUP identity of the copy-on-write

@@ -671,6 +671,70 @@ class CowCatalogSpec extends SparkSpec {
       "the merge-on-read streaming upsert must land on the per-user argmax")
   }
 
+  test("CTAS/RTAS are atomic: a failing CTAS leaves no table, a failing RTAS leaves the old state; RTAS keeps history") {
+    val tbl = fresh("ctas")
+    val ident = identOf(tbl)
+    // Failing CTAS: the SELECT throws mid-write -> no table registered.
+    intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $tbl AS
+           |SELECT id, assert_true(id < 3) AS bad FROM range(0, 100, 1, 1)""".stripMargin)
+    }
+    assert(CowStore.get(cat, ident).isEmpty,
+      "a failed CTAS must not leave a half-created table")
+    // Successful CTAS: v0 (empty) + v1 (files) lineage, like CREATE+INSERT.
+    spark.sql(s"CREATE TABLE $tbl AS SELECT id, id * 10 AS v FROM range(0, 10, 1, 1)")
+    assert(CowStore.get(cat, ident).get.version == 1L)
+    assert(spark.table(tbl).count() == 10L)
+    // Failing RTAS: old content intact, version unchanged.
+    intercept[Exception] {
+      spark.sql(
+        s"""REPLACE TABLE $tbl AS
+           |SELECT id, assert_true(id < 3) AS bad FROM range(0, 100, 1, 1)""".stripMargin)
+    }
+    assert(CowStore.get(cat, ident).get.version == 1L &&
+      spark.table(tbl).count() == 10L,
+      "a failed RTAS must leave the table untouched")
+    // Successful RTAS: one new version on the SAME history — the
+    // pre-replace snapshot stays time-travelable, schema swaps wholesale.
+    spark.sql(s"REPLACE TABLE $tbl AS SELECT id, concat('t', CAST(id AS STRING)) AS tag FROM range(0, 5, 1, 1)")
+    val st = CowStore.get(cat, ident).get
+    assert(st.version == 2L && st.schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(spark.table(tbl).count() == 5L)
+    val v1 = spark.sql(s"SELECT id, v FROM $tbl VERSION AS OF 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(v1 == (0L until 10L).map(i => (i, i * 10)),
+      "the pre-replace snapshot must stay readable with its OLD schema")
+    // CTAS honors table properties: a merge-on-read CTAS deletes via DVs.
+    val morT = fresh("ctas_mor")
+    spark.sql(s"CREATE TABLE $morT TBLPROPERTIES ('graft.mode' = 'mor') AS " +
+      "SELECT id, id * 2 AS v FROM range(0, 10, 1, 1)")
+    spark.sql(s"DELETE FROM $morT WHERE id = 4")
+    val morSt = CowStore.get(cat, identOf(morT)).get
+    assert(morSt.mor && morSt.deletes.values.map(_.length).sum == 1,
+      s"a mor CTAS table must delete via delete vectors: ${morSt.deletes}")
+  }
+
+  test("metadata relations: <table>.files serves write-time stats + DV sizes, <table>.history the version lineage") {
+    val tbl = fresh("meta")
+    mkMorBase(tbl) // v1: one file, ids 0..19
+    spark.sql(s"DELETE FROM $tbl WHERE id < 3") // v2: 3-entry DV
+    val files = spark.sql(
+      s"SELECT file, n_rows, n_deletes, min_id, max_id FROM $tbl.files").collect()
+    assert(files.length == 1)
+    assert(files.head.getLong(1) == 20L && files.head.getLong(2) == 3L,
+      s"files relation must carry raw rows + DV size: ${files.toSeq}")
+    assert(files.head.getLong(3) == 0L && files.head.getLong(4) == 19L,
+      "files relation must carry the write-time [min, max] ranges")
+    val hist = spark.sql(
+      s"SELECT version, n_files, n_rows, n_deletes FROM $tbl.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(hist == Seq((0L, 0L, 0L, 0L), (1L, 1L, 20L, 0L), (2L, 1L, 17L, 3L)),
+      s"history relation must read back the exact lineage: $hist")
+    // A non-metadata suffix still fails loudly.
+    intercept[Exception] { spark.sql(s"SELECT * FROM $tbl.nope").collect() }
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
