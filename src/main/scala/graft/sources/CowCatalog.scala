@@ -920,11 +920,17 @@ class CowTable(catalog: String, ident: Identifier,
     s.add(TableCapability.BATCH_READ)
     s.add(TableCapability.BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
+    // The table is also a STREAMING SOURCE (`spark.readStream.table`):
+    // offsets are COMMIT VERSIONS, each batch serves the files newly
+    // added in (start, end] — see [[CowMicroBatchStream]]. Version-pinned
+    // loads are batch-only.
+    if (pinnedVersion.isEmpty) s.add(TableCapability.MICRO_BATCH_READ)
     JCollections.unmodifiableSet(s)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CowScanBuilder(name(), state, op = None)
+    new CowScanBuilder(name(), state, op = None,
+      streamKey = if (pinnedVersion.isEmpty) Some((catalog, ident)) else None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable()
@@ -1035,7 +1041,8 @@ class CowMorOperation(catalog: String, ident: Identifier,
   * never read from parquet.
   */
 class CowScanBuilder(tableName: String, state: CowStore.State,
-                     op: Option[CowRowLevelOperation])
+                     op: Option[CowRowLevelOperation],
+                     streamKey: Option[(String, Identifier)] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -1075,7 +1082,7 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
   override def pushedFilters(): Array[Filter] = skippable
 
   override def build(): Scan =
-    new CowScan(tableName, state, required, op, skippable)
+    new CowScan(tableName, state, required, op, skippable, streamKey)
 }
 
 /** Snapshot at plan time: the file list this scan will read is pinned at
@@ -1091,7 +1098,8 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
   */
 class CowScan(tableName: String, state: CowStore.State,
               required: StructType, op: Option[CowRowLevelOperation],
-              skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+              skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+              streamKey: Option[(String, Identifier)] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1214,6 +1222,110 @@ class CowScan(tableName: String, state: CowStore.State,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     CowReaderFactory(required, state.schema)
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val (cat, ident) = streamKey.getOrElse(throw new UnsupportedOperationException(
+      s"graft-cow: $tableName is not streamable (version-pinned or op scan)"))
+    new CowMicroBatchStream(cat, ident, tableName, required)
+  }
+}
+
+/** Streaming offset = COMMIT VERSION: batch (start, end] serves the files
+  * newly added by those commits.
+  */
+case class CowVersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** The table AS A STREAMING SOURCE (`spark.readStream.table(t)` — the
+  * Delta/Iceberg incremental-consumption pattern): offsets are commit
+  * versions, each micro-batch serves exactly the files ADDED in
+  * `(startVersion, endVersion]`, so a checkpointed consumer resumes after
+  * new commits and reads ONLY the delta — the tail-the-table primitive
+  * that turns every batch writer into a feed. The contract is
+  * APPEND-ONLY streams (the Delta default): a commit in range that
+  * REMOVED files (UPDATE/DELETE/MERGE/compaction rewrote a group) or
+  * added delete vectors (a MOR delete) changed already-served rows, and
+  * the stream FAILS LOUDLY instead of silently double-serving or
+  * dropping them (re-stream from a fresh checkpoint after such
+  * maintenance). Metadata-only commits (ALTER ADD COLUMN, VACUUM
+  * pruning old versions) add no files and stream as empty deltas.
+  */
+class CowMicroBatchStream(catalog: String, ident: Identifier,
+                          tableName: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def state: CowStore.State =
+    CowStore.get(catalog, ident).getOrElse(
+      throw new NoSuchTableException(ident))
+
+  override def initialOffset(): Offset = CowVersionOffset(0L)
+  override def latestOffset(): Offset = CowVersionOffset(state.version)
+  override def deserializeOffset(json: String): Offset =
+    CowVersionOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CowVersionOffset].v
+    val e = end.asInstanceOf[CowVersionOffset].v
+    val st = state
+    // Versions retained in range, oldest first. VACUUM may have pruned
+    // history BELOW s — that is fine (those versions were already
+    // served); a pruned version INSIDE (s, e] only matters if its files
+    // survived into a retained snapshot, which the added-file walk below
+    // picks up at the next retained version.
+    val versions = st.history.keys.filter(v => v > s && v <= e).toSeq.sorted
+    // What a checkpointed consumer has ALREADY been served: the newest
+    // retained snapshot at or below s (and its delete vectors).
+    val baseSnap = st.history.keys.filter(_ <= s).maxOption.map(st.history)
+    val seenBefore = baseSnap.map(_.files.toSet).getOrElse(Set.empty)
+    val dvBefore = baseSnap
+      .map(_.deletes.map { case (f, ps) => f -> ps.length })
+      .getOrElse(Map.empty[String, Int])
+    val endDvs =
+      if (versions.nonEmpty) st.history(versions.last).deletes
+      else Map.empty[String, Vector[Long]]
+    var seen = seenBefore
+    val out = Vector.newBuilder[InputPartition]
+    versions.foreach { v =>
+      val snap = st.history(v)
+      val removed = seen -- snap.files.toSet
+      if (removed.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"graft-cow: streaming read of $tableName hit a NON-APPEND commit " +
+            s"(version $v replaced ${removed.size} already-served file(s)); " +
+            "only append commits are streamable — restart from a fresh " +
+            "checkpoint after row-level maintenance")
+      // A delete vector growing on a file served in an EARLIER batch
+      // retracts rows this consumer already emitted — fail loudly. Files
+      // first served WITHIN this range are exempt: their partitions carry
+      // the end-of-range vectors below, so in-range deletes on them were
+      // never visible.
+      snap.deletes.foreach { case (f, ps) =>
+        if (seenBefore.contains(f) && ps.length != dvBefore.getOrElse(f, 0))
+          throw new UnsupportedOperationException(
+            s"graft-cow: streaming read of $tableName hit a DELETE-VECTOR " +
+              s"commit (version $v deleted rows from already-served files); " +
+              "only append commits are streamable — restart from a fresh " +
+              "checkpoint")
+      }
+      snap.files.filterNot(seen).foreach { f =>
+        out += CowFilePartition(f,
+          st.stats.get(f).map(_.cols).getOrElse(snap.schema.fieldNames.toVector),
+          endDvs.getOrElse(f, Vector.empty).toArray)
+      }
+      seen ++= snap.files
+    }
+    out.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CowReaderFactory(required, state.schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One file's read task: its write-time column set (schema evolution) and

@@ -1580,6 +1580,47 @@ object StreamOps extends Serializable {
       "ORDER BY user_id")
   }
 
+  /** q_stream_table_read — the COW catalog table AS A STREAMING SOURCE
+    * (`spark.readStream.table`, [[graft.sources.CowMicroBatchStream]]):
+    * offsets are commit VERSIONS, each micro-batch serves exactly the
+    * files newly added in `(startVersion, endVersion]` — the
+    * tail-the-table primitive (Delta/Iceberg incremental consumption)
+    * that turns every batch writer into a feed. Here four fragment
+    * commits build the table and one AvailableNow drain aggregates it;
+    * the oracle is the batch aggregate over the same relation — the
+    * version-walk must deliver every committed row exactly once. The
+    * incremental-resume contract (a SECOND drain on the same checkpoint
+    * serves ONLY later commits) and the loud non-append/delete-vector
+    * failures are pinned in CowCatalogSpec.
+    */
+  def qStreamTableRead(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val tbl = "graft_cow.ops.stream_read_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    for (m <- 0 until 4)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+           |FROM parquet.`$d/documents.parquet`
+           |WHERE doc_id % 3 <> 0 AND doc_id % 4 = $m""".stripMargin)
+    val sinkName = freshSink(spark, "stream_table_read")
+    val query = startWithStatePartitions(spark, 4) {
+      spark.readStream.table(tbl)
+        .groupBy(col("source"))
+        .agg(count(lit(1L)).as("n_docs"), sum(col("score")).as("sum_score"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    query.awaitTermination()
+    spark.table(sinkName).orderBy(col("source"))
+  }
+
   /** q_stream_session — STREAMING sessionization as a first-class
     * correctness-gated query: the same `session_window` aggregation the
     * batch `Windows.qSession` runs, executed as a real streaming query
@@ -2826,6 +2867,7 @@ object StreamOps extends Serializable {
     "q_state_changefeed"   -> qStateChangefeed _,
     "q_stream_merge"       -> qStreamMerge _,
     "q_stream_merge_mor"   -> qStreamMergeMor _,
+    "q_stream_table_read"  -> qStreamTableRead _,
     "q_stream_ohlc"        -> qStreamOhlc _,
     "q_stream_anomaly"     -> qStreamAnomaly _,
     "q_stream_tick_append" -> qStreamTickAppend _,
@@ -3127,6 +3169,14 @@ object StreamOps extends Serializable {
     // merge-on-read variants: the storage strategy must be invisible.
     "q_stream_merge" -> StreamMergeOracle,
     "q_stream_merge_mor" -> StreamMergeOracle,
+    // The version-walk must deliver every committed row exactly once:
+    // the streamed aggregate equals the batch aggregate over the same
+    // relation.
+    "q_stream_table_read" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_score
+        |FROM documents WHERE doc_id % 3 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     // Per-batch state deltas == consecutive prefix aggregates: the replay
     // cut is the max(⌊n/2⌋, 1)-th order statistic of raw microseconds
     // (the stageReplayDir median split), batch 0 emits the tick-1 counts,

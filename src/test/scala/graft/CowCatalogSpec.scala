@@ -735,6 +735,53 @@ class CowCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql(s"SELECT * FROM $tbl.nope").collect() }
   }
 
+  test("streaming table read: checkpointed resume serves only new commits; non-append and DV commits fail loudly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tbl = fresh("tail")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $tbl SELECT id, 'a', id FROM range(0, 10, 1, 1)")
+    val outDir = java.nio.file.Files.createTempDirectory("cow_tail_out_").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("cow_tail_ck_").toString
+    def drain(): Unit =
+      spark.readStream.table(tbl)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    drain()
+    def served(): Seq[Long] =
+      spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(served() == (0L until 10L), "first drain must serve the full table")
+    // Two more commits; the SAME checkpoint resumes and serves ONLY them —
+    // exactly once, no re-serving of the first batch's files.
+    spark.sql(s"INSERT INTO $tbl SELECT id, 'b', id FROM range(10, 15, 1, 1)")
+    spark.sql(s"INSERT INTO $tbl SELECT id, 'c', id FROM range(15, 20, 1, 1)")
+    drain()
+    assert(served() == (0L until 20L),
+      "resume must serve exactly the newly-committed rows")
+    // A row-level rewrite invalidates already-served files: loud failure.
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id < 3")
+    val e = intercept[Exception] { drain() }
+    assert(e.toString.contains("NON-APPEND") ||
+      Option(e.getCause).exists(_.toString.contains("NON-APPEND")),
+      s"a replaced-file commit must fail the stream loudly: $e")
+    // MOR twin: a delete-vector commit on a served file also fails.
+    val mor = fresh("tail_mor")
+    mkMorBase(mor)
+    val ck2 = java.nio.file.Files.createTempDirectory("cow_tail_ck2_").toString
+    val out2 = java.nio.file.Files.createTempDirectory("cow_tail_out2_").toString
+    def drain2(): Unit =
+      spark.readStream.table(mor)
+        .writeStream.format("parquet")
+        .option("path", out2).option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    drain2()
+    spark.sql(s"DELETE FROM $mor WHERE id = 5")
+    val e2 = intercept[Exception] { drain2() }
+    assert(e2.toString.contains("DELETE-VECTOR") ||
+      Option(e2.getCause).exists(_.toString.contains("DELETE-VECTOR")),
+      s"a DV commit on served files must fail the stream loudly: $e2")
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
