@@ -161,6 +161,28 @@ object RowLevelOps {
       s"SELECT doc_id, source, score, bonus FROM $tbl ORDER BY doc_id")
   }
 
+  /** q_cow_tag — NAMED TAGS over the version history (Iceberg refs in
+    * miniature): `CALL graft_cow.tag(table, 'baseline', v)` pins commit v
+    * under a stable name; `VERSION AS OF 'baseline'` reads it — the
+    * release/reproducibility workflow (tag the blessed training
+    * snapshot, keep mutating, re-read the tag forever; tags also protect
+    * their versions from VACUUM, spec-pinned). The query tags the
+    * pristine insert, UPDATEs, and joins CURRENT against the tag —
+    * q_time_travel's audit with the version number replaced by a name.
+    */
+  def qCowTag(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "tagq")
+    val name = tbl.split("\\.").last
+    spark.sql(s"CALL $CatalogName.tag('ops.$name', 'baseline', 1)")
+    spark.sql(s"UPDATE $tbl SET score = score + 500 WHERE doc_id % 4 = 0")
+    spark.sql(
+      s"""SELECT c.doc_id, b.score AS score_tagged, c.score AS score_now
+         |FROM $tbl c
+         |JOIN (SELECT doc_id, score FROM $tbl VERSION AS OF 'baseline') b
+         |  ON c.doc_id = b.doc_id
+         |ORDER BY c.doc_id""".stripMargin)
+  }
+
   /** q_update_where — SQL `UPDATE … WHERE` through the same group-based
     * rewrite (update = replace group with carried + reassigned rows).
     */
@@ -375,6 +397,7 @@ object RowLevelOps {
     "q_cow_evolve"   -> qCowEvolve _,
     "q_cow_files"    -> qCowFiles _,
     "q_cow_ctas"     -> qCowCtas _,
+    "q_cow_tag"      -> qCowTag _,
     "q_cow_compact"  -> qCowCompact _,
     "q_cow_skipping" -> qCowSkipping _,
     "q_cow_cluster"  -> qCowCluster _,
@@ -435,6 +458,13 @@ object RowLevelOps {
         |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
         |       MIN(n_chars) AS min_score, MAX(n_chars) AS max_score
         |FROM frag GROUP BY q ORDER BY min_doc_id""".stripMargin,
+    // The tag resolves to the pristine insert; the current state carries
+    // the one update.
+    "q_cow_tag" ->
+      """SELECT doc_id, n_chars AS score_tagged,
+        |       CASE WHEN doc_id % 4 = 0 THEN n_chars + 500 ELSE n_chars END
+        |         AS score_now
+        |FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
     // The RTAS relation IS the final state, whatever the staging
     // machinery did in between.
     "q_cow_ctas" ->

@@ -146,7 +146,8 @@ object CowStore {
 
   final case class State(version: Long, dir: String, mor: Boolean,
                          history: Map[Long, Snapshot],
-                         stats: Map[String, FileStats]) {
+                         stats: Map[String, FileStats],
+                         tags: Map[String, Long] = Map.empty) {
     def snapshot: Snapshot = history(version)
     def schema: StructType = snapshot.schema
     def files: Vector[String] = snapshot.files
@@ -418,7 +419,8 @@ object CowStore {
           s"graft-cow: manifest $p lacks version/schema")
         version -> Snapshot(files, dvs, schema)
       }.toMap
-      val st = State(history.keys.max, dir, mor, history, stats)
+      val st = State(history.keys.max, dir, mor, history, stats,
+        tags = readTags(dir))
       tables.put(key(catalog, ident), st)
       st
     }
@@ -428,6 +430,47 @@ object CowStore {
     */
   def evict(catalog: String, ident: Identifier): Unit =
     tables.remove(key(catalog, ident)): Unit
+
+  /** Named TAGS over the version history (Iceberg refs in miniature):
+    * `CALL graft_cow.tag(table, name, version)` pins a commit under a
+    * stable name; `VERSION AS OF '<name>'` resolves it. Tags are durable
+    * (`_log/tags.tsv`, recovered with the manifests) and PROTECT their
+    * versions from [[vacuum]] — the release/baseline workflow: tag the
+    * blessed snapshot, vacuum freely, reproduce against the tag forever.
+    * Re-tagging an existing name moves the pointer (the mutable-ref
+    * contract).
+    */
+  def setTag(catalog: String, ident: Identifier, name: String,
+             version: Long): Unit = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new NoSuchTableException(ident))
+    require(st.history.contains(version),
+      s"graft-cow: cannot tag version $version of $k — not retained " +
+        s"(have ${st.history.keys.toSeq.sorted})")
+    require(name.nonEmpty && !name.forall(_.isDigit) && !name.contains("\t"),
+      s"graft-cow: tag name '$name' must be non-numeric and tab-free " +
+        "(numeric strings resolve as version numbers)")
+    val nst = st.copy(tags = st.tags + (name -> version))
+    tables.put(k, nst)
+    writeTags(nst)
+  }
+
+  private def writeTags(st: State): Unit = {
+    java.nio.file.Files.createDirectories(logDir(st.dir))
+    val body = st.tags.toSeq.sorted.map { case (n, v) => s"$n\t$v" }
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(logDir(st.dir).resolve("tags.tsv"),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  private def readTags(dir: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val p = logDir(dir).resolve("tags.tsv")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      .map { l => val Array(n, v) = l.split("\t"); n -> v.toLong }.toMap
+  }
 
   /** How a staged (CTAS/RTAS) commit publishes — see
     * [[CowCatalog.stageCreate]].
@@ -506,8 +549,11 @@ object CowStore {
       val st = Option(tables.get(k)).getOrElse(
         throw new NoSuchTableException(ident))
       val versions = st.history.keys.toVector.sorted
-      val keep = versions.takeRight(retain)
-      val dropV = versions.dropRight(retain)
+      // Tagged versions are PROTECTED: a tag is a promise the snapshot
+      // stays reproducible, so the horizon never claims it.
+      val tagged = st.tags.values.toSet
+      val keep = (versions.takeRight(retain) ++ versions.filter(tagged)).distinct.sorted
+      val dropV = versions.filterNot(keep.toSet)
       val live = keep.flatMap(v => st.history(v).files).toSet
       val dead = dropV.flatMap(v => st.history(v).files).toSet -- live
       dead.foreach(f => new java.io.File(f).delete())
@@ -603,9 +649,13 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     CowStore.get(catalogName, ident)
       .map { st =>
-        val v = scala.util.Try(version.toLong).getOrElse(
-          throw new IllegalArgumentException(
-            s"graft-cow: version must be a commit number, got '$version'"))
+        // Numeric = commit number; anything else = a NAMED TAG
+        // (CALL graft_cow.tag — Iceberg refs in miniature).
+        val v = scala.util.Try(version.toLong).toOption
+          .orElse(st.tags.get(version))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-cow: '$version' is neither a commit number nor a tag " +
+              s"(tags: ${st.tags.keys.toSeq.sorted.mkString(",")})"))
         st.snapshotAt(v): Unit // fail loudly at resolution, not first scan
         new CowTable(catalogName, ident, pinnedVersion = Some(v))
       }
@@ -658,12 +708,13 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name() match {
       case "vacuum" => new CowVacuumProcedure(catalogName)
+      case "tag"    => new CowTagProcedure(catalogName)
       case other => throw new RuntimeException(
-        s"graft-cow: no such procedure $other (have: vacuum)")
+        s"graft-cow: no such procedure $other (have: vacuum, tag)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "vacuum"))
+    Array(Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "tag"))
 }
 
 /** `CALL <catalog>.vacuum(table, retain)` — retention as a first-class
@@ -703,6 +754,37 @@ class CowVacuumProcedure(catalogName: String) extends UnboundProcedure {
         override def description(): String = "graft-cow vacuum report"
       }
       JCollections.singletonList(scan).iterator()
+    }
+  }
+}
+
+/** `CALL <catalog>.tag(table, name, version)` — pin a commit under a
+  * stable name for `VERSION AS OF '<name>'` reads (Iceberg's tag refs in
+  * miniature). Tagged versions are protected from VACUUM.
+  */
+class CowTagProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "tag"
+  override def description(): String =
+    "graft-cow TAG: pin <version> of <table> under <name> for " +
+      "VERSION AS OF '<name>' reads; tagged versions survive VACUUM"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "tag"
+    override def description(): String = CowTagProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", IntegerType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val tag = input.getUTF8String(1).toString
+      val version = input.getInt(2).toLong
+      val parts = table.split("\\.")
+      CowStore.setTag(catalogName, Identifier.of(parts.init, parts.last),
+        tag, version)
+      JCollections.emptyIterator()
     }
   }
 }

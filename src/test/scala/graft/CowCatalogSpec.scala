@@ -782,6 +782,41 @@ class CowCatalogSpec extends SparkSpec {
       s"a DV commit on served files must fail the stream loudly: $e2")
   }
 
+  test("tags: VERSION AS OF '<name>' resolves, survives recovery, and protects its version from VACUUM") {
+    val tbl = fresh("tags")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)") // v0
+    spark.sql(s"INSERT INTO $tbl SELECT id, 't', id FROM range(0, 10, 1, 1)") // v1
+    val name = tbl.split("\\.").last
+    spark.sql(s"CALL $cat.tag('spec.$name', 'baseline', 1)")
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id >= 0") // v2
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id >= 0") // v3
+    def tagRows() = spark.sql(s"SELECT id, v FROM $tbl VERSION AS OF 'baseline'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(tagRows() == (0L until 10L).map(i => (i, i)),
+      "the tag must read the pristine pinned snapshot")
+    // VACUUM retain 2 would drop v0+v1 — but v1 is TAGGED, so it (and its
+    // file) survives; only v0 (empty) is dropped.
+    spark.sql(s"CALL $cat.vacuum('spec.$name', 2)")
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    assert(st.history.keySet == Set(1L, 2L, 3L),
+      s"the tagged version must survive vacuum: ${st.history.keySet}")
+    assert(tagRows() == (0L until 10L).map(i => (i, i)),
+      "the tagged snapshot must stay readable after vacuum")
+    // Tags are durable: a fresh session recovers them from _log/tags.tsv.
+    CowStore.evict(cat, ident)
+    CowStore.recover(cat, ident, st.dir)
+    assert(tagRows() == (0L until 10L).map(i => (i, i)),
+      "tags must survive a session restart")
+    // Unknown tag and untagged-vacuumed version both fail loudly.
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT id FROM $tbl VERSION AS OF 'nope'").collect()
+    }
+    assert(e.toString.contains("neither a commit number nor a tag") ||
+      Option(e.getCause).exists(_.toString.contains("neither a commit number")))
+    intercept[Exception] { CowStore.setTag(cat, ident, "late", 0L) } // vacuumed
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)

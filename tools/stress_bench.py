@@ -72,7 +72,10 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              # round-14: the same upsert through MERGE-ON-READ delta
              # commits (O(batch) positional deletes instead of the COW
              # rewrite) - the fix for q_stream_merge's x40 exponent.
-             "q_stream_merge_mor"}
+             "q_stream_merge_mor",
+             # round-14: the table-as-a-stream version walk (per-batch
+             # fixed costs dominate at replay sizes, like every stream).
+             "q_stream_table_read"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
@@ -177,7 +180,9 @@ def main():
     base_events = 100_000
     # q_stream_quality replays the DOCUMENTS table (5k rows at sf0.1),
     # not the 100k-event feed — its rows/s must use the right numerator.
-    base_rows = {"q_stream_quality": 5_000}
+    base_rows = {"q_stream_quality": 5_000,
+                 # consumes the documents-derived table, not the event feed
+                 "q_stream_table_read": 5_000}
     stream_rates = {}
     for q in sorted(SUBLINEAR & set(names)):
         base = base_rows.get(q, base_events)
