@@ -147,7 +147,8 @@ object CowStore {
   final case class State(version: Long, dir: String, mor: Boolean,
                          history: Map[Long, Snapshot],
                          stats: Map[String, FileStats],
-                         tags: Map[String, Long] = Map.empty) {
+                         tags: Map[String, Long] = Map.empty,
+                         epochs: Map[String, Long] = Map.empty) {
     def snapshot: Snapshot = history(version)
     def schema: StructType = snapshot.schema
     def files: Vector[String] = snapshot.files
@@ -420,7 +421,7 @@ object CowStore {
         version -> Snapshot(files, dvs, schema)
       }.toMap
       val st = State(history.keys.max, dir, mor, history, stats,
-        tags = readTags(dir))
+        tags = readTags(dir), epochs = readEpochs(dir))
       tables.put(key(catalog, ident), st)
       st
     }
@@ -470,6 +471,50 @@ object CowStore {
     if (!java.nio.file.Files.exists(p)) Map.empty
     else java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty)
       .map { l => val Array(n, v) = l.split("\t"); n -> v.toLong }.toMap
+  }
+
+  private def writeEpochs(st: State): Unit = {
+    java.nio.file.Files.createDirectories(logDir(st.dir))
+    val body = st.epochs.toSeq.sorted.map { case (q, e) => s"$q\t$e" }
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(logDir(st.dir).resolve("epochs.tsv"),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  private def readEpochs(dir: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val p = logDir(dir).resolve("epochs.tsv")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      .map { l => val Array(q, e) = l.split("\t"); q -> e.toLong }.toMap
+  }
+
+  /** Publish one STREAMING epoch's appended files, IDEMPOTENTLY per
+    * (query, epoch) — the Delta txn-version pattern: the last committed
+    * epoch per streaming query id is part of the durable table state
+    * (`_log/epochs.tsv`, recovered with the manifests), so a replayed
+    * micro-batch after a failure/restart commits exactly once — the
+    * retried attempt's files are deleted, not appended twice. Returns
+    * whether the epoch was actually applied.
+    */
+  def commitStreamEpoch(catalog: String, ident: Identifier, queryId: String,
+                        epochId: Long,
+                        files: Seq[(String, FileStats)]): Boolean = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
+    if (st.epochs.getOrElse(queryId, -1L) >= epochId) {
+      // Replayed epoch: already durable — drop the retry's files.
+      files.foreach { case (f, _) => new java.io.File(f).delete() }
+      false
+    } else {
+      val snap = st.snapshot
+      val nst = publish(k, st.copy(epochs = st.epochs + (queryId -> epochId)),
+        Snapshot(snap.files ++ files.map(_._1), snap.deletes, snap.schema),
+        files.toMap)
+      writeEpochs(nst)
+      true
+    }
   }
 
   /** How a staged (CTAS/RTAS) commit publishes — see
@@ -1002,11 +1047,16 @@ class CowTable(catalog: String, ident: Identifier,
     s.add(TableCapability.BATCH_READ)
     s.add(TableCapability.BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
-    // The table is also a STREAMING SOURCE (`spark.readStream.table`):
+    // The table is also a STREAMING SOURCE (`spark.readStream.table`:
     // offsets are COMMIT VERSIONS, each batch serves the files newly
-    // added in (start, end] — see [[CowMicroBatchStream]]. Version-pinned
+    // added in (start, end] — see [[CowMicroBatchStream]]) and a
+    // STREAMING SINK (`writeStream.toTable`: per-epoch appends committed
+    // idempotently — see [[CowStore.commitStreamEpoch]]). Version-pinned
     // loads are batch-only.
-    if (pinnedVersion.isEmpty) s.add(TableCapability.MICRO_BATCH_READ)
+    if (pinnedVersion.isEmpty) {
+      s.add(TableCapability.MICRO_BATCH_READ)
+      s.add(TableCapability.STREAMING_WRITE)
+    }
     JCollections.unmodifiableSet(s)
   }
 
@@ -1016,7 +1066,8 @@ class CowTable(catalog: String, ident: Identifier,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable()
-    new CowWriteBuilder(catalog, ident, state, op = None, info.schema())
+    new CowWriteBuilder(catalog, ident, state, op = None, info.schema(),
+      queryId = info.queryId())
   }
 
   /** Row-level operations, strategy per the table's mode:
@@ -1515,12 +1566,13 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
   */
 class CowWriteBuilder(catalog: String, ident: Identifier,
                       state: CowStore.State, op: Option[CowRowLevelOperation],
-                      writeSchema: StructType, truncateAll: Boolean = false)
+                      writeSchema: StructType, truncateAll: Boolean = false,
+                      queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
     new CowWriteBuilder(catalog, ident, state, op, writeSchema,
-      truncateAll = true)
+      truncateAll = true, queryId = queryId)
 
   override def build(): Write = new Write {
     override def description(): String = {
@@ -1530,6 +1582,37 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
       s"graft-cow $mode to " +
         (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".")
     }
+
+    /** The STREAMING SINK path (`writeStream.toTable`): append-only —
+      * each micro-batch's task files commit as one version via
+      * [[CowStore.commitStreamEpoch]], idempotently per (query, epoch),
+      * so checkpoint-replayed batches after a failure never duplicate
+      * rows (the Delta txn appId/version contract).
+      */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(op.isEmpty && !truncateAll,
+        "graft-cow: streaming writes are append-only")
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        override def createStreamingWriterFactory(
+            info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+          CowStreamingWriterFactory(state.dir, writeSchema, state.schema)
+        override def commit(epochId: Long,
+                            messages: Array[WriterCommitMessage]): Unit = {
+          val msgs = messages.map(_.asInstanceOf[CowCommitMessage])
+          CowStore.commitStreamEpoch(catalog, ident, queryId, epochId,
+            msgs.flatMap(_.files).toSeq): Unit
+        }
+        override def abort(epochId: Long,
+                           messages: Array[WriterCommitMessage]): Unit =
+          messages.foreach {
+            case CowCommitMessage(files) => files.foreach { case (f, _) =>
+              new java.io.File(f).delete(): Unit
+            }
+            case _ => ()
+          }
+      }
+    }
+
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         CowWriterFactory(state.dir, writeSchema, state.schema)
@@ -1765,6 +1848,19 @@ case class CowWriterFactory(dir: String, writeSchema: StructType,
 
       override def close(): Unit = ()
     }
+}
+
+/** Streaming twin of [[CowWriterFactory]]: the per-task writer is
+  * identical (plain append, table-schema parquet, write-time stats); the
+  * epoch id rides the COMMIT, not the task.
+  */
+case class CowStreamingWriterFactory(dir: String, writeSchema: StructType,
+                                     tableSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    CowWriterFactory(dir, writeSchema, tableSchema)
+      .createWriter(partitionId, taskId)
 }
 
 /** Executor-side writer for the DELTA-BASED (merge-on-read) path: inserts

@@ -1621,6 +1621,41 @@ object StreamOps extends Serializable {
     spark.table(sinkName).orderBy(col("source"))
   }
 
+  /** q_stream_sink_cow — the catalog table AS A STREAMING SINK
+    * (`writeStream.toTable`, the native lakehouse append everything
+    * upstream of the foreachBatch-MERGE pattern): each micro-batch's
+    * task files commit as ONE table version through
+    * [[graft.sources.CowStore.commitStreamEpoch]], IDEMPOTENTLY per
+    * (query, epoch) — the Delta txn appId/version contract, durable in
+    * the commit log, so a checkpoint-replayed batch after a failure
+    * appends exactly once (CowCatalogSpec replays an epoch through the
+    * API and pins the no-op). Composed with E331's streaming READ, the
+    * table is now a full streaming hop: writers `toTable`, consumers
+    * `readStream.table`, both exactly-once. The oracle is the plain
+    * events relation — the drained sink must hold every event exactly
+    * once under any batch slicing.
+    */
+  def qStreamSinkCow(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val tbl = "graft_cow.ops.stream_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, us BIGINT, " +
+      "event_id BIGINT, event_type STRING)")
+    val query = startWithStatePartitions(spark, 4) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("event_type"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .toTable(tbl)
+    }
+    query.awaitTermination()
+    spark.sql(s"SELECT user_id, us, event_id, event_type FROM $tbl " +
+      "ORDER BY event_id")
+  }
+
   /** q_stream_session — STREAMING sessionization as a first-class
     * correctness-gated query: the same `session_window` aggregation the
     * batch `Windows.qSession` runs, executed as a real streaming query
@@ -2868,6 +2903,7 @@ object StreamOps extends Serializable {
     "q_stream_merge"       -> qStreamMerge _,
     "q_stream_merge_mor"   -> qStreamMergeMor _,
     "q_stream_table_read"  -> qStreamTableRead _,
+    "q_stream_sink_cow"    -> qStreamSinkCow _,
     "q_stream_ohlc"        -> qStreamOhlc _,
     "q_stream_anomaly"     -> qStreamAnomaly _,
     "q_stream_tick_append" -> qStreamTickAppend _,
@@ -3169,6 +3205,10 @@ object StreamOps extends Serializable {
     // merge-on-read variants: the storage strategy must be invisible.
     "q_stream_merge" -> StreamMergeOracle,
     "q_stream_merge_mor" -> StreamMergeOracle,
+    // The drained sink table holds every event exactly once, any slicing.
+    "q_stream_sink_cow" ->
+      """SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
     // The version-walk must deliver every committed row exactly once:
     // the streamed aggregate equals the batch aggregate over the same
     // relation.

@@ -817,6 +817,71 @@ class CowCatalogSpec extends SparkSpec {
     intercept[Exception] { CowStore.setTag(cat, ident, "late", 0L) } // vacuumed
   }
 
+  test("streaming sink: epoch commits are idempotent and durably so; sink + source compose into a streaming hop") {
+    import graft.sources.{CowCommitMessage, CowTable}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val tbl = fresh("sink")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)")
+    val ident = identOf(tbl)
+    val writeSchema = StructType(Seq(StructField("id", LongType),
+      StructField("tag", StringType), StructField("v", LongType)))
+    val info = new LogicalWriteInfo {
+      override def options() = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())
+      override def queryId(): String = "spec-stream-query"
+      override def schema(): StructType = writeSchema
+    }
+    def streamingWrite() =
+      new CowTable(cat, ident).newWriteBuilder(info).build().toStreaming
+    def writeEpoch(sw: org.apache.spark.sql.connector.write.streaming.StreamingWrite,
+                   epoch: Long, ids: Range): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = sw.createStreamingWriterFactory(null).createWriter(0, 0, epoch)
+      ids.foreach(i => w.write(new GenericInternalRow(
+        Array[Any](i.toLong, UTF8String.fromString("t"), i.toLong * 2))))
+      w.commit()
+    }
+    val sw = streamingWrite()
+    sw.commit(0L, Array(writeEpoch(sw, 0L, 0 until 5)))
+    def count() = spark.table(tbl).count()
+    assert(count() == 5L)
+    // A checkpoint-replayed epoch (same query, same epoch id) must be a
+    // NO-OP: the retry's files are dropped, not appended twice.
+    val retry = writeEpoch(sw, 0L, 0 until 5)
+    sw.commit(0L, Array(retry))
+    assert(count() == 5L, "a replayed epoch must not duplicate rows")
+    val retryFile = retry.asInstanceOf[CowCommitMessage].files.head._1
+    assert(!new java.io.File(retryFile).exists(),
+      "the replayed epoch's files must be cleaned up")
+    sw.commit(1L, Array(writeEpoch(sw, 1L, 5 until 8)))
+    assert(count() == 8L)
+    // The epoch watermark is DURABLE: after a simulated restart the
+    // replay of an already-committed epoch is still a no-op.
+    val dir = CowStore.get(cat, ident).get.dir
+    CowStore.evict(cat, ident)
+    CowStore.recover(cat, ident, dir)
+    val sw2 = streamingWrite()
+    sw2.commit(1L, Array(writeEpoch(sw2, 1L, 5 until 8)))
+    assert(count() == 8L,
+      "epoch idempotence must survive a session restart")
+    // Compose the hop: the sink table is ALSO a streaming source — a
+    // downstream consumer drains exactly the appended epochs.
+    import org.apache.spark.sql.streaming.Trigger
+    val outDir = java.nio.file.Files.createTempDirectory("cow_hop_").toString
+    spark.readStream.table(tbl)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cow_hop_ck_").toString)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val drained = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(drained == (0L until 8L).map(i => (i, i * 2)),
+      s"the streaming hop must deliver every appended row exactly once: $drained")
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
