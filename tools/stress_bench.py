@@ -75,7 +75,10 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              "q_stream_merge_mor",
              # round-14: the table-as-a-stream version walk (per-batch
              # fixed costs dominate at replay sizes, like every stream).
-             "q_stream_table_read"}
+             "q_stream_table_read",
+             # round-14: the toTable streaming sink (per-epoch manifest
+             # commit is the fixed cost; file bytes are the data term).
+             "q_stream_sink_cow"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
