@@ -1410,9 +1410,19 @@ class CowMicroBatchStream(catalog: String, ident: Identifier,
     // survived into a retained snapshot, which the added-file walk below
     // picks up at the next retained version.
     val versions = st.history.keys.filter(v => v > s && v <= e).toSeq.sorted
-    // What a checkpointed consumer has ALREADY been served: the newest
-    // retained snapshot at or below s (and its delete vectors).
-    val baseSnap = st.history.keys.filter(_ <= s).maxOption.map(st.history)
+    // What a checkpointed consumer has ALREADY been served: EXACTLY the
+    // snapshot at its committed offset. If VACUUM dropped that version,
+    // any retained substitute UNDERESTIMATES the served set and the walk
+    // would silently re-serve rows — fail loudly instead (the
+    // checkpoint-predates-retention error every lakehouse stream raises).
+    val baseSnap =
+      if (s == 0L) None // fresh consumer: nothing served yet
+      else Some(st.history.getOrElse(s,
+        throw new IllegalStateException(
+          s"graft-cow: streaming checkpoint of $tableName points at " +
+            s"version $s, which VACUUM removed (retained: " +
+            s"${st.history.keys.toSeq.sorted.mkString(",")}); restart " +
+            "from a fresh checkpoint")))
     val seenBefore = baseSnap.map(_.files.toSet).getOrElse(Set.empty)
     val dvBefore = baseSnap
       .map(_.deletes.map { case (f, ps) => f -> ps.length })

@@ -882,6 +882,31 @@ class CowCatalogSpec extends SparkSpec {
       s"the streaming hop must deliver every appended row exactly once: $drained")
   }
 
+  test("streaming read fails loudly when VACUUM removed the checkpointed version") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tbl = fresh("tail_vac")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $tbl SELECT id, 'a', id FROM range(0, 5, 1, 1)") // v1
+    val outDir = java.nio.file.Files.createTempDirectory("cow_tv_out_").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("cow_tv_ck_").toString
+    def drain(): Unit =
+      spark.readStream.table(tbl)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    drain() // consumer checkpoint now at v1
+    spark.sql(s"INSERT INTO $tbl SELECT id, 'b', id FROM range(5, 10, 1, 1)") // v2
+    spark.sql(s"INSERT INTO $tbl SELECT id, 'c', id FROM range(10, 15, 1, 1)") // v3
+    val name = tbl.split("\\.").last
+    spark.sql(s"CALL $cat.vacuum('spec.$name', 2)") // drops v0 AND v1
+    // The consumer's committed offset (v1) is past the retention horizon:
+    // resuming must fail loudly, never silently re-serve or skip rows.
+    val e = intercept[Exception] { drain() }
+    assert(e.toString.contains("VACUUM removed") ||
+      Option(e.getCause).exists(_.toString.contains("VACUUM removed")),
+      s"a vacuumed checkpoint version must fail the stream loudly: $e")
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
