@@ -183,6 +183,42 @@ object RowLevelOps {
          |ORDER BY c.doc_id""".stripMargin)
   }
 
+  /** q_time_travel_ts — `TIMESTAMP AS OF` time travel (E311's second
+    * axis): every commit stamps its wall clock (µs) into the commit log,
+    * and a timestamp resolves to the newest version committed at or
+    * before it — "the table as of last night's run", the travel form
+    * schedulers and debuggers actually use (they know WHEN, not which
+    * version number). The query captures a wall-clock instant strictly
+    * between the insert and the update (busy-waiting one clock tick so
+    * the update's stamp is provably later), then joins CURRENT against
+    * `TIMESTAMP AS OF <captured>` — which must resolve to the insert.
+    * The RESULT is deterministic (same shape as q_time_travel) even
+    * though the timestamps are not; boundary/error behavior is
+    * spec-pinned.
+    */
+  def qTimeTravelTs(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "ttts")
+    // Strictly after the insert commit's stamp, strictly before the
+    // update's: stamps are wall-clock ms (scaled to µs), so waiting for
+    // the millisecond to tick over guarantees both inequalities.
+    val t0 = System.currentTimeMillis()
+    while (System.currentTimeMillis() <= t0) Thread.`yield`()
+    // Epoch-based expression, not a timestamp string: a string literal
+    // parses in the SESSION timezone while Timestamp.toString renders in
+    // the JVM default — timestamp_micros sidesteps both.
+    val cutUs = System.currentTimeMillis() * 1000L
+    val t1 = System.currentTimeMillis()
+    while (System.currentTimeMillis() <= t1) Thread.`yield`()
+    spark.sql(s"UPDATE $tbl SET score = score + 900 WHERE doc_id % 6 = 0")
+    spark.sql(
+      s"""SELECT c.doc_id, b.score AS score_then, c.score AS score_now
+         |FROM $tbl c
+         |JOIN (SELECT doc_id, score FROM $tbl
+         |      TIMESTAMP AS OF timestamp_micros(${cutUs}L)) b
+         |  ON c.doc_id = b.doc_id
+         |ORDER BY c.doc_id""".stripMargin)
+  }
+
   /** q_update_where — SQL `UPDATE … WHERE` through the same group-based
     * rewrite (update = replace group with carried + reassigned rows).
     */
@@ -398,6 +434,7 @@ object RowLevelOps {
     "q_cow_files"    -> qCowFiles _,
     "q_cow_ctas"     -> qCowCtas _,
     "q_cow_tag"      -> qCowTag _,
+    "q_time_travel_ts" -> qTimeTravelTs _,
     "q_cow_compact"  -> qCowCompact _,
     "q_cow_skipping" -> qCowSkipping _,
     "q_cow_cluster"  -> qCowCluster _,
@@ -458,6 +495,13 @@ object RowLevelOps {
         |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
         |       MIN(n_chars) AS min_score, MAX(n_chars) AS max_score
         |FROM frag GROUP BY q ORDER BY min_doc_id""".stripMargin,
+    // The captured instant resolves to the pristine insert; the current
+    // state carries the one update.
+    "q_time_travel_ts" ->
+      """SELECT doc_id, n_chars AS score_then,
+        |       CASE WHEN doc_id % 6 = 0 THEN n_chars + 900 ELSE n_chars END
+        |         AS score_now
+        |FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
     // The tag resolves to the pristine insert; the current state carries
     // the one update.
     "q_cow_tag" ->

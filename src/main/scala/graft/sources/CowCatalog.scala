@@ -148,7 +148,8 @@ object CowStore {
                          history: Map[Long, Snapshot],
                          stats: Map[String, FileStats],
                          tags: Map[String, Long] = Map.empty,
-                         epochs: Map[String, Long] = Map.empty) {
+                         epochs: Map[String, Long] = Map.empty,
+                         commitTsUs: Map[Long, Long] = Map.empty) {
     def snapshot: Snapshot = history(version)
     def schema: StructType = snapshot.schema
     def files: Vector[String] = snapshot.files
@@ -184,7 +185,7 @@ object CowStore {
     val dir = java.nio.file.Files.createTempDirectory("graft_cow_").toString
     val st = State(0L, dir, mor,
       history = Map(0L -> Snapshot(Vector.empty, Map.empty, schema)),
-      stats = Map.empty)
+      stats = Map.empty, commitTsUs = Map(0L -> nowUs()))
     if (tables.putIfAbsent(key(catalog, ident), st) != null) {
       // Create-race hygiene: the loser's just-created temp dir would
       // otherwise leak on disk with no owner.
@@ -317,13 +318,22 @@ object CowStore {
       publish(k, st, snap.copy(schema = snap.schema.add(field)), Map.empty)
     }
 
+  /** Commit wall-clock in MICROSECONDS (Spark's `TIMESTAMP AS OF`
+    * resolution unit), strictly increasing per table so two commits in
+    * the same clock tick stay distinguishable.
+    */
+  private def nowUs(): Long = System.currentTimeMillis() * 1000L
+
   private def publish(k: String, st: State, snap: Snapshot,
                       newStats: Map[String, FileStats]): State = {
+    val prev = st.commitTsUs.values.maxOption.getOrElse(Long.MinValue)
+    val ts = math.max(nowUs(), prev + 1)
     val nst = st.copy(version = st.version + 1,
       history = st.history + ((st.version + 1) -> snap),
       // Superseded files keep their stats: old versions stay readable and
       // their time-travel scans skip/size with the same fidelity.
-      stats = st.stats ++ newStats)
+      stats = st.stats ++ newStats,
+      commitTsUs = st.commitTsUs + ((st.version + 1) -> ts))
     tables.put(k, nst)
     writeManifest(nst)
     nst
@@ -349,6 +359,7 @@ object CowStore {
     val sb = new StringBuilder
     sb ++= s"version\t${st.version}\n"
     sb ++= s"mor\t${st.mor}\n"
+    st.commitTsUs.get(st.version).foreach(ts => sb ++= s"committed_at_us\t$ts\n")
     sb ++= s"schema\t${snap.schema.json}\n"
     snap.files.foreach { f =>
       st.stats.get(f) match {
@@ -386,6 +397,7 @@ object CowStore {
       require(manifests.nonEmpty, s"graft-cow: empty commit log at $log")
       var mor = false
       var stats = Map.empty[String, FileStats]
+      var commitTs = Map.empty[Long, Long]
       val history = manifests.map { p =>
         val lines = java.nio.file.Files.readAllLines(p).asScala
         var version = -1L
@@ -396,6 +408,8 @@ object CowStore {
           line.split("\t", -1).toSeq match {
             case Seq("version", v) => version = v.toLong
             case Seq("mor", m) => mor = m.toBoolean
+            // writeManifest emits version FIRST, so `version` is set here.
+            case Seq("committed_at_us", ts) => commitTs += version -> ts.toLong
             case Seq("schema", j) =>
               schema = DataType.fromJson(j).asInstanceOf[StructType]
             case Seq("file", f, "-") => files :+= f
@@ -421,7 +435,7 @@ object CowStore {
         version -> Snapshot(files, dvs, schema)
       }.toMap
       val st = State(history.keys.max, dir, mor, history, stats,
-        tags = readTags(dir), epochs = readEpochs(dir))
+        tags = readTags(dir), epochs = readEpochs(dir), commitTsUs = commitTs)
       tables.put(key(catalog, ident), st)
       st
     }
@@ -545,7 +559,7 @@ object CowStore {
     def freshCreate(): Unit = {
       val v0 = State(0L, dir, mor,
         history = Map(0L -> Snapshot(Vector.empty, Map.empty, schema)),
-        stats = Map.empty)
+        stats = Map.empty, commitTsUs = Map(0L -> nowUs()))
       tables.put(k, v0)
       writeManifest(v0)
       publish(k, v0,
@@ -605,7 +619,7 @@ object CowStore {
       dropV.foreach(v => java.nio.file.Files.deleteIfExists(
         manifestPath(st.dir, v)))
       tables.put(k, st.copy(history = st.history -- dropV,
-        stats = st.stats -- dead))
+        stats = st.stats -- dead, commitTsUs = st.commitTsUs -- dropV))
       VacuumReport(dead.size.toLong, dropV.size.toLong, keep)
     }
 }
@@ -702,6 +716,24 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
             s"graft-cow: '$version' is neither a commit number nor a tag " +
               s"(tags: ${st.tags.keys.toSeq.sorted.mkString(",")})"))
         st.snapshotAt(v): Unit // fail loudly at resolution, not first scan
+        new CowTable(catalogName, ident, pinnedVersion = Some(v))
+      }
+      .getOrElse(throw new NoSuchTableException(ident))
+
+  /** `TIMESTAMP AS OF t` time travel — the second standard travel axis:
+    * every commit records its wall clock (micros) in the manifest, and a
+    * timestamp resolves to the NEWEST retained version committed at or
+    * before it ("the table as of last night's run"). Before-first-commit
+    * and past-the-vacuum-horizon timestamps fail loudly at resolution.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    CowStore.get(catalogName, ident)
+      .map { st =>
+        val v = st.commitTsUs.filter(_._2 <= timestamp).keys.maxOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-cow: no retained commit of ${ident.name()} at or " +
+              s"before timestamp $timestamp µs (earliest retained: " +
+              s"${st.commitTsUs.values.minOption.getOrElse(-1L)} µs)"))
         new CowTable(catalogName, ident, pinnedVersion = Some(v))
       }
       .getOrElse(throw new NoSuchTableException(ident))

@@ -907,6 +907,36 @@ class CowCatalogSpec extends SparkSpec {
       s"a vacuumed checkpoint version must fail the stream loudly: $e")
   }
 
+  test("TIMESTAMP AS OF resolves at-or-before, stamps are strictly increasing and recoverable, pre-create fails") {
+    val tbl = fresh("ttts")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT)") // v0
+    spark.sql(s"INSERT INTO $tbl SELECT id, 't', id * 10 FROM range(0, 10, 1, 1)") // v1
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id >= 0") // v2
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    val (ts0, ts1, ts2) = (st.commitTsUs(0L), st.commitTsUs(1L), st.commitTsUs(2L))
+    assert(ts0 < ts1 && ts1 < ts2,
+      s"commit stamps must be strictly increasing: $ts0 $ts1 $ts2")
+    def vAt(us: Long): Seq[Long] =
+      spark.sql(s"SELECT v FROM $tbl TIMESTAMP AS OF timestamp_micros(${us}L)")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // Exact stamp → that version; between stamps → rounds DOWN.
+    assert(vAt(ts1) == (0L until 10L).map(_ * 10))
+    assert(vAt(ts2 - 1) == (0L until 10L).map(_ * 10),
+      "a timestamp between commits must resolve to the older one")
+    assert(vAt(ts2) == (0L until 10L).map(_ * 10 + 1))
+    // Before the table existed: loud error.
+    val e = intercept[Exception] { vAt(ts0 - 1) }
+    assert(e.toString.contains("no retained commit") ||
+      Option(e.getCause).exists(_.toString.contains("no retained commit")))
+    // Stamps ride the manifests: a recovered session time-travels the same.
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    assert(rec.commitTsUs == st.commitTsUs,
+      "commit timestamps must recover from the log exactly")
+    assert(vAt(ts2 - 1) == (0L until 10L).map(_ * 10))
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
