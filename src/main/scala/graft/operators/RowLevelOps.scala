@@ -390,14 +390,19 @@ object RowLevelOps {
     val tbl = s"$CatalogName.ops.files_${UUID.randomUUID().toString.replace("-", "")}"
     spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
     val n = spark.read.parquet(s"$d/documents.parquet").count()
-    for (q <- 0 until 4)
+    // The last fragment is UNBOUNDED above, mirroring the oracle's ELSE
+    // bucket: both sides must partition the same doc_id domain even when
+    // ids are not dense in [0, n) (round-14 ADVICE).
+    for (q <- 0 until 4) {
+      val hi = if (q == 3) "" else s" AND doc_id < ${(q + 1) * n / 4}"
       spark.sql(
         s"""INSERT INTO $tbl
            |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
            |FROM parquet.`$d/documents.parquet`
            |WHERE doc_id % 3 <> 0
-           |  AND doc_id >= ${q * n / 4} AND doc_id < ${(q + 1) * n / 4}
+           |  AND doc_id >= ${q * n / 4}$hi
            |""".stripMargin)
+    }
     spark.sql(
       s"""SELECT n_rows, min_doc_id, max_doc_id, min_score, max_score
          |FROM $tbl.files ORDER BY min_doc_id""".stripMargin)

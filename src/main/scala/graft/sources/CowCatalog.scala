@@ -199,8 +199,13 @@ object CowStore {
   /** Drop removes the in-memory entry AND the table directory (data
     * files, manifests): a dropped table has no readers to snapshot for,
     * and leaving its files would leak a temp dir per dropped table.
+    * SYNCHRONIZED like every other mutator — an unsynchronized drop could
+    * interleave between a committing writer's `tables.get` and its
+    * [[publish]] `tables.put`, re-registering a phantom table whose files
+    * the drop just deleted (round-14 ADVICE). [[publish]] double-checks
+    * presence for the same reason.
     */
-  def drop(catalog: String, ident: Identifier): Boolean = {
+  def drop(catalog: String, ident: Identifier): Boolean = synchronized {
     val st = tables.remove(key(catalog, ident))
     if (st != null) deleteRecursively(new java.io.File(st.dir))
     st != null
@@ -326,6 +331,11 @@ object CowStore {
 
   private def publish(k: String, st: State, snap: Snapshot,
                       newStats: Map[String, FileStats]): State = {
+    // Presence re-check (all mutators hold the store lock, so this can
+    // only fire on a caller bug): never re-register a table a concurrent
+    // drop removed — its directory is already deleted.
+    if (!tables.containsKey(k))
+      throw new IllegalStateException(s"graft-cow: commit to dropped table $k")
     val prev = st.commitTsUs.values.maxOption.getOrElse(Long.MinValue)
     val ts = math.max(nowUs(), prev + 1)
     val nst = st.copy(version = st.version + 1,
@@ -392,10 +402,15 @@ object CowStore {
       val log = logDir(dir)
       require(java.nio.file.Files.isDirectory(log),
         s"graft-cow: no commit log at $log — not a graft-cow table dir")
-      val manifests = java.nio.file.Files.list(log).iterator().asScala
-        .filter(_.getFileName.toString.matches("v\\d+\\.manifest")).toVector
+      val manifests = scala.util.Using.resource(java.nio.file.Files.list(log)) {
+        s => s.iterator().asScala
+          .filter(_.getFileName.toString.matches("v\\d+\\.manifest")).toVector
+      }
       require(manifests.nonEmpty, s"graft-cow: empty commit log at $log")
-      var mor = false
+      // The write strategy can change across versions (REPLACE TABLE with
+      // a different graft.mode) — the CURRENT version's manifest decides,
+      // not whichever file parses last in directory order.
+      var morByVersion = Map.empty[Long, Boolean]
       var stats = Map.empty[String, FileStats]
       var commitTs = Map.empty[Long, Long]
       val history = manifests.map { p =>
@@ -407,7 +422,8 @@ object CowStore {
         lines.foreach { line =>
           line.split("\t", -1).toSeq match {
             case Seq("version", v) => version = v.toLong
-            case Seq("mor", m) => mor = m.toBoolean
+            // writeManifest emits version FIRST, so `version` is set here.
+            case Seq("mor", m) => morByVersion += version -> m.toBoolean
             // writeManifest emits version FIRST, so `version` is set here.
             case Seq("committed_at_us", ts) => commitTs += version -> ts.toLong
             case Seq("schema", j) =>
@@ -434,7 +450,9 @@ object CowStore {
           s"graft-cow: manifest $p lacks version/schema")
         version -> Snapshot(files, dvs, schema)
       }.toMap
-      val st = State(history.keys.max, dir, mor, history, stats,
+      val current = history.keys.max
+      val st = State(current, dir, morByVersion.getOrElse(current, false),
+        history, stats,
         tags = readTags(dir), epochs = readEpochs(dir), commitTsUs = commitTs)
       tables.put(key(catalog, ident), st)
       st
@@ -443,8 +461,9 @@ object CowStore {
   /** Testing hook: forget a table's in-memory state WITHOUT touching its
     * files or commit log — simulates a fresh session for [[recover]].
     */
-  def evict(catalog: String, ident: Identifier): Unit =
+  def evict(catalog: String, ident: Identifier): Unit = synchronized {
     tables.remove(key(catalog, ident)): Unit
+  }
 
   /** Named TAGS over the version history (Iceberg refs in miniature):
     * `CALL graft_cow.tag(table, name, version)` pins a commit under a
@@ -565,8 +584,13 @@ object CowStore {
       publish(k, v0,
         Snapshot(files.map(_._1).toVector, Map.empty, schema), files.toMap): Unit
     }
+    // REPLACE applies the staged write strategy: `REPLACE TABLE …
+    // TBLPROPERTIES ('graft.mode'='mor')` over a COW table (or the
+    // reverse) switches the mode with the content instead of silently
+    // keeping the old one (round-14 ADVICE) — the new snapshot has no
+    // delete vectors, so the strategy swap is safe at any point.
     def replace(st: State): Unit =
-      publish(k, st,
+      publish(k, st.copy(mor = mor),
         Snapshot(files.map(_._1).toVector, Map.empty, schema), files.toMap): Unit
     mode match {
       case StageMode.Create =>
