@@ -430,7 +430,41 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** q_cow_partitioned — PARTITIONED tables on the writable catalog
+    * (`PARTITIONED BY (source)`, the identity transform): writers route
+    * rows to per-partition files executor-side (one file per (task,
+    * partition), with the write's REQUIRED clustered distribution
+    * bounding that at O(partitions)); the manifest records each file's
+    * partition tuple; and a partition predicate prunes files at PLAN
+    * time — before stats skipping, before any I/O. The scripted flow
+    * UPDATEs one partition (the row-level rewrite is partition-pruned to
+    * that partition's files — every other partition's files stay
+    * byte-identical, spec-pinned) and reads another back with a
+    * partition-pruned scan. At 100 TB this is the first pruning lever:
+    * the predicate drops whole partitions from the listing where stats
+    * skipping still walks every manifest entry.
+    */
+  def qCowPartitioned(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.part_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT) " +
+      "PARTITIONED BY (source)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    // One-partition UPDATE: runtime group filtering + partition pruning
+    // narrow the rewrite to the min(source) partition's files.
+    val lit = spark.sql(
+      s"SELECT min(source) FROM parquet.`$d/documents.parquet`").head.getString(0)
+    spark.sql(s"UPDATE $tbl SET score = score + 100 WHERE source = '$lit'")
+    spark.sql(
+      s"""SELECT doc_id, source, score FROM $tbl
+         |WHERE source = '$lit' ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cow_partitioned" -> qCowPartitioned _,
     "q_cow_history"  -> qCowHistory _,
     "q_merge_into"   -> qMergeInto _,
     "q_merge_into_mor" -> qMergeIntoMor _,
@@ -476,6 +510,14 @@ object RowLevelOps {
     * base/changes definitions — MERGE == relational rebuild.
     */
   val oracle: Map[String, String] = Map(
+    // The partition routing/pruning must be invisible to results: the
+    // min(source) partition after its +100 update, rebuilt declaratively.
+    "q_cow_partitioned" ->
+      """SELECT doc_id, source, n_chars + 100 AS score
+        |FROM documents
+        |WHERE doc_id % 3 <> 0
+        |  AND source = (SELECT min(source) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_merge_into_mor" -> mergeOracle,
     // Two sequential UPDATEs then vacuum: retention must be invisible to
     // the current version — the oracle is the plain double-update rebuild.

@@ -937,6 +937,181 @@ class CowCatalogSpec extends SparkSpec {
     assert(vAt(ts2 - 1) == (0L until 10L).map(_ * 10))
   }
 
+  // -----------------------------------------------------------------
+  // Partitioned tables (identity / bucket / truncate transforms)
+  // -----------------------------------------------------------------
+
+  /** A partitioned base: 3 identity partitions on tag (t0/t1/t2). */
+  private def mkPartitioned(tbl: String): Unit = {
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT) " +
+      "PARTITIONED BY (tag)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, concat('t', CAST(id % 3 AS STRING)), id * 10
+         |FROM range(0, 30)""".stripMargin)
+  }
+
+  test("identity partition predicate prunes partitions at plan time (N of M in the scan)") {
+    val tbl = fresh("partid")
+    mkPartitioned(tbl)
+    val df = spark.sql(s"SELECT id, v FROM $tbl WHERE tag = 't1'")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("1 of 3 partitions"),
+      s"partition predicate must prune at plan time, got: $plan")
+    // Pruning must be invisible to results.
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 30L).filter(_ % 3 == 1))
+    // IN-set prunes to two partitions.
+    val in2 = spark.sql(s"SELECT id FROM $tbl WHERE tag IN ('t0', 't2')")
+    assert(in2.queryExecution.executedPlan.toString
+      .contains("2 of 3 partitions"))
+    assert(in2.count() == 20)
+    // A non-partition predicate prunes nothing.
+    assert(spark.sql(s"SELECT id FROM $tbl WHERE v > 100")
+      .queryExecution.executedPlan.toString.contains("3 of 3 partitions"))
+  }
+
+  test("every data file belongs to exactly one partition; .files carries the tuple") {
+    val tbl = fresh("partfiles")
+    mkPartitioned(tbl)
+    val st = CowStore.get(cat, identOf(tbl)).get
+    assert(st.spec.map(_.describe) == Vector("tag"))
+    // Each file's manifest entry records exactly one partition value and
+    // the file's rows all share it.
+    st.files.foreach { f =>
+      val pv = st.stats(f).partVals
+      assert(pv.length == 1, s"file $f has partition tuple $pv")
+    }
+    val parts = spark.sql(s"SELECT DISTINCT partition FROM $tbl.files")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("t0", "t1", "t2"),
+      s".files must surface encoded partition tuples, got $parts")
+    // The clustered write distribution bounds file count at O(partitions):
+    // 30 rows over 3 partitions must not fan out to one file per task.
+    assert(st.files.size <= 6, s"expected O(partitions) files, got ${st.files.size}")
+  }
+
+  test("an UPDATE touching one partition leaves other partitions' files byte-identical") {
+    val tbl = fresh("partupd")
+    mkPartitioned(tbl)
+    val ident = identOf(tbl)
+    val before = CowStore.get(cat, ident).get
+    def bytesOf(fs: Vector[String]): Map[String, Long] =
+      fs.map(f => f -> new java.io.File(f).length()).toMap
+    val beforeBytes = bytesOf(before.files)
+    val otherPartFiles = before.files.filter(f =>
+      before.stats(f).partVals.headOption.exists(_ != "t1")).toSet
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE tag = 't1'")
+    val after = CowStore.get(cat, ident).get
+    // Every non-t1 file SURVIVES the commit (not rewritten, not removed)
+    // and its bytes are untouched.
+    otherPartFiles.foreach { f =>
+      assert(after.files.contains(f),
+        s"partition-disjoint file $f must survive a one-partition UPDATE")
+      assert(new java.io.File(f).length() == beforeBytes(f),
+        s"partition-disjoint file $f was rewritten")
+    }
+    // t1's old files were replaced.
+    assert(before.files.toSet -- after.files.toSet ==
+      before.files.toSet -- otherPartFiles)
+    // And the rewrite's new files stay in the t1 partition.
+    (after.files.toSet -- before.files.toSet).foreach { f =>
+      assert(after.stats(f).partVals == Vector("t1"))
+    }
+    assert(spark.table(tbl).filter(col("tag") === "t1")
+      .collect().forall(r => r.getLong(2) == r.getLong(0) * 10 + 1))
+  }
+
+  test("bucket and truncate transforms route, prune, and recover") {
+    val tbl = fresh("partbt")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id), truncate(100, v))")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, concat('t', CAST(id % 3 AS STRING)), id * 10
+         |FROM range(0, 40)""".stripMargin)
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    assert(st.spec.map(_.describe) ==
+      Vector("bucket(4, id)", "truncate(100, v)"))
+    // Every file's tuple is (bucketOf(id), floor(v/100)*100) — verify by
+    // re-reading each file through the table filtered to that tuple.
+    st.files.foreach { f =>
+      val Vector(b, t) = st.stats(f).partVals
+      assert(b.toLong >= 0 && b.toLong < 4)
+      assert(t.toLong % 100 == 0)
+    }
+    // Equality on the bucket source column prunes to ONE bucket (the
+    // pruning runs the literal through the same hash as the writer).
+    val one = spark.sql(s"SELECT v FROM $tbl WHERE id = 17")
+    val planB = one.queryExecution.executedPlan.toString
+    assert(planB.contains("partitions [bucket(4, id),truncate(100, v)]"),
+      s"scan must describe its partition spec: $planB")
+    val partsRe = """(\d+) of (\d+) partitions""".r
+    val m = partsRe.findFirstMatchIn(planB).get
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"bucket equality must prune partitions: $planB")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(170L))
+    // Range on the truncate source column prunes bins outside the range.
+    val rng = spark.sql(s"SELECT id FROM $tbl WHERE v >= 300")
+    val m2 = partsRe.findFirstMatchIn(
+      rng.queryExecution.executedPlan.toString).get
+    assert(m2.group(1).toInt < m2.group(2).toInt,
+      "truncate range must prune bins")
+    assert(rng.collect().map(_.getLong(0)).sorted.toSeq == (30L until 40L))
+    // The spec is durable: recovery from the manifest log restores it and
+    // pruning still works in the recovered session.
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    assert(rec.spec == st.spec, "partition spec must recover from the log")
+    assert(rec.stats.view.mapValues(_.partVals).toMap ==
+      st.stats.view.mapValues(_.partVals).toMap)
+  }
+
+  test("partition spec validation fails loudly") {
+    val bad = Seq(
+      // The analyzer itself rejects unknown partition columns before the
+      // catalog sees the transform.
+      s"CREATE TABLE %s (id BIGINT, v DOUBLE) PARTITIONED BY (nope)" ->
+        "couldn't find column nope",
+      s"CREATE TABLE %s (id BIGINT, v DOUBLE) PARTITIONED BY (v)" ->
+        "identity partitions need a long/string",
+      s"CREATE TABLE %s (id BIGINT, v DOUBLE) PARTITIONED BY (truncate(10, v))" ->
+        "truncate partitions need a long",
+      s"CREATE TABLE %s (id BIGINT, v DOUBLE) PARTITIONED BY (bucket(0, id))" ->
+        "bucket count",
+      s"CREATE TABLE %s (id BIGINT, v DOUBLE) PARTITIONED BY (id, bucket(4, id))" ->
+        "once in PARTITIONED BY",
+      s"CREATE TABLE %s (id BIGINT, ts STRING) PARTITIONED BY (days(ts))" ->
+        "unsupported partition transform")
+    bad.foreach { case (ddl, msg) =>
+      val e = intercept[Exception] { spark.sql(ddl.format(fresh("partbad"))) }
+      assert(e.toString.toLowerCase.contains(msg.toLowerCase) ||
+        Option(e.getCause).exists(_.toString.toLowerCase.contains(msg.toLowerCase)),
+        s"DDL `$ddl` must fail with '$msg', got: $e")
+    }
+  }
+
+  test("CTAS carries PARTITIONED BY through the staging surface") {
+    val tbl = fresh("partctas")
+    spark.sql(
+      s"""CREATE TABLE $tbl PARTITIONED BY (tag) AS
+         |SELECT id, concat('t', CAST(id % 3 AS STRING)) AS tag, id * 10 AS v
+         |FROM range(0, 30)""".stripMargin)
+    val st = CowStore.get(cat, identOf(tbl)).get
+    assert(st.spec.map(_.describe) == Vector("tag"))
+    assert(spark.sql(s"SELECT id FROM $tbl WHERE tag = 't2'")
+      .queryExecution.executedPlan.toString.contains("1 of 3 partitions"))
+    // REPLACE with a different spec re-partitions.
+    spark.sql(
+      s"""REPLACE TABLE $tbl PARTITIONED BY (bucket(2, id)) AS
+         |SELECT id, concat('t', CAST(id % 3 AS STRING)) AS tag, id AS v
+         |FROM range(0, 10)""".stripMargin)
+    val st2 = CowStore.get(cat, identOf(tbl)).get
+    assert(st2.spec.map(_.describe) == Vector("bucket(2, id)"))
+    assert(spark.table(tbl).count() == 10)
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
