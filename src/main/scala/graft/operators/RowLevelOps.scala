@@ -463,8 +463,57 @@ object RowLevelOps {
          |WHERE source = '$lit' ORDER BY doc_id""".stripMargin)
   }
 
+  /** q_cow_bucketed — STORAGE-PARTITIONED JOIN on the writable catalog
+    * (`PARTITIONED BY (bucket(8, doc_id))` + `SupportsReportPartitioning`
+    * + the catalog's `bucket` FunctionCatalog entry): two tables bucketed
+    * by the same transform join WITHOUT ANY EXCHANGE — the scan reports
+    * its files' key-grouping, each read task carries its bucket key, and
+    * Spark proves co-partitioning because both sides bind the identical
+    * canonical bucket function. The Iceberg SPJ design: at 100 TB this
+    * deletes the largest shuffle in fact-fact joins that share a bucket
+    * layout (the join cost becomes a per-bucket zip, no network). The
+    * spec pins the no-Exchange plan; this query pins the RESULT equals
+    * the plain relational join, bucketing invisible to answers.
+    */
+  def qCowBucketed(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val t1 = s"$CatalogName.ops.bktA_$sfx"
+    val t2 = s"$CatalogName.ops.bktB_$sfx"
+    spark.sql(s"CREATE TABLE $t1 (doc_id BIGINT, score BIGINT) " +
+      "PARTITIONED BY (bucket(8, doc_id))")
+    spark.sql(
+      s"""INSERT INTO $t1
+         |SELECT doc_id, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(s"CREATE TABLE $t2 (doc_id BIGINT, n_tokens BIGINT) " +
+      "PARTITIONED BY (bucket(8, doc_id))")
+    spark.sql(
+      s"""INSERT INTO $t2
+         |SELECT doc_id, n_chars + 7 FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 2 = 0""".stripMargin)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try
+      spark.sql(
+        s"""SELECT a.doc_id, a.score, b.n_tokens
+           |FROM $t1 a JOIN $t2 b ON a.doc_id = b.doc_id
+           |ORDER BY a.doc_id""".stripMargin)
+        // Materialize the join under the SPJ confs; the restored session
+        // confs must not re-plan it (the caller only sees the result).
+        .localCheckpoint()
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cow_partitioned" -> qCowPartitioned _,
+    "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_history"  -> qCowHistory _,
     "q_merge_into"   -> qMergeInto _,
     "q_merge_into_mor" -> qMergeIntoMor _,
@@ -518,6 +567,13 @@ object RowLevelOps {
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // The SPJ must be invisible to results: the bucketed join equals the
+    // plain relational join of the two slices.
+    "q_cow_bucketed" ->
+      """SELECT a.doc_id, a.n_chars AS score, b.n_chars + 7 AS n_tokens
+        |FROM documents a JOIN documents b ON a.doc_id = b.doc_id
+        |WHERE a.doc_id % 3 <> 0 AND b.doc_id % 2 = 0
+        |ORDER BY a.doc_id""".stripMargin,
     "q_merge_into_mor" -> mergeOracle,
     // Two sequential UPDATEs then vacuum: retention must be invisible to
     // the current version — the oracle is the plain double-update rebuild.

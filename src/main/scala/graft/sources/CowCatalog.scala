@@ -201,6 +201,39 @@ object CowStore {
       s"graft-cow: unknown partition transform $other")
   }
 
+  /** The Catalyst type of one partition-key field (what
+    * [[CowKeyedFilePartition.partitionKey]] rows carry): identity keeps
+    * the column type, bucket is the function's int result, truncate the
+    * long bin floor.
+    */
+  def partKeyType(field: PartField, colType: DataType): DataType =
+    field.kind match {
+      case "identity" => colType
+      case "bucket"   => IntegerType
+      case "truncate" => LongType
+      case other => throw new IllegalArgumentException(
+        s"graft-cow: unknown partition transform $other")
+    }
+
+  /** Decode one manifest-encoded partition value back to its Catalyst
+    * form — the inverse of [[encodePartVal]] at [[partKeyType]].
+    */
+  def decodePartVal(field: PartField, colType: DataType, pv: String): Any =
+    if (pv == "__null__") null
+    else field.kind match {
+      case "identity" => colType match {
+        case LongType => pv.toLong
+        case StringType =>
+          UTF8String.fromString(java.net.URLDecoder.decode(pv, "UTF-8"))
+        case other => throw new IllegalArgumentException(
+          s"graft-cow: unsupported identity partition type $other")
+      }
+      case "bucket"   => pv.toInt
+      case "truncate" => pv.toLong
+      case other => throw new IllegalArgumentException(
+        s"graft-cow: unknown partition transform $other")
+    }
+
   /** One committed version: the file list, the per-file POSITIONAL
     * DELETE vectors (merge-on-read tables; always empty for COW tables —
     * sorted physical row ordinals, applied by the reader), and the schema
@@ -771,7 +804,7 @@ object CowStore {
 }
 
 class CowCatalog extends TableCatalog with StagingTableCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -983,6 +1016,63 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "tag"))
+
+  /** The `FunctionCatalog` half of STORAGE-PARTITIONED JOINS: when
+    * Catalyst resolves a scan-reported `bucket(n, col)` partitioning
+    * (`V2ScanPartitioningAndOrdering` → `V2ExpressionUtils
+    * .loadV2FunctionOpt`), it asks this catalog for the `bucket`
+    * function; the bound function computes the SAME
+    * [[CowStore.bucketOf]] the writers route with, which is what lets
+    * two bucketed tables join with NO exchange — Spark proves both
+    * sides' rows for a key live in the same bucket because the function
+    * identity (canonicalName) matches.
+    */
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => new CowBucketFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+}
+
+/** The catalog's `bucket(n, col)` as a DSv2 bound function — the SQL
+  * identity of the writer's routing hash. `canonicalName` is the
+  * compatibility token storage-partitioned joins compare: two scans
+  * whose partitionings bind to the same canonical function (and equal
+  * bucket counts) are provably co-partitioned.
+  */
+class CowBucketFunction extends functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "graft-cow bucket(n, col): the partition-routing hash (long mix / " +
+      "murmur3 for strings, floorMod n)"
+
+  override def bind(inputType: StructType): functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"graft-cow bucket expects (numBuckets, value), got ${inputType.simpleString}")
+    val dt = inputType.fields(1).dataType
+    require(dt == LongType || dt == StringType,
+      s"graft-cow bucket supports long/string values, got ${dt.simpleString}")
+    new functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft_cow.bucket(${dt.simpleString})"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0).toLong
+        val v: Any = dt match {
+          case LongType   => input.getLong(1)
+          case StringType => input.getUTF8String(1).toString
+          case other => throw new IllegalStateException(other.simpleString)
+        }
+        CowStore.bucketOf(n, v).toInt
+      }
+    }
+  }
 }
 
 /** `CALL <catalog>.vacuum(table, retain)` — retention as a first-class
@@ -1497,7 +1587,8 @@ class CowScan(tableName: String, state: CowStore.State,
               partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
@@ -1667,6 +1758,50 @@ class CowScan(tableName: String, state: CowStore.State,
       s"(${files.size} of ${state.files.size} files, $skipped skipped$parts)$pushed"
   }
   override def toBatch: Batch = this
+
+  /** The partition spec paired with each source column's type — defined
+    * (and partitioning-reportable) only for plain table scans of a
+    * partitioned table where EVERY planned file carries its full tuple
+    * (row-level op scans never SPJ: their file set narrows at runtime).
+    */
+  private def keyedSpec: Option[Vector[(CowStore.PartField, DataType)]] =
+    if (state.spec.isEmpty || op.isDefined) None
+    else if (!files.forall(f => state.stats.get(f)
+      .exists(_.partVals.length == state.spec.length))) None
+    else Some(state.spec.map { p =>
+      p -> state.schema.fields.find(_.name == p.col).get.dataType
+    })
+
+  /** STORAGE-PARTITIONED execution (`SupportsReportPartitioning`): the
+    * scan reports its files' key-grouping as a `KeyGroupedPartitioning`
+    * over the table's transforms, and every input partition carries its
+    * decoded partition key — with `spark.sql.sources.v2.bucketing.enabled`
+    * Spark groups the files per key and plans joins/aggregations on the
+    * partition columns WITHOUT an exchange (both sides provably route
+    * with the same function: the catalog's `bucket` resolves through
+    * [[CowBucketFunction]], identity through the column itself). At
+    * 100 TB this deletes the largest shuffle in fact-fact joins that
+    * share a bucket layout — the Iceberg SPJ design. Unpartitioned or
+    * op scans report unknown, and Spark falls back to normal shuffles.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedSpec match {
+      case Some(sp) =>
+        val keys = sp.map {
+          case (CowStore.PartField("identity", c, _), _) => Expressions.identity(c)
+          case (CowStore.PartField("bucket", c, n), _) => Expressions.bucket(n.toInt, c)
+          case (CowStore.PartField(kind, c, w), _) =>
+            Expressions.apply(kind, Expressions.literal(w.toInt),
+              Expressions.column(c))
+        }
+        val nKeys = files.map(f => state.stats(f).partVals).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          keys.toArray, nKeys)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          files.size)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // A row-level op's commit replaces exactly what its scan READ: this
     // is the EXECUTION-time file list (post static-skip, post runtime
@@ -1675,15 +1810,25 @@ class CowScan(tableName: String, state: CowStore.State,
     // rewrite, and a scan built-but-not-executed must never widen or
     // narrow the record.
     op.foreach(_.scannedFiles.set(files.toSet))
+    val keyed = keyedSpec
     files.map { f =>
-      CowFilePartition(f,
+      val plain = CowFilePartition(f,
         // The columns physically present in the file = the schema it was
         // written under (write-time stats); files predating an ADD COLUMN
         // read NULL for the added columns. No stats ⇒ assume current
         // schema (pre-stats files can't have been through evolution).
         state.stats.get(f).map(_.cols)
           .getOrElse(state.schema.fieldNames.toVector),
-        state.deletes.getOrElse(f, Vector.empty).toArray): InputPartition
+        state.deletes.getOrElse(f, Vector.empty).toArray)
+      keyed match {
+        case Some(sp) =>
+          val pv = state.stats(f).partVals
+          val key = new GenericInternalRow(sp.zipWithIndex.map {
+            case ((p, dt), i) => CowStore.decodePartVal(p, dt, pv(i))
+          }.toArray[Any])
+          CowKeyedFilePartition(plain, key): InputPartition
+        case None => plain: InputPartition
+      }
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1810,6 +1955,17 @@ class CowMicroBatchStream(catalog: String, ident: Identifier,
 case class CowFilePartition(file: String, presentCols: Vector[String],
                             deletes: Array[Long]) extends InputPartition
 
+/** A partitioned table's read task: the plain file task plus its DECODED
+  * partition key — `HasPartitionKey` is what lets Spark group tasks by
+  * key for storage-partitioned joins/aggregations (one logical partition
+  * per key, however many files it spans).
+  */
+case class CowKeyedFilePartition(inner: CowFilePartition, key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 /** Executor-side parquet Group reader over one immutable file, projection
   * pushed to parquet-mr (`parquet.read.schema`) so unrequested columns'
   * pages are never decoded. Generalizes [[ReplayReaderFactory]]'s pattern
@@ -1823,7 +1979,10 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[CowFilePartition]
+    val part = partition match {
+      case k: CowKeyedFilePartition => k.inner
+      case p => p.asInstanceOf[CowFilePartition]
+    }
     val file = part.file
     val present = part.presentCols.toSet
     val dv = part.deletes

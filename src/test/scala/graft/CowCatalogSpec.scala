@@ -1112,6 +1112,67 @@ class CowCatalogSpec extends SparkSpec {
     assert(spark.table(tbl).count() == 10)
   }
 
+  /** Run `body` under SQL confs, restoring the previous values after. */
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("storage-partitioned join: bucketed tables join with NO exchange") {
+    val t1 = fresh("spja")
+    val t2 = fresh("spjb")
+    Seq(t1 -> 0, t2 -> 20).foreach { case (t, lo) =>
+      spark.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, id))")
+      spark.sql(s"INSERT INTO $t SELECT id, id * ${lo + 1} FROM range($lo, ${lo + 40})")
+    }
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // Both tables report exact sizes and would broadcast; SPJ is the
+      // point here, so force the sort-merge path.
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        s"SELECT a.id, a.v, b.v AS w FROM $t1 a JOIN $t2 b ON a.id = b.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must plan with NO exchange:\n$plan")
+      // Correctness first: overlap is ids 20..39.
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == (20L until 40L).map(i => (i, i, i * 21)))
+      // Control: with SPJ disabled the same join shuffles both sides.
+      val off = withConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        spark.sql(
+          s"SELECT a.id FROM $t1 a JOIN $t2 b ON a.id = b.id")
+          .queryExecution.executedPlan.toString
+      }
+      assert(off.contains("Exchange"), "control join must shuffle")
+    }
+  }
+
+  test("storage-partitioned aggregation: groupBy on the identity partition column skips the shuffle") {
+    val tbl = fresh("spjagg")
+    mkPartitioned(tbl)
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = spark.sql(
+        s"SELECT tag, count(*) AS n, sum(v) AS sv FROM $tbl GROUP BY tag")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"partition-grouped aggregation must not shuffle:\n$plan")
+      val got = agg.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val want = (0L until 30L).groupBy(i => s"t${i % 3}").toSeq
+        .map { case (t, is) => (t, is.size.toLong, is.map(_ * 10).sum) }
+        .sortBy(_._1)
+      assert(got == want)
+    }
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
