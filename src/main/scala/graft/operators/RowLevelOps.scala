@@ -511,9 +511,33 @@ object RowLevelOps {
     }
   }
 
+  /** q_cow_changes — CHANGE DATA FEED between versions (`<table>.changes`
+    * with `startVersion`/`endVersion` read options — Delta's
+    * `table_changes(t, v1, v2)` in miniature): row-level insert/delete
+    * records reconstructed from the COMMIT LOG alone. On a merge-on-read
+    * table the reconstruction is exact and O(changed rows): an added
+    * file's rows are inserts, a delete-vector's growth names exactly the
+    * deleted positions (read back as the pre-image rows), and an UPDATE —
+    * delta-committed as delete + insert — surfaces as its pre/post pair
+    * in the same commit. COW group rewrites don't record row-level
+    * changes and fail loudly with the MOR remedy (spec-pinned). This is
+    * the incremental-downstream-sync primitive: consumers reconcile
+    * O(changes), never O(table).
+    */
+  def qCowChanges(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "cdf", mor = true)      // v0 + v1
+    spark.sql(s"UPDATE $tbl SET score = score + 1000 WHERE doc_id % 5 = 0") // v2
+    spark.sql(s"DELETE FROM $tbl WHERE score % 4 < 2")                      // v3
+    spark.read
+      .option("startVersion", "1").option("endVersion", "3")
+      .table(s"$tbl.changes")
+      .orderBy("_commit_version", "_change_type", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cow_partitioned" -> qCowPartitioned _,
     "q_cow_bucketed"    -> qCowBucketed _,
+    "q_cow_changes"     -> qCowChanges _,
     "q_cow_history"  -> qCowHistory _,
     "q_merge_into"   -> qMergeInto _,
     "q_merge_into_mor" -> qMergeIntoMor _,
@@ -567,6 +591,30 @@ object RowLevelOps {
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // The change feed rebuilt declaratively: v2's UPDATE (doc_id%5=0)
+    // emits a pre-image delete + post-image insert pair; v3's DELETE
+    // emits pre-image deletes of the then-current state.
+    "q_cow_changes" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars AS score FROM documents
+        |  WHERE doc_id % 3 <> 0
+        |), upd AS (
+        |  SELECT doc_id, source, score, score + 1000 AS new_score
+        |  FROM base WHERE doc_id % 5 = 0
+        |), cur AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 5 = 0 THEN score + 1000 ELSE score END AS score
+        |  FROM base
+        |)
+        |SELECT doc_id, source, score, _change_type, _commit_version FROM (
+        |  SELECT doc_id, source, score, 'delete' AS _change_type,
+        |         CAST(2 AS BIGINT) AS _commit_version FROM upd
+        |  UNION ALL
+        |  SELECT doc_id, source, new_score, 'insert', CAST(2 AS BIGINT) FROM upd
+        |  UNION ALL
+        |  SELECT doc_id, source, score, 'delete', CAST(3 AS BIGINT)
+        |  FROM cur WHERE score % 4 < 2
+        |) ORDER BY _commit_version, _change_type, doc_id""".stripMargin,
     // The SPJ must be invisible to results: the bucketed join equals the
     // plain relational join of the two slices.
     "q_cow_bucketed" ->

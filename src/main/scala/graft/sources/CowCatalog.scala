@@ -838,6 +838,7 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
         ident.name() match {
           case "files"   => Some(new CowFilesTable(baseName, st))
           case "history" => Some(new CowHistoryTable(baseName, st))
+          case "changes" => Some(new CowChangesTable(baseName, st))
           case _ => None
         }
       }
@@ -1306,6 +1307,173 @@ class CowHistoryTable(tableName: String, st: CowStore.State)
             v, snap.files.length.toLong, raw - dv, dv)): InternalRow
         }.toArray
     }
+}
+
+/** CHANGE DATA FEED between versions — `SELECT … FROM <table>.changes`
+  * with `startVersion`/`endVersion` read options (Delta's
+  * `table_changes(t, v1, v2)` in miniature): row-level insert/delete
+  * records RECONSTRUCTED from the commit log alone, no change files
+  * written at commit time. For each version v in `(start, end]`:
+  *
+  *  - files ADDED in v serve their rows as `_change_type = 'insert'`;
+  *  - DELETE-VECTOR GROWTH on a pre-existing file serves exactly the
+  *    newly-deleted positions (read back from the file — the positional
+  *    delete IS a row pointer) as `_change_type = 'delete'` — so a MOR
+  *    UPDATE (delete + insert under `representUpdateAsDeleteAndInsert`)
+  *    surfaces as its pre-image delete row and post-image insert row in
+  *    the same commit;
+  *  - a commit that REMOVED files (COW group rewrite, truncate,
+  *    compaction) does not record row-level changes and FAILS LOUDLY
+  *    with the remedy (merge-on-read tables get CDF for free — the same
+  *    stance as the streaming source's append-only contract);
+  *  - a version vacuumed out of `[start, end]` fails loudly (the diff
+  *    base is gone).
+  *
+  * Each output row carries `_change_type` and `_commit_version`. Work is
+  * O(changed rows + added files) — the feed never rescans unchanged
+  * files, which is what makes incremental downstream sync viable at
+  * 100 TB table sizes.
+  */
+class CowChangesTable(tableName: String, st: CowStore.State)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = StructType(
+    st.schema.fields.toSeq ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    JCollections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new CowChangesScan(tableName, st,
+      Option(options.get("startVersion")).map(_.toLong).getOrElse(0L),
+      Option(options.get("endVersion")).map(_.toLong).getOrElse(st.version),
+      schema())
+}
+
+/** One version-walk scan of the change feed: partitions are (added file →
+  * insert) and (DV delta → delete) tasks, planned from manifests only.
+  */
+class CowChangesScan(tableName: String, st: CowStore.State,
+                     start: Long, end: Long, out: StructType)
+    extends Scan with Batch {
+  require(start <= end,
+    s"graft-cow: changes range [$start, $end] of $tableName is inverted")
+
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-cow changes of $tableName ($start, $end]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    def snapAt(v: Long): CowStore.Snapshot =
+      st.history.getOrElse(v, throw new IllegalStateException(
+        s"graft-cow: changes of $tableName need version $v, which VACUUM " +
+          s"removed (retained: ${st.history.keys.toSeq.sorted.mkString(",")})"))
+    require(st.history.contains(end) || end == 0L,
+      s"graft-cow: changes end version $end of $tableName does not exist " +
+        s"(have ${st.history.keys.toSeq.sorted.mkString(",")})")
+    val versions = st.history.keys.filter(v => v > start && v <= end)
+      .toSeq.sorted
+    val outParts = Vector.newBuilder[InputPartition]
+    var prev = snapAt(start)
+    versions.foreach { v =>
+      val snap = snapAt(v)
+      val removed = prev.files.toSet -- snap.files.toSet
+      if (removed.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"graft-cow: changes of $tableName hit a GROUP-REWRITE commit " +
+            s"(version $v replaced ${removed.size} file(s)); copy-on-write " +
+            "rewrites do not record row-level changes — use a merge-on-read " +
+            s"table (TBLPROPERTIES ('graft.mode'='mor')) for a change feed")
+      def cols(f: String): Vector[String] =
+        st.stats.get(f).map(_.cols).getOrElse(snap.schema.fieldNames.toVector)
+      // Added files: inserts (all physical rows — deletes against a file
+      // added in the same commit are impossible, the delta conflict check
+      // rejects them).
+      (snap.files.toSet -- prev.files.toSet).toSeq.sorted.foreach { f =>
+        outParts += CowChangesPartition(f, cols(f), Array.empty,
+          keepOnly = false, changeType = "insert", version = v)
+      }
+      // Delete-vector growth on carried files: the newly-deleted rows.
+      snap.deletes.foreach { case (f, ps) =>
+        if (prev.files.contains(f)) {
+          val before = prev.deletes.getOrElse(f, Vector.empty).toSet
+          val grown = ps.filterNot(before).toArray.sorted
+          if (grown.nonEmpty)
+            outParts += CowChangesPartition(f, cols(f), grown,
+              keepOnly = true, changeType = "delete", version = v)
+        }
+      }
+      prev = snap
+    }
+    outParts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CowChangesReaderFactory(out, st.schema)
+}
+
+/** One change-feed read task: `keepOnly = false` serves every physical
+  * row of an added file (insert records); `keepOnly = true` serves
+  * exactly `positions` (the delete-vector delta — delete records).
+  */
+case class CowChangesPartition(file: String, presentCols: Vector[String],
+                               positions: Array[Long], keepOnly: Boolean,
+                               changeType: String, version: Long)
+    extends InputPartition
+
+/** Reads a change partition by delegating row decode to the ordinary
+  * file reader ([[CowReaderFactory]] semantics: projection pushdown is
+  * skipped — change feeds are consumed whole — but schema evolution and
+  * position accounting are identical) and appending the change metadata
+  * columns. `keepOnly` runs the same monotone merge-walk as DV filtering,
+  * inverted, with early exit once the position list is exhausted.
+  */
+case class CowChangesReaderFactory(out: StructType, tableSchema: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[CowChangesPartition]
+    val dataSchema = StructType(out.fields.dropRight(2))
+    // No delete vector on the inner reader: the wrapper does its own
+    // position accounting over the file's PHYSICAL rows.
+    val inner = CowReaderFactory(dataSchema, tableSchema)
+      .createReader(CowFilePartition(part.file, part.presentCols, Array.empty))
+    val ct = UTF8String.fromString(part.changeType)
+
+    new PartitionReader[InternalRow] {
+      private var pos = -1L
+      private var pi = 0
+
+      override def next(): Boolean = {
+        while (inner.next()) {
+          pos += 1
+          if (!part.keepOnly) return true
+          else if (pi < part.positions.length && part.positions(pi) == pos) {
+            pi += 1
+            return true
+          } else if (pi >= part.positions.length) return false // early exit
+        }
+        false
+      }
+
+      override def get(): InternalRow = {
+        val base = inner.get()
+        val vals = new Array[Any](out.fields.length)
+        var i = 0
+        while (i < dataSchema.fields.length) {
+          vals(i) = base.get(i, dataSchema.fields(i).dataType)
+          i += 1
+        }
+        vals(i) = ct
+        vals(i + 1) = part.version
+        new GenericInternalRow(vals)
+      }
+
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 /** The `_file` metadata column — the GROUP identity of the copy-on-write

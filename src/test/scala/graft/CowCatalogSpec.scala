@@ -1173,6 +1173,60 @@ class CowCatalogSpec extends SparkSpec {
     }
   }
 
+  test("change feed: MOR UPDATE surfaces as a pre/post pair; range is (start, end]") {
+    val tbl = fresh("cdf")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, concat('t', CAST(id % 3 AS STRING)), " +
+      "id * 10 FROM range(0, 20)")                       // v1
+    spark.sql(s"UPDATE $tbl SET v = -1 WHERE id = 7")    // v2: delete+insert
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (3, 4)")    // v3
+    def changes(s: Long, e: Long) =
+      spark.read.option("startVersion", s.toString)
+        .option("endVersion", e.toString).table(s"$tbl.changes")
+        .select("id", "v", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).sortBy(t => (t._4, t._3, t._1)).toSeq
+    // (1, 3]: the UPDATE's pre/post pair in v2, the two deletes in v3.
+    assert(changes(1, 3) == Seq(
+      (7L, 70L, "delete", 2L), (7L, -1L, "insert", 2L),
+      (3L, 30L, "delete", 3L), (4L, 40L, "delete", 3L)))
+    // (0, 1]: the initial insert only — 20 insert records.
+    val v1 = changes(0, 1)
+    assert(v1.size == 20 && v1.forall(c => c._3 == "insert" && c._4 == 1L))
+    // (2, 3]: start is EXCLUSIVE — the v2 pair is not served again.
+    assert(changes(2, 3).forall(_._4 == 3L))
+  }
+
+  test("change feed: COW group rewrites fail loudly; append-only COW feeds work") {
+    val tbl = fresh("cdfcow")
+    mkBase(tbl)                                           // v1 (COW)
+    spark.sql(s"INSERT INTO $tbl VALUES (100, 'x', 1)")   // v2 append
+    // Appends feed fine on a COW table.
+    val ins = spark.read.option("startVersion", "1").table(s"$tbl.changes")
+      .collect()
+    assert(ins.length == 1 && ins.head.getString(3) == "insert")
+    spark.sql(s"UPDATE $tbl SET v = 0 WHERE id = 1")      // v3: group rewrite
+    val e = intercept[Exception] {
+      spark.read.option("startVersion", "1").table(s"$tbl.changes").collect()
+    }
+    assert(e.toString.contains("GROUP-REWRITE") &&
+      e.toString.contains("graft.mode"),
+      s"COW rewrite must fail the feed with the MOR remedy, got $e")
+    // A vacuumed diff base fails loudly too.
+    val tbl2 = fresh("cdfvac")
+    mkBase(tbl2)
+    spark.sql(s"INSERT INTO $tbl2 VALUES (200, 'y', 2)")
+    spark.sql(s"INSERT INTO $tbl2 VALUES (201, 'z', 3)")
+    val name2 = tbl2.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.vacuum('$name2', 1)")
+    val e2 = intercept[Exception] {
+      spark.read.option("startVersion", "1").option("endVersion", "3")
+        .table(s"$tbl2.changes").collect()
+    }
+    assert(e2.toString.contains("VACUUM removed"), s"got $e2")
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
