@@ -534,10 +534,37 @@ object RowLevelOps {
       .orderBy("_commit_version", "_change_type", "doc_id")
   }
 
+  /** q_cow_branch — WRITE-AUDIT-PUBLISH through branch refs (Iceberg
+    * branches in miniature): `CALL graft_cow.branch(t, 'audit')` forks a
+    * writable branch at main's head; writes addressed to
+    * `<table>.branch_audit` accumulate versions OFF-MAIN (main's readers
+    * never see them — the audit isolation, spec-pinned); `CALL
+    * graft_cow.publish(t, 'audit')` fast-forwards main to the branch
+    * head after genuine ancestry validation (a main that moved since the
+    * fork fails loudly instead of losing commits — each commit records
+    * its parent, so lineage is decidable, not assumed). The scripted
+    * flow backfills the missing doc_id%3=0 third plus an UPDATE on the
+    * branch, then publishes; the oracle is the final merged state.
+    */
+  def qCowBranch(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "wap")          // main: %3<>0 rows
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $CatalogName.branch('$name', 'audit')")
+    spark.sql(                                          // branch-only write
+      s"""INSERT INTO $tbl.branch_audit
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 = 0""".stripMargin)
+    spark.sql(                                          // audit fix-up
+      s"UPDATE $tbl.branch_audit SET score = score + 40 WHERE doc_id % 9 = 0")
+    spark.sql(s"CALL $CatalogName.publish('$name', 'audit')")
+    finalState(spark, tbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cow_partitioned" -> qCowPartitioned _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
+    "q_cow_branch"      -> qCowBranch _,
     "q_cow_history"  -> qCowHistory _,
     "q_merge_into"   -> qMergeInto _,
     "q_merge_into_mor" -> qMergeIntoMor _,
@@ -591,6 +618,13 @@ object RowLevelOps {
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // The published state rebuilt declaratively: base third-less rows
+    // plus the branch's backfill, with the branch UPDATE applied to
+    // multiples of 9 (all of which arrived via the backfill or the base).
+    "q_cow_branch" ->
+      """SELECT doc_id, source,
+        |       n_chars + (CASE WHEN doc_id % 9 = 0 THEN 40 ELSE 0 END) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The change feed rebuilt declaratively: v2's UPDATE (doc_id%5=0)
     // emits a pre-image delete + post-image insert pair; v3's DELETE
     // emits pre-image deletes of the then-current state.

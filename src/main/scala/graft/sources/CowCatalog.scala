@@ -251,8 +251,31 @@ object CowStore {
                          tags: Map[String, Long] = Map.empty,
                          epochs: Map[String, Long] = Map.empty,
                          commitTsUs: Map[Long, Long] = Map.empty,
-                         spec: Vector[PartField] = Vector.empty) {
+                         spec: Vector[PartField] = Vector.empty,
+                         // Branch refs (Iceberg branches in miniature):
+                         // name → head version; `version` stays MAIN's
+                         // head. `parent` is each commit's parent version
+                         // (the lineage DAG — what makes fast-forward
+                         // publish and main-lineage timestamp travel
+                         // decidable).
+                         branches: Map[String, Long] = Map.empty,
+                         parent: Map[Long, Long] = Map.empty) {
     def snapshot: Snapshot = history(version)
+    def headOf(branch: Option[String]): Long = branch match {
+      case None => version
+      case Some(b) => branches.getOrElse(b,
+        throw new IllegalArgumentException(
+          s"graft-cow: no such branch '$b' " +
+            s"(have ${branches.keys.toSeq.sorted.mkString(",")})"))
+    }
+    /** Versions reachable from `v` through parent pointers (v included). */
+    def ancestors(v: Long): Set[Long] = {
+      val b = Set.newBuilder[Long]
+      var cur = v
+      b += cur
+      while (parent.contains(cur)) { cur = parent(cur); b += cur }
+      b.result()
+    }
     def schema: StructType = snapshot.schema
     def files: Vector[String] = snapshot.files
     def deletes: Map[String, Vector[Long]] = snapshot.deletes
@@ -382,11 +405,12 @@ object CowStore {
     */
   def commit(catalog: String, ident: Identifier, newFiles: Seq[String],
              remove: Option[Set[String]],
-             newStats: Map[String, FileStats] = Map.empty): Unit = synchronized {
+             newStats: Map[String, FileStats] = Map.empty,
+             branch: Option[String] = None): Unit = synchronized {
     val k = key(catalog, ident)
     val st = Option(tables.get(k)).getOrElse(
       throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
-    val snap = st.snapshot
+    val snap = st.history(st.headOf(branch))
     val files = remove match {
       case None => snap.files ++ newFiles
       case Some(gone) =>
@@ -400,7 +424,7 @@ object CowStore {
         snap.files.filterNot(gone) ++ newFiles
     }
     val dvs = snap.deletes -- remove.getOrElse(Set.empty)
-    publish(k, st, Snapshot(files, dvs, snap.schema), newStats)
+    publish(k, st, Snapshot(files, dvs, snap.schema), newStats, branch)
   }
 
   /** Publish a MERGE-ON-READ delta commit: `newDeletes` are per-file
@@ -417,11 +441,12 @@ object CowStore {
     */
   def commitDelta(catalog: String, ident: Identifier, newFiles: Seq[String],
                   newStats: Map[String, FileStats],
-                  newDeletes: Map[String, Vector[Long]]): Unit = synchronized {
+                  newDeletes: Map[String, Vector[Long]],
+                  branch: Option[String] = None): Unit = synchronized {
     val k = key(catalog, ident)
     val st = Option(tables.get(k)).getOrElse(
       throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
-    val snap = st.snapshot
+    val snap = st.history(st.headOf(branch))
     val current = snap.files.toSet
     val merged = newDeletes.foldLeft(snap.deletes) { case (acc, (f, ps)) =>
       if (!current.contains(f))
@@ -439,7 +464,7 @@ object CowStore {
       acc + (f -> (existing ++ ps).sorted)
     }
     publish(k, st, Snapshot(snap.files ++ newFiles, merged, snap.schema),
-      newStats)
+      newStats, branch)
   }
 
   /** `ALTER TABLE … ADD COLUMN`: a new version with the SAME files and an
@@ -470,7 +495,8 @@ object CowStore {
   private def nowUs(): Long = System.currentTimeMillis() * 1000L
 
   private def publish(k: String, st: State, snap: Snapshot,
-                      newStats: Map[String, FileStats]): State = {
+                      newStats: Map[String, FileStats],
+                      branch: Option[String] = None): State = {
     // Presence re-check (all mutators hold the store lock, so this can
     // only fire on a caller bug): never re-register a table a concurrent
     // drop removed — its directory is already deleted.
@@ -478,14 +504,25 @@ object CowStore {
       throw new IllegalStateException(s"graft-cow: commit to dropped table $k")
     val prev = st.commitTsUs.values.maxOption.getOrElse(Long.MinValue)
     val ts = math.max(nowUs(), prev + 1)
-    val nst = st.copy(version = st.version + 1,
-      history = st.history + ((st.version + 1) -> snap),
+    // Version numbers are GLOBAL across refs (branch commits interleave
+    // with main's); each commit records its parent, so every ref's
+    // lineage stays decidable. A main commit advances `version`; a
+    // branch commit advances only its branch pointer.
+    val newV = st.history.keys.max + 1
+    val base = st.copy(
+      history = st.history + (newV -> snap),
       // Superseded files keep their stats: old versions stay readable and
       // their time-travel scans skip/size with the same fidelity.
       stats = st.stats ++ newStats,
-      commitTsUs = st.commitTsUs + ((st.version + 1) -> ts))
+      commitTsUs = st.commitTsUs + (newV -> ts),
+      parent = st.parent + (newV -> st.headOf(branch)))
+    val nst = branch match {
+      case None    => base.copy(version = newV)
+      case Some(b) => base.copy(branches = st.branches + (b -> newV))
+    }
     tables.put(k, nst)
-    writeManifest(nst)
+    writeManifest(nst, newV)
+    if (nst.branches.nonEmpty) writeBranches(nst)
     nst
   }
 
@@ -504,12 +541,14 @@ object CowStore {
   private def manifestPath(dir: String, v: Long): java.nio.file.Path =
     logDir(dir).resolve(s"v$v.manifest")
 
-  private def writeManifest(st: State): Unit = {
-    val snap = st.snapshot
+  private def writeManifest(st: State, version: Long = -1L): Unit = {
+    val v = if (version < 0) st.version else version
+    val snap = st.history(v)
     val sb = new StringBuilder
-    sb ++= s"version\t${st.version}\n"
+    sb ++= s"version\t$v\n"
     sb ++= s"mor\t${st.mor}\n"
-    st.commitTsUs.get(st.version).foreach(ts => sb ++= s"committed_at_us\t$ts\n")
+    st.commitTsUs.get(v).foreach(ts => sb ++= s"committed_at_us\t$ts\n")
+    st.parent.get(v).foreach(p => sb ++= s"parent\t$p\n")
     // Partition spec rides every manifest (like mor): kind:arg:col per
     // field — col last, it is the only token that could be confused.
     if (st.spec.nonEmpty)
@@ -532,8 +571,34 @@ object CowStore {
       sb ++= s"dv\t$f\t${ps.mkString(",")}\n"
     }
     java.nio.file.Files.createDirectories(logDir(st.dir))
-    java.nio.file.Files.write(manifestPath(st.dir, st.version),
+    java.nio.file.Files.write(manifestPath(st.dir, v),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  // Branch refs + MAIN pointer, durable next to the manifests: one line
+  // per branch (`name\thead`) plus the reserved `@main\t<version>` line —
+  // with branch commits in the log, "max version" no longer identifies
+  // main, so recovery needs the pointer explicit.
+  private def writeBranches(st: State): Unit = {
+    java.nio.file.Files.createDirectories(logDir(st.dir))
+    val body = (Seq(s"@main\t${st.version}") ++
+      st.branches.toSeq.sorted.map { case (n, v) => s"$n\t$v" })
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(logDir(st.dir).resolve("branches.tsv"),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  private def readBranches(dir: String): (Option[Long], Map[String, Long]) = {
+    import scala.jdk.CollectionConverters._
+    val p = logDir(dir).resolve("branches.tsv")
+    if (!java.nio.file.Files.exists(p)) (None, Map.empty)
+    else {
+      val entries = java.nio.file.Files.readAllLines(p).asScala
+        .filter(_.nonEmpty)
+        .map { l => val Array(n, v) = l.split("\t"); n -> v.toLong }
+      (entries.collectFirst { case ("@main", v) => v },
+        entries.filter(_._1 != "@main").toMap)
+    }
   }
 
   /** Rebuild a table's full state (version history, schema history, file
@@ -559,6 +624,7 @@ object CowStore {
       var specByVersion = Map.empty[Long, Vector[PartField]]
       var stats = Map.empty[String, FileStats]
       var commitTs = Map.empty[Long, Long]
+      var parents = Map.empty[Long, Long]
       val history = manifests.map { p =>
         val lines = java.nio.file.Files.readAllLines(p).asScala
         var version = -1L
@@ -577,6 +643,7 @@ object CowStore {
               }
             // writeManifest emits version FIRST, so `version` is set here.
             case Seq("committed_at_us", ts) => commitTs += version -> ts.toLong
+            case Seq("parent", p) => parents += version -> p.toLong
             case Seq("schema", j) =>
               schema = DataType.fromJson(j).asInstanceOf[StructType]
             case Seq("file", f, "-") => files :+= f
@@ -602,11 +669,16 @@ object CowStore {
           s"graft-cow: manifest $p lacks version/schema")
         version -> Snapshot(files, dvs, schema)
       }.toMap
-      val current = history.keys.max
+      // With branch commits in the log, max version is a branch head, not
+      // necessarily main — the durable @main pointer decides; absent (no
+      // branches ever) max is main by construction.
+      val (mainPtr, branches) = readBranches(dir)
+      val current = mainPtr.getOrElse(history.keys.max)
       val st = State(current, dir, morByVersion.getOrElse(current, false),
         history, stats,
         tags = readTags(dir), epochs = readEpochs(dir), commitTsUs = commitTs,
-        spec = specByVersion.getOrElse(current, Vector.empty))
+        spec = specByVersion.getOrElse(current, Vector.empty),
+        branches = branches, parent = parents)
       tables.put(key(catalog, ident), st)
       st
     }
@@ -641,6 +713,49 @@ object CowStore {
     val nst = st.copy(tags = st.tags + (name -> version))
     tables.put(k, nst)
     writeTags(nst)
+  }
+
+  /** Create (or reset) a BRANCH at main's current version — the fork half
+    * of WRITE-AUDIT-PUBLISH: writes addressed to `<table>.branch_<name>`
+    * accumulate versions off-main, main's readers never see them until
+    * [[publishBranch]] fast-forwards. Branch names share the tag
+    * namespace rules (non-numeric, tab-free) and resolve in
+    * `VERSION AS OF '<name>'` like tags.
+    */
+  def createBranch(catalog: String, ident: Identifier, name: String): Unit =
+    synchronized {
+      val k = key(catalog, ident)
+      val st = Option(tables.get(k)).getOrElse(
+        throw new NoSuchTableException(ident))
+      require(name.nonEmpty && !name.forall(_.isDigit) && !name.contains("\t"),
+        s"graft-cow: branch name '$name' must be non-numeric and tab-free")
+      val nst = st.copy(branches = st.branches + (name -> st.version))
+      tables.put(k, nst)
+      writeBranches(nst)
+    }
+
+  /** FAST-FORWARD main to a branch head — the publish half of WAP. The
+    * check is genuine ancestry (each commit records its parent): if main
+    * advanced since the fork, the branch head no longer descends from
+    * main and the publish throws instead of silently dropping main's
+    * commits — rebase by re-running the branch work against current main.
+    */
+  def publishBranch(catalog: String, ident: Identifier,
+                    name: String): Long = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new NoSuchTableException(ident))
+    val head = st.headOf(Some(name))
+    if (!st.ancestors(head).contains(st.version))
+      throw new java.util.ConcurrentModificationException(
+        s"graft-cow: publish of branch '$name' is not a fast-forward — " +
+          s"main moved to version ${st.version}, which is not an ancestor " +
+          s"of the branch head $head; re-run the branch work against " +
+          "current main")
+    val nst = st.copy(version = head)
+    tables.put(k, nst)
+    writeBranches(nst)
+    head
   }
 
   private def writeTags(st: State): Unit = {
@@ -787,9 +902,12 @@ object CowStore {
       val st = Option(tables.get(k)).getOrElse(
         throw new NoSuchTableException(ident))
       val versions = st.history.keys.toVector.sorted
-      // Tagged versions are PROTECTED: a tag is a promise the snapshot
-      // stays reproducible, so the horizon never claims it.
-      val tagged = st.tags.values.toSet
+      // Tagged versions, BRANCH HEADS and main's current version are
+      // PROTECTED: a tag is a promise the snapshot stays reproducible, a
+      // branch head is unpublished work, and with branch commits in the
+      // log "newest retain" no longer implies main's head is among them.
+      val tagged = st.tags.values.toSet ++ st.branches.values.toSet +
+        st.version
       val keep = (versions.takeRight(retain) ++ versions.filter(tagged)).distinct.sorted
       val dropV = versions.filterNot(keep.toSet)
       val live = keep.flatMap(v => st.history(v).files).toSet
@@ -839,6 +957,13 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
           case "files"   => Some(new CowFilesTable(baseName, st))
           case "history" => Some(new CowHistoryTable(baseName, st))
           case "changes" => Some(new CowChangesTable(baseName, st))
+          // `<table>.branch_<name>`: the branch AS A TABLE — readable AND
+          // writable (Iceberg's branch identifiers); commits advance the
+          // branch pointer, main stays untouched until publish.
+          case b if b.startsWith("branch_") =>
+            val branch = b.stripPrefix("branch_")
+            st.headOf(Some(branch)): Unit // loud unknown-branch error
+            Some(new CowTable(catalogName, base, branch = Some(branch)))
           case _ => None
         }
       }
@@ -934,13 +1059,15 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     CowStore.get(catalogName, ident)
       .map { st =>
-        // Numeric = commit number; anything else = a NAMED TAG
-        // (CALL graft_cow.tag — Iceberg refs in miniature).
+        // Numeric = commit number; anything else = a NAMED TAG or a
+        // BRANCH head (CALL graft_cow.tag/branch — Iceberg refs).
         val v = scala.util.Try(version.toLong).toOption
           .orElse(st.tags.get(version))
+          .orElse(st.branches.get(version))
           .getOrElse(throw new IllegalArgumentException(
-            s"graft-cow: '$version' is neither a commit number nor a tag " +
-              s"(tags: ${st.tags.keys.toSeq.sorted.mkString(",")})"))
+            s"graft-cow: '$version' is neither a commit number, a tag nor " +
+              s"a branch (tags: ${st.tags.keys.toSeq.sorted.mkString(",")}; " +
+              s"branches: ${st.branches.keys.toSeq.sorted.mkString(",")})"))
         st.snapshotAt(v): Unit // fail loudly at resolution, not first scan
         new CowTable(catalogName, ident, pinnedVersion = Some(v))
       }
@@ -955,7 +1082,13 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     CowStore.get(catalogName, ident)
       .map { st =>
-        val v = st.commitTsUs.filter(_._2 <= timestamp).keys.maxOption
+        // Timestamp travel follows MAIN's lineage: a branch commit's
+        // stamp must not hijack "the table as of last night" (parent
+        // pointers make the lineage decidable).
+        val main = st.ancestors(st.version)
+        val v = st.commitTsUs
+          .filter { case (ver, ts) => ts <= timestamp && main.contains(ver) }
+          .keys.maxOption
           .getOrElse(throw new IllegalArgumentException(
             s"graft-cow: no retained commit of ${ident.name()} at or " +
               s"before timestamp $timestamp µs (earliest retained: " +
@@ -1009,14 +1142,18 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
     */
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name() match {
-      case "vacuum" => new CowVacuumProcedure(catalogName)
-      case "tag"    => new CowTagProcedure(catalogName)
+      case "vacuum"  => new CowVacuumProcedure(catalogName)
+      case "tag"     => new CowTagProcedure(catalogName)
+      case "branch"  => new CowBranchProcedure(catalogName)
+      case "publish" => new CowPublishProcedure(catalogName)
       case other => throw new RuntimeException(
-        s"graft-cow: no such procedure $other (have: vacuum, tag)")
+        s"graft-cow: no such procedure $other " +
+          "(have: vacuum, tag, branch, publish)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "tag"))
+    Array(Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "tag"),
+      Identifier.of(namespace, "branch"), Identifier.of(namespace, "publish"))
 
   /** The `FunctionCatalog` half of STORAGE-PARTITIONED JOINS: when
     * Catalyst resolves a scan-reported `bucket(n, col)` partitioning
@@ -1144,6 +1281,70 @@ class CowTagProcedure(catalogName: String) extends UnboundProcedure {
       CowStore.setTag(catalogName, Identifier.of(parts.init, parts.last),
         tag, version)
       JCollections.emptyIterator()
+    }
+  }
+}
+
+/** `CALL <catalog>.branch(table, name)` — fork a writable branch at
+  * main's current version (the WRITE half of write-audit-publish):
+  * subsequent writes to `<table>.branch_<name>` accumulate versions
+  * off-main; `VERSION AS OF '<name>'` reads the branch head.
+  */
+class CowBranchProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "branch"
+  override def description(): String =
+    "graft-cow BRANCH: fork a writable branch at the current version; " +
+      "write to <table>.branch_<name>, then CALL publish to fast-forward main"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "branch"
+    override def description(): String = CowBranchProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split("\\.")
+      CowStore.createBranch(catalogName, Identifier.of(parts.init, parts.last),
+        input.getUTF8String(1).toString)
+      JCollections.emptyIterator()
+    }
+  }
+}
+
+/** `CALL <catalog>.publish(table, branch)` — fast-forward main to the
+  * branch head (the PUBLISH half of WAP): genuine ancestry-checked, so a
+  * main that moved since the fork fails loudly instead of losing commits.
+  * Returns the published version.
+  */
+class CowPublishProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "publish"
+  override def description(): String =
+    "graft-cow PUBLISH: fast-forward main to a branch head " +
+      "(fails loudly if main moved since the fork)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "publish"
+    override def description(): String = CowPublishProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split("\\.")
+      val v = CowStore.publishBranch(catalogName,
+        Identifier.of(parts.init, parts.last),
+        input.getUTF8String(1).toString)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(Array[Any](v)))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("published_version", LongType, nullable = false)))
+        override def description(): String = "graft-cow publish report"
+      }
+      JCollections.singletonList(scan).iterator()
     }
   }
 }
@@ -1504,17 +1705,24 @@ object CowPosColumn extends MetadataColumn {
 }
 
 class CowTable(catalog: String, ident: Identifier,
-               pinnedVersion: Option[Long] = None)
+               pinnedVersion: Option[Long] = None,
+               branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  require(pinnedVersion.isEmpty || branch.isEmpty,
+    "graft-cow: a table load is either version-pinned or a branch, not both")
 
   private def state: CowStore.State = {
     val st = CowStore.get(catalog, ident).getOrElse(
       throw new NoSuchTableException(ident))
     // A version-pinned load scans that commit's snapshot (files, delete
     // vectors AND schema); the table is read-only (writes go through the
-    // CURRENT version only).
-    pinnedVersion.fold(st)(v => st.copy(version = v))
+    // CURRENT version only). A BRANCH load points `version` at the branch
+    // head — readable AND writable (commits advance the branch pointer).
+    pinnedVersion.map(v => st.copy(version = v))
+      .orElse(branch.map(b => st.copy(version = st.headOf(Some(b)))))
+      .getOrElse(st)
   }
 
   private def requireWritable(): Unit =
@@ -1523,7 +1731,8 @@ class CowTable(catalog: String, ident: Identifier,
 
   override def name(): String =
     (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".") +
-      pinnedVersion.fold("")(v => s"@v$v")
+      pinnedVersion.fold("")(v => s"@v$v") +
+      branch.fold("")(b => s"@branch_$b")
   override def schema(): StructType = state.schema
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
@@ -1553,7 +1762,7 @@ class CowTable(catalog: String, ident: Identifier,
     // STREAMING SINK (`writeStream.toTable`: per-epoch appends committed
     // idempotently — see [[CowStore.commitStreamEpoch]]). Version-pinned
     // loads are batch-only.
-    if (pinnedVersion.isEmpty) {
+    if (pinnedVersion.isEmpty && branch.isEmpty) {
       s.add(TableCapability.MICRO_BATCH_READ)
       s.add(TableCapability.STREAMING_WRITE)
     }
@@ -1562,12 +1771,14 @@ class CowTable(catalog: String, ident: Identifier,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CowScanBuilder(name(), state, op = None,
-      streamKey = if (pinnedVersion.isEmpty) Some((catalog, ident)) else None)
+      streamKey =
+        if (pinnedVersion.isEmpty && branch.isEmpty) Some((catalog, ident))
+        else None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable()
     new CowWriteBuilder(catalog, ident, state, op = None, info.schema(),
-      queryId = info.queryId())
+      queryId = info.queryId(), branch = branch)
   }
 
   /** Row-level operations, strategy per the table's mode:
@@ -1587,8 +1798,10 @@ class CowTable(catalog: String, ident: Identifier,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireWritable()
-    if (state.mor) () => new CowMorOperation(catalog, ident, name(), state, info)
-    else () => new CowRowLevelOperation(catalog, ident, name(), state, info)
+    if (state.mor)
+      () => new CowMorOperation(catalog, ident, name(), state, info, branch)
+    else
+      () => new CowRowLevelOperation(catalog, ident, name(), state, info, branch)
   }
 }
 
@@ -1600,7 +1813,8 @@ class CowTable(catalog: String, ident: Identifier,
   */
 class CowRowLevelOperation(catalog: String, ident: Identifier,
                            tableName: String, state: CowStore.State,
-                           info: RowLevelOperationInfo)
+                           info: RowLevelOperationInfo,
+                           branch: Option[String] = None)
     extends RowLevelOperation {
   /** Files the op's scan actually READ — the groups being rewritten.
     * Initialized conservatively to the full snapshot; overwritten by the
@@ -1625,7 +1839,8 @@ class CowRowLevelOperation(catalog: String, ident: Identifier,
     new CowScanBuilder(tableName, state, op = Some(this))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new CowWriteBuilder(catalog, ident, state, op = Some(this), info.schema())
+    new CowWriteBuilder(catalog, ident, state, op = Some(this), info.schema(),
+      branch = branch)
 
   override def description(): String =
     s"graft-cow ${info.command()} on $tableName (groups = files)"
@@ -1641,7 +1856,8 @@ class CowRowLevelOperation(catalog: String, ident: Identifier,
   */
 class CowMorOperation(catalog: String, ident: Identifier,
                       tableName: String, state: CowStore.State,
-                      info: RowLevelOperationInfo)
+                      info: RowLevelOperationInfo,
+                      branch: Option[String] = None)
     extends RowLevelOperation with SupportsDelta {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
@@ -1660,7 +1876,7 @@ class CowMorOperation(catalog: String, ident: Identifier,
     new CowScanBuilder(tableName, state, op = None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new CowDeltaWriteBuilder(catalog, ident, state, info)
+    new CowDeltaWriteBuilder(catalog, ident, state, info, branch)
 
   override def description(): String =
     s"graft-cow ${info.command()} on $tableName (merge-on-read, " +
@@ -2237,12 +2453,12 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
 class CowWriteBuilder(catalog: String, ident: Identifier,
                       state: CowStore.State, op: Option[CowRowLevelOperation],
                       writeSchema: StructType, truncateAll: Boolean = false,
-                      queryId: String = "")
+                      queryId: String = "", branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
     new CowWriteBuilder(catalog, ident, state, op, writeSchema,
-      truncateAll = true, queryId = queryId)
+      truncateAll = true, queryId = queryId, branch = branch)
 
   override def build(): Write = new Write
       with RequiresDistributionAndOrdering {
@@ -2281,8 +2497,8 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
       * rows (the Delta txn appId/version contract).
       */
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(op.isEmpty && !truncateAll,
-        "graft-cow: streaming writes are append-only")
+      require(op.isEmpty && !truncateAll && branch.isEmpty,
+        "graft-cow: streaming writes are append-only, to main")
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         override def createStreamingWriterFactory(
             info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -2319,7 +2535,7 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
         val msgs = messages.map(_.asInstanceOf[CowCommitMessage])
         CowStore.commit(catalog, ident,
           msgs.flatMap(_.files.map(_._1)).toSeq, remove,
-          msgs.flatMap(_.files).toMap)
+          msgs.flatMap(_.files).toMap, branch)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.foreach {
@@ -2338,7 +2554,8 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
   * Updates never reach `update()` (`representUpdateAsDeleteAndInsert`).
   */
 class CowDeltaWriteBuilder(catalog: String, ident: Identifier,
-                           state: CowStore.State, info: LogicalWriteInfo)
+                           state: CowStore.State, info: LogicalWriteInfo,
+                           branch: Option[String] = None)
     extends DeltaWriteBuilder {
 
   override def build(): DeltaWrite = new DeltaWrite {
@@ -2364,7 +2581,7 @@ class CowDeltaWriteBuilder(catalog: String, ident: Identifier,
           }
         CowStore.commitDelta(catalog, ident,
           msgs.flatMap(_.files.map(_._1)).toSeq,
-          msgs.flatMap(_.files).toMap, deletes)
+          msgs.flatMap(_.files).toMap, deletes, branch)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.foreach {

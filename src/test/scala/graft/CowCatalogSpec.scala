@@ -812,7 +812,7 @@ class CowCatalogSpec extends SparkSpec {
     val e = intercept[Exception] {
       spark.sql(s"SELECT id FROM $tbl VERSION AS OF 'nope'").collect()
     }
-    assert(e.toString.contains("neither a commit number nor a tag") ||
+    assert(e.toString.contains("neither a commit number") ||
       Option(e.getCause).exists(_.toString.contains("neither a commit number")))
     intercept[Exception] { CowStore.setTag(cat, ident, "late", 0L) } // vacuumed
   }
@@ -1225,6 +1225,65 @@ class CowCatalogSpec extends SparkSpec {
         .table(s"$tbl2.changes").collect()
     }
     assert(e2.toString.contains("VACUUM removed"), s"got $e2")
+  }
+
+  test("branches: main is isolated from branch commits; publish fast-forwards; refs recover") {
+    val tbl = fresh("wap")
+    mkBase(tbl)                                          // v1, 20 rows
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    val ident = identOf(tbl)
+    spark.sql(s"CALL $cat.branch('$name', 'audit')")
+    spark.sql(s"INSERT INTO $tbl.branch_audit SELECT id, 'b', id FROM range(100, 110)")
+    spark.sql(s"UPDATE $tbl.branch_audit SET v = 0 WHERE id = 100")
+    // ISOLATION: main still serves exactly the base; the branch serves
+    // base + branch writes. VERSION AS OF the branch name reads its head.
+    assert(spark.table(tbl).count() == 20, "main must not see branch commits")
+    assert(spark.table(s"$tbl.branch_audit").count() == 30)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 'audit'")
+      .head.getLong(0) == 30)
+    // Timestamp travel follows MAIN lineage: "now" resolves to v1's
+    // state even though branch commits are newer.
+    val nowUs = System.currentTimeMillis() * 1000L + 1000000L
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl TIMESTAMP AS OF timestamp_micros(${nowUs}L)")
+      .head.getLong(0) == 20)
+    // Branch refs and the main pointer are durable.
+    val st = CowStore.get(cat, ident).get
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    assert(rec.version == st.version && rec.branches == st.branches &&
+      rec.parent == st.parent, "branch refs + main pointer must recover")
+    // PUBLISH fast-forwards main atomically to the branch head.
+    val pub = spark.sql(s"CALL $cat.publish('$name', 'audit')").head.getLong(0)
+    assert(pub == CowStore.get(cat, ident).get.version)
+    val got = spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got.size == 30 && got.contains((100L, 0L)),
+      "published main must carry the branch's insert + update")
+  }
+
+  test("branches: publish refuses a non-fast-forward; branch heads survive VACUUM") {
+    val tbl = fresh("wapff")
+    mkBase(tbl)
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.branch('$name', 'audit')")
+    spark.sql(s"INSERT INTO $tbl.branch_audit SELECT id, 'b', id FROM range(100, 105)")
+    // Main moves AFTER the fork: the branch head no longer descends from
+    // main, so publish must throw, and main must stay on its own lineage.
+    spark.sql(s"INSERT INTO $tbl SELECT id, 'm', id FROM range(200, 203)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.publish('$name', 'audit')")
+    }
+    assert(e.toString.contains("not a fast-forward"), s"got $e")
+    assert(spark.table(tbl).count() == 23)
+    // VACUUM protects the branch head (unpublished work) and main's head.
+    spark.sql(s"CALL $cat.vacuum('$name', 1)")
+    assert(spark.table(s"$tbl.branch_audit").count() == 25,
+      "the branch head must survive VACUUM")
+    assert(spark.table(tbl).count() == 23)
+    // Unknown branch identifiers fail loudly.
+    val e2 = intercept[Exception] { spark.table(s"$tbl.branch_nope").collect() }
+    assert(e2.toString.contains("no such branch"), s"got $e2")
   }
 
   test("registered row-level queries return the documented shapes on the fixture") {
