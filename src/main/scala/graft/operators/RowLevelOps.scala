@@ -560,7 +560,39 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** q_cow_optimize — POLICY compaction (`CALL graft_cow.optimize(table,
+    * target_bytes)`, Iceberg `rewrite_data_files` in miniature): small
+    * files are picked FROM MANIFEST STATS (zero I/O to plan), bin-packed
+    * per partition up to the target, each bin rewritten by one Spark
+    * task, all landing as ONE snapshot-safe commit that replaces exactly
+    * the rewritten files. Delete vectors on rewritten files FOLD — this
+    * is how a hot MOR table's accumulated DVs are paid down without the
+    * full INSERT OVERWRITE of q_cow_compact. The scripted flow fragments
+    * a MOR table (4 small files), DELETEs a slice (DVs), then optimizes
+    * with a table-sized target; the oracle is the plain surviving
+    * relation — maintenance must be invisible to results (CowCatalogSpec
+    * pins the file/DV mechanics: sub-target-only rewrites, partition
+    * isolation, stats refresh).
+    */
+  def qCowOptimize(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"opt_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    for (m <- 0 until 4)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+           |FROM parquet.`$d/documents.parquet`
+           |WHERE doc_id % 3 <> 0 AND doc_id % 4 = $m""".stripMargin)
+    spark.sql(s"DELETE FROM $tbl WHERE score % 5 = 0") // positional DVs
+    spark.sql(s"CALL $CatalogName.optimize('ops.$name', ${64L * 1024 * 1024}L)")
+    finalState(spark, tbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cow_optimize"    -> qCowOptimize _,
     "q_cow_partitioned" -> qCowPartitioned _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
@@ -617,6 +649,13 @@ object RowLevelOps {
         |FROM documents
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // Optimize must be invisible to results: the surviving relation
+    // after the %5 delete, whatever the file layout did.
+    "q_cow_optimize" ->
+      """SELECT doc_id, source, n_chars AS score
+        |FROM documents
+        |WHERE doc_id % 3 <> 0 AND n_chars % 5 <> 0
         |ORDER BY doc_id""".stripMargin,
     // The published state rebuilt declaratively: base third-less rows
     // plus the branch's backfill, with the branch UPDATE applied to

@@ -1142,18 +1142,20 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
     */
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name() match {
-      case "vacuum"  => new CowVacuumProcedure(catalogName)
-      case "tag"     => new CowTagProcedure(catalogName)
-      case "branch"  => new CowBranchProcedure(catalogName)
-      case "publish" => new CowPublishProcedure(catalogName)
+      case "vacuum"   => new CowVacuumProcedure(catalogName)
+      case "tag"      => new CowTagProcedure(catalogName)
+      case "branch"   => new CowBranchProcedure(catalogName)
+      case "publish"  => new CowPublishProcedure(catalogName)
+      case "optimize" => new CowOptimizeProcedure(catalogName)
       case other => throw new RuntimeException(
         s"graft-cow: no such procedure $other " +
-          "(have: vacuum, tag, branch, publish)")
+          "(have: vacuum, tag, branch, publish, optimize)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "tag"),
-      Identifier.of(namespace, "branch"), Identifier.of(namespace, "publish"))
+      Identifier.of(namespace, "branch"), Identifier.of(namespace, "publish"),
+      Identifier.of(namespace, "optimize"))
 
   /** The `FunctionCatalog` half of STORAGE-PARTITIONED JOINS: when
     * Catalyst resolves a scan-reported `bucket(n, col)` partitioning
@@ -1343,6 +1345,126 @@ class CowPublishProcedure(catalogName: String) extends UnboundProcedure {
         override def readSchema(): StructType = StructType(Seq(
           StructField("published_version", LongType, nullable = false)))
         override def description(): String = "graft-cow publish report"
+      }
+      JCollections.singletonList(scan).iterator()
+    }
+  }
+}
+
+/** One bin of a policy compaction: the small files to merge into one
+  * output (all of one partition), each with what its reader needs.
+  */
+private[sources] case class CowOptimizeBin(
+    files: Seq[(String, Vector[String], Array[Long])], // (file, presentCols, dv)
+    partVals: Vector[String])
+
+/** `CALL <catalog>.optimize(table, target_bytes)` — POLICY compaction
+  * (Iceberg `rewrite_data_files` in miniature): small files are picked
+  * FROM THE MANIFEST STATS (no listing, no data I/O to plan), bin-packed
+  * per partition up to the target size, each bin rewritten by ONE SPARK
+  * TASK (a distributed job — the driver only plans bins and commits),
+  * and the whole rewrite lands as ONE snapshot-safe commit that replaces
+  * exactly the rewritten files — racing commits hit the standard
+  * write-write conflict detection. Delete vectors on rewritten files
+  * FOLD (the bin reader applies them; the commit drops them with the
+  * replaced files). Files at or above the target are never touched; a
+  * lone sub-target file without deletes is left alone (rewriting it buys
+  * nothing). Returns (rewritten_files, new_files, folded_deletes).
+  */
+class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "optimize"
+  override def description(): String =
+    "graft-cow OPTIMIZE: bin-pack sub-target files per partition and " +
+      "rewrite each bin as one file, folding delete vectors, in one commit"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "optimize"
+    override def description(): String = CowOptimizeProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_bytes", LongType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val target = input.getLong(1)
+      require(target >= 1, s"graft-cow: optimize target must be >= 1 byte, got $target")
+      val parts = table.split("\\.")
+      val ident = Identifier.of(parts.init, parts.last)
+      val st = CowStore.get(catalogName, ident).getOrElse(
+        throw new NoSuchTableException(ident))
+
+      // Plan from manifest stats only: sub-target current files, grouped
+      // by partition tuple (an output file must belong to ONE partition),
+      // first-fit-decreasing bin packing up to the target.
+      val candidates = st.files.filter(f =>
+        st.stats.get(f).exists(_.bytes < target))
+      val bins = candidates.groupBy(f => st.stats(f).partVals).toSeq
+        .flatMap { case (pv, fs) =>
+          val sorted = fs.sortBy(f => -st.stats(f).bytes)
+          val packed = scala.collection.mutable.ArrayBuffer
+            .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+          sorted.foreach { f =>
+            val b = st.stats(f).bytes
+            packed.zipWithIndex.find(_._1._2 + b <= target) match {
+              case Some(((buf, sz), i)) =>
+                buf += f
+                packed(i) = (buf, sz + b)
+              case None =>
+                packed += ((scala.collection.mutable.ArrayBuffer(f), b))
+            }
+          }
+          packed.toSeq
+            // A 1-file bin only pays off when it folds deletes.
+            .filter { case (buf, _) =>
+              buf.size > 1 ||
+                buf.exists(f => st.deletes.getOrElse(f, Vector.empty).nonEmpty)
+            }
+            .map { case (buf, _) =>
+              CowOptimizeBin(buf.toSeq.map { f =>
+                (f, st.stats(f).cols,
+                  st.deletes.getOrElse(f, Vector.empty).toArray)
+              }, pv)
+            }
+        }
+
+      var report = (0L, 0L, 0L)
+      if (bins.nonEmpty) {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir = st.dir
+        val schema = st.schema
+        val foldedDeletes = bins.iterator.flatMap(_.files)
+          .map(_._3.length.toLong).sum
+        // One Spark task per bin: read each file DV-filtered, stream into
+        // one new parquet file in current-schema shape (compaction also
+        // upgrades pre-evolution files), return the commit message parts.
+        val rewritten = spark.sparkContext
+          .parallelize(bins, bins.size)
+          .map { bin =>
+            val out = new CowTaskFile(dir, schema, schema, bin.partVals)
+            val rf = CowReaderFactory(schema, schema)
+            bin.files.foreach { case (f, cols, dv) =>
+              val r = rf.createReader(CowFilePartition(f, cols, dv))
+              try while (r.next()) out.write(r.get(), 0)
+              finally r.close()
+            }
+            (out.finish(), bin.files.map(_._1))
+          }
+          .collect()
+        val newFiles = rewritten.flatMap(_._1.toSeq)
+        val replaced = rewritten.flatMap(_._2).toSet
+        CowStore.commit(catalogName, ident, newFiles.map(_._1).toSeq,
+          Some(replaced), newFiles.toMap)
+        report = (replaced.size.toLong, newFiles.length.toLong, foldedDeletes)
+      }
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(
+          new GenericInternalRow(Array[Any](report._1, report._2, report._3)))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("rewritten_files", LongType, nullable = false),
+          StructField("new_files", LongType, nullable = false),
+          StructField("folded_deletes", LongType, nullable = false)))
+        override def description(): String = "graft-cow optimize report"
       }
       JCollections.singletonList(scan).iterator()
     }

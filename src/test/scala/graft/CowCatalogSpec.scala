@@ -1286,6 +1286,49 @@ class CowCatalogSpec extends SparkSpec {
     assert(e2.toString.contains("no such branch"), s"got $e2")
   }
 
+  test("optimize: only sub-target files are rewritten, bins respect partitions, DVs fold, stats refresh") {
+    val tbl = fresh("opt")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT) " +
+      "PARTITIONED BY (tag) TBLPROPERTIES ('graft.mode' = 'mor')")
+    // 2 partitions × 3 small files each (6 single-partition inserts)…
+    for (m <- 0 until 3; t <- Seq("a", "b"))
+      spark.sql(s"INSERT INTO $tbl SELECT id, '$t', id FROM " +
+        s"range(${m * 10}, ${m * 10 + 10})")
+    // …plus one BIG file per partition that must stay untouched.
+    for (t <- Seq("a", "b"))
+      spark.sql(s"INSERT INTO $tbl SELECT id, '$t', id FROM range(1000, 3000)")
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (5, 15)") // DVs on small files
+    val ident = identOf(tbl)
+    val before = CowStore.get(cat, ident).get
+    val big = before.files.filter(f => before.stats(f).bytes >= 4096).toSet
+    assert(big.size == 2, s"fixture needs 2 big files, got ${big.size}")
+    assert(before.deletes.nonEmpty)
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    val rep = spark.sql(s"CALL $cat.optimize('$name', 4096)").head
+    val after = CowStore.get(cat, ident).get
+    // Big files untouched byte-for-byte; small files gone; one output per
+    // (partition) bin; folded DVs reported and absent from the snapshot.
+    big.foreach(f => assert(after.files.contains(f), s"big file $f rewritten"))
+    assert(rep.getLong(0) == before.files.size - 2, "all 6 small files rewritten")
+    assert(rep.getLong(2) == 4, "two 2-position DVs folded")
+    assert(after.deletes.isEmpty, "DVs must fold away with the rewrite")
+    val newFiles = after.files.toSet -- before.files.toSet
+    assert(newFiles.size == 2, s"one output per partition bin, got $newFiles")
+    newFiles.foreach { f =>
+      val fs = after.stats(f)
+      assert(fs.partVals.length == 1 && Seq("a", "b").contains(fs.partVals.head),
+        "bins must not mix partitions")
+      assert(fs.rows == 28, "refreshed stats must count DV-folded rows")
+    }
+    // Content invisible: the surviving relation (ids 5 and 15 existed in
+    // BOTH partitions — 4 rows deleted).
+    assert(spark.table(tbl).count() == 2 * (30 - 2) + 2 * 2000)
+    // A second optimize is a no-op below the threshold that bins solo
+    // DV-less files.
+    val rep2 = spark.sql(s"CALL $cat.optimize('$name', 4096)").head
+    assert(rep2.getLong(0) == 0 && rep2.getLong(1) == 0)
+  }
+
   test("registered row-level queries return the documented shapes on the fixture") {
     import graft.operators.RowLevelOps
     val m = RowLevelOps.qMergeInto(spark, sfDir)
