@@ -89,6 +89,29 @@ object StreamScaleProbe {
         timed(s"quality rep=$rep sp=$sp", nDocs)(run(rep, sp))
     }
 
+    if (modes("join")) {
+      // Round-15 task (the round-14 verdict's last perf-watch row): the
+      // stream-stream join ran on 4 state partitions, never swept. A
+      // stream-stream join keeps FOUR RocksDB stores per partition (two
+      // per side), so the fixed per-batch cost is 4x the partition knob —
+      // widening helps only once state volume outgrows it.
+      val replay = StreamOps.stageReplayDir(spark, sfDir)
+      val nEvents = Tables.events(spark, sfDir).count()
+      println(s"[scale-probe] stream-join sweep over $nEvents events ($sfDir)")
+
+      def run(sp: Int): Unit =
+        StreamOps.startWithStatePartitions(spark, sp) {
+          StreamOps.clickViewPairs(StreamOps.eventsStream(spark, replay))
+            .writeStream.option("checkpointLocation", ckpt())
+            .format("noop").outputMode("append")
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
+
+      run(4) // warmup: codegen + parquet + RocksDB JNI
+      for (sp <- Seq(4, 8, 32))
+        timed(s"join sp=$sp", nEvents)(run(sp))
+    }
+
     if (modes("throttle")) {
       val replay = StreamOps.stageReplayDir(spark, sfDir)
       val nEvents = Tables.events(spark, sfDir).count()
