@@ -2721,6 +2721,11 @@ object StreamOps extends Serializable {
     // (key→count + key+index→row, each side): the query this sizing
     // matters most for — 32 partitions measured 3.8× slower than 8 on
     // the fixture, and the 4 used here shaves the store overhead further.
+    // Swept round 15 (BASELINE.md "Streaming partition scaling",
+    // graft.StreamScaleProbe join mode): 4 WINS at ×10 (133k vs 90k
+    // rows/s at 32) and LOSES at ×40 (194k vs 321k) — partitions follow
+    // STATE VOLUME, so the fixture-scale query keeps 4 and a production
+    // deployment with ×40-sized join state passes a wider n here.
     val query = startWithStatePartitions(spark, 4) {
       clickViewPairs(eventsStream(spark, stageReplayDir(spark, d)))
         .writeStream

@@ -47,8 +47,8 @@ def _load(name):
     was served from — a missing/typo'd fresh artifact silently mixing a
     prior round's archive into this round's table was an ADVICE-flagged
     trap (the round-11 _load fell back two rounds deep with no trace)."""
-    for path in (f"/tmp/{name}", f"bench/r14_local32/{name}",
-                 f"bench/r12_local32/{name}", f"bench/r11_local32/{name}"):
+    for path in (f"/tmp/{name}", f"bench/r15_local32/{name}",
+                 f"bench/r14_local32/{name}", f"bench/r12_local32/{name}"):
         if os.path.exists(path):
             print(f"[stress_bench] {name} <- {path}")
             with open(path) as f:
@@ -156,7 +156,7 @@ def main():
         if flag:
             flagged.append(q)
     result = {
-        "round": 14,
+        "round": 15,
         "method": ("union-with-perturbation stress fixtures (graft.StressGen: "
                    "consistent TPC-H keys, per-copy user/doc/vec offsets, "
                    "token-suffixed documents and sign-flipped embeddings for "
@@ -199,7 +199,7 @@ def main():
             stream_rates[q]["rows_per_s_x40"] = round(40 * base / x40[q])
         out[q]["rows_per_s"] = stream_rates[q]
     result["streaming_rows_per_s"] = stream_rates
-    with open("bench/bench_r14_stress.json", "w") as f:
+    with open("bench/bench_r15_stress.json", "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
     # Fill the BASELINE.md marker sections.
