@@ -463,6 +463,44 @@ object RowLevelOps {
          |WHERE source = '$lit' ORDER BY doc_id""".stripMargin)
   }
 
+  /** q_cow_days — TEMPORAL partition transform (`PARTITIONED BY
+    * (days(ts))`, Iceberg's day transform): the catalog supports real
+    * TIMESTAMP columns (written as annotated int64 epoch micros), writers
+    * route each row to its UTC epoch-day partition, and a RANGE predicate
+    * on the RAW timestamp column prunes to the covered day bins at plan
+    * time — no derived partition column in the query, the engine maps
+    * `ts >= T1 AND ts < T2` to day bins itself. At 100 TB this is THE
+    * pruning lever for event tables: "last 7 days of a 3-year table"
+    * reads 7/1095ths of the listing before any I/O (CowCatalogSpec pins
+    * the `N of M partitions` scan description and the hours twin). The
+    * query aggregates a 3-day window of the 30-day events fixture; the
+    * oracle computes the same window declaratively — routing and pruning
+    * must be invisible to results.
+    */
+  def qCowDays(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.days_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (event_id BIGINT, ts TIMESTAMP, " +
+      "user_id BIGINT, value DOUBLE) PARTITIONED BY (days(ts))")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT event_id, ts, user_id, value FROM parquet.`$d/events.parquet`
+         |""".stripMargin)
+    // Day-aligned literal bounds (computed once, inlined — partition
+    // pruning happens at PLAN time, so the predicate must be literal).
+    val r = spark.sql(
+      s"""SELECT CAST(date_trunc('DAY', min(ts)) + INTERVAL 2 DAYS AS STRING),
+         |       CAST(date_trunc('DAY', min(ts)) + INTERVAL 5 DAYS AS STRING)
+         |FROM parquet.`$d/events.parquet`""".stripMargin).head
+    val (lo, hi) = (r.getString(0), r.getString(1))
+    spark.sql(
+      s"""SELECT date_format(ts, 'yyyy-MM-dd') AS day, count(*) AS n,
+         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         |FROM $tbl
+         |WHERE ts >= TIMESTAMP '$lo' AND ts < TIMESTAMP '$hi'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** q_cow_bucketed — STORAGE-PARTITIONED JOIN on the writable catalog
     * (`PARTITIONED BY (bucket(8, doc_id))` + `SupportsReportPartitioning`
     * + the catalog's `bucket` FunctionCatalog entry): two tables bucketed
@@ -594,6 +632,7 @@ object RowLevelOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cow_optimize"    -> qCowOptimize _,
     "q_cow_partitioned" -> qCowPartitioned _,
+    "q_cow_days"        -> qCowDays _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -650,6 +689,15 @@ object RowLevelOps {
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // The temporal routing/pruning must be invisible to results: the
+    // same day-aligned 3-day window, computed declaratively.
+    "q_cow_days" ->
+      """WITH b AS (SELECT date_trunc('day', min(ts)) AS t0 FROM events)
+        |SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM events, b
+        |WHERE ts >= b.t0 + INTERVAL 2 DAY AND ts < b.t0 + INTERVAL 5 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Optimize must be invisible to results: the surviving relation
     // after the %5 delete, whatever the file layout did.
     "q_cow_optimize" ->

@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Proced
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -138,7 +138,11 @@ object CowStore {
     * miniature): `identity` (long or string column — the value IS the
     * partition), `bucket(n, col)` (a stable hash mod n — co-location for
     * joins/aggregations without value-count explosion), `truncate(w, col)`
-    * (long floored to a width-w bin — range pruning at bin grain).
+    * (long floored to a width-w bin — range pruning at bin grain),
+    * `days(ts)` / `hours(ts)` (timestamp floored to its UTC epoch
+    * day/hour — the temporal transforms every event table partitions by;
+    * a raw-timestamp range predicate prunes to the covered bins at plan
+    * time, the "last 7 days of a 3-year table" lever).
     * Every data file belongs to exactly ONE partition tuple: writers route
     * rows to per-partition files, the manifest records each file's
     * ENCODED partition values, and partition predicates prune files at
@@ -152,6 +156,8 @@ object CowStore {
       case "identity" => col
       case "bucket"   => s"bucket($arg, $col)"
       case "truncate" => s"truncate($arg, $col)"
+      case "days"     => s"days($col)"
+      case "hours"    => s"hours($col)"
       case other      => s"$other($arg, $col)"
     }
   }
@@ -176,6 +182,29 @@ object CowStore {
     Math.floorMod(h, n)
   }
 
+  /** Micros per temporal-transform bin: `days`/`hours` floor Spark's
+    * internal timestamp (epoch MICROSECONDS, UTC-adjusted) to these —
+    * the same grain as Iceberg's day/hour transforms.
+    */
+  val MicrosPerDay: Long = 86400L * 1000000L
+  val MicrosPerHour: Long = 3600L * 1000000L
+
+  /** Normalize a pushed V1-filter comparison value to the long domain the
+    * manifest stats and partition encodings live in: plain numbers as-is
+    * (long columns), timestamp literals to epoch micros — Spark hands
+    * them as `java.sql.Timestamp` (default) or `java.time.Instant`
+    * (datetime.java8API), both of which must land on the SAME micros the
+    * writer routed/ranged with. Anything else is unprunable (None).
+    */
+  def filterMicros(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
   /** Encode one partition-field value for the manifest (and for pruning
     * comparisons): longs in decimal, identity strings URL-encoded (the
     * manifest is tab/comma-delimited; encoding keeps arbitrary values
@@ -197,6 +226,18 @@ object CowStore {
       case other   => throw new IllegalArgumentException(
         s"graft-cow: truncate partitions long columns only, got $other")
     }
+    case "days" => v match {
+      case null    => "__null__"
+      case l: Long => Math.floorDiv(l, MicrosPerDay).toString
+      case other   => throw new IllegalArgumentException(
+        s"graft-cow: days partitions timestamp columns only, got $other")
+    }
+    case "hours" => v match {
+      case null    => "__null__"
+      case l: Long => Math.floorDiv(l, MicrosPerHour).toString
+      case other   => throw new IllegalArgumentException(
+        s"graft-cow: hours partitions timestamp columns only, got $other")
+    }
     case other => throw new IllegalArgumentException(
       s"graft-cow: unknown partition transform $other")
   }
@@ -211,6 +252,10 @@ object CowStore {
       case "identity" => colType
       case "bucket"   => IntegerType
       case "truncate" => LongType
+      // Epoch day is Spark's internal DateType shape; epoch hour has no
+      // dedicated type — both travel as ints (Iceberg's result types).
+      case "days"     => DateType
+      case "hours"    => IntegerType
       case other => throw new IllegalArgumentException(
         s"graft-cow: unknown partition transform $other")
     }
@@ -230,6 +275,8 @@ object CowStore {
       }
       case "bucket"   => pv.toInt
       case "truncate" => pv.toLong
+      case "days"     => pv.toInt
+      case "hours"    => pv.toInt
       case other => throw new IllegalArgumentException(
         s"graft-cow: unknown partition transform $other")
     }
@@ -298,11 +345,12 @@ object CowStore {
     Option(tables.get(key(catalog, ident)))
 
   private def supportedType(t: DataType): Boolean =
-    Seq(LongType, DoubleType, StringType).contains(t)
+    Seq(LongType, DoubleType, StringType, TimestampType).contains(t)
 
   /** Validate a partition spec against the table schema: transforms are
-    * identity (long/string), bucket (long/string, 1 ≤ n ≤ 1 « 20) and
-    * truncate (long, width ≥ 1); each source column may appear once.
+    * identity (long/string), bucket (long/string, 1 ≤ n ≤ 1 « 20),
+    * truncate (long, width ≥ 1) and days/hours (timestamp); each source
+    * column may appear once.
     */
   def validateSpec(spec: Vector[PartField], schema: StructType): Unit = {
     require(spec.map(_.col).distinct.length == spec.length,
@@ -329,9 +377,13 @@ object CowStore {
               s"got ${p.col}: ${f.dataType.simpleString}")
           require(p.arg >= 1,
             s"graft-cow: truncate width must be >= 1, got ${p.arg}")
+        case "days" | "hours" =>
+          require(f.dataType == TimestampType,
+            s"graft-cow: ${p.kind} partitions need a timestamp column, " +
+              s"got ${p.col}: ${f.dataType.simpleString}")
         case other => throw new IllegalArgumentException(
           s"graft-cow: unsupported partition transform $other " +
-            "(identity, bucket, truncate)")
+            "(identity, bucket, truncate, days, hours)")
       }
     }
   }
@@ -341,7 +393,7 @@ object CowStore {
     synchronized {
     schema.fields.foreach { f =>
       require(supportedType(f.dataType),
-        s"graft-cow supports long/double/string columns; got " +
+        s"graft-cow supports long/double/string/timestamp columns; got " +
           s"${f.name}: ${f.dataType.simpleString}")
     }
     validateSpec(spec, schema)
@@ -1032,9 +1084,14 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
           require(c.isDefined && n.isDefined,
             s"graft-cow: $k transform needs (count, column), got $t")
           CowStore.PartField(k, c.get, n.get)
+        case k @ ("days" | "hours") =>
+          val c = args.flatMap(ref).headOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-cow: $k transform needs a column reference ($t)"))
+          CowStore.PartField(k, c)
         case other => throw new IllegalArgumentException(
           s"graft-cow: unsupported partition transform $other " +
-            "(identity, bucket, truncate)")
+            "(identity, bucket, truncate, days, hours)")
       }
     }
     CowStore.validateSpec(spec, schema)
@@ -1170,12 +1227,15 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     ident.name() match {
       case "bucket" => new CowBucketFunction
+      case "days"   => new CowTemporalFunction("days", CowStore.MicrosPerDay, DateType)
+      case "hours"  => new CowTemporalFunction("hours", CowStore.MicrosPerHour, IntegerType)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array(Identifier.of(namespace, "bucket"),
+      Identifier.of(namespace, "days"), Identifier.of(namespace, "hours"))
 }
 
 /** The catalog's `bucket(n, col)` as a DSv2 bound function — the SQL
@@ -1211,6 +1271,35 @@ class CowBucketFunction extends functions.UnboundFunction {
         }
         CowStore.bucketOf(n, v).toInt
       }
+    }
+  }
+}
+
+/** The catalog's `days(ts)` / `hours(ts)` temporal transforms as DSv2
+  * bound functions — the SQL identity of the writer's epoch-bin routing
+  * (floorDiv of internal micros), which is what lets Catalyst resolve a
+  * scan-reported temporal `KeyGroupedPartitioning` the same way `bucket`
+  * resolves for storage-partitioned joins.
+  */
+class CowTemporalFunction(kind: String, binMicros: Long, out: DataType)
+    extends functions.UnboundFunction {
+  override def name(): String = kind
+  override def description(): String =
+    s"graft-cow $kind(ts): floorDiv(epoch micros, $binMicros) — the " +
+      "temporal partition-routing bin"
+
+  override def bind(inputType: StructType): functions.BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == TimestampType,
+      s"graft-cow $kind expects (timestamp), got ${inputType.simpleString}")
+    new functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(TimestampType)
+      override def resultType(): DataType = out
+      override def name(): String = kind
+      override def canonicalName(): String = s"graft_cow.$kind(timestamp)"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer =
+        Math.floorDiv(input.getLong(0), binMicros).toInt
     }
   }
 }
@@ -1559,8 +1648,11 @@ class CowStagedTable(catalog: String, ident: Identifier,
   */
 class CowFilesTable(tableName: String, st: CowStore.State)
     extends Table with SupportsRead {
+  // Timestamp columns have write-time ranges too (epoch micros) —
+  // surfaced as plain longs, the stats' native domain.
   private val longCols =
-    st.schema.fields.filter(_.dataType == LongType).map(_.name)
+    st.schema.fields.filter(f =>
+      f.dataType == LongType || f.dataType == TimestampType).map(_.name)
 
   override def name(): String = tableName
   override def schema(): StructType = StructType(
@@ -1866,6 +1958,10 @@ class CowTable(catalog: String, ident: Identifier,
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)
     case CowStore.PartField("bucket", c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n.toInt, c)
+    case CowStore.PartField("days", c, _) =>
+      org.apache.spark.sql.connector.expressions.Expressions.days(c)
+    case CowStore.PartField("hours", c, _) =>
+      org.apache.spark.sql.connector.expressions.Expressions.hours(c)
     case CowStore.PartField(kind, c, w) =>
       org.apache.spark.sql.connector.expressions.Expressions.apply(kind,
         org.apache.spark.sql.connector.expressions.Expressions.literal(w.toInt),
@@ -2038,9 +2134,13 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
     * stats/partition bug can only cost I/O savings, never correctness.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Long AND timestamp columns share the stats/pruning long domain:
+    // a timestamp literal (java.sql.Timestamp / java.time.Instant)
+    // normalizes to the same epoch micros the writer ranged/routed with.
     def longCol(c: String): Boolean =
-      state.schema.fields.exists(f => f.name == c && f.dataType == LongType)
-    def longVal(v: Any): Boolean = v.isInstanceOf[java.lang.Number]
+      state.schema.fields.exists(f => f.name == c &&
+        (f.dataType == LongType || f.dataType == TimestampType))
+    def longVal(v: Any): Boolean = CowStore.filterMicros(v).isDefined
     skippable = filters.filter {
       case EqualTo(c, v)            => longCol(c) && longVal(v)
       case GreaterThan(c, v)        => longCol(c) && longVal(v)
@@ -2051,11 +2151,12 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
     }
     val specCols = state.spec.map(_.col).toSet
     def partVal(v: Any): Boolean =
-      v.isInstanceOf[java.lang.Number] || v.isInstanceOf[String]
+      longVal(v) || v.isInstanceOf[String]
     partPrunable = filters.filter {
       // Equality/membership prune on any transform; ranges additionally
-      // prune identity/truncate long partitions (CowScan decides per
-      // field — an unsupported (filter, transform) pair is ignored).
+      // prune identity/truncate long and days/hours timestamp partitions
+      // (CowScan decides per field — an unsupported (filter, transform)
+      // pair is ignored).
       case EqualTo(c, v) => specCols.contains(c) && partVal(v)
       case In(c, vs)     => specCols.contains(c) && vs.forall(partVal)
       case GreaterThan(c, v)        => specCols.contains(c) && longVal(v)
@@ -2106,17 +2207,21 @@ class CowScan(tableName: String, state: CowStore.State,
     state.stats.get(f).forall { fs =>
       import org.apache.spark.sql.sources._
       def rng(c: String) = fs.longRanges.get(c)
+      // Timestamp literals normalize to the epoch-micros domain the
+      // write-time ranges were collected in; unnormalizable values keep
+      // the file (pruning is optional).
+      def mic(v: Any) = CowStore.filterMicros(v)
       skipFilters.forall {
-        case EqualTo(c, v: java.lang.Number) =>
-          rng(c).forall(r => r.min <= v.longValue() && v.longValue() <= r.max)
-        case GreaterThan(c, v: java.lang.Number) =>
-          rng(c).forall(_.max > v.longValue())
-        case GreaterThanOrEqual(c, v: java.lang.Number) =>
-          rng(c).forall(_.max >= v.longValue())
-        case LessThan(c, v: java.lang.Number) =>
-          rng(c).forall(_.min < v.longValue())
-        case LessThanOrEqual(c, v: java.lang.Number) =>
-          rng(c).forall(_.min <= v.longValue())
+        case EqualTo(c, v) =>
+          mic(v).forall(m => rng(c).forall(r => r.min <= m && m <= r.max))
+        case GreaterThan(c, v) =>
+          mic(v).forall(m => rng(c).forall(_.max > m))
+        case GreaterThanOrEqual(c, v) =>
+          mic(v).forall(m => rng(c).forall(_.max >= m))
+        case LessThan(c, v) =>
+          mic(v).forall(m => rng(c).forall(_.min < m))
+        case LessThanOrEqual(c, v) =>
+          mic(v).forall(m => rng(c).forall(_.min <= m))
         case _ => true
       }
     }
@@ -2143,39 +2248,50 @@ class CowScan(tableName: String, state: CowStore.State,
             state.spec.zipWithIndex.collectFirst {
               case (p, i) if p.col == c => (p, fs.partVals(i))
             }
-          def norm(v: Any): Any = v match {
-            case n: java.lang.Number => n.longValue()
-            case other => other
-          }
+          // Timestamp literals normalize to epoch micros — the long
+          // domain every transform encodes from (filterMicros).
+          def norm(v: Any): Any =
+            CowStore.filterMicros(v).map(m => m: Any).getOrElse(v)
           def eqKeep(c: String, vs: Seq[Any]): Option[Boolean] =
             field(c).map { case (p, pv) =>
               pv != "__null__" &&
                 vs.exists(v => pv == CowStore.encodePartVal(p, norm(v)))
             }
           // File's rows all share the partition value; for identity the
-          // bin is the value itself, for truncate it is [b, b+w).
-          def rangeKeep(c: String, v: Long,
-                        keep: (Long, Long) => Boolean): Option[Boolean] =
+          // bin is the value itself, for truncate it is [b, b+w), for
+          // days/hours the bin spans its day/hour of epoch micros.
+          def rangeKeep(c: String, keep: (Long, Long) => Boolean): Option[Boolean] =
             field(c).map {
               case (_, "__null__") => false
               case (CowStore.PartField("identity", _, _), pv) =>
                 pv.toLongOption.forall(b => keep(b, b))
               case (CowStore.PartField("truncate", _, w), pv) =>
                 pv.toLongOption.forall(b => keep(b, b + w - 1))
+              case (CowStore.PartField("days", _, _), pv) =>
+                pv.toLongOption.forall { d =>
+                  val lo = d * CowStore.MicrosPerDay
+                  keep(lo, lo + CowStore.MicrosPerDay - 1)
+                }
+              case (CowStore.PartField("hours", _, _), pv) =>
+                pv.toLongOption.forall { h =>
+                  val lo = h * CowStore.MicrosPerHour
+                  keep(lo, lo + CowStore.MicrosPerHour - 1)
+                }
               case _ => true // bucket: no range semantics
             }
+          def mic(v: Any): Option[Long] = CowStore.filterMicros(v)
           partFilters.forall { flt =>
             val keep = flt match {
               case EqualTo(c, v) => eqKeep(c, Seq(v))
               case In(c, vs)     => eqKeep(c, vs.toSeq)
-              case GreaterThan(c, v: java.lang.Number) =>
-                rangeKeep(c, v.longValue(), (_, hi) => hi > v.longValue())
-              case GreaterThanOrEqual(c, v: java.lang.Number) =>
-                rangeKeep(c, v.longValue(), (_, hi) => hi >= v.longValue())
-              case LessThan(c, v: java.lang.Number) =>
-                rangeKeep(c, v.longValue(), (lo, _) => lo < v.longValue())
-              case LessThanOrEqual(c, v: java.lang.Number) =>
-                rangeKeep(c, v.longValue(), (lo, _) => lo <= v.longValue())
+              case GreaterThan(c, v) =>
+                mic(v).flatMap(m => rangeKeep(c, (_, hi) => hi > m))
+              case GreaterThanOrEqual(c, v) =>
+                mic(v).flatMap(m => rangeKeep(c, (_, hi) => hi >= m))
+              case LessThan(c, v) =>
+                mic(v).flatMap(m => rangeKeep(c, (lo, _) => lo < m))
+              case LessThanOrEqual(c, v) =>
+                mic(v).flatMap(m => rangeKeep(c, (lo, _) => lo <= m))
               case _ => None
             }
             keep.getOrElse(true)
@@ -2296,6 +2412,8 @@ class CowScan(tableName: String, state: CowStore.State,
         val keys = sp.map {
           case (CowStore.PartField("identity", c, _), _) => Expressions.identity(c)
           case (CowStore.PartField("bucket", c, n), _) => Expressions.bucket(n.toInt, c)
+          case (CowStore.PartField("days", c, _), _) => Expressions.days(c)
+          case (CowStore.PartField("hours", c, _), _) => Expressions.hours(c)
           case (CowStore.PartField(kind, c, w), _) =>
             Expressions.apply(kind, Expressions.literal(w.toInt),
               Expressions.column(c))
@@ -2510,13 +2628,15 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
     val parquetProjection: String =
       physicalFields.map { f =>
         val t = f.dataType match {
-          case LongType   => "int64"
-          case DoubleType => "double"
-          case StringType => "binary"
+          case LongType      => "int64"
+          case DoubleType    => "double"
+          case StringType    => "binary"
+          case TimestampType => "int64"
           case other => throw new IllegalArgumentException(
             s"graft-cow: unsupported column type ${other.simpleString} for ${f.name}")
         }
-        s"  optional $t ${f.name};"
+        val ann = if (f.dataType == TimestampType) " (TIMESTAMP(MICROS,true))" else ""
+        s"  optional $t ${f.name}$ann;"
       }.mkString("message graft_cow_projection {\n", "\n", "\n}")
 
     new PartitionReader[InternalRow] {
@@ -2555,7 +2675,8 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
           else if (!present.contains(f.name)) null // added after this file
           else if (!has(f.name)) null
           else f.dataType match {
-            case LongType   => g.getLong(g.getType.getFieldIndex(f.name), 0)
+            case LongType | TimestampType =>
+              g.getLong(g.getType.getFieldIndex(f.name), 0)
             case DoubleType => g.getDouble(g.getType.getFieldIndex(f.name), 0)
             case StringType =>
               UTF8String.fromString(g.getString(g.getType.getFieldIndex(f.name), 0))
@@ -2735,14 +2856,19 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
                                          partVals: Vector[String] = Vector.empty) {
   private def messageType: String =
     tableSchema.fields.map { f =>
+      // Timestamps are int64 epoch micros with the standard annotation
+      // (adjusted-to-UTC MICROS — Spark's internal shape verbatim), so
+      // external parquet readers see real timestamps, not bare longs.
       val t = f.dataType match {
-        case LongType   => "int64"
-        case DoubleType => "double"
-        case StringType => "binary"
+        case LongType      => "int64"
+        case DoubleType    => "double"
+        case StringType    => "binary"
+        case TimestampType => "int64"
         case other => throw new IllegalArgumentException(
           s"graft-cow: unsupported column type ${other.simpleString} for ${f.name}")
       }
-      s"  optional $t ${f.name};"
+      val ann = if (f.dataType == TimestampType) " (TIMESTAMP(MICROS,true))" else ""
+      s"  optional $t ${f.name}$ann;"
     }.mkString("message graft_cow_write {\n", "\n", "\n}")
 
   private val file = s"$dir/data-${UUID.randomUUID().toString}.parquet"
@@ -2761,10 +2887,14 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
   }
   private var rows = 0L
   // Write-time per-long-column ranges: the file's manifest stats,
-  // collected as rows stream through — zero extra passes.
+  // collected as rows stream through — zero extra passes. Timestamp
+  // columns range over their internal epoch micros (same long domain
+  // pushed filters normalize into — see CowStore.filterMicros).
   private val longIdx: Array[Int] =
-    tableSchema.fields.indices.filter(
-      i => tableSchema.fields(i).dataType == LongType).toArray
+    tableSchema.fields.indices.filter { i =>
+      val dt = tableSchema.fields(i).dataType
+      dt == LongType || dt == TimestampType
+    }.toArray
   private val statsSlot: Array[Int] =
     tableSchema.fields.indices.map(longIdx.indexOf(_)).toArray
   private val mins = Array.fill(longIdx.length)(Long.MaxValue)
@@ -2778,8 +2908,8 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
       if (!row.isNullAt(i)) {
         val f = tableSchema.fields(t)
         f.dataType match {
-          case LongType =>
-            val v = row.getLong(i)
+          case LongType | TimestampType =>
+            val v = row.getLong(i) // timestamp = internal epoch micros
             val s = statsSlot(t)
             if (v < mins(s)) mins(s) = v
             if (v > maxs(s)) maxs(s) = v
@@ -2842,7 +2972,7 @@ private[sources] final class CowTaskRouter(dir: String, writeSchema: StructType,
   private val extract: Array[(InternalRow, Int) => Any] = spec.map { p =>
     val i = writeSchema.fieldIndex(p.col)
     writeSchema.fields(i).dataType match {
-      case LongType =>
+      case LongType | TimestampType => // timestamp = internal epoch micros
         (row: InternalRow, off: Int) =>
           if (row.isNullAt(off + i)) null else row.getLong(off + i)
       case StringType =>

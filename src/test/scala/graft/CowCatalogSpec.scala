@@ -1068,6 +1068,90 @@ class CowCatalogSpec extends SparkSpec {
       st.stats.view.mapValues(_.partVals).toMap)
   }
 
+  test("days/hours transforms: timestamps round-trip, raw-ts ranges prune bins at plan time, spec recovers") {
+    val tbl = fresh("partdays")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    // 8 UTC epoch days (1970-01-01..08) × 3 rows, each a few seconds into
+    // its day — the writer must route every row to its day bin.
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, timestamp_micros(CAST(id % 8 AS BIGINT) * 86400000000
+         |                            + id * 1000000), id * 10
+         |FROM range(0, 24)""".stripMargin)
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    assert(st.spec.map(_.describe) == Vector("days(ts)"))
+    st.files.foreach { f =>
+      val Vector(d) = st.stats(f).partVals
+      assert(d.toLong >= 0 && d.toLong < 8, s"file $f routed to day $d")
+    }
+    // Timestamps round-trip exactly through the annotated int64 file.
+    val back = spark.sql(s"SELECT id, unix_micros(ts) FROM $tbl")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 24L).forall(i =>
+      back(i) == (i % 8) * 86400000000L + i * 1000000L),
+      "timestamp column must round-trip micros-exact")
+    // A RANGE predicate on the RAW timestamp prunes to the covered day
+    // bins at plan time — no derived partition column in the query.
+    val q = spark.sql(
+      s"""SELECT id FROM $tbl
+         |WHERE ts >= TIMESTAMP '1970-01-03 00:00:00'
+         |  AND ts <  TIMESTAMP '1970-01-05 00:00:00'""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("2 of 8 partitions"),
+      s"raw-ts range must prune day bins at plan time: $plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 24L).filter(i => i % 8 == 2 || i % 8 == 3))
+    // Equality on the raw timestamp prunes to ONE day.
+    val one = spark.sql(
+      s"SELECT id FROM $tbl WHERE ts = TIMESTAMP '1970-01-02 00:00:09'")
+    assert(one.queryExecution.executedPlan.toString
+      .contains("1 of 8 partitions"))
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // The spec survives recovery from the manifest log.
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    assert(rec.spec == st.spec, "days spec must recover from the log")
+    // hours twin: same discipline at hour grain.
+    val htbl = fresh("parthours")
+    spark.sql(s"CREATE TABLE $htbl (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    spark.sql(
+      s"""INSERT INTO $htbl
+         |SELECT id, timestamp_micros(CAST(id % 6 AS BIGINT) * 3600000000
+         |                            + id * 1000000)
+         |FROM range(0, 18)""".stripMargin)
+    val hq = spark.sql(
+      s"""SELECT id FROM $htbl
+         |WHERE ts >= TIMESTAMP '1970-01-01 04:00:00'""".stripMargin)
+    assert(hq.queryExecution.executedPlan.toString
+      .contains("2 of 6 partitions"),
+      "raw-ts range must prune hour bins at plan time")
+    assert(hq.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 18L).filter(i => i % 6 >= 4))
+  }
+
+  test("write-time stats skip files on raw-timestamp ranges (unpartitioned)") {
+    val tbl = fresh("tsskip")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, ts TIMESTAMP)")
+    // 3 single-file inserts with disjoint day ranges — micros ranges in
+    // the manifest must prune files on a timestamp predicate exactly as
+    // long ranges do.
+    for (d <- 0 until 3)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ id,
+           |       timestamp_micros(CAST($d AS BIGINT) * 86400000000 + id)
+           |FROM range(0, 10)""".stripMargin)
+    val q = spark.sql(
+      s"SELECT id FROM $tbl WHERE ts >= TIMESTAMP '1970-01-03 00:00:00'")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("1 of 3 files"),
+      s"timestamp range must skip files from write-time micros stats: $plan")
+    assert(q.count() == 10)
+  }
+
   test("partition spec validation fails loudly") {
     val bad = Seq(
       // The analyzer itself rejects unknown partition columns before the
@@ -1083,6 +1167,8 @@ class CowCatalogSpec extends SparkSpec {
       s"CREATE TABLE %s (id BIGINT, v DOUBLE) PARTITIONED BY (id, bucket(4, id))" ->
         "once in PARTITIONED BY",
       s"CREATE TABLE %s (id BIGINT, ts STRING) PARTITIONED BY (days(ts))" ->
+        "days partitions need a timestamp",
+      s"CREATE TABLE %s (id BIGINT, ts TIMESTAMP) PARTITIONED BY (months(ts))" ->
         "unsupported partition transform")
     bad.foreach { case (ddl, msg) =>
       val e = intercept[Exception] { spark.sql(ddl.format(fresh("partbad"))) }
