@@ -501,6 +501,36 @@ object RowLevelOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
+    * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
+    * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
+    * identity-partition columns are answered ENTIRELY from write-time
+    * manifest stats — the executed plan is a LocalTableScan, zero data
+    * files opened. At 100 TB, `SELECT count(*) FROM t` reads a few KB of
+    * commit log instead of the table. The pushdown is complete-only and
+    * refuses anything the stats can't answer EXACTLY: WHERE clauses stay
+    * residual (fall back to a real scan), delete vectors poison MIN/MAX
+    * but not COUNT(*), non-partition group-bys and non-min/max/count
+    * aggregates scan data (all spec-pinned). The query groups the events
+    * fixture by its identity partition column with count/min/max/max-ts
+    * per group; the oracle computes the same declaratively — the
+    * metadata answer must equal the data answer.
+    */
+  def qCowAggPushdown(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.aggp_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (event_id BIGINT, ts TIMESTAMP, " +
+      "event_type STRING, value DOUBLE) PARTITIONED BY (event_type)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT event_id, ts, event_type, value
+         |FROM parquet.`$d/events.parquet`""".stripMargin)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+         |       max(event_id) AS max_id, unix_micros(max(ts)) AS max_ts_us
+         |FROM $tbl GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** q_cow_bucketed — STORAGE-PARTITIONED JOIN on the writable catalog
     * (`PARTITIONED BY (bucket(8, doc_id))` + `SupportsReportPartitioning`
     * + the catalog's `bucket` FunctionCatalog entry): two tables bucketed
@@ -633,6 +663,7 @@ object RowLevelOps {
     "q_cow_optimize"    -> qCowOptimize _,
     "q_cow_partitioned" -> qCowPartitioned _,
     "q_cow_days"        -> qCowDays _,
+    "q_cow_agg_pushdown" -> qCowAggPushdown _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -689,6 +720,13 @@ object RowLevelOps {
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // The manifest answer must equal the data answer: per-partition
+    // count/min/max rebuilt declaratively from the raw fixture.
+    "q_cow_agg_pushdown" ->
+      """SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+        |       max(event_id) AS max_id,
+        |       CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The temporal routing/pruning must be invisible to results: the
     // same day-aligned 3-day window, computed declaratively.
     "q_cow_days" ->

@@ -2111,7 +2111,8 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
                      op: Option[CowRowLevelOperation],
                      streamKey: Option[(String, Identifier)] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private def isMeta(n: String): Boolean =
@@ -2171,9 +2172,155 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
   override def pushedFilters(): Array[Filter] =
     (skippable ++ partPrunable).distinct
 
-  override def build(): Scan =
-    new CowScan(tableName, state, required, op, skippable, streamKey,
-      partPrunable)
+  // ---------------------------------------------------------------------
+  // MANIFEST-ONLY AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`, the
+  // Iceberg/Delta metadata-query lever): COUNT(*), MIN/MAX over
+  // long/timestamp columns, and GROUP BY identity-partition columns are
+  // answered ENTIRELY from write-time manifest stats — zero data files
+  // opened. At 100 TB, `SELECT count(*) FROM t` reads a few KB of commit
+  // log instead of the table. The pushdown is COMPLETE-only and refuses
+  // anything the stats can't answer EXACTLY:
+  //  - Spark only attempts it when every filter was handled, and this
+  //    builder keeps all filters residual, so any WHERE falls back to a
+  //    real scan;
+  //  - MIN/MAX refuse when any file carries a delete vector (a deleted
+  //    row could be the extremum); COUNT(*) stays exact under DVs
+  //    (rows net of vector sizes);
+  //  - GROUP BY keys must be identity partition source columns (each
+  //    file belongs to exactly one group by construction);
+  //  - files without stats (never produced by this writer) refuse.
+  // ---------------------------------------------------------------------
+  private var aggPushed: Option[(StructType, Array[InternalRow])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    planAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // Complete-only: when the manifest can't answer exactly, refuse the
+    // partial-pushdown protocol too (its per-partition rows would have
+    // to come from data files — the thing this pushdown exists to skip).
+    aggPushed = planAggregation(agg)
+    aggPushed.isDefined
+  }
+
+  private def planAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (op.isDefined) return None
+    val files = state.files
+    if (!files.forall(state.stats.contains)) return None
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    def typeOf(c: String): Option[DataType] =
+      state.schema.fields.find(_.name == c).map(_.dataType)
+
+    // Group keys: identity partition source columns only.
+    val gb = agg.groupByExpressions.toVector.map { e =>
+      for {
+        c <- colOf(e)
+        i = state.spec.indexWhere(p => p.kind == "identity" && p.col == c)
+        if i >= 0
+        dt <- typeOf(c)
+      } yield (c, i, dt)
+    }
+    if (gb.exists(_.isEmpty)) return None
+    val groupCols = gb.flatten
+    // Every file must carry a full partition tuple under the CURRENT spec
+    // — a file written before the spec existed has no group and would be
+    // silently dropped (wrong, not conservative), so refuse instead.
+    if (groupCols.nonEmpty &&
+      !files.forall(f => state.stats(f).partVals.length == state.spec.length))
+      return None
+
+    // Aggregates: CountStar always; Min/Max on long/timestamp columns
+    // only when no delete vector anywhere (an extremum might be deleted).
+    sealed trait A
+    case object ACount extends A
+    case class AMin(c: String, dt: DataType) extends A
+    case class AMax(c: String, dt: DataType) extends A
+    val dvFree = state.deletes.valuesIterator.forall(_.isEmpty)
+    val aggs = agg.aggregateExpressions.toVector.map {
+      case _: CountStar => Some(ACount)
+      case m: Min =>
+        for {
+          c <- colOf(m.column); dt <- typeOf(c)
+          if (dt == LongType || dt == TimestampType) && dvFree
+        } yield AMin(c, dt)
+      case m: Max =>
+        for {
+          c <- colOf(m.column); dt <- typeOf(c)
+          if (dt == LongType || dt == TimestampType) && dvFree
+        } yield AMax(c, dt)
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty)) return None
+    val aggFns = aggs.flatten
+
+    val schema = StructType(
+      groupCols.map { case (c, _, dt) => StructField(c, dt, nullable = true) } ++
+        aggFns.map {
+          case ACount      => StructField("count(*)", LongType, nullable = false)
+          case AMin(c, dt) => StructField(s"min($c)", dt, nullable = true)
+          case AMax(c, dt) => StructField(s"max($c)", dt, nullable = true)
+        })
+
+    def rowsOf(group: Vector[String]): Array[Any] = {
+      val gvals: Array[Any] = groupCols.zipWithIndex.map {
+        case ((_, si, dt), gi) =>
+          CowStore.decodePartVal(state.spec(si), dt, group(gi))
+      }.toArray
+      val fset = files.filter { f =>
+        val pv = state.stats(f).partVals
+        groupCols.zipWithIndex.forall { case ((_, si, _), gi) =>
+          pv.length == state.spec.length && pv(si) == group(gi)
+        }
+      }
+      val avals: Array[Any] = aggFns.map {
+        case ACount =>
+          fset.map(f => state.stats(f).rows -
+            state.deletes.getOrElse(f, Vector.empty).length).sum: Any
+        case AMin(c, _) =>
+          val ms = fset.flatMap(f => state.stats(f).longRanges.get(c).map(_.min))
+          if (ms.isEmpty) null else ms.min
+        case AMax(c, _) =>
+          val ms = fset.flatMap(f => state.stats(f).longRanges.get(c).map(_.max))
+          if (ms.isEmpty) null else ms.max
+      }.toArray
+      gvals ++ avals
+    }
+
+    val rows: Array[InternalRow] =
+      if (groupCols.isEmpty) Array(new GenericInternalRow(rowsOf(Vector.empty)))
+      else files
+        .map(f => groupCols.map { case (_, si, _) => state.stats(f).partVals(si) })
+        .distinct
+        .map(g => new GenericInternalRow(rowsOf(g)): InternalRow)
+        .toArray
+    Some((schema, rows))
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((aggSchema, aggRows)) =>
+      new LocalScan {
+        override def readSchema(): StructType = aggSchema
+        override def rows(): Array[InternalRow] = aggRows
+        override def description(): String =
+          s"graft-cow manifest-aggregate of $tableName v${state.version} " +
+            s"[${aggSchema.fieldNames.mkString(",")}] (0 data files read)"
+      }
+    case None =>
+      new CowScan(tableName, state, required, op, skippable, streamKey,
+        partPrunable)
+  }
 }
 
 /** Snapshot at plan time: the file list this scan will read is pinned at

@@ -1132,6 +1132,56 @@ class CowCatalogSpec extends SparkSpec {
       (0L until 18L).filter(i => i % 6 >= 4))
   }
 
+  test("manifest aggregate pushdown: COUNT/MIN/MAX/GROUP BY answered with zero data files; honest fallbacks") {
+    val tbl = fresh("aggp")
+    mkPartitioned(tbl) // ids 0..29, tag = t(id%3), v = id*10, identity(tag)
+    def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    // Global COUNT/MIN/MAX: answered from the manifest — the plan is a
+    // LocalTableScan, no graft-cow data scan anywhere.
+    val g = spark.sql(s"SELECT count(*), min(id), max(v) FROM $tbl")
+    assert(planOf(g).contains("LocalTableScan") &&
+      !planOf(g).contains("graft-cow scan"),
+      s"global aggregate must be manifest-only: ${planOf(g)}")
+    assert(g.collect().head.toSeq == Seq(30L, 0L, 290L))
+    // GROUP BY the identity partition column: one manifest row per
+    // partition, still zero data files.
+    val p = spark.sql(
+      s"SELECT tag, count(*) AS n, max(v) AS mv FROM $tbl GROUP BY tag ORDER BY tag")
+    assert(!planOf(p).contains("graft-cow scan"),
+      s"partition group-by must be manifest-only: ${planOf(p)}")
+    assert(p.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("t0", 10L, 270L), ("t1", 10L, 280L), ("t2", 10L, 290L)))
+    // SELECT DISTINCT partition column = empty aggregate list, same path.
+    val dts = spark.sql(s"SELECT DISTINCT tag FROM $tbl")
+    assert(!planOf(dts).contains("graft-cow scan"))
+    assert(dts.collect().map(_.getString(0)).sorted.toSeq == Seq("t0", "t1", "t2"))
+    // Honest fallbacks — each of these MUST read data:
+    // a WHERE stays residual, so the aggregate is not pushed;
+    val w = spark.sql(s"SELECT count(*) FROM $tbl WHERE v > 100")
+    assert(planOf(w).contains("graft-cow scan"), s"WHERE must fall back: ${planOf(w)}")
+    assert(w.collect().head.getLong(0) == 19)
+    // an aggregate the stats can't answer (avg) is not pushed;
+    assert(planOf(spark.sql(s"SELECT avg(v) FROM $tbl")).contains("graft-cow scan"))
+    // a group-by on a NON-partition column is not pushed.
+    assert(planOf(spark.sql(s"SELECT v, count(*) FROM $tbl GROUP BY v"))
+      .contains("graft-cow scan"))
+    // Delete vectors: COUNT(*) stays manifest-exact (rows net of DVs),
+    // MIN/MAX fall back (the extremum might be deleted).
+    val mor = fresh("aggpmor")
+    spark.sql(s"CREATE TABLE $mor (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $mor SELECT id, id * 10 FROM range(0, 20)")
+    spark.sql(s"DELETE FROM $mor WHERE id = 19") // the max row, as a DV
+    val c = spark.sql(s"SELECT count(*) FROM $mor")
+    assert(!planOf(c).contains("graft-cow scan"),
+      s"COUNT(*) under DVs is still exact from the manifest: ${planOf(c)}")
+    assert(c.collect().head.getLong(0) == 19)
+    val mm = spark.sql(s"SELECT max(id) FROM $mor")
+    assert(planOf(mm).contains("graft-cow scan"),
+      s"MAX under DVs must fall back to the data: ${planOf(mm)}")
+    assert(mm.collect().head.getLong(0) == 18)
+  }
+
   test("write-time stats skip files on raw-timestamp ranges (unpartitioned)") {
     val tbl = fresh("tsskip")
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, ts TIMESTAMP)")
