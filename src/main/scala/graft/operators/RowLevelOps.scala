@@ -501,6 +501,43 @@ object RowLevelOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** q_cow_spec_evolve — PARTITION SPEC EVOLUTION (`CALL
+    * graft_cow.set_spec(table, spec)`, Iceberg `REPLACE PARTITION FIELD`
+    * in miniature): a metadata-only commit switches what NEW writes route
+    * under; every existing file keeps its tuple AND its spec id, and
+    * scans prune each file under the spec that WROTE it (per-file spec
+    * resolution — a same-length spec change can never misprune, the
+    * CowCatalogSpec motivating-bug test). Compaction migrates old files
+    * to the current layout as a side effect of rewriting them. At 100 TB
+    * this is how a table re-partitions without rewriting history: the
+    * "we should have partitioned by day" fix is one metadata commit, not
+    * a 100 TB copy. The scripted flow backfills an identity(source)
+    * table, evolves to bucket(4, doc_id), inserts the remaining third,
+    * and reads one source back — the old files partition-pruned, the new
+    * ones residual-filtered; the oracle is the declarative union.
+    */
+  def qCowSpecEvolve(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"evo_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT) " +
+      "PARTITIONED BY (source)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(s"CALL $CatalogName.set_spec('ops.$name', 'bucket(4, doc_id)')")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 = 0""".stripMargin)
+    val lit = spark.sql(
+      s"SELECT min(source) FROM parquet.`$d/documents.parquet`").head.getString(0)
+    spark.sql(
+      s"""SELECT doc_id, source, score FROM $tbl
+         |WHERE source = '$lit' ORDER BY doc_id""".stripMargin)
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -664,6 +701,7 @@ object RowLevelOps {
     "q_cow_partitioned" -> qCowPartitioned _,
     "q_cow_days"        -> qCowDays _,
     "q_cow_agg_pushdown" -> qCowAggPushdown _,
+    "q_cow_spec_evolve" -> qCowSpecEvolve _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -719,6 +757,13 @@ object RowLevelOps {
         |FROM documents
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // Spec evolution must be invisible to results: one source's rows
+    // across both the pre- and post-evolution writes.
+    "q_cow_spec_evolve" ->
+      """SELECT doc_id, source, n_chars AS score
+        |FROM documents
+        |WHERE source = (SELECT min(source) FROM documents)
         |ORDER BY doc_id""".stripMargin,
     // The manifest answer must equal the data answer: per-partition
     // count/min/max rebuilt declaratively from the raw fixture.

@@ -132,7 +132,12 @@ object CowStore {
   final case class FileStats(rows: Long, bytes: Long,
                              longRanges: Map[String, ColRange],
                              cols: Vector[String],
-                             partVals: Vector[String] = Vector.empty)
+                             partVals: Vector[String] = Vector.empty,
+                             // Which PARTITION SPEC wrote this file (spec
+                             // evolution: ids only ever grow per table, so
+                             // a tuple is always interpreted under the
+                             // spec that routed it, never a later one).
+                             specId: Int = 0)
 
   /** One field of a table PARTITION SPEC (Iceberg partition transforms in
     * miniature): `identity` (long or string column — the value IS the
@@ -306,8 +311,24 @@ object CowStore {
                          // publish and main-lineage timestamp travel
                          // decidable).
                          branches: Map[String, Long] = Map.empty,
-                         parent: Map[Long, Long] = Map.empty) {
+                         parent: Map[Long, Long] = Map.empty,
+                         // PARTITION SPEC EVOLUTION (Iceberg spec ids in
+                         // miniature): `spec` is the CURRENT spec (id =
+                         // specId, what new writes route under); every
+                         // superseded spec is retained by id so each
+                         // file's tuple is pruned under the spec that
+                         // WROTE it. Ids only grow — never reused, even
+                         // across REPLACE TABLE — so time-traveled
+                         // snapshots resolve their files' specs exactly.
+                         specId: Int = 0,
+                         oldSpecs: Map[Int, Vector[PartField]] = Map.empty) {
     def snapshot: Snapshot = history(version)
+    /** The spec that wrote a file, by its stats' spec id; an unknown id
+      * resolves EMPTY (treated as unpartitioned ⇒ never pruned — a
+      * resolution bug can cost I/O, never answers).
+      */
+    def specOf(id: Int): Vector[PartField] =
+      if (id == specId) spec else oldSpecs.getOrElse(id, Vector.empty)
     def headOf(branch: Option[String]): Long = branch match {
       case None => version
       case Some(b) => branches.getOrElse(b,
@@ -540,6 +561,27 @@ object CowStore {
       publish(k, st, snap.copy(schema = snap.schema.add(field)), Map.empty)
     }
 
+  /** PARTITION SPEC EVOLUTION (`CALL graft_cow.set_spec(table, spec)`,
+    * Iceberg `REPLACE PARTITION FIELD` in miniature): a METADATA-ONLY
+    * commit — same files, same delete vectors, same schema — that makes
+    * `newSpec` the spec NEW writes route under. Existing files keep
+    * their tuples AND their spec id, so scans prune each file under the
+    * spec that wrote it (same-length spec changes can never misprune),
+    * while compaction migrates old files to the current layout as a side
+    * effect of rewriting them. An identical spec is a no-op (no commit).
+    */
+  def setSpec(catalog: String, ident: Identifier,
+              newSpec: Vector[PartField]): State = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new NoSuchTableException(ident))
+    validateSpec(newSpec, st.schema)
+    if (newSpec == st.spec) st
+    else publish(k, st.copy(spec = newSpec, specId = st.specId + 1,
+      oldSpecs = st.oldSpecs + (st.specId -> st.spec)),
+      st.snapshot, Map.empty)
+  }
+
   /** Commit wall-clock in MICROSECONDS (Spark's `TIMESTAMP AS OF`
     * resolution unit), strictly increasing per table so two commits in
     * the same clock tick stay distinguishable.
@@ -603,8 +645,17 @@ object CowStore {
     st.parent.get(v).foreach(p => sb ++= s"parent\t$p\n")
     // Partition spec rides every manifest (like mor): kind:arg:col per
     // field — col last, it is the only token that could be confused.
+    // Spec EVOLUTION adds the current spec's id plus every superseded
+    // spec by id, so recovery re-resolves each file's tuple exactly.
     if (st.spec.nonEmpty)
       sb ++= s"partspec\t${st.spec.map(p => s"${p.kind}:${p.arg}:${p.col}").mkString(",")}\n"
+    if (st.specId != 0) sb ++= s"specid\t${st.specId}\n"
+    st.oldSpecs.toSeq.sortBy(_._1).foreach { case (id, sp) =>
+      val body =
+        if (sp.isEmpty) "-"
+        else sp.map(p => s"${p.kind}:${p.arg}:${p.col}").mkString(",")
+      sb ++= s"oldspec\t$id\t$body\n"
+    }
     sb ++= s"schema\t${snap.schema.json}\n"
     snap.files.foreach { f =>
       st.stats.get(f) match {
@@ -615,7 +666,7 @@ object CowStore {
               s"$c:${r.min}:${r.max}"
             }.mkString(",")
           val pv = if (fs.partVals.isEmpty) "-" else fs.partVals.mkString(",")
-          sb ++= s"file\t$f\t${fs.rows}\t${fs.bytes}\t$ranges\t${fs.cols.mkString(",")}\t$pv\n"
+          sb ++= s"file\t$f\t${fs.rows}\t${fs.bytes}\t$ranges\t${fs.cols.mkString(",")}\t$pv\t${fs.specId}\n"
         case None => sb ++= s"file\t$f\t-\n"
       }
     }
@@ -674,6 +725,8 @@ object CowStore {
       // not whichever file parses last in directory order.
       var morByVersion = Map.empty[Long, Boolean]
       var specByVersion = Map.empty[Long, Vector[PartField]]
+      var specIdByVersion = Map.empty[Long, Int]
+      var oldSpecsAll = Map.empty[Int, Vector[PartField]]
       var stats = Map.empty[String, FileStats]
       var commitTs = Map.empty[Long, Long]
       var parents = Map.empty[Long, Long]
@@ -693,13 +746,24 @@ object CowStore {
                 val Array(kind, arg, col) = p.split(":", 3)
                 PartField(kind, col, arg.toLong)
               }
+            case Seq("specid", id) => specIdByVersion += version -> id.toInt
+            case Seq("oldspec", id, s) =>
+              oldSpecsAll += id.toInt -> (
+                if (s == "-") Vector.empty
+                else s.split(",").toVector.map { p =>
+                  val Array(kind, arg, col) = p.split(":", 3)
+                  PartField(kind, col, arg.toLong)
+                })
             // writeManifest emits version FIRST, so `version` is set here.
             case Seq("committed_at_us", ts) => commitTs += version -> ts.toLong
             case Seq("parent", p) => parents += version -> p.toLong
             case Seq("schema", j) =>
               schema = DataType.fromJson(j).asInstanceOf[StructType]
             case Seq("file", f, "-") => files :+= f
-            case Seq("file", f, rows, bytes, ranges, cols, pv) =>
+            // Pre-evolution manifests wrote 7 tokens (no spec id — id 0);
+            // current manifests append the file's spec id as an 8th.
+            case Seq("file", f, rows, bytes, ranges, cols, pv, rest @ _*)
+                if rest.length <= 1 =>
               files :+= f
               val lr =
                 if (ranges == "-") Map.empty[String, ColRange]
@@ -709,7 +773,8 @@ object CowStore {
                 }.toMap
               stats += f -> FileStats(rows.toLong, bytes.toLong, lr,
                 if (cols.isEmpty) Vector.empty else cols.split(",").toVector,
-                if (pv == "-") Vector.empty else pv.split(",", -1).toVector)
+                if (pv == "-") Vector.empty else pv.split(",", -1).toVector,
+                rest.headOption.map(_.toInt).getOrElse(0))
             case Seq("dv", f, ps) =>
               dvs += f -> ps.split(",").map(_.toLong).toVector
             case other =>
@@ -730,7 +795,9 @@ object CowStore {
         history, stats,
         tags = readTags(dir), epochs = readEpochs(dir), commitTsUs = commitTs,
         spec = specByVersion.getOrElse(current, Vector.empty),
-        branches = branches, parent = parents)
+        branches = branches, parent = parents,
+        specId = specIdByVersion.getOrElse(current, 0),
+        oldSpecs = oldSpecsAll)
       tables.put(key(catalog, ident), st)
       st
     }
@@ -911,9 +978,20 @@ object CowStore {
     // of silently keeping the old one (round-14 ADVICE), and a REPLACE
     // with a different PARTITIONED BY re-partitions — safe because the
     // new snapshot replaces every file and carries no delete vectors.
-    def replace(st: State): Unit =
-      publish(k, st.copy(mor = mor, spec = spec),
-        Snapshot(files.map(_._1).toVector, Map.empty, schema), files.toMap): Unit
+    def replace(st: State): Unit = {
+      // A spec change through RTAS gets a FRESH spec id (ids never reuse
+      // — a time-traveled pre-replace snapshot must still resolve its
+      // files' old spec). Staged writers couldn't know the final id, so
+      // the stats are restamped here at commit.
+      val (sid, olds) =
+        if (spec == st.spec) (st.specId, st.oldSpecs)
+        else (st.specId + 1, st.oldSpecs + (st.specId -> st.spec))
+      val stamped = files.map { case (f, fs) => f -> fs.copy(specId = sid) }
+      publish(k, st.copy(mor = mor, spec = spec, specId = sid,
+        oldSpecs = olds),
+        Snapshot(stamped.map(_._1).toVector, Map.empty, schema),
+        stamped.toMap): Unit
+    }
     mode match {
       case StageMode.Create =>
         if (existing.isDefined) {
@@ -1204,15 +1282,17 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       case "branch"   => new CowBranchProcedure(catalogName)
       case "publish"  => new CowPublishProcedure(catalogName)
       case "optimize" => new CowOptimizeProcedure(catalogName)
+      case "set_spec" => new CowSetSpecProcedure(catalogName)
       case other => throw new RuntimeException(
         s"graft-cow: no such procedure $other " +
-          "(have: vacuum, tag, branch, publish, optimize)")
+          "(have: vacuum, tag, branch, publish, optimize, set_spec)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "tag"),
       Identifier.of(namespace, "branch"), Identifier.of(namespace, "publish"),
-      Identifier.of(namespace, "optimize"))
+      Identifier.of(namespace, "optimize"),
+      Identifier.of(namespace, "set_spec"))
 
   /** The `FunctionCatalog` half of STORAGE-PARTITIONED JOINS: when
     * Catalyst resolves a scan-reported `bucket(n, col)` partitioning
@@ -1484,12 +1564,14 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
         throw new NoSuchTableException(ident))
 
       // Plan from manifest stats only: sub-target current files, grouped
-      // by partition tuple (an output file must belong to ONE partition),
+      // by (spec id, partition tuple) — a tuple only means something
+      // under the spec that wrote it, so bins never mix specs — with
       // first-fit-decreasing bin packing up to the target.
       val candidates = st.files.filter(f =>
         st.stats.get(f).exists(_.bytes < target))
-      val bins = candidates.groupBy(f => st.stats(f).partVals).toSeq
-        .flatMap { case (pv, fs) =>
+      val bins = candidates
+        .groupBy(f => (st.stats(f).specId, st.stats(f).partVals)).toSeq
+        .flatMap { case ((_, pv), fs) =>
           val sorted = fs.sortBy(f => -st.stats(f).bytes)
           val packed = scala.collection.mutable.ArrayBuffer
             .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
@@ -1522,15 +1604,20 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
         val spark = org.apache.spark.sql.SparkSession.active
         val dir = st.dir
         val schema = st.schema
+        val curSpec = st.spec
+        val curSpecId = st.specId
         val foldedDeletes = bins.iterator.flatMap(_.files)
           .map(_._3.length.toLong).sum
-        // One Spark task per bin: read each file DV-filtered, stream into
-        // one new parquet file in current-schema shape (compaction also
-        // upgrades pre-evolution files), return the commit message parts.
+        // One Spark task per bin: read each file DV-filtered, stream
+        // through the CURRENT spec's router into current-schema parquet —
+        // compaction upgrades pre-evolution files to the current schema
+        // AND migrates pre-evolution partition layouts to the current
+        // spec (the Iceberg rewrite_data_files contract; a bin from an
+        // old spec fans out to its rows' current-spec partitions).
         val rewritten = spark.sparkContext
           .parallelize(bins, bins.size)
           .map { bin =>
-            val out = new CowTaskFile(dir, schema, schema, bin.partVals)
+            val out = new CowTaskRouter(dir, schema, schema, curSpec, curSpecId)
             val rf = CowReaderFactory(schema, schema)
             bin.files.foreach { case (f, cols, dv) =>
               val r = rf.createReader(CowFilePartition(f, cols, dv))
@@ -1540,7 +1627,7 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
             (out.finish(), bin.files.map(_._1))
           }
           .collect()
-        val newFiles = rewritten.flatMap(_._1.toSeq)
+        val newFiles = rewritten.flatMap(_._1)
         val replaced = rewritten.flatMap(_._2).toSet
         CowStore.commit(catalogName, ident, newFiles.map(_._1).toSeq,
           Some(replaced), newFiles.toMap)
@@ -1554,6 +1641,89 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
           StructField("new_files", LongType, nullable = false),
           StructField("folded_deletes", LongType, nullable = false)))
         override def description(): String = "graft-cow optimize report"
+      }
+      JCollections.singletonList(scan).iterator()
+    }
+  }
+}
+
+/** `CALL <catalog>.set_spec(table, '<spec>')` — PARTITION SPEC EVOLUTION
+  * (Iceberg `REPLACE PARTITION FIELD` in miniature): a metadata-only
+  * commit that makes the given spec the one NEW writes route under, while
+  * every existing file keeps its tuple + spec id and prunes under the
+  * spec that wrote it. The spec string uses the DDL shapes: bare column =
+  * identity, `bucket(n, col)`, `truncate(w, col)`, `days(col)`,
+  * `hours(col)`, comma-separated; the empty string un-partitions future
+  * writes. Returns (spec_id, spec).
+  */
+class CowSetSpecProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "set_spec"
+  override def description(): String =
+    "graft-cow SET_SPEC: evolve the partition spec for future writes " +
+      "(existing files keep their layout and prune under the spec that " +
+      "wrote them)"
+
+  /** Parse `bucket(8, id), days(ts), source` into PartFields. */
+  private[sources] def parse(s: String): Vector[CowStore.PartField] = {
+    val trimmed = s.trim
+    if (trimmed.isEmpty) return Vector.empty
+    // Split on commas OUTSIDE parentheses (bucket(8, id) has one inside).
+    val fields = Vector.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    trimmed.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => fields += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    fields += cur.toString
+    val fnRe = """(\w+)\s*\(\s*([^)]*)\s*\)""".r
+    fields.result().map(_.trim).filter(_.nonEmpty).map {
+      case fnRe(fn, args) =>
+        val as = args.split(",").map(_.trim).filter(_.nonEmpty)
+        fn.toLowerCase match {
+          case k @ ("bucket" | "truncate") =>
+            require(as.length == 2 && as(0).forall(_.isDigit),
+              s"graft-cow: $k needs (count, column), got $fn($args)")
+            CowStore.PartField(k, as(1), as(0).toLong)
+          case k @ ("days" | "hours") =>
+            require(as.length == 1,
+              s"graft-cow: $k needs (column), got $fn($args)")
+            CowStore.PartField(k, as(0))
+          case k @ "identity" =>
+            require(as.length == 1,
+              s"graft-cow: identity needs (column), got $fn($args)")
+            CowStore.PartField(k, as(0))
+          case other => throw new IllegalArgumentException(
+            s"graft-cow: unsupported partition transform $other " +
+              "(identity, bucket, truncate, days, hours)")
+        }
+      case bare => CowStore.PartField("identity", bare)
+    }
+  }
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "set_spec"
+    override def description(): String = CowSetSpecProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("spec", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split("\\.")
+      val ident = Identifier.of(parts.init, parts.last)
+      val st = CowStore.setSpec(catalogName, ident,
+        parse(input.getUTF8String(1).toString))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(
+          new GenericInternalRow(Array[Any](st.specId.toLong,
+            UTF8String.fromString(st.spec.map(_.describe).mkString(", ")))))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("spec_id", LongType, nullable = false),
+          StructField("spec", StringType, nullable = false)))
+        override def description(): String = "graft-cow set_spec report"
       }
       JCollections.singletonList(scan).iterator()
     }
@@ -2150,7 +2320,11 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
       case LessThanOrEqual(c, v)    => longCol(c) && longVal(v)
       case _ => false
     }
-    val specCols = state.spec.map(_.col).toSet
+    // Spec evolution: a predicate on a column ANY spec (current or
+    // superseded) partitions by can prune the files written under that
+    // spec — collect prunables over the union.
+    val specCols =
+      (state.spec ++ state.oldSpecs.valuesIterator.flatten).map(_.col).toSet
     def partVal(v: Any): Boolean =
       longVal(v) || v.isInstanceOf[String]
     partPrunable = filters.filter {
@@ -2235,10 +2409,14 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
     if (gb.exists(_.isEmpty)) return None
     val groupCols = gb.flatten
     // Every file must carry a full partition tuple under the CURRENT spec
-    // — a file written before the spec existed has no group and would be
-    // silently dropped (wrong, not conservative), so refuse instead.
+    // (same spec id — evolution leaves old files grouped under a
+    // different spec): a file whose tuple doesn't resolve has no group
+    // and would be silently dropped (wrong, not conservative) — refuse.
     if (groupCols.nonEmpty &&
-      !files.forall(f => state.stats(f).partVals.length == state.spec.length))
+      !files.forall { f =>
+        val fs = state.stats(f)
+        fs.specId == state.specId && fs.partVals.length == state.spec.length
+      })
       return None
 
     // Aggregates: CountStar always; Min/Max on long/timestamp columns
@@ -2386,13 +2564,19 @@ class CowScan(tableName: String, state: CowStore.State,
     * are kept — pruning is optional, the residual filter is authoritative.
     */
   private def survivePartition(f: String): Boolean =
-    state.spec.isEmpty || partFilters.isEmpty ||
+    partFilters.isEmpty ||
       state.stats.get(f).forall { fs =>
-        if (fs.partVals.length != state.spec.length) true
+        // Spec EVOLUTION: a tuple only means something under the spec
+        // that WROTE the file — resolve it by the file's spec id (an
+        // unknown id resolves empty ⇒ kept). This is what makes a
+        // same-length spec change safe: the old files never get read
+        // under the new spec's column mapping.
+        val fileSpec = state.specOf(fs.specId)
+        if (fileSpec.isEmpty || fs.partVals.length != fileSpec.length) true
         else {
           import org.apache.spark.sql.sources._
           def field(c: String): Option[(CowStore.PartField, String)] =
-            state.spec.zipWithIndex.collectFirst {
+            fileSpec.zipWithIndex.collectFirst {
               case (p, i) if p.col == c => (p, fs.partVals(i))
             }
           // Timestamp literals normalize to epoch micros — the long
@@ -2514,11 +2698,15 @@ class CowScan(tableName: String, state: CowStore.State,
       if (skipFilters.isEmpty) ""
       else s" skipBy[${skipFilters.mkString(",")}]"
     val parts =
-      if (state.spec.isEmpty) ""
+      if (state.spec.isEmpty && state.oldSpecs.isEmpty) ""
       else {
+        // Partitions are counted per (spec id, tuple) — with spec
+        // evolution, equal tuple strings under different specs are
+        // different partitions.
         def distinctParts(fl: Vector[String]): Int =
-          fl.flatMap(f => state.stats.get(f).map(_.partVals)
-            .filter(_.nonEmpty)).distinct.size
+          fl.flatMap(f => state.stats.get(f)
+            .filter(_.partVals.nonEmpty)
+            .map(fs => (fs.specId, fs.partVals))).distinct.size
         s"; ${distinctParts(files)} of ${distinctParts(state.files)} " +
           s"partitions [${state.spec.map(_.describe).mkString(",")}]"
       }
@@ -2535,8 +2723,12 @@ class CowScan(tableName: String, state: CowStore.State,
     */
   private def keyedSpec: Option[Vector[(CowStore.PartField, DataType)]] =
     if (state.spec.isEmpty || op.isDefined) None
+    // Spec evolution: key-grouped execution needs every planned file on
+    // the CURRENT spec (a pre-evolution file's tuple keys a different
+    // function) — mixed-spec scans report unknown and shuffle normally.
     else if (!files.forall(f => state.stats.get(f)
-      .exists(_.partVals.length == state.spec.length))) None
+      .exists(fs => fs.specId == state.specId &&
+        fs.partVals.length == state.spec.length))) None
     else Some(state.spec.map { p =>
       p -> state.schema.fields.find(_.name == p.col).get.dataType
     })
@@ -2893,7 +3085,7 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
         override def createStreamingWriterFactory(
             info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
           CowStreamingWriterFactory(state.dir, writeSchema, state.schema,
-            state.spec)
+            state.spec, state.specId)
         override def commit(epochId: Long,
                             messages: Array[WriterCommitMessage]): Unit = {
           val msgs = messages.map(_.asInstanceOf[CowCommitMessage])
@@ -2913,7 +3105,8 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        CowWriterFactory(state.dir, writeSchema, state.schema, state.spec)
+        CowWriterFactory(state.dir, writeSchema, state.schema, state.spec,
+          state.specId)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         // Row-level ops remove the scanned (= rewritten) groups; truncate
         // removes everything current; append removes nothing. Reading the
@@ -2959,7 +3152,7 @@ class CowDeltaWriteBuilder(catalog: String, ident: Identifier,
           new IllegalStateException(
             "graft-cow: delta write without a row-id schema"))
         CowDeltaWriterFactory(state.dir, info.schema(), rowIdSchema,
-          state.schema, state.spec)
+          state.schema, state.spec, state.specId)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val msgs = messages.map(_.asInstanceOf[CowDeltaCommitMessage])
@@ -3000,7 +3193,8 @@ case class CowDeltaCommitMessage(files: Seq[(String, CowStore.FileStats)],
   */
 private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
                                          tableSchema: StructType,
-                                         partVals: Vector[String] = Vector.empty) {
+                                         partVals: Vector[String] = Vector.empty,
+                                         specId: Int = 0) {
   private def messageType: String =
     tableSchema.fields.map { f =>
       // Timestamps are int64 epoch micros with the standard annotation
@@ -3090,7 +3284,7 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
       }.toMap
       Some(file -> CowStore.FileStats(
         rows, new java.io.File(file).length(), ranges,
-        tableSchema.fieldNames.toVector, partVals))
+        tableSchema.fieldNames.toVector, partVals, specId))
     }
   }
 
@@ -3113,7 +3307,8 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
   */
 private[sources] final class CowTaskRouter(dir: String, writeSchema: StructType,
                                            tableSchema: StructType,
-                                           spec: Vector[CowStore.PartField]) {
+                                           spec: Vector[CowStore.PartField],
+                                           specId: Int = 0) {
   // Per-field value extractor against the DECLARED write schema (+ lead
   // offset, see CowWriterFactory.leadOffset).
   private val extract: Array[(InternalRow, Int) => Any] = spec.map { p =>
@@ -3141,7 +3336,8 @@ private[sources] final class CowTaskRouter(dir: String, writeSchema: StructType,
         CowStore.encodePartVal(spec(i), extract(i)(row, off))
       }.toVector
     open.getOrElseUpdate(key,
-      new CowTaskFile(dir, writeSchema, tableSchema, key)).write(row, off)
+      new CowTaskFile(dir, writeSchema, tableSchema, key, specId))
+      .write(row, off)
   }
 
   def finish(): Seq[(String, CowStore.FileStats)] =
@@ -3164,12 +3360,13 @@ private[sources] final class CowTaskRouter(dir: String, writeSchema: StructType,
   */
 case class CowWriterFactory(dir: String, writeSchema: StructType,
                             tableSchema: StructType,
-                            spec: Vector[CowStore.PartField] = Vector.empty)
+                            spec: Vector[CowStore.PartField] = Vector.empty,
+                            specId: Int = 0)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val out = new CowTaskRouter(dir, writeSchema, tableSchema, spec)
+      private val out = new CowTaskRouter(dir, writeSchema, tableSchema, spec, specId)
       // Spark 4.1 plan-shape quirk, measured against the shipped bytecode:
       // a group-based ReplaceData whose operation requests NO metadata
       // attributes takes the plain DataWritingSparkTask path, which does
@@ -3216,11 +3413,12 @@ case class CowWriterFactory(dir: String, writeSchema: StructType,
   */
 case class CowStreamingWriterFactory(dir: String, writeSchema: StructType,
                                      tableSchema: StructType,
-                                     spec: Vector[CowStore.PartField] = Vector.empty)
+                                     spec: Vector[CowStore.PartField] = Vector.empty,
+                                     specId: Int = 0)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    CowWriterFactory(dir, writeSchema, tableSchema, spec)
+    CowWriterFactory(dir, writeSchema, tableSchema, spec, specId)
       .createWriter(partitionId, taskId)
 }
 
@@ -3232,7 +3430,8 @@ case class CowStreamingWriterFactory(dir: String, writeSchema: StructType,
 case class CowDeltaWriterFactory(dir: String, writeSchema: StructType,
                                  rowIdSchema: StructType,
                                  tableSchema: StructType,
-                                 spec: Vector[CowStore.PartField] = Vector.empty)
+                                 spec: Vector[CowStore.PartField] = Vector.empty,
+                                 specId: Int = 0)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -3243,7 +3442,8 @@ case class CowDeltaWriterFactory(dir: String, writeSchema: StructType,
       // the empty write schema. Opened on first insert.
       private var out: CowTaskRouter = null
       private def ensureOut(): CowTaskRouter = {
-        if (out == null) out = new CowTaskRouter(dir, writeSchema, tableSchema, spec)
+        if (out == null)
+          out = new CowTaskRouter(dir, writeSchema, tableSchema, spec, specId)
         out
       }
       private val deletes =

@@ -1132,6 +1132,123 @@ class CowCatalogSpec extends SparkSpec {
       (0L until 18L).filter(i => i % 6 >= 4))
   }
 
+  test("spec evolution: files prune under the spec that wrote them; history recovers; guards fall back") {
+    val tbl = fresh("specevo")
+    mkPartitioned(tbl) // identity(tag), ids 0..29
+    val ident = identOf(tbl)
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    val v0files = CowStore.get(cat, ident).get.files.toSet
+    // Evolve to bucket(4, id): metadata-only commit, new writes route
+    // under the new spec, old files keep their layout + spec id.
+    val rep = spark.sql(s"CALL $cat.set_spec('$name', 'bucket(4, id)')")
+      .collect().head
+    assert(rep.getLong(0) == 1L && rep.getString(1) == "bucket(4, id)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, concat('t', CAST(id % 3 AS STRING)), id * 10
+         |FROM range(30, 60)""".stripMargin)
+    val st = CowStore.get(cat, ident).get
+    assert(st.specId == 1 && st.oldSpecs(0).map(_.describe) == Vector("tag"))
+    v0files.foreach(f => assert(st.stats(f).specId == 0,
+      s"pre-evolution file $f must keep spec id 0"))
+    (st.files.toSet -- v0files).foreach(f => assert(st.stats(f).specId == 1,
+      s"post-evolution file $f must carry the new spec id"))
+    val partsRe = """(\d+) of (\d+) partitions""".r
+    // A tag predicate prunes the OLD files under the OLD spec (new files
+    // are unprunable by tag and kept — the residual filter decides).
+    val q = spark.sql(s"SELECT id FROM $tbl WHERE tag = 't1'")
+    val m = partsRe.findFirstMatchIn(q.queryExecution.executedPlan.toString).get
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"old-spec partitions must prune after evolution: ${m.matched}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 60L).filter(_ % 3 == 1))
+    // An id equality prunes the NEW files via the bucket transform.
+    val one = spark.sql(s"SELECT v FROM $tbl WHERE id = 42")
+    val m2 = partsRe.findFirstMatchIn(one.queryExecution.executedPlan.toString).get
+    assert(m2.group(1).toInt < m2.group(2).toInt,
+      s"new-spec bucket must prune after evolution: ${m2.matched}")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(420L))
+    // The full spec history (current id + superseded specs + per-file
+    // ids) survives recovery from the manifest log.
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    assert(rec.specId == 1 && rec.spec == st.spec && rec.oldSpecs == st.oldSpecs)
+    assert(st.stats.forall { case (f, fs) => rec.stats(f).specId == fs.specId })
+    // Mixed-spec guards: identity-partition aggregate pushdown and
+    // key-grouped execution refuse — the group-by reads data and is
+    // still exact.
+    val gb = spark.sql(
+      s"SELECT tag, count(*) AS n FROM $tbl GROUP BY tag ORDER BY tag")
+    assert(gb.queryExecution.executedPlan.toString.contains("graft-cow scan"),
+      "mixed-spec group-by must fall back to the data")
+    assert(gb.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("t0", 20L), ("t1", 20L), ("t2", 20L)))
+  }
+
+  test("spec evolution: a same-length spec change never misprunes (per-file spec resolution)") {
+    val tbl = fresh("specswap")
+    spark.sql(s"CREATE TABLE $tbl (a STRING, b STRING, v BIGINT) " +
+      "PARTITIONED BY (a)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT concat('a', CAST(id % 2 AS STRING)),
+         |       concat('b', CAST(id % 3 AS STRING)), id
+         |FROM range(0, 12)""".stripMargin)
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    // SAME length, DIFFERENT column: under a naive "current spec only"
+    // pruner the old files' `a` tuples would be read as `b` values and
+    // silently misprune — the motivating bug for per-file spec ids.
+    spark.sql(s"CALL $cat.set_spec('$name', 'b')")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT concat('a', CAST(id % 2 AS STRING)),
+         |       concat('b', CAST(id % 3 AS STRING)), id
+         |FROM range(12, 24)""".stripMargin)
+    val byB = spark.sql(s"SELECT v FROM $tbl WHERE b = 'b1'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(byB == (0L until 24L).filter(_ % 3 == 1),
+      s"b-predicate must see OLD files (their tuples are a-values): $byB")
+    val byA = spark.sql(s"SELECT v FROM $tbl WHERE a = 'a0'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(byA == (0L until 24L).filter(_ % 2 == 0),
+      s"a-predicate must see NEW files (unprunable under spec b): $byA")
+  }
+
+  test("spec evolution: optimize migrates pre-evolution files to the current spec") {
+    val tbl = fresh("specopt")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT) " +
+      "PARTITIONED BY (tag)")
+    for (h <- 0 until 2)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ id, concat('t', CAST(id % 3 AS STRING)),
+           |       id * 10
+           |FROM range(${h * 15}, ${h * 15 + 15})""".stripMargin)
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.set_spec('$name', 'bucket(2, id)')")
+    spark.sql(s"CALL $cat.optimize('$name', ${64L * 1024 * 1024}L)")
+    val st = CowStore.get(cat, identOf(tbl)).get
+    // Every current file was rewritten under the CURRENT spec: bucket
+    // tuples, current spec id — compaction is the migration path.
+    st.files.foreach { f =>
+      val fs = st.stats(f)
+      assert(fs.specId == st.specId,
+        s"optimize must migrate $f to the current spec id")
+      assert(fs.partVals.length == 1 && fs.partVals.head.toInt < 2,
+        s"migrated tuple must be a bucket value: ${fs.partVals}")
+    }
+    // ... invisibly to results,
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._1).toSeq == (0L until 30L).map(i => (i, i * 10)))
+    // ... and the migrated layout prunes on the new key.
+    val one = spark.sql(s"SELECT v FROM $tbl WHERE id = 7")
+    val partsRe = """(\d+) of (\d+) partitions""".r
+    val m = partsRe.findFirstMatchIn(one.queryExecution.executedPlan.toString).get
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"migrated bucket layout must prune: ${m.matched}")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(70L))
+  }
+
   test("manifest aggregate pushdown: COUNT/MIN/MAX/GROUP BY answered with zero data files; honest fallbacks") {
     val tbl = fresh("aggp")
     mkPartitioned(tbl) // ids 0..29, tag = t(id%3), v = id*10, identity(tag)
