@@ -538,6 +538,42 @@ object RowLevelOps {
          |WHERE source = '$lit' ORDER BY doc_id""".stripMargin)
   }
 
+  /** q_cow_write_order — declarative WRITE SORT ORDER (`CALL
+    * graft_cow.set_write_order(table, 'score')`, Iceberg
+    * `write.sort-order` in miniature): future batch writes request an
+    * ORDERED distribution + in-task sort on the given columns, so each
+    * write's files carry DISJOINT [min, max] ranges and range predicates
+    * skip all but the covering files — the q_cow_cluster compaction
+    * one-shot turned into a standing table property every writer honors.
+    * At 100 TB this is the difference between every write needing a
+    * follow-up clustering pass and the table clustering ITSELF as it
+    * grows. The query reads a score band back; the oracle filters the
+    * raw fixture — ordering must be invisible to results (CowCatalogSpec
+    * pins the disjoint ranges, the skip metrics and the no-order
+    * control).
+    */
+  def qCowWriteOrder(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"wo_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    spark.sql(s"CALL $CatalogName.set_write_order('ops.$name', 'score')")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    // A fixed band of the score domain, computed once and inlined so the
+    // range predicate skips at plan time.
+    val r = spark.sql(
+      s"""SELECT min(n_chars) + 3 * (max(n_chars) - min(n_chars)) DIV 10,
+         |       min(n_chars) + 6 * (max(n_chars) - min(n_chars)) DIV 10
+         |FROM parquet.`$d/documents.parquet` WHERE doc_id % 3 <> 0""".stripMargin).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    spark.sql(
+      s"""SELECT doc_id, source, score FROM $tbl
+         |WHERE score >= $lo AND score < $hi ORDER BY doc_id""".stripMargin)
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -702,6 +738,7 @@ object RowLevelOps {
     "q_cow_days"        -> qCowDays _,
     "q_cow_agg_pushdown" -> qCowAggPushdown _,
     "q_cow_spec_evolve" -> qCowSpecEvolve _,
+    "q_cow_write_order" -> qCowWriteOrder _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -757,6 +794,19 @@ object RowLevelOps {
         |FROM documents
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // Write ordering must be invisible to results: the same score band
+    // filtered declaratively from the raw fixture (integer floor-div
+    // band bounds, both engines on non-negative ints).
+    "q_cow_write_order" ->
+      """WITH b AS (
+        |  SELECT min(n_chars) + (3 * (max(n_chars) - min(n_chars))) // 10 AS lo,
+        |         min(n_chars) + (6 * (max(n_chars) - min(n_chars))) // 10 AS hi
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |)
+        |SELECT doc_id, source, n_chars AS score
+        |FROM documents, b
+        |WHERE doc_id % 3 <> 0 AND n_chars >= b.lo AND n_chars < b.hi
         |ORDER BY doc_id""".stripMargin,
     // Spec evolution must be invisible to results: one source's rows
     // across both the pre- and post-evolution writes.

@@ -321,7 +321,14 @@ object CowStore {
                          // across REPLACE TABLE — so time-traveled
                          // snapshots resolve their files' specs exactly.
                          specId: Int = 0,
-                         oldSpecs: Map[Int, Vector[PartField]] = Map.empty) {
+                         oldSpecs: Map[Int, Vector[PartField]] = Map.empty,
+                         // Declarative WRITE SORT ORDER (Iceberg
+                         // write.sort-order): (column, descending) — new
+                         // batch writes are range-distributed and sorted
+                         // on these, so files' write-time [min, max]
+                         // ranges come out DISJOINT and range predicates
+                         // skip all but the covering files.
+                         writeOrder: Vector[(String, Boolean)] = Vector.empty) {
     def snapshot: Snapshot = history(version)
     /** The spec that wrote a file, by its stats' spec id; an unknown id
       * resolves EMPTY (treated as unpartitioned ⇒ never pruned — a
@@ -582,6 +589,29 @@ object CowStore {
       st.snapshot, Map.empty)
   }
 
+  /** Declarative WRITE SORT ORDER (`CALL graft_cow.set_write_order`,
+    * Iceberg `write.sort-order` in miniature): a metadata-only commit
+    * that makes future batch writes REQUEST an ordered distribution +
+    * in-task sort on the given columns. Clustering the value space makes
+    * every subsequent write's min/max stats selective BY CONSTRUCTION —
+    * the q_cow_cluster compaction one-shot turned into a standing table
+    * property that every writer honors. Empty order clears it.
+    */
+  def setWriteOrder(catalog: String, ident: Identifier,
+                    order: Vector[(String, Boolean)]): State = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new NoSuchTableException(ident))
+    order.foreach { case (c, _) =>
+      require(st.schema.fieldNames.contains(c),
+        s"graft-cow: write order references unknown column $c")
+    }
+    require(order.map(_._1).distinct.length == order.length,
+      "graft-cow: a column may appear once in the write order")
+    if (order == st.writeOrder) st
+    else publish(k, st.copy(writeOrder = order), st.snapshot, Map.empty)
+  }
+
   /** Commit wall-clock in MICROSECONDS (Spark's `TIMESTAMP AS OF`
     * resolution unit), strictly increasing per table so two commits in
     * the same clock tick stay distinguishable.
@@ -650,6 +680,9 @@ object CowStore {
     if (st.spec.nonEmpty)
       sb ++= s"partspec\t${st.spec.map(p => s"${p.kind}:${p.arg}:${p.col}").mkString(",")}\n"
     if (st.specId != 0) sb ++= s"specid\t${st.specId}\n"
+    if (st.writeOrder.nonEmpty)
+      sb ++= s"writeorder\t${st.writeOrder.map { case (c, d) =>
+        s"$c:${if (d) "desc" else "asc"}" }.mkString(",")}\n"
     st.oldSpecs.toSeq.sortBy(_._1).foreach { case (id, sp) =>
       val body =
         if (sp.isEmpty) "-"
@@ -727,6 +760,7 @@ object CowStore {
       var specByVersion = Map.empty[Long, Vector[PartField]]
       var specIdByVersion = Map.empty[Long, Int]
       var oldSpecsAll = Map.empty[Int, Vector[PartField]]
+      var orderByVersion = Map.empty[Long, Vector[(String, Boolean)]]
       var stats = Map.empty[String, FileStats]
       var commitTs = Map.empty[Long, Long]
       var parents = Map.empty[Long, Long]
@@ -747,6 +781,11 @@ object CowStore {
                 PartField(kind, col, arg.toLong)
               }
             case Seq("specid", id) => specIdByVersion += version -> id.toInt
+            case Seq("writeorder", s) =>
+              orderByVersion += version -> s.split(",").toVector.map { o =>
+                val Array(c, d) = o.split(":", 2)
+                (c, d == "desc")
+              }
             case Seq("oldspec", id, s) =>
               oldSpecsAll += id.toInt -> (
                 if (s == "-") Vector.empty
@@ -797,7 +836,8 @@ object CowStore {
         spec = specByVersion.getOrElse(current, Vector.empty),
         branches = branches, parent = parents,
         specId = specIdByVersion.getOrElse(current, 0),
-        oldSpecs = oldSpecsAll)
+        oldSpecs = oldSpecsAll,
+        writeOrder = orderByVersion.getOrElse(current, Vector.empty))
       tables.put(key(catalog, ident), st)
       st
     }
@@ -1283,16 +1323,19 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       case "publish"  => new CowPublishProcedure(catalogName)
       case "optimize" => new CowOptimizeProcedure(catalogName)
       case "set_spec" => new CowSetSpecProcedure(catalogName)
+      case "set_write_order" => new CowSetWriteOrderProcedure(catalogName)
       case other => throw new RuntimeException(
         s"graft-cow: no such procedure $other " +
-          "(have: vacuum, tag, branch, publish, optimize, set_spec)")
+          "(have: vacuum, tag, branch, publish, optimize, set_spec, " +
+          "set_write_order)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "vacuum"), Identifier.of(namespace, "tag"),
       Identifier.of(namespace, "branch"), Identifier.of(namespace, "publish"),
       Identifier.of(namespace, "optimize"),
-      Identifier.of(namespace, "set_spec"))
+      Identifier.of(namespace, "set_spec"),
+      Identifier.of(namespace, "set_write_order"))
 
   /** The `FunctionCatalog` half of STORAGE-PARTITIONED JOINS: when
     * Catalyst resolves a scan-reported `bucket(n, col)` partitioning
@@ -1730,6 +1773,60 @@ class CowSetSpecProcedure(catalogName: String) extends UnboundProcedure {
   }
 }
 
+/** `CALL <catalog>.set_write_order(table, '<col> [desc], …')` —
+  * declarative WRITE SORT ORDER (Iceberg `write.sort-order` in
+  * miniature): future batch writes request an ORDERED distribution +
+  * in-task sort on the given columns, so each write's files carry
+  * DISJOINT [min, max] ranges and range predicates skip all but the
+  * covering files — the q_cow_cluster compaction one-shot turned into a
+  * standing property every writer honors. Empty string clears. Returns
+  * the effective order.
+  */
+class CowSetWriteOrderProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "set_write_order"
+  override def description(): String =
+    "graft-cow SET_WRITE_ORDER: future writes range-distribute + sort on " +
+      "the given columns, making write-time min/max stats selective"
+
+  private[sources] def parse(s: String): Vector[(String, Boolean)] =
+    s.split(",").toVector.map(_.trim).filter(_.nonEmpty).map { tok =>
+      tok.split("\\s+").toSeq match {
+        case Seq(c)         => (c, false)
+        case Seq(c, d) if d.equalsIgnoreCase("asc")  => (c, false)
+        case Seq(c, d) if d.equalsIgnoreCase("desc") => (c, true)
+        case other => throw new IllegalArgumentException(
+          s"graft-cow: write-order term must be '<col> [asc|desc]', got '$tok'")
+      }
+    }
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "set_write_order"
+    override def description(): String =
+      CowSetWriteOrderProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("order", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split("\\.")
+      val st = CowStore.setWriteOrder(catalogName,
+        Identifier.of(parts.init, parts.last),
+        parse(input.getUTF8String(1).toString))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(
+          new GenericInternalRow(Array[Any](UTF8String.fromString(
+            st.writeOrder.map { case (c, d) =>
+              s"$c ${if (d) "desc" else "asc"}" }.mkString(", ")))))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("write_order", StringType, nullable = false)))
+        override def description(): String = "graft-cow set_write_order report"
+      }
+      JCollections.singletonList(scan).iterator()
+    }
+  }
+}
+
 /** One staged CTAS/RTAS: writers land task files (into a fresh dir for
   * CREATE, the existing table's dir for REPLACE) and the collected
   * (file, stats) pairs publish in ONE [[CowStore.commitStaged]] when
@@ -2121,6 +2218,9 @@ class CowTable(catalog: String, ident: Identifier,
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
     m.put("graft.mode", if (state.mor) "mor" else "cow")
+    if (state.writeOrder.nonEmpty)
+      m.put("graft.write-order", state.writeOrder.map { case (c, d) =>
+        s"$c ${if (d) "desc" else "asc"}" }.mkString(", "))
     JCollections.unmodifiableMap(m)
   }
   override def partitioning(): Array[Transform] = state.spec.map {
@@ -3062,15 +3162,32 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
       * bucket and truncate specs. Unpartitioned writes request nothing
       * (no shuffle added to existing plans).
       */
+    private def orderExprs: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      state.writeOrder.map { case (c, desc) =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          if (desc) org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+          else org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      }.toArray
+
     override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-      if (state.spec.isEmpty)
+      if (state.spec.nonEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          state.spec.map(p => org.apache.spark.sql.connector.expressions
+            .Expressions.column(p.col): org.apache.spark.sql.connector.expressions.Expression).toArray)
+      // Declared write order without partitioning: RANGE-distribute on
+      // the order columns so tasks own DISJOINT value ranges — the
+      // write-time min/max stats become selective by construction
+      // (Iceberg write.sort-order; the q_cow_cluster one-shot as a
+      // standing property).
+      else if (state.writeOrder.nonEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(
+          orderExprs)
+      else
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-      else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        state.spec.map(p => org.apache.spark.sql.connector.expressions
-          .Expressions.column(p.col): org.apache.spark.sql.connector.expressions.Expression).toArray)
     override def requiredNumPartitions(): Int = 0 // planner's choice
     override def requiredOrdering(): Array[
-        org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+        org.apache.spark.sql.connector.expressions.SortOrder] = orderExprs
 
     /** The STREAMING SINK path (`writeStream.toTable`): append-only —
       * each micro-batch's task files commit as one version via

@@ -1249,6 +1249,72 @@ class CowCatalogSpec extends SparkSpec {
     assert(one.collect().map(_.getLong(0)).toSeq == Seq(70L))
   }
 
+  test("declarative write order: ordered writes produce disjoint file ranges that range predicates skip") {
+    val tbl = fresh("worder")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v BIGINT)")
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    val rep = spark.sql(s"CALL $cat.set_write_order('$name', 'v')")
+      .collect().head.getString(0)
+    assert(rep == "v asc")
+    // One multi-task insert of value-shuffled rows: the ordered
+    // distribution range-partitions by v, so tasks own disjoint ranges.
+    // (AQE would coalesce this test-sized shuffle into one task and
+    // leave nothing to prove disjoint — hold it open for the insert;
+    // at real scale the coalesced partitions are still many.)
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, (id * 7919) % 10000 FROM range(0, 10000)""".stripMargin)
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None    => spark.conf.unset(k)
+    }
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    assert(st.files.size > 1, "need multiple files to prove disjointness")
+    // Every file's [min,max] on v is disjoint from every other's.
+    val ranges = st.files.map(f => st.stats(f).longRanges("v"))
+      .sortBy(_.min)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max < b.min,
+        s"ordered write must produce disjoint ranges: $a vs $b")
+      case _ =>
+    }
+    // A range predicate skips every non-covering file at plan time.
+    val q = spark.sql(s"SELECT id FROM $tbl WHERE v >= 9000")
+    val skipRe = """(\d+) of (\d+) files, (\d+) skipped""".r
+    val m = skipRe.findFirstMatchIn(q.queryExecution.executedPlan.toString).get
+    assert(m.group(3).toInt > 0,
+      s"range predicate must skip non-covering files: ${m.matched}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 10000L).filter(i => (i * 7919) % 10000 >= 9000).sorted)
+    // The order is durable (recovery) and visible as a table property.
+    assert(spark.sql(s"SHOW TBLPROPERTIES $tbl")
+      .collect().exists(r => r.getString(0) == "graft.write-order" &&
+        r.getString(1) == "v asc"))
+    CowStore.evict(cat, ident)
+    assert(CowStore.recover(cat, ident, st.dir).writeOrder ==
+      Vector(("v", false)))
+    // Clearing restores unspecified distribution (no failure, no order).
+    spark.sql(s"CALL $cat.set_write_order('$name', '')")
+    assert(CowStore.get(cat, ident).get.writeOrder.isEmpty)
+    // CONTROL: the same insert without a write order interleaves values
+    // across tasks — ranges overlap, nothing skips.
+    val ctl = fresh("worderctl")
+    spark.sql(s"CREATE TABLE $ctl (id BIGINT, v BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $ctl
+         |SELECT /*+ REPARTITION(4) */ id, (id * 7919) % 10000
+         |FROM range(0, 10000)""".stripMargin)
+    val mc = skipRe.findFirstMatchIn(
+      spark.sql(s"SELECT id FROM $ctl WHERE v >= 9000")
+        .queryExecution.executedPlan.toString).get
+    assert(mc.group(3).toInt == 0,
+      s"control without write order must not skip: ${mc.matched}")
+  }
+
   test("manifest aggregate pushdown: COUNT/MIN/MAX/GROUP BY answered with zero data files; honest fallbacks") {
     val tbl = fresh("aggp")
     mkPartitioned(tbl) // ids 0..29, tag = t(id%3), v = id*10, identity(tag)
