@@ -574,6 +574,58 @@ object RowLevelOps {
          |WHERE score >= $lo AND score < $hi ORDER BY doc_id""".stripMargin)
   }
 
+  /** q_cow_partitions — `<table>.partitions` metadata relation (Iceberg's
+    * partitions table): one row per (spec id, partition tuple) with
+    * file/row/byte/delete counts, rolled up FROM MANIFEST STATS — zero
+    * data files opened. The operator's first question about a partitioned
+    * table ("how skewed is it? which partitions are fat?") answered at
+    * metadata cost; at 100 TB this is the difference between a skew
+    * diagnosis in milliseconds and a full-table GROUP BY. The oracle is
+    * that full-table GROUP BY — the metadata rollup must equal the data.
+    */
+  def qCowPartitions(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.pmeta_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT) " +
+      "PARTITIONED BY (source)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(
+      s"""SELECT partition, n_rows FROM $tbl.partitions
+         |ORDER BY partition""".stripMargin)
+  }
+
+  /** q_cow_orphans — `CALL graft_cow.remove_orphan_files(table,
+    * older_than_ms)` (Iceberg's remove_orphan_files in miniature):
+    * deletes data files in the table directory that NO retained version
+    * references — the residue of crashed/abandoned write attempts whose
+    * commit never happened. Complements VACUUM (which removes files old
+    * versions reference); files younger than the horizon are presumed
+    * in-flight and kept. The scripted flow plants an orphan next to real
+    * data, scans it away, and reads the table back — cleanup must be
+    * invisible to results (CowCatalogSpec pins the age guard and that
+    * referenced + superseded files survive).
+    */
+  def qCowOrphans(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"orph_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    val st = graft.sources.CowStore.get(CatalogName,
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ops"), name)).get
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(st.files.head),
+      java.nio.file.Paths.get(st.dir, s"data-${UUID.randomUUID()}.parquet"))
+    spark.sql(s"CALL $CatalogName.remove_orphan_files('ops.$name', 0L)")
+    finalState(spark, tbl)
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -739,6 +791,8 @@ object RowLevelOps {
     "q_cow_agg_pushdown" -> qCowAggPushdown _,
     "q_cow_spec_evolve" -> qCowSpecEvolve _,
     "q_cow_write_order" -> qCowWriteOrder _,
+    "q_cow_partitions"  -> qCowPartitions _,
+    "q_cow_orphans"     -> qCowOrphans _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -794,6 +848,17 @@ object RowLevelOps {
         |FROM documents
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // The metadata rollup must equal the data: per-source row counts
+    // rebuilt with a full GROUP BY.
+    "q_cow_partitions" ->
+      """SELECT source AS partition, count(*) AS n_rows
+        |FROM documents WHERE doc_id % 3 <> 0
+        |GROUP BY source ORDER BY partition""".stripMargin,
+    // Orphan cleanup must be invisible to results: the plain relation.
+    "q_cow_orphans" ->
+      """SELECT doc_id, source, n_chars AS score
+        |FROM documents WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
     // Write ordering must be invisible to results: the same score band
     // filtered declaratively from the raw fixture (integer floor-div

@@ -612,6 +612,35 @@ object CowStore {
     else publish(k, st.copy(writeOrder = order), st.snapshot, Map.empty)
   }
 
+  /** ORPHAN-FILE cleanup (`CALL graft_cow.remove_orphan_files`, Iceberg's
+    * `remove_orphan_files` in miniature): delete data files in the table
+    * directory referenced by NO retained version — the residue of crashed
+    * or abandoned write attempts whose commit never happened (a clean
+    * abort deletes its own files; a killed executor can't). Complements
+    * VACUUM, which removes files old versions reference; this removes
+    * files NOTHING references. `olderThanMs` is the safety horizon:
+    * a file younger than it is presumed to belong to an in-flight
+    * (staged/uncommitted) write and is kept — the same age guard every
+    * lakehouse orphan-scan ships.
+    */
+  def removeOrphans(catalog: String, ident: Identifier,
+                    olderThanMs: Long): Long = synchronized {
+    val st = Option(tables.get(key(catalog, ident))).getOrElse(
+      throw new NoSuchTableException(ident))
+    val referenced = st.history.values.iterator.flatMap(_.files)
+      .map(p => new java.io.File(p).getName).toSet
+    val cutoff = System.currentTimeMillis() - math.max(0L, olderThanMs)
+    val victims = Option(new java.io.File(st.dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter { f =>
+        f.isFile && f.getName.startsWith("data-") &&
+          f.getName.endsWith(".parquet") &&
+          !referenced.contains(f.getName) && f.lastModified() <= cutoff
+      }
+    victims.foreach(_.delete())
+    victims.length.toLong
+  }
+
   /** Commit wall-clock in MICROSECONDS (Spark's `TIMESTAMP AS OF`
     * resolution unit), strictly increasing per table so two commits in
     * the same clock tick stay distinguishable.
@@ -1124,9 +1153,10 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
         val baseName =
           (catalogName +: ns.toSeq).mkString(".") + "." + ident.name()
         ident.name() match {
-          case "files"   => Some(new CowFilesTable(baseName, st))
-          case "history" => Some(new CowHistoryTable(baseName, st))
-          case "changes" => Some(new CowChangesTable(baseName, st))
+          case "files"      => Some(new CowFilesTable(baseName, st))
+          case "history"    => Some(new CowHistoryTable(baseName, st))
+          case "changes"    => Some(new CowChangesTable(baseName, st))
+          case "partitions" => Some(new CowPartitionsTable(baseName, st))
           // `<table>.branch_<name>`: the branch AS A TABLE — readable AND
           // writable (Iceberg's branch identifiers); commits advance the
           // branch pointer, main stays untouched until publish.
@@ -1324,10 +1354,11 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       case "optimize" => new CowOptimizeProcedure(catalogName)
       case "set_spec" => new CowSetSpecProcedure(catalogName)
       case "set_write_order" => new CowSetWriteOrderProcedure(catalogName)
+      case "remove_orphan_files" => new CowRemoveOrphansProcedure(catalogName)
       case other => throw new RuntimeException(
         s"graft-cow: no such procedure $other " +
           "(have: vacuum, tag, branch, publish, optimize, set_spec, " +
-          "set_write_order)")
+          "set_write_order, remove_orphan_files)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -1335,7 +1366,8 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       Identifier.of(namespace, "branch"), Identifier.of(namespace, "publish"),
       Identifier.of(namespace, "optimize"),
       Identifier.of(namespace, "set_spec"),
-      Identifier.of(namespace, "set_write_order"))
+      Identifier.of(namespace, "set_write_order"),
+      Identifier.of(namespace, "remove_orphan_files"))
 
   /** The `FunctionCatalog` half of STORAGE-PARTITIONED JOINS: when
     * Catalyst resolves a scan-reported `bucket(n, col)` partitioning
@@ -1827,6 +1859,43 @@ class CowSetWriteOrderProcedure(catalogName: String) extends UnboundProcedure {
   }
 }
 
+/** `CALL <catalog>.remove_orphan_files(table, older_than_ms)` — delete
+  * data files in the table directory that NO retained version references
+  * (crashed/abandoned write residue). Files younger than the horizon are
+  * kept (presumed in-flight). Returns the removed count.
+  */
+class CowRemoveOrphansProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "remove_orphan_files"
+  override def description(): String =
+    "graft-cow REMOVE_ORPHAN_FILES: delete unreferenced data files older " +
+      "than the horizon (crashed-write residue); referenced files are " +
+      "never touched"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "remove_orphan_files"
+    override def description(): String =
+      CowRemoveOrphansProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("older_than_ms", LongType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split("\\.")
+      val removed = CowStore.removeOrphans(catalogName,
+        Identifier.of(parts.init, parts.last), input.getLong(1))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(Array[Any](removed)))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("removed_files", LongType, nullable = false)))
+        override def description(): String = "graft-cow orphan-scan report"
+      }
+      JCollections.singletonList(scan).iterator()
+    }
+  }
+}
+
 /** One staged CTAS/RTAS: writers land task files (into a fresh dir for
   * CREATE, the existing table's dir for REPLACE) and the collected
   * (file, stats) pairs publish in ONE [[CowStore.commitStaged]] when
@@ -1958,6 +2027,49 @@ class CowFilesTable(tableName: String, st: CowStore.State)
                 r.map(_.max).getOrElse(null))
             }): InternalRow
       }.toArray
+    }
+}
+
+/** `SELECT … FROM <table>.partitions` — the partition-level manifest
+  * rollup AS A RELATION (Iceberg's `partitions` metadata table): one row
+  * per (spec id, partition tuple) with its file/row/byte/delete counts,
+  * all from write-time stats — zero data files opened. The operator's
+  * first question about a partitioned table ("how skewed is it? which
+  * days are fat?") answered at metadata cost; an unpartitioned table
+  * reports its single whole-table row with a NULL partition.
+  */
+class CowPartitionsTable(tableName: String, st: CowStore.State)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = true),
+    StructField("spec_id", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_deletes", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    JCollections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = CowPartitionsTable.this.schema()
+      override def description(): String =
+        s"graft-cow partitions metadata of $tableName"
+      override def rows(): Array[InternalRow] =
+        st.files.groupBy { f =>
+          val fs = st.stats.get(f)
+          (fs.map(_.specId).getOrElse(0), fs.map(_.partVals).getOrElse(Vector.empty))
+        }.toSeq.sortBy { case ((sid, pv), _) => (sid, pv.mkString("/")) }
+          .map { case ((sid, pv), fs) =>
+            val rows = fs.map(f => st.stats.get(f).map(_.rows).getOrElse(0L)).sum
+            val dv = fs.map(f =>
+              st.deletes.getOrElse(f, Vector.empty).length.toLong).sum
+            val bytes = fs.map(f => st.stats.get(f).map(_.bytes).getOrElse(0L)).sum
+            new GenericInternalRow(Array[Any](
+              if (pv.isEmpty) null else UTF8String.fromString(pv.mkString("/")),
+              sid.toLong, fs.length.toLong, rows - dv, dv, bytes)): InternalRow
+          }.toArray
     }
 }
 

@@ -1315,6 +1315,87 @@ class CowCatalogSpec extends SparkSpec {
       s"control without write order must not skip: ${mc.matched}")
   }
 
+  test("<table>.partitions: per-partition manifest rollup, DV-net rows, spec-id rows after evolution") {
+    val tbl = fresh("partsmeta")
+    mkPartitioned(tbl) // identity(tag), ids 0..29, 10 per tag
+    val rows = spark.sql(
+      s"SELECT partition, spec_id, n_files, n_rows FROM $tbl.partitions ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(rows == Seq(("t0", 0L, 10L), ("t1", 0L, 10L), ("t2", 0L, 10L)),
+      s"partition rollup diverged: $rows")
+    // Rollup is metadata-only: no data scan in the plan.
+    assert(!spark.sql(s"SELECT * FROM $tbl.partitions")
+      .queryExecution.executedPlan.toString.contains("graft-cow scan"))
+    // After spec evolution the old and new layouts report under their
+    // own spec ids.
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.set_spec('$name', 'bucket(2, id)')")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, concat('t', CAST(id % 3 AS STRING)), id * 10
+         |FROM range(30, 40)""".stripMargin)
+    val bySpec = spark.sql(
+      s"SELECT spec_id, sum(n_rows) FROM $tbl.partitions GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bySpec == Seq((0L, 30L), (1L, 10L)), s"per-spec rollup: $bySpec")
+    // A MOR delete nets out of n_rows and shows in n_deletes.
+    val mor = fresh("partsmetamor")
+    spark.sql(s"CREATE TABLE $mor (id BIGINT, tag STRING) " +
+      "PARTITIONED BY (tag) TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $mor SELECT id, concat('t', CAST(id % 2 AS STRING)) " +
+      "FROM range(0, 20)")
+    spark.sql(s"DELETE FROM $mor WHERE id < 4") // 2 per tag
+    val morRows = spark.sql(
+      s"SELECT partition, n_rows, n_deletes FROM $mor.partitions ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(morRows == Seq(("t0", 8L, 2L), ("t1", 8L, 2L)), s"MOR rollup: $morRows")
+    // Unpartitioned: one whole-table row, NULL partition.
+    val flat = fresh("partsmetaflat")
+    spark.sql(s"CREATE TABLE $flat (id BIGINT)")
+    spark.sql(s"INSERT INTO $flat SELECT id FROM range(0, 7)")
+    val f = spark.sql(s"SELECT partition, n_rows FROM $flat.partitions")
+      .collect().toSeq
+    assert(f.length == 1 && f.head.isNullAt(0) && f.head.getLong(1) == 7L)
+  }
+
+  test("remove_orphan_files deletes unreferenced residue, never referenced or superseded files") {
+    val tbl = fresh("orphans")
+    mkBase(tbl)
+    val ident = identOf(tbl)
+    val st0 = CowStore.get(cat, ident).get
+    // An UPDATE supersedes the original file — superseded is still
+    // REFERENCED (by history) and must survive an orphan scan.
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id >= 0")
+    val st = CowStore.get(cat, ident).get
+    val superseded = st0.files.filterNot(st.files.contains)
+    assert(superseded.nonEmpty)
+    // Plant residue a crashed writer would leave: an uncommitted data
+    // file in the table directory.
+    val orphan = new java.io.File(st.dir,
+      s"data-${java.util.UUID.randomUUID()}.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(st.files.head), orphan.toPath)
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    // A fresh file inside the safety horizon is KEPT (presumed
+    // in-flight)...
+    val kept = spark.sql(
+      s"CALL $cat.remove_orphan_files('$name', ${3600L * 1000}L)")
+      .collect().head.getLong(0)
+    assert(kept == 0L && orphan.exists(), "young files must be presumed in-flight")
+    // ... and removed once past it.
+    val removed = spark.sql(s"CALL $cat.remove_orphan_files('$name', 0L)")
+      .collect().head.getLong(0)
+    assert(removed == 1L && !orphan.exists(), "the orphan must be deleted")
+    // Referenced files — current AND superseded — are untouched; the
+    // table still reads and time-travels.
+    st.files.foreach(f => assert(new java.io.File(f).exists()))
+    superseded.foreach(f => assert(new java.io.File(f).exists(),
+      "history-referenced files are vacuum's business, not the orphan scan's"))
+    assert(spark.table(tbl).count() == 20)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+      .head.getLong(0) == 20)
+  }
+
   test("manifest aggregate pushdown: COUNT/MIN/MAX/GROUP BY answered with zero data files; honest fallbacks") {
     val tbl = fresh("aggp")
     mkPartitioned(tbl) // ids 0..29, tag = t(id%3), v = id*10, identity(tag)
