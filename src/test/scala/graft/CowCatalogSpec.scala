@@ -1446,6 +1446,42 @@ class CowCatalogSpec extends SparkSpec {
     assert(mm.collect().head.getLong(0) == 18)
   }
 
+  test("temporal SPJ: two days-partitioned tables join on ts with no exchange") {
+    val a = fresh("spjdaysA")
+    val b = fresh("spjdaysB")
+    for ((tbl, mul) <- Seq(a -> 1, b -> 2)) {
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT, ts TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (days(ts))")
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT id, timestamp_micros(CAST(id % 5 AS BIGINT) * 86400000000
+           |                            + id), id * $mul
+           |FROM range(0, 50)""".stripMargin)
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // Equal ts ⇒ equal day ⇒ same partition: Catalyst resolves the
+      // reported days transform through the catalog's FunctionCatalog
+      // and proves co-partitioning — per-day zip, zero network. (The
+      // join key set must be covered by the partition transforms' source
+      // columns — Spark's default SPJ contract — so this is the ts-only
+      // join; compound keys fall back to a normal shuffle.)
+      val j = spark.sql(
+        s"SELECT x.id, y.v FROM $a x JOIN $b y ON x.ts = y.ts")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"days-partitioned tables must storage-partition join: $plan")
+      assert(j.count() == 50)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("write-time stats skip files on raw-timestamp ranges (unpartitioned)") {
     val tbl = fresh("tsskip")
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, ts TIMESTAMP)")
