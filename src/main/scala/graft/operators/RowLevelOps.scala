@@ -626,6 +626,44 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** q_cow_dpp — DYNAMIC PARTITION PRUNING on the catalog (SPARK-35779,
+    * the star-schema lever): a plain scan of a partitioned table reports
+    * its partition source columns as runtime-filterable
+    * (`SupportsRuntimeV2Filtering`), so a dim-filtered broadcast join
+    * injects the join key's VALUE SET at execution and the fact scan
+    * drops every partition outside it before any I/O. At 100 TB this is
+    * the difference between scanning the whole fact table and scanning
+    * the 3 sources the dimension filter selected — static pruning can't
+    * see through a join, DPP can. Each runtime literal runs through the
+    * SAME encode as the writer's routing, per the spec that wrote each
+    * file (evolution-safe). The oracle is the declarative join — pruning
+    * must be invisible to results (CowCatalogSpec pins the dynamicpruning
+    * runtime filter in the plan and the partition-count narrowing).
+    */
+  def qCowDpp(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val fact = s"$CatalogName.ops.dppf_$sfx"
+    val dim = s"$CatalogName.ops.dppd_$sfx"
+    spark.sql(s"CREATE TABLE $fact (doc_id BIGINT, source STRING, score BIGINT) " +
+      "PARTITIONED BY (source)")
+    spark.sql(
+      s"""INSERT INTO $fact
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(s"CREATE TABLE $dim (source STRING, grp STRING)")
+    spark.sql(
+      s"""INSERT INTO $dim
+         |SELECT DISTINCT source,
+         |       CASE WHEN length(source) % 2 = 0 THEN 'even' ELSE 'odd' END
+         |FROM parquet.`$d/documents.parquet`""".stripMargin)
+    spark.sql(
+      s"""SELECT f.doc_id, f.source, f.score
+         |FROM $fact f JOIN $dim d ON f.source = d.source
+         |WHERE d.grp = 'even'
+         |ORDER BY f.doc_id""".stripMargin)
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -793,6 +831,7 @@ object RowLevelOps {
     "q_cow_write_order" -> qCowWriteOrder _,
     "q_cow_partitions"  -> qCowPartitions _,
     "q_cow_orphans"     -> qCowOrphans _,
+    "q_cow_dpp"         -> qCowDpp _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -849,6 +888,18 @@ object RowLevelOps {
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // Runtime pruning must be invisible to results: the declarative
+    // dim-filtered join.
+    "q_cow_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT source,
+        |         CASE WHEN length(source) % 2 = 0 THEN 'even' ELSE 'odd' END AS grp
+        |  FROM documents
+        |)
+        |SELECT f.doc_id, f.source, f.n_chars AS score
+        |FROM documents f JOIN dim d ON f.source = d.source
+        |WHERE f.doc_id % 3 <> 0 AND d.grp = 'even'
+        |ORDER BY f.doc_id""".stripMargin,
     // The metadata rollup must equal the data: per-source row counts
     // rebuilt with a full GROUP BY.
     "q_cow_partitions" ->

@@ -2867,8 +2867,18 @@ class CowScan(tableName: String, state: CowStore.State,
         else java.util.OptionalLong.empty()
     }
 
+  /** Runtime-filterable attributes: row-level op scans accept the `_file`
+    * group filter; PLAIN scans of a partitioned table report their
+    * partition SOURCE columns — that is what makes Spark's DYNAMIC
+    * PARTITION PRUNING fire on catalog joins (SPARK-35779: a
+    * dim-filtered broadcast join injects the join key's value set at
+    * runtime, and [[filter]] drops every partition outside it BEFORE any
+    * fact I/O — the star-schema lever at 100 TB).
+    */
   override def filterAttributes(): Array[NamedReference] =
-    if (op.isDefined) Array(Expressions.column(CowFileColumn.Name)) else Array.empty
+    if (op.isDefined) Array(Expressions.column(CowFileColumn.Name))
+    else (state.spec ++ state.oldSpecs.valuesIterator.flatten)
+      .map(_.col).distinct.map(c => Expressions.column(c)).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
     // Collect the IN/= sets on _file; unparseable predicates are ignored
@@ -2878,7 +2888,69 @@ class CowScan(tableName: String, state: CowStore.State,
       val keep = keeps.reduce(_ intersect _)
       files = files.filter(keep)
     }
+    // DYNAMIC PARTITION PRUNING: IN/= value sets on partition source
+    // columns (the broadcast join's runtime key set) drop whole
+    // partitions. Each literal runs through the SAME encode as the
+    // writer's routing, per the spec that wrote each file; files whose
+    // spec lacks the column (or with unparseable values) are kept.
+    predicates.foreach { p =>
+      partitionInSet(p).foreach { case (col, vals) =>
+        files = files.filter(f => surviveRuntimeIn(f, col, vals))
+      }
+    }
   }
+
+  private def partitionInSet(p: Predicate): Option[(String, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit}
+    def ref(e: V2Expr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 &&
+        r.fieldNames()(0) != CowFileColumn.Name &&
+        r.fieldNames()(0) != CowPosColumn.Name => Some(r.fieldNames()(0))
+      case _ => None
+    }
+    // Literal to the encode domain: strings (arrive as UTF8String or
+    // String depending on the injection path), longs, timestamp micros.
+    def lit(e: V2Expr): Option[Any] = e match {
+      case l: V2Lit[_] => Option(l.value()).flatMap { v =>
+        l.dataType() match {
+          case StringType => Some(v.toString)
+          case LongType | TimestampType | IntegerType =>
+            v match {
+              case n: java.lang.Number => Some(n.longValue(): Any)
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      case _ => None
+    }
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.nonEmpty =>
+        ref(kids.head).flatMap { c =>
+          val vals = kids.tail.flatMap(lit)
+          if (vals.length == kids.length - 1) Some((c, vals.toSeq)) else None
+        }
+      case "=" if kids.length == 2 =>
+        for (c <- ref(kids.head); v <- lit(kids(1))) yield (c, Seq(v))
+      case _ => None
+    }
+  }
+
+  private def surviveRuntimeIn(f: String, col: String, vals: Seq[Any]): Boolean =
+    state.stats.get(f).forall { fs =>
+      val fileSpec = state.specOf(fs.specId)
+      if (fileSpec.isEmpty || fs.partVals.length != fileSpec.length) true
+      else fileSpec.zipWithIndex.collectFirst {
+        case (p, i) if p.col == col => (p, fs.partVals(i))
+      } match {
+        case None => true // this file's spec doesn't partition by col
+        case Some((p, pv)) =>
+          pv != "__null__" &&
+            vals.exists(v => scala.util.Try(
+              pv == CowStore.encodePartVal(p, v)).getOrElse(true))
+      }
+    }
 
   private def inFileSet(p: Predicate): Option[Set[String]] = {
     import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit}

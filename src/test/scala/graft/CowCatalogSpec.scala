@@ -1446,6 +1446,53 @@ class CowCatalogSpec extends SparkSpec {
     assert(mm.collect().head.getLong(0) == 18)
   }
 
+  test("dynamic partition pruning: a dim-filtered join prunes fact partitions at runtime") {
+    val fact = fresh("dppfact")
+    mkPartitioned(fact) // identity(tag), ids 0..29, 10 per tag
+    val dim = fresh("dppdim")
+    spark.sql(s"CREATE TABLE $dim (tag STRING, label STRING)")
+    spark.sql(s"INSERT INTO $dim VALUES ('t0', 'keep'), ('t1', 'drop'), ('t2', 'drop')")
+    // The fact scan reports its partition source column as runtime-
+    // filterable, so the dim's filtered key set injects as a
+    // dynamicpruning filter on the fact side.
+    val q = spark.sql(
+      s"""SELECT f.id FROM $fact f JOIN $dim d ON f.tag = d.tag
+         |WHERE d.label = 'keep'""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"the fact scan must accept a dynamic pruning filter: $plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 30L).filter(_ % 3 == 0),
+      "pruning must be invisible to results")
+    // Unit-level: the runtime IN set narrows the planned partitions
+    // through the writer's own encode, per file spec.
+    val st = CowStore.get(cat, identOf(fact)).get
+    val scan = new graft.sources.CowScanBuilder(fact, st, op = None)
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val before = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+    scan.filter(Array(new Predicate("IN",
+      Array(E.column("tag"), E.literal("t0")))))
+    val after = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+    assert(after < before,
+      s"runtime IN on the partition column must drop partitions ($before -> $after)")
+    // A value set covering nothing leaves zero partitions...
+    scan.filter(Array(new Predicate("IN",
+      Array(E.column("tag"), E.literal("nope")))))
+    assert(scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().isEmpty)
+    // ... and a predicate on a NON-partition column is ignored (kept).
+    val scan2 = new graft.sources.CowScanBuilder(fact, st, op = None)
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+    scan2.filter(Array(new Predicate("IN",
+      Array(E.column("v"), E.literal(999L)))))
+    assert(scan2.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length == before)
+  }
+
   test("temporal SPJ: two days-partitioned tables join on ts with no exchange") {
     val a = fresh("spjdaysA")
     val b = fresh("spjdaysB")
