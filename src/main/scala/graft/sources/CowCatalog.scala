@@ -163,6 +163,8 @@ object CowStore {
       case "truncate" => s"truncate($arg, $col)"
       case "days"     => s"days($col)"
       case "hours"    => s"hours($col)"
+      case "months"   => s"months($col)"
+      case "years"    => s"years($col)"
       case other      => s"$other($arg, $col)"
     }
   }
@@ -193,6 +195,31 @@ object CowStore {
     */
   val MicrosPerDay: Long = 86400L * 1000000L
   val MicrosPerHour: Long = 3600L * 1000000L
+
+  /** Calendar bins for `months`/`years` (UTC proleptic Gregorian, the
+    * Iceberg month/year transforms): epoch micros → months/years since
+    * 1970-01. Not fixed-width — bin bounds come from LocalDate math.
+    */
+  def monthsOf(micros: Long): Int = {
+    val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, MicrosPerDay))
+    (d.getYear - 1970) * 12 + d.getMonthValue - 1
+  }
+  def yearsOf(micros: Long): Int =
+    java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(micros, MicrosPerDay)).getYear - 1970
+
+  /** [startMicros, endMicros] (inclusive) of one months/years bin. */
+  def monthBinRange(m: Int): (Long, Long) = {
+    val start = java.time.LocalDate.of(1970 + Math.floorDiv(m, 12),
+      Math.floorMod(m, 12) + 1, 1)
+    (start.toEpochDay * MicrosPerDay,
+      start.plusMonths(1).toEpochDay * MicrosPerDay - 1)
+  }
+  def yearBinRange(y: Int): (Long, Long) = {
+    val start = java.time.LocalDate.of(1970 + y, 1, 1)
+    (start.toEpochDay * MicrosPerDay,
+      start.plusYears(1).toEpochDay * MicrosPerDay - 1)
+  }
 
   /** Normalize a pushed V1-filter comparison value to the long domain the
     * manifest stats and partition encodings live in: plain numbers as-is
@@ -243,6 +270,18 @@ object CowStore {
       case other   => throw new IllegalArgumentException(
         s"graft-cow: hours partitions timestamp columns only, got $other")
     }
+    case "months" => v match {
+      case null    => "__null__"
+      case l: Long => monthsOf(l).toString
+      case other   => throw new IllegalArgumentException(
+        s"graft-cow: months partitions timestamp columns only, got $other")
+    }
+    case "years" => v match {
+      case null    => "__null__"
+      case l: Long => yearsOf(l).toString
+      case other   => throw new IllegalArgumentException(
+        s"graft-cow: years partitions timestamp columns only, got $other")
+    }
     case other => throw new IllegalArgumentException(
       s"graft-cow: unknown partition transform $other")
   }
@@ -261,6 +300,8 @@ object CowStore {
       // dedicated type — both travel as ints (Iceberg's result types).
       case "days"     => DateType
       case "hours"    => IntegerType
+      case "months"   => IntegerType
+      case "years"    => IntegerType
       case other => throw new IllegalArgumentException(
         s"graft-cow: unknown partition transform $other")
     }
@@ -282,6 +323,8 @@ object CowStore {
       case "truncate" => pv.toLong
       case "days"     => pv.toInt
       case "hours"    => pv.toInt
+      case "months"   => pv.toInt
+      case "years"    => pv.toInt
       case other => throw new IllegalArgumentException(
         s"graft-cow: unknown partition transform $other")
     }
@@ -405,13 +448,13 @@ object CowStore {
               s"got ${p.col}: ${f.dataType.simpleString}")
           require(p.arg >= 1,
             s"graft-cow: truncate width must be >= 1, got ${p.arg}")
-        case "days" | "hours" =>
+        case "days" | "hours" | "months" | "years" =>
           require(f.dataType == TimestampType,
             s"graft-cow: ${p.kind} partitions need a timestamp column, " +
               s"got ${p.col}: ${f.dataType.simpleString}")
         case other => throw new IllegalArgumentException(
           s"graft-cow: unsupported partition transform $other " +
-            "(identity, bucket, truncate, days, hours)")
+            "(identity, bucket, truncate, days, hours, months, years)")
       }
     }
   }
@@ -1232,14 +1275,14 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
           require(c.isDefined && n.isDefined,
             s"graft-cow: $k transform needs (count, column), got $t")
           CowStore.PartField(k, c.get, n.get)
-        case k @ ("days" | "hours") =>
+        case k @ ("days" | "hours" | "months" | "years") =>
           val c = args.flatMap(ref).headOption.getOrElse(
             throw new IllegalArgumentException(
               s"graft-cow: $k transform needs a column reference ($t)"))
           CowStore.PartField(k, c)
         case other => throw new IllegalArgumentException(
           s"graft-cow: unsupported partition transform $other " +
-            "(identity, bucket, truncate, days, hours)")
+            "(identity, bucket, truncate, days, hours, months, years)")
       }
     }
     CowStore.validateSpec(spec, schema)
@@ -1382,15 +1425,22 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     ident.name() match {
       case "bucket" => new CowBucketFunction
-      case "days"   => new CowTemporalFunction("days", CowStore.MicrosPerDay, DateType)
-      case "hours"  => new CowTemporalFunction("hours", CowStore.MicrosPerHour, IntegerType)
+      case "days" => new CowTemporalFunction("days",
+        m => Math.floorDiv(m, CowStore.MicrosPerDay).toInt, DateType)
+      case "hours" => new CowTemporalFunction("hours",
+        m => Math.floorDiv(m, CowStore.MicrosPerHour).toInt, IntegerType)
+      case "months" =>
+        new CowTemporalFunction("months", CowStore.monthsOf, IntegerType)
+      case "years" =>
+        new CowTemporalFunction("years", CowStore.yearsOf, IntegerType)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "bucket"),
-      Identifier.of(namespace, "days"), Identifier.of(namespace, "hours"))
+      Identifier.of(namespace, "days"), Identifier.of(namespace, "hours"),
+      Identifier.of(namespace, "months"), Identifier.of(namespace, "years"))
 }
 
 /** The catalog's `bucket(n, col)` as a DSv2 bound function — the SQL
@@ -1430,18 +1480,19 @@ class CowBucketFunction extends functions.UnboundFunction {
   }
 }
 
-/** The catalog's `days(ts)` / `hours(ts)` temporal transforms as DSv2
-  * bound functions — the SQL identity of the writer's epoch-bin routing
-  * (floorDiv of internal micros), which is what lets Catalyst resolve a
-  * scan-reported temporal `KeyGroupedPartitioning` the same way `bucket`
-  * resolves for storage-partitioned joins.
+/** The catalog's `days`/`hours`/`months`/`years` temporal transforms as
+  * DSv2 bound functions — the SQL identity of the writer's epoch-bin
+  * routing (fixed-width floorDiv for days/hours, UTC calendar math for
+  * months/years), which is what lets Catalyst resolve a scan-reported
+  * temporal `KeyGroupedPartitioning` the same way `bucket` resolves for
+  * storage-partitioned joins.
   */
-class CowTemporalFunction(kind: String, binMicros: Long, out: DataType)
+class CowTemporalFunction(kind: String, binOf: Long => Int, out: DataType)
     extends functions.UnboundFunction {
   override def name(): String = kind
   override def description(): String =
-    s"graft-cow $kind(ts): floorDiv(epoch micros, $binMicros) — the " +
-      "temporal partition-routing bin"
+    s"graft-cow $kind(ts): the temporal partition-routing bin of the " +
+      "internal epoch micros"
 
   override def bind(inputType: StructType): functions.BoundFunction = {
     require(inputType.fields.length == 1 &&
@@ -1454,7 +1505,7 @@ class CowTemporalFunction(kind: String, binMicros: Long, out: DataType)
       override def canonicalName(): String = s"graft_cow.$kind(timestamp)"
       override def isResultNullable: Boolean = false
       override def produceResult(input: InternalRow): Integer =
-        Math.floorDiv(input.getLong(0), binMicros).toInt
+        binOf(input.getLong(0))
     }
   }
 }
@@ -1762,7 +1813,7 @@ class CowSetSpecProcedure(catalogName: String) extends UnboundProcedure {
             require(as.length == 2 && as(0).forall(_.isDigit),
               s"graft-cow: $k needs (count, column), got $fn($args)")
             CowStore.PartField(k, as(1), as(0).toLong)
-          case k @ ("days" | "hours") =>
+          case k @ ("days" | "hours" | "months" | "years") =>
             require(as.length == 1,
               s"graft-cow: $k needs (column), got $fn($args)")
             CowStore.PartField(k, as(0))
@@ -2344,6 +2395,10 @@ class CowTable(catalog: String, ident: Identifier,
       org.apache.spark.sql.connector.expressions.Expressions.days(c)
     case CowStore.PartField("hours", c, _) =>
       org.apache.spark.sql.connector.expressions.Expressions.hours(c)
+    case CowStore.PartField("months", c, _) =>
+      org.apache.spark.sql.connector.expressions.Expressions.months(c)
+    case CowStore.PartField("years", c, _) =>
+      org.apache.spark.sql.connector.expressions.Expressions.years(c)
     case CowStore.PartField(kind, c, w) =>
       org.apache.spark.sql.connector.expressions.Expressions.apply(kind,
         org.apache.spark.sql.connector.expressions.Expressions.literal(w.toInt),
@@ -2820,6 +2875,16 @@ class CowScan(tableName: String, state: CowStore.State,
                   val lo = h * CowStore.MicrosPerHour
                   keep(lo, lo + CowStore.MicrosPerHour - 1)
                 }
+              case (CowStore.PartField("months", _, _), pv) =>
+                pv.toIntOption.forall { m =>
+                  val (lo, hi) = CowStore.monthBinRange(m)
+                  keep(lo, hi)
+                }
+              case (CowStore.PartField("years", _, _), pv) =>
+                pv.toIntOption.forall { y =>
+                  val (lo, hi) = CowStore.yearBinRange(y)
+                  keep(lo, hi)
+                }
               case _ => true // bucket: no range semantics
             }
           def mic(v: Any): Option[Long] = CowStore.filterMicros(v)
@@ -3037,6 +3102,8 @@ class CowScan(tableName: String, state: CowStore.State,
           case (CowStore.PartField("bucket", c, n), _) => Expressions.bucket(n.toInt, c)
           case (CowStore.PartField("days", c, _), _) => Expressions.days(c)
           case (CowStore.PartField("hours", c, _), _) => Expressions.hours(c)
+          case (CowStore.PartField("months", c, _), _) => Expressions.months(c)
+          case (CowStore.PartField("years", c, _), _) => Expressions.years(c)
           case (CowStore.PartField(kind, c, w), _) =>
             Expressions.apply(kind, Expressions.literal(w.toInt),
               Expressions.column(c))

@@ -1130,6 +1130,46 @@ class CowCatalogSpec extends SparkSpec {
       "raw-ts range must prune hour bins at plan time")
     assert(hq.collect().map(_.getLong(0)).sorted.toSeq ==
       (0L until 18L).filter(i => i % 6 >= 4))
+    // months/years twins: CALENDAR bins (unequal widths — Feb is shorter
+    // than Jan), range-pruned through LocalDate bin bounds, not a fixed
+    // divisor. 4 months × 2 rows starting 1970-01-15.
+    val mtbl = fresh("partmonths")
+    spark.sql(s"CREATE TABLE $mtbl (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql(
+      s"""INSERT INTO $mtbl
+         |SELECT id, timestamp'1970-01-15 00:00:00'
+         |          + make_interval(0, CAST(id % 4 AS INT))
+         |FROM range(0, 8)""".stripMargin)
+    val mq = spark.sql(
+      s"""SELECT id FROM $mtbl
+         |WHERE ts >= TIMESTAMP '1970-03-01 00:00:00'""".stripMargin)
+    assert(mq.queryExecution.executedPlan.toString
+      .contains("2 of 4 partitions"),
+      "raw-ts range must prune month bins at plan time")
+    assert(mq.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 8L).filter(_ % 4 >= 2))
+    // Equality inside February prunes to the (short) February bin only.
+    val feb = spark.sql(
+      s"SELECT id FROM $mtbl WHERE ts = TIMESTAMP '1970-02-15 00:00:00'")
+    assert(feb.queryExecution.executedPlan.toString
+      .contains("1 of 4 partitions"))
+    assert(feb.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+    val ytbl = fresh("partyears")
+    spark.sql(s"CREATE TABLE $ytbl (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (years(ts))")
+    spark.sql(
+      s"""INSERT INTO $ytbl
+         |SELECT id, timestamp'1970-06-01 00:00:00'
+         |          + make_interval(CAST(id % 3 AS INT))
+         |FROM range(0, 9)""".stripMargin)
+    val yq = spark.sql(
+      s"SELECT id FROM $ytbl WHERE ts < TIMESTAMP '1971-01-01 00:00:00'")
+    assert(yq.queryExecution.executedPlan.toString
+      .contains("1 of 3 partitions"),
+      "raw-ts range must prune year bins at plan time")
+    assert(yq.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 9L).filter(_ % 3 == 0))
   }
 
   test("spec evolution: files prune under the spec that wrote them; history recovers; guards fall back") {
@@ -1565,7 +1605,7 @@ class CowCatalogSpec extends SparkSpec {
         "once in PARTITIONED BY",
       s"CREATE TABLE %s (id BIGINT, ts STRING) PARTITIONED BY (days(ts))" ->
         "days partitions need a timestamp",
-      s"CREATE TABLE %s (id BIGINT, ts TIMESTAMP) PARTITIONED BY (months(ts))" ->
+      s"CREATE TABLE %s (id BIGINT, ts TIMESTAMP) PARTITIONED BY (shard(ts))" ->
         "unsupported partition transform")
     bad.foreach { case (ddl, msg) =>
       val e = intercept[Exception] { spark.sql(ddl.format(fresh("partbad"))) }
