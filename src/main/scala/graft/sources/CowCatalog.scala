@@ -1961,7 +1961,7 @@ class CowStagedTable(catalog: String, ident: Identifier,
 
   tableSchema.fields.foreach { f =>
     require(CowStore.typeSupported(f.dataType),
-      s"graft-cow supports long/double/string columns; got " +
+      s"graft-cow supports long/double/string/timestamp columns; got " +
         s"${f.name}: ${f.dataType.simpleString}")
   }
 
