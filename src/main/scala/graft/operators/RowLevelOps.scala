@@ -664,6 +664,32 @@ object RowLevelOps {
          |ORDER BY f.doc_id""".stripMargin)
   }
 
+  /** q_cow_limit — LIMIT pushdown to the scan (`SupportsPushDownLimit`):
+    * a bare `LIMIT n` plans only enough files to cover n rows from
+    * manifest row counts (net of delete vectors) — on a 100 TB table a
+    * `LIMIT 10` preview reads ONE file, not the listing. Partial-push
+    * contract: Spark's own Limit still rules the row count, so planning
+    * too many files costs I/O only (and too few is impossible — files
+    * without stats keep everything). Residual filters block the push
+    * (CowCatalogSpec pins the planned-file counts, the filter fallback
+    * and the DV netting); the table fragments into four files and the
+    * query counts a two-file LIMIT — the count is the oracle-checkable
+    * surface of a nondeterministic row set.
+    */
+  def qCowLimit(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.lim_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    for (m <- 0 until 4)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+           |FROM parquet.`$d/documents.parquet`
+           |WHERE doc_id % 3 <> 0 AND doc_id % 4 = $m""".stripMargin)
+    spark.sql(
+      s"SELECT count(*) AS n FROM (SELECT * FROM $tbl LIMIT 40)")
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -832,6 +858,7 @@ object RowLevelOps {
     "q_cow_partitions"  -> qCowPartitions _,
     "q_cow_orphans"     -> qCowOrphans _,
     "q_cow_dpp"         -> qCowDpp _,
+    "q_cow_limit"       -> qCowLimit _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -888,6 +915,12 @@ object RowLevelOps {
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // The LIMIT's cardinality is the deterministic surface of a
+    // nondeterministic row set.
+    "q_cow_limit" ->
+      """SELECT count(*) AS n FROM (
+        |  SELECT * FROM documents WHERE doc_id % 3 <> 0 LIMIT 40
+        |)""".stripMargin,
     // Runtime pruning must be invisible to results: the declarative
     // dim-filtered join.
     "q_cow_dpp" ->

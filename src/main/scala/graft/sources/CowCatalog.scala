@@ -2549,8 +2549,24 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
                      streamKey: Option[(String, Identifier)] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
+
+  // LIMIT pushdown: `SELECT … LIMIT n` with no (unpushable) filters in
+  // between plans only enough files to cover n rows — on a 100 TB table
+  // a bare LIMIT 10 reads one file, not the listing. Spark keeps its own
+  // Limit on top (partial-push contract), so planning too many files
+  // costs I/O only; planning too FEW would be wrong, hence the scan
+  // keeps everything when any file lacks stats. Op scans never truncate
+  // (a rewrite must read all matching groups).
+  private var pushedLimit: Option[Int] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    if (op.isDefined) false
+    else { pushedLimit = Some(limit); true }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   private def isMeta(n: String): Boolean =
     n == CowFileColumn.Name || n == CowPosColumn.Name
@@ -2764,7 +2780,7 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
       }
     case None =>
       new CowScan(tableName, state, required, op, skippable, streamKey,
-        partPrunable)
+        partPrunable, pushedLimit)
   }
 }
 
@@ -2783,7 +2799,8 @@ class CowScan(tableName: String, state: CowStore.State,
               required: StructType, op: Option[CowRowLevelOperation],
               skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
               streamKey: Option[(String, Identifier)] = None,
-              partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+              partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+              pushedLimit: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -2909,6 +2926,27 @@ class CowScan(tableName: String, state: CowStore.State,
 
   @volatile private var files: Vector[String] =
     state.files.filter(f => survivePartition(f) && surviveSkipping(f))
+
+  /** LIMIT truncation: plan only enough files to cover the pushed limit
+    * (manifest row counts net of DVs). Spark's own Limit still truncates
+    * rows, so extra files cost I/O only; too few would be wrong — all
+    * files are kept when any lacks stats. Applied consistently wherever
+    * the planned set is consumed.
+    */
+  private def plannedFiles: Vector[String] = pushedLimit match {
+    case Some(n) if op.isEmpty && files.forall(state.stats.contains) =>
+      var acc = 0L
+      val out = Vector.newBuilder[String]
+      val it = files.iterator
+      while (acc < n && it.hasNext) {
+        val f = it.next()
+        out += f
+        acc += state.stats(f).rows -
+          state.deletes.getOrElse(f, Vector.empty).length
+      }
+      out.result()
+    case _ => files
+  }
 
   /** Write-time stats make the COW table a SIZED relation: the planner
     * sees Σ bytes / Σ rows of the (skip-pruned) file set instead of the
@@ -3059,9 +3097,11 @@ class CowScan(tableName: String, state: CowStore.State,
         s"; ${distinctParts(files)} of ${distinctParts(state.files)} " +
           s"partitions [${state.spec.map(_.describe).mkString(",")}]"
       }
+    val lim = pushedLimit.fold("")(n =>
+      s" limit=$n (${plannedFiles.size} planned)")
     s"graft-cow scan of $tableName v${state.version} " +
       s"[${required.fieldNames.mkString(",")}] " +
-      s"(${files.size} of ${state.files.size} files, $skipped skipped$parts)$pushed"
+      s"(${files.size} of ${state.files.size} files, $skipped skipped$parts)$pushed$lim"
   }
   override def toBatch: Batch = this
 
@@ -3108,12 +3148,13 @@ class CowScan(tableName: String, state: CowStore.State,
             Expressions.apply(kind, Expressions.literal(w.toInt),
               Expressions.column(c))
         }
-        val nKeys = files.map(f => state.stats(f).partVals).distinct.size
+        // LIMIT truncation and key-grouping must agree on the file set.
+        val nKeys = plannedFiles.map(f => state.stats(f).partVals).distinct.size
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           keys.toArray, nKeys)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-          files.size)
+          plannedFiles.size)
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -3122,10 +3163,11 @@ class CowScan(tableName: String, state: CowStore.State,
     // group filter), recorded by the scan that actually plans its
     // partitions — a skipped file's rows must never be dropped by the
     // rewrite, and a scan built-but-not-executed must never widen or
-    // narrow the record.
+    // narrow the record. (plannedFiles == files for op scans: LIMIT
+    // never truncates a rewrite's read set.)
     op.foreach(_.scannedFiles.set(files.toSet))
     val keyed = keyedSpec
-    files.map { f =>
+    plannedFiles.map { f =>
       val plain = CowFilePartition(f,
         // The columns physically present in the file = the schema it was
         // written under (write-time stats); files predating an ADD COLUMN

@@ -1486,6 +1486,49 @@ class CowCatalogSpec extends SparkSpec {
     assert(mm.collect().head.getLong(0) == 18)
   }
 
+  test("limit pushdown: a bare LIMIT plans only enough files to cover it") {
+    val tbl = fresh("limpush")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v BIGINT)")
+    for (h <- 0 until 4)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ id, id * 10
+           |FROM range(${h * 10}, ${h * 10 + 10})""".stripMargin)
+    // LIMIT 5 needs one 10-row file; the plan says so and Spark's own
+    // Limit still rules the row count.
+    val q = spark.sql(s"SELECT * FROM $tbl LIMIT 5")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=5 (1 planned)"),
+      s"a bare LIMIT must truncate the planned file set: $plan")
+    assert(q.collect().length == 5)
+    // A limit crossing a file boundary plans exactly the covering set.
+    assert(spark.sql(s"SELECT * FROM $tbl LIMIT 15")
+      .queryExecution.executedPlan.toString.contains("limit=15 (2 planned)"))
+    // Larger than the table: everything planned, full count returned.
+    val all = spark.sql(s"SELECT * FROM $tbl LIMIT 999")
+    assert(all.collect().length == 40)
+    // A residual WHERE blocks the pushdown (this builder never fully
+    // pushes filters) — all files planned, result exact.
+    val w = spark.sql(s"SELECT * FROM $tbl WHERE v >= 250 LIMIT 3")
+    assert(!w.queryExecution.executedPlan.toString.contains("limit="),
+      "LIMIT under a residual filter must not truncate the scan")
+    assert(w.collect().length == 3)
+    // MOR delete vectors count net: deleting 6 rows from the first file
+    // leaves 4 ⇒ LIMIT 5 now needs two files.
+    val mor = fresh("limpushmor")
+    spark.sql(s"CREATE TABLE $mor (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    for (h <- 0 until 2)
+      spark.sql(
+        s"""INSERT INTO $mor
+           |SELECT /*+ COALESCE(1) */ id, id FROM range(${h * 10}, ${h * 10 + 10})""".stripMargin)
+    spark.sql(s"DELETE FROM $mor WHERE id < 6")
+    val m = spark.sql(s"SELECT * FROM $mor LIMIT 5")
+    assert(m.queryExecution.executedPlan.toString.contains("limit=5 (2 planned)"),
+      "limit coverage must net out delete vectors")
+    assert(m.collect().length == 5)
+  }
+
   test("dynamic partition pruning: a dim-filtered join prunes fact partitions at runtime") {
     val fact = fresh("dppfact")
     mkPartitioned(fact) // identity(tag), ids 0..29, 10 per tag
