@@ -690,6 +690,33 @@ object RowLevelOps {
       s"SELECT count(*) AS n FROM (SELECT * FROM $tbl LIMIT 40)")
   }
 
+  /** q_cow_str_skipping — STRING min/max file skipping: write-time
+    * per-string-column [min, max] bounds in the manifest prune files on
+    * string equality/range predicates the way long/timestamp ranges
+    * already do — recorded ONLY when every value in the file is pure
+    * ASCII (Java order == UTF-8 byte order == Spark's comparison there;
+    * one non-ASCII value disables the column's range rather than risking
+    * a collation-order misprune — spec-pinned). Composed with the
+    * declared write order on the string column, every write's bounds
+    * come out DISJOINT, so a `source = 'x'` lookup reads one file — the
+    * dictionary-style string point-lookup at 100 TB. The oracle filters
+    * the raw fixture; skipping must be invisible to results.
+    */
+  def qCowStrSkipping(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"sstr_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    spark.sql(s"CALL $CatalogName.set_write_order('ops.$name', 'source')")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(
+      s"""SELECT doc_id, source, score FROM $tbl
+         |WHERE source = 'src3' ORDER BY doc_id""".stripMargin)
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -859,6 +886,7 @@ object RowLevelOps {
     "q_cow_orphans"     -> qCowOrphans _,
     "q_cow_dpp"         -> qCowDpp _,
     "q_cow_limit"       -> qCowLimit _,
+    "q_cow_str_skipping" -> qCowStrSkipping _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -914,6 +942,13 @@ object RowLevelOps {
         |FROM documents
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // String skipping must be invisible to results: the same source
+    // lookup filtered declaratively.
+    "q_cow_str_skipping" ->
+      """SELECT doc_id, source, n_chars AS score
+        |FROM documents
+        |WHERE doc_id % 3 <> 0 AND source = 'src3'
         |ORDER BY doc_id""".stripMargin,
     // The LIMIT's cardinality is the deterministic surface of a
     // nondeterministic row set.

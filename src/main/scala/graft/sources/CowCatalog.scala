@@ -137,7 +137,15 @@ object CowStore {
                              // evolution: ids only ever grow per table, so
                              // a tuple is always interpreted under the
                              // spec that routed it, never a later one).
-                             specId: Int = 0)
+                             specId: Int = 0,
+                             // Per-string-column [min, max] bounds,
+                             // recorded only when EVERY value in the file
+                             // is pure ASCII (where Java string order ==
+                             // UTF-8 byte order == Spark's comparison;
+                             // a non-ASCII value disables the column's
+                             // range for this file rather than risking a
+                             // collation-order misprune).
+                             strRanges: Map[String, (String, String)] = Map.empty)
 
   /** One field of a table PARTITION SPEC (Iceberg partition transforms in
     * miniature): `identity` (long or string column — the value IS the
@@ -765,11 +773,16 @@ object CowStore {
     snap.files.foreach { f =>
       st.stats.get(f) match {
         case Some(fs) =>
-          val ranges =
-            if (fs.longRanges.isEmpty) "-"
-            else fs.longRanges.toSeq.sortBy(_._1).map { case (c, r) =>
+          // Long ranges as col:min:max; string ranges as
+          // s~col:encMin:encMax (URL-encoded — no ':'/',' collisions).
+          val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+          val allRanges =
+            fs.longRanges.toSeq.sortBy(_._1).map { case (c, r) =>
               s"$c:${r.min}:${r.max}"
-            }.mkString(",")
+            } ++ fs.strRanges.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+              s"s~$c:${enc(lo)}:${enc(hi)}"
+            }
+          val ranges = if (allRanges.isEmpty) "-" else allRanges.mkString(",")
           val pv = if (fs.partVals.isEmpty) "-" else fs.partVals.mkString(",")
           sb ++= s"file\t$f\t${fs.rows}\t${fs.bytes}\t$ranges\t${fs.cols.mkString(",")}\t$pv\t${fs.specId}\n"
         case None => sb ++= s"file\t$f\t-\n"
@@ -876,16 +889,23 @@ object CowStore {
             case Seq("file", f, rows, bytes, ranges, cols, pv, rest @ _*)
                 if rest.length <= 1 =>
               files :+= f
-              val lr =
-                if (ranges == "-") Map.empty[String, ColRange]
-                else ranges.split(",").map { r =>
-                  val Array(c, mn, mx) = r.split(":")
-                  c -> ColRange(mn.toLong, mx.toLong)
-                }.toMap
+              val toks =
+                if (ranges == "-") Array.empty[String] else ranges.split(",")
+              val lr = toks.filterNot(_.startsWith("s~")).map { r =>
+                val Array(c, mn, mx) = r.split(":")
+                c -> ColRange(mn.toLong, mx.toLong)
+              }.toMap
+              val dec = (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+              val sr = toks.filter(_.startsWith("s~")).map { r =>
+                // -1: an empty-string bound URL-encodes to "" and a plain
+                // split would drop the trailing empty token.
+                val Array(c, lo, hi) = r.stripPrefix("s~").split(":", -1)
+                c -> (dec(lo), dec(hi))
+              }.toMap
               stats += f -> FileStats(rows.toLong, bytes.toLong, lr,
                 if (cols.isEmpty) Vector.empty else cols.split(",").toVector,
                 if (pv == "-") Vector.empty else pv.split(",", -1).toVector,
-                rest.headOption.map(_.toInt).getOrElse(0))
+                rest.headOption.map(_.toInt).getOrElse(0), sr)
             case Seq("dv", f, ps) =>
               dvs += f -> ps.split(",").map(_.toLong).toVector
             case other =>
@@ -2595,12 +2615,17 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
       state.schema.fields.exists(f => f.name == c &&
         (f.dataType == LongType || f.dataType == TimestampType))
     def longVal(v: Any): Boolean = CowStore.filterMicros(v).isDefined
+    // String comparisons skip on write-time ASCII [min, max] bounds.
+    def strCol(c: String): Boolean =
+      state.schema.fields.exists(f => f.name == c && f.dataType == StringType)
+    def ok(c: String, v: Any): Boolean =
+      (longCol(c) && longVal(v)) || (strCol(c) && v.isInstanceOf[String])
     skippable = filters.filter {
-      case EqualTo(c, v)            => longCol(c) && longVal(v)
-      case GreaterThan(c, v)        => longCol(c) && longVal(v)
-      case GreaterThanOrEqual(c, v) => longCol(c) && longVal(v)
-      case LessThan(c, v)           => longCol(c) && longVal(v)
-      case LessThanOrEqual(c, v)    => longCol(c) && longVal(v)
+      case EqualTo(c, v)            => ok(c, v)
+      case GreaterThan(c, v)        => ok(c, v)
+      case GreaterThanOrEqual(c, v) => ok(c, v)
+      case LessThan(c, v)           => ok(c, v)
+      case LessThanOrEqual(c, v)    => ok(c, v)
       case _ => false
     }
     // Spec evolution: a predicate on a column ANY spec (current or
@@ -2820,7 +2845,23 @@ class CowScan(tableName: String, state: CowStore.State,
       // write-time ranges were collected in; unnormalizable values keep
       // the file (pruning is optional).
       def mic(v: Any) = CowStore.filterMicros(v)
+      // String bounds are ASCII-only (write side guarantees it); a
+      // non-ASCII literal keeps the file — Java order == UTF-8 byte
+      // order only inside ASCII.
+      def srng(c: String) = fs.strRanges.get(c)
+      def sKeep(c: String, v: String, keep: ((String, String)) => Boolean) =
+        !v.forall(_ < 128) || srng(c).forall(keep)
       skipFilters.forall {
+        case EqualTo(c, v: String) =>
+          sKeep(c, v, { case (lo, hi) => lo <= v && v <= hi })
+        case GreaterThan(c, v: String) =>
+          sKeep(c, v, { case (_, hi) => hi > v })
+        case GreaterThanOrEqual(c, v: String) =>
+          sKeep(c, v, { case (_, hi) => hi >= v })
+        case LessThan(c, v: String) =>
+          sKeep(c, v, { case (lo, _) => lo < v })
+        case LessThanOrEqual(c, v: String) =>
+          sKeep(c, v, { case (lo, _) => lo <= v })
         case EqualTo(c, v) =>
           mic(v).forall(m => rng(c).forall(r => r.min <= m && m <= r.max))
         case GreaterThan(c, v) =>
@@ -3650,6 +3691,16 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
     tableSchema.fields.indices.map(longIdx.indexOf(_)).toArray
   private val mins = Array.fill(longIdx.length)(Long.MaxValue)
   private val maxs = Array.fill(longIdx.length)(Long.MinValue)
+  // String bounds: ASCII-only (see FileStats.strRanges); one non-ASCII
+  // value disables the column's range for this file.
+  private val strIdx: Array[Int] =
+    tableSchema.fields.indices.filter(
+      i => tableSchema.fields(i).dataType == StringType).toArray
+  private val strSlot: Array[Int] =
+    tableSchema.fields.indices.map(strIdx.indexOf(_)).toArray
+  private val smins = Array.fill[String](strIdx.length)(null)
+  private val smaxs = Array.fill[String](strIdx.length)(null)
+  private val strOk = Array.fill(strIdx.length)(true)
 
   def write(row: InternalRow, off: Int): Unit = {
     val g = factory.newGroup()
@@ -3666,7 +3717,22 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
             if (v > maxs(s)) maxs(s) = v
             g.append(f.name, v)
           case DoubleType => g.append(f.name, row.getDouble(i))
-          case StringType => g.append(f.name, row.getUTF8String(i).toString)
+          case StringType =>
+            val s = row.getUTF8String(i).toString
+            val slot = strSlot(t)
+            if (strOk(slot)) {
+              var ascii = true
+              var ci = 0
+              while (ascii && ci < s.length) {
+                if (s.charAt(ci) >= 128) ascii = false; ci += 1
+              }
+              if (!ascii) strOk(slot) = false
+              else {
+                if (smins(slot) == null || s < smins(slot)) smins(slot) = s
+                if (smaxs(slot) == null || s > smaxs(slot)) smaxs(slot) = s
+              }
+            }
+            g.append(f.name, s)
           case other => throw new IllegalArgumentException(
             s"graft-cow: unsupported column type ${other.simpleString}")
         }
@@ -3692,9 +3758,13 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
           tableSchema.fields(longIdx(s)).name ->
             CowStore.ColRange(mins(s), maxs(s))
       }.toMap
+      val sranges = strIdx.indices.collect {
+        case s if strOk(s) && smins(s) != null =>
+          tableSchema.fields(strIdx(s)).name -> (smins(s), smaxs(s))
+      }.toMap
       Some(file -> CowStore.FileStats(
         rows, new java.io.File(file).length(), ranges,
-        tableSchema.fieldNames.toVector, partVals, specId))
+        tableSchema.fieldNames.toVector, partVals, specId, sranges))
     }
   }
 

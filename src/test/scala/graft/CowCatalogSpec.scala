@@ -1486,6 +1486,69 @@ class CowCatalogSpec extends SparkSpec {
     assert(mm.collect().head.getLong(0) == 18)
   }
 
+  test("string min/max stats skip files; non-ASCII disables the range instead of mispruning") {
+    val tbl = fresh("strskip")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING)")
+    // 3 single-file inserts with disjoint lexicographic tag ranges.
+    for ((p, h) <- Seq("a" -> 0, "b" -> 1, "c" -> 2))
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT /*+ COALESCE(1) */ id, concat('$p', CAST(id AS STRING))
+           |FROM range(${h * 10}, ${h * 10 + 10})""".stripMargin)
+    val skipRe = """(\d+) of (\d+) files, (\d+) skipped""".r
+    def skipped(sql: String): (Int, Long) = {
+      val df = spark.sql(sql)
+      val m = skipRe.findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (m.group(3).toInt, df.count())
+    }
+    // Equality inside one file's range skips the other two.
+    assert(skipped(s"SELECT id FROM $tbl WHERE tag = 'b15'") == (2, 1L))
+    // Range predicates prune lexicographically.
+    assert(skipped(s"SELECT id FROM $tbl WHERE tag >= 'c'") == (2, 10L))
+    assert(skipped(s"SELECT id FROM $tbl WHERE tag < 'b'") == (2, 10L))
+    // A value outside every range skips everything but stays correct.
+    assert(skipped(s"SELECT id FROM $tbl WHERE tag = 'zzz'") == (3, 0L))
+    // Non-ASCII literal: unprunable, everything kept, still correct.
+    assert(skipped(s"SELECT id FROM $tbl WHERE tag = 'ü'") == (0, 0L))
+    // A file containing ANY non-ASCII value records no range for the
+    // column (collation orders diverge outside ASCII) and never skips.
+    val nb = fresh("strskipnb")
+    spark.sql(s"CREATE TABLE $nb (id BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $nb SELECT /*+ COALESCE(1) */ id, " +
+      s"CASE WHEN id = 0 THEN 'über' ELSE concat('m', CAST(id AS STRING)) END " +
+      s"FROM range(0, 10)")
+    val stNb = CowStore.get(cat, identOf(nb)).get
+    assert(stNb.stats(stNb.files.head).strRanges.isEmpty,
+      "a non-ASCII value must disable the file's string range")
+    assert(skipped(s"SELECT id FROM $nb WHERE tag = 'zzz'") == (0, 0L))
+    // The bounds survive the manifest round-trip (recovery).
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    assert(rec.stats.forall { case (f, fs) =>
+      fs.strRanges == st.stats(f).strRanges })
+    // Synergy with the declared write order: range-distributing on the
+    // string column makes every write's bounds disjoint by construction.
+    val wo = fresh("strskipwo")
+    spark.sql(s"CREATE TABLE $wo (id BIGINT, tag STRING)")
+    spark.sql(s"CALL $cat.set_write_order('${wo.split("\\.").drop(1).mkString(".")}', 'tag')")
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try spark.sql(
+      s"""INSERT INTO $wo
+         |SELECT id, concat(CHAR(97 + CAST(id % 26 AS INT)), CAST(id AS STRING))
+         |FROM range(0, 2600)""".stripMargin)
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None    => spark.conf.unset(k)
+    }
+    val (sk, n) = skipped(s"SELECT id FROM $wo WHERE tag >= 'y'")
+    assert(sk > 0, "ordered string writes must produce skippable bounds")
+    assert(n == (0 until 2600).count(i => 97 + i % 26 >= 'y'.toInt))
+  }
+
   test("limit pushdown: a bare LIMIT plans only enough files to cover it") {
     val tbl = fresh("limpush")
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, v BIGINT)")
