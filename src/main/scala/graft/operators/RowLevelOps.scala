@@ -717,6 +717,39 @@ object RowLevelOps {
          |WHERE source = 'src3' ORDER BY doc_id""".stripMargin)
   }
 
+  /** q_cow_overwrite — PARTITION-LEVEL `INSERT OVERWRITE`
+    * (`SupportsOverwrite` + `SupportsDynamicOverwrite`): the static form
+    * (`PARTITION (source = 'x')`) replaces exactly the named identity
+    * partitions' files, the dynamic form
+    * (`partitionOverwriteMode=dynamic`) replaces exactly the partitions
+    * the incoming data touches — the idempotent-backfill write mode
+    * (re-running a day's job replaces that day, nothing else). Unlike
+    * scan pruning, an overwrite's remove set must be EXACT, so anything
+    * undecidable file-exactly fails loudly at plan time: non-identity
+    * source columns (a bucket/temporal equality doesn't align with
+    * partition boundaries) and mixed-spec tables both refuse
+    * (CowCatalogSpec pins untouched partitions byte-identical and the
+    * loud gates). The scripted flow overwrites one source partition; the
+    * oracle rebuilds the final state declaratively.
+    */
+  def qCowOverwrite(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.ovw_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT) " +
+      "PARTITIONED BY (source)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    val lit = spark.sql(
+      s"SELECT min(source) FROM parquet.`$d/documents.parquet`").head.getString(0)
+    spark.sql(
+      s"""INSERT OVERWRITE $tbl PARTITION (source = '$lit')
+         |SELECT doc_id, n_chars * 2 FROM parquet.`$d/documents.parquet`
+         |WHERE source = '$lit' AND doc_id % 2 = 0""".stripMargin)
+    finalState(spark, tbl)
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -887,6 +920,7 @@ object RowLevelOps {
     "q_cow_dpp"         -> qCowDpp _,
     "q_cow_limit"       -> qCowLimit _,
     "q_cow_str_skipping" -> qCowStrSkipping _,
+    "q_cow_overwrite"   -> qCowOverwrite _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -943,6 +977,18 @@ object RowLevelOps {
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // Partition overwrite rebuilt declaratively: the min(source)
+    // partition's rows replaced by the doubled-even slice, the rest
+    // untouched.
+    "q_cow_overwrite" ->
+      """WITH lit AS (SELECT min(source) AS s FROM documents)
+        |SELECT doc_id, source, score FROM (
+        |  SELECT doc_id, source, n_chars AS score FROM documents, lit
+        |  WHERE doc_id % 3 <> 0 AND source <> lit.s
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars * 2 FROM documents, lit
+        |  WHERE source = lit.s AND doc_id % 2 = 0
+        |) ORDER BY doc_id""".stripMargin,
     // String skipping must be invisible to results: the same source
     // lookup filtered declaratively.
     "q_cow_str_skipping" ->

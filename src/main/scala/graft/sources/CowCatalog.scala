@@ -2431,6 +2431,8 @@ class CowTable(catalog: String, ident: Identifier,
     s.add(TableCapability.BATCH_READ)
     s.add(TableCapability.BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
+    s.add(TableCapability.OVERWRITE_BY_FILTER)
+    s.add(TableCapability.OVERWRITE_DYNAMIC)
     // The table is also a STREAMING SOURCE (`spark.readStream.table`:
     // offsets are COMMIT VERSIONS, each batch serves the files newly
     // added in (start, end] — see [[CowMicroBatchStream]]) and a
@@ -3469,19 +3471,64 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
 class CowWriteBuilder(catalog: String, ident: Identifier,
                       state: CowStore.State, op: Option[CowRowLevelOperation],
                       writeSchema: StructType, truncateAll: Boolean = false,
-                      queryId: String = "", branch: Option[String] = None)
-    extends WriteBuilder with SupportsTruncate {
+                      queryId: String = "", branch: Option[String] = None,
+                      overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
+                      dynamicOverwrite: Boolean = false)
+    extends WriteBuilder with SupportsTruncate
+    with SupportsOverwrite with SupportsDynamicOverwrite {
 
   override def truncate(): WriteBuilder =
     new CowWriteBuilder(catalog, ident, state, op, writeSchema,
       truncateAll = true, queryId = queryId, branch = branch)
+
+  /** STATIC partition overwrite (`INSERT OVERWRITE … PARTITION (c=v)`):
+    * exactly the named identity partitions' files are replaced. Unlike
+    * scan pruning (optional, superset-safe), an overwrite's remove set
+    * must be EXACT, so anything that can't be decided file-exactly fails
+    * LOUDLY at plan time: filters must be `=`/`IN` (or AlwaysTrue) on
+    * identity-transform columns of the CURRENT spec — a bucket/temporal
+    * source column's equality does not align with partition boundaries.
+    */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, In}
+    def identityCol(c: String): Boolean =
+      state.spec.exists(p => p.kind == "identity" && p.col == c)
+    filters.foreach {
+      case _: AlwaysTrue => ()
+      case EqualTo(c, _) if identityCol(c) => ()
+      case EqualNullSafe(c, _) if identityCol(c) => ()
+      case In(c, _) if identityCol(c) => ()
+      case other => throw new IllegalArgumentException(
+        s"graft-cow: static overwrite filters must be =/IN on IDENTITY " +
+          s"partition columns of the current spec (or the full-table " +
+          s"AlwaysTrue); got $other over spec " +
+          s"[${state.spec.map(_.describe).mkString(",")}]")
+    }
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) truncate()
+    else new CowWriteBuilder(catalog, ident, state, op, writeSchema,
+      queryId = queryId, branch = branch, overwriteFilters = Some(filters))
+  }
+
+  /** DYNAMIC partition overwrite
+    * (`spark.sql.sources.partitionOverwriteMode=dynamic`): replaces
+    * exactly the partitions the incoming data TOUCHES — the standing
+    * idempotent-backfill write mode (re-running a day's job replaces
+    * that day, nothing else). Decided at commit from the new files'
+    * tuples.
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder =
+    new CowWriteBuilder(catalog, ident, state, op, writeSchema,
+      queryId = queryId, branch = branch, dynamicOverwrite = true)
 
   override def build(): Write = new Write
       with RequiresDistributionAndOrdering {
     override def description(): String = {
       val mode =
         if (op.isDefined) "replace-groups"
-        else if (truncateAll) "truncate" else "append"
+        else if (truncateAll) "truncate"
+        else if (overwriteFilters.isDefined) "overwrite-static"
+        else if (dynamicOverwrite) "overwrite-dynamic"
+        else "append"
       s"graft-cow $mode to " +
         (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".")
     }
@@ -3530,7 +3577,8 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
       * rows (the Delta txn appId/version contract).
       */
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(op.isEmpty && !truncateAll && branch.isEmpty,
+      require(op.isEmpty && !truncateAll && branch.isEmpty &&
+        overwriteFilters.isEmpty && !dynamicOverwrite,
         "graft-cow: streaming writes are append-only, to main")
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         override def createStreamingWriterFactory(
@@ -3559,17 +3607,68 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
         CowWriterFactory(state.dir, writeSchema, state.schema, state.spec,
           state.specId)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val msgs = messages.map(_.asInstanceOf[CowCommitMessage])
+        // An overwrite's remove set must be EXACT: every current file
+        // must carry a CURRENT-spec tuple (an old-spec file could hold
+        // matching rows invisibly) — fail loudly, naming the migration.
+        def requireUniformSpec(mode: String): Unit =
+          state.files.foreach { f =>
+            val ok = state.stats.get(f).exists(fs =>
+              fs.specId == state.specId &&
+                fs.partVals.length == state.spec.length)
+            if (!ok) throw new UnsupportedOperationException(
+              s"graft-cow: $mode overwrite needs every file on the " +
+                s"current partition spec; $f predates the spec — run " +
+                s"CALL optimize to migrate, or INSERT OVERWRITE the table")
+          }
+        // Static: files whose identity tuple satisfies the PARTITION
+        // clause's conjunction (exact by validation in overwrite()).
+        def staticRemove(filters: Array[org.apache.spark.sql.sources.Filter]): Set[String] = {
+          import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, In}
+          requireUniformSpec("static")
+          def norm(v: Any): Any = v match {
+            case n: java.lang.Number => n.longValue()
+            case other => other
+          }
+          def hit(f: String, c: String, vs: Seq[Any]): Boolean = {
+            val i = state.spec.indexWhere(p => p.kind == "identity" && p.col == c)
+            val pv = state.stats(f).partVals(i)
+            vs.exists(v => pv == CowStore.encodePartVal(state.spec(i), norm(v)))
+          }
+          state.files.filter { f =>
+            filters.forall {
+              case _: AlwaysTrue        => true
+              case EqualTo(c, v)        => hit(f, c, Seq(v))
+              case EqualNullSafe(c, v)  => hit(f, c, Seq(v))
+              case In(c, vs)            => hit(f, c, vs.toSeq)
+              case other => throw new IllegalStateException(
+                s"graft-cow: unvalidated overwrite filter $other")
+            }
+          }.toSet
+        }
+        // Dynamic: files whose tuple appears among the NEW files' tuples
+        // (replace exactly what the data touches).
+        def dynamicRemove(newStats: Seq[(String, CowStore.FileStats)]): Set[String] =
+          if (state.spec.isEmpty) state.files.toSet // unpartitioned: all
+          else {
+            requireUniformSpec("dynamic")
+            val touched = newStats.map(_._2.partVals).toSet
+            state.files.filter(f =>
+              touched.contains(state.stats(f).partVals)).toSet
+          }
         // Row-level ops remove the scanned (= rewritten) groups; truncate
         // removes everything current; append removes nothing. Reading the
         // op's record HERE — after the rewrite query ran — picks up the
         // runtime group filter's narrowing.
+        val newFiles = msgs.flatMap(_.files)
         val remove =
           op.map(_.scannedFiles.get())
             .orElse(if (truncateAll) Some(state.files.toSet) else None)
-        val msgs = messages.map(_.asInstanceOf[CowCommitMessage])
+            .orElse(overwriteFilters.map(staticRemove))
+            .orElse(if (dynamicOverwrite) Some(dynamicRemove(newFiles.toSeq))
+                    else None)
         CowStore.commit(catalog, ident,
-          msgs.flatMap(_.files.map(_._1)).toSeq, remove,
-          msgs.flatMap(_.files).toMap, branch)
+          newFiles.map(_._1).toSeq, remove, newFiles.toMap, branch)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.foreach {

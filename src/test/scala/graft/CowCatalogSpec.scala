@@ -1486,6 +1486,71 @@ class CowCatalogSpec extends SparkSpec {
     assert(mm.collect().head.getLong(0) == 18)
   }
 
+  test("partition overwrite: static replaces named partitions, dynamic replaces touched ones, misaligned fails loudly") {
+    val tbl = fresh("ovw")
+    mkPartitioned(tbl) // identity(tag), ids 0..29, v = id*10
+    val ident = identOf(tbl)
+    val before = CowStore.get(cat, ident).get
+    val otherFiles = before.files.filter(f =>
+      before.stats(f).partVals.headOption.exists(_ != "t1")).toSet
+    // STATIC: only t1's files are replaced; other partitions' files stay
+    // the very same file objects.
+    spark.sql(
+      s"""INSERT OVERWRITE $tbl PARTITION (tag = 't1')
+         |SELECT id, id * 1000 FROM range(100, 103)""".stripMargin)
+    val afterS = CowStore.get(cat, ident).get
+    otherFiles.foreach(f => assert(afterS.files.contains(f),
+      s"static overwrite of t1 must not touch $f"))
+    val got = spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = ((0L until 30L).filter(_ % 3 != 1).map(i => (i, s"t${i % 3}", i * 10))
+      ++ (100L until 103L).map(i => (i, "t1", i * 1000))).sortBy(_._1)
+    assert(got == want, s"static overwrite state diverged: $got")
+    // DYNAMIC: only partitions present in the data are replaced.
+    val k = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "dynamic")
+    try spark.sql(
+      s"""INSERT OVERWRITE $tbl
+         |SELECT id, concat('t', CAST(id % 2 AS STRING)), id
+         |FROM range(200, 204)""".stripMargin)
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None    => spark.conf.unset(k)
+    }
+    val got2 = spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    // t0/t1 replaced by the 200..203 rows; t2 untouched.
+    val want2 = ((0L until 30L).filter(_ % 3 == 2).map(i => (i, "t2", i * 10))
+      ++ (200L until 204L).map(i => (i, s"t${i % 2}", i))).sortBy(_._1)
+    assert(got2 == want2, s"dynamic overwrite state diverged: $got2")
+    // Misaligned static overwrite fails loudly at plan time: a bucket
+    // source column's equality does not align with partition boundaries.
+    val bkt = fresh("ovwbkt")
+    spark.sql(s"CREATE TABLE $bkt (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $bkt SELECT id, id FROM range(0, 10)")
+    // The SQL PARTITION clause is already analyzer-rejected (bucket's
+    // source is not a partition column there)...
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $bkt PARTITION (id = 3) SELECT 99L")
+    }
+    assert(e.toString.contains("NON_PARTITION_COLUMN"), s"analyzer gate: $e")
+    // ... and the builder's own gate catches the DataFrame overwrite API,
+    // where arbitrary filters can reach the connector.
+    import spark.implicits._
+    val e2 = intercept[Exception] {
+      Seq((3L, 99L)).toDF("id", "v").writeTo(bkt).overwrite(col("id") === 3L)
+    }
+    assert(e2.toString.contains("IDENTITY partition columns") ||
+      Option(e2.getCause).exists(_.toString.contains("IDENTITY partition columns")),
+      s"bucket-source overwrite must fail loudly in the builder: $e2")
+    // Full-table INSERT OVERWRITE (AlwaysTrue) is the plain truncate path.
+    spark.sql(s"INSERT OVERWRITE $bkt SELECT id, id * 2 FROM range(0, 5)")
+    assert(spark.table(bkt).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq == (0L until 5L).map(i => (i, i * 2)))
+  }
+
   test("string min/max stats skip files; non-ASCII disables the range instead of mispruning") {
     val tbl = fresh("strskip")
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING)")
