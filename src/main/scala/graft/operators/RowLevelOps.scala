@@ -750,6 +750,37 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** q_cow_rollback — `CALL graft_cow.rollback(table, version)`
+    * (Iceberg's rollback_to_snapshot): main moves FORWARD to a new
+    * commit whose content is a retained version's snapshot verbatim —
+    * the bad-deploy undo that never deletes history (the bad commits
+    * stay time-travelable; only versions on main's lineage are valid
+    * targets, spec-pinned). The scripted flow poisons the table with an
+    * UPDATE, rolls back, and returns the restored state; the oracle is
+    * the pre-poison relation.
+    */
+  def qCowRollback(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "rbk") // v0 create + v1 insert
+    spark.sql(s"UPDATE $tbl SET score = -1 WHERE doc_id >= 0") // v2: poison
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $CatalogName.rollback('$name', 1L)")
+    finalState(spark, tbl)
+  }
+
+  /** q_cow_drop_column — `ALTER TABLE … DROP COLUMN` (subtractive schema
+    * evolution): a metadata-only commit narrows the schema — no data
+    * rewritten, readers stop projecting the column, old snapshots keep
+    * their contemporary shape. Without field ids a re-added name would
+    * RESURRECT old files' stale values, so the name is TOMBSTONED and
+    * re-adding it fails loudly (spec-pinned, durable through recovery).
+    * The oracle is the narrowed projection.
+    */
+  def qCowDropColumn(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "dropc")
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN score")
+    spark.sql(s"SELECT doc_id, source FROM $tbl ORDER BY doc_id")
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -921,6 +952,8 @@ object RowLevelOps {
     "q_cow_limit"       -> qCowLimit _,
     "q_cow_str_skipping" -> qCowStrSkipping _,
     "q_cow_overwrite"   -> qCowOverwrite _,
+    "q_cow_rollback"    -> qCowRollback _,
+    "q_cow_drop_column" -> qCowDropColumn _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -976,6 +1009,16 @@ object RowLevelOps {
         |FROM documents
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // Rollback must restore the pre-poison relation exactly.
+    "q_cow_rollback" ->
+      """SELECT doc_id, source, n_chars AS score
+        |FROM documents WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    // DROP COLUMN is the narrowed projection, nothing else.
+    "q_cow_drop_column" ->
+      """SELECT doc_id, source
+        |FROM documents WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
     // Partition overwrite rebuilt declaratively: the min(source)
     // partition's rows replaced by the doubled-even slice, the rest

@@ -373,6 +373,11 @@ object CowStore {
                          // snapshots resolve their files' specs exactly.
                          specId: Int = 0,
                          oldSpecs: Map[Int, Vector[PartField]] = Map.empty,
+                         // Tombstones for DROP COLUMN: this format has no
+                         // field ids, so re-adding a dropped name would
+                         // RESURRECT the old files' stale values — the
+                         // tombstone set makes that a loud error instead.
+                         droppedCols: Set[String] = Set.empty,
                          // Declarative WRITE SORT ORDER (Iceberg
                          // write.sort-order): (column, descending) — new
                          // batch writes are range-distributed and sorted
@@ -609,14 +614,47 @@ object CowStore {
       val st = Option(tables.get(k)).getOrElse(
         throw new NoSuchTableException(ident))
       require(supportedType(field.dataType),
-        s"graft-cow supports long/double/string columns; got " +
+        s"graft-cow supports long/double/string/timestamp columns; got " +
           s"${field.name}: ${field.dataType.simpleString}")
       require(!st.schema.fieldNames.contains(field.name),
         s"graft-cow: column ${field.name} already exists")
+      require(!st.droppedCols.contains(field.name),
+        s"graft-cow: column ${field.name} was previously DROPPED; without " +
+          "field ids re-adding the name would resurrect old files' stale " +
+          "values — pick a new name")
       require(field.nullable,
         "graft-cow: added columns must be nullable (existing files read NULL)")
       val snap = st.snapshot
       publish(k, st, snap.copy(schema = snap.schema.add(field)), Map.empty)
+    }
+
+  /** `ALTER TABLE … DROP COLUMN`: a new version with the SAME files and a
+    * narrowed schema — no data is rewritten, readers simply stop
+    * projecting the column (old snapshots keep their contemporary
+    * schema). The name is TOMBSTONED (see [[State.droppedCols]]).
+    * Columns referenced by the current partition spec or write order
+    * refuse — they drive routing.
+    */
+  def dropColumn(catalog: String, ident: Identifier, name: String): State =
+    synchronized {
+      val k = key(catalog, ident)
+      val st = Option(tables.get(k)).getOrElse(
+        throw new NoSuchTableException(ident))
+      require(st.schema.fieldNames.contains(name),
+        s"graft-cow: no such column $name")
+      require(!st.spec.exists(_.col == name),
+        s"graft-cow: $name is a partition source column of the current " +
+          "spec — CALL set_spec first")
+      require(!st.writeOrder.exists(_._1 == name),
+        s"graft-cow: $name is in the declared write order — CALL " +
+          "set_write_order first")
+      require(st.schema.fields.length > 1,
+        "graft-cow: cannot drop the last column")
+      val snap = st.snapshot
+      publish(k, st.copy(droppedCols = st.droppedCols + name),
+        snap.copy(schema =
+          StructType(snap.schema.fields.filterNot(_.name == name))),
+        Map.empty)
     }
 
   /** PARTITION SPEC EVOLUTION (`CALL graft_cow.set_spec(table, spec)`,
@@ -692,6 +730,26 @@ object CowStore {
     victims.length.toLong
   }
 
+  /** ROLLBACK (`CALL graft_cow.rollback(table, version)` — Iceberg's
+    * rollback_to_snapshot): main moves FORWARD to a new commit whose
+    * content is the retained version `v`'s snapshot verbatim (files,
+    * delete vectors AND schema). History is append-only — the bad
+    * commits stay time-travelable and vacuumable; nothing is deleted.
+    * Only versions on MAIN's lineage are valid targets (rolling main
+    * back to a branch commit would splice lineages — fail loudly).
+    */
+  def rollback(catalog: String, ident: Identifier, v: Long): State =
+    synchronized {
+      val k = key(catalog, ident)
+      val st = Option(tables.get(k)).getOrElse(
+        throw new NoSuchTableException(ident))
+      val snap = st.snapshotAt(v) // loud when vacuumed/unknown
+      require(st.ancestors(st.version).contains(v),
+        s"graft-cow: version $v is not on main's lineage " +
+          s"(main head ${st.version}; roll back to a main ancestor)")
+      publish(k, st, snap, Map.empty)
+    }
+
   /** Commit wall-clock in MICROSECONDS (Spark's `TIMESTAMP AS OF`
     * resolution unit), strictly increasing per table so two commits in
     * the same clock tick stay distinguishable.
@@ -763,6 +821,8 @@ object CowStore {
     if (st.writeOrder.nonEmpty)
       sb ++= s"writeorder\t${st.writeOrder.map { case (c, d) =>
         s"$c:${if (d) "desc" else "asc"}" }.mkString(",")}\n"
+    if (st.droppedCols.nonEmpty)
+      sb ++= s"dropped\t${st.droppedCols.toSeq.sorted.mkString(",")}\n"
     st.oldSpecs.toSeq.sortBy(_._1).foreach { case (id, sp) =>
       val body =
         if (sp.isEmpty) "-"
@@ -846,6 +906,7 @@ object CowStore {
       var specIdByVersion = Map.empty[Long, Int]
       var oldSpecsAll = Map.empty[Int, Vector[PartField]]
       var orderByVersion = Map.empty[Long, Vector[(String, Boolean)]]
+      var droppedAll = Set.empty[String]
       var stats = Map.empty[String, FileStats]
       var commitTs = Map.empty[Long, Long]
       var parents = Map.empty[Long, Long]
@@ -871,6 +932,8 @@ object CowStore {
                 val Array(c, d) = o.split(":", 2)
                 (c, d == "desc")
               }
+            case Seq("dropped", s) =>
+              droppedAll ++= s.split(",").toSet
             case Seq("oldspec", id, s) =>
               oldSpecsAll += id.toInt -> (
                 if (s == "-") Vector.empty
@@ -929,6 +992,7 @@ object CowStore {
         branches = branches, parent = parents,
         specId = specIdByVersion.getOrElse(current, 0),
         oldSpecs = oldSpecsAll,
+        droppedCols = droppedAll,
         writeOrder = orderByVersion.getOrElse(current, Vector.empty))
       tables.put(key(catalog, ident), st)
       st
@@ -1375,9 +1439,11 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
     new CowTable(catalogName, ident)
   }
 
-  /** `ALTER TABLE … ADD COLUMN` (add-only schema evolution): a metadata
-    * commit — same files, extended schema, no rewrite. Everything else
-    * (renames, drops, type changes) is rejected loudly.
+  /** `ALTER TABLE … ADD COLUMN` / `DROP COLUMN` (schema evolution as
+    * metadata commits — same files, no rewrite): adds append nullable
+    * columns (existing files read NULL), drops narrow the schema and
+    * TOMBSTONE the name (no field ids ⇒ re-adding it would resurrect
+    * stale values). Renames and type changes are rejected loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     changes.foreach {
@@ -1391,9 +1457,14 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
         CowStore.addColumn(catalogName, ident,
           StructField(add.fieldNames()(0), add.dataType(),
             nullable = add.isNullable)): Unit
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft-cow: nested columns are not supported")
+        CowStore.dropColumn(catalogName, ident, del.fieldNames()(0)): Unit
       case other =>
         throw new UnsupportedOperationException(
-          s"graft-cow: unsupported ALTER TABLE change $other (ADD COLUMN only)")
+          s"graft-cow: unsupported ALTER TABLE change $other " +
+            "(ADD COLUMN / DROP COLUMN only)")
     }
     new CowTable(catalogName, ident)
   }
@@ -1418,10 +1489,11 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       case "set_spec" => new CowSetSpecProcedure(catalogName)
       case "set_write_order" => new CowSetWriteOrderProcedure(catalogName)
       case "remove_orphan_files" => new CowRemoveOrphansProcedure(catalogName)
+      case "rollback" => new CowRollbackProcedure(catalogName)
       case other => throw new RuntimeException(
         s"graft-cow: no such procedure $other " +
           "(have: vacuum, tag, branch, publish, optimize, set_spec, " +
-          "set_write_order, remove_orphan_files)")
+          "set_write_order, remove_orphan_files, rollback)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -1430,7 +1502,8 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       Identifier.of(namespace, "optimize"),
       Identifier.of(namespace, "set_spec"),
       Identifier.of(namespace, "set_write_order"),
-      Identifier.of(namespace, "remove_orphan_files"))
+      Identifier.of(namespace, "remove_orphan_files"),
+      Identifier.of(namespace, "rollback"))
 
   /** The `FunctionCatalog` half of STORAGE-PARTITIONED JOINS: when
     * Catalyst resolves a scan-reported `bucket(n, col)` partitioning
@@ -1961,6 +2034,43 @@ class CowRemoveOrphansProcedure(catalogName: String) extends UnboundProcedure {
         override def readSchema(): StructType = StructType(Seq(
           StructField("removed_files", LongType, nullable = false)))
         override def description(): String = "graft-cow orphan-scan report"
+      }
+      JCollections.singletonList(scan).iterator()
+    }
+  }
+}
+
+/** `CALL <catalog>.rollback(table, version)` — move main FORWARD to a
+  * commit whose content is the retained version's snapshot verbatim.
+  * History stays append-only (the bad commits remain time-travelable);
+  * returns (new_version, rolled_back_to).
+  */
+class CowRollbackProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "rollback"
+  override def description(): String =
+    "graft-cow ROLLBACK: new main commit with a retained version's " +
+      "content verbatim (history stays append-only)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String = CowRollbackProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split("\\.")
+      val target = input.getLong(1)
+      val st = CowStore.rollback(catalogName,
+        Identifier.of(parts.init, parts.last), target)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(
+          new GenericInternalRow(Array[Any](st.version, target)))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("new_version", LongType, nullable = false),
+          StructField("rolled_back_to", LongType, nullable = false)))
+        override def description(): String = "graft-cow rollback report"
       }
       JCollections.singletonList(scan).iterator()
     }

@@ -1486,6 +1486,79 @@ class CowCatalogSpec extends SparkSpec {
     assert(mm.collect().head.getLong(0) == 18)
   }
 
+  test("rollback: main moves forward to an old snapshot's content; history stays append-only") {
+    val tbl = fresh("rollbk")
+    mkBase(tbl) // v1: ids 0..19, v = id*10
+    spark.sql(s"UPDATE $tbl SET v = -1 WHERE id >= 0") // v2: the bad write
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    val rep = spark.sql(s"CALL $cat.rollback('$name', 1L)").collect().head
+    assert(rep.getLong(0) == 3L && rep.getLong(1) == 1L)
+    // Content is v1's verbatim; the bad v2 stays time-travelable.
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._1).toSeq == (0L until 20L).map(i => (i, i * 10)))
+    assert(spark.sql(s"SELECT sum(v) FROM $tbl VERSION AS OF 2")
+      .head.getLong(0) == -20L)
+    // The rollback is an ordinary commit: lineage recovers, and rolling
+    // back to a vacuumed/unknown version fails loudly.
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    assert(st.parent(3L) == 2L, "rollback commit records its parent")
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    assert(rec.version == 3L && rec.files == st.files)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.rollback('$name', 99L)")
+    }
+    assert(e.toString.contains("no such version") ||
+      Option(e.getCause).exists(_.toString.contains("no such version")), s"$e")
+    // A branch head is not a main ancestor — refuse.
+    spark.sql(s"CALL $cat.branch('$name', 'wip')")
+    spark.sql(s"INSERT INTO $tbl.branch_wip VALUES (100L, 'x', 1L)") // v4 on wip
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.rollback('$name', 4L)")
+    }
+    assert(e2.toString.contains("main's lineage") ||
+      Option(e2.getCause).exists(_.toString.contains("main's lineage")), s"$e2")
+  }
+
+  test("DROP COLUMN narrows the schema without rewrites; the name is tombstoned against resurrection") {
+    val tbl = fresh("dropcol")
+    mkBase(tbl) // (id, tag, v), ids 0..19
+    val ident = identOf(tbl)
+    val filesBefore = CowStore.get(cat, ident).get.files
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN v")
+    val st = CowStore.get(cat, ident).get
+    assert(st.files == filesBefore, "DROP COLUMN must not rewrite data")
+    assert(st.schema.fieldNames.toSeq == Seq("id", "tag"))
+    // Reads project the narrowed schema; old versions keep theirs.
+    assert(spark.table(tbl).columns.toSeq == Seq("id", "tag"))
+    assert(spark.sql(s"SELECT v FROM $tbl VERSION AS OF 1").count() == 20)
+    // New writes and the narrowed reads agree.
+    spark.sql(s"INSERT INTO $tbl VALUES (100L, 'z')")
+    assert(spark.table(tbl).count() == 21)
+    // Re-adding the dropped name is refused (stale-value resurrection).
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN v BIGINT")
+    }
+    assert(e.toString.contains("previously DROPPED") ||
+      Option(e.getCause).exists(_.toString.contains("previously DROPPED")), s"$e")
+    // ... durably: the tombstone survives recovery.
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    assert(rec.droppedCols == Set("v"))
+    // A fresh name works; partition-source columns refuse to drop.
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN w BIGINT")
+    assert(spark.table(tbl).columns.toSeq == Seq("id", "tag", "w"))
+    val part = fresh("dropcolpart")
+    mkPartitioned(part)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $part DROP COLUMN tag")
+    }
+    assert(e2.toString.contains("partition source column") ||
+      Option(e2.getCause).exists(_.toString.contains("partition source column")),
+      s"$e2")
+  }
+
   test("partition overwrite: static replaces named partitions, dynamic replaces touched ones, misaligned fails loudly") {
     val tbl = fresh("ovw")
     mkPartitioned(tbl) // identity(tag), ids 0..29, v = id*10
