@@ -3231,6 +3231,10 @@ class CowScan(tableName: String, state: CowStore.State,
     }
   }
 
+  override def supportedCustomMetrics(): Array[
+      org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new CowDvSkippedMetric, new CowRowsServedMetric)
+
   override def readSchema(): StructType = required
   override def description(): String = {
     val skipped = state.files.size - files.size
@@ -3458,6 +3462,20 @@ class CowMicroBatchStream(catalog: String, ident: Identifier,
   override def stop(): Unit = ()
 }
 
+/** Scan task metrics (Spark UI SQL metrics, `CustomMetric`): rows a
+  * merge-on-read reader dropped via delete vectors, and rows served —
+  * the observable cost of deferred deletes (when dvSkipped approaches
+  * rowsServed, the table wants `CALL optimize` to fold its DVs).
+  */
+class CowDvSkippedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "dvSkippedRows"
+  override def description(): String = "rows dropped by delete vectors"
+}
+class CowRowsServedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowsServed"
+  override def description(): String = "rows served after delete vectors"
+}
+
 /** One file's read task: its write-time column set (schema evolution) and
   * its positional delete vector (merge-on-read), both applied reader-side.
   */
@@ -3534,6 +3552,7 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
       private var current: Group = _
       private var pos = -1L // physical position of `current` within the file
       private var di = 0    // merge-walk pointer into the sorted delete vector
+      private var served = 0L
 
       override def next(): Boolean = {
         while (true) {
@@ -3541,10 +3560,21 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType)
           if (current == null) return false
           pos += 1
           if (di < dv.length && dv(di) == pos) di += 1 // deleted: skip row
-          else return true
+          else { served += 1; return true }
         }
         false
       }
+
+      override def currentMetricsValues(): Array[
+          org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+        new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+          override def name(): String = "dvSkippedRows"
+          override def value(): Long = di
+        },
+        new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+          override def name(): String = "rowsServed"
+          override def value(): Long = served
+        })
 
       private val filePath = UTF8String.fromString(file)
 

@@ -1486,6 +1486,32 @@ class CowCatalogSpec extends SparkSpec {
     assert(mm.collect().head.getLong(0) == 18)
   }
 
+  test("scan task metrics: delete-vector drops and rows served surface as SQL metrics") {
+    val tbl = fresh("dvmetrics")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 20)")
+    spark.sql(s"DELETE FROM $tbl WHERE id % 5 = 0") // 4 DV entries
+    val df = spark.table(tbl)
+    assert(df.count() == 16)
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          unwrap(a.executedPlan)
+        case other => other
+      }
+    val scans = unwrap(df.queryExecution.executedPlan).collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1, s"expected one catalog scan, got ${scans.size}")
+    val m = scans.head.metrics
+    assert(m.contains("dvSkippedRows") && m("dvSkippedRows").value == 4L,
+      s"the reader's DV drops must surface as a SQL metric: ${m.keys}")
+    assert(m.contains("rowsServed") && m("rowsServed").value == 16L,
+      s"served rows must surface as a SQL metric: ${m.keys}")
+  }
+
   test("rollback: main moves forward to an old snapshot's content; history stays append-only") {
     val tbl = fresh("rollbk")
     mkBase(tbl) // v1: ids 0..19, v = id*10
