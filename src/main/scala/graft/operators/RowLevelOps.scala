@@ -781,6 +781,71 @@ object RowLevelOps {
     spark.sql(s"SELECT doc_id, source FROM $tbl ORDER BY doc_id")
   }
 
+  /** q_dedup_incremental — INCREMENTAL near-dup over the lakehouse: the
+    * change-data feed names the batch's NEW documents, and the df-capped
+    * trigram-Jaccard inverted-index join is RESTRICTED to pairs touching
+    * them — new×new plus new×existing, never existing×existing. This is
+    * THE training-pipeline composition at 100 TB: a daily ingest dedupes
+    * in O(new × bucket) against a corpus that only ever grows, instead
+    * of re-running the corpus-quadratic join every day. The corpus lives
+    * IN the catalog (v1 = two thirds, v2 = the new third); `.changes`
+    * (E337) supplies the new ids with zero table rescan; the df cap is
+    * `TextOps.DfCap`'s hot-shingle bound. The oracle is the full capped
+    * Jaccard filtered to pairs touching the new third — the incremental
+    * plan must find exactly what the batch plan would.
+    */
+  def qDedupIncremental(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.incdup_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(
+      s"""INSERT INTO $tbl SELECT doc_id, text
+         |FROM parquet.`$d/documents.parquet` WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $tbl SELECT doc_id, text
+         |FROM parquet.`$d/documents.parquet` WHERE doc_id % 3 = 0""".stripMargin)
+    // The batch's new documents, from the commit log alone.
+    val newIds = spark.read
+      .option("startVersion", "1").option("endVersion", "2")
+      .table(s"$tbl.changes")
+      .filter(col("_change_type") === "insert")
+      .select(col("doc_id").as("new_id"))
+    val sh0 = TextOps.shingledOf(spark.table(tbl))
+    val kept = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= TextOps.DfCap).select(col("s"))
+    val sh = sh0.join(kept, "s").select(col("doc_id"), col("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val isNew = newIds.select(col("new_id").as("doc_id"))
+    val newSh = sh.join(isNew, Seq("doc_id"), "left_semi")
+    val oldSh = sh.join(isNew, Seq("doc_id"), "left_anti")
+    // new×new once (a<b), new×existing once (any order, canonicalized) —
+    // existing×existing pairs are never formed: the incremental lever.
+    val candNN = newSh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(newSh.select(col("doc_id").as("doc_b"), col("s").as("s2")),
+        col("s") === col("s2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val candNO = newSh.select(col("doc_id").as("doc_n"), col("s"))
+      .join(oldSh.select(col("doc_id").as("doc_o"), col("s").as("s2")),
+        col("s") === col("s2"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+    val inter = candNN.unionAll(candNO)
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")),
+        col("doc_b") === col("doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jacc"))
+      .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -954,6 +1019,7 @@ object RowLevelOps {
     "q_cow_overwrite"   -> qCowOverwrite _,
     "q_cow_rollback"    -> qCowRollback _,
     "q_cow_drop_column" -> qCowDropColumn _,
+    "q_dedup_incremental" -> qDedupIncremental _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -1010,6 +1076,30 @@ object RowLevelOps {
         |WHERE doc_id % 3 <> 0
         |  AND source = (SELECT min(source) FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // The incremental plan must find exactly what the batch plan would:
+    // the full capped Jaccard restricted to pairs touching the new third.
+    "q_dedup_incremental" ->
+      s"""WITH sh0 AS (
+         |  ${TextOps.shingleSql}
+         |), kept AS (
+         |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= ${TextOps.DfCap}
+         |), sh AS (
+         |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN kept USING (s)
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 3 = 0 OR b.doc_id % 3 = 0
+         |  GROUP BY doc_a, doc_b
+         |)
+         |SELECT doc_a, doc_b, inter,
+         |       na + nb - inter AS uni,
+         |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jacc
+         |FROM inter
+         |JOIN (SELECT doc_id, n_sh AS na FROM sizes) sa ON doc_a = sa.doc_id
+         |JOIN (SELECT doc_id, n_sh AS nb FROM sizes) sb ON doc_b = sb.doc_id
+         |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     // Rollback must restore the pre-poison relation exactly.
     "q_cow_rollback" ->
       """SELECT doc_id, source, n_chars AS score

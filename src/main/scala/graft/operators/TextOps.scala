@@ -60,6 +60,14 @@ object TextOps {
       col("doc_id"),
       explode(expr(ShingleArrayExpr)).as("s"))
 
+  /** [[shingled]] over an arbitrary (doc_id, text) relation — the shingle
+    * stream for consumers whose corpus lives somewhere other than the
+    * fixture dir (e.g. the COW catalog's incremental dedup).
+    */
+  private[graft] def shingledOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(ShingleArrayExpr)).as("s"))
+
   /** [[ShingleArrayExpr]] WITHOUT the in-row dedup — occurrence
     * multiplicity preserved, for the tf-vs-df boilerplate diagnostic
     * ([[qDupNgrams]]); every other shingle consumer wants per-doc sets.
@@ -3524,7 +3532,7 @@ object TextOps {
     * doc would wrap around (DuckDB negative indices count from the end) and
     * produce a NULL shingle the Spark side never generates.
     */
-  private val shingleSql =
+  private[graft] val shingleSql =
     """SELECT doc_id, unnest(list_distinct(list_transform(
       |         list_zip(toks, toks[2:], toks[3:])[:greatest(len(toks)-2, 0)],
       |         z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS s

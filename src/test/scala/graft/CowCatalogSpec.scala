@@ -2142,4 +2142,41 @@ class CowCatalogSpec extends SparkSpec {
       score == (if (id % 7 == 0) base(id) * 2 + 1 else base(id))
     })
   }
+
+  test("incremental dedup: every emitted pair touches a CDF-named new doc; scores match the batch plan") {
+    import graft.operators.{RowLevelOps, TextOps}
+    val inc = RowLevelOps.qDedupIncremental(spark, sfDir).collect()
+    assert(inc.nonEmpty, "the fixture has near-dups crossing the new third")
+    // The incremental restriction: no existing×existing pair ever appears
+    // (new = doc_id % 3 == 0, the second insert).
+    inc.foreach { r =>
+      assert(r.getLong(0) % 3 == 0 || r.getLong(1) % 3 == 0,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) touches no new doc")
+    }
+    // Scores equal the BATCH capped Jaccard restricted the same way — the
+    // incremental plan finds exactly what the full join would.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sh0 = TextOps.shingledOf(docs)
+    val kept = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= TextOps.DfCap).select(col("s"))
+    val sh = sh0.join(kept, "s").select(col("doc_id"), col("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val batch = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("s2")),
+        col("s") === col("s2") && col("doc_a") < col("doc_b"))
+      .filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")),
+        col("doc_b") === col("doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"))
+      .orderBy((col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter"))).desc, col("doc_a"), col("doc_b"))
+      .limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == batch,
+      "incremental == batch on the restricted pair set")
+  }
 }
