@@ -593,7 +593,7 @@ class CowCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMN bad INT") // unsupported type
     }
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $tbl DROP COLUMN v") // unsupported change
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN v TO v2") // unsupported change
     }
     assert(CowStore.get(cat, identOf(tbl)).get.schema.fieldNames.toSeq ==
       Seq("id", "tag", "v", "w"))
