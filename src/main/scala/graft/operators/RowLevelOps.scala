@@ -846,6 +846,45 @@ object RowLevelOps {
       .limit(20)
   }
 
+  /** q_stream_backlog — streaming ADMISSION CONTROL on the table source
+    * (`option("maxVersionsPerBatch", n)` + `SupportsTriggerAvailableNow`
+    * — Delta's maxFilesPerTrigger in miniature): a backlogged consumer
+    * catches up in BOUNDED micro-batches (at most n commits per batch)
+    * instead of one batch over the whole backlog — at 100 TB, the
+    * difference between a catch-up that fits executor memory per batch
+    * and one that doesn't. Trigger.AvailableNow pins the catch-up target
+    * at query start and loops bounded batches until reached
+    * (spec-pinned 8/8/4 drain + the unbounded default). The scripted
+    * flow drains a 5-commit backlog at 2 versions/batch and reports
+    * (n_batches, n_rows) — both exact by construction.
+    */
+  def qStreamBacklog(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.bklg_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, score BIGINT)")
+    for (h <- 0 until 5)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT doc_id, n_chars FROM parquet.`$d/documents.parquet`
+           |WHERE doc_id % 5 = $h""".stripMargin)
+    val ck = java.nio.file.Files.createTempDirectory("graft_bklg_ck_").toString
+    val batches = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
+    spark.readStream
+      .option("maxVersionsPerBatch", "2")
+      .table(tbl)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches.add(df.count()): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val counts = batches.asScala.map(_.longValue())
+    spark.createDataFrame(Seq(
+      (counts.size.toLong, counts.sum))).toDF("n_batches", "n_rows")
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -1020,6 +1059,7 @@ object RowLevelOps {
     "q_cow_rollback"    -> qCowRollback _,
     "q_cow_drop_column" -> qCowDropColumn _,
     "q_dedup_incremental" -> qDedupIncremental _,
+    "q_stream_backlog"  -> qStreamBacklog _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -1100,6 +1140,11 @@ object RowLevelOps {
          |JOIN (SELECT doc_id, n_sh AS na FROM sizes) sa ON doc_a = sa.doc_id
          |JOIN (SELECT doc_id, n_sh AS nb FROM sizes) sb ON doc_b = sb.doc_id
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    // The bounded drain's shape is exact by construction: 5 commits at
+    // <=2 versions/batch = 3 batches; rows = the whole documents table.
+    "q_stream_backlog" ->
+      """SELECT CAST(3 AS BIGINT) AS n_batches,
+        |       (SELECT count(*) FROM documents) AS n_rows""".stripMargin,
     // Rollback must restore the pre-poison relation exactly.
     "q_cow_rollback" ->
       """SELECT doc_id, source, n_chars AS score

@@ -2560,7 +2560,14 @@ class CowTable(catalog: String, ident: Identifier,
     new CowScanBuilder(name(), state, op = None,
       streamKey =
         if (pinnedVersion.isEmpty && branch.isEmpty) Some((catalog, ident))
-        else None)
+        else None,
+      maxVersionsPerBatch =
+        Option(options.get("maxVersionsPerBatch")).map { v =>
+          val n = v.toInt
+          require(n >= 1,
+            s"graft-cow: maxVersionsPerBatch must be >= 1, got $n")
+          n
+        })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable()
@@ -2678,7 +2685,8 @@ class CowMorOperation(catalog: String, ident: Identifier,
   */
 class CowScanBuilder(tableName: String, state: CowStore.State,
                      op: Option[CowRowLevelOperation],
-                     streamKey: Option[(String, Identifier)] = None)
+                     streamKey: Option[(String, Identifier)] = None,
+                     maxVersionsPerBatch: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -2917,7 +2925,7 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
       }
     case None =>
       new CowScan(tableName, state, required, op, skippable, streamKey,
-        partPrunable, pushedLimit)
+        partPrunable, pushedLimit, maxVersionsPerBatch)
   }
 }
 
@@ -2937,7 +2945,8 @@ class CowScan(tableName: String, state: CowStore.State,
               skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
               streamKey: Option[(String, Identifier)] = None,
               partFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-              pushedLimit: Option[Int] = None)
+              pushedLimit: Option[Int] = None,
+              maxVersionsPerBatch: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -3351,7 +3360,8 @@ class CowScan(tableName: String, state: CowStore.State,
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     val (cat, ident) = streamKey.getOrElse(throw new UnsupportedOperationException(
       s"graft-cow: $tableName is not streamable (version-pinned or op scan)"))
-    new CowMicroBatchStream(cat, ident, tableName, required)
+    new CowMicroBatchStream(cat, ident, tableName, required,
+      maxVersionsPerBatch)
   }
 }
 
@@ -3378,18 +3388,57 @@ case class CowVersionOffset(v: Long)
   * pruning old versions) add no files and stream as empty deltas.
   */
 class CowMicroBatchStream(catalog: String, ident: Identifier,
-                          tableName: String, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+                          tableName: String, required: StructType,
+                          maxVersionsPerBatch: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def state: CowStore.State =
     CowStore.get(catalog, ident).getOrElse(
       throw new NoSuchTableException(ident))
 
+  // Trigger.AvailableNow contract: the catch-up target is pinned once at
+  // query start (commits racing the drain are the NEXT run's work), and
+  // the engine then honors the per-batch read limit until the target is
+  // reached — without this trait Spark falls back to one unbounded
+  // batch and admission control never fires.
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(state.version)
+
   override def initialOffset(): Offset = CowVersionOffset(0L)
   override def latestOffset(): Offset = CowVersionOffset(state.version)
   override def deserializeOffset(json: String): Offset =
     CowVersionOffset(json.toLong)
+
+  /** ADMISSION CONTROL (`option("maxVersionsPerBatch", n)`, Delta's
+    * maxFilesPerTrigger in miniature): a backlogged consumer catches up
+    * in BOUNDED micro-batches — at most n commits per batch — instead of
+    * one giant batch over the whole backlog; Trigger.AvailableNow loops
+    * batches until caught up. The ReadLimit vocabulary is Spark's:
+    * maxFiles(n) carries the per-batch VERSION budget (each version is
+    * served as its added files).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CowVersionOffset].v
+    val st = state
+    val pending = st.history.keys
+      .filter(v => v > s && availableNowTarget.forall(v <= _)).toSeq.sorted
+    val capped = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        pending.take(m.maxFiles())
+      case _ => pending
+    }
+    CowVersionOffset(capped.lastOption.getOrElse(s))
+  }
+
+  override def reportLatestOffset(): Offset = CowVersionOffset(state.version)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CowVersionOffset].v

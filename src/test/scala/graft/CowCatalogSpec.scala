@@ -1512,6 +1512,45 @@ class CowCatalogSpec extends SparkSpec {
       s"served rows must surface as a SQL metric: ${m.keys}")
   }
 
+  test("streaming admission control: maxVersionsPerBatch drains a backlog in bounded batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tbl = fresh("admctl")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v BIGINT)")
+    for (h <- 0 until 5) // v1..v5, 4 rows each
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT id, id FROM range(${h * 4}, ${h * 4 + 4}, 1, 1)""".stripMargin)
+    val ck = java.nio.file.Files.createTempDirectory("cow_adm_ck_").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    spark.readStream
+      .option("maxVersionsPerBatch", "2")
+      .table(tbl)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count() }: Unit
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // 5 pending commits at <=2 per batch: 3 batches of 8/8/4 rows —
+    // bounded catch-up instead of one 20-row batch.
+    assert(batches.toSeq == Seq(8L, 8L, 4L),
+      s"a 5-commit backlog at maxVersionsPerBatch=2 must drain 8/8/4: $batches")
+    // Without the option the whole backlog is one batch (the default).
+    val tbl2 = fresh("admctl2")
+    spark.sql(s"CREATE TABLE $tbl2 (id BIGINT)")
+    for (h <- 0 until 3)
+      spark.sql(s"INSERT INTO $tbl2 SELECT id FROM range(${h * 2}, ${h * 2 + 2}, 1, 1)")
+    val ck2 = java.nio.file.Files.createTempDirectory("cow_adm_ck2_").toString
+    val batches2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    spark.readStream.table(tbl2)
+      .writeStream.option("checkpointLocation", ck2)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches2.synchronized { batches2 += df.count() }: Unit
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(batches2.toSeq == Seq(6L), s"default drains in one batch: $batches2")
+  }
+
   test("rollback: main moves forward to an old snapshot's content; history stays append-only") {
     val tbl = fresh("rollbk")
     mkBase(tbl) // v1: ids 0..19, v = id*10
