@@ -78,7 +78,11 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              "q_stream_table_read",
              # round-14: the toTable streaming sink (per-epoch manifest
              # commit is the fixed cost; file bytes are the data term).
-             "q_stream_sink_cow"}
+             "q_stream_sink_cow",
+             # round-15: the bounded-backlog drain (3 fixed AvailableNow
+             # micro-batches over the 5-commit backlog; per-batch
+             # planning/commit is the fixed cost).
+             "q_stream_backlog"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
@@ -185,7 +189,8 @@ def main():
     # not the 100k-event feed — its rows/s must use the right numerator.
     base_rows = {"q_stream_quality": 5_000,
                  # consumes the documents-derived table, not the event feed
-                 "q_stream_table_read": 5_000}
+                 "q_stream_table_read": 5_000,
+                 "q_stream_backlog": 5_000}
     stream_rates = {}
     for q in sorted(SUBLINEAR & set(names)):
         base = base_rows.get(q, base_events)
