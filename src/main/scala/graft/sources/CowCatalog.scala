@@ -2178,9 +2178,11 @@ class CowFilesTable(tableName: String, st: CowStore.State)
       StructField("n_bytes", LongType, nullable = false),
       StructField("n_deletes", LongType, nullable = false)) ++
       // Partitioned tables surface each file's encoded partition tuple
-      // (unpartitioned schemas are unchanged).
-      (if (st.spec.isEmpty) Seq.empty
-       else Seq(StructField("partition", StringType, nullable = true))) ++
+      // and its spec id (unpartitioned schemas are unchanged; evolution
+      // keeps the columns while old-spec files remain).
+      (if (st.spec.isEmpty && st.oldSpecs.isEmpty) Seq.empty
+       else Seq(StructField("partition", StringType, nullable = true),
+         StructField("spec_id", LongType, nullable = false))) ++
       longCols.toSeq.flatMap(c => Seq(
         StructField(s"min_$c", LongType, nullable = true),
         StructField(s"max_$c", LongType, nullable = true))))
@@ -2195,9 +2197,11 @@ class CowFilesTable(tableName: String, st: CowStore.State)
         val fs = st.stats.get(f)
         val dv = st.deletes.getOrElse(f, Vector.empty).length.toLong
         val part: Array[Any] =
-          if (st.spec.isEmpty) Array.empty
-          else Array(fs.map(_.partVals).filter(_.nonEmpty)
-            .map(pv => UTF8String.fromString(pv.mkString("/"))).orNull)
+          if (st.spec.isEmpty && st.oldSpecs.isEmpty) Array.empty
+          else Array(
+            fs.map(_.partVals).filter(_.nonEmpty)
+              .map(pv => UTF8String.fromString(pv.mkString("/"))).orNull,
+            fs.map(_.specId.toLong).getOrElse(0L))
         new GenericInternalRow(
           Array[Any](UTF8String.fromString(f),
             fs.map(_.rows).getOrElse(-1L),

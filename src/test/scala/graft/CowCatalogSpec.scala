@@ -1624,6 +1624,53 @@ class CowCatalogSpec extends SparkSpec {
       s"$e2")
   }
 
+  test("temporal partition-scoped rewrites: a one-day DELETE leaves other days' files byte-identical") {
+    val tbl = fresh("tempdel")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, timestamp_micros(CAST(id % 4 AS BIGINT) * 86400000000
+         |                            + id), id * 10
+         |FROM range(0, 40)""".stripMargin)
+    val ident = identOf(tbl)
+    val before = CowStore.get(cat, ident).get
+    def bytesOf(fs: Vector[String]): Map[String, Long] =
+      fs.map(f => f -> new java.io.File(f).length()).toMap
+    val beforeBytes = bytesOf(before.files)
+    val otherDays = before.files.filter(f =>
+      before.stats(f).partVals.headOption.exists(_ != "1")).toSet
+    // DELETE one day by RAW timestamp range: the rewrite's scan prunes
+    // to day 1's files — every other day's file survives byte-identical.
+    spark.sql(
+      s"""DELETE FROM $tbl
+         |WHERE ts >= TIMESTAMP '1970-01-02 00:00:00'
+         |  AND ts <  TIMESTAMP '1970-01-03 00:00:00'""".stripMargin)
+    val after = CowStore.get(cat, ident).get
+    otherDays.foreach { f =>
+      assert(after.files.contains(f),
+        s"day-disjoint file $f must survive a one-day DELETE")
+      assert(new java.io.File(f).length() == beforeBytes(f),
+        s"day-disjoint file $f was rewritten")
+    }
+    assert(spark.table(tbl).collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 40L).filter(_ % 4 != 1))
+  }
+
+  test("aggregate pushdown works on time-traveled snapshots (pinned manifest, not current)") {
+    val tbl = fresh("aggtravel")
+    mkBase(tbl) // v1: 20 rows
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 10") // v2: 10 rows (COW)
+    val cur = spark.sql(s"SELECT count(*), max(id) FROM $tbl")
+    assert(!cur.queryExecution.executedPlan.toString.contains("graft-cow scan"))
+    assert(cur.collect().head.toSeq == Seq(10L, 9L))
+    val old = spark.sql(s"SELECT count(*), max(id) FROM $tbl VERSION AS OF 1")
+    assert(!old.queryExecution.executedPlan.toString.contains("graft-cow scan"),
+      "the pinned snapshot's manifest answers the aggregate too")
+    assert(old.collect().head.toSeq == Seq(20L, 19L),
+      "the pinned answer is the OLD version's, not the current one")
+  }
+
   test("partition overwrite: static replaces named partitions, dynamic replaces touched ones, misaligned fails loudly") {
     val tbl = fresh("ovw")
     mkPartitioned(tbl) // identity(tag), ids 0..29, v = id*10
