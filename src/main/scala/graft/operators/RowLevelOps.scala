@@ -885,6 +885,30 @@ object RowLevelOps {
       (counts.size.toLong, counts.sum))).toDF("n_batches", "n_rows")
   }
 
+  /** q_cow_drop_refs — ref LIFECYCLE (`CALL graft_cow.drop_tag` /
+    * `drop_branch`, the abandon half of WAP): a failed audit's branch is
+    * DROPPED — the ref stops resolving, its head loses VACUUM
+    * protection, and retention collects the abandoned work; same for
+    * stale tags. The scripted flow forks a branch, writes the backfill
+    * to it, abandons it, drops a stale tag, vacuums — and main is
+    * exactly the never-polluted base relation (the oracle): abandoned
+    * work must leave no trace in answers.
+    */
+  def qCowDropRefs(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "dref")
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $CatalogName.tag('$name', 'candidate', 1L)")
+    spark.sql(s"CALL $CatalogName.branch('$name', 'audit')")
+    spark.sql(
+      s"""INSERT INTO $tbl.branch_audit
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 = 0""".stripMargin)
+    spark.sql(s"CALL $CatalogName.drop_branch('$name', 'audit')") // audit failed
+    spark.sql(s"CALL $CatalogName.drop_tag('$name', 'candidate')")
+    spark.sql(s"CALL $CatalogName.vacuum('$name', 1)")
+    finalState(spark, tbl)
+  }
+
   /** q_cow_agg_pushdown — MANIFEST-ONLY aggregate pushdown
     * (`SupportsPushDownAggregates`, the Iceberg/Delta metadata-query
     * lever): COUNT(*), MIN/MAX over long/timestamp columns, and GROUP BY
@@ -1060,6 +1084,7 @@ object RowLevelOps {
     "q_cow_drop_column" -> qCowDropColumn _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_stream_backlog"  -> qStreamBacklog _,
+    "q_cow_drop_refs"   -> qCowDropRefs _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -1145,6 +1170,12 @@ object RowLevelOps {
     "q_stream_backlog" ->
       """SELECT CAST(3 AS BIGINT) AS n_batches,
         |       (SELECT count(*) FROM documents) AS n_rows""".stripMargin,
+    // Abandoned refs must leave no trace in answers: main is the plain
+    // base relation.
+    "q_cow_drop_refs" ->
+      """SELECT doc_id, source, n_chars AS score
+        |FROM documents WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
     // Rollback must restore the pre-poison relation exactly.
     "q_cow_rollback" ->
       """SELECT doc_id, source, n_chars AS score

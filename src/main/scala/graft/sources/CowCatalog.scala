@@ -1030,6 +1030,41 @@ object CowStore {
     writeTags(nst)
   }
 
+  /** Drop a tag (ref lifecycle): the name stops resolving and its version
+    * loses tag protection from VACUUM (it may still be protected as the
+    * current version or a branch head). Unknown names fail loudly.
+    */
+  def dropTag(catalog: String, ident: Identifier, name: String): Unit =
+    synchronized {
+      val k = key(catalog, ident)
+      val st = Option(tables.get(k)).getOrElse(
+        throw new NoSuchTableException(ident))
+      require(st.tags.contains(name),
+        s"graft-cow: no such tag '$name' " +
+          s"(have ${st.tags.keys.toSeq.sorted.mkString(",")})")
+      val nst = st.copy(tags = st.tags - name)
+      tables.put(k, nst)
+      writeTags(nst)
+    }
+
+  /** Drop a branch (the abandon half of WAP — audit failed, the work is
+    * discarded): the ref stops resolving and its head loses branch
+    * protection from VACUUM; the branch's commits stay in history until
+    * retention collects them. Unknown names fail loudly.
+    */
+  def dropBranch(catalog: String, ident: Identifier, name: String): Unit =
+    synchronized {
+      val k = key(catalog, ident)
+      val st = Option(tables.get(k)).getOrElse(
+        throw new NoSuchTableException(ident))
+      require(st.branches.contains(name),
+        s"graft-cow: no such branch '$name' " +
+          s"(have ${st.branches.keys.toSeq.sorted.mkString(",")})")
+      val nst = st.copy(branches = st.branches - name)
+      tables.put(k, nst)
+      writeBranches(nst)
+    }
+
   /** Create (or reset) a BRANCH at main's current version — the fork half
     * of WRITE-AUDIT-PUBLISH: writes addressed to `<table>.branch_<name>`
     * accumulate versions off-main, main's readers never see them until
@@ -1490,10 +1525,13 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       case "set_write_order" => new CowSetWriteOrderProcedure(catalogName)
       case "remove_orphan_files" => new CowRemoveOrphansProcedure(catalogName)
       case "rollback" => new CowRollbackProcedure(catalogName)
+      case "drop_tag" => new CowDropRefProcedure(catalogName, "drop_tag")
+      case "drop_branch" => new CowDropRefProcedure(catalogName, "drop_branch")
       case other => throw new RuntimeException(
         s"graft-cow: no such procedure $other " +
           "(have: vacuum, tag, branch, publish, optimize, set_spec, " +
-          "set_write_order, remove_orphan_files, rollback)")
+          "set_write_order, remove_orphan_files, rollback, drop_tag, " +
+          "drop_branch)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -1503,7 +1541,9 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       Identifier.of(namespace, "set_spec"),
       Identifier.of(namespace, "set_write_order"),
       Identifier.of(namespace, "remove_orphan_files"),
-      Identifier.of(namespace, "rollback"))
+      Identifier.of(namespace, "rollback"),
+      Identifier.of(namespace, "drop_tag"),
+      Identifier.of(namespace, "drop_branch"))
 
   /** The `FunctionCatalog` half of STORAGE-PARTITIONED JOINS: when
     * Catalyst resolves a scan-reported `bucket(n, col)` partitioning
@@ -2073,6 +2113,36 @@ class CowRollbackProcedure(catalogName: String) extends UnboundProcedure {
         override def description(): String = "graft-cow rollback report"
       }
       JCollections.singletonList(scan).iterator()
+    }
+  }
+}
+
+/** `CALL <catalog>.drop_tag(table, name)` / `drop_branch(table, name)` —
+  * ref lifecycle: the name stops resolving and its version loses
+  * ref protection from VACUUM (the abandon half of WAP for branches).
+  */
+class CowDropRefProcedure(catalogName: String, kind: String)
+    extends UnboundProcedure {
+  override def name(): String = kind
+  override def description(): String =
+    s"graft-cow ${kind.toUpperCase}: remove the ref; its version loses " +
+      "ref protection from VACUUM"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = kind
+    override def description(): String = CowDropRefProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split("\\.")
+      val ident = Identifier.of(parts.init, parts.last)
+      val ref = input.getUTF8String(1).toString
+      if (kind == "drop_tag") CowStore.dropTag(catalogName, ident, ref)
+      else CowStore.dropBranch(catalogName, ident, ref)
+      JCollections.emptyIterator()
     }
   }
 }

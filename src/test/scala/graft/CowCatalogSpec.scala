@@ -1624,6 +1624,44 @@ class CowCatalogSpec extends SparkSpec {
       s"$e2")
   }
 
+  test("drop_tag / drop_branch: refs stop resolving, lose VACUUM protection, and recover dropped") {
+    val tbl = fresh("droprefs")
+    mkBase(tbl)                                         // v1
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.tag('$name', 'release', 1L)")
+    spark.sql(s"CALL $cat.branch('$name', 'audit')")
+    spark.sql(s"INSERT INTO $tbl.branch_audit VALUES (100L, 'x', 1L)") // v2 on audit
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id < 5")              // v3 on main
+    // Drop both refs: resolution fails loudly afterwards.
+    spark.sql(s"CALL $cat.drop_tag('$name', 'release')")
+    spark.sql(s"CALL $cat.drop_branch('$name', 'audit')")
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'release'").collect()
+    }
+    assert(e1.toString.contains("neither a commit number") ||
+      Option(e1.getCause).exists(_.toString.contains("neither a commit number")))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl.branch_audit").collect()
+    }
+    assert(e2.toString.contains("no such branch") ||
+      Option(e2.getCause).exists(_.toString.contains("no such branch")))
+    // Unknown refs fail loudly; the drops survive recovery.
+    intercept[Exception] { spark.sql(s"CALL $cat.drop_tag('$name', 'nope')") }
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    assert(st.tags.isEmpty && st.branches.isEmpty)
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    assert(rec.tags.isEmpty && rec.branches.isEmpty,
+      "dropped refs must stay dropped through recovery")
+    // Without ref protection, VACUUM may now collect the old versions —
+    // the current main survives and reads exactly.
+    spark.sql(s"CALL $cat.vacuum('$name', 1)")
+    assert(spark.table(tbl).collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._1).toSeq ==
+      (0L until 20L).map(i => (i, if (i < 5) i * 10 + 1 else i * 10)))
+  }
+
   test("temporal partition-scoped rewrites: a one-day DELETE leaves other days' files byte-identical") {
     val tbl = fresh("tempdel")
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, ts TIMESTAMP, v BIGINT) " +
