@@ -622,7 +622,10 @@ object RowLevelOps {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(st.files.head),
       java.nio.file.Paths.get(st.dir, s"data-${UUID.randomUUID()}.parquet"))
-    spark.sql(s"CALL $CatalogName.remove_orphan_files('ops.$name', 0L)")
+    // horizon 0 + explicit force: the scripted flow KNOWS no write is in
+    // flight — without force the age guard refuses sub-hour horizons.
+    spark.sql(
+      s"CALL $CatalogName.remove_orphan_files('ops.$name', 0L, true)")
     finalState(spark, tbl)
   }
 

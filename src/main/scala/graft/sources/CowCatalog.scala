@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Proced
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -710,12 +710,26 @@ object CowStore {
     * files NOTHING references. `olderThanMs` is the safety horizon:
     * a file younger than it is presumed to belong to an in-flight
     * (staged/uncommitted) write and is kept — the same age guard every
-    * lakehouse orphan-scan ships.
+    * lakehouse orphan-scan ships. A horizon below [[MinOrphanHorizonMs]]
+    * is REFUSED unless `force`: at horizon 0 the task files of an
+    * in-flight batch write or staged CTAS/RTAS (landed in the table dir
+    * BEFORE their commit) are indistinguishable from orphans, and
+    * deleting them makes the subsequent commit reference missing files —
+    * the same interval guard Iceberg's remove_orphan_files ships.
+    * `force = true` is the explicit deterministic-test/recovery escape
+    * hatch for callers who KNOW no write is in flight.
     */
+  val MinOrphanHorizonMs: Long = 3600L * 1000L
   def removeOrphans(catalog: String, ident: Identifier,
-                    olderThanMs: Long): Long = synchronized {
+                    olderThanMs: Long, force: Boolean = false): Long =
+    synchronized {
     val st = Option(tables.get(key(catalog, ident))).getOrElse(
       throw new NoSuchTableException(ident))
+    require(force || olderThanMs >= MinOrphanHorizonMs,
+      s"graft-cow: remove_orphan_files horizon ${olderThanMs}ms is below " +
+        s"the ${MinOrphanHorizonMs}ms safety minimum — files this young " +
+        "may be an in-flight write's staged output; pass force => true " +
+        "only if no write can be in flight")
     val referenced = st.history.values.iterator.flatMap(_.files)
       .map(p => new java.io.File(p).getName).toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, olderThanMs)
@@ -1956,7 +1970,7 @@ class CowSetSpecProcedure(catalogName: String) extends UnboundProcedure {
             CowStore.PartField(k, as(0))
           case other => throw new IllegalArgumentException(
             s"graft-cow: unsupported partition transform $other " +
-              "(identity, bucket, truncate, days, hours)")
+              "(identity, bucket, truncate, days, hours, months, years)")
         }
       case bare => CowStore.PartField("identity", bare)
     }
@@ -2062,12 +2076,17 @@ class CowRemoveOrphansProcedure(catalogName: String) extends UnboundProcedure {
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("older_than_ms", LongType).build())
+      ProcedureParameter.in("older_than_ms", LongType).build(),
+      // Horizons below CowStore.MinOrphanHorizonMs are refused without
+      // this explicit flag — see removeOrphans' age-guard scaladoc.
+      ProcedureParameter.in("force", BooleanType)
+        .defaultValue("false").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val parts = input.getUTF8String(0).toString.split("\\.")
       val removed = CowStore.removeOrphans(catalogName,
-        Identifier.of(parts.init, parts.last), input.getLong(1))
+        Identifier.of(parts.init, parts.last), input.getLong(1),
+        !input.isNullAt(2) && input.getBoolean(2))
       val scan: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
           Array(new GenericInternalRow(Array[Any](removed)))
@@ -3502,8 +3521,17 @@ class CowMicroBatchStream(catalog: String, ident: Identifier,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CowVersionOffset].v
     val st = state
+    // MAIN-LINEAGE ONLY (WAP invariant): version numbers are global
+    // across refs, so history.keys interleaves unpublished BRANCH
+    // commits with main's. A main reader must never advance past main's
+    // head nor spend its admission budget on branch versions — restrict
+    // the pending set to main's ancestry, capped at the AvailableNow
+    // target (itself a main head). After a branch PUBLISH those commits
+    // join main's ancestry and stream normally.
+    val target = availableNowTarget.getOrElse(st.version)
+    val lineage = st.ancestors(target)
     val pending = st.history.keys
-      .filter(v => v > s && availableNowTarget.forall(v <= _)).toSeq.sorted
+      .filter(v => v > s && v <= target && lineage(v)).toSeq.sorted
     val capped = limit match {
       case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         pending.take(m.maxFiles())
@@ -3518,12 +3546,19 @@ class CowMicroBatchStream(catalog: String, ident: Identifier,
     val s = start.asInstanceOf[CowVersionOffset].v
     val e = end.asInstanceOf[CowVersionOffset].v
     val st = state
-    // Versions retained in range, oldest first. VACUUM may have pruned
-    // history BELOW s — that is fine (those versions were already
-    // served); a pruned version INSIDE (s, e] only matters if its files
-    // survived into a retained snapshot, which the added-file walk below
-    // picks up at the next retained version.
-    val versions = st.history.keys.filter(v => v > s && v <= e).toSeq.sorted
+    // Versions retained in range, oldest first, MAIN LINEAGE only —
+    // interleaved branch commits below main's head are another ref's
+    // unpublished work and must never be served to a main reader (the
+    // WAP invariant; latestOffset filters the same way). The ancestry
+    // walk survives VACUUM: parent pointers are retained for pruned
+    // versions. VACUUM may also have pruned history BELOW s — that is
+    // fine (those versions were already served); a pruned version
+    // INSIDE (s, e] only matters if its files survived into a retained
+    // snapshot, which the added-file walk below picks up at the next
+    // retained version.
+    val lineage = st.ancestors(st.version)
+    val versions =
+      st.history.keys.filter(v => v > s && v <= e && lineage(v)).toSeq.sorted
     // What a checkpointed consumer has ALREADY been served: EXACTLY the
     // snapshot at its committed offset. If VACUUM dropped that version,
     // any retained substitute UNDERESTIMATES the served set and the walk

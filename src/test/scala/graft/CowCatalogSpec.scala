@@ -1422,8 +1422,19 @@ class CowCatalogSpec extends SparkSpec {
       s"CALL $cat.remove_orphan_files('$name', ${3600L * 1000}L)")
       .collect().head.getLong(0)
     assert(kept == 0L && orphan.exists(), "young files must be presumed in-flight")
-    // ... and removed once past it.
-    val removed = spark.sql(s"CALL $cat.remove_orphan_files('$name', 0L)")
+    // A sub-hour horizon is REFUSED without the explicit force flag: at
+    // horizon 0 an in-flight write's staged task files are
+    // indistinguishable from orphans and deleting them would break the
+    // upcoming commit.
+    val guard = intercept[Exception] {
+      spark.sql(s"CALL $cat.remove_orphan_files('$name', 0L)").collect()
+    }
+    assert(guard.getMessage.contains("safety minimum"), guard.getMessage)
+    assert(orphan.exists(), "a refused scan must delete nothing")
+    // ... and removed once past it (force => the deterministic-test
+    // escape hatch for the freshly planted file).
+    val removed =
+      spark.sql(s"CALL $cat.remove_orphan_files('$name', 0L, true)")
       .collect().head.getLong(0)
     assert(removed == 1L && !orphan.exists(), "the orphan must be deleted")
     // Referenced files — current AND superseded — are untouched; the
@@ -1549,6 +1560,95 @@ class CowCatalogSpec extends SparkSpec {
       }
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
     assert(batches2.toSeq == Seq(6L), s"default drains in one batch: $batches2")
+  }
+
+  test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
+    val tbl = fresh("dropcommit")
+    mkBase(tbl)
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    assert(CowStore.drop(cat, ident))
+    // The committer lost the race: every commit flavor must throw (the
+    // table's directory is gone) and — the round-14 phantom-table defect
+    // — must NOT put the stale state back into the store.
+    val e = intercept[IllegalStateException] {
+      CowStore.commit(cat, ident, Seq("/nonexistent/data-x.parquet"), None)
+    }
+    assert(e.getMessage.contains("dropped table"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      CowStore.commitDelta(cat, ident, Seq.empty, Map.empty,
+        Map(st.files.head -> Vector(0L)))
+    }
+    assert(e2.getMessage.contains("dropped table"), e2.getMessage)
+    assert(CowStore.get(cat, ident).isEmpty,
+      "a failed post-drop commit must not resurrect the table")
+    assert(!new java.io.File(st.dir).exists(), "drop removes the table dir")
+    // Hammer the interleaving for real: repeated create → concurrent
+    // commit+drop from two threads → the survivor set must be consistent
+    // (either the drop won and the table is gone, or the commit won a
+    // version and the table was then dropped — never a registered table
+    // with a deleted directory).
+    for (_ <- 0 until 20) {
+      val t = fresh("dropcommit_race")
+      spark.sql(s"CREATE TABLE $t (id BIGINT)")
+      val id2 = identOf(t)
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val committer = new Thread(() => {
+        latch.await()
+        try CowStore.commit(cat, id2, Seq.empty, None)
+        catch { case _: IllegalStateException => () }
+      })
+      val dropper = new Thread(() => { latch.await(); CowStore.drop(cat, id2): Unit })
+      committer.start(); dropper.start(); latch.countDown()
+      committer.join(); dropper.join()
+      CowStore.get(cat, id2).foreach { s =>
+        assert(new java.io.File(s.dir).exists(),
+          "registered table must have a live directory (no phantom)")
+        CowStore.drop(cat, id2)
+      }
+    }
+  }
+
+  test("streaming WAP invariant: a main readStream never serves branch commits; publish makes them stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tbl = fresh("wapstream")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 4, 1, 1)") // v1 main
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.branch('$name', 'wip')")
+    // Unpublished branch work INTERLEAVED into the global version space
+    // (v2, v3) while main's head stays at v1.
+    spark.sql(s"INSERT INTO $tbl.branch_wip SELECT id, -id FROM range(100, 104, 1, 1)")
+    spark.sql(s"INSERT INTO $tbl.branch_wip SELECT id, -id FROM range(200, 204, 1, 1)")
+    val ck = java.nio.file.Files.createTempDirectory("cow_wap_ck_").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def drain(): Unit = {
+      spark.readStream
+        .option("maxVersionsPerBatch", "1")
+        .table(tbl)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.collect().map(_.getLong(0)).sorted.toSeq
+          batches.synchronized { batches += ids }: Unit
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    // Before publish: exactly ONE batch — v1's rows. The branch versions
+    // are neither served nor allowed to eat the 1-version-per-batch
+    // admission budget (the round-15 defect served branch files here and
+    // advanced the offset past main's head).
+    drain()
+    assert(batches.toSeq == Seq(Seq(0L, 1L, 2L, 3L)),
+      s"main reader must see exactly main's commit before publish: $batches")
+    // After publish the branch commits join main's ancestry and the SAME
+    // checkpoint resumes into them, bounded to 1 version per batch.
+    spark.sql(s"CALL $cat.publish('$name', 'wip')")
+    batches.clear()
+    drain()
+    assert(batches.toSeq ==
+      Seq(Seq(100L, 101L, 102L, 103L), Seq(200L, 201L, 202L, 203L)),
+      s"published branch commits must stream in order from the same checkpoint: $batches")
   }
 
   test("rollback: main moves forward to an old snapshot's content; history stays append-only") {
