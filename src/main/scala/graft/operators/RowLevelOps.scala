@@ -784,6 +784,31 @@ object RowLevelOps {
     spark.sql(s"SELECT doc_id, source FROM $tbl ORDER BY doc_id")
   }
 
+  /** q_cow_rename — `ALTER TABLE … RENAME COLUMN` through STABLE FIELD
+    * IDS (Iceberg rename in miniature, the round-15 verdict's #3): a
+    * METADATA-ONLY commit — zero files rewritten — after which reads
+    * resolve the new name back to each pre-rename file's physical column
+    * by id. The scripted flow exercises the whole contract: pre-rename
+    * files (score), the rename (score→rating), post-rename files
+    * (written as rating), and the rename→re-add cycle (a NEW column
+    * takes the vacated name `score` and must read NULL everywhere — the
+    * old files' physical `score` belongs to rating's id, never to the
+    * newcomer). CowCatalogSpec pins old-snapshot reads keeping the old
+    * name, durability through recover, and the skipping/agg-pushdown
+    * resolution.
+    */
+  def qCowRename(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "rename") // v1: thirds under `score`
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN score TO rating")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 = 0""".stripMargin)
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN score BIGINT")
+    spark.sql(
+      s"SELECT doc_id, source, rating, score FROM $tbl ORDER BY doc_id")
+  }
+
   /** q_dedup_incremental — INCREMENTAL near-dup over the lakehouse: the
     * change-data feed names the batch's NEW documents, and the df-capped
     * trigram-Jaccard inverted-index join is RESTRICTED to pairs touching
@@ -1085,6 +1110,7 @@ object RowLevelOps {
     "q_cow_overwrite"   -> qCowOverwrite _,
     "q_cow_rollback"    -> qCowRollback _,
     "q_cow_drop_column" -> qCowDropColumn _,
+    "q_cow_rename"      -> qCowRename _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_stream_backlog"  -> qStreamBacklog _,
     "q_cow_drop_refs"   -> qCowDropRefs _,
@@ -1188,6 +1214,14 @@ object RowLevelOps {
     "q_cow_drop_column" ->
       """SELECT doc_id, source
         |FROM documents WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    // RENAME is lossless relabeling: every row's value rides under the
+    // new name regardless of which side of the rename wrote its file,
+    // and the re-added old name is NULL everywhere (fresh identity).
+    "q_cow_rename" ->
+      """SELECT doc_id, source, n_chars AS rating,
+        |       CAST(NULL AS BIGINT) AS score
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // Partition overwrite rebuilt declaratively: the min(source)
     // partition's rows replaced by the doubled-even slice, the rest

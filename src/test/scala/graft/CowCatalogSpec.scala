@@ -593,7 +593,9 @@ class CowCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMN bad INT") // unsupported type
     }
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN v TO v2") // unsupported change
+      // type changes stay unsupported (RENAME COLUMN is supported since
+      // field ids landed — its own spec covers it)
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN v TYPE DOUBLE")
     }
     assert(CowStore.get(cat, identOf(tbl)).get.schema.fieldNames.toSeq ==
       Seq("id", "tag", "v", "w"))
@@ -1560,6 +1562,125 @@ class CowCatalogSpec extends SparkSpec {
       }
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
     assert(batches2.toSeq == Seq(6L), s"default drains in one batch: $batches2")
+  }
+
+  test("RENAME COLUMN: metadata-only, field-id resolution across files, old snapshots keep the old name, no resurrection, durable") {
+    val tbl = fresh("rencol")
+    mkBase(tbl) // v1: (id, s, v) 20 rows, v = id*10
+    val ident = identOf(tbl)
+    val filesBefore = CowStore.get(cat, ident).get.files
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN v TO score")
+    val st = CowStore.get(cat, ident).get
+    // Metadata-only: same files, new schema, same ids.
+    assert(st.files == filesBefore, "rename must rewrite nothing")
+    assert(st.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
+    // Old files serve the renamed column losslessly (row + columnar
+    // paths both resolve by id), and new writes land under the new name.
+    spark.sql(s"INSERT INTO $tbl VALUES (100L, 'x', 777L)")
+    val got = spark.sql(s"SELECT id, score FROM $tbl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until 20L).map(i => (i, i * 10)) :+ (100L, 777L))
+    // Filter THROUGH the rename exercises per-file stats resolution
+    // (write-time ranges are keyed by the old physical name).
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE score >= 150")
+      .head.getLong(0) == 6L) // 150..190 + 777
+    // Manifest agg pushdown resolves too.
+    assert(spark.sql(s"SELECT max(score) FROM $tbl").head.getLong(0) == 777L)
+    // Old snapshots keep their contemporary name.
+    assert(spark.sql(s"SELECT sum(v) FROM $tbl VERSION AS OF 1")
+      .head.getLong(0) == (0L until 20L).map(_ * 10).sum)
+    assert(intercept[Exception](
+      spark.sql(s"SELECT score FROM $tbl VERSION AS OF 1").collect())
+      .toString.contains("score"))
+    // rename→re-add: the vacated name returns as a FRESH identity — the
+    // old files' physical `v` must never resurface under it.
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN v BIGINT")
+    val re = spark.sql(s"SELECT id, score, v FROM $tbl WHERE id = 3").head
+    assert(re.getLong(1) == 30L && re.isNullAt(2),
+      "re-added name must read NULL from pre-rename files")
+    spark.sql(s"INSERT INTO $tbl VALUES (200L, 'y', 5L, 6L)")
+    val re2 = spark.sql(s"SELECT score, v FROM $tbl WHERE id = 200").head
+    assert(re2.getLong(0) == 5L && re2.getLong(1) == 6L)
+    // Durability: ids + rename recover from the manifest log alone.
+    val st2 = CowStore.get(cat, ident).get
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st2.dir)
+    assert(rec.snapshot.fieldIds == st2.snapshot.fieldIds &&
+      rec.schema.fieldNames.toSeq == Seq("id", "tag", "score", "v"))
+    val got2 = spark.sql(s"SELECT id, score FROM $tbl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == got :+ (200L, 5L), "recovered reads must be identical")
+    // Guards: occupied/tombstoned names, spec/write-order columns.
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN tag TO score"))
+      .toString.contains("already exists"))
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN v")
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN score TO v"))
+      .toString.contains("DROPPED"))
+    // MOR: renames compose with delete vectors (row-path reader).
+    val mor = fresh("rencol_mor")
+    spark.sql(s"CREATE TABLE $mor (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $mor SELECT id, id * 2 FROM range(0, 10, 1, 1)")
+    spark.sql(s"DELETE FROM $mor WHERE id % 2 = 1")
+    spark.sql(s"ALTER TABLE $mor RENAME COLUMN v TO w")
+    assert(spark.sql(s"SELECT sum(w) FROM $mor").head.getLong(0) ==
+      (0L until 10L by 2).map(_ * 2).sum)
+  }
+
+  test("vectorized reads: DV-free scans plan columnar batches; a delete vector drops the scan to the row walk; results identical") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+      df.collect() // materialize so AQE finalizes the plan
+      // Descend through AQE wrappers AND materialized query stages —
+      // a stage exec is a LEAF from collectLeaves' point of view.
+      def find(p: org.apache.spark.sql.execution.SparkPlan): Option[BatchScanExec] =
+        p match {
+          case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            find(s.plan)
+          case b: BatchScanExec => Some(b)
+          case other => other.children.view.flatMap(find(_)).headOption
+        }
+      find(df.queryExecution.executedPlan).get
+    }
+    val tbl = fresh("vec")
+    mkBase(tbl)
+    // Clean table: columnar (the supportsColumnar flag on the scan exec
+    // is the whole-stage contract — vectors flow into codegen).
+    assert(scanOf(spark.sql(s"SELECT id, tag, v FROM $tbl")).supportsColumnar,
+      "a DV-free catalog scan must serve ColumnarBatches")
+    // Metadata columns + added-column NULLs ride the columnar path too.
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN w BIGINT")
+    val withMeta = spark.sql(
+      s"SELECT id, w, _pos, _file FROM $tbl ORDER BY _file, _pos")
+    assert(scanOf(withMeta).supportsColumnar)
+    val rows = withMeta.collect()
+    assert(rows.length == 20 && rows.forall(_.isNullAt(1)))
+    assert(rows.take(2).map(_.getLong(2)).toSeq == Seq(0L, 1L),
+      "_pos must count physical rows per file")
+    // A MOR delete vector forces the row walk (a shared immutable batch
+    // cannot drop individual rows) — same results, row-based plan.
+    val mor = fresh("vec_mor")
+    spark.sql(s"CREATE TABLE $mor (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $mor SELECT id, id FROM range(0, 10, 1, 1)")
+    assert(scanOf(spark.table(mor)).supportsColumnar,
+      "a MOR table without DVs still reads columnar")
+    spark.sql(s"DELETE FROM $mor WHERE id = 3")
+    val afterDv = spark.sql(s"SELECT sum(v) FROM $mor")
+    assert(!scanOf(afterDv).supportsColumnar,
+      "a delete vector must drop the scan to the row walk")
+    assert(afterDv.collect().head.getLong(0) == 45L - 3L)
+    // optimize folds the DVs — columnar again.
+    val name = mor.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.optimize('$name', ${64L * 1024 * 1024}L)")
+    val folded = spark.sql(s"SELECT sum(v) FROM $mor")
+    assert(scanOf(folded).supportsColumnar,
+      "folding DVs restores the columnar path")
+    assert(folded.collect().head.getLong(0) == 42L)
   }
 
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
