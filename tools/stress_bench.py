@@ -32,7 +32,7 @@ The 0.35 margin is shared-box scheduler noise, measured ±2x on single-shot
 runs and ±10-20%% on best-of-2 (BASELINE.md); exponents compound two such
 measurements.
 
-Writes bench/bench_r14_stress.json. Not part of the shipped library — dev
+Writes bench/bench_r16_stress.json. Not part of the shipped library — dev
 tooling, driven once per round.
 """
 import json
@@ -47,8 +47,8 @@ def _load(name):
     was served from — a missing/typo'd fresh artifact silently mixing a
     prior round's archive into this round's table was an ADVICE-flagged
     trap (the round-11 _load fell back two rounds deep with no trace)."""
-    for path in (f"/tmp/{name}", f"bench/r15_local32/{name}",
-                 f"bench/r14_local32/{name}", f"bench/r12_local32/{name}"):
+    for path in (f"/tmp/{name}", f"bench/r16_local32/{name}",
+                 f"bench/r15_local32/{name}", f"bench/r14_local32/{name}"):
         if os.path.exists(path):
             print(f"[stress_bench] {name} <- {path}")
             with open(path) as f:
@@ -204,7 +204,7 @@ def main():
             stream_rates[q]["rows_per_s_x40"] = round(40 * base / x40[q])
         out[q]["rows_per_s"] = stream_rates[q]
     result["streaming_rows_per_s"] = stream_rates
-    with open("bench/bench_r15_stress.json", "w") as f:
+    with open("bench/bench_r16_stress.json", "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
     # Fill the BASELINE.md marker sections.
