@@ -44,14 +44,23 @@ object RowLevelOps {
     * SQL surface, delta-based writes.
     */
   private def freshBaseTable(spark: SparkSession, d: String, tag: String,
-                             mor: Boolean = false): String = {
+                             mor: Boolean = false,
+                             eqKey: Option[String] = None): String = {
     ensureCatalog(spark)
     // UUID-suffixed: Bench runs every query twice and test suites share
     // the JVM-global store — each invocation is fully self-contained.
     val tbl = s"$CatalogName.ops.${tag}_${UUID.randomUUID().toString.replace("-", "")}"
-    val props = if (mor) " TBLPROPERTIES ('graft.mode' = 'mor')" else ""
+    val props = (if (mor) Seq("'graft.mode' = 'mor'") else Seq.empty) ++
+      eqKey.map(c => s"'graft.delete-key' = '$c'")
+    val propsSql =
+      if (props.isEmpty) "" else props.mkString(" TBLPROPERTIES (", ", ", ")")
+    // The delete-key column is the row identity — declared NOT NULL
+    // (Catalyst refuses nullable row-id attributes).
+    val docIdDecl =
+      if (eqKey.contains("doc_id")) "doc_id BIGINT NOT NULL"
+      else "doc_id BIGINT"
     spark.sql(
-      s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)$props")
+      s"CREATE TABLE $tbl ($docIdDecl, source STRING, score BIGINT)$propsSql")
     spark.sql(
       s"""INSERT INTO $tbl
          |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
@@ -95,6 +104,36 @@ object RowLevelOps {
     */
   def qMergeIntoMor(spark: SparkSession, d: String): DataFrame = {
     val tbl = freshBaseTable(spark, d, "mergemor", mor = true)
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT doc_id, source, n_chars + 1000 AS new_score
+         |       FROM parquet.`$d/documents.parquet`
+         |       WHERE doc_id % 2 = 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.new_score % 5 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET score = s.new_score
+         |WHEN NOT MATCHED THEN
+         |  INSERT (doc_id, source, score) VALUES (s.doc_id, s.source, s.new_score)
+         |""".stripMargin)
+    finalState(spark, tbl)
+  }
+
+  /** q_merge_into_eq — the MERGE scenario through EQUALITY DELETES
+    * (`TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='doc_id')`,
+    * Iceberg equality-delete files in miniature — the round-15 verdict's
+    * #4): the row id IS the key column, so matched UPDATE/DELETE commit
+    * O(keys) equality-delete entries — no positions located, no data
+    * files read at commit — and readers drop matching rows from files
+    * that PREDATE each entry (write-time sequence numbers keep the
+    * upsert's own inserts alive). Same oracle as q_merge_into /
+    * q_merge_into_mor: the delete STRATEGY must be invisible to
+    * results. CowCatalogSpec pins the zero-scan keyed DELETE plan,
+    * sequencing, folding via optimize, durability, and the loud
+    * streaming/CDF refusals.
+    */
+  def qMergeIntoEq(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "mergeeq", mor = true,
+      eqKey = Some("doc_id"))
     spark.sql(
       s"""MERGE INTO $tbl t
          |USING (SELECT doc_id, source, n_chars + 1000 AS new_score
@@ -1120,6 +1159,7 @@ object RowLevelOps {
     "q_cow_history"  -> qCowHistory _,
     "q_merge_into"   -> qMergeInto _,
     "q_merge_into_mor" -> qMergeIntoMor _,
+    "q_merge_into_eq" -> qMergeIntoEq _,
     "q_cow_vacuum"   -> qCowVacuum _,
     "q_cow_evolve"   -> qCowEvolve _,
     "q_cow_files"    -> qCowFiles _,
@@ -1353,6 +1393,7 @@ object RowLevelOps {
         |WHERE a.doc_id % 3 <> 0 AND b.doc_id % 2 = 0
         |ORDER BY a.doc_id""".stripMargin,
     "q_merge_into_mor" -> mergeOracle,
+    "q_merge_into_eq" -> mergeOracle,
     // Two sequential UPDATEs then vacuum: retention must be invisible to
     // the current version — the oracle is the plain double-update rebuild.
     "q_cow_vacuum" ->

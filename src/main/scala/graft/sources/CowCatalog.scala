@@ -154,7 +154,15 @@ object CowStore {
                              // metadata-only commit. Empty = pre-field-id
                              // file; resolution falls back to names
                              // (correct: those files predate renames).
-                             colIds: Vector[Int] = Vector.empty)
+                             colIds: Vector[Int] = Vector.empty,
+                             // The COMMIT VERSION that added this file
+                             // (Iceberg data sequence numbers in
+                             // miniature), stamped at publish: an
+                             // EQUALITY DELETE applies exactly to files
+                             // with seq < the delete's version — what
+                             // keeps an upsert's own inserts out of its
+                             // own delete's blast radius.
+                             seq: Long = 0L)
 
   /** One field of a table PARTITION SPEC (Iceberg partition transforms in
     * miniature): `identity` (long or string column — the value IS the
@@ -363,7 +371,21 @@ object CowStore {
                             // table that never evolved through an
                             // id-assigning commit, including all
                             // pre-field-id manifests.
-                            fieldIds: Vector[Int] = Vector.empty)
+                            fieldIds: Vector[Int] = Vector.empty,
+                            // Live equality deletes ([[EqDelete]]):
+                            // carried across commits, pruned by publish
+                            // once no current file predates them
+                            // (optimize's rewrite is what retires them).
+                            eqDeletes: Vector[EqDelete] = Vector.empty)
+
+  /** One EQUALITY DELETE (Iceberg equality-delete files in miniature):
+    * at `version`, every row of an OLDER file (seq < version) whose
+    * declared key column takes one of `keys` is deleted. Keys are
+    * canonical strings (Long.toString for long keys, raw for string
+    * keys) — decoded to the key column's type at plan time. O(keys)
+    * commit bytes, ZERO data files read at commit.
+    */
+  final case class EqDelete(version: Long, keys: Vector[String])
 
   /** A snapshot's field ids with the positional default applied. */
   def effectiveIds(snap: Snapshot): Vector[Int] =
@@ -448,7 +470,14 @@ object CowStore {
                          // on these, so files' write-time [min, max]
                          // ranges come out DISJOINT and range predicates
                          // skip all but the covering files.
-                         writeOrder: Vector[(String, Boolean)] = Vector.empty) {
+                         writeOrder: Vector[(String, Boolean)] = Vector.empty,
+                         // EQUALITY-DELETE key column ('graft.delete-key'
+                         // table property; requires mor): keyed
+                         // DELETE/MERGE commits O(keys) equality-delete
+                         // entries instead of positional vectors, and
+                         // readers drop matching rows from OLDER files
+                         // ([[EqDelete]]).
+                         eqKey: Option[String] = None) {
     def snapshot: Snapshot = history(version)
     /** The spec that wrote a file, by its stats' spec id; an unknown id
       * resolves EMPTY (treated as unpartitioned ⇒ never pruned — a
@@ -536,8 +565,31 @@ object CowStore {
     }
   }
 
+  /** 'graft.delete-key' validation: equality deletes need merge-on-read
+    * (a COW rewrite carries its deletes in the rewrite itself) and a
+    * long/string key column.
+    */
+  def validateEqKey(eqKey: Option[String], mor: Boolean,
+                    schema: StructType): Unit = eqKey.foreach { c =>
+    require(mor,
+      "graft-cow: 'graft.delete-key' requires 'graft.mode' = 'mor'")
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-cow: 'graft.delete-key' references unknown column $c"))
+    require(f.dataType == LongType || f.dataType == StringType,
+      s"graft-cow: 'graft.delete-key' needs a long/string column, got " +
+        s"$c: ${f.dataType.simpleString}")
+    // The key column is the ROW IDENTITY (Iceberg identifier fields):
+    // Catalyst refuses nullable row-id attributes, and a NULL key has no
+    // equality-delete semantics — declare it NOT NULL.
+    require(!f.nullable,
+      s"graft-cow: 'graft.delete-key' column $c must be declared NOT NULL " +
+        "(it is the row identity keyed deletes resolve by)")
+  }
+
   def create(catalog: String, ident: Identifier, schema: StructType,
-             mor: Boolean, spec: Vector[PartField] = Vector.empty): State =
+             mor: Boolean, spec: Vector[PartField] = Vector.empty,
+             eqKey: Option[String] = None): State =
     synchronized {
     schema.fields.foreach { f =>
       require(supportedType(f.dataType),
@@ -545,10 +597,12 @@ object CowStore {
           s"${f.name}: ${f.dataType.simpleString}")
     }
     validateSpec(spec, schema)
+    validateEqKey(eqKey, mor, schema)
     val dir = java.nio.file.Files.createTempDirectory("graft_cow_").toString
     val st = State(0L, dir, mor,
       history = Map(0L -> Snapshot(Vector.empty, Map.empty, schema)),
-      stats = Map.empty, commitTsUs = Map(0L -> nowUs()), spec = spec)
+      stats = Map.empty, commitTsUs = Map(0L -> nowUs()), spec = spec,
+      eqKey = eqKey)
     if (tables.putIfAbsent(key(catalog, ident), st) != null) {
       // Create-race hygiene: the loser's just-created temp dir would
       // otherwise leak on disk with no owner.
@@ -669,6 +723,30 @@ object CowStore {
       deletes = merged), newStats, branch)
   }
 
+  /** Publish an EQUALITY-DELETE delta commit (`graft.delete-key`
+    * tables): `deletedKeys` are key-column values whose rows die in
+    * every file that PREDATES this commit; `newFiles` carry inserted
+    * rows (an upsert's inserts are sequenced AT this commit, so the
+    * delete never touches them). O(keys + inserted rows) bytes, ZERO
+    * data files read — the write-amplification lever after positional
+    * DVs: a keyed MERGE no longer has to locate positions.
+    */
+  def commitDeltaEq(catalog: String, ident: Identifier,
+                    newFiles: Seq[String],
+                    newStats: Map[String, FileStats],
+                    deletedKeys: Vector[String],
+                    branch: Option[String] = None): Unit = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
+    require(st.eqKey.isDefined,
+      s"graft-cow: equality-delete commit on $k, which declares no " +
+        "'graft.delete-key'")
+    val snap = st.history(st.headOf(branch))
+    publish(k, st, snap.copy(files = snap.files ++ newFiles), newStats,
+      branch, eqDeleteKeys = Some(deletedKeys)): Unit
+  }
+
   /** `ALTER TABLE … ADD COLUMN`: a new version with the SAME files and an
     * extended schema. Pre-evolution files lack the column physically and
     * read NULL (the reader consults each file's write-time column set);
@@ -734,6 +812,9 @@ object CowStore {
     require(!st.writeOrder.exists(_._1 == from),
       s"graft-cow: $from is in the declared write order — CALL " +
         "set_write_order first")
+    require(!st.eqKey.contains(from),
+      s"graft-cow: $from is the table's 'graft.delete-key' — equality " +
+        "deletes resolve by this name")
     val snap = st.snapshot
     publish(k, st, snap.copy(
       schema = StructType(snap.schema.fields.map(f =>
@@ -761,6 +842,9 @@ object CowStore {
       require(!st.writeOrder.exists(_._1 == name),
         s"graft-cow: $name is in the declared write order — CALL " +
           "set_write_order first")
+      require(!st.eqKey.contains(name),
+        s"graft-cow: $name is the table's 'graft.delete-key' — equality " +
+          "deletes resolve by this name")
       require(st.schema.fields.length > 1,
         "graft-cow: cannot drop the last column")
       val snap = st.snapshot
@@ -890,7 +974,8 @@ object CowStore {
 
   private def publish(k: String, st: State, snap: Snapshot,
                       newStats: Map[String, FileStats],
-                      branch: Option[String] = None): State = {
+                      branch: Option[String] = None,
+                      eqDeleteKeys: Option[Vector[String]] = None): State = {
     // Presence re-check (all mutators hold the store lock, so this can
     // only fire on a caller bug): never re-register a table a concurrent
     // drop removed — its directory is already deleted.
@@ -912,13 +997,31 @@ object CowStore {
     val stampedStats = newStats.map { case (f, fs) =>
       f -> (if (fs.colIds.isEmpty &&
           fs.cols == snap.schema.fieldNames.toVector)
-        fs.copy(colIds = effectiveIds(snap)) else fs)
+        fs.copy(colIds = effectiveIds(snap), seq = newV)
+      else fs.copy(seq = newV))
     }
+    // EQUALITY-DELETE retirement: an entry is live only while some
+    // current file PREDATES it (seq < version — files without stats are
+    // conservatively old). Optimize's rewrite re-sequences the files it
+    // compacts, which is exactly how entries fold away.
+    val mergedStats = st.stats ++ stampedStats
+    val withEq = eqDeleteKeys.filter(_.nonEmpty) match {
+      case Some(keys) =>
+        snap.copy(eqDeletes =
+          snap.eqDeletes :+ EqDelete(newV, keys.distinct.sorted))
+      case None => snap
+    }
+    val prunedSnap =
+      if (withEq.eqDeletes.isEmpty) withEq
+      else withEq.copy(eqDeletes = withEq.eqDeletes.filter { e =>
+        withEq.files.exists(f =>
+          mergedStats.get(f).map(_.seq).getOrElse(0L) < e.version)
+      })
     val base = st.copy(
-      history = st.history + (newV -> snap),
+      history = st.history + (newV -> prunedSnap),
       // Superseded files keep their stats: old versions stay readable and
       // their time-travel scans skip/size with the same fidelity.
-      stats = st.stats ++ stampedStats,
+      stats = mergedStats,
       commitTsUs = st.commitTsUs + (newV -> ts),
       parent = st.parent + (newV -> st.headOf(branch)))
     val nst = branch match {
@@ -952,6 +1055,7 @@ object CowStore {
     val sb = new StringBuilder
     sb ++= s"version\t$v\n"
     sb ++= s"mor\t${st.mor}\n"
+    st.eqKey.foreach(c => sb ++= s"eqkey\t$c\n")
     st.commitTsUs.get(v).foreach(ts => sb ++= s"committed_at_us\t$ts\n")
     st.parent.get(v).foreach(p => sb ++= s"parent\t$p\n")
     // Partition spec rides every manifest (like mor): kind:arg:col per
@@ -992,12 +1096,18 @@ object CowStore {
           val ranges = if (allRanges.isEmpty) "-" else allRanges.mkString(",")
           val pv = if (fs.partVals.isEmpty) "-" else fs.partVals.mkString(",")
           val ids = if (fs.colIds.isEmpty) "-" else fs.colIds.mkString(",")
-          sb ++= s"file\t$f\t${fs.rows}\t${fs.bytes}\t$ranges\t${fs.cols.mkString(",")}\t$pv\t${fs.specId}\t$ids\n"
+          sb ++= s"file\t$f\t${fs.rows}\t${fs.bytes}\t$ranges\t${fs.cols.mkString(",")}\t$pv\t${fs.specId}\t$ids\t${fs.seq}\n"
         case None => sb ++= s"file\t$f\t-\n"
       }
     }
     snap.deletes.toSeq.sortBy(_._1).foreach { case (f, ps) =>
       sb ++= s"dv\t$f\t${ps.mkString(",")}\n"
+    }
+    // Equality deletes: URL-encoded keys (string keys may contain
+    // commas/tabs), one line per live entry.
+    snap.eqDeletes.foreach { e =>
+      val enc = e.keys.map(java.net.URLEncoder.encode(_, "UTF-8"))
+      sb ++= s"eqdel\t${e.version}\t${enc.mkString(",")}\n"
     }
     java.nio.file.Files.createDirectories(logDir(st.dir))
     java.nio.file.Files.write(manifestPath(st.dir, v),
@@ -1050,6 +1160,7 @@ object CowStore {
       // a different graft.mode) — the CURRENT version's manifest decides,
       // not whichever file parses last in directory order.
       var morByVersion = Map.empty[Long, Boolean]
+      var eqKeyByVersion = Map.empty[Long, String]
       var specByVersion = Map.empty[Long, Vector[PartField]]
       var specIdByVersion = Map.empty[Long, Int]
       var oldSpecsAll = Map.empty[Int, Vector[PartField]]
@@ -1065,11 +1176,16 @@ object CowStore {
         var fids = Vector.empty[Int]
         var files = Vector.empty[String]
         var dvs = Map.empty[String, Vector[Long]]
+        var eqds = Vector.empty[EqDelete]
         lines.foreach { line =>
           line.split("\t", -1).toSeq match {
             case Seq("version", v) => version = v.toLong
             // writeManifest emits version FIRST, so `version` is set here.
             case Seq("mor", m) => morByVersion += version -> m.toBoolean
+            case Seq("eqkey", c) => eqKeyByVersion += version -> c
+            case Seq("eqdel", v, ks) =>
+              eqds :+= EqDelete(v.toLong, ks.split(",", -1).toVector
+                .map(java.net.URLDecoder.decode(_, "UTF-8")))
             case Seq("partspec", s) =>
               specByVersion += version -> s.split(",").toVector.map { p =>
                 val Array(kind, arg, col) = p.split(":", 3)
@@ -1099,10 +1215,11 @@ object CowStore {
               fids = s.split(",").toVector.map(_.toInt)
             case Seq("file", f, "-") => files :+= f
             // Pre-evolution manifests wrote 7 tokens (no spec id — id 0);
-            // spec evolution appended the file's spec id as an 8th, and
-            // field ids append the file's column-id list as a 9th.
+            // spec evolution appended the file's spec id as an 8th,
+            // field ids the column-id list as a 9th, and equality-delete
+            // sequencing the file's commit version as a 10th.
             case Seq("file", f, rows, bytes, ranges, cols, pv, rest @ _*)
-                if rest.length <= 2 =>
+                if rest.length <= 3 =>
               files :+= f
               val toks =
                 if (ranges == "-") Array.empty[String] else ranges.split(",")
@@ -1123,7 +1240,8 @@ object CowStore {
                 rest.headOption.map(_.toInt).getOrElse(0), sr,
                 rest.lift(1).filter(_ != "-")
                   .map(_.split(",").toVector.map(_.toInt))
-                  .getOrElse(Vector.empty))
+                  .getOrElse(Vector.empty),
+                rest.lift(2).map(_.toLong).getOrElse(0L))
             case Seq("dv", f, ps) =>
               dvs += f -> ps.split(",").map(_.toLong).toVector
             case other =>
@@ -1133,7 +1251,7 @@ object CowStore {
         }
         require(version >= 0 && schema != null,
           s"graft-cow: manifest $p lacks version/schema")
-        version -> Snapshot(files, dvs, schema, fids)
+        version -> Snapshot(files, dvs, schema, fids, eqds)
       }.toMap
       // With branch commits in the log, max version is a branch head, not
       // necessarily main — the durable @main pointer decides; absent (no
@@ -1148,7 +1266,8 @@ object CowStore {
         specId = specIdByVersion.getOrElse(current, 0),
         oldSpecs = oldSpecsAll,
         droppedCols = droppedAll,
-        writeOrder = orderByVersion.getOrElse(current, Vector.empty))
+        writeOrder = orderByVersion.getOrElse(current, Vector.empty),
+        eqKey = eqKeyByVersion.get(current))
       tables.put(key(catalog, ident), st)
       st
     }
@@ -1342,7 +1461,8 @@ object CowStore {
                    mor: Boolean, dir: String, freshDir: Boolean,
                    files: Seq[(String, FileStats)],
                    mode: StageMode.Value,
-                   spec: Vector[PartField] = Vector.empty): Unit = synchronized {
+                   spec: Vector[PartField] = Vector.empty,
+                   eqKey: Option[String] = None): Unit = synchronized {
     val k = key(catalog, ident)
     val existing = Option(tables.get(k))
     def cleanup(): Unit = {
@@ -1352,7 +1472,8 @@ object CowStore {
     def freshCreate(): Unit = {
       val v0 = State(0L, dir, mor,
         history = Map(0L -> Snapshot(Vector.empty, Map.empty, schema)),
-        stats = Map.empty, commitTsUs = Map(0L -> nowUs()), spec = spec)
+        stats = Map.empty, commitTsUs = Map(0L -> nowUs()), spec = spec,
+        eqKey = eqKey)
       tables.put(k, v0)
       writeManifest(v0)
       publish(k, v0,
@@ -1373,8 +1494,10 @@ object CowStore {
         if (spec == st.spec) (st.specId, st.oldSpecs)
         else (st.specId + 1, st.oldSpecs + (st.specId -> st.spec))
       val stamped = files.map { case (f, fs) => f -> fs.copy(specId = sid) }
+      // REPLACE applies the staged delete-key with the content (and a
+      // replace clears superseded equality deletes with the old files).
       publish(k, st.copy(mor = mor, spec = spec, specId = sid,
-        oldSpecs = olds),
+        oldSpecs = olds, eqKey = eqKey),
         Snapshot(stamped.map(_._1).toVector, Map.empty, schema),
         stamped.toMap): Unit
     }
@@ -1569,8 +1692,10 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
                     mode: CowStore.StageMode.Value): StagedTable = {
     val mor = Option(properties.get("graft.mode")).map(_.toLowerCase)
       .exists(m => m == "mor" || m == "merge-on-read")
+    val eqKey = Option(properties.get("graft.delete-key"))
+    CowStore.validateEqKey(eqKey, mor, schema)
     new CowStagedTable(catalogName, ident, schema, mor, mode,
-      parseSpec(partitions, schema))
+      parseSpec(partitions, schema), eqKey)
   }
 
   /** `VERSION AS OF v` time travel: superseded files are never deleted
@@ -1625,7 +1750,8 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
     val mor = Option(properties.get("graft.mode")).map(_.toLowerCase)
       .exists(m => m == "mor" || m == "merge-on-read")
     CowStore.create(catalogName, ident, schema, mor,
-      parseSpec(partitions, schema))
+      parseSpec(partitions, schema),
+      Option(properties.get("graft.delete-key")))
     new CowTable(catalogName, ident)
   }
 
@@ -1946,8 +2072,10 @@ class CowPublishProcedure(catalogName: String) extends UnboundProcedure {
   * output (all of one partition), each with what its reader needs.
   */
 private[sources] case class CowOptimizeBin(
-    // (file, presentCols, dv, colMap — field-id rename resolution)
-    files: Seq[(String, Vector[String], Array[Long], Map[String, String])],
+    // (file, presentCols, dv, colMap — field-id rename resolution,
+    //  applicable equality-delete keys as (col, longs, strs))
+    files: Seq[(String, Vector[String], Array[Long], Map[String, String],
+      (String, Array[Long], Array[String]))],
     partVals: Vector[String])
 
 /** `CALL <catalog>.optimize(table, target_bytes)` — POLICY compaction
@@ -2016,10 +2144,27 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
             }
             .map { case (buf, _) =>
               CowOptimizeBin(buf.toSeq.map { f =>
+                // Applicable equality deletes FOLD here: the bin reader
+                // drops doomed rows, the rewritten file re-sequences at
+                // the commit, and publish prunes entries nothing
+                // predates.
+                val eqs = st.snapshot.eqDeletes
+                  .filter(_.version > st.stats(f).seq).flatMap(_.keys)
+                val eqTriple = st.eqKey
+                  .filter(_ => eqs.nonEmpty)
+                  .map { c =>
+                    st.schema.fields.find(_.name == c).map(_.dataType) match {
+                      case Some(LongType) =>
+                        (c, eqs.map(_.toLong).distinct.toArray,
+                          Array.empty[String])
+                      case _ =>
+                        (c, Array.empty[Long], eqs.distinct.toArray)
+                    }
+                  }.getOrElse(("", Array.empty[Long], Array.empty[String]))
                 (f, st.stats(f).cols,
                   st.deletes.getOrElse(f, Vector.empty).toArray,
                   CowStore.colMapFor(st.snapshot, st.stats.get(f),
-                    st.schema))
+                    st.schema), eqTriple)
               }, pv)
             }
         }
@@ -2044,8 +2189,9 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
           .map { bin =>
             val out = new CowTaskRouter(dir, schema, schema, curSpec, curSpecId)
             val rf = CowReaderFactory(schema, schema)
-            bin.files.foreach { case (f, cols, dv, cm) =>
-              val r = rf.createReader(CowFilePartition(f, cols, dv, cm))
+            bin.files.foreach { case (f, cols, dv, cm, (ec, el, es)) =>
+              val r = rf.createReader(CowFilePartition(f, cols, dv, cm,
+                eqCol = ec, eqLongs = el, eqStrs = es))
               try while (r.next()) out.write(r.get(), 0)
               finally r.close()
             }
@@ -2327,7 +2473,8 @@ class CowDropRefProcedure(catalogName: String, kind: String)
 class CowStagedTable(catalog: String, ident: Identifier,
                      tableSchema: StructType, mor: Boolean,
                      mode: CowStore.StageMode.Value,
-                     spec: Vector[CowStore.PartField] = Vector.empty)
+                     spec: Vector[CowStore.PartField] = Vector.empty,
+                     eqKey: Option[String] = None)
     extends StagedTable with SupportsWrite {
 
   tableSchema.fields.foreach { f =>
@@ -2389,7 +2536,7 @@ class CowStagedTable(catalog: String, ident: Identifier,
   override def commitStagedChanges(): Unit = {
     import scala.jdk.CollectionConverters._
     CowStore.commitStaged(catalog, ident, tableSchema, mor, dir, freshDir,
-      staged.asScala.toSeq, mode, spec)
+      staged.asScala.toSeq, mode, spec, eqKey)
   }
 
   override def abortStagedChanges(): Unit = {
@@ -2600,6 +2747,12 @@ class CowChangesScan(tableName: String, st: CowStore.State,
     var prev = snapAt(start)
     versions.foreach { v =>
       val snap = snapAt(v)
+      if (snap.eqDeletes.exists(_.version == v))
+        throw new UnsupportedOperationException(
+          s"graft-cow: changes of $tableName hit an EQUALITY-DELETE commit " +
+            s"(version $v); reconstructing its deleted rows needs a keyed " +
+            "scan of every older file — use positional deletes " +
+            "(no 'graft.delete-key') where a change feed is required")
       val removed = prev.files.toSet -- snap.files.toSet
       if (removed.nonEmpty)
         throw new UnsupportedOperationException(
@@ -2736,7 +2889,8 @@ class CowTable(catalog: String, ident: Identifier,
                pinnedVersion: Option[Long] = None,
                branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsDeleteV2 {
 
   require(pinnedVersion.isEmpty || branch.isEmpty,
     "graft-cow: a table load is either version-pinned or a branch, not both")
@@ -2765,6 +2919,7 @@ class CowTable(catalog: String, ident: Identifier,
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]()
     m.put("graft.mode", if (state.mor) "mor" else "cow")
+    state.eqKey.foreach(m.put("graft.delete-key", _))
     if (state.writeOrder.nonEmpty)
       m.put("graft.write-order", state.writeOrder.map { case (c, d) =>
         s"$c ${if (d) "desc" else "asc"}" }.mkString(", "))
@@ -2827,6 +2982,58 @@ class CowTable(catalog: String, ident: Identifier,
     requireWritable()
     new CowWriteBuilder(catalog, ident, state, op = None, info.schema(),
       queryId = info.queryId(), branch = branch)
+  }
+
+  /** METADATA-ONLY keyed DELETE (`SupportsDeleteV2`, the zero-read half
+    * of equality deletes): on a 'graft.delete-key' table, a
+    * `DELETE FROM t WHERE key = v` / `key IN (…)` commits an
+    * equality-delete entry straight from the predicate's literals —
+    * Catalyst's metadata-delete rule plans `DeleteFromTableExec`, NO
+    * scan, NO data file opened (spec-pinned). Anything the entry can't
+    * express EXACTLY (other columns, conjunctions, inequalities, COW
+    * tables) refuses and falls back to the row-level rewrite plan.
+    */
+  private def eqDeleteKeysOf(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Vector[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit, NamedReference}
+    val keyCol = state.eqKey.getOrElse(return None)
+    val keyType = state.schema.fields.find(_.name == keyCol)
+      .map(_.dataType).getOrElse(return None)
+    def isKeyRef(e: V2Expr): Boolean = e match {
+      case r: NamedReference => r.fieldNames().sameElements(Array(keyCol))
+      case _ => false
+    }
+    def keyLit(e: V2Expr): Option[String] = e match {
+      case l: V2Lit[_] if l.dataType() == keyType && l.value() != null =>
+        Some(l.value().toString) // UTF8String/Long both print canonically
+      case _ => None
+    }
+    if (predicates.length != 1) return None
+    val p = predicates(0)
+    val kids = p.children()
+    p.name() match {
+      case "=" if kids.length == 2 && isKeyRef(kids(0)) =>
+        keyLit(kids(1)).map(Vector(_))
+      case "IN" if kids.nonEmpty && isKeyRef(kids(0)) =>
+        val vals = kids.tail.flatMap(keyLit)
+        if (vals.length == kids.length - 1) Some(vals.toVector) else None
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    pinnedVersion.isEmpty && eqDeleteKeysOf(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    requireWritable()
+    val keys = eqDeleteKeysOf(predicates).getOrElse(
+      throw new IllegalStateException(
+        "graft-cow: deleteWhere called with undeletable predicates " +
+          s"(${predicates.mkString(", ")})"))
+    CowStore.commitDeltaEq(catalog, ident, Seq.empty, Map.empty, keys, branch)
   }
 
   /** Row-level operations, strategy per the table's mode:
@@ -2911,9 +3118,15 @@ class CowMorOperation(catalog: String, ident: Identifier,
 
   override def command(): RowLevelOperation.Command = info.command()
 
+  // 'graft.delete-key' tables identify rows by the KEY COLUMN: delete
+  // ops then carry just the key (O(keys) commit, no positions located);
+  // positional tables keep (_file, _pos).
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(CowFileColumn.Name),
-      Expressions.column(CowPosColumn.Name))
+    state.eqKey match {
+      case Some(c) => Array(Expressions.column(c))
+      case None => Array(Expressions.column(CowFileColumn.Name),
+        Expressions.column(CowPosColumn.Name))
+    }
 
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
@@ -2928,7 +3141,8 @@ class CowMorOperation(catalog: String, ident: Identifier,
 
   override def description(): String =
     s"graft-cow ${info.command()} on $tableName (merge-on-read, " +
-      "positional deletes)"
+      state.eqKey.fold("positional deletes")(c => s"equality deletes on $c") +
+      ")"
 }
 
 /** Column pruning pushed down to the parquet reader's projection — same
@@ -3067,6 +3281,9 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (op.isDefined) return None
+    // Live equality deletes make manifest counts/extrema inexact (the
+    // doomed rows are identified by VALUE, invisible to stats) — refuse.
+    if (state.snapshot.eqDeletes.nonEmpty) return None
     val files = state.files
     if (!files.forall(state.stats.contains)) return None
 
@@ -3366,7 +3583,11 @@ class CowScan(tableName: String, state: CowStore.State,
     * the planned set is consumed.
     */
   private def plannedFiles: Vector[String] = pushedLimit match {
-    case Some(n) if op.isEmpty && files.forall(state.stats.contains) =>
+    // Live equality deletes: per-file net counts are unknowable from the
+    // manifest (drops are by value), and planning too FEW files would be
+    // wrong — keep everything.
+    case Some(n) if op.isEmpty && files.forall(state.stats.contains) &&
+        state.snapshot.eqDeletes.isEmpty =>
       var acc = 0L
       val out = Vector.newBuilder[String]
       val it = files.iterator
@@ -3593,6 +3814,40 @@ class CowScan(tableName: String, state: CowStore.State,
           plannedFiles.size)
     }
 
+  /** EQUALITY-DELETE application sets, per file: the union of key
+    * values from entries sequenced AFTER the file (seq < entry version).
+    * Decoded once per planned file into the key column's domain; files
+    * without stats are conservatively treated as predating everything.
+    */
+  private def eqEntriesFor(f: String): Vector[CowStore.EqDelete] = {
+    val snap = state.snapshot
+    if (snap.eqDeletes.isEmpty) Vector.empty
+    else {
+      val seq = state.stats.get(f).map(_.seq).getOrElse(0L)
+      snap.eqDeletes.filter(_.version > seq)
+    }
+  }
+  private def eqColFor(f: String): String =
+    if (eqEntriesFor(f).nonEmpty) state.eqKey.getOrElse("") else ""
+  private def eqLongsFor(f: String): Array[Long] = {
+    val es = eqEntriesFor(f)
+    if (es.isEmpty) Array.empty
+    else state.eqKey.flatMap(c => state.schema.fields.find(_.name == c))
+      .map(_.dataType) match {
+      case Some(LongType) => es.flatMap(_.keys).map(_.toLong).distinct.toArray
+      case _ => Array.empty
+    }
+  }
+  private def eqStrsFor(f: String): Array[String] = {
+    val es = eqEntriesFor(f)
+    if (es.isEmpty) Array.empty
+    else state.eqKey.flatMap(c => state.schema.fields.find(_.name == c))
+      .map(_.dataType) match {
+      case Some(StringType) => es.flatMap(_.keys).distinct.toArray
+      case _ => Array.empty
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // A row-level op's commit replaces exactly what its scan READ: this
     // is the EXECUTION-time file list (post static-skip, post runtime
@@ -3614,7 +3869,9 @@ class CowScan(tableName: String, state: CowStore.State,
         state.deletes.getOrElse(f, Vector.empty).toArray,
         // RENAME COLUMN resolution: required name → this file's
         // write-time column, by field id (empty when nothing renamed).
-        CowStore.colMapFor(state.snapshot, state.stats.get(f), required))
+        CowStore.colMapFor(state.snapshot, state.stats.get(f), required),
+        eqCol = eqColFor(f),
+        eqLongs = eqLongsFor(f), eqStrs = eqStrsFor(f))
       keyed match {
         case Some(sp) =>
           val pv = state.stats(f).partVals
@@ -3637,7 +3894,8 @@ class CowScan(tableName: String, state: CowStore.State,
     CowReaderFactory(required, state.schema,
       columnar = !sys.props.get("graft.cow.columnar").contains("false") &&
         plannedFiles.forall(f =>
-          state.deletes.getOrElse(f, Vector.empty).isEmpty))
+          state.deletes.getOrElse(f, Vector.empty).isEmpty &&
+            eqEntriesFor(f).isEmpty))
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -3793,6 +4051,13 @@ class CowMicroBatchStream(catalog: String, ident: Identifier,
               "only append commits are streamable — restart from a fresh " +
               "checkpoint")
       }
+      // An equality-delete entry landing in range retracts already-served
+      // rows by VALUE — the same non-append hazard as a DV, same remedy.
+      if (snap.eqDeletes.exists(_.version == v))
+        throw new UnsupportedOperationException(
+          s"graft-cow: streaming read of $tableName hit an EQUALITY-DELETE " +
+            s"commit (version $v); only append commits are streamable — " +
+            "restart from a fresh checkpoint")
       snap.files.filterNot(seen).foreach { f =>
         out += CowFilePartition(f,
           st.stats.get(f).map(_.cols).getOrElse(snap.schema.fieldNames.toVector),
@@ -3836,8 +4101,18 @@ class CowRowsServedMetric extends org.apache.spark.sql.connector.metric.CustomSu
   */
 case class CowFilePartition(file: String, presentCols: Vector[String],
                             deletes: Array[Long],
-                            colMap: Map[String, String] = Map.empty)
+                            colMap: Map[String, String] = Map.empty,
+                            // EQUALITY DELETES applicable to THIS file
+                            // (entries sequenced after it): the key
+                            // column's CURRENT name and the doomed key
+                            // values in its domain — the reader drops
+                            // matching rows like a positional DV, by
+                            // value instead of position.
+                            eqCol: String = "",
+                            eqLongs: Array[Long] = Array.empty,
+                            eqStrs: Array[String] = Array.empty)
     extends InputPartition {
+  def hasEq: Boolean = eqLongs.nonEmpty || eqStrs.nonEmpty
   /** Physical column for required name `n`; None = serve NULL. */
   def physOf(n: String): Option[String] = colMap.get(n) match {
     case Some("") => None
@@ -4014,7 +4289,18 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType,
     // parquet; columns missing from THIS file (added after it was
     // written, or an identity the file lacks post-rename) read NULL.
     // Parquet sees each column's PHYSICAL (write-time) name.
-    val phys = physicalFields(part)
+    val phys0 = physicalFields(part)
+
+    // EQUALITY DELETES need the key column decoded even when the
+    // projection doesn't ask for it (the drop test reads every row's
+    // key); ride it into the parquet projection under a sentinel field.
+    val eqPhysName: String =
+      if (part.hasEq) part.physOf(part.eqCol).getOrElse("") else ""
+    val phys: Array[(StructField, String)] =
+      if (eqPhysName.nonEmpty && !phys0.exists(_._2 == eqPhysName))
+        phys0 :+ (tableSchema.fields.find(_.name == part.eqCol).get
+          .copy(name = "\u0000eqkey") -> eqPhysName)
+      else phys0
 
     val parquetProjection: String =
       phys.map { case (f, physName) =>
@@ -4047,7 +4333,33 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType,
       private var current: Group = _
       private var pos = -1L // physical position of `current` within the file
       private var di = 0    // merge-walk pointer into the sorted delete vector
+      private var eqDropped = 0L
       private var served = 0L
+
+      // Equality-delete membership sets, built once per task.
+      private val eqLongSet: java.util.HashSet[java.lang.Long] =
+        if (part.eqLongs.isEmpty) null
+        else {
+          val h = new java.util.HashSet[java.lang.Long](part.eqLongs.length * 2)
+          part.eqLongs.foreach(v => h.add(v): Unit)
+          h
+        }
+      private val eqStrSet: java.util.HashSet[String] =
+        if (part.eqStrs.isEmpty) null
+        else {
+          val h = new java.util.HashSet[String](part.eqStrs.length * 2)
+          part.eqStrs.foreach(v => h.add(v): Unit)
+          h
+        }
+
+      private def eqDeleted(g: Group): Boolean = {
+        if (eqPhysName.isEmpty || (eqLongSet == null && eqStrSet == null))
+          return false
+        val i = g.getType.getFieldIndex(eqPhysName)
+        if (g.getFieldRepetitionCount(i) == 0) return false // NULL key: kept
+        if (eqLongSet != null) eqLongSet.contains(g.getLong(i, 0))
+        else eqStrSet.contains(g.getString(i, 0))
+      }
 
       override def next(): Boolean = {
         while (true) {
@@ -4055,6 +4367,7 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType,
           if (current == null) return false
           pos += 1
           if (di < dv.length && dv(di) == pos) di += 1 // deleted: skip row
+          else if (eqDeleted(current)) eqDropped += 1  // keyed delete: skip
           else { served += 1; return true }
         }
         false
@@ -4064,7 +4377,7 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType,
           org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
         new org.apache.spark.sql.connector.metric.CustomTaskMetric {
           override def name(): String = "dvSkippedRows"
-          override def value(): Long = di
+          override def value(): Long = di + eqDropped
         },
         new org.apache.spark.sql.connector.metric.CustomTaskMetric {
           override def name(): String = "rowsServed"
@@ -4338,24 +4651,38 @@ class CowDeltaWriteBuilder(catalog: String, ident: Identifier,
         val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
           new IllegalStateException(
             "graft-cow: delta write without a row-id schema"))
-        CowDeltaWriterFactory(state.dir, info.schema(), rowIdSchema,
-          state.schema, state.spec, state.specId)
+        if (state.eqKey.isDefined)
+          CowEqDeltaWriterFactory(state.dir, info.schema(), rowIdSchema,
+            state.schema, state.spec, state.specId)
+        else
+          CowDeltaWriterFactory(state.dir, info.schema(), rowIdSchema,
+            state.schema, state.spec, state.specId)
       }
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val msgs = messages.map(_.asInstanceOf[CowDeltaCommitMessage])
-        // Per-file positions merged across tasks, sorted for the
-        // reader's merge-walk (each task saw an arbitrary slice).
-        val deletes = msgs.flatMap(_.deletes)
-          .groupBy(_._1).map { case (f, ps) =>
-            f -> ps.flatMap(_._2).toVector.sorted
-          }
-        CowStore.commitDelta(catalog, ident,
-          msgs.flatMap(_.files.map(_._1)).toSeq,
-          msgs.flatMap(_.files).toMap, deletes, branch)
-      }
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        if (state.eqKey.isDefined) {
+          val msgs = messages.map(_.asInstanceOf[CowEqDeltaCommitMessage])
+          CowStore.commitDeltaEq(catalog, ident,
+            msgs.flatMap(_.files.map(_._1)).toSeq,
+            msgs.flatMap(_.files).toMap,
+            msgs.flatMap(_.deletedKeys).toVector, branch)
+        } else {
+          val msgs = messages.map(_.asInstanceOf[CowDeltaCommitMessage])
+          // Per-file positions merged across tasks, sorted for the
+          // reader's merge-walk (each task saw an arbitrary slice).
+          val deletes = msgs.flatMap(_.deletes)
+            .groupBy(_._1).map { case (f, ps) =>
+              f -> ps.flatMap(_._2).toVector.sorted
+            }
+          CowStore.commitDelta(catalog, ident,
+            msgs.flatMap(_.files.map(_._1)).toSeq,
+            msgs.flatMap(_.files).toMap, deletes, branch)
+        }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.foreach {
           case CowDeltaCommitMessage(files, _) => files.foreach { case (f, _) =>
+            new java.io.File(f).delete(): Unit
+          }
+          case CowEqDeltaCommitMessage(files, _) => files.foreach { case (f, _) =>
             new java.io.File(f).delete(): Unit
           }
           case _ => ()
@@ -4370,6 +4697,60 @@ case class CowCommitMessage(files: Seq[(String, CowStore.FileStats)])
 case class CowDeltaCommitMessage(files: Seq[(String, CowStore.FileStats)],
                                  deletes: Seq[(String, Seq[Long])])
     extends WriterCommitMessage
+
+case class CowEqDeltaCommitMessage(files: Seq[(String, CowStore.FileStats)],
+                                   deletedKeys: Seq[String])
+    extends WriterCommitMessage
+
+/** Executor-side writer for the EQUALITY-DELETE delta path
+  * ('graft.delete-key' tables): the row id IS the key column, so a
+  * delete op carries just the doomed key — no positions located, no
+  * data files read. Inserts stream into ordinary new files; the commit
+  * records O(keys) canonical key strings.
+  */
+case class CowEqDeltaWriterFactory(dir: String, writeSchema: StructType,
+                                   rowIdSchema: StructType,
+                                   tableSchema: StructType,
+                                   spec: Vector[CowStore.PartField] = Vector.empty,
+                                   specId: Int = 0)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private var out: CowTaskRouter = null
+      private def ensureOut(): CowTaskRouter = {
+        if (out == null)
+          out = new CowTaskRouter(dir, writeSchema, tableSchema, spec, specId)
+        out
+      }
+      private val keys = scala.collection.mutable.HashSet.empty[String]
+      private val keyIsString =
+        rowIdSchema.fields.head.dataType == StringType
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        require(!id.isNullAt(0),
+          "graft-cow: equality delete of a NULL key (the delete-key " +
+            "column must be non-null for keyed deletes)")
+        keys += (if (keyIsString) id.getUTF8String(0).toString
+                 else id.getLong(0).toString): Unit
+      }
+
+      override def update(meta: InternalRow, id: InternalRow,
+                          row: InternalRow): Unit =
+        throw new IllegalStateException(
+          "graft-cow: updates are represented as delete+insert " +
+            "(representUpdateAsDeleteAndInsert) — update() must not be called")
+
+      override def insert(row: InternalRow): Unit = ensureOut().write(row, 0)
+
+      override def commit(): WriterCommitMessage =
+        CowEqDeltaCommitMessage(
+          if (out == null) Seq.empty else out.finish(), keys.toSeq)
+
+      override def abort(): Unit = if (out != null) out.abort()
+      override def close(): Unit = ()
+    }
+}
 
 /** One task's parquet output file: the Group-API writer + write-time
   * stats collection shared by the group-based (COW) and delta-based (MOR)

@@ -1683,6 +1683,113 @@ class CowCatalogSpec extends SparkSpec {
     assert(folded.collect().head.getLong(0) == 42L)
   }
 
+  test("equality deletes: zero-scan keyed DELETE, sequenced upsert, optimize folds, durable; loud refusals") {
+    val tbl = fresh("eqdel")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id * 2 FROM range(0, 10, 1, 1)")
+    val ident = identOf(tbl)
+    val st1 = CowStore.get(cat, ident).get
+    assert(st1.stats(st1.files.head).seq == 1L,
+      "files must be sequenced at their commit version")
+    // Keyed DELETE: metadata-only — no scan in the plan, no files
+    // touched, one O(keys) entry.
+    val del = spark.sql(s"DELETE FROM $tbl WHERE id IN (2, 4)")
+    val delPlan = del.queryExecution.executedPlan.toString
+    assert(delPlan.contains("DeleteFromTable") && !delPlan.contains("BatchScan"),
+      s"keyed DELETE must plan as a metadata delete, got:\n$delPlan")
+    val st2 = CowStore.get(cat, ident).get
+    assert(st2.files == st1.files && st2.deletes.isEmpty,
+      "equality delete must rewrite nothing and record no positions")
+    assert(st2.snapshot.eqDeletes ==
+      Vector(CowStore.EqDelete(2L, Vector("2", "4"))))
+    assert(spark.sql(s"SELECT sum(v), count(*) FROM $tbl").head.toSeq ==
+      Seq((0 until 10).filterNot(Set(2, 4)).map(_ * 2).sum.toLong, 8L))
+    // The eq-filtered scan takes the row walk (value-level drops).
+    assert(spark.table(tbl).queryExecution.executedPlan.toString
+      .contains("ColumnarToRow") === false ||
+      spark.table(tbl).collect().length == 8)
+    // Keyed UPSERT (MERGE): matched rows die by KEY in older files; the
+    // merge's own inserts are sequenced AT the commit and survive its
+    // delete entry.
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT id, id * 100 AS v FROM range(3, 6, 1, 1)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val st3 = CowStore.get(cat, ident).get
+    assert(st3.deletes.isEmpty, "upsert must record NO positional deletes")
+    assert(st3.snapshot.eqDeletes.length == 2)
+    val got = spark.sql(s"SELECT id, v FROM $tbl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = Seq(0L -> 0L, 1L -> 2L, 3L -> 300L, 4L -> 400L,
+      5L -> 500L, 6L -> 12L, 7L -> 14L, 8L -> 16L, 9L -> 18L)
+    assert(got == expect, s"upsert result wrong: $got")
+    // Durability: key, entries and sequencing recover from the log.
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st3.dir)
+    assert(rec.eqKey.contains("id") &&
+      rec.snapshot.eqDeletes == st3.snapshot.eqDeletes &&
+      rec.stats(rec.files.head).seq == st3.stats(st3.files.head).seq)
+    assert(spark.sql(s"SELECT id, v FROM $tbl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == expect)
+    // The streaming source and the change feed refuse eq commits loudly.
+    val ck = java.nio.file.Files.createTempDirectory("cow_eq_ck_").toString
+    val se = intercept[Exception] {
+      spark.readStream.table(tbl).writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(se.toString.contains("EQUALITY-DELETE") ||
+      Option(se.getCause).exists(_.toString.contains("EQUALITY-DELETE")), s"$se")
+    val ce = intercept[Exception] {
+      spark.read.option("startVersion", "1").option("endVersion", "3")
+        .table(s"$tbl.changes").collect()
+    }
+    assert(ce.toString.contains("EQUALITY-DELETE") ||
+      Option(ce.getCause).exists(_.toString.contains("EQUALITY-DELETE")), s"$ce")
+    // Manifest agg pushdown refuses under live entries (counts are
+    // value-dependent): the count above came from a real scan — now
+    // OPTIMIZE folds the entries, restoring pushdown AND columnar reads.
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.optimize('$name', ${64L * 1024 * 1024}L)")
+    val st4 = CowStore.get(cat, ident).get
+    assert(st4.snapshot.eqDeletes.isEmpty,
+      "optimize must retire entries nothing predates")
+    assert(spark.sql(s"SELECT id, v FROM $tbl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == expect,
+      "folding must not change results")
+    // Guards: nullable key, missing mor, non-key renames/drops.
+    val bad = fresh("eqbad")
+    assert(intercept[Exception](spark.sql(
+      s"CREATE TABLE $bad (id BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')"))
+      .toString.contains("NOT NULL"))
+    assert(intercept[Exception](spark.sql(
+      s"CREATE TABLE $bad (id BIGINT NOT NULL, v BIGINT) " +
+        "TBLPROPERTIES ('graft.delete-key'='id')"))
+      .toString.contains("mor"))
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN id TO key"))
+      .toString.contains("delete-key"))
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN id"))
+      .toString.contains("delete-key"))
+    // A NON-key DELETE on an eq table still commits BY KEY: the rewrite
+    // scan locates the matching rows, but what lands is their keys —
+    // O(matched keys), never positions, one representation per table.
+    spark.sql(s"DELETE FROM $tbl WHERE v = 300")
+    val st5 = CowStore.get(cat, ident).get
+    assert(st5.deletes.isEmpty,
+      "eq tables must never record positional deletes")
+    assert(st5.snapshot.eqDeletes.map(_.keys) == Vector(Vector("3")),
+      s"the matched row's KEY must land: ${st5.snapshot.eqDeletes}")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 8L)
+  }
+
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
     val tbl = fresh("dropcommit")
     mkBase(tbl)
