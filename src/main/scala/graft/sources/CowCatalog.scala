@@ -1595,7 +1595,8 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
         ident.name() match {
           case "files"      => Some(new CowFilesTable(baseName, st))
           case "history"    => Some(new CowHistoryTable(baseName, st))
-          case "changes"    => Some(new CowChangesTable(baseName, st))
+          case "changes"    =>
+            Some(new CowChangesTable(baseName, st, Some((catalogName, base))))
           case "partitions" => Some(new CowPartitionsTable(baseName, st))
           // `<table>.branch_<name>`: the branch AS A TABLE — readable AND
           // writable (Iceberg's branch identifiers); commits advance the
@@ -2702,28 +2703,49 @@ class CowHistoryTable(tableName: String, st: CowStore.State)
   * files, which is what makes incremental downstream sync viable at
   * 100 TB table sizes.
   */
-class CowChangesTable(tableName: String, st: CowStore.State)
+class CowChangesTable(tableName: String, st: CowStore.State,
+                      streamKey: Option[(String, Identifier)] = None)
     extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = StructType(
     st.schema.fields.toSeq ++ Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_commit_version", LongType, nullable = false)))
-  override def capabilities(): java.util.Set[TableCapability] =
-    JCollections.singleton(TableCapability.BATCH_READ)
+  // The change feed is ALSO a STREAMING SOURCE
+  // (`spark.readStream.table("<table>.changes")` — Delta's
+  // `readChangeFeed` in miniature): offsets are commit versions, each
+  // micro-batch serves exactly the CHANGE ROWS of `(start, end]` —
+  // row-level rewrites stream as delete/insert records instead of the
+  // plain table source's loud non-append failure. Routing CDF through
+  // the `.changes` identifier (not a reader option) keeps the wider
+  // schema visible at ANALYSIS time.
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    if (streamKey.isDefined) caps.add(TableCapability.MICRO_BATCH_READ)
+    JCollections.unmodifiableSet(caps)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new CowChangesScan(tableName, st,
       Option(options.get("startVersion")).map(_.toLong).getOrElse(0L),
       Option(options.get("endVersion")).map(_.toLong).getOrElse(st.version),
-      schema())
+      schema(), streamKey,
+      Option(options.get("maxVersionsPerBatch")).map { v =>
+        val n = v.toInt
+        require(n >= 1,
+          s"graft-cow: maxVersionsPerBatch must be >= 1, got $n")
+        n
+      })
 }
 
 /** One version-walk scan of the change feed: partitions are (added file →
   * insert) and (DV delta → delete) tasks, planned from manifests only.
   */
 class CowChangesScan(tableName: String, st: CowStore.State,
-                     start: Long, end: Long, out: StructType)
+                     start: Long, end: Long, out: StructType,
+                     streamKey: Option[(String, Identifier)] = None,
+                     maxVersionsPerBatch: Option[Int] = None)
     extends Scan with Batch {
   require(start <= end,
     s"graft-cow: changes range [$start, $end] of $tableName is inverted")
@@ -2733,18 +2755,41 @@ class CowChangesScan(tableName: String, st: CowStore.State,
   override def description(): String =
     s"graft-cow changes of $tableName ($start, $end]"
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val (cat, ident) = streamKey.getOrElse(throw new UnsupportedOperationException(
+      s"graft-cow: $tableName is not streamable here"))
+    new CowChangesMicroBatchStream(cat, ident, tableName, out,
+      maxVersionsPerBatch)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    require(st.history.contains(end) || end == 0L,
+      s"graft-cow: changes end version $end of $tableName does not exist " +
+        s"(have ${st.history.keys.toSeq.sorted.mkString(",")})")
+    CowChangesPlanner.plan(st, tableName, start,
+      st.history.keys.filter(v => v > start && v <= end).toSeq.sorted)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CowChangesReaderFactory(out, st.schema)
+}
+
+/** The per-version change reconstruction shared by the batch
+  * `<table>.changes` relation and the STREAMING change feed
+  * (`readStream.option("readChangeFeed", true)`): walk `versions` from
+  * the snapshot at `base`, emitting (added file → insert) and (DV delta
+  * → delete) tasks, all from manifests — zero data I/O to plan.
+  */
+private[sources] object CowChangesPlanner {
+  def plan(st: CowStore.State, tableName: String, base: Long,
+           versions: Seq[Long]): Array[InputPartition] = {
     def snapAt(v: Long): CowStore.Snapshot =
       st.history.getOrElse(v, throw new IllegalStateException(
         s"graft-cow: changes of $tableName need version $v, which VACUUM " +
           s"removed (retained: ${st.history.keys.toSeq.sorted.mkString(",")})"))
-    require(st.history.contains(end) || end == 0L,
-      s"graft-cow: changes end version $end of $tableName does not exist " +
-        s"(have ${st.history.keys.toSeq.sorted.mkString(",")})")
-    val versions = st.history.keys.filter(v => v > start && v <= end)
-      .toSeq.sorted
     val outParts = Vector.newBuilder[InputPartition]
-    var prev = snapAt(start)
+    var prev = snapAt(base)
     versions.foreach { v =>
       val snap = snapAt(v)
       if (snap.eqDeletes.exists(_.version == v))
@@ -2789,9 +2834,80 @@ class CowChangesScan(tableName: String, st: CowStore.State,
     }
     outParts.result().toArray
   }
+}
+
+/** STREAMING CHANGE FEED (`spark.readStream.table("<t>.changes")` —
+  * Delta's `readChangeFeed=true` stream in miniature, composing the
+  * table source's version offsets (E331) with the batch feed's
+  * per-version reconstruction (E337)): offsets are COMMIT VERSIONS,
+  * each micro-batch serves the change ROWS of `(start, end]` — inserts
+  * from added files, deletes from delete-vector growth, a MOR UPDATE as
+  * its delete+insert pair — so row-level rewrites that make the PLAIN
+  * table source fail loudly stream here as first-class change records.
+  * Checkpointed consumers resume mid-history (the committed offset is
+  * the base snapshot of the next walk — exactly-once delivery under any
+  * batch slicing); admission control and `Trigger.AvailableNow` behave
+  * exactly like the table source's; only MAIN-lineage commits serve
+  * (the WAP invariant). Group rewrites (COW) and equality-delete
+  * commits keep the batch feed's loud refusals; vacuum past the
+  * checkpoint fails loudly at the base-snapshot lookup.
+  */
+class CowChangesMicroBatchStream(catalog: String, ident: Identifier,
+                                 tableName: String, out: StructType,
+                                 maxVersionsPerBatch: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def state: CowStore.State =
+    CowStore.get(catalog, ident).getOrElse(
+      throw new NoSuchTableException(ident))
+
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(state.version)
+
+  override def initialOffset(): Offset = CowVersionOffset(0L)
+  override def latestOffset(): Offset = CowVersionOffset(state.version)
+  override def deserializeOffset(json: String): Offset =
+    CowVersionOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CowVersionOffset].v
+    val st = state
+    val target = availableNowTarget.getOrElse(st.version)
+    val lineage = st.ancestors(target)
+    val pending = st.history.keys
+      .filter(v => v > s && v <= target && lineage(v)).toSeq.sorted
+    val capped = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        pending.take(m.maxFiles())
+      case _ => pending
+    }
+    CowVersionOffset(capped.lastOption.getOrElse(s))
+  }
+
+  override def reportLatestOffset(): Offset = CowVersionOffset(state.version)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CowVersionOffset].v
+    val e = end.asInstanceOf[CowVersionOffset].v
+    val st = state
+    val lineage = st.ancestors(st.version)
+    CowChangesPlanner.plan(st, tableName, s,
+      st.history.keys.filter(v => v > s && v <= e && lineage(v)).toSeq.sorted)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CowChangesReaderFactory(out, st.schema)
+    CowChangesReaderFactory(out, state.schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One change-feed read task: `keepOnly = false` serves every physical

@@ -1790,6 +1790,64 @@ class CowCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 8L)
   }
 
+  test("streaming change feed: exactly-once delivery, checkpointed mid-history resume serves only new diffs, loud COW refusal") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tbl = fresh("cdfstream")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 4, 1, 1)")   // v1
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(10, 12, 1, 1)") // v2
+    val ck = java.nio.file.Files.createTempDirectory("cow_cdf_ck_").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long)]]
+    def drain(): Unit = {
+      spark.readStream
+        .option("maxVersionsPerBatch", "1")
+        .table(s"$tbl.changes")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getString(2), r.getLong(3),
+            r.getLong(0))).sortBy(x => (x._2, x._1, x._3)).toSeq
+          batches.synchronized { batches += rows }: Unit
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    drain()
+    assert(batches.toSeq == Seq(
+      (0L until 4L).map(i => ("insert", 1L, i)),
+      Seq(("insert", 2L, 10L), ("insert", 2L, 11L))),
+      s"each commit's inserts must arrive in its own micro-batch: $batches")
+    // Row-level rewrites happen AFTER the checkpoint: the resume serves
+    // ONLY the new diffs — the delete, and the update's delete+insert
+    // pair — never re-serving v1/v2.
+    spark.sql(s"DELETE FROM $tbl WHERE id = 2")      // v3: one DV entry
+    spark.sql(s"UPDATE $tbl SET v = 100 WHERE id = 3") // v4: delete+insert
+    batches.clear()
+    drain()
+    assert(batches.toSeq == Seq(
+      Seq(("delete", 3L, 2L)),
+      Seq(("delete", 4L, 3L), ("insert", 4L, 3L))),
+      s"mid-history resume must serve exactly the new change rows: $batches")
+    // (The same rewrites make a CHECKPOINTED plain table source fail
+    // loudly — pinned in the "streaming table read" test; the change
+    // feed is the designed escape hatch.)
+    // COW group rewrites refuse through the STREAM exactly like the
+    // batch feed: rewritten files don't record row-level changes.
+    val cow = fresh("cdfstream_cow")
+    spark.sql(s"CREATE TABLE $cow (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cow SELECT id, id FROM range(0, 4, 1, 1)")
+    spark.sql(s"UPDATE $cow SET v = -1 WHERE id = 1")
+    val ck3 = java.nio.file.Files.createTempDirectory("cow_cdf_ck3_").toString
+    val ce = intercept[Exception] {
+      spark.readStream.table(s"$cow.changes").writeStream
+        .option("checkpointLocation", ck3)
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(ce.toString.contains("GROUP-REWRITE") ||
+      Option(ce.getCause).exists(_.toString.contains("GROUP-REWRITE")), s"$ce")
+  }
+
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
     val tbl = fresh("dropcommit")
     mkBase(tbl)

@@ -82,7 +82,11 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              # round-15: the bounded-backlog drain (3 fixed AvailableNow
              # micro-batches over the 5-commit backlog; per-batch
              # planning/commit is the fixed cost).
-             "q_stream_backlog"}
+             "q_stream_backlog",
+             # round-16: the streaming change feed (two CDF micro-batches
+             # per drain; per-batch planning/commit dominates at replay
+             # sizes, the change-row bytes are the data term).
+             "q_stream_changes"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
