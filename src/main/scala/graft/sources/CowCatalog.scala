@@ -162,7 +162,14 @@ object CowStore {
                              // with seq < the delete's version — what
                              // keeps an upsert's own inserts out of its
                              // own delete's blast radius.
-                             seq: Long = 0L)
+                             seq: Long = 0L,
+                             // CBO column statistics, parallel to `cols`:
+                             // per-column null counts and the KMV NDV
+                             // sketches ([[ndvHash]]/[[kmvMergeEstimate]]).
+                             // Empty = pre-round-16 file (column stats
+                             // simply unavailable, never wrong).
+                             nullCounts: Vector[Long] = Vector.empty,
+                             ndv: Vector[Vector[Long]] = Vector.empty)
 
   /** One field of a table PARTITION SPEC (Iceberg partition transforms in
     * miniature): `identity` (long or string column — the value IS the
@@ -198,20 +205,74 @@ object CowStore {
     * and the SQL `graft_bucket` function so all three always agree):
     * a 64-bit finalizer mix for longs, murmur3 for strings, floorMod n.
     */
+  /** 64-bit finalizer mix (splitmix64's avalanche) — the shared scalar
+    * hash behind bucket routing and the NDV sketches.
+    */
+  def mix64(l: Long): Long = {
+    var x = l
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
   def bucketOf(n: Long, v: Any): Long = {
     val h: Long = v match {
       case null => 0L
-      case l: Long =>
-        var x = l
-        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-        x ^ (x >>> 31)
+      case l: Long => mix64(l)
       case s: String =>
         scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995).toLong
       case other => throw new IllegalArgumentException(
         s"graft-cow: unsupported bucket value $other")
     }
     Math.floorMod(h, n)
+  }
+
+  // -------------------------------------------------------------------
+  // PER-COLUMN NDV SKETCHES (KMV / theta in miniature, k = 32): each
+  // written file carries, per column, its k smallest DISTINCT 64-bit
+  // value hashes (UNSIGNED order — the [0,1) fraction domain) plus a
+  // null count. Sketches MERGE exactly (union, keep k smallest), so the
+  // scan reports honest table-level distinct counts to Spark's CBO from
+  // manifests alone — the Iceberg puffin-theta design, one level down.
+  // -------------------------------------------------------------------
+  val NdvK = 32
+
+  /** Deterministic 64-bit hash per supported column type. */
+  def ndvHash(v: Any): Long = v match {
+    case l: Long   => mix64(l)
+    case d: Double => mix64(java.lang.Double.doubleToLongBits(d))
+    case s: String =>
+      // FNV-1a 64 over UTF-8 bytes, then mixed.
+      var h = 0xcbf29ce484222325L
+      val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bs.length) { h ^= bs(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+      mix64(h)
+    case other => throw new IllegalArgumentException(
+      s"graft-cow: unsupported ndv value $other")
+  }
+
+  /** Merge per-file sketches (k smallest distinct, unsigned) and
+    * estimate the union's distinct count: exact while the union fits in
+    * k, else the standard KMV estimator (k-1)/R with R = the kth
+    * smallest hash as a fraction of 2^64.
+    */
+  def kmvMergeEstimate(sketches: Iterable[Vector[Long]]): Long = {
+    val set = new java.util.TreeSet[java.lang.Long](
+      (a: java.lang.Long, b: java.lang.Long) =>
+        java.lang.Long.compareUnsigned(a, b))
+    sketches.foreach(_.foreach { h =>
+      set.add(h)
+      if (set.size > NdvK) set.pollLast(): Unit
+    })
+    if (set.size < NdvK) set.size.toLong
+    else {
+      val kth = set.last().longValue()
+      // R = kth / 2^64 as a double in (0, 1]; est = (k-1)/R.
+      val r = (kth >>> 11).toDouble / (1L << 53).toDouble
+      if (r <= 0d) NdvK.toLong else math.max(NdvK.toLong,
+        math.round((NdvK - 1).toDouble / r))
+    }
   }
 
   /** Micros per temporal-transform bin: `days`/`hours` floor Spark's
@@ -1100,6 +1161,17 @@ object CowStore {
         case None => sb ++= s"file\t$f\t-\n"
       }
     }
+    // CBO column stats per file: null counts (comma, parallel to cols)
+    // and the per-column NDV sketches (';'-joined, each a comma list of
+    // signed-decimal 64-bit hashes). A separate line keeps the `file`
+    // token layout stable.
+    snap.files.foreach { f =>
+      st.stats.get(f).foreach { fs =>
+        if (fs.nullCounts.nonEmpty)
+          sb ++= s"colstats\t$f\t${fs.nullCounts.mkString(",")}\t${
+            fs.ndv.map(_.mkString(",")).mkString(";")}\n"
+      }
+    }
     snap.deletes.toSeq.sortBy(_._1).foreach { case (f, ps) =>
       sb ++= s"dv\t$f\t${ps.mkString(",")}\n"
     }
@@ -1242,6 +1314,15 @@ object CowStore {
                   .map(_.split(",").toVector.map(_.toInt))
                   .getOrElse(Vector.empty),
                 rest.lift(2).map(_.toLong).getOrElse(0L))
+            case Seq("colstats", f, nulls, sk) =>
+              // Emitted after the file lines — merge into the entry.
+              stats.get(f).foreach { fs =>
+                stats += f -> fs.copy(
+                  nullCounts = nulls.split(",").toVector.map(_.toLong),
+                  ndv = sk.split(";", -1).toVector.map(part =>
+                    if (part.isEmpty) Vector.empty
+                    else part.split(",").toVector.map(_.toLong)))
+              }
             case Seq("dv", f, ps) =>
               dvs += f -> ps.split(",").map(_.toLong).toVector
             case other =>
@@ -3737,6 +3818,74 @@ class CowScan(tableName: String, state: CowStore.State,
             state.stats(f).rows - state.deletes.getOrElse(f, Vector.empty).length
           }.sum)
         else java.util.OptionalLong.empty()
+
+      /** PER-COLUMN statistics to the CBO (`columnStats`, mapped by
+        * Spark's `transformV2Stats` into the logical plan's attribute
+        * stats): null counts summed and NDV from the merged per-file
+        * KMV sketches, plus [min, max] for long columns — so filter
+        * selectivity and join-size estimation on catalog tables run on
+        * REAL numbers instead of defaults; a selective predicate's
+        * estimate can now flip a join to broadcast (spec-pinned).
+        * Estimates ignore delete vectors / equality deletes (upper
+        * bounds — the CBO contract is estimation, not exactness).
+        * `-Dgraft.cow.colstats=false` is the spec's A/B knob.
+        */
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (!covered || files.isEmpty ||
+          sys.props.get("graft.cow.colstats").contains("false")) return out
+        required.fields.foreach { fld =>
+          val n = fld.name
+          if (n != CowFileColumn.Name && n != CowPosColumn.Name &&
+              state.schema.fieldNames.contains(n)) {
+            // Per-file resolution by field id (rename-proof); a file
+            // whose identity is absent contributes rows-worth of nulls.
+            val perFile = files.map { f =>
+              val fs = state.stats(f)
+              CowStore.physColIn(state.snapshot, Some(fs), n)
+                .map(p => fs.cols.indexOf(p)).filter(_ >= 0) match {
+                case Some(i) if fs.nullCounts.nonEmpty =>
+                  Some((fs.nullCounts(i), fs.ndv.lift(i).getOrElse(Vector.empty)))
+                case Some(_) => None // pre-colstats file: no numbers
+                case None    => Some((fs.rows, Vector.empty[Long]))
+              }
+            }
+            if (perFile.forall(_.isDefined)) {
+              val nulls = perFile.flatten.map(_._1).sum
+              val distinct =
+                CowStore.kmvMergeEstimate(perFile.flatten.map(_._2))
+              val (lo, hi) =
+                if (fld.dataType == LongType) {
+                  val rs = files.flatMap { f =>
+                    val fs = state.stats(f)
+                    CowStore.physColIn(state.snapshot, Some(fs), n)
+                      .flatMap(fs.longRanges.get)
+                  }
+                  if (rs.nonEmpty && rs.length == files.length)
+                    (Some(Long.box(rs.map(_.min).min)),
+                      Some(Long.box(rs.map(_.max).max)))
+                  else (None, None)
+                } else (None, None)
+              out.put(Expressions.column(n),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(distinct)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(nulls)
+                  override def min(): java.util.Optional[Object] =
+                    lo.map(v => java.util.Optional.of(v: Object))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                  override def max(): java.util.Optional[Object] =
+                    hi.map(v => java.util.Optional.of(v: Object))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                })
+            }
+          }
+        }
+        out
+      }
     }
 
   /** Runtime-filterable attributes: row-level op scans accept the `_file`
@@ -4934,13 +5083,31 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
   private val smins = Array.fill[String](strIdx.length)(null)
   private val smaxs = Array.fill[String](strIdx.length)(null)
   private val strOk = Array.fill(strIdx.length)(true)
+  // CBO column stats: per-column null counts + KMV NDV sketches (k
+  // smallest distinct unsigned hashes; O(1) append once warm — values
+  // above the current kth are rejected without a tree op).
+  private val nullCounts = Array.fill(tableSchema.fields.length)(0L)
+  private val ndvSets: Array[java.util.TreeSet[java.lang.Long]] =
+    Array.fill(tableSchema.fields.length)(
+      new java.util.TreeSet[java.lang.Long](
+        (a: java.lang.Long, b: java.lang.Long) =>
+          java.lang.Long.compareUnsigned(a, b)))
+  private def ndvAdd(t: Int, h: Long): Unit = {
+    val set = ndvSets(t)
+    if (set.size < CowStore.NdvK) set.add(h): Unit
+    else if (java.lang.Long.compareUnsigned(h, set.last()) < 0) {
+      set.add(h)
+      if (set.size > CowStore.NdvK) set.pollLast(): Unit
+    }
+  }
 
   def write(row: InternalRow, off: Int): Unit = {
     val g = factory.newGroup()
     var t = 0
     while (t < tableSchema.fields.length) {
       val i = off + srcIdx(t)
-      if (!row.isNullAt(i)) {
+      if (row.isNullAt(i)) nullCounts(t) += 1
+      else {
         val f = tableSchema.fields(t)
         f.dataType match {
           case LongType | TimestampType =>
@@ -4948,8 +5115,12 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
             val s = statsSlot(t)
             if (v < mins(s)) mins(s) = v
             if (v > maxs(s)) maxs(s) = v
+            ndvAdd(t, CowStore.mix64(v))
             g.append(f.name, v)
-          case DoubleType => g.append(f.name, row.getDouble(i))
+          case DoubleType =>
+            val v = row.getDouble(i)
+            ndvAdd(t, CowStore.mix64(java.lang.Double.doubleToLongBits(v)))
+            g.append(f.name, v)
           case StringType =>
             val s = row.getUTF8String(i).toString
             val slot = strSlot(t)
@@ -4965,6 +5136,7 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
                 if (smaxs(slot) == null || s > smaxs(slot)) smaxs(slot) = s
               }
             }
+            ndvAdd(t, CowStore.ndvHash(s))
             g.append(f.name, s)
           case other => throw new IllegalArgumentException(
             s"graft-cow: unsupported column type ${other.simpleString}")
@@ -4995,9 +5167,12 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
         case s if strOk(s) && smins(s) != null =>
           tableSchema.fields(strIdx(s)).name -> (smins(s), smaxs(s))
       }.toMap
+      import scala.jdk.CollectionConverters._
       Some(file -> CowStore.FileStats(
         rows, new java.io.File(file).length(), ranges,
-        tableSchema.fieldNames.toVector, partVals, specId, sranges))
+        tableSchema.fieldNames.toVector, partVals, specId, sranges,
+        nullCounts = nullCounts.toVector,
+        ndv = ndvSets.toVector.map(_.asScala.toVector.map(_.longValue()))))
     }
   }
 

@@ -1848,6 +1848,87 @@ class CowCatalogSpec extends SparkSpec {
       Option(ce.getCause).exists(_.toString.contains("GROUP-REWRITE")), s"$ce")
   }
 
+  test("column statistics to the CBO: NDV/null/min-max from manifests; a selective filter flips the join to broadcast") {
+    val tbl = fresh("colstats")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, grp BIGINT, pad STRING)")
+    // ~1 MB of pad so the UNFILTERED relation is far above the test's
+    // broadcast threshold; grp has EXACTLY 10 distinct values.
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, id % 10,
+         |       concat(CAST(id AS STRING), repeat('x', 50))
+         |FROM range(0, 20000, 1, 4)""".stripMargin)
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    // Write-time sketches: exact small-domain NDV, exact null counts,
+    // and a large-domain estimate inside KMV's error envelope.
+    val scan = new graft.sources.CowScanBuilder(tbl, st, op = None)
+      .build().asInstanceOf[graft.sources.CowScan]
+    val cs = scan.estimateStatistics().columnStats()
+    def statOf(c: String) = {
+      import scala.jdk.CollectionConverters._
+      cs.asScala.collectFirst {
+        case (k, v) if k.fieldNames().sameElements(Array(c)) => v
+      }.get
+    }
+    assert(statOf("grp").distinctCount().getAsLong == 10L,
+      "a sub-k domain must report EXACT distinct counts")
+    assert(statOf("grp").nullCount().getAsLong == 0L)
+    assert(statOf("grp").min().get() == Long.box(0L) &&
+      statOf("grp").max().get() == Long.box(9L))
+    val idNdv = statOf("id").distinctCount().getAsLong
+    assert(idNdv > 10000 && idNdv < 40000,
+      s"20k-distinct KMV estimate out of envelope: $idNdv")
+    // Durability: sketches recover from the manifest log.
+    CowStore.evict(cat, ident)
+    CowStore.recover(cat, ident, st.dir)
+    val rec = CowStore.get(cat, ident).get
+    assert(rec.stats(rec.files.head).ndv ==
+      st.stats(st.files.head).ndv &&
+      rec.stats(rec.files.head).nullCounts ==
+        st.stats(st.files.head).nullCounts)
+    // THE FLIP: under CBO, `grp = 5` estimates 1/NDV of the relation —
+    // small enough to broadcast; with column stats suppressed the
+    // filter can't shrink the estimate and the join stays sort-merge.
+    val other = fresh("colstats_other")
+    spark.sql(s"CREATE TABLE $other (grp BIGINT, label STRING)")
+    spark.sql(
+      s"""INSERT INTO $other
+         |SELECT id % 10, concat('label_', CAST(id AS STRING), repeat('y', 60))
+         |FROM range(0, 20000, 1, 4)""".stripMargin)
+    def joinPlan(): String = {
+      val df = spark.sql(
+        s"""SELECT f.id, o.label FROM $tbl f
+           |JOIN $other o ON f.grp = o.grp WHERE f.grp = 5""".stripMargin)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val saved = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (300 * 1024).toString)
+      // AQE off: its runtime SMJ→BHJ conversion happens AFTER the
+      // shuffle materialized — the stats lever under test is the STATIC
+      // plan that avoids the shuffle in the first place.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val withStats = joinPlan()
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"real NDV stats must shrink the filtered side below the " +
+          s"broadcast threshold:\n$withStats")
+      sys.props("graft.cow.colstats") = "false"
+      try {
+        val withoutStats = joinPlan()
+        assert(!withoutStats.contains("BroadcastHashJoin") &&
+          withoutStats.contains("SortMergeJoin"),
+          s"without column stats the same join must stay sort-merge:\n$withoutStats")
+      } finally sys.props.remove("graft.cow.colstats")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
     val tbl = fresh("dropcommit")
     mkBase(tbl)
