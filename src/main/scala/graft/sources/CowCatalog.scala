@@ -1523,6 +1523,41 @@ object CowStore {
     }
   }
 
+  /** The UPSERT epoch commit (`writeStream.toTable` with
+    * `option("upsert", "true")` on a 'graft.delete-key' table — the
+    * Iceberg/Delta streaming-upsert sink): one equality-delete entry for
+    * the epoch's keys plus its insert files, idempotently per
+    * (query, epoch) exactly like [[commitStreamEpoch]]. Every key the
+    * batch writes is deleted from OLDER files and re-inserted — the
+    * blind upsert that never reads the target. CONTRACT: a batch's rows
+    * are unique per key (an update-mode aggregation emits exactly one
+    * row per changed key per batch — the designed producer); in-batch
+    * duplicates would all survive, since the entry only reaches OLDER
+    * files.
+    */
+  def commitStreamEpochEq(catalog: String, ident: Identifier,
+                          queryId: String, epochId: Long,
+                          files: Seq[(String, FileStats)],
+                          keys: Vector[String]): Boolean = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
+    require(st.eqKey.isDefined,
+      s"graft-cow: upsert epoch commit on $k, which declares no " +
+        "'graft.delete-key'")
+    if (st.epochs.getOrElse(queryId, -1L) >= epochId) {
+      files.foreach { case (f, _) => new java.io.File(f).delete() }
+      false
+    } else {
+      val snap = st.snapshot
+      val nst = publish(k, st.copy(epochs = st.epochs + (queryId -> epochId)),
+        snap.copy(files = snap.files ++ files.map(_._1)),
+        files.toMap, eqDeleteKeys = Some(keys))
+      writeEpochs(nst)
+      true
+    }
+  }
+
   /** How a staged (CTAS/RTAS) commit publishes — see
     * [[CowCatalog.stageCreate]].
     */
@@ -3177,8 +3212,15 @@ class CowTable(catalog: String, ident: Identifier,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable()
-    new CowWriteBuilder(catalog, ident, state, op = None, info.schema(),
-      queryId = info.queryId(), branch = branch)
+    if (info.options().getBoolean("upsert", false)) {
+      require(branch.isEmpty, "graft-cow: upsert writes go to main")
+      require(state.eqKey.isDefined,
+        "graft-cow: option upsert=true needs a 'graft.delete-key' table")
+      new CowUpsertWriteBuilder(catalog, ident, state, info.schema(),
+        info.queryId())
+    } else
+      new CowWriteBuilder(catalog, ident, state, op = None, info.schema(),
+        queryId = info.queryId(), branch = branch)
   }
 
   /** METADATA-ONLY keyed DELETE (`SupportsDeleteV2`, the zero-read half
@@ -4688,7 +4730,8 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
                       writeSchema: StructType, truncateAll: Boolean = false,
                       queryId: String = "", branch: Option[String] = None,
                       overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
-                      dynamicOverwrite: Boolean = false)
+                      dynamicOverwrite: Boolean = false,
+                      upsert: Boolean = false)
     extends WriteBuilder with SupportsTruncate
     with SupportsOverwrite with SupportsDynamicOverwrite {
 
@@ -4795,6 +4838,39 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
       require(op.isEmpty && !truncateAll && branch.isEmpty &&
         overwriteFilters.isEmpty && !dynamicOverwrite,
         "graft-cow: streaming writes are append-only, to main")
+      if (upsert) {
+        // STREAMING UPSERT ('graft.delete-key' tables, option
+        // upsert=true): each epoch's rows land as insert files PLUS one
+        // equality-delete entry for their keys — last-writer-wins per
+        // key across epochs, zero target reads, idempotent per epoch.
+        // Update-mode aggregations feed this sink through the
+        // SupportsStreamingUpdateAsAppend marker on
+        // [[CowUpsertWriteBuilder]].
+        val keyCol = state.eqKey.getOrElse(throw new IllegalArgumentException(
+          "graft-cow: option upsert=true needs a 'graft.delete-key' table"))
+        new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+          override def createStreamingWriterFactory(
+              info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+            CowUpsertStreamingWriterFactory(state.dir, writeSchema,
+              state.schema, keyCol, state.spec, state.specId)
+          override def commit(epochId: Long,
+                              messages: Array[WriterCommitMessage]): Unit = {
+            val msgs = messages.map(_.asInstanceOf[CowEqDeltaCommitMessage])
+            CowStore.commitStreamEpochEq(catalog, ident, queryId, epochId,
+              msgs.flatMap(_.files).toSeq,
+              msgs.flatMap(_.deletedKeys).toVector): Unit
+          }
+          override def abort(epochId: Long,
+                             messages: Array[WriterCommitMessage]): Unit =
+            messages.foreach {
+              case CowEqDeltaCommitMessage(files, _) =>
+                files.foreach { case (f, _) =>
+                  new java.io.File(f).delete(): Unit
+                }
+              case _ => ()
+            }
+        }
+      } else
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         override def createStreamingWriterFactory(
             info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -5308,6 +5384,55 @@ case class CowStreamingWriterFactory(dir: String, writeSchema: StructType,
                             epochId: Long): DataWriter[InternalRow] =
     CowWriterFactory(dir, writeSchema, tableSchema, spec, specId)
       .createWriter(partitionId, taskId)
+}
+
+/** The UPSERT write builder: [[CowWriteBuilder]] plus the
+  * `SupportsStreamingUpdateAsAppend` marker — what lets an UPDATE-mode
+  * streaming aggregation write to the table (each updated aggregate row
+  * arrives as an append; the upsert epoch commit gives it
+  * last-writer-wins-per-key semantics).
+  */
+class CowUpsertWriteBuilder(catalog: String, ident: Identifier,
+                            state: CowStore.State, writeSchema: StructType,
+                            queryId: String)
+    extends CowWriteBuilder(catalog, ident, state, op = None, writeSchema,
+      queryId = queryId, upsert = true)
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+
+/** Executor-side writer for the streaming UPSERT sink: ordinary append
+  * files plus the batch's KEY SET (each written row's delete-key value,
+  * deduped per task) — the commit turns them into one equality-delete
+  * entry. Zero reads of the target, O(batch) everything.
+  */
+case class CowUpsertStreamingWriterFactory(dir: String,
+                                           writeSchema: StructType,
+                                           tableSchema: StructType,
+                                           keyCol: String,
+                                           spec: Vector[CowStore.PartField] = Vector.empty,
+                                           specId: Int = 0)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val out =
+        new CowTaskRouter(dir, writeSchema, tableSchema, spec, specId)
+      private val keys = scala.collection.mutable.HashSet.empty[String]
+      private val keyIdx = writeSchema.fieldIndex(keyCol)
+      private val keyIsString =
+        writeSchema.fields(keyIdx).dataType == StringType
+
+      override def write(row: InternalRow): Unit = {
+        require(!row.isNullAt(keyIdx),
+          "graft-cow: upsert row with a NULL delete-key")
+        keys += (if (keyIsString) row.getUTF8String(keyIdx).toString
+                 else row.getLong(keyIdx).toString)
+        out.write(row, 0)
+      }
+      override def commit(): WriterCommitMessage =
+        CowEqDeltaCommitMessage(out.finish(), keys.toSeq)
+      override def abort(): Unit = out.abort()
+      override def close(): Unit = ()
+    }
 }
 
 /** Executor-side writer for the DELTA-BASED (merge-on-read) path: inserts

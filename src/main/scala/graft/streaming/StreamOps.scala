@@ -1521,6 +1521,43 @@ object StreamOps extends Serializable {
       "ORDER BY user_id")
   }
 
+  /** q_stream_upsert — the NATIVE streaming UPSERT SINK
+    * (`writeStream.toTable` + `option("upsert", "true")` on a
+    * 'graft.delete-key' table — the Iceberg/Delta upsert sink, and the
+    * shape the foreachBatch-MERGE pattern (q_stream_merge_mor)
+    * collapses into once the table itself speaks upsert): an
+    * UPDATE-mode aggregation feeds the sink directly
+    * (`SupportsStreamingUpdateAsAppend`), and each epoch commits its
+    * rows as insert files PLUS one equality-delete entry for their keys
+    * — last-writer-wins per key across epochs, ZERO reads of the
+    * target, no user-written MERGE loop at all. Because update-mode
+    * aggregates are cumulative, the final per-key row equals the batch
+    * aggregate over the whole stream — the oracle — under any batch
+    * slicing. Idempotent per (query, epoch) like every epoch commit.
+    */
+  def qStreamUpsert(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val tbl = "graft_cow.ops.stream_upsert_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE $tbl (user_id BIGINT NOT NULL, " +
+      "n_events BIGINT, last_us BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor', 'graft.delete-key' = 'user_id')")
+    val query = startWithStatePartitions(spark) {
+      eventsStream(spark, stageReplayDir(spark, d))
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1L)).as("n_events"), max(col("us")).as("last_us"))
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .option("upsert", "true")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .toTable(tbl)
+    }
+    query.awaitTermination()
+    spark.sql(s"SELECT user_id, n_events, last_us FROM $tbl ORDER BY user_id")
+  }
+
   /** q_stream_merge_mor — the IDENTICAL streaming MERGE upsert as
     * [[qStreamMerge]], against a MERGE-ON-READ table
     * (`TBLPROPERTIES ('graft.mode' = 'mor')`). This is the
@@ -2965,6 +3002,7 @@ object StreamOps extends Serializable {
     "q_stream_merge"       -> qStreamMerge _,
     "q_stream_merge_mor"   -> qStreamMergeMor _,
     "q_stream_changes"     -> qStreamChanges _,
+    "q_stream_upsert"      -> qStreamUpsert _,
     "q_stream_table_read"  -> qStreamTableRead _,
     "q_stream_sink_cow"    -> qStreamSinkCow _,
     "q_stream_ohlc"        -> qStreamOhlc _,
@@ -3268,6 +3306,11 @@ object StreamOps extends Serializable {
     // merge-on-read variants: the storage strategy must be invisible.
     "q_stream_merge" -> StreamMergeOracle,
     "q_stream_merge_mor" -> StreamMergeOracle,
+    // Cumulative update-mode aggregates upserted by key == the batch
+    // aggregate over the whole stream.
+    "q_stream_upsert" ->
+      """SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The drained change stream == the batch union of per-version diffs:
     // v1's base rows as inserts, v2's matched OLD rows as deletes (both
     // the DELETE branch and the update's delete half), v2's updated/new

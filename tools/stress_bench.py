@@ -86,7 +86,11 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              # round-16: the streaming change feed (two CDF micro-batches
              # per drain; per-batch planning/commit dominates at replay
              # sizes, the change-row bytes are the data term).
-             "q_stream_changes"}
+             "q_stream_changes",
+             # round-16: the native upsert sink (update-mode aggregation
+             # state + one eq-entry epoch commit per batch — per-batch
+             # fixed costs dominate at replay sizes).
+             "q_stream_upsert"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
