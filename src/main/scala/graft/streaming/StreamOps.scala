@@ -1558,6 +1558,89 @@ object StreamOps extends Serializable {
     spark.sql(s"SELECT user_id, n_events, last_us FROM $tbl ORDER BY user_id")
   }
 
+  /** One CDC micro-batch applied to the replica: per key, the batch's
+    * NET action (one commit's changes hold at most delete+insert — an
+    * update pair — per key; the insert, when present, is the final
+    * state: 'insert' > 'delete' makes max/max_by pick it) drives a
+    * three-branch MERGE. Shared by [[qCdcPipeline]] and the spec's
+    * incremental-resume pin.
+    */
+  private[graft] def applyCdcBatch(dst: String, tag: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val sess = batch.sparkSession
+    val view = s"cdc_apply_${tag}_$batchId"
+    batch.createOrReplaceTempView(view)
+    sess.sql(
+      s"""MERGE INTO $dst t
+         |USING (
+         |  SELECT doc_id,
+         |         max_by(source, _change_type) AS source,
+         |         max_by(score, _change_type) AS score,
+         |         max(_change_type) AS action
+         |  FROM $view GROUP BY doc_id) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.action = 'delete' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET source = s.source, score = s.score
+         |WHEN NOT MATCHED AND s.action <> 'delete' THEN
+         |  INSERT (doc_id, source, score)
+         |  VALUES (s.doc_id, s.source, s.score)
+         |""".stripMargin)
+    sess.catalog.dropTempView(view): Unit
+  }
+
+  /** q_cdc_pipeline — CHANGE-DATA-CAPTURE REPLICATION end to end (the
+    * medallion bronze→silver hop, composing E359's change STREAM with
+    * the downstream MERGE): the upstream MOR table takes an insert, a
+    * three-branch MERGE and a DELETE (three commits of row-level
+    * churn); a `readStream` of its `.changes` feed applies each
+    * commit's diffs to a DOWNSTREAM table in `foreachBatch` — per key,
+    * the batch's NET action (an update pair nets to its insert; a bare
+    * delete stays a delete) drives a three-branch MERGE. Drained at one
+    * commit per micro-batch, the replica must equal the source's
+    * CURRENT state exactly — replication correctness under the same
+    * slicing the change feed guarantees exactly-once. The oracle is
+    * the source's final relation stated declaratively.
+    */
+  def qCdcPipeline(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s"graft_cow.ops.cdc_src_$sfx"
+    val dst = s"graft_cow.ops.cdc_dst_$sfx"
+    spark.sql(s"CREATE TABLE $src (doc_id BIGINT, source STRING, " +
+      "score BIGINT) TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $dst (doc_id BIGINT, source STRING, score BIGINT)")
+    // v1: the base; v2: three-branch churn; v3: a keyed sweep.
+    spark.sql(
+      s"""INSERT INTO $src
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(
+      s"""MERGE INTO $src t
+         |USING (SELECT doc_id, source, n_chars + 1000 AS new_score
+         |       FROM parquet.`$d/documents.parquet`
+         |       WHERE doc_id % 2 = 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.new_score % 5 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET score = s.new_score
+         |WHEN NOT MATCHED THEN
+         |  INSERT (doc_id, source, score) VALUES (s.doc_id, s.source, s.new_score)
+         |""".stripMargin)
+    spark.sql(s"DELETE FROM $src WHERE score % 7 = 0")
+    val query = startWithStatePartitions(spark, 4) {
+      spark.readStream
+        .option("maxVersionsPerBatch", "1")
+        .table(s"$src.changes")
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(applyCdcBatch(dst, sfx) _)
+        .start()
+    }
+    query.awaitTermination()
+    spark.sql(s"SELECT doc_id, source, score FROM $dst ORDER BY doc_id")
+  }
+
   /** q_stream_merge_mor — the IDENTICAL streaming MERGE upsert as
     * [[qStreamMerge]], against a MERGE-ON-READ table
     * (`TBLPROPERTIES ('graft.mode' = 'mor')`). This is the
@@ -3003,6 +3086,7 @@ object StreamOps extends Serializable {
     "q_stream_merge_mor"   -> qStreamMergeMor _,
     "q_stream_changes"     -> qStreamChanges _,
     "q_stream_upsert"      -> qStreamUpsert _,
+    "q_cdc_pipeline"       -> qCdcPipeline _,
     "q_stream_table_read"  -> qStreamTableRead _,
     "q_stream_sink_cow"    -> qStreamSinkCow _,
     "q_stream_ohlc"        -> qStreamOhlc _,
@@ -3311,6 +3395,21 @@ object StreamOps extends Serializable {
     "q_stream_upsert" ->
       """SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // The replica equals the source's final state: the merge scenario's
+    // survivors minus the v3 keyed sweep (score % 7 = 0).
+    "q_cdc_pipeline" ->
+      """SELECT doc_id, source, score FROM (
+        |  SELECT doc_id, source, n_chars AS score FROM documents
+        |  WHERE doc_id % 3 <> 0 AND doc_id % 2 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars + 1000 FROM documents
+        |  WHERE doc_id % 3 <> 0 AND doc_id % 2 = 0
+        |    AND (n_chars + 1000) % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars + 1000 FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
+        |) WHERE score % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
     // The drained change stream == the batch union of per-version diffs:
     // v1's base rows as inserts, v2's matched OLD rows as deletes (both
     // the DELETE branch and the update's delete half), v2's updated/new

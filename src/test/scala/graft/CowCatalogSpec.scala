@@ -1994,6 +1994,45 @@ class CowCatalogSpec extends SparkSpec {
       Option(e.getCause).exists(_.toString.contains("delete-key")), s"$e")
   }
 
+  test("CDC replication: the replica tracks the source across checkpointed resumes, each round applying only new diffs") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = fresh("cdcrep_src")
+    val dst = fresh("cdcrep_dst")
+    spark.sql(s"CREATE TABLE $src (doc_id BIGINT, source STRING, " +
+      "score BIGINT) TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $dst (doc_id BIGINT, source STRING, score BIGINT)")
+    val ck = java.nio.file.Files.createTempDirectory("cdcrep_ck_").toString
+    def drain(): Unit = {
+      spark.readStream
+        .option("maxVersionsPerBatch", "1")
+        .table(s"$src.changes")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch(graft.streaming.StreamOps.applyCdcBatch(dst, sfx) _)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def both(t: String) = spark.sql(
+      s"SELECT doc_id, source, score FROM $t ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // Round 1: base + an update pair.
+    spark.sql(s"INSERT INTO $src VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    spark.sql(s"UPDATE $src SET score = 99 WHERE doc_id = 2")
+    drain()
+    assert(both(dst) == both(src), "replica must equal source after round 1")
+    // Round 2 (post-checkpoint churn): a delete and a fresh insert —
+    // the resume must apply ONLY these (version counting pins it).
+    val dstV1 = CowStore.get(cat, identOf(dst)).get.version
+    spark.sql(s"DELETE FROM $src WHERE doc_id = 1")
+    spark.sql(s"INSERT INTO $src VALUES (4, 'd', 40)")
+    drain()
+    assert(both(dst) == both(src), "replica must track source after resume")
+    assert(both(dst) == Seq((2L, "b", 99L), (3L, "c", 30L), (4L, "d", 40L)))
+    val dstV2 = CowStore.get(cat, identOf(dst)).get.version
+    assert(dstV2 - dstV1 == 2,
+      s"the resume must apply exactly the two new commits: +${dstV2 - dstV1}")
+  }
+
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
     val tbl = fresh("dropcommit")
     mkBase(tbl)

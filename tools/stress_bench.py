@@ -90,7 +90,11 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              # round-16: the native upsert sink (update-mode aggregation
              # state + one eq-entry epoch commit per batch — per-batch
              # fixed costs dominate at replay sizes).
-             "q_stream_upsert"}
+             "q_stream_upsert",
+             # round-16: CDC replication (three CDF micro-batches, each
+             # a foreachBatch MERGE commit — per-batch plan/commit is
+             # the fixed cost, churn bytes the data term).
+             "q_cdc_pipeline"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
