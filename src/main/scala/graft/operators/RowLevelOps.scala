@@ -148,6 +148,63 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** q_cow_expire — TIME-based retention
+    * (`CALL graft_cow.expire_snapshots(table, older_than_us)` —
+    * Iceberg's expire_snapshots, the scheduler-friendly twin of
+    * count-based VACUUM): versions committed at or before the cutoff
+    * are dropped with the files only they reference, while TAGS, branch
+    * heads and the current version survive ANY cutoff. The scripted
+    * lineage tags v1, rewrites twice, then expires with a
+    * far-future cutoff — v0 and the middle rewrite die, the tagged v1
+    * and current v3 survive, and the CURRENT relation is untouched
+    * (the oracle). CowCatalogSpec pins the report, the protections and
+    * the loud time travel past the horizon.
+    */
+  def qCowExpire(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"exp_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+         |FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(s"CALL $CatalogName.tag('ops.$name', 'blessed', 1L)")
+    spark.sql(s"UPDATE $tbl SET score = score + 1000 WHERE doc_id % 2 = 0")
+    spark.sql(s"UPDATE $tbl SET score = score * 2 WHERE doc_id % 5 = 0")
+    spark.sql(s"CALL $CatalogName.expire_snapshots('ops.$name', " +
+      s"${System.currentTimeMillis() * 1000L + 3600L * 1000000L}L)")
+    finalState(spark, tbl)
+  }
+
+  /** q_cow_refs — `SELECT … FROM <table>.refs` (Iceberg's refs metadata
+    * table): every named pointer into the version history — main, each
+    * branch, each tag — as one relation with its version, at metadata
+    * cost. The scripted lineage forks a branch and pins a tag; the
+    * oracle states the three pointers literally.
+    */
+  def qCowRefs(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"refs_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, score BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 2 = 1""".stripMargin)
+    spark.sql(s"CALL $CatalogName.tag('ops.$name', 'blessed', 1L)")
+    spark.sql(s"CALL $CatalogName.branch('ops.$name', 'wip')")
+    spark.sql(s"INSERT INTO $tbl.branch_wip VALUES (100000L, 7L)")
+    spark.sql(
+      s"""SELECT name, type, version FROM $tbl.refs
+         |ORDER BY type, name""".stripMargin)
+  }
+
   /** q_cow_vacuum — RETENTION as a SQL maintenance verb:
     * `CALL graft_cow.vacuum(table, retain)` (the DSv2 `ProcedureCatalog`
     * surface) keeps the newest `retain` versions and deletes data files +
@@ -1153,6 +1210,8 @@ object RowLevelOps {
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_stream_backlog"  -> qStreamBacklog _,
     "q_cow_drop_refs"   -> qCowDropRefs _,
+    "q_cow_expire"      -> qCowExpire _,
+    "q_cow_refs"        -> qCowRefs _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -1255,6 +1314,22 @@ object RowLevelOps {
       """SELECT doc_id, source
         |FROM documents WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
+    // Expiry must be invisible to the current relation: the composed
+    // rewrites, nothing else.
+    "q_cow_expire" ->
+      """SELECT doc_id, source, score FROM (
+        |  SELECT doc_id, source,
+        |         (n_chars + CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 0 END)
+        |           * (CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END) AS score
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |ORDER BY doc_id""".stripMargin,
+    // The three pointers, stated literally.
+    "q_cow_refs" ->
+      """SELECT name, type, version FROM (VALUES
+        |  ('main', 'branch', CAST(2 AS BIGINT)),
+        |  ('wip', 'branch', CAST(3 AS BIGINT)),
+        |  ('blessed', 'tag', CAST(1 AS BIGINT))) AS t(name, type, version)
+        |ORDER BY type, name""".stripMargin,
     // RENAME is lossless relabeling: every row's value rides under the
     // new name regardless of which side of the rename wrote its file,
     // and the re-added old name is NULL everywhere (fresh identity).

@@ -1674,6 +1674,35 @@ object CowStore {
         stats = st.stats -- dead, commitTsUs = st.commitTsUs -- dropV))
       VacuumReport(dead.size.toLong, dropV.size.toLong, keep)
     }
+
+  /** TIME-based retention (`CALL expire_snapshots(table, older_than_us)`
+    * — Iceberg's expire_snapshots, the schedulers' twin of the
+    * count-based [[vacuum]]): drop every version COMMITTED AT OR BEFORE
+    * the cutoff, delete data files and manifests nothing retained
+    * references. The same protections as vacuum — tags, branch heads
+    * and main's current version survive any cutoff (a promise is a
+    * promise); time travel past the horizon fails loudly at resolution.
+    */
+  def expireSnapshots(catalog: String, ident: Identifier,
+                      olderThanUs: Long): VacuumReport = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new NoSuchTableException(ident))
+    val versions = st.history.keys.toVector.sorted
+    val protectedV = st.tags.values.toSet ++ st.branches.values.toSet +
+      st.version
+    val keep = versions.filter(v =>
+      protectedV(v) || st.commitTsUs.get(v).forall(_ > olderThanUs))
+    val dropV = versions.filterNot(keep.toSet)
+    val live = keep.flatMap(v => st.history(v).files).toSet
+    val dead = dropV.flatMap(v => st.history(v).files).toSet -- live
+    dead.foreach(f => new java.io.File(f).delete())
+    dropV.foreach(v => java.nio.file.Files.deleteIfExists(
+      manifestPath(st.dir, v)))
+    tables.put(k, st.copy(history = st.history -- dropV,
+      stats = st.stats -- dead, commitTsUs = st.commitTsUs -- dropV))
+    VacuumReport(dead.size.toLong, dropV.size.toLong, keep)
+  }
 }
 
 class CowCatalog extends TableCatalog with StagingTableCatalog
@@ -1714,6 +1743,7 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
           case "changes"    =>
             Some(new CowChangesTable(baseName, st, Some((catalogName, base))))
           case "partitions" => Some(new CowPartitionsTable(baseName, st))
+          case "refs"       => Some(new CowRefsTable(baseName, st))
           // `<table>.branch_<name>`: the branch AS A TABLE — readable AND
           // writable (Iceberg's branch identifiers); commits advance the
           // branch pointer, main stays untouched until publish.
@@ -1931,13 +1961,14 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       case "set_write_order" => new CowSetWriteOrderProcedure(catalogName)
       case "remove_orphan_files" => new CowRemoveOrphansProcedure(catalogName)
       case "rollback" => new CowRollbackProcedure(catalogName)
+      case "expire_snapshots" => new CowExpireSnapshotsProcedure(catalogName)
       case "drop_tag" => new CowDropRefProcedure(catalogName, "drop_tag")
       case "drop_branch" => new CowDropRefProcedure(catalogName, "drop_branch")
       case other => throw new RuntimeException(
         s"graft-cow: no such procedure $other " +
           "(have: vacuum, tag, branch, publish, optimize, set_spec, " +
-          "set_write_order, remove_orphan_files, rollback, drop_tag, " +
-          "drop_branch)")
+          "set_write_order, remove_orphan_files, rollback, " +
+          "expire_snapshots, drop_tag, drop_branch)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -1948,6 +1979,7 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       Identifier.of(namespace, "set_write_order"),
       Identifier.of(namespace, "remove_orphan_files"),
       Identifier.of(namespace, "rollback"),
+      Identifier.of(namespace, "expire_snapshots"),
       Identifier.of(namespace, "drop_tag"),
       Identifier.of(namespace, "drop_branch"))
 
@@ -2084,6 +2116,48 @@ class CowVacuumProcedure(catalogName: String) extends UnboundProcedure {
           StructField("removed_versions", LongType, nullable = false),
           StructField("retained_from", LongType, nullable = false)))
         override def description(): String = "graft-cow vacuum report"
+      }
+      JCollections.singletonList(scan).iterator()
+    }
+  }
+}
+
+/** `CALL <catalog>.expire_snapshots(table, older_than_us)` — TIME-based
+  * retention (Iceberg's expire_snapshots; the scheduler-friendly twin of
+  * count-based vacuum): versions committed at or before the cutoff are
+  * dropped with the files only they reference; tags, branch heads and
+  * the current version survive any cutoff.
+  */
+class CowExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "graft-cow EXPIRE_SNAPSHOTS: drop versions committed at or before " +
+      "the cutoff (tags/branch heads/current protected), delete files " +
+      "only they reference"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      CowExpireSnapshotsProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("older_than_us", LongType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split("\\.")
+      val report = CowStore.expireSnapshots(catalogName,
+        Identifier.of(parts.init, parts.last), input.getLong(1))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(
+          new GenericInternalRow(Array[Any](
+            report.removedFiles, report.removedVersions,
+            report.retainedVersions.min)))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("removed_files", LongType, nullable = false),
+          StructField("removed_versions", LongType, nullable = false),
+          StructField("retained_from", LongType, nullable = false)))
+        override def description(): String = "graft-cow expire report"
       }
       JCollections.singletonList(scan).iterator()
     }
@@ -2729,6 +2803,42 @@ class CowFilesTable(tableName: String, st: CowStore.State)
   * days are fat?") answered at metadata cost; an unpartitioned table
   * reports its single whole-table row with a NULL partition.
   */
+/** `SELECT … FROM <table>.refs` — every named pointer into the version
+  * history AS A RELATION (Iceberg's refs metadata table): main, each
+  * branch, each tag, with its version and that commit's wall clock.
+  * Driver-computed from store metadata; the first question of any ref
+  * workflow ("what exists, where does it point, how stale is it")
+  * answered at metadata cost.
+  */
+class CowRefsTable(tableName: String, st: CowStore.State)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at_us", LongType, nullable = true)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    JCollections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = CowRefsTable.this.schema()
+      override def description(): String = s"graft-cow refs metadata of $tableName"
+      override def rows(): Array[InternalRow] = {
+        val refs =
+          Seq(("main", "branch", st.version)) ++
+            st.branches.toSeq.sorted.map { case (n, v) => (n, "branch", v) } ++
+            st.tags.toSeq.sorted.map { case (n, v) => (n, "tag", v) }
+        refs.map { case (n, t, v) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), UTF8String.fromString(t), v,
+            st.commitTsUs.get(v).map(Long.box).orNull)): InternalRow
+        }.toArray
+      }
+    }
+}
+
 class CowPartitionsTable(tableName: String, st: CowStore.State)
     extends Table with SupportsRead {
   override def name(): String = tableName

@@ -2033,6 +2033,40 @@ class CowCatalogSpec extends SparkSpec {
       s"the resume must apply exactly the two new commits: +${dstV2 - dstV1}")
   }
 
+  test("expire_snapshots + refs: time-based retention honors tag/current protection; refs list every pointer; both recover") {
+    val tbl = fresh("expire")
+    mkBase(tbl) // v1
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.tag('$name', 'blessed', 1L)")
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE id >= 0")  // v2
+    spark.sql(s"UPDATE $tbl SET v = v * 2 WHERE id < 5")   // v3
+    // .refs: every pointer with its version.
+    val refs = spark.sql(s"SELECT name, type, version FROM $tbl.refs " +
+      "ORDER BY type, name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs == Seq(("main", "branch", 3L), ("blessed", "tag", 1L)), s"$refs")
+    // Far-future cutoff: only the UNPROTECTED versions die (v0, v2);
+    // the tagged v1 and current v3 survive any cutoff.
+    val cutoff = System.currentTimeMillis() * 1000L + 3600L * 1000000L
+    val rep = spark.sql(
+      s"CALL $cat.expire_snapshots('$name', ${cutoff}L)").collect().head
+    assert(rep.getLong(1) == 2L, s"expected v0+v2 expired: $rep")
+    val st = CowStore.get(cat, identOf(tbl)).get
+    assert(st.history.keySet == Set(1L, 3L))
+    // Current reads and tag travel unaffected; the horizon is loud.
+    assert(spark.table(tbl).count() == 20)
+    assert(spark.sql(s"SELECT sum(v) FROM $tbl VERSION AS OF 'blessed'")
+      .head.getLong(0) == (0L until 20L).map(_ * 10).sum)
+    assert(intercept[Exception](
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2").collect())
+      .toString.contains("no such version"))
+    // Recovery from the pruned log: same retained set, same answers.
+    CowStore.evict(cat, identOf(tbl))
+    val rec = CowStore.recover(cat, identOf(tbl), st.dir)
+    assert(rec.history.keySet == Set(1L, 3L) && rec.tags == st.tags)
+    assert(spark.table(tbl).count() == 20)
+  }
+
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
     val tbl = fresh("dropcommit")
     mkBase(tbl)
