@@ -205,6 +205,31 @@ object RowLevelOps {
          |ORDER BY type, name""".stripMargin)
   }
 
+  /** q_cow_colstats — `SELECT … FROM <table>.colstats` (the CBO
+    * column-statistics feed AS A RELATION — E360's planner numbers made
+    * operator-visible): per column, the merged-KMV distinct-count
+    * estimate (EXACT below k=32 — `exact` says which), the total null
+    * count, and long [min, max], all from manifests with zero data
+    * files opened. The fixture's domains all sit under k, so the oracle
+    * states the EXACT SQL aggregates — the sketch path must agree to
+    * the row. CowCatalogSpec's CBO test pins the estimator's envelope
+    * above k and the broadcast flip the same numbers drive.
+    */
+  def qCowColstats(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"cstat_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id % 20, source,
+         |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars % 25 END
+         |FROM parquet.`$d/documents.parquet`""".stripMargin)
+    spark.sql(
+      s"""SELECT column, ndv, exact, null_count, min_long, max_long
+         |FROM $tbl.colstats ORDER BY column""".stripMargin)
+  }
+
   /** q_cow_vacuum — RETENTION as a SQL maintenance verb:
     * `CALL graft_cow.vacuum(table, retain)` (the DSv2 `ProcedureCatalog`
     * surface) keeps the newest `retain` versions and deletes data files +
@@ -1212,6 +1237,7 @@ object RowLevelOps {
     "q_cow_drop_refs"   -> qCowDropRefs _,
     "q_cow_expire"      -> qCowExpire _,
     "q_cow_refs"        -> qCowRefs _,
+    "q_cow_colstats"    -> qCowColstats _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
@@ -1323,6 +1349,28 @@ object RowLevelOps {
         |           * (CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END) AS score
         |  FROM documents WHERE doc_id % 3 <> 0)
         |ORDER BY doc_id""".stripMargin,
+    // Sub-k domains: the sketch path must agree with exact SQL.
+    "q_cow_colstats" ->
+      """SELECT "column", ndv, exact, null_count, min_long, max_long FROM (
+        |  SELECT 'doc_id' AS "column",
+        |         count(DISTINCT doc_id % 20) AS ndv, TRUE AS exact,
+        |         CAST(0 AS BIGINT) AS null_count,
+        |         min(doc_id % 20) AS min_long,
+        |         max(doc_id % 20) AS max_long
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'score',
+        |         count(DISTINCT CASE WHEN doc_id % 7 = 0 THEN NULL
+        |                             ELSE n_chars % 25 END), TRUE,
+        |         count(CASE WHEN doc_id % 7 = 0 THEN 1 END),
+        |         min(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars % 25 END),
+        |         max(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars % 25 END)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(DISTINCT source), TRUE, CAST(0 AS BIGINT),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM documents
+        |) ORDER BY "column"""".stripMargin,
     // The three pointers, stated literally.
     "q_cow_refs" ->
       """SELECT name, type, version FROM (VALUES

@@ -1744,6 +1744,7 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
             Some(new CowChangesTable(baseName, st, Some((catalogName, base))))
           case "partitions" => Some(new CowPartitionsTable(baseName, st))
           case "refs"       => Some(new CowRefsTable(baseName, st))
+          case "colstats"   => Some(new CowColStatsTable(baseName, st))
           // `<table>.branch_<name>`: the branch AS A TABLE — readable AND
           // writable (Iceberg's branch identifiers); commits advance the
           // branch pointer, main stays untouched until publish.
@@ -2803,6 +2804,71 @@ class CowFilesTable(tableName: String, st: CowStore.State)
   * days are fat?") answered at metadata cost; an unpartitioned table
   * reports its single whole-table row with a NULL partition.
   */
+/** `SELECT … FROM <table>.colstats` — the CBO column statistics AS A
+  * RELATION (the operator-facing face of E360's planner feed): one row
+  * per column of the current schema with its distinct-count estimate
+  * (EXACT while the merged KMV sketch holds fewer than k values —
+  * `exact = true` says which), total null count, and the long-column
+  * [min, max]. All from manifests — zero data files opened; "is this
+  * column a key? how sparse? what domain?" answered at metadata cost.
+  */
+class CowColStatsTable(tableName: String, st: CowStore.State)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("ndv", LongType, nullable = true),
+    StructField("exact", org.apache.spark.sql.types.BooleanType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("min_long", LongType, nullable = true),
+    StructField("max_long", LongType, nullable = true)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    JCollections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = CowColStatsTable.this.schema()
+      override def description(): String =
+        s"graft-cow colstats metadata of $tableName"
+      override def rows(): Array[InternalRow] = {
+        val snap = st.snapshot
+        snap.schema.fields.map { f =>
+          val perFile = snap.files.map { file =>
+            val fs = st.stats.get(file)
+            fs.flatMap(x => CowStore.physColIn(snap, Some(x), f.name)
+              .map(p => x.cols.indexOf(p)).filter(_ >= 0)
+              .filter(_ => x.nullCounts.nonEmpty)
+              .map(i => (x.nullCounts(i), x.ndv.lift(i).getOrElse(Vector.empty[Long]))))
+          }
+          if (snap.files.nonEmpty && perFile.forall(_.isDefined)) {
+            val sketches = perFile.flatten.map(_._2)
+            val merged = sketches.flatten.distinct
+            val exact = merged.length < CowStore.NdvK
+            val ndv = CowStore.kmvMergeEstimate(sketches)
+            val nulls = perFile.flatten.map(_._1).sum
+            val rng =
+              if (f.dataType == LongType) {
+                val rs = snap.files.flatMap { file =>
+                  val fs = st.stats(file)
+                  CowStore.physColIn(snap, Some(fs), f.name)
+                    .flatMap(fs.longRanges.get)
+                }
+                if (rs.nonEmpty) (Long.box(rs.map(_.min).min),
+                  Long.box(rs.map(_.max).max))
+                else (null, null)
+              } else (null, null)
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(f.name), ndv, exact, nulls,
+              rng._1, rng._2)): InternalRow
+          } else
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(f.name),
+              null, null, null, null, null)): InternalRow
+        }
+      }
+    }
+}
+
 /** `SELECT … FROM <table>.refs` — every named pointer into the version
   * history AS A RELATION (Iceberg's refs metadata table): main, each
   * branch, each tag, with its version and that commit's wall clock.
