@@ -841,6 +841,35 @@ object RowLevelOps {
          |WHERE source = 'src3' ORDER BY doc_id""".stripMargin)
   }
 
+  /** q_cow_dbl_skipping — DOUBLE-column min/max file skipping
+    * (completing E314/E348's family: longs, timestamps, ASCII strings
+    * and now doubles all prune at plan time): write-time per-double
+    * [min, max] bounds ride the manifests — NaN-guarded (one NaN in a
+    * file disables that column's range: NaN breaks the total order
+    * pruning relies on) — and a pushed range predicate drops files
+    * whose bounds cannot satisfy it, before any I/O. With a declared
+    * write order on the double column the value space is clustered, so
+    * the range predicate reads only the covering files (CowCatalogSpec
+    * pins the skip count from the plan description and the NaN guard).
+    * The oracle is the plain filtered relation — skipping must be
+    * invisible to answers.
+    */
+  def qCowDblSkipping(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"sdbl_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, score DOUBLE)")
+    spark.sql(s"CALL $CatalogName.set_write_order('ops.$name', 'score')")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, CAST(n_chars AS DOUBLE) / 4.0
+         |FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(
+      s"""SELECT doc_id, score FROM $tbl
+         |WHERE score >= 100.0 ORDER BY doc_id""".stripMargin)
+  }
+
   /** q_cow_overwrite — PARTITION-LEVEL `INSERT OVERWRITE`
     * (`SupportsOverwrite` + `SupportsDynamicOverwrite`): the static form
     * (`PARTITION (source = 'x')`) replaces exactly the named identity
@@ -1228,6 +1257,7 @@ object RowLevelOps {
     "q_cow_dpp"         -> qCowDpp _,
     "q_cow_limit"       -> qCowLimit _,
     "q_cow_str_skipping" -> qCowStrSkipping _,
+    "q_cow_dbl_skipping" -> qCowDblSkipping _,
     "q_cow_overwrite"   -> qCowOverwrite _,
     "q_cow_rollback"    -> qCowRollback _,
     "q_cow_drop_column" -> qCowDropColumn _,
@@ -1404,6 +1434,13 @@ object RowLevelOps {
       """SELECT doc_id, source, n_chars AS score
         |FROM documents
         |WHERE doc_id % 3 <> 0 AND source = 'src3'
+        |ORDER BY doc_id""".stripMargin,
+    // Double skipping must be invisible to answers (bit-exact: /4.0 is
+    // a power-of-two divide).
+    "q_cow_dbl_skipping" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) / 4.0 AS score
+        |FROM documents
+        |WHERE doc_id % 3 <> 0 AND CAST(n_chars AS DOUBLE) / 4.0 >= 100.0
         |ORDER BY doc_id""".stripMargin,
     // The LIMIT's cardinality is the deterministic surface of a
     // nondeterministic row set.

@@ -169,7 +169,13 @@ object CowStore {
                              // Empty = pre-round-16 file (column stats
                              // simply unavailable, never wrong).
                              nullCounts: Vector[Long] = Vector.empty,
-                             ndv: Vector[Vector[Long]] = Vector.empty)
+                             ndv: Vector[Vector[Long]] = Vector.empty,
+                             // Per-DOUBLE-column [min, max] bounds —
+                             // recorded only when the file holds no NaN
+                             // in the column (NaN breaks the total order
+                             // range pruning relies on; one NaN disables
+                             // the column's range for this file).
+                             dblRanges: Map[String, (Double, Double)] = Map.empty)
 
   /** One field of a table PARTITION SPEC (Iceberg partition transforms in
     * miniature): `identity` (long or string column — the value IS the
@@ -1153,6 +1159,9 @@ object CowStore {
               s"$c:${r.min}:${r.max}"
             } ++ fs.strRanges.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
               s"s~$c:${enc(lo)}:${enc(hi)}"
+            } ++ fs.dblRanges.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+              // Double.toString is shortest-round-trip: parse-back exact.
+              s"d~$c:$lo:$hi"
             }
           val ranges = if (allRanges.isEmpty) "-" else allRanges.mkString(",")
           val pv = if (fs.partVals.isEmpty) "-" else fs.partVals.mkString(",")
@@ -1295,9 +1304,14 @@ object CowStore {
               files :+= f
               val toks =
                 if (ranges == "-") Array.empty[String] else ranges.split(",")
-              val lr = toks.filterNot(_.startsWith("s~")).map { r =>
+              val lr = toks.filterNot(t => t.startsWith("s~") ||
+                  t.startsWith("d~")).map { r =>
                 val Array(c, mn, mx) = r.split(":")
                 c -> ColRange(mn.toLong, mx.toLong)
+              }.toMap
+              val dr = toks.filter(_.startsWith("d~")).map { r =>
+                val Array(c, lo, hi) = r.stripPrefix("d~").split(":")
+                c -> (lo.toDouble, hi.toDouble)
               }.toMap
               val dec = (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
               val sr = toks.filter(_.startsWith("s~")).map { r =>
@@ -1313,7 +1327,8 @@ object CowStore {
                 rest.lift(1).filter(_ != "-")
                   .map(_.split(",").toVector.map(_.toInt))
                   .getOrElse(Vector.empty),
-                rest.lift(2).map(_.toLong).getOrElse(0L))
+                rest.lift(2).map(_.toLong).getOrElse(0L),
+                dblRanges = dr)
             case Seq("colstats", f, nulls, sk) =>
               // Emitted after the file lines — merge into the entry.
               stats.get(f).foreach { fs =>
@@ -3621,8 +3636,12 @@ class CowScanBuilder(tableName: String, state: CowStore.State,
     // String comparisons skip on write-time ASCII [min, max] bounds.
     def strCol(c: String): Boolean =
       state.schema.fields.exists(f => f.name == c && f.dataType == StringType)
+    // Double comparisons skip on write-time NaN-guarded [min, max].
+    def dblCol(c: String): Boolean =
+      state.schema.fields.exists(f => f.name == c && f.dataType == DoubleType)
     def ok(c: String, v: Any): Boolean =
-      (longCol(c) && longVal(v)) || (strCol(c) && v.isInstanceOf[String])
+      (longCol(c) && longVal(v)) || (strCol(c) && v.isInstanceOf[String]) ||
+        (dblCol(c) && v.isInstanceOf[java.lang.Double])
     skippable = filters.filter {
       case EqualTo(c, v)            => ok(c, v)
       case GreaterThan(c, v)        => ok(c, v)
@@ -3874,6 +3893,11 @@ class CowScan(tableName: String, state: CowStore.State,
       def srng(c: String) = phys(c).flatMap(fs.strRanges.get)
       def sKeep(c: String, v: String, keep: ((String, String)) => Boolean) =
         !v.forall(_ < 128) || srng(c).forall(keep)
+      // Double bounds (NaN-free by construction); a NaN literal keeps
+      // the file — NaN satisfies no range comparison anyway.
+      def drng(c: String) = phys(c).flatMap(fs.dblRanges.get)
+      def dKeep(c: String, v: Double, keep: ((Double, Double)) => Boolean) =
+        v.isNaN || drng(c).forall(keep)
       skipFilters.forall {
         case EqualTo(c, v: String) =>
           sKeep(c, v, { case (lo, hi) => lo <= v && v <= hi })
@@ -3885,6 +3909,16 @@ class CowScan(tableName: String, state: CowStore.State,
           sKeep(c, v, { case (lo, _) => lo < v })
         case LessThanOrEqual(c, v: String) =>
           sKeep(c, v, { case (lo, _) => lo <= v })
+        case EqualTo(c, v: java.lang.Double) =>
+          dKeep(c, v, { case (lo, hi) => lo <= v && v <= hi })
+        case GreaterThan(c, v: java.lang.Double) =>
+          dKeep(c, v, { case (_, hi) => hi > v })
+        case GreaterThanOrEqual(c, v: java.lang.Double) =>
+          dKeep(c, v, { case (_, hi) => hi >= v })
+        case LessThan(c, v: java.lang.Double) =>
+          dKeep(c, v, { case (lo, _) => lo < v })
+        case LessThanOrEqual(c, v: java.lang.Double) =>
+          dKeep(c, v, { case (lo, _) => lo <= v })
         case EqualTo(c, v) =>
           mic(v).forall(m => rng(c).forall(r => r.min <= m && m <= r.max))
         case GreaterThan(c, v) =>
@@ -5335,6 +5369,16 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
   private val smins = Array.fill[String](strIdx.length)(null)
   private val smaxs = Array.fill[String](strIdx.length)(null)
   private val strOk = Array.fill(strIdx.length)(true)
+  // Double bounds: disabled for the file by any NaN (see
+  // FileStats.dblRanges).
+  private val dblIdx: Array[Int] =
+    tableSchema.fields.indices.filter(
+      i => tableSchema.fields(i).dataType == DoubleType).toArray
+  private val dblSlot: Array[Int] =
+    tableSchema.fields.indices.map(dblIdx.indexOf(_)).toArray
+  private val dmins = Array.fill(dblIdx.length)(Double.PositiveInfinity)
+  private val dmaxs = Array.fill(dblIdx.length)(Double.NegativeInfinity)
+  private val dblOk = Array.fill(dblIdx.length)(true)
   // CBO column stats: per-column null counts + KMV NDV sketches (k
   // smallest distinct unsigned hashes; O(1) append once warm — values
   // above the current kth are rejected without a tree op).
@@ -5371,6 +5415,14 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
             g.append(f.name, v)
           case DoubleType =>
             val v = row.getDouble(i)
+            val slot = dblSlot(t)
+            if (dblOk(slot)) {
+              if (v.isNaN) dblOk(slot) = false
+              else {
+                if (v < dmins(slot)) dmins(slot) = v
+                if (v > dmaxs(slot)) dmaxs(slot) = v
+              }
+            }
             ndvAdd(t, CowStore.mix64(java.lang.Double.doubleToLongBits(v)))
             g.append(f.name, v)
           case StringType =>
@@ -5419,12 +5471,17 @@ private[sources] final class CowTaskFile(dir: String, writeSchema: StructType,
         case s if strOk(s) && smins(s) != null =>
           tableSchema.fields(strIdx(s)).name -> (smins(s), smaxs(s))
       }.toMap
+      val dranges = dblIdx.indices.collect {
+        case s if dblOk(s) && dmins(s) <= dmaxs(s) =>
+          tableSchema.fields(dblIdx(s)).name -> (dmins(s), dmaxs(s))
+      }.toMap
       import scala.jdk.CollectionConverters._
       Some(file -> CowStore.FileStats(
         rows, new java.io.File(file).length(), ranges,
         tableSchema.fieldNames.toVector, partVals, specId, sranges,
         nullCounts = nullCounts.toVector,
-        ndv = ndvSets.toVector.map(_.asScala.toVector.map(_.longValue()))))
+        ndv = ndvSets.toVector.map(_.asScala.toVector.map(_.longValue())),
+        dblRanges = dranges))
     }
   }
 

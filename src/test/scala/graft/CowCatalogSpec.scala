@@ -2067,6 +2067,57 @@ class CowCatalogSpec extends SparkSpec {
     assert(spark.table(tbl).count() == 20)
   }
 
+  test("double min/max skipping: ordered writes prune files at plan time; NaN disables the column's range; durable") {
+    val tbl = fresh("dblskip")
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, x DOUBLE)")
+    spark.sql(s"CALL $cat.set_write_order('$name', 'x')")
+    // AQE coalesces a small ordered-distribution shuffle to 1 partition
+    // (the round-15 trap) — hold it off so several files land.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, CAST(id AS DOUBLE) FROM range(0, 4000, 1, 8)""".stripMargin)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val st = CowStore.get(cat, identOf(tbl)).get
+    assert(st.files.size > 1, "need several files to demonstrate skipping")
+    assert(st.stats.values.forall(_.dblRanges.contains("x")),
+      "every NaN-free file must carry a double range")
+    // A selective range predicate plans only the covering file(s).
+    val q = spark.sql(s"SELECT sum(id) FROM $tbl WHERE x >= 3900.0")
+    assert(q.head.getLong(0) == (3900L until 4000L).sum)
+    val desc = q.queryExecution.executedPlan.toString
+    val m = """(\d+) of (\d+) files, (\d+) skipped""".r
+      .findFirstMatchIn(desc).get
+    assert(m.group(3).toInt > 0 && m.group(1).toInt < m.group(2).toInt,
+      s"a clustered double predicate must skip files: $desc")
+    // Skipping is invisible: the same filter without stats help.
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE x < 100.0")
+      .head.getLong(0) == 100L)
+    // Ranges recover from the manifests.
+    CowStore.evict(cat, identOf(tbl))
+    val rec = CowStore.recover(cat, identOf(tbl), st.dir)
+    assert(rec.stats.view.mapValues(_.dblRanges).toMap ==
+      st.stats.view.mapValues(_.dblRanges).toMap)
+    // NaN guard: one NaN disables the file's range for that column —
+    // and the NaN row itself is never skinnable away (kept + served).
+    val nan = fresh("dblskip_nan")
+    spark.sql(s"CREATE TABLE $nan (id BIGINT, x DOUBLE)")
+    spark.sql(s"INSERT INTO $nan SELECT /*+ COALESCE(1) */ id, " +
+      "CASE WHEN id = 5 THEN CAST('NaN' AS DOUBLE) ELSE CAST(id AS DOUBLE) " +
+      "END FROM range(0, 10)")
+    val stN = CowStore.get(cat, identOf(nan)).get
+    assert(stN.stats.values.forall(!_.dblRanges.contains("x")),
+      "a NaN in the file must disable the column's range")
+    // Spark orders NaN ABOVE every double: x >= 8.0 matches 8, 9 AND
+    // the NaN row — exactly why a NaN'd file's [min, max] must not
+    // prune (its recorded max says nothing about its NaN rows).
+    assert(spark.sql(s"SELECT count(*) FROM $nan WHERE x >= 8.0")
+      .head.getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $nan WHERE isnan(x)")
+      .head.getLong(0) == 1L)
+  }
+
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
     val tbl = fresh("dropcommit")
     mkBase(tbl)
