@@ -870,6 +870,27 @@ object RowLevelOps {
          |WHERE score >= 100.0 ORDER BY doc_id""".stripMargin)
   }
 
+  /** q_cow_truncate — SQL `TRUNCATE TABLE` (`TruncatableTable`): one
+    * metadata commit removes every current file — zero rewrites, old
+    * versions stay time-travelable, delete vectors and equality entries
+    * fold away with the files they applied to. The scripted flow
+    * truncates a MOR table carrying live positional deletes, reloads a
+    * fresh slice, and reads back — the reload must be exactly the fresh
+    * slice, untouched by any pre-truncate state (CowCatalogSpec pins
+    * the version lineage, time travel to the pre-truncate snapshot and
+    * the DV/eq fold).
+    */
+  def qCowTruncate(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "trunc", mor = true)
+    spark.sql(s"DELETE FROM $tbl WHERE score % 5 = 0") // live DVs
+    spark.sql(s"TRUNCATE TABLE $tbl")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 = 0""".stripMargin)
+    finalState(spark, tbl)
+  }
+
   /** q_cow_overwrite — PARTITION-LEVEL `INSERT OVERWRITE`
     * (`SupportsOverwrite` + `SupportsDynamicOverwrite`): the static form
     * (`PARTITION (source = 'x')`) replaces exactly the named identity
@@ -1258,6 +1279,7 @@ object RowLevelOps {
     "q_cow_limit"       -> qCowLimit _,
     "q_cow_str_skipping" -> qCowStrSkipping _,
     "q_cow_dbl_skipping" -> qCowDblSkipping _,
+    "q_cow_truncate"    -> qCowTruncate _,
     "q_cow_overwrite"   -> qCowOverwrite _,
     "q_cow_rollback"    -> qCowRollback _,
     "q_cow_drop_column" -> qCowDropColumn _,
@@ -1434,6 +1456,11 @@ object RowLevelOps {
       """SELECT doc_id, source, n_chars AS score
         |FROM documents
         |WHERE doc_id % 3 <> 0 AND source = 'src3'
+        |ORDER BY doc_id""".stripMargin,
+    // Truncation wipes the slate: only the reload is visible.
+    "q_cow_truncate" ->
+      """SELECT doc_id, source, n_chars AS score
+        |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY doc_id""".stripMargin,
     // Double skipping must be invisible to answers (bit-exact: /4.0 is
     // a power-of-two divide).

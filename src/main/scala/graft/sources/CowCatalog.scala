@@ -3466,6 +3466,22 @@ class CowTable(catalog: String, ident: Identifier,
     CowStore.commitDeltaEq(catalog, ident, Seq.empty, Map.empty, keys, branch)
   }
 
+  /** SQL `TRUNCATE TABLE` (`TruncatableTable`, which `SupportsDeleteV2`
+    * extends): one commit that removes every current file — a metadata
+    * pointer swap, zero rewrites, snapshot-safe like every commit (old
+    * versions stay time-travelable until retention; delete vectors and
+    * equality entries fold away with the files they applied to). The
+    * default implementation would route through [[deleteWhere]] and
+    * refuse — truncation is its own verb.
+    */
+  override def truncateTable(): Boolean = {
+    requireWritable()
+    val st = state
+    CowStore.commit(catalog, ident, Seq.empty,
+      Some(st.files.toSet), Map.empty, branch)
+    true
+  }
+
   /** Row-level operations, strategy per the table's mode:
     *
     *  - COW (default): GROUP-BASED with FILE-LEVEL groups —

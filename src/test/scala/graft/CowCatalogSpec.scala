@@ -2118,6 +2118,35 @@ class CowCatalogSpec extends SparkSpec {
       .head.getLong(0) == 1L)
   }
 
+  test("TRUNCATE TABLE: metadata wipe, snapshot-safe, folds DVs and equality entries; pinned versions refuse") {
+    val tbl = fresh("trunc")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 10, 1, 2)") // v1
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (1, 2)")                    // v2: eq entry
+    val ident = identOf(tbl)
+    val before = CowStore.get(cat, ident).get
+    assert(before.snapshot.eqDeletes.nonEmpty)
+    spark.sql(s"TRUNCATE TABLE $tbl")                                    // v3
+    val st = CowStore.get(cat, ident).get
+    assert(st.version == before.version + 1 && st.files.isEmpty &&
+      st.deletes.isEmpty && st.snapshot.eqDeletes.isEmpty,
+      "truncate is one commit that empties the snapshot and folds entries")
+    assert(spark.table(tbl).count() == 0L)
+    // Old snapshots survive until retention; the slate reload is clean.
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
+      .head.getLong(0) == 8L)
+    spark.sql(s"INSERT INTO $tbl VALUES (1L, 777L)")
+    val re = spark.sql(s"SELECT id, v FROM $tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(re == Seq(1L -> 777L),
+      s"pre-truncate deletes must not reach a reloaded key: $re")
+    // Version-pinned relations stay read-only.
+    assert(intercept[Exception](
+      spark.sql(s"TRUNCATE TABLE $tbl VERSION AS OF 1"))
+      .toString.nonEmpty)
+  }
+
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
     val tbl = fresh("dropcommit")
     mkBase(tbl)
