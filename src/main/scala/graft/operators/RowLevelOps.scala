@@ -891,6 +891,31 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** q_cow_delete_partition — METADATA-ONLY partition DELETE
+    * (`SupportsDeleteV2`'s second path — Iceberg's metadata delete):
+    * `DELETE FROM t WHERE <identity partition col> IN (…)` covers whole
+    * partitions EXACTLY, so it commits by REMOVING those files — zero
+    * reads, zero writes, the "drop yesterday's partition" verb that at
+    * 100 TB replaces a full rewrite of every matched file. Anything
+    * inexact (ranges, non-identity transforms, other columns) falls
+    * back to the row-level rewrite — correctness never rides the
+    * optimization (CowCatalogSpec pins the scanless plan, the file
+    * drops, and the fallbacks). Oracle = the surviving relation.
+    */
+  def qCowDeletePartition(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val name = s"pdel_${UUID.randomUUID().toString.replace("-", "")}"
+    val tbl = s"$CatalogName.ops.$name"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, " +
+      "score BIGINT) PARTITIONED BY (source)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(s"DELETE FROM $tbl WHERE source IN ('src3', 'src7')")
+    finalState(spark, tbl)
+  }
+
   /** q_cow_overwrite — PARTITION-LEVEL `INSERT OVERWRITE`
     * (`SupportsOverwrite` + `SupportsDynamicOverwrite`): the static form
     * (`PARTITION (source = 'x')`) replaces exactly the named identity
@@ -1280,6 +1305,7 @@ object RowLevelOps {
     "q_cow_str_skipping" -> qCowStrSkipping _,
     "q_cow_dbl_skipping" -> qCowDblSkipping _,
     "q_cow_truncate"    -> qCowTruncate _,
+    "q_cow_delete_partition" -> qCowDeletePartition _,
     "q_cow_overwrite"   -> qCowOverwrite _,
     "q_cow_rollback"    -> qCowRollback _,
     "q_cow_drop_column" -> qCowDropColumn _,
@@ -1456,6 +1482,12 @@ object RowLevelOps {
       """SELECT doc_id, source, n_chars AS score
         |FROM documents
         |WHERE doc_id % 3 <> 0 AND source = 'src3'
+        |ORDER BY doc_id""".stripMargin,
+    // The dropped partitions' rows, nothing else.
+    "q_cow_delete_partition" ->
+      """SELECT doc_id, source, n_chars AS score
+        |FROM documents
+        |WHERE doc_id % 3 <> 0 AND source NOT IN ('src3', 'src7')
         |ORDER BY doc_id""".stripMargin,
     // Truncation wipes the slate: only the reload is visible.
     "q_cow_truncate" ->

@@ -3452,18 +3452,92 @@ class CowTable(catalog: String, ident: Identifier,
     }
   }
 
+  /** METADATA-ONLY partition DELETE (the second `SupportsDeleteV2`
+    * path, Iceberg's metadata delete): a predicate conjunction of =/IN
+    * on IDENTITY partition source columns of the current spec covers
+    * whole partitions EXACTLY — every row of a matching file matches,
+    * no row of any other file does — so the delete is one commit
+    * removing those files: zero reads, zero writes, the "drop
+    * yesterday's partition" verb at 100 TB. Anything inexact (other
+    * columns, non-identity transforms, mixed-spec files, ranges)
+    * refuses and falls back to the row-level rewrite.
+    */
+  private def partitionDeleteFiles(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit, NamedReference}
+    val st = state
+    if (st.spec.isEmpty || predicates.isEmpty) return None
+    // Exactness needs every current file routed under the CURRENT spec
+    // (an old-spec file could hold matching rows invisibly).
+    if (!st.files.forall(f => st.stats.get(f).exists(fs =>
+      fs.specId == st.specId && fs.partVals.length == st.spec.length)))
+      return None
+    def identIdx(e: V2Expr): Option[Int] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        val i = st.spec.indexWhere(p =>
+          p.kind == "identity" && p.col == r.fieldNames()(0))
+        if (i >= 0) Some(i) else None
+      case _ => None
+    }
+    def litOf(e: V2Expr, dt: DataType): Option[Any] = e match {
+      case l: V2Lit[_] if l.dataType() == dt && l.value() != null =>
+        l.value() match {
+          case u: UTF8String => Some(u.toString)
+          case n: java.lang.Number => Some(n.longValue())
+          case other => Some(other)
+        }
+      case _ => None
+    }
+    // Each predicate → (spec index, allowed encoded values).
+    val conj = predicates.toSeq.map { p =>
+      val kids = p.children()
+      val idxOpt = kids.headOption.flatMap(identIdx)
+      idxOpt.flatMap { i =>
+        val dt = st.schema.fields.find(_.name == st.spec(i).col).get.dataType
+        val vals = p.name() match {
+          case "=" if kids.length == 2 => litOf(kids(1), dt).map(Seq(_))
+          case "IN" if kids.length > 1 =>
+            val vs = kids.tail.flatMap(e => litOf(e, dt))
+            if (vs.length == kids.length - 1) Some(vs.toSeq) else None
+          case _ => None
+        }
+        vals.map(vs =>
+          i -> vs.map(v => CowStore.encodePartVal(st.spec(i), v)).toSet)
+      }
+    }
+    if (conj.exists(_.isEmpty)) return None
+    val byIdx = conj.flatten
+    Some(st.files.filter { f =>
+      val pv = st.stats(f).partVals
+      byIdx.forall { case (i, allowed) =>
+        pv(i) != "__null__" && allowed.contains(pv(i))
+      }
+    }.toSet)
+  }
+
   override def canDeleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    pinnedVersion.isEmpty && eqDeleteKeysOf(predicates).isDefined
+    pinnedVersion.isEmpty && (partitionDeleteFiles(predicates).isDefined ||
+      eqDeleteKeysOf(predicates).isDefined)
 
   override def deleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     requireWritable()
-    val keys = eqDeleteKeysOf(predicates).getOrElse(
-      throw new IllegalStateException(
-        "graft-cow: deleteWhere called with undeletable predicates " +
-          s"(${predicates.mkString(", ")})"))
-    CowStore.commitDeltaEq(catalog, ident, Seq.empty, Map.empty, keys, branch)
+    partitionDeleteFiles(predicates) match {
+      case Some(victims) =>
+        // Whole-partition drop: one commit removing exactly those files
+        // (their delete vectors fold away with them).
+        CowStore.commit(catalog, ident, Seq.empty, Some(victims),
+          Map.empty, branch)
+      case None =>
+        val keys = eqDeleteKeysOf(predicates).getOrElse(
+          throw new IllegalStateException(
+            "graft-cow: deleteWhere called with undeletable predicates " +
+              s"(${predicates.mkString(", ")})"))
+        CowStore.commitDeltaEq(catalog, ident, Seq.empty, Map.empty, keys,
+          branch)
+    }
   }
 
   /** SQL `TRUNCATE TABLE` (`TruncatableTable`, which `SupportsDeleteV2`

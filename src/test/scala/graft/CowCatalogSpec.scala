@@ -2147,6 +2147,42 @@ class CowCatalogSpec extends SparkSpec {
       .toString.nonEmpty)
   }
 
+  test("metadata-only partition DELETE: whole-partition predicates drop files scanlessly; inexact predicates rewrite") {
+    val tbl = fresh("pdelete")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, grp BIGINT, v BIGINT) " +
+      "PARTITIONED BY (grp)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT id, id % 4, id * 10 FROM range(0, 40, 1, 4)""".stripMargin)
+    val ident = identOf(tbl)
+    val st1 = CowStore.get(cat, ident).get
+    val filesBefore = st1.files.size
+    // Identity-partition IN: one commit, files dropped, no scan.
+    val del = spark.sql(s"DELETE FROM $tbl WHERE grp IN (1, 3)")
+    val plan = del.queryExecution.executedPlan.toString
+    assert(plan.contains("DeleteFromTable") && !plan.contains("BatchScan"),
+      s"a whole-partition delete must plan scanlessly:\n$plan")
+    val st2 = CowStore.get(cat, ident).get
+    assert(st2.version == st1.version + 1, "one commit")
+    assert(st2.files.size < filesBefore && st2.files.forall(f =>
+      Set("0", "2").contains(st2.stats(f).partVals.head)),
+      "exactly the matching partitions' files must drop")
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $tbl").head.toSeq ==
+      Seq(20L, (0L until 40L).filter(i => i % 4 == 0 || i % 4 == 2)
+        .map(_ * 10).sum))
+    // Inexact predicates fall back to the rewrite path (still correct).
+    spark.sql(s"DELETE FROM $tbl WHERE grp = 0 AND v > 100")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE grp = 0")
+      .head.getLong(0) ==
+      (0L until 40L).count(i => i % 4 == 0 && i * 10 <= 100).toLong)
+    // A conjunction over MULTIPLE identity columns still drops whole
+    // partitions only when every predicate is partition-exact — a mixed
+    // predicate (above) went through the rewrite: version advanced and
+    // the surviving partition-0 files were REWRITTEN, not dropped.
+    val st3 = CowStore.get(cat, ident).get
+    assert(st3.version > st2.version)
+  }
+
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
     val tbl = fresh("dropcommit")
     mkBase(tbl)
