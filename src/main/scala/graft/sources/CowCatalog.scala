@@ -467,6 +467,53 @@ object CowStore {
     * cycle) — the read serves NULL. Files without stamped ids resolve by
     * NAME (they predate renames, so name == identity).
     */
+  /** Merged per-column statistics over `files` of `snap`, field-id
+    * resolved — THE single implementation behind both the CBO feed
+    * (`CowScan.estimateStatistics().columnStats`) and the operator-facing
+    * `<table>.colstats` relation: (ndv estimate, exact?, null count,
+    * long [min, max] when EVERY file carries one). `None` when any file
+    * predates colstats collection (numbers unavailable, never guessed).
+    * A file lacking the column's IDENTITY contributes rows-worth of
+    * nulls and an empty sketch (its values under that name are NULL).
+    */
+  def mergedColStat(snap: Snapshot, stats: Map[String, FileStats],
+                    files: Seq[String], col: String,
+                    isLong: Boolean)
+      : Option[(Long, Boolean, Long, Option[(Long, Long)])] = {
+    if (files.isEmpty) return None
+    val perFile = files.map { f =>
+      stats.get(f) match {
+        case None => None // no stats at all: unavailable
+        case Some(fs) =>
+          physColIn(snap, Some(fs), col)
+            .map(p => fs.cols.indexOf(p)).filter(_ >= 0) match {
+            case Some(i) if fs.nullCounts.nonEmpty =>
+              Some((fs.nullCounts(i),
+                fs.ndv.lift(i).getOrElse(Vector.empty[Long])))
+            case Some(_) => None // pre-colstats file
+            case None    => Some((fs.rows, Vector.empty[Long]))
+          }
+      }
+    }
+    if (perFile.exists(_.isEmpty)) return None
+    val sketches = perFile.flatten.map(_._2)
+    val merged = sketches.flatten.distinct
+    val ndv = kmvMergeEstimate(sketches)
+    val nulls = perFile.flatten.map(_._1).sum
+    val mm =
+      if (!isLong) None
+      else {
+        val rs = files.flatMap { f =>
+          val fs = stats(f)
+          physColIn(snap, Some(fs), col).flatMap(fs.longRanges.get)
+        }
+        if (rs.nonEmpty && rs.length == files.length)
+          Some((rs.map(_.min).min, rs.map(_.max).max))
+        else None
+      }
+    Some((ndv, merged.length < NdvK, nulls, mm))
+  }
+
   /** The [[CowFilePartition.colMap]] for one file: entries ONLY where a
     * served column's physical name differs from its current name ("" =
     * the file lacks that identity entirely) — empty for the common
@@ -882,6 +929,13 @@ object CowStore {
     require(!st.eqKey.contains(from),
       s"graft-cow: $from is the table's 'graft.delete-key' — equality " +
         "deletes resolve by this name")
+    // Pre-field-id files (recovered old manifests) resolve by NAME: a
+    // rename would silently turn their column into NULLs under the new
+    // name. Refuse with the remedy — compaction rewrites them stamped.
+    require(st.files.forall(f => st.stats.get(f).exists(_.colIds.nonEmpty)),
+      s"graft-cow: cannot rename $from — some current files predate " +
+        "field-id stamping and resolve by name only; run CALL optimize " +
+        "to rewrite them first")
     val snap = st.snapshot
     publish(k, st, snap.copy(
       schema = StructType(snap.schema.fields.map(f =>
@@ -2848,37 +2902,18 @@ class CowColStatsTable(tableName: String, st: CowStore.State)
       override def rows(): Array[InternalRow] = {
         val snap = st.snapshot
         snap.schema.fields.map { f =>
-          val perFile = snap.files.map { file =>
-            val fs = st.stats.get(file)
-            fs.flatMap(x => CowStore.physColIn(snap, Some(x), f.name)
-              .map(p => x.cols.indexOf(p)).filter(_ >= 0)
-              .filter(_ => x.nullCounts.nonEmpty)
-              .map(i => (x.nullCounts(i), x.ndv.lift(i).getOrElse(Vector.empty[Long]))))
+          CowStore.mergedColStat(snap, st.stats, snap.files, f.name,
+            isLong = f.dataType == LongType) match {
+            case Some((ndv, exact, nulls, mm)) =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(f.name), ndv, exact, nulls,
+                mm.map(v => Long.box(v._1)).orNull,
+                mm.map(v => Long.box(v._2)).orNull)): InternalRow
+            case None =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(f.name),
+                null, null, null, null, null)): InternalRow
           }
-          if (snap.files.nonEmpty && perFile.forall(_.isDefined)) {
-            val sketches = perFile.flatten.map(_._2)
-            val merged = sketches.flatten.distinct
-            val exact = merged.length < CowStore.NdvK
-            val ndv = CowStore.kmvMergeEstimate(sketches)
-            val nulls = perFile.flatten.map(_._1).sum
-            val rng =
-              if (f.dataType == LongType) {
-                val rs = snap.files.flatMap { file =>
-                  val fs = st.stats(file)
-                  CowStore.physColIn(snap, Some(fs), f.name)
-                    .flatMap(fs.longRanges.get)
-                }
-                if (rs.nonEmpty) (Long.box(rs.map(_.min).min),
-                  Long.box(rs.map(_.max).max))
-                else (null, null)
-              } else (null, null)
-            new GenericInternalRow(Array[Any](
-              UTF8String.fromString(f.name), ndv, exact, nulls,
-              rng._1, rng._2)): InternalRow
-          } else
-            new GenericInternalRow(Array[Any](
-              UTF8String.fromString(f.name),
-              null, null, null, null, null)): InternalRow
         }
       }
     }
@@ -3043,7 +3078,8 @@ class CowChangesTable(tableName: String, st: CowStore.State,
         require(n >= 1,
           s"graft-cow: maxVersionsPerBatch must be >= 1, got $n")
         n
-      })
+      },
+      endExplicit = options.containsKey("endVersion"))
 }
 
 /** One version-walk scan of the change feed: partitions are (added file →
@@ -3052,7 +3088,8 @@ class CowChangesTable(tableName: String, st: CowStore.State,
 class CowChangesScan(tableName: String, st: CowStore.State,
                      start: Long, end: Long, out: StructType,
                      streamKey: Option[(String, Identifier)] = None,
-                     maxVersionsPerBatch: Option[Int] = None)
+                     maxVersionsPerBatch: Option[Int] = None,
+                     endExplicit: Boolean = false)
     extends Scan with Batch {
   require(start <= end,
     s"graft-cow: changes range [$start, $end] of $tableName is inverted")
@@ -3066,16 +3103,32 @@ class CowChangesScan(tableName: String, st: CowStore.State,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     val (cat, ident) = streamKey.getOrElse(throw new UnsupportedOperationException(
       s"graft-cow: $tableName is not streamable here"))
+    // startVersion = the stream's initial offset (a fresh checkpoint
+    // starts after it); a bounded end contradicts an unbounded stream —
+    // refuse rather than silently ignore the option.
+    if (endExplicit) throw new UnsupportedOperationException(
+      s"graft-cow: endVersion is a batch-read option — a stream of " +
+        s"$tableName has no end; bound it with the batch relation")
     new CowChangesMicroBatchStream(cat, ident, tableName, out,
-      maxVersionsPerBatch)
+      maxVersionsPerBatch, initialStart = start)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     require(st.history.contains(end) || end == 0L,
       s"graft-cow: changes end version $end of $tableName does not exist " +
         s"(have ${st.history.keys.toSeq.sorted.mkString(",")})")
+    // END-LINEAGE only (the WAP invariant the streaming feeds enforce):
+    // version numbers are global across refs, so raw history keys
+    // interleave other branches' unpublished commits — walking one
+    // would serve branch files as main inserts and then misdiagnose
+    // their disappearance as a group rewrite.
+    val lineage = st.ancestors(end)
+    require(start == 0L || lineage(start),
+      s"graft-cow: changes start version $start of $tableName is not an " +
+        s"ancestor of end version $end — the range walks one lineage")
     CowChangesPlanner.plan(st, tableName, start,
-      st.history.keys.filter(v => v > start && v <= end).toSeq.sorted)
+      st.history.keys.filter(v => v > start && v <= end && lineage(v))
+        .toSeq.sorted)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -3097,12 +3150,19 @@ private[sources] object CowChangesPlanner {
           s"removed (retained: ${st.history.keys.toSeq.sorted.mkString(",")})"))
     val outParts = Vector.newBuilder[InputPartition]
     var prev = snapAt(base)
+    var prevV = base
     versions.foreach { v =>
       val snap = snapAt(v)
-      if (snap.eqDeletes.exists(_.version == v))
+      // RANGE-based, not ==v: vacuum/expire may prune the eq commit's
+      // own version from history, but its LIVE entry still rides every
+      // later snapshot — an entry sequenced inside (prevWalked, v]
+      // means deletions happened in this step and the reconstruction
+      // must refuse, pruned or not (a ==v check would silently DROP
+      // the deletions instead).
+      if (snap.eqDeletes.exists(e => e.version > prevV && e.version <= v))
         throw new UnsupportedOperationException(
           s"graft-cow: changes of $tableName hit an EQUALITY-DELETE commit " +
-            s"(version $v); reconstructing its deleted rows needs a keyed " +
+            s"in ($prevV, $v]; reconstructing its deleted rows needs a keyed " +
             "scan of every older file — use positional deletes " +
             "(no 'graft.delete-key') where a change feed is required")
       val removed = prev.files.toSet -- snap.files.toSet
@@ -3138,6 +3198,7 @@ private[sources] object CowChangesPlanner {
         }
       }
       prev = snap
+      prevV = v
     }
     outParts.result().toArray
   }
@@ -3161,7 +3222,8 @@ private[sources] object CowChangesPlanner {
   */
 class CowChangesMicroBatchStream(catalog: String, ident: Identifier,
                                  tableName: String, out: StructType,
-                                 maxVersionsPerBatch: Option[Int] = None)
+                                 maxVersionsPerBatch: Option[Int] = None,
+                                 initialStart: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -3175,7 +3237,7 @@ class CowChangesMicroBatchStream(catalog: String, ident: Identifier,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(state.version)
 
-  override def initialOffset(): Offset = CowVersionOffset(0L)
+  override def initialOffset(): Offset = CowVersionOffset(initialStart)
   override def latestOffset(): Offset = CowVersionOffset(state.version)
   override def deserializeOffset(json: String): Offset =
     CowVersionOffset(json.toLong)
@@ -3507,6 +3569,10 @@ class CowTable(catalog: String, ident: Identifier,
       }
     }
     if (conj.exists(_.isEmpty)) return None
+    // A string VALUE that encodes to the reserved null token is
+    // indistinguishable from the null partition — exactness is gone,
+    // fall back to the row-level rewrite.
+    if (conj.flatten.exists(_._2.contains("__null__"))) return None
     val byIdx = conj.flatten
     Some(st.files.filter { f =>
       val pv = st.stats(f).partVals
@@ -4182,47 +4248,22 @@ class CowScan(tableName: String, state: CowStore.State,
           val n = fld.name
           if (n != CowFileColumn.Name && n != CowPosColumn.Name &&
               state.schema.fieldNames.contains(n)) {
-            // Per-file resolution by field id (rename-proof); a file
-            // whose identity is absent contributes rows-worth of nulls.
-            val perFile = files.map { f =>
-              val fs = state.stats(f)
-              CowStore.physColIn(state.snapshot, Some(fs), n)
-                .map(p => fs.cols.indexOf(p)).filter(_ >= 0) match {
-                case Some(i) if fs.nullCounts.nonEmpty =>
-                  Some((fs.nullCounts(i), fs.ndv.lift(i).getOrElse(Vector.empty)))
-                case Some(_) => None // pre-colstats file: no numbers
-                case None    => Some((fs.rows, Vector.empty[Long]))
-              }
-            }
-            if (perFile.forall(_.isDefined)) {
-              val nulls = perFile.flatten.map(_._1).sum
-              val distinct =
-                CowStore.kmvMergeEstimate(perFile.flatten.map(_._2))
-              val (lo, hi) =
-                if (fld.dataType == LongType) {
-                  val rs = files.flatMap { f =>
-                    val fs = state.stats(f)
-                    CowStore.physColIn(state.snapshot, Some(fs), n)
-                      .flatMap(fs.longRanges.get)
-                  }
-                  if (rs.nonEmpty && rs.length == files.length)
-                    (Some(Long.box(rs.map(_.min).min)),
-                      Some(Long.box(rs.map(_.max).max)))
-                  else (None, None)
-                } else (None, None)
-              out.put(Expressions.column(n),
-                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-                  override def distinctCount(): java.util.OptionalLong =
-                    java.util.OptionalLong.of(distinct)
-                  override def nullCount(): java.util.OptionalLong =
-                    java.util.OptionalLong.of(nulls)
-                  override def min(): java.util.Optional[Object] =
-                    lo.map(v => java.util.Optional.of(v: Object))
-                      .getOrElse(java.util.Optional.empty[Object]())
-                  override def max(): java.util.Optional[Object] =
-                    hi.map(v => java.util.Optional.of(v: Object))
-                      .getOrElse(java.util.Optional.empty[Object]())
-                })
+            CowStore.mergedColStat(state.snapshot, state.stats, files, n,
+              isLong = fld.dataType == LongType).foreach {
+              case (distinct, _, nulls, mm) =>
+                out.put(Expressions.column(n),
+                  new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                    override def distinctCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(distinct)
+                    override def nullCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(nulls)
+                    override def min(): java.util.Optional[Object] =
+                      mm.map(v => java.util.Optional.of(Long.box(v._1): Object))
+                        .getOrElse(java.util.Optional.empty[Object]())
+                    override def max(): java.util.Optional[Object] =
+                      mm.map(v => java.util.Optional.of(Long.box(v._2): Object))
+                        .getOrElse(java.util.Optional.empty[Object]())
+                  })
             }
           }
         }
@@ -4422,36 +4463,32 @@ class CowScan(tableName: String, state: CowStore.State,
     }
 
   /** EQUALITY-DELETE application sets, per file: the union of key
-    * values from entries sequenced AFTER the file (seq < entry version).
-    * Decoded once per planned file into the key column's domain; files
-    * without stats are conservatively treated as predating everything.
+    * values from entries sequenced AFTER the file (seq < entry version),
+    * decoded into the key column's domain. MEMOIZED BY SEQ — entries
+    * partition files into at most #distinct-seq classes, so the
+    * decode/dedup work runs once per class, not once per file (files
+    * without stats are conservatively treated as predating everything).
     */
-  private def eqEntriesFor(f: String): Vector[CowStore.EqDelete] = {
+  private val eqSetCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (String, Array[Long], Array[String])]()
+  private def eqSetsFor(f: String): (String, Array[Long], Array[String]) = {
     val snap = state.snapshot
-    if (snap.eqDeletes.isEmpty) Vector.empty
+    if (snap.eqDeletes.isEmpty) ("", Array.empty, Array.empty)
     else {
       val seq = state.stats.get(f).map(_.seq).getOrElse(0L)
-      snap.eqDeletes.filter(_.version > seq)
-    }
-  }
-  private def eqColFor(f: String): String =
-    if (eqEntriesFor(f).nonEmpty) state.eqKey.getOrElse("") else ""
-  private def eqLongsFor(f: String): Array[Long] = {
-    val es = eqEntriesFor(f)
-    if (es.isEmpty) Array.empty
-    else state.eqKey.flatMap(c => state.schema.fields.find(_.name == c))
-      .map(_.dataType) match {
-      case Some(LongType) => es.flatMap(_.keys).map(_.toLong).distinct.toArray
-      case _ => Array.empty
-    }
-  }
-  private def eqStrsFor(f: String): Array[String] = {
-    val es = eqEntriesFor(f)
-    if (es.isEmpty) Array.empty
-    else state.eqKey.flatMap(c => state.schema.fields.find(_.name == c))
-      .map(_.dataType) match {
-      case Some(StringType) => es.flatMap(_.keys).distinct.toArray
-      case _ => Array.empty
+      eqSetCache.computeIfAbsent(seq, _ => {
+        val keys = snap.eqDeletes.filter(_.version > seq)
+          .flatMap(_.keys).distinct
+        if (keys.isEmpty) ("", Array.empty[Long], Array.empty[String])
+        else state.eqKey.flatMap(c =>
+          state.schema.fields.find(_.name == c).map(f => (c, f.dataType))) match {
+          case Some((c, LongType)) =>
+            (c, keys.map(_.toLong).toArray, Array.empty[String])
+          case Some((c, StringType)) =>
+            (c, Array.empty[Long], keys.toArray)
+          case _ => ("", Array.empty[Long], Array.empty[String])
+        }
+      })
     }
   }
 
@@ -4477,8 +4514,8 @@ class CowScan(tableName: String, state: CowStore.State,
         // RENAME COLUMN resolution: required name → this file's
         // write-time column, by field id (empty when nothing renamed).
         CowStore.colMapFor(state.snapshot, state.stats.get(f), required),
-        eqCol = eqColFor(f),
-        eqLongs = eqLongsFor(f), eqStrs = eqStrsFor(f))
+        eqCol = eqSetsFor(f)._1,
+        eqLongs = eqSetsFor(f)._2, eqStrs = eqSetsFor(f)._3)
       keyed match {
         case Some(sp) =>
           val pv = state.stats(f).partVals
@@ -4502,7 +4539,7 @@ class CowScan(tableName: String, state: CowStore.State,
       columnar = !sys.props.get("graft.cow.columnar").contains("false") &&
         plannedFiles.forall(f =>
           state.deletes.getOrElse(f, Vector.empty).isEmpty &&
-            eqEntriesFor(f).isEmpty))
+            eqSetsFor(f)._1.isEmpty))
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -4660,10 +4697,13 @@ class CowMicroBatchStream(catalog: String, ident: Identifier,
       }
       // An equality-delete entry landing in range retracts already-served
       // rows by VALUE — the same non-append hazard as a DV, same remedy.
-      if (snap.eqDeletes.exists(_.version == v))
+      // RANGE-based (> s), not ==v: vacuum/expire can prune the eq
+      // commit's own version while its live entry rides later
+      // snapshots; a ==v check would then serve stale rows silently.
+      if (snap.eqDeletes.exists(e => e.version > s && e.version <= v))
         throw new UnsupportedOperationException(
           s"graft-cow: streaming read of $tableName hit an EQUALITY-DELETE " +
-            s"commit (version $v); only append commits are streamable — " +
+            s"commit in ($s, $v]; only append commits are streamable — " +
             "restart from a fresh checkpoint")
       snap.files.filterNot(seen).foreach { f =>
         out += CowFilePartition(f,
@@ -5194,6 +5234,13 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
     }
 
     override def toBatch: BatchWrite = new BatchWrite {
+      // The upsert option is the STREAMING sink's contract (one row per
+      // key per epoch, from update-mode aggregations); a batch append
+      // honoring it silently would just duplicate keys — refuse with
+      // the remedy instead.
+      if (upsert) throw new UnsupportedOperationException(
+        "graft-cow: option upsert=true is a streaming-sink option " +
+          "(writeStream.toTable); for batch upserts use MERGE INTO")
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         CowWriterFactory(state.dir, writeSchema, state.schema, state.spec,
           state.specId)
@@ -5224,7 +5271,18 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
           def hit(f: String, c: String, vs: Seq[Any]): Boolean = {
             val i = state.spec.indexWhere(p => p.kind == "identity" && p.col == c)
             val pv = state.stats(f).partVals(i)
-            vs.exists(v => pv == CowStore.encodePartVal(state.spec(i), norm(v)))
+            vs.exists { v =>
+              val enc = CowStore.encodePartVal(state.spec(i), norm(v))
+              // A value encoding to the reserved null token would also
+              // claim the NULL partition's files — over-removal, i.e.
+              // data loss. The remove set must be exact: fail loudly.
+              if (v != null && enc == "__null__")
+                throw new UnsupportedOperationException(
+                  s"graft-cow: overwrite value '$v' collides with the " +
+                    "null-partition token — rewrite via INSERT OVERWRITE " +
+                    "of the whole table instead")
+              pv == enc
+            }
           }
           state.files.filter { f =>
             filters.forall {

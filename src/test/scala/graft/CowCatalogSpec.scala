@@ -2183,6 +2183,47 @@ class CowCatalogSpec extends SparkSpec {
     assert(st3.version > st2.version)
   }
 
+  test("change-feed hardening: pruned equality-delete versions still refuse; batch feed walks only the end's lineage") {
+    // (1) Retention pruning the eq commit's own version must NOT turn
+    // the loud refusal into silently dropped deletions: the live entry
+    // rides later snapshots and the range check catches it.
+    val tbl = fresh("cdfhard")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 4, 1, 1)") // v1
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.tag('$name', 'base', 1L)")
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (1, 2)")                   // v2: eq
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(10, 12, 1, 1)") // v3
+    val ident = identOf(tbl)
+    val ts2 = CowStore.get(cat, ident).get.commitTsUs(2L)
+    spark.sql(s"CALL $cat.expire_snapshots('$name', ${ts2}L)")
+    assert(CowStore.get(cat, ident).get.history.keySet == Set(1L, 3L),
+      "the eq commit's version must be pruned for this pin")
+    val e = intercept[Exception] {
+      spark.read.option("startVersion", "1").option("endVersion", "3")
+        .table(s"$tbl.changes").collect()
+    }
+    assert(e.toString.contains("EQUALITY-DELETE") ||
+      Option(e.getCause).exists(_.toString.contains("EQUALITY-DELETE")),
+      s"a pruned eq version must still refuse, not drop deletions: $e")
+    // (2) The BATCH feed walks only the end version's lineage: an
+    // unpublished branch commit below main's head is another ref's
+    // work, not a main insert (and not a phantom group rewrite).
+    val wap = fresh("cdfhard_wap")
+    spark.sql(s"CREATE TABLE $wap (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $wap SELECT id, id FROM range(0, 3, 1, 1)")   // v1
+    val wapName = wap.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.branch('$wapName', 'wip')")
+    spark.sql(s"INSERT INTO $wap.branch_wip VALUES (100L, 1L)")          // v2 (branch)
+    spark.sql(s"INSERT INTO $wap SELECT id, id FROM range(10, 12, 1, 1)") // v3 (main)
+    val got = spark.read.table(s"$wap.changes").collect()
+      .map(r => (r.getLong(3), r.getLong(0))).sorted.toSeq
+    assert(got == Seq((1L, 0L), (1L, 1L), (1L, 2L), (3L, 10L), (3L, 11L)),
+      s"the batch feed must serve main's lineage only: $got")
+  }
+
   test("drop vs commit: a commit landing after drop fails loudly and never re-registers a phantom table") {
     val tbl = fresh("dropcommit")
     mkBase(tbl)
