@@ -1265,6 +1265,68 @@ object Similarity {
       .limit(10)
   }
 
+  /** q_ann_cow — the IVF+PQ index LIVING IN THE LAKEHOUSE
+    * (E238's documented 100 TB layout, now actually shipped): the PQ
+    * codes pack into ONE BIGINT per vector (8 subspaces × 2 bits) and
+    * land in a catalog table `PARTITIONED BY (cid)` — so the serving
+    * query's nprobe=2 cell filter rides PLAN-TIME PARTITION PRUNING
+    * (the scan plans 2 of 8 partitions' files; CowCatalogSpec pins the
+    * count from the plan description) before the broadcast-LUT ADC
+    * rerank touches a row. Same output contract as [[qAnnIvfPq]] —
+    * the storage layout must be invisible to results — so the oracle
+    * is shared verbatim (pack/unpack is exact integer work; ADC sums
+    * fold in subspace order, bit-identical).
+    */
+  def qAnnCow(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val tbl = "graft_cow.ops.annidx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE $tbl (vec_id BIGINT, cid BIGINT, " +
+      "code BIGINT) PARTITIONED BY (cid)")
+    val ranked = ivfRanked(spark, d)
+    val assigned = ranked.filter(col("rn") === 1)
+      .filter(col("vec_id") =!= 0) // serving path: neighbors, not self
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    // One BIGINT per vector: subcode k_s in bits [2s, 2s+2).
+    val packed = pqCodes(spark, d)
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("(CAST(k AS BIGINT) - 1) * CAST(pow(4, s) AS BIGINT)"))
+        .as("code"))
+    assigned.join(packed, "vec_id")
+      .select(col("vec_id"), col("cid"), col("code"))
+      .writeTo(tbl).append()
+    // Probe cells, resolved once on the driver (2 longs).
+    val qc = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
+      .select(col("cid")).collect().map(_.getLong(0).toString)
+    val e = embeddings(spark, d)
+    val codebook = pqSubbed(e.filter(col("vec_id").between(1, PqK)))
+      .select(col("vec_id").as("k"), col("s"), col("sv").as("cv"))
+    val lut = pqSubbed(e.filter(col("vec_id") === 0))
+      .join(codebook, "s")
+      .select(col("s"), col("k"),
+        ((dotLtr(col("sv"), col("sv")) -
+          lit(2.0) * dotLtr(col("sv"), col("cv"))) +
+          dotLtr(col("cv"), col("cv"))).as("d"))
+    val subs = (0 until PqM).map(lit(_))
+    // The cell filter is a partition predicate: the scan below plans
+    // only the probed cells' files (spec-pinned "2 of 8 partitions").
+    spark.sql(
+      s"SELECT vec_id, cid, code FROM $tbl WHERE cid IN (${qc.mkString(", ")})")
+      .select(col("vec_id"), col("cid"),
+        explode(array(subs: _*)).as("s"), col("code"))
+      .select(col("vec_id"), col("cid"), col("s"),
+        (expr("code DIV CAST(pow(4, s) AS BIGINT)").bitwiseAND(lit(3L)) + 1)
+          .cast("int").as("k"))
+      .join(broadcast(lut), Seq("s", "k"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sort_array(collect_list(struct(col("s"), col("d")))).as("ds"))
+      .select(col("vec_id"), col("cid"),
+        expr("aggregate(ds, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d)")
+          .as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(10)
+  }
+
   /** q_sq8_recall — recall@[[RecallK]] of [[qAnnSq8]]'s quantized ranking
     * against the exact squared-L2 ranking, per eval query (vec_ids
     * 1..[[EvalQueries]], the [[qRecallEval]] convention): the accuracy
@@ -1654,6 +1716,7 @@ object Similarity {
     "q_vec_quantize"    -> qVecQuantize _,
     "q_ann_sq8"         -> qAnnSq8 _,
     "q_ann_ivf_pq"      -> qAnnIvfPq _,
+    "q_ann_cow"         -> qAnnCow _,
     "q_sq8_recall"      -> qSq8Recall _,
     "q_semantic_dedup"  -> qSemanticDedup _,
     "q_dedup_stages"    -> qDedupStages _,
@@ -1735,6 +1798,61 @@ object Similarity {
          |  WHERE $gate""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
   }
+
+  /** Shared by q_ann_ivf_pq and q_ann_cow: the lakehouse layout must be
+    * invisible to results (pack/unpack is exact integer work).
+    */
+  private val AnnIvfPqOracle: String =
+    s"""WITH centroids AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), cranked AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${cosSql("e.embedding", "c.ce")} AS ccos,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ccos DESC, c.cid) AS rn
+         |  FROM embeddings e, centroids c
+         |), qcells AS (
+         |  SELECT cid AS qcid FROM cranked WHERE vec_id = 0 AND rn <= 2
+         |), cand AS (
+         |  SELECT a.vec_id, a.cid FROM cranked a JOIN qcells
+         |    ON a.cid = qcid WHERE a.rn = 1 AND a.vec_id <> 0
+         |), subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
+         |sub AS (
+         |  SELECT vec_id, s,
+         |         embedding[$PqDim * s + 1 : $PqDim * s + $PqDim] AS sv
+         |  FROM embeddings, subs
+         |), cb AS (
+         |  SELECT vec_id AS k, s, sv AS cv FROM sub
+         |  WHERE vec_id BETWEEN 1 AND $PqK
+         |), pranked AS (
+         |  SELECT v.vec_id, v.s, c.k,
+         |         (${dotSql("v.sv", "v.sv")}
+         |           - 2.0 * ${dotSql("v.sv", "c.cv")})
+         |           + ${dotSql("c.cv", "c.cv")} AS dist,
+         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+         |                            ORDER BY dist, c.k) AS rn
+         |  FROM sub v JOIN cb c ON v.s = c.s
+         |), codes AS (
+         |  SELECT vec_id, s, k FROM pranked WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.s, c.k,
+         |         (${dotSql("q.sv", "q.sv")}
+         |           - 2.0 * ${dotSql("q.sv", "c.cv")})
+         |           + ${dotSql("c.cv", "c.cv")} AS d
+         |  FROM sub q JOIN cb c ON q.s = c.s
+         |  WHERE q.vec_id = 0
+         |), ad AS (
+         |  SELECT codes.vec_id, cand.cid,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(l.d ORDER BY codes.s)), (acc, x) -> acc + x) AS adist
+         |  FROM codes
+         |  JOIN cand ON codes.vec_id = cand.vec_id
+         |  JOIN lut l ON codes.s = l.s AND codes.k = l.k
+         |  GROUP BY codes.vec_id, cand.cid
+         |)
+         |SELECT vec_id, cid, adist FROM ad
+         |ORDER BY adist, vec_id LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_ann_refine" ->
@@ -2013,57 +2131,8 @@ object Similarity {
         |             - (mins[i] + CAST(codes[i] AS DOUBLE) * rngs[i] / 255.0))),
         |         (acc, e) -> acc + e * e) AS adist
         |FROM c ORDER BY adist, vec_id LIMIT 10""".stripMargin,
-    "q_ann_ivf_pq" ->
-      s"""WITH centroids AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id BETWEEN 1 AND 8
-         |), cranked AS (
-         |  SELECT e.vec_id, c.cid,
-         |         ${cosSql("e.embedding", "c.ce")} AS ccos,
-         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY ccos DESC, c.cid) AS rn
-         |  FROM embeddings e, centroids c
-         |), qcells AS (
-         |  SELECT cid AS qcid FROM cranked WHERE vec_id = 0 AND rn <= 2
-         |), cand AS (
-         |  SELECT a.vec_id, a.cid FROM cranked a JOIN qcells
-         |    ON a.cid = qcid WHERE a.rn = 1 AND a.vec_id <> 0
-         |), subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
-         |sub AS (
-         |  SELECT vec_id, s,
-         |         embedding[$PqDim * s + 1 : $PqDim * s + $PqDim] AS sv
-         |  FROM embeddings, subs
-         |), cb AS (
-         |  SELECT vec_id AS k, s, sv AS cv FROM sub
-         |  WHERE vec_id BETWEEN 1 AND $PqK
-         |), pranked AS (
-         |  SELECT v.vec_id, v.s, c.k,
-         |         (${dotSql("v.sv", "v.sv")}
-         |           - 2.0 * ${dotSql("v.sv", "c.cv")})
-         |           + ${dotSql("c.cv", "c.cv")} AS dist,
-         |         ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
-         |                            ORDER BY dist, c.k) AS rn
-         |  FROM sub v JOIN cb c ON v.s = c.s
-         |), codes AS (
-         |  SELECT vec_id, s, k FROM pranked WHERE rn = 1
-         |), lut AS (
-         |  SELECT q.s, c.k,
-         |         (${dotSql("q.sv", "q.sv")}
-         |           - 2.0 * ${dotSql("q.sv", "c.cv")})
-         |           + ${dotSql("c.cv", "c.cv")} AS d
-         |  FROM sub q JOIN cb c ON q.s = c.s
-         |  WHERE q.vec_id = 0
-         |), ad AS (
-         |  SELECT codes.vec_id, cand.cid,
-         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |           list(l.d ORDER BY codes.s)), (acc, x) -> acc + x) AS adist
-         |  FROM codes
-         |  JOIN cand ON codes.vec_id = cand.vec_id
-         |  JOIN lut l ON codes.s = l.s AND codes.k = l.k
-         |  GROUP BY codes.vec_id, cand.cid
-         |)
-         |SELECT vec_id, cid, adist FROM ad
-         |ORDER BY adist, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_pq" -> AnnIvfPqOracle,
+    "q_ann_cow" -> AnnIvfPqOracle,
     "q_sq8_recall" ->
       s"""WITH pd AS (
          |  SELECT pos, MIN(v) AS mn, MAX(v) AS mx

@@ -1049,4 +1049,20 @@ class SimilaritySpec extends SparkSpec {
       got.exists { case (t, tr, _) => t > tr },
       "both pair orientations must occur (test item older and newer)")
   }
+
+  test("q_ann_cow: the probed cells ride plan-time partition pruning; results bit-match the non-catalog IVF+PQ path") {
+    val cow = Similarity.queries("q_ann_cow")(spark, sfDir)
+    val got = cow.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSeq
+    val plain = Similarity.queries("q_ann_ivf_pq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == plain,
+      "the lakehouse layout must be invisible to the ADC ranking")
+    // The serving scan planned only the probed cells' partitions.
+    val desc = cow.queryExecution.executedPlan.toString
+    val m = """(\d+) of (\d+) partitions""".r.findFirstMatchIn(desc)
+    assert(m.isDefined, s"expected a partitioned catalog scan:\n$desc")
+    assert(m.get.group(1).toInt == 2 && m.get.group(2).toInt >= 4,
+      s"nprobe=2 must plan exactly 2 partitions: ${m.get.matched}")
+  }
 }
