@@ -107,8 +107,32 @@ object CatScanProbe {
     sys.props.remove("graft.cow.columnar")
     val catCol = timeSide("catalog", () => spark.table(tbl))
 
+    // The DV'd side (round-17 verdict brief item 1): the same bytes as a
+    // MOR table with a delete vector on EVERY file (~1% of rows die), so
+    // the probe measures the selection-vector columnar path against the
+    // DV-free columnar scan above — round 16 dropped this whole scan to
+    // the row walk; the target is ~1.5× of DV-free columnar, not ~9×.
+    val dvTbl = "graft_cow.ops.scanprobe_dv"
+    spark.sql(s"DROP TABLE IF EXISTS $dvTbl")
+    spark.sql(
+      s"""CREATE TABLE $dvTbl TBLPROPERTIES ('graft.mode' = 'mor') AS
+         |SELECT * FROM $tbl""".stripMargin)
+    spark.sql(s"DELETE FROM $dvTbl WHERE l_orderkey % 97 = 0")
+    val stDv = graft.sources.CowStore.get("graft_cow",
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ops"), "scanprobe_dv")).get
+    println(s"[scan-probe] dv side: ${stDv.deletes.size}/${stDv.files.size} " +
+      s"files carry delete vectors " +
+      s"(${stDv.deletes.values.map(_.size).sum} positions)")
+    val catDv = timeSide("catalog_dv", () => spark.table(dvTbl))
+    sys.props("graft.cow.columnar") = "false"
+    val catDvRow = timeSide("catalog_dv_row", () => spark.table(dvTbl))
+    sys.props.remove("graft.cow.columnar")
+    spark.sql(s"DROP TABLE $dvTbl")
+
     val obj = Seq(
-      "native" -> native, "catalog_row" -> catRow, "catalog" -> catCol)
+      "native" -> native, "catalog_row" -> catRow, "catalog" -> catCol,
+      "catalog_dv" -> catDv, "catalog_dv_row" -> catDvRow)
       .map { case (s, m) =>
         s""""$s":{${m.toSeq.sortBy(_._1).map { case (q, t) =>
           s""""$q":$t""" }.mkString(",")}}"""

@@ -1559,11 +1559,15 @@ object StreamOps extends Serializable {
   }
 
   /** One CDC micro-batch applied to the replica: per key, the batch's
-    * NET action (one commit's changes hold at most delete+insert — an
-    * update pair — per key; the insert, when present, is the final
-    * state: 'insert' > 'delete' makes max/max_by pick it) drives a
-    * three-branch MERGE. Shared by [[qCdcPipeline]] and the spec's
-    * incremental-resume pin.
+    * NET action drives a three-branch MERGE. The reduction orders by
+    * `(_commit_version, insert-over-delete)`: within one commit a key
+    * holds at most a delete+insert pair (an update — the insert is the
+    * final state), and across commits the LATEST commit wins — so the
+    * net action stays correct even when a micro-batch spans several
+    * commits (a caller omitting maxVersionsPerBatch=1 no longer
+    * resurrects a key that was inserted then deleted across versions,
+    * the round-16 ADVICE hazard). Shared by [[qCdcPipeline]] and the
+    * spec's incremental-resume pin.
     */
   private[graft] def applyCdcBatch(dst: String, tag: String)(
       batch: DataFrame, batchId: Long): Unit = {
@@ -1574,10 +1578,13 @@ object StreamOps extends Serializable {
       s"""MERGE INTO $dst t
          |USING (
          |  SELECT doc_id,
-         |         max_by(source, _change_type) AS source,
-         |         max_by(score, _change_type) AS score,
-         |         max(_change_type) AS action
-         |  FROM $view GROUP BY doc_id) s
+         |         max_by(source, ord) AS source,
+         |         max_by(score, ord) AS score,
+         |         max_by(_change_type, ord) AS action
+         |  FROM (SELECT *, struct(_commit_version,
+         |                         IF(_change_type = 'insert', 1, 0)) AS ord
+         |        FROM $view)
+         |  GROUP BY doc_id) s
          |ON t.doc_id = s.doc_id
          |WHEN MATCHED AND s.action = 'delete' THEN DELETE
          |WHEN MATCHED THEN UPDATE SET source = s.source, score = s.score

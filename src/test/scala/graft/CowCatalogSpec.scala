@@ -1661,8 +1661,9 @@ class CowCatalogSpec extends SparkSpec {
     assert(rows.length == 20 && rows.forall(_.isNullAt(1)))
     assert(rows.take(2).map(_.getLong(2)).toSeq == Seq(0L, 1L),
       "_pos must count physical rows per file")
-    // A MOR delete vector forces the row walk (a shared immutable batch
-    // cannot drop individual rows) — same results, row-based plan.
+    // A MOR delete vector STAYS columnar (round 17): survivors compact
+    // through the selection vector instead of demoting the whole scan
+    // to the row walk — same results, batch plan.
     val mor = fresh("vec_mor")
     spark.sql(s"CREATE TABLE $mor (id BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('graft.mode' = 'mor')")
@@ -1671,15 +1672,28 @@ class CowCatalogSpec extends SparkSpec {
       "a MOR table without DVs still reads columnar")
     spark.sql(s"DELETE FROM $mor WHERE id = 3")
     val afterDv = spark.sql(s"SELECT sum(v) FROM $mor")
-    assert(!scanOf(afterDv).supportsColumnar,
-      "a delete vector must drop the scan to the row walk")
+    assert(scanOf(afterDv).supportsColumnar,
+      "a delete vector must no longer demote the scan off the batch path")
     assert(afterDv.collect().head.getLong(0) == 45L - 3L)
-    // optimize folds the DVs — columnar again.
+    // The DV'd columnar read serves the same rows, positions and
+    // metadata columns as the row walk over the same snapshot.
+    def dvRows() = spark.sql(
+      s"SELECT id, v, _pos, _file FROM $mor ORDER BY _pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val colRows = dvRows()
+    assert(colRows.map(_._3).contains(4L) && !colRows.map(_._1).contains(3L),
+      "_pos stays the PHYSICAL position: deleting id=3 keeps pos 4..9")
+    sys.props("graft.cow.columnar") = "false"
+    try assert(dvRows() == colRows,
+      "columnar and row-walk reads of a DV'd file must be identical")
+    finally sys.props.remove("graft.cow.columnar")
+    // optimize folds the DVs — still columnar, now unfiltered.
     val name = mor.split("\\.").drop(1).mkString(".")
     spark.sql(s"CALL $cat.optimize('$name', ${64L * 1024 * 1024}L)")
     val folded = spark.sql(s"SELECT sum(v) FROM $mor")
     assert(scanOf(folded).supportsColumnar,
-      "folding DVs restores the columnar path")
+      "folding DVs keeps the columnar path")
     assert(folded.collect().head.getLong(0) == 42L)
   }
 
@@ -1705,10 +1719,13 @@ class CowCatalogSpec extends SparkSpec {
       Vector(CowStore.EqDelete(2L, Vector("2", "4"))))
     assert(spark.sql(s"SELECT sum(v), count(*) FROM $tbl").head.toSeq ==
       Seq((0 until 10).filterNot(Set(2, 4)).map(_ * 2).sum.toLong, 8L))
-    // The eq-filtered scan takes the row walk (value-level drops).
-    assert(spark.table(tbl).queryExecution.executedPlan.toString
-      .contains("ColumnarToRow") === false ||
-      spark.table(tbl).collect().length == 8)
+    // The eq-filtered scan stays COLUMNAR (round 17): the selection
+    // vector probes the key column's set, even when the projection
+    // doesn't request the key.
+    assert(spark.sql(s"SELECT v FROM $tbl").queryExecution.executedPlan
+      .toString.contains("ColumnarToRow"),
+      "an equality-delete scan must stay on the batch path")
+    assert(spark.sql(s"SELECT v FROM $tbl").collect().length == 8)
     // Keyed UPSERT (MERGE): matched rows die by KEY in older files; the
     // merge's own inserts are sequenced AT the commit and survive its
     // delete entry.
@@ -2031,6 +2048,25 @@ class CowCatalogSpec extends SparkSpec {
     val dstV2 = CowStore.get(cat, identOf(dst)).get.version
     assert(dstV2 - dstV1 == 2,
       s"the resume must apply exactly the two new commits: +${dstV2 - dstV1}")
+    // Round 3: a MULTI-COMMIT batch (no maxVersionsPerBatch: one
+    // AvailableNow batch spans all three new commits) holding an insert
+    // THEN a delete of the same key across versions must net to the
+    // delete — the round-16 ADVICE hazard was the alphabetic
+    // 'insert' > 'delete' reduction resurrecting the key; the ordering
+    // is (_commit_version, insert-over-delete) now.
+    spark.sql(s"INSERT INTO $src VALUES (5, 'e', 50)")
+    spark.sql(s"DELETE FROM $src WHERE doc_id = 5")
+    spark.sql(s"UPDATE $src SET score = 41 WHERE doc_id = 4")
+    spark.readStream
+      .table(s"$src.changes")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch(graft.streaming.StreamOps.applyCdcBatch(dst, sfx) _)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(!both(dst).exists(_._1 == 5L),
+      "insert-then-delete across commits in ONE batch must not resurrect")
+    assert(both(dst) == both(src),
+      "replica must equal source after a multi-commit batch")
   }
 
   test("expire_snapshots + refs: time-based retention honors tag/current protection; refs list every pointer; both recover") {
@@ -2875,6 +2911,46 @@ class CowCatalogSpec extends SparkSpec {
     assert(v1.size == 20 && v1.forall(c => c._3 == "insert" && c._4 == 1L))
     // (2, 3]: start is EXCLUSIVE — the v2 pair is not served again.
     assert(changes(2, 3).forall(_._4 == 3L))
+  }
+
+  test("change feed + streaming source read columnar; row-walk A/B identical") {
+    // The round-17 close of the verdict brief's item 6: the CDF batch
+    // relation and the table's streaming source ride the shared
+    // vectorized reader (insert records pass vectors through, delete
+    // records compact the keep-list through the selection vector,
+    // _change_type/_commit_version ride as constant vectors).
+    val tbl = fresh("cdfvec")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, concat('t', CAST(id % 3 AS STRING)), " +
+      "id * 10 FROM range(0, 20)")                      // v1
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (3, 11)")  // v2: delete records
+    def feed() = spark.read.option("startVersion", "0").table(s"$tbl.changes")
+    assert(feed().queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "the batch change feed must plan on the columnar path")
+    def rows() = feed().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).sortBy(t => (t._5, t._4, t._1)).toSeq
+    val colRows = rows()
+    assert(colRows.count(_._4 == "insert") == 20 &&
+      colRows.count(_._4 == "delete") == 2)
+    sys.props("graft.cow.columnar") = "false"
+    try {
+      assert(!feed().queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(rows() == colRows,
+        "columnar and row-walk change feeds must serve identical records")
+    } finally sys.props.remove("graft.cow.columnar")
+    // Streaming table source: one AvailableNow drain, columnar decode.
+    val app = fresh("streamvec")
+    mkBase(app)
+    val outDir = java.nio.file.Files.createTempDirectory("cdfvec").toString
+    val q = spark.readStream.table(app).writeStream
+      .format("parquet").option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    assert(spark.read.parquet(s"$outDir/data").count() == 20L,
+      "the streaming source must serve every row through the columnar path")
   }
 
   test("change feed: COW group rewrites fail loudly; append-only COW feeds work") {
