@@ -1291,7 +1291,134 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** The bounded OPTIMISTIC-WRITER LOOP behind [[retrySql]] (split out so
+    * the spec can drive it deterministically): run `body`, and when it
+    * fails with a write-write conflict (`ConcurrentModificationException`
+    * anywhere in the cause chain — Spark wraps executor/commit errors),
+    * run it again, up to `maxAttempts` total. Returns (result, attempts
+    * used). Non-conflict failures propagate immediately — retry is a
+    * remedy for losing a race, never for a broken statement — and a
+    * conflict on the final attempt rethrows loudly (persistent
+    * contention must surface, not spin).
+    */
+  private[graft] def retryOnConflict[T](maxAttempts: Int)(
+      body: Int => T): (T, Int) = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    def isConflict(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.isInstanceOf[java.util.ConcurrentModificationException])
+          return true
+        c = if (c.getCause eq c) null else c.getCause
+      }
+      false
+    }
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return (body(attempt), attempt)
+      catch { case t: Throwable if isConflict(t) => attempt += 1 }
+    }
+    (body(attempt), attempt)
+  }
+
+  /** AUTOMATIC COMMIT RETRY (the round-16 verdict brief's #5 — the
+    * optimistic-writer loop every production lakehouse writer runs,
+    * Delta/Iceberg's commit retry at the COMMAND seam): run a row-level
+    * SQL statement, and when its commit loses a write-write race
+    * (`ConcurrentModificationException` from
+    * [[graft.sources.CowStore.commit]]/`commitDelta` — the store-level
+    * detection stays exactly as loud as before), RE-RUN the statement.
+    * Re-execution re-plans against the NEW table head, which is the
+    * whole re-validation: row-level SQL is declarative, so running it
+    * against the successor snapshot IS the serialized outcome (the
+    * conflicting predicate re-reads the current rows; work already
+    * applied by the winner is simply not re-applied). Bounded attempts:
+    * persistent contention after `maxAttempts` rethrows the conflict
+    * instead of spinning, and non-conflict errors never retry. The raw
+    * single-shot path is untouched — a caller that wants
+    * fail-on-first-conflict just calls `spark.sql`.
+    */
+  def retrySql(spark: SparkSession, stmt: String,
+               maxAttempts: Int = 3): (DataFrame, Int) =
+    retryOnConflict(maxAttempts)(_ => spark.sql(stmt))
+
+  /** q_merge_evolve — MERGE WITH SCHEMA EVOLUTION
+    * ([[graft.sources.CowStore.mergeEvolve]], Delta's
+    * `withSchemaEvolution` — the round-16 verdict brief's #4): the
+    * upsert source carries TWO columns the target lacks (`lang` string,
+    * `extra` bigint — the upstream-added-a-field ingest shape), and ONE
+    * commit extends the schema under fresh field ids, lands the insert
+    * files and dooms the matched keys via an equality-delete entry —
+    * schema change and data change atomic, zero target files read.
+    * Matched rows are replaced wholesale (UPDATE SET * semantics), NOT
+    * MATCHED rows insert, untouched target rows read NULL for the new
+    * columns — the declarative full-outer rebuild is the oracle.
+    * CowCatalogSpec pins the one-commit atomicity (version +1,
+    * time-travel parent keeps the pre-merge shape), durability, and the
+    * loud guards (non-keyed table, uncovered target column, tombstoned
+    * name, concurrent same-name race).
+    */
+  def qMergeEvolve(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "mevolve", mor = true,
+      eqKey = Some("doc_id"))
+    val name = tbl.split("\\.").last
+    val src = spark.sql(
+      s"""SELECT doc_id, source, n_chars + 1000 AS score,
+         |       lang, n_chars * 2 AS extra
+         |FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 2 = 0""".stripMargin)
+    graft.sources.CowStore.mergeEvolve(CatalogName,
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ops"), name),
+      src)
+    spark.sql(
+      s"SELECT doc_id, source, score, lang, extra FROM $tbl ORDER BY doc_id")
+  }
+
+  /** q_commit_retry — two INTERLEAVED row-level writers against the SAME
+    * single-file table, each through [[retrySql]]: both threads plan
+    * their COW DELETE against the same head, the race's loser hits the
+    * store's write-write conflict (its rewrite replaces a file the
+    * winner already replaced) and the loop re-runs it against the new
+    * head — NEITHER surfaces an error, BOTH commits land, and the final
+    * state equals the serial application of both predicates (the rows
+    * are disjoint, so the outcome is interleave-independent — what makes
+    * this drivable under a deterministic oracle). CowCatalogSpec pins
+    * the loop itself (conflict-only retry, bounded exhaustion) and that
+    * the store-level detection stays loud for unretried commits.
+    */
+  def qCommitRetry(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.retry_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    // ONE file: both writers' rewrites target the same group, so a true
+    // interleave conflicts at commit (disjoint-file interleaves commit
+    // cleanly without retry — the store validates against the live head).
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT /*+ COALESCE(1) */ doc_id, source, n_chars
+         |FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = Seq(
+        "score % 2 = 0",
+        "score % 2 = 1 AND doc_id % 5 = 0").map { pred =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          override def call(): Int = {
+            barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+            retrySql(spark, s"DELETE FROM $tbl WHERE $pred")._2
+          }
+        })
+      }
+      futures.foreach(_.get(): Unit)
+    } finally pool.shutdown()
+    finalState(spark, tbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_commit_retry"    -> qCommitRetry _,
+    "q_merge_evolve"    -> qMergeEvolve _,
     "q_cow_optimize"    -> qCowOptimize _,
     "q_cow_partitioned" -> qCowPartitioned _,
     "q_cow_days"        -> qCowDays _,
@@ -1613,6 +1740,33 @@ object RowLevelOps {
         |ORDER BY a.doc_id""".stripMargin,
     "q_merge_into_mor" -> mergeOracle,
     "q_merge_into_eq" -> mergeOracle,
+    // Blind keyed upsert with evolution: matched keys take the source
+    // row wholesale, unmatched target rows read NULL for the columns
+    // the merge added — the full-outer rebuild, stated declaratively.
+    "q_merge_evolve" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars AS score FROM documents
+        |  WHERE doc_id % 3 <> 0
+        |), chg AS (
+        |  SELECT doc_id, source, n_chars + 1000 AS score,
+        |         lang, n_chars * 2 AS extra
+        |  FROM documents WHERE doc_id % 2 = 0
+        |)
+        |SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+        |       COALESCE(c.source, b.source) AS source,
+        |       COALESCE(c.score, b.score) AS score,
+        |       c.lang AS lang, c.extra AS extra
+        |FROM base b FULL OUTER JOIN chg c ON b.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // Interleave-independent by construction: the two racing DELETEs'
+    // rows are disjoint, so the serial rebuild is the answer under any
+    // commit order (and under any number of retries).
+    "q_commit_retry" ->
+      """SELECT doc_id, source, n_chars AS score FROM documents
+        |WHERE doc_id % 3 <> 0
+        |  AND NOT (n_chars % 2 = 0)
+        |  AND NOT (n_chars % 2 = 1 AND doc_id % 5 = 0)
+        |ORDER BY doc_id""".stripMargin,
     // Two sequential UPDATEs then vacuum: retention must be invisible to
     // the current version — the oracle is the plain double-update rebuild.
     "q_cow_vacuum" ->

@@ -871,6 +871,99 @@ object CowStore {
       branch, eqDeleteKeys = Some(deletedKeys)): Unit
   }
 
+  /** MERGE WITH SCHEMA EVOLUTION in ONE COMMIT (Delta's
+    * `withSchemaEvolution`, the ingest-pipeline default — the round-16
+    * verdict brief's #4): a keyed upsert whose source carries columns
+    * the target LACKS evolves the target in the same published snapshot
+    * that lands the data. On a 'graft.delete-key' table: the schema
+    * extends with the new columns under FRESH field ids (the E356
+    * machinery — pre-merge files read NULL, later renames stay safe),
+    * the upsert's insert files (written under the evolved schema) join
+    * the file set, and one equality-delete entry dooms its keys in every
+    * PREDATING file — all atomically: time travel to the parent shows
+    * the pre-merge shape, and no reader ever sees the column without its
+    * rows or the rows without their deletes. Blind-upsert semantics
+    * (`WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *`): every
+    * source row replaces the target row with its key wholesale, so the
+    * source must cover every target column. O(keys + inserted rows),
+    * ZERO target files read — the same write-amplification contract as
+    * every equality-delete commit.
+    */
+  def mergeEvolve(catalog: String, ident: Identifier,
+                  source: org.apache.spark.sql.DataFrame): Unit = {
+    val k = key(catalog, ident)
+    val st0 = Option(tables.get(k)).getOrElse(
+      throw new NoSuchTableException(ident))
+    val eqCol = st0.eqKey.getOrElse(throw new UnsupportedOperationException(
+      s"graft-cow: merge-with-schema-evolution rides the equality-delete " +
+        s"path — declare 'graft.delete-key' on $k"))
+    val srcNames = source.schema.fieldNames.toSet
+    val uncovered = st0.schema.fieldNames.filterNot(srcNames)
+    require(uncovered.isEmpty,
+      s"graft-cow: evolving merge upserts WHOLE rows (UPDATE SET * / " +
+        s"INSERT *); source lacks target column(s) ${uncovered.mkString(",")}")
+    val newFields = source.schema.fields
+      .filterNot(f => st0.schema.fieldNames.contains(f.name))
+      .map(f => f.copy(nullable = true)).toVector
+    newFields.foreach { f =>
+      require(supportedType(f.dataType),
+        s"graft-cow supports long/double/string/timestamp columns; got " +
+          s"${f.name}: ${f.dataType.simpleString}")
+      require(!st0.droppedCols.contains(f.name),
+        s"graft-cow: column ${f.name} was previously DROPPED; without " +
+          "field ids re-adding the name would resurrect old files' stale " +
+          "values — pick a new name")
+    }
+    val evolved = StructType(st0.schema.fields ++ newFields)
+    // Source rows, evolved-schema order/types, written OUTSIDE the store
+    // lock (a Spark job); only the metadata publish below synchronizes.
+    val proj = source.select(evolved.fields.toIndexedSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    val keyIdx = evolved.fieldIndex(eqCol)
+    val keyIsLong = evolved.fields(keyIdx).dataType != StringType
+    val (dir, spec, specId) = (st0.dir, st0.spec, st0.specId)
+    val written = proj.queryExecution.toRdd.mapPartitions { rows =>
+      val out = new CowTaskRouter(dir, evolved, evolved, spec, specId)
+      val keys = Vector.newBuilder[String]
+      try {
+        rows.foreach { r =>
+          if (r.isNullAt(keyIdx)) throw new IllegalArgumentException(
+            "graft-cow: upsert row with a NULL delete-key")
+          keys += (if (keyIsLong) r.getLong(keyIdx).toString
+                   else r.getUTF8String(keyIdx).toString)
+          out.write(r, 0)
+        }
+        Iterator.single((out.finish(), keys.result()))
+      } catch { case t: Throwable => out.abort(); throw t }
+    }.collect()
+    val files = written.flatMap(_._1).toSeq
+    val keys = written.flatMap(_._2).toVector
+    synchronized {
+      val st = Option(tables.get(k)).getOrElse(
+        throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
+      // Re-validate under the lock: a concurrent commit that already
+      // took one of the new names is a write-write conflict — the files
+      // written above were laid out under a schema that no longer
+      // composes with the head.
+      newFields.find(f => st.schema.fieldNames.contains(f.name)).foreach { f =>
+        files.foreach { case (path, _) => new java.io.File(path).delete() }
+        throw new java.util.ConcurrentModificationException(
+          s"graft-cow: evolving merge lost a race on $k — column " +
+            s"${f.name} appeared concurrently; retry against version " +
+            s"${st.version}")
+      }
+      val snap = st.snapshot
+      var nid = nextFieldId(st)
+      val ids = effectiveIds(snap) ++ newFields.map { _ =>
+        val i = nid; nid += 1; i
+      }
+      publish(k, st,
+        snap.copy(schema = StructType(snap.schema.fields ++ newFields),
+          fieldIds = ids, files = snap.files ++ files.map(_._1)),
+        files.toMap, eqDeleteKeys = Some(keys)): Unit
+    }
+  }
+
   /** `ALTER TABLE … ADD COLUMN`: a new version with the SAME files and an
     * extended schema. Pre-evolution files lack the column physically and
     * read NULL (the reader consults each file's write-time column set);
@@ -5026,10 +5119,14 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType,
       private def copyRows(src: ColumnVector, dst: WritableColumnVector,
           dt: DataType, m: Int): Unit = {
         dst.reset()
+        // Null-free batches (the common parquet case) skip the per-row
+        // null branch entirely.
+        val dense = !src.hasNull
         dt match {
           case LongType | TimestampType =>
             var j = 0
-            while (j < m) {
+            if (dense) while (j < m) { dst.putLong(j, src.getLong(sel(j))); j += 1 }
+            else while (j < m) {
               val i = sel(j)
               if (src.isNullAt(i)) dst.putNull(j)
               else dst.putLong(j, src.getLong(i))
@@ -5037,7 +5134,8 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType,
             }
           case DoubleType =>
             var j = 0
-            while (j < m) {
+            if (dense) while (j < m) { dst.putDouble(j, src.getDouble(sel(j))); j += 1 }
+            else while (j < m) {
               val i = sel(j)
               if (src.isNullAt(i)) dst.putNull(j)
               else dst.putDouble(j, src.getDouble(i))
@@ -5047,9 +5145,10 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType,
             var j = 0
             while (j < m) {
               val i = sel(j)
-              if (src.isNullAt(i)) dst.putNull(j)
+              if (!dense && src.isNullAt(i)) dst.putNull(j)
               else {
-                val b = src.getUTF8String(i).getBytes
+                val u = src.getUTF8String(i)
+                val b = u.getBytes
                 dst.putByteArray(j, b, 0, b.length): Unit
               }
               j += 1
