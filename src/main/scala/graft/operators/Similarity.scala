@@ -1277,26 +1277,36 @@ object Similarity {
     * is shared verbatim (pack/unpack is exact integer work; ADC sums
     * fold in subspace order, bit-identical).
     */
-  def qAnnCow(spark: SparkSession, d: String): DataFrame = {
-    graft.operators.RowLevelOps.ensureCatalog(spark)
-    val tbl = "graft_cow.ops.annidx_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    spark.sql(s"CREATE TABLE $tbl (vec_id BIGINT, cid BIGINT, " +
-      "code BIGINT) PARTITIONED BY (cid)")
-    val ranked = ivfRanked(spark, d)
-    val assigned = ranked.filter(col("rn") === 1)
+  /** The batch (vec_id, cid, code) index build shared by [[qAnnCow]]
+    * (which appends it wholesale) and the streaming-maintenance spec
+    * (which uses it as the rebuild reference): IVF assignment (rn=1,
+    * self excluded) joined to the packed per-vector PQ code — one BIGINT
+    * per vector, subcode k_s in bits [2s, 2s+2).
+    */
+  private[graft] def annCodesPacked(spark: SparkSession, d: String): DataFrame = {
+    val assigned = ivfRanked(spark, d).filter(col("rn") === 1)
       .filter(col("vec_id") =!= 0) // serving path: neighbors, not self
       .select(col("vec_id"), col("cid").cast("long").as("cid"))
-    // One BIGINT per vector: subcode k_s in bits [2s, 2s+2).
     val packed = pqCodes(spark, d)
       .groupBy(col("vec_id"))
       .agg(sum(expr("(CAST(k AS BIGINT) - 1) * CAST(pow(4, s) AS BIGINT)"))
         .as("code"))
     assigned.join(packed, "vec_id")
       .select(col("vec_id"), col("cid"), col("code"))
-      .writeTo(tbl).append()
-    // Probe cells, resolved once on the driver (2 longs).
-    val qc = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
+  }
+
+  /** The IVF+PQ SERVING QUERY over a catalog codes table — shared
+    * verbatim by [[qAnnCow]] (batch-built index) and [[qAnnStream]]
+    * (stream-maintained index), because the maintenance path must be
+    * invisible to rankings: probe cells resolve once on the driver
+    * (2 longs), ride plan-time partition pruning into the scan, codes
+    * unpack to subcodes, and the broadcast ADC LUT folds in subspace
+    * order to the top-10.
+    */
+  private[graft] def annCowProbe(spark: SparkSession, d: String,
+                                 tbl: String): DataFrame = {
+    val qc = ivfRanked(spark, d)
+      .filter(col("vec_id") === 0 && col("rn") <= 2)
       .select(col("cid")).collect().map(_.getLong(0).toString)
     val e = embeddings(spark, d)
     val codebook = pqSubbed(e.filter(col("vec_id").between(1, PqK)))
@@ -1325,6 +1335,154 @@ object Similarity {
           .as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(10)
+  }
+
+  def qAnnCow(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val tbl = "graft_cow.ops.annidx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE $tbl (vec_id BIGINT, cid BIGINT, " +
+      "code BIGINT) PARTITIONED BY (cid)")
+    annCodesPacked(spark, d).writeTo(tbl).append()
+    annCowProbe(spark, d, tbl)
+  }
+
+  /** The FROZEN quantizers as one broadcastable row — the 8 IVF
+    * centroids and the PqM×PqK PQ codebook, exactly the "train offline,
+    * encode online" split every production vector index runs: the
+    * streaming encoder must assign cells and codes with the SAME
+    * geometry the batch build used, or the index drifts.
+    */
+  private[graft] def annQuantizers(spark: SparkSession, d: String): DataFrame = {
+    val e = embeddings(spark, d)
+    val cents = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+    val cb = pqSubbed(e.filter(col("vec_id").between(1, PqK)))
+      .select(col("s"), col("vec_id").as("k"), col("sv").as("cv"))
+      .agg(sort_array(collect_list(struct(col("s"), col("k"), col("cv")))).as("cb"))
+    cents.crossJoin(cb)
+  }
+
+  /** PER-ROW cell assignment against the broadcast `cents` array —
+    * [[ivfRanked]]'s (ccos desc, cid asc) rank-1, restated as an array
+    * argmin so a STREAMING row can encode without a window or a second
+    * stateful operator: `array_min` over `struct(-ccos, cid)` compares
+    * lexicographically, and `negate` (not `0.0 - x`) preserves the
+    * -0.0/0.0 ordering the batch window sees, so the assignment is
+    * bit-identical to the batch build's on the same floats.
+    */
+  private[graft] def encodeCid: Column =
+    array_min(transform(col("cents"), c =>
+      struct(negate(cosine(col("embedding"), c.getField("ce"))).as("nc"),
+             c.getField("cid").as("cid")))).getField("cid")
+
+  /** PER-ROW packed PQ code against the broadcast `cb` array —
+    * [[pqCodes]]'s (dist asc, k asc) rank-1 per subspace plus
+    * [[annCodesPacked]]'s bit-packing, as nested array ops: per
+    * subspace, argmin over the identical `(x·x − 2·x·c) + c·c` distance
+    * chain (same [[dotLtr]] bits, interpreted and codegen'd evaluation
+    * agree by construction), then Σ (k−1)·4^s as exact longs.
+    */
+  private[graft] def encodeCode: Column = {
+    val subCodes = transform(sequence(lit(0), lit(PqM - 1)), s => {
+      val sv = slice(col("embedding"), s * lit(PqDim) + lit(1), lit(PqDim))
+      val best = array_min(transform(
+        filter(col("cb"), e => e.getField("s") === s),
+        e => {
+          val cv = e.getField("cv")
+          struct(((dotLtr(sv, sv) - lit(2.0) * dotLtr(sv, cv)) +
+            dotLtr(cv, cv)).as("dist"), e.getField("k").as("k"))
+        }))
+      (best.getField("k") - lit(1L)) *
+        pow(lit(4.0), s.cast("double")).cast("long")
+    })
+    aggregate(subCodes, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** q_ann_stream — STREAMING MAINTENANCE OF THE ANN INDEX (the
+    * round-16 verdict brief's #3, composing the round's own pieces):
+    * embeddings arrive as APPEND commits on an upstream catalog table
+    * (floats CSV-encoded — `Float.toString`/`parseFloat` round-trip
+    * exactly, so the wire format costs zero bits), stream out through
+    * the table's CHANGE FEED (`readStream.table(src.changes)`), encode
+    * PER ROW against the frozen broadcast quantizers ([[encodeCid]] /
+    * [[encodeCode]] — no window, no second stateful op), reduce to
+    * last-commit-wins per key (`max_by` over `_commit_version` — a
+    * RE-EMBEDDED vector supersedes its stale code under any batch
+    * slicing), and land in the [[qAnnCow]] codes table through the
+    * NATIVE UPSERT SINK — each epoch one atomic commit of insert files
+    * plus an equality-delete entry, zero index reads. The scripted
+    * ingest re-embeds every 7th vector (stale values first, corrected
+    * later), so the upsert path provably fires; after the drain the
+    * probe ([[annCowProbe]], partition-pruned, shared verbatim) must
+    * BIT-MATCH the from-scratch batch rebuild — the [[qAnnIvfPq]]
+    * oracle, reused. At 100 TB: the index updates in O(new vectors) per
+    * epoch while serving stays partition-pruned — an index you never
+    * rebuild. CowCatalogSpec pins mid-stream epoch atomicity (a probe
+    * between drains sees complete epochs only, each epoch exactly one
+    * version) and the stale→corrected supersede.
+    */
+  def qAnnStream(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s"graft_cow.ops.annsrc_$sfx"
+    val idx = s"graft_cow.ops.annstr_$sfx"
+    spark.sql(s"CREATE TABLE $src (vec_id BIGINT, emb_csv STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $idx (vec_id BIGINT NOT NULL, cid BIGINT, " +
+      "code BIGINT) PARTITIONED BY (cid) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor', 'graft.delete-key' = 'vec_id')")
+    val e = embeddings(spark, d).filter(col("vec_id") =!= 0)
+    val csv = e.select(col("vec_id"),
+      expr("array_join(transform(embedding, x -> CAST(x AS STRING)), ',')")
+        .as("emb_csv"))
+    val staleCsv = e.select(col("vec_id"),
+      expr("array_join(transform(reverse(embedding), x -> CAST(x AS STRING)), ',')")
+        .as("emb_csv"))
+    // Commit 1: the first wave, every 7th vector STALE (reversed dims).
+    csv.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 =!= 3)
+      .unionAll(staleCsv.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 === 3))
+      .writeTo(src).append()
+    // Commit 2: the re-embeds (corrected values for the stale subset).
+    csv.filter(col("vec_id") % 3 =!= 0 && col("vec_id") % 7 === 3)
+      .writeTo(src).append()
+    // Commit 3: the late wave.
+    csv.filter(col("vec_id") % 3 === 0).writeTo(src).append()
+    val ck = java.nio.file.Files.createTempDirectory("annstream_ck_").toString
+    annStreamDrain(spark, d, src, idx, ck)
+    annCowProbe(spark, d, idx)
+  }
+
+  /** One checkpointed AvailableNow drain of the [[qAnnStream]]
+    * maintenance pipeline (split out so the spec can drain commit by
+    * commit and probe BETWEEN epochs): change feed → per-row encode
+    * against the frozen quantizers → last-commit-wins per key → native
+    * upsert sink. Resumable: the checkpoint carries both the feed
+    * offset and the per-key reduction state.
+    */
+  private[graft] def annStreamDrain(spark: SparkSession, d: String,
+                                    src: String, idx: String,
+                                    ck: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream.table(s"$src.changes")
+      .filter(col("_change_type") === "insert")
+      .select(col("vec_id"),
+        expr("transform(split(emb_csv, ','), x -> CAST(x AS FLOAT))")
+          .as("embedding"),
+        col("_commit_version"))
+      .crossJoin(annQuantizers(spark, d))
+      .select(col("vec_id"), encodeCid.as("cid"), encodeCode.as("code"),
+        col("_commit_version"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("code")), col("_commit_version"))
+        .as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"), col("b.code").as("code"))
+    val q = stream.writeStream.option("checkpointLocation", ck)
+      .option("upsert", "true").outputMode("update")
+      .trigger(Trigger.AvailableNow()).toTable(idx)
+    q.awaitTermination()
   }
 
   /** q_sq8_recall — recall@[[RecallK]] of [[qAnnSq8]]'s quantized ranking
@@ -1717,6 +1875,7 @@ object Similarity {
     "q_ann_sq8"         -> qAnnSq8 _,
     "q_ann_ivf_pq"      -> qAnnIvfPq _,
     "q_ann_cow"         -> qAnnCow _,
+    "q_ann_stream"      -> qAnnStream _,
     "q_sq8_recall"      -> qSq8Recall _,
     "q_semantic_dedup"  -> qSemanticDedup _,
     "q_dedup_stages"    -> qDedupStages _,
@@ -2133,6 +2292,9 @@ object Similarity {
         |FROM c ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf_pq" -> AnnIvfPqOracle,
     "q_ann_cow" -> AnnIvfPqOracle,
+    // The maintenance path must be invisible to rankings: the
+    // stream-built index answers the identical serving query.
+    "q_ann_stream" -> AnnIvfPqOracle,
     "q_sq8_recall" ->
       s"""WITH pd AS (
          |  SELECT pos, MIN(v) AS mn, MAX(v) AS mx

@@ -504,6 +504,75 @@ class CowCatalogSpec extends SparkSpec {
     assert(e3.getMessage.contains("concurrent commit replaced"))
   }
 
+  test("streaming ANN maintenance: epochs are atomic, a mid-stream probe sees complete cells only, re-embeds supersede") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val d = sfDir
+    val src = fresh("annsrc")
+    val idx = fresh("annidx")
+    spark.sql(s"CREATE TABLE $src (vec_id BIGINT, emb_csv STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $idx (vec_id BIGINT NOT NULL, cid BIGINT, " +
+      "code BIGINT) PARTITIONED BY (cid) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor', 'graft.delete-key' = 'vec_id')")
+    val e = graft.Tables.embeddings(spark, d).filter(col("vec_id") =!= 0)
+    val csv = e.select(col("vec_id"),
+      expr("array_join(transform(embedding, x -> CAST(x AS STRING)), ',')")
+        .as("emb_csv"))
+    val staleCsv = e.select(col("vec_id"),
+      expr("array_join(transform(reverse(embedding), x -> CAST(x AS STRING)), ',')")
+        .as("emb_csv"))
+    // Batch-side reference encoder: the SAME per-row expressions over any
+    // (vec_id, emb_csv) relation — what the index must equal at any epoch.
+    def encodeRef(rows: org.apache.spark.sql.DataFrame) = rows
+      .select(col("vec_id"),
+        expr("transform(split(emb_csv, ','), x -> CAST(x AS FLOAT))")
+          .as("embedding"))
+      .crossJoin(Similarity.annQuantizers(spark, d))
+      .select(col("vec_id"), Similarity.encodeCid.as("cid"),
+        Similarity.encodeCode.as("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    def idxState() = spark.sql(
+      s"SELECT vec_id, cid, code FROM $idx ORDER BY vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ck = java.nio.file.Files.createTempDirectory("annspec_ck_").toString
+    val ident = identOf(idx)
+    // Epoch 1: first wave, every 7th vector stale (reversed dims).
+    val wave1 = csv.filter(col("vec_id") % 7 =!= 3)
+      .unionAll(staleCsv.filter(col("vec_id") % 7 === 3))
+    wave1.writeTo(src).append()
+    val v0 = CowStore.get(cat, ident).get.version
+    Similarity.annStreamDrain(spark, d, src, idx, ck)
+    val v1 = CowStore.get(cat, ident).get.version
+    assert(v1 == v0 + 1,
+      "one pending commit must drain as exactly ONE atomic epoch commit")
+    assert(idxState() == encodeRef(wave1),
+      "the mid-stream index must equal the batch encode of epoch 1 — " +
+        "complete cells, stale values included")
+    // Epoch 2: the re-embeds — corrected values supersede BY KEY.
+    csv.filter(col("vec_id") % 7 === 3).writeTo(src).append()
+    Similarity.annStreamDrain(spark, d, src, idx, ck)
+    val v2 = CowStore.get(cat, ident).get.version
+    assert(v2 == v1 + 1)
+    assert(idxState() == encodeRef(csv),
+      "re-embedded vectors must supersede their stale codes, one row per key")
+    // A probe pinned mid-stream stays on its complete epoch (snapshot
+    // isolation is what makes 'never sees a half-written cell' true for
+    // a reader concurrent with the sink's commits).
+    val pinned = spark.sql(
+      s"SELECT vec_id, cid, code FROM $idx VERSION AS OF $v1 ORDER BY vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pinned == encodeRef(wave1),
+      "a reader pinned at epoch 1 must keep seeing exactly epoch 1")
+    // The stream-maintained index equals the from-scratch batch build.
+    assert(idxState() ==
+      Similarity.annCodesPacked(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq,
+      "the maintained index must bit-match the batch rebuild")
+  }
+
   test("merge with schema evolution: one atomic commit; parent keeps the pre-merge shape; durable; loud guards") {
     import org.apache.spark.sql.functions.{col, lit}
     val tbl = fresh("mevolve")
