@@ -2921,15 +2921,22 @@ object TextOps {
     * hand-rolled n-gram heuristic). Classifier TRAINING as aggregation:
     * the model never leaves the cluster.
     *
-    * Plan: one TF aggregate (map-side partial) is the only corpus-sized
-    * shuffle; the model is |langs|×|vocab| rows (the (m,term) equi-join is
-    * shuffle-safe at any vocab; priors/totals/V are 1-row or |langs|-row
-    * broadcasts). Scoring fans TF out ×|langs| — bounded by the label-set
-    * size, the same stance as [[qLangConfusion]]. Determinism: smoothing
-    * logs go through the libm-exact [[graft.functions.LnLibm]], per-
-    * (doc,lang) sums are term-ORDERED folds, prior added last in a pinned
-    * chain, and the argmax tie-breaks on lang — so the winner is
-    * bit-identical cross-engine.
+    * Plan (round-17 trim of the suite's most expensive query): one TF
+    * aggregate (map-side partial) and ONE per-doc collapse (each doc's
+    * term-sorted TF array) are the only corpus-sized shuffles; the
+    * WHOLE per-language model — term→count map, token total, prior —
+    * broadcasts as |langs| rows. Scoring then fans |docs|×|langs| (one
+    * row per doc per candidate, NOT per doc-term pair per candidate,
+    * which is what the pre-trim plan shuffled): each row folds its
+    * term array against the broadcast map inside the projection. The
+    * ×|langs| shuffle of the doc-term relation — 94% of the old cost —
+    * is gone; what remains is |docs|×|langs| rows into the argmax
+    * window (which [[graft.plans.RowNumberTopKRewrite]] handles).
+    * Determinism: smoothing logs go through the libm-exact
+    * [[graft.functions.LnLibm]], per-(doc,lang) sums are term-ORDERED
+    * folds (the array is term-sorted, exactly the old sort_array
+    * order), prior added last in a pinned chain, and the argmax
+    * tie-breaks on lang — so the winner is bit-identical cross-engine.
     */
   def qNaiveBayes(spark: SparkSession, d: String): DataFrame = {
     val tf = graft.Tables.cacheForSelfJoin(
@@ -2942,30 +2949,32 @@ object TextOps {
     val nDocs = documents(spark, d).agg(count(lit(1)).as("nd"))
     val lt = tf.groupBy(col("lang").as("m"), col("term"))
       .agg(sum(col("tf")).as("c"))
-    val totals = lt.groupBy(col("m")).agg(sum(col("c")).as("t_l"))
     val vocab = lt.select(col("term")).distinct()
       .agg(count(lit(1)).as("v"))
+    // The whole model, |langs| broadcast rows: smoothed-count map +
+    // token total + prior count per candidate language.
+    val model = lt.groupBy(col("m"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("c"))))
+        .as("cmap"), sum(col("c")).as("t_l"))
+      .join(priors, "m")
+    // Each doc collapses ONCE to its term-sorted TF array (the fold
+    // order the oracle mirrors with list(term_lp ORDER BY term)).
+    val docTerms = tf.groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(col("term"), col("tf")))).as("ts"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("m"))
-    tf.crossJoin(broadcast(priors))
-      .join(lt, Seq("m", "term"), "left")
-      .join(broadcast(totals), "m")
+    docTerms.crossJoin(broadcast(model))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), col("lang"), col("m"), col("term"),
-        col("n_docs_l"),
-        (col("tf").cast("double") *
-          lnLibm((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
-            (col("t_l").cast("double") + col("v").cast("double"))))
-          .as("term_lp"))
-      .groupBy(col("doc_id"), col("lang"), col("m"), col("n_docs_l"))
-      .agg(sort_array(collect_list(struct(col("term"), col("term_lp"))))
-        .as("lps"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("lang"), col("m"),
         (lnLibm(col("n_docs_l").cast("double") / col("nd").cast("double")) +
-          expr("aggregate(lps, CAST(0.0 AS DOUBLE)," +
-            " (acc, x) -> acc + x.term_lp)")).as("score"))
+          aggregate(col("ts"), lit(0.0), (acc, x) =>
+            acc + x.getField("tf").cast("double") *
+              lnLibm((coalesce(element_at(col("cmap"), x.getField("term")),
+                lit(0L)).cast("double") + lit(1.0)) /
+                (col("t_l").cast("double") + col("v").cast("double")))))
+          .as("score"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("m").as("pred"),

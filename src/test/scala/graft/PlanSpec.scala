@@ -542,12 +542,15 @@ class PlanSpec extends SparkSpec {
       s"the per-(value,type) relation feeds two consumers and must be cached:\n$p")
   }
 
-  test("q_naive_bayes scores through hash joins with a cached TF relation") {
+  test("q_naive_bayes scores per-doc rows against the broadcast model (no corpus-times-langs shuffle)") {
     val p = plan(TextOps.qNaiveBayes(spark, sfDir))
     assert(p.contains("InMemoryTableScan"),
-      s"the TF relation feeds the model and the scorer and must be cached:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
-      s"the (lang,term) model join must be a real equi-join:\n$p")
+      s"the TF relation feeds the model and the per-doc collapse and must be cached:\n$p")
+    // The round-17 trim: scoring fans |docs|x|langs| through a BROADCAST
+    // cross against the |langs|-row model — the doc-TERM relation never
+    // shuffles times the label set again.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the model fan must be a bounded broadcast cross:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"only constant-sized relations may cross:\n$p")
   }
