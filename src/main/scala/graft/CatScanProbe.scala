@@ -128,11 +128,23 @@ object CatScanProbe {
     sys.props("graft.cow.columnar") = "false"
     val catDvRow = timeSide("catalog_dv_row", () => spark.table(dvTbl))
     sys.props.remove("graft.cow.columnar")
+
+    // The CHANGE FEED over the same table (round-17 brief item 6): the
+    // batch `.changes` relation decodes the full insert wave plus the
+    // delete keep-list through the shared columnar reader; `_row` is the
+    // legacy per-row walk over identical change partitions.
+    def cdf() = spark.read.option("startVersion", "0").table(s"$dvTbl.changes")
+      .drop("_change_type", "_commit_version")
+    val catCdf = timeSide("catalog_cdf", () => cdf())
+    sys.props("graft.cow.columnar") = "false"
+    val catCdfRow = timeSide("catalog_cdf_row", () => cdf())
+    sys.props.remove("graft.cow.columnar")
     spark.sql(s"DROP TABLE $dvTbl")
 
     val obj = Seq(
       "native" -> native, "catalog_row" -> catRow, "catalog" -> catCol,
-      "catalog_dv" -> catDv, "catalog_dv_row" -> catDvRow)
+      "catalog_dv" -> catDv, "catalog_dv_row" -> catDvRow,
+      "catalog_cdf" -> catCdf, "catalog_cdf_row" -> catCdfRow)
       .map { case (s, m) =>
         s""""$s":{${m.toSeq.sortBy(_._1).map { case (q, t) =>
           s""""$q":$t""" }.mkString(",")}}"""

@@ -1455,6 +1455,94 @@ object Similarity {
     annCowProbe(spark, d, idx)
   }
 
+  /** q_ann_gc — DELETE PROPAGATION into the ANN index (the third leg of
+    * index maintenance after [[qAnnStream]]'s inserts and re-embeds —
+    * the right-to-erasure path every production corpus eventually
+    * runs): an upstream MOR DELETE surfaces as change-feed delete
+    * records, and the maintenance loop retires those vectors from the
+    * serving index — per batch, the NET per-key action ([[
+    * graft.streaming.StreamOps.applyCdcBatch]]'s commit-version
+    * ordering) drives ONE keyed `DELETE … WHERE vec_id IN (…)` (the
+    * E367/E358 metadata delete: O(keys), zero index files read) plus
+    * one append of re-encoded inserts — delete-then-insert on a keyed
+    * table IS upsert, so a replayed batch converges (at-least-once
+    * foreachBatch turns exactly-once). The probe must bit-match the
+    * batch rebuild over the SURVIVING corpus: erased vectors gone from
+    * rankings, frozen quantizers untouched (a deleted vector may have
+    * trained a centroid — training artifacts outlive their sources, the
+    * standard frozen-quantizer contract). At 100 TB: erasure costs
+    * O(erased keys), not an index rebuild.
+    */
+  def qAnnGc(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s"graft_cow.ops.anngcsrc_$sfx"
+    val idx = s"graft_cow.ops.anngc_$sfx"
+    spark.sql(s"CREATE TABLE $src (vec_id BIGINT, emb_csv STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $idx (vec_id BIGINT NOT NULL, cid BIGINT, " +
+      "code BIGINT) PARTITIONED BY (cid) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor', 'graft.delete-key' = 'vec_id')")
+    // Commit 1: the whole corpus; commit 2: the erasure request.
+    embeddings(spark, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        expr("array_join(transform(embedding, x -> CAST(x AS STRING)), ',')")
+          .as("emb_csv"))
+      .writeTo(src).append()
+    spark.sql(s"DELETE FROM $src WHERE vec_id % 11 = 5")
+    val ck = java.nio.file.Files.createTempDirectory("anngc_ck_").toString
+    annGcDrain(spark, d, src, idx, ck)
+    annCowProbe(spark, d, idx)
+  }
+
+  /** One checkpointed AvailableNow drain of the [[qAnnGc]] maintenance
+    * loop (foreachBatch, because retiring keys needs a DELETE the
+    * append-shaped upsert sink cannot express). Split out for the spec.
+    */
+  private[graft] def annGcDrain(spark: SparkSession, d: String,
+                                src: String, idx: String,
+                                ck: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val quant = annQuantizers(spark, d)
+    val q = spark.readStream.table(s"$src.changes")
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(annGcApply(idx, quant) _)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** One GC micro-batch applied to the index: net action per key by
+    * (_commit_version, insert-over-delete) — every touched key leaves
+    * the index via ONE keyed metadata DELETE (a re-embed's stale code
+    * dies the same way an erasure does), then the batch's inserts
+    * re-encode and append. The touched-key list rides the driver like
+    * the equality-delete entry it becomes — O(churn keys), never a scan.
+    */
+  private def annGcApply(idx: String, quant: DataFrame)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val net = batch
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("_change_type"), col("emb_csv")),
+        struct(col("_commit_version"),
+          when(col("_change_type") === "insert", 1).otherwise(0))).as("b"))
+      .select(col("vec_id"), col("b._change_type").as("act"),
+        col("b.emb_csv").as("emb_csv"))
+      .persist()
+    try {
+      val keys = net.select(col("vec_id")).collect().map(_.getLong(0))
+      val sess = batch.sparkSession
+      if (keys.nonEmpty)
+        sess.sql(s"DELETE FROM $idx WHERE vec_id IN (${keys.mkString(", ")})")
+      net.filter(col("act") === "insert")
+        .select(col("vec_id"),
+          expr("transform(split(emb_csv, ','), x -> CAST(x AS FLOAT))")
+            .as("embedding"))
+        .crossJoin(broadcast(quant))
+        .select(col("vec_id"), encodeCid.as("cid"), encodeCode.as("code"))
+        .writeTo(idx).append()
+    } finally { net.unpersist(): Unit }
+  }
+
   /** One checkpointed AvailableNow drain of the [[qAnnStream]]
     * maintenance pipeline (split out so the spec can drain commit by
     * commit and probe BETWEEN epochs): change feed → per-row encode
@@ -1876,6 +1964,7 @@ object Similarity {
     "q_ann_ivf_pq"      -> qAnnIvfPq _,
     "q_ann_cow"         -> qAnnCow _,
     "q_ann_stream"      -> qAnnStream _,
+    "q_ann_gc"          -> qAnnGc _,
     "q_sq8_recall"      -> qSq8Recall _,
     "q_semantic_dedup"  -> qSemanticDedup _,
     "q_dedup_stages"    -> qDedupStages _,
@@ -1961,7 +2050,7 @@ object Similarity {
   /** Shared by q_ann_ivf_pq and q_ann_cow: the lakehouse layout must be
     * invisible to results (pack/unpack is exact integer work).
     */
-  private val AnnIvfPqOracle: String =
+  private def annIvfPqOracle(candFilter: String = ""): String =
     s"""WITH centroids AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
          |  WHERE vec_id BETWEEN 1 AND 8
@@ -1975,7 +2064,7 @@ object Similarity {
          |  SELECT cid AS qcid FROM cranked WHERE vec_id = 0 AND rn <= 2
          |), cand AS (
          |  SELECT a.vec_id, a.cid FROM cranked a JOIN qcells
-         |    ON a.cid = qcid WHERE a.rn = 1 AND a.vec_id <> 0
+         |    ON a.cid = qcid WHERE a.rn = 1 AND a.vec_id <> 0$candFilter
          |), subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS s),
          |sub AS (
          |  SELECT vec_id, s,
@@ -2290,11 +2379,15 @@ object Similarity {
         |             - (mins[i] + CAST(codes[i] AS DOUBLE) * rngs[i] / 255.0))),
         |         (acc, e) -> acc + e * e) AS adist
         |FROM c ORDER BY adist, vec_id LIMIT 10""".stripMargin,
-    "q_ann_ivf_pq" -> AnnIvfPqOracle,
-    "q_ann_cow" -> AnnIvfPqOracle,
+    "q_ann_ivf_pq" -> annIvfPqOracle(),
+    "q_ann_cow" -> annIvfPqOracle(),
     // The maintenance path must be invisible to rankings: the
     // stream-built index answers the identical serving query.
-    "q_ann_stream" -> AnnIvfPqOracle,
+    "q_ann_stream" -> annIvfPqOracle(),
+    // Erasure propagated: the probe ranks the SURVIVING corpus only
+    // (frozen quantizers untouched — training artifacts outlive their
+    // sources).
+    "q_ann_gc" -> annIvfPqOracle(" AND a.vec_id % 11 <> 5"),
     "q_sq8_recall" ->
       s"""WITH pd AS (
          |  SELECT pos, MIN(v) AS mn, MAX(v) AS mx

@@ -784,7 +784,9 @@ object CowStore {
   def commit(catalog: String, ident: Identifier, newFiles: Seq[String],
              remove: Option[Set[String]],
              newStats: Map[String, FileStats] = Map.empty,
-             branch: Option[String] = None): Unit = synchronized {
+             branch: Option[String] = None,
+             readDvs: Option[Map[String, Int]] = None,
+             readEqVersions: Option[Set[Long]] = None): Unit = synchronized {
     val k = key(catalog, ident)
     val st = Option(tables.get(k)).getOrElse(
       throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
@@ -799,6 +801,35 @@ object CowStore {
               s"rewrite replaces ${missing.size} file(s) a concurrent commit " +
               s"already replaced (e.g. ${missing.head}); retry against " +
               s"version ${st.version}")
+        // RESURRECTION GUARD (round-17 hardening): a group rewrite's new
+        // files were computed from the delete state its SCAN read. A
+        // delete-vector position or equality-delete entry landing on a
+        // replaced group AFTER that read would silently fold away here —
+        // the rewrite re-materializes the doomed rows and the new files
+        // re-sequence past the entry. Callers that read before writing
+        // (the row-level write path, compaction) pass what they READ;
+        // divergence is a write-write conflict, not a fold.
+        readDvs.foreach { exp =>
+          gone.foreach { f =>
+            val cur = snap.deletes.getOrElse(f, Vector.empty).length
+            if (cur != exp.getOrElse(f, 0))
+              throw new java.util.ConcurrentModificationException(
+                s"graft-cow: write-write conflict on $k — a concurrent " +
+                  s"commit deleted rows from $f after this rewrite read it " +
+                  s"(delete vector ${exp.getOrElse(f, 0)} -> $cur " +
+                  s"positions); replacing the file would resurrect them; " +
+                  s"retry against version ${st.version}")
+          }
+        }
+        readEqVersions.foreach { exp =>
+          val fresh = snap.eqDeletes.map(_.version).filterNot(exp)
+          if (fresh.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"graft-cow: write-write conflict on $k — equality-delete " +
+                s"commit(s) ${fresh.mkString(",")} landed after this " +
+                s"rewrite read its groups; its re-sequenced rows would " +
+                s"escape them; retry against version ${st.version}")
+        }
         snap.files.filterNot(gone) ++ newFiles
     }
     val dvs = snap.deletes -- remove.getOrElse(Set.empty)
@@ -2567,8 +2598,14 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
           .collect()
         val newFiles = rewritten.flatMap(_._1)
         val replaced = rewritten.flatMap(_._2).toSet
+        // The bins folded exactly the delete state read at planning; a
+        // delete landing on a binned file mid-compaction must refuse,
+        // not silently resurrect (the commit's resurrection guard).
         CowStore.commit(catalogName, ident, newFiles.map(_._1).toSeq,
-          Some(replaced), newFiles.toMap)
+          Some(replaced), newFiles.toMap,
+          readDvs = Some(replaced.iterator.map(f =>
+            f -> st.deletes.getOrElse(f, Vector.empty).length).toMap),
+          readEqVersions = Some(st.snapshot.eqDeletes.map(_.version).toSet))
         report = (replaced.size.toLong, newFiles.length.toLong, foldedDeletes)
       }
       val scan: Scan = new LocalScan {
@@ -5616,8 +5653,16 @@ class CowWriteBuilder(catalog: String, ident: Identifier,
             .orElse(overwriteFilters.map(staticRemove))
             .orElse(if (dynamicOverwrite) Some(dynamicRemove(newFiles.toSeq))
                     else None)
+        // What this command's scan READ for the groups it replaces — the
+        // builder's captured state IS the scan's state (one loadTable per
+        // statement); the commit refuses if concurrent deletes have
+        // landed on those groups since (resurrection guard).
         CowStore.commit(catalog, ident,
-          newFiles.map(_._1).toSeq, remove, newFiles.toMap, branch)
+          newFiles.map(_._1).toSeq, remove, newFiles.toMap, branch,
+          readDvs = remove.map(_.iterator.map(f =>
+            f -> state.deletes.getOrElse(f, Vector.empty).length).toMap),
+          readEqVersions =
+            remove.map(_ => state.snapshot.eqDeletes.map(_.version).toSet))
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         messages.foreach {

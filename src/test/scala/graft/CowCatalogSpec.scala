@@ -573,6 +573,45 @@ class CowCatalogSpec extends SparkSpec {
       "the maintained index must bit-match the batch rebuild")
   }
 
+  test("ANN delete propagation: erased vectors leave the index; re-embeds stay single-row; idempotent keyed retire") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val d = sfDir
+    val src = fresh("anngcsrc")
+    val idx = fresh("anngcidx")
+    spark.sql(s"CREATE TABLE $src (vec_id BIGINT, emb_csv STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $idx (vec_id BIGINT NOT NULL, cid BIGINT, " +
+      "code BIGINT) PARTITIONED BY (cid) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor', 'graft.delete-key' = 'vec_id')")
+    val e = graft.Tables.embeddings(spark, d).filter(col("vec_id") =!= 0)
+    e.select(col("vec_id"),
+      expr("array_join(transform(embedding, x -> CAST(x AS STRING)), ',')")
+        .as("emb_csv")).writeTo(src).append()
+    val ck = java.nio.file.Files.createTempDirectory("anngcspec_ck_").toString
+    Similarity.annGcDrain(spark, d, src, idx, ck)
+    def idxKeys() = spark.sql(s"SELECT vec_id FROM $idx ORDER BY vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val all = e.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idxKeys() == all, "the seed drain must index the whole corpus")
+    // Erasure upstream → keys leave the index, survivors untouched.
+    spark.sql(s"DELETE FROM $src WHERE vec_id % 11 = 5")
+    Similarity.annGcDrain(spark, d, src, idx, ck)
+    assert(idxKeys() == all.filterNot(_ % 11 == 5),
+      "erased vectors must leave the index, survivors must stay")
+    // A re-embed arrives as a fresh insert for an existing key: the net
+    // action retires the stale code first — exactly one row per key.
+    val k = all.filterNot(_ % 11 == 5).head
+    spark.sql(s"INSERT INTO $src SELECT vec_id, " +
+      "array_join(reverse(split(emb_csv, ',')), ',') " +
+      s"FROM $src WHERE vec_id = $k")
+    Similarity.annGcDrain(spark, d, src, idx, ck)
+    val rows = spark.sql(s"SELECT vec_id FROM $idx WHERE vec_id = $k")
+      .collect()
+    assert(rows.length == 1, s"a re-embedded key must stay single-row")
+    assert(idxKeys() == all.filterNot(_ % 11 == 5))
+  }
+
   test("merge with schema evolution: one atomic commit; parent keeps the pre-merge shape; durable; loud guards") {
     import org.apache.spark.sql.functions.{col, lit}
     val tbl = fresh("mevolve")
@@ -626,6 +665,51 @@ class CowCatalogSpec extends SparkSpec {
     assert(intercept[Exception](CowStore.mergeEvolve(cat, ident,
       spark.range(0, 1).select(col("id"), lit(1L).as("v"),
         lit(2L).as("w2")))).toString.contains("DROPPED"))
+  }
+
+  test("resurrection guard: a group rewrite refuses when concurrent deletes landed on its groups") {
+    // Positional path: a rewrite planned BEFORE a MOR DELETE must not
+    // commit — blindly folding the new delete vector away with the
+    // replaced file would re-materialize the deleted rows.
+    val tbl = fresh("resurrect")
+    mkMorBase(tbl)
+    val ident = identOf(tbl)
+    val st0 = CowStore.get(cat, ident).get
+    val f = st0.files.head
+    val readDvs0 = Map(f -> st0.deletes.getOrElse(f, Vector.empty).length)
+    val readEq0 = st0.snapshot.eqDeletes.map(_.version).toSet
+    spark.sql(s"DELETE FROM $tbl WHERE id = 3") // concurrent: DV grows
+    val e = intercept[java.util.ConcurrentModificationException] {
+      CowStore.commit(cat, ident, Seq.empty, Some(Set(f)), Map.empty, None,
+        readDvs = Some(readDvs0), readEqVersions = Some(readEq0))
+    }
+    assert(e.getMessage.contains("resurrect"), s"$e")
+    // Reading the CURRENT delete state commits fine (the compaction flow).
+    val st1 = CowStore.get(cat, ident).get
+    CowStore.commit(cat, ident, Seq.empty, Some(Set(f)), Map.empty, None,
+      readDvs = Some(Map(f -> st1.deletes(f).length)),
+      readEqVersions = Some(st1.snapshot.eqDeletes.map(_.version).toSet))
+    // Equality path: an entry landing after the read refuses too (the
+    // rewrite's re-sequenced rows would escape it).
+    val eqt = fresh("resurrect_eq")
+    spark.sql(s"CREATE TABLE $eqt (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    spark.sql(s"INSERT INTO $eqt SELECT id, id FROM range(0, 10, 1, 1)")
+    val ident2 = identOf(eqt)
+    val st2 = CowStore.get(cat, ident2).get
+    val f2 = st2.files.head
+    val readEq2 = st2.snapshot.eqDeletes.map(_.version).toSet
+    spark.sql(s"DELETE FROM $eqt WHERE id IN (2, 4)") // new eq entry
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      CowStore.commit(cat, ident2, Seq.empty, Some(Set(f2)), Map.empty, None,
+        readDvs = Some(Map(f2 -> 0)), readEqVersions = Some(readEq2))
+    }
+    assert(e2.getMessage.contains("equality-delete"), s"$e2")
+    // The guarded flows still work end to end: compaction after churn.
+    val name = eqt.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.optimize('$name', ${64L * 1024 * 1024}L)")
+    assert(spark.table(eqt).collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 10L).filterNot(Set(2L, 4L)))
   }
 
   test("automatic commit retry: conflicts re-run against the new head; non-conflicts and exhaustion stay loud") {

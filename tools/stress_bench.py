@@ -99,7 +99,11 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              # micro-batches through the upsert sink; per-batch
              # plan/state/commit dominates, the per-vector encode is
              # the data term).
-             "q_ann_stream"}
+             "q_ann_stream",
+             # round-17: ANN delete propagation (two CDF micro-batches
+             # through foreachBatch retire+append; per-batch plan and
+             # keyed-delete commit dominate).
+             "q_ann_gc"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
@@ -209,7 +213,8 @@ def main():
                  "q_stream_table_read": 5_000,
                  "q_stream_backlog": 5_000,
                  # replays the embeddings table (5k vectors at sf0.1)
-                 "q_ann_stream": 5_000}
+                 "q_ann_stream": 5_000,
+                 "q_ann_gc": 5_000}
     stream_rates = {}
     for q in sorted(SUBLINEAR & set(names)):
         base = base_rows.get(q, base_events)
