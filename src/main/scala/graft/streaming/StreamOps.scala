@@ -1648,6 +1648,89 @@ object StreamOps extends Serializable {
     spark.sql(s"SELECT doc_id, source, score FROM $dst ORDER BY doc_id")
   }
 
+  /** One MV micro-batch applied to the aggregate table: per group, the
+    * batch's NET delta (+1/+score for inserts, −1/−score for deletes —
+    * an update pair nets to its score change) drives a three-branch
+    * MERGE. IDEMPOTENT under foreachBatch's at-least-once replay WITHOUT
+    * absolute values: each group row carries `mv_version` = the highest
+    * commit version applied to it, and a replayed batch (same offsets ⇒
+    * same deltas, same max version) fails the `s.v > t.mv_version`
+    * guard — increments apply exactly once. A group whose count reaches
+    * zero DELETEs its row (the empty group leaves the view, matching the
+    * batch aggregate); a delta that is pure retraction for an absent
+    * group (a replay after that delete) inserts nothing (`s.dn > 0`).
+    */
+  private[graft] def applyMvBatch(mv: String, tag: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val sess = batch.sparkSession
+    val view = s"mv_delta_${tag}_$batchId"
+    batch.createOrReplaceTempView(view)
+    sess.sql(
+      s"""MERGE INTO $mv t
+         |USING (
+         |  SELECT source,
+         |         SUM(IF(_change_type = 'insert', 1L, -1L)) AS dn,
+         |         SUM(IF(_change_type = 'insert', score, -score)) AS dsum,
+         |         MAX(_commit_version) AS v
+         |  FROM $view GROUP BY source) s
+         |ON t.source = s.source
+         |WHEN MATCHED AND s.v > t.mv_version AND t.n + s.dn = 0L THEN DELETE
+         |WHEN MATCHED AND s.v > t.mv_version THEN UPDATE SET
+         |  n = t.n + s.dn, sum_score = t.sum_score + s.dsum, mv_version = s.v
+         |WHEN NOT MATCHED AND s.dn > 0L THEN
+         |  INSERT (source, n, sum_score, mv_version)
+         |  VALUES (s.source, s.dn, s.dsum, s.v)
+         |""".stripMargin)
+    sess.catalog.dropTempView(view): Unit
+  }
+
+  /** q_incremental_mv — DELETE-AWARE INCREMENTAL VIEW MAINTENANCE (the
+    * materialized aggregate a change feed can keep that a streaming
+    * aggregation CANNOT: Structured Streaming has no retractions, so an
+    * update-mode `groupBy.agg` over inserts never learns a row DIED —
+    * `q_stream_upsert` maintains last-writer-wins rows, this maintains
+    * COUNTS AND SUMS under row-level churn): the upstream table takes an
+    * insert wave, an UPDATE (delete+insert pairs through the feed) and a
+    * DELETE; each micro-batch's change rows fold into per-group deltas
+    * (+1/−1, +score/−score) and ONE MERGE applies them to the aggregate
+    * table — O(churn) per cycle where a rebuild is O(table), the
+    * medallion silver→gold hop. Replay-safe via the per-group
+    * `mv_version` guard ([[applyMvBatch]]) — increments are not
+    * naturally idempotent, the version gate makes them so. The oracle is
+    * the batch aggregate over the upstream's FINAL state: incremental
+    * maintenance must be invisible to the numbers.
+    */
+  def qIncrementalMv(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s"graft_cow.ops.mv_src_$sfx"
+    val mv = s"graft_cow.ops.mv_$sfx"
+    spark.sql(s"CREATE TABLE $src (doc_id BIGINT, source STRING, " +
+      "score BIGINT) TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $mv (source STRING, n BIGINT, " +
+      "sum_score BIGINT, mv_version BIGINT)")
+    // v1: the base; v2: re-scores (delete+insert pairs); v3: a purge.
+    spark.sql(
+      s"""INSERT INTO $src
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(s"UPDATE $src SET score = score + 1000 WHERE doc_id % 4 = 1")
+    spark.sql(s"DELETE FROM $src WHERE doc_id % 5 = 2")
+    val query = startWithStatePartitions(spark, 4) {
+      spark.readStream
+        .option("maxVersionsPerBatch", "1")
+        .table(s"$src.changes")
+        .writeStream
+        .option("checkpointLocation", ckpt())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(applyMvBatch(mv, sfx) _)
+        .start()
+    }
+    query.awaitTermination()
+    spark.sql(s"SELECT source, n, sum_score FROM $mv ORDER BY source")
+  }
+
   /** q_stream_merge_mor — the IDENTICAL streaming MERGE upsert as
     * [[qStreamMerge]], against a MERGE-ON-READ table
     * (`TBLPROPERTIES ('graft.mode' = 'mor')`). This is the
@@ -3094,6 +3177,7 @@ object StreamOps extends Serializable {
     "q_stream_changes"     -> qStreamChanges _,
     "q_stream_upsert"      -> qStreamUpsert _,
     "q_cdc_pipeline"       -> qCdcPipeline _,
+    "q_incremental_mv"     -> qIncrementalMv _,
     "q_stream_table_read"  -> qStreamTableRead _,
     "q_stream_sink_cow"    -> qStreamSinkCow _,
     "q_stream_ohlc"        -> qStreamOhlc _,
@@ -3404,6 +3488,18 @@ object StreamOps extends Serializable {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // The replica equals the source's final state: the merge scenario's
     // survivors minus the v3 keyed sweep (score % 7 = 0).
+    // Incremental maintenance must be invisible to the numbers: the
+    // batch aggregate over the upstream's FINAL state is the answer.
+    "q_incremental_mv" ->
+      """WITH cur AS (
+        |  SELECT doc_id, source,
+        |         n_chars + CASE WHEN doc_id % 4 = 1 THEN 1000 ELSE 0 END
+        |           AS score
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 2
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(score) AS BIGINT) AS sum_score
+        |FROM cur GROUP BY source ORDER BY source""".stripMargin,
     "q_cdc_pipeline" ->
       """SELECT doc_id, source, score FROM (
         |  SELECT doc_id, source, n_chars AS score FROM documents

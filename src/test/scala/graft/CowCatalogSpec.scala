@@ -2339,6 +2339,53 @@ class CowCatalogSpec extends SparkSpec {
       "replica must equal source after a multi-commit batch")
   }
 
+  test("incremental MV: deltas track churn across resumes, replay is gated, an emptied group leaves the view") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = fresh("mvsrc")
+    val mv = fresh("mv")
+    spark.sql(s"CREATE TABLE $src (doc_id BIGINT, source STRING, score BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $mv (source STRING, n BIGINT, sum_score BIGINT, " +
+      "mv_version BIGINT)")
+    val ck = java.nio.file.Files.createTempDirectory("mvspec_ck_").toString
+    def drain(): Unit = {
+      spark.readStream.option("maxVersionsPerBatch", "1").table(s"$src.changes")
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch(graft.streaming.StreamOps.applyMvBatch(mv, sfx) _)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def view() = spark.sql(
+      s"SELECT source, n, sum_score FROM $mv ORDER BY source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def expect() = spark.sql(
+      s"SELECT source, count(*), sum(score) FROM $src GROUP BY source " +
+        "ORDER BY source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // Round 1: base + an update pair; the MV equals the batch aggregate.
+    spark.sql(s"INSERT INTO $src VALUES (1, 'a', 10), (2, 'a', 20), " +
+      "(3, 'b', 30), (4, 'b', 40), (5, 'c', 50)")
+    spark.sql(s"UPDATE $src SET score = 25 WHERE doc_id = 2")
+    drain()
+    assert(view() == expect(), "MV must equal the batch aggregate")
+    assert(view() == Seq(("a", 2L, 35L), ("b", 2L, 70L), ("c", 1L, 50L)))
+    // Replay gate: re-applying an already-applied batch is a no-op — the
+    // per-group mv_version guard makes the increments exactly-once.
+    val replay = spark.read.option("startVersion", "0")
+      .option("endVersion", "1").table(s"$src.changes")
+    graft.streaming.StreamOps.applyMvBatch(mv, sfx + "r")(replay, 999L)
+    assert(view() == Seq(("a", 2L, 35L), ("b", 2L, 70L), ("c", 1L, 50L)),
+      "a replayed batch must not double-apply its deltas")
+    // Round 2 (post-checkpoint): a purge that EMPTIES group c — its row
+    // must leave the view, exactly like the batch aggregate.
+    spark.sql(s"DELETE FROM $src WHERE doc_id IN (5)")
+    spark.sql(s"INSERT INTO $src VALUES (6, 'a', 100)")
+    drain()
+    assert(view() == expect(), "MV must track the source across resumes")
+    assert(!view().exists(_._1 == "c"), "an emptied group must leave the view")
+    assert(view() == Seq(("a", 3L, 135L), ("b", 2L, 70L)))
+  }
+
   test("expire_snapshots + refs: time-based retention honors tag/current protection; refs list every pointer; both recover") {
     val tbl = fresh("expire")
     mkBase(tbl) // v1

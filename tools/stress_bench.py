@@ -103,7 +103,10 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              # round-17: ANN delete propagation (two CDF micro-batches
              # through foreachBatch retire+append; per-batch plan and
              # keyed-delete commit dominate).
-             "q_ann_gc"}
+             "q_ann_gc",
+             # round-17: incremental MV (three CDF micro-batches, each a
+             # per-group delta MERGE commit).
+             "q_incremental_mv"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
@@ -214,7 +217,8 @@ def main():
                  "q_stream_backlog": 5_000,
                  # replays the embeddings table (5k vectors at sf0.1)
                  "q_ann_stream": 5_000,
-                 "q_ann_gc": 5_000}
+                 "q_ann_gc": 5_000,
+                 "q_incremental_mv": 5_000}
     stream_rates = {}
     for q in sorted(SUBLINEAR & set(names)):
         base = base_rows.get(q, base_events)
