@@ -969,6 +969,20 @@ object CowStore {
     }.collect()
     val files = written.flatMap(_._1).toSeq
     val keys = written.flatMap(_._2).toVector
+    // Blind-upsert rows must be UNIQUE per key (the E361 contract): two
+    // source rows with one key would both survive — the entry only
+    // reaches OLDER files — and the "replaced wholesale" promise breaks
+    // silently. The keys are already on the driver; check before
+    // publishing, clean up the staged files on refusal.
+    if (keys.distinct.length != keys.length) {
+      files.foreach { case (path, _) => new java.io.File(path).delete() }
+      val dup = keys.groupBy(identity).collectFirst {
+        case (v, g) if g.length > 1 => v
+      }.get
+      throw new IllegalArgumentException(
+        s"graft-cow: evolving merge source carries duplicate key '$dup' — " +
+          "upsert rows must be unique per delete-key")
+    }
     synchronized {
       val st = Option(tables.get(k)).getOrElse(
         throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))

@@ -665,6 +665,13 @@ class CowCatalogSpec extends SparkSpec {
     assert(intercept[Exception](CowStore.mergeEvolve(cat, ident,
       spark.range(0, 1).select(col("id"), lit(1L).as("v"),
         lit(2L).as("w2")))).toString.contains("DROPPED"))
+    // Duplicate keys break the replaced-wholesale promise — refuse.
+    assert(intercept[Exception](CowStore.mergeEvolve(cat, ident,
+      spark.range(0, 2).select(lit(77L).as("id"), col("id").as("v"),
+        (col("id") + 9000L).as("w9"))))
+      .toString.contains("duplicate key"))
+    assert(!CowStore.get(cat, ident).get.schema.fieldNames.contains("w9"),
+      "a refused evolving merge must not evolve the schema")
   }
 
   test("resurrection guard: a group rewrite refuses when concurrent deletes landed on its groups") {
@@ -1958,6 +1965,10 @@ class CowCatalogSpec extends SparkSpec {
     try assert(dvRows() == colRows,
       "columnar and row-walk reads of a DV'd file must be identical")
     finally sys.props.remove("graft.cow.columnar")
+    // Bare count on a DV'd table: the filtered columnar batch with ZERO
+    // output columns (the iteration-driver column decodes, nothing maps).
+    assert(spark.table(mor).count() == 9L,
+      "a zero-column filtered columnar scan must count survivors")
     // optimize folds the DVs — still columnar, now unfiltered.
     val name = mor.split("\\.").drop(1).mkString(".")
     spark.sql(s"CALL $cat.optimize('$name', ${64L * 1024 * 1024}L)")
