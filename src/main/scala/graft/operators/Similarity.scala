@@ -1531,7 +1531,20 @@ object Similarity {
     try {
       val keys = net.select(col("vec_id")).collect().map(_.getLong(0))
       val sess = batch.sparkSession
-      if (keys.nonEmpty)
+      // The seed wave lands on an EMPTY index: its delete entry would
+      // retire instantly while the corpus-sized IN list still pays a
+      // full parse (10.3 s → ~6 s at the ×40 stress point). On a
+      // REPLAYED seed batch the rows exist, the index is non-empty, and
+      // the retire runs — idempotency is preserved, only the provably
+      // no-op delete is skipped.
+      val idxNonEmpty = {
+        val parts = idx.split("\\.")
+        graft.sources.CowStore.get(parts(0),
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.slice(1, parts.length - 1), parts.last))
+          .exists(_.files.nonEmpty)
+      }
+      if (keys.nonEmpty && idxNonEmpty)
         sess.sql(s"DELETE FROM $idx WHERE vec_id IN (${keys.mkString(", ")})")
       net.filter(col("act") === "insert")
         .select(col("vec_id"),

@@ -2596,16 +2596,34 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
         // AND migrates pre-evolution partition layouts to the current
         // spec (the Iceberg rewrite_data_files contract; a bin from an
         // old spec fans out to its rows' current-spec partitions).
+        // VECTORIZED bin decode (round 17): compaction reads through the
+        // same columnar reader the scans use — DV'd and equality-deleted
+        // rows compact through the selection vector — and feeds the
+        // router one batch-row view at a time (the router extracts
+        // values per write call, so the mutable view is safe to reuse).
+        // The knob is resolved on the DRIVER so the A/B flag composes
+        // with executor closures.
+        val vectorized = !sys.props.get("graft.cow.columnar").contains("false")
         val rewritten = spark.sparkContext
           .parallelize(bins, bins.size)
           .map { bin =>
             val out = new CowTaskRouter(dir, schema, schema, curSpec, curSpecId)
-            val rf = CowReaderFactory(schema, schema)
+            val rf = CowReaderFactory(schema, schema, columnar = vectorized)
             bin.files.foreach { case (f, cols, dv, cm, (ec, el, es)) =>
-              val r = rf.createReader(CowFilePartition(f, cols, dv, cm,
-                eqCol = ec, eqLongs = el, eqStrs = es))
-              try while (r.next()) out.write(r.get(), 0)
-              finally r.close()
+              val part = CowFilePartition(f, cols, dv, cm,
+                eqCol = ec, eqLongs = el, eqStrs = es)
+              if (vectorized) {
+                val r = rf.columnarReader(part, keepOnly = null,
+                  consts = Map.empty, metrics = false)
+                try while (r.next()) {
+                  val it = r.get().rowIterator()
+                  while (it.hasNext) out.write(it.next(), 0)
+                } finally r.close()
+              } else {
+                val r = rf.createReader(part)
+                try while (r.next()) out.write(r.get(), 0)
+                finally r.close()
+              }
             }
             (out.finish(), bin.files.map(_._1))
           }
