@@ -1293,13 +1293,16 @@ object RowLevelOps {
 
   /** The bounded OPTIMISTIC-WRITER LOOP behind [[retrySql]] (split out so
     * the spec can drive it deterministically): run `body`, and when it
-    * fails with a write-write conflict (`ConcurrentModificationException`
-    * anywhere in the cause chain — Spark wraps executor/commit errors),
-    * run it again, up to `maxAttempts` total. Returns (result, attempts
-    * used). Non-conflict failures propagate immediately — retry is a
-    * remedy for losing a race, never for a broken statement — and a
-    * conflict on the final attempt rethrows loudly (persistent
-    * contention must surface, not spin).
+    * fails with a write-write conflict (the store's DEDICATED
+    * [[graft.sources.CowStore.CommitConflictException]] anywhere in the
+    * cause chain — Spark wraps executor/commit errors; a bare JDK
+    * `ConcurrentModificationException` from unrelated code never
+    * matches, so a real concurrency bug is never silently re-run —
+    * round-17 ADVICE), run it again, up to `maxAttempts` total. Returns
+    * (result, attempts used). Non-conflict failures propagate
+    * immediately — retry is a remedy for losing a race, never for a
+    * broken statement — and a conflict on the final attempt rethrows
+    * loudly (persistent contention must surface, not spin).
     */
   private[graft] def retryOnConflict[T](maxAttempts: Int)(
       body: Int => T): (T, Int) = {
@@ -1307,7 +1310,7 @@ object RowLevelOps {
     def isConflict(t: Throwable): Boolean = {
       var c: Throwable = t
       while (c != null) {
-        if (c.isInstanceOf[java.util.ConcurrentModificationException])
+        if (c.isInstanceOf[graft.sources.CowStore.CommitConflictException])
           return true
         c = if (c.getCause eq c) null else c.getCause
       }

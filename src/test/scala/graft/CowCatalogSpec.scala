@@ -727,14 +727,14 @@ class CowCatalogSpec extends SparkSpec {
     val (v, used) = RowLevelOps.retryOnConflict(3) { a =>
       calls += 1
       if (a < 3) throw new RuntimeException("spark wrapper",
-        new java.util.ConcurrentModificationException("graft-cow: staged"))
+        new CowStore.CommitConflictException("graft-cow: staged"))
       "ok"
     }
     assert(v == "ok" && used == 3 && calls == 3)
     // Exhaustion: persistent contention surfaces the conflict.
     intercept[java.util.ConcurrentModificationException] {
       RowLevelOps.retryOnConflict(2)(_ =>
-        throw new java.util.ConcurrentModificationException("persistent"))
+        throw new CowStore.CommitConflictException("persistent"))
     }
     // Non-conflict failures never retry — a broken statement is not a race.
     var n = 0
@@ -744,6 +744,16 @@ class CowCatalogSpec extends SparkSpec {
       }
     }
     assert(n == 1)
+    // A BARE JDK ConcurrentModificationException (a collection mutated
+    // inside user code, NOT a commit conflict) must never re-run the
+    // statement — only the store's dedicated type retries (r17 ADVICE).
+    var m = 0
+    intercept[java.util.ConcurrentModificationException] {
+      RowLevelOps.retryOnConflict(3) { _ =>
+        m += 1; throw new java.util.ConcurrentModificationException("user bug")
+      }
+    }
+    assert(m == 1, "a bare CME must not be treated as a commit conflict")
     // Integration: two barrier-aligned writers, SAME single-file table,
     // row-disjoint COW DELETEs through retrySql — both land, neither
     // errors, the final state is the serial application. Interleaving is
@@ -1996,8 +2006,15 @@ class CowCatalogSpec extends SparkSpec {
     val st2 = CowStore.get(cat, ident).get
     assert(st2.files == st1.files && st2.deletes.isEmpty,
       "equality delete must rewrite nothing and record no positions")
-    assert(st2.snapshot.eqDeletes ==
-      Vector(CowStore.EqDelete(2L, Vector("2", "4"))))
+    // The entry is an O(1) REFERENCE (version, delete-file path, count);
+    // the keys live in the referenced parquet delete file.
+    val eqEntry = st2.snapshot.eqDeletes match {
+      case Vector(e) => e
+      case other => fail(s"expected one eq-delete entry, got $other")
+    }
+    assert(eqEntry.version == 2L && eqEntry.count == 2L)
+    assert(graft.sources.CowEqDeleteFiles.keys(eqEntry.file).toSeq ==
+      Seq("2", "4"))
     assert(spark.sql(s"SELECT sum(v), count(*) FROM $tbl").head.toSeq ==
       Seq((0 until 10).filterNot(Set(2, 4)).map(_ * 2).sum.toLong, 8L))
     // The eq-filtered scan stays COLUMNAR (round 17): the selection
@@ -2083,9 +2100,75 @@ class CowCatalogSpec extends SparkSpec {
     val st5 = CowStore.get(cat, ident).get
     assert(st5.deletes.isEmpty,
       "eq tables must never record positional deletes")
-    assert(st5.snapshot.eqDeletes.map(_.keys) == Vector(Vector("3")),
+    assert(st5.snapshot.eqDeletes.map(e =>
+      graft.sources.CowEqDeleteFiles.keys(e.file).toSeq) ==
+        Vector(Seq("3")),
       s"the matched row's KEY must land: ${st5.snapshot.eqDeletes}")
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 8L)
+  }
+
+  test("equality-delete FILES: manifest bytes stay O(1) per commit regardless of key count (r17 weak mark)") {
+    val tbl = fresh("eqflat")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 100000, 1, 1)")
+    val ident = identOf(tbl)
+    val dir = CowStore.get(cat, ident).get.dir
+    def manifestBytes(v: Long): Long = java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "_log", s"v$v.manifest"))
+    // A 10-key delete vs a 50,000-key delete: the manifests differ by
+    // O(1) (one `eqdelf` reference line each), never O(keys) — the
+    // streaming upsert's metadata stays flat between optimize runs.
+    CowStore.commitDeltaEq(cat, ident, Seq.empty, Map.empty,
+      (0L until 10L).map(_.toString).toVector)
+    val small = manifestBytes(CowStore.get(cat, ident).get.version)
+    CowStore.commitDeltaEq(cat, ident, Seq.empty, Map.empty,
+      (10L until 50010L).map(_.toString).toVector)
+    val st3 = CowStore.get(cat, ident).get
+    val big = manifestBytes(st3.version)
+    assert(big - small < 256,
+      s"manifest must stay flat under key churn: $small -> $big bytes")
+    assert(st3.snapshot.eqDeletes.map(_.count) == Vector(10L, 50000L))
+    // The keys decode executor-side from the referenced parquet files
+    // and both entries apply to the scan.
+    assert(spark.sql(s"SELECT count(*), min(id) FROM $tbl").head.toSeq ==
+      Seq(49990L, 50010L))
+    // Durability: the O(1) references recover from the log and the
+    // delete files still read.
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st3.dir)
+    assert(rec.snapshot.eqDeletes == st3.snapshot.eqDeletes)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 49990L)
+  }
+
+  test("resurrection-guard precision: eq entries only conflict with rewrites of files they actually cover") {
+    val tbl = fresh("eqprecise")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 10, 1, 1)")
+    val ident = identOf(tbl)
+    val oldFiles = CowStore.get(cat, ident).get.files.toSet
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (2, 4)") // v2: eq entry
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(10, 20, 1, 1)")
+    val st = CowStore.get(cat, ident).get
+    val newFile = (st.files.toSet -- oldFiles).head
+    // A rewrite replacing only the POST-entry file: the entry cannot
+    // cover it (the file's seq exceeds the entry version), so even a
+    // rewrite that never read the entry commits — no spurious refusal
+    // when compaction races keyed deletes (r17 ADVICE).
+    CowStore.commit(cat, ident, Seq.empty, Some(Set(newFile)), Map.empty,
+      None, readDvs = Some(Map(newFile -> 0)),
+      readEqVersions = Some(Set.empty))
+    assert(!CowStore.get(cat, ident).get.files.contains(newFile))
+    // A rewrite of the PRE-entry file stays a loud conflict: the entry
+    // covers it, and re-sequencing would resurrect ids 2 and 4.
+    val e = intercept[java.util.ConcurrentModificationException] {
+      CowStore.commit(cat, ident, Seq.empty, Some(oldFiles), Map.empty,
+        None, readDvs = Some(oldFiles.map(_ -> 0).toMap),
+        readEqVersions = Some(Set.empty))
+    }
+    assert(e.isInstanceOf[CowStore.CommitConflictException] &&
+      e.getMessage.contains("equality-delete"), s"$e")
   }
 
   test("streaming change feed: exactly-once delivery, checkpointed mid-history resume serves only new diffs, loud COW refusal") {
