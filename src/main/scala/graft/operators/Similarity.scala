@@ -1451,7 +1451,11 @@ object Similarity {
     // Commit 3: the late wave.
     csv.filter(col("vec_id") % 3 === 0).writeTo(src).append()
     val ck = java.nio.file.Files.createTempDirectory("annstream_ck_").toString
-    annStreamDrain(spark, d, src, idx, ck)
+    // The checkpoint is per-run scratch: drop it after the drain (Bench
+    // runs each query twice and the stress sweep at ×3/×10/×40 —
+    // leaving them would accumulate in /tmp; round-17 ADVICE).
+    try annStreamDrain(spark, d, src, idx, ck)
+    finally dropCheckpoint(ck)
     annCowProbe(spark, d, idx)
   }
 
@@ -1462,8 +1466,9 @@ object Similarity {
     * records, and the maintenance loop retires those vectors from the
     * serving index — per batch, the NET per-key action ([[
     * graft.streaming.StreamOps.applyCdcBatch]]'s commit-version
-    * ordering) drives ONE keyed `DELETE … WHERE vec_id IN (…)` (the
-    * E367/E358 metadata delete: O(keys), zero index files read) plus
+    * ordering) drives ONE keyed equality-delete COMMIT (the E367/E358
+    * metadata delete as a direct store call: O(keys) into a parquet
+    * delete file, zero index files read, zero SQL text) plus
     * one append of re-encoded inserts — delete-then-insert on a keyed
     * table IS upsert, so a replayed batch converges (at-least-once
     * foreachBatch turns exactly-once). The probe must bit-match the
@@ -1491,8 +1496,20 @@ object Similarity {
       .writeTo(src).append()
     spark.sql(s"DELETE FROM $src WHERE vec_id % 11 = 5")
     val ck = java.nio.file.Files.createTempDirectory("anngc_ck_").toString
-    annGcDrain(spark, d, src, idx, ck)
+    try annGcDrain(spark, d, src, idx, ck)
+    finally dropCheckpoint(ck)
     annCowProbe(spark, d, idx)
+  }
+
+  /** Remove a drained checkpoint directory — per-run scratch whose
+    * stream has terminated (AvailableNow); round-17 ADVICE.
+    */
+  private def dropCheckpoint(ck: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(): Unit
+    }
+    rec(new java.io.File(ck))
   }
 
   /** One checkpointed AvailableNow drain of the [[qAnnGc]] maintenance
@@ -1513,10 +1530,11 @@ object Similarity {
 
   /** One GC micro-batch applied to the index: net action per key by
     * (_commit_version, insert-over-delete) — every touched key leaves
-    * the index via ONE keyed metadata DELETE (a re-embed's stale code
-    * dies the same way an erasure does), then the batch's inserts
+    * the index via ONE keyed equality-delete COMMIT (a re-embed's stale
+    * code dies the same way an erasure does), then the batch's inserts
     * re-encode and append. The touched-key list rides the driver like
-    * the equality-delete entry it becomes — O(churn keys), never a scan.
+    * the equality-delete entry it becomes — O(churn keys), never a
+    * scan, never SQL text.
     */
   private def annGcApply(idx: String, quant: DataFrame)(
       batch: DataFrame, batchId: Long): Unit = {
@@ -1530,22 +1548,25 @@ object Similarity {
       .persist()
     try {
       val keys = net.select(col("vec_id")).collect().map(_.getLong(0))
-      val sess = batch.sparkSession
+      val parts = idx.split("\\.")
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.slice(1, parts.length - 1), parts.last)
       // The seed wave lands on an EMPTY index: its delete entry would
-      // retire instantly while the corpus-sized IN list still pays a
-      // full parse (10.3 s → ~6 s at the ×40 stress point). On a
-      // REPLAYED seed batch the rows exist, the index is non-empty, and
-      // the retire runs — idempotency is preserved, only the provably
-      // no-op delete is skipped.
-      val idxNonEmpty = {
-        val parts = idx.split("\\.")
-        graft.sources.CowStore.get(parts(0),
-          org.apache.spark.sql.connector.catalog.Identifier.of(
-            parts.slice(1, parts.length - 1), parts.last))
-          .exists(_.files.nonEmpty)
-      }
+      // retire instantly at publish — skip the provably no-op commit.
+      // On a REPLAYED seed batch the rows exist, the index is
+      // non-empty, and the retire runs — idempotency is preserved,
+      // only the no-op is skipped.
+      val idxNonEmpty =
+        graft.sources.CowStore.get(parts(0), ident).exists(_.files.nonEmpty)
       if (keys.nonEmpty && idxNonEmpty)
-        sess.sql(s"DELETE FROM $idx WHERE vec_id IN (${keys.mkString(", ")})")
+        // DIRECT equality-delete commit (round-17 ADVICE / verdict #5):
+        // the keys become one parquet delete file plus an O(1) manifest
+        // reference — no `IN (…)` SQL text, so a ×40 erasure batch no
+        // longer pays statement-parse time proportional to churn (the
+        // old literal list measured ~10 s of parse at that stress
+        // point) and can never hit parser/driver statement limits.
+        graft.sources.CowStore.commitDeltaEq(parts(0), ident,
+          Seq.empty, Map.empty, keys.map(_.toString).toVector)
       net.filter(col("act") === "insert")
         .select(col("vec_id"),
           expr("transform(split(emb_csv, ','), x -> CAST(x AS FLOAT))")
