@@ -1260,6 +1260,40 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** q_cow_rebase — BRANCH AUTO-REBASE on disjoint files (the round-17
+    * verdict brief's #2): [[qCowBranch]]'s WAP flow, except MAIN takes
+    * an interim commit between the fork and the publish (the hourly
+    * ingest that never pauses for an audit). The publish is no longer a
+    * fast-forward; [[graft.sources.CowStore.publishBranch]] validates
+    * that the two lineages touched DISJOINT files and neither evolved
+    * snapshot metadata, then replays the branch's cumulative file diff
+    * onto main's head in ONE commit — the branch backfill (new files),
+    * its COW audit fix-up (a rewrite of branch-added files only) and
+    * main's interim append all land; overlapping rewrites and schema /
+    * equality-delete divergence still refuse loudly with the same
+    * conflict signal `retrySql` validates (spec-pinned). The oracle is
+    * the fully merged state: every document, with the fix-up's +40 on
+    * the branch rows it touched (doc_id % 18 = 0 — the even-doc_id
+    * backfill rows that are multiples of 9).
+    */
+  def qCowRebase(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "rebase")       // main: %3<>0 rows
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $CatalogName.branch('$name', 'audit')")
+    spark.sql(                               // branch-only backfill (even)
+      s"""INSERT INTO $tbl.branch_audit
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 = 0 AND doc_id % 2 = 0""".stripMargin)
+    spark.sql(                               // audit fix-up on the branch
+      s"UPDATE $tbl.branch_audit SET score = score + 40 WHERE doc_id % 9 = 0")
+    spark.sql(                               // DISJOINT main interim commit
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1""".stripMargin)
+    spark.sql(s"CALL $CatalogName.publish('$name', 'audit')") // auto-rebase
+    finalState(spark, tbl)
+  }
+
   /** q_cow_optimize — POLICY compaction (`CALL graft_cow.optimize(table,
     * target_bytes)`, Iceberg `rewrite_data_files` in miniature): small
     * files are picked FROM MANIFEST STATS (zero I/O to plan), bin-packed
@@ -1449,6 +1483,7 @@ object RowLevelOps {
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
     "q_cow_branch"      -> qCowBranch _,
+    "q_cow_rebase"      -> qCowRebase _,
     "q_cow_history"  -> qCowHistory _,
     "q_merge_into"   -> qMergeInto _,
     "q_merge_into_mor" -> qMergeIntoMor _,
@@ -1709,6 +1744,14 @@ object RowLevelOps {
     "q_cow_branch" ->
       """SELECT doc_id, source,
         |       n_chars + (CASE WHEN doc_id % 9 = 0 THEN 40 ELSE 0 END) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The auto-rebased publish, rebuilt declaratively: base + branch
+    // backfill (+40 where the fix-up hit it: even multiples of 9) +
+    // main's disjoint interim append — ONE merged relation covering
+    // every document.
+    "q_cow_rebase" ->
+      """SELECT doc_id, source,
+        |       n_chars + (CASE WHEN doc_id % 18 = 0 THEN 40 ELSE 0 END) AS score
         |FROM documents ORDER BY doc_id""".stripMargin,
     // The change feed rebuilt declaratively: v2's UPDATE (doc_id%5=0)
     // emits a pre-image delete + post-image insert pair; v3's DELETE

@@ -1734,11 +1734,38 @@ object CowStore {
       writeBranches(nst)
     }
 
-  /** FAST-FORWARD main to a branch head — the publish half of WAP. The
-    * check is genuine ancestry (each commit records its parent): if main
-    * advanced since the fork, the branch head no longer descends from
-    * main and the publish throws instead of silently dropping main's
-    * commits — rebase by re-running the branch work against current main.
+  /** Publish a branch to main — the publish half of WAP. FAST-FORWARD
+    * when main hasn't moved since the fork (genuine ancestry: each
+    * commit records its parent); otherwise AUTO-REBASE (the round-17
+    * verdict brief's #2 — Iceberg fast-forward plus the cherry-pick its
+    * optimistic writers practice): the branch's CUMULATIVE file diff
+    * replays onto main's head in ONE commit when it provably composes —
+    * the branch and main's interim commits touched DISJOINT files and
+    * neither side evolved snapshot metadata. Anything else refuses with
+    * [[CommitConflictException]] (the same write-write signal
+    * `retrySql` validates), never by silently dropping either side's
+    * commits.
+    *
+    * Compose conditions, all decided from manifests under the store
+    * lock (zero data I/O):
+    *  - schema and field ids identical at the fork, the branch head and
+    *    main's head (schema evolution on either side → refuse; spec /
+    *    write-order / delete-key / tombstones are State-global and
+    *    cannot diverge between refs);
+    *  - no equality-delete entry changes on either side — an entry
+    *    dooms keys in every OLDER file, so replaying one against
+    *    interim files it never saw would change its meaning;
+    *  - DISJOINT TOUCH SETS: the files the branch removed or
+    *    delete-vectored are untouched on main, and vice versa — the
+    *    resurrection guard's logic lifted to branch scope. Appends
+    *    always compose; COW rewrites/compactions and MOR DV growth
+    *    compose exactly when they hit different files.
+    *
+    * The rebased commit adopts the branch's added files (their stats
+    * and sequence numbers were recorded by the branch commits), drops
+    * what the branch removed, and carries its per-file DV growth; its
+    * parent is MAIN's head, so lineage stays decidable. The branch
+    * pointer is left where it was (its own lineage is still true).
     */
   def publishBranch(catalog: String, ident: Identifier,
                     name: String): Long = synchronized {
@@ -1746,16 +1773,57 @@ object CowStore {
     val st = Option(tables.get(k)).getOrElse(
       throw new NoSuchTableException(ident))
     val head = st.headOf(Some(name))
-    if (!st.ancestors(head).contains(st.version))
+    if (st.ancestors(head).contains(st.version)) {
+      val nst = st.copy(version = head)
+      tables.put(k, nst)
+      writeBranches(nst)
+      return head
+    }
+    def refuse(why: String): Nothing =
       throw new CommitConflictException(
-        s"graft-cow: publish of branch '$name' is not a fast-forward — " +
-          s"main moved to version ${st.version}, which is not an ancestor " +
-          s"of the branch head $head; re-run the branch work against " +
-          "current main")
-    val nst = st.copy(version = head)
-    tables.put(k, nst)
-    writeBranches(nst)
-    head
+        s"graft-cow: publish of branch '$name' is not a fast-forward " +
+          s"(main moved to version ${st.version}) and cannot auto-rebase " +
+          s"— $why; re-run the branch work against current main")
+    val mainAnc = st.ancestors(st.version)
+    val fork = st.ancestors(head).intersect(mainAnc).maxOption.getOrElse(
+      refuse("the branch shares no ancestor with main"))
+    val forkSnap = st.history.getOrElse(fork,
+      refuse(s"the fork point (version $fork) was expired from history"))
+    val bSnap = st.history(head)
+    val mSnap = st.snapshot
+    if (bSnap.schema != forkSnap.schema || mSnap.schema != forkSnap.schema ||
+        effectiveIds(bSnap) != effectiveIds(forkSnap) ||
+        effectiveIds(mSnap) != effectiveIds(forkSnap))
+      refuse("the schema evolved since the fork")
+    if (bSnap.eqDeletes != forkSnap.eqDeletes ||
+        mSnap.eqDeletes != forkSnap.eqDeletes)
+      refuse("equality-delete entries changed since the fork (an entry " +
+        "dooms keys in every older file; replaying it against files it " +
+        "never saw would change its meaning)")
+    val forkFiles = forkSnap.files.toSet
+    // A side's TOUCH SET: fork files it removed (COW rewrite, compaction,
+    // truncate) plus fork files whose delete vector it grew.
+    def touched(s: Snapshot): Set[String] =
+      (forkFiles -- s.files.toSet) ++ forkFiles.filter(f =>
+        s.deletes.getOrElse(f, Vector.empty) !=
+          forkSnap.deletes.getOrElse(f, Vector.empty))
+    val bTouched = touched(bSnap)
+    val overlap = bTouched.intersect(touched(mSnap))
+    if (overlap.nonEmpty)
+      refuse(s"both sides touched ${overlap.size} common file(s), e.g. " +
+        s"${overlap.head}")
+    val bAdded = bSnap.files.filterNot(forkFiles)
+    val bRemoved = forkFiles -- bSnap.files.toSet
+    // Branch DV state to carry: grown vectors on surviving fork files
+    // (untouched on main by the disjointness check) and any vectors on
+    // the branch's own added files.
+    val bDvs = (bTouched.diff(bRemoved) ++ bAdded).iterator
+      .map(f => f -> bSnap.deletes.getOrElse(f, Vector.empty))
+      .filter(_._2.nonEmpty).toMap
+    val rebased = mSnap.copy(
+      files = mSnap.files.filterNot(bRemoved) ++ bAdded,
+      deletes = (mSnap.deletes -- bRemoved) ++ bDvs)
+    publish(k, st, rebased, Map.empty).version
   }
 
   private def writeTags(st: State): Unit = {

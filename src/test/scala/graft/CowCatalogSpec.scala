@@ -3428,28 +3428,63 @@ class CowCatalogSpec extends SparkSpec {
       "published main must carry the branch's insert + update")
   }
 
-  test("branches: publish refuses a non-fast-forward; branch heads survive VACUUM") {
+  test("branches: publish auto-rebases disjoint interim commits; overlapping rewrites refuse; branch heads survive VACUUM") {
     val tbl = fresh("wapff")
     mkBase(tbl)
     val name = tbl.split("\\.").drop(1).mkString(".")
     spark.sql(s"CALL $cat.branch('$name', 'audit')")
     spark.sql(s"INSERT INTO $tbl.branch_audit SELECT id, 'b', id FROM range(100, 105)")
-    // Main moves AFTER the fork: the branch head no longer descends from
-    // main, so publish must throw, and main must stay on its own lineage.
+    // Main moves AFTER the fork with a DISJOINT interim commit (an
+    // append): the publish is no longer a fast-forward, but the
+    // branch's cumulative file diff composes — it AUTO-REBASES onto
+    // main's head in ONE commit, losing neither side (r17 brief #2).
     spark.sql(s"INSERT INTO $tbl SELECT id, 'm', id FROM range(200, 203)")
-    val e = intercept[Exception] {
-      spark.sql(s"CALL $cat.publish('$name', 'audit')")
-    }
-    assert(e.toString.contains("not a fast-forward"), s"got $e")
-    assert(spark.table(tbl).count() == 23)
-    // VACUUM protects the branch head (unpublished work) and main's head.
+    val v0 = CowStore.get(cat, identOf(tbl)).get.version
+    spark.sql(s"CALL $cat.publish('$name', 'audit')")
+    val stPub = CowStore.get(cat, identOf(tbl)).get
+    assert(stPub.version == v0 + 1 &&
+      stPub.parent(stPub.version) == v0,
+      "the rebased publish must be ONE commit whose parent is main's head")
+    assert(spark.table(tbl).count() == 28,
+      "auto-rebase must land main's interim append AND the branch work")
+    assert(spark.table(tbl).where("tag = 'b'").count() == 5 &&
+      spark.table(tbl).where("tag = 'm'").count() == 3)
+    // VACUUM protects the branch head (unpublished lineage) and main.
     spark.sql(s"CALL $cat.vacuum('$name', 1)")
     assert(spark.table(s"$tbl.branch_audit").count() == 25,
       "the branch head must survive VACUUM")
-    assert(spark.table(tbl).count() == 23)
+    assert(spark.table(tbl).count() == 28)
     // Unknown branch identifiers fail loudly.
     val e2 = intercept[Exception] { spark.table(s"$tbl.branch_nope").collect() }
     assert(e2.toString.contains("no such branch"), s"got $e2")
+    // OVERLAP still refuses loudly: a branch UPDATE and a main DELETE
+    // both rewrite the same base file — replaying either side would
+    // silently drop the other's row-level work.
+    val tbl2 = fresh("wapovl")
+    mkBase(tbl2)
+    val name2 = tbl2.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.branch('$name2', 'audit')")
+    spark.sql(s"UPDATE $tbl2.branch_audit SET v = v + 1 WHERE id = 1")
+    spark.sql(s"DELETE FROM $tbl2 WHERE id = 2")
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL $cat.publish('$name2', 'audit')")
+    }
+    assert(e3.toString.contains("cannot auto-rebase") &&
+      e3.toString.contains("common file"), s"got $e3")
+    assert(spark.table(tbl2).count() == 19,
+      "a refused publish must leave main on its own lineage")
+    // Metadata divergence refuses too: schema evolution on main since
+    // the fork cannot compose with branch files laid out pre-evolution.
+    val tbl3 = fresh("wapevo")
+    mkBase(tbl3)
+    val name3 = tbl3.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.branch('$name3', 'audit')")
+    spark.sql(s"INSERT INTO $tbl3.branch_audit SELECT id, 'b', id FROM range(100, 105)")
+    spark.sql(s"ALTER TABLE $tbl3 ADD COLUMN w BIGINT")
+    val e4 = intercept[Exception] {
+      spark.sql(s"CALL $cat.publish('$name3', 'audit')")
+    }
+    assert(e4.toString.contains("schema evolved"), s"got $e4")
   }
 
   test("optimize: only sub-target files are rewritten, bins respect partitions, DVs fold, stats refresh") {
