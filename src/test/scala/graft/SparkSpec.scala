@@ -14,6 +14,10 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // Same session contract as Verify/Bench: the extension installs the
+    // functions/strategy (else GraftExtensions.register does it lazily)
+    // and the MERGE WITH SCHEMA EVOLUTION parser surface.
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 
   /** Smallest fixture scale — correctness shape, not volume. */
