@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // SQL surface for the one-commit MERGE WITH SCHEMA EVOLUTION on
     // graft-cow targets (round-17 brief #3); every other statement
     // delegates to Spark's parser byte-identically.
@@ -65,5 +66,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RowNumberTopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RowNumberTopKRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
   }
 }

@@ -2549,6 +2549,67 @@ class CowCatalogSpec extends SparkSpec {
     assert(view() == Seq(("a", 3L, 135L), ("b", 2L, 70L)))
   }
 
+  test("MV rewrite: fresh MVs answer the direct aggregate from the gold scan; stale MVs fall back; re-drain re-enables") {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.GraftExtensions.register(spark)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = fresh("mvrw_src")
+    val mv = fresh("mvrw")
+    spark.sql(s"CREATE TABLE $src (doc_id BIGINT, source STRING, score BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $mv (source STRING, n BIGINT, sum_score BIGINT, " +
+      "mv_version BIGINT)")
+    val ck = java.nio.file.Files.createTempDirectory("mvrw_ck_").toString
+    def drain(): Unit = {
+      spark.readStream.option("maxVersionsPerBatch", "1").table(s"$src.changes")
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch(graft.streaming.StreamOps.applyMvBatch(mv, sfx) _)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    spark.sql(s"INSERT INTO $src VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    drain()
+    val srcIdent = identOf(src)
+    graft.plans.MvRegistry.register(graft.plans.MvRegistry.Entry(
+      cat, srcIdent, cat, identOf(mv),
+      groupCol = "source", mvGroupCol = "source", countCol = "n",
+      sumSrcCol = "score", sumMvCol = "sum_score",
+      appliedVersion = CowStore.get(cat, srcIdent).get.version))
+    try {
+      def agg() = spark.sql(
+        s"""SELECT source, count(*) AS n, sum(score) AS sum_score
+           |FROM $src GROUP BY source ORDER BY source""".stripMargin)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // FRESH: the optimizer substitutes the gold scan — no Aggregate,
+      // the MV table in the plan — with bit-identical results.
+      val fresh1 = agg()
+      val p1 = fresh1.queryExecution.optimizedPlan.toString
+      assert(p1.contains(mv.split("\\.").last) && !p1.contains("Aggregate"),
+        s"a fresh MV must substitute the gold scan:\n$p1")
+      assert(rows(fresh1) == Seq(("a", 2L, 30L), ("b", 1L, 30L)))
+      // A shape the MV does not maintain falls through untouched.
+      val other = spark.sql(
+        s"SELECT source, avg(score) AS a FROM $src GROUP BY source")
+      assert(other.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+        "an unmaintained aggregate shape must not be rewritten")
+      // STALE: new churn on the source — the rewrite must NOT fire, and
+      // the direct aggregate serves the CURRENT numbers.
+      spark.sql(s"DELETE FROM $src WHERE doc_id = 3")
+      val stale = agg()
+      assert(stale.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+        "a stale MV must fall back to the direct aggregate")
+      assert(rows(stale) == Seq(("a", 2L, 30L)),
+        "the stale fallback must serve the source's current state")
+      // Re-drain folds the purge; applyMvBatch advances the freshness
+      // watermark, so the rewrite fires again — same numbers either way.
+      drain()
+      val fresh2 = agg()
+      assert(!fresh2.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+        "a re-drained MV must substitute again")
+      assert(rows(fresh2) == Seq(("a", 2L, 30L)))
+    } finally graft.plans.MvRegistry.deregister(cat, srcIdent)
+  }
+
   test("expire_snapshots + refs: time-based retention honors tag/current protection; refs list every pointer; both recover") {
     val tbl = fresh("expire")
     mkBase(tbl) // v1
