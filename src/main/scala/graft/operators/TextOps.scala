@@ -2937,6 +2937,16 @@ object TextOps {
     * folds (the array is term-sorted, exactly the old sort_array
     * order), prior added last in a pinned chain, and the argmax
     * tie-breaks on lang — so the winner is bit-identical cross-engine.
+    *
+    * CEILING (round-17 verdict note): the broadcast model is
+    * O(|langs| × |vocab|) — fine at any NATURAL language vocabulary
+    * (|langs| is single digits and a tokenized vocab tops out in the
+    * low millions of terms, tens of MB per language — inside Spark's
+    * broadcast comfort zone), but NOT open-ended: a corpus whose "term"
+    * domain explodes (n-gram features, URLs-as-terms) would need the
+    * cmap capped to the top-k terms per language by count (the rest
+    * fold into the unseen-term smoothing mass, a standard NB
+    * truncation) before this plan ships at that scale.
     */
   def qNaiveBayes(spark: SparkSession, d: String): DataFrame = {
     val tf = graft.Tables.cacheForSelfJoin(

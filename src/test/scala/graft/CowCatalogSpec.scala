@@ -2549,6 +2549,42 @@ class CowCatalogSpec extends SparkSpec {
     assert(view() == Seq(("a", 3L, 135L), ("b", 2L, 70L)))
   }
 
+  test("change-feed COUNT(*): insert-only ranges answer from manifests; churned ranges decode honestly") {
+    val tbl = fresh("cdfcnt")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 10, 1, 1)")   // v1
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(10, 15, 1, 1)")  // v2
+    def cdf(s: Long, e: Long) = spark.read
+      .option("startVersion", s.toString).option("endVersion", e.toString)
+      .table(s"$tbl.changes")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // Insert-only range: the count is a manifest sum — zero change rows
+    // decoded (plan pins the LocalTableScan, no batch scan).
+    val cnt = cdf(0, 2).groupBy().count()
+    assert(planOf(cnt).contains("LocalTableScan") &&
+      !planOf(cnt).contains("BatchScan"),
+      s"insert-only CDF count must ride manifests:\n${planOf(cnt)}")
+    assert(cnt.head.getLong(0) == 15L)
+    // Partial range sums only its versions.
+    val part = cdf(1, 2).groupBy().count()
+    assert(planOf(part).contains("LocalTableScan"))
+    assert(part.head.getLong(0) == 5L)
+    // A DV delta in range emits delete RECORDS — the count must fall
+    // back to the real decode and include them.
+    spark.sql(s"DELETE FROM $tbl WHERE id = 3")                            // v3
+    val churned = cdf(0, 3).groupBy().count()
+    assert(!planOf(churned).contains("LocalTableScan"),
+      s"a churned range must decode honestly:\n${planOf(churned)}")
+    assert(churned.head.getLong(0) == 16L,
+      "15 inserts + 1 delete record")
+    // A filtered count can't ride the manifest sum either.
+    val filtered = cdf(0, 2).where("_change_type = 'insert'").groupBy().count()
+    assert(!planOf(filtered).contains("LocalTableScan"))
+    assert(filtered.head.getLong(0) == 15L)
+  }
+
   test("MV rewrite: fresh MVs answer the direct aggregate from the gold scan; stale MVs fall back; re-drain re-enables") {
     import org.apache.spark.sql.streaming.Trigger
     graft.GraftExtensions.register(spark)

@@ -32,7 +32,7 @@ The 0.35 margin is shared-box scheduler noise, measured ±2x on single-shot
 runs and ±10-20%% on best-of-2 (BASELINE.md); exponents compound two such
 measurements.
 
-Writes bench/bench_r17_stress.json. Not part of the shipped library — dev
+Writes bench/bench_r18_stress.json. Not part of the shipped library — dev
 tooling, driven once per round.
 """
 import json
@@ -47,8 +47,8 @@ def _load(name):
     was served from — a missing/typo'd fresh artifact silently mixing a
     prior round's archive into this round's table was an ADVICE-flagged
     trap (the round-11 _load fell back two rounds deep with no trace)."""
-    for path in (f"/tmp/{name}", f"bench/r17_local32/{name}",
-                 f"bench/r16_local32/{name}", f"bench/r15_local32/{name}"):
+    for path in (f"/tmp/{name}", f"bench/r18_local32/{name}",
+                 f"bench/r17_local32/{name}", f"bench/r16_local32/{name}"):
         if os.path.exists(path):
             print(f"[stress_bench] {name} <- {path}")
             with open(path) as f:
@@ -106,7 +106,11 @@ SUBLINEAR = {"q_stream_join", "q_stream_join_outer", "q_stream_tick",
              "q_ann_gc",
              # round-17: incremental MV (three CDF micro-batches, each a
              # per-group delta MERGE commit).
-             "q_incremental_mv"}
+             "q_incremental_mv",
+             # round-18: the MV rewrite query runs the same maintenance
+             # drain before its (O(groups), rewritten-away) aggregate —
+             # per-batch plan/commit dominates like its sibling.
+             "q_mv_rewrite"}
 # Fixed-geometry LSH (candidate mass ~ n^2 / 2^rows at pinned (bands,
 # rows)): EMPTY since round 12 — q_cosine_neardup was deregistered as a
 # driver query (it survives as the spec-side control Similarity.
@@ -184,7 +188,7 @@ def main():
         if flag:
             flagged.append(q)
     result = {
-        "round": 17,
+        "round": 18,
         "method": ("union-with-perturbation stress fixtures (graft.StressGen: "
                    "consistent TPC-H keys, per-copy user/doc/vec offsets, "
                    "token-suffixed documents and sign-flipped embeddings for "
@@ -218,7 +222,8 @@ def main():
                  # replays the embeddings table (5k vectors at sf0.1)
                  "q_ann_stream": 5_000,
                  "q_ann_gc": 5_000,
-                 "q_incremental_mv": 5_000}
+                 "q_incremental_mv": 5_000,
+                 "q_mv_rewrite": 5_000}
     stream_rates = {}
     for q in sorted(SUBLINEAR & set(names)):
         base = base_rows.get(q, base_events)
@@ -232,7 +237,7 @@ def main():
             stream_rates[q]["rows_per_s_x40"] = round(40 * base / x40[q])
         out[q]["rows_per_s"] = stream_rates[q]
     result["streaming_rows_per_s"] = stream_rates
-    with open("bench/bench_r17_stress.json", "w") as f:
+    with open("bench/bench_r18_stress.json", "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
     # Fill the BASELINE.md marker sections.
