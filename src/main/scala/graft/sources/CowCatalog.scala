@@ -2063,6 +2063,16 @@ object CowStore {
     val live = keep.flatMap(v => st.history(v).files).toSet
     val dead = dropV.flatMap(v => st.history(v).files).toSet -- live
     dead.foreach(f => new java.io.File(f).delete())
+    // EQUALITY-DELETE FILES follow the same retention lifecycle as data
+    // files: an entry rides every snapshot from its commit until
+    // optimize retires it, so its parquet file is live while ANY
+    // retained snapshot references it and reclaimable after — this is
+    // what bounds the one-file-per-epoch accumulation of a streaming
+    // upsert (manifests are already O(1); retention reclaims the key
+    // bytes themselves).
+    val liveEq = keep.flatMap(v => st.history(v).eqDeletes.map(_.file)).toSet
+    (dropV.flatMap(v => st.history(v).eqDeletes.map(_.file)).toSet -- liveEq)
+      .foreach(f => new java.io.File(f).delete())
     dropV.foreach(v => java.nio.file.Files.deleteIfExists(
       manifestPath(st.dir, v)))
     tables.put(k, st.copy(history = st.history -- dropV,
@@ -2695,10 +2705,15 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
             }
           }
           packed.toSeq
-            // A 1-file bin only pays off when it folds deletes.
+            // A 1-file bin only pays off when it folds deletes —
+            // positional vectors OR applicable equality entries (a
+            // single-file eq table under keyed churn must still be
+            // able to retire its entries; r18).
             .filter { case (buf, _) =>
               buf.size > 1 ||
-                buf.exists(f => st.deletes.getOrElse(f, Vector.empty).nonEmpty)
+                buf.exists(f =>
+                  st.deletes.getOrElse(f, Vector.empty).nonEmpty ||
+                    st.snapshot.eqDeletes.exists(_.version > st.stats(f).seq))
             }
             .map { case (buf, _) =>
               CowOptimizeBin(buf.toSeq.map { f =>

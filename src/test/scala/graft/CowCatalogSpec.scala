@@ -2139,6 +2139,17 @@ class CowCatalogSpec extends SparkSpec {
     val rec = CowStore.recover(cat, ident, st3.dir)
     assert(rec.snapshot.eqDeletes == st3.snapshot.eqDeletes)
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 49990L)
+    // Retention reclaims the key bytes: optimize retires the entries
+    // (rewrites fold the doomed rows), vacuum drops the snapshots that
+    // referenced them, and the eqdel parquet files go with them.
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.optimize('$name', ${256L * 1024 * 1024}L)")
+    spark.sql(s"CALL $cat.vacuum('$name', 1)")
+    val leftover = Option(new java.io.File(dir).listFiles()).get
+      .count(_.getName.startsWith("eqdel-"))
+    assert(leftover == 0,
+      s"retired + vacuumed delete files must be reclaimed, $leftover left")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 49990L)
   }
 
   test("MERGE WITH SCHEMA EVOLUTION SQL surface: parses to the one-commit command on cow targets; guards stay loud") {
