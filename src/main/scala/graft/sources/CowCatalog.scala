@@ -2337,6 +2337,7 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
       case "set_spec" => new CowSetSpecProcedure(catalogName)
       case "set_write_order" => new CowSetWriteOrderProcedure(catalogName)
       case "remove_orphan_files" => new CowRemoveOrphansProcedure(catalogName)
+      case "register_mv" => new CowRegisterMvProcedure(catalogName)
       case "rollback" => new CowRollbackProcedure(catalogName)
       case "expire_snapshots" => new CowExpireSnapshotsProcedure(catalogName)
       case "drop_tag" => new CowDropRefProcedure(catalogName, "drop_tag")
@@ -2600,16 +2601,19 @@ class CowBranchProcedure(catalogName: String) extends UnboundProcedure {
   }
 }
 
-/** `CALL <catalog>.publish(table, branch)` — fast-forward main to the
-  * branch head (the PUBLISH half of WAP): genuine ancestry-checked, so a
-  * main that moved since the fork fails loudly instead of losing commits.
+/** `CALL <catalog>.publish(table, branch)` — publish a branch to main
+  * (the PUBLISH half of WAP): fast-forward when main hasn't moved since
+  * the fork; AUTO-REBASE the branch's file diff onto main's head when
+  * the two lineages touched disjoint files and no snapshot metadata
+  * diverged; anything else fails loudly instead of losing commits.
   * Returns the published version.
   */
 class CowPublishProcedure(catalogName: String) extends UnboundProcedure {
   override def name(): String = "publish"
   override def description(): String =
-    "graft-cow PUBLISH: fast-forward main to a branch head " +
-      "(fails loudly if main moved since the fork)"
+    "graft-cow PUBLISH: fast-forward main to a branch head, or " +
+      "auto-rebase a disjoint-file branch onto a moved main " +
+      "(overlaps and metadata divergence fail loudly)"
 
   override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
     override def name(): String = "publish"
@@ -2630,6 +2634,90 @@ class CowPublishProcedure(catalogName: String) extends UnboundProcedure {
         override def readSchema(): StructType = StructType(Seq(
           StructField("published_version", LongType, nullable = false)))
         override def description(): String = "graft-cow publish report"
+      }
+      JCollections.singletonList(scan).iterator()
+    }
+  }
+}
+
+/** `CALL <catalog>.register_mv(src, mv, group_col, count_col,
+  * sum_src_col, sum_mv_col)` — the SQL surface of
+  * [[graft.plans.MvRegistry]] (E375's registration, SQL-driven like
+  * every other verb): declares that `mv` holds the maintained aggregate
+  * `SELECT group_col, count(*), sum(sum_src_col) FROM src GROUP BY
+  * group_col`, enabling the optimizer rewrite. The registration is
+  * VERIFIED, not trusted: the source's current commit version is read
+  * FIRST, then the MV contents are compared against the direct batch
+  * aggregate (one O(table) check — the honest price of declaring
+  * freshness); a mismatch refuses with the differing-row count and
+  * registers nothing. A commit racing the comparison can only make the
+  * registered watermark conservative (the rewrite stays off until the
+  * maintenance loop advances it), never wrong. Returns the applied
+  * version.
+  */
+class CowRegisterMvProcedure(catalogName: String) extends UnboundProcedure {
+  override def name(): String = "register_mv"
+  override def description(): String =
+    "graft-cow REGISTER MV: verify + register a maintained aggregate " +
+      "for the optimizer rewrite (group/count/sum columns)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "register_mv"
+    override def description(): String =
+      CowRegisterMvProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("src", StringType).build(),
+      ProcedureParameter.in("mv", StringType).build(),
+      ProcedureParameter.in("group_col", StringType).build(),
+      ProcedureParameter.in("count_col", StringType).build(),
+      ProcedureParameter.in("sum_src_col", StringType).build(),
+      ProcedureParameter.in("sum_mv_col", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val Seq(src, mv, groupCol, countCol, sumSrc, sumMv) =
+        (0 until 6).map(i => input.getUTF8String(i).toString)
+      def identOf(t: String) = {
+        val p = t.split("\\.")
+        Identifier.of(p.init, p.last)
+      }
+      val (srcIdent, mvIdent) = (identOf(src), identOf(mv))
+      val srcSt = CowStore.get(catalogName, srcIdent).getOrElse(
+        throw new NoSuchTableException(srcIdent))
+      val mvSt = CowStore.get(catalogName, mvIdent).getOrElse(
+        throw new NoSuchTableException(mvIdent))
+      def requireCol(st: CowStore.State, c: String, what: String): Unit =
+        require(st.schema.fieldNames.contains(c),
+          s"graft-cow: register_mv $what column '$c' not found " +
+            s"(have ${st.schema.fieldNames.mkString(",")})")
+      requireCol(srcSt, groupCol, "source group"); requireCol(srcSt, sumSrc, "source sum")
+      requireCol(mvSt, groupCol, "MV group"); requireCol(mvSt, countCol, "MV count")
+      requireCol(mvSt, sumMv, "MV sum")
+      // Version FIRST, compare second: a racing commit can only make
+      // the registered watermark conservative.
+      val applied = srcSt.version
+      val spark = org.apache.spark.sql.SparkSession.active
+      val direct = spark.sql(
+        s"""SELECT $groupCol AS g, count(*) AS n, sum($sumSrc) AS s
+           |FROM $catalogName.$src GROUP BY $groupCol""".stripMargin)
+      val held = spark.sql(
+        s"""SELECT $groupCol AS g, $countCol AS n, $sumMv AS s
+           |FROM $catalogName.$mv""".stripMargin)
+      val diff = direct.exceptAll(held).count() + held.exceptAll(direct).count()
+      if (diff != 0) throw new IllegalStateException(
+        s"graft-cow: register_mv refused — $mv diverges from the direct " +
+          s"aggregate over $src by $diff row(s); drain the maintenance " +
+          "loop to the source's head first")
+      graft.plans.MvRegistry.register(graft.plans.MvRegistry.Entry(
+        catalogName, srcIdent, catalogName, mvIdent,
+        groupCol = groupCol, mvGroupCol = groupCol, countCol = countCol,
+        sumSrcCol = sumSrc, sumMvCol = sumMv, appliedVersion = applied))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(Array[Any](applied)))
+        override def readSchema(): StructType = StructType(Seq(
+          StructField("applied_version", LongType, nullable = false)))
+        override def description(): String = "graft-cow register_mv report"
       }
       JCollections.singletonList(scan).iterator()
     }

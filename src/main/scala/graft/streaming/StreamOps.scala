@@ -1774,17 +1774,11 @@ object StreamOps extends Serializable {
   def qMvRewrite(spark: SparkSession, d: String): DataFrame = {
     val (src, mv) = buildMaintainedMv(spark, d)
     graft.GraftExtensions.register(spark)
-    def identOf(t: String) = {
-      val p = t.split("\\.")
-      org.apache.spark.sql.connector.catalog.Identifier.of(
-        p.slice(1, p.length - 1), p.last)
-    }
-    val applied = graft.sources.CowStore.get("graft_cow", identOf(src)).get.version
-    graft.plans.MvRegistry.register(graft.plans.MvRegistry.Entry(
-      "graft_cow", identOf(src), "graft_cow", identOf(mv),
-      groupCol = "source", mvGroupCol = "source", countCol = "n",
-      sumSrcCol = "score", sumMvCol = "sum_score",
-      appliedVersion = applied))
+    // SQL-driven registration (CALL register_mv — verified, not
+    // trusted: the procedure compares the MV against the direct
+    // aggregate before it registers anything).
+    spark.sql(s"CALL graft_cow.register_mv('${src.stripPrefix("graft_cow.")}', " +
+      s"'${mv.stripPrefix("graft_cow.")}', 'source', 'n', 'score', 'sum_score')")
     val out = spark.sql(
       s"""SELECT source, count(*) AS n, sum(score) AS sum_score
          |FROM $src GROUP BY source ORDER BY source""".stripMargin)
