@@ -470,8 +470,44 @@ object CowStore {
     * manifest itself, growing it O(total churn keys)). `count` is the
     * file's key count (diagnostics + probe-set sizing). O(1) commit
     * metadata bytes, O(keys) delete-file bytes, ZERO data files read.
+    * `keyMin`/`keyMax` are the entry's key RANGE when the key column is
+    * long (None for string keys): a data file whose write-time key
+    * range cannot intersect it skips the entry entirely — no delete
+    * file loaded, and a file no live entry touches stays on the
+    * UNFILTERED columnar path. With time-correlated keys (monotonic
+    * ids — the common stream), churn concentrates in recent ranges and
+    * the cold majority of a 100 TB table never pays for it.
     */
-  final case class EqDelete(version: Long, file: String, count: Long)
+  final case class EqDelete(version: Long, file: String, count: Long,
+                            keyMin: Option[Long] = None,
+                            keyMax: Option[Long] = None)
+
+  /** The equality-delete files applicable to data file `f` under
+    * `snap`: entries sequenced AFTER it (seq < version), minus entries
+    * whose key range provably misses the file's write-time key range —
+    * THE shared pruning used by scan planning and compaction bins. A
+    * file without stats or ranges is conservatively old and overlapping.
+    */
+  def applicableEqFiles(st: State, snap: Snapshot, f: String): Array[String] = {
+    if (snap.eqDeletes.isEmpty) return Array.empty
+    val fs = st.stats.get(f)
+    val seq = fs.map(_.seq).getOrElse(0L)
+    val fileRange: Option[(Long, Long)] = for {
+      s <- fs
+      key <- st.eqKey
+      phys <- physColIn(snap, Some(s), key)
+      r <- s.longRanges.get(phys)
+    } yield (r.min, r.max)
+    snap.eqDeletes.iterator
+      .filter(_.version > seq)
+      .filter { e =>
+        (e.keyMin, e.keyMax, fileRange) match {
+          case (Some(lo), Some(hi), Some((flo, fhi))) => hi >= flo && lo <= fhi
+          case _ => true // unknown ranges: conservatively applicable
+        }
+      }
+      .map(_.file).toArray
+  }
 
   /** A snapshot's field ids with the positional default applied. */
   def effectiveIds(snap: Snapshot): Vector[Int] =
@@ -1348,12 +1384,20 @@ object CowStore {
     val withEq = eqDeleteKeys.filter(_.nonEmpty) match {
       case Some(keys) =>
         // Keys land as a PARQUET DELETE FILE next to the data files;
-        // the snapshot (and manifest) carry only its path + count, so
-        // commit METADATA stays O(1) per entry regardless of key churn.
+        // the snapshot (and manifest) carry only its path + count +
+        // key range, so commit METADATA stays O(1) per entry
+        // regardless of key churn. The range (long keys only) is what
+        // lets scans skip the entry for files it provably misses.
         val distinct = keys.distinct.sorted
+        val longs =
+          if (st.eqKey.exists(c =>
+              st.schema.fields.find(_.name == c).exists(_.dataType == LongType)))
+            scala.util.Try(distinct.map(_.toLong)).toOption
+          else None
         snap.copy(eqDeletes = snap.eqDeletes :+
           EqDelete(newV, writeEqDeleteFile(st.dir, distinct),
-            distinct.length.toLong))
+            distinct.length.toLong,
+            keyMin = longs.map(_.min), keyMax = longs.map(_.max)))
       case None => snap
     }
     val prunedSnap =
@@ -1463,12 +1507,15 @@ object CowStore {
       sb ++= s"dv\t$f\t${ps.mkString(",")}\n"
     }
     // Equality deletes: O(1) bytes per live entry — version, the
-    // parquet delete-file path (URL-encoded), key count. The keys
-    // themselves live in the referenced file, so the manifest stays
-    // FLAT under key churn (the round-17 weak mark).
+    // parquet delete-file path (URL-encoded), key count, key range
+    // ("-" when the key domain is non-long). The keys themselves live
+    // in the referenced file, so the manifest stays FLAT under key
+    // churn (the round-17 weak mark).
     snap.eqDeletes.foreach { e =>
       val enc = java.net.URLEncoder.encode(e.file, "UTF-8")
-      sb ++= s"eqdelf\t${e.version}\t$enc\t${e.count}\n"
+      val (lo, hi) = (e.keyMin.map(_.toString).getOrElse("-"),
+        e.keyMax.map(_.toString).getOrElse("-"))
+      sb ++= s"eqdelf\t${e.version}\t$enc\t${e.count}\t$lo\t$hi\n"
     }
     java.nio.file.Files.createDirectories(logDir(st.dir))
     java.nio.file.Files.write(manifestPath(st.dir, v),
@@ -1544,9 +1591,11 @@ object CowStore {
             // writeManifest emits version FIRST, so `version` is set here.
             case Seq("mor", m) => morByVersion += version -> m.toBoolean
             case Seq("eqkey", c) => eqKeyByVersion += version -> c
-            case Seq("eqdelf", v, p, c) =>
+            case Seq("eqdelf", v, p, c, lo, hi) =>
               eqds :+= EqDelete(v.toLong,
-                java.net.URLDecoder.decode(p, "UTF-8"), c.toLong)
+                java.net.URLDecoder.decode(p, "UTF-8"), c.toLong,
+                keyMin = if (lo == "-") None else Some(lo.toLong),
+                keyMax = if (hi == "-") None else Some(hi.toLong))
             case Seq("partspec", s) =>
               specByVersion += version -> s.split(",").toVector.map { p =>
                 val Array(kind, arg, col) = p.split(":", 3)
@@ -2801,17 +2850,18 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
               buf.size > 1 ||
                 buf.exists(f =>
                   st.deletes.getOrElse(f, Vector.empty).nonEmpty ||
-                    st.snapshot.eqDeletes.exists(_.version > st.stats(f).seq))
+                    CowStore.applicableEqFiles(st, st.snapshot, f).nonEmpty)
             }
             .map { case (buf, _) =>
               CowOptimizeBin(buf.toSeq.map { f =>
                 // Applicable equality deletes FOLD here: the bin reader
                 // drops doomed rows, the rewritten file re-sequences at
                 // the commit, and publish prunes entries nothing
-                // predates. Only the delete-FILE paths travel; the task
-                // loads keys via the executor cache.
-                val eqFiles = st.snapshot.eqDeletes
-                  .filter(_.version > st.stats(f).seq).map(_.file).toArray
+                // predates. Only the delete-FILE paths travel (range-
+                // pruned like a scan's); the task loads keys via the
+                // executor cache.
+                val eqFiles =
+                  CowStore.applicableEqFiles(st, st.snapshot, f)
                 (f, st.stats(f).cols,
                   st.deletes.getOrElse(f, Vector.empty).toArray,
                   CowStore.colMapFor(st.snapshot, st.stats.get(f),
@@ -4986,21 +5036,18 @@ class CowScan(tableName: String, state: CowStore.State,
     }
 
   /** EQUALITY-DELETE files applicable to one data file: the entries
-    * sequenced AFTER it (seq < entry version). O(#entries) PATH
+    * sequenced AFTER it (seq < entry version) whose key range can
+    * intersect the file's write-time key range
+    * ([[CowStore.applicableEqFiles]] — a file no live entry can touch
+    * stays on the UNFILTERED columnar path). O(#entries) PATH
     * references — the keys themselves never touch the driver or the
     * task payload; executors load and cache them from the referenced
     * parquet delete files ([[CowEqDeleteFiles]]), the Iceberg
     * delete-file distribution model. Files without stats are
-    * conservatively treated as predating everything.
+    * conservatively treated as predating (and overlapping) everything.
     */
-  private def eqFilesFor(f: String): Array[String] = {
-    val snap = state.snapshot
-    if (snap.eqDeletes.isEmpty) Array.empty
-    else {
-      val seq = state.stats.get(f).map(_.seq).getOrElse(0L)
-      snap.eqDeletes.iterator.filter(_.version > seq).map(_.file).toArray
-    }
-  }
+  private def eqFilesFor(f: String): Array[String] =
+    CowStore.applicableEqFiles(state, state.snapshot, f)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // A row-level op's commit replaces exactly what its scan READ: this

@@ -2221,6 +2221,40 @@ class CowCatalogSpec extends SparkSpec {
     assert(got == Seq((0L, 0L, -1L), (1L, 100L, 7L), (2L, 2L, -1L)), s"$got")
   }
 
+  test("equality-delete key-range pruning: entries skip files they provably miss; durable; results unchanged") {
+    val tbl = fresh("eqrange")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 100, 1, 1)")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(1000, 1100, 1, 1)")
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (1005, 1050)")
+    val ident = identOf(tbl)
+    val st = CowStore.get(cat, ident).get
+    val entry = st.snapshot.eqDeletes match {
+      case Vector(e) => e
+      case other => fail(s"expected one entry, got $other")
+    }
+    assert(entry.keyMin.contains(1005L) && entry.keyMax.contains(1050L),
+      s"the entry must carry its key range: $entry")
+    val sorted = st.files.sortBy(f => st.stats(f).longRanges("id").min)
+    val (a, b) = (sorted.head, sorted.last)
+    // The cold file [0,99] provably misses [1005,1050]: no delete file
+    // applies — its scan partition stays on the UNFILTERED columnar
+    // path; the hot file [1000,1099] still pays the probe.
+    assert(CowStore.applicableEqFiles(st, st.snapshot, a).isEmpty,
+      "an entry must not apply to a file its key range cannot touch")
+    assert(CowStore.applicableEqFiles(st, st.snapshot, b).length == 1)
+    // The range survives the manifest round-trip.
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    assert(rec.snapshot.eqDeletes == st.snapshot.eqDeletes)
+    assert(CowStore.applicableEqFiles(rec, rec.snapshot, a).isEmpty)
+    // Pruning must be invisible to results.
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $tbl").head.toSeq ==
+      Seq(198L, (0 until 100).map(_.toLong).sum +
+        (1000 until 1100).map(_.toLong).sum - 1005L - 1050L))
+  }
+
   test("resurrection-guard precision: eq entries only conflict with rewrites of files they actually cover") {
     val tbl = fresh("eqprecise")
     spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
