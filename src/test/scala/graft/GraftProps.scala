@@ -99,6 +99,63 @@ object GraftProps extends Properties("graft") {
       custom == windowed
     }
 
+  // Random keyed-churn scripts over an equality-delete table: each step
+  // is an upsert batch, a keyed DELETE, an optimize+vacuum, or an
+  // evict+recover. After EVERY script the table must equal the trivial
+  // Map fold of the same steps — the law the parquet delete-file
+  // representation (entries, key ranges, pruning, retirement,
+  // retention, recovery) must preserve under any interleaving. Key
+  // domain deliberately small (0..15) so upserts re-hit live keys and
+  // deletes race entries across epochs.
+  private val churnOps: Gen[List[(Int, List[Long])]] =
+    Gen.listOfN(6, Gen.zip(Gen.choose(0, 4),
+      Gen.listOfN(5, Gen.choose(0L, 15L))))
+
+  property("equality-delete lifecycle matches the map model under random churn") =
+    forAllNoShrink(churnOps) { ops =>
+      graft.operators.RowLevelOps.ensureCatalog(spark)
+      val name = s"props_eq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val tbl = s"graft_cow.spec.$name"
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+        "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("spec"), name)
+      var model = Map.empty[Long, Long]
+      var step = 0
+      ops.foreach { case (op, rawKeys) =>
+        step += 1
+        val keys = rawKeys.distinct
+        op match {
+          case 0 | 1 => // keyed upsert batch (unique keys per batch)
+            val rows = keys.map(k => s"($k, ${k * 100 + step})").mkString(",")
+            spark.sql(
+              s"""MERGE INTO $tbl t
+                 |USING (SELECT CAST(col1 AS BIGINT) AS id,
+                 |              CAST(col2 AS BIGINT) AS v
+                 |       FROM VALUES $rows) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET v = s.v
+                 |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+                 |""".stripMargin)
+            model ++= keys.map(k => k -> (k * 100 + step))
+          case 2 => // keyed delete
+            spark.sql(s"DELETE FROM $tbl WHERE id IN (${keys.mkString(",")})")
+            model --= keys
+          case 3 => // fold entries + reclaim retired delete files
+            spark.sql(s"CALL graft_cow.optimize('spec.$name', ${64L * 1024 * 1024}L)")
+            spark.sql(s"CALL graft_cow.vacuum('spec.$name', 2)")
+          case 4 => // durability: the log alone carries the state
+            val dir = graft.sources.CowStore.get("graft_cow", ident).get.dir
+            graft.sources.CowStore.evict("graft_cow", ident)
+            graft.sources.CowStore.recover("graft_cow", ident, dir): Unit
+        }
+      }
+      val got = spark.table(tbl).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      spark.sql(s"DROP TABLE $tbl")
+      got == model
+    }
+
   property("groupBy aggregation is invariant under repartitioning") =
     forAllNoShrink(kvRows, Gen.oneOf(1, 3, 7)) { (rows, parts) =>
       import spark.implicits._
