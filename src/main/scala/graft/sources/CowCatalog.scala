@@ -492,6 +492,9 @@ object CowStore {
     if (snap.eqDeletes.isEmpty) return Array.empty
     val fs = st.stats.get(f)
     val seq = fs.map(_.seq).getOrElse(0L)
+    // `-Dgraft.cow.eqprune=false` is EqPruneProbe's A/B knob (the
+    // graft.cow.columnar pattern), not a supported config.
+    val prune = !sys.props.get("graft.cow.eqprune").contains("false")
     val fileRange: Option[(Long, Long)] = for {
       s <- fs
       key <- st.eqKey
@@ -502,7 +505,8 @@ object CowStore {
       .filter(_.version > seq)
       .filter { e =>
         (e.keyMin, e.keyMax, fileRange) match {
-          case (Some(lo), Some(hi), Some((flo, fhi))) => hi >= flo && lo <= fhi
+          case (Some(lo), Some(hi), Some((flo, fhi))) if prune =>
+            hi >= flo && lo <= fhi
           case _ => true // unknown ranges: conservatively applicable
         }
       }
