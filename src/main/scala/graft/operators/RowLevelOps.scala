@@ -178,6 +178,27 @@ object RowLevelOps {
     finalState(spark, tbl)
   }
 
+  /** q_cow_eqdeletes — `SELECT … FROM <table>.eqdeletes`: the LIVE
+    * equality-delete entries as a metadata relation (round 18's parquet
+    * delete-file representation made observable): per entry its commit
+    * version, key count and long-key range, driver-computed from the
+    * snapshot at metadata cost — `sum(key_count)` is the
+    * churn-waiting-for-optimize number a lakehouse dashboard alerts on.
+    * Scripted flow: keyed base, two disjoint keyed DELETEs; the oracle
+    * states both entries' counts and ranges declaratively (the
+    * delete-file path is run-scoped and stays out of the projection).
+    */
+  def qCowEqDeletes(spark: SparkSession, d: String): DataFrame = {
+    val tbl = freshBaseTable(spark, d, "eqmeta", mor = true,
+      eqKey = Some("doc_id"))                             // v0 + v1
+    spark.sql(s"DELETE FROM $tbl WHERE doc_id % 7 = 3")   // v2: entry 1
+    spark.sql(                                            // v3: entry 2
+      s"DELETE FROM $tbl WHERE doc_id % 5 = 1 AND doc_id % 7 <> 3")
+    spark.sql(
+      s"""SELECT version, key_count, key_min, key_max
+         |FROM $tbl.eqdeletes ORDER BY version""".stripMargin)
+  }
+
   /** q_cow_refs — `SELECT … FROM <table>.refs` (Iceberg's refs metadata
     * table): every named pointer into the version history — main, each
     * branch, each tag — as one relation with its version, at metadata
@@ -1484,6 +1505,7 @@ object RowLevelOps {
     "q_cow_drop_refs"   -> qCowDropRefs _,
     "q_cow_expire"      -> qCowExpire _,
     "q_cow_refs"        -> qCowRefs _,
+    "q_cow_eqdeletes"   -> qCowEqDeletes _,
     "q_cow_colstats"    -> qCowColstats _,
     "q_cow_bucketed"    -> qCowBucketed _,
     "q_cow_changes"     -> qCowChanges _,
@@ -1626,6 +1648,23 @@ object RowLevelOps {
         |  ('wip', 'branch', CAST(3 AS BIGINT)),
         |  ('blessed', 'tag', CAST(1 AS BIGINT))) AS t(name, type, version)
         |ORDER BY type, name""".stripMargin,
+    // The two keyed DELETEs' entries, restated declaratively: version,
+    // key count and long-key range per entry (the delete-file path is
+    // run-scoped and excluded).
+    "q_cow_eqdeletes" ->
+      """WITH base AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+        |)
+        |SELECT CAST(2 AS BIGINT) AS version,
+        |       CAST(count(*) AS BIGINT) AS key_count,
+        |       CAST(min(doc_id) AS BIGINT) AS key_min,
+        |       CAST(max(doc_id) AS BIGINT) AS key_max
+        |FROM base WHERE doc_id % 7 = 3
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |       CAST(min(doc_id) AS BIGINT), CAST(max(doc_id) AS BIGINT)
+        |FROM base WHERE doc_id % 5 = 1 AND doc_id % 7 <> 3
+        |ORDER BY version""".stripMargin,
     // RENAME is lossless relabeling: every row's value rides under the
     // new name regardless of which side of the rename wrote its file,
     // and the re-added old name is NULL everywhere (fresh identity).

@@ -2174,6 +2174,7 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
           case "partitions" => Some(new CowPartitionsTable(baseName, st))
           case "refs"       => Some(new CowRefsTable(baseName, st))
           case "colstats"   => Some(new CowColStatsTable(baseName, st))
+          case "eqdeletes"  => Some(new CowEqDeletesTable(baseName, st))
           // `<table>.branch_<name>`: the branch AS A TABLE — readable AND
           // writable (Iceberg's branch identifiers); commits advance the
           // branch pointer, main stays untouched until publish.
@@ -3424,6 +3425,42 @@ class CowRefsTable(tableName: String, st: CowStore.State)
             st.commitTsUs.get(v).map(Long.box).orNull)): InternalRow
         }.toArray
       }
+    }
+}
+
+/** `SELECT … FROM <table>.eqdeletes` — the LIVE equality-delete entries
+  * as a metadata relation (the observability surface of the round-18
+  * parquet delete-file representation): one row per entry — the commit
+  * version that created it, its delete-file path, key count, and
+  * (long-key) range. Driver-computed from the snapshot, zero files
+  * opened; `sum(key_count)` is the "churn waiting for optimize" number
+  * a dashboard alerts on, and the range columns show which key
+  * neighborhoods pay the read-side probe.
+  */
+class CowEqDeletesTable(tableName: String, st: CowStore.State)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("key_count", LongType, nullable = false),
+    StructField("key_min", LongType, nullable = true),
+    StructField("key_max", LongType, nullable = true)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    JCollections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = CowEqDeletesTable.this.schema()
+      override def description(): String =
+        s"graft-cow eqdeletes metadata of $tableName"
+      override def rows(): Array[InternalRow] =
+        st.snapshot.eqDeletes.sortBy(_.version).map { e =>
+          new GenericInternalRow(Array[Any](
+            e.version, UTF8String.fromString(e.file), e.count,
+            e.keyMin.map(Long.box).orNull,
+            e.keyMax.map(Long.box).orNull)): InternalRow
+        }.toArray
     }
 }
 
