@@ -2255,6 +2255,32 @@ class CowCatalogSpec extends SparkSpec {
         (1000 until 1100).map(_.toLong).sum - 1005L - 1050L))
   }
 
+  test(".eqdeletes metadata relation tracks live entries: appear at commit, ranges exposed, leave on retirement") {
+    val tbl = fresh("eqmeta")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM range(0, 20, 1, 1)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl.eqdeletes").head.getLong(0) == 0L,
+      "no entries before any keyed delete")
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (2, 4, 9)")   // v2
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (15)")        // v3
+    val rows = spark.sql(
+      s"SELECT version, key_count, key_min, key_max FROM $tbl.eqdeletes " +
+        "ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((2L, 3L, 2L, 9L), (3L, 1L, 15L, 15L)), s"$rows")
+    // The file column names a readable delete file with exactly the keys.
+    val paths = spark.sql(s"SELECT file FROM $tbl.eqdeletes ORDER BY version")
+      .collect().map(_.getString(0))
+    assert(graft.sources.CowEqDeleteFiles.keys(paths.head).toSeq ==
+      Seq("2", "4", "9"))
+    // Retirement empties the relation (optimize folds, publish prunes).
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.optimize('$name', ${64L * 1024 * 1024}L)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl.eqdeletes").head.getLong(0) == 0L,
+      "retired entries must leave the relation")
+  }
+
   test("resurrection-guard precision: eq entries only conflict with rewrites of files they actually cover") {
     val tbl = fresh("eqprecise")
     spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
