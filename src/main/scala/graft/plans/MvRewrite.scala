@@ -31,7 +31,14 @@ object MvRegistry {
                          groupCol: String, mvGroupCol: String,
                          countCol: String,
                          sumSrcCol: String, sumMvCol: String,
-                         appliedVersion: Long)
+                         appliedVersion: Long,
+                         // TABLE-INSTANCE identity (the storage dirs):
+                         // a DROP + re-CREATE under the same name starts
+                         // a fresh version history whose low versions
+                         // would otherwise satisfy the stale check
+                         // against the OLD entry — the rewrite must
+                         // never serve the old MV for a new table.
+                         srcDir: String = "", mvDir: String = "")
 
   private def srcKey(cat: String, ident: Identifier): String =
     (cat +: ident.namespace().toSeq :+ ident.name()).mkString(".")
@@ -96,10 +103,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     val srcCat = scan.relation.catalog.map(_.name).getOrElse(return None)
     val entry = MvRegistry.lookup(srcCat, srcIdent)
       .filter(_.groupCol == g.name).getOrElse(return None)
-    // FRESHNESS: the source's head must already be folded into the MV.
+    // FRESHNESS: the source's head must already be folded into the MV —
+    // and the entry must name the SAME TABLE INSTANCES it was verified
+    // against (a drop + re-create under the same name restarts the
+    // version clock; its low versions must never read as fresh).
     val fresh = graft.sources.CowStore.get(entry.srcCat, entry.srcIdent)
-      .exists(_.version <= entry.appliedVersion)
-    if (!fresh) return None
+      .exists(st => st.version <= entry.appliedVersion &&
+        (entry.srcDir.isEmpty || st.dir == entry.srcDir))
+    val mvSame = graft.sources.CowStore.get(entry.mvCat, entry.mvIdent)
+      .exists(st => entry.mvDir.isEmpty || st.dir == entry.mvDir)
+    if (!fresh || !mvSame) return None
     val mvScan = loadMvScan(entry).getOrElse(return None)
     val byName = mvScan.output.map(a => a.name -> a).toMap
     val (mvG, mvN, mvS) = (byName.get(entry.mvGroupCol),

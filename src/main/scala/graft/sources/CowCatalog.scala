@@ -2765,7 +2765,8 @@ class CowRegisterMvProcedure(catalogName: String) extends UnboundProcedure {
       graft.plans.MvRegistry.register(graft.plans.MvRegistry.Entry(
         catalogName, srcIdent, catalogName, mvIdent,
         groupCol = groupCol, mvGroupCol = groupCol, countCol = countCol,
-        sumSrcCol = sumSrc, sumMvCol = sumMv, appliedVersion = applied))
+        sumSrcCol = sumSrc, sumMvCol = sumMv, appliedVersion = applied,
+        srcDir = srcSt.dir, mvDir = mvSt.dir))
       val scan: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
           Array(new GenericInternalRow(Array[Any](applied)))

@@ -2680,7 +2680,9 @@ class CowCatalogSpec extends SparkSpec {
       cat, srcIdent, cat, identOf(mv),
       groupCol = "source", mvGroupCol = "source", countCol = "n",
       sumSrcCol = "score", sumMvCol = "sum_score",
-      appliedVersion = CowStore.get(cat, srcIdent).get.version))
+      appliedVersion = CowStore.get(cat, srcIdent).get.version,
+      srcDir = CowStore.get(cat, srcIdent).get.dir,
+      mvDir = CowStore.get(cat, identOf(mv)).get.dir))
     try {
       def agg() = spark.sql(
         s"""SELECT source, count(*) AS n, sum(score) AS sum_score
@@ -2714,6 +2716,17 @@ class CowCatalogSpec extends SparkSpec {
       assert(!fresh2.queryExecution.optimizedPlan.toString.contains("Aggregate"),
         "a re-drained MV must substitute again")
       assert(rows(fresh2) == Seq(("a", 2L, 30L)))
+      // A DROP + re-CREATE under the same name restarts the version
+      // clock — its low versions must never read as fresh against the
+      // OLD entry (the table-instance dir guard).
+      spark.sql(s"DROP TABLE $src")
+      spark.sql(s"CREATE TABLE $src (doc_id BIGINT, source STRING, " +
+        "score BIGINT) TBLPROPERTIES ('graft.mode' = 'mor')")
+      spark.sql(s"INSERT INTO $src VALUES (9, 'z', 999)")
+      val recreated = agg()
+      assert(recreated.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+        "a re-created source must never be served from the old MV")
+      assert(rows(recreated) == Seq(("z", 1L, 999L)))
     } finally graft.plans.MvRegistry.deregister(cat, srcIdent)
   }
 
