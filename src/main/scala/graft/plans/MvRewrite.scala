@@ -23,7 +23,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a stale MV can never serve wrong numbers; it just falls back to the
   * direct aggregate. The maintenance loop advances `appliedVersion` as
   * it applies batches (max `_commit_version` per batch — AvailableNow
-  * drains leave it at the source's head).
+  * drains leave it at the source's head). SESSION-SCOPED by design (the
+  * temp-view model): registrations die with the JVM and are re-declared
+  * — and re-VERIFIED by `CALL register_mv` — per session; entries are
+  * additionally pinned to table INSTANCES (storage dirs), so a dropped
+  * and re-created table can never be served from the old gold data.
   */
 object MvRegistry {
   final case class Entry(srcCat: String, srcIdent: Identifier,
