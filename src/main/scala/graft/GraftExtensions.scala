@@ -22,7 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
-    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // PRE-CBO, not injectOptimizerRule: extension optimizer rules run
+    // inside the operator-optimization batch, BEFORE V2 scan planning
+    // creates the DataSourceV2ScanRelation the MV match needs — there
+    // the rule could never fire (round-18 review finding). The pre-CBO
+    // batch runs after scan planning; `register()`'s
+    // experimental.extraOptimizations placement (last) works too.
+    ext.injectPreCBORule(_ => graft.plans.MvRewrite)
     // SQL surface for the one-commit MERGE WITH SCHEMA EVOLUTION on
     // graft-cow targets (round-17 brief #3); every other statement
     // delegates to Spark's parser byte-identically.

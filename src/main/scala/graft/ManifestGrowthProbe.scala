@@ -47,9 +47,13 @@ object ManifestGrowthProbe {
         java.nio.file.Paths.get(dir, "_log", s"v$v.manifest"))
       val perEpoch = (1 to epochs).map { e =>
         // One keyed upsert epoch: every churned key dies in older files
-        // (the entry) and re-inserts — the streaming sink's commit shape.
-        val keys = (0L until churn.toLong).map(k => (k * epochs + e) % (churn * 2L))
-          .distinct.map(_.toString).toVector
+        // (the entry) and re-inserts — the streaming sink's commit
+        // shape. A consecutive window shifted per epoch: exactly
+        // `churn` DISTINCT keys each time (the earlier multiplicative
+        // formula collided mod the domain and silently halved the
+        // committed churn — review finding).
+        val keys = (0L until churn.toLong)
+          .map(k => (k + e * 17L) % (churn * 2L)).map(_.toString).toVector
         graft.sources.CowStore.commitDeltaEq("graft_cow", ident,
           Seq.empty, Map.empty, keys)
         manifestBytes(st.version)

@@ -77,15 +77,22 @@ object MergeEvolveSql {
       case UnresolvedRelation(p, _, _)                   => p
       case _                                             => return None
     }
-    if (parts.length < 3) return None
     try {
       val cm = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.catalogManager
-      if (!cm.isCatalogRegistered(parts.head)) return None
-      cm.catalog(parts.head) match {
+      // Short names resolve against the session's current catalog /
+      // namespace (review finding: `USE graft_cow; MERGE ... INTO
+      // ops.tbl` must take the one-commit path too, not silently fall
+      // back to Spark's two-commit native resolution).
+      val (catName, identParts) =
+        if (parts.length >= 3) (parts.head, parts.tail)
+        else if (parts.length == 2) (cm.currentCatalog.name, parts)
+        else (cm.currentCatalog.name, cm.currentNamespace.toSeq ++ parts)
+      if (!cm.isCatalogRegistered(catName)) return None
+      cm.catalog(catName) match {
         case _: graft.sources.CowCatalog =>
-          Some((parts.head,
-            Identifier.of(parts.slice(1, parts.length - 1).toArray, parts.last)))
+          Some((catName,
+            Identifier.of(identParts.init.toArray, identParts.last)))
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -146,9 +153,13 @@ case class MergeEvolveCommand(catalog: String, ident: Identifier,
           s"path — declare 'graft.delete-key' on $catalog.$ident"))
     // The ON clause must be the keyed equi-join on the delete-key: the
     // blind upsert replaces rows BY KEY, so any other predicate would
-    // silently change which rows die.
+    // silently change which rows die. Case-insensitive like Spark's own
+    // resolution, and the two sides must be DISTINCT references (a
+    // same-side `t.key = t.key` is not a target↔source join).
     keyCond match {
-      case Some((l, r)) if l.last == eqKey && r.last == eqKey => ()
+      case Some((l, r)) if l.last.equalsIgnoreCase(eqKey) &&
+          r.last.equalsIgnoreCase(eqKey) &&
+          l.map(_.toLowerCase) != r.map(_.toLowerCase) => ()
       case _ => throw new UnsupportedOperationException(
         s"graft-cow: MERGE WITH SCHEMA EVOLUTION needs ON t.$eqKey = " +
           s"s.$eqKey (the table's delete-key); got: $condSql")

@@ -67,6 +67,16 @@ object MvRegistry {
         e.copy(appliedVersion = version)
       else e
     }
+
+  /** Whether any entry names `mvTable` (dot-joined) as its MV — the
+    * maintenance loop's cheap gate before it spends a per-batch job
+    * computing the watermark to advance.
+    */
+  def isRegisteredMv(mvTable: String): Boolean = {
+    val it = bySrc.values.iterator
+    while (it.hasNext) if (mvKey(it.next()) == mvTable) return true
+    false
+  }
 }
 
 /** Optimizer rule — MATERIALIZED-VIEW REWRITE (the round-17 verdict
@@ -95,16 +105,40 @@ object MvRegistry {
 object MvRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Seq(g: AttributeReference), aggExprs,
-        scan: DataSourceV2ScanRelation, _) =>
-      rewrite(agg, g, aggExprs, scan).getOrElse(agg)
+    case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
+      sourceRelation(child)
+        .flatMap(rel => rewrite(agg, g, aggExprs, rel)).getOrElse(agg)
   }
+
+  /** The source table's relation under the aggregate — PRE- or POST-
+    * V2 scan planning (this rule may run from the extension's pre-CBO
+    * slot, which precedes scan planning, or from the experimental user
+    * batch, which follows it), optionally under the pure column-pruning
+    * Project the analyzer leaves on v2 relations.
+    */
+  private def sourceRelation(p: LogicalPlan): Option[DataSourceV2Relation] =
+    p match {
+      case r: DataSourceV2Relation => Some(r)
+      case s: DataSourceV2ScanRelation => Some(s.relation)
+      case Project(projs, child)
+          if projs.forall(_.isInstanceOf[AttributeReference]) =>
+        sourceRelation(child)
+      case _ => None
+    }
 
   private def rewrite(agg: Aggregate, g: AttributeReference,
                       aggExprs: Seq[NamedExpression],
-                      scan: DataSourceV2ScanRelation): Option[LogicalPlan] = {
-    val srcIdent = scan.relation.identifier.getOrElse(return None)
-    val srcCat = scan.relation.catalog.map(_.name).getOrElse(return None)
+                      relation: DataSourceV2Relation): Option[LogicalPlan] = {
+    // Only MAIN's CURRENT snapshot may be answered from the gold table:
+    // a VERSION/TIMESTAMP AS OF or branch scan keeps the same
+    // catalog/identifier, and serving it current numbers would be
+    // silently wrong history (review finding, round 18).
+    relation.table match {
+      case t: graft.sources.CowTable if t.isCurrentMain => ()
+      case _ => return None
+    }
+    val srcIdent = relation.identifier.getOrElse(return None)
+    val srcCat = relation.catalog.map(_.name).getOrElse(return None)
     val entry = MvRegistry.lookup(srcCat, srcIdent)
       .filter(_.groupCol == g.name).getOrElse(return None)
     // FRESHNESS: the source's head must already be folded into the MV —

@@ -2847,6 +2847,11 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
                 packed += ((scala.collection.mutable.ArrayBuffer(f), b))
             }
           }
+          // Applicable equality deletes per candidate file, computed
+          // ONCE (the pays-off filter and the bin map both need it —
+          // recomputing per stage would walk files × entries twice).
+          val eqFilesOf: Map[String, Array[String]] = sorted.map(f =>
+            f -> CowStore.applicableEqFiles(st, st.snapshot, f)).toMap
           packed.toSeq
             // A 1-file bin only pays off when it folds deletes —
             // positional vectors OR applicable equality entries (a
@@ -2856,7 +2861,7 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
               buf.size > 1 ||
                 buf.exists(f =>
                   st.deletes.getOrElse(f, Vector.empty).nonEmpty ||
-                    CowStore.applicableEqFiles(st, st.snapshot, f).nonEmpty)
+                    eqFilesOf(f).nonEmpty)
             }
             .map { case (buf, _) =>
               CowOptimizeBin(buf.toSeq.map { f =>
@@ -2866,12 +2871,10 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
                 // predates. Only the delete-FILE paths travel (range-
                 // pruned like a scan's); the task loads keys via the
                 // executor cache.
-                val eqFiles =
-                  CowStore.applicableEqFiles(st, st.snapshot, f)
                 (f, st.stats(f).cols,
                   st.deletes.getOrElse(f, Vector.empty).toArray,
                   CowStore.colMapFor(st.snapshot, st.stats.get(f),
-                    st.schema), st.eqKey.getOrElse(""), eqFiles)
+                    st.schema), st.eqKey.getOrElse(""), eqFilesOf(f))
               }, pv)
             }
         }
@@ -3994,6 +3997,13 @@ class CowTable(catalog: String, ident: Identifier,
 
   require(pinnedVersion.isEmpty || branch.isEmpty,
     "graft-cow: a table load is either version-pinned or a branch, not both")
+
+  /** True when this load reads MAIN's current snapshot — what plan-time
+    * substitutions (the MV rewrite) require: a VERSION/TIMESTAMP AS OF
+    * or branch read must never be answered from current gold data.
+    */
+  private[graft] def isCurrentMain: Boolean =
+    pinnedVersion.isEmpty && branch.isEmpty
 
   private def state: CowStore.State = {
     val st = CowStore.get(catalog, ident).getOrElse(

@@ -1682,13 +1682,16 @@ object StreamOps extends Serializable {
          |  VALUES (s.source, s.dn, s.dsum, s.v)
          |""".stripMargin)
     sess.catalog.dropTempView(view): Unit
-    // Advance the MV-rewrite freshness watermark (no-op unless this MV
-    // is registered with graft.plans.MvRegistry): the batch applied
-    // every source commit up to its max _commit_version.
-    val applied = batch.agg(org.apache.spark.sql.functions
-      .max(col("_commit_version"))).collect().head
-    if (!applied.isNullAt(0))
-      graft.plans.MvRegistry.advance(mv, applied.getLong(0))
+    // Advance the MV-rewrite freshness watermark: the batch applied
+    // every source commit up to its max _commit_version. GATED on the
+    // registry (review finding): unregistered pipelines must not pay a
+    // second per-batch job just to compute a watermark nobody reads.
+    if (graft.plans.MvRegistry.isRegisteredMv(mv)) {
+      val applied = batch.agg(org.apache.spark.sql.functions
+        .max(col("_commit_version"))).collect().head
+      if (!applied.isNullAt(0))
+        graft.plans.MvRegistry.advance(mv, applied.getLong(0))
+    }
   }
 
   /** q_incremental_mv — DELETE-AWARE INCREMENTAL VIEW MAINTENANCE (the
