@@ -2698,16 +2698,21 @@ class CowPublishProcedure(catalogName: String) extends UnboundProcedure {
   * sum_src_col, sum_mv_col)` — the SQL surface of
   * [[graft.plans.MvRegistry]] (E375's registration, SQL-driven like
   * every other verb): declares that `mv` holds the maintained aggregate
-  * `SELECT group_col, count(*), sum(sum_src_col) FROM src GROUP BY
-  * group_col`, enabling the optimizer rewrite. The registration is
+  * `SELECT group_cols…, count(*), sum(sum_src_col) FROM src GROUP BY
+  * group_cols…`, enabling the optimizer rewrite. `group_col` may be a
+  * comma-separated LIST (round 19): the MV's grain — rollup rewrites
+  * answer any GROUP BY subset of it. The registration is
   * VERIFIED, not trusted: the source's current commit version is read
   * FIRST, then the MV contents are compared against the direct batch
   * aggregate (one O(table) check — the honest price of declaring
   * freshness); a mismatch refuses with the differing-row count and
   * registers nothing. A commit racing the comparison can only make the
   * registered watermark conservative (the rewrite stays off until the
-  * maintenance loop advances it), never wrong. Returns the applied
-  * version.
+  * maintenance loop advances it), never wrong. COLUMN TYPES are
+  * validated EXACTLY (round-18 ADVICE): the exceptAll comparison
+  * applies set-operation widening, so an MV holding `n` as INT would
+  * otherwise verify clean and then graft an ill-typed attribute into
+  * optimized plans (never re-analyzed). Returns the applied version.
   */
 class CowRegisterMvProcedure(catalogName: String) extends UnboundProcedure {
   override def name(): String = "register_mv"
@@ -2729,34 +2734,67 @@ class CowRegisterMvProcedure(catalogName: String) extends UnboundProcedure {
       ProcedureParameter.in("sum_mv_col", StringType).build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val Seq(src, mv, groupCol, countCol, sumSrc, sumMv) =
+      val Seq(src, mv, groupColArg, countCol, sumSrc, sumMv) =
         (0 until 6).map(i => input.getUTF8String(i).toString)
+      val groupCols = groupColArg.split(",").map(_.trim).toVector
+      require(groupCols.nonEmpty && groupCols.forall(_.nonEmpty),
+        "graft-cow: register_mv needs 1+ group columns (comma-separated)")
+      val spark = org.apache.spark.sql.SparkSession.active
+      // Multipart names via the session parser, identifiers re-quoted
+      // on interpolation (round-18 ADVICE: a name needing backticks
+      // must not break the verification statement or resolve elsewhere).
       def identOf(t: String) = {
-        val p = t.split("\\.")
-        Identifier.of(p.init, p.last)
+        val p = spark.sessionState.sqlParser.parseMultipartIdentifier(t)
+        Identifier.of(p.init.toArray, p.last)
       }
+      def q(part: String): String = "`" + part.replace("`", "``") + "`"
+      def qualified(ident: Identifier): String =
+        (catalogName +: ident.namespace().toSeq :+ ident.name())
+          .map(q).mkString(".")
       val (srcIdent, mvIdent) = (identOf(src), identOf(mv))
       val srcSt = CowStore.get(catalogName, srcIdent).getOrElse(
         throw new NoSuchTableException(srcIdent))
       val mvSt = CowStore.get(catalogName, mvIdent).getOrElse(
         throw new NoSuchTableException(mvIdent))
-      def requireCol(st: CowStore.State, c: String, what: String): Unit =
-        require(st.schema.fieldNames.contains(c),
-          s"graft-cow: register_mv $what column '$c' not found " +
-            s"(have ${st.schema.fieldNames.mkString(",")})")
-      requireCol(srcSt, groupCol, "source group"); requireCol(srcSt, sumSrc, "source sum")
-      requireCol(mvSt, groupCol, "MV group"); requireCol(mvSt, countCol, "MV count")
-      requireCol(mvSt, sumMv, "MV sum")
+      def colOf(st: CowStore.State, c: String, what: String): StructField =
+        st.schema.fields.find(_.name == c).getOrElse(throw
+          new IllegalArgumentException(
+            s"graft-cow: register_mv $what column '$c' not found " +
+              s"(have ${st.schema.fieldNames.mkString(",")})"))
+      groupCols.foreach { g =>
+        val (sg, mg) = (colOf(srcSt, g, "source group"), colOf(mvSt, g, "MV group"))
+        require(sg.dataType == mg.dataType,
+          s"graft-cow: register_mv group column '$g' types diverge — " +
+            s"source ${sg.dataType.simpleString} vs MV " +
+            s"${mg.dataType.simpleString}; the rewrite grafts MV " +
+            "attributes under the aggregate's exprIds, so types must " +
+            "match EXACTLY")
+      }
+      val srcSumF = colOf(srcSt, sumSrc, "source sum")
+      val mvSumF = colOf(mvSt, sumMv, "MV sum")
+      val mvCountF = colOf(mvSt, countCol, "MV count")
+      require(srcSumF.dataType == LongType || srcSumF.dataType == DoubleType,
+        s"graft-cow: register_mv sum column '$sumSrc' must be " +
+          s"BIGINT/DOUBLE, got ${srcSumF.dataType.simpleString}")
+      require(mvSumF.dataType == srcSumF.dataType,
+        s"graft-cow: register_mv MV sum column '$sumMv' is " +
+          s"${mvSumF.dataType.simpleString} but sum($sumSrc) is " +
+          s"${srcSumF.dataType.simpleString}; types must match EXACTLY")
+      require(mvCountF.dataType == LongType,
+        s"graft-cow: register_mv MV count column '$countCol' must be " +
+          s"BIGINT (count(*)'s type), got ${mvCountF.dataType.simpleString}")
       // Version FIRST, compare second: a racing commit can only make
       // the registered watermark conservative.
       val applied = srcSt.version
-      val spark = org.apache.spark.sql.SparkSession.active
+      val gSel = groupCols.zipWithIndex
+        .map { case (g, i) => s"${q(g)} AS g$i" }.mkString(", ")
+      val gBy = groupCols.map(q).mkString(", ")
       val direct = spark.sql(
-        s"""SELECT $groupCol AS g, count(*) AS n, sum($sumSrc) AS s
-           |FROM $catalogName.$src GROUP BY $groupCol""".stripMargin)
+        s"""SELECT $gSel, count(*) AS n, sum(${q(sumSrc)}) AS s
+           |FROM ${qualified(srcIdent)} GROUP BY $gBy""".stripMargin)
       val held = spark.sql(
-        s"""SELECT $groupCol AS g, $countCol AS n, $sumMv AS s
-           |FROM $catalogName.$mv""".stripMargin)
+        s"""SELECT $gSel, ${q(countCol)} AS n, ${q(sumMv)} AS s
+           |FROM ${qualified(mvIdent)}""".stripMargin)
       val diff = direct.exceptAll(held).count() + held.exceptAll(direct).count()
       if (diff != 0) throw new IllegalStateException(
         s"graft-cow: register_mv refused — $mv diverges from the direct " +
@@ -2764,7 +2802,7 @@ class CowRegisterMvProcedure(catalogName: String) extends UnboundProcedure {
           "loop to the source's head first")
       graft.plans.MvRegistry.register(graft.plans.MvRegistry.Entry(
         catalogName, srcIdent, catalogName, mvIdent,
-        groupCol = groupCol, mvGroupCol = groupCol, countCol = countCol,
+        groupCols = groupCols, mvGroupCols = groupCols, countCol = countCol,
         sumSrcCol = sumSrc, sumMvCol = sumMv, appliedVersion = applied,
         srcDir = srcSt.dir, mvDir = mvSt.dir))
       val scan: Scan = new LocalScan {

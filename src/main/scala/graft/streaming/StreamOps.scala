@@ -1690,7 +1690,7 @@ object StreamOps extends Serializable {
       val applied = batch.agg(org.apache.spark.sql.functions
         .max(col("_commit_version"))).collect().head
       if (!applied.isNullAt(0))
-        graft.plans.MvRegistry.advance(mv, applied.getLong(0))
+        graft.plans.MvRegistry.advance(mv, applied.getLong(0)): Unit
     }
   }
 
@@ -1790,6 +1790,99 @@ object StreamOps extends Serializable {
     val plan = out.queryExecution.optimizedPlan.toString
     require(plan.contains(mv.split("\\.").last) && !plan.contains("Aggregate"),
       s"MV rewrite must substitute the gold scan, got:\n$plan")
+    out
+  }
+
+  /** q_mv_avg — MV REWRITE OF avg() (round-19 brief #1a): the gold
+    * table holds count and sum; `avg(score)` is DECOMPOSED as
+    * `sum_score / n` from those two columns — no new maintained state,
+    * the same O(groups) gold read. Exact whenever the sum is exact in
+    * double (integer domains < 2^53 — the maintained-MV contract):
+    * both operands are then exactly representable, so the single IEEE
+    * division is correctly rounded — bit-identical to the direct
+    * Average (which accumulates the same exact values). The plan pin
+    * asserts the substitution (no Aggregate, gold table in-plan), so a
+    * silent fall-through can never stay green.
+    */
+  def qMvAvg(spark: SparkSession, d: String): DataFrame = {
+    val (src, mv) = buildMaintainedMv(spark, d)
+    graft.GraftExtensions.register(spark)
+    spark.sql(s"CALL graft_cow.register_mv('${src.stripPrefix("graft_cow.")}', " +
+      s"'${mv.stripPrefix("graft_cow.")}', 'source', 'n', 'score', 'sum_score')")
+    val out = spark.sql(
+      s"""SELECT source, avg(score) AS avg_score
+         |FROM $src GROUP BY source ORDER BY source""".stripMargin)
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains(mv.split("\\.").last) && !plan.contains("Aggregate"),
+      s"MV avg rewrite must substitute the gold scan, got:\n$plan")
+    out
+  }
+
+  /** q_mv_where — MV REWRITE UNDER A GROUP-COLUMN WHERE (round-19
+    * brief #1c): a predicate that references only registered group
+    * columns selects WHOLE groups, so it commutes with the aggregation
+    * and is re-applied on the O(groups) gold scan — the query pays
+    * O(matching groups), not O(table). Predicates touching any
+    * non-group column fall through to the direct aggregate (spec-
+    * pinned in CowCatalogSpec). The pin asserts the substitution.
+    */
+  def qMvWhere(spark: SparkSession, d: String): DataFrame = {
+    val (src, mv) = buildMaintainedMv(spark, d)
+    graft.GraftExtensions.register(spark)
+    spark.sql(s"CALL graft_cow.register_mv('${src.stripPrefix("graft_cow.")}', " +
+      s"'${mv.stripPrefix("graft_cow.")}', 'source', 'n', 'score', 'sum_score')")
+    val out = spark.sql(
+      s"""SELECT source, count(*) AS n, sum(score) AS sum_score
+         |FROM $src WHERE source >= 'src15' GROUP BY source ORDER BY source""".stripMargin)
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains(mv.split("\\.").last) && !plan.contains("Aggregate"),
+      s"MV where-rewrite must substitute the filtered gold scan, got:\n$plan")
+    out
+  }
+
+  /** q_mv_rollup — the classic ROLLUP REWRITE (round-19 brief #1b): the
+    * MV is maintained at a FINER grain — `GROUP BY source, lang` — and
+    * a query grouping by a SUBSET (`GROUP BY source`) is answered by
+    * RE-AGGREGATING the gold scan: `count(*) → sum(n)`,
+    * `sum(score) → sum(sum_score)`, `avg → sum/sum` — O(MV groups)
+    * work instead of O(table), the one-MV-serves-every-coarser-
+    * dashboard property that makes a maintained aggregate pay for
+    * itself at 100 TB. The fixture registers a two-column grain built
+    * from the churned source's final state (`CALL register_mv` verifies
+    * it before registering); the pin asserts the source table LEFT the
+    * plan (the surviving Aggregate is the O(groups) re-aggregation of
+    * the gold table).
+    */
+  def qMvRollup(spark: SparkSession, d: String): DataFrame = {
+    graft.operators.RowLevelOps.ensureCatalog(spark)
+    graft.GraftExtensions.register(spark)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = s"graft_cow.ops.mvr_src_$sfx"
+    val mv = s"graft_cow.ops.mvrollup_$sfx"
+    spark.sql(s"CREATE TABLE $src (doc_id BIGINT, source STRING, " +
+      "lang STRING, score BIGINT) TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(
+      s"""INSERT INTO $src
+         |SELECT doc_id, source, lang, n_chars
+         |FROM parquet.`$d/documents.parquet` WHERE doc_id % 3 <> 0""".stripMargin)
+    spark.sql(s"UPDATE $src SET score = score + 1000 WHERE doc_id % 4 = 1")
+    spark.sql(s"DELETE FROM $src WHERE doc_id % 5 = 2")
+    spark.sql(s"CREATE TABLE $mv (source STRING, lang STRING, n BIGINT, " +
+      "sum_score BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $mv
+         |SELECT source, lang, count(*), sum(score)
+         |FROM $src GROUP BY source, lang""".stripMargin)
+    spark.sql(s"CALL graft_cow.register_mv('${src.stripPrefix("graft_cow.")}', " +
+      s"'${mv.stripPrefix("graft_cow.")}', 'source,lang', 'n', 'score', " +
+      "'sum_score')")
+    val out = spark.sql(
+      s"""SELECT source, count(*) AS n, sum(score) AS sum_score
+         |FROM $src GROUP BY source ORDER BY source""".stripMargin)
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(plan.contains(mv.split("\\.").last) &&
+      !plan.contains(src.split("\\.").last),
+      s"MV rollup rewrite must re-aggregate the gold scan, got:\n$plan")
     out
   }
 
@@ -3241,6 +3334,9 @@ object StreamOps extends Serializable {
     "q_cdc_pipeline"       -> qCdcPipeline _,
     "q_incremental_mv"     -> qIncrementalMv _,
     "q_mv_rewrite"         -> qMvRewrite _,
+    "q_mv_avg"             -> qMvAvg _,
+    "q_mv_where"           -> qMvWhere _,
+    "q_mv_rollup"          -> qMvRollup _,
     "q_stream_table_read"  -> qStreamTableRead _,
     "q_stream_sink_cow"    -> qStreamSinkCow _,
     "q_stream_ohlc"        -> qStreamOhlc _,
@@ -3567,6 +3663,42 @@ object StreamOps extends Serializable {
     // aggregate over the source's final state IS the answer, whether
     // the optimizer served it from the gold table or not.
     "q_mv_rewrite" ->
+      """WITH cur AS (
+        |  SELECT doc_id, source,
+        |         n_chars + CASE WHEN doc_id % 4 = 1 THEN 1000 ELSE 0 END
+        |           AS score
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 2
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(score) AS BIGINT) AS sum_score
+        |FROM cur GROUP BY source ORDER BY source""".stripMargin,
+    // avg decomposed as sum/count from the gold columns: exact for the
+    // integer score domain (sums < 2^53), so the direct average is the
+    // bit-identical answer.
+    "q_mv_avg" ->
+      """WITH cur AS (
+        |  SELECT doc_id, source,
+        |         n_chars + CASE WHEN doc_id % 4 = 1 THEN 1000 ELSE 0 END
+        |           AS score
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 2
+        |)
+        |SELECT source, AVG(score) AS avg_score
+        |FROM cur GROUP BY source ORDER BY source""".stripMargin,
+    // A group-column WHERE commutes with the aggregation — the oracle
+    // is simply the filtered direct aggregate.
+    "q_mv_where" ->
+      """WITH cur AS (
+        |  SELECT doc_id, source,
+        |         n_chars + CASE WHEN doc_id % 4 = 1 THEN 1000 ELSE 0 END
+        |           AS score
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 2
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(score) AS BIGINT) AS sum_score
+        |FROM cur WHERE source >= 'src15' GROUP BY source ORDER BY source""".stripMargin,
+    // The rollup rewrite re-aggregates the finer (source, lang) gold
+    // grain; the numbers must equal the direct coarse aggregate.
+    "q_mv_rollup" ->
       """WITH cur AS (
         |  SELECT doc_id, source,
         |         n_chars + CASE WHEN doc_id % 4 = 1 THEN 1000 ELSE 0 END

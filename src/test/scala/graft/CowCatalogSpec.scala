@@ -2678,7 +2678,8 @@ class CowCatalogSpec extends SparkSpec {
     val srcIdent = identOf(src)
     graft.plans.MvRegistry.register(graft.plans.MvRegistry.Entry(
       cat, srcIdent, cat, identOf(mv),
-      groupCol = "source", mvGroupCol = "source", countCol = "n",
+      groupCols = Vector("source"), mvGroupCols = Vector("source"),
+      countCol = "n",
       sumSrcCol = "score", sumMvCol = "sum_score",
       appliedVersion = CowStore.get(cat, srcIdent).get.version,
       srcDir = CowStore.get(cat, srcIdent).get.dir,
@@ -2696,9 +2697,12 @@ class CowCatalogSpec extends SparkSpec {
       assert(p1.contains(mv.split("\\.").last) && !p1.contains("Aggregate"),
         s"a fresh MV must substitute the gold scan:\n$p1")
       assert(rows(fresh1) == Seq(("a", 2L, 30L), ("b", 1L, 30L)))
-      // A shape the MV does not maintain falls through untouched.
+      // A shape the MV does not maintain falls through untouched
+      // (min is not decomposable from the count/sum gold columns;
+      // avg IS maintained since round 19 — sum/count — so the probe
+      // uses min).
       val other = spark.sql(
-        s"SELECT source, avg(score) AS a FROM $src GROUP BY source")
+        s"SELECT source, min(score) AS a FROM $src GROUP BY source")
       assert(other.queryExecution.optimizedPlan.toString.contains("Aggregate"),
         "an unmaintained aggregate shape must not be rewritten")
       // STALE: new churn on the source — the rewrite must NOT fire, and
@@ -2728,6 +2732,95 @@ class CowCatalogSpec extends SparkSpec {
         "a re-created source must never be served from the old MV")
       assert(rows(recreated) == Seq(("z", 1L, 999L)))
     } finally graft.plans.MvRegistry.deregister(cat, srcIdent)
+  }
+
+  test("MV rewrite generalization: avg / group-col WHERE / rollup rewrite when fresh, fall back when stale; exact type gate refuses") {
+    graft.GraftExtensions.register(spark)
+    val src = fresh("mvg_src")
+    val mv = fresh("mvgold")
+    spark.sql(s"CREATE TABLE $src (doc_id BIGINT, source STRING, " +
+      "lang STRING, score BIGINT) TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"INSERT INTO $src VALUES (1, 'a', 'en', 10), " +
+      "(2, 'a', 'fr', 20), (3, 'b', 'en', 31), (4, 'b', 'en', 9)")
+    spark.sql(s"CREATE TABLE $mv (source STRING, lang STRING, n BIGINT, " +
+      "sum_score BIGINT)")
+    spark.sql(s"INSERT INTO $mv SELECT source, lang, count(*), sum(score) " +
+      s"FROM $src GROUP BY source, lang")
+    spark.sql(s"CALL $cat.register_mv('${src.stripPrefix(s"$cat.")}', " +
+      s"'${mv.stripPrefix(s"$cat.")}', 'source,lang', 'n', 'score', " +
+      "'sum_score')")
+    val (mvName, srcName) = (mv.split("\\.").last, src.split("\\.").last)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    def exact() = spark.sql(
+      s"""SELECT source, lang, count(*) AS n, sum(score) AS s, avg(score) AS a
+         |FROM $src GROUP BY source, lang ORDER BY source, lang""".stripMargin)
+    def rollup() = spark.sql(
+      s"""SELECT source, count(*) AS n, avg(score) AS a
+         |FROM $src GROUP BY source ORDER BY source""".stripMargin)
+    def where() = spark.sql(
+      s"""SELECT source, count(*) AS n
+         |FROM $src WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin)
+    try {
+      // EXACT GRAIN with avg: pure projection of the gold row —
+      // avg = sum/count, no Aggregate anywhere in the plan.
+      val e1 = exact()
+      assert(plan(e1).contains(mvName) && !plan(e1).contains("Aggregate"),
+        s"exact grain must project gold rows:\n${plan(e1)}")
+      assert(e1.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq ==
+        Seq(("a", "en", 1L, 10L, 10.0), ("a", "fr", 1L, 20L, 20.0),
+          ("b", "en", 2L, 40L, 20.0)))
+      // ROLLUP: GROUP BY a subset re-aggregates the gold scan — the
+      // source table leaves the plan entirely.
+      val r1 = rollup()
+      assert(plan(r1).contains(mvName) && !plan(r1).contains(srcName),
+        s"rollup grain must re-aggregate the gold scan:\n${plan(r1)}")
+      assert(r1.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2))).toSeq == Seq(("a", 2L, 15.0), ("b", 2L, 20.0)))
+      // WHERE on a group column commutes with the aggregation and is
+      // re-applied on the gold scan.
+      val w1 = where()
+      assert(plan(w1).contains(mvName) && !plan(w1).contains(srcName),
+        s"group-col WHERE must ride the gold scan:\n${plan(w1)}")
+      assert(w1.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 1L), ("b", 2L)))
+      // WHERE on a NON-group column must fall through (the predicate
+      // selects rows inside groups — gold rows cannot answer it).
+      val nw = spark.sql(s"SELECT source, count(*) AS n FROM $src " +
+        "WHERE score > 15 GROUP BY source")
+      assert(plan(nw).contains(srcName),
+        s"a non-group-col WHERE must not rewrite:\n${plan(nw)}")
+      // STALE: churn the source — every shape falls back to the direct
+      // aggregate and serves the CURRENT numbers.
+      spark.sql(s"INSERT INTO $src VALUES (5, 'c', 'en', 7)")
+      val (e2, r2, w2) = (exact(), rollup(), where())
+      assert(plan(e2).contains(srcName) && plan(r2).contains(srcName) &&
+        plan(w2).contains(srcName),
+        "a stale MV must fall back for every rewrite shape")
+      assert(e2.collect().length == 4 && r2.collect().length == 3)
+      assert(w2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 1L), ("b", 2L), ("c", 1L)))
+      // TYPE GATE (round-18 ADVICE): an MV whose sum column is DOUBLE
+      // while sum(BIGINT) is BIGINT would verify clean through
+      // exceptAll's set-op widening and then graft an ill-typed
+      // attribute under the original exprId — registration must refuse
+      // BEFORE comparing. (INT count columns can't even be created:
+      // the store supports long/double/string/timestamp only.)
+      val bad = fresh("mvbad")
+      spark.sql(s"CREATE TABLE $bad (source STRING, lang STRING, " +
+        "n BIGINT, sum_score DOUBLE)")
+      spark.sql(s"INSERT INTO $bad SELECT source, lang, count(*), " +
+        s"CAST(sum(score) AS DOUBLE) FROM $src GROUP BY source, lang")
+      val err = intercept[Exception] {
+        spark.sql(s"CALL $cat.register_mv('${src.stripPrefix(s"$cat.")}', " +
+          s"'${bad.stripPrefix(s"$cat.")}', 'source,lang', 'n', 'score', " +
+          "'sum_score')")
+      }
+      assert(err.getMessage.contains("types must match EXACTLY"),
+        s"a DOUBLE sum column against sum(BIGINT) must refuse with the " +
+          s"type message, got: ${err.getMessage}")
+    } finally graft.plans.MvRegistry.deregister(cat, identOf(src))
   }
 
   test("expire_snapshots + refs: time-based retention honors tag/current protection; refs list every pointer; both recover") {
