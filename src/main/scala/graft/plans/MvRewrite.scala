@@ -89,6 +89,60 @@ object MvRegistry {
     while (it.hasNext) if (mvKey(it.next()) == mvTable) return true
     false
   }
+
+  /** The SOURCE-table property key the verified registration persists
+    * under (round 19): the catalog re-hydrates this registry from it
+    * when a fresh session/JVM binds the source table.
+    */
+  val PropKey: String = "graft.mv.registration"
+
+  // '|'-separated fields, each URL-encoded; list fields ','-join their
+  // URL-encoded elements. A format-version prefix keeps later shapes
+  // decodable (unknown versions hydrate as absent, never wrong).
+  def encode(e: Entry): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    def list(xs: Seq[String]) = xs.map(enc).mkString(",")
+    Seq("v1", enc(e.mvCat),
+      list(e.mvIdent.namespace().toSeq :+ e.mvIdent.name()),
+      list(e.groupCols), list(e.mvGroupCols),
+      enc(e.countCol), enc(e.sumSrcCol), enc(e.sumMvCol),
+      e.appliedVersion.toString, enc(e.srcDir), enc(e.mvDir))
+      .mkString("|")
+  }
+
+  def decode(srcCat: String, srcIdent: Identifier,
+             s: String): Option[Entry] = {
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    def unlist(x: String) = x.split(",", -1).toVector.map(dec)
+    s.split("\\|", -1).toSeq match {
+      case Seq("v1", mvCat, mvParts, g, mg, n, ss, sm, ver, sd, md) =>
+        val parts = unlist(mvParts)
+        scala.util.Try(Entry(srcCat, srcIdent,
+          dec(mvCat), Identifier.of(parts.init.toArray, parts.last),
+          groupCols = unlist(g), mvGroupCols = unlist(mg),
+          countCol = dec(n), sumSrcCol = dec(ss), sumMvCol = dec(sm),
+          appliedVersion = ver.toLong,
+          srcDir = dec(sd), mvDir = dec(md))).toOption
+      case _ => None
+    }
+  }
+
+  /** Re-hydrate this registry from a source table's persisted
+    * registration, if any — called when the catalog binds the table in
+    * a session whose registry has no entry for it (the fresh-JVM path;
+    * the in-memory map is a cache of what `props.tsv` records). The
+    * persisted entry was VERIFIED by `CALL register_mv` when written;
+    * the dir pin must still match the live table instance (a re-created
+    * table's directory differs, so a stale property hydrates nothing),
+    * and the usual freshness gate governs every rewrite after.
+    */
+  def hydrate(srcCat: String, srcIdent: Identifier, srcDir: String,
+              prop: Option[String]): Unit =
+    if (lookup(srcCat, srcIdent).isEmpty) prop.foreach { s =>
+      decode(srcCat, srcIdent, s)
+        .filter(e => e.srcDir.nonEmpty && e.srcDir == srcDir)
+        .foreach(register)
+    }
 }
 
 /** Optimizer rule — MATERIALIZED-VIEW REWRITE (the round-17 verdict

@@ -660,7 +660,16 @@ object CowStore {
                          // entries instead of positional vectors, and
                          // readers drop matching rows from OLDER files
                          // ([[EqDelete]]).
-                         eqKey: Option[String] = None) {
+                         eqKey: Option[String] = None,
+                         // Durable TABLE PROPERTIES beyond the
+                         // strategy flags above (round 19): arbitrary
+                         // key→value metadata persisted in
+                         // `_log/props.tsv` (the tags.tsv pattern) and
+                         // recovered with the manifests — the MV
+                         // registry's cross-session registration rides
+                         // here. Ref-like, not versioned: properties
+                         // describe the TABLE, not a snapshot.
+                         props: Map[String, String] = Map.empty) {
     def snapshot: Snapshot = history(version)
     /** The spec that wrote a file, by its stats' spec id; an unknown id
       * resolves EMPTY (treated as unpartitioned ⇒ never pruned — a
@@ -1696,7 +1705,8 @@ object CowStore {
         oldSpecs = oldSpecsAll,
         droppedCols = droppedAll,
         writeOrder = orderByVersion.getOrElse(current, Vector.empty),
-        eqKey = eqKeyByVersion.get(current))
+        eqKey = eqKeyByVersion.get(current),
+        props = readProps(dir))
       tables.put(key(catalog, ident), st)
       st
     }
@@ -1877,6 +1887,46 @@ object CowStore {
       files = mSnap.files.filterNot(bRemoved) ++ bAdded,
       deletes = (mSnap.deletes -- bRemoved) ++ bDvs)
     publish(k, st, rebased, Map.empty).version
+  }
+
+  // Durable table properties — one `key\tURL-encoded-value` line each,
+  // rewritten whole on change (property sets are tiny); recovered with
+  // the manifests like tags/branches.
+  private def writeProps(st: State): Unit = {
+    java.nio.file.Files.createDirectories(logDir(st.dir))
+    val body = st.props.toSeq.sorted.map { case (k, v) =>
+      s"$k\t${java.net.URLEncoder.encode(v, "UTF-8")}" }
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(logDir(st.dir).resolve("props.tsv"),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  private def readProps(dir: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val p = logDir(dir).resolve("props.tsv")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else java.nio.file.Files.readAllLines(p).asScala
+      .filter(_.nonEmpty)
+      .map { l =>
+        val Array(k, v) = l.split("\t", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+  }
+
+  /** Merge `kvs` into the table's durable properties (empty-valued keys
+    * REMOVE). Ref-like metadata (the tags/branches model): durable
+    * immediately, not a versioned commit — properties describe the
+    * table, not a snapshot.
+    */
+  def setProps(catalog: String, ident: Identifier,
+               kvs: Map[String, String]): Unit = synchronized {
+    val k = key(catalog, ident)
+    val st = Option(tables.get(k)).getOrElse(
+      throw new NoSuchTableException(ident))
+    val (gone, set) = kvs.partition(_._2.isEmpty)
+    val nst = st.copy(props = st.props -- gone.keys ++ set)
+    tables.put(k, nst)
+    writeProps(nst)
   }
 
   private def writeTags(st: State): Unit = {
@@ -2148,7 +2198,16 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
 
   override def loadTable(ident: Identifier): Table =
     CowStore.get(catalogName, ident)
-      .map(_ => new CowTable(catalogName, ident): Table)
+      .map { st =>
+        // MV-registry re-hydration (round 19): a persisted, verified
+        // registration on this source binds into the session registry
+        // the first time the catalog loads the table — cross-session
+        // rewrites without re-running CALL register_mv.
+        if (st.props.contains(graft.plans.MvRegistry.PropKey))
+          graft.plans.MvRegistry.hydrate(catalogName, ident, st.dir,
+            st.props.get(graft.plans.MvRegistry.PropKey))
+        new CowTable(catalogName, ident): Table
+      }
       .orElse(metadataTable(ident))
       .getOrElse(throw new NoSuchTableException(ident))
 
@@ -2800,11 +2859,20 @@ class CowRegisterMvProcedure(catalogName: String) extends UnboundProcedure {
         s"graft-cow: register_mv refused — $mv diverges from the direct " +
           s"aggregate over $src by $diff row(s); drain the maintenance " +
           "loop to the source's head first")
-      graft.plans.MvRegistry.register(graft.plans.MvRegistry.Entry(
+      val entry = graft.plans.MvRegistry.Entry(
         catalogName, srcIdent, catalogName, mvIdent,
         groupCols = groupCols, mvGroupCols = groupCols, countCol = countCol,
         sumSrcCol = sumSrc, sumMvCol = sumMv, appliedVersion = applied,
-        srcDir = srcSt.dir, mvDir = mvSt.dir))
+        srcDir = srcSt.dir, mvDir = mvSt.dir)
+      graft.plans.MvRegistry.register(entry)
+      // DURABLE registration (round-19 brief #2): the verified entry
+      // persists as a source-table property, so fresh sessions/JVMs
+      // re-hydrate the registry when the catalog binds the table —
+      // reader sessions never re-run the registration or its
+      // verification scan.
+      CowStore.setProps(catalogName, srcIdent,
+        Map(graft.plans.MvRegistry.PropKey ->
+          graft.plans.MvRegistry.encode(entry)))
       val scan: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
           Array(new GenericInternalRow(Array[Any](applied)))
@@ -4071,6 +4139,7 @@ class CowTable(catalog: String, ident: Identifier,
     if (state.writeOrder.nonEmpty)
       m.put("graft.write-order", state.writeOrder.map { case (c, d) =>
         s"$c ${if (d) "desc" else "asc"}" }.mkString(", "))
+    state.props.foreach { case (k, v) => m.put(k, v) }
     JCollections.unmodifiableMap(m)
   }
   override def partitioning(): Array[Transform] = state.spec.map {

@@ -1690,7 +1690,18 @@ object StreamOps extends Serializable {
       val applied = batch.agg(org.apache.spark.sql.functions
         .max(col("_commit_version"))).collect().head
       if (!applied.isNullAt(0))
-        graft.plans.MvRegistry.advance(mv, applied.getLong(0)): Unit
+        graft.plans.MvRegistry.advance(mv, applied.getLong(0)).foreach { e =>
+          // Persist the advanced watermark beside the registration
+          // (round-19 brief #2) so fresh sessions hydrate the CURRENT
+          // freshness, not the registration-time one. Written AFTER
+          // the MERGE commit: a reader between the two sees an older
+          // persisted watermark — conservative (the rewrite stays off
+          // until hydration catches up), never wrong.
+          if (graft.sources.CowStore.get(e.srcCat, e.srcIdent).isDefined)
+            graft.sources.CowStore.setProps(e.srcCat, e.srcIdent,
+              Map(graft.plans.MvRegistry.PropKey ->
+                graft.plans.MvRegistry.encode(e)))
+        }
     }
   }
 

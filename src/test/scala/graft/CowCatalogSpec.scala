@@ -2823,6 +2823,78 @@ class CowCatalogSpec extends SparkSpec {
     } finally graft.plans.MvRegistry.deregister(cat, identOf(src))
   }
 
+  test("MV registration persists in table properties: a fresh session/JVM hydrates the registry and rewrites without re-registering") {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.GraftExtensions.register(spark)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val src = fresh("mvp_src")
+    val mv = fresh("mvp_gold")
+    spark.sql(s"CREATE TABLE $src (doc_id BIGINT, source STRING, " +
+      "score BIGINT) TBLPROPERTIES ('graft.mode' = 'mor')")
+    spark.sql(s"CREATE TABLE $mv (source STRING, n BIGINT, " +
+      "sum_score BIGINT, mv_version BIGINT)")
+    val ck = java.nio.file.Files.createTempDirectory("mvp_ck_").toString
+    def drain(): Unit = {
+      spark.readStream.option("maxVersionsPerBatch", "1").table(s"$src.changes")
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch(graft.streaming.StreamOps.applyMvBatch(mv, sfx) _)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    spark.sql(s"INSERT INTO $src VALUES (1, 'a', 10), (2, 'b', 20)")
+    drain()
+    spark.sql(s"CALL $cat.register_mv('${src.stripPrefix(s"$cat.")}', " +
+      s"'${mv.stripPrefix(s"$cat.")}', 'source', 'n', 'score', 'sum_score')")
+    val (srcIdent, mvIdent) = (identOf(src), identOf(mv))
+    try {
+      val (srcDir, mvDir) = (CowStore.get(cat, srcIdent).get.dir,
+        CowStore.get(cat, mvIdent).get.dir)
+      // Churn + re-drain: applyMvBatch must persist the ADVANCED
+      // watermark, not the registration-time one.
+      spark.sql(s"INSERT INTO $src VALUES (3, 'a', 5)")
+      drain()
+      val headV = CowStore.get(cat, srcIdent).get.version
+      // FRESH JVM SIMULATION: the registry forgets, the store evicts;
+      // recovery rebuilds state from the commit log + props.tsv.
+      graft.plans.MvRegistry.deregister(cat, srcIdent)
+      CowStore.evict(cat, srcIdent); CowStore.evict(cat, mvIdent)
+      CowStore.recover(cat, srcIdent, srcDir): Unit
+      CowStore.recover(cat, mvIdent, mvDir): Unit
+      assert(graft.plans.MvRegistry.lookup(cat, srcIdent).isEmpty,
+        "hydration happens when the CATALOG binds the table, not at recover")
+      assert(CowStore.get(cat, srcIdent).get.props
+        .contains(graft.plans.MvRegistry.PropKey),
+        "the registration must survive recovery as a durable property")
+      // First query in the 'fresh' session: loadTable hydrates the
+      // registry from the persisted property and the rewrite fires.
+      val out = spark.sql(
+        s"""SELECT source, count(*) AS n, sum(score) AS sum_score
+           |FROM $src GROUP BY source ORDER BY source""".stripMargin)
+      val p = out.queryExecution.optimizedPlan.toString
+      assert(p.contains(mv.split("\\.").last) && !p.contains("Aggregate"),
+        s"a hydrated registration must rewrite without re-registering:\n$p")
+      assert(out.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSeq == Seq(("a", 2L, 15L), ("b", 1L, 20L)))
+      val hydrated = graft.plans.MvRegistry.lookup(cat, srcIdent)
+      assert(hydrated.exists(_.appliedVersion == headV),
+        s"the hydrated watermark must be the ADVANCED one ($headV), " +
+          s"got ${hydrated.map(_.appliedVersion)}")
+      // A DROP + re-CREATE leaves a dead property behind (different
+      // dir): hydration must refuse it and the query must aggregate
+      // the source directly.
+      spark.sql(s"DROP TABLE $src")
+      graft.plans.MvRegistry.deregister(cat, srcIdent)
+      spark.sql(s"CREATE TABLE $src (doc_id BIGINT, source STRING, " +
+        "score BIGINT) TBLPROPERTIES ('graft.mode' = 'mor')")
+      spark.sql(s"INSERT INTO $src VALUES (7, 'z', 1)")
+      val re = spark.sql(s"SELECT source, count(*) AS n FROM $src " +
+        "GROUP BY source")
+      assert(re.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+        "a re-created source must never hydrate the old registration")
+      assert(re.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("z", 1L)))
+    } finally graft.plans.MvRegistry.deregister(cat, srcIdent)
+  }
+
   test("expire_snapshots + refs: time-based retention honors tag/current protection; refs list every pointer; both recover") {
     val tbl = fresh("expire")
     mkBase(tbl) // v1
