@@ -13,14 +13,18 @@ import org.apache.spark.sql.SparkSession
   * with pruning on (default) vs off (`-Dgraft.cow.eqprune=false` —
   * every file probes every entry, the pre-round-18 behavior).
   *
-  * Run: `sbt "runMain graft.EqPruneProbe [rowsPerFile] [nCold] [cpus]"`;
-  * one JSON line. Findings land in BASELINE.md.
+  * Run: `sbt "runMain graft.EqPruneProbe [rowsPerFile] [nCold] [cpus]
+  * [long|string]"`; one JSON line. Findings land in BASELINE.md.
+  * The `string` mode (round 19) keys the table by zero-padded ASCII
+  * document-id strings — the dedup-pipeline norm — exercising the
+  * strMin/strMax entry ranges against write-time strRanges.
   */
 object EqPruneProbe {
   def main(args: Array[String]): Unit = {
     val rowsPerFile = args.headOption.map(_.toLong).getOrElse(2000000L)
     val nCold = args.lift(1).map(_.toInt).getOrElse(8)
     val cpus = args.lift(2).map(_.toInt).getOrElse(32)
+    val stringKey = args.lift(3).contains("string")
     val epochs = 4
     val churn = 100000L
     val spark = SparkSession.builder()
@@ -34,13 +38,20 @@ object EqPruneProbe {
 
     val name = "eqpruneprobe"
     val tbl = s"graft_cow.ops.$name"
+    val idType = if (stringKey) "STRING" else "BIGINT"
+    // 19-digit zero-padding keeps ASCII order == numeric order, so the
+    // string mode's file ranges are disjoint exactly like the long
+    // mode's.
+    def sid(expr: String): String =
+      if (stringKey) s"concat('k', lpad(CAST($expr AS STRING), 19, '0'))"
+      else expr
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+    spark.sql(s"CREATE TABLE $tbl (id $idType NOT NULL, v BIGINT) " +
       "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
     // nCold cold files + 1 hot file, disjoint consecutive id ranges.
     for (i <- 0 to nCold) {
       val lo = i * rowsPerFile
-      spark.sql(s"INSERT INTO $tbl SELECT id, id FROM " +
+      spark.sql(s"INSERT INTO $tbl SELECT ${sid("id")}, id FROM " +
         s"range($lo, ${lo + rowsPerFile}, 1, 1)")
     }
     val hotLo = nCold * rowsPerFile
@@ -48,10 +59,12 @@ object EqPruneProbe {
       Array("ops"), name)
     // Hot-range churn: epochs keyed upsert entries, all inside the hot
     // file's range.
+    def keyOf(k: Long): String =
+      if (stringKey) "k" + ("%019d".format(k)) else k.toString
     for (e <- 1 to epochs) {
       val keys = (0L until churn)
         .map(k => hotLo + (k * epochs + e) % rowsPerFile)
-        .distinct.map(_.toString).toVector
+        .distinct.map(keyOf).toVector
       graft.sources.CowStore.commitDeltaEq("graft_cow", ident,
         Seq.empty, Map.empty, keys)
     }
@@ -81,7 +94,7 @@ object EqPruneProbe {
     val full = time("unpruned")
     sys.props.remove("graft.cow.eqprune")
     val pruned = time("pruned2")
-    println(s"""{"metric":"eq_prune_scan","rows_per_file":$rowsPerFile,""" +
+    println(s"""{"metric":"eq_prune_scan","key_type":"${if (stringKey) "string" else "long"}","rows_per_file":$rowsPerFile,""" +
       s""""cold_files":$nCold,"live_keys":${st.snapshot.eqDeletes.map(_.count).sum},""" +
       s""""pruned_first_s":$pruned1,"unpruned_s":$full,"pruned_s":$pruned,""" +
       s""""speedup":${full / pruned}}""")

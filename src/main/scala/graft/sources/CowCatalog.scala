@@ -455,7 +455,18 @@ object CowStore {
                             // carried across commits, pruned by publish
                             // once no current file predates them
                             // (optimize's rewrite is what retires them).
-                            eqDeletes: Vector[EqDelete] = Vector.empty)
+                            eqDeletes: Vector[EqDelete] = Vector.empty,
+                            // INITIAL DEFAULTS (round 19 — Iceberg
+                            // initial-default / Delta write-default in
+                            // miniature), keyed by FIELD ID: a file
+                            // that lacks the column's identity serves
+                            // this canonical-string value instead of
+                            // NULL (a file that HAS the column but
+                            // holds NULL keeps its NULL — the default
+                            // describes pre-ADD rows, not null values).
+                            // Rides every snapshot, so time travel
+                            // serves each era's contemporary defaults.
+                            defaults: Map[Int, String] = Map.empty)
 
   /** One EQUALITY DELETE (Iceberg equality-delete FILES in miniature):
     * at `version`, every row of an OLDER file (seq < version) whose
@@ -471,16 +482,23 @@ object CowStore {
     * file's key count (diagnostics + probe-set sizing). O(1) commit
     * metadata bytes, O(keys) delete-file bytes, ZERO data files read.
     * `keyMin`/`keyMax` are the entry's key RANGE when the key column is
-    * long (None for string keys): a data file whose write-time key
-    * range cannot intersect it skips the entry entirely — no delete
-    * file loaded, and a file no live entry touches stays on the
-    * UNFILTERED columnar path. With time-correlated keys (monotonic
-    * ids — the common stream), churn concentrates in recent ranges and
-    * the cold majority of a 100 TB table never pays for it.
+    * long; `strMin`/`strMax` the range when it is STRING and every key
+    * is pure ASCII (round 19 — document ids/UUIDs, the dedup-pipeline
+    * norm; the strRanges policy: ASCII is where Java string order ==
+    * UTF-8 byte order == Spark's comparison, so a non-ASCII key
+    * disables the range rather than risking a collation-order
+    * misprune): a data file whose write-time key range cannot
+    * intersect it skips the entry entirely — no delete file loaded,
+    * and a file no live entry touches stays on the UNFILTERED columnar
+    * path. With time-correlated keys (monotonic ids, prefixed doc ids
+    * — the common stream), churn concentrates in recent ranges and the
+    * cold majority of a 100 TB table never pays for it.
     */
   final case class EqDelete(version: Long, file: String, count: Long,
                             keyMin: Option[Long] = None,
-                            keyMax: Option[Long] = None)
+                            keyMax: Option[Long] = None,
+                            strMin: Option[String] = None,
+                            strMax: Option[String] = None)
 
   /** The equality-delete files applicable to data file `f` under
     * `snap`: entries sequenced AFTER it (seq < version), minus entries
@@ -495,23 +513,47 @@ object CowStore {
     // `-Dgraft.cow.eqprune=false` is EqPruneProbe's A/B knob (the
     // graft.cow.columnar pattern), not a supported config.
     val prune = !sys.props.get("graft.cow.eqprune").contains("false")
-    val fileRange: Option[(Long, Long)] = for {
+    val physKey = for {
       s <- fs
       key <- st.eqKey
       phys <- physColIn(snap, Some(s), key)
-      r <- s.longRanges.get(phys)
-    } yield (r.min, r.max)
+    } yield (s, phys)
+    val fileRange: Option[(Long, Long)] =
+      physKey.flatMap { case (s, phys) => s.longRanges.get(phys) }
+        .map(r => (r.min, r.max))
+    // The string-key twin (round 19): write-time ASCII string ranges
+    // already drive data skipping; here they prune DELETE work the
+    // same way.
+    val fileStrRange: Option[(String, String)] =
+      physKey.flatMap { case (s, phys) => s.strRanges.get(phys) }
     snap.eqDeletes.iterator
       .filter(_.version > seq)
       .filter { e =>
-        (e.keyMin, e.keyMax, fileRange) match {
+        val longMiss = (e.keyMin, e.keyMax, fileRange) match {
           case (Some(lo), Some(hi), Some((flo, fhi))) if prune =>
-            hi >= flo && lo <= fhi
-          case _ => true // unknown ranges: conservatively applicable
+            hi < flo || lo > fhi
+          case _ => false
         }
+        val strMiss = (e.strMin, e.strMax, fileStrRange) match {
+          case (Some(lo), Some(hi), Some((flo, fhi))) if prune =>
+            hi < flo || lo > fhi
+          case _ => false
+        }
+        // unknown ranges: conservatively applicable
+        !longMiss && !strMiss
       }
       .map(_.file).toArray
   }
+
+  /** A snapshot's initial defaults keyed by CURRENT column name — what
+    * the read path consumes ([[CowReaderFactory]] serves these for
+    * files lacking the column's identity).
+    */
+  def defaultsFor(snap: Snapshot): Map[String, String] =
+    if (snap.defaults.isEmpty) Map.empty
+    else snap.schema.fields.toSeq.zip(effectiveIds(snap)).flatMap {
+      case (f, id) => snap.defaults.get(id).map(f.name -> _)
+    }.toMap
 
   /** A snapshot's field ids with the positional default applied. */
   def effectiveIds(snap: Snapshot): Vector[Int] =
@@ -1103,12 +1145,21 @@ object CowStore {
     }
   }
 
-  /** `ALTER TABLE … ADD COLUMN`: a new version with the SAME files and an
-    * extended schema. Pre-evolution files lack the column physically and
-    * read NULL (the reader consults each file's write-time column set);
-    * `VERSION AS OF` a pre-evolution commit reads the OLD schema.
+  /** `ALTER TABLE … ADD COLUMN [... DEFAULT <literal>]`: a new version
+    * with the SAME files and an extended schema. Pre-evolution files
+    * lack the column physically and read NULL — or, with a DEFAULT
+    * (round 19, Iceberg initial-default semantics), the declared
+    * literal: `default` carries (canonical value string, SQL literal
+    * text); the canonical value is keyed by the fresh FIELD ID in the
+    * snapshot (files lacking the identity serve it; files holding the
+    * column serve their values, including genuine NULLs), and the SQL
+    * text is stamped into the field's CURRENT_DEFAULT/EXISTS_DEFAULT
+    * metadata so the analyzer fills INSERTs that omit the column.
+    * `VERSION AS OF` a pre-evolution commit reads the OLD schema, and
+    * each snapshot carries its contemporary defaults.
     */
-  def addColumn(catalog: String, ident: Identifier, field: StructField): State =
+  def addColumn(catalog: String, ident: Identifier, field: StructField,
+                default: Option[(String, String)] = None): State =
     synchronized {
       val k = key(catalog, ident)
       val st = Option(tables.get(k)).getOrElse(
@@ -1123,10 +1174,23 @@ object CowStore {
           "field ids re-adding the name would resurrect old files' stale " +
           "values — pick a new name")
       require(field.nullable,
-        "graft-cow: added columns must be nullable (existing files read NULL)")
+        "graft-cow: added columns must be nullable (existing files read " +
+          "NULL or the declared DEFAULT)")
       val snap = st.snapshot
-      publish(k, st, snap.copy(schema = snap.schema.add(field),
-        fieldIds = effectiveIds(snap) :+ nextFieldId(st)), Map.empty)
+      val nid = nextFieldId(st)
+      val stamped = default match {
+        case Some((_, sql)) =>
+          field.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(field.metadata)
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql)
+            .build())
+        case None => field
+      }
+      publish(k, st, snap.copy(schema = snap.schema.add(stamped),
+        fieldIds = effectiveIds(snap) :+ nid,
+        defaults = snap.defaults ++ default.map { case (v, _) => nid -> v }),
+        Map.empty)
     }
 
   /** A FRESH field id: above every id any retained snapshot or any
@@ -1402,15 +1466,23 @@ object CowStore {
         // regardless of key churn. The range (long keys only) is what
         // lets scans skip the entry for files it provably misses.
         val distinct = keys.distinct.sorted
+        val keyIsLong = st.eqKey.exists(c =>
+          st.schema.fields.find(_.name == c).exists(_.dataType == LongType))
         val longs =
-          if (st.eqKey.exists(c =>
-              st.schema.fields.find(_.name == c).exists(_.dataType == LongType)))
-            scala.util.Try(distinct.map(_.toLong)).toOption
+          if (keyIsLong) scala.util.Try(distinct.map(_.toLong)).toOption
+          else None
+        // String keys: [min, max] under ASCII order only (the strRanges
+        // policy — one non-ASCII key disables the range; `distinct` is
+        // already sorted, so head/last are the bounds).
+        val strs =
+          if (!keyIsLong && distinct.forall(_.forall(_ < 128)))
+            Some((distinct.head, distinct.last))
           else None
         snap.copy(eqDeletes = snap.eqDeletes :+
           EqDelete(newV, writeEqDeleteFile(st.dir, distinct),
             distinct.length.toLong,
-            keyMin = longs.map(_.min), keyMax = longs.map(_.max)))
+            keyMin = longs.map(_.min), keyMax = longs.map(_.max),
+            strMin = strs.map(_._1), strMax = strs.map(_._2)))
       case None => snap
     }
     val prunedSnap =
@@ -1520,15 +1592,23 @@ object CowStore {
       sb ++= s"dv\t$f\t${ps.mkString(",")}\n"
     }
     // Equality deletes: O(1) bytes per live entry — version, the
-    // parquet delete-file path (URL-encoded), key count, key range
-    // ("-" when the key domain is non-long). The keys themselves live
-    // in the referenced file, so the manifest stays FLAT under key
-    // churn (the round-17 weak mark).
+    // parquet delete-file path (URL-encoded), key count, long key range
+    // ("-" when the key domain is non-long), and — round 19 — the
+    // ASCII string key range (URL-encoded, "-" when unavailable;
+    // written only when present, so pre-round-19 manifests re-parse
+    // unchanged). The keys themselves live in the referenced file, so
+    // the manifest stays FLAT under key churn (the round-17 weak mark).
     snap.eqDeletes.foreach { e =>
       val enc = java.net.URLEncoder.encode(e.file, "UTF-8")
       val (lo, hi) = (e.keyMin.map(_.toString).getOrElse("-"),
         e.keyMax.map(_.toString).getOrElse("-"))
-      sb ++= s"eqdelf\t${e.version}\t$enc\t${e.count}\t$lo\t$hi\n"
+      val strTail = (e.strMin, e.strMax) match {
+        case (Some(a), Some(b)) =>
+          val ec = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+          s"\t${ec(a)}\t${ec(b)}"
+        case _ => ""
+      }
+      sb ++= s"eqdelf\t${e.version}\t$enc\t${e.count}\t$lo\t$hi$strTail\n"
     }
     java.nio.file.Files.createDirectories(logDir(st.dir))
     java.nio.file.Files.write(manifestPath(st.dir, v),
@@ -1604,11 +1684,15 @@ object CowStore {
             // writeManifest emits version FIRST, so `version` is set here.
             case Seq("mor", m) => morByVersion += version -> m.toBoolean
             case Seq("eqkey", c) => eqKeyByVersion += version -> c
-            case Seq("eqdelf", v, p, c, lo, hi) =>
-              eqds :+= EqDelete(v.toLong,
-                java.net.URLDecoder.decode(p, "UTF-8"), c.toLong,
+            // 6 tokens = pre-round-19 (no string range); 8 = with it.
+            case Seq("eqdelf", v, p, c, lo, hi, rest @ _*)
+                if rest.isEmpty || rest.length == 2 =>
+              val dec = (x: String) => java.net.URLDecoder.decode(x, "UTF-8")
+              eqds :+= EqDelete(v.toLong, dec(p), c.toLong,
                 keyMin = if (lo == "-") None else Some(lo.toLong),
-                keyMax = if (hi == "-") None else Some(hi.toLong))
+                keyMax = if (hi == "-") None else Some(hi.toLong),
+                strMin = rest.headOption.filter(_ != "-").map(dec),
+                strMax = rest.lift(1).filter(_ != "-").map(dec))
             case Seq("partspec", s) =>
               specByVersion += version -> s.split(",").toVector.map { p =>
                 val Array(kind, arg, col) = p.split(":", 3)

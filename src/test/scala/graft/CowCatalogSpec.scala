@@ -2823,6 +2823,60 @@ class CowCatalogSpec extends SparkSpec {
     } finally graft.plans.MvRegistry.deregister(cat, identOf(src))
   }
 
+  test("equality-delete STRING-key range pruning: cold files skip delete loading; ranges recover; non-ASCII keys stay conservative") {
+    val tbl = fresh("eqstr")
+    spark.sql(s"CREATE TABLE $tbl (id STRING NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    // Two files with DISJOINT ASCII key ranges: a000..a099 / z000..z099.
+    spark.sql(s"INSERT INTO $tbl SELECT concat('a', lpad(CAST(id AS STRING)," +
+      " 3, '0')), id FROM range(0, 100, 1, 1)")
+    spark.sql(s"INSERT INTO $tbl SELECT concat('z', lpad(CAST(id AS STRING)," +
+      " 3, '0')), id FROM range(0, 100, 1, 1)")
+    val ident = identOf(tbl)
+    // Keyed churn INSIDE the z range only.
+    CowStore.commitDeltaEq(cat, ident, Seq.empty, Map.empty,
+      (50 to 59).map(i => s"z0$i").toVector)
+    val st = CowStore.get(cat, ident).get
+    val entry = st.snapshot.eqDeletes.head
+    assert(entry.strMin.contains("z050") && entry.strMax.contains("z059"),
+      s"ASCII string keys must stamp the entry's range, got $entry")
+    def fileOfPrefix(s: CowStore.State, p: String): String =
+      s.files.find(f => s.stats(f).strRanges.get("id")
+        .exists(_._1.startsWith(p))).get
+    val (aFile, zFile) = (fileOfPrefix(st, "a"), fileOfPrefix(st, "z"))
+    // The cold file provably misses the churn range: NO delete file to
+    // load — it stays on the unfiltered columnar path. The hot file
+    // pays exactly one.
+    assert(CowStore.applicableEqFiles(st, st.snapshot, aFile).isEmpty,
+      "the cold string-range file must skip the delete entry")
+    assert(CowStore.applicableEqFiles(st, st.snapshot, zFile).length == 1,
+      "the hot file must load the delete file")
+    assert(spark.table(tbl).count() == 190L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE id >= 'z050' AND " +
+      "id <= 'z059'").head.getLong(0) == 0L)
+    // The range rides the manifest: a recovered state prunes the same.
+    CowStore.evict(cat, ident)
+    val rec = CowStore.recover(cat, ident, st.dir)
+    val recEntry = rec.snapshot.eqDeletes.head
+    assert(recEntry.strMin.contains("z050") && recEntry.strMax.contains("z059"),
+      s"the string range must survive manifest recovery, got $recEntry")
+    assert(CowStore.applicableEqFiles(rec, rec.snapshot,
+      fileOfPrefix(rec, "a")).isEmpty)
+    assert(spark.table(tbl).count() == 190L)
+    // A non-ASCII key disables the entry's range (Java order vs UTF-8
+    // byte order diverge past ASCII — never risk a misprune): every
+    // file conservatively loads it.
+    CowStore.commitDeltaEq(cat, ident, Seq.empty, Map.empty,
+      Vector("café"))
+    val st2 = CowStore.get(cat, ident).get
+    val nonAscii = st2.snapshot.eqDeletes.maxBy(_.version)
+    assert(nonAscii.strMin.isEmpty && nonAscii.strMax.isEmpty)
+    assert(CowStore.applicableEqFiles(st2, st2.snapshot,
+      fileOfPrefix(st2, "a")).length == 1,
+      "an unranged entry must stay conservatively applicable")
+    assert(spark.table(tbl).count() == 190L)
+  }
+
   test("MV registration persists in table properties: a fresh session/JVM hydrates the registry and rewrites without re-registering") {
     import org.apache.spark.sql.streaming.Trigger
     graft.GraftExtensions.register(spark)
