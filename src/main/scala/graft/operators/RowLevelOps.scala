@@ -303,6 +303,44 @@ object RowLevelOps {
       s"SELECT doc_id, source, score, bonus FROM $tbl ORDER BY doc_id")
   }
 
+  /** q_cow_default — `ALTER TABLE … ADD COLUMN … DEFAULT <literal>`
+    * (round-19 brief #4; Iceberg initial-default semantics, the one
+    * schema-evolution verb a migrating user hit a refusal on): the ADD
+    * stays a METADATA commit — same files, no rewrite — but files
+    * written BEFORE the evolution now serve the declared literal
+    * instead of NULL (the default is keyed by the new FIELD ID in the
+    * snapshot; a post-ADD file that physically holds the column serves
+    * its values, including genuine NULLs). New INSERTs that OMIT the
+    * column are filled by the analyzer from the stamped
+    * CURRENT_DEFAULT metadata — both halves of the Iceberg/Delta
+    * initial/write-default contract. Time travel to a pre-ADD commit
+    * reads the old shape (snapshots pin schema AND defaults).
+    */
+  def qCowDefault(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    val tbl = s"$CatalogName.ops.default_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, source STRING, score BIGINT)")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 = 1""".stripMargin)
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN tier BIGINT DEFAULT 7")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN label STRING DEFAULT 'base'")
+    // Post-ADD writes with explicit values…
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT doc_id, source, n_chars, n_chars % 5, 'fresh'
+         |FROM parquet.`$d/documents.parquet` WHERE doc_id % 3 = 2""".stripMargin)
+    // …and a column-list INSERT omitting the defaulted columns: the
+    // analyzer fills them from CURRENT_DEFAULT — materialized 7/'base'.
+    spark.sql(
+      s"""INSERT INTO $tbl (doc_id, source, score)
+         |SELECT doc_id, source, n_chars FROM parquet.`$d/documents.parquet`
+         |WHERE doc_id % 3 = 0 AND doc_id % 2 = 0""".stripMargin)
+    spark.sql(
+      s"SELECT doc_id, source, score, tier, label FROM $tbl ORDER BY doc_id")
+  }
+
   /** q_cow_tag — NAMED TAGS over the version history (Iceberg refs in
     * miniature): `CALL graft_cow.tag(table, 'baseline', v)` pins commit v
     * under a stable name; `VERSION AS OF 'baseline'` reads it — the
@@ -1517,6 +1555,7 @@ object RowLevelOps {
     "q_merge_into_eq" -> qMergeIntoEq _,
     "q_cow_vacuum"   -> qCowVacuum _,
     "q_cow_evolve"   -> qCowEvolve _,
+    "q_cow_default"  -> qCowDefault _,
     "q_cow_files"    -> qCowFiles _,
     "q_cow_ctas"     -> qCowCtas _,
     "q_cow_tag"      -> qCowTag _,
@@ -1905,6 +1944,17 @@ object RowLevelOps {
       """SELECT doc_id, source, n_chars AS score,
         |       CASE WHEN doc_id % 3 = 2 THEN n_chars + 7 ELSE NULL END AS bonus
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+    // Pre-ADD rows (doc_id % 3 = 1) serve the declared DEFAULTs; the
+    // explicit post-ADD wave carries written values; the column-list
+    // INSERT wave (doc_id % 3 = 0, even) is analyzer-filled with the
+    // same defaults — all three wavefronts declaratively.
+    "q_cow_default" ->
+      """SELECT doc_id, source, n_chars AS score,
+        |       CASE WHEN doc_id % 3 = 2 THEN n_chars % 5 ELSE 7 END AS tier,
+        |       CASE WHEN doc_id % 3 = 2 THEN 'fresh' ELSE 'base' END AS label
+        |FROM documents
+        |WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
     "q_merge_into" ->
       """WITH base AS (
         |  SELECT doc_id, source, n_chars AS score FROM documents

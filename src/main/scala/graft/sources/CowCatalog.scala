@@ -1555,6 +1555,11 @@ object CowStore {
     // rename resolution recovers exactly; absent = positional (legacy).
     if (snap.fieldIds.nonEmpty)
       sb ++= s"fieldids\t${snap.fieldIds.mkString(",")}\n"
+    // Initial defaults (round 19): one line per defaulted field id,
+    // the canonical value URL-encoded.
+    snap.defaults.toSeq.sorted.foreach { case (id, v) =>
+      sb ++= s"default\t$id\t${java.net.URLEncoder.encode(v, "UTF-8")}\n"
+    }
     snap.files.foreach { f =>
       st.stats.get(f) match {
         case Some(fs) =>
@@ -1678,6 +1683,7 @@ object CowStore {
         var files = Vector.empty[String]
         var dvs = Map.empty[String, Vector[Long]]
         var eqds = Vector.empty[EqDelete]
+        var defaults = Map.empty[Int, String]
         lines.foreach { line =>
           line.split("\t", -1).toSeq match {
             case Seq("version", v) => version = v.toLong
@@ -1720,6 +1726,8 @@ object CowStore {
               schema = DataType.fromJson(j).asInstanceOf[StructType]
             case Seq("fieldids", s) =>
               fids = s.split(",").toVector.map(_.toInt)
+            case Seq("default", id, v) =>
+              defaults += id.toInt -> java.net.URLDecoder.decode(v, "UTF-8")
             case Seq("file", f, "-") => files :+= f
             // Pre-evolution manifests wrote 7 tokens (no spec id — id 0);
             // spec evolution appended the file's spec id as an 8th,
@@ -1773,7 +1781,7 @@ object CowStore {
         }
         require(version >= 0 && schema != null,
           s"graft-cow: manifest $p lacks version/schema")
-        version -> Snapshot(files, dvs, schema, fids, eqds)
+        version -> Snapshot(files, dvs, schema, fids, eqds, defaults)
       }.toMap
       // With branch commits in the log, max version is a branch head, not
       // necessarily main — the durable @main pointer decides; absent (no
@@ -2277,6 +2285,14 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
 
   override def name(): String = catalogName
 
+  // Declares DEFAULT-value support so the analyzer admits
+  // `ALTER TABLE … ADD COLUMN … DEFAULT <literal>` (round 19; without
+  // the capability the DDL is rejected before reaching alterTable).
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     CowStore.list(catalogName, namespace)
 
@@ -2492,11 +2508,35 @@ class CowCatalog extends TableCatalog with StagingTableCatalog
           "graft-cow: nested columns are not supported")
         require(add.position() == null,
           "graft-cow: ADD COLUMN only appends (no FIRST/AFTER)")
-        require(add.defaultValue() == null,
-          "graft-cow: column defaults are not supported (added columns read NULL)")
+        // `DEFAULT <literal>` (round 19 — Iceberg initial-default):
+        // pre-ADD files serve the literal for the new field id, new
+        // writes materialize it (the analyzer fills INSERTs that omit
+        // the column from the CURRENT_DEFAULT metadata addColumn
+        // stamps). Only FOLDABLE literals: a ColumnDefaultValue whose
+        // expression did not fold to a value cannot be served as a
+        // per-file constant.
+        val default = Option(add.defaultValue()).map { d =>
+          val lit = d.getValue
+          require(lit != null,
+            "graft-cow: ADD COLUMN DEFAULT needs a foldable literal " +
+              s"(got ${d.getSql})")
+          require(lit.dataType == add.dataType(),
+            s"graft-cow: DEFAULT type ${lit.dataType.simpleString} must " +
+              s"equal the column type ${add.dataType().simpleString}")
+          val canonical = lit.value() match {
+            case null => throw new IllegalArgumentException(
+              "graft-cow: DEFAULT NULL is the no-default behavior — omit it")
+            case u: UTF8String     => u.toString
+            case l: java.lang.Long => l.toString
+            case dd: java.lang.Double => dd.toString
+            case other => throw new IllegalArgumentException(
+              s"graft-cow: unsupported DEFAULT value ${other.getClass}")
+          }
+          (canonical, Option(d.getSql).getOrElse(lit.toString))
+        }
         CowStore.addColumn(catalogName, ident,
           StructField(add.fieldNames()(0), add.dataType(),
-            nullable = add.isNullable)): Unit
+            nullable = add.isNullable), default): Unit
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           "graft-cow: nested columns are not supported")
@@ -3076,6 +3116,11 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
         val schema = st.schema
         val curSpec = st.spec
         val curSpecId = st.specId
+        // Compaction MATERIALIZES initial defaults: a pre-ADD file's
+        // rows rewrite with the default value physically present (the
+        // reader serves it, the router writes what it reads) — exactly
+        // the Iceberg rewrite contract.
+        val curDefaults = CowStore.defaultsFor(st.snapshot)
         val foldedDeletes = bins.iterator.flatMap(_.files)
           .map(_._3.length.toLong).sum
         // One Spark task per bin: read each file DV-filtered, stream
@@ -3096,7 +3141,8 @@ class CowOptimizeProcedure(catalogName: String) extends UnboundProcedure {
           .parallelize(bins, bins.size)
           .map { bin =>
             val out = new CowTaskRouter(dir, schema, schema, curSpec, curSpecId)
-            val rf = CowReaderFactory(schema, schema, columnar = vectorized)
+            val rf = CowReaderFactory(schema, schema, columnar = vectorized,
+              defaults = curDefaults)
             bin.files.foreach { case (f, cols, dv, cm, ec, ef) =>
               val part = CowFilePartition(f, cols, dv, cm,
                 eqCol = ec, eqFiles = ef)
@@ -3916,7 +3962,8 @@ class CowChangesScan(tableName: String, st: CowStore.State,
 
   override def createReaderFactory(): PartitionReaderFactory =
     CowChangesReaderFactory(out, st.schema,
-      columnar = !sys.props.get("graft.cow.columnar").contains("false"))
+      columnar = !sys.props.get("graft.cow.columnar").contains("false"),
+      defaults = CowStore.defaultsFor(st.snapshot))
 }
 
 /** The per-version change reconstruction shared by the batch
@@ -4058,7 +4105,8 @@ class CowChangesMicroBatchStream(catalog: String, ident: Identifier,
 
   override def createReaderFactory(): PartitionReaderFactory =
     CowChangesReaderFactory(out, state.schema,
-      columnar = !sys.props.get("graft.cow.columnar").contains("false"))
+      columnar = !sys.props.get("graft.cow.columnar").contains("false"),
+      defaults = CowStore.defaultsFor(state.snapshot))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -4089,7 +4137,15 @@ case class CowChangesPartition(file: String, presentCols: Vector[String],
   * the position list is exhausted.
   */
 case class CowChangesReaderFactory(out: StructType, tableSchema: StructType,
-                                   columnar: Boolean = false)
+                                   columnar: Boolean = false,
+                                   // The feed serves the pinned end
+                                   // state's schema — and its initial
+                                   // defaults: a replica rebuilt from
+                                   // change records must equal the
+                                   // batch read (an insert record from
+                                   // a pre-ADD file serves the default,
+                                   // not NULL).
+                                   defaults: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -4098,7 +4154,8 @@ case class CowChangesReaderFactory(out: StructType, tableSchema: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val part = partition.asInstanceOf[CowChangesPartition]
-    CowReaderFactory(out, tableSchema, columnar = true).columnarReader(
+    CowReaderFactory(out, tableSchema, columnar = true,
+      defaults = defaults).columnarReader(
       CowFilePartition(part.file, part.presentCols, Array.empty, part.colMap),
       keepOnly = if (part.keepOnly) part.positions else null,
       consts = Map(
@@ -4112,7 +4169,8 @@ case class CowChangesReaderFactory(out: StructType, tableSchema: StructType,
     val dataSchema = StructType(out.fields.dropRight(2))
     // No delete vector on the inner reader: the wrapper does its own
     // position accounting over the file's PHYSICAL rows.
-    val inner = CowReaderFactory(dataSchema, tableSchema)
+    val inner = CowReaderFactory(dataSchema, tableSchema,
+        defaults = defaults)
       .createReader(CowFilePartition(part.file, part.presentCols,
         Array.empty, part.colMap))
     val ct = UTF8String.fromString(part.changeType)
@@ -5336,7 +5394,8 @@ class CowScan(tableName: String, state: CowStore.State,
   // supported config.
   override def createReaderFactory(): PartitionReaderFactory =
     CowReaderFactory(required, state.schema,
-      columnar = !sys.props.get("graft.cow.columnar").contains("false"))
+      columnar = !sys.props.get("graft.cow.columnar").contains("false"),
+      defaults = CowStore.defaultsFor(state.snapshot))
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -5517,7 +5576,8 @@ class CowMicroBatchStream(catalog: String, ident: Identifier,
 
   override def createReaderFactory(): PartitionReaderFactory =
     CowReaderFactory(required, state.schema,
-      columnar = !sys.props.get("graft.cow.columnar").contains("false"))
+      columnar = !sys.props.get("graft.cow.columnar").contains("false"),
+      defaults = CowStore.defaultsFor(state.snapshot))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -5667,7 +5727,14 @@ object CowEqDeleteFiles {
   * compaction reader's internal use.
   */
 case class CowReaderFactory(schema: StructType, tableSchema: StructType,
-                            columnar: Boolean = false)
+                            columnar: Boolean = false,
+                            // INITIAL DEFAULTS (round 19), CURRENT
+                            // column name → canonical value string:
+                            // served — typed — for columns whose
+                            // IDENTITY a file lacks (pre-ADD files);
+                            // a present column's genuine NULLs stay
+                            // NULL.
+                            defaults: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   private def dataPart(partition: InputPartition): CowFilePartition =
@@ -5675,6 +5742,20 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType,
       case k: CowKeyedFilePartition => k.inner
       case p => p.asInstanceOf[CowFilePartition]
     }
+
+  /** The decoded default for field `f`, or null when none declared —
+    * the value the read serves where the file lacks the identity.
+    */
+  private def defaultValueOf(f: StructField): Any =
+    defaults.get(f.name).map[Any] { v =>
+      f.dataType match {
+        case LongType | TimestampType => java.lang.Long.valueOf(v.toLong)
+        case DoubleType               => java.lang.Double.valueOf(v.toDouble)
+        case StringType               => UTF8String.fromString(v)
+        case other => throw new IllegalStateException(
+          s"graft-cow: unsupported DEFAULT type ${other.simpleString}")
+      }
+    }.orNull
 
   /** The parquet columns this file must decode for `schema`, as
     * (required field, PHYSICAL column name) pairs — the physical name is
@@ -5827,8 +5908,16 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType,
             posVec = new OnHeapColumnVector(Capacity, LongType)
             owned ::= posVec; posVec
           } else if (!dataIdx.contains(f.name)) {
+            // Identity absent from this file: the initial default (or
+            // NULL without one) rides as a whole-partition constant.
             val v = new ConstantColumnVector(Capacity, f.dataType)
-            v.setNull(); owned ::= v; v
+            defaultValueOf(f) match {
+              case null               => v.setNull()
+              case l: java.lang.Long  => v.setLong(l)
+              case d: java.lang.Double => v.setDouble(d)
+              case s: UTF8String      => v.setUtf8String(s)
+            }
+            owned ::= v; v
           } else if (!filtered) parquetBatch.column(dataIdx(f.name))
           else {
             val dst = new OnHeapColumnVector(Capacity, f.dataType)
@@ -6075,7 +6164,9 @@ case class CowReaderFactory(schema: StructType, tableSchema: StructType,
           val p = physNames(fi) // physical name; null = no such identity here
           if (f.name == CowFileColumn.Name) filePath
           else if (f.name == CowPosColumn.Name) pos
-          else if (p == null) null // added after this file / renamed away
+          // Identity absent (added after this file / renamed away):
+          // the initial default, or NULL without one.
+          else if (p == null) defaultValueOf(f)
           else if (!has(p)) null
           else f.dataType match {
             case LongType | TimestampType =>

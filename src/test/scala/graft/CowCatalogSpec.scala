@@ -2823,6 +2823,71 @@ class CowCatalogSpec extends SparkSpec {
     } finally graft.plans.MvRegistry.deregister(cat, identOf(src))
   }
 
+  test("ADD COLUMN DEFAULT: initial defaults serve pre-ADD files only; time travel, rename, change feed, compaction and recovery compose") {
+    val tbl = fresh("defcol")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor')")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 10), (2, 20)")          // v1: pre-ADD
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN tier BIGINT DEFAULT 7") // v2
+    // Post-ADD: a written value AND an EXPLICIT NULL — the default
+    // must never overwrite a genuine NULL in a file that HAS the
+    // column.
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 30, 5), (4, 40, NULL)") // v3
+    def rows() = spark.sql(s"SELECT id, tier FROM $tbl ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    val expect = Seq(1L -> Some(7L), 2L -> Some(7L), 3L -> Some(5L),
+      4L -> None)
+    assert(rows() == expect, "pre-ADD files serve the default; " +
+      "present-but-NULL stays NULL")
+    // Time travel: the pre-ADD snapshot has NO tier column at all.
+    assert(!spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+      .schema.fieldNames.contains("tier"))
+    // A post-ADD pinned version serves the same defaults.
+    assert(spark.sql(s"SELECT id, tier FROM $tbl VERSION AS OF 2 " +
+      "ORDER BY id").collect().map(_.getLong(1)).toSeq == Seq(7L, 7L))
+    // The change feed serves the feed-schema defaults for pre-ADD
+    // insert records: a replica rebuilt from changes equals the batch
+    // read.
+    val feed = spark.read.option("startVersion", "0")
+      .option("endVersion", "3").table(s"$tbl.changes")
+      .where("_change_type = 'insert'")
+      .select("id", "tier").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq.sortBy(_._1)
+    assert(feed == expect,
+      s"change-feed insert records must serve the default, got $feed")
+    // RENAME keeps the default (it is keyed by FIELD ID, not name).
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN tier TO rank")
+    assert(spark.sql(s"SELECT rank FROM $tbl WHERE id = 1").head.getLong(0) == 7L)
+    // Compaction MATERIALIZES the default into rewritten files and the
+    // numbers are invariant.
+    val name = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"CALL $cat.optimize('$name', ${1L << 30})")
+    val st = CowStore.get(cat, identOf(tbl)).get
+    assert(spark.sql(s"SELECT id, rank FROM $tbl ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq == expect.map { case (i, t) => (i, t) })
+    // Every compacted file now CARRIES the column physically.
+    assert(st.files.forall(f => st.stats(f).cols.contains("rank")))
+    // Defaults ride the manifest: recovery serves them identically.
+    CowStore.evict(cat, identOf(tbl))
+    CowStore.recover(cat, identOf(tbl), st.dir): Unit
+    assert(spark.sql(s"SELECT rank FROM $tbl WHERE id = 2").head.getLong(0) == 7L)
+    // TIMESTAMP defaults ride the micros-long canonical encoding.
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN seen TIMESTAMP DEFAULT " +
+      "TIMESTAMP'2024-01-02 03:04:05'")
+    assert(spark.sql(s"SELECT CAST(seen AS STRING) FROM $tbl WHERE id = 1")
+      .head.getString(0) == "2024-01-02 03:04:05",
+      "a timestamp default must serve pre-ADD rows")
+    // NON-CONSTANT defaults refuse loudly (Spark's own analyzer guard;
+    // our store additionally requires a folded literal).
+    val err = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN r DOUBLE DEFAULT rand()")
+    }
+    assert(err.getMessage.toLowerCase.contains("default"))
+  }
+
   test("equality-delete STRING-key range pruning: cold files skip delete loading; ranges recover; non-ASCII keys stay conservative") {
     val tbl = fresh("eqstr")
     spark.sql(s"CREATE TABLE $tbl (id STRING NOT NULL, v BIGINT) " +
