@@ -341,6 +341,74 @@ object RowLevelOps {
       s"SELECT doc_id, source, score, tier, label FROM $tbl ORDER BY doc_id")
   }
 
+  /** q_cow_txn — ATOMIC MULTI-TABLE COMMIT (round-19 brief #5,
+    * [[graft.sources.CowStore.transact]]): each ingest wave stages its
+    * fact files AND the recomputed gold aggregate, then publishes both
+    * under ONE store lock — readers (who resolve state through the
+    * same lock) can never observe the fact batch without its gold
+    * update, the fact-ahead-of-gold race direct gold readers pay when
+    * the two land as separate commits. Validation is all-or-nothing:
+    * the query also drives a transact whose second commit CONFLICTS
+    * (replaces a file a concurrent commit already replaced) and pins
+    * that the first table's version did NOT advance. The returned gold
+    * contents equal the declarative aggregate of everything the fact
+    * table holds — atomicity must be invisible to the numbers.
+    */
+  def qCowTxn(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.CowStore
+    ensureCatalog(spark)
+    val sfx = UUID.randomUUID().toString.replace("-", "")
+    val fact = s"$CatalogName.ops.txn_fact_$sfx"
+    val gold = s"$CatalogName.ops.txn_gold_$sfx"
+    spark.sql(s"CREATE TABLE $fact (doc_id BIGINT, source STRING, score BIGINT)")
+    spark.sql(s"CREATE TABLE $gold (source STRING, n BIGINT, sum_score BIGINT)")
+    def identOf(t: String) = {
+      val p = t.split("\\.").drop(1)
+      org.apache.spark.sql.connector.catalog.Identifier.of(p.init, p.last)
+    }
+    val (factId, goldId) = (identOf(fact), identOf(gold))
+    // Two ingest waves; each lands fact-append + gold-replace as ONE
+    // atomic publication.
+    for (parity <- Seq(0, 1)) {
+      val wave = spark.read.parquet(s"$d/documents.parquet")
+        .where(s"doc_id % 3 <> 0 AND doc_id % 2 = $parity")
+        .selectExpr("doc_id", "source", "n_chars AS score")
+      val (ff, fstats) = CowStore.stageWrite(CatalogName, factId, wave)
+      val newGold = spark.table(fact).unionByName(wave)
+        .groupBy("source")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("score").as("sum_score"))
+      val (gf, gstats) = CowStore.stageWrite(CatalogName, goldId, newGold)
+      val goldCurrent = CowStore.get(CatalogName, goldId).get.files.toSet
+      CowStore.transact(Seq(
+        CowStore.TxCommit(CatalogName, factId, ff, fstats),
+        CowStore.TxCommit(CatalogName, goldId, gf, gstats,
+          remove = Some(goldCurrent))))
+      // Between waves the invariant holds: gold IS the fact aggregate.
+      val (fSum, gSum) = (
+        spark.sql(s"SELECT COALESCE(sum(score), 0) FROM $fact").head.getLong(0),
+        spark.sql(s"SELECT COALESCE(sum(sum_score), 0) FROM $gold").head.getLong(0))
+      require(fSum == gSum, s"fact/gold diverged after a transact: $fSum vs $gSum")
+    }
+    // ALL-OR-NOTHING pin: a transact whose SECOND commit conflicts
+    // (removes an already-replaced file) must leave the FIRST table's
+    // version untouched.
+    val factV = CowStore.get(CatalogName, factId).get.version
+    try {
+      CowStore.transact(Seq(
+        CowStore.TxCommit(CatalogName, factId),
+        CowStore.TxCommit(CatalogName, goldId,
+          remove = Some(Set("no-such-file.parquet")))))
+      require(false, "a conflicting transact must throw")
+    } catch {
+      case _: java.util.ConcurrentModificationException => () // expected
+    }
+    require(CowStore.get(CatalogName, factId).get.version == factV,
+      "a refused transact must publish NOTHING — fact version moved")
+    spark.sql(s"SELECT source, n, sum_score FROM $gold ORDER BY source")
+  }
+
   /** q_cow_tag — NAMED TAGS over the version history (Iceberg refs in
     * miniature): `CALL graft_cow.tag(table, 'baseline', v)` pins commit v
     * under a stable name; `VERSION AS OF 'baseline'` reads it — the
@@ -1556,6 +1624,7 @@ object RowLevelOps {
     "q_cow_vacuum"   -> qCowVacuum _,
     "q_cow_evolve"   -> qCowEvolve _,
     "q_cow_default"  -> qCowDefault _,
+    "q_cow_txn"      -> qCowTxn _,
     "q_cow_files"    -> qCowFiles _,
     "q_cow_ctas"     -> qCowCtas _,
     "q_cow_tag"      -> qCowTag _,
@@ -1948,6 +2017,13 @@ object RowLevelOps {
     // explicit post-ADD wave carries written values; the column-list
     // INSERT wave (doc_id % 3 = 0, even) is analyzer-filled with the
     // same defaults — all three wavefronts declaratively.
+    // The transacted gold table IS the declarative fact aggregate —
+    // atomic publication must be invisible to the numbers.
+    "q_cow_txn" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_score
+        |FROM documents WHERE doc_id % 3 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_cow_default" ->
       """SELECT doc_id, source, n_chars AS score,
         |       CASE WHEN doc_id % 3 = 2 THEN n_chars % 5 ELSE 7 END AS tier,

@@ -84,10 +84,16 @@ object MvRegistry {
     * maintenance loop's cheap gate before it spends a per-batch job
     * computing the watermark to advance.
     */
-  def isRegisteredMv(mvTable: String): Boolean = {
+  def isRegisteredMv(mvTable: String): Boolean = entryForMv(mvTable).isDefined
+
+  /** The entry whose MV is `mvTable` (dot-joined), if registered. */
+  def entryForMv(mvTable: String): Option[Entry] = {
     val it = bySrc.values.iterator
-    while (it.hasNext) if (mvKey(it.next()) == mvTable) return true
-    false
+    while (it.hasNext) {
+      val e = it.next()
+      if (mvKey(e) == mvTable) return Some(e)
+    }
+    None
   }
 
   /** The SOURCE-table property key the verified registration persists

@@ -752,8 +752,128 @@ object CowStore {
   private def key(catalog: String, ident: Identifier): String =
     (catalog +: ident.namespace().toSeq :+ ident.name()).mkString("/")
 
-  def get(catalog: String, ident: Identifier): Option[State] =
+  // SYNCHRONIZED (round 19): every mutator holds the store lock, so a
+  // locked read makes MULTI-TABLE commits ([[transact]]) atomically
+  // VISIBLE — no reader can observe table A's new version beside table
+  // B's old one. Uncontended monitor entry is nanoseconds against a
+  // metadata lookup; mutators hold the lock only for metadata work
+  // (data files are written before, outside it).
+  def get(catalog: String, ident: Identifier): Option[State] = synchronized {
     Option(tables.get(key(catalog, ident)))
+  }
+
+  /** One action of a multi-table [[transact]]: a staged single-table
+    * commit (append when `remove` is None, replace otherwise — the
+    * [[commit]] shape with files already written via [[stageWrite]]),
+    * or a durable property update.
+    */
+  sealed trait TxAction
+  final case class TxCommit(catalog: String, ident: Identifier,
+                            newFiles: Seq[String] = Seq.empty,
+                            newStats: Map[String, FileStats] = Map.empty,
+                            remove: Option[Set[String]] = None,
+                            readDvs: Option[Map[String, Int]] = None,
+                            readEqVersions: Option[Set[Long]] = None)
+      extends TxAction
+  final case class TxProps(catalog: String, ident: Identifier,
+                           kvs: Map[String, String]) extends TxAction
+
+  /** ATOMIC MULTI-TABLE COMMIT (round-19 brief #5): publish N staged
+    * single-table commits (+ property updates) under ONE store lock
+    * with all-or-nothing validation — the pipeline that lands a fact
+    * batch and its gold/MV update can make both visible atomically, so
+    * a reader polling between them never sees fact-ahead-of-gold.
+    *
+    * Two phases under the lock: every commit VALIDATES against its
+    * table's current head first (the standard write-write/resurrection
+    * conflict detection — [[resolveCommitFiles]]); any refusal throws
+    * with NOTHING applied. Then every commit publishes and every
+    * property lands. Readers resolve state through the same lock
+    * ([[get]]), so the batch becomes visible as one step. Durability
+    * note: each table's manifest writes inside the lock; this
+    * single-process store's atomicity contract is VISIBILITY — a crash
+    * between manifest writes can recover a prefix (cross-table durable
+    * atomicity would need a store-level commit log).
+    */
+  def transact(actions: Seq[TxAction]): Unit = synchronized {
+    val commits = actions.collect { case c: TxCommit => c }
+    require(commits.map(c => key(c.catalog, c.ident)).distinct.length ==
+      commits.length, "graft-cow: transact admits one commit per table")
+    // Phase 1: validate EVERYTHING — a throw leaves nothing applied.
+    val resolved = commits.map { c =>
+      val k = key(c.catalog, c.ident)
+      val st = Option(tables.get(k)).getOrElse(throw new IllegalStateException(
+        s"graft-cow: transact commit to dropped table $k"))
+      val snap = st.snapshot
+      (c, k, st, snap, resolveCommitFiles(k, st, snap, c.newFiles, c.remove,
+        c.readDvs, c.readEqVersions))
+    }
+    actions.foreach {
+      case p: TxProps => require(tables.containsKey(key(p.catalog, p.ident)),
+        s"graft-cow: transact props on dropped table " +
+          s"${key(p.catalog, p.ident)}")
+      case _ => ()
+    }
+    // Phase 2: publish all, then props.
+    resolved.foreach { case (c, k, st, snap, files) =>
+      val dvs = snap.deletes -- c.remove.getOrElse(Set.empty)
+      publish(k, st, snap.copy(files = files, deletes = dvs), c.newStats): Unit
+    }
+    actions.foreach {
+      case p: TxProps => setProps(p.catalog, p.ident, p.kvs)
+      case _ => ()
+    }
+  }
+
+  /** Write `source`'s rows as data files of `(catalog, ident)` WITHOUT
+    * committing — the staging half of [[transact]] (the mergeEvolve
+    * write shape): rows cast to the table schema, routed under the
+    * current partition spec by a distributed job, files + write-time
+    * stats returned for a later commit. Uncommitted files are invisible
+    * to readers and reclaimable by remove_orphan_files if the commit
+    * never happens.
+    */
+  def stageWrite(catalog: String, ident: Identifier,
+                 source: org.apache.spark.sql.DataFrame)
+      : (Seq[String], Map[String, FileStats]) = {
+    val st = get(catalog, ident).getOrElse(throw new NoSuchTableException(ident))
+    val proj = source.select(st.schema.fields.toIndexedSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    val (dir, schema, spec, specId) = (st.dir, st.schema, st.spec, st.specId)
+    val written = proj.queryExecution.toRdd.mapPartitions { rows =>
+      val out = new CowTaskRouter(dir, schema, schema, spec, specId)
+      try {
+        rows.foreach(out.write(_, 0))
+        Iterator.single(out.finish())
+      } catch { case t: Throwable => out.abort(); throw t }
+    }.collect()
+    val files = written.flatten.toSeq
+    (files.map(_._1), files.toMap)
+  }
+
+  // COMMIT ATTACHMENTS (round 19): a pending TxProps keyed by (table,
+  // thread) that the next [[publish]] to that table BY THIS THREAD
+  // applies under the same lock as the commit itself — how the MV
+  // maintenance loop makes its freshness watermark land atomically
+  // WITH the gold MERGE's commit (the MERGE executes through Spark's
+  // row-level machinery, so its commit site can't take extra
+  // parameters). Thread-keyed so a concurrent writer's commit to the
+  // same table can never consume another loop's watermark early.
+  private val attachments =
+    new ConcurrentHashMap[(String, Long), TxProps]()
+
+  def attachPropsToNextCommit(catalog: String, ident: Identifier,
+                              props: TxProps): Unit =
+    attachments.put((key(catalog, ident), Thread.currentThread().getId),
+      props): Unit
+
+  /** Remove (and return) this thread's unconsumed attachment — the
+    * caller's post-commit fallback when no commit happened to consume
+    * it (an empty maintenance batch).
+    */
+  def clearAttachment(catalog: String, ident: Identifier): Option[TxProps] =
+    Option(attachments.remove(
+      (key(catalog, ident), Thread.currentThread().getId)))
 
   private def supportedType(t: DataType): Boolean =
     Seq(LongType, DoubleType, StringType, TimestampType).contains(t)
@@ -901,7 +1021,25 @@ object CowStore {
     val st = Option(tables.get(k)).getOrElse(
       throw new IllegalStateException(s"graft-cow: commit to dropped table $k"))
     val snap = st.history(st.headOf(branch))
-    val files = remove match {
+    val files = resolveCommitFiles(k, st, snap, newFiles, remove,
+      readDvs, readEqVersions)
+    val dvs = snap.deletes -- remove.getOrElse(Set.empty)
+    // copy, not re-construct: the base snapshot's field ids must ride
+    // every data commit or rename resolution would silently reset.
+    publish(k, st, snap.copy(files = files, deletes = dvs), newStats, branch)
+  }
+
+  /** The shared commit VALIDATION + file-list resolution behind
+    * [[commit]] and [[transact]]: conflict detection (write-write,
+    * resurrection guards) against the CURRENT snapshot, returning the
+    * new file vector. Callers hold the store lock. Throws without
+    * side effects.
+    */
+  private def resolveCommitFiles(k: String, st: State, snap: Snapshot,
+             newFiles: Seq[String], remove: Option[Set[String]],
+             readDvs: Option[Map[String, Int]],
+             readEqVersions: Option[Set[Long]]): Vector[String] = {
+    remove match {
       case None => snap.files ++ newFiles
       case Some(gone) =>
         val missing = gone -- snap.files.toSet
@@ -951,10 +1089,6 @@ object CowStore {
         }
         snap.files.filterNot(gone) ++ newFiles
     }
-    val dvs = snap.deletes -- remove.getOrElse(Set.empty)
-    // copy, not re-construct: the base snapshot's field ids must ride
-    // every data commit or rename resolution would silently reset.
-    publish(k, st, snap.copy(files = files, deletes = dvs), newStats, branch)
   }
 
   /** Publish a MERGE-ON-READ delta commit: `newDeletes` are per-file
@@ -1505,6 +1639,15 @@ object CowStore {
     tables.put(k, nst)
     writeManifest(nst, newV)
     if (nst.branches.nonEmpty) writeBranches(nst)
+    // Consume this thread's commit attachment, if any: the attached
+    // properties land under the SAME lock acquisition as the commit
+    // that triggered them (callers of publish hold the store lock;
+    // setProps re-enters it) — the MV watermark's atomicity.
+    Option(attachments.remove((k, Thread.currentThread().getId)))
+      .foreach { p =>
+        if (tables.containsKey(key(p.catalog, p.ident)))
+          setProps(p.catalog, p.ident, p.kvs)
+      }
     nst
   }
 

@@ -1665,43 +1665,67 @@ object StreamOps extends Serializable {
     val sess = batch.sparkSession
     val view = s"mv_delta_${tag}_$batchId"
     batch.createOrReplaceTempView(view)
-    sess.sql(
-      s"""MERGE INTO $mv t
-         |USING (
-         |  SELECT source,
-         |         SUM(IF(_change_type = 'insert', 1L, -1L)) AS dn,
-         |         SUM(IF(_change_type = 'insert', score, -score)) AS dsum,
-         |         MAX(_commit_version) AS v
-         |  FROM $view GROUP BY source) s
-         |ON t.source = s.source
-         |WHEN MATCHED AND s.v > t.mv_version AND t.n + s.dn = 0L THEN DELETE
-         |WHEN MATCHED AND s.v > t.mv_version THEN UPDATE SET
-         |  n = t.n + s.dn, sum_score = t.sum_score + s.dsum, mv_version = s.v
-         |WHEN NOT MATCHED AND s.dn > 0L THEN
-         |  INSERT (source, n, sum_score, mv_version)
-         |  VALUES (s.source, s.dn, s.dsum, s.v)
-         |""".stripMargin)
-    sess.catalog.dropTempView(view): Unit
-    // Advance the MV-rewrite freshness watermark: the batch applied
-    // every source commit up to its max _commit_version. GATED on the
+    // Registered MVs compute the batch watermark UP FRONT and ATTACH
+    // the persisted-registration update to the gold table's next
+    // commit ([[CowStore.attachPropsToNextCommit]]): the MERGE's own
+    // publish applies it under the same store-lock acquisition, so the
+    // durable freshness watermark commits WITH the gold write (round-19
+    // brief #5's rewiring) — no window where a fresh session could
+    // hydrate a watermark the gold data doesn't back, and none where
+    // gold is ahead of the persisted watermark either. GATED on the
     // registry (review finding): unregistered pipelines must not pay a
     // second per-batch job just to compute a watermark nobody reads.
-    if (graft.plans.MvRegistry.isRegisteredMv(mv)) {
-      val applied = batch.agg(org.apache.spark.sql.functions
-        .max(col("_commit_version"))).collect().head
-      if (!applied.isNullAt(0))
-        graft.plans.MvRegistry.advance(mv, applied.getLong(0)).foreach { e =>
-          // Persist the advanced watermark beside the registration
-          // (round-19 brief #2) so fresh sessions hydrate the CURRENT
-          // freshness, not the registration-time one. Written AFTER
-          // the MERGE commit: a reader between the two sees an older
-          // persisted watermark — conservative (the rewrite stays off
-          // until hydration catches up), never wrong.
-          if (graft.sources.CowStore.get(e.srcCat, e.srcIdent).isDefined)
-            graft.sources.CowStore.setProps(e.srcCat, e.srcIdent,
-              Map(graft.plans.MvRegistry.PropKey ->
-                graft.plans.MvRegistry.encode(e)))
-        }
+    val advance: Option[(graft.plans.MvRegistry.Entry, Long)] =
+      graft.plans.MvRegistry.entryForMv(mv).flatMap { e =>
+        val applied = batch.agg(org.apache.spark.sql.functions
+          .max(col("_commit_version"))).collect().head
+        if (applied.isNullAt(0) || applied.getLong(0) <= e.appliedVersion) None
+        else Some((e, applied.getLong(0)))
+      }
+    advance.foreach { case (e, v) =>
+      graft.sources.CowStore.attachPropsToNextCommit(e.mvCat, e.mvIdent,
+        graft.sources.CowStore.TxProps(e.srcCat, e.srcIdent,
+          Map(graft.plans.MvRegistry.PropKey ->
+            graft.plans.MvRegistry.encode(e.copy(appliedVersion = v)))))
+    }
+    var ok = false
+    try {
+      sess.sql(
+        s"""MERGE INTO $mv t
+           |USING (
+           |  SELECT source,
+           |         SUM(IF(_change_type = 'insert', 1L, -1L)) AS dn,
+           |         SUM(IF(_change_type = 'insert', score, -score)) AS dsum,
+           |         MAX(_commit_version) AS v
+           |  FROM $view GROUP BY source) s
+           |ON t.source = s.source
+           |WHEN MATCHED AND s.v > t.mv_version AND t.n + s.dn = 0L THEN DELETE
+           |WHEN MATCHED AND s.v > t.mv_version THEN UPDATE SET
+           |  n = t.n + s.dn, sum_score = t.sum_score + s.dsum, mv_version = s.v
+           |WHEN NOT MATCHED AND s.dn > 0L THEN
+           |  INSERT (source, n, sum_score, mv_version)
+           |  VALUES (s.source, s.dn, s.dsum, s.v)
+           |""".stripMargin)
+      ok = true
+    } finally {
+      sess.catalog.dropTempView(view): Unit
+      advance.foreach { case (e, v) =>
+        if (ok) {
+          // In-memory watermark follows the commit.
+          graft.plans.MvRegistry.advance(mv, v): Unit
+          // An unconsumed attachment means the MERGE published no
+          // commit (a replayed/no-op batch — its source commits ARE
+          // applied): persist the watermark post-hoc, the conservative
+          // order.
+          graft.sources.CowStore.clearAttachment(e.mvCat, e.mvIdent)
+            .foreach { p =>
+              if (graft.sources.CowStore.get(e.srcCat, e.srcIdent).isDefined)
+                graft.sources.CowStore.setProps(p.catalog, p.ident, p.kvs)
+            }
+        } else
+          // A failed MERGE must advance NOTHING — drop the attachment.
+          graft.sources.CowStore.clearAttachment(e.mvCat, e.mvIdent): Unit
+      }
     }
   }
 

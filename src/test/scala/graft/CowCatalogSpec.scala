@@ -2823,6 +2823,68 @@ class CowCatalogSpec extends SparkSpec {
     } finally graft.plans.MvRegistry.deregister(cat, identOf(src))
   }
 
+  test("transact: multi-table commits are atomically visible to racing readers; refusal publishes nothing; props land with the batch") {
+    val a = fresh("txn_a")
+    val b = fresh("txn_b")
+    spark.sql(s"CREATE TABLE $a (id BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE $b (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $a VALUES (1, 1)")
+    spark.sql(s"INSERT INTO $b VALUES (1, 1)")
+    val (ia, ib) = (identOf(a), identOf(b))
+    val (a0, b0) = (CowStore.get(cat, ia).get.version,
+      CowStore.get(cat, ib).get.version)
+    // RACING READER: every sampled (vA, vB) pair must show the SAME
+    // transact offset — observing A's commit without B's breaks the
+    // atomic-visibility contract ([[CowStore.get]] resolves through
+    // the store lock). Metadata-only commits keep the loop tight
+    // enough to land samples inside the publication window.
+    val rounds = 200
+    val violations = new java.util.concurrent.atomic.AtomicLong(0)
+    val samples = new java.util.concurrent.atomic.AtomicLong(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val poller = new Thread(() => {
+      while (!stop.get()) {
+        val va = CowStore.get(cat, ia).get.version - a0
+        val vb = CowStore.get(cat, ib).get.version - b0
+        samples.incrementAndGet(): Unit
+        // B reads AFTER A: with per-table commits B could lag; under
+        // transact both must move together. (vb sampled later can be
+        // NEWER than va's moment — never older.)
+        if (vb < va) violations.incrementAndGet(): Unit
+      }
+    })
+    poller.start()
+    try {
+      for (_ <- 1 to rounds)
+        CowStore.transact(Seq(CowStore.TxCommit(cat, ia),
+          CowStore.TxCommit(cat, ib)))
+    } finally { stop.set(true); poller.join() }
+    assert(samples.get() > 20, s"poller must actually race (got ${samples.get()})")
+    assert(violations.get() == 0,
+      s"${violations.get()} sample(s) observed A's commit without B's")
+    assert(CowStore.get(cat, ia).get.version == a0 + rounds &&
+      CowStore.get(cat, ib).get.version == b0 + rounds)
+    // REFUSAL publishes nothing — phase-1 validation covers every
+    // commit before any publish.
+    intercept[CowStore.CommitConflictException] {
+      CowStore.transact(Seq(CowStore.TxCommit(cat, ia),
+        CowStore.TxCommit(cat, ib, remove = Some(Set("nope.parquet")))))
+    }
+    assert(CowStore.get(cat, ia).get.version == a0 + rounds,
+      "a refused transact must leave every table untouched")
+    // One commit per table per transact, loudly.
+    intercept[IllegalArgumentException] {
+      CowStore.transact(Seq(CowStore.TxCommit(cat, ia),
+        CowStore.TxCommit(cat, ia)))
+    }
+    // Props land with the batch.
+    CowStore.transact(Seq(CowStore.TxCommit(cat, ia),
+      CowStore.TxProps(cat, ib, Map("spec.probe" -> "on"))))
+    assert(CowStore.get(cat, ib).get.props.get("spec.probe").contains("on"))
+    assert(spark.table(a).count() == 1L && spark.table(b).count() == 1L,
+      "metadata-only transacts must not disturb data")
+  }
+
   test("ADD COLUMN DEFAULT: initial defaults serve pre-ADD files only; time travel, rename, change feed, compaction and recovery compose") {
     val tbl = fresh("defcol")
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, v BIGINT) " +
