@@ -72,6 +72,69 @@ object ManifestGrowthProbe {
         s""""eqdel_file_bytes":$eqb,"live_keys":$live}"""
     }.mkString(",")
     println(s"""{"metric":"eqdelete_manifest_growth","epochs":$epochs,$obj}""")
+    optimizeInterplay(spark, args.lift(1).map(_.toInt).getOrElse(4))
     spark.stop()
+  }
+
+  /** Round-19 brief #6 — the OPERATIONAL claim behind the delete-file
+    * design, measured as a FILE COUNT: one delete file lands per keyed
+    * epoch, so between optimize runs the count grows by one per epoch;
+    * `optimize` re-sequences every compacted data file past the live
+    * entries (retiring them from the snapshot) and `vacuum` then
+    * reclaims the unreferenced parquet delete files — with a periodic
+    * optimize every K epochs, LIVE entries and ON-DISK delete files
+    * both stay ≤ K forever, however long the stream runs. The probe
+    * drives 3×K keyed epochs with optimize+vacuum every K and reports
+    * (live entries, on-disk eqdel files) after every epoch.
+    */
+  private def optimizeInterplay(spark: SparkSession, every: Int): Unit = {
+    val churn = 5000L
+    val epochs = every * 3
+    val name = "mgrowth_opt"
+    val tbl = s"graft_cow.ops.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.mode'='mor', 'graft.delete-key'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id FROM " +
+      s"range(0, ${churn * 2L}, 1, 1)")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ops"), name)
+    def st = graft.sources.CowStore.get("graft_cow", ident).get
+    val dir = st.dir
+    def eqdelFilesOnDisk: Int = Option(new java.io.File(dir).listFiles())
+      .get.count(_.getName.startsWith("eqdel-"))
+    val series = (1 to epochs).map { e =>
+      val keys = (0L until churn)
+        .map(k => (k + e * 17L) % (churn * 2L)).map(_.toString).toVector
+      graft.sources.CowStore.commitDeltaEq("graft_cow", ident,
+        Seq.empty, Map.empty, keys)
+      if (e % every == 0) {
+        // Compaction re-sequences every file past the live entries
+        // (they leave the snapshot); retention then reclaims the
+        // now-unreferenced delete files.
+        spark.sql(s"CALL graft_cow.optimize('ops.$name', ${1L << 30})")
+        spark.sql(s"CALL graft_cow.vacuum('ops.$name', 1)")
+      }
+      (st.snapshot.eqDeletes.length, eqdelFilesOnDisk)
+    }
+    // Each epoch's delete-only commit kills a `churn`-wide key window
+    // shifted by 17: survivors = domain − |union of windows|. Optimize
+    // and vacuum must leave exactly that.
+    val expected = churn * 2L - (churn + (epochs - 1) * 17L)
+    val total = spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0)
+    require(total == expected,
+      s"optimize/vacuum must not change the numbers: $total != $expected")
+    println("[manifest-growth] optimize interplay (entries, diskFiles) " +
+      s"per epoch, optimize every $every: ${series.mkString(" ")}")
+    val maxLive = series.map(_._1).max
+    val maxDisk = series.map(_._2).max
+    val endDisk = series.last._2
+    println(s"""{"metric":"eqdelete_file_count_bound","optimize_every":$every,""" +
+      s""""epochs":$epochs,"churn_per_epoch":$churn,""" +
+      s""""live_entries":[${series.map(_._1).mkString(",")}],""" +
+      s""""disk_files":[${series.map(_._2).mkString(",")}],""" +
+      s""""max_live":$maxLive,"max_disk":$maxDisk,"end_disk":$endDisk,""" +
+      s""""bounded":${maxLive <= every && endDisk <= every}}""")
+    spark.sql(s"DROP TABLE $tbl")
   }
 }

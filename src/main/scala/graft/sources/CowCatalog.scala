@@ -2066,7 +2066,8 @@ object CowStore {
     * pointer is left where it was (its own lineage is still true).
     */
   def publishBranch(catalog: String, ident: Identifier,
-                    name: String): Long = synchronized {
+                    name: String, allowRebase: Boolean = true): Long =
+    synchronized {
     val k = key(catalog, ident)
     val st = Option(tables.get(k)).getOrElse(
       throw new NoSuchTableException(ident))
@@ -2077,6 +2078,16 @@ object CowStore {
       writeBranches(nst)
       return head
     }
+    // STRICT WAP mode (round-18 ADVICE): `allow_rebase => false`
+    // restores the pure fast-forward contract — callers whose audit
+    // semantics must not absorb main's unaudited interim commits (or
+    // any read-set/write-skew exposure the file-level disjointness
+    // check cannot see) opt out of rebasing entirely.
+    if (!allowRebase)
+      throw new CommitConflictException(
+        s"graft-cow: publish of branch '$name' is not a fast-forward " +
+          s"(main moved to version ${st.version}) and allow_rebase is " +
+          "false; re-run the branch work against current main")
     def refuse(why: String): Nothing =
       throw new CommitConflictException(
         s"graft-cow: publish of branch '$name' is not a fast-forward " +
@@ -2993,7 +3004,13 @@ class CowPublishProcedure(catalogName: String) extends UnboundProcedure {
   override def description(): String =
     "graft-cow PUBLISH: fast-forward main to a branch head, or " +
       "auto-rebase a disjoint-file branch onto a moved main " +
-      "(overlaps and metadata divergence fail loudly)"
+      "(overlaps and metadata divergence fail loudly). CAVEAT: the " +
+      "rebase check is FILE-level — branch commits derived from fork " +
+      "files main concurrently rewrote refuse, but a branch whose " +
+      "READS depended on state main changed (write-skew), or a WAP " +
+      "audit that must not absorb main's unaudited interim commits, " +
+      "should pass allow_rebase => false to keep the strict " +
+      "fast-forward-only contract"
 
   override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
     override def name(): String = "publish"
@@ -3001,13 +3018,16 @@ class CowPublishProcedure(catalogName: String) extends UnboundProcedure {
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("branch", StringType).build())
+      ProcedureParameter.in("branch", StringType).build(),
+      ProcedureParameter.in("allow_rebase", BooleanType)
+        .defaultValue("true").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val parts = input.getUTF8String(0).toString.split("\\.")
       val v = CowStore.publishBranch(catalogName,
         Identifier.of(parts.init, parts.last),
-        input.getUTF8String(1).toString)
+        input.getUTF8String(1).toString,
+        allowRebase = input.isNullAt(2) || input.getBoolean(2))
       val scan: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
           Array(new GenericInternalRow(Array[Any](v)))
@@ -5796,30 +5816,49 @@ case class CowKeyedFilePartition(inner: CowFilePartition, key: InternalRow)
   */
 object CowEqDeleteFiles {
   private val MaxEntries = 4096
-  private val fileCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
-  private val setCache = new java.util.concurrent.ConcurrentHashMap[
-    (Seq[String], Boolean),
-    (java.util.HashSet[java.lang.Long], java.util.HashSet[UTF8String])]()
+
+  /** Access-ordered LRU behind its own monitor (round-18 ADVICE: the
+    * old size-trip `clear()` evicted every HOT entry at once — a
+    * latency cliff under many-table churn — and raced its size check).
+    * Eviction is one-eldest-per-insert; lookups touch access order.
+    * Loads run OUTSIDE the lock (a parquet decode must not serialize
+    * unrelated readers) — two racing threads may decode the same
+    * immutable file once each, a benign duplicate.
+    */
+  private final class Lru[K, V](max: Int)
+      extends java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      size() > max
+  }
+  private def cached[K, V](lru: Lru[K, V], k: K)(load: => V): V = {
+    val hit = lru.synchronized(Option(lru.get(k)))
+    hit.getOrElse {
+      val v = load
+      lru.synchronized(lru.put(k, v)): Unit
+      v
+    }
+  }
+
+  private val fileCache = new Lru[String, Array[String]](MaxEntries)
+  private val setCache = new Lru[(Seq[String], Boolean),
+    (java.util.HashSet[java.lang.Long], java.util.HashSet[UTF8String])](
+    MaxEntries)
 
   /** The canonical-string keys of one delete file (cached). */
-  def keys(path: String): Array[String] = {
-    if (fileCache.size > MaxEntries) fileCache.clear()
-    fileCache.computeIfAbsent(path, p => {
-      val conf = new Configuration()
-      conf.set(ReadSupport.PARQUET_READ_SCHEMA, CowStore.EqDeleteFileSchema)
-      val reader = ParquetReader.builder(new GroupReadSupport(),
-        new org.apache.hadoop.fs.Path(p)).withConf(conf).build()
-      val out = Array.newBuilder[String]
-      try {
-        var g = reader.read()
-        while (g != null) {
-          out += g.getString("key", 0)
-          g = reader.read()
-        }
-      } finally reader.close()
-      out.result()
-    })
+  def keys(path: String): Array[String] = cached(fileCache, path) {
+    val conf = new Configuration()
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, CowStore.EqDeleteFileSchema)
+    val reader = ParquetReader.builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
+    val out = Array.newBuilder[String]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        out += g.getString("key", 0)
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.result()
   }
 
   /** The membership probe sets for the UNION of `paths`' keys, decoded
@@ -5829,11 +5868,10 @@ object CowEqDeleteFiles {
     * materialization).
     */
   def sets(paths: Seq[String], isLong: Boolean)
-      : (java.util.HashSet[java.lang.Long], java.util.HashSet[UTF8String]) = {
-    if (setCache.size > MaxEntries) setCache.clear()
-    setCache.computeIfAbsent((paths, isLong), { case (ps, long) =>
-      val all = ps.iterator.flatMap(keys)
-      if (long) {
+      : (java.util.HashSet[java.lang.Long], java.util.HashSet[UTF8String]) =
+    cached(setCache, (paths, isLong)) {
+      val all = paths.iterator.flatMap(keys)
+      if (isLong) {
         val h = new java.util.HashSet[java.lang.Long]()
         all.foreach(v => h.add(v.toLong): Unit)
         (h, null)
@@ -5842,8 +5880,7 @@ object CowEqDeleteFiles {
         all.foreach(v => h.add(UTF8String.fromString(v)): Unit)
         (null, h)
       }
-    })
-  }
+    }
 }
 
 /** Executor-side parquet reader over one immutable file, projection

@@ -4036,6 +4036,13 @@ class CowCatalogSpec extends SparkSpec {
     // main's head in ONE commit, losing neither side (r17 brief #2).
     spark.sql(s"INSERT INTO $tbl SELECT id, 'm', id FROM range(200, 203)")
     val v0 = CowStore.get(cat, identOf(tbl)).get.version
+    // STRICT WAP mode (round-18 ADVICE): allow_rebase => false keeps
+    // the pure fast-forward contract — this very publish refuses.
+    val eStrict = intercept[Exception] {
+      spark.sql(s"CALL $cat.publish('$name', 'audit', allow_rebase => false)")
+    }
+    assert(eStrict.toString.contains("allow_rebase is false"), s"got $eStrict")
+    assert(CowStore.get(cat, identOf(tbl)).get.version == v0)
     spark.sql(s"CALL $cat.publish('$name', 'audit')")
     val stPub = CowStore.get(cat, identOf(tbl)).get
     assert(stPub.version == v0 + 1 &&
