@@ -262,6 +262,102 @@ object Similarity {
       .limit(10)
   }
 
+  /** q_ann_graph — GRAPH-ANN tier (round-19 advisory #7: the
+    * HNSW-shaped rung next to IVF/PQ/SQ8, restated for a distributed
+    * engine): a batch-built NEIGHBORHOOD GRAPH + deterministic
+    * synchronized BEAM SEARCH as bounded iterative joins.
+    *
+    *  - BUILD: each node's top-[[GraphM]] cosine neighbors among its
+    *    sign-LSH bucket peers — the same inverted-index candidate
+    *    generator every near-dup family rides (per-bucket work
+    *    Σ bucket², never n²); the edge list is a per-src top-M window,
+    *    partitioned by src like any adjacency table.
+    *  - SEARCH: ROUTE first, walk second (the HNSW upper-layer idea
+    *    restated): entry points are the query's own LSH bucket's
+    *    top-[[GraphEntries]] (the [[qCosineTopkLsh]] probe — a coarse
+    *    1/2^planes routing step), then [[GraphHops]] synchronized
+    *    expansion rounds —
+    *    frontier ∪ its out-neighbors, re-scored against the query
+    *    (codegen'd [[graft.functions.VecDot]] chain), keep the global
+    *    top-[[GraphBeam]]. The frontier is beam-sized, so each round is
+    *    a broadcast semi-join against the adjacency table + one
+    *    O(candidates) top-B — never a corpus scan after round 0's
+    *    entry lookup. Monotone: the frontier rides inside its own
+    *    expansion, so the running best never regresses (greedy
+    *    best-first restated as rounds — what makes the search
+    *    DETERMINISTIC and oracle-expressible where true HNSW's
+    *    priority-queue walk is not).
+    *
+    * At 100 TB: build cost equals the near-dup candidate pass the
+    * pipeline already runs; query cost is O(hops × beam × M) edge
+    * lookups + exact re-scores — independent of corpus size once the
+    * adjacency table is partition-pruned by src. Recall-vs-beam is the
+    * nprobe-style knob, curve-pinned in SimilaritySpec.
+    */
+  private[graft] val GraphM = 6
+  private[graft] val GraphBeam = 12
+  private[graft] val GraphHops = 3
+  private[graft] val GraphEntries = 4
+
+  def qAnnGraph(spark: SparkSession, d: String): DataFrame =
+    annGraphSearch(spark, d, beam = GraphBeam)
+
+  private[graft] def annGraphSearch(spark: SparkSession, d: String,
+                                    beam: Int, hops: Int = GraphHops,
+                                    k: Int = 10): DataFrame = {
+    val nodes = embeddings(spark, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        bucket(col("embedding")).as("bkt"),
+        norm(col("embedding")).as("nn"))
+    // Edge candidates from the BANDED generator (NdBands × NdRows —
+    // each node sits in one bucket PER BAND, so edges cross any single
+    // band's boundaries; a single-bucket build would leave 2^rows
+    // disconnected components the walk could never escape), both
+    // directions, then per-src top-M by exact cosine.
+    val cand = bandCandidates(spark, d, NdBands, NdRows)
+      .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
+    val both = cand.union(
+      cand.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).distinct()
+    val edges = both
+      .join(nodes.select(col("vec_id").as("a_id"),
+        col("embedding").as("se"), col("nn").as("sn")), Seq("a_id"))
+      .join(nodes.select(col("vec_id").as("b_id"),
+        col("embedding").as("de"), col("nn").as("dn")), Seq("b_id"))
+      .select(col("a_id").as("src"), col("b_id").as("dst"),
+        cosinePre(col("se"), col("de"), col("sn"), col("dn")).as("c"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("c").desc, col("dst"))))
+      .filter(col("rn") <= GraphM).select(col("src"), col("dst"))
+    val q = embeddings(spark, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"),
+        bucket(col("embedding")).as("qb"))
+    def scored(ids: DataFrame): DataFrame =
+      nodes.join(ids, Seq("vec_id")).join(broadcast(q.drop("qb")))
+        .select(col("vec_id"), col("label"),
+          cosinePre(col("embedding"), col("qe"), col("nn"), col("qn"))
+            .as("cos"))
+    // Entry routing: the query's own LSH bucket's best GraphEntries
+    // (coarse 1/2^planes step), then the graph walk refines.
+    val entries = nodes.join(broadcast(q), col("bkt") === col("qb"))
+      .select(col("vec_id"),
+        cosinePre(col("embedding"), col("qe"), col("nn"), col("qn"))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(GraphEntries)
+      .select(col("vec_id"))
+    var frontier = scored(entries)
+      .orderBy(col("cos").desc, col("vec_id")).limit(beam)
+    for (_ <- 1 to hops) {
+      val ids = frontier.select(col("vec_id"))
+      val expanded = ids.union(
+        edges.join(broadcast(ids.withColumnRenamed("vec_id", "src")), Seq("src"))
+          .select(col("dst").as("vec_id"))).distinct()
+      frontier = scored(expanded)
+        .orderBy(col("cos").desc, col("vec_id")).limit(beam)
+    }
+    frontier.orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
   /** Fixed-geometry near-dup control (deregistered as a driver query in
     * round 12): embedding-space near-duplicate pairs via banded sign-LSH
     * at the PINNED ([[NdBands]] bands × [[NdRows]] planes) geometry.
@@ -2014,6 +2110,7 @@ object Similarity {
     "q_cosine_neardup_scaled" -> qCosineNeardupScaled _,
     "q_semantic_leakage" -> qSemanticLeakage _,
     "q_ann_ivf"         -> qAnnIvf _,
+    "q_ann_graph"       -> qAnnGraph _,
     "q_ann_ivf2"        -> qAnnIvf2 _,
     "q_pq_encode"       -> qPqEncode _,
     "q_ann_pq"          -> qAnnPq _,
@@ -2819,6 +2916,63 @@ object Similarity {
          |JOIN sp sb ON b_id = sb.vec_id
          |WHERE sa.is_train <> sb.is_train
          |ORDER BY test_id, train_id""".stripMargin,
+    // The graph build (bucketed top-M edges) and the two synchronized
+    // beam rounds unrolled as CTEs — the deterministic restatement that
+    // makes a graph-ANN walk oracle-expressible at all.
+    "q_ann_graph" ->
+      s"""WITH nodes AS (
+         |  SELECT vec_id, label, embedding, ${bucketSql("embedding")} AS bkt
+         |  FROM embeddings WHERE vec_id <> 0
+         |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |bands AS (
+         |  $ndBandsSql
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id <> 0 AND b.vec_id <> 0
+         |), edges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT c.src, c.dst,
+         |           ROW_NUMBER() OVER (PARTITION BY c.src
+         |             ORDER BY ${cosSql("ea.embedding", "eb.embedding")} DESC,
+         |                      c.dst) AS rn
+         |    FROM cand c
+         |    JOIN embeddings ea ON c.src = ea.vec_id
+         |    JOIN embeddings eb ON c.dst = eb.vec_id)
+         |  WHERE rn <= 6
+         |), f0 AS (
+         |  SELECT n.vec_id FROM nodes n,
+         |       (SELECT embedding AS qe, ${bucketSql("embedding")} AS qb
+         |        FROM embeddings WHERE vec_id = 0) qq
+         |  WHERE n.bkt = qq.qb
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    ORDER BY ${cosSql("n.embedding", "qe")} DESC, n.vec_id) <= 4
+         |), c1 AS (
+         |  SELECT vec_id FROM f0
+         |  UNION SELECT e.dst FROM edges e JOIN f0 ON e.src = f0.vec_id
+         |), f1 AS (
+         |  SELECT n.vec_id FROM nodes n JOIN c1 USING (vec_id), q
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    ORDER BY ${cosSql("n.embedding", "qe")} DESC, n.vec_id) <= 12
+         |), c2 AS (
+         |  SELECT vec_id FROM f1
+         |  UNION SELECT e.dst FROM edges e JOIN f1 ON e.src = f1.vec_id
+         |), f2 AS (
+         |  SELECT n.vec_id FROM nodes n JOIN c2 USING (vec_id), q
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    ORDER BY ${cosSql("n.embedding", "qe")} DESC, n.vec_id) <= 12
+         |), c3 AS (
+         |  SELECT vec_id FROM f2
+         |  UNION SELECT e.dst FROM edges e JOIN f2 ON e.src = f2.vec_id
+         |), f3 AS (
+         |  SELECT n.vec_id FROM nodes n JOIN c3 USING (vec_id), q
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    ORDER BY ${cosSql("n.embedding", "qe")} DESC, n.vec_id) <= 12
+         |)
+         |SELECT n.vec_id, n.label, ${cosSql("n.embedding", "qe")} AS cos
+         |FROM nodes n JOIN f3 USING (vec_id), q
+         |ORDER BY cos DESC, n.vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH centroids AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings

@@ -137,6 +137,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rec2 >= 0.6, f"2-probe recall $rec2%.2f below floor")
   }
 
+  test("graph ANN: recall-vs-beam curve (the nprobe-style knob), determinism, and exact scores") {
+    val q = vecs(0L)
+    val truth = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosRef(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10).map(_._1).toSet
+    def run(beam: Int) = Similarity.annGraphSearch(spark, sfDir, beam)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val curve = Seq(4, 12, 24).map { b =>
+      val res = run(b)
+      b -> (res, res.map(_._1).toSet.intersect(truth).size / 10.0)
+    }
+    info(curve.map { case (b, (_, r)) => f"beam=$b%-3d recall@10=$r%.2f" }
+      .mkString("  "))
+    val byBeam = curve.toMap
+    // The beam is the nprobe-style knob: widening must not LOSE recall
+    // across the extremes, and the default geometry must clear a
+    // meaningful floor on this fixture.
+    assert(byBeam(24)._2 >= byBeam(4)._2,
+      s"widening the beam lost recall: ${curve.map(_._2._2)}")
+    assert(byBeam(12)._2 >= 0.6,
+      f"default-beam recall ${byBeam(12)._2}%.2f below floor")
+    // Deterministic: the synchronized-rounds restatement has no
+    // priority-queue order dependence — identical reruns.
+    assert(run(12) == byBeam(12)._1, "graph search must be deterministic")
+    // Served scores are EXACT cosines (the graph only routes; scoring
+    // is always the true metric) and descend.
+    byBeam(12)._1.foreach { case (id, c) =>
+      assert(math.abs(c - cosRef(vecs(id), q)) < 1e-12)
+    }
+    assert(byBeam(12)._1.map(_._2).sliding(2).forall(s =>
+      s.length < 2 || s(0) >= s(1)))
+  }
+
   test("q_cosine_neardup: every pair shares a band, is above threshold, a<b, exact score") {
     val rows = Similarity.qCosineNeardup(spark, sfDir).collect()
     assert(rows.nonEmpty)
