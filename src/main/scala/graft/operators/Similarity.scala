@@ -329,6 +329,12 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
           .orderBy(col("c").desc, col("dst"))))
       .filter(col("rn") <= GraphM).select(col("src"), col("dst"))
+    // The adjacency table feeds every expansion round (it would appear
+    // hops+1 times in the final plan): materialize it ONCE as an eager
+    // tier — locally what a 100 TB deployment gets by building the
+    // graph as a persisted table artifact — and free it once the
+    // beam-sized result is materialized below.
+    val adj = graft.Tables.checkpointTier(edges)
     val q = embeddings(spark, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"),
         bucket(col("embedding")).as("qb"))
@@ -350,12 +356,17 @@ object Similarity {
     for (_ <- 1 to hops) {
       val ids = frontier.select(col("vec_id"))
       val expanded = ids.union(
-        edges.join(broadcast(ids.withColumnRenamed("vec_id", "src")), Seq("src"))
+        adj.join(broadcast(ids.withColumnRenamed("vec_id", "src")), Seq("src"))
           .select(col("dst").as("vec_id"))).distinct()
       frontier = scored(expanded)
         .orderBy(col("cos").desc, col("vec_id")).limit(beam)
     }
-    frontier.orderBy(col("cos").desc, col("vec_id")).limit(k)
+    val out = graft.Tables.checkpointTier(
+      frontier.orderBy(col("cos").desc, col("vec_id")).limit(k))
+    graft.Tables.unpersistTier(adj)
+    // Re-state the output order over the beam-sized leaf (checkpoint
+    // materialization does not carry a sort contract).
+    out.orderBy(col("cos").desc, col("vec_id"))
   }
 
   /** Fixed-geometry near-dup control (deregistered as a driver query in
