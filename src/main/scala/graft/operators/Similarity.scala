@@ -309,12 +309,16 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
         bucket(col("embedding")).as("bkt"),
         norm(col("embedding")).as("nn"))
-    // Edge candidates from the BANDED generator (NdBands × NdRows —
-    // each node sits in one bucket PER BAND, so edges cross any single
-    // band's boundaries; a single-bucket build would leave 2^rows
-    // disconnected components the walk could never escape), both
-    // directions, then per-src top-M by exact cosine.
-    val cand = bandCandidates(spark, d, NdBands, NdRows)
+    // Edge candidates from the BANDED generator at the
+    // OCCUPANCY-COMPENSATED geometry ([[scaledGeometry]] — the same
+    // corpus-count lever q_cosine_neardup_scaled ships, so the build's
+    // candidate mass stays ~linear as the corpus grows instead of the
+    // fixed-geometry n²/2^rows signature; banding also lets edges
+    // cross any single band's bucket boundaries — a one-bucket build
+    // would leave 2^rows disconnected components the walk could never
+    // escape), both directions, then per-src top-M by exact cosine.
+    val (gBands, gRows) = scaledGeometry(embeddings(spark, d).count())
+    val cand = bandCandidates(spark, d, gBands, gRows)
       .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
     val both = cand.union(
       cand.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).distinct()
@@ -2935,13 +2939,15 @@ object Similarity {
          |  SELECT vec_id, label, embedding, ${bucketSql("embedding")} AS bkt
          |  FROM embeddings WHERE vec_id <> 0
          |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |bands AS (
-         |  $ndBandsSql
+         |n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+         |p0 AS (
+         |  $ndScaledCandSql
          |), cand AS (
-         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id <> 0 AND b.vec_id <> 0
+         |  SELECT src, dst FROM (
+         |    SELECT a_id AS src, b_id AS dst FROM p0
+         |    UNION ALL
+         |    SELECT b_id AS src, a_id AS dst FROM p0)
+         |  WHERE src <> 0 AND dst <> 0
          |), edges AS (
          |  SELECT src, dst FROM (
          |    SELECT c.src, c.dst,
