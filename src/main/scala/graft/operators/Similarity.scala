@@ -320,8 +320,14 @@ object Similarity {
     val (gBands, gRows) = scaledGeometry(embeddings(spark, d).count())
     val cand = bandCandidates(spark, d, gBands, gRows)
       .filter(col("a_id") =!= 0 && col("b_id") =!= 0)
+    // No distinct on the union: bandCandidates is already a distinct
+    // a_id < b_id pair set, so the swapped leg (a_id > b_id everywhere)
+    // is disjoint from it by construction — the union IS a set, and the
+    // removed distinct was one full exchange + hash aggregate over the
+    // largest intermediate of the build (guide §2.4: a `distinct` on
+    // data that is already unique is an accidental shuffle).
     val both = cand.union(
-      cand.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).distinct()
+      cand.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     val edges = both
       .join(nodes.select(col("vec_id").as("a_id"),
         col("embedding").as("se"), col("nn").as("sn")), Seq("a_id"))
@@ -355,22 +361,34 @@ object Similarity {
           .as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(GraphEntries)
       .select(col("vec_id"))
-    var frontier = scored(entries)
-      .orderBy(col("cos").desc, col("vec_id")).limit(beam)
+    // Each round's frontier is a TIER ([[graft.Tables.checkpointTier]] —
+    // the q_kcore / starComponents lesson applied to the beam walk): the
+    // frontier appears TWICE in its own expansion (the union leg and the
+    // broadcast-probe leg), so an unmaterialized loop embeds round r−1's
+    // subtree 2× in round r — 2^hops copies of the scoring joins by the
+    // final action (measured: the whole search re-ran the entry lookup 8×
+    // at hops = 3). Materializing each beam-sized round (≤ beam rows)
+    // keeps the executed plan O(one round) and every leg reads the same
+    // 12-row leaf. Same algebra, same rows — the tiers only pin
+    // evaluation order the lazy plan already had.
+    var frontier = graft.Tables.checkpointTier(scored(entries)
+      .orderBy(col("cos").desc, col("vec_id")).limit(beam))
     for (_ <- 1 to hops) {
+      val prev = frontier
       val ids = frontier.select(col("vec_id"))
       val expanded = ids.union(
         adj.join(broadcast(ids.withColumnRenamed("vec_id", "src")), Seq("src"))
           .select(col("dst").as("vec_id"))).distinct()
-      frontier = scored(expanded)
-        .orderBy(col("cos").desc, col("vec_id")).limit(beam)
+      frontier = graft.Tables.checkpointTier(scored(expanded)
+        .orderBy(col("cos").desc, col("vec_id")).limit(beam))
+      // Round r is dead once round r+1 is eager (checkpointTier blocks
+      // otherwise stay resident for the query lifetime).
+      graft.Tables.unpersistTier(prev)
     }
-    val out = graft.Tables.checkpointTier(
-      frontier.orderBy(col("cos").desc, col("vec_id")).limit(k))
+    // The final frontier is already a materialized beam-sized leaf — the
+    // adjacency tier has no remaining reader.
     graft.Tables.unpersistTier(adj)
-    // Re-state the output order over the beam-sized leaf (checkpoint
-    // materialization does not carry a sort contract).
-    out.orderBy(col("cos").desc, col("vec_id"))
+    frontier.orderBy(col("cos").desc, col("vec_id")).limit(k)
   }
 
   /** Fixed-geometry near-dup control (deregistered as a driver query in
