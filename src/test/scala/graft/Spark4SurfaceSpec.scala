@@ -207,4 +207,43 @@ class Spark4SurfaceSpec extends SparkSpec {
     assert(cleanDone < aStart && cleanDone < bStart,
       s"dependents must wait for clean: clean@$cleanDone a@$aStart b@$bStart")
   }
+
+  test("sdp: a 4-wave chain completes with every wave's table materialized") {
+    // Completion-detection guard for the round-20 event-driven batch
+    // scheduler (the round-19 probe showed pollingInterval=0 on the
+    // SHIPPED scheduler returned before flows materialized —
+    // TABLE_OR_VIEW_NOT_FOUND; this pins the replacement never does):
+    // a strictly SERIAL 4-deep dependency chain, each wave read back
+    // after the run, plus diamond re-convergence (d reads b AND c).
+    import org.apache.spark.sql.pipelines.GraftPipelineBridge
+    import org.apache.spark.sql.pipelines.GraftPipelineBridge.TableSpec
+    val db = s"sdp_chain_${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val storage = java.nio.file.Files
+      .createTempDirectory("graft_sdp_chain_").toUri.toString
+    val events = GraftPipelineBridge.runBatchPipeline(spark, db, Seq(
+      TableSpec("d", "SELECT b.lang, b.n, c.total FROM b CROSS JOIN c"),
+      TableSpec("b", "SELECT lang, COUNT(*) AS n FROM a GROUP BY lang"),
+      TableSpec("c", "SELECT SUM(n) AS total FROM b"),
+      TableSpec("a",
+        s"SELECT * FROM parquet.`$sfDir/documents.parquet` WHERE n_chars >= 100")
+    ), storage)
+    val nA = spark.table(s"$db.a").count()
+    val nB = spark.table(s"$db.b").count()
+    val total = spark.table(s"$db.c").collect().head.getLong(0)
+    val nD = spark.table(s"$db.d").count()
+    assert(nA > 0 && nB > 0 && nD == nB,
+      s"all four waves must materialize: a=$nA b=$nB d=$nD")
+    assert(total == nA, s"c must aggregate b's counts to a's rows: $total != $nA")
+    // Every flow ran strictly after ALL its upstream flows completed.
+    def idx(p: String): Int = events.indexWhere(_.matches(s"(?s).*$p.*"))
+    def done(t: String) = idx(s"Flow spark_catalog\\.$db\\.$t has COMPLETED")
+    def run(t: String) = idx(s"Flow spark_catalog\\.$db\\.$t is RUNNING")
+    Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "d").foreach {
+      case (up, dn) =>
+        assert(done(up) >= 0 && run(dn) >= 0 && done(up) < run(dn),
+          s"$dn must start after $up completes: " +
+            s"${done(up)} vs ${run(dn)}\n${events.mkString("\n")}")
+    }
+  }
 }
