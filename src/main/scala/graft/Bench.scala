@@ -25,8 +25,42 @@ object Bench {
       // The library's session contract: custom functions, planner
       // strategy, and the MERGE WITH SCHEMA EVOLUTION parser surface.
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Fork-free local filesystem (round 20): without libhadoop.so,
+      // Hadoop's RawLocalFileSystem shells out `chmod` on every create
+      // and `ls -ld` on every lazy permission read — ~84 ms per atomic
+      // checkpoint write ON TMPFS, paid per state store per micro-batch
+      // and per parquet part-file. Same semantics via java.nio; see
+      // graft.hadoop.GraftLocalFileSystem.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.GraftLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.GraftLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Scaling legibility (round-20 verdict item #2): at sf0.1 every query
+    // sits on a ~0.3-0.5 s fixed-cost floor, so the driver's 8-vs-32-core
+    // wall-clock ratios cannot distinguish "scales" from "serial". Emit the
+    // evidence directly instead: a listener tracks the MAX number of
+    // concurrently-running tasks observed during each query's timed run —
+    // a query that fans 32 tasks wide is demonstrably parallel even when
+    // its wall-clock is floor-bound. Reported as a separate top-level
+    // "parallelism" map (additions-only; the timed methodology, query set
+    // and totals are untouched). Listener-bus lag can smear a couple of
+    // task-end events across query boundaries; the map is evidence of
+    // available parallelism, not a precise per-query census.
+    val runningTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(
+          t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+        val r = runningTasks.incrementAndGet()
+        maxTasks.getAndUpdate(m => math.max(m, r)): Unit
+      }
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        runningTasks.decrementAndGet(): Unit
+    })
+    val parallelism = scala.collection.mutable.Map.empty[String, Int]
     // noop-write materialization: every output column is fully evaluated
     // (count() would let Catalyst prune projected expressions, silently
     // under-measuring expression cost). Two passes, best-of-2 per query:
@@ -35,14 +69,21 @@ object Bench {
     // per-query map and total, instead of silently contributing its
     // time-to-exception to the suite number.
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      // Label the jobs (guide §1.5) and reset the concurrency high-water
+      // mark to the in-flight count (normally 0 between queries).
+      spark.sparkContext.setJobDescription(name)
+      maxTasks.set(runningTasks.get())
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        parallelism(name) = math.max(parallelism.getOrElse(name, 0), maxTasks.get())
+        Some(sec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
       } finally {
+        spark.sparkContext.setJobDescription(null)
         // Drain self-join caches between queries: entries only need to
         // live within their own query, and letting a dozen queries'
         // subtrees accumulate inflates LATE-suite numbers via storage-
@@ -133,7 +174,9 @@ object Bench {
     // cpus is IN the artifact: a sweep once compared local[4] numbers
     // against a local[32] anchor because the config lived only in the
     // launch command — self-describing artifacts make that impossible.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    val par = parallelism.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"parallelism":$par,"sf":"$sfDir"}"""
     println(line)
     // The driver captures the tail of stdout and has truncated the head of
     // this (long) line in past rounds; persist the full artifact to a file

@@ -17,6 +17,11 @@ object ExplainCheck {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Fork-free local FS (round 20) - mirrors the bench session.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.GraftLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.GraftLocalFs")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Match the bench's staged environment so queries that consume the

@@ -44,6 +44,10 @@ object StreamLifeProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.GraftLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.GraftLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -110,13 +114,11 @@ object StreamLifeProbe {
         val p = e.progress
         val dur = p.durationMs
         val st = p.stateOperators.headOption.map { so =>
-          val cm = so.customMetrics
-          def g(k: String) = Option(cm.get(k)).map(_.toString).getOrElse("-")
-          s"commit=${so.commitTimeMs}ms " +
-            s"rocksdbCommitCheckpoint=${g("rocksdbCommitCheckpointLatency")} " +
-            s"rocksdbCommitFileSync=${g("rocksdbCommitFileSyncLatencyMs")} " +
-            s"rocksdbFilesCopied=${g("rocksdbFilesCopied")} " +
-            s"loadUs=${g("loadedMapCacheHitCount")}"
+          import scala.jdk.CollectionConverters._
+          val cm = so.customMetrics.asScala.toSeq
+            .filter(_._2 != 0).sortBy(-_._2)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          s"commit=${so.commitTimeMs}ms ALL[$cm]"
         }.getOrElse("")
         captured += s"batch=${p.batchId} " +
           s"trigger=${dur.get("triggerExecution")}ms " +

@@ -51,6 +51,10 @@ object StressGen {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.GraftLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.GraftLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     build(spark, base, out, factor)

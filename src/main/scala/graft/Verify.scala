@@ -29,6 +29,11 @@ object Verify {
       // The library's session contract: custom functions, planner
       // strategy, and the MERGE WITH SCHEMA EVOLUTION parser surface.
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Fork-free local FS (round 20) - see graft.hadoop.GraftLocalFileSystem.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.GraftLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.GraftLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

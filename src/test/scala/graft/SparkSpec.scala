@@ -18,6 +18,11 @@ object SparkSpec {
     // functions/strategy (else GraftExtensions.register does it lazily)
     // and the MERGE WITH SCHEMA EVOLUTION parser surface.
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // Fork-free local FS (round 20) - same session contract as Verify/Bench.
+    .config("spark.hadoop.fs.file.impl",
+      "graft.hadoop.GraftLocalFileSystem")
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      "graft.hadoop.GraftLocalFs")
     .getOrCreate()
 
   /** Smallest fixture scale — correctness shape, not volume. */
