@@ -96,24 +96,34 @@ object TaskFloorProbe {
       .write.format("noop").mode("overwrite").save()
 
     println(f"[floor-probe] ${"query"}%-14s ${"wall"}%7s ${"jobs"}%5s ${"stages"}%6s ${"tasks"}%6s ${"sumRun"}%8s ${"sumWall"}%8s ${"launchOvh"}%9s ${"jobCov"}%8s ${"stageCov"}%8s ${"jobGap"}%8s ${"stageGap"}%8s")
-    for (q <- reps; pass <- 1 to 2) {
-      reset()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val wallMs = (System.nanoTime() - t0) / 1e6
-      Thread.sleep(150) // let the listener bus drain
-      listener.synchronized {
-        val nT = tasks.size
-        val sumRun = tasks.map(_.run).sum
-        val sumWall = tasks.map(t => t.finish - t.launch).sum
-        val ovh = sumWall - sumRun
-        val jobCov = covered(jobSpans.toSeq)
-        val stageCov = covered(stageSpans.toSeq)
-        val tag = if (pass == 2) q else s"$q(p1)"
-        println(f"[floor-probe] $tag%-14s ${wallMs}%7.0f ${jobSpans.size}%5d ${stageSpans.size}%6d $nT%6d $sumRun%8d $sumWall%8d $ovh%9d $jobCov%8d $stageCov%8d ${wallMs - jobCov}%8.0f ${jobCov - stageCov}%8d")
+    // Phases: warm best-of-2 under the registered config (aqe), then the
+    // SAME queries with AQE off — attribution only (AQE stays ON in the
+    // bench: partition coalescing/skew handling are the scale-correct
+    // posture; this measures how much of the flat band's driver gap is
+    // AQE's per-stage job splitting + re-optimization rounds).
+    for (aqe <- Seq(true, false)) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      for (q <- reps; pass <- 1 to 2) {
+        reset()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        Thread.sleep(150) // let the listener bus drain
+        listener.synchronized {
+          val nT = tasks.size
+          val sumRun = tasks.map(_.run).sum
+          val sumWall = tasks.map(t => t.finish - t.launch).sum
+          val ovh = sumWall - sumRun
+          val jobCov = covered(jobSpans.toSeq)
+          val stageCov = covered(stageSpans.toSeq)
+          val tag = (if (pass == 2) q else s"$q(p1)") +
+            (if (aqe) "" else "[noaqe]")
+          println(f"[floor-probe] $tag%-22s ${wallMs}%7.0f ${jobSpans.size}%5d ${stageSpans.size}%6d $nT%6d $sumRun%8d $sumWall%8d $ovh%9d $jobCov%8d $stageCov%8d ${wallMs - jobCov}%8.0f ${jobCov - stageCov}%8d")
+        }
       }
     }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
   }
 }
